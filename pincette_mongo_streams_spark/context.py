@@ -1,0 +1,67 @@
+"""Pipeline context — the Spark analog of the reference's Context
+(reference: src/main/java/net/pincette/mongo/streams/Context.java:20-40).
+
+The reference carries: an application name, a MongoDB database handle for
+stateful stages, a Kafka producer callback for side outputs, optional stage
+extensions, a trace flag, and expression-language features.  Here the same
+roles are filled Spark-side:
+
+- ``collections``: a named-DataFrame store standing in for MongoDB
+  collections ($lookup `from`, $merge `into`, $group/_collection state,
+  $deduplicate collections).  In production these resolve through
+  ``collection_loader``/``collection_writer`` hooks (e.g. the MongoDB Spark
+  connector, Delta tables, parquet dirs); in tests they are in-memory.
+- ``producer``: callable ``(topic, key, value_dict) -> None`` receiving
+  side-output messages ($send/$delay/$probe), mirroring Context.java:31-32.
+- ``stage_extensions``: user stage compilers merged under the built-ins
+  (Context.java:34-35; Pipeline.java:275-276 — built-ins win).
+- ``http_transport``: pluggable ``(request_dict) -> response_dict`` used by
+  $http so tests inject a deterministic fake.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Context:
+    spark: Optional[SparkSession] = None
+    app: str = "app"
+    collections: dict[str, DataFrame] = field(default_factory=dict)
+    collection_loader: Optional[Callable[[str], DataFrame]] = None
+    collection_writer: Optional[Callable[[str, DataFrame], None]] = None
+    producer: Optional[Callable[[str, Optional[str], dict], None]] = None
+    stage_extensions: dict[str, Any] = field(default_factory=dict)
+    http_transport: Optional[Callable[[dict], dict]] = None
+    trace: bool = False
+    # wall clock, injectable for deterministic tests ($probe/$throttle/$delay)
+    clock: Callable[[], float] = time.time
+    # streaming mode flag: stage compilers may pick different physical
+    # strategies (e.g. dropDuplicatesWithinWatermark vs window-dedup)
+    streaming: bool = False
+    # deterministic order column for batch analogs of stream-order semantics
+    # ($deduplicate keep-first, $per packing, $group $last); None = no order
+    order_by: Optional[str] = None
+
+    def collection(self, name: str) -> DataFrame:
+        if name in self.collections:
+            return self.collections[name]
+        if self.collection_loader is not None:
+            df = self.collection_loader(name)
+            self.collections[name] = df
+            return df
+        raise KeyError(f"unknown collection {name!r} (no loader configured)")
+
+    def write_collection(self, name: str, df: DataFrame) -> None:
+        self.collections[name] = df
+        if self.collection_writer is not None:
+            self.collection_writer(name, df)
+
+    def send(self, topic: str, key: Optional[str], value: dict) -> None:
+        if self.producer is not None:
+            self.producer(topic, key, value)

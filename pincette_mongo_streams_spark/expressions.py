@@ -1,0 +1,873 @@
+"""MongoDB aggregation-expression compiler: JSON expression -> pyspark Column.
+
+The reference delegates expression evaluation to
+``net.pincette.mongo.Expression.function(expr, features)`` (witnessed at
+reference AddFields.java:8,82 and Pipeline.java:197-198); the contract is
+MongoDB's public aggregation-expression semantics.  Here every construct
+compiles to a native Catalyst ``Column`` so plans stay inside whole-stage
+codegen and keep predicate pushdown / column pruning — the main engineering
+constraint from SURVEY.md §4 (opaque UDFs would forfeit both).
+
+Compilation is schema-directed: an :class:`ExprContext` optionally carries
+the input DataFrame schema so that
+
+- missing field paths compile to ``lit(None)`` (Mongo "missing" ~ null),
+- ``$mergeObjects`` / ``$objectToArray`` / ``$type`` resolve struct layouts,
+- date arithmetic detects timestamp operands.
+
+Deliberate fixed-schema deviations (documented in README): per-row
+``$$REMOVE`` degrades to null outside statically-resolvable positions;
+``$isArray``/``$type`` are static per column, dynamic only for null.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .paths import has_path, nested_col, path_type, split_path
+
+
+class Remove:
+    """Sentinel for ``$$REMOVE`` (reference Project.java:46-47,102-107)."""
+
+    _instance: Optional["Remove"] = None
+
+    def __new__(cls) -> "Remove":
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+
+REMOVE = Remove()
+
+
+class ExprContext:
+    """Compilation scope: schema, variable bindings, field-path resolver.
+
+    ``resolver`` maps path parts to a Column; the default reads top-level
+    DataFrame columns.  Sub-document scopes (``$redact`` recursion,
+    ``$lookup`` sub-pipelines over foreign docs) install a resolver rooted
+    at a struct column.
+    """
+
+    def __init__(
+        self,
+        schema: Optional[T.StructType] = None,
+        variables: Optional[dict[str, Any]] = None,
+        resolver: Optional[Callable[[list[str]], Column]] = None,
+    ):
+        self.schema = schema
+        self.variables = dict(variables or {})
+        self._resolver = resolver
+
+    def with_vars(self, **vars: Any) -> "ExprContext":
+        merged = dict(self.variables)
+        merged.update(vars)
+        return ExprContext(self.schema, merged, self._resolver)
+
+    def with_schema(self, schema: Optional[T.StructType]) -> "ExprContext":
+        return ExprContext(schema, self.variables, self._resolver)
+
+    def resolve(self, parts: list[str]) -> Column:
+        if self._resolver is not None:
+            return self._resolver(parts)
+        if self.schema is not None and not has_path(self.schema, parts):
+            return F.lit(None)
+        return nested_col(parts)
+
+    def root(self) -> Column:
+        if "ROOT" in self.variables:
+            return self.variables["ROOT"]
+        if self.schema is not None:
+            return F.struct(*[nested_col([f.name]).alias(f.name) for f in self.schema.fields])
+        return F.struct("*")
+
+    def type_of_path(self, parts: list[str]) -> Optional[T.DataType]:
+        if self.schema is None:
+            return None
+        return path_type(self.schema, parts)
+
+
+def compile_expr(expr: Any, ctx: ExprContext) -> Any:
+    """Compile a Mongo aggregation expression to a Column (or REMOVE)."""
+    if isinstance(expr, str):
+        if expr.startswith("$$"):
+            return _variable(expr[2:], ctx)
+        if expr.startswith("$"):
+            return ctx.resolve(split_path(expr[1:]))
+        return F.lit(expr)
+    if isinstance(expr, bool) or isinstance(expr, (int, float)) or expr is None:
+        return F.lit(expr)
+    if isinstance(expr, list):
+        return F.array(*[_c(e, ctx) for e in expr])
+    if isinstance(expr, dict):
+        op = next((k for k in expr if k.startswith("$")), None)
+        if op is not None:
+            if len(expr) != 1:
+                raise ValueError(f"operator object must have a single key: {expr}")
+            fn = OPERATORS.get(op)
+            if fn is None:
+                raise NotImplementedError(f"unsupported expression operator {op}")
+            return fn(expr[op], ctx)
+        # expression object {k: expr, ...} -> struct (Group.java:233-246)
+        return F.struct(*[_c(v, ctx).alias(k) for k, v in expr.items()])
+    raise ValueError(f"cannot compile expression {expr!r}")
+
+
+def _c(expr: Any, ctx: ExprContext) -> Column:
+    """Compile, degrading REMOVE to null (valid only in capture positions)."""
+    col = compile_expr(expr, ctx)
+    if isinstance(col, Remove):
+        return F.lit(None)
+    return col
+
+
+def _variable(name: str, ctx: ExprContext) -> Any:
+    head, *rest = name.split(".")
+    if head == "ROOT":
+        base = ctx.root()
+    elif head == "REMOVE":
+        return REMOVE
+    elif head == "NOW":
+        base = F.current_timestamp()
+    elif head == "CURRENT":
+        base = ctx.root()
+    elif head in ctx.variables:
+        base = ctx.variables[head]
+    else:
+        raise ValueError(f"unknown variable $${name}")
+    for p in rest:
+        base = base.getField(p)
+    return base
+
+
+def _args(raw: Any, n: Optional[int] = None) -> list[Any]:
+    out = raw if isinstance(raw, list) else [raw]
+    if n is not None and len(out) != n:
+        raise ValueError(f"expected {n} args, got {out}")
+    return out
+
+
+def mongo_truthy(col: Column) -> Column:
+    """Mongo boolean coercion: null/missing/false/0 falsy, all else truthy.
+
+    (Strings are truthy in Mongo; ``try_cast`` maps unparseable strings to
+    null which we then treat as truthy — the one deviation is the strings
+    "false"/"0", documented.)
+    """
+    return F.when(col.isNull(), F.lit(False)).otherwise(
+        F.coalesce(col.try_cast("boolean"), F.lit(True))
+    )
+
+
+def _fold(args: list[Column], fn: Callable[[Column, Column], Column]) -> Column:
+    acc = args[0]
+    for a in args[1:]:
+        acc = fn(acc, a)
+    return acc
+
+
+def _is_ts(expr: Any, ctx: ExprContext) -> bool:
+    if isinstance(expr, str) and expr.startswith("$") and not expr.startswith("$$"):
+        t = ctx.type_of_path(split_path(expr[1:]))
+        return isinstance(t, (T.TimestampType, T.DateType))
+    if isinstance(expr, dict):
+        op = next(iter(expr), "")
+        return op in ("$toDate", "$dateFromString", "$dateAdd", "$dateTrunc", "$dateFromParts")
+    return False
+
+
+# ---------------------------------------------------------------- arithmetic
+
+
+def _add(raw: Any, ctx: ExprContext) -> Column:
+    exprs = _args(raw)
+    cols = [_c(e, ctx) for e in exprs]
+    ts = [i for i, e in enumerate(exprs) if _is_ts(e, ctx)]
+    if ts:
+        # date + millis (Mongo: one date operand, rest numeric millis)
+        date = cols[ts[0]]
+        ms = [c for i, c in enumerate(cols) if i != ts[0]]
+        total = _fold(ms, lambda a, b: a + b) if ms else F.lit(0)
+        return F.timestamp_millis(F.unix_millis(date) + total.cast("long"))
+    return _fold(cols, lambda a, b: a + b)
+
+
+def _subtract(raw: Any, ctx: ExprContext) -> Column:
+    a_raw, b_raw = _args(raw, 2)
+    a, b = _c(a_raw, ctx), _c(b_raw, ctx)
+    a_ts, b_ts = _is_ts(a_raw, ctx), _is_ts(b_raw, ctx)
+    if a_ts and b_ts:
+        return F.unix_millis(a) - F.unix_millis(b)
+    if a_ts:
+        return F.timestamp_millis(F.unix_millis(a) - b.cast("long"))
+    return a - b
+
+
+def _trunc_to(x: Column, p: Column) -> Column:
+    scale = F.pow(F.lit(10.0), p)
+    return (x * scale).cast("long").cast("double") / scale
+
+
+OPERATORS: dict[str, Callable[[Any, ExprContext], Any]] = {}
+
+
+def _op(name: str) -> Callable:
+    def deco(fn: Callable[[Any, ExprContext], Any]) -> Callable:
+        OPERATORS[name] = fn
+        return fn
+
+    return deco
+
+
+OPERATORS["$add"] = _add
+OPERATORS["$subtract"] = _subtract
+OPERATORS["$multiply"] = lambda raw, ctx: _fold([_c(e, ctx) for e in _args(raw)], lambda a, b: a * b)
+OPERATORS["$divide"] = lambda raw, ctx: F.try_divide(
+    _c(_args(raw, 2)[0], ctx).cast("double"), _c(_args(raw, 2)[1], ctx)
+)
+OPERATORS["$mod"] = lambda raw, ctx: (
+    lambda a, b: F.when(b == 0, F.lit(None)).otherwise(a % b)
+)(_c(_args(raw, 2)[0], ctx), _c(_args(raw, 2)[1], ctx))
+OPERATORS["$abs"] = lambda raw, ctx: F.abs(_c(_args(raw)[0], ctx))
+OPERATORS["$ceil"] = lambda raw, ctx: F.ceil(_c(_args(raw)[0], ctx))
+OPERATORS["$floor"] = lambda raw, ctx: F.floor(_c(_args(raw)[0], ctx))
+OPERATORS["$sqrt"] = lambda raw, ctx: F.sqrt(_c(_args(raw)[0], ctx))
+OPERATORS["$exp"] = lambda raw, ctx: F.exp(_c(_args(raw)[0], ctx))
+OPERATORS["$ln"] = lambda raw, ctx: F.log(_c(_args(raw)[0], ctx))
+OPERATORS["$log10"] = lambda raw, ctx: F.log10(_c(_args(raw)[0], ctx))
+OPERATORS["$log"] = lambda raw, ctx: (
+    lambda num, base: F.log(num) / F.log(base)
+)(_c(_args(raw, 2)[0], ctx), _c(_args(raw, 2)[1], ctx))
+OPERATORS["$pow"] = lambda raw, ctx: F.pow(_c(_args(raw, 2)[0], ctx), _c(_args(raw, 2)[1], ctx))
+
+
+@_op("$round")
+def _round(raw: Any, ctx: ExprContext) -> Column:
+    a = _args(raw)
+    x = _c(a[0], ctx)
+    p = _c(a[1], ctx) if len(a) > 1 else F.lit(0)
+    if len(a) > 1 and isinstance(a[1], int):
+        return F.round(x, a[1])
+    return F.round(x, 0) if len(a) == 1 else F.call_function("round", x, p)
+
+
+@_op("$trunc")
+def _trunc(raw: Any, ctx: ExprContext) -> Column:
+    a = _args(raw)
+    x = _c(a[0], ctx)
+    p = _c(a[1], ctx) if len(a) > 1 else F.lit(0)
+    return _trunc_to(x.cast("double"), p)
+
+
+# ------------------------------------------------------------------- string
+
+OPERATORS["$concat"] = lambda raw, ctx: F.concat(*[_c(e, ctx) for e in _args(raw)])
+OPERATORS["$toLower"] = lambda raw, ctx: F.lower(_c(_args(raw)[0], ctx))
+OPERATORS["$toUpper"] = lambda raw, ctx: F.upper(_c(_args(raw)[0], ctx))
+OPERATORS["$strLenCP"] = lambda raw, ctx: F.length(_c(_args(raw)[0], ctx))
+OPERATORS["$strLenBytes"] = lambda raw, ctx: F.octet_length(_c(_args(raw)[0], ctx))
+OPERATORS["$toString"] = lambda raw, ctx: _c(_args(raw)[0], ctx).cast("string")
+OPERATORS["$strcasecmp"] = lambda raw, ctx: (
+    lambda a, b: F.when(F.lower(a) < F.lower(b), -1).when(F.lower(a) > F.lower(b), 1).otherwise(0)
+)(_c(_args(raw, 2)[0], ctx), _c(_args(raw, 2)[1], ctx))
+
+
+@_op("$substrCP")
+def _substr(raw: Any, ctx: ExprContext) -> Column:
+    s, start, length = [_c(e, ctx) for e in _args(raw, 3)]
+    return F.substring(s, start + F.lit(1), length)
+
+
+OPERATORS["$substr"] = OPERATORS["$substrCP"]
+OPERATORS["$substrBytes"] = OPERATORS["$substrCP"]
+
+
+@_op("$trim")
+def _trim(raw: Any, ctx: ExprContext) -> Column:
+    inp = _c(raw["input"], ctx)
+    if "chars" in raw:
+        return F.btrim(inp, _c(raw["chars"], ctx))
+    return F.trim(inp)
+
+
+@_op("$ltrim")
+def _ltrim(raw: Any, ctx: ExprContext) -> Column:
+    inp = _c(raw["input"], ctx)
+    if "chars" in raw:
+        return F.call_function("ltrim", _c(raw["chars"], ctx), inp)
+    return F.ltrim(inp)
+
+
+@_op("$rtrim")
+def _rtrim(raw: Any, ctx: ExprContext) -> Column:
+    inp = _c(raw["input"], ctx)
+    if "chars" in raw:
+        return F.call_function("rtrim", _c(raw["chars"], ctx), inp)
+    return F.rtrim(inp)
+
+
+@_op("$split")
+def _split(raw: Any, ctx: ExprContext) -> Column:
+    s_raw, d_raw = _args(raw, 2)
+    s = _c(s_raw, ctx)
+    if isinstance(d_raw, str) and not d_raw.startswith("$"):
+        return F.split(s, re.escape(d_raw))
+    # dynamic delimiter: \Q..\E literal-quotes it for the Java regex engine
+    return F.split(s, F.concat(F.lit("\\Q"), _c(d_raw, ctx), F.lit("\\E")))
+
+
+def _index_of_cp_impl(raw: Any, ctx: ExprContext) -> Column:
+    a = _args(raw)
+    s, sub = _c(a[0], ctx), _c(a[1], ctx)
+    start = (_c(a[2], ctx) if len(a) > 2 else F.lit(0)).cast("int")
+    # locate is 1-based, 0 = not found; Mongo is 0-based, -1 = not found
+    found = F.call_function("locate", sub, s, start + F.lit(1))
+    return found - F.lit(1)
+
+
+OPERATORS["$indexOfCP"] = _index_of_cp_impl
+OPERATORS["$indexOfBytes"] = _index_of_cp_impl
+
+
+@_op("$regexMatch")
+def _regex_match(raw: Any, ctx: ExprContext) -> Column:
+    inp = _c(raw["input"], ctx)
+    regex = raw["regex"]
+    opts = raw.get("options", "")
+    if isinstance(regex, str) and opts:
+        regex = f"(?{opts}){regex}"
+    if isinstance(regex, str):
+        return inp.rlike(regex)
+    return inp.rlike(_c(regex, ctx))
+
+
+@_op("$replaceOne")
+def _replace_one(raw: Any, ctx: ExprContext) -> Column:
+    inp = _c(raw["input"], ctx)
+    find = _c(raw["find"], ctx)
+    repl = _c(raw["replacement"], ctx)
+    pos = F.call_function("locate", find, inp)
+    return F.when(pos == 0, inp).otherwise(
+        F.concat(
+            F.substring(inp, F.lit(1), pos - F.lit(1)),
+            repl,
+            F.substring(inp, pos + F.length(find), F.length(inp)),
+        )
+    )
+
+
+@_op("$replaceAll")
+def _replace_all(raw: Any, ctx: ExprContext) -> Column:
+    return F.call_function(
+        "replace", _c(raw["input"], ctx), _c(raw["find"], ctx), _c(raw["replacement"], ctx)
+    )
+
+
+# --------------------------------------------------------------- comparison
+
+OPERATORS["$eq"] = lambda raw, ctx: _c(_args(raw, 2)[0], ctx).eqNullSafe(_c(_args(raw, 2)[1], ctx))
+OPERATORS["$ne"] = lambda raw, ctx: ~_c(_args(raw, 2)[0], ctx).eqNullSafe(_c(_args(raw, 2)[1], ctx))
+OPERATORS["$gt"] = lambda raw, ctx: _c(_args(raw, 2)[0], ctx) > _c(_args(raw, 2)[1], ctx)
+OPERATORS["$gte"] = lambda raw, ctx: _c(_args(raw, 2)[0], ctx) >= _c(_args(raw, 2)[1], ctx)
+OPERATORS["$lt"] = lambda raw, ctx: _c(_args(raw, 2)[0], ctx) < _c(_args(raw, 2)[1], ctx)
+OPERATORS["$lte"] = lambda raw, ctx: _c(_args(raw, 2)[0], ctx) <= _c(_args(raw, 2)[1], ctx)
+OPERATORS["$cmp"] = lambda raw, ctx: (
+    lambda a, b: F.when(a < b, -1).when(a > b, 1).otherwise(0)
+)(_c(_args(raw, 2)[0], ctx), _c(_args(raw, 2)[1], ctx))
+
+# ------------------------------------------------------------------ boolean
+
+OPERATORS["$and"] = lambda raw, ctx: _fold(
+    [mongo_truthy(_c(e, ctx)) for e in _args(raw)], lambda a, b: a & b
+)
+OPERATORS["$or"] = lambda raw, ctx: _fold(
+    [mongo_truthy(_c(e, ctx)) for e in _args(raw)], lambda a, b: a | b
+)
+OPERATORS["$not"] = lambda raw, ctx: ~mongo_truthy(_c(_args(raw)[0], ctx))
+
+# -------------------------------------------------------------- conditional
+
+
+@_op("$cond")
+def _cond(raw: Any, ctx: ExprContext) -> Column:
+    if isinstance(raw, dict):
+        if_, then, else_ = raw["if"], raw["then"], raw["else"]
+    else:
+        if_, then, else_ = _args(raw, 3)
+    return F.when(mongo_truthy(_c(if_, ctx)), _c(then, ctx)).otherwise(_c(else_, ctx))
+
+
+OPERATORS["$ifNull"] = lambda raw, ctx: F.coalesce(*[_c(e, ctx) for e in _args(raw)])
+
+
+@_op("$switch")
+def _switch(raw: Any, ctx: ExprContext) -> Column:
+    col = None
+    for branch in raw["branches"]:
+        case = mongo_truthy(_c(branch["case"], ctx))
+        then = _c(branch["then"], ctx)
+        col = F.when(case, then) if col is None else col.when(case, then)
+    if col is None:
+        raise ValueError("$switch requires at least one branch")
+    if "default" in raw:
+        return col.otherwise(_c(raw["default"], ctx))
+    return col
+
+
+# -------------------------------------------------------------------- array
+
+
+@_op("$arrayElemAt")
+def _array_elem_at(raw: Any, ctx: ExprContext) -> Column:
+    arr_raw, idx_raw = _args(raw, 2)
+    arr = _c(arr_raw, ctx)
+    if isinstance(idx_raw, int):
+        idx = idx_raw
+        return F.try_element_at(arr, F.lit(idx + 1 if idx >= 0 else idx))
+    idx = _c(idx_raw, ctx).cast("int")
+    return F.when(idx >= 0, F.try_element_at(arr, idx + F.lit(1))).otherwise(
+        F.try_element_at(arr, idx)
+    )
+
+
+OPERATORS["$concatArrays"] = lambda raw, ctx: F.concat(*[_c(e, ctx) for e in _args(raw)])
+OPERATORS["$reverseArray"] = lambda raw, ctx: F.reverse(_c(_args(raw)[0], ctx))
+OPERATORS["$size"] = lambda raw, ctx: F.size(_c(_args(raw)[0], ctx))
+OPERATORS["$in"] = lambda raw, ctx: F.array_contains(
+    _c(_args(raw, 2)[1], ctx), _c(_args(raw, 2)[0], ctx)
+)
+OPERATORS["$first"] = lambda raw, ctx: F.try_element_at(_c(_args(raw)[0], ctx), F.lit(1))
+OPERATORS["$last"] = lambda raw, ctx: F.try_element_at(_c(_args(raw)[0], ctx), F.lit(-1))
+
+
+@_op("$indexOfArray")
+def _index_of_array(raw: Any, ctx: ExprContext) -> Column:
+    a = _args(raw)
+    arr, val = _c(a[0], ctx), _c(a[1], ctx)
+    return F.call_function("array_position", arr, val).cast("int") - F.lit(1)
+
+
+@_op("$isArray")
+def _is_array(raw: Any, ctx: ExprContext) -> Column:
+    e = _args(raw)[0]
+    if isinstance(e, str) and e.startswith("$") and not e.startswith("$$"):
+        t = ctx.type_of_path(split_path(e[1:]))
+        return F.lit(isinstance(t, T.ArrayType))
+    if isinstance(e, list):
+        return F.lit(True)
+    return F.lit(False)
+
+
+@_op("$filter")
+def _filter(raw: Any, ctx: ExprContext) -> Column:
+    var = raw.get("as", "this")
+    inp = _c(raw["input"], ctx)
+    out = F.filter(inp, lambda x: mongo_truthy(_c(raw["cond"], ctx.with_vars(**{var: x, "this": x}))))
+    if "limit" in raw:
+        return F.slice(out, 1, _c(raw["limit"], ctx).cast("int"))
+    return out
+
+
+@_op("$map")
+def _map(raw: Any, ctx: ExprContext) -> Column:
+    var = raw.get("as", "this")
+    inp = _c(raw["input"], ctx)
+    return F.transform(inp, lambda x: _c(raw["in"], ctx.with_vars(**{var: x, "this": x})))
+
+
+def infer_type(expr: Any, ctx: ExprContext) -> Optional[T.DataType]:
+    """Best-effort static type of an expression (field paths + literals)."""
+    if isinstance(expr, str) and expr.startswith("$") and not expr.startswith("$$"):
+        return ctx.type_of_path(split_path(expr[1:]))
+    if isinstance(expr, bool):
+        return T.BooleanType()
+    if isinstance(expr, int):
+        return T.LongType()
+    if isinstance(expr, float):
+        return T.DoubleType()
+    if isinstance(expr, str):
+        return T.StringType()
+    if isinstance(expr, list) and expr:
+        et = infer_type(expr[0], ctx)
+        return T.ArrayType(et) if et is not None else None
+    return None
+
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType)
+
+
+@_op("$reduce")
+def _reduce(raw: Any, ctx: ExprContext) -> Column:
+    inp = _c(raw["input"], ctx)
+    init = _c(raw["initialValue"], ctx)
+    # Spark's `aggregate` needs the init type to equal the lambda's output
+    # type exactly; widen a numeric literal init to match the element type
+    in_t = infer_type(raw["input"], ctx)
+    init_t = infer_type(raw["initialValue"], ctx)
+    if isinstance(in_t, T.ArrayType) and isinstance(in_t.elementType, _NUMERIC) and isinstance(
+        init_t, _NUMERIC
+    ):
+        wide = (
+            "double"
+            if isinstance(in_t.elementType, (T.FloatType, T.DoubleType))
+            or isinstance(init_t, (T.FloatType, T.DoubleType))
+            else "long"
+        )
+        init = init.cast(wide)
+    return F.aggregate(
+        inp, init, lambda acc, x: _c(raw["in"], ctx.with_vars(value=acc, this=x))
+    )
+
+
+@_op("$range")
+def _range(raw: Any, ctx: ExprContext) -> Column:
+    a = _args(raw)
+    start = _c(a[0], ctx).cast("long")
+    end = _c(a[1], ctx).cast("long")
+    step = _c(a[2], ctx).cast("long") if len(a) > 2 else F.lit(1).cast("long")
+    bound = end - F.when(step > 0, F.lit(1)).otherwise(F.lit(-1))
+    empty = ((step > 0) & (start >= end)) | ((step < 0) & (start <= end))
+    return F.when(empty, F.array().cast("array<long>")).otherwise(F.sequence(start, bound, step))
+
+
+@_op("$slice")
+def _slice(raw: Any, ctx: ExprContext) -> Column:
+    a = _args(raw)
+    arr = _c(a[0], ctx)
+    if len(a) == 2:
+        n = _c(a[1], ctx).cast("int")
+        return F.when(n >= 0, F.slice(arr, F.lit(1), n)).otherwise(
+            F.when(-n >= F.size(arr), arr).otherwise(F.slice(arr, n, -n))
+        )
+    pos = _c(a[1], ctx).cast("int")
+    n = _c(a[2], ctx).cast("int")
+    start = F.when(pos >= 0, pos + F.lit(1)).otherwise(
+        F.when(-pos > F.size(arr), F.lit(1)).otherwise(pos)
+    )
+    return F.slice(arr, start, n)
+
+
+@_op("$zip")
+def _zip(raw: Any, ctx: ExprContext) -> Column:
+    inputs = [_c(e, ctx) for e in raw["inputs"]]
+    if len(inputs) != 2:
+        raise NotImplementedError("$zip supports exactly 2 inputs in this engine")
+    a, b = inputs
+    if raw.get("useLongestLength"):
+        defaults = raw.get("defaults")
+        if defaults is not None:
+            da, db = [_c(e, ctx) for e in defaults]
+            return F.zip_with(
+                a, b, lambda x, y: F.array(F.coalesce(x, da), F.coalesce(y, db))
+            )
+        return F.zip_with(a, b, lambda x, y: F.array(x, y))
+    # shortest-length semantics: trim both to min size first
+    n = F.least(F.size(a), F.size(b))
+    return F.zip_with(F.slice(a, 1, n), F.slice(b, 1, n), lambda x, y: F.array(x, y))
+
+
+@_op("$arrayToObject")
+def _array_to_object(raw: Any, ctx: ExprContext) -> Column:
+    arr = _c(_args(raw)[0], ctx)
+    # accepts [{k,v}...]; produces a MapType (fixed-schema stand-in for an
+    # open object — documented deviation)
+    return F.map_from_entries(F.transform(arr, lambda e: F.struct(e["k"], e["v"])))
+
+
+@_op("$objectToArray")
+def _object_to_array(raw: Any, ctx: ExprContext) -> Column:
+    e = _args(raw)[0]
+    col = _c(e, ctx)
+    t = None
+    if isinstance(e, str) and e.startswith("$") and not e.startswith("$$"):
+        t = ctx.type_of_path(split_path(e[1:]))
+    if isinstance(t, T.MapType):
+        return F.transform(F.map_entries(col), lambda kv: F.struct(kv["key"].alias("k"), kv["value"].alias("v")))
+    if isinstance(t, T.StructType):
+        return F.array(
+            *[
+                F.struct(F.lit(f.name).alias("k"), col.getField(f.name).cast("string").alias("v"))
+                for f in t.fields
+            ]
+        )
+    raise NotImplementedError("$objectToArray requires a struct/map column with known schema")
+
+
+# ---------------------------------------------------------------------- set
+
+
+def _distinct_sorted(col: Column) -> Column:
+    return F.array_sort(F.array_distinct(col))
+
+
+OPERATORS["$setUnion"] = lambda raw, ctx: _distinct_sorted(
+    F.concat(*[_c(e, ctx) for e in _args(raw)])
+)
+OPERATORS["$setIntersection"] = lambda raw, ctx: _distinct_sorted(
+    _fold([_c(e, ctx) for e in _args(raw)], F.array_intersect)
+)
+OPERATORS["$setDifference"] = lambda raw, ctx: _distinct_sorted(
+    F.array_except(_c(_args(raw, 2)[0], ctx), _c(_args(raw, 2)[1], ctx))
+)
+OPERATORS["$setEquals"] = lambda raw, ctx: _fold(
+    [_distinct_sorted(_c(e, ctx)) for e in _args(raw)], lambda a, b: a.eqNullSafe(b)
+)
+OPERATORS["$setIsSubset"] = lambda raw, ctx: (
+    F.size(F.array_except(_c(_args(raw, 2)[0], ctx), _c(_args(raw, 2)[1], ctx))) == 0
+)
+OPERATORS["$anyElementTrue"] = lambda raw, ctx: F.exists(
+    _c(_args(raw)[0], ctx), mongo_truthy
+)
+OPERATORS["$allElementsTrue"] = lambda raw, ctx: F.forall(
+    _c(_args(raw)[0], ctx), mongo_truthy
+)
+
+# --------------------------------------------------------------------- date
+
+_MONGO_TO_SPARK_FMT = [
+    ("%Y", "yyyy"),
+    ("%m", "MM"),
+    ("%d", "dd"),
+    ("%H", "HH"),
+    ("%M", "mm"),
+    ("%S", "ss"),
+    ("%L", "SSS"),
+    ("%j", "DDD"),
+    ("%u", "e"),
+    ("%z", "xxxx"),
+    ("%%", "%"),
+]
+
+
+def _fmt(mongo_fmt: str) -> str:
+    out = mongo_fmt
+    for m, s in _MONGO_TO_SPARK_FMT:
+        out = out.replace(m, s)
+    return out
+
+
+@_op("$dateFromString")
+def _date_from_string(raw: Any, ctx: ExprContext) -> Column:
+    ds = _c(raw["dateString"], ctx)
+    if "format" in raw:
+        return F.try_to_timestamp(ds, F.lit(_fmt(raw["format"])))
+    return F.try_to_timestamp(ds)
+
+
+@_op("$dateToString")
+def _date_to_string(raw: Any, ctx: ExprContext) -> Column:
+    date = _c(raw["date"], ctx)
+    fmt = raw.get("format", "%Y-%m-%dT%H:%M:%S.%LZ")
+    return F.date_format(date, _fmt(fmt))
+
+
+OPERATORS["$year"] = lambda raw, ctx: F.year(_c(_args(raw)[0], ctx))
+OPERATORS["$month"] = lambda raw, ctx: F.month(_c(_args(raw)[0], ctx))
+OPERATORS["$dayOfMonth"] = lambda raw, ctx: F.dayofmonth(_c(_args(raw)[0], ctx))
+OPERATORS["$hour"] = lambda raw, ctx: F.hour(_c(_args(raw)[0], ctx))
+OPERATORS["$minute"] = lambda raw, ctx: F.minute(_c(_args(raw)[0], ctx))
+OPERATORS["$second"] = lambda raw, ctx: F.second(_c(_args(raw)[0], ctx))
+OPERATORS["$millisecond"] = lambda raw, ctx: (
+    F.unix_millis(_c(_args(raw)[0], ctx)) % 1000
+).cast("int")
+OPERATORS["$dayOfWeek"] = lambda raw, ctx: F.dayofweek(_c(_args(raw)[0], ctx))
+OPERATORS["$dayOfYear"] = lambda raw, ctx: F.dayofyear(_c(_args(raw)[0], ctx))
+OPERATORS["$week"] = lambda raw, ctx: F.weekofyear(_c(_args(raw)[0], ctx))
+OPERATORS["$toDate"] = lambda raw, ctx: _c(_args(raw)[0], ctx).try_cast("timestamp")
+
+_DATE_UNITS = {"year", "quarter", "month", "week", "day", "hour", "minute", "second", "millisecond"}
+
+
+@_op("$dateAdd")
+def _date_add(raw: Any, ctx: ExprContext) -> Column:
+    unit = raw["unit"]
+    if unit not in _DATE_UNITS:
+        raise ValueError(f"bad $dateAdd unit {unit}")
+    start = _c(raw["startDate"], ctx)
+    amount = _c(raw["amount"], ctx).cast("long")
+    return F.timestamp_add(unit.upper(), amount, start)
+
+
+@_op("$dateDiff")
+def _date_diff(raw: Any, ctx: ExprContext) -> Column:
+    unit = raw["unit"]
+    if unit not in _DATE_UNITS:
+        raise ValueError(f"bad $dateDiff unit {unit}")
+    return F.timestamp_diff(unit.upper(), _c(raw["startDate"], ctx), _c(raw["endDate"], ctx))
+
+
+@_op("$dateTrunc")
+def _date_trunc(raw: Any, ctx: ExprContext) -> Column:
+    return F.date_trunc(raw["unit"], _c(raw["date"], ctx))
+
+
+# --------------------------------------------------------------------- type
+
+_SPARK_TO_BSON = {
+    T.StringType: "string",
+    T.LongType: "long",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.DoubleType: "double",
+    T.FloatType: "double",
+    T.BooleanType: "bool",
+    T.TimestampType: "date",
+    T.DateType: "date",
+    T.ArrayType: "array",
+    T.StructType: "object",
+    T.MapType: "object",
+    T.NullType: "null",
+    T.BinaryType: "binData",
+    T.DecimalType: "decimal",
+}
+
+
+@_op("$type")
+def _type(raw: Any, ctx: ExprContext) -> Column:
+    e = _args(raw)[0]
+    col = _c(e, ctx)
+    name = "missing"
+    if isinstance(e, str) and e.startswith("$") and not e.startswith("$$"):
+        t = ctx.type_of_path(split_path(e[1:]))
+        if t is not None:
+            name = _SPARK_TO_BSON.get(type(t), "object")
+    elif isinstance(e, bool):
+        name = "bool"
+    elif isinstance(e, int):
+        name = "long"
+    elif isinstance(e, float):
+        name = "double"
+    elif isinstance(e, str):
+        name = "string"
+    elif isinstance(e, list):
+        name = "array"
+    elif isinstance(e, dict):
+        name = "object"
+    if name == "missing":
+        return F.lit("missing")
+    return F.when(col.isNull(), F.lit("null")).otherwise(F.lit(name))
+
+
+@_op("$convert")
+def _convert(raw: Any, ctx: ExprContext) -> Column:
+    inp = _c(raw["input"], ctx)
+    to = raw["to"]
+    spark_t = {
+        "int": "int",
+        "long": "long",
+        "double": "double",
+        "decimal": "decimal(38,10)",
+        "bool": "boolean",
+        "string": "string",
+        "date": "timestamp",
+    }.get(to)
+    if spark_t is None:
+        raise ValueError(f"$convert: unsupported target {to}")
+    out = inp.try_cast(spark_t)
+    if "onError" in raw:
+        out = F.coalesce(out, F.when(inp.isNotNull(), _c(raw["onError"], ctx)))
+    if "onNull" in raw:
+        out = F.when(inp.isNull(), _c(raw["onNull"], ctx)).otherwise(out)
+    return out
+
+
+OPERATORS["$toInt"] = lambda raw, ctx: _c(_args(raw)[0], ctx).try_cast("int")
+OPERATORS["$toLong"] = lambda raw, ctx: _c(_args(raw)[0], ctx).try_cast("long")
+OPERATORS["$toDouble"] = lambda raw, ctx: _c(_args(raw)[0], ctx).try_cast("double")
+OPERATORS["$toDecimal"] = lambda raw, ctx: _c(_args(raw)[0], ctx).try_cast("decimal(38,10)")
+OPERATORS["$toBool"] = lambda raw, ctx: mongo_truthy(_c(_args(raw)[0], ctx))
+
+# ------------------------------------------------------------------- object
+
+
+@_op("$mergeObjects")
+def _merge_objects(raw: Any, ctx: ExprContext) -> Column:
+    """Shallow left-fold merge of struct values (later non-null operands win
+    per field; wholly-null operands are skipped — Mongo semantics, used by
+    Group.java:291-304)."""
+    exprs = _args(raw)
+    cols = [_c(e, ctx) for e in exprs]
+    schemas: list[Optional[T.StructType]] = []
+    for e in exprs:
+        t = None
+        if isinstance(e, str) and e.startswith("$") and not e.startswith("$$"):
+            t = ctx.type_of_path(split_path(e[1:]))
+        elif isinstance(e, dict) and not any(k.startswith("$") for k in e):
+            # expression-object: synthesize a field list with unknown types
+            t = T.StructType([T.StructField(k, T.NullType()) for k in e])
+        if not isinstance(t, T.StructType):
+            raise NotImplementedError(
+                "$mergeObjects requires struct operands with known schema"
+            )
+        schemas.append(t)
+    field_order: list[str] = []
+    for s in schemas:
+        for f in s.fields:
+            if f.name not in field_order:
+                field_order.append(f.name)
+    out_fields = []
+    for name in field_order:
+        val: Optional[Column] = None
+        for col, s in zip(cols, schemas):
+            if any(f.name == name for f in s.fields):
+                contrib = F.when(col.isNotNull(), col.getField(name))
+                val = contrib if val is None else F.coalesce(contrib, val)
+        out_fields.append(val.alias(name))
+    return F.struct(*out_fields)
+
+
+@_op("$getField")
+def _get_field(raw: Any, ctx: ExprContext) -> Column:
+    if isinstance(raw, str):
+        return ctx.resolve([raw])
+    field = raw["field"]
+    inp = _c(raw["input"], ctx) if "input" in raw else None
+    if inp is None:
+        return ctx.resolve([field])
+    return inp.getField(field)
+
+
+@_op("$setField")
+def _set_field(raw: Any, ctx: ExprContext) -> Column:
+    inp = _c(raw["input"], ctx)
+    val = compile_expr(raw["value"], ctx)
+    fname = "`" + raw["field"].replace("`", "``") + "`"
+    if isinstance(val, Remove):
+        return inp.dropFields(fname)
+    return inp.withField(fname, val)
+
+
+@_op("$unsetField")
+def _unset_field(raw: Any, ctx: ExprContext) -> Column:
+    inp = _c(raw["input"], ctx)
+    return inp.dropFields("`" + raw["field"].replace("`", "``") + "`")
+
+
+# -------------------------------------------------------------------- other
+
+
+@_op("$let")
+def _let(raw: Any, ctx: ExprContext) -> Column:
+    bound = ctx
+    for name, vexpr in raw.get("vars", {}).items():
+        bound = bound.with_vars(**{name: _c(vexpr, ctx)})
+    return _c(raw["in"], bound)
+
+
+@_op("$literal")
+def _literal(raw: Any, ctx: ExprContext) -> Column:
+    return _lit_deep(raw)
+
+
+def _lit_deep(v: Any) -> Column:
+    if isinstance(v, list):
+        return F.array(*[_lit_deep(e) for e in v])
+    if isinstance(v, dict):
+        return F.struct(*[_lit_deep(val).alias(k) for k, val in v.items()])
+    return F.lit(v)

@@ -1,0 +1,195 @@
+"""MongoDB query-language compiler: query document -> boolean pyspark Column.
+
+The reference delegates to ``net.pincette.mongo.Match.predicate(query,
+features)`` (reference Match.java:4,26); the contract is MongoDB's public
+query-operator semantics: implicit equality ``{field: value}``, comparison
+``$eq $ne $gt $gte $lt $lte``, membership ``$in $nin``, logical
+``$and $or $nor $not``, element ``$exists $type``, evaluation
+``$mod $regex $expr``, array ``$all $elemMatch $size``.
+
+Everything compiles to a native Catalyst boolean Column, so ``$match``
+stages become plain ``df.filter(...)`` that Catalyst pushes down to the
+parquet scan (SURVEY.md §2.3b).
+
+Fixed-schema deviations (documented): ``$exists: false`` on a field that is
+in the schema means "is null"; absent-from-schema fields are uniformly
+"missing".
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .expressions import ExprContext, _lit_deep, compile_expr, mongo_truthy
+from .paths import split_path
+
+_FIELD_OPS = {
+    "$eq",
+    "$ne",
+    "$gt",
+    "$gte",
+    "$lt",
+    "$lte",
+    "$in",
+    "$nin",
+    "$exists",
+    "$type",
+    "$mod",
+    "$regex",
+    "$options",
+    "$all",
+    "$elemMatch",
+    "$size",
+    "$not",
+}
+
+
+def compile_match(query: dict, ctx: ExprContext) -> Column:
+    """Compile a Mongo query document to a boolean Column."""
+    preds: list[Column] = []
+    for key, value in query.items():
+        if key == "$and":
+            preds.append(_fold_and([compile_match(q, ctx) for q in value]))
+        elif key == "$or":
+            preds.append(_fold_or([compile_match(q, ctx) for q in value]))
+        elif key == "$nor":
+            preds.append(~_fold_or([compile_match(q, ctx) for q in value]))
+        elif key == "$expr":
+            preds.append(mongo_truthy(compile_expr(value, ctx)))
+        elif key.startswith("$"):
+            raise NotImplementedError(f"unsupported top-level query operator {key}")
+        else:
+            preds.append(_field_predicate(key, value, ctx))
+    if not preds:
+        return F.lit(True)
+    return _fold_and(preds)
+
+
+def _fold_and(preds: list[Column]) -> Column:
+    acc = preds[0]
+    for p in preds[1:]:
+        acc = acc & p
+    return acc
+
+
+def _fold_or(preds: list[Column]) -> Column:
+    acc = preds[0]
+    for p in preds[1:]:
+        acc = acc | p
+    return acc
+
+
+def _is_operator_doc(value: Any) -> bool:
+    return isinstance(value, dict) and bool(value) and all(k in _FIELD_OPS for k in value)
+
+
+def _field_predicate(path: str, value: Any, ctx: ExprContext) -> Column:
+    parts = split_path(path)
+    col = ctx.resolve(parts)
+    ftype = ctx.type_of_path(parts)
+    if _is_operator_doc(value):
+        return _operator_predicate(col, ftype, value, ctx)
+    return _equality(col, ftype, value)
+
+
+def _equality(col: Column, ftype: Any, value: Any) -> Column:
+    """Implicit equality; on array fields Mongo also matches membership."""
+    if value is None:
+        return col.isNull()
+    lit = _lit_deep(value)
+    if isinstance(ftype, T.ArrayType) and not isinstance(value, list):
+        return F.coalesce(F.array_contains(col, lit) | col.eqNullSafe(F.array(lit)), F.lit(False))
+    return col.eqNullSafe(lit)
+
+
+def _operator_predicate(col: Column, ftype: Any, ops: dict, ctx: ExprContext) -> Column:
+    preds: list[Column] = []
+    for op, arg in ops.items():
+        if op == "$options":
+            continue  # consumed by $regex
+        preds.append(_one_op(col, ftype, op, arg, ops, ctx))
+    return _fold_and(preds)
+
+
+def _one_op(col: Column, ftype: Any, op: str, arg: Any, ops: dict, ctx: ExprContext) -> Column:
+    if op == "$eq":
+        return _equality(col, ftype, arg)
+    if op == "$ne":
+        return ~_equality(col, ftype, arg)
+    if op == "$gt":
+        return F.coalesce(col > _lit_deep(arg), F.lit(False))
+    if op == "$gte":
+        return F.coalesce(col >= _lit_deep(arg), F.lit(False))
+    if op == "$lt":
+        return F.coalesce(col < _lit_deep(arg), F.lit(False))
+    if op == "$lte":
+        return F.coalesce(col <= _lit_deep(arg), F.lit(False))
+    if op == "$in":
+        if isinstance(ftype, T.ArrayType):
+            return F.coalesce(
+                F.arrays_overlap(col, F.array(*[_lit_deep(v) for v in arg])), F.lit(False)
+            )
+        preds = [_equality(col, ftype, v) for v in arg]
+        return _fold_or(preds)
+    if op == "$nin":
+        return ~_one_op(col, ftype, "$in", arg, ops, ctx)
+    if op == "$exists":
+        present = col.isNotNull() if ftype is not None else F.lit(False)
+        # fixed-schema: "exists" ≈ "is not null" (documented deviation)
+        return present if arg else ~present
+    if op == "$type":
+        wanted = arg if isinstance(arg, list) else [arg]
+        from .expressions import _SPARK_TO_BSON
+
+        actual = _SPARK_TO_BSON.get(type(ftype), "object") if ftype is not None else "missing"
+        static = F.lit(actual in wanted)
+        if "null" in wanted:
+            return F.when(col.isNull(), F.lit(True)).otherwise(static)
+        return F.when(col.isNull(), F.lit(False)).otherwise(static)
+    if op == "$mod":
+        d, r = arg
+        return F.coalesce((col % F.lit(d)) == F.lit(r), F.lit(False))
+    if op == "$regex":
+        pattern = arg
+        opts = ops.get("$options", "")
+        if opts:
+            pattern = f"(?{opts}){pattern}"
+        return F.coalesce(col.rlike(pattern), F.lit(False))
+    if op == "$all":
+        preds = [_equality(col, ftype, v) for v in arg]
+        return _fold_and(preds)
+    if op == "$size":
+        return F.coalesce(F.size(col) == F.lit(arg), F.lit(False))
+    if op == "$elemMatch":
+        elem_t = ftype.elementType if isinstance(ftype, T.ArrayType) else None
+        return F.coalesce(
+            F.exists(col, lambda e: _elem_predicate(e, elem_t, arg, ctx)), F.lit(False)
+        )
+    if op == "$not":
+        return ~_operator_predicate(col, ftype, arg, ctx)
+    raise NotImplementedError(f"unsupported query operator {op}")
+
+
+def _elem_predicate(elem: Column, elem_t: Any, query: dict, ctx: ExprContext) -> Column:
+    """$elemMatch body: operator doc applies to the element itself; a plain
+    query doc applies to struct elements' fields."""
+    if _is_operator_doc(query):
+        return _operator_predicate(elem, elem_t, query, ctx)
+    sub_schema = elem_t if isinstance(elem_t, T.StructType) else None
+    sub_ctx = ExprContext(
+        schema=sub_schema,
+        variables=ctx.variables,
+        resolver=lambda parts: _getfield_chain(elem, parts),
+    )
+    return compile_match(query, sub_ctx)
+
+
+def _getfield_chain(base: Column, parts: list[str]) -> Column:
+    col = base
+    for p in parts:
+        col = col.getField(p)
+    return col

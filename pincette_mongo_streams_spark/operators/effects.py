@@ -1,0 +1,265 @@
+"""Effect / flow-control stages: ``$send``, ``$delay``, ``$probe``,
+``$per``, ``$throttle``, ``$http``.
+
+Reference (src/main/java/net/pincette/mongo/streams/):
+
+- ``$send`` (Send.java:36-68): evaluate ``topic``; send the message there
+  and drop it from the stream; non-string topic -> pass through.  Spark:
+  the Kafka sink honors a per-row ``topic`` column, so in streaming this is
+  near-native; in the batch harness the producer callback receives the rows.
+- ``$delay`` (Delay.java:49-76): evaluate ``duration`` (ms) + ``topic``;
+  schedule a send and drop the message; non-long/non-string -> passthrough.
+  Batch harness: immediate producer send carrying the computed delay (the
+  scheduling itself is a streaming-sink concern — retry-topic pattern).
+- ``$probe`` (Probe.java:43-78): passthrough tap emitting
+  ``{name, minute, count}`` per wall-clock minute.  Batch: one count per
+  run; streaming: a windowed side aggregation.
+- ``$per`` (Per.java:27-49): pack ``amount`` messages into one
+  ``{as: [...]}`` message with a fresh UUID key.
+- ``$throttle`` (Throttle.java:30-50): rate-limit; in Spark this is a
+  source-rate concern (``maxOffsetsPerTrigger``) — batch passthrough.
+- ``$http`` (Http.java:484-511): per-message HTTP call; response in ``as``;
+  ``unwind`` explodes array responses; status >= 300 -> ``httpError``
+  ``{statusCode, body}`` instead (Http.java:131-141).  Spark: request
+  columns are computed natively; only the transport runs in
+  ``mapInPandas`` (Arrow-batched, connection pool per partition).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..context import Context
+from ..expressions import ExprContext, compile_expr
+from ..pipeline import StageFn, register_stage
+
+
+def _rows_to_docs(df: DataFrame) -> list[dict]:
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+@register_stage("$send")
+def send_stage(expression: Any, ctx: Context) -> StageFn:
+    topic_expr = expression["topic"] if isinstance(expression, dict) else expression
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        topic = compile_expr(topic_expr, ExprContext(schema=df.schema))
+        tagged = df.withColumn("__topic", topic.cast("string"))
+        to_send = tagged.filter(F.col("__topic").isNotNull())
+        if c.producer is not None:
+            for doc in _rows_to_docs(to_send):
+                t = doc.pop("__topic")
+                c.send(t, str(doc.get("_id", "")), doc)
+        # messages with a resolvable topic are dropped (Send.java:36-68)
+        return tagged.filter(F.col("__topic").isNull()).drop("__topic")
+
+    return fn
+
+
+@register_stage("$delay")
+def delay_stage(expression: Any, ctx: Context) -> StageFn:
+    duration_expr = expression["duration"]
+    topic_expr = expression["topic"]
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        ectx = ExprContext(schema=df.schema)
+        duration = compile_expr(duration_expr, ectx).try_cast("long")
+        topic = compile_expr(topic_expr, ectx).try_cast("string")
+        tagged = df.withColumn("__dur", duration).withColumn("__topic", topic)
+        valid = F.col("__dur").isNotNull() & F.col("__topic").isNotNull()
+        if c.producer is not None:
+            for doc in _rows_to_docs(tagged.filter(valid)):
+                t = doc.pop("__topic")
+                doc.pop("__dur")
+                c.send(t, str(doc.get("_id", "")), doc)
+        # invalid eval -> passthrough unchanged (Delay.java:63-70)
+        return tagged.filter(~valid).drop("__dur", "__topic")
+
+    return fn
+
+
+@register_stage("$probe")
+def probe_stage(expression: Any, ctx: Context) -> StageFn:
+    name = expression["name"]
+    topic = expression["topic"]
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        if c.producer is not None:
+            minute = int(c.clock() // 60)
+            n = df.count()
+            c.send(topic, None, {"name": name, "minute": minute, "count": n})
+        return df
+
+    return fn
+
+
+@register_stage("$per")
+def per_stage(expression: Any, ctx: Context) -> StageFn:
+    amount = expression["amount"]
+    as_field = expression.get("as", "messages")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from pyspark.sql import Window
+
+        order = (
+            F.col(c.order_by)
+            if c.order_by and c.order_by in df.columns
+            else F.monotonically_increasing_id()
+        )
+        doc = F.struct(*[F.col(x) for x in df.columns])
+        w = Window.orderBy(order)
+        chunked = df.withColumn("__chunk", ((F.row_number().over(w) - 1) / amount).cast("long"))
+        out = (
+            chunked.groupBy("__chunk")
+            .agg(F.collect_list(doc).alias(as_field))
+            .drop("__chunk")
+        )
+        return out
+
+    return fn
+
+
+@register_stage("$throttle")
+def throttle_stage(expression: Any, ctx: Context) -> StageFn:
+    max_per_second = expression["maxPerSecond"]
+    if not isinstance(max_per_second, int) or max_per_second <= 0:
+        raise ValueError("$throttle needs a positive maxPerSecond (Throttle.java:30-50)")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        # Rate limiting is a source concern in Spark (maxOffsetsPerTrigger /
+        # maxFilesPerTrigger); the relational plan passes through.
+        return df
+
+    return fn
+
+
+# ------------------------------------------------------------------- $http
+
+_HTTP_RESULT_SCHEMA_SUFFIX = [
+    T.StructField("__resp_body", T.StringType()),
+    T.StructField("__resp_status", T.IntegerType()),
+    T.StructField("__resp_is_json", T.BooleanType()),
+]
+
+
+def _default_transport(request: dict) -> dict:
+    """Real HTTP transport over urllib (stdlib only).  Returns
+    {status, body, contentType}.  Tests inject a deterministic fake via
+    Context.http_transport."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        request["url"],
+        method=request.get("method", "GET") or "GET",
+        data=(request.get("body") or "").encode() or None,
+        headers=request.get("headers") or {},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return {
+                "status": resp.status,
+                "body": resp.read().decode("utf-8", "replace"),
+                "contentType": resp.headers.get("Content-Type", ""),
+            }
+    except urllib.error.HTTPError as e:  # status >= 400 still has a body
+        return {
+            "status": e.code,
+            "body": e.read().decode("utf-8", "replace"),
+            "contentType": e.headers.get("Content-Type", "") if e.headers else "",
+        }
+
+
+@register_stage("$http")
+def http_stage(expression: Any, ctx: Context) -> StageFn:
+    as_field = expression.get("as")
+    unwind = bool(expression.get("unwind", False))
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        ectx = ExprContext(schema=df.schema)
+        url = compile_expr(expression["url"], ectx).cast("string")
+        method = (
+            compile_expr(expression.get("method", "GET"), ectx).cast("string")
+        )
+        headers = (
+            F.to_json(compile_expr(expression["headers"], ectx))
+            if "headers" in expression
+            else F.lit(None).cast("string")
+        )
+        body = (
+            F.to_json(compile_expr(expression["body"], ectx))
+            if "body" in expression
+            else F.lit(None).cast("string")
+        )
+        tagged = df.withColumns(
+            {"__url": url, "__method": method, "__headers": headers, "__body": body}
+        )
+        transport = c.http_transport or _default_transport
+        out_schema = T.StructType(list(tagged.schema.fields) + _HTTP_RESULT_SCHEMA_SUFFIX)
+
+        def call(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                statuses, bodies, is_json = [], [], []
+                for _, row in pdf.iterrows():
+                    try:
+                        resp = transport(
+                            {
+                                "url": row["__url"],
+                                "method": row["__method"],
+                                "headers": json.loads(row["__headers"]) if row["__headers"] else {},
+                                "body": row["__body"],
+                            }
+                        )
+                        ct = (resp.get("contentType") or "").lower()
+                        statuses.append(resp["status"])
+                        bodies.append(resp.get("body"))
+                        is_json.append("json" in ct)
+                    except Exception as e:  # unparseable url/method -> 400
+                        statuses.append(400)
+                        bodies.append(str(e))
+                        is_json.append(False)
+                yield pdf.assign(
+                    __resp_body=pd.Series(bodies, index=pdf.index, dtype="object"),
+                    __resp_status=pd.Series(statuses, index=pdf.index, dtype="int32"),
+                    __resp_is_json=pd.Series(is_json, index=pdf.index, dtype="bool"),
+                )
+
+        called = tagged.mapInPandas(call, out_schema)
+        error = F.struct(
+            F.col("__resp_status").alias("statusCode"), F.col("__resp_body").alias("body")
+        )
+        ok = F.col("__resp_status") < 300
+        result = called.withColumn(
+            "httpError", F.when(~ok, error).otherwise(F.lit(None).cast(
+                "struct<statusCode:int,body:string>"))
+        )
+        if as_field is not None:
+            # response kept as a JSON string column (open-world body on a
+            # fixed-schema engine — parse downstream with $addFields+schema
+            # or the engine's `schema` extension)
+            body_col = F.when(ok & F.col("__resp_is_json"), F.col("__resp_body")).otherwise(
+                F.lit(None)
+            )
+            if unwind:
+                # array responses -> one message per element; empty -> none
+                # (Http.java:506-507)
+                elems = F.from_json(body_col, "array<string>")
+                result = result.withColumn(as_field, F.explode(elems))
+            else:
+                result = result.withColumn(as_field, body_col)
+            if "schema" in expression:  # engine extension: typed parse
+                result = result.withColumn(
+                    as_field, F.from_json(F.col(as_field), expression["schema"])
+                )
+        return result.drop("__url", "__method", "__headers", "__body", "__resp_body",
+                           "__resp_status", "__resp_is_json")
+
+    return fn

@@ -1,0 +1,215 @@
+"""Aggregation stages: ``$group``, ``$bucket``, ``$count``.
+
+Reference semantics (src/main/java/net/pincette/mongo/streams/):
+
+- ``$group`` (Group.java:405-431): key = ``_id`` expression (a literal means
+  one global group emitted with ``_id: null`` — Group.java:381-399,415-417);
+  accumulator registry at Group.java:106-117.  The reference emits the whole
+  updated group document per state-changing input; in batch the final state
+  is what matters (SURVEY.md §2.4 emission protocol), and in streaming the
+  same compiled aggregation runs in update output mode.
+- ``$bucket`` (Bucket.java:74-115): rewritten into ``$group`` with
+  ``_id = {$switch: ...}`` over the ordered boundaries — the same desugaring
+  the reference performs, reproduced at compile level so Catalyst sees one
+  aggregation.
+- ``$count`` (Count.java:27-41): rewritten to
+  ``$group {_id: null, <field>: {$sum: 1}}`` with ``_id`` removed.
+
+Accumulator mapping (Group.java:106-117 -> Spark):
+``$sum``->sum, ``$avg``->avg, ``$min``/``$max``->min/max, ``$push``->
+collect_list, ``$addToSet``->array_sort(collect_set) (the reference sorts
+set output by total JSON order — Group.java:130-149), ``$count``->count(*),
+``$first``/``$last``->min_by/max_by over the pipeline order column when one
+is configured (batch determinism), ``$mergeObjects``-> order-sorted
+struct-merge fold, ``$stdDevPop``->stddev_pop.
+
+Deliberate deviation (documented in README): the reference's ``$stdDevPop``
+selector emits the running *count* instead of sigma (Group.java:451-453,
+golden-tested at TestGroup.java:214-227 — a reference quirk); this engine
+emits the mathematically correct population stddev.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..context import Context
+from ..expressions import ExprContext, compile_expr
+from ..paths import split_path
+from ..pipeline import StageFn, register_stage
+from .stateless import KEY_COL
+
+
+def _is_literal_id(expr: Any) -> bool:
+    if expr is None or isinstance(expr, (bool, int, float)):
+        return True
+    if isinstance(expr, str):
+        return not expr.startswith("$")
+    return False
+
+
+def _order_col(df: DataFrame, ctx: Context) -> Optional[Column]:
+    if ctx.order_by and ctx.order_by in df.columns:
+        return F.col(ctx.order_by)
+    return None
+
+
+def _merge_structs_sorted(values: Column, elem_t: T.DataType) -> Column:
+    """Fold an array of (order, value) structs into one shallow-merged value
+    struct, later non-null fields winning (Group.java:291-304)."""
+    if not isinstance(elem_t, T.StructType):
+        raise NotImplementedError("$mergeObjects needs struct-typed values")
+    ordered = F.array_sort(values)
+
+    def merge(acc: Column, nxt: Column) -> Column:
+        return F.struct(
+            *[
+                F.coalesce(nxt.getField("v").getField(f.name), acc.getField(f.name)).alias(f.name)
+                for f in elem_t.fields
+            ]
+        )
+
+    init = F.lit(None).cast(elem_t)
+    first = F.struct(*[F.lit(None).cast(f.dataType).alias(f.name) for f in elem_t.fields])
+    return F.aggregate(ordered, first, lambda acc, x: merge(acc, x))
+
+
+def compile_accumulator(
+    name: str, op: str, arg: Any, ectx: ExprContext, order: Optional[Column]
+) -> Column:
+    value = None if op == "$count" else compile_expr(arg, ectx)
+    if op == "$sum":
+        return F.sum(value).alias(name)
+    if op == "$avg":
+        return F.avg(value).alias(name)
+    if op == "$min":
+        return F.min(value).alias(name)
+    if op == "$max":
+        return F.max(value).alias(name)
+    if op == "$push":
+        if order is not None:
+            return F.transform(
+                F.array_sort(F.collect_list(F.struct(order.alias("o"), value.alias("v")))),
+                lambda s: s.getField("v"),
+            ).alias(name)
+        return F.collect_list(value).alias(name)
+    if op == "$addToSet":
+        return F.array_sort(F.collect_set(value)).alias(name)
+    if op == "$count":
+        if arg != {}:
+            raise ValueError("$count accumulator takes {} (Group.java:208-220)")
+        return F.count(F.lit(1)).alias(name)
+    if op == "$first":
+        if order is not None:
+            return F.min_by(value, order).alias(name)
+        return F.first(value).alias(name)
+    if op == "$last":
+        if order is not None:
+            return F.max_by(value, order).alias(name)
+        return F.last(value).alias(name)
+    if op == "$stdDevPop":
+        return F.stddev_pop(value).alias(name)
+    if op == "$stdDevSamp":
+        return F.stddev_samp(value).alias(name)
+    raise NotImplementedError(f"unsupported accumulator {op}")
+
+
+@register_stage("$group")
+def group_stage(expression: Any, ctx: Context) -> StageFn:
+    id_expr = expression["_id"]
+    accumulators = {k: v for k, v in expression.items() if k not in ("_id", "_collection")}
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        ectx = ExprContext(schema=df.schema)
+        order = _order_col(df, c)
+        if _is_literal_id(id_expr):
+            # literal _id -> single global group re-emitted as null
+            # (Group.java:381-399,415-417)
+            key = F.lit(None).cast("string").alias("_id")
+        else:
+            key = compile_expr(id_expr, ectx).alias("_id")
+        aggs: list[Column] = []
+        deferred: dict[str, tuple[Any, Any]] = {}
+        for name, acc in accumulators.items():
+            if not isinstance(acc, dict) or len(acc) != 1:
+                raise ValueError(f"bad accumulator {name}: {acc}")
+            op, arg = next(iter(acc.items()))
+            if op == "$mergeObjects":
+                deferred[name] = (op, arg)
+                continue
+            aggs.append(compile_accumulator(name, op, arg, ectx, order))
+        for name, (op, arg) in deferred.items():
+            value = compile_expr(arg, ectx)
+            vt = df.select(value.alias("__v")).schema["__v"].dataType
+            collected = F.collect_list(
+                F.struct(
+                    (order if order is not None else F.lit(0)).cast("long").alias("o"),
+                    value.alias("v"),
+                )
+            )
+            aggs.append(_merge_structs_sorted(collected, vt).alias(name))
+        if not aggs:
+            return df.select(key).distinct()
+        return df.groupBy(key).agg(*aggs)
+
+    return fn
+
+
+@register_stage("$bucket")
+def bucket_stage(expression: Any, ctx: Context) -> StageFn:
+    group_by = expression["groupBy"]
+    boundaries = expression["boundaries"]
+    if len(boundaries) < 2 or any(
+        not boundaries[i] < boundaries[i + 1] for i in range(len(boundaries) - 1)
+    ):
+        raise ValueError("$bucket requires >= 2 strictly ordered boundaries (Bucket.java:69-72)")
+    default = expression.get("default")
+    # Mongo's bucket _id is heterogeneous (boundary value or the default
+    # literal); a fixed-schema engine needs one type — stringify when the
+    # default's type differs from the boundaries'
+    numeric_bounds = all(isinstance(b, (int, float)) and not isinstance(b, bool) for b in boundaries)
+    stringify = "default" in expression and not (
+        (numeric_bounds and isinstance(default, (int, float)) and not isinstance(default, bool))
+        or (not numeric_bounds and isinstance(default, str))
+    )
+    branches = [
+        {
+            "case": {"$and": [{"$gte": [group_by, lo]}, {"$lt": [group_by, hi]}]},
+            "then": str(lo) if stringify else lo,
+        }
+        for lo, hi in zip(boundaries, boundaries[1:])
+    ]
+    switch: dict[str, Any] = {"branches": branches}
+    if "default" in expression:
+        switch["default"] = str(default) if stringify and not isinstance(default, str) else default
+    rewritten = {"_id": {"$switch": switch}}
+    rewritten.update(expression.get("output", {"count": {"$sum": 1}}))
+    if "default" not in expression:
+        # Mongo errors on out-of-range values without a default; we drop
+        # them pre-aggregation to keep the batch job total
+        inner = group_stage(rewritten, ctx)
+
+        def fn(df: DataFrame, c: Context) -> DataFrame:
+            ectx = ExprContext(schema=df.schema)
+            gb = compile_expr(group_by, ectx)
+            bounded = df.filter((gb >= F.lit(boundaries[0])) & (gb < F.lit(boundaries[-1])))
+            return inner(bounded, c)
+
+        return fn
+    return group_stage(rewritten, ctx)
+
+
+@register_stage("$count")
+def count_stage(expression: Any, ctx: Context) -> StageFn:
+    if not isinstance(expression, str) or not expression:
+        raise ValueError("$count takes a field name (Count.java:27-41)")
+    inner = group_stage({"_id": None, expression: {"$sum": 1}}, ctx)
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        return inner(df, c).drop("_id")
+
+    return fn

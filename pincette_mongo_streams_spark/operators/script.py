@@ -1,0 +1,138 @@
+"""Script stages: ``$jq`` and ``$jslt`` — whole-document transforms.
+
+Reference (src/main/java/net/pincette/mongo/streams/Jq.java:19-33,
+Jslt.java:19-36, shared driver Script.java:58-73): run a jackson-jq / JSLT
+script over each document; if the result's ``_id`` changed the message is
+re-keyed; script errors are logged and rethrown.
+
+Spark strategy (three tiers):
+
+1. **Native subset compiler** (zero UDF): the script patterns the reference
+   test-suite witnesses — jq ``. + {k: v, ...}`` / identity ``.`` and JSLT
+   object templates ``{"k": v, *: .}`` — compile straight to
+   ``$addFields``-style Column programs, keeping codegen and pushdown.
+2. **Python ``jq`` binding** (import-gated): arbitrary jq programs run over
+   ``to_json``/``from_json`` in a Pandas UDF; the output schema is sampled
+   from the first result.
+3. JSLT beyond the template subset has no Python runtime — documented as a
+   JVM-only extension point (SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..context import Context
+from ..expressions import _lit_deep
+from ..pipeline import StageFn, register_stage
+from .stateless import _rekey_on_id
+
+_JQ_ADD = re.compile(r"^\s*\.\s*\+\s*(\{.*\})\s*$", re.S)
+_JQ_IDENTITY = re.compile(r"^\s*\.\s*$")
+
+
+def _load_script(spec: str) -> str:
+    """Scripts may be inline, ``resource:/...`` or a file path
+    (Script.java:28-46)."""
+    if spec.startswith("resource:"):
+        raise NotImplementedError("resource: scripts need a resource root configured")
+    if spec.endswith((".jq", ".jslt")) and "/" in spec:
+        with open(spec) as fh:
+            return fh.read()
+    return spec
+
+
+def _jq_native(script: str) -> Optional[dict]:
+    """Try to compile the jq script to an added-fields dict (tier 1)."""
+    if _JQ_IDENTITY.match(script):
+        return {}
+    m = _JQ_ADD.match(script)
+    if m:
+        try:
+            obj = json.loads(m.group(1))
+            if isinstance(obj, dict):
+                return obj
+        except json.JSONDecodeError:
+            return None
+    return None
+
+
+def _jslt_native(script: str) -> Optional[dict]:
+    """JSLT object template ``{"k": v, ..., *: .}`` -> added fields."""
+    s = script.strip()
+    if not (s.startswith("{") and s.endswith("}")):
+        return None
+    if "*: ." not in s.replace('"*"', "*").replace(" ", "").replace("*:.", "*: ."):
+        # without the spread the template replaces the whole doc; only the
+        # spread form is supported natively
+        if "*" in s:
+            return None
+    try:
+        cleaned = re.sub(r"\*\s*:\s*\.", '"__spread__": true', s)
+        obj = json.loads(cleaned)
+        obj.pop("__spread__", None)
+        return obj
+    except json.JSONDecodeError:
+        return None
+
+
+def _apply_added(df: DataFrame, added: dict) -> DataFrame:
+    out = df
+    for k, v in added.items():
+        out = out.withColumn(k, _lit_deep(v))
+    return _rekey_on_id(out) if "_id" in added else out
+
+
+def _script_stage(kind: str, expression: Any, ctx: Context) -> StageFn:
+    spec = expression["script"] if isinstance(expression, dict) else expression
+    script = _load_script(spec)
+    native = _jq_native(script) if kind == "jq" else _jslt_native(script)
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        if native is not None:
+            return _apply_added(df, native)
+        if kind == "jq":
+            return _jq_udf(df, script)
+        raise NotImplementedError(
+            "JSLT beyond object templates has no Python runtime (JVM-only extension)"
+        )
+
+    return fn
+
+
+def _jq_udf(df: DataFrame, script: str) -> DataFrame:
+    try:
+        import jq  # type: ignore
+    except ImportError as e:  # pragma: no cover - binding not in the image
+        raise NotImplementedError(
+            "arbitrary $jq scripts need the python 'jq' binding (tier 2); "
+            "only '. + {..}' / '.' compile natively"
+        ) from e
+    compiled = jq.compile(script)
+    sample = df.limit(1).collect()
+    if not sample:
+        return df
+    out_sample = compiled.input(sample[0].asDict(recursive=True)).first()
+    schema = F.schema_of_json(F.lit(json.dumps(out_sample)))
+    jsons = df.select(F.to_json(F.struct(*df.columns)).alias("__doc"))
+
+    @F.udf("string")
+    def run(doc: str) -> str:
+        return json.dumps(compiled.input(json.loads(doc)).first())
+
+    return jsons.select(F.from_json(run("__doc"), schema).alias("__o")).select("__o.*")
+
+
+@register_stage("$jq")
+def jq_stage(expression: Any, ctx: Context) -> StageFn:
+    return _script_stage("jq", expression, ctx)
+
+
+@register_stage("$jslt")
+def jslt_stage(expression: Any, ctx: Context) -> StageFn:
+    return _script_stage("jslt", expression, ctx)

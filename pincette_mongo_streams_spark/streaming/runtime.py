@@ -1,0 +1,79 @@
+"""Structured Streaming runtime for compiled pipelines.
+
+The reference runs one infinite push/pull chain with MongoDB-backed state
+(SURVEY.md §3).  Here the same compiled pipeline runs over an unbounded
+DataFrame; state lives in Spark's state store:
+
+- ``$group``/``$bucket``/``$count`` -> update output mode.  The reference
+  emits the whole updated group doc per *state-changing input message*
+  (Group.java:176-186,423-430); update mode emits changed groups per
+  *micro-batch* — the documented granularity difference (SURVEY.md §2.4).
+- ``$deduplicate`` -> ``dropDuplicatesWithinWatermark`` when an event-time
+  column + watermark are configured, else ``dropDuplicates`` (state grows
+  unboundedly, exactly like the reference's collection layer without TTL).
+- effect stages ($send/$merge/$delete/...) run inside ``foreachBatch``
+  where each micro-batch is a batch DataFrame, so the SAME stage compilers
+  serve both modes — one code path, two runtimes (SURVEY.md §7 design
+  stance).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+from pyspark.sql import DataFrame
+
+from ..context import Context
+from ..pipeline import compile_pipeline
+
+# stages that fold into the streaming plan directly (relational, stateful
+# via the state store)
+_PLAN_STAGES = {
+    "$match", "$project", "$addFields", "$set", "$unset", "$replaceRoot",
+    "$replaceWith", "$setKey", "$unwind", "$redact", "$group", "$bucket",
+    "$count", "$deduplicate", "$lookup", "$trace", "$backTrace", "$throttle",
+}
+
+
+def _needs_update_mode(pipeline: list[dict]) -> bool:
+    return any(next(iter(s)) in ("$group", "$bucket", "$count") for s in pipeline)
+
+
+def run_streaming(
+    source: DataFrame,
+    pipeline: list[dict],
+    ctx: Context,
+    sink: Callable[[DataFrame, int], None],
+    watermark: Optional[tuple[str, str]] = None,
+    trigger: Optional[dict] = None,
+    checkpoint: Optional[str] = None,
+):
+    """Run ``pipeline`` over a streaming ``source``; ``sink(batch_df,
+    epoch)`` receives each output micro-batch (foreachBatch = exactly-once
+    with idempotent sinks).  Returns the StreamingQuery."""
+    ctx.streaming = True
+    if watermark is not None:
+        source = source.withWatermark(*watermark)
+
+    split = len(pipeline)
+    for i, stage in enumerate(pipeline):
+        if next(iter(stage)) not in _PLAN_STAGES:
+            split = i
+            break
+    plan_part, batch_part = pipeline[:split], pipeline[split:]
+    transformed = compile_pipeline(plan_part, ctx)(source) if plan_part else source
+
+    def process(batch_df: DataFrame, epoch: int) -> None:
+        batch_ctx = ctx
+        batch_ctx.streaming = False  # inside foreachBatch everything is batch
+        out = compile_pipeline(batch_part, batch_ctx)(batch_df) if batch_part else batch_df
+        sink(out, epoch)
+        batch_ctx.streaming = True
+
+    writer = transformed.writeStream.foreachBatch(process)
+    writer = writer.outputMode("update" if _needs_update_mode(plan_part) else "append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -1,0 +1,198 @@
+"""Expression-compiler unit tests, modeled on the reference's per-stage
+golden style (SURVEY.md §5): small inline docs, exact expected values."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pincette_mongo_streams_spark.expressions import ExprContext, compile_expr
+
+
+def ev(spark, expr, rows=None, schema=None):
+    """Evaluate expr against a one-row (or given) DataFrame, return values."""
+    df = spark.createDataFrame(rows or [Row(x=1)], schema=schema)
+    ctx = ExprContext(schema=df.schema)
+    out = df.select(compile_expr(expr, ctx).alias("v")).collect()
+    return [r["v"] for r in out]
+
+
+def test_literals_and_paths(spark):
+    rows = [Row(a=5, b=Row(c="hi"))]
+    assert ev(spark, 3, rows) == [3]
+    assert ev(spark, "plain", rows) == ["plain"]
+    assert ev(spark, "$a", rows) == [5]
+    assert ev(spark, "$b.c", rows) == ["hi"]
+    assert ev(spark, "$missing", rows) == [None]
+    assert ev(spark, None, rows) == [None]
+
+
+def test_expression_object_struct(spark):
+    rows = [Row(a=5)]
+    [v] = ev(spark, {"total": {"$add": ["$a", 1]}, "lit": "x"}, rows)
+    assert v.asDict() == {"total": 6, "lit": "x"}
+
+
+def test_arithmetic(spark):
+    rows = [Row(a=10, b=3.0)]
+    assert ev(spark, {"$add": ["$a", "$b", 1]}, rows) == [14.0]
+    assert ev(spark, {"$subtract": ["$a", "$b"]}, rows) == [7.0]
+    assert ev(spark, {"$multiply": ["$a", 2]}, rows) == [20]
+    assert ev(spark, {"$divide": ["$a", 4]}, rows) == [2.5]
+    assert ev(spark, {"$mod": ["$a", 3]}, rows) == [1]
+    assert ev(spark, {"$abs": -4}, rows) == [4]
+    assert ev(spark, {"$ceil": 1.2}, rows) == [2]
+    assert ev(spark, {"$floor": 1.8}, rows) == [1]
+    assert ev(spark, {"$pow": [2, 10]}, rows) == [1024.0]
+    assert ev(spark, {"$sqrt": 16}, rows) == [4.0]
+    assert ev(spark, {"$round": [2.567, 1]}, rows) == [2.6]
+    assert ev(spark, {"$trunc": [2.567, 1]}, rows) == [2.5]
+    assert ev(spark, {"$divide": ["$a", 0]}, rows) == [None]
+
+
+def test_strings(spark):
+    rows = [Row(s="Hello World", t="  pad  ")]
+    assert ev(spark, {"$concat": ["$s", "!"]}, rows) == ["Hello World!"]
+    assert ev(spark, {"$toLower": "$s"}, rows) == ["hello world"]
+    assert ev(spark, {"$toUpper": "$s"}, rows) == ["HELLO WORLD"]
+    assert ev(spark, {"$strLenCP": "$s"}, rows) == [11]
+    assert ev(spark, {"$substrCP": ["$s", 6, 5]}, rows) == ["World"]
+    assert ev(spark, {"$trim": {"input": "$t"}}, rows) == ["pad"]
+    assert ev(spark, {"$split": ["$s", " "]}, rows) == [["Hello", "World"]]
+    assert ev(spark, {"$indexOfCP": ["$s", "World"]}, rows) == [6]
+    assert ev(spark, {"$indexOfCP": ["$s", "zzz"]}, rows) == [-1]
+    assert ev(spark, {"$regexMatch": {"input": "$s", "regex": "^Hello"}}, rows) == [True]
+    assert ev(
+        spark, {"$replaceOne": {"input": "$s", "find": "World", "replacement": "X"}}, rows
+    ) == ["Hello X"]
+    assert ev(
+        spark, {"$replaceAll": {"input": "$s", "find": "l", "replacement": ""}}, rows
+    ) == ["Heo Word"]
+
+
+def test_comparison_boolean_conditional(spark):
+    rows = [(5, None)]
+    sch = "a long, b string"
+
+    def e(expr):
+        return ev(spark, expr, rows, sch)
+
+    assert e({"$eq": ["$a", 5]}) == [True]
+    assert e({"$ne": ["$a", 5]}) == [False]
+    assert e({"$eq": ["$b", None]}) == [True]
+    assert e({"$gt": ["$a", 4]}) == [True]
+    assert e({"$cmp": ["$a", 9]}) == [-1]
+    assert e({"$and": [{"$gt": ["$a", 1]}, {"$lt": ["$a", 9]}]}) == [True]
+    assert e({"$or": [False, 0]}) == [False]
+    assert e({"$not": [0]}) == [True]
+    assert e({"$cond": [{"$gt": ["$a", 3]}, "big", "small"]}) == ["big"]
+    assert e({"$cond": {"if": False, "then": 1, "else": 2}}) == [2]
+    assert e({"$ifNull": ["$b", "dflt"]}) == ["dflt"]
+    sw = {
+        "$switch": {
+            "branches": [
+                {"case": {"$lt": ["$a", 3]}, "then": "low"},
+                {"case": {"$lt": ["$a", 10]}, "then": "mid"},
+            ],
+            "default": "high",
+        }
+    }
+    assert ev(spark, sw, rows, sch) == ["mid"]
+
+
+def test_arrays(spark):
+    rows = [Row(arr=[3, 1, 2], s="x")]
+    assert ev(spark, {"$arrayElemAt": ["$arr", 0]}, rows) == [3]
+    assert ev(spark, {"$arrayElemAt": ["$arr", -1]}, rows) == [2]
+    assert ev(spark, {"$size": "$arr"}, rows) == [3]
+    assert ev(spark, {"$in": [1, "$arr"]}, rows) == [True]
+    assert ev(spark, {"$indexOfArray": ["$arr", 2]}, rows) == [2]
+    assert ev(spark, {"$reverseArray": "$arr"}, rows) == [[2, 1, 3]]
+    assert ev(spark, {"$concatArrays": ["$arr", [9]]}, rows) == [[3, 1, 2, 9]]
+    assert ev(spark, {"$slice": ["$arr", 2]}, rows) == [[3, 1]]
+    assert ev(spark, {"$slice": ["$arr", -2]}, rows) == [[1, 2]]
+    assert ev(spark, {"$slice": ["$arr", 1, 2]}, rows) == [[1, 2]]
+    assert ev(
+        spark, {"$filter": {"input": "$arr", "cond": {"$gt": ["$$this", 1]}}}, rows
+    ) == [[3, 2]]
+    assert ev(
+        spark, {"$map": {"input": "$arr", "as": "v", "in": {"$multiply": ["$$v", 10]}}}, rows
+    ) == [[30, 10, 20]]
+    assert ev(
+        spark,
+        {"$reduce": {"input": "$arr", "initialValue": 0, "in": {"$add": ["$$value", "$$this"]}}},
+        rows,
+    ) == [6]
+    assert ev(spark, {"$range": [0, 5, 2]}, rows) == [[0, 2, 4]]
+    assert ev(spark, {"$range": [5, 0]}, rows) == [[]]
+    assert ev(spark, {"$first": "$arr"}, rows) == [3]
+    assert ev(spark, {"$last": "$arr"}, rows) == [2]
+    assert ev(spark, {"$zip": {"inputs": ["$arr", [9, 8]]}}, rows) == [[[3, 9], [1, 8]]]
+    assert ev(spark, {"$isArray": "$arr"}, rows) == [True]
+    assert ev(spark, {"$isArray": "$s"}, rows) == [False]
+
+
+def test_sets(spark):
+    rows = [Row(a=[1, 2, 2, 3], b=[2, 3, 4])]
+    assert ev(spark, {"$setUnion": ["$a", "$b"]}, rows) == [[1, 2, 3, 4]]
+    assert ev(spark, {"$setIntersection": ["$a", "$b"]}, rows) == [[2, 3]]
+    assert ev(spark, {"$setDifference": ["$a", "$b"]}, rows) == [[1]]
+    assert ev(spark, {"$setIsSubset": [[2, 3], "$b"]}, rows) == [True]
+    assert ev(spark, {"$setEquals": [[2, 1, 3, 2], [1, 2, 3]]}, rows) == [True]
+    # heterogeneous literal arrays are not representable on a fixed-schema
+    # engine (documented deviation) — homogeneous coverage:
+    assert ev(spark, {"$anyElementTrue": [[0, 0, 1]]}, rows) == [True]
+    assert ev(spark, {"$allElementsTrue": [[True, False]]}, rows) == [False]
+
+
+def test_type_conversion(spark):
+    rows = [Row(n=42, s="3.5", b=True)]
+    assert ev(spark, {"$toString": "$n"}, rows) == ["42"]
+    assert ev(spark, {"$toDouble": "$s"}, rows) == [3.5]
+    assert ev(spark, {"$toInt": "$b"}, rows) == [1]
+    assert ev(spark, {"$toBool": "$n"}, rows) == [True]
+    assert ev(spark, {"$type": "$n"}, rows) == ["long"]
+    assert ev(spark, {"$type": "$s"}, rows) == ["string"]
+    assert ev(spark, {"$convert": {"input": "x", "to": "int", "onError": -1}}, rows) == [-1]
+    assert ev(spark, {"$convert": {"input": "$missing", "to": "int", "onNull": 0}}, rows) == [0]
+
+
+def test_let_literal_mergeobjects(spark):
+    rows = [(5, (1, None), (2, 3))]
+    sch = "a long, o1 struct<x:long,y:long>, o2 struct<y:long,z:long>"
+    assert ev(
+        spark,
+        {"$let": {"vars": {"t": {"$multiply": ["$a", 2]}}, "in": {"$add": ["$$t", 1]}}},
+        rows,
+        sch,
+    ) == [11]
+    assert ev(spark, {"$literal": "$a"}, rows, sch) == ["$a"]
+    [v] = ev(spark, {"$mergeObjects": ["$o1", "$o2"]}, rows, sch)
+    assert v.asDict() == {"x": 1, "y": 2, "z": 3}
+
+
+def test_dates(spark):
+    import datetime
+
+    rows = [Row(d=datetime.datetime(2021, 3, 14, 15, 9, 26, 535000))]
+    assert ev(spark, {"$year": "$d"}, rows) == [2021]
+    assert ev(spark, {"$month": "$d"}, rows) == [3]
+    assert ev(spark, {"$dayOfMonth": "$d"}, rows) == [14]
+    assert ev(spark, {"$hour": "$d"}, rows) == [15]
+    assert ev(spark, {"$minute": "$d"}, rows) == [9]
+    assert ev(spark, {"$second": "$d"}, rows) == [26]
+    assert ev(spark, {"$dayOfWeek": "$d"}, rows) == [1]  # Sunday=1
+    assert ev(spark, {"$dateToString": {"date": "$d", "format": "%Y-%m-%d"}}, rows) == [
+        "2021-03-14"
+    ]
+    [ts] = ev(spark, {"$dateFromString": {"dateString": "2021-03-14T15:09:26"}}, rows)
+    assert ts == datetime.datetime(2021, 3, 14, 15, 9, 26)
+    assert ev(
+        spark, {"$dateDiff": {"startDate": "$d", "endDate": "$d", "unit": "day"}}, rows
+    ) == [0]
+
+
+def test_root_and_getfield(spark):
+    rows = [Row(a=1, b="x")]
+    [v] = ev(spark, "$$ROOT", rows)
+    assert v.asDict() == {"a": 1, "b": "x"}
+    assert ev(spark, {"$getField": {"field": "a"}}, rows) == [1]

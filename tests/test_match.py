@@ -1,0 +1,62 @@
+"""Match-compiler tests (SURVEY.md §2.3b witnessed surface + contract)."""
+
+from pyspark.sql import Row
+
+from pincette_mongo_streams_spark.expressions import ExprContext
+from pincette_mongo_streams_spark.match import compile_match
+
+
+def keep(spark, query, rows, schema=None):
+    df = spark.createDataFrame(rows, schema=schema)
+    ctx = ExprContext(schema=df.schema)
+    return [r["id"] for r in df.filter(compile_match(query, ctx)).select("id").collect()]
+
+
+ROWS = [
+    Row(id=1, test=0, name="alpha", tags=["a", "b"], nested=Row(x=1)),
+    Row(id=2, test=1, name="beta", tags=["b", "c"], nested=Row(x=2)),
+    Row(id=3, test=2, name="gamma", tags=[], nested=Row(x=3)),
+]
+
+
+def test_implicit_equality(spark):
+    assert keep(spark, {"test": 0}, ROWS) == [1]
+    assert keep(spark, {"name": "beta"}, ROWS) == [2]
+    assert keep(spark, {"nested.x": 3}, ROWS) == [3]
+    # equality on an array field matches membership (Mongo semantics)
+    assert keep(spark, {"tags": "b"}, ROWS) == [1, 2]
+
+
+def test_comparisons(spark):
+    assert keep(spark, {"test": {"$gt": 0}}, ROWS) == [2, 3]
+    assert keep(spark, {"test": {"$gte": 1, "$lt": 2}}, ROWS) == [2]
+    assert keep(spark, {"test": {"$ne": 1}}, ROWS) == [1, 3]
+    assert keep(spark, {"test": {"$in": [0, 2]}}, ROWS) == [1, 3]
+    assert keep(spark, {"test": {"$nin": [0, 2]}}, ROWS) == [2]
+
+
+def test_logical(spark):
+    assert keep(spark, {"$and": [{"test": {"$gt": 0}}, {"name": "beta"}]}, ROWS) == [2]
+    assert keep(spark, {"$or": [{"test": 0}, {"name": "gamma"}]}, ROWS) == [1, 3]
+    assert keep(spark, {"$nor": [{"test": 0}, {"name": "gamma"}]}, ROWS) == [2]
+    assert keep(spark, {"test": {"$not": {"$gt": 0}}}, ROWS) == [1]
+
+
+def test_regex_exists_size_mod(spark):
+    assert keep(spark, {"name": {"$regex": "^[ab]"}}, ROWS) == [1, 2]
+    assert keep(spark, {"name": {"$regex": "GAMMA", "$options": "i"}}, ROWS) == [3]
+    assert keep(spark, {"test": {"$exists": True}}, ROWS) == [1, 2, 3]
+    assert keep(spark, {"zzz": {"$exists": False}}, ROWS) == [1, 2, 3]
+    assert keep(spark, {"tags": {"$size": 2}}, ROWS) == [1, 2]
+    assert keep(spark, {"test": {"$mod": [2, 0]}}, ROWS) == [1, 3]
+
+
+def test_elem_match_all_type_expr(spark):
+    assert keep(spark, {"tags": {"$all": ["b", "c"]}}, ROWS) == [2]
+    assert keep(spark, {"tags": {"$elemMatch": {"$eq": "a"}}}, ROWS) == [1]
+    assert keep(spark, {"test": {"$type": "long"}}, ROWS) == [1, 2, 3]
+    assert keep(spark, {"$expr": {"$eq": ["$test", {"$subtract": ["$id", 1]}]}}, ROWS) == [
+        1,
+        2,
+        3,
+    ]

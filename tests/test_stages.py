@@ -1,0 +1,269 @@
+"""Stage tests in the reference's golden-triple style (SURVEY.md §5 /
+FIXTURES.md family A): (pipeline JSON, input docs, expected docs)."""
+
+import pytest
+from pyspark.sql import Row
+
+from pincette_mongo_streams_spark import Context, compile_pipeline
+
+
+def run(spark, pipeline, rows, schema=None, ctx=None, order_by=None):
+    df = spark.createDataFrame(rows, schema=schema)
+    ctx = ctx or Context(spark=spark)
+    if order_by:
+        ctx.order_by = order_by
+    out = compile_pipeline(pipeline, ctx)(df)
+    return [r.asDict(recursive=True) for r in out.collect()]
+
+
+NESTED = [
+    Row(
+        _id="a",
+        test1=1,
+        test2=2,
+        test3=Row(test1=10, test2=20),
+    )
+]
+NESTED_SCHEMA = "_id string, test1 long, test2 long, test3 struct<test1:long,test2:long>"
+
+
+def test_addfields(spark):
+    [doc] = run(
+        spark,
+        [{"$addFields": {"sum": {"$add": ["$test1", "$test2"]}, "test3.test1": 99}}],
+        NESTED,
+        NESTED_SCHEMA,
+    )
+    assert doc["sum"] == 3
+    assert doc["test3"] == {"test1": 99, "test2": 20}
+
+
+def test_addfields_deep_create(spark):
+    # deep-creating intermediate objects (TestAddFields.java:74-107)
+    [doc] = run(spark, [{"$addFields": {"new.deep.field": 7}}], NESTED, NESTED_SCHEMA)
+    assert doc["new"] == {"deep": {"field": 7}}
+
+
+def test_project_include_exclude_compute(spark):
+    [doc] = run(spark, [{"$project": {"test1": 1, "test3.test2": 1}}], NESTED, NESTED_SCHEMA)
+    assert doc == {"_id": "a", "test1": 1, "test3": {"test2": 20}}
+    [doc] = run(spark, [{"$project": {"test2": 0, "test3": 0}}], NESTED, NESTED_SCHEMA)
+    assert doc == {"_id": "a", "test1": 1}
+    [doc] = run(
+        spark,
+        [{"$project": {"_id": 0, "x": {"$multiply": ["$test1", 5]}}}],
+        NESTED,
+        NESTED_SCHEMA,
+    )
+    assert doc == {"x": 5}
+
+
+def test_project_mix_rejected(spark):
+    with pytest.raises(ValueError):
+        run(spark, [{"$project": {"test1": 1, "test2": 0}}], NESTED, NESTED_SCHEMA)
+
+
+def test_unset(spark):
+    [doc] = run(spark, [{"$unset": ["test2", "test3.test1"]}], NESTED, NESTED_SCHEMA)
+    assert doc == {"_id": "a", "test1": 1, "test3": {"test2": 20}}
+
+
+def test_replace_with(spark):
+    rows = [Row(_id="a", test=Row(_id="b", v=5))]
+    [doc] = run(spark, [{"$replaceWith": "$test"}], rows, "_id string, test struct<_id:string,v:long>")
+    assert doc == {"_id": "b", "v": 5}
+    [doc] = run(
+        spark,
+        [{"$replaceRoot": {"newRoot": "$test"}}],
+        rows,
+        "_id string, test struct<_id:string,v:long>",
+    )
+    assert doc == {"_id": "b", "v": 5}
+
+
+def test_unwind(spark):
+    rows = [Row(_id="a", test=[1, 2]), Row(_id="b", test=[]), Row(_id="c", test=None)]
+    schema = "_id string, test array<long>"
+    docs = run(spark, [{"$unwind": "$test"}], rows, schema)
+    assert docs == [{"_id": "a", "test": 1}, {"_id": "a", "test": 2}]
+    docs = run(
+        spark,
+        [{"$unwind": {"path": "$test", "preserveNullAndEmptyArrays": True}}],
+        rows,
+        schema,
+    )
+    assert docs == [
+        {"_id": "a", "test": 1},
+        {"_id": "a", "test": 2},
+        {"_id": "b", "test": None},
+        {"_id": "c", "test": None},
+    ]
+    docs = run(
+        spark,
+        [{"$unwind": {"path": "$test", "includeArrayIndex": "i"}}],
+        rows,
+        schema,
+    )
+    assert docs == [
+        {"_id": "a", "test": 1, "i": 0},
+        {"_id": "a", "test": 2, "i": 1},
+    ]
+
+
+def test_setkey(spark):
+    docs = run(spark, [{"$setKey": "$test1"}], NESTED, NESTED_SCHEMA)
+    assert docs[0]["__key"] == "1"
+
+
+def test_redact(spark):
+    # level-based access control, the classic $redact shape
+    rows = [
+        Row(level=1, name="open", detail=Row(level=5, secret="x"), items=[Row(level=1, v="ok"), Row(level=9, v="hide")]),
+        Row(level=9, name="locked", detail=Row(level=1, secret="y"), items=[]),
+    ]
+    schema = (
+        "level long, name string, detail struct<level:long,secret:string>, "
+        "items array<struct<level:long,v:string>>"
+    )
+    pipeline = [
+        {
+            "$redact": {
+                "$cond": [{"$lt": ["$level", 5]}, "$$DESCEND", "$$PRUNE"]
+            }
+        }
+    ]
+    docs = run(spark, pipeline, rows, schema)
+    assert len(docs) == 1
+    assert docs[0]["name"] == "open"
+    assert docs[0]["detail"] is None  # pruned subtree
+    assert docs[0]["items"] == [{"level": 1, "v": "ok"}]  # pruned element
+
+
+def test_group_accumulators(spark):
+    rows = [Row(k="a", v=1, o=1), Row(k="a", v=2, o=2), Row(k="b", v=3, o=3)]
+    docs = run(
+        spark,
+        [
+            {
+                "$group": {
+                    "_id": "$k",
+                    "total": {"$sum": "$v"},
+                    "avg": {"$avg": "$v"},
+                    "mn": {"$min": "$v"},
+                    "mx": {"$max": "$v"},
+                    "n": {"$count": {}},
+                    "vals": {"$push": "$v"},
+                    "st": {"$addToSet": "$v"},
+                    "first": {"$first": "$v"},
+                    "last": {"$last": "$v"},
+                }
+            }
+        ],
+        rows,
+        order_by="o",
+    )
+    by_id = {d["_id"]: d for d in docs}
+    assert by_id["a"] == {
+        "_id": "a",
+        "total": 3,
+        "avg": 1.5,
+        "mn": 1,
+        "mx": 2,
+        "n": 2,
+        "vals": [1, 2],
+        "st": [1, 2],
+        "first": 1,
+        "last": 2,
+    }
+    assert by_id["b"]["total"] == 3
+
+
+def test_group_global_and_expr_key(spark):
+    rows = [Row(k="a", v=1), Row(k="b", v=2)]
+    docs = run(spark, [{"$group": {"_id": None, "n": {"$sum": 1}}}], rows)
+    assert docs == [{"_id": None, "n": 2}]
+    # expression-object key -> struct
+    docs = run(
+        spark,
+        [{"$group": {"_id": {"u": "$k"}, "n": {"$sum": 1}}}],
+        rows,
+    )
+    assert sorted([ (d["_id"]["u"], d["n"]) for d in docs]) == [("a", 1), ("b", 1)]
+
+
+def test_bucket(spark):
+    rows = [Row(v=1), Row(v=5), Row(v=15), Row(v=25)]
+    docs = run(
+        spark,
+        [
+            {
+                "$bucket": {
+                    "groupBy": "$v",
+                    "boundaries": [0, 10, 20],
+                    "default": "other",
+                    "output": {"n": {"$sum": 1}},
+                }
+            }
+        ],
+        rows,
+    )
+    got = {str(d["_id"]): d["n"] for d in docs}
+    assert got == {"0": 2, "10": 1, "other": 1}
+
+
+def test_count_stage(spark):
+    rows = [Row(v=1), Row(v=2)]
+    assert run(spark, [{"$count": "n"}], rows) == [{"n": 2}]
+
+
+def test_merge_objects_accumulator(spark):
+    rows = [
+        Row(k="a", o=1, val=Row(x=1, y=None)),
+        Row(k="a", o=2, val=Row(x=None, y=2)),
+    ]
+    schema = "k string, o long, val struct<x:long,y:long>"
+    docs = run(
+        spark,
+        [{"$group": {"_id": "$k", "m": {"$mergeObjects": "$val"}}}],
+        rows,
+        schema,
+        order_by="o",
+    )
+    assert docs[0]["m"] == {"x": 1, "y": 2}
+
+
+def test_stddev(spark):
+    rows = [Row(k="a", v=2.0), Row(k="a", v=4.0)]
+    docs = run(spark, [{"$group": {"_id": "$k", "sd": {"$stdDevPop": "$v"}}}], rows)
+    assert docs[0]["sd"] == 1.0
+
+
+def test_deduplicate(spark):
+    rows = [Row(_id=1, test=0, o=1), Row(_id=2, test=0, o=2), Row(_id=3, test=1, o=3)]
+    docs = run(spark, [{"$deduplicate": {"expression": "$test"}}], rows, order_by="o")
+    assert sorted(d["_id"] for d in docs) == [1, 3]
+
+
+def test_per(spark):
+    rows = [Row(test=0, o=1), Row(test=1, o=2), Row(test=2, o=3)]
+    docs = run(spark, [{"$per": {"amount": 2, "as": "batch"}}], rows, order_by="o")
+    assert [[e["test"] for e in d["batch"]] for d in docs] == [[0, 1], [2]]
+
+
+def test_pipeline_chain(spark):
+    rows = [Row(_id="a", test=0), Row(_id="b", test=1), Row(_id="c", test=2)]
+    docs = run(
+        spark,
+        [
+            {"$match": {"test": {"$gt": 0}}},
+            {"$addFields": {"double": {"$multiply": ["$test", 2]}}},
+            {"$project": {"_id": 0, "double": 1}},
+        ],
+        rows,
+    )
+    assert docs == [{"double": 2}, {"double": 4}]
+
+
+def test_unknown_stage_raises(spark):
+    with pytest.raises(ValueError):
+        run(spark, [{"$nope": {}}], [Row(x=1)])
