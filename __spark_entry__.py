@@ -1,38 +1,1096 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` exposes
+one callable per implemented operator from SURVEY.md §2 (+ the
+beyond-reference data-pipeline operators); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for each (omitted only for genuinely
+non-SQL-expressible ops).  Column names and types are aligned between both
+sides (driver compare sorts columns by name and hashes values); double
+aggregates are rounded in BOTH to keep hashes stable across FP summation
+orders.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import sys
 from collections.abc import Callable
+from typing import Any, Optional
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pincette_mongo_streams_spark import Context, compile_pipeline
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by default;
+    # read nanos as long and convert to a microsecond timestamp
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
+    ev = out["events"]
+    if dict(ev.dtypes).get("ts") == "bigint":
+        out["events"] = ev.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return out
+
+
+def _r(expr: str, p: int) -> str:
+    """Half-up double rounding in SQL, bit-identical to the engine's $round
+    (floor(x*10^p + 0.5)/10^p) — plain round() differs between engines on
+    boundary halves."""
+    return f"floor(({expr}) * 1e{p} + 0.5) / 1e{p}"
+
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+_REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {}
+
+
+def _register(name: str, sql: Optional[str]):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _pipe(
+    table: str,
+    pipeline: list[dict],
+    collections: Optional[dict[str, Any]] = None,
+    order_by: Optional[str] = None,
+) -> QueryFn:
+    """Build a query callable: load tables, wire collections, run pipeline.
+    Collection values may be table names or ``lambda tables: df``."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tables = _load(spark, sf_dir)
+        colls = {}
+        for cname, spec in (collections or {}).items():
+            colls[cname] = tables[spec] if isinstance(spec, str) else spec(tables)
+        ctx = Context(spark=spark, collections=colls, order_by=order_by)
+        return compile_pipeline(pipeline, ctx)(tables[table])
+
+    return fn
+
+
+# =====================================================================
+# Reference-surface stages (SURVEY.md §2.1)
+# =====================================================================
+
+_register(
+    "match_basic",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       FROM lineitem
+       WHERE l_returnflag = 'R' AND l_quantity >= 30
+         AND l_shipdate < TIMESTAMP '1998-09-02'""",
+)(
+    _pipe(
+        "lineitem",
+        [
+            {"$match": {"l_returnflag": "R", "l_quantity": {"$gte": 30},
+                        "l_shipdate": {"$lt": "1998-09-02"}}},
+            {"$project": {"l_orderkey": 1, "l_linenumber": 1, "l_quantity": 1,
+                          "l_extendedprice": 1}},
+        ],
+    )
+)
+
+_register(
+    "match_operators",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+       FROM orders
+       WHERE o_orderstatus IN ('O','F')
+         AND o_totalprice >= 1000 AND o_totalprice < 200000
+         AND regexp_matches(o_orderpriority, '^[12]')""",
+)(
+    _pipe(
+        "orders",
+        [
+            {"$match": {"o_orderstatus": {"$in": ["O", "F"]},
+                        "o_totalprice": {"$gte": 1000, "$lt": 200000},
+                        "o_orderpriority": {"$regex": "^[12]"}}},
+            {"$project": {"o_orderkey": 1, "o_custkey": 1, "o_totalprice": 1}},
+        ],
+    )
+)
+
+_register(
+    "project_compute",
+    f"""SELECT l_orderkey, l_linenumber,
+              {_r("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+              {_r("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 4)} AS charge
+       FROM lineitem""",
+)(
+    _pipe(
+        "lineitem",
+        [
+            {"$project": {
+                "l_orderkey": 1, "l_linenumber": 1,
+                "revenue": {"$round": [{"$multiply": ["$l_extendedprice",
+                                                      {"$subtract": [1, "$l_discount"]}]}, 4]},
+                "charge": {"$round": [{"$multiply": [
+                    "$l_extendedprice",
+                    {"$subtract": [1, "$l_discount"]},
+                    {"$add": [1, "$l_tax"]}]}, 4]},
+            }},
+        ],
+    )
+)
+
+_register(
+    "addfields",
+    """SELECT p_partkey, upper(p_name) AS name_upper,
+              p_brand || '-' || p_type AS label,
+              CASE WHEN p_size >= 25 THEN 1 ELSE 0 END AS big
+       FROM part""",
+)(
+    _pipe(
+        "part",
+        [
+            {"$addFields": {
+                "name_upper": {"$toUpper": "$p_name"},
+                "label": {"$concat": ["$p_brand", "-", "$p_type"]},
+                "big": {"$cond": [{"$gte": ["$p_size", 25]}, 1, 0]},
+            }},
+            {"$project": {"p_partkey": 1, "name_upper": 1, "label": 1, "big": 1}},
+        ],
+    )
+)
+
+_register(
+    "unset",
+    "SELECT c_custkey, c_name, c_nationkey FROM customer",
+)(_pipe("customer", [{"$unset": ["c_acctbal", "c_mktsegment"]}]))
+
+_register(
+    "replace_with",
+    f"""SELECT o_orderkey AS ok, o_orderstatus AS status,
+              {_r("o_totalprice", 2)} AS total
+       FROM orders""",
+)(
+    _pipe(
+        "orders",
+        [{"$replaceWith": {"ok": "$o_orderkey", "status": "$o_orderstatus",
+                           "total": {"$round": ["$o_totalprice", 2]}}}],
+    )
+)
+
+_register(
+    "setkey",
+    """SELECT CAST(event_id AS VARCHAR) AS __key, event_id, user_id FROM events""",
+)(
+    _pipe(
+        "events",
+        [{"$setKey": "$event_id"}, {"$project": {"event_id": 1, "user_id": 1}}],
+    )
+)
+
+_register(
+    "unwind",
+    f"""SELECT vec_id,
+              CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS idx,
+              {_r("CAST(unnest(embedding) AS DOUBLE)", 5)} AS e
+       FROM embeddings""",
+)(
+    _pipe(
+        "embeddings",
+        [
+            {"$unwind": {"path": "$embedding", "includeArrayIndex": "idx"}},
+            {"$project": {"vec_id": 1, "idx": 1,
+                          "e": {"$round": [{"$toDouble": "$embedding"}, 5]}}},
+        ],
+    )
+)
+
+_register(
+    "group_accumulators",
+    f"""SELECT l_returnflag AS _id,
+              {_r("sum(l_quantity)", 2)} AS sum_qty,
+              {_r("avg(l_quantity)", 4)} AS avg_qty,
+              min(l_extendedprice) AS min_price,
+              max(l_extendedprice) AS max_price,
+              count(*) AS n
+       FROM lineitem GROUP BY l_returnflag""",
+)(
+    _pipe(
+        "lineitem",
+        [
+            {"$group": {"_id": "$l_returnflag",
+                        "sum_qty": {"$sum": "$l_quantity"},
+                        "avg_qty": {"$avg": "$l_quantity"},
+                        "min_price": {"$min": "$l_extendedprice"},
+                        "max_price": {"$max": "$l_extendedprice"},
+                        "n": {"$count": {}}}},
+            {"$addFields": {"sum_qty": {"$round": ["$sum_qty", 2]},
+                            "avg_qty": {"$round": ["$avg_qty", 4]}}},
+        ],
+    )
+)
+
+_register(
+    "group_addtoset",
+    f"""SELECT o_custkey AS _id,
+              list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+              count(*) AS n_orders,
+              {_r("sum(o_totalprice)", 2)} AS total
+       FROM orders GROUP BY o_custkey""",
+)(
+    _pipe(
+        "orders",
+        [
+            {"$group": {"_id": "$o_custkey",
+                        "statuses": {"$addToSet": "$o_orderstatus"},
+                        "n_orders": {"$count": {}},
+                        "total": {"$sum": "$o_totalprice"}}},
+            {"$addFields": {"total": {"$round": ["$total", 2]}}},
+        ],
+    )
+)
+
+_register(
+    "group_push_ordered",
+    """SELECT s_nationkey AS _id, list(s_name ORDER BY s_suppkey) AS names
+       FROM supplier GROUP BY s_nationkey""",
+)(
+    _pipe(
+        "supplier",
+        [{"$group": {"_id": "$s_nationkey", "names": {"$push": "$s_name"}}}],
+        order_by="s_suppkey",
+    )
+)
+
+_register(
+    "group_first_last",
+    f"""SELECT user_id AS _id,
+              arg_min(event_type, event_id) AS first_type,
+              arg_max(event_type, event_id) AS last_type,
+              {_r("min(value)", 2)} AS min_v, {_r("max(value)", 2)} AS max_v
+       FROM events GROUP BY user_id""",
+)(
+    _pipe(
+        "events",
+        [
+            {"$group": {"_id": "$user_id",
+                        "first_type": {"$first": "$event_type"},
+                        "last_type": {"$last": "$event_type"},
+                        "min_v": {"$min": "$value"},
+                        "max_v": {"$max": "$value"}}},
+            {"$addFields": {"min_v": {"$round": ["$min_v", 2]},
+                            "max_v": {"$round": ["$max_v", 2]}}},
+        ],
+        order_by="event_id",
+    )
+)
+
+_register(
+    "group_global_stddev",
+    f"""SELECT {_r("stddev_pop(l_quantity)", 6)} AS sd,
+              {_r("stddev_samp(l_quantity)", 6)} AS sds,
+              count(*) AS n
+       FROM lineitem""",
+)(
+    _pipe(
+        "lineitem",
+        [
+            {"$group": {"_id": None, "sd": {"$stdDevPop": "$l_quantity"},
+                        "sds": {"$stdDevSamp": "$l_quantity"},
+                        "n": {"$count": {}}}},
+            {"$addFields": {"sd": {"$round": ["$sd", 6]},
+                            "sds": {"$round": ["$sds", 6]}}},
+            {"$unset": "_id"},
+        ],
+    )
+)
+
+_register(
+    "group_merge_objects",
+    f"""SELECT user_id AS _id,
+              arg_max(event_type, event_id) AS t,
+              {_r("arg_max(value, event_id)", 2)} AS v
+       FROM events GROUP BY user_id""",
+)(
+    _pipe(
+        "events",
+        [
+            {"$group": {"_id": "$user_id",
+                        "m": {"$mergeObjects": {"t": "$event_type", "v": "$value"}}}},
+            {"$project": {"_id": 1, "t": "$m.t", "v": {"$round": ["$m.v", 2]}}},
+        ],
+        order_by="event_id",
+    )
+)
+
+_BUCKET_SQL_CASE = """CASE
+  WHEN p_size >= 1 AND p_size < 10 THEN '1'
+  WHEN p_size >= 10 AND p_size < 20 THEN '10'
+  WHEN p_size >= 20 AND p_size < 35 THEN '20'
+  WHEN p_size >= 35 AND p_size < 50 THEN '35'
+  ELSE 'other' END"""
+
+_register(
+    "bucket",
+    f"""SELECT {_BUCKET_SQL_CASE} AS _id, count(*) AS n,
+               {_r("avg(p_retailprice)", 4)} AS avg_price
+        FROM part GROUP BY _id""",
+)(
+    _pipe(
+        "part",
+        [
+            {"$bucket": {"groupBy": "$p_size",
+                         "boundaries": [1, 10, 20, 35, 50],
+                         "default": "other",
+                         "output": {"n": {"$sum": 1},
+                                    "avg_price": {"$avg": "$p_retailprice"}}}},
+            {"$addFields": {"avg_price": {"$round": ["$avg_price", 4]}}},
+        ],
+    )
+)
+
+_register("count", "SELECT count(*) AS n FROM lineitem")(
+    _pipe("lineitem", [{"$count": "n"}])
+)
+
+_register(
+    "lookup_unwind",
+    """SELECT c_custkey, n.n_name AS nation_name
+       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""",
+)(
+    _pipe(
+        "customer",
+        [
+            {"$lookup": {"from": "nation", "localField": "c_nationkey",
+                         "foreignField": "n_nationkey", "as": "nation",
+                         "unwind": True}},
+            {"$project": {"c_custkey": 1, "nation_name": "$nation.n_name"}},
+        ],
+        collections={"nation": "nation"},
+    )
+)
+
+_register(
+    "lookup_array_size",
+    """SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+       FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+       GROUP BY c.c_custkey""",
+)(
+    _pipe(
+        "customer",
+        [
+            {"$lookup": {"from": "orders", "localField": "c_custkey",
+                         "foreignField": "o_custkey", "as": "ords"}},
+            {"$project": {"c_custkey": 1, "n_orders": {"$toLong": {"$size": "$ords"}}}},
+        ],
+        collections={"orders": "orders"},
+    )
+)
+
+_register(
+    "lookup_pipeline",
+    """SELECT o.o_orderkey, CAST(count(l.l_orderkey) AS BIGINT) AS n_items
+       FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       GROUP BY o.o_orderkey""",
+)(
+    _pipe(
+        "orders",
+        [
+            {"$lookup": {"from": "lineitem",
+                         "let": {"oid": "$o_orderkey"},
+                         "pipeline": [{"$match": {"l_orderkey": "$$oid"}}],
+                         "as": "items"}},
+            {"$project": {"o_orderkey": 1, "n_items": {"$toLong": {"$size": "$items"}}}},
+        ],
+        collections={"lineitem": "lineitem"},
+    )
+)
+
+_register(
+    "lookup_inner",
+    """SELECT DISTINCT s.s_suppkey, s.s_name
+       FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+       WHERE l.l_quantity >= 49""",
+)(
+    _pipe(
+        "supplier",
+        [
+            {"$lookup": {"from": "lineitem",
+                         "let": {"sk": "$s_suppkey"},
+                         "pipeline": [{"$match": {"l_suppkey": "$$sk",
+                                                  "l_quantity": {"$gte": 49}}}],
+                         "as": "big_items", "inner": True}},
+            {"$project": {"s_suppkey": 1, "s_name": 1}},
+        ],
+        collections={"lineitem": "lineitem"},
+    )
+)
+
+_register(
+    "deduplicate",
+    """SELECT event_id, user_id, event_type FROM (
+         SELECT event_id, user_id, event_type,
+                row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+         FROM events) WHERE rn = 1""",
+)(
+    _pipe(
+        "events",
+        [
+            {"$deduplicate": {"expression": "$user_id"}},
+            {"$project": {"event_id": 1, "user_id": 1, "event_type": 1}},
+        ],
+        order_by="event_id",
+    )
+)
+
+_register(
+    "merge_upsert",
+    f"""SELECT s_suppkey AS _id, {_r("s_acctbal * 1.1", 2)} AS s_acctbal, s_name
+       FROM supplier""",
+)(
+    _pipe(
+        "supplier",
+        [
+            {"$project": {"_id": "$s_suppkey",
+                          "s_acctbal": {"$round": [{"$multiply": ["$s_acctbal", 1.1]}, 2]}}},
+            {"$merge": {"into": "supplier_tgt", "on": "_id", "whenMatched": "merge",
+                        "whenNotMatched": "insert"}},
+            {"$unset": "__key"},
+        ],
+        collections={
+            "supplier_tgt": lambda t: t["supplier"].select(
+                F.col("s_suppkey").alias("_id"), "s_name", "s_acctbal"
+            )
+        },
+    )
+)
+
+_register(
+    "out_replace",
+    """SELECT n_nationkey AS _id, n_name FROM nation""",
+)(
+    _pipe(
+        "nation",
+        [
+            {"$project": {"_id": "$n_nationkey", "n_name": 1}},
+            {"$out": "nation_copy"},
+            {"$unset": "__key"},
+        ],
+        collections={"nation_copy": lambda t: t["nation"].select(
+            F.col("n_nationkey").alias("_id"), "n_name")},
+    )
+)
+
+_register(
+    "delete_passthrough",
+    "SELECT event_id, user_id FROM events",
+)(
+    _pipe(
+        "events",
+        [
+            {"$delete": {"from": "evt_tgt", "on": "user_id"}},
+            {"$project": {"event_id": 1, "user_id": 1}},
+        ],
+        collections={"evt_tgt": lambda t: t["events"].select("user_id", "event_type")},
+    )
+)
+
+_register(
+    "redact",
+    """SELECT o_orderkey,
+              CASE WHEN o_totalprice > 100000 THEN NULL ELSE 1 END AS lvl
+       FROM orders""",
+)(
+    _pipe(
+        "orders",
+        [
+            {"$addFields": {"sec": {"lvl": {"$cond": [
+                {"$gt": ["$o_totalprice", 100000]}, 9, 1]}}}},
+            {"$redact": {"$cond": [
+                {"$lt": [{"$ifNull": ["$lvl", 0]}, 5]}, "$$DESCEND", "$$PRUNE"]}},
+            {"$project": {"o_orderkey": 1, "lvl": "$sec.lvl"}},
+        ],
+    )
+)
+
+_register(
+    "per_batches",
+    """SELECT CAST(count(*) AS BIGINT) AS n FROM (
+         SELECT (row_number() OVER (ORDER BY event_id) - 1) // 100 AS chunk
+         FROM events) GROUP BY chunk""",
+)(
+    _pipe(
+        "events",
+        [
+            {"$per": {"amount": 100, "as": "batch"}},
+            {"$project": {"n": {"$toLong": {"$size": "$batch"}}}},
+        ],
+        order_by="event_id",
+    )
+)
+
+_register(
+    "send_routing",
+    """SELECT event_id, event_type FROM events WHERE event_type != 'error'""",
+)(
+    _pipe(
+        "events",
+        [
+            {"$send": {"topic": {"$cond": [{"$eq": ["$event_type", "error"]},
+                                           "errors", None]}}},
+            {"$project": {"event_id": 1, "event_type": 1}},
+        ],
+    )
+)
+
+_register(
+    "probe_throttle_trace",
+    "SELECT event_id FROM events",
+)(
+    _pipe(
+        "events",
+        [
+            {"$probe": {"name": "p", "topic": "metrics"}},
+            {"$throttle": {"maxPerSecond": 100000}},
+            {"$backTrace": {}},
+            {"$project": {"event_id": 1}},
+        ],
+    )
+)
+
+_register(
+    "jq_native",
+    "SELECT r_regionkey, r_name, 1 AS flag FROM region",
+)(
+    _pipe("region", [{"$jq": '. + {"flag": 1}'}])
+)
+
+_register(
+    "jslt_template",
+    "SELECT r_regionkey, r_name, 2 AS flag2 FROM region",
+)(
+    _pipe("region", [{"$jslt": '{"flag2": 2, *: .}'}])
+)
+
+
+def _http_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = _load(spark, sf_dir)
+    ctx = Context(
+        spark=spark,
+        http_transport=lambda req: {
+            "status": 200,
+            "body": json.dumps({"u": req["url"]}),
+            "contentType": "application/json",
+        },
+    )
+    pipeline = [
+        {"$http": {"url": {"$concat": ["http://svc/", {"$toString": "$r_regionkey"}]},
+                   "as": "resp", "schema": "struct<u:string>"}},
+        {"$project": {"r_regionkey": 1, "u": "$resp.u"}},
+    ]
+    return compile_pipeline(pipeline, ctx)(tables["region"])
+
+
+_register(
+    "http_enrich",
+    "SELECT r_regionkey, 'http://svc/' || CAST(r_regionkey AS VARCHAR) AS u FROM region",
+)(_http_query)
+
+# =====================================================================
+# Expression-language coverage (SURVEY.md §2.3)
+# =====================================================================
+
+_register(
+    "expr_strings",
+    """SELECT p_partkey, upper(p_name) AS up, CAST(length(p_name) AS BIGINT) AS len,
+              substr(p_name, 1, 5) AS sub,
+              replace(p_name, 'a', '@') AS rep,
+              regexp_matches(p_name, 'widget') AS has_widget,
+              CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
+       FROM part""",
+)(
+    _pipe(
+        "part",
+        [
+            {"$project": {
+                "p_partkey": 1,
+                "up": {"$toUpper": "$p_name"},
+                "len": {"$toLong": {"$strLenCP": "$p_name"}},
+                "sub": {"$substrCP": ["$p_name", 0, 5]},
+                "rep": {"$replaceAll": {"input": "$p_name", "find": "a",
+                                        "replacement": "@"}},
+                "has_widget": {"$regexMatch": {"input": "$p_name", "regex": "widget"}},
+                "n_words": {"$toLong": {"$size": {"$split": ["$p_name", " "]}}},
+            }},
+        ],
+    )
+)
+
+_register(
+    "expr_math",
+    f"""SELECT l_orderkey, l_linenumber,
+              {_r("sqrt(l_quantity)", 6)} AS sq,
+              {_r("pow(1 + l_discount, 2)", 6)} AS pw,
+              l_orderkey % 7 AS md,
+              abs(l_quantity - 25) AS ab,
+              CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+              CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+              {_r("ln(l_extendedprice)", 6)} AS lg
+       FROM lineitem""",
+)(
+    _pipe(
+        "lineitem",
+        [
+            {"$project": {
+                "l_orderkey": 1, "l_linenumber": 1,
+                "sq": {"$round": [{"$sqrt": "$l_quantity"}, 6]},
+                "pw": {"$round": [{"$pow": [{"$add": [1, "$l_discount"]}, 2]}, 6]},
+                "md": {"$mod": ["$l_orderkey", 7]},
+                "ab": {"$abs": {"$subtract": ["$l_quantity", 25]}},
+                "fl": {"$floor": "$l_extendedprice"},
+                "ce": {"$ceil": "$l_extendedprice"},
+                "lg": {"$round": [{"$ln": "$l_extendedprice"}, 6]},
+            }},
+        ],
+    )
+)
+
+_register(
+    "expr_cond_switch",
+    """SELECT o_orderkey,
+              CASE WHEN o_orderpriority = '1-URGENT' THEN 'hot'
+                   WHEN o_orderpriority = '2-HIGH' THEN 'warm'
+                   ELSE 'cold' END AS klass,
+              CASE WHEN o_totalprice >= 150000 THEN 'big' ELSE 'small' END AS sz,
+              coalesce(NULL, o_orderstatus) AS st
+       FROM orders""",
+)(
+    _pipe(
+        "orders",
+        [
+            {"$project": {
+                "o_orderkey": 1,
+                "klass": {"$switch": {"branches": [
+                    {"case": {"$eq": ["$o_orderpriority", "1-URGENT"]}, "then": "hot"},
+                    {"case": {"$eq": ["$o_orderpriority", "2-HIGH"]}, "then": "warm"},
+                ], "default": "cold"}},
+                "sz": {"$cond": [{"$gte": ["$o_totalprice", 150000]}, "big", "small"]},
+                "st": {"$ifNull": ["$missing_field", "$o_orderstatus"]},
+            }},
+        ],
+    )
+)
+
+_register(
+    "expr_dates",
+    """SELECT o_orderkey,
+              CAST(year(o_orderdate) AS INT) AS y,
+              CAST(month(o_orderdate) AS INT) AS m,
+              CAST(dayofmonth(o_orderdate) AS INT) AS d,
+              CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+              strftime(o_orderdate, '%Y-%m') AS ym,
+              CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT)
+                  AS days_since
+       FROM orders""",
+)(
+    _pipe(
+        "orders",
+        [
+            {"$project": {
+                "o_orderkey": 1,
+                "y": {"$year": "$o_orderdate"},
+                "m": {"$month": "$o_orderdate"},
+                "d": {"$dayOfMonth": "$o_orderdate"},
+                "dow": {"$dayOfWeek": "$o_orderdate"},
+                "ym": {"$dateToString": {"date": "$o_orderdate", "format": "%Y-%m"}},
+                "days_since": {"$dateDiff": {
+                    "startDate": {"$dateFromString": {"dateString": "1995-01-01"}},
+                    "endDate": "$o_orderdate", "unit": "day"}},
+            }},
+        ],
+    )
+)
+
+_register(
+    "expr_arrays",
+    f"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n,
+              {_r("CAST(embedding[1] AS DOUBLE)", 5)} AS first,
+              {_r("list_sum(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)))", 5)} AS s3
+       FROM embeddings""",
+)(
+    _pipe(
+        "embeddings",
+        [
+            {"$project": {
+                "vec_id": 1,
+                "n": {"$toLong": {"$size": "$embedding"}},
+                "first": {"$round": [{"$toDouble": {"$first": "$embedding"}}, 5]},
+                "s3": {"$round": [{"$reduce": {
+                    "input": {"$map": {"input": {"$slice": ["$embedding", 3]},
+                                       "in": {"$toDouble": "$$this"}}},
+                    "initialValue": 0.0,
+                    "in": {"$add": ["$$value", "$$this"]}}}, 5]},
+            }},
+        ],
+    )
+)
+
+# =====================================================================
+# Beyond-reference data-pipeline operators
+# =====================================================================
+
+_register(
+    "dedup_exact",
+    """SELECT doc_id, n_chars FROM (
+         SELECT doc_id, n_chars,
+                row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         FROM documents) WHERE rn = 1""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$dedupExact": {"keys": ["$lang"], "keepBy": "$doc_id"}},
+            {"$project": {"doc_id": 1, "n_chars": 1}},
+        ],
+    )
+)
+
+_register(
+    "fingerprint",
+    r"""SELECT doc_id,
+              md5(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+       FROM documents""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$fingerprint": {"input": "$text", "as": "fp"}},
+            {"$project": {"doc_id": 1, "fp": 1}},
+        ],
+    )
+)
+
+_register(
+    "token_count",
+    r"""SELECT doc_id,
+              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws,
+              CAST(len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+                   AS BIGINT) AS n_bpe
+       FROM documents""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$tokenCount": {"input": "$text", "as": "n_ws", "mode": "whitespace"}},
+            {"$tokenCount": {"input": "$text", "as": "n_bpe", "mode": "bpe"}},
+            {"$project": {"doc_id": 1, "n_ws": 1, "n_bpe": 1}},
+        ],
+    )
+)
+
+_LANG_SQL_HITS = ", ".join(
+    "len(list_filter(string_split_regex(lower(text), '[^a-z]+'), "
+    f"w -> w IN ({', '.join(repr(w) for w in ws)}))) AS hits_{lang}"
+    for lang, ws in {
+        "en": ["the", "of", "and", "to", "in", "is", "it", "that", "was", "for"],
+        "de": ["der", "die", "das", "und", "ist", "von", "nicht", "mit", "ein", "zu"],
+        "fr": ["le", "la", "les", "de", "et", "est", "un", "une", "que", "pour"],
+        "es": ["el", "la", "los", "de", "y", "es", "un", "una", "que", "por"],
+    }.items()
+)
+
+_register(
+    "lang_id",
+    f"""WITH h AS (SELECT doc_id, {_LANG_SQL_HITS} FROM documents),
+        b AS (SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+                     greatest(hits_en, hits_de, hits_fr, hits_es) AS best FROM h)
+        SELECT doc_id,
+               CASE WHEN best <= 0 THEN 'und'
+                    WHEN hits_en = best THEN 'en'
+                    WHEN hits_de = best THEN 'de'
+                    WHEN hits_fr = best THEN 'fr'
+                    WHEN hits_es = best THEN 'es'
+                    ELSE 'und' END AS lang_pred
+        FROM b""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$langId": {"input": "$text", "as": "lang_pred"}},
+            {"$project": {"doc_id": 1, "lang_pred": 1}},
+        ],
+    )
+)
+
+_register(
+    "quality_score",
+    """SELECT doc_id,
+          round((
+            least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+            + coalesce(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       AS DOUBLE) / CAST(length(text) AS DOUBLE), 0.0)
+            + coalesce(1.0 - least(CAST(length(regexp_replace(text, '[^.,;:!?]',
+                       '', 'g')) AS DOUBLE) * 10.0 / CAST(length(text) AS DOUBLE),
+                       1.0), 1.0)
+            + CASE WHEN CAST(length(text) AS DOUBLE)
+                        / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                        BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END
+          ) / 4.0, 6) AS quality
+       FROM documents""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$qualityScore": {"input": "$text", "as": "quality"}},
+            {"$project": {"doc_id": 1, "quality": 1}},
+        ],
+    )
+)
+
+from pincette_mongo_streams_spark.functions.datapipe import (  # noqa: E402
+    MINHASH_P,
+    minhash_coeffs,
+)
+
+_MINHASH_SIG_TERMS = ", ".join(
+    f"list_min(list_transform(bh, h -> ({a} * h + {b}) % {MINHASH_P}))"
+    for a, b in minhash_coeffs(32)
+)
+
+_MINHASH_SQL_SIG = f"""
+WITH w AS (SELECT doc_id, lang,
+                  string_split_regex(lower(text), '\\s+') AS words FROM documents),
+s AS (SELECT doc_id, lang,
+             list_distinct([array_to_string(words[j:j+2], ' ')
+                            FOR j IN range(1, greatest(len(words) - 1, 1))]) AS sh
+      FROM w),
+bhh AS (SELECT doc_id, lang,
+               list_transform(sh, s ->
+                   ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT % {MINHASH_P}) AS bh
+        FROM s),
+sig AS (SELECT doc_id, lang, [{_MINHASH_SIG_TERMS}] AS sig FROM bhh)
+"""
+
+_register(
+    "minhash_signature",
+    _MINHASH_SQL_SIG + "SELECT doc_id, sig FROM sig",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$minhash": {"input": "$text", "as": "sig", "shingle": 3, "numHashes": 32}},
+            {"$project": {"doc_id": 1, "sig": 1}},
+        ],
+    )
+)
+
+_register(
+    "minhash_dedup",
+    _MINHASH_SQL_SIG
+    + """,
+buckets AS (SELECT doc_id,
+                   unnest([md5(b::VARCHAR || ',' || sig[b*4+1:b*4+4]::VARCHAR)
+                           FOR b IN range(0, 8)]) AS bucket
+            FROM sig),
+keepers AS (SELECT bucket, min(doc_id) AS keep FROM buckets GROUP BY bucket),
+dups AS (SELECT DISTINCT b.doc_id FROM buckets b
+         JOIN keepers k USING (bucket) WHERE b.doc_id != k.keep)
+SELECT doc_id, lang FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dups)""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$minhashDedup": {"input": "$text", "id": "doc_id",
+                               "shingle": 3, "numHashes": 32, "bands": 8}},
+            {"$project": {"doc_id": 1, "lang": 1}},
+        ],
+    )
+)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    hashes = (
+        "list_transform(list_distinct([words[j] "
+        "FOR j IN range(1, len(words) + 1)]), s -> "
+        "('0x' || substr(md5('0:' || s), 1, 15))::BIGINT)"
+    )
+    terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> {j}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(bits)
+    )
+    return f"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
+           FROM documents),
+hh AS (SELECT doc_id, {hashes} AS h FROM w)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM hh"""
+
+
+_register("simhash", _simhash_sql(16))(
+    _pipe(
+        "documents",
+        [
+            {"$simhash": {"input": "$text", "as": "simhash", "shingle": 1, "bits": 16}},
+            {"$project": {"doc_id": 1, "simhash": 1}},
+        ],
+    )
+)
+
+_register(
+    "ngram_jaccard_dedup",
+    """
+WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
+           FROM documents),
+s AS (SELECT doc_id,
+             list_distinct([array_to_string(words[j:j+2], ' ')
+                            FOR j IN range(1, greatest(len(words) - 1, 1))]) AS sh
+      FROM w),
+inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+          FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+sizes AS (SELECT doc_id, len(sh) AS n FROM s),
+dups AS (SELECT DISTINCT p.idb FROM pairs p
+         JOIN sizes sa ON sa.doc_id = p.ida
+         JOIN sizes sb ON sb.doc_id = p.idb
+         WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5)
+SELECT doc_id, lang FROM documents WHERE doc_id NOT IN (SELECT idb FROM dups)""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$ngramJaccardDedup": {"input": "$text", "id": "doc_id",
+                                    "n": 2, "threshold": 0.5}},
+            {"$project": {"doc_id": 1, "lang": 1}},
+        ],
+    )
+)
+
+_register(
+    "embed_dedup",
+    """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+             list_cosine_similarity(a.e, b.e) AS c
+      FROM v a JOIN v b ON a.vec_id < b.vec_id),
+dups AS (SELECT DISTINCT ib FROM p WHERE c >= 0.3)
+SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT ib FROM dups)""",
+)(
+    _pipe(
+        "embeddings",
+        [
+            {"$embedDedup": {"input": "$embedding", "id": "vec_id", "threshold": 0.3}},
+            {"$project": {"vec_id": 1, "label": 1}},
+        ],
+    )
+)
+
+_register(
+    "ann_topk",
+    f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+s AS (SELECT query_id, v.vec_id AS corpus_id,
+             list_cosine_similarity(v.e, qe) AS sc
+      FROM v CROSS JOIN q),
+r AS (SELECT query_id, corpus_id, {_r("sc", 4)} AS score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sc DESC, corpus_id) AS rank
+      FROM s)
+SELECT query_id, corpus_id, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5""",
+)(
+    _pipe(
+        "embeddings",
+        [
+            {"$annTopK": {"queries": "queries", "input": "$embedding",
+                          "id": "vec_id", "k": 5}},
+            {"$project": {"query_id": 1, "corpus_id": 1,
+                          "score": {"$round": ["$score", 4]},
+                          "rank": {"$toLong": "$rank"}}},
+        ],
+        collections={
+            "queries": lambda t: t["embeddings"].filter(F.col("vec_id") < 10).select(
+                F.col("vec_id").alias("query_id"), "embedding")
+        },
+    )
+)
+
+
+def _decode_media_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = _load(spark, sf_dir)
+    docs = tables["documents"].withColumn("content", F.encode(F.col("text"), "UTF-8"))
+    ctx = Context(spark=spark)
+    pipeline = [
+        {"$decodeMedia": {"input": "$content", "as": "features", "op": "meta"}},
+        {"$project": {"doc_id": 1, "n_bytes": "$features.n_bytes",
+                      "checksum": "$features.checksum"}},
+    ]
+    return compile_pipeline(pipeline, ctx)(docs)
+
+
+_register(
+    "decode_media_meta",
+    """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+              md5(text) AS checksum
+       FROM documents""",
+)(_decode_media_query)
+
+_register(
+    "ann_lsh_buckets",
+    None,  # seeded-hyperplane bucket assignment: verified rows-only (the
+    # md5-derived plane constants are generated code — no concise SQL twin)
+)(
+    _pipe(
+        "embeddings",
+        [
+            {"$annLsh": {"input": "$embedding", "as": "bucket", "bits": 8, "dim": 64}},
+            {"$project": {"vec_id": 1, "bucket": 1}},
+        ],
+    )
+)
+
+
+# =====================================================================
+# driver API
+# =====================================================================
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    tables = _load(spark, "/root/testdata/sf0.001")
+    ctx = Context(spark=spark)
+    pipeline = [
+        {"$match": {"l_shipdate": {"$lt": "1998-09-02"}}},
+        {"$addFields": {"revenue": {"$multiply": [
+            "$l_extendedprice", {"$subtract": [1, "$l_discount"]}]}}},
+        {"$group": {"_id": "$l_returnflag",
+                    "sum_qty": {"$sum": "$l_quantity"},
+                    "sum_rev": {"$sum": "$revenue"},
+                    "avg_qty": {"$avg": "$l_quantity"},
+                    "n": {"$count": {}}}},
+        {"$addFields": {"sum_qty": {"$round": ["$sum_qty", 2]},
+                        "sum_rev": {"$round": ["$sum_rev", 2]},
+                        "avg_qty": {"$round": ["$avg_qty", 4]}}},
+    ]
+    return compile_pipeline(pipeline, ctx)(tables["lineitem"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _REGISTRY.items() if sql is not None}

@@ -1,0 +1,93 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query executes fully through the noop sink (no driver-side collect
+cost); timings include Catalyst planning, which is part of the product.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "match_basic",          # pushdown filter scan
+    "project_compute",      # expression-heavy projection
+    "group_accumulators",   # hash aggregate (TPC-H Q1 shape)
+    "group_addtoset",       # agg with set collection
+    "bucket",               # switch-desugared aggregation
+    "lookup_array_size",    # broadcast-grouped join
+    "lookup_pipeline",      # correlated sub-pipeline join
+    "deduplicate",          # window dedup
+    "expr_math",            # scalar function soup
+    "fingerprint",          # text normalization + md5
+    "token_count",          # regex counting
+    "minhash_signature",    # 32-hash signatures, HOF-only
+    "simhash",              # bit-vote hashing
+    "ann_topk",             # broadcast brute-force ANN
+    "dedup_exact",          # hash-partitioned exact dedup
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("pincette_mongo_streams_spark_bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    # best-of-2: the host is shared, and occasional multi-second GC /
+    # contention spikes otherwise dominate sub-second queries
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

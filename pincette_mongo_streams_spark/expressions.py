@@ -249,12 +249,19 @@ OPERATORS["$pow"] = lambda raw, ctx: F.pow(_c(_args(raw, 2)[0], ctx), _c(_args(r
 
 @_op("$round")
 def _round(raw: Any, ctx: ExprContext) -> Column:
+    """Half-up rounding as pure double arithmetic
+    (``floor(x*10^p + 0.5)/10^p``) so results are bit-identical across
+    engines (Spark's BigDecimal HALF_UP and DuckDB's round disagree on
+    boundary halves of doubles — oracle parity requires one formula)."""
     a = _args(raw)
-    x = _c(a[0], ctx)
-    p = _c(a[1], ctx) if len(a) > 1 else F.lit(0)
+    x = _c(a[0], ctx).cast("double")
     if len(a) > 1 and isinstance(a[1], int):
-        return F.round(x, a[1])
-    return F.round(x, 0) if len(a) == 1 else F.call_function("round", x, p)
+        scale = F.lit(float(10 ** a[1]))
+    elif len(a) > 1:
+        scale = F.pow(F.lit(10.0), _c(a[1], ctx))
+    else:
+        scale = F.lit(1.0)
+    return F.floor(x * scale + F.lit(0.5)) / scale
 
 
 @_op("$trunc")

@@ -47,12 +47,40 @@ def md5_long(col: Column, seed: int) -> Column:
     ).cast("long")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a compute-bound stage out to all cores.  Small files arrive as a
+    single scan partition (one 500 KB parquet = one task), serializing
+    per-row-heavy hash/regex work; a cheap round-robin repartition fixes
+    that.  Gated so large inputs (already many partitions at 100 TB) are
+    never reshuffled."""
+    try:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, parallelism // 2):
+            return df.repartition(parallelism)
+    except Exception:
+        pass
+    return df
+
+
+def _seeded_hasher(seed: int):
+    """Bind the hash seed via closure — a ``lambda s, i=i:`` default arg
+    would change the lambda's arity and make pyspark pass the array index
+    as the second argument."""
+
+    def h(s: Column) -> Column:
+        return md5_long(s, seed)
+
+    return h
+
+
 def word_shingles(col: Column, n: int) -> Column:
     """Distinct word n-grams of a lowercased text column — computed with
     higher-order functions only (row-local, codegen-friendly)."""
     words = F.split(F.lower(col), "\\s+")
     k = F.size(words) - F.lit(n - 1)
-    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
+    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
     )
@@ -93,24 +121,67 @@ def dedup_exact_stage(expression: Any, ctx: Context) -> StageFn:
 
 # ------------------------------------------------------------ MinHash/LSH
 
+MINHASH_P = (1 << 31) - 1  # Mersenne prime: products stay under 2^62
+
+
+def minhash_coeffs(num: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_i, b_i), shared with the
+    oracle SQL generator."""
+    return [
+        ((i * 2654435761 + 1) % MINHASH_P or 1, (i * 40503 + 7) % MINHASH_P)
+        for i in range(num)
+    ]
+
+
+def minhash_bases(text: Column, n: int) -> Column:
+    """One md5-derived base hash per distinct shingle (the expensive part,
+    computed exactly once)."""
+    sh = word_shingles(text, n)
+    return F.transform(sh, lambda s: md5_long(s, 0) % F.lit(MINHASH_P))
+
+
+def minhash_sig_from_bases(bases: Column, num: int) -> Column:
+    """num cheap (a*h+b) mod P permutations over the materialized base-hash
+    array; each term is a tiny codegen-friendly transform+min.  (Chaining
+    the md5 inside every term would recompute it num times; folding with
+    nested zip_with drops out of codegen — both measured much slower.)"""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    bases,
+                    (lambda a_, b_: lambda h: (F.lit(a_) * h + F.lit(b_))
+                     % F.lit(MINHASH_P))(a, b),
+                )
+            )
+            for a, b in minhash_coeffs(num)
+        ]
+    )
+
+
+def minhash_signature(text: Column, n: int, num: int) -> Column:
+    return minhash_sig_from_bases(minhash_bases(text, n), num)
+
 
 @register_stage("$minhash")
 def minhash_stage(expression: Any, ctx: Context) -> StageFn:
     """Add a MinHash signature column: ``{input, as, shingle: n, numHashes}``.
-    Signature i = min over shingles of md5(seed_i || shingle).  Row-local,
-    no shuffle."""
+    Row-local, no shuffle, single pass over the shingles."""
     inp = expression["input"]
     as_field = expression.get("as", "minhash")
     n = int(expression.get("shingle", 3))
     num = int(expression.get("numHashes", 32))
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        df = _spread(df)
         text = compile_expr(inp, ExprContext(schema=df.schema))
-        sh = word_shingles(text, n)
-        sig = F.array(
-            *[F.array_min(F.transform(sh, lambda s, i=i: md5_long(s, i))) for i in range(num)]
+        # two steps so the 32 permutation terms reference the materialized
+        # base array (multi-referenced aliases survive CollapseProject)
+        return (
+            df.withColumn("__mh_bases", minhash_bases(text, n))
+            .withColumn(as_field, minhash_sig_from_bases(F.col("__mh_bases"), num))
+            .drop("__mh_bases")
         )
-        return df.withColumn(as_field, sig)
 
     return fn
 
@@ -134,17 +205,18 @@ def minhash_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     rows_per_band = num // bands
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        df = _spread(df)
         text = compile_expr(inp, ExprContext(schema=df.schema))
-        sh = word_shingles(text, n)
-        sig = F.array(
-            *[F.array_min(F.transform(sh, lambda s, i=i: md5_long(s, i))) for i in range(num)]
-        )
         band_hash = [
             F.md5(F.concat_ws(",", *[F.lit(b), F.slice(F.col("__sig"), b * rows_per_band + 1,
                                                        rows_per_band).cast("string")]))
             for b in range(bands)
         ]
-        with_sig = df.withColumn("__sig", sig)
+        with_sig = (
+            df.withColumn("__mh_bases", minhash_bases(text, n))
+            .withColumn("__sig", minhash_sig_from_bases(F.col("__mh_bases"), num))
+            .drop("__mh_bases")
+        )
         buckets = with_sig.select(
             F.col(id_field).alias("__did"), F.explode(F.array(*band_hash)).alias("__bucket")
         )
@@ -174,21 +246,33 @@ def simhash_stage(expression: Any, ctx: Context) -> StageFn:
     bits = int(expression.get("bits", 16))
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        df = _spread(df)
         text = compile_expr(inp, ExprContext(schema=df.schema))
         sh = word_shingles(text, n)
-        hashes = F.transform(sh, lambda s: md5_long(s, 0))
-        bit_cols = []
-        for j in range(bits):
-            votes = F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h, j=j: acc
-                + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+
+        # one fold: per shingle, a ±1 vote vector over all bits, summed
+        # elementwise (per-bit aggregates would re-inline the shingle expr)
+        def votes_of(s: Column) -> Column:
+            h = md5_long(s, 0)
+            return F.array(
+                *[
+                    F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+                           F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long"))
+                    for j in range(bits)
+                ]
             )
-            bit_cols.append(F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0)))
-        value = bit_cols[0]
-        for j in range(1, bits):
-            value = value + F.shiftleft(bit_cols[j], j)
+
+        init = F.array_repeat(F.lit(0).cast("long"), bits)
+        votes = F.aggregate(
+            sh, init, lambda acc, s: F.zip_with(acc, votes_of(s), lambda x, y: x + y)
+        )
+        powers = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+        value = F.aggregate(
+            F.zip_with(votes, powers,
+                       lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
         return df.withColumn(as_field, value)
 
     return fn
@@ -211,6 +295,7 @@ def ngram_jaccard_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     threshold = float(expression.get("threshold", 0.8))
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        df = _spread(df)
         text = compile_expr(inp, ExprContext(schema=df.schema))
         with_sh = df.withColumn("__sh", word_shingles(text, n))
         docs = with_sh.select(F.col(id_field).alias("__did"), "__sh")
@@ -379,7 +464,7 @@ def lang_id_stage(expression: Any, ctx: Context) -> StageFn:
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         text = compile_expr(inp, ExprContext(schema=df.schema))
-        words = F.split(F.lower(text), "[^\\p{L}]+")
+        words = F.split(F.lower(text), "[^a-z]+")
         scores = {lang: _stopword_hits(words, lang) for lang in _STOPWORDS}
         best = F.greatest(*scores.values())
         expr = F.lit("und")
@@ -434,7 +519,7 @@ def token_count_stage(expression: Any, ctx: Context) -> StageFn:
             count = F.size(F.split(F.trim(text), "\\s+"))
         elif mode == "bpe":
             pattern = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
-            count = F.regexp_count(text, pattern)
+            count = F.regexp_count(text, F.lit(pattern))
         else:
             raise ValueError(f"bad token mode {mode}")
         return df.withColumn(as_field, count.cast("long"))
@@ -451,6 +536,7 @@ def fingerprint_stage(expression: Any, ctx: Context) -> StageFn:
     as_field = expression.get("as", "fingerprint")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        df = _spread(df)
         text = compile_expr(inp, ExprContext(schema=df.schema))
         norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(text),
                                                         "[^a-z0-9\\s]", ""), "\\s+", " "))

@@ -282,7 +282,11 @@ _DESCEND = "__DESCEND__"
 
 
 def _redact_ctx(schema: T.StructType | None, base: Column | None) -> ExprContext:
+    from ..paths import has_path
+
     def resolver(parts: list[str]) -> Column:
+        if schema is not None and not has_path(schema, parts):
+            return F.lit(None)  # missing at this level (Mongo "missing")
         if base is None:
             return nested_col(parts)
         return nested_col(parts, base)
