@@ -1,0 +1,178 @@
+"""Structured Streaming parity tests (SURVEY.md §5: the reference asserts
+exact *emission sequences* for stateful stages — TestGroup.java:25-28).
+
+Micro-batch boundaries are made deterministic with a file source +
+``maxFilesPerTrigger=1`` + ``availableNow`` trigger: each input file becomes
+one micro-batch, ordered by file modification time, so emission sequences
+are reproducible.  The foreachBatch sink collects per-epoch outputs for
+assertion — the streaming analog of the reference's output-list collector
+(Base.java:68-97)."""
+
+import json
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pincette_mongo_streams_spark import Context
+from pincette_mongo_streams_spark.streaming.runtime import run_streaming
+
+
+def _write_batches(dirpath: str, batches: list[list[dict]]) -> None:
+    """One JSON file per micro-batch, mtimes strictly increasing so the
+    file source processes them in order."""
+    os.makedirs(dirpath, exist_ok=True)
+    base = time.time() - len(batches) * 10
+    for i, docs in enumerate(batches):
+        path = os.path.join(dirpath, f"batch{i}.json")
+        with open(path, "w") as f:
+            for doc in docs:
+                f.write(json.dumps(doc) + "\n")
+        os.utime(path, (base + i * 10, base + i * 10))
+
+
+def _run(spark, tmpdir, schema, batches, pipeline, ctx=None, **kw):
+    """Run `pipeline` over the batches as a stream; return the list of
+    per-epoch emission lists (each a list of row dicts)."""
+    in_dir = os.path.join(tmpdir, "in")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    shutil.rmtree(in_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    _write_batches(in_dir, batches)
+    source = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in_dir)
+    )
+    emissions: list[list[dict]] = []
+
+    def sink(batch_df, epoch):
+        rows = [r.asDict(recursive=True) for r in batch_df.collect()]
+        emissions.append(rows)
+
+    ctx = ctx or Context(spark=spark)
+    q = run_streaming(
+        source,
+        pipeline,
+        ctx,
+        sink,
+        trigger={"availableNow": True},
+        checkpoint=ckpt,
+        **kw,
+    )
+    q.awaitTermination(120)
+    return emissions
+
+
+@pytest.fixture
+def tmpdir(tmp_path):
+    return str(tmp_path)
+
+
+def test_group_update_mode_emits_changed_groups(spark, tmpdir):
+    """$group in streaming = update output mode: each micro-batch emits the
+    full current doc of every group touched in that batch, and only those
+    (Group.java:423-430 per-message emission, coarsened to per-micro-batch —
+    the documented granularity deviation in SURVEY.md §2.4)."""
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    batches = [
+        [{"k": "a", "v": 1}, {"k": "b", "v": 2}],
+        [{"k": "a", "v": 3}],  # only group a changes
+    ]
+    pipeline = [{"$group": {"_id": "$k", "total": {"$sum": "$v"}}}]
+    emissions = _run(spark, tmpdir, schema, batches, pipeline)
+    assert len(emissions) == 2
+    first = sorted(emissions[0], key=lambda r: r["_id"])
+    assert first == [{"_id": "a", "total": 1}, {"_id": "b", "total": 2}]
+    # second batch: only the changed group, with its FULL updated state
+    assert emissions[1] == [{"_id": "a", "total": 4}]
+
+
+def test_count_streaming_running_total(spark, tmpdir):
+    """$count emits the running count as input arrives (TestCount.java:23-25
+    outputs 1 then 2)."""
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    batches = [[{"v": 1}], [{"v": 2}], [{"v": 3}]]
+    pipeline = [{"$count": "n"}]
+    emissions = _run(spark, tmpdir, schema, batches, pipeline)
+    counts = [rows[0]["n"] for rows in emissions if rows]
+    assert counts == [1, 2, 3]
+
+
+def test_deduplicate_state_spans_micro_batches(spark, tmpdir):
+    """$deduplicate keeps state in the state store: a value seen in batch 1
+    is dropped in batch 2 (the reference's Mongo collection layer,
+    Deduplicate.java:118-139)."""
+    schema = T.StructType(
+        [T.StructField("_id", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    batches = [
+        [{"_id": "m1", "v": 10}, {"_id": "m2", "v": 20}],
+        [{"_id": "m3", "v": 10}, {"_id": "m4", "v": 30}],  # 10 is a dup
+    ]
+    pipeline = [{"$deduplicate": "$v"}]
+    emissions = _run(spark, tmpdir, schema, batches, pipeline)
+    flat = [r["v"] for rows in emissions for r in rows]
+    assert sorted(flat) == [10, 20, 30]
+    # batch 2 emitted only the unseen value
+    assert [r["v"] for r in emissions[1]] == [30]
+
+
+def test_stateless_append_mode(spark, tmpdir):
+    """$match/$addFields fold into the streaming plan (append mode), one
+    emission per batch with the transform applied."""
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    batches = [
+        [{"k": "keep", "v": 1}, {"k": "drop", "v": 2}],
+        [{"k": "keep", "v": 3}],
+    ]
+    pipeline = [
+        {"$match": {"k": "keep"}},
+        {"$addFields": {"doubled": {"$multiply": ["$v", 2]}}},
+    ]
+    emissions = _run(spark, tmpdir, schema, batches, pipeline)
+    assert [r["doubled"] for r in emissions[0]] == [2]
+    assert [r["doubled"] for r in emissions[1]] == [6]
+
+
+def test_send_routes_and_drops_in_stream(spark, tmpdir):
+    """$send runs inside foreachBatch: rows with a resolvable topic go to
+    the producer and leave the stream (Send.java:36-68)."""
+    schema = T.StructType(
+        [T.StructField("t", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    batches = [
+        [{"t": "topic-a", "v": 1}, {"t": None, "v": 2}],
+        [{"t": "topic-b", "v": 3}],
+    ]
+    sent: list[tuple] = []
+    ctx = Context(spark=spark, producer=lambda t, k, v: sent.append((t, v["v"])))
+    pipeline = [{"$send": {"topic": "$t"}}]
+    emissions = _run(spark, tmpdir, schema, batches, pipeline, ctx=ctx)
+    assert sorted(sent) == [("topic-a", 1), ("topic-b", 3)]
+    # only the unroutable row survives the stream
+    flat = [r["v"] for rows in emissions for r in rows]
+    assert flat == [2]
+
+
+def test_group_then_match_on_aggregate(spark, tmpdir):
+    """Post-aggregation stages run per emission on the updated groups."""
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    batches = [
+        [{"k": "a", "v": 5}, {"k": "b", "v": 1}],
+        [{"k": "b", "v": 9}],
+    ]
+    pipeline = [
+        {"$group": {"_id": "$k", "total": {"$sum": "$v"}}},
+        {"$match": {"total": {"$gte": 5}}},
+    ]
+    emissions = _run(spark, tmpdir, schema, batches, pipeline)
+    assert [r["_id"] for r in emissions[0]] == ["a"]  # b=1 filtered
+    assert emissions[1] == [{"_id": "b", "total": 10}]
