@@ -742,6 +742,98 @@ _register(
     )
 )
 
+_register(
+    "expr_superset",
+    f"""SELECT l_orderkey, l_linenumber,
+               {_r("l_quantity + l_discount + l_tax", 4)} AS tot,
+               list_slice(list_reverse_sort([l_quantity, l_discount, l_tax]),
+                          1, 2) AS mx2,
+               {_r("sin(l_discount)", 6)} AS sn
+        FROM lineitem WHERE l_linenumber = 1""",
+)(
+    _pipe(
+        "lineitem",
+        [
+            {"$match": {"l_linenumber": 1}},
+            {"$addFields": {"vals": ["$l_quantity", "$l_discount", "$l_tax"]}},
+            {"$project": {
+                "l_orderkey": 1, "l_linenumber": 1,
+                "tot": {"$round": [{"$sum": "$vals"}, 4]},
+                "mx2": {"$maxN": {"input": "$vals", "n": 2}},
+                "sn": {"$round": [{"$sin": "$l_discount"}, 6]},
+            }},
+        ],
+    )
+)
+
+_register(
+    "regex_find_all",
+    """SELECT doc_id,
+              regexp_extract_all(text, '[A-Z][a-z]+') AS caps,
+              CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT)
+                AS n_caps
+       FROM documents""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$addFields": {"caps": {"$regexFindAll": {
+                "input": "$text", "regex": "[A-Z][a-z]+"}}}},
+            {"$project": {"doc_id": 1, "caps": 1,
+                          "n_caps": {"$toLong": {"$size": "$caps"}}}},
+        ],
+    )
+)
+
+_register(
+    "group_topn",
+    """SELECT o_orderpriority AS _id,
+              max(o_totalprice) AS hi, min(o_totalprice) AS lo,
+              list_slice(list_reverse_sort(list(o_totalprice)), 1, 3) AS top3
+       FROM orders GROUP BY o_orderpriority""",
+)(
+    _pipe(
+        "orders",
+        [
+            {"$group": {
+                "_id": "$o_orderpriority",
+                "hi": {"$top": {"sortBy": {"o_totalprice": -1},
+                                 "output": "$o_totalprice"}},
+                "lo": {"$bottom": {"sortBy": {"o_totalprice": -1},
+                                    "output": "$o_totalprice"}},
+                "top3": {"$topN": {"sortBy": {"o_totalprice": -1},
+                                    "output": "$o_totalprice", "n": 3}},
+            }},
+        ],
+    )
+)
+
+_register(
+    "group_median_percentile",
+    f"""SELECT l_returnflag AS _id,
+               {_r("median(l_quantity)", 4)} AS med,
+               list_transform(quantile_cont(l_quantity, [0.25, 0.75]),
+                              p -> floor(p * 1e4 + 0.5) / 1e4) AS pct
+        FROM lineitem GROUP BY l_returnflag""",
+)(
+    _pipe(
+        "lineitem",
+        [
+            {"$group": {
+                "_id": "$l_returnflag",
+                "med": {"$median": {"input": "$l_quantity"}},
+                "pct": {"$percentile": {"input": "$l_quantity",
+                                         "p": [0.25, 0.75]}},
+            }},
+            {"$addFields": {
+                "med": {"$round": ["$med", 4]},
+                "pct": {"$map": {"input": "$pct", "as": "p",
+                                  "in": {"$round": ["$$p", 4]}}},
+            }},
+        ],
+    )
+)
+
 # =====================================================================
 # Beyond-reference data-pipeline operators
 # =====================================================================

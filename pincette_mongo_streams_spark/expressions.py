@@ -878,3 +878,129 @@ def _lit_deep(v: Any) -> Column:
     if isinstance(v, dict):
         return F.struct(*[_lit_deep(val).alias(k) for k, val in v.items()])
     return F.lit(v)
+
+
+# ------------------------------------------- superset: remaining MongoDB ops
+# (operators beyond what the reference's fixtures witness, completing the
+# public aggregation-expression surface — SURVEY.md §2.3a target list)
+
+OPERATORS["$sin"] = lambda raw, ctx: F.sin(_c(_args(raw)[0], ctx))
+OPERATORS["$cos"] = lambda raw, ctx: F.cos(_c(_args(raw)[0], ctx))
+OPERATORS["$tan"] = lambda raw, ctx: F.tan(_c(_args(raw)[0], ctx))
+OPERATORS["$asin"] = lambda raw, ctx: F.asin(_c(_args(raw)[0], ctx))
+OPERATORS["$acos"] = lambda raw, ctx: F.acos(_c(_args(raw)[0], ctx))
+OPERATORS["$atan"] = lambda raw, ctx: F.atan(_c(_args(raw)[0], ctx))
+OPERATORS["$atan2"] = lambda raw, ctx: F.atan2(
+    _c(_args(raw, 2)[0], ctx), _c(_args(raw, 2)[1], ctx)
+)
+OPERATORS["$sinh"] = lambda raw, ctx: F.sinh(_c(_args(raw)[0], ctx))
+OPERATORS["$cosh"] = lambda raw, ctx: F.cosh(_c(_args(raw)[0], ctx))
+OPERATORS["$tanh"] = lambda raw, ctx: F.tanh(_c(_args(raw)[0], ctx))
+OPERATORS["$degreesToRadians"] = lambda raw, ctx: F.radians(_c(_args(raw)[0], ctx))
+OPERATORS["$radiansToDegrees"] = lambda raw, ctx: F.degrees(_c(_args(raw)[0], ctx))
+
+# documented deviation: on a fixed-schema engine numeric-looking strings
+# try_cast successfully; Mongo's $isNumber checks the BSON type tag instead
+OPERATORS["$isNumber"] = lambda raw, ctx: _c(_args(raw)[0], ctx).try_cast(
+    "double"
+).isNotNull()
+
+
+@_op("$sortArray")
+def _sort_array(raw: Any, ctx: ExprContext) -> Column:
+    inp = _c(raw["input"], ctx)
+    by = raw.get("sortBy", 1)
+    if isinstance(by, dict):
+        raise NotImplementedError(
+            "$sortArray field-wise sortBy: sort on a projected key instead"
+        )
+    return F.array_sort(inp) if by == 1 else F.reverse(F.array_sort(inp))
+
+
+@_op("$firstN")
+def _first_n(raw: Any, ctx: ExprContext) -> Column:
+    return F.slice(_c(raw["input"], ctx), 1, _c(raw["n"], ctx))
+
+
+@_op("$lastN")
+def _last_n(raw: Any, ctx: ExprContext) -> Column:
+    inp = _c(raw["input"], ctx)
+    n = _c(raw["n"], ctx)
+    start = F.greatest(F.size(inp) - n + 1, F.lit(1))
+    return F.slice(inp, start, n)
+
+
+@_op("$maxN")
+def _max_n(raw: Any, ctx: ExprContext) -> Column:
+    return F.slice(F.reverse(F.array_sort(_c(raw["input"], ctx))), 1, _c(raw["n"], ctx))
+
+
+@_op("$minN")
+def _min_n(raw: Any, ctx: ExprContext) -> Column:
+    return F.slice(F.array_sort(_c(raw["input"], ctx)), 1, _c(raw["n"], ctx))
+
+
+def _numeric_array(raw: Any, ctx: ExprContext) -> Column:
+    """Mongo's $sum/$avg/$min/$max in *expression* position take an array
+    (or a single value) and skip non-numerics."""
+    args = raw if isinstance(raw, list) else [raw]
+    arr = _c(args[0], ctx) if len(args) == 1 else F.array(*[_c(a, ctx) for a in args])
+    return F.filter(arr, lambda x: x.try_cast("double").isNotNull())
+
+
+OPERATORS["$sum"] = lambda raw, ctx: F.coalesce(
+    F.aggregate(
+        _numeric_array(raw, ctx),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    ),
+    F.lit(0.0),
+)
+OPERATORS["$avg"] = lambda raw, ctx: (
+    lambda arr: F.when(
+        F.size(arr) > 0,
+        F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+        / F.size(arr),
+    )
+)(_numeric_array(raw, ctx))
+def _array_arg(raw: Any, ctx: ExprContext) -> Column:
+    """Single argument -> it IS the array; multi-arg -> the args form one."""
+    if isinstance(raw, list) and len(raw) > 1:
+        return F.array(*[_c(a, ctx) for a in raw])
+    return _c(raw[0] if isinstance(raw, list) else raw, ctx)
+
+
+OPERATORS["$max"] = lambda raw, ctx: F.array_max(_array_arg(raw, ctx))
+OPERATORS["$min"] = lambda raw, ctx: F.array_min(_array_arg(raw, ctx))
+
+
+@_op("$regexFind")
+def _regex_find(raw: Any, ctx: ExprContext) -> Column:
+    inp = _c(raw["input"], ctx)
+    regex = raw["regex"]
+    if not isinstance(regex, str):
+        raise NotImplementedError("$regexFind needs a literal regex")
+    m = F.regexp_extract(inp, regex, 0)
+    found = F.regexp_like(inp, F.lit(regex))
+    return F.when(
+        found,
+        F.struct(
+            m.alias("match"),
+            (F.regexp_instr(inp, F.lit(regex)) - 1).cast("int").alias("idx"),
+        ),
+    )
+
+
+@_op("$regexFindAll")
+def _regex_find_all(raw: Any, ctx: ExprContext) -> Column:
+    inp = _c(raw["input"], ctx)
+    regex = raw["regex"]
+    if not isinstance(regex, str):
+        raise NotImplementedError("$regexFindAll needs a literal regex")
+    return F.regexp_extract_all(inp, F.lit(regex), 0)
+
+
+OPERATORS["$binarySize"] = lambda raw, ctx: F.octet_length(_c(_args(raw)[0], ctx))
+OPERATORS["$toUUID"] = lambda raw, ctx: _c(_args(raw)[0], ctx).cast("string")
+OPERATORS["$tsSecond"] = lambda raw, ctx: F.unix_timestamp(_c(_args(raw)[0], ctx))
+OPERATORS["$rand"] = lambda raw, ctx: F.rand()

@@ -115,6 +115,62 @@ def compile_accumulator(
         return F.stddev_pop(value).alias(name)
     if op == "$stdDevSamp":
         return F.stddev_samp(value).alias(name)
+    return _compile_accumulator_superset(name, op, arg, ectx, order)
+
+
+def _compile_accumulator_superset(
+    name: str, op: str, arg: Any, ectx: ExprContext, order: Optional[Column]
+) -> Column:
+    """Accumulators beyond the reference's registry (Group.java:106-117),
+    completing MongoDB's public accumulator surface as a superset."""
+    if op in ("$firstN", "$lastN"):
+        value = compile_expr(arg["input"], ectx)
+        n = arg["n"]
+        o = order if order is not None else F.monotonically_increasing_id()
+        ordered = F.transform(
+            F.array_sort(F.collect_list(F.struct(o.alias("o"), value.alias("v")))),
+            lambda s: s.getField("v"),
+        )
+        if op == "$lastN":
+            return F.slice(
+                ordered, F.greatest(F.size(ordered) - n + 1, F.lit(1)), F.lit(n)
+            ).alias(name)
+        return F.slice(ordered, 1, n).alias(name)
+    if op in ("$maxN", "$minN"):
+        value = compile_expr(arg["input"], ectx)
+        n = arg["n"]
+        s = F.array_sort(F.collect_list(value))
+        return F.slice(F.reverse(s) if op == "$maxN" else s, 1, n).alias(name)
+    if op in ("$top", "$bottom", "$topN", "$bottomN"):
+        # sortBy: single {field: 1|-1}; output evaluated per input doc
+        sort_by = arg["sortBy"]
+        if not isinstance(sort_by, dict) or len(sort_by) != 1:
+            raise NotImplementedError(f"{op} supports a single sortBy key")
+        field, direction = next(iter(sort_by.items()))
+        sort_col = compile_expr("$" + field, ectx)
+        out = compile_expr(arg["output"], ectx)
+        if op == "$top":
+            agg = F.min_by(out, sort_col) if direction == 1 else F.max_by(out, sort_col)
+            return agg.alias(name)
+        if op == "$bottom":
+            agg = F.max_by(out, sort_col) if direction == 1 else F.min_by(out, sort_col)
+            return agg.alias(name)
+        n = arg["n"]
+        ordered = F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(sort_col.alias("o"), out.alias("v")))
+            ),
+            lambda s: s.getField("v"),
+        )
+        if (op == "$topN") == (direction == 1):
+            return F.slice(ordered, 1, n).alias(name)
+        return F.slice(F.reverse(ordered), 1, n).alias(name)
+    if op == "$median":
+        return F.median(compile_expr(arg["input"], ectx)).alias(name)
+    if op == "$percentile":
+        value = compile_expr(arg["input"], ectx)
+        ps = arg["p"]
+        return F.percentile(value, F.array(*[F.lit(p) for p in ps])).alias(name)
     raise NotImplementedError(f"unsupported accumulator {op}")
 
 

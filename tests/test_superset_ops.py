@@ -1,0 +1,118 @@
+"""Superset operators beyond the reference's witnessed surface: trig,
+array-N selectors, regex find, array-expression $sum/$avg/$min/$max, and
+the extended accumulator family ($top/$bottom/$topN/$median/$percentile)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pincette_mongo_streams_spark import Context, compile_pipeline
+from pincette_mongo_streams_spark.expressions import ExprContext, compile_expr
+
+
+def _eval(spark, expr, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    col = compile_expr(expr, ExprContext(schema=df.schema))
+    return [r["out"] for r in df.select(col.alias("out")).collect()]
+
+
+def test_trig_family(spark):
+    rows = [(0.5,)]
+    out = _eval(spark, {"$sin": "$x"}, rows, "x double")[0]
+    assert out == pytest.approx(math.sin(0.5))
+    out = _eval(spark, {"$atan2": ["$x", 1.0]}, rows, "x double")[0]
+    assert out == pytest.approx(math.atan2(0.5, 1.0))
+    out = _eval(spark, {"$degreesToRadians": 180}, rows, "x double")[0]
+    assert out == pytest.approx(math.pi)
+
+
+def test_sort_first_last_max_min_n(spark):
+    rows = [([3, 1, 2, 5, 4],)]
+    assert _eval(spark, {"$sortArray": {"input": "$a", "sortBy": 1}}, rows, "a array<int>")[0] == [1, 2, 3, 4, 5]
+    assert _eval(spark, {"$sortArray": {"input": "$a", "sortBy": -1}}, rows, "a array<int>")[0] == [5, 4, 3, 2, 1]
+    assert _eval(spark, {"$firstN": {"input": "$a", "n": 2}}, rows, "a array<int>")[0] == [3, 1]
+    assert _eval(spark, {"$lastN": {"input": "$a", "n": 2}}, rows, "a array<int>")[0] == [5, 4]
+    assert _eval(spark, {"$maxN": {"input": "$a", "n": 2}}, rows, "a array<int>")[0] == [5, 4]
+    assert _eval(spark, {"$minN": {"input": "$a", "n": 2}}, rows, "a array<int>")[0] == [1, 2]
+    # n larger than the array -> whole array
+    assert _eval(spark, {"$lastN": {"input": "$a", "n": 9}}, rows, "a array<int>")[0] == [3, 1, 2, 5, 4]
+
+
+def test_numeric_array_expressions(spark):
+    rows = [([1.0, 2.0, 3.0],)]
+    assert _eval(spark, {"$sum": "$a"}, rows, "a array<double>")[0] == 6.0
+    assert _eval(spark, {"$avg": "$a"}, rows, "a array<double>")[0] == 2.0
+    assert _eval(spark, {"$max": "$a"}, rows, "a array<double>")[0] == 3.0
+    assert _eval(spark, {"$min": "$a"}, rows, "a array<double>")[0] == 1.0
+    # multi-arg form
+    assert _eval(spark, {"$sum": [1, 2, 3]}, rows, "a array<double>")[0] == 6.0
+    # empty array: $sum -> 0, $avg -> null
+    empty = [([],)]
+    assert _eval(spark, {"$sum": "$a"}, empty, "a array<double>")[0] == 0.0
+    assert _eval(spark, {"$avg": "$a"}, empty, "a array<double>")[0] is None
+
+
+def test_regex_find(spark):
+    rows = [("care about cats",), ("no match here",)]
+    out = _eval(
+        spark, {"$regexFind": {"input": "$s", "regex": "ca[rt]"}}, rows, "s string"
+    )
+    assert out[0].asDict() == {"match": "car", "idx": 0}
+    assert out[1] is None
+    out = _eval(
+        spark, {"$regexFindAll": {"input": "$s", "regex": "ca[rt]"}}, rows, "s string"
+    )
+    assert out[0] == ["car", "cat"]
+    assert out[1] == []
+
+
+def test_is_number_binary_size(spark):
+    rows = [(1.5, "abc")]
+    assert _eval(spark, {"$isNumber": "$x"}, rows, "x double, s string")[0] is True
+    assert _eval(spark, {"$isNumber": "$s"}, rows, "x double, s string")[0] is False
+    assert _eval(spark, {"$binarySize": "$s"}, rows, "x double, s string")[0] == 3
+
+
+def _group(spark, rows, schema, group_expr, order_by=None):
+    df = spark.createDataFrame(rows, schema)
+    ctx = Context(spark=spark, order_by=order_by)
+    return compile_pipeline([{"$group": group_expr}], ctx)(df).collect()
+
+
+def test_accumulator_top_bottom(spark):
+    rows = [("a", 1, 10), ("a", 2, 30), ("a", 3, 20), ("b", 4, 5)]
+    out = _group(
+        spark, rows, "k string, i long, v long",
+        {"_id": "$k",
+         "best": {"$top": {"sortBy": {"v": -1}, "output": "$i"}},
+         "worst": {"$bottom": {"sortBy": {"v": -1}, "output": "$i"}},
+         "top2": {"$topN": {"sortBy": {"v": -1}, "output": "$i", "n": 2}}},
+    )
+    by_id = {r["_id"]: r for r in out}
+    assert by_id["a"]["best"] == 2 and by_id["a"]["worst"] == 4 or True
+    a = by_id["a"]
+    assert a["best"] == 2      # highest v=30
+    assert a["worst"] == 1     # lowest v=10
+    assert a["top2"] == [2, 3]  # v desc: 30, 20
+    assert by_id["b"]["best"] == 4
+
+
+def test_accumulator_n_median_percentile(spark):
+    rows = [("a", i, float(i)) for i in range(1, 6)]  # v = 1..5
+    out = _group(
+        spark, rows, "k string, o long, v double",
+        {"_id": "$k",
+         "first2": {"$firstN": {"input": "$v", "n": 2}},
+         "last2": {"$lastN": {"input": "$v", "n": 2}},
+         "max2": {"$maxN": {"input": "$v", "n": 2}},
+         "med": {"$median": {"input": "$v"}},
+         "pct": {"$percentile": {"input": "$v", "p": [0.0, 1.0]}}},
+        order_by="o",
+    )
+    r = out[0]
+    assert r["first2"] == [1.0, 2.0]
+    assert r["last2"] == [4.0, 5.0]
+    assert r["max2"] == [5.0, 4.0]
+    assert r["med"] == 3.0
+    assert r["pct"] == [1.0, 5.0]
