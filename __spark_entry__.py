@@ -835,6 +835,167 @@ _register(
 )
 
 # =====================================================================
+# Batch-completeness stages (absent from the reference — SURVEY.md §2.2 —
+# but part of the MongoDB pipeline surface its users run)
+# =====================================================================
+
+_register(
+    "sort_limit_skip",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5""",
+)(
+    _pipe(
+        "orders",
+        [
+            {"$project": {"o_orderkey": 1, "o_totalprice": 1}},
+            {"$sort": {"o_totalprice": -1, "o_orderkey": 1}},
+            {"$skip": 5},
+            {"$limit": 10},
+        ],
+    )
+)
+
+_register(
+    "sort_by_count",
+    """SELECT event_type AS _id, count(*) AS count
+       FROM events GROUP BY event_type""",
+)(
+    _pipe("events", [{"$sortByCount": "$event_type"}])
+)
+
+_register(
+    "union_with",
+    """SELECT c_name AS name, 'customer' AS src FROM customer
+       UNION ALL
+       SELECT s_name AS name, 'supplier' AS src FROM supplier""",
+)(
+    _pipe(
+        "customer",
+        [
+            {"$project": {"name": "$c_name", "src": "customer"}},
+            {"$unionWith": {"coll": "supplier", "pipeline": [
+                {"$project": {"name": "$s_name", "src": "supplier"}},
+            ]}},
+        ],
+        collections={"supplier": "supplier"},
+    )
+)
+
+_register(
+    "window_fields",
+    f"""SELECT o_orderkey, o_custkey,
+               {_r("sum(o_totalprice) OVER w", 4)} AS cum,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               coalesce(lag(o_totalprice, 1) OVER w, 0.0) AS prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+)(
+    _pipe(
+        "orders",
+        [
+            {"$project": {"o_orderkey": 1, "o_custkey": 1, "o_totalprice": 1}},
+            {"$setWindowFields": {
+                "partitionBy": "$o_custkey",
+                "sortBy": {"o_orderkey": 1},
+                "output": {
+                    "cum": {"$sum": "$o_totalprice",
+                             "window": {"documents": ["unbounded", "current"]}},
+                    "rnk": {"$rank": {}},
+                    "prev": {"$shift": {"output": "$o_totalprice", "by": -1,
+                                         "default": 0.0}},
+                },
+            }},
+            {"$project": {"o_orderkey": 1, "o_custkey": 1,
+                          "cum": {"$round": ["$cum", 4]},
+                          "rnk": {"$toLong": "$rnk"}, "prev": 1}},
+        ],
+    )
+)
+
+_register(
+    "fill_locf",
+    """SELECT event_id, user_id,
+              last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+       FROM (SELECT event_id, user_id,
+                    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+             FROM events)""",
+)(
+    _pipe(
+        "events",
+        [
+            {"$addFields": {"v": {"$cond": [
+                {"$eq": ["$event_type", "error"]}, None, "$value"]}}},
+            {"$fill": {"partitionBy": "$user_id", "sortBy": {"event_id": 1},
+                       "output": {"v": {"method": "locf"}}}},
+            {"$project": {"event_id": 1, "user_id": 1, "v": 1}},
+        ],
+    )
+)
+
+_register(
+    "densify_grid",
+    """WITH t AS (SELECT user_id, event_id FROM events
+                  WHERE user_id IN (3, 7, 20)),
+            grid AS (SELECT unnest(range(0, 10, 2)) AS user_id),
+            missing AS (SELECT g.user_id FROM grid g
+                        ANTI JOIN t ON t.user_id = g.user_id)
+       SELECT user_id, event_id FROM t
+       UNION ALL
+       SELECT user_id, CAST(NULL AS BIGINT) AS event_id FROM missing""",
+)(
+    _pipe(
+        "events",
+        [
+            {"$match": {"user_id": {"$in": [3, 7, 20]}}},
+            {"$project": {"user_id": 1, "event_id": 1}},
+            {"$densify": {"field": "user_id",
+                          "range": {"step": 2, "bounds": [0, 10]}}},
+        ],
+    )
+)
+
+_register(
+    "facet_summary",
+    f"""SELECT [struct_pack(total := (SELECT count(*) FROM orders))] AS n,
+               [struct_pack(_id := CAST(NULL AS VARCHAR),
+                            s := {_r("(SELECT sum(o_totalprice) FROM orders)", 2)})]
+                 AS sums""",
+)(
+    _pipe(
+        "orders",
+        [
+            {"$facet": {
+                "n": [{"$count": "total"}],
+                "sums": [{"$group": {"_id": None,
+                                      "s": {"$sum": "$o_totalprice"}}},
+                         {"$addFields": {"s": {"$round": ["$s", 2]}}}],
+            }},
+        ],
+    )
+)
+
+_register(
+    "window_group_hourly",
+    f"""SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS ws,
+               CAST(count(*) AS BIGINT) AS n,
+               {_r("sum(value)", 4)} AS total
+        FROM events GROUP BY 1""",
+)(
+    _pipe(
+        "events",
+        [
+            {"$windowGroup": {"on": "$ts", "duration": "1 hour",
+                              "n": {"$count": {}}, "total": {"$sum": "$value"}}},
+            {"$project": {"ws": {"$tsSecond": "$window_start"},
+                          "n": 1, "total": {"$round": ["$total", 4]}}},
+        ],
+    )
+)
+
+# =====================================================================
 # Beyond-reference data-pipeline operators
 # =====================================================================
 

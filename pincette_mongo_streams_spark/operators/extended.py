@@ -1,0 +1,363 @@
+"""Batch-completeness stages + event-time windowing.
+
+The reference is an infinite-stream engine and deliberately omits every
+stage that "has no meaning for infinite streams" (Pipeline.java:31-32;
+SURVEY.md §2.2): ``$sort``, ``$limit``, ``$skip``, ``$sample``, ``$facet``,
+``$sortByCount``, ``$unionWith``, ``$setWindowFields``, ``$fill``,
+``$densify``.  A MongoDB user switching to this engine still runs them in
+*batch* pipelines, so they are implemented here with public-MongoDB
+semantics on native Spark operators (sort -> global orderBy which Catalyst
+collapses to TakeOrderedAndProject under a following $limit; window fields
+-> Spark window functions; densify -> sequence + anti-join union).
+
+``$windowGroup`` is this engine's opt-in event-time superset (SURVEY.md §1
+"Time" row: the reference is wall-clock only): tumbling/sliding windows on
+a timestamp expression, watermark-compatible, same accumulator registry as
+``$group`` — in streaming it is exactly Spark's windowed stateful
+aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from ..context import Context
+from ..expressions import ExprContext, compile_expr
+from ..pipeline import StageFn, compile_pipeline, register_stage
+from .group import compile_accumulator
+
+
+def _sort_cols(sort_by: dict[str, int]) -> list[Column]:
+    # Mongo sorts nulls/missing first ascending, last descending — Spark's
+    # asc()/desc() defaults match
+    cols = []
+    for field, direction in sort_by.items():
+        c = F.col(field)
+        cols.append(c.asc() if direction == 1 else c.desc())
+    return cols
+
+
+def _batch_only(name: str, c: Context) -> None:
+    if c.streaming:
+        raise ValueError(
+            f"{name} is batch-only (the reference excludes it from infinite "
+            "streams — Pipeline.java:31-32)"
+        )
+
+
+@register_stage("$sort")
+def sort_stage(expression: Any, ctx: Context) -> StageFn:
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        _batch_only("$sort", c)
+        return df.orderBy(*_sort_cols(expression))
+
+    return fn
+
+
+@register_stage("$limit")
+def limit_stage(expression: Any, ctx: Context) -> StageFn:
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        _batch_only("$limit", c)
+        return df.limit(int(expression))
+
+    return fn
+
+
+@register_stage("$skip")
+def skip_stage(expression: Any, ctx: Context) -> StageFn:
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        _batch_only("$skip", c)
+        return df.offset(int(expression))
+
+    return fn
+
+
+@register_stage("$sample")
+def sample_stage(expression: Any, ctx: Context) -> StageFn:
+    size = expression["size"]
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        _batch_only("$sample", c)
+        return df.orderBy(F.rand()).limit(int(size))
+
+    return fn
+
+
+@register_stage("$sortByCount")
+def sort_by_count_stage(expression: Any, ctx: Context) -> StageFn:
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        key = compile_expr(expression, ExprContext(schema=df.schema))
+        out = df.groupBy(key.alias("_id")).agg(F.count(F.lit(1)).alias("count"))
+        if c.streaming:
+            return out  # ordering is meaningless under update mode
+        return out.orderBy(F.col("count").desc())
+
+    return fn
+
+
+@register_stage("$unionWith")
+def union_with_stage(expression: Any, ctx: Context) -> StageFn:
+    if isinstance(expression, str):
+        coll, sub = expression, None
+    else:
+        coll, sub = expression["coll"], expression.get("pipeline")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        other = c.collection(coll)
+        if sub:
+            other = compile_pipeline(sub, c)(other)
+        return df.unionByName(other, allowMissingColumns=True)
+
+    return fn
+
+
+@register_stage("$facet")
+def facet_stage(expression: Any, ctx: Context) -> StageFn:
+    """Each facet sub-pipeline runs over the same input; the output is ONE
+    document with each facet's results as an array field.  Spark shape: one
+    single-row aggregate per facet, assembled with a cross join (all sides
+    are 1-row — broadcast, no shuffle)."""
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        _batch_only("$facet", c)
+        out: Optional[DataFrame] = None
+        for name, sub in expression.items():
+            res = compile_pipeline(sub, c)(df)
+            doc = F.struct(*[F.col(x) for x in res.columns])
+            one = res.agg(F.collect_list(doc).alias(name))
+            out = one if out is None else out.crossJoin(F.broadcast(one))
+        return out if out is not None else df.limit(0)
+
+    return fn
+
+
+# ------------------------------------------------------- $setWindowFields
+
+def _bound(v: Any, is_lower: bool) -> int:
+    if v == "unbounded":
+        return Window.unboundedPreceding if is_lower else Window.unboundedFollowing
+    if v == "current":
+        return Window.currentRow
+    return int(v)
+
+
+def _frame(spec: list, w: WindowSpec, is_range: bool) -> WindowSpec:
+    lo, hi = _bound(spec[0], True), _bound(spec[1], False)
+    return w.rangeBetween(lo, hi) if is_range else w.rowsBetween(lo, hi)
+
+
+_WINDOW_AGGS = {
+    "$sum": F.sum,
+    "$avg": F.avg,
+    "$min": F.min,
+    "$max": F.max,
+    "$push": F.collect_list,
+    "$addToSet": lambda v: F.array_sort(F.collect_set(v)),
+    "$first": lambda v: F.first(v),
+    "$last": lambda v: F.last(v),
+    "$stdDevPop": F.stddev_pop,
+    "$stdDevSamp": F.stddev_samp,
+}
+
+
+@register_stage("$setWindowFields")
+def set_window_fields_stage(expression: Any, ctx: Context) -> StageFn:
+    partition_by = expression.get("partitionBy")
+    sort_by = expression.get("sortBy")
+    output = expression["output"]
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        _batch_only("$setWindowFields", c)
+        ectx = ExprContext(schema=df.schema)
+        base = (
+            Window.partitionBy(compile_expr(partition_by, ectx))
+            if partition_by is not None
+            else Window.partitionBy(F.lit(0))
+        )
+        ordered = base.orderBy(*_sort_cols(sort_by)) if sort_by else base
+        out = df
+        for path, spec in output.items():
+            spec = dict(spec)
+            window = spec.pop("window", None)
+            (op, arg), = spec.items()
+            if op == "$rank":
+                col = F.rank().over(ordered)
+            elif op == "$denseRank":
+                col = F.dense_rank().over(ordered)
+            elif op == "$documentNumber":
+                col = F.row_number().over(ordered)
+            elif op == "$shift":
+                v = compile_expr(arg["output"], ectx)
+                by = arg.get("by", 1)
+                default = F.lit(arg.get("default"))
+                col = (
+                    F.lead(v, by, None).over(ordered)
+                    if by >= 0
+                    else F.lag(v, -by, None).over(ordered)
+                )
+                col = F.coalesce(col, default) if "default" in arg else col
+            else:
+                # aggregate op over a frame: default = whole partition
+                # (MongoDB's documented default window)
+                if window is None:
+                    w = (ordered if sort_by else base).rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                elif "documents" in window:
+                    w = _frame(window["documents"], ordered, is_range=False)
+                else:
+                    w = _frame(window["range"], ordered, is_range=True)
+                if op == "$count":
+                    col = F.count(F.lit(1)).over(w)
+                elif op in _WINDOW_AGGS:
+                    col = _WINDOW_AGGS[op](compile_expr(arg, ectx)).over(w)
+                else:
+                    raise NotImplementedError(
+                        f"unsupported $setWindowFields op {op}"
+                    )
+            out = out.withColumn(path, col)
+        return out
+
+    return fn
+
+
+# ---------------------------------------------------------- $fill/$densify
+
+
+@register_stage("$fill")
+def fill_stage(expression: Any, ctx: Context) -> StageFn:
+    partition_by = expression.get("partitionBy")
+    sort_by = expression.get("sortBy")
+    output = expression["output"]
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        _batch_only("$fill", c)
+        ectx = ExprContext(schema=df.schema)
+        out = df
+        needs_window = any("method" in spec for spec in output.values())
+        w = None
+        if needs_window:
+            if not sort_by:
+                raise ValueError("$fill with method needs sortBy")
+            base = (
+                Window.partitionBy(compile_expr(partition_by, ectx))
+                if partition_by is not None
+                else Window.partitionBy(F.lit(0))
+            )
+            w = base.orderBy(*_sort_cols(sort_by)).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        for field, spec in output.items():
+            if "value" in spec:
+                out = out.withColumn(
+                    field,
+                    F.coalesce(F.col(field), compile_expr(spec["value"], ectx)),
+                )
+            elif spec.get("method") == "locf":
+                out = out.withColumn(
+                    field, F.last(F.col(field), ignorenulls=True).over(w)
+                )
+            elif spec.get("method") == "linear":
+                raise NotImplementedError("$fill method 'linear' not supported")
+            else:
+                raise ValueError(f"bad $fill output spec for {field}: {spec}")
+        return out
+
+    return fn
+
+
+@register_stage("$densify")
+def densify_stage(expression: Any, ctx: Context) -> StageFn:
+    """Insert documents so `field` has no gaps of more than `step`:
+    grid = sequence(lo, hi, step) per partition, minus values already
+    present (left_anti), unioned back (new docs carry only the field +
+    partition fields, like MongoDB's)."""
+    field = expression["field"]
+    rng = expression["range"]
+    step = rng["step"]
+    bounds = rng["bounds"]
+    partition_fields = rng.get("partitionByFields") or expression.get(
+        "partitionByFields", []
+    )
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        _batch_only("$densify", c)
+        fcol = F.col(field)
+        if bounds == "full":
+            lo, hi = F.min(fcol), F.max(fcol)
+            grid_base = (
+                df.groupBy(*partition_fields).agg(lo.alias("__lo"), hi.alias("__hi"))
+                if partition_fields
+                else df.agg(lo.alias("__lo"), hi.alias("__hi"))
+            )
+            seq = F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+        else:
+            lo_v, hi_v = bounds
+            grid_base = (
+                df.select(*partition_fields).distinct()
+                if partition_fields
+                else df.limit(1).select(F.lit(1).alias("__one"))
+            )
+            # MongoDB bounds [lo, hi) — upper exclusive
+            seq = F.filter(
+                F.sequence(F.lit(lo_v), F.lit(hi_v), F.lit(step)),
+                lambda x: x < F.lit(hi_v),
+            )
+        grid = grid_base.select(
+            *partition_fields, F.explode(seq).alias(field)
+        )
+        present = [df[p].eqNullSafe(grid[p]) for p in partition_fields] + [
+            df[field].eqNullSafe(grid[field])
+        ]
+        cond = present[0]
+        for p in present[1:]:
+            cond = cond & p
+        missing = grid.join(df, cond, "left_anti")
+        return df.unionByName(missing, allowMissingColumns=True)
+
+    return fn
+
+
+# ------------------------------------------------- $windowGroup (extension)
+
+
+@register_stage("$windowGroup")
+def window_group_stage(expression: Any, ctx: Context) -> StageFn:
+    """Event-time tumbling/sliding window aggregation (engine extension —
+    the reference has no event time at all, SURVEY.md §1).  Spec:
+    ``{on: <ts expr>, duration: "1 hour", slide?: "15 minutes",
+    _id?: <key expr>, <name>: {<accumulator>: <expr>}, ...}``.
+    Batch and streaming share the plan; in streaming add a watermark on the
+    source for state eviction and append mode."""
+    on = expression["on"]
+    duration = expression["duration"]
+    slide = expression.get("slide")
+    id_expr = expression.get("_id")
+    accumulators = {
+        k: v
+        for k, v in expression.items()
+        if k not in ("on", "duration", "slide", "_id", "_collection")
+    }
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        ectx = ExprContext(schema=df.schema)
+        ts = compile_expr(on, ectx)
+        win = F.window(ts, duration, slide) if slide else F.window(ts, duration)
+        keys = [win.alias("__w")]
+        if id_expr is not None:
+            keys.append(compile_expr(id_expr, ectx).alias("_id"))
+        aggs = []
+        for name, acc in accumulators.items():
+            (op, arg), = acc.items()
+            aggs.append(compile_accumulator(name, op, arg, ectx, order=None))
+        out = df.groupBy(*keys).agg(*aggs)
+        return out.select(
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            *[c_ for c_ in out.columns if c_ != "__w"],
+        )
+
+    return fn

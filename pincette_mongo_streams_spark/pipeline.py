@@ -83,5 +83,6 @@ from .operators import (  # noqa: E402,F401
     dedup as _dedup,
     effects as _effects,
     script as _script,
+    extended as _extended,
 )
 from .functions import datapipe as _datapipe  # noqa: E402,F401

@@ -32,11 +32,14 @@ _PLAN_STAGES = {
     "$match", "$project", "$addFields", "$set", "$unset", "$replaceRoot",
     "$replaceWith", "$setKey", "$unwind", "$redact", "$group", "$bucket",
     "$count", "$deduplicate", "$lookup", "$trace", "$backTrace", "$throttle",
+    "$windowGroup", "$sortByCount",
 }
+
+_AGG_STAGES = ("$group", "$bucket", "$count", "$windowGroup", "$sortByCount")
 
 
 def _needs_update_mode(pipeline: list[dict]) -> bool:
-    return any(next(iter(s)) in ("$group", "$bucket", "$count") for s in pipeline)
+    return any(next(iter(s)) in _AGG_STAGES for s in pipeline)
 
 
 def run_streaming(

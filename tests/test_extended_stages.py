@@ -1,0 +1,166 @@
+"""Batch-completeness stages ($sort/$limit/$skip/$sample/$sortByCount/
+$unionWith/$facet/$setWindowFields/$fill/$densify) and the $windowGroup
+event-time extension."""
+
+import datetime
+
+import pytest
+
+from pincette_mongo_streams_spark import Context, compile_pipeline
+
+
+def _run(spark, rows, schema, pipeline, collections=None):
+    df = spark.createDataFrame(rows, schema)
+    ctx = Context(
+        spark=spark,
+        collections={
+            k: spark.createDataFrame(v[0], v[1]) for k, v in (collections or {}).items()
+        },
+    )
+    return compile_pipeline(pipeline, ctx)(df)
+
+
+def test_sort_limit_skip(spark):
+    rows = [(i, 10 - i) for i in range(10)]
+    out = _run(
+        spark, rows, "i long, v long",
+        [{"$sort": {"v": 1}}, {"$skip": 2}, {"$limit": 3}],
+    ).collect()
+    assert [r["v"] for r in out] == [3, 4, 5]
+    out = _run(spark, rows, "i long, v long", [{"$sort": {"v": -1}}, {"$limit": 2}])
+    assert [r["v"] for r in out.collect()] == [10, 9]
+
+
+def test_sample_size(spark):
+    rows = [(i,) for i in range(100)]
+    out = _run(spark, rows, "i long", [{"$sample": {"size": 7}}]).collect()
+    assert len(out) == 7
+    assert len({r["i"] for r in out}) == 7  # without replacement
+
+
+def test_sort_by_count(spark):
+    rows = [("a",), ("b",), ("a",), ("c",), ("a",), ("b",)]
+    out = _run(spark, rows, "k string", [{"$sortByCount": "$k"}]).collect()
+    assert [(r["_id"], r["count"]) for r in out] == [("a", 3), ("b", 2), ("c", 1)]
+
+
+def test_union_with(spark):
+    rows = [(1, "x")]
+    out = _run(
+        spark, rows, "a long, b string",
+        [{"$unionWith": {"coll": "other", "pipeline": [{"$project": {"a": 1}}]}}],
+        collections={"other": ([(2, "y")], "a long, b string")},
+    ).collect()
+    vals = sorted((r["a"], r["b"]) for r in out)
+    assert vals == [(1, "x"), (2, None)]
+
+
+def test_facet(spark):
+    rows = [(i, float(i)) for i in range(1, 5)]
+    out = _run(
+        spark, rows, "i long, v double",
+        [{"$facet": {
+            "n": [{"$count": "total"}],
+            "sums": [{"$group": {"_id": None, "s": {"$sum": "$v"}}}],
+        }}],
+    ).collect()
+    assert len(out) == 1
+    r = out[0].asDict(recursive=True)
+    assert r["n"] == [{"total": 4}]
+    assert r["sums"] == [{"_id": None, "s": 10.0}]
+
+
+def test_set_window_fields(spark):
+    rows = [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 4, 5.0)]
+    out = _run(
+        spark, rows, "k string, o long, v double",
+        [{"$setWindowFields": {
+            "partitionBy": "$k",
+            "sortBy": {"o": 1},
+            "output": {
+                "cum": {"$sum": "$v", "window": {"documents": ["unbounded", "current"]}},
+                "rnk": {"$rank": {}},
+                "dn": {"$documentNumber": {}},
+                "prev": {"$shift": {"output": "$v", "by": -1, "default": 0.0}},
+                "tot": {"$sum": "$v"},
+            },
+        }}],
+    ).collect()
+    a = sorted([r for r in out if r["k"] == "a"], key=lambda r: r["o"])
+    assert [r["cum"] for r in a] == [10.0, 30.0, 60.0]
+    assert [r["rnk"] for r in a] == [1, 2, 3]
+    assert [r["dn"] for r in a] == [1, 2, 3]
+    assert [r["prev"] for r in a] == [0.0, 10.0, 20.0]
+    assert [r["tot"] for r in a] == [60.0, 60.0, 60.0]  # whole-partition default
+    b = [r for r in out if r["k"] == "b"][0]
+    assert b["cum"] == 5.0 and b["rnk"] == 1
+
+
+def test_fill_value_and_locf(spark):
+    rows = [("a", 1, None), ("a", 2, 7.0), ("a", 3, None), ("a", 4, None)]
+    out = _run(
+        spark, rows, "k string, o long, v double",
+        [{"$fill": {
+            "partitionBy": "$k",
+            "sortBy": {"o": 1},
+            "output": {"v": {"method": "locf"}},
+        }}],
+    ).collect()
+    assert [r["v"] for r in sorted(out, key=lambda r: r["o"])] == [None, 7.0, 7.0, 7.0]
+    out = _run(
+        spark, rows, "k string, o long, v double",
+        [{"$fill": {"output": {"v": {"value": -1.0}}}}],
+    ).collect()
+    assert sorted(r["v"] for r in out) == [-1.0, -1.0, -1.0, 7.0]
+
+
+def test_densify_full_and_bounded(spark):
+    rows = [("a", 0), ("a", 4), ("b", 2)]
+    out = _run(
+        spark, rows, "k string, x long",
+        [{"$densify": {"field": "x",
+                       "range": {"step": 2, "bounds": "full",
+                                 "partitionByFields": ["k"]}}}],
+    ).collect()
+    got = sorted((r["k"], r["x"]) for r in out)
+    assert got == [("a", 0), ("a", 2), ("a", 4), ("b", 2)]
+    # explicit bounds [0, 6) — upper exclusive, no partitioning
+    rows2 = [(1,), (4,)]
+    out = _run(
+        spark, rows2, "x long",
+        [{"$densify": {"field": "x", "range": {"step": 1, "bounds": [0, 6]}}}],
+    ).collect()
+    assert sorted(r["x"] for r in out) == [0, 1, 2, 3, 4, 5]
+
+
+def test_window_group_batch(spark):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(minutes=m), t, v)
+        for m, t, v in [(5, "a", 1.0), (20, "a", 2.0), (70, "b", 3.0), (75, "a", 4.0)]
+    ]
+    out = _run(
+        spark, rows, "ts timestamp, k string, v double",
+        [{"$windowGroup": {"on": "$ts", "duration": "1 hour",
+                           "n": {"$count": {}}, "total": {"$sum": "$v"}}}],
+    ).collect()
+    by_start = {r["window_start"].hour: r for r in out}
+    assert by_start[0]["n"] == 2 and by_start[0]["total"] == 3.0
+    assert by_start[1]["n"] == 2 and by_start[1]["total"] == 7.0
+    # keyed variant
+    out = _run(
+        spark, rows, "ts timestamp, k string, v double",
+        [{"$windowGroup": {"on": "$ts", "duration": "1 hour", "_id": "$k",
+                           "n": {"$count": {}}}}],
+    ).collect()
+    assert {(r["window_start"].hour, r["_id"], r["n"]) for r in out} == {
+        (0, "a", 2), (1, "b", 1), (1, "a", 1)
+    }
+
+
+def test_batch_only_stages_raise_in_streaming(spark):
+    rows = [(1,)]
+    df = spark.createDataFrame(rows, "x long")
+    ctx = Context(spark=spark, streaming=True)
+    with pytest.raises(ValueError, match="batch-only"):
+        compile_pipeline([{"$sort": {"x": 1}}], ctx)(df)

@@ -176,3 +176,27 @@ def test_group_then_match_on_aggregate(spark, tmpdir):
     emissions = _run(spark, tmpdir, schema, batches, pipeline)
     assert [r["_id"] for r in emissions[0]] == ["a"]  # b=1 filtered
     assert emissions[1] == [{"_id": "b", "total": 10}]
+
+
+def test_window_group_event_time_stream(spark, tmpdir):
+    """$windowGroup is the event-time superset (SURVEY.md §1 'Time'): with a
+    watermark, late data beyond the threshold is dropped and window state is
+    evicted; update mode emits per-batch window states."""
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.LongType())]
+    )
+    batches = [
+        [{"ts": "2024-01-01T00:05:00Z", "v": 1}, {"ts": "2024-01-01T00:20:00Z", "v": 2}],
+        [{"ts": "2024-01-01T01:10:00Z", "v": 4}, {"ts": "2024-01-01T00:40:00Z", "v": 8}],
+    ]
+    pipeline = [
+        {"$windowGroup": {"on": "$ts", "duration": "1 hour",
+                          "total": {"$sum": "$v"}}},
+    ]
+    emissions = _run(
+        spark, tmpdir, schema, batches, pipeline, watermark=("ts", "2 hours")
+    )
+    # batch 1: hour-0 window = 3; batch 2 updates hour-0 (+8) and hour-1 (+4)
+    assert [r["total"] for r in emissions[0]] == [3]
+    got = {(r["window_start"].hour, r["total"]) for r in emissions[1]}
+    assert got == {(0, 11), (1, 4)}
