@@ -995,6 +995,39 @@ _register(
     )
 )
 
+def _graph_lookup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = _load(spark, sf_dir)
+    h = tables["nation"].select(
+        F.col("n_nationkey").alias("id"),
+        F.when(F.col("n_nationkey") >= 5, F.col("n_nationkey") - 5).alias("parent"),
+    )
+    ctx = Context(spark=spark, collections={"h": h})
+    pipeline = [
+        {"$graphLookup": {"from": "h", "startWith": "$parent",
+                          "connectFromField": "parent", "connectToField": "id",
+                          "as": "anc", "depthField": "depth"}},
+        {"$unwind": {"path": "$anc", "preserveNullAndEmptyArrays": False}},
+        {"$project": {"id": 1, "anc_id": "$anc.id",
+                      "depth": {"$toLong": "$anc.depth"}}},
+    ]
+    return compile_pipeline(pipeline, ctx)(h)
+
+
+_register(
+    "graph_lookup",
+    """WITH RECURSIVE h AS (
+           SELECT n_nationkey AS id,
+                  CASE WHEN n_nationkey >= 5 THEN n_nationkey - 5 END AS parent
+           FROM nation),
+       anc AS (
+           SELECT h.id AS id, p.id AS anc_id, p.parent AS nxt, 0 AS depth
+           FROM h JOIN h p ON p.id = h.parent
+           UNION ALL
+           SELECT a.id, p.id, p.parent, a.depth + 1
+           FROM anc a JOIN h p ON p.id = a.nxt)
+       SELECT id, anc_id, CAST(depth AS BIGINT) AS depth FROM anc""",
+)(_graph_lookup_query)
+
 # =====================================================================
 # Beyond-reference data-pipeline operators
 # =====================================================================

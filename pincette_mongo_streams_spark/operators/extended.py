@@ -361,3 +361,98 @@ def window_group_stage(expression: Any, ctx: Context) -> StageFn:
         )
 
     return fn
+
+
+# ---------------------------------------------------------- $graphLookup
+
+
+@register_stage("$graphLookup")
+def graph_lookup_stage(expression: Any, ctx: Context) -> StageFn:
+    """Recursive graph traversal over a collection (MongoDB $graphLookup;
+    absent from the reference — SURVEY.md §2.2).  Distributed BFS: each
+    round is one equi-join frontier->collection; visited-set pruning
+    guarantees termination on cycles.  Rounds are sequential (driver
+    loop) but each round's join is fully distributed — depth, not data
+    volume, bounds the iteration count."""
+    from ..match import compile_match
+
+    from_coll = expression["from"]
+    start_with = expression["startWith"]
+    connect_from = expression["connectFromField"]
+    connect_to = expression["connectToField"]
+    as_field = expression["as"]
+    max_depth = expression.get("maxDepth")
+    depth_field = expression.get("depthField")
+    restrict = expression.get("restrictSearchWithMatch")
+
+    def fn(df: DataFrame, c: Context) -> StageFn:
+        _batch_only("$graphLookup", c)
+        src = c.collection(from_coll)
+        if restrict:
+            src = src.filter(compile_match(restrict, ExprContext(schema=src.schema)))
+        doc_cols = src.columns
+        src = src.select(F.struct(*[F.col(x) for x in doc_cols]).alias("__doc"))
+
+        keyed = df.withColumn("__rk", F.monotonically_increasing_id())
+        keyed = keyed.persist()
+        keyed.count()  # freeze the nondeterministic row keys
+
+        def explode_vals(frame: DataFrame, col: Column) -> DataFrame:
+            dtype = frame.select(col.alias("__v")).schema["__v"].dataType
+            from pyspark.sql import types as T
+
+            vals = (
+                frame.select("__rk", F.explode(col).alias("__val"))
+                if isinstance(dtype, T.ArrayType)
+                else frame.select("__rk", col.alias("__val"))
+            )
+            return vals.filter(F.col("__val").isNotNull()).distinct()
+
+        start = compile_expr(start_with, ExprContext(schema=df.schema))
+        frontier = explode_vals(keyed, start)
+        found = None
+        depth = 0
+        while True:
+            hits = (
+                frontier.join(
+                    src, src["__doc"].getField(connect_to) == frontier["__val"]
+                )
+                .select("__rk", "__doc", F.lit(depth).alias("__depth"))
+            )
+            if found is not None:
+                hits = hits.join(
+                    found.select("__rk", "__doc"), ["__rk", "__doc"], "left_anti"
+                )
+            hits = hits.persist()
+            if hits.isEmpty():
+                break
+            found = hits if found is None else found.unionByName(hits)
+            if max_depth is not None and depth >= max_depth:
+                break
+            frontier = explode_vals(hits, F.col("__doc").getField(connect_from))
+            depth += 1
+
+        if found is None:
+            elem_type = "struct<" + ",".join(
+                f"`{f.name}`:{f.dataType.simpleString()}"
+                for f in src.schema["__doc"].dataType.fields
+            ) + (f",`{depth_field}`:bigint" if depth_field else "") + ">"
+            out = keyed.withColumn(as_field, F.array().cast(f"array<{elem_type}>"))
+        else:
+            elem = (
+                F.col("__doc").withField(depth_field, F.col("__depth"))
+                if depth_field
+                else F.col("__doc")
+            )
+            groups = found.groupBy("__rk").agg(
+                F.collect_list(elem).alias("__found")
+            )
+            out = (
+                keyed.join(groups, "__rk", "left")
+                .withColumn(as_field, F.coalesce(F.col("__found"), F.array().cast(
+                    groups.schema["__found"].dataType.simpleString())))
+                .drop("__found")
+            )
+        return out.drop("__rk")
+
+    return fn

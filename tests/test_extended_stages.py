@@ -164,3 +164,51 @@ def test_batch_only_stages_raise_in_streaming(spark):
     ctx = Context(spark=spark, streaming=True)
     with pytest.raises(ValueError, match="batch-only"):
         compile_pipeline([{"$sort": {"x": 1}}], ctx)(df)
+
+
+def test_graph_lookup(spark):
+    # chain: 1 <- 2 <- 3; 10 isolated
+    coll = [(1, None), (2, 1), (3, 2), (10, None)]
+    out = _run(
+        spark, coll, "id long, parent long",
+        [{"$graphLookup": {
+            "from": "h", "startWith": "$parent",
+            "connectFromField": "parent", "connectToField": "id",
+            "as": "anc", "depthField": "depth",
+        }}],
+        collections={"h": (coll, "id long, parent long")},
+    ).collect()
+    anc = {
+        r["id"]: sorted((a["id"], a["depth"]) for a in r["anc"]) for r in out
+    }
+    assert anc[1] == [] and anc[10] == []
+    assert anc[2] == [(1, 0)]
+    assert anc[3] == [(2, 0), (1, 1)] or anc[3] == [(1, 1), (2, 0)]
+    assert sorted(anc[3]) == [(1, 1), (2, 0)]
+
+
+def test_graph_lookup_max_depth_and_cycle(spark):
+    # cycle: 1 -> 2 -> 1 must terminate via visited pruning
+    coll = [(1, 2), (2, 1)]
+    out = _run(
+        spark, coll, "id long, parent long",
+        [{"$graphLookup": {
+            "from": "h", "startWith": "$parent",
+            "connectFromField": "parent", "connectToField": "id",
+            "as": "anc",
+        }}],
+        collections={"h": (coll, "id long, parent long")},
+    ).collect()
+    anc = {r["id"]: sorted(a["id"] for a in r["anc"]) for r in out}
+    assert anc[1] == [1, 2] and anc[2] == [1, 2]
+    # maxDepth: 0 = only the first hop
+    out = _run(
+        spark, [(3, 2)], "id long, parent long",
+        [{"$graphLookup": {
+            "from": "h", "startWith": "$parent",
+            "connectFromField": "parent", "connectToField": "id",
+            "as": "anc", "maxDepth": 0,
+        }}],
+        collections={"h": (coll, "id long, parent long")},
+    ).collect()
+    assert [a["id"] for a in out[0]["anc"]] == [2]
