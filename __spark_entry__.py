@@ -1315,6 +1315,50 @@ FROM r WHERE rank <= 5""",
 )
 
 
+def _frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = _load(spark, sf_dir)
+    docs = tables["documents"].withColumn("content", F.encode(F.col("text"), "UTF-8"))
+    ctx = Context(spark=spark)
+    pipeline = [
+        {"$frameSample": {"input": "$content", "frameSize": 16, "stride": 8,
+                          "as": "frames"}},
+        {"$unwind": {"path": "$frames", "preserveNullAndEmptyArrays": False}},
+        {"$project": {"doc_id": 1, "idx": "$frames.idx", "data": "$frames.data"}},
+    ]
+    out = compile_pipeline(pipeline, ctx)(docs)
+    # documents.text is pure ASCII (verified) — decode for a string-typed
+    # comparison with DuckDB's substring
+    return out.select("doc_id", "idx", F.decode(F.col("data"), "UTF-8").alias("frame"))
+
+
+_register(
+    "frame_sample",
+    """WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+            f AS (SELECT doc_id, text,
+                         unnest(range(0, CAST(floor((n - 16) / 8.0) AS BIGINT) + 1))
+                           AS idx
+                  FROM b WHERE n >= 16)
+       SELECT doc_id, idx, substring(text, CAST(idx * 8 + 1 AS INT), 16) AS frame
+       FROM f""",
+)(_frame_sample_query)
+
+
+def _media_embed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only gate (the xxhash64-derived stub embedding has no concise
+    SQL twin); determinism + ANN composition are pytest-covered."""
+    tables = _load(spark, sf_dir)
+    docs = tables["documents"].withColumn("content", F.encode(F.col("text"), "UTF-8"))
+    ctx = Context(spark=spark)
+    pipeline = [
+        {"$mediaEmbed": {"input": "$content", "dim": 16, "as": "emb"}},
+        {"$project": {"doc_id": 1, "emb": 1}},
+    ]
+    return compile_pipeline(pipeline, ctx)(docs)
+
+
+_register("media_embed", None)(_media_embed_query)
+
+
 def _decode_media_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = _load(spark, sf_dir)
     docs = tables["documents"].withColumn("content", F.encode(F.col("text"), "UTF-8"))

@@ -619,3 +619,68 @@ def decode_media_stage(expression: Any, ctx: Context) -> StageFn:
         return df.mapInPandas(decode, out_schema)
 
     return fn
+
+
+@register_stage("$frameSample")
+def frame_sample_stage(expression: Any, ctx: Context) -> StageFn:
+    """Sample fixed-size byte windows ("frames") from a binary column:
+    ``{input, frameSize, stride, as}`` -> ``array<struct<idx, data>>``.
+
+    The framing is pure JVM column algebra (sequence + transform + substr)
+    — zero Python, pipelines with the scan.  A real container-format
+    demuxer (mp4/mkv) would replace the byte-window step behind the same
+    schema via mapInPandas (the $decodeMedia codec boundary); the
+    partitioning/batch plumbing is identical.
+    """
+    inp = expression["input"]
+    frame_size = int(expression["frameSize"])
+    stride = int(expression.get("stride", frame_size))
+    as_field = expression.get("as", "frames")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        data = compile_expr(inp, ExprContext(schema=df.schema))
+        n = F.octet_length(data)
+        count = F.when(
+            n >= frame_size, F.floor((n - frame_size) / stride) + 1
+        ).otherwise(F.lit(0))
+        frames = F.transform(
+            F.sequence(F.lit(0), count.cast("long") - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("idx"),
+                F.substr(data, (i * stride + 1).cast("int"), F.lit(frame_size)).alias(
+                    "data"
+                ),
+            ),
+        )
+        return df.withColumn(
+            as_field, F.when(count > 0, frames).otherwise(F.array().cast(
+                "array<struct<idx:bigint,data:binary>>"))
+        )
+
+    return fn
+
+
+@register_stage("$mediaEmbed")
+def media_embed_stage(expression: Any, ctx: Context) -> StageFn:
+    """Deterministic feature embedding of a binary column:
+    ``{input, dim, as}`` -> ``array<double>`` in [-1, 1).
+
+    Stub featurizer (this container has no image/audio models): dimension
+    d = seeded xxhash64 of the bytes — deterministic, JVM-native, and
+    shaped exactly like a real model's output so it composes with
+    $annTopK/$annLsh/$embedDedup.  A real encoder replaces the hash with
+    an Arrow-batched mapInPandas model call behind the same schema.
+    """
+    inp = expression["input"]
+    dim = int(expression.get("dim", 16))
+    as_field = expression.get("as", "embedding")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        data = compile_expr(inp, ExprContext(schema=df.schema))
+        comps = [
+            (F.pmod(F.xxhash64(F.lit(d), data), F.lit(2000)) / 1000.0 - 1.0)
+            for d in range(dim)
+        ]
+        return df.withColumn(as_field, F.array(*comps))
+
+    return fn

@@ -1,0 +1,77 @@
+"""Multimodal column plumbing: $decodeMedia (Arrow-batched stub codec),
+$frameSample (native byte-window framing), $mediaEmbed (deterministic
+featurizer composing with the ANN operators)."""
+
+from pyspark.sql import functions as F
+
+from pincette_mongo_streams_spark import Context, compile_pipeline
+
+
+def _bin_df(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
+    return df.withColumn("content", F.encode(F.col("t"), "UTF-8"))
+
+
+def test_frame_sample_windows(spark):
+    df = _bin_df(spark, ["abcdefghij", "abc", ""])
+    out = compile_pipeline(
+        [{"$frameSample": {"input": "$content", "frameSize": 4, "stride": 3,
+                           "as": "frames"}}],
+        Context(spark=spark),
+    )(df)
+    rows = {r["id"]: r["frames"] for r in out.collect()}
+    # len 10, size 4, stride 3 -> offsets 0,3,6 (9+4 > 10 stops at 6)
+    assert [(f["idx"], bytes(f["data"]).decode()) for f in rows[0]] == [
+        (0, "abcd"), (1, "defg"), (2, "ghij")
+    ]
+    assert rows[1] == []  # shorter than one frame
+    assert rows[2] == []
+
+
+def test_frame_sample_default_stride_non_overlapping(spark):
+    df = _bin_df(spark, ["abcdefgh"])
+    out = compile_pipeline(
+        [{"$frameSample": {"input": "$content", "frameSize": 4, "as": "frames"}}],
+        Context(spark=spark),
+    )(df).collect()
+    assert [bytes(f["data"]).decode() for f in out[0]["frames"]] == ["abcd", "efgh"]
+
+
+def test_media_embed_deterministic_and_composes_with_ann(spark):
+    df = _bin_df(spark, ["doc one text", "doc two text", "doc one text"])
+    ctx = Context(spark=spark)
+    pipeline = [{"$mediaEmbed": {"input": "$content", "dim": 8, "as": "emb"}}]
+    out = compile_pipeline(pipeline, ctx)(df).collect()
+    embs = {r["id"]: r["emb"] for r in out}
+    assert len(embs[0]) == 8
+    assert all(-1.0 <= v < 1.0 for v in embs[0])
+    assert embs[0] == embs[2]  # same bytes -> same embedding
+    assert embs[0] != embs[1]
+    # run twice -> identical (no per-run salt)
+    again = {r["id"]: r["emb"] for r in compile_pipeline(pipeline, ctx)(df).collect()}
+    assert again == embs
+
+    # composes with $annTopK: identical docs are each other's top match
+    emb_df = compile_pipeline(pipeline, ctx)(df)
+    queries = emb_df.filter(F.col("id") == 0).select(
+        F.col("id").alias("query_id"), F.col("emb").alias("embedding")
+    )
+    ctx2 = Context(spark=spark, collections={"q": queries})
+    res = compile_pipeline(
+        [{"$annTopK": {"queries": "q", "input": "$emb", "id": "id", "k": 2}}],
+        ctx2,
+    )(emb_df).collect()
+    top = sorted(res, key=lambda r: r["rank"])
+    assert {top[0]["corpus_id"], top[1]["corpus_id"]} == {0, 2}  # the twins
+
+
+def test_media_embed_no_python_in_plan(spark):
+    """The stub featurizer must stay JVM-side (SCALE.md invariant 1)."""
+    df = _bin_df(spark, ["abc"])
+    out = compile_pipeline(
+        [{"$mediaEmbed": {"input": "$content", "dim": 4, "as": "emb"}},
+         {"$frameSample": {"input": "$content", "frameSize": 2, "as": "fr"}}],
+        Context(spark=spark),
+    )(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "InPandas" not in plan
