@@ -1392,6 +1392,27 @@ _register(
     )
 )
 
+_register(
+    "ann_lsh_search",
+    None,  # bucket-pruned multi-probe ANN: rows-only gate; recall vs the
+    # brute-force $annTopK baseline is pinned in tests/test_multimodal.py
+)(
+    _pipe(
+        "embeddings",
+        [
+            {"$annLshSearch": {"queries": "queries", "input": "$embedding",
+                               "id": "vec_id", "k": 5, "bits": 6, "dim": 64,
+                               "probes": 7}},
+            {"$project": {"query_id": 1, "corpus_id": 1,
+                          "score": {"$round": ["$score", 4]}, "rank": 1}},
+        ],
+        collections={
+            "queries": lambda t: t["embeddings"].filter(F.col("vec_id") < 10).select(
+                F.col("vec_id").alias("query_id"), "embedding")
+        },
+    )
+)
+
 
 # =====================================================================
 # driver API

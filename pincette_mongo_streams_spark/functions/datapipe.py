@@ -407,6 +407,26 @@ def ann_topk_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+def lsh_bucket(emb: Column, bits: int, dim: int) -> Column:
+    """Sign-bit bucket for a seeded set of md5-derived hyperplanes —
+    deterministic, pure column algebra."""
+    # hyperplane component h[j][d] in [-1,1): seeded md5, reproducible
+    planes = [
+        F.array(*[(md5_long(F.lit(f"p{j}d{d}"), j) % 2000 - 1000) / 1000.0
+                  for d in range(dim)])
+        for j in range(bits)
+    ]
+    bit_cols = []
+    for plane in planes:
+        dot = F.aggregate(F.zip_with(emb, plane, lambda x, y: x * y), F.lit(0.0),
+                          lambda acc, v: acc + v)
+        bit_cols.append(F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0)))
+    value = bit_cols[0]
+    for j in range(1, bits):
+        value = value + F.shiftleft(bit_cols[j], j)
+    return value
+
+
 @register_stage("$annLsh")
 def ann_lsh_stage(expression: Any, ctx: Context) -> StageFn:
     """LSH-bucketed ANN: adds a sign-bit bucket column for a seeded set of
@@ -420,21 +440,71 @@ def ann_lsh_stage(expression: Any, ctx: Context) -> StageFn:
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         emb = compile_expr(inp, ExprContext(schema=df.schema)).cast("array<double>")
-        # hyperplane component h[j][d] in [-1,1): seeded md5, reproducible
-        planes = [
-            F.array(*[(md5_long(F.lit(f"p{j}d{d}"), j) % 2000 - 1000) / 1000.0
-                      for d in range(dim)])
-            for j in range(bits)
-        ]
-        bit_cols = []
-        for j, plane in enumerate(planes):
-            dot = F.aggregate(F.zip_with(emb, plane, lambda x, y: x * y), F.lit(0.0),
-                              lambda acc, v: acc + v)
-            bit_cols.append(F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0)))
-        value = bit_cols[0]
-        for j in range(1, bits):
-            value = value + F.shiftleft(bit_cols[j], j)
-        return df.withColumn(as_field, value)
+        return df.withColumn(as_field, lsh_bucket(emb, bits, dim))
+
+    return fn
+
+
+@register_stage("$annLshSearch")
+def ann_lsh_search_stage(expression: Any, ctx: Context) -> StageFn:
+    """The 100 TB ANN path: ``{queries, input, id, k, bits, dim, probes}``.
+
+    Corpus rows are bucketed once (column algebra, no shuffle); the
+    broadcast query side explodes to ``probes`` buckets (its own bucket +
+    1-bit flips, standard multi-probe LSH), the equi-join on bucket prunes
+    the corpus to candidates (~probes/2^bits of the scan), and cosine +
+    per-query top-k runs on the survivors only.  Same output schema as
+    $annTopK (query_id, corpus_id, score, rank); recall traded per LSH
+    guarantees — pytest pins recall vs the brute-force baseline.
+    """
+    queries_coll = expression["queries"]
+    inp = expression["input"]
+    id_field = expression.get("id", "vec_id")
+    k = int(expression.get("k", 10))
+    bits = int(expression.get("bits", 8))
+    dim = int(expression.get("dim", 16))
+    probes = int(expression.get("probes", 1 + 8))
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from pyspark.sql import Window
+
+        emb = compile_expr(inp, ExprContext(schema=df.schema)).cast("array<double>")
+        corpus = df.select(
+            F.col(id_field).alias("corpus_id"),
+            emb.alias("__ce"),
+        ).withColumn("__bucket", lsh_bucket(F.col("__ce"), bits, dim))
+        q = c.collection(queries_coll)
+        qe = F.col("embedding").cast("array<double>")
+        queries = q.select(F.col("query_id"), qe.alias("__qe")).withColumn(
+            "__qbucket", lsh_bucket(F.col("__qe"), bits, dim)
+        )
+        # multi-probe: own bucket + single-bit flips, capped at `probes`
+        probe_buckets = F.slice(
+            F.concat(
+                F.array(F.col("__qbucket")),
+                F.array(*[
+                    F.col("__qbucket").bitwiseXOR(F.lit(1 << b))
+                    for b in range(bits)
+                ]),
+            ),
+            1,
+            probes,
+        )
+        probed = queries.select(
+            "query_id", "__qe", F.explode(probe_buckets).alias("__bucket")
+        )
+        candidates = corpus.join(F.broadcast(probed), "__bucket")
+        scored = candidates.select(
+            "query_id", "corpus_id",
+            cosine(F.col("__ce"), F.col("__qe")).alias("score"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("corpus_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
 
     return fn
 

@@ -77,10 +77,18 @@ def skip_stage(expression: Any, ctx: Context) -> StageFn:
 
 @register_stage("$sample")
 def sample_stage(expression: Any, ctx: Context) -> StageFn:
-    size = expression["size"]
+    """``{size: n}`` = MongoDB's random-n (full shuffle on rand() — exact
+    count, expensive at scale); ``{fraction: f}`` = the 100 TB path
+    (engine extension): Bernoulli sampling at the scan, no shuffle,
+    approximate count (SCALE.md §5)."""
+    size = expression.get("size")
+    fraction = expression.get("fraction")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         _batch_only("$sample", c)
+        if fraction is not None:
+            seed = expression.get("seed")
+            return df.sample(float(fraction), seed=seed)
         return df.orderBy(F.rand()).limit(int(size))
 
     return fn

@@ -75,3 +75,30 @@ def test_media_embed_no_python_in_plan(spark):
     )(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "InPandas" not in plan
+
+
+def test_ann_lsh_search_recall_vs_brute_force(spark, sf_dir):
+    """$annLshSearch must (a) return the $annTopK schema, (b) prune the
+    corpus, and (c) keep useful recall vs brute force on the real
+    embeddings table (deterministic hash -> recall is a fixed number)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ctx = Context(spark=spark, collections={"q": queries})
+    brute = compile_pipeline(
+        [{"$annTopK": {"queries": "q", "input": "$embedding", "id": "vec_id",
+                       "k": 5}}], ctx
+    )(emb).collect()
+    lsh = compile_pipeline(
+        [{"$annLshSearch": {"queries": "q", "input": "$embedding",
+                            "id": "vec_id", "k": 5, "bits": 6, "dim": 64,
+                            "probes": 7}}], ctx
+    )(emb).collect()
+    assert {c for c in lsh[0].asDict()} == {"query_id", "corpus_id", "score", "rank"}
+    b = {(r["query_id"], r["corpus_id"]) for r in brute}
+    l = {(r["query_id"], r["corpus_id"]) for r in lsh}
+    # every query finds itself (cos=1 in its own bucket)
+    assert all((q, q) in l for q in range(10))
+    recall = len(b & l) / len(b)
+    assert recall >= 0.25, f"recall {recall} collapsed"  # uniform data, 6 bits
