@@ -1,0 +1,50 @@
+"""Physical-plan regression gate (SCALE.md invariant 1): every gate query
+must stay JVM-native — no row-at-a-time Python, no Arrow eval — except the
+documented codec/transport boundaries; and filtering queries must push
+predicates into the parquet scan."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# stages whose *transport* legitimately crosses into Python (Arrow-batched
+# mapInPandas, SCALE.md §0) — everything else must be pure JVM
+_PYTHON_ALLOWED = {"http_enrich", "decode_media_meta"}
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_no_python_in_plan(spark, name):
+    df = entrymod.queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if name in _PYTHON_ALLOWED:
+        return
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"{name}: {marker} leaked into the plan"
+
+
+def test_match_pushdown_reaches_scan(spark):
+    df = entrymod.queries()["match_basic"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_returnflag" in pushed, pushed
+
+
+def test_lookup_broadcasts_small_side(spark):
+    df = entrymod.queries()["lookup_array_size"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ann_topk_uses_window_group_limit(spark):
+    df = entrymod.queries()["ann_topk"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # per-partition heap-k before shuffle
