@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import json
 import math
-from typing import Any, Iterator
+from typing import Any, Iterator, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -103,8 +103,11 @@ def probe_stage(expression: Any, ctx: Context) -> StageFn:
 def per_stage(expression: Any, ctx: Context) -> StageFn:
     amount = expression["amount"]
     as_field = expression.get("as", "messages")
+    timeout_ms = expression.get("timeout")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        if c.streaming:
+            return _per_streaming(df, amount, as_field, timeout_ms)
         from pyspark.sql import Window
 
         order = (
@@ -123,6 +126,59 @@ def per_stage(expression: Any, ctx: Context) -> StageFn:
         return out
 
     return fn
+
+
+def _per_streaming(df: DataFrame, amount: int, as_field: str,
+                   timeout_ms: Optional[int]) -> DataFrame:
+    """Cross-micro-batch packing with ``applyInPandasWithState``: messages
+    short of ``amount`` carry over in the state store until the next batch
+    (or the ``timeout`` flush — Per.java:42-48's time-based flush).  The
+    whole stream is one logical sequence in the reference (single
+    partition per Kafka partition), so packing keys on a constant —
+    throughput-bound by one state partition, exactly like the source."""
+    import json as _json
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    doc_type = T.StructType(df.schema.fields)
+    out_schema = T.StructType([T.StructField(as_field, T.ArrayType(doc_type))])
+    state_schema = T.StructType([T.StructField("leftover", T.ArrayType(T.StringType()))])
+
+    def pack(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rows: list[str] = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            for rec in pdf.to_dict("records"):
+                rec.pop("__packkey", None)
+                rows.append(_json.dumps(rec, default=str))
+        chunks = [rows[i:i + amount] for i in range(0, len(rows), amount)]
+        flush_tail = timeout_ms is not None and state.hasTimedOut
+        emit = []
+        remainder: list[str] = []
+        for chnk in chunks:
+            if len(chnk) == amount or flush_tail:
+                emit.append([_json.loads(s) for s in chnk])
+            else:
+                remainder = chnk
+        if remainder:
+            state.update((remainder,))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
+        elif state.exists:
+            state.remove()
+        if emit:
+            yield pd.DataFrame({as_field: emit})
+
+    grouped = df.withColumn("__packkey", F.lit(0)).groupBy("__packkey")
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return grouped.applyInPandasWithState(
+        pack, out_schema, state_schema, "update", timeout_conf
+    )
 
 
 @register_stage("$throttle")

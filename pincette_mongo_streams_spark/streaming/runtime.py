@@ -32,10 +32,11 @@ _PLAN_STAGES = {
     "$match", "$project", "$addFields", "$set", "$unset", "$replaceRoot",
     "$replaceWith", "$setKey", "$unwind", "$redact", "$group", "$bucket",
     "$count", "$deduplicate", "$lookup", "$trace", "$backTrace", "$throttle",
-    "$windowGroup", "$sortByCount",
+    "$windowGroup", "$sortByCount", "$per",
 }
 
-_AGG_STAGES = ("$group", "$bucket", "$count", "$windowGroup", "$sortByCount")
+_AGG_STAGES = ("$group", "$bucket", "$count", "$windowGroup", "$sortByCount",
+               "$per")
 
 
 def _needs_update_mode(pipeline: list[dict]) -> bool:

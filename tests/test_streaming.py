@@ -200,3 +200,18 @@ def test_window_group_event_time_stream(spark, tmpdir):
     assert [r["total"] for r in emissions[0]] == [3]
     got = {(r["window_start"].hour, r["total"]) for r in emissions[1]}
     assert got == {(0, 11), (1, 4)}
+
+
+def test_per_packs_across_micro_batches(spark, tmpdir):
+    """$per in streaming keeps sub-amount remainders in the state store and
+    completes them with the next micro-batch's messages (the reference
+    buffers until `amount` arrive — Per.java:27-49)."""
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    batches = [
+        [{"v": 1}, {"v": 2}, {"v": 3}],  # one full chunk, 1 left over
+        [{"v": 4}],                        # completes the carried chunk
+    ]
+    pipeline = [{"$per": {"amount": 2, "as": "msgs"}}]
+    emissions = _run(spark, tmpdir, schema, batches, pipeline)
+    packs = [[d["v"] for d in r["msgs"]] for rows in emissions for r in rows]
+    assert sorted(map(sorted, packs)) == [[1, 2], [3, 4]]
