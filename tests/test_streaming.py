@@ -215,3 +215,24 @@ def test_per_packs_across_micro_batches(spark, tmpdir):
     emissions = _run(spark, tmpdir, schema, batches, pipeline)
     packs = [[d["v"] for d in r["msgs"]] for rows in emissions for r in rows]
     assert sorted(map(sorted, packs)) == [[1, 2], [3, 4]]
+
+
+def test_merge_accumulates_target_across_batches(spark, tmpdir):
+    """$merge inside foreachBatch: each micro-batch upserts into the target
+    collection; state accumulates across batches (the reference's Mongo
+    upsert layer — Merge.java:151-180)."""
+    schema = T.StructType(
+        [T.StructField("_id", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    batches = [
+        [{"_id": "a", "v": 1}, {"_id": "b", "v": 2}],
+        [{"_id": "a", "v": 10}, {"_id": "c", "v": 3}],  # update a, insert c
+    ]
+    target = spark.createDataFrame([], "_id string, v long")
+    ctx = Context(spark=spark, collections={"tgt": target})
+    pipeline = [{"$merge": {"into": "tgt", "on": "_id",
+                            "whenMatched": "replace",
+                            "whenNotMatched": "insert"}}]
+    _run(spark, tmpdir, schema, batches, pipeline, ctx=ctx)
+    final = {r["_id"]: r["v"] for r in ctx.collections["tgt"].collect()}
+    assert final == {"a": 10, "b": 2, "c": 3}
