@@ -1028,6 +1028,24 @@ _register(
        SELECT id, anc_id, CAST(depth AS BIGINT) AS depth FROM anc""",
 )(_graph_lookup_query)
 
+_register(
+    "json_props_extract",
+    """SELECT event_id, user_id,
+              CAST(json_extract(props, '$.k') AS BIGINT) AS k
+       FROM events
+       WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50""",
+)(
+    _pipe(
+        "events",
+        [
+            {"$addFields": {"k": {"$jsonGet": {"input": "$props", "path": "k",
+                                                "type": "long"}}}},
+            {"$match": {"k": {"$gte": 50}}},
+            {"$project": {"event_id": 1, "user_id": 1, "k": 1}},
+        ],
+    )
+)
+
 # =====================================================================
 # Beyond-reference data-pipeline operators
 # =====================================================================

@@ -1004,3 +1004,38 @@ OPERATORS["$binarySize"] = lambda raw, ctx: F.octet_length(_c(_args(raw)[0], ctx
 OPERATORS["$toUUID"] = lambda raw, ctx: _c(_args(raw)[0], ctx).cast("string")
 OPERATORS["$tsSecond"] = lambda raw, ctx: F.unix_timestamp(_c(_args(raw)[0], ctx))
 OPERATORS["$rand"] = lambda raw, ctx: F.rand()
+
+
+# --------------------------------------------- dynamic documents (extension)
+# The engine is fixed-schema per pipeline (SURVEY.md §1 "Schema system" —
+# the single biggest model mismatch vs the reference's schema-less JSON).
+# Open-world fields ride along as JSON strings or Spark 4 VariantType and
+# are extracted with typed accessors — JVM-native, no UDF.
+
+
+@_op("$parseJson")
+def _parse_json(raw: Any, ctx: ExprContext) -> Column:
+    """String -> VariantType (Spark 4): parse once, extract many.
+    Malformed input -> null (try_ semantics, ANSI-safe)."""
+    return F.try_parse_json(_c(_args(raw)[0], ctx))
+
+
+@_op("$jsonGet")
+def _json_get(raw: Any, ctx: ExprContext) -> Column:
+    """Typed field extraction from a JSON string or variant column:
+    ``{input, path, type?}``.  ``path`` is a JSONPath (``$.k`` or bare
+    ``k``); ``type`` (default string) applies a try_cast — malformed or
+    missing values become null, never errors."""
+    inp = _c(raw["input"], ctx)
+    path = raw["path"]
+    if not path.startswith("$"):
+        path = "$." + path
+    typ = raw.get("type", "string")
+    dtype = None
+    if ctx.schema is not None and isinstance(raw["input"], str) and raw["input"].startswith("$"):
+        name = raw["input"][1:]
+        if "." not in name and name in ctx.schema.fieldNames():
+            dtype = ctx.schema[name].dataType
+    if dtype is not None and dtype.typeName() == "variant":
+        return F.try_variant_get(inp, path, typ)
+    return F.get_json_object(inp, path).try_cast(typ)

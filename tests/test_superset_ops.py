@@ -116,3 +116,34 @@ def test_accumulator_n_median_percentile(spark):
     assert r["max2"] == [5.0, 4.0]
     assert r["med"] == 3.0
     assert r["pct"] == [1.0, 5.0]
+
+
+def test_json_get_and_parse_json(spark):
+    rows = [('{"k": 69, "name": "x", "nested": {"d": 1.5}}',), ("not json",), (None,)]
+    df = spark.createDataFrame(rows, "props string")
+    ectx_rows = _eval(
+        spark, {"$jsonGet": {"input": "$props", "path": "k", "type": "long"}},
+        rows, "props string",
+    )
+    assert ectx_rows == [69, None, None]
+    assert _eval(
+        spark, {"$jsonGet": {"input": "$props", "path": "$.nested.d", "type": "double"}},
+        rows, "props string",
+    ) == [1.5, None, None]
+    assert _eval(
+        spark, {"$jsonGet": {"input": "$props", "path": "name"}},
+        rows, "props string",
+    ) == ["x", None, None]
+    # variant path: parse once, extract typed
+    from pincette_mongo_streams_spark.expressions import ExprContext, compile_expr
+    from pyspark.sql import functions as F
+    parsed = df.select(
+        compile_expr({"$parseJson": "$props"}, ExprContext(schema=df.schema)).alias("v")
+    )
+    got = parsed.select(
+        compile_expr(
+            {"$jsonGet": {"input": "$v", "path": "k", "type": "long"}},
+            ExprContext(schema=parsed.schema),
+        ).alias("out")
+    ).collect()
+    assert [r["out"] for r in got] == [69, None, None]
