@@ -259,29 +259,41 @@ def http_stage(expression: Any, ctx: Context) -> StageFn:
         transport = c.http_transport or _default_transport
         out_schema = T.StructType(list(tagged.schema.fields) + _HTTP_RESULT_SCHEMA_SUFFIX)
 
+        # the reference is strictly sequential per partition
+        # (mapAsyncSequential — Http.java:508); `parallelism` is the scale
+        # extension: a bounded thread pool per partition, order preserved
+        parallelism = int(expression.get("parallelism", 1))
+
         def call(batches: Iterator) -> Iterator:
             import pandas as pd
 
+            def one(row) -> tuple:
+                try:
+                    resp = transport(
+                        {
+                            "url": row["__url"],
+                            "method": row["__method"],
+                            "headers": json.loads(row["__headers"]) if row["__headers"] else {},
+                            "body": row["__body"],
+                        }
+                    )
+                    ct = (resp.get("contentType") or "").lower()
+                    return resp["status"], resp.get("body"), "json" in ct
+                except Exception as e:  # unparseable url/method -> 400
+                    return 400, str(e), False
+
             for pdf in batches:
-                statuses, bodies, is_json = [], [], []
-                for _, row in pdf.iterrows():
-                    try:
-                        resp = transport(
-                            {
-                                "url": row["__url"],
-                                "method": row["__method"],
-                                "headers": json.loads(row["__headers"]) if row["__headers"] else {},
-                                "body": row["__body"],
-                            }
-                        )
-                        ct = (resp.get("contentType") or "").lower()
-                        statuses.append(resp["status"])
-                        bodies.append(resp.get("body"))
-                        is_json.append("json" in ct)
-                    except Exception as e:  # unparseable url/method -> 400
-                        statuses.append(400)
-                        bodies.append(str(e))
-                        is_json.append(False)
+                rows = [row for _, row in pdf.iterrows()]
+                if parallelism > 1 and len(rows) > 1:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(max_workers=parallelism) as pool:
+                        results = list(pool.map(one, rows))
+                else:
+                    results = [one(row) for row in rows]
+                statuses = [r[0] for r in results]
+                bodies = [r[1] for r in results]
+                is_json = [r[2] for r in results]
                 yield pdf.assign(
                     __resp_body=pd.Series(bodies, index=pdf.index, dtype="object"),
                     __resp_status=pd.Series(statuses, index=pdf.index, dtype="int32"),

@@ -102,3 +102,43 @@ def test_ann_lsh_search_recall_vs_brute_force(spark, sf_dir):
     assert all((q, q) in l for q in range(10))
     recall = len(b & l) / len(b)
     assert recall >= 0.25, f"recall {recall} collapsed"  # uniform data, 6 bits
+
+
+def test_http_parallel_transport(spark):
+    """$http parallelism extension: pooled transport beats the reference's
+    strictly sequential per-partition calls; row/response alignment and
+    httpError protocol are unchanged."""
+    import json as _json
+    import time
+
+    def slow_transport(req):
+        time.sleep(0.1)
+        n = int(req["url"].rsplit("/", 1)[1])
+        if n == 3:
+            return {"status": 404, "body": "nope", "contentType": "text/plain"}
+        return {"status": 200, "body": _json.dumps({"n": n * 10}),
+                "contentType": "application/json"}
+
+    df = spark.createDataFrame([(i,) for i in range(8)], "i long").repartition(1)
+    ctx = Context(spark=spark, http_transport=slow_transport)
+    def run(par):
+        pipeline = [{"$http": {
+            "url": {"$concat": ["http://svc/", {"$toString": "$i"}]},
+            "as": "resp", "parallelism": par,
+        }}]
+        t0 = time.perf_counter()
+        rows = compile_pipeline(pipeline, ctx)(df).collect()
+        return rows, time.perf_counter() - t0
+
+    run(1)  # warm the session so timings compare like-for-like
+    seq_rows, seq_t = run(1)
+    rows, par_t = run(8)
+    by_i = {r["i"]: r for r in rows}
+    assert _json.loads(by_i[0]["resp"]) == {"n": 0}
+    assert _json.loads(by_i[7]["resp"]) == {"n": 70}
+    assert by_i[3]["resp"] is None
+    assert by_i[3]["httpError"].asDict() == {"statusCode": 404, "body": "nope"}
+    # pooled and sequential agree on results
+    assert {r["i"]: r["resp"] for r in seq_rows} == {r["i"]: r["resp"] for r in rows}
+    # 8 x 0.1s of transport: the pool must reclaim most of it
+    assert par_t < seq_t - 0.3, f"pool {par_t:.2f}s vs sequential {seq_t:.2f}s"
