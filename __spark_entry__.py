@@ -405,7 +405,10 @@ _register(
         [
             {"$lookup": {"from": "lineitem",
                          "let": {"oid": "$o_orderkey"},
-                         "pipeline": [{"$match": {"l_orderkey": "$$oid"}}],
+                         # $project inside the sub-pipeline prunes the
+                         # foreign scan to one column (SCALE.md §2)
+                         "pipeline": [{"$match": {"l_orderkey": "$$oid"}},
+                                      {"$project": {"l_orderkey": 1}}],
                          "as": "items"}},
             {"$project": {"o_orderkey": 1, "n_items": {"$toLong": {"$size": "$items"}}}},
         ],
@@ -425,7 +428,8 @@ _register(
             {"$lookup": {"from": "lineitem",
                          "let": {"sk": "$s_suppkey"},
                          "pipeline": [{"$match": {"l_suppkey": "$$sk",
-                                                  "l_quantity": {"$gte": 49}}}],
+                                                  "l_quantity": {"$gte": 49}}},
+                                      {"$project": {"l_suppkey": 1}}],
                          "as": "big_items", "inner": True}},
             {"$project": {"s_suppkey": 1, "s_name": 1}},
         ],
