@@ -51,10 +51,21 @@ def run_streaming(
     watermark: Optional[tuple[str, str]] = None,
     trigger: Optional[dict] = None,
     checkpoint: Optional[str] = None,
+    suppress_unchanged: bool = False,
 ):
     """Run ``pipeline`` over a streaming ``source``; ``sink(batch_df,
     epoch)`` receives each output micro-batch (foreachBatch = exactly-once
-    with idempotent sinks).  Returns the StreamingQuery."""
+    with idempotent sinks).  Returns the StreamingQuery.
+
+    ``suppress_unchanged`` reproduces the reference's emission-diff
+    protocol (Group.java:176-186: identical group updates are not
+    re-emitted, golden-tested at TestGroup "$group $max"): update mode
+    emits every group *touched* in a batch, so a batch that touches a
+    group without changing its value (e.g. a new max candidate that
+    loses) would emit a duplicate — the suppression filter drops rows
+    identical to the group's previous emission.  Cost: one driver-side
+    dict entry per live group; use only when sinks require exact
+    reference emission parity."""
     ctx.streaming = True
     if watermark is not None:
         source = source.withWatermark(*watermark)
@@ -66,11 +77,24 @@ def run_streaming(
             break
     plan_part, batch_part = pipeline[:split], pipeline[split:]
     transformed = compile_pipeline(plan_part, ctx)(source) if plan_part else source
+    last_emitted: dict = {}
 
     def process(batch_df: DataFrame, epoch: int) -> None:
         batch_ctx = ctx
         batch_ctx.streaming = False  # inside foreachBatch everything is batch
         out = compile_pipeline(batch_part, batch_ctx)(batch_df) if batch_part else batch_df
+        if suppress_unchanged:
+            rows = out.collect()
+            cols = out.columns
+            key_col = "_id" if "_id" in cols else None
+            fresh = []
+            for r in rows:
+                vals = tuple(repr(r[c]) for c in cols)
+                key = repr(r[key_col]) if key_col else vals
+                if last_emitted.get(key) != vals:
+                    last_emitted[key] = vals
+                    fresh.append(r)
+            out = out.sparkSession.createDataFrame(fresh, out.schema)
         sink(out, epoch)
         batch_ctx.streaming = True
 

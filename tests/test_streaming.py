@@ -236,3 +236,17 @@ def test_merge_accumulates_target_across_batches(spark, tmpdir):
     _run(spark, tmpdir, schema, batches, pipeline, ctx=ctx)
     final = {r["_id"]: r["v"] for r in ctx.collections["tgt"].collect()}
     assert final == {"a": 10, "b": 2, "c": 3}
+
+
+def test_suppress_unchanged_emissions(spark, tmpdir):
+    """Reference emission protocol (Group.java:176-186): a batch that
+    touches a group without changing its value emits nothing — TestGroup's
+    "$group $max" sends 4 inputs and emits 3."""
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    batches = [[{"v": 1}], [{"v": 4}], [{"v": 2}], [{"v": 4}]]  # 2,4 lose
+    pipeline = [{"$group": {"_id": None, "mx": {"$max": "$v"}}}]
+    emissions = _run(
+        spark, tmpdir, schema, batches, pipeline, suppress_unchanged=True
+    )
+    seq = [r["mx"] for rows in emissions for r in rows]
+    assert seq == [1, 4]  # batches 3 and 4 don't change the max
