@@ -1033,6 +1033,42 @@ _register(
 )(_graph_lookup_query)
 
 _register(
+    "bucket_auto",
+    f"""WITH t AS (SELECT o_totalprice,
+                          ntile(4) OVER (ORDER BY o_totalprice) AS tile
+                   FROM orders)
+        SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+               count(*) AS n, {_r("sum(o_totalprice)", 2)} AS total
+        FROM t GROUP BY tile""",
+)(
+    _pipe(
+        "orders",
+        [
+            {"$bucketAuto": {"groupBy": "$o_totalprice", "buckets": 4,
+                             "output": {"n": {"$sum": 1},
+                                         "total": {"$sum": "$o_totalprice"}}}},
+            {"$project": {"_id": 0, "lo": "$_id.min", "hi": "$_id.max", "n": 1,
+                          "total": {"$round": ["$total", 2]}}},
+        ],
+    )
+)
+
+_register(
+    "documents_inline",
+    """SELECT * FROM (VALUES (1, 'x'), (2, 'y'), (3, 'z')) t(a, b)
+       WHERE a >= 2""",
+)(
+    _pipe(
+        "region",
+        [
+            {"$documents": [{"a": 1, "b": "x"}, {"a": 2, "b": "y"},
+                            {"a": 3, "b": "z"}]},
+            {"$match": {"a": {"$gte": 2}}},
+        ],
+    )
+)
+
+_register(
     "json_props_extract",
     """SELECT event_id, user_id,
               CAST(json_extract(props, '$.k') AS BIGINT) AS k

@@ -464,3 +464,52 @@ def graph_lookup_stage(expression: Any, ctx: Context) -> StageFn:
         return out.drop("__rk")
 
     return fn
+
+
+# ------------------------------------------------- $bucketAuto / $documents
+
+
+@register_stage("$bucketAuto")
+def bucket_auto_stage(expression: Any, ctx: Context) -> StageFn:
+    """Even-count bucketing (MongoDB $bucketAuto, absent from the
+    reference): ntile(buckets) over the groupBy expression, one window
+    pass + one aggregation.  ``_id`` = {min, max} bounds per bucket
+    (granularity rounding not supported — documented)."""
+    group_by = expression["groupBy"]
+    n_buckets = int(expression["buckets"])
+    output = expression.get("output", {"count": {"$sum": 1}})
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        _batch_only("$bucketAuto", c)
+        ectx = ExprContext(schema=df.schema)
+        gb = compile_expr(group_by, ectx)
+        w = Window.orderBy(gb)
+        tiled = df.withColumn("__tile", F.ntile(n_buckets).over(w))
+        aggs = [
+            F.struct(
+                F.min(gb).alias("min"), F.max(gb).alias("max")
+            ).alias("_id")
+        ]
+        for name, acc in output.items():
+            (op, arg), = acc.items()
+            aggs.append(compile_accumulator(name, op, arg, ectx, order=None))
+        return tiled.groupBy("__tile").agg(*aggs).drop("__tile")
+
+    return fn
+
+
+@register_stage("$documents")
+def documents_stage(expression: Any, ctx: Context) -> StageFn:
+    """Inline literal documents as the pipeline source (MongoDB 5.1
+    $documents).  Replaces the incoming frame with a broadcast-sized
+    literal relation — driver-side by construction, like Mongo's."""
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        if c.spark is None:
+            raise ValueError("$documents needs Context.spark")
+        docs = expression
+        if not isinstance(docs, list) or not docs:
+            raise ValueError("$documents takes a non-empty array of documents")
+        return c.spark.createDataFrame(docs)
+
+    return fn

@@ -212,3 +212,26 @@ def test_graph_lookup_max_depth_and_cycle(spark):
         collections={"h": (coll, "id long, parent long")},
     ).collect()
     assert [a["id"] for a in out[0]["anc"]] == [2]
+
+
+def test_bucket_auto(spark):
+    rows = [(i,) for i in range(1, 13)]  # 1..12 -> 3 buckets of 4
+    out = _run(
+        spark, rows, "v long",
+        [{"$bucketAuto": {"groupBy": "$v", "buckets": 3,
+                          "output": {"count": {"$sum": 1},
+                                      "total": {"$sum": "$v"}}}}],
+    ).collect()
+    got = sorted(
+        ((r["_id"]["min"], r["_id"]["max"], r["count"], r["total"]) for r in out)
+    )
+    assert got == [(1, 4, 4, 10), (5, 8, 4, 26), (9, 12, 4, 42)]
+
+
+def test_documents_stage(spark):
+    out = _run(
+        spark, [(0,)], "ignore long",
+        [{"$documents": [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]},
+         {"$match": {"a": {"$gte": 2}}}],
+    ).collect()
+    assert [(r["a"], r["b"]) for r in out] == [(2, "y")]
