@@ -1200,6 +1200,54 @@ _register(
     )
 )
 
+_register(
+    "training_pipeline",
+    f"""WITH q AS (
+          SELECT doc_id, text,
+            round((
+              least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+              + coalesce(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         AS DOUBLE) / CAST(length(text) AS DOUBLE), 0.0)
+              + coalesce(1.0 - least(CAST(length(regexp_replace(text, '[^.,;:!?]',
+                         '', 'g')) AS DOUBLE) * 10.0 / CAST(length(text) AS DOUBLE),
+                         1.0), 1.0)
+              + CASE WHEN CAST(length(text) AS DOUBLE)
+                          / CAST(len(string_split_regex(trim(text), '\\s+'))
+                                 AS DOUBLE)
+                          BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END
+            ) / 4.0, 6) AS quality
+          FROM documents),
+        f AS (SELECT * FROM q WHERE quality >= 0.6),
+        h AS (SELECT doc_id, quality, text, {_LANG_SQL_HITS} FROM f),
+        b AS (SELECT *, greatest(hits_en, hits_de, hits_fr, hits_es) AS best
+              FROM h),
+        l AS (SELECT doc_id, quality, text,
+                     CASE WHEN best <= 0 THEN 'und'
+                          WHEN hits_en = best THEN 'en'
+                          WHEN hits_de = best THEN 'de'
+                          WHEN hits_fr = best THEN 'fr'
+                          WHEN hits_es = best THEN 'es'
+                          ELSE 'und' END AS lang_pred
+              FROM b)
+        SELECT doc_id, quality,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                 AS n_ws
+        FROM l WHERE lang_pred = 'en'""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$qualityScore": {"input": "$text", "as": "quality"}},
+            {"$match": {"quality": {"$gte": 0.6}}},
+            {"$langId": {"input": "$text", "as": "lang_pred"}},
+            {"$match": {"lang_pred": "en"}},
+            {"$tokenCount": {"input": "$text", "as": "n_ws",
+                             "mode": "whitespace"}},
+            {"$project": {"doc_id": 1, "quality": 1, "n_ws": 1}},
+        ],
+    )
+)
+
 from pincette_mongo_streams_spark.functions.datapipe import (  # noqa: E402
     MINHASH_P,
     minhash_coeffs,
