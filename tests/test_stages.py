@@ -267,3 +267,52 @@ def test_pipeline_chain(spark):
 def test_unknown_stage_raises(spark):
     with pytest.raises(ValueError):
         run(spark, [{"$nope": {}}], [Row(x=1)])
+
+
+def test_replace_with_non_object_passthrough(spark):
+    """Non-object expression result -> original document passes through
+    (ReplaceWith.java:25-37)."""
+    df = spark.createDataFrame([(1, "x")], "_id long, test string")
+    out = compile_pipeline([{"$replaceWith": "$test"}], Context(spark=spark))(df)
+    assert out.columns == ["_id", "test"]
+    assert out.collect()[0].asDict() == {"_id": 1, "test": "x"}
+
+
+def test_unwind_preserve_and_index(spark):
+    """preserveNullAndEmptyArrays keeps empty/null docs with a null index
+    (Unwind.java:85-110)."""
+    df = spark.createDataFrame(
+        [(1, [10, 20]), (2, []), (3, None)], "_id long, test array<int>"
+    )
+    out = compile_pipeline(
+        [{"$unwind": {"path": "$test", "includeArrayIndex": "idx",
+                      "preserveNullAndEmptyArrays": True}}],
+        Context(spark=spark),
+    )(df)
+    assert sorted(tuple(r) for r in out.collect()) == [
+        (1, 10, 0), (1, 20, 1), (2, None, None), (3, None, None)
+    ]
+
+
+def test_lookup_scalar_and_array_local_field(spark):
+    """The reference array-wraps scalar local values so both scalar and
+    array localField work through the same $in rewrite
+    (Lookup.java:110-114, TestLookup '$lookup 3')."""
+    dim = spark.createDataFrame([(100, "a"), (300, "b")], "k long, v string")
+    ctx = Context(spark=spark, collections={"dim": dim})
+    scalar = spark.createDataFrame([(1, 100), (2, 300)], "_id long, ref long")
+    out = compile_pipeline(
+        [{"$lookup": {"from": "dim", "localField": "ref",
+                      "foreignField": "k", "as": "m"}}], ctx
+    )(scalar)
+    got = sorted((r["_id"], [(x["k"], x["v"]) for x in r["m"]]) for r in out.collect())
+    assert got == [(1, [(100, "a")]), (2, [(300, "b")])]
+    arr = spark.createDataFrame([(1, [100, 300]), (2, [999])], "_id long, ref array<long>")
+    out = compile_pipeline(
+        [{"$lookup": {"from": "dim", "localField": "ref",
+                      "foreignField": "k", "as": "m"}}], ctx
+    )(arr)
+    got = sorted(
+        (r["_id"], sorted((x["k"], x["v"]) for x in r["m"])) for r in out.collect()
+    )
+    assert got == [(1, [(100, "a"), (300, "b")]), (2, [])]
