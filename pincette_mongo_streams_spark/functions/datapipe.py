@@ -350,20 +350,39 @@ def embed_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     inp = expression["input"]
     id_field = expression.get("id", "vec_id")
     threshold = float(expression.get("threshold", 0.99))
+    bits = expression.get("bits")
+    dim = int(expression.get("dim", 16))
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
-        emb = compile_expr(inp, ExprContext(schema=df.schema))
-        docs = df.select(F.col(id_field).alias("__did"), emb.cast("array<double>").alias("__e"))
-        # candidate generation: exact pairwise within this harness's scale;
-        # the production path sets {bits: k} to bucket first (see $annLsh)
+        emb = compile_expr(inp, ExprContext(schema=df.schema)).cast("array<double>")
+        # normalize ONCE per row so each pair costs a single dot product
+        # (norms recomputed per pair would triple the pairwise HOF work)
+        norm = F.sqrt(
+            F.aggregate(F.transform(emb, lambda x: x * x), F.lit(0.0),
+                        lambda acc, v: acc + v)
+        )
+        unit = F.when(
+            norm > 0, F.transform(emb, lambda x: x / norm)
+        ).otherwise(emb)
+        docs = df.select(F.col(id_field).alias("__did"), unit.alias("__e"))
+        # candidate generation: exact pairwise by default; {bits: k} is the
+        # 100 TB path — same-bucket LSH candidates only (see $annLsh),
+        # recall traded per LSH guarantees
+        if bits is not None:
+            docs = docs.withColumn("__bkt", lsh_bucket(F.col("__e"), int(bits), dim))
+            cond = (F.col("a.__did") < F.col("b.__did")) & (
+                F.col("a.__bkt") == F.col("b.__bkt")
+            )
+        else:
+            cond = F.col("a.__did") < F.col("b.__did")
+        dot = F.aggregate(
+            F.zip_with(F.col("a.__e"), F.col("b.__e"), lambda x, y: x * y),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
         pairs = (
             docs.alias("a")
-            .join(docs.alias("b"), F.col("a.__did") < F.col("b.__did"))
-            .select(
-                F.col("a.__did").alias("__ida"),
-                F.col("b.__did").alias("__idb"),
-                cosine(F.col("a.__e"), F.col("b.__e")).alias("__cos"),
-            )
+            .join(docs.alias("b"), cond)
+            .select(F.col("b.__did").alias("__idb"), dot.alias("__cos"))
         )
         dups = pairs.filter(F.col("__cos") >= threshold).select(
             F.col("__idb").alias("__did")).distinct()
