@@ -426,13 +426,22 @@ def ann_topk_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+def _plane_component(j: int, d: int) -> float:
+    """Hyperplane component h[j][d] in [-1,1): the same md5 derivation as
+    md5_long, computed driver-side in Python — 512 Spark md5-of-literal
+    expressions cost seconds of constant folding per plan, a float literal
+    costs nothing."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{j}:p{j}d{d}".encode()).hexdigest()[:15], 16)
+    return (h % 2000 - 1000) / 1000.0
+
+
 def lsh_bucket(emb: Column, bits: int, dim: int) -> Column:
     """Sign-bit bucket for a seeded set of md5-derived hyperplanes —
     deterministic, pure column algebra."""
-    # hyperplane component h[j][d] in [-1,1): seeded md5, reproducible
     planes = [
-        F.array(*[(md5_long(F.lit(f"p{j}d{d}"), j) % 2000 - 1000) / 1000.0
-                  for d in range(dim)])
+        F.array(*[F.lit(_plane_component(j, d)) for d in range(dim)])
         for j in range(bits)
     ]
     bit_cols = []
