@@ -196,3 +196,35 @@ def test_root_and_getfield(spark):
     [v] = ev(spark, "$$ROOT", rows)
     assert v.asDict() == {"a": 1, "b": "x"}
     assert ev(spark, {"$getField": {"field": "a"}}, rows) == [1]
+
+
+def test_remove_in_project(spark):
+    """$$REMOVE in a computed $project position drops the field
+    conditionally (reference TestProject 'exclude 3',
+    Project.java:46-47,102-107)."""
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    df = spark.createDataFrame([(1, 5), (2, 15)], "_id long, v long")
+    out = compile_pipeline(
+        [{"$project": {"v": 1, "flag": {"$cond": [
+            {"$gte": ["$v", 10]}, "big", "$$REMOVE"]}}}],
+        Context(spark=spark),
+    )(df)
+    rows = {r["_id"]: r.asDict() for r in out.collect()}
+    # fixed-schema engine: statically-present column, null where removed
+    assert rows[2]["flag"] == "big"
+    assert rows[1]["flag"] is None
+
+
+def test_root_in_group_push(spark):
+    """$$ROOT as an accumulator argument pushes whole documents
+    (reference TestGroup.java:121)."""
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "k string, v long")
+    out = compile_pipeline(
+        [{"$group": {"_id": "$k", "docs": {"$push": "$$ROOT"}}}],
+        Context(spark=spark),
+    )(df)
+    got = {r["_id"]: sorted((d["k"], d["v"]) for d in r["docs"]) for r in out.collect()}
+    assert got == {"a": [("a", 1), ("a", 2)], "b": [("b", 3)]}
