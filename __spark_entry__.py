@@ -1033,6 +1033,20 @@ _register(
 )(_graph_lookup_query)
 
 _register(
+    "sample_size",
+    None,  # random sample: rows-only gate (size pinned by the pipeline;
+    # exactness of the count is asserted in tests/test_extended_stages.py)
+)(
+    _pipe(
+        "orders",
+        [
+            {"$sample": {"size": 100}},
+            {"$project": {"o_orderkey": 1}},
+        ],
+    )
+)
+
+_register(
     "bucket_auto",
     f"""WITH t AS (SELECT o_totalprice,
                           ntile(4) OVER (ORDER BY o_totalprice) AS tile
