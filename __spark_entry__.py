@@ -1050,10 +1050,12 @@ _register(
     "bucket_auto",
     f"""WITH t AS (SELECT o_totalprice,
                           ntile(4) OVER (ORDER BY o_totalprice) AS tile
-                   FROM orders)
-        SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi,
-               count(*) AS n, {_r("sum(o_totalprice)", 2)} AS total
-        FROM t GROUP BY tile""",
+                   FROM orders),
+        g AS (SELECT tile, min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+                     count(*) AS n, {_r("sum(o_totalprice)", 2)} AS total
+              FROM t GROUP BY tile)
+        SELECT lo, coalesce(lead(lo) OVER (ORDER BY tile), hi) AS hi, n, total
+        FROM g""",
 )(
     _pipe(
         "orders",

@@ -940,38 +940,85 @@ def _min_n(raw: Any, ctx: ExprContext) -> Column:
     return F.slice(F.array_sort(_c(raw["input"], ctx)), 1, _c(raw["n"], ctx))
 
 
-def _numeric_array(raw: Any, ctx: ExprContext) -> Column:
-    """Mongo's $sum/$avg/$min/$max in *expression* position take an array
-    (or a single value) and skip non-numerics."""
-    args = raw if isinstance(raw, list) else [raw]
-    arr = _c(args[0], ctx) if len(args) == 1 else F.array(*[_c(a, ctx) for a in args])
+# expression ops whose result is an array (for single-arg type resolution)
+_ARRAY_RESULT_OPS = {
+    "$map", "$filter", "$slice", "$concatArrays", "$range", "$sortArray",
+    "$zip", "$reverseArray", "$setUnion", "$setIntersection",
+    "$setDifference", "$objectToArray", "$split", "$regexFindAll",
+    "$firstN", "$lastN", "$maxN", "$minN",
+}
+
+
+def _is_array_operand(raw: Any, ctx: ExprContext) -> bool:
+    """Best-effort static check: does this single operand evaluate to an
+    array?  Field paths resolve through the schema; operator results by a
+    known-arrays table; $literal lists are arrays."""
+    if isinstance(raw, str) and raw.startswith("$") and not raw.startswith("$$"):
+        t = ctx.type_of_path(split_path(raw[1:]))
+        return isinstance(t, T.ArrayType)
+    if isinstance(raw, dict):
+        op = next((k for k in raw if k.startswith("$")), None)
+        if op == "$literal":
+            return isinstance(raw[op], list)
+        return op in _ARRAY_RESULT_OPS
+    return False
+
+
+def _fold_array_arg(raw: Any, ctx: ExprContext) -> Optional[Column]:
+    """Resolve $sum/$avg/$min/$max's operand to an array Column, or None
+    when the operand is a scalar (MongoDB accepts scalars in expression
+    position: $sum/$min/$max of a scalar is the value itself)."""
+    if isinstance(raw, list):
+        if len(raw) == 1:
+            return _fold_array_arg(raw[0], ctx)
+        return F.array(*[_c(a, ctx) for a in raw])
+    if _is_array_operand(raw, ctx):
+        return _c(raw, ctx)
+    return None
+
+
+def _numeric_only(arr: Column) -> Column:
     return F.filter(arr, lambda x: x.try_cast("double").isNotNull())
 
 
-OPERATORS["$sum"] = lambda raw, ctx: F.coalesce(
-    F.aggregate(
-        _numeric_array(raw, ctx),
+def _expr_sum(raw: Any, ctx: ExprContext) -> Column:
+    arr = _fold_array_arg(raw, ctx)
+    if arr is None:  # scalar operand: the numeric value, non-numeric -> 0
+        return F.coalesce(_c(raw, ctx).try_cast("double"), F.lit(0.0))
+    return F.coalesce(
+        F.aggregate(
+            _numeric_only(arr), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        ),
         F.lit(0.0),
-        lambda acc, x: acc + x.cast("double"),
-    ),
-    F.lit(0.0),
-)
-OPERATORS["$avg"] = lambda raw, ctx: (
-    lambda arr: F.when(
-        F.size(arr) > 0,
-        F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
-        / F.size(arr),
     )
-)(_numeric_array(raw, ctx))
-def _array_arg(raw: Any, ctx: ExprContext) -> Column:
-    """Single argument -> it IS the array; multi-arg -> the args form one."""
-    if isinstance(raw, list) and len(raw) > 1:
-        return F.array(*[_c(a, ctx) for a in raw])
-    return _c(raw[0] if isinstance(raw, list) else raw, ctx)
 
 
-OPERATORS["$max"] = lambda raw, ctx: F.array_max(_array_arg(raw, ctx))
-OPERATORS["$min"] = lambda raw, ctx: F.array_min(_array_arg(raw, ctx))
+def _expr_avg(raw: Any, ctx: ExprContext) -> Column:
+    arr = _fold_array_arg(raw, ctx)
+    if arr is None:
+        return _c(raw, ctx).try_cast("double")
+    nums = _numeric_only(arr)
+    return F.when(
+        F.size(nums) > 0,
+        F.aggregate(nums, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+        / F.size(nums),
+    )
+
+
+def _expr_minmax(is_max: bool):
+    def op(raw: Any, ctx: ExprContext) -> Column:
+        arr = _fold_array_arg(raw, ctx)
+        if arr is None:  # scalar operand -> the value itself
+            return _c(raw, ctx)
+        return F.array_max(arr) if is_max else F.array_min(arr)
+
+    return op
+
+
+OPERATORS["$sum"] = _expr_sum
+OPERATORS["$avg"] = _expr_avg
+OPERATORS["$max"] = _expr_minmax(True)
+OPERATORS["$min"] = _expr_minmax(False)
 
 
 @_op("$regexFind")

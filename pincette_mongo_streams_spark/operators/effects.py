@@ -135,14 +135,64 @@ def _per_streaming(df: DataFrame, amount: int, as_field: str,
     (or the ``timeout`` flush — Per.java:42-48's time-based flush).  The
     whole stream is one logical sequence in the reference (single
     partition per Kafka partition), so packing keys on a constant —
-    throughput-bound by one state partition, exactly like the source."""
+    throughput-bound by one state partition, exactly like the source.
+
+    State rows round-trip through JSON, so each column needs a lossless
+    text codec: timestamps/dates -> ISO, binary -> base64, integrals ->
+    int (pandas nullable-long columns arrive as float64 + NaN).  Nested
+    struct/array/map columns are rejected up front rather than silently
+    corrupted."""
     import json as _json
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     doc_type = T.StructType(df.schema.fields)
+    for f in doc_type.fields:
+        if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
+            raise NotImplementedError(
+                f"$per streaming: nested column {f.name!r} "
+                f"({f.dataType.simpleString()}) is not supported in "
+                "carry-over state; flatten it before $per"
+            )
     out_schema = T.StructType([T.StructField(as_field, T.ArrayType(doc_type))])
     state_schema = T.StructType([T.StructField("leftover", T.ArrayType(T.StringType()))])
+    field_types = {f.name: f.dataType for f in doc_type.fields}
+
+    def _enc(name: str, v):
+        import math as _math
+
+        if v is None or (isinstance(v, float) and _math.isnan(v)):
+            return None
+        t = field_types[name]
+        if isinstance(t, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            return v.isoformat()
+        if isinstance(t, T.BinaryType):
+            import base64
+
+            return base64.b64encode(bytes(v)).decode("ascii")
+        if isinstance(t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return int(v)
+        if isinstance(t, (T.DoubleType, T.FloatType)):
+            return float(v)
+        if isinstance(t, T.BooleanType):
+            return bool(v)
+        return v
+
+    def _dec(name: str, v):
+        import datetime as _dt
+
+        if v is None:
+            return None
+        t = field_types[name]
+        if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+            return _dt.datetime.fromisoformat(v)
+        if isinstance(t, T.DateType):
+            return _dt.date.fromisoformat(v)
+        if isinstance(t, T.BinaryType):
+            import base64
+
+            return base64.b64decode(v)
+        return v
 
     def pack(key, pdfs, state: GroupState):
         import pandas as pd
@@ -151,14 +201,21 @@ def _per_streaming(df: DataFrame, amount: int, as_field: str,
         for pdf in pdfs:
             for rec in pdf.to_dict("records"):
                 rec.pop("__packkey", None)
-                rows.append(_json.dumps(rec, default=str))
+                rows.append(
+                    _json.dumps({k: _enc(k, v) for k, v in rec.items()})
+                )
         chunks = [rows[i:i + amount] for i in range(0, len(rows), amount)]
         flush_tail = timeout_ms is not None and state.hasTimedOut
         emit = []
         remainder: list[str] = []
         for chnk in chunks:
             if len(chnk) == amount or flush_tail:
-                emit.append([_json.loads(s) for s in chnk])
+                emit.append(
+                    [
+                        {k: _dec(k, v) for k, v in _json.loads(s).items()}
+                        for s in chnk
+                    ]
+                )
             else:
                 remainder = chnk
         if remainder:

@@ -200,13 +200,15 @@ def set_window_fields_stage(expression: Any, ctx: Context) -> StageFn:
             elif op == "$shift":
                 v = compile_expr(arg["output"], ectx)
                 by = arg.get("by", 1)
-                default = F.lit(arg.get("default"))
+                # lead/lag's third arg applies ONLY outside the partition —
+                # a coalesce would also overwrite legitimately-null
+                # in-window values, which Mongo leaves null
+                default = arg.get("default")
                 col = (
-                    F.lead(v, by, None).over(ordered)
+                    F.lead(v, by, default).over(ordered)
                     if by >= 0
-                    else F.lag(v, -by, None).over(ordered)
+                    else F.lag(v, -by, default).over(ordered)
                 )
-                col = F.coalesce(col, default) if "default" in arg else col
             else:
                 # aggregate op over a frame: default = whole partition
                 # (MongoDB's documented default window)
@@ -404,6 +406,7 @@ def graph_lookup_stage(expression: Any, ctx: Context) -> StageFn:
         keyed = df.withColumn("__rk", F.monotonically_increasing_id())
         keyed = keyed.persist()
         keyed.count()  # freeze the nondeterministic row keys
+        persisted = [keyed]
 
         def explode_vals(frame: DataFrame, col: Column) -> DataFrame:
             dtype = frame.select(col.alias("__v")).schema["__v"].dataType
@@ -432,6 +435,7 @@ def graph_lookup_stage(expression: Any, ctx: Context) -> StageFn:
                     found.select("__rk", "__doc"), ["__rk", "__doc"], "left_anti"
                 )
             hits = hits.persist()
+            persisted.append(hits)
             if hits.isEmpty():
                 break
             found = hits if found is None else found.unionByName(hits)
@@ -461,7 +465,13 @@ def graph_lookup_stage(expression: Any, ctx: Context) -> StageFn:
                     groups.schema["__found"].dataType.simpleString())))
                 .drop("__found")
             )
-        return out.drop("__rk")
+        # cut the result loose from the cached BFS frames, then release
+        # them — otherwise every invocation leaks depth+1 cached frames
+        # into executor storage for the session's lifetime
+        result = out.drop("__rk").localCheckpoint(eager=True)
+        for frame in persisted:
+            frame.unpersist()
+        return result
 
     return fn
 
@@ -473,8 +483,14 @@ def graph_lookup_stage(expression: Any, ctx: Context) -> StageFn:
 def bucket_auto_stage(expression: Any, ctx: Context) -> StageFn:
     """Even-count bucketing (MongoDB $bucketAuto, absent from the
     reference): ntile(buckets) over the groupBy expression, one window
-    pass + one aggregation.  ``_id`` = {min, max} bounds per bucket
-    (granularity rounding not supported — documented)."""
+    pass + one aggregation.  ``_id`` = contiguous {min, max} bounds:
+    each bucket's max is the NEXT bucket's min (exclusive upper), the
+    last bucket's max is the overall max inclusive — Mongo's bound shape.
+    Documented deviations: ``granularity`` unsupported; ntile may split a
+    run of equal groupBy values across adjacent buckets where Mongo keeps
+    them together; the bucketing window is an (intentional) single
+    partition — the second-pass bound stitching touches only
+    ``buckets`` rows."""
     group_by = expression["groupBy"]
     n_buckets = int(expression["buckets"])
     output = expression.get("output", {"count": {"$sum": 1}})
@@ -485,15 +501,24 @@ def bucket_auto_stage(expression: Any, ctx: Context) -> StageFn:
         gb = compile_expr(group_by, ectx)
         w = Window.orderBy(gb)
         tiled = df.withColumn("__tile", F.ntile(n_buckets).over(w))
-        aggs = [
-            F.struct(
-                F.min(gb).alias("min"), F.max(gb).alias("max")
-            ).alias("_id")
-        ]
+        aggs = [F.min(gb).alias("__lo"), F.max(gb).alias("__hi")]
         for name, acc in output.items():
             (op, arg), = acc.items()
             aggs.append(compile_accumulator(name, op, arg, ectx, order=None))
-        return tiled.groupBy("__tile").agg(*aggs).drop("__tile")
+        per_tile = tiled.groupBy("__tile").agg(*aggs)
+        bounds = Window.orderBy("__tile")
+        return (
+            per_tile.withColumn(
+                "_id",
+                F.struct(
+                    F.col("__lo").alias("min"),
+                    F.coalesce(
+                        F.lead("__lo", 1).over(bounds), F.col("__hi")
+                    ).alias("max"),
+                ),
+            )
+            .drop("__tile", "__lo", "__hi")
+        )
 
     return fn
 

@@ -126,11 +126,19 @@ def _compile_accumulator_superset(
     if op in ("$firstN", "$lastN"):
         value = compile_expr(arg["input"], ectx)
         n = arg["n"]
-        o = order if order is not None else F.monotonically_increasing_id()
-        ordered = F.transform(
-            F.array_sort(F.collect_list(F.struct(o.alias("o"), value.alias("v")))),
-            lambda s: s.getField("v"),
-        )
+        if order is None:
+            # no pipeline order column: arrival order is undefined (same as
+            # Mongo without a sort) — take an arbitrary-but-valid N.
+            # monotonically_increasing_id() is rejected inside aggregates
+            # (AGGREGATE_FUNCTION_WITH_NONDETERMINISTIC_EXPRESSION).
+            ordered = F.collect_list(value)
+        else:
+            ordered = F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(order.alias("o"), value.alias("v")))
+                ),
+                lambda s: s.getField("v"),
+            )
         if op == "$lastN":
             return F.slice(
                 ordered, F.greatest(F.size(ordered) - n + 1, F.lit(1)), F.lit(n)
@@ -156,15 +164,20 @@ def _compile_accumulator_superset(
             agg = F.max_by(out, sort_col) if direction == 1 else F.min_by(out, sort_col)
             return agg.alias(name)
         n = arg["n"]
-        ordered = F.transform(
+        asc = F.transform(
             F.array_sort(
                 F.collect_list(F.struct(sort_col.alias("o"), out.alias("v")))
             ),
             lambda s: s.getField("v"),
         )
-        if (op == "$topN") == (direction == 1):
-            return F.slice(ordered, 1, n).alias(name)
-        return F.slice(F.reverse(ordered), 1, n).alias(name)
+        # elements ordered by sortBy direction; $topN = head, $bottomN =
+        # tail, both KEEPING that order (Mongo does not reverse the tail)
+        in_order = asc if direction == 1 else F.reverse(asc)
+        if op == "$topN":
+            return F.slice(in_order, 1, n).alias(name)
+        return F.slice(
+            in_order, F.greatest(F.size(in_order) - n + 1, F.lit(1)), F.lit(n)
+        ).alias(name)
     if op == "$median":
         return F.median(compile_expr(arg["input"], ectx)).alias(name)
     if op == "$percentile":

@@ -38,6 +38,14 @@ _PLAN_STAGES = {
 _AGG_STAGES = ("$group", "$bucket", "$count", "$windowGroup", "$sortByCount",
                "$per")
 
+# stages with no meaning on an infinite stream (extended.py _batch_only);
+# rejected here too — otherwise the foreachBatch split would silently run
+# them per micro-batch with ctx.streaming=False
+_BATCH_ONLY_STAGES = {
+    "$sort", "$limit", "$skip", "$sample", "$facet", "$setWindowFields",
+    "$fill", "$densify", "$graphLookup", "$bucketAuto",
+}
+
 
 def _needs_update_mode(pipeline: list[dict]) -> bool:
     return any(next(iter(s)) in _AGG_STAGES for s in pipeline)
@@ -64,8 +72,17 @@ def run_streaming(
     group without changing its value (e.g. a new max candidate that
     loses) would emit a duplicate — the suppression filter drops rows
     identical to the group's previous emission.  Cost: one driver-side
-    dict entry per live group; use only when sinks require exact
-    reference emission parity."""
+    dict entry per live group; the dict does not survive a checkpoint
+    restart (the first post-restart batch may re-emit unchanged groups).
+    Requires a group-keyed output (``_id``); use only when sinks require
+    exact reference emission parity."""
+    for stage in pipeline:
+        name = next(iter(stage))
+        if name in _BATCH_ONLY_STAGES:
+            raise ValueError(
+                f"{name} is batch-only (the reference excludes it from "
+                "infinite streams — Pipeline.java:31-32)"
+            )
     ctx.streaming = True
     if watermark is not None:
         source = source.withWatermark(*watermark)
@@ -86,11 +103,16 @@ def run_streaming(
         if suppress_unchanged:
             rows = out.collect()
             cols = out.columns
-            key_col = "_id" if "_id" in cols else None
+            if "_id" not in cols:
+                raise ValueError(
+                    "suppress_unchanged needs a group-keyed output (an _id "
+                    "column): without a key, distinct events with equal "
+                    "values would be suppressed as duplicates"
+                )
             fresh = []
             for r in rows:
                 vals = tuple(repr(r[c]) for c in cols)
-                key = repr(r[key_col]) if key_col else vals
+                key = repr(r["_id"])
                 if last_emitted.get(key) != vals:
                     last_emitted[key] = vals
                     fresh.append(r)

@@ -225,7 +225,8 @@ def test_bucket_auto(spark):
     got = sorted(
         ((r["_id"]["min"], r["_id"]["max"], r["count"], r["total"]) for r in out)
     )
-    assert got == [(1, 4, 4, 10), (5, 8, 4, 26), (9, 12, 4, 42)]
+    # Mongo bound shape: each max = next bucket's min, last max inclusive
+    assert got == [(1, 5, 4, 10), (5, 9, 4, 26), (9, 12, 4, 42)]
 
 
 def test_documents_stage(spark):
@@ -235,3 +236,21 @@ def test_documents_stage(spark):
          {"$match": {"a": {"$gte": 2}}}],
     ).collect()
     assert [(r["a"], r["b"]) for r in out] == [(2, "y")]
+
+
+def test_shift_default_only_out_of_window(spark):
+    """$shift's default applies only outside the partition; genuinely-null
+    in-window values stay null (Mongo semantics)."""
+    rows = [("a", 1, 5.0), ("a", 2, None), ("a", 3, 7.0)]
+    out = _run(
+        spark, rows, "k string, o long, v double",
+        [{"$setWindowFields": {
+            "partitionBy": "$k", "sortBy": {"o": 1},
+            "output": {"prev": {"$shift": {"output": "$v", "by": -1,
+                                            "default": 0.0}}},
+        }}],
+    ).collect()
+    by_o = {r["o"]: r["prev"] for r in out}
+    assert by_o[1] == 0.0   # out of window -> default
+    assert by_o[2] == 5.0
+    assert by_o[3] is None  # in-window null stays null

@@ -250,3 +250,51 @@ def test_suppress_unchanged_emissions(spark, tmpdir):
     )
     seq = [r["mx"] for rows in emissions for r in rows]
     assert seq == [1, 4]  # batches 3 and 4 don't change the max
+
+
+def test_batch_only_stage_rejected_by_run_streaming(spark, tmpdir):
+    """run_streaming must reject batch-only stages up front — the
+    foreachBatch split would otherwise run them per micro-batch with
+    unbounded totals ($limit 10 per batch != $limit 10)."""
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    in_dir = os.path.join(tmpdir, "in")
+    _write_batches(in_dir, [[{"v": 1}]])
+    source = spark.readStream.schema(schema).json(in_dir)
+    with pytest.raises(ValueError, match="batch-only"):
+        run_streaming(source, [{"$limit": 10}], Context(spark=spark),
+                      sink=lambda df, e: None)
+
+
+def test_suppress_unchanged_requires_id(spark, tmpdir):
+    """Without a group key, suppression would swallow distinct events
+    with equal values — rejected."""
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    batches = [[{"v": 1}], [{"v": 1}]]
+    pipeline = [{"$project": {"v": 1}}]
+    with pytest.raises(Exception, match="_id"):
+        _run(spark, tmpdir, schema, batches, pipeline, suppress_unchanged=True)
+
+
+def test_per_carries_timestamps_and_nulls(spark, tmpdir):
+    """$per state round-trip preserves timestamp columns and nullable
+    longs (pandas turns nullable long into float64+NaN; the codec must
+    restore both)."""
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.LongType()),
+    ])
+    batches = [
+        [{"ts": "2024-01-01T00:00:01Z", "v": 1},
+         {"ts": "2024-01-01T00:00:02Z", "v": None},
+         {"ts": "2024-01-01T00:00:03Z", "v": 3}],
+        [{"ts": "2024-01-01T00:00:04Z", "v": 4}],
+    ]
+    pipeline = [{"$per": {"amount": 2, "as": "msgs"}}]
+    emissions = _run(spark, tmpdir, schema, batches, pipeline)
+    packs = [[(d["ts"], d["v"]) for d in r["msgs"]]
+             for rows in emissions for r in rows]
+    flat = [x for p in packs for x in p]
+    assert len(flat) == 4
+    assert sorted(v for _, v in flat if v is not None) == [1, 3, 4]
+    assert sum(1 for _, v in flat if v is None) == 1
+    assert all(ts is not None and ts.year == 2024 for ts, _ in flat)

@@ -90,7 +90,6 @@ def test_accumulator_top_bottom(spark):
          "top2": {"$topN": {"sortBy": {"v": -1}, "output": "$i", "n": 2}}},
     )
     by_id = {r["_id"]: r for r in out}
-    assert by_id["a"]["best"] == 2 and by_id["a"]["worst"] == 4 or True
     a = by_id["a"]
     assert a["best"] == 2      # highest v=30
     assert a["worst"] == 1     # lowest v=10
@@ -147,3 +146,46 @@ def test_json_get_and_parse_json(spark):
         ).alias("out")
     ).collect()
     assert [r["out"] for r in got] == [69, None, None]
+
+
+def test_first_n_without_order_by(spark):
+    """$firstN/$lastN must not crash when no pipeline order column is
+    configured (nondeterministic expressions are illegal inside
+    aggregates); the N taken is arbitrary but valid, like Mongo without
+    a sort."""
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0)]
+    out = _group(
+        spark, rows, "k string, v double",
+        {"_id": "$k", "f2": {"$firstN": {"input": "$v", "n": 2}},
+         "l2": {"$lastN": {"input": "$v", "n": 2}}},
+    )
+    assert len(out[0]["f2"]) == 2 and len(out[0]["l2"]) == 2
+    assert set(out[0]["f2"]) <= {1.0, 2.0, 3.0}
+
+
+def test_bottom_n_keeps_sort_order(spark):
+    """$bottomN returns the tail IN sortBy order, not reversed: values
+    [10,20,30] sorted desc = [30,20,10], bottom 2 = [20,10]."""
+    rows = [("a", 1, 10), ("a", 2, 20), ("a", 3, 30)]
+    out = _group(
+        spark, rows, "k string, i long, v long",
+        {"_id": "$k",
+         "b2_desc": {"$bottomN": {"sortBy": {"v": -1}, "output": "$v", "n": 2}},
+         "b2_asc": {"$bottomN": {"sortBy": {"v": 1}, "output": "$v", "n": 2}},
+         "t2_asc": {"$topN": {"sortBy": {"v": 1}, "output": "$v", "n": 2}}},
+    )
+    r = out[0]
+    assert r["b2_desc"] == [20, 10]
+    assert r["b2_asc"] == [20, 30]
+    assert r["t2_asc"] == [10, 20]
+
+
+def test_scalar_sum_max_in_expression_position(spark):
+    """Mongo accepts scalars for expression-position $sum/$max/$min/$avg:
+    the value itself (0 for non-numeric $sum)."""
+    rows = [(5.0, "txt")]
+    assert _eval(spark, {"$sum": "$x"}, rows, "x double, s string") == [5.0]
+    assert _eval(spark, {"$max": "$x"}, rows, "x double, s string") == [5.0]
+    assert _eval(spark, {"$min": "$x"}, rows, "x double, s string") == [5.0]
+    assert _eval(spark, {"$avg": "$x"}, rows, "x double, s string") == [5.0]
+    assert _eval(spark, {"$sum": "$s"}, rows, "x double, s string") == [0.0]
