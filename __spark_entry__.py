@@ -793,7 +793,8 @@ _register(
     "group_topn",
     """SELECT o_orderpriority AS _id,
               max(o_totalprice) AS hi, min(o_totalprice) AS lo,
-              list_slice(list_reverse_sort(list(o_totalprice)), 1, 3) AS top3
+              list_slice(list_reverse_sort(list(o_totalprice)), 1, 3) AS top3,
+              list_slice(list_reverse_sort(list(o_totalprice)), -3, -1) AS bot3
        FROM orders GROUP BY o_orderpriority""",
 )(
     _pipe(
@@ -807,6 +808,8 @@ _register(
                                     "output": "$o_totalprice"}},
                 "top3": {"$topN": {"sortBy": {"o_totalprice": -1},
                                     "output": "$o_totalprice", "n": 3}},
+                "bot3": {"$bottomN": {"sortBy": {"o_totalprice": -1},
+                                       "output": "$o_totalprice", "n": 3}},
             }},
         ],
     )
