@@ -257,8 +257,27 @@ def throttle_stage(expression: Any, ctx: Context) -> StageFn:
 _HTTP_RESULT_SCHEMA_SUFFIX = [
     T.StructField("__resp_body", T.StringType()),
     T.StructField("__resp_status", T.IntegerType()),
-    T.StructField("__resp_is_json", T.BooleanType()),
+    T.StructField("__resp_kind", T.IntegerType()),
 ]
+
+
+# reduced-response-body semantics (Http.java:99-105, 340-375):
+#   - "json" content type       -> parse; the body is reduced to the stream of
+#     top-level OBJECTS it contains (array elements that are not objects are
+#     filtered out — responsBodyPublisher filter(isObject), Http.java:409-416);
+#     a single-element result is unwrapped (Http.java:370-375)
+#   - content type starting with "text" or in the TEXT_MIME_TYPES set
+#     -> the raw body string (Http.java:340-344, 99-105)
+#   - anything else -> no body (null)
+_KIND_NONE, _KIND_JSON, _KIND_TEXT = 0, 1, 2
+_TEXT_MIME_TYPES = {
+    "application/rtf",
+    "application/x-www-form-urlencoded",
+    "application/xhtml+xml",
+    "image/svg+xml",
+}
+
+
 
 
 def _default_transport(request: dict) -> dict:
@@ -324,6 +343,40 @@ def http_stage(expression: Any, ctx: Context) -> StageFn:
         def call(batches: Iterator) -> Iterator:
             import pandas as pd
 
+            # nested (pickled by value) so a driver-only install works
+            def content_kind(content_type) -> int:
+                ct = (content_type or "").split(";")[0].strip().lower()
+                if "json" in ct:
+                    return _KIND_JSON
+                if ct.startswith("text") or ct in _TEXT_MIME_TYPES:
+                    return _KIND_TEXT
+                return _KIND_NONE
+
+            def normalize_body(body, kind, unwind_ok):
+                # body as it should land in `as`: a JSON string for JSON
+                # responses (object-filtered, single-element unwrapped —
+                # always an array when unwinding so the explode sees
+                # elements), the raw string for text responses, else None
+                if body is None or kind == _KIND_NONE:
+                    return None
+                if kind == _KIND_TEXT:
+                    return body
+                try:
+                    parsed = json.loads(body)
+                except ValueError:
+                    return None
+                if isinstance(parsed, dict):
+                    elems = [parsed]
+                elif isinstance(parsed, list):
+                    elems = [e for e in parsed if isinstance(e, dict)]
+                else:
+                    elems = []
+                if unwind_ok:
+                    return json.dumps([json.dumps(e) for e in elems])
+                if len(elems) == 1:
+                    return json.dumps(elems[0])
+                return json.dumps(elems)
+
             def one(row) -> tuple:
                 try:
                     resp = transport(
@@ -334,10 +387,17 @@ def http_stage(expression: Any, ctx: Context) -> StageFn:
                             "body": row["__body"],
                         }
                     )
-                    ct = (resp.get("contentType") or "").lower()
-                    return resp["status"], resp.get("body"), "json" in ct
-                except Exception as e:  # unparseable url/method -> 400
-                    return 400, str(e), False
+                    kind = content_kind(resp.get("contentType"))
+                    status = resp["status"]
+                    # errors carry the plain reduced body in httpError.body,
+                    # never the unwind array form (Http.java:121-129)
+                    body = normalize_body(
+                        resp.get("body"), kind, unwind and status < 300
+                    )
+                    return status, body, kind
+                except Exception:  # unparseable url/method -> 400
+                    # (Http.java:111-113 addBadRequest: no response body)
+                    return 400, None, _KIND_NONE
 
             for pdf in batches:
                 rows = [row for _, row in pdf.iterrows()]
@@ -350,11 +410,11 @@ def http_stage(expression: Any, ctx: Context) -> StageFn:
                     results = [one(row) for row in rows]
                 statuses = [r[0] for r in results]
                 bodies = [r[1] for r in results]
-                is_json = [r[2] for r in results]
+                kinds = [r[2] for r in results]
                 yield pdf.assign(
                     __resp_body=pd.Series(bodies, index=pdf.index, dtype="object"),
                     __resp_status=pd.Series(statuses, index=pdf.index, dtype="int32"),
-                    __resp_is_json=pd.Series(is_json, index=pdf.index, dtype="bool"),
+                    __resp_kind=pd.Series(kinds, index=pdf.index, dtype="int32"),
                 )
 
         called = tagged.mapInPandas(call, out_schema)
@@ -367,16 +427,20 @@ def http_stage(expression: Any, ctx: Context) -> StageFn:
                 "struct<statusCode:int,body:string>"))
         )
         if as_field is not None:
-            # response kept as a JSON string column (open-world body on a
-            # fixed-schema engine — parse downstream with $addFields+schema
-            # or the engine's `schema` extension)
-            body_col = F.when(ok & F.col("__resp_is_json"), F.col("__resp_body")).otherwise(
-                F.lit(None)
-            )
+            # JSON responses kept as a JSON string column (open-world body on
+            # a fixed-schema engine — parse downstream with $addFields+schema
+            # or the engine's `schema` extension); text content types land as
+            # the raw string (Http.java:99-105, golden http6/http7); other
+            # content types -> null
+            body_col = F.when(ok, F.col("__resp_body")).otherwise(F.lit(None))
             if unwind:
                 # array responses -> one message per element; empty -> none
-                # (Http.java:506-507)
-                elems = F.from_json(body_col, "array<string>")
+                # (Http.java:506-507); text/none bodies don't unwind; error
+                # responses still emit their message with httpError and no
+                # body (golden http5: unwind + 404 -> one output)
+                elems = F.when(ok, F.from_json(body_col, "array<string>")).otherwise(
+                    F.array(F.lit(None).cast("string"))
+                )
                 result = result.withColumn(as_field, F.explode(elems))
             else:
                 result = result.withColumn(as_field, body_col)
@@ -385,6 +449,6 @@ def http_stage(expression: Any, ctx: Context) -> StageFn:
                     as_field, F.from_json(F.col(as_field), expression["schema"])
                 )
         return result.drop("__url", "__method", "__headers", "__body", "__resp_body",
-                           "__resp_status", "__resp_is_json")
+                           "__resp_status", "__resp_kind")
 
     return fn
