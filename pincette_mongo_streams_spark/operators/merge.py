@@ -153,9 +153,13 @@ def delete_stage(expression: Any, ctx: Context) -> StageFn:
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         # messages missing an 'on' value are dropped (Delete.java:61-66)
+        if any(f not in df.columns for f in on):
+            # an `on` field absent from the schema: every message misses
+            # it -> all dropped, nothing deleted
+            return df.filter(F.lit(False))
         present = None
         for f in on:
-            clause = F.col(f).isNotNull() if f in df.columns else F.lit(False)
+            clause = F.col(f).isNotNull()
             present = clause if present is None else present & clause
         out = df.filter(present)
         target = c.collection(from_coll)

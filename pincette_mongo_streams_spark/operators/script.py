@@ -47,6 +47,9 @@ def _load_script(spec: str) -> str:
     return spec
 
 
+_JQ_BARE_KEY = re.compile(r'([{,]\s*)([A-Za-z_][A-Za-z0-9_]*)\s*:')
+
+
 def _jq_native(script: str) -> Optional[dict]:
     """Try to compile the jq script to an added-fields dict (tier 1)."""
     if _JQ_IDENTITY.match(script):
@@ -54,7 +57,9 @@ def _jq_native(script: str) -> Optional[dict]:
     m = _JQ_ADD.match(script)
     if m:
         try:
-            obj = json.loads(m.group(1))
+            # jq object syntax allows unquoted identifier keys
+            # (`. + {test: 1}` — TestScript jq2); quote them for JSON
+            obj = json.loads(_JQ_BARE_KEY.sub(r'\1"\2":', m.group(1)))
             if isinstance(obj, dict):
                 return obj
         except json.JSONDecodeError:

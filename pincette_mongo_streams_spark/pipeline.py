@@ -57,10 +57,16 @@ def compile_pipeline(pipeline: list[dict], ctx: Context) -> Callable[[DataFrame]
             raise ValueError(f"stage object must have exactly one $-key: {stage_obj}")
         stages.append((names[0], stage_obj[names[0]]))
 
+    # stages precompile at construction, mirroring Pipeline.create's
+    # expression precompilation (Pipeline.java:273-299); invalid stage
+    # specs fail here, not at first run
+    compiled = [(name, compile_stage(name, expression, ctx))
+                for name, expression in stages]
+
     def run(df: DataFrame) -> DataFrame:
         out = df
-        for name, expression in stages:
-            out = compile_stage(name, expression, ctx)(out, ctx)
+        for _name, fn in compiled:
+            out = fn(out, ctx)
         return out
 
     return run

@@ -1,0 +1,140 @@
+"""Parity tests for the reference test classes with no prior coverage here:
+TestDelay, TestDelete, TestScript ($jq/$jslt), TestThrottle
+(src/test/java/net/pincette/mongo/streams/).
+"""
+
+import pytest
+
+from pincette_mongo_streams_spark.context import Context
+from pincette_mongo_streams_spark import compile_pipeline
+
+
+def _docs(df):
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+# ----------------------------------------------------------------- $delay
+
+def test_delay_sends_and_drops(spark):
+    # TestDelay.delay: {duration: 5000, topic: "test"} -> the message goes
+    # to the producer and disappears from the stream (Delay.java:49-76);
+    # the batch analog sends immediately, carrying no internal columns
+    sent = []
+    ctx = Context(spark=spark, producer=lambda t, k, v: sent.append((t, v)))
+    df = spark.createDataFrame([(0,)], "test long")
+    out = compile_pipeline(
+        [{"$delay": {"duration": 5000, "topic": "test"}}], ctx
+    )(df)
+    assert out.count() == 0
+    assert sent == [("test", {"test": 0})]
+
+
+def test_delay_invalid_eval_passthrough(spark):
+    # non-long duration / non-string topic -> message passes through
+    # unchanged (Delay.java:63-70)
+    sent = []
+    ctx = Context(spark=spark, producer=lambda t, k, v: sent.append(v))
+    df = spark.createDataFrame([(0,)], "test long")
+    out = compile_pipeline(
+        [{"$delay": {"duration": "$nope", "topic": "test"}}], ctx
+    )(df)
+    assert _docs(out) == [{"test": 0}]
+    assert sent == []
+
+
+# ---------------------------------------------------------------- $delete
+
+@pytest.mark.parametrize("on,doc", [
+    ("_id", {"_id": "0"}),                          # TestDelete $delete 1
+    (["_id", "test"], {"_id": "0", "test": 0}),     # TestDelete $delete 2
+])
+def test_delete_removes_matches_and_passes_through(spark, on, doc):
+    target = spark.createDataFrame(
+        [("0", 0), ("1", 1)], "_id string, test long")
+    ctx = Context(spark=spark, collections={"t": target})
+    df = spark.createDataFrame([tuple(doc.values())],
+                               ", ".join(f"{k} {'string' if k == '_id' else 'long'}"
+                                         for k in doc))
+    out = compile_pipeline([{"$delete": {"from": "t", "on": on}}], ctx)(df)
+    # message passes through (Delete.java:38-71)
+    assert _docs(out) == [doc]
+    # matching rows are gone from the collection, others stay
+    assert [r["_id"] for r in ctx.collection("t").collect()] == ["1"]
+
+
+def test_delete_missing_on_field_drops_message(spark):
+    # a message missing an `on` value is dropped and deletes nothing
+    # (Delete.java:61-66)
+    target = spark.createDataFrame([("0",)], "_id string")
+    ctx = Context(spark=spark, collections={"t": target})
+    df = spark.createDataFrame([("x",)], "other string")
+    out = compile_pipeline([{"$delete": {"from": "t", "on": "_id"}}], ctx)(df)
+    assert out.count() == 0
+    assert ctx.collection("t").count() == 1
+
+
+# --------------------------------------------------------- $jq and $jslt
+
+def _script_roundtrip(spark, stage, script):
+    # TestScript.script: {_id:"0", test:0} -> {_id:"0", test:1}
+    ctx = Context(spark=spark)
+    df = spark.createDataFrame([("0", 0)], "_id string, test long")
+    out = compile_pipeline([{stage: script}], ctx)(df)
+    docs = _docs(out)
+    assert len(docs) == 1
+    assert docs[0]["_id"] == "0"
+    assert docs[0]["test"] == 1
+
+
+def test_jq_inline(spark):
+    _script_roundtrip(spark, "$jq", ". + {test: 1}")   # TestScript jq2
+
+
+def test_jq_file(spark, tmp_path):
+    # TestScript jq1 loads resource:/test.jq whose body is `. + {test: 1}`;
+    # the engine's file-path form covers the same load-from-storage path
+    p = tmp_path / "test.jq"
+    p.write_text(". + {test: 1}\n")
+    _script_roundtrip(spark, "$jq", str(p))
+
+
+def test_jslt_template(spark):
+    _script_roundtrip(spark, "$jslt", '{"test": 1, *: .}')  # TestScript jslt2
+
+
+def test_jslt_file(spark, tmp_path):
+    p = tmp_path / "test.jslt"
+    p.write_text('{\n  "test": 1,\n  *: .\n}\n')
+    _script_roundtrip(spark, "$jslt", str(p))
+
+
+def test_jq_identity(spark):
+    ctx = Context(spark=spark)
+    df = spark.createDataFrame([("0", 0)], "_id string, test long")
+    out = compile_pipeline([{"$jq": "."}], ctx)(df)
+    assert _docs(out) == [{"_id": "0", "test": 0}]
+
+
+def test_jq_rekeys_on_new_id(spark):
+    # Script.java:67-73: a script that changes _id re-keys the message
+    # (the engine's key column is __key)
+    ctx = Context(spark=spark)
+    df = spark.createDataFrame([("0", "old")], "_id string, __key string")
+    out = compile_pipeline([{"$jq": '. + {_id: "9"}'}], ctx)(df)
+    row = out.collect()[0]
+    assert row["_id"] == "9"
+    assert row["__key"] == "9"
+
+
+# --------------------------------------------------------------- $throttle
+
+def test_throttle_passthrough_and_validation(spark):
+    # Batch/relational plans treat rate limiting as a source concern
+    # (maxOffsetsPerTrigger); the stage validates and passes rows through
+    # (Throttle.java:30-50)
+    ctx = Context(spark=spark)
+    df = spark.createDataFrame([(i,) for i in range(100)], "i long")
+    out = compile_pipeline([{"$throttle": {"maxPerSecond": 10}}], ctx)(df)
+    assert out.count() == 100
+    with pytest.raises(ValueError):
+        compile_pipeline([{"$throttle": {"maxPerSecond": 0}}], ctx)
