@@ -69,6 +69,11 @@ def merge_stage(expression: Any, ctx: Context) -> StageFn:
     def fn(df: DataFrame, c: Context) -> StageFn:
         source = df.drop(KEY_COL) if KEY_COL in df.columns else df
         ectx = ExprContext(schema=source.schema)
+        # the OUTPUT message carries the incoming _id (setId,
+        # Merge.java:142-149) even when `key` re-derives the stored _id
+        restore_id = "_id" in source.columns
+        if restore_id:
+            source = source.withColumn("__in_id", F.col("_id"))
         if "key" in expression:
             source = source.withColumn("_id", compile_expr(expression["key"], ectx))
         elif when_not_matched == "insert" and "_id" not in source.columns and "_id" in on:
@@ -92,7 +97,8 @@ def merge_stage(expression: Any, ctx: Context) -> StageFn:
         tgt_only = F.col(on[0]).isNull()
 
         out_cols: list[Column] = []
-        all_fields = list(dict.fromkeys(list(source.columns) + list(target.columns)))
+        all_fields = [x for x in dict.fromkeys(list(source.columns) + list(target.columns))
+                      if x != "__in_id"]
         for name in all_fields:
             s = F.col(name) if name in source.columns else F.lit(None)
             tg = F.col(f"__t_{name}") if name in target.columns else F.lit(None)
@@ -116,7 +122,9 @@ def merge_stage(expression: Any, ctx: Context) -> StageFn:
                 .otherwise(tg)
             )
             out_cols.append(val.alias(name))
-        written = joined.select(F.col(on[0]).isNotNull().alias("__from_src"), matched.alias("__matched"), *out_cols)
+        carry = [F.col("__in_id")] if restore_id else []
+        written = joined.select(F.col(on[0]).isNotNull().alias("__from_src"),
+                                matched.alias("__matched"), *carry, *out_cols)
         if when_matched == "fail":
             n = written.filter("__matched").limit(1).count()
             if n:
@@ -128,10 +136,15 @@ def merge_stage(expression: Any, ctx: Context) -> StageFn:
         keep_in_target = ~(F.col("__from_src") & ~F.col("__matched") & F.lit(when_not_matched != "insert"))
         new_target = written.filter(keep_in_target).select([F.col(x) for x in all_fields])
         c.write_collection(into, new_target)
-        # emitted messages: what was written/kept for each incoming doc
-        emitted = written.filter(F.col("__from_src") & (F.col("__matched") | F.lit(when_not_matched == "insert"))).select(
-            [F.col(x) for x in all_fields]
-        )
+        # emitted messages: what was written/kept for each incoming doc,
+        # with the incoming _id restored (setId — Merge.java:142-149)
+        emit_cols = [
+            F.col("__in_id").alias("_id") if x == "_id" and restore_id else F.col(x)
+            for x in all_fields
+        ]
+        emitted = written.filter(
+            F.col("__from_src") & (F.col("__matched") | F.lit(when_not_matched == "insert"))
+        ).select(emit_cols)
         return _rekey_on_id(emitted)
 
     return fn

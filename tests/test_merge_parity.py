@@ -1,0 +1,107 @@
+"""$merge parity with the reference's TestMerge scenarios 1-7
+(src/test/java/net/pincette/mongo/streams/TestMerge.java:36-173).
+
+MESSAGE1 = {_id:"0", test:0}
+MESSAGE2 = {_id:"0", f1:"0", f2:"1", test:0}
+NEW_MESSAGE = same as MESSAGE2 but test:1
+mergeExisting pre-stores MESSAGE2 with _id = {f1:"0", f2:"1"} and merges
+NEW_MESSAGE on [f1,f2] with key {f1:"$f1", f2:"$f2"}.
+"""
+
+import pytest
+
+from pincette_mongo_streams_spark.context import Context
+from pincette_mongo_streams_spark import compile_pipeline
+
+
+def _docs(df):
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+def _msg1(spark):
+    return spark.createDataFrame([("0", 0)], "_id string, test long")
+
+
+def test_merge1_insert_new(spark):
+    # $merge 1: whenNotMatched insert -> message emitted and stored
+    ctx = Context(spark=spark, collections={})
+    out = compile_pipeline(
+        [{"$merge": {"into": "m", "on": "_id", "whenNotMatched": "insert"}}], ctx
+    )(_msg1(spark))
+    assert _docs(out) == [{"_id": "0", "test": 0}]
+    assert _docs(ctx.collection("m")) == [{"_id": "0", "test": 0}]
+
+
+def test_merge2_discard_new(spark):
+    # $merge 2: whenNotMatched discard -> nothing emitted, nothing stored
+    ctx = Context(spark=spark, collections={})
+    out = compile_pipeline(
+        [{"$merge": {"into": "m", "on": "_id", "whenNotMatched": "discard"}}], ctx
+    )(_msg1(spark))
+    assert out.count() == 0
+    assert ctx.collection("m").count() == 0
+
+
+def test_merge3_fail_new(spark):
+    # $merge 3: whenNotMatched fail -> the stream aborts
+    ctx = Context(spark=spark, collections={})
+    with pytest.raises(RuntimeError):
+        compile_pipeline(
+            [{"$merge": {"into": "m", "on": "_id", "whenNotMatched": "fail"}}], ctx
+        )(_msg1(spark)).count()
+
+
+def _merge_existing(spark, action):
+    # pre-store MESSAGE2 with _id = {f1, f2} (the `key` value) and merge
+    # NEW_MESSAGE over it
+    stored = spark.createDataFrame(
+        [(("0", "1"), "0", "1", 0)],
+        "_id struct<f1:string,f2:string>, f1 string, f2 string, test long")
+    ctx = Context(spark=spark, collections={"m": stored})
+    incoming = spark.createDataFrame(
+        [("0", "0", "1", 1)], "_id string, f1 string, f2 string, test long")
+    out = compile_pipeline([
+        {"$merge": {"into": "m", "on": ["f1", "f2"],
+                    "key": {"f1": "$f1", "f2": "$f2"},
+                    "whenMatched": action}}], ctx)(incoming)
+    return _docs(out), _docs(ctx.collection("m")), ctx
+
+
+def test_merge4_replace_existing(spark):
+    # $merge 4: replace -> output NEW_MESSAGE with the incoming _id; the
+    # stored doc keeps the key-valued _id
+    out, stored, _ = _merge_existing(spark, "replace")
+    assert out == [{"_id": "0", "f1": "0", "f2": "1", "test": 1}]
+    assert stored == [{"_id": {"f1": "0", "f2": "1"}, "f1": "0", "f2": "1",
+                       "test": 1}]
+
+
+def test_merge5_keep_existing(spark):
+    # $merge 5: keepExisting -> output is the UNCHANGED stored doc, but
+    # with the incoming message's _id restored (setId, Merge.java:142-149)
+    out, stored, _ = _merge_existing(spark, "keepExisting")
+    assert out == [{"_id": "0", "f1": "0", "f2": "1", "test": 0}]
+    assert stored == [{"_id": {"f1": "0", "f2": "1"}, "f1": "0", "f2": "1",
+                       "test": 0}]
+
+
+def test_merge6_merge_existing(spark):
+    # $merge 6: merge (default) -> shallow field merge, source overwrites
+    out, stored, _ = _merge_existing(spark, "merge")
+    assert out == [{"_id": "0", "f1": "0", "f2": "1", "test": 1}]
+    assert stored[0]["test"] == 1
+
+
+def test_merge7_fail_existing(spark):
+    # $merge 7: whenMatched fail on a matching doc -> the stream aborts
+    with pytest.raises(RuntimeError):
+        _merge_existing(spark, "fail")
+
+
+def test_merge_missing_on_value_fails(spark):
+    # Merge.java:163-165: an `on` field absent from the message -> abort
+    ctx = Context(spark=spark, collections={})
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError):
+        compile_pipeline([{"$merge": {"into": "m", "on": "_id",
+                                      "whenNotMatched": "discard"}}], ctx)(df)
