@@ -126,6 +126,21 @@ def test_jq_rekeys_on_new_id(spark):
     assert row["__key"] == "9"
 
 
+# ----------------------------------------------------------------- $probe
+
+def test_probe_emits_count_and_passes_through(spark):
+    # TestProbe (Probe.java:43-78): passthrough tap emitting
+    # {name, minute, count} to `topic`; the batch analog emits one count
+    # for the batch at the injected clock's minute
+    sent = []
+    ctx = Context(spark=spark, producer=lambda t, k, v: sent.append((t, v)),
+                  clock=lambda: 120.0)
+    df = spark.createDataFrame([(i,) for i in range(5)], "i long")
+    out = compile_pipeline([{"$probe": {"name": "p", "topic": "t"}}], ctx)(df)
+    assert out.count() == 5  # passthrough
+    assert sent == [("t", {"name": "p", "minute": 2, "count": 5})]
+
+
 # --------------------------------------------------------------- $throttle
 
 def test_throttle_passthrough_and_validation(spark):
