@@ -222,8 +222,15 @@ def group_stage(expression: Any, ctx: Context) -> StageFn:
             )
             aggs.append(_merge_structs_sorted(collected, vt).alias(name))
         if not aggs:
-            return df.select(key).distinct()
-        return df.groupBy(key).agg(*aggs)
+            out = df.select(key).distinct()
+        else:
+            out = df.groupBy(key).agg(*aggs)
+        # group docs whose _id is an array are filtered out (hasId —
+        # Group.java:261-263,429: Mongo forbids array _id upserts); a null
+        # key is a legitimate group and is kept
+        if isinstance(out.schema["_id"].dataType, T.ArrayType):
+            out = out.filter(F.col("_id").isNull())
+        return out
 
     return fn
 

@@ -126,6 +126,22 @@ def test_jq_rekeys_on_new_id(spark):
     assert row["__key"] == "9"
 
 
+# ----------------------------------------------------- $group array _id
+
+def test_group_array_id_filtered(spark):
+    # hasId (Group.java:261-263,429): group docs whose _id evaluates to an
+    # array are dropped (Mongo forbids array _id); null keys survive
+    ctx = Context(spark=spark)
+    df = spark.createDataFrame(
+        [(1, [1, 2]), (2, [1, 2]), (3, None)],
+        "v long, tags array<long>")
+    out = compile_pipeline(
+        [{"$group": {"_id": "$tags", "n": {"$sum": 1}}}], ctx
+    )(df)
+    docs = [r.asDict() for r in out.collect()]
+    assert docs == [{"_id": None, "n": 1}]
+
+
 # ----------------------------------------------------------------- $probe
 
 def test_probe_emits_count_and_passes_through(spark):
