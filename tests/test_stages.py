@@ -44,6 +44,28 @@ def test_addfields_deep_create(spark):
     assert doc["new"] == {"deep": {"field": 7}}
 
 
+def test_addfields_overwrites_non_object_intermediate(spark):
+    # TestAddFields addFields4: a non-object intermediate (test3.test1 is a
+    # scalar) is replaced by a deep-created object
+    ctx = Context(spark=spark)
+    df = spark.createDataFrame(
+        [(0, (0, 5))], "test1 long, test3 struct<test:long,test1:long>")
+    out = compile_pipeline([{"$addFields": {"test3.test1.test2": 3}}], ctx)(df)
+    doc = out.collect()[0].asDict(recursive=True)
+    assert doc == {"test1": 0, "test3": {"test": 0, "test1": {"test2": 3}}}
+
+
+def test_addfields_literal_dot_key_untouched(spark):
+    # TestAddFields addFields1: an input key containing a literal dot
+    # ("test.test") is data, not a path; other targets leave it alone
+    ctx = Context(spark=spark)
+    df = spark.createDataFrame([(0,)], "x long").selectExpr(
+        "x", "x as `test.test`")
+    out = compile_pipeline([{"$addFields": {"y": 1}}], ctx)(df)
+    doc = out.collect()[0].asDict(recursive=True)
+    assert doc == {"x": 0, "test.test": 0, "y": 1}
+
+
 def test_project_include_exclude_compute(spark):
     [doc] = run(spark, [{"$project": {"test1": 1, "test3.test2": 1}}], NESTED, NESTED_SCHEMA)
     assert doc == {"_id": "a", "test1": 1, "test3": {"test2": 20}}
