@@ -59,8 +59,10 @@ def deduplicate_stage(expression: Any, ctx: Context) -> StageFn:
         if collection is not None:
             try:
                 seen = c.collection(collection)
+                # no broadcast hint: the seen-set grows with the corpus, so
+                # let AQE pick broadcast-vs-shuffle by its actual size
                 out = out.join(
-                    F.broadcast(seen.select(F.col("_id").alias("__seen"))),
+                    seen.select(F.col("_id").alias("__seen")),
                     F.col("__dedup").eqNullSafe(F.col("__seen")),
                     "left_anti",
                 )

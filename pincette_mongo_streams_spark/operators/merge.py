@@ -181,7 +181,10 @@ def delete_stage(expression: Any, ctx: Context) -> StageFn:
         for f in on:
             clause = F.col(f).eqNullSafe(F.col(f"__k_{f}"))
             cond = clause if cond is None else cond & clause
-        remaining = target.join(F.broadcast(keys), cond, "left_anti")
+        # no broadcast hint: the delete-key set is micro-batch-bounded in
+        # streaming but can be arbitrarily large in batch mode — AQE
+        # converts to broadcast at runtime when the side is actually small
+        remaining = target.join(keys, cond, "left_anti")
         c.write_collection(from_coll, remaining)
         return out
 
