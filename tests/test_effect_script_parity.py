@@ -126,6 +126,25 @@ def test_jq_rekeys_on_new_id(spark):
     assert row["__key"] == "9"
 
 
+# ------------------------------------------------------- $unwind newIds
+
+def test_unwind_new_ids(spark):
+    # Unwind.java:128-135: newIds:true gives each output a fresh UUID _id
+    # and re-keys from it
+    ctx = Context(spark=spark)
+    df = spark.createDataFrame([("0", [1, 2, 3])], "_id string, a array<long>")
+    out = compile_pipeline(
+        [{"$unwind": {"path": "$a", "newIds": True}}], ctx
+    )(df)
+    docs = [r.asDict() for r in out.collect()]
+    assert sorted(d["a"] for d in docs) == [1, 2, 3]
+    ids = {d["_id"] for d in docs}
+    assert len(ids) == 3 and "0" not in ids  # three fresh UUIDs
+    import uuid
+    for i in ids:
+        uuid.UUID(i)  # parseable UUID
+
+
 # ----------------------------------------------------- $group array _id
 
 def test_group_array_id_filtered(spark):
