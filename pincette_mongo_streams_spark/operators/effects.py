@@ -434,11 +434,13 @@ def http_stage(expression: Any, ctx: Context) -> StageFn:
             # content types -> null
             body_col = F.when(ok, F.col("__resp_body")).otherwise(F.lit(None))
             if unwind:
-                # array responses -> one message per element; empty -> none
-                # (Http.java:506-507); text/none bodies don't unwind; error
-                # responses still emit their message with httpError and no
-                # body (golden http5: unwind + 404 -> one output)
-                elems = F.when(ok, F.from_json(body_col, "array<string>")).otherwise(
+                # JSON array responses -> one message per element; empty ->
+                # none (Http.java:506-507).  Non-JSON bodies (text/none) and
+                # error responses emit the single original message with no
+                # body (withResponseBody orElseGet passthrough,
+                # Http.java:538-545; golden http5: unwind + 404 -> one output)
+                unwindable = ok & (F.col("__resp_kind") == _KIND_JSON)
+                elems = F.when(unwindable, F.from_json(body_col, "array<string>")).otherwise(
                     F.array(F.lit(None).cast("string"))
                 )
                 result = result.withColumn(as_field, F.explode(elems))

@@ -56,14 +56,18 @@ def _jq_native(script: str) -> Optional[dict]:
         return {}
     m = _JQ_ADD.match(script)
     if m:
-        try:
-            # jq object syntax allows unquoted identifier keys
-            # (`. + {test: 1}` — TestScript jq2); quote them for JSON
-            obj = json.loads(_JQ_BARE_KEY.sub(r'\1"\2":', m.group(1)))
+        # valid JSON first (quoted keys; string values may contain '{k:'
+        # patterns the bare-key rewrite must not touch), then retry with
+        # jq's unquoted identifier keys quoted (`. + {test: 1}` —
+        # TestScript jq2)
+        for candidate in (m.group(1), _JQ_BARE_KEY.sub(r'\1"\2":', m.group(1))):
+            try:
+                obj = json.loads(candidate)
+            except json.JSONDecodeError:
+                continue
             if isinstance(obj, dict):
                 return obj
-        except json.JSONDecodeError:
-            return None
+        return None
     return None
 
 

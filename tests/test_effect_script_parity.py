@@ -108,6 +108,15 @@ def test_jslt_file(spark, tmp_path):
     _script_roundtrip(spark, "$jslt", str(p))
 
 
+def test_jq_quoted_string_value_with_colon(spark):
+    # string literals containing '{word:' / ', word:' patterns must not be
+    # mangled by the bare-key rewrite
+    ctx = Context(spark=spark)
+    df = spark.createDataFrame([("0",)], "_id string")
+    out = compile_pipeline([{"$jq": '. + {"msg": "a, b: c"}'}], ctx)(df)
+    assert out.collect()[0]["msg"] == "a, b: c"
+
+
 def test_jq_identity(spark):
     ctx = Context(spark=spark)
     df = spark.createDataFrame([("0", 0)], "_id string, test long")

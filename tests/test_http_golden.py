@@ -111,6 +111,16 @@ def test_other_content_types_give_null(spark):
     assert out[0]["httpError"] is None
 
 
+def test_unwind_text_body_passes_message_through(spark):
+    # withResponseBody orElseGet (Http.java:538-545): under unwind a
+    # non-JSON success emits the single original message with no body —
+    # it is NOT dropped, and text is never parsed as a JSON array
+    out = _run(spark, ["plain_text", "binary"], unwind=True)
+    assert [r["_id"] for r in out] == ["message1", "message2"]
+    assert all(r["result"] is None for r in out)
+    assert all(r["httpError"] is None for r in out)
+
+
 def test_non_object_array_elements_filtered(spark):
     # responseBodyPublisher filter(isObject) (Http.java:409-416): scalars
     # inside a JSON array response are dropped before unwind/unwrap
