@@ -33,23 +33,28 @@ def read_source(
     streaming: bool = False,
 ) -> DataFrame:
     reader = spark.readStream if streaming else spark.read
-    if schema is not None:
+    # file formats take the schema on the reader; the kafka source forbids
+    # a user schema (its frame is fixed key/value/...) — there the schema
+    # types the from_json value parse instead
+    if schema is not None and kind != "kafka":
         reader = reader.schema(schema)
     if kind == "parquet":
         return reader.parquet(path_or_options)
+    if kind == "orc":
+        return reader.orc(path_or_options)
     if kind == "json":
         return reader.json(path_or_options)
     if kind == "csv":
         return reader.option("header", True).csv(path_or_options)
     if kind == "kafka":
+        if schema is None:
+            raise ValueError("kafka source needs a value schema (fixed-schema engine)")
         opts = dict(path_or_options)
         df = (
             reader.format("kafka")
             .options(**opts)
             .load()
         )
-        if schema is None:
-            raise ValueError("kafka source needs a value schema (fixed-schema engine)")
         parsed = df.select(
             F.col("key").cast("string").alias("__key"),
             F.from_json(F.col("value").cast("string"), schema).alias("__doc"),
@@ -77,6 +82,10 @@ def write_sink(df: DataFrame, kind: str, path_or_options: Any, mode: str = "over
         raise ValueError(f"unknown streaming sink {kind}")
     if kind == "parquet":
         return df.write.mode(mode).parquet(path_or_options)
+    if kind == "orc":
+        return df.write.mode(mode).orc(path_or_options)
     if kind == "json":
         return df.write.mode(mode).json(path_or_options)
+    if kind == "csv":
+        return df.write.mode(mode).option("header", True).csv(path_or_options)
     raise ValueError(f"unknown batch sink {kind}")
