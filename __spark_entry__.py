@@ -31,7 +31,18 @@ TABLES = [
 ]
 
 
+# plan-only cache: loading 10 parquet schemas costs ~0.9 s of py4j
+# roundtrips per call, and every gate query calls _load; DataFrames are
+# immutable logical plans, so reusing them across queries in one session
+# is free. Keyed by session id so a restarted session re-reads.
+_LOAD_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def _load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    cache_key = (id(spark), sf_dir)
+    cached = _LOAD_CACHE.get(cache_key)
+    if cached is not None:
+        return dict(cached)
     # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by default;
     # read nanos as long and convert to a microsecond timestamp
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -41,7 +52,8 @@ def _load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         out["events"] = ev.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
-    return out
+    _LOAD_CACHE[cache_key] = dict(out)
+    return dict(out)
 
 
 def _r(expr: str, p: int) -> str:

@@ -159,6 +159,19 @@ def minhash_sig_from_bases(bases: Column, num: int) -> Column:
     )
 
 
+def minhash_sig_sql(bases_col: str, num: int) -> Column:
+    """Same expression as ``minhash_sig_from_bases`` over a named column,
+    built as ONE SQL string: the per-permutation ``F.transform`` lambdas
+    cost a py4j roundtrip each (~0.6 s of plan-build time at num=32),
+    while one ``F.expr`` is a single roundtrip.  Products stay < 2^62
+    (both factors < MINHASH_P = 2^31-1), so no ANSI overflow."""
+    terms = ", ".join(
+        f"array_min(transform(`{bases_col}`, h -> ({a}L * h + {b}L) % {MINHASH_P}L))"
+        for a, b in minhash_coeffs(num)
+    )
+    return F.expr(f"array({terms})")
+
+
 def minhash_signature(text: Column, n: int, num: int) -> Column:
     return minhash_sig_from_bases(minhash_bases(text, n), num)
 
@@ -179,7 +192,7 @@ def minhash_stage(expression: Any, ctx: Context) -> StageFn:
         # base array (multi-referenced aliases survive CollapseProject)
         return (
             df.withColumn("__mh_bases", minhash_bases(text, n))
-            .withColumn(as_field, minhash_sig_from_bases(F.col("__mh_bases"), num))
+            .withColumn(as_field, minhash_sig_sql("__mh_bases", num))
             .drop("__mh_bases")
         )
 
@@ -214,7 +227,7 @@ def minhash_dedup_stage(expression: Any, ctx: Context) -> StageFn:
         ]
         with_sig = (
             df.withColumn("__mh_bases", minhash_bases(text, n))
-            .withColumn("__sig", minhash_sig_from_bases(F.col("__mh_bases"), num))
+            .withColumn("__sig", minhash_sig_sql("__mh_bases", num))
             .drop("__mh_bases")
         )
         buckets = with_sig.select(
