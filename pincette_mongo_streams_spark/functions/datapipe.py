@@ -263,30 +263,33 @@ def simhash_stage(expression: Any, ctx: Context) -> StageFn:
         text = compile_expr(inp, ExprContext(schema=df.schema))
         sh = word_shingles(text, n)
 
-        # one fold: per shingle, a ±1 vote vector over all bits, summed
-        # elementwise (per-bit aggregates would re-inline the shingle expr)
-        def votes_of(s: Column) -> Column:
-            h = md5_long(s, 0)
-            return F.array(
-                *[
-                    F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
-                           F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long"))
-                    for j in range(bits)
-                ]
-            )
-
-        init = F.array_repeat(F.lit(0).cast("long"), bits)
-        votes = F.aggregate(
-            sh, init, lambda acc, s: F.zip_with(acc, votes_of(s), lambda x, y: x + y)
+        # two steps, both ONE SQL string (the equivalent nested-lambda
+        # Column construction costs ~0.6 s of py4j roundtrips per plan at
+        # bits=16): materialize one md5 hash per shingle, then fold ±1
+        # vote vectors over the hash array — the md5 is computed exactly
+        # once per shingle (lambda bodies get no subexpression
+        # elimination, so inlining it per bit term runs 16x the md5s)
+        hashes = F.expr(
+            "transform(`__sh`, s -> "
+            "cast(conv(substr(md5(concat('0:', s)), 1, 15), 16, 10) as bigint))"
         )
-        powers = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
-        value = F.aggregate(
-            F.zip_with(votes, powers,
-                       lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+        votes = ", ".join(
+            f"if((shiftright(h, {j}) & 1) = 1, 1L, -1L)" for j in range(bits)
         )
-        return df.withColumn(as_field, value)
+        powers = ", ".join(f"{1 << j}L" for j in range(bits))
+        value = F.expr(
+            f"aggregate(zip_with("
+            f"aggregate(`__sh_h`, array_repeat(0L, {bits}), "
+            f"(acc, h) -> zip_with(acc, array({votes}), (x, y) -> x + y)), "
+            f"array({powers}), (v, p) -> if(v > 0, p, 0L)), "
+            f"0L, (acc, x) -> acc + x)"
+        )
+        return (
+            df.withColumn("__sh", sh)
+            .withColumn("__sh_h", hashes)
+            .withColumn(as_field, value)
+            .drop("__sh", "__sh_h")
+        )
 
     return fn
 
