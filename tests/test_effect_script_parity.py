@@ -135,6 +135,39 @@ def test_jq_rekeys_on_new_id(spark):
     assert row["__key"] == "9"
 
 
+# ------------------------------------------------------------- $redact
+
+def test_redact_keep_stops_recursion(spark):
+    # TestRedact: test=1 -> $$KEEP, test=2 -> $$PRUNE, default $$DESCEND.
+    # A KEPT subtree stops recursing: test2 (test=1) keeps its sub even
+    # though sub.test=2 would prune; test3 (test=2) prunes; array elements
+    # are evaluated individually (test4 drops its test=2 element)
+    ctx = Context(spark=spark)
+    df = spark.createDataFrame(
+        [( "0", 0, (0, 0), (1, 0, (2,)), (2, 0), [(0, 0, None), (1, 0, (2,)), (2, 0, None)] )],
+        "_id string, test long, test1 struct<test:long,v:long>, "
+        "test2 struct<test:long,v:long,sub:struct<test:long>>, "
+        "test3 struct<test:long,v:long>, "
+        "test4 array<struct<test:long,v:long,sub:struct<test:long>>>")
+    out = compile_pipeline([{"$redact": {"$switch": {
+        "branches": [
+            {"case": {"$eq": ["$test", 1]}, "then": "$$KEEP"},
+            {"case": {"$eq": ["$test", 2]}, "then": "$$PRUNE"},
+        ],
+        "default": "$$DESCEND",
+    }}}], ctx)(df)
+    doc = out.collect()[0].asDict(recursive=True)
+    assert doc["test"] == 0
+    assert doc["test1"] == {"test": 0, "v": 0}
+    # KEEP keeps the whole subtree including the would-prune sub
+    assert doc["test2"] == {"test": 1, "v": 0, "sub": {"test": 2}}
+    assert doc["test3"] is None  # pruned
+    assert doc["test4"] == [
+        {"test": 0, "v": 0, "sub": None},
+        {"test": 1, "v": 0, "sub": {"test": 2}},
+    ]
+
+
 # ------------------------------------------------------- $unwind newIds
 
 def test_unwind_new_ids(spark):
