@@ -34,13 +34,18 @@ TABLES = [
 # plan-only cache: loading 10 parquet schemas costs ~0.9 s of py4j
 # roundtrips per call, and every gate query calls _load; DataFrames are
 # immutable logical plans, so reusing them across queries in one session
-# is free. Keyed by session id so a restarted session re-reads.
-_LOAD_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# is free. Weakly keyed by the live session object so a stopped/replaced
+# session can never serve stale plans (id() reuse after GC).
+import weakref
+
+_LOAD_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    cache_key = (id(spark), sf_dir)
-    cached = _LOAD_CACHE.get(cache_key)
+    per_session = _LOAD_CACHE.setdefault(spark, {})
+    cached = per_session.get(sf_dir)
     if cached is not None:
         return dict(cached)
     # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by default;
@@ -52,7 +57,7 @@ def _load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         out["events"] = ev.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
-    _LOAD_CACHE[cache_key] = dict(out)
+    per_session[sf_dir] = dict(out)
     return dict(out)
 
 
