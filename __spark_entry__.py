@@ -434,6 +434,28 @@ _register(
 )
 
 _register(
+    "lookup_residual",
+    # correlated NON-equality sub-pipeline predicate (TestLookup
+    # "$lookup 10" shape): residual join condition, not a pre-grouped key
+    """SELECT r.r_name,
+              CAST((SELECT count(*) FROM nation n
+                    WHERE n.n_regionkey >= r.r_regionkey) AS BIGINT) AS n_ge
+       FROM region r""",
+)(
+    _pipe(
+        "region",
+        [
+            {"$lookup": {"from": "nation",
+                         "let": {"rk": "$r_regionkey"},
+                         "pipeline": [{"$match": {"n_regionkey": {"$gte": "$$rk"}}}],
+                         "as": "ge_nations"}},
+            {"$project": {"r_name": 1, "n_ge": {"$toLong": {"$size": "$ge_nations"}}}},
+        ],
+        collections={"nation": "nation"},
+    )
+)
+
+_register(
     "lookup_inner",
     """SELECT DISTINCT s.s_suppkey, s.s_name
        FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey

@@ -119,6 +119,30 @@ def _equality_lookup(
     )
 
 
+# correlated non-equality predicates in a sub-pipeline $match
+# ({f: {$gte: "$$var"}} — TestLookup "$lookup 10") become residual join
+# conditions on the foreign field vs the local let-expression
+_RESIDUAL_OPS = {
+    "$eq": lambda f, v: f.eqNullSafe(v),
+    "$ne": lambda f, v: ~f.eqNullSafe(v),
+    "$gt": lambda f, v: f > v,
+    "$gte": lambda f, v: f >= v,
+    "$lt": lambda f, v: f < v,
+    "$lte": lambda f, v: f <= v,
+    "$in": lambda f, v: F.array_contains(v, f),
+}
+
+
+def _let_var(v: Any, let: dict) -> Any:
+    """The let-expression bound by a ``"$$var"`` string, or None."""
+    if isinstance(v, str) and v.startswith("$$") and v[2:].split(".")[0] in let:
+        head, *path = v[2:].split(".")
+        if path:
+            raise NotImplementedError("nested $$var paths in lookup match")
+        return let[head]
+    return None
+
+
 def _pipeline_lookup(
     df: DataFrame, foreign: DataFrame, expression: dict, as_field: str, c: Context
 ) -> DataFrame:
@@ -127,24 +151,28 @@ def _pipeline_lookup(
     let = expression.get("let", {})
     sub = expression.get("pipeline", [])
     # Correlated-equality extraction: a leading {$match: {f: "$$var"}} (or
-    # {$match: {$expr: {$eq: [...]}}}) becomes distributed join keys; the
+    # {$match: {$expr: {$eq: [...]}}}) becomes distributed join keys;
+    # operator-form correlations become residual join conditions; the
     # rest of the sub-pipeline runs on the foreign side pre-join.
     join_pairs: list[tuple[str, Any]] = []  # (foreign field, local expr)
+    residuals: list[tuple[str, str, Any]] = []  # (foreign field, op, local expr)
     rest: list[dict] = []
     for i, stage in enumerate(sub):
         if i == 0 and set(stage) == {"$match"} and isinstance(stage["$match"], dict):
             q = stage["$match"]
             simple = {}
             for k, v in q.items():
-                if isinstance(v, str) and v.startswith("$$") and v[2:].split(".")[0] in let:
-                    var = v[2:]
-                    head, *path = var.split(".")
-                    local_expr = let[head]
-                    if path:
-                        raise NotImplementedError("nested $$var paths in lookup match")
-                    join_pairs.append((k, local_expr))
-                else:
-                    simple[k] = v
+                bound = _let_var(v, let)
+                if bound is not None:
+                    join_pairs.append((k, bound))
+                    continue
+                if isinstance(v, dict) and len(v) == 1:
+                    op, operand = next(iter(v.items()))
+                    op_bound = _let_var(operand, let) if op in _RESIDUAL_OPS else None
+                    if op_bound is not None:
+                        residuals.append((k, op, op_bound))
+                        continue
+                simple[k] = v
             if simple:
                 rest.append({"$match": simple})
         else:
@@ -153,12 +181,41 @@ def _pipeline_lookup(
         transformed = compile_pipeline(_substitute_vars(rest, {}), c)(foreign)
     else:
         transformed = foreign
-    if not join_pairs:
+    if not join_pairs and not residuals:
         # uncorrelated: every row gets the same (small) result array
         collected = transformed.agg(
             F.collect_list(_foreign_struct(transformed)).alias(as_field)
         )
         return df.crossJoin(F.broadcast(collected))
+    if residuals:
+        # general correlated plan: join per stream row (equality clauses
+        # still drive the hash join; residuals filter it), then regroup by
+        # a row id — one extra shuffle, only paid on non-equi correlation
+        ectx = ExprContext(schema=df.schema)
+        df_id = df.withColumn("__rid", F.monotonically_increasing_id())
+        f_pref = transformed.select(
+            [F.col(x).alias(f"__f_{x}") for x in transformed.columns]
+        )
+        cond = None
+        for fk, local_expr in join_pairs:
+            clause = compile_expr(local_expr, ectx).eqNullSafe(F.col(f"__f_{fk}"))
+            cond = clause if cond is None else cond & clause
+        for fk, op, local_expr in residuals:
+            clause = _RESIDUAL_OPS[op](F.col(f"__f_{fk}"), compile_expr(local_expr, ectx))
+            cond = clause if cond is None else cond & clause
+        fstruct = F.struct(
+            *[F.col(f"__f_{x}").alias(x) for x in transformed.columns]
+        )
+        matches = (
+            df_id.join(f_pref, cond, "inner")
+            .groupBy("__rid")
+            .agg(F.collect_list(fstruct).alias("__matches"))
+        )
+        out = df_id.join(matches, "__rid", "left").drop("__rid")
+        empty = F.array().cast(matches.schema["__matches"].dataType)
+        return out.withColumn(
+            as_field, F.coalesce(F.col("__matches"), empty)
+        ).drop("__matches")
     ectx = ExprContext(schema=df.schema)
     grouped = (
         transformed.groupBy(*[F.col(fk).alias(f"__fk{i}") for i, (fk, _) in enumerate(join_pairs)])
