@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import math
+import time
 from typing import Any, Iterator, Optional
 
 from pyspark.sql import DataFrame
@@ -339,6 +340,12 @@ def http_stage(expression: Any, ctx: Context) -> StageFn:
         # (mapAsyncSequential — Http.java:508); `parallelism` is the scale
         # extension: a bounded thread pool per partition, order preserved
         parallelism = int(expression.get("parallelism", 1))
+        # transport errors retry with backoff (Util.java:47 RETRY = 5 s,
+        # retry-forever); here retries are bounded in-task and then the
+        # task FAILS so Spark's task/stream retry takes over — a documented
+        # deviation from the infinite loop (same at-least-once outcome)
+        retries = int(expression.get("retries", 3))
+        retry_interval_s = float(expression.get("retryIntervalMs", 5000)) / 1000.0
 
         def call(batches: Iterator) -> Iterator:
             import pandas as pd
@@ -378,26 +385,42 @@ def http_stage(expression: Any, ctx: Context) -> StageFn:
                 return json.dumps(elems)
 
             def one(row) -> tuple:
+                from urllib.parse import urlparse
+
+                # unparseable url/method -> httpError 400 without calling
+                # the transport (requestInput/addBadRequest,
+                # Http.java:111-113, 385-407)
+                url, method = row["__url"], row["__method"]
                 try:
-                    resp = transport(
-                        {
-                            "url": row["__url"],
-                            "method": row["__method"],
-                            "headers": json.loads(row["__headers"]) if row["__headers"] else {},
-                            "body": row["__body"],
-                        }
-                    )
-                    kind = content_kind(resp.get("contentType"))
-                    status = resp["status"]
-                    # errors carry the plain reduced body in httpError.body,
-                    # never the unwind array form (Http.java:121-129)
-                    body = normalize_body(
-                        resp.get("body"), kind, unwind and status < 300
-                    )
-                    return status, body, kind
-                except Exception:  # unparseable url/method -> 400
-                    # (Http.java:111-113 addBadRequest: no response body)
+                    headers = json.loads(row["__headers"]) if row["__headers"] else {}
+                except ValueError:
                     return 400, None, _KIND_NONE
+                if not url or not urlparse(url).scheme or not method:
+                    return 400, None, _KIND_NONE
+                request = {
+                    "url": url,
+                    "method": method,
+                    "headers": headers,
+                    "body": row["__body"],
+                }
+                attempt = 0
+                while True:  # transport errors retry, then fail the task
+                    try:
+                        resp = transport(request)
+                        break
+                    except Exception:
+                        attempt += 1
+                        if attempt > retries:
+                            raise
+                        time.sleep(retry_interval_s)
+                kind = content_kind(resp.get("contentType"))
+                status = resp["status"]
+                # errors carry the plain reduced body in httpError.body,
+                # never the unwind array form (Http.java:121-129)
+                body = normalize_body(
+                    resp.get("body"), kind, unwind and status < 300
+                )
+                return status, body, kind
 
             for pdf in batches:
                 rows = [row for _, row in pdf.iterrows()]

@@ -130,6 +130,46 @@ def test_non_object_array_elements_filtered(spark):
     assert json.loads(out[0]["result"]) == [{"n": 1}, {"n": 2}]
 
 
+def test_transport_errors_retry_then_succeed(spark):
+    # Util.java:130-148 retry-forever on transport errors: the call is
+    # retried (bounded here, then the task fails for Spark to retry) —
+    # a transient outage never becomes an httpError
+    fails = [2]  # first two attempts fail (worker-side closure state)
+
+    def flaky(req):
+        if fails[0] > 0:
+            fails[0] -= 1
+            raise ConnectionError("transient")
+        return {"status": 200, "contentType": "application/json",
+                "body": json.dumps({"ok": True})}
+
+    df = spark.createDataFrame([("m1",)], "_id string").repartition(1)
+    ctx = Context(spark=spark, http_transport=flaky)
+    out = compile_pipeline(
+        [{"$http": {"url": {"$concat": ["http://svc/", "$_id"]},
+                    "method": "GET", "as": "result",
+                    "retries": 3, "retryIntervalMs": 10}}], ctx
+    )(df).collect()
+    assert json.loads(out[0]["result"]) == {"ok": True}
+    assert out[0]["httpError"] is None
+
+
+def test_transport_errors_exhaust_retries_fail_task(spark):
+    # after the bounded retries the task fails (Spark-level retry takes
+    # over) instead of fabricating an httpError
+    def always_down(req):
+        raise ConnectionError("down")
+
+    df = spark.createDataFrame([("m1",)], "_id string").repartition(1)
+    ctx = Context(spark=spark, http_transport=always_down)
+    with pytest.raises(Exception):
+        compile_pipeline(
+            [{"$http": {"url": {"$concat": ["http://svc/", "$_id"]},
+                        "method": "GET", "as": "result",
+                        "retries": 1, "retryIntervalMs": 10}}], ctx
+        )(df).collect()
+
+
 def test_unparseable_url_bad_request(spark):
     # Http.java:111-113: url that can't be executed -> httpError 400,
     # message passes through
