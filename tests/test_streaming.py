@@ -91,6 +91,25 @@ def test_group_update_mode_emits_changed_groups(spark, tmpdir):
     assert emissions[1] == [{"_id": "a", "total": 4}]
 
 
+def test_bucket_streaming_incremental(spark, tmpdir):
+    """$bucket desugars to $group+$switch and inherits update-mode
+    emission: each micro-batch re-emits only the touched buckets with
+    their full accumulator state (TestBucket.java:44-57 asserts the
+    incremental sequence per input)."""
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    batches = [
+        [{"v": 1}, {"v": 15}],   # buckets 0 and 10
+        [{"v": 3}],              # only bucket 0 changes
+    ]
+    pipeline = [{"$bucket": {"groupBy": "$v", "boundaries": [0, 10, 20],
+                             "output": {"n": {"$sum": 1}}}}]
+    emissions = _run(spark, tmpdir, schema, batches, pipeline)
+    assert len(emissions) == 2
+    first = sorted(emissions[0], key=lambda r: r["_id"])
+    assert first == [{"_id": 0, "n": 1}, {"_id": 10, "n": 1}]
+    assert emissions[1] == [{"_id": 0, "n": 2}]
+
+
 def test_count_streaming_running_total(spark, tmpdir):
     """$count emits the running count as input arrives (TestCount.java:23-25
     outputs 1 then 2)."""
