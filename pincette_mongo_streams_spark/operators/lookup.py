@@ -72,7 +72,14 @@ def lookup_stage(expression: Any, ctx: Context) -> StageFn:
         inner = True  # Lookup.java:144-148
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
-        foreign = c.collection(expression["from"])
+        # `connectionString`/`database` extension (Lookup.java:74-78):
+        # another database's collection resolves through the qualified
+        # name "db.coll" (collections dict or collection_loader route it
+        # to the other catalog/connection)
+        from_name = expression["from"]
+        if "database" in expression:
+            from_name = f"{expression['database']}.{from_name}"
+        foreign = c.collection(from_name)
         if "localField" in expression:
             out = _equality_lookup(
                 df, foreign, expression["localField"], expression["foreignField"], as_field

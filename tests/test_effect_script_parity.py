@@ -135,6 +135,22 @@ def test_jq_rekeys_on_new_id(spark):
     assert row["__key"] == "9"
 
 
+# -------------------------------------------------- $lookup database ext
+
+def test_lookup_database_extension(spark):
+    # Lookup.java:74-78: `database` queries another DB's collection; here
+    # the qualified name routes through collections/collection_loader
+    other = spark.createDataFrame([(1, "x")], "k long, v string")
+    ctx = Context(spark=spark, collections={"otherdb.dim": other})
+    df = spark.createDataFrame([(1,)], "k long")
+    out = compile_pipeline(
+        [{"$lookup": {"from": "dim", "database": "otherdb",
+                      "localField": "k", "foreignField": "k", "as": "m"}}], ctx
+    )(df)
+    docs = [r.asDict(recursive=True) for r in out.collect()]
+    assert docs == [{"k": 1, "m": [{"k": 1, "v": "x"}]}]
+
+
 # ------------------------------------------------------------- $redact
 
 def test_redact_keep_stops_recursion(spark):
