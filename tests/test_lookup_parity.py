@@ -1,0 +1,137 @@
+"""Golden parity with the reference's TestLookup corpus ("$lookup 1"-"$lookup
+10", TestLookup.java:102-200).
+
+The reference looks up against a MongoDB collection seeded with two docs
+MESSAGE1={_id:"0",test:0} and MESSAGE2={_id:"1",test:1} (prepare(),
+TestLookup.java:202-213) and sorts the result array before comparing
+(sort(), TestLookup.java:36-43).  Here the collection is an in-memory
+DataFrame in the Context, and result arrays are sorted in the assertion the
+same way.
+"""
+
+import pytest
+
+from pincette_mongo_streams_spark import Context, compile_pipeline
+
+MESSAGE1 = {"_id": "0", "test": 0}
+MESSAGE2 = {"_id": "1", "test": 1}
+
+
+@pytest.fixture()
+def ctx(spark):
+    coll = spark.createDataFrame(
+        [("0", 0), ("1", 1)], "_id string, test long"
+    )
+    return Context(spark=spark, collections={"test-coll": coll})
+
+
+def _run_one(spark, ctx, pipeline, doc, schema="_id string, test long"):
+    df = spark.createDataFrame([tuple(doc.values())], schema)
+    out = compile_pipeline(pipeline, ctx)(df)
+    return [r.asDict(recursive=True) for r in out.collect()]
+
+
+def _eq_lookup(inner=False):
+    return [{"$lookup": {"from": "test-coll", "inner": inner,
+                         "localField": "test", "foreignField": "test",
+                         "as": "other"}}]
+
+
+def _pipeline_lookup(match):
+    return [{"$lookup": {"from": "test-coll", "let": {"var": "$test"},
+                         "pipeline": [{"$match": match}], "as": "other"}}]
+
+
+def _sorted_other(doc):
+    return dict(doc, other=sorted(doc["other"], key=lambda d: d["_id"]))
+
+
+def test_lookup_1_scalar_match(spark, ctx):
+    """"$lookup 1" (TestLookup.java:102-108): scalar local value joins the
+    one matching foreign doc."""
+    got = _run_one(spark, ctx, _eq_lookup(), {"_id": "0", "test": 0})
+    assert len(got) == 1
+    assert _sorted_other(got[0]) == {"_id": "0", "test": 0, "other": [MESSAGE1]}
+
+
+def test_lookup_2_other_key(spark, ctx):
+    """"$lookup 2" (TestLookup.java:110-116)."""
+    got = _run_one(spark, ctx, _eq_lookup(), {"_id": "0", "test": 1})
+    assert _sorted_other(got[0]) == {"_id": "0", "test": 1, "other": [MESSAGE2]}
+
+
+def test_lookup_3_array_local_value(spark, ctx):
+    """"$lookup 3" (TestLookup.java:118-124): an array local value matches
+    every foreign doc whose key is IN it (the array-wrap rewrite,
+    Lookup.java:110-114, 197-200)."""
+    got = _run_one(
+        spark, ctx, _eq_lookup(), {"_id": "0", "test": [0, 1]},
+        schema="_id string, test array<long>",
+    )
+    assert _sorted_other(got[0]) == {
+        "_id": "0", "test": [0, 1], "other": [MESSAGE1, MESSAGE2],
+    }
+
+
+def test_lookup_4_no_match_empty_array(spark, ctx):
+    """"$lookup 4" (TestLookup.java:126-131): left-outer — no match keeps
+    the message with an empty `as` array."""
+    got = _run_one(spark, ctx, _eq_lookup(), {"_id": "0", "test": 2})
+    assert got == [{"_id": "0", "test": 2, "other": []}]
+
+
+def test_lookup_5_inner_drops_no_match(spark, ctx):
+    """"$lookup 5" (TestLookup.java:133-137): inner:true drops messages
+    with an empty result (Lookup.java:158)."""
+    got = _run_one(spark, ctx, _eq_lookup(inner=True), {"_id": "0", "test": 2})
+    assert got == []
+
+
+def test_lookup_6_inner_keeps_match(spark, ctx):
+    """"$lookup 6" (TestLookup.java:139-145)."""
+    got = _run_one(spark, ctx, _eq_lookup(inner=True), {"_id": "0", "test": 0})
+    assert _sorted_other(got[0]) == {"_id": "0", "test": 0, "other": [MESSAGE1]}
+
+
+def test_lookup_7_pipeline_let_match(spark, ctx):
+    """"$lookup 7" (TestLookup.java:147-153): pipeline form with a $$var
+    equality match reproduces the equality join."""
+    got = _run_one(
+        spark, ctx, _pipeline_lookup({"test": "$$var"}), {"_id": "0", "test": 0}
+    )
+    assert _sorted_other(got[0]) == {"_id": "0", "test": 0, "other": [MESSAGE1]}
+
+
+def test_lookup_8_pipeline_other_key(spark, ctx):
+    """"$lookup 8" (TestLookup.java:155-161)."""
+    got = _run_one(
+        spark, ctx, _pipeline_lookup({"test": "$$var"}), {"_id": "0", "test": 1}
+    )
+    assert _sorted_other(got[0]) == {"_id": "0", "test": 1, "other": [MESSAGE2]}
+
+
+def test_lookup_9_pipeline_no_match(spark, ctx):
+    """"$lookup 9" (TestLookup.java:163-169): pipeline form stays
+    left-outer — empty result array survives."""
+    got = _run_one(
+        spark, ctx, _pipeline_lookup({"test": "$$var"}), {"_id": "0", "test": 2}
+    )
+    assert got == [{"_id": "0", "test": 2, "other": []}]
+
+
+def test_lookup_10_pipeline_gte_unwind(spark, ctx):
+    """"$lookup 10" (TestLookup.java:171-200): a correlated non-equality
+    ($gte $$var) sub-pipeline with unwind:true flattens each match into its
+    own message; the trailing $project keeps only `other`."""
+    pipeline = [
+        {"$lookup": {"from": "test-coll", "let": {"var": "$test"},
+                     "pipeline": [{"$match": {"test": {"$gte": "$$var"}}}],
+                     "unwind": True, "as": "other"}},
+        {"$project": {"other": 1}},
+    ]
+    df = spark.createDataFrame([(0,)], "test long")
+    out = compile_pipeline(pipeline, ctx)(df)
+    got = [r.asDict(recursive=True) for r in out.collect()]
+    assert len(got) == 2
+    others = sorted((r["other"] for r in got), key=lambda d: d["_id"])
+    assert others == [MESSAGE1, MESSAGE2]
