@@ -69,12 +69,26 @@ def match_stage(expression: Any, ctx: Context) -> StageFn:
 def _parse_project(expression: dict) -> tuple[str, list[tuple[list[str], Any]]]:
     """Classify the spec into include/exclude mode (Project.java:121-141);
     computed expressions force include mode; mixing include with exclude is
-    rejected except for ``_id: 0``."""
+    rejected except for ``_id: 0``.
+
+    Single-key nested-object values descend to the leaf, building a dotted
+    path, so ``{test4: {test3: false}}`` == ``{"test4.test3": 0}``
+    (Project.java:62-69); descent stops at a ``$``-operator key, which
+    marks the value as a computed expression at the path built so far
+    (removeExpression, Project.java:110-115)."""
     entries: list[tuple[list[str], Any]] = []
     has_include = False
     has_exclude = False
     for path, value in expression.items():
         parts = split_path(path)
+        while (
+            isinstance(value, dict)
+            and len(value) == 1
+            and not next(iter(value)).startswith("$")
+        ):
+            key = next(iter(value))
+            parts = parts + split_path(key)
+            value = value[key]
         if value in (1, True):
             entries.append((parts, True))
             has_include = True
@@ -149,14 +163,48 @@ def project_stage(expression: Any, ctx: Context) -> StageFn:
         include_id = "_id" in df.columns and (id_entry is None or id_entry[1] is not False)
         if include_id and id_entry is None:
             root.add(["_id"], True)  # include-mode keeps _id by default
+        # Nested computed paths merge into the ORIGINAL head struct,
+        # preserving untouched sibling fields (golden "$project include 3",
+        # TestProject.java:111-138: test4.test2/test4.test3 become 10 while
+        # test4.test1 stays) — the head is kept whole, then updated.
+        nested_updates: list[tuple[list[str], Any]] = []
+        whole_heads: list[str] = []
         for parts, v in entries:
             if v is False:
                 continue
-            root.add(parts, v)
+            if v is not True and len(parts) > 1:
+                nested_updates.append((parts, v))
+                if parts[0] not in whole_heads:
+                    whole_heads.append(parts[0])
+            else:
+                root.add(parts, v)
+        for head in whole_heads:
+            root.add([head], True)
         ectx = _ectx(df)
         cols = _include_columns(root, df.schema, None, ectx)
         keep = [c for c in (KEY_COL,) if c in df.columns]
-        return df.select(*[F.col(k) for k in keep], *cols)
+        # Update expressions read the original document (Project.java:105:
+        # function.apply(json)), so evaluate them before narrowing.
+        if not nested_updates:
+            return df.select(*[F.col(k) for k in keep], *cols)
+        compiled_updates = [
+            (parts, compile_expr(v, ectx)) for parts, v in nested_updates
+        ]
+        tmp_cols = {
+            f"__proj_upd_{i}": c
+            for i, (_p, c) in enumerate(compiled_updates)
+            if not isinstance(c, Remove)
+        }
+        out = df.withColumns(tmp_cols).select(
+            *[F.col(k) for k in keep], *cols, *[F.col(t) for t in tmp_cols]
+        )
+        for i, (parts, _c) in enumerate(compiled_updates):
+            tmp = f"__proj_upd_{i}"
+            if tmp not in tmp_cols:  # static $$REMOVE -> drop the path
+                out = drop_path(out, ".".join(parts))
+                continue
+            out = set_path(out, ".".join(parts), F.col(tmp))
+        return out.drop(*tmp_cols.keys())
 
     return fn
 
