@@ -762,6 +762,42 @@ _register(
 )
 
 _register(
+    "expr_dates_iso",
+    """SELECT o_orderkey,
+              CAST(floor((dayofyear(o_orderdate) + 6 - dayofweek(o_orderdate)) / 7) AS INT) AS w,
+              CAST(weekofyear(o_orderdate) AS INT) AS iw,
+              CAST(isoyear(o_orderdate) AS BIGINT) AS iwy,
+              CAST(isodow(o_orderdate) AS INT) AS idow,
+              strftime(o_orderdate - INTERVAL 1 MONTH, '%Y-%m-%d') AS prev_m,
+              CAST(o_orderkey & 255 AS BIGINT) AS band,
+              CAST(o_orderkey | 255 AS BIGINT) AS bor,
+              CAST(xor(o_orderkey, 255) AS BIGINT) AS bxor,
+              CAST(~o_orderkey AS BIGINT) AS bnot
+       FROM orders""",
+)(
+    _pipe(
+        "orders",
+        [
+            {"$project": {
+                "o_orderkey": 1,
+                "w": {"$week": "$o_orderdate"},
+                "iw": {"$isoWeek": "$o_orderdate"},
+                "iwy": {"$isoWeekYear": "$o_orderdate"},
+                "idow": {"$isoDayOfWeek": "$o_orderdate"},
+                "prev_m": {"$dateToString": {
+                    "date": {"$dateSubtract": {"startDate": "$o_orderdate",
+                                               "unit": "month", "amount": 1}},
+                    "format": "%Y-%m-%d"}},
+                "band": {"$bitAnd": ["$o_orderkey", 255]},
+                "bor": {"$bitOr": ["$o_orderkey", 255]},
+                "bxor": {"$bitXor": ["$o_orderkey", 255]},
+                "bnot": {"$bitNot": "$o_orderkey"},
+            }},
+        ],
+    )
+)
+
+_register(
     "expr_arrays",
     f"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n,
               {_r("CAST(embedding[1] AS DOUBLE)", 5)} AS first,

@@ -246,6 +246,18 @@ OPERATORS["$log"] = lambda raw, ctx: (
 )(_c(_args(raw, 2)[0], ctx), _c(_args(raw, 2)[1], ctx))
 OPERATORS["$pow"] = lambda raw, ctx: F.pow(_c(_args(raw, 2)[0], ctx), _c(_args(raw, 2)[1], ctx))
 
+# Bitwise operators (Mongo 6.3+): integer fold; $bitNot is unary.
+OPERATORS["$bitAnd"] = lambda raw, ctx: _fold(
+    [_c(e, ctx).cast("long") for e in _args(raw)], lambda a, b: a.bitwiseAND(b)
+)
+OPERATORS["$bitOr"] = lambda raw, ctx: _fold(
+    [_c(e, ctx).cast("long") for e in _args(raw)], lambda a, b: a.bitwiseOR(b)
+)
+OPERATORS["$bitXor"] = lambda raw, ctx: _fold(
+    [_c(e, ctx).cast("long") for e in _args(raw)], lambda a, b: a.bitwiseXOR(b)
+)
+OPERATORS["$bitNot"] = lambda raw, ctx: F.bitwise_not(_c(_args(raw)[0], ctx).cast("long"))
+
 
 @_op("$round")
 def _round(raw: Any, ctx: ExprContext) -> Column:
@@ -685,7 +697,18 @@ OPERATORS["$millisecond"] = lambda raw, ctx: (
 ).cast("int")
 OPERATORS["$dayOfWeek"] = lambda raw, ctx: F.dayofweek(_c(_args(raw)[0], ctx))
 OPERATORS["$dayOfYear"] = lambda raw, ctx: F.dayofyear(_c(_args(raw)[0], ctx))
-OPERATORS["$week"] = lambda raw, ctx: F.weekofyear(_c(_args(raw)[0], ctx))
+# Mongo $week is Sunday-based, 0-53: days before the year's first Sunday
+# are week 0 (NOT ISO week, which is $isoWeek below).
+OPERATORS["$week"] = lambda raw, ctx: (
+    lambda d: F.floor((F.dayofyear(d) + 7 - F.dayofweek(d)) / 7).cast("int")
+)(_c(_args(raw)[0], ctx))
+OPERATORS["$isoWeek"] = lambda raw, ctx: F.weekofyear(_c(_args(raw)[0], ctx))
+# ISO week-year = calendar year of that ISO week's Thursday.
+OPERATORS["$isoWeekYear"] = lambda raw, ctx: (
+    lambda d: F.year(F.date_add(d.cast("date"), 4 - (F.weekday(d) + 1))).cast("long")
+)(_c(_args(raw)[0], ctx))
+# weekday(): 0=Monday..6=Sunday; ISO dow is 1=Monday..7=Sunday.
+OPERATORS["$isoDayOfWeek"] = lambda raw, ctx: (F.weekday(_c(_args(raw)[0], ctx)) + 1).cast("int")
 OPERATORS["$toDate"] = lambda raw, ctx: _c(_args(raw)[0], ctx).try_cast("timestamp")
 
 _DATE_UNITS = {"year", "quarter", "month", "week", "day", "hour", "minute", "second", "millisecond"}
@@ -699,6 +722,16 @@ def _date_add(raw: Any, ctx: ExprContext) -> Column:
     start = _c(raw["startDate"], ctx)
     amount = _c(raw["amount"], ctx).cast("long")
     return F.timestamp_add(unit.upper(), amount, start)
+
+
+@_op("$dateSubtract")
+def _date_subtract(raw: Any, ctx: ExprContext) -> Column:
+    unit = raw["unit"]
+    if unit not in _DATE_UNITS:
+        raise ValueError(f"bad $dateSubtract unit {unit}")
+    start = _c(raw["startDate"], ctx)
+    amount = _c(raw["amount"], ctx).cast("long")
+    return F.timestamp_add(unit.upper(), -amount, start)
 
 
 @_op("$dateDiff")

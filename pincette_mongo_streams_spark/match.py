@@ -5,7 +5,7 @@ features)`` (reference Match.java:4,26); the contract is MongoDB's public
 query-operator semantics: implicit equality ``{field: value}``, comparison
 ``$eq $ne $gt $gte $lt $lte``, membership ``$in $nin``, logical
 ``$and $or $nor $not``, element ``$exists $type``, evaluation
-``$mod $regex $expr``, array ``$all $elemMatch $size``.
+``$mod $regex $expr $sampleRate``, array ``$all $elemMatch $size``.
 
 Everything compiles to a native Catalyst boolean Column, so ``$match``
 stages become plain ``df.filter(...)`` that Catalyst pushes down to the
@@ -60,6 +60,12 @@ def compile_match(query: dict, ctx: ExprContext) -> Column:
             preds.append(~_fold_or([compile_match(q, ctx) for q in value]))
         elif key == "$expr":
             preds.append(mongo_truthy(compile_expr(value, ctx)))
+        elif key == "$sampleRate":
+            # Bernoulli sample: keep each document independently with
+            # probability `value` (Mongo $sampleRate).
+            if not isinstance(value, (int, float)) or not 0 <= value <= 1:
+                raise ValueError("$sampleRate needs a number in [0, 1]")
+            preds.append(F.rand() < F.lit(float(value)))
         elif key.startswith("$"):
             raise NotImplementedError(f"unsupported top-level query operator {key}")
         else:

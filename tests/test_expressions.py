@@ -228,3 +228,44 @@ def test_root_in_group_push(spark):
     )(df)
     got = {r["_id"]: sorted((d["k"], d["v"]) for d in r["docs"]) for r in out.collect()}
     assert got == {"a": [("a", 1), ("a", 2)], "b": [("b", 3)]}
+
+
+def test_week_variants(spark):
+    """Mongo $week is Sunday-based 0-53 (days before the year's first
+    Sunday are week 0); $isoWeek/$isoWeekYear/$isoDayOfWeek are ISO 8601."""
+    rows = [Row(d="2023-01-01"), Row(d="2024-01-01"), Row(d="2021-01-03")]
+    schema = "d string"
+
+    def dv(expr):
+        return ev(
+            spark,
+            {"$let": {"vars": {"t": {"$toDate": "$d"}}, "in": expr}},
+            rows, schema,
+        )
+
+    # 2023-01-01 Sunday; 2024-01-01 Monday; 2021-01-03 first Sunday of 2021
+    assert dv({"$week": "$$t"}) == [1, 0, 1]
+    assert dv({"$isoWeek": "$$t"}) == [52, 1, 53]
+    assert dv({"$isoWeekYear": "$$t"}) == [2022, 2024, 2020]
+    assert dv({"$isoDayOfWeek": "$$t"}) == [7, 1, 7]
+
+
+def test_date_subtract(spark):
+    rows = [Row(d="1995-03-31")]
+    [v] = ev(
+        spark,
+        {"$dateToString": {"date": {"$dateSubtract": {
+            "startDate": {"$toDate": "$d"}, "unit": "month", "amount": 1}},
+            "format": "%Y-%m-%d"}},
+        rows, "d string",
+    )
+    assert v == "1995-02-28"  # end-of-month clamp
+
+
+def test_bitwise_operators(spark):
+    rows = [Row(a=12, b=10)]
+    assert ev(spark, {"$bitAnd": ["$a", "$b"]}, rows) == [8]
+    assert ev(spark, {"$bitOr": ["$a", "$b"]}, rows) == [14]
+    assert ev(spark, {"$bitXor": ["$a", "$b"]}, rows) == [6]
+    assert ev(spark, {"$bitNot": "$a"}, rows) == [-13]
+    assert ev(spark, {"$bitAnd": [7, 3, 1]}, rows) == [1]

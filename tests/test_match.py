@@ -1,5 +1,6 @@
 """Match-compiler tests (SURVEY.md §2.3b witnessed surface + contract)."""
 
+import pytest
 from pyspark.sql import Row
 
 from pincette_mongo_streams_spark.expressions import ExprContext
@@ -60,3 +61,18 @@ def test_elem_match_all_type_expr(spark):
         2,
         3,
     ]
+
+
+def test_sample_rate(spark):
+    """$sampleRate keeps each doc with the given probability; 0 and 1 are
+    deterministic extremes."""
+    df = spark.range(100).withColumnRenamed("id", "v")
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    ctx = Context(spark=spark)
+    assert compile_pipeline([{"$match": {"$sampleRate": 0}}], ctx)(df).count() == 0
+    assert compile_pipeline([{"$match": {"$sampleRate": 1}}], ctx)(df).count() == 100
+    mid = compile_pipeline([{"$match": {"$sampleRate": 0.5}}], ctx)(df).count()
+    assert 0 < mid < 100
+    with pytest.raises(ValueError):
+        compile_pipeline([{"$match": {"$sampleRate": 2}}], ctx)(df).count()
