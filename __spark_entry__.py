@@ -996,6 +996,57 @@ _register(
 )
 
 _register(
+    "window_calculus",
+    f"""SELECT o_orderkey,
+               CAST(floor(covar_pop(o_orderkey % 1000, floor(o_totalprice + 0.5)) OVER wfull
+                          * pow(count(*) OVER wfull, 2) + 0.5) AS BIGINT) AS cpn2,
+               CAST(floor(covar_samp(o_orderkey % 1000, floor(o_totalprice + 0.5)) OVER wfull
+                          * count(*) OVER wfull * (count(*) OVER wfull - 1) + 0.5) AS BIGINT) AS csn2,
+               {_r("quantile_cont(o_totalprice, 0.5) OVER wfull", 4)} AS med,
+               {_r("(last_value(o_totalprice) OVER wpair - first_value(o_totalprice) OVER wpair)"
+                   " / nullif(last_value(o_orderkey) OVER wpair - first_value(o_orderkey) OVER wpair, 0)", 4)} AS drv
+        FROM orders
+        WINDOW wfull AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+               wpair AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                         ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)""",
+)(
+    _pipe(
+        "orders",
+        [
+            {"$project": {"o_orderkey": 1, "o_custkey": 1, "o_totalprice": 1}},
+            {"$setWindowFields": {
+                "partitionBy": "$o_custkey",
+                "sortBy": {"o_orderkey": 1},
+                "output": {
+                    "cp": {"$covariancePop": [{"$mod": ["$o_orderkey", 1000]},
+                                              {"$round": ["$o_totalprice", 0]}],
+                           "window": {"documents": ["unbounded", "unbounded"]}},
+                    "cs": {"$covarianceSamp": [{"$mod": ["$o_orderkey", 1000]},
+                                               {"$round": ["$o_totalprice", 0]}],
+                           "window": {"documents": ["unbounded", "unbounded"]}},
+                    "n": {"$count": {},
+                          "window": {"documents": ["unbounded", "unbounded"]}},
+                    "med": {"$median": {"input": "$o_totalprice",
+                                        "method": "approximate"},
+                            "window": {"documents": ["unbounded", "unbounded"]}},
+                    "drv": {"$derivative": {"input": "$o_totalprice"},
+                            "window": {"documents": [-1, 0]}},
+                },
+            }},
+            {"$project": {"o_orderkey": 1,
+                          "cpn2": {"$toLong": {"$round": [
+                              {"$multiply": ["$cp", "$n", "$n"]}, 0]}},
+                          "csn2": {"$toLong": {"$round": [
+                              {"$multiply": ["$cs", "$n",
+                                             {"$subtract": ["$n", 1]}]}, 0]}},
+                          "med": {"$round": ["$med", 4]},
+                          "drv": {"$round": ["$drv", 4]}}},
+        ],
+    )
+)
+
+_register(
     "fill_locf",
     """SELECT event_id, user_id,
               last_value(v IGNORE NULLS) OVER (

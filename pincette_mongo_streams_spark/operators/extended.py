@@ -23,6 +23,7 @@ from typing import Any, Optional
 
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..context import Context
 from ..expressions import ExprContext, compile_expr
@@ -157,6 +158,47 @@ def _frame(spec: list, w: WindowSpec, is_range: bool) -> WindowSpec:
     return w.rangeBetween(lo, hi) if is_range else w.rowsBetween(lo, hi)
 
 
+_UNIT_MS = {
+    "week": 604800000.0,
+    "day": 86400000.0,
+    "hour": 3600000.0,
+    "minute": 60000.0,
+    "second": 1000.0,
+    "millisecond": 1.0,
+}
+
+
+def _array_quantile(vals: Column, p: float) -> Column:
+    """Linear-interpolated quantile of an array of doubles (same
+    interpolation as Spark's exact `percentile`): null on empty input."""
+    s = F.array_sort(F.filter(vals, lambda x: x.isNotNull()))
+    n = F.size(s)
+    idx = (n - 1).cast("double") * F.lit(float(p))
+    lo = F.floor(idx).cast("int")
+    frac = idx - lo.cast("double")
+    lo_v = F.element_at(s, lo + 1)
+    hi_v = F.element_at(s, F.least(lo + 2, n))
+    return F.when(n > 0, lo_v + (hi_v - lo_v) * frac)
+
+
+def _sort_numeric(sort_by: Optional[dict], ectx: ExprContext, unit: Optional[str]) -> Column:
+    """The single sortBy key as a double for $derivative/$integral: dates
+    become per-`unit` scalars (unix millis / unit); numerics pass through
+    (Mongo requires `unit` only for date sort keys)."""
+    if not sort_by or len(sort_by) != 1:
+        raise ValueError("$derivative/$integral need exactly one sortBy field")
+    name = next(iter(sort_by))
+    t = F.col(name)
+    dt = {f.name: f.dataType for f in ectx.schema.fields}.get(name)
+    if isinstance(dt, (T.TimestampType, T.DateType)):
+        if not unit:
+            raise ValueError("unit is required for a date sortBy field")
+        return F.unix_millis(t.cast("timestamp")).cast("double") / F.lit(_UNIT_MS[unit])
+    if unit:
+        raise ValueError("unit is only valid for date sort fields")
+    return t.cast("double")
+
+
 _WINDOW_AGGS = {
     "$sum": F.sum,
     "$avg": F.avg,
@@ -209,6 +251,27 @@ def set_window_fields_stage(expression: Any, ctx: Context) -> StageFn:
                     if by >= 0
                     else F.lag(v, -by, default).over(ordered)
                 )
+            elif op == "$expMovingAvg":
+                # EMA from partition start to the current row (Mongo allows
+                # no explicit window here): sequential fold over the
+                # running collect_list. O(n^2) per partition in batch —
+                # fine for correctness; SCALE.md notes the streaming
+                # alternative for long partitions.
+                alpha = (
+                    2.0 / (arg["N"] + 1) if "N" in arg else float(arg["alpha"])
+                )
+                y = compile_expr(arg["input"], ectx).cast("double")
+                run = ordered.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+                vals = F.collect_list(y).over(run)
+                col = F.aggregate(
+                    vals,
+                    F.lit(None).cast("double"),
+                    lambda acc, x: F.when(acc.isNull(), x).otherwise(
+                        x * F.lit(alpha) + acc * (1.0 - F.lit(alpha))
+                    ),
+                )
             else:
                 # aggregate op over a frame: default = whole partition
                 # (MongoDB's documented default window)
@@ -222,6 +285,62 @@ def set_window_fields_stage(expression: Any, ctx: Context) -> StageFn:
                     w = _frame(window["range"], ordered, is_range=True)
                 if op == "$count":
                     col = F.count(F.lit(1)).over(w)
+                elif op in ("$covariancePop", "$covarianceSamp"):
+                    f = F.covar_pop if op == "$covariancePop" else F.covar_samp
+                    e1, e2 = arg
+                    col = f(
+                        compile_expr(e1, ectx).cast("double"),
+                        compile_expr(e2, ectx).cast("double"),
+                    ).over(w)
+                elif op == "$median":
+                    # median/percentile reject ordered+framed windows in
+                    # Spark; interpolate over the frame's sorted values
+                    vals = F.collect_list(
+                        compile_expr(arg["input"], ectx).cast("double")
+                    ).over(w)
+                    col = _array_quantile(vals, 0.5)
+                elif op == "$percentile":
+                    vals = F.collect_list(
+                        compile_expr(arg["input"], ectx).cast("double")
+                    ).over(w)
+                    col = F.array(*[_array_quantile(vals, p) for p in arg["p"]])
+                elif op == "$derivative":
+                    # (Δ output) / (Δ sortBy), per `unit` when sortBy is a
+                    # date (Mongo $derivative)
+                    y = compile_expr(arg["input"], ectx).cast("double")
+                    t = _sort_numeric(sort_by, ectx, arg.get("unit"))
+                    col = F.try_divide(
+                        F.last(y).over(w) - F.first(y).over(w),
+                        F.last(t).over(w) - F.first(t).over(w),
+                    )
+                elif op == "$integral":
+                    # trapezoidal rule over the frame (Mongo $integral)
+                    y = compile_expr(arg["input"], ectx).cast("double")
+                    t = _sort_numeric(sort_by, ectx, arg.get("unit"))
+                    pts = F.collect_list(F.struct(t.alias("t"), y.alias("y"))).over(w)
+                    col = F.aggregate(
+                        pts,
+                        F.struct(
+                            F.lit(None).cast("double").alias("pt"),
+                            F.lit(None).cast("double").alias("py"),
+                            F.lit(0.0).alias("acc"),
+                        ),
+                        lambda a, p: F.struct(
+                            p.getField("t").alias("pt"),
+                            p.getField("y").alias("py"),
+                            F.when(
+                                a.getField("pt").isNull(), a.getField("acc")
+                            )
+                            .otherwise(
+                                a.getField("acc")
+                                + (p.getField("t") - a.getField("pt"))
+                                * (p.getField("y") + a.getField("py"))
+                                / 2.0
+                            )
+                            .alias("acc"),
+                        ),
+                        lambda a: a.getField("acc"),
+                    )
                 elif op in _WINDOW_AGGS:
                     col = _WINDOW_AGGS[op](compile_expr(arg, ectx)).over(w)
                 else:
@@ -271,7 +390,42 @@ def fill_stage(expression: Any, ctx: Context) -> StageFn:
                     field, F.last(F.col(field), ignorenulls=True).over(w)
                 )
             elif spec.get("method") == "linear":
-                raise NotImplementedError("$fill method 'linear' not supported")
+                # Interpolate nulls between the bracketing non-null values
+                # proportionally to the (single, numeric) sortBy key; nulls
+                # before the first / after the last known value stay null
+                # (MongoDB linearFill).
+                if len(sort_by) != 1:
+                    raise ValueError("$fill method 'linear' needs one sortBy field")
+                sf = F.col(next(iter(sort_by))).cast("double")
+                base_w = (
+                    Window.partitionBy(compile_expr(partition_by, ectx))
+                    if partition_by is not None
+                    else Window.partitionBy(F.lit(0))
+                )
+                back = base_w.orderBy(*_sort_cols(sort_by)).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+                fwd = base_w.orderBy(*_sort_cols(sort_by)).rowsBetween(
+                    Window.currentRow, Window.unboundedFollowing
+                )
+                col = F.col(field)
+                prev_v = F.last(col, ignorenulls=True).over(back)
+                prev_t = F.last(
+                    F.when(col.isNotNull(), sf), ignorenulls=True
+                ).over(back)
+                next_v = F.first(col, ignorenulls=True).over(fwd)
+                next_t = F.first(
+                    F.when(col.isNotNull(), sf), ignorenulls=True
+                ).over(fwd)
+                interp = prev_v + (next_v - prev_v) * F.try_divide(
+                    sf - prev_t, next_t - prev_t
+                )
+                out = out.withColumn(
+                    field,
+                    F.when(col.isNotNull(), col).otherwise(
+                        F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+                    ),
+                )
             else:
                 raise ValueError(f"bad $fill output spec for {field}: {spec}")
         return out

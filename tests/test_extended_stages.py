@@ -254,3 +254,95 @@ def test_shift_default_only_out_of_window(spark):
     assert by_o[1] == 0.0   # out of window -> default
     assert by_o[2] == 5.0
     assert by_o[3] is None  # in-window null stays null
+
+
+def test_fill_linear(spark):
+    """$fill method:linear interpolates proportionally to the sortBy key;
+    nulls before the first / after the last known value stay null."""
+    rows = [
+        ("a", 0, 0.0), ("a", 1, None), ("a", 3, None), ("a", 4, 8.0),
+        ("a", 5, None),
+        ("b", 0, None), ("b", 1, 2.0),
+    ]
+    out = _run(
+        spark, rows, "k string, t long, v double",
+        [{"$fill": {"partitionBy": "$k", "sortBy": {"t": 1},
+                    "output": {"v": {"method": "linear"}}}}],
+    ).collect()
+    got = {(r["k"], r["t"]): r["v"] for r in out}
+    # a: 0 at t=0, 8 at t=4 -> t=1: 2.0, t=3: 6.0; t=5 trailing -> null
+    assert got[("a", 1)] == 2.0 and got[("a", 3)] == 6.0
+    assert got[("a", 0)] == 0.0 and got[("a", 4)] == 8.0
+    assert got[("a", 5)] is None
+    # b: leading null stays null
+    assert got[("b", 0)] is None and got[("b", 1)] == 2.0
+
+
+def test_window_covariance_median_percentile(spark):
+    rows = [("a", 1, 1.0, 2.0), ("a", 2, 2.0, 4.0), ("a", 3, 3.0, 7.0),
+            ("b", 1, 5.0, 1.0)]
+    out = _run(
+        spark, rows, "k string, o long, x double, y double",
+        [{"$setWindowFields": {
+            "partitionBy": "$k", "sortBy": {"o": 1},
+            "output": {
+                "cpop": {"$covariancePop": ["$x", "$y"],
+                         "window": {"documents": ["unbounded", "unbounded"]}},
+                "csamp": {"$covarianceSamp": ["$x", "$y"],
+                          "window": {"documents": ["unbounded", "unbounded"]}},
+                "med": {"$median": {"input": "$y", "method": "approximate"},
+                        "window": {"documents": ["unbounded", "unbounded"]}},
+                "p50": {"$percentile": {"input": "$y", "p": [0.5],
+                                        "method": "approximate"},
+                        "window": {"documents": ["unbounded", "unbounded"]}},
+            }}}],
+    ).collect()
+    a = next(r for r in out if r["k"] == "a")
+    # x=[1,2,3], y=[2,4,7]: covar_pop = E[xy]-E[x]E[y] = 31/3 - 2*13/3 = 5/3
+    assert a["cpop"] == pytest.approx(5.0 / 3.0)
+    assert a["csamp"] == pytest.approx(2.5)
+    assert a["med"] == pytest.approx(4.0)
+    assert a["p50"] == [pytest.approx(4.0)]
+    b = next(r for r in out if r["k"] == "b")
+    assert b["cpop"] == pytest.approx(0.0) and b["csamp"] is None
+
+
+def test_window_derivative_integral(spark):
+    # t in seconds as a date; y climbs 10 per 100 t-units
+    base = datetime.datetime(2020, 1, 1)
+    rows = [("a", base + datetime.timedelta(seconds=i * 100), float(i * 10))
+            for i in range(3)]
+    out = _run(
+        spark, rows, "k string, t timestamp, y double",
+        [{"$setWindowFields": {
+            "partitionBy": "$k", "sortBy": {"t": 1},
+            "output": {
+                "dy": {"$derivative": {"input": "$y", "unit": "second"},
+                       "window": {"documents": [-1, 0]}},
+                "area": {"$integral": {"input": "$y", "unit": "second"},
+                         "window": {"documents": ["unbounded", "unbounded"]}},
+            }}}],
+    ).collect()
+    rs = sorted(out, key=lambda r: r["t"])
+    assert rs[0]["dy"] is None                       # single-point frame
+    assert rs[1]["dy"] == pytest.approx(0.1)         # 10 per 100 s
+    assert rs[2]["dy"] == pytest.approx(0.1)
+    # trapezoid over (0,0),(100,10),(200,20): 100*5 + 100*15 = 2000
+    assert rs[0]["area"] == pytest.approx(2000.0)
+
+
+def test_window_exp_moving_avg(spark):
+    rows = [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0)]
+    out = _run(
+        spark, rows, "k string, o long, v double",
+        [{"$setWindowFields": {
+            "partitionBy": "$k", "sortBy": {"o": 1},
+            "output": {"ema": {"$expMovingAvg": {"input": "$v", "N": 2}}}}}],
+    ).collect()
+    rs = sorted(out, key=lambda r: r["o"])
+    # alpha = 2/(N+1) = 2/3: 10, then 20*2/3+10/3, then 30*2/3 + prev/3
+    e1 = 10.0
+    e2 = 20.0 * (2 / 3) + e1 * (1 / 3)
+    e3 = 30.0 * (2 / 3) + e2 * (1 / 3)
+    assert [r["ema"] for r in rs] == [pytest.approx(e1), pytest.approx(e2),
+                                      pytest.approx(e3)]
