@@ -251,6 +251,32 @@ def set_window_fields_stage(expression: Any, ctx: Context) -> StageFn:
                     if by >= 0
                     else F.lag(v, -by, default).over(ordered)
                 )
+            elif op == "$locf":
+                run = ordered.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+                col = F.last(compile_expr(arg, ectx), ignorenulls=True).over(run)
+            elif op == "$linearFill":
+                if not sort_by or len(sort_by) != 1:
+                    raise ValueError("$linearFill needs one sortBy field")
+                sf = F.col(next(iter(sort_by))).cast("double")
+                v = compile_expr(arg, ectx)
+                back = ordered.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+                fwd = ordered.rowsBetween(
+                    Window.currentRow, Window.unboundedFollowing
+                )
+                prev_v = F.last(v, ignorenulls=True).over(back)
+                prev_t = F.last(F.when(v.isNotNull(), sf), ignorenulls=True).over(back)
+                next_v = F.first(v, ignorenulls=True).over(fwd)
+                next_t = F.first(F.when(v.isNotNull(), sf), ignorenulls=True).over(fwd)
+                interp = prev_v + (next_v - prev_v) * F.try_divide(
+                    sf - prev_t, next_t - prev_t
+                )
+                col = F.when(v.isNotNull(), v).otherwise(
+                    F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+                )
             elif op == "$expMovingAvg":
                 # EMA from partition start to the current row (Mongo allows
                 # no explicit window here): sequential fold over the

@@ -346,3 +346,21 @@ def test_window_exp_moving_avg(spark):
     e3 = 30.0 * (2 / 3) + e2 * (1 / 3)
     assert [r["ema"] for r in rs] == [pytest.approx(e1), pytest.approx(e2),
                                       pytest.approx(e3)]
+
+
+def test_window_locf_and_linear_fill_ops(spark):
+    """$locf and $linearFill as $setWindowFields operators (the window-op
+    spellings $fill desugars to in MongoDB)."""
+    rows = [("a", 0, 0.0), ("a", 1, None), ("a", 2, 4.0), ("a", 3, None)]
+    out = _run(
+        spark, rows, "k string, t long, v double",
+        [{"$setWindowFields": {
+            "partitionBy": "$k", "sortBy": {"t": 1},
+            "output": {
+                "lo": {"$locf": "$v"},
+                "lin": {"$linearFill": "$v"},
+            }}}],
+    ).collect()
+    rs = sorted(out, key=lambda r: r["t"])
+    assert [r["lo"] for r in rs] == [0.0, 0.0, 4.0, 4.0]
+    assert [r["lin"] for r in rs] == [0.0, 2.0, 4.0, None]
