@@ -168,6 +168,51 @@ _UNIT_MS = {
 }
 
 
+def _window_n_family(op: str, arg: Any, ectx: ExprContext, w: WindowSpec) -> Column:
+    """$firstN/$lastN/$minN/$maxN/$top/$bottom/$topN/$bottomN over a window
+    frame — same semantics as the $group accumulators (operators/group.py
+    `_compile_accumulator_superset`), with the collect applied over the
+    frame (frame order = the window's sortBy order)."""
+    if op in ("$minN", "$maxN"):
+        v = compile_expr(arg["input"], ectx)
+        s = F.array_sort(F.collect_list(v).over(w))
+        return F.slice(F.reverse(s) if op == "$maxN" else s, 1, arg["n"])
+    if op in ("$firstN", "$lastN"):
+        v = compile_expr(arg["input"], ectx)
+        ordered = F.collect_list(v).over(w)
+        n = arg["n"]
+        if op == "$firstN":
+            return F.slice(ordered, 1, n)
+        return F.slice(
+            ordered, F.greatest(F.size(ordered) - n + 1, F.lit(1)), F.lit(n)
+        )
+    sort_by = arg["sortBy"]
+    if not isinstance(sort_by, dict) or len(sort_by) != 1:
+        raise NotImplementedError(f"{op} supports a single sortBy key")
+    field, direction = next(iter(sort_by.items()))
+    sort_col = compile_expr("$" + field, ectx)
+    out = compile_expr(arg["output"], ectx)
+    if op == "$top":
+        f = F.min_by if direction == 1 else F.max_by
+        return f(out, sort_col).over(w)
+    if op == "$bottom":
+        f = F.max_by if direction == 1 else F.min_by
+        return f(out, sort_col).over(w)
+    asc = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(sort_col.alias("o"), out.alias("v"))).over(w)
+        ),
+        lambda s: s.getField("v"),
+    )
+    in_order = asc if direction == 1 else F.reverse(asc)
+    n = arg["n"]
+    if op == "$topN":
+        return F.slice(in_order, 1, n)
+    return F.slice(
+        in_order, F.greatest(F.size(in_order) - n + 1, F.lit(1)), F.lit(n)
+    )
+
+
 def _array_quantile(vals: Column, p: float) -> Column:
     """Linear-interpolated quantile of an array of doubles (same
     interpolation as Spark's exact `percentile`): null on empty input."""
@@ -367,6 +412,9 @@ def set_window_fields_stage(expression: Any, ctx: Context) -> StageFn:
                         ),
                         lambda a: a.getField("acc"),
                     )
+                elif op in ("$firstN", "$lastN", "$minN", "$maxN",
+                            "$top", "$bottom", "$topN", "$bottomN"):
+                    col = _window_n_family(op, arg, ectx, w)
                 elif op in _WINDOW_AGGS:
                     col = _WINDOW_AGGS[op](compile_expr(arg, ectx)).over(w)
                 else:

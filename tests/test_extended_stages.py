@@ -364,3 +364,36 @@ def test_window_locf_and_linear_fill_ops(spark):
     rs = sorted(out, key=lambda r: r["t"])
     assert [r["lo"] for r in rs] == [0.0, 0.0, 4.0, 4.0]
     assert [r["lin"] for r in rs] == [0.0, 2.0, 4.0, None]
+
+
+def test_window_n_family(spark):
+    rows = [("a", 1, 30.0), ("a", 2, 10.0), ("a", 3, 20.0), ("a", 4, 40.0)]
+    out = _run(
+        spark, rows, "k string, o long, v double",
+        [{"$setWindowFields": {
+            "partitionBy": "$k", "sortBy": {"o": 1},
+            "output": {
+                "f2": {"$firstN": {"input": "$v", "n": 2},
+                       "window": {"documents": ["unbounded", "unbounded"]}},
+                "l2": {"$lastN": {"input": "$v", "n": 2},
+                       "window": {"documents": ["unbounded", "unbounded"]}},
+                "mn2": {"$minN": {"input": "$v", "n": 2},
+                        "window": {"documents": ["unbounded", "unbounded"]}},
+                "mx2": {"$maxN": {"input": "$v", "n": 2},
+                        "window": {"documents": ["unbounded", "unbounded"]}},
+                "tp": {"$top": {"sortBy": {"v": 1}, "output": "$o"},
+                       "window": {"documents": ["unbounded", "unbounded"]}},
+                "bt": {"$bottom": {"sortBy": {"v": 1}, "output": "$o"},
+                       "window": {"documents": ["unbounded", "unbounded"]}},
+                "tp2": {"$topN": {"sortBy": {"v": 1}, "output": "$o", "n": 2},
+                        "window": {"documents": ["unbounded", "unbounded"]}},
+                "bt2": {"$bottomN": {"sortBy": {"v": 1}, "output": "$o", "n": 2},
+                        "window": {"documents": ["unbounded", "unbounded"]}},
+            }}}],
+    ).collect()
+    r = out[0]
+    assert r["f2"] == [30.0, 10.0] and r["l2"] == [20.0, 40.0]
+    assert r["mn2"] == [10.0, 20.0] and r["mx2"] == [40.0, 30.0]
+    # $top: doc with smallest v (v=10 at o=2); $bottom: largest (o=4)
+    assert r["tp"] == 2 and r["bt"] == 4
+    assert r["tp2"] == [2, 3] and r["bt2"] == [1, 4]
