@@ -524,13 +524,22 @@ def densify_stage(expression: Any, ctx: Context) -> StageFn:
     def fn(df: DataFrame, c: Context) -> DataFrame:
         _batch_only("$densify", c)
         fcol = F.col(field)
-        if bounds == "full":
+        if bounds in ("full", "partition"):
             lo, hi = F.min(fcol), F.max(fcol)
-            grid_base = (
-                df.groupBy(*partition_fields).agg(lo.alias("__lo"), hi.alias("__hi"))
-                if partition_fields
-                else df.agg(lo.alias("__lo"), hi.alias("__hi"))
-            )
+            if bounds == "partition":
+                # per-partition [min, max] (MongoDB bounds:"partition")
+                if not partition_fields:
+                    raise ValueError('$densify bounds "partition" needs partitionByFields')
+                grid_base = df.groupBy(*partition_fields).agg(
+                    lo.alias("__lo"), hi.alias("__hi")
+                )
+            elif partition_fields:
+                # "full": every partition densifies over the GLOBAL range
+                grid_base = df.select(*partition_fields).distinct().crossJoin(
+                    F.broadcast(df.agg(lo.alias("__lo"), hi.alias("__hi")))
+                )
+            else:
+                grid_base = df.agg(lo.alias("__lo"), hi.alias("__hi"))
             seq = F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
         else:
             lo_v, hi_v = bounds

@@ -116,10 +116,22 @@ def test_fill_value_and_locf(spark):
 
 def test_densify_full_and_bounded(spark):
     rows = [("a", 0), ("a", 4), ("b", 2)]
+    # bounds "full": every partition densifies over the GLOBAL [min, max]
+    # of the field (MongoDB $densify), so b gets 0 and 4 too
     out = _run(
         spark, rows, "k string, x long",
         [{"$densify": {"field": "x",
                        "range": {"step": 2, "bounds": "full",
+                                 "partitionByFields": ["k"]}}}],
+    ).collect()
+    got = sorted((r["k"], r["x"]) for r in out)
+    assert got == [("a", 0), ("a", 2), ("a", 4),
+                   ("b", 0), ("b", 2), ("b", 4)]
+    # bounds "partition": each partition densifies within its own range
+    out = _run(
+        spark, rows, "k string, x long",
+        [{"$densify": {"field": "x",
+                       "range": {"step": 2, "bounds": "partition",
                                  "partitionByFields": ["k"]}}}],
     ).collect()
     got = sorted((r["k"], r["x"]) for r in out)
