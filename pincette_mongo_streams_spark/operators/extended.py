@@ -112,10 +112,14 @@ def union_with_stage(expression: Any, ctx: Context) -> StageFn:
     if isinstance(expression, str):
         coll, sub = expression, None
     else:
-        coll, sub = expression["coll"], expression.get("pipeline")
+        # `coll` is optional since MongoDB 6.0 when the pipeline is
+        # self-sourcing (starts with $documents)
+        coll, sub = expression.get("coll"), expression.get("pipeline")
+    if coll is None and not sub:
+        raise ValueError("$unionWith needs coll and/or pipeline")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
-        other = c.collection(coll)
+        other = c.collection(coll) if coll is not None else df.limit(0)
         if sub:
             other = compile_pipeline(sub, c)(other)
         return df.unionByName(other, allowMissingColumns=True)

@@ -409,3 +409,15 @@ def test_window_n_family(spark):
     # $top: doc with smallest v (v=10 at o=2); $bottom: largest (o=4)
     assert r["tp"] == 2 and r["bt"] == 4
     assert r["tp2"] == [2, 3] and r["bt2"] == [1, 4]
+
+
+def test_union_with_documents_only_pipeline(spark):
+    """$unionWith without coll (MongoDB 6.0+): a self-sourcing pipeline
+    starting with $documents."""
+    rows = [(1, "x")]
+    out = _run(
+        spark, rows, "a long, b string",
+        [{"$unionWith": {"pipeline": [
+            {"$documents": [{"a": 2, "b": "y"}]}]}}],
+    ).collect()
+    assert sorted((r["a"], r["b"]) for r in out) == [(1, "x"), (2, "y")]
