@@ -28,7 +28,7 @@ from pyspark.sql import types as T
 from ..context import Context
 from ..expressions import ExprContext, compile_expr
 from ..pipeline import StageFn, compile_pipeline, register_stage
-from .group import compile_accumulator
+from .group import compile_accumulator, sorted_output_array, topn_struct_and_cmp
 
 
 def _sort_cols(sort_by: dict[str, int]) -> list[Column]:
@@ -191,24 +191,21 @@ def _window_n_family(op: str, arg: Any, ectx: ExprContext, w: WindowSpec) -> Col
             ordered, F.greatest(F.size(ordered) - n + 1, F.lit(1)), F.lit(n)
         )
     sort_by = arg["sortBy"]
-    if not isinstance(sort_by, dict) or len(sort_by) != 1:
-        raise NotImplementedError(f"{op} supports a single sortBy key")
-    field, direction = next(iter(sort_by.items()))
-    sort_col = compile_expr("$" + field, ectx)
+    if not isinstance(sort_by, dict) or not sort_by:
+        raise ValueError(f"{op} needs a non-empty sortBy document")
     out = compile_expr(arg["output"], ectx)
+    if len(sort_by) == 1 and op in ("$top", "$bottom"):
+        field, direction = next(iter(sort_by.items()))
+        sort_col = compile_expr("$" + field, ectx)
+        want_min = (op == "$top") == (direction == 1)
+        f = F.min_by if want_min else F.max_by
+        return f(out, sort_col).over(w)
+    struct, cmp = topn_struct_and_cmp(sort_by, out, ectx)
+    in_order = sorted_output_array(F.collect_list(struct).over(w), cmp)
     if op == "$top":
-        f = F.min_by if direction == 1 else F.max_by
-        return f(out, sort_col).over(w)
+        return F.element_at(in_order, 1)
     if op == "$bottom":
-        f = F.max_by if direction == 1 else F.min_by
-        return f(out, sort_col).over(w)
-    asc = F.transform(
-        F.array_sort(
-            F.collect_list(F.struct(sort_col.alias("o"), out.alias("v"))).over(w)
-        ),
-        lambda s: s.getField("v"),
-    )
-    in_order = asc if direction == 1 else F.reverse(asc)
+        return F.element_at(in_order, -1)
     n = arg["n"]
     if op == "$topN":
         return F.slice(in_order, 1, n)

@@ -118,6 +118,44 @@ def compile_accumulator(
     return _compile_accumulator_superset(name, op, arg, ectx, order)
 
 
+def topn_struct_and_cmp(sort_by: dict, output: Column, ectx: ExprContext):
+    """Compile a MongoDB multi-key ``sortBy`` document for the
+    $top/$bottom/$topN/$bottomN family: returns the (k0..kn, v) struct to
+    collect and an ``array_sort`` comparator implementing Mongo sort
+    semantics per key (direction honored, nulls lowest — so nulls sort
+    first ascending / last descending).  Shared with the window-frame
+    variants in operators/extended.py."""
+    keys = [(compile_expr("$" + f, ectx), d) for f, d in sort_by.items()]
+    struct = F.struct(
+        *[c.alias(f"k{i}") for i, (c, _) in enumerate(keys)],
+        output.alias("v"),
+    )
+    directions = [d for _, d in keys]
+
+    def cmp(left: Column, right: Column) -> Column:
+        result = F.lit(0)
+        for i in range(len(directions) - 1, -1, -1):
+            lf, rf = left.getField(f"k{i}"), right.getField(f"k{i}")
+            lt = F.lit(-1 if directions[i] == 1 else 1)
+            gt = F.lit(1 if directions[i] == 1 else -1)
+            result = (
+                F.when(lf.isNull() & rf.isNull(), result)
+                .when(lf.isNull(), lt)
+                .when(rf.isNull(), gt)
+                .when(lf < rf, lt)
+                .when(lf > rf, gt)
+                .otherwise(result)
+            )
+        return result
+
+    return struct, cmp
+
+
+def sorted_output_array(collected: Column, cmp) -> Column:
+    """array of outputs in sortBy order from a collected (k.., v) array."""
+    return F.transform(F.array_sort(collected, cmp), lambda s: s.getField("v"))
+
+
 def _compile_accumulator_superset(
     name: str, op: str, arg: Any, ectx: ExprContext, order: Optional[Column]
 ) -> Column:
@@ -150,29 +188,27 @@ def _compile_accumulator_superset(
         s = F.array_sort(F.collect_list(value))
         return F.slice(F.reverse(s) if op == "$maxN" else s, 1, n).alias(name)
     if op in ("$top", "$bottom", "$topN", "$bottomN"):
-        # sortBy: single {field: 1|-1}; output evaluated per input doc
+        # sortBy: {field: 1|-1, ...} (multi-key); output evaluated per doc
         sort_by = arg["sortBy"]
-        if not isinstance(sort_by, dict) or len(sort_by) != 1:
-            raise NotImplementedError(f"{op} supports a single sortBy key")
-        field, direction = next(iter(sort_by.items()))
-        sort_col = compile_expr("$" + field, ectx)
+        if not isinstance(sort_by, dict) or not sort_by:
+            raise ValueError(f"{op} needs a non-empty sortBy document")
         out = compile_expr(arg["output"], ectx)
+        if len(sort_by) == 1 and op in ("$top", "$bottom"):
+            # single-key fast path: min_by/max_by needs no array materialization
+            field, direction = next(iter(sort_by.items()))
+            sort_col = compile_expr("$" + field, ectx)
+            want_min = (op == "$top") == (direction == 1)
+            agg = F.min_by(out, sort_col) if want_min else F.max_by(out, sort_col)
+            return agg.alias(name)
+        struct, cmp = topn_struct_and_cmp(sort_by, out, ectx)
+        in_order = sorted_output_array(F.collect_list(struct), cmp)
         if op == "$top":
-            agg = F.min_by(out, sort_col) if direction == 1 else F.max_by(out, sort_col)
-            return agg.alias(name)
+            return F.element_at(in_order, 1).alias(name)
         if op == "$bottom":
-            agg = F.max_by(out, sort_col) if direction == 1 else F.min_by(out, sort_col)
-            return agg.alias(name)
+            return F.element_at(in_order, -1).alias(name)
         n = arg["n"]
-        asc = F.transform(
-            F.array_sort(
-                F.collect_list(F.struct(sort_col.alias("o"), out.alias("v")))
-            ),
-            lambda s: s.getField("v"),
-        )
-        # elements ordered by sortBy direction; $topN = head, $bottomN =
-        # tail, both KEEPING that order (Mongo does not reverse the tail)
-        in_order = asc if direction == 1 else F.reverse(asc)
+        # $topN = head, $bottomN = tail, both KEEPING the sortBy order
+        # (Mongo does not reverse the tail)
         if op == "$topN":
             return F.slice(in_order, 1, n).alias(name)
         return F.slice(

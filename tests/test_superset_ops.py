@@ -180,6 +180,58 @@ def test_bottom_n_keeps_sort_order(spark):
     assert r["t2_asc"] == [10, 20]
 
 
+def test_top_bottom_multikey_sortby(spark):
+    """Multi-key sortBy documents with mixed directions: primary key ties
+    broken by the secondary key, nulls sorting lowest (Mongo sort order)."""
+    rows = [
+        ("a", 1, 10, 100),
+        ("a", 2, 10, 300),   # ties v=10 with row 1; u breaks the tie
+        ("a", 3, 30, 200),
+        ("a", 4, None, 999),  # null v sorts lowest
+    ]
+    out = _group(
+        spark, rows, "k string, i long, v long, u long",
+        {"_id": "$k",
+         # v desc then u asc: order = (30,200)->3, (10,100)->1, (10,300)->2,
+         # (null)->4
+         "best": {"$top": {"sortBy": {"v": -1, "u": 1}, "output": "$i"}},
+         "worst": {"$bottom": {"sortBy": {"v": -1, "u": 1}, "output": "$i"}},
+         "top3": {"$topN": {"sortBy": {"v": -1, "u": 1}, "output": "$i", "n": 3}},
+         "bot2": {"$bottomN": {"sortBy": {"v": -1, "u": 1}, "output": "$i", "n": 2}},
+         # v asc: null first
+         "first_asc": {"$top": {"sortBy": {"v": 1, "u": 1}, "output": "$i"}}},
+    )
+    r = out[0]
+    assert r["best"] == 3
+    assert r["worst"] == 4
+    assert r["top3"] == [3, 1, 2]
+    assert r["bot2"] == [2, 4]
+    assert r["first_asc"] == 4
+
+
+def test_window_top_multikey_sortby(spark):
+    rows = [("a", 1, 10, 2), ("a", 2, 10, 1), ("a", 3, 5, 9), ("b", 4, 7, 7)]
+    df = spark.createDataFrame(rows, "k string, i long, v long, u long")
+    ctx = Context(spark=spark)
+    out = compile_pipeline(
+        [{"$setWindowFields": {
+            "partitionBy": "$k",
+            "output": {
+                "lead": {"$top": {"sortBy": {"v": -1, "u": -1},
+                                  "output": "$i"}},
+                "lead2": {"$topN": {"sortBy": {"v": -1, "u": -1},
+                                    "output": "$i", "n": 2}},
+            }}},
+         {"$project": {"i": 1, "lead": 1, "lead2": 1}}],
+        ctx,
+    )(df).collect()
+    by_i = {r["i"]: r for r in out}
+    # partition a, v desc / u desc: (10,2)->1, (10,1)->2, (5,9)->3
+    assert by_i[1]["lead"] == 1 and by_i[3]["lead"] == 1
+    assert by_i[2]["lead2"] == [1, 2]
+    assert by_i[4]["lead"] == 4
+
+
 def test_scalar_sum_max_in_expression_position(spark):
     """Mongo accepts scalars for expression-position $sum/$max/$min/$avg:
     the value itself (0 for non-numeric $sum)."""
