@@ -345,14 +345,25 @@ def ngram_jaccard_dedup_stage(expression: Any, ctx: Context) -> StageFn:
 # ------------------------------------------------------ embedding ops / ANN
 
 
+def vec_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                       lambda acc, v: acc + v)
+
+
+def vec_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0),
+                              lambda acc, v: acc + v))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
-                      lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0),
-                            lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0),
-                            lambda acc, v: acc + v))
-    return F.try_divide(dot, na * nb)
+    return F.try_divide(vec_dot(a, b), vec_norm(a) * vec_norm(b))
+
+
+def cosine_hoisted(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with the O(n·m) norm recomputation hoisted out of a join:
+    each side carries a precomputed norm column, so the per-pair work is
+    one dot product instead of three array folds."""
+    return F.try_divide(vec_dot(a, b), na * nb)
 
 
 @register_stage("$embedDedup")
@@ -426,12 +437,16 @@ def ann_topk_stage(expression: Any, ctx: Context) -> StageFn:
 
         q = c.collection(queries_coll)
         emb = compile_expr(inp, ExprContext(schema=df.schema))
-        corpus = df.select(F.col(id_field).alias("corpus_id"),
-                           emb.cast("array<double>").alias("__ce"))
-        queries = q.select(F.col("query_id"), F.col("embedding").cast("array<double>")
-                           .alias("__qe"))
+        corpus = df.select(
+            F.col(id_field).alias("corpus_id"), emb.cast("array<double>").alias("__ce")
+        ).withColumn("__cn", vec_norm(F.col("__ce")))
+        queries = q.select(
+            F.col("query_id"), F.col("embedding").cast("array<double>").alias("__qe")
+        ).withColumn("__qn", vec_norm(F.col("__qe")))
         scored = corpus.crossJoin(F.broadcast(queries)).select(
-            "query_id", "corpus_id", cosine(F.col("__ce"), F.col("__qe")).alias("score")
+            "query_id", "corpus_id",
+            cosine_hoisted(F.col("__ce"), F.col("__qe"),
+                           F.col("__cn"), F.col("__qn")).alias("score"),
         )
         w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("corpus_id"))
         return (
@@ -516,12 +531,14 @@ def ann_lsh_search_stage(expression: Any, ctx: Context) -> StageFn:
         corpus = df.select(
             F.col(id_field).alias("corpus_id"),
             emb.alias("__ce"),
-        ).withColumn("__bucket", lsh_bucket(F.col("__ce"), bits, dim))
+        ).withColumn("__bucket", lsh_bucket(F.col("__ce"), bits, dim)).withColumn(
+            "__cn", vec_norm(F.col("__ce"))
+        )
         q = c.collection(queries_coll)
         qe = F.col("embedding").cast("array<double>")
         queries = q.select(F.col("query_id"), qe.alias("__qe")).withColumn(
             "__qbucket", lsh_bucket(F.col("__qe"), bits, dim)
-        )
+        ).withColumn("__qn", vec_norm(F.col("__qe")))
         # multi-probe: own bucket + single-bit flips, capped at `probes`
         probe_buckets = F.slice(
             F.concat(
@@ -535,12 +552,13 @@ def ann_lsh_search_stage(expression: Any, ctx: Context) -> StageFn:
             probes,
         )
         probed = queries.select(
-            "query_id", "__qe", F.explode(probe_buckets).alias("__bucket")
+            "query_id", "__qe", "__qn", F.explode(probe_buckets).alias("__bucket")
         )
         candidates = corpus.join(F.broadcast(probed), "__bucket")
         scored = candidates.select(
             "query_id", "corpus_id",
-            cosine(F.col("__ce"), F.col("__qe")).alias("score"),
+            cosine_hoisted(F.col("__ce"), F.col("__qe"),
+                           F.col("__cn"), F.col("__qn")).alias("score"),
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("corpus_id")

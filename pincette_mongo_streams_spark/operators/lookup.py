@@ -68,6 +68,9 @@ def lookup_stage(expression: Any, ctx: Context) -> StageFn:
     as_field = expression["as"]
     inner = bool(expression.get("inner", False))
     unwind = bool(expression.get("unwind", False))
+    # set by plans.optimize when downstream only reads size(as): count
+    # matches per key instead of materializing match arrays
+    count_only = bool(expression.get("__countOnly__", False))
     if unwind:
         inner = True  # Lookup.java:144-148
 
@@ -82,21 +85,43 @@ def lookup_stage(expression: Any, ctx: Context) -> StageFn:
         foreign = c.collection(from_name)
         if "localField" in expression:
             out = _equality_lookup(
-                df, foreign, expression["localField"], expression["foreignField"], as_field
+                df, foreign, expression["localField"], expression["foreignField"],
+                as_field, count_only,
             )
         else:
-            out = _pipeline_lookup(df, foreign, expression, as_field, c)
+            out = _pipeline_lookup(df, foreign, expression, as_field, c, count_only)
         if unwind:
             out = out.withColumn(as_field, F.explode(as_field))
         elif inner:
-            out = out.filter(F.size(as_field) > 0)
+            out = out.filter(
+                (F.col(as_field) > 0) if count_only else (F.size(as_field) > 0)
+            )
         return out
 
     return fn
 
 
+def _match_agg(foreign: DataFrame, count_only: bool) -> Column:
+    """The per-key foreign aggregate: match arrays, or (size-only rewrite,
+    plans/optimize.py) just the match count — int to mirror size()'s type."""
+    if count_only:
+        return F.count(F.lit(1)).cast("int").alias("__matches")
+    return F.collect_list(_foreign_struct(foreign)).alias("__matches")
+
+
+def _empty_matches(grouped: DataFrame, count_only: bool) -> Column:
+    if count_only:
+        return F.lit(0)
+    return F.array().cast(grouped.schema["__matches"].dataType)
+
+
 def _equality_lookup(
-    df: DataFrame, foreign: DataFrame, local_field: str, foreign_field: str, as_field: str
+    df: DataFrame,
+    foreign: DataFrame,
+    local_field: str,
+    foreign_field: str,
+    as_field: str,
+    count_only: bool = False,
 ) -> DataFrame:
     lt = next((f.dataType for f in df.schema.fields if f.name == local_field), None)
     # pre-aggregate foreign per key: one row per key -> join output stays
@@ -104,7 +129,7 @@ def _equality_lookup(
     fkey = F.col(foreign_field)
     grouped = (
         foreign.groupBy(fkey.alias("__fk"))
-        .agg(F.collect_list(_foreign_struct(foreign)).alias("__matches"))
+        .agg(_match_agg(foreign, count_only))
     )
     grouped = _maybe_broadcast(grouped)
     if isinstance(lt, T.ArrayType):
@@ -113,14 +138,20 @@ def _equality_lookup(
         df_id = df.withColumn("__rid", F.monotonically_increasing_id())
         bridge = df_id.select("__rid", F.explode_outer(F.col(local_field)).alias("__lk"))
         joined = bridge.join(grouped, bridge["__lk"] == grouped["__fk"], "left")
-        matches = joined.groupBy("__rid").agg(
-            F.flatten(F.collect_list("__matches")).alias(as_field)
+        regroup = (
+            F.sum(F.coalesce(F.col("__matches"), F.lit(0))).cast("int")
+            if count_only
+            else F.flatten(F.collect_list("__matches"))
         )
+        matches = joined.groupBy("__rid").agg(regroup.alias(as_field))
         out = df_id.join(matches, "__rid", "left").drop("__rid")
-        return out.withColumn(as_field, F.coalesce(F.col(as_field), F.array().cast(
-            matches.schema[as_field].dataType)))
+        empty = (
+            F.lit(0) if count_only
+            else F.array().cast(matches.schema[as_field].dataType)
+        )
+        return out.withColumn(as_field, F.coalesce(F.col(as_field), empty))
     joined = df.join(grouped, F.col(local_field).eqNullSafe(F.col("__fk")), "left")
-    empty = F.array().cast(grouped.schema["__matches"].dataType)
+    empty = _empty_matches(grouped, count_only)
     return joined.withColumn(as_field, F.coalesce(F.col("__matches"), empty)).drop(
         "__fk", "__matches"
     )
@@ -151,7 +182,12 @@ def _let_var(v: Any, let: dict) -> Any:
 
 
 def _pipeline_lookup(
-    df: DataFrame, foreign: DataFrame, expression: dict, as_field: str, c: Context
+    df: DataFrame,
+    foreign: DataFrame,
+    expression: dict,
+    as_field: str,
+    c: Context,
+    count_only: bool = False,
 ) -> DataFrame:
     from ..pipeline import compile_pipeline
 
@@ -190,9 +226,12 @@ def _pipeline_lookup(
         transformed = foreign
     if not join_pairs and not residuals:
         # uncorrelated: every row gets the same (small) result array
-        collected = transformed.agg(
-            F.collect_list(_foreign_struct(transformed)).alias(as_field)
+        agg = (
+            F.count(F.lit(1)).cast("int")
+            if count_only
+            else F.collect_list(_foreign_struct(transformed))
         )
+        collected = transformed.agg(agg.alias(as_field))
         return df.crossJoin(F.broadcast(collected))
     if residuals:
         # general correlated plan: join per stream row (equality clauses
@@ -213,20 +252,25 @@ def _pipeline_lookup(
         fstruct = F.struct(
             *[F.col(f"__f_{x}").alias(x) for x in transformed.columns]
         )
+        agg = (
+            F.count(F.lit(1)).cast("int")
+            if count_only
+            else F.collect_list(fstruct)
+        )
         matches = (
             df_id.join(f_pref, cond, "inner")
             .groupBy("__rid")
-            .agg(F.collect_list(fstruct).alias("__matches"))
+            .agg(agg.alias("__matches"))
         )
         out = df_id.join(matches, "__rid", "left").drop("__rid")
-        empty = F.array().cast(matches.schema["__matches"].dataType)
+        empty = _empty_matches(matches, count_only)
         return out.withColumn(
             as_field, F.coalesce(F.col("__matches"), empty)
         ).drop("__matches")
     ectx = ExprContext(schema=df.schema)
     grouped = (
         transformed.groupBy(*[F.col(fk).alias(f"__fk{i}") for i, (fk, _) in enumerate(join_pairs)])
-        .agg(F.collect_list(_foreign_struct(transformed)).alias("__matches"))
+        .agg(_match_agg(transformed, count_only))
     )
     grouped = _maybe_broadcast(grouped)
     cond = None
@@ -234,6 +278,6 @@ def _pipeline_lookup(
         clause = compile_expr(local_expr, ectx).eqNullSafe(F.col(f"__fk{i}"))
         cond = clause if cond is None else (cond & clause)
     joined = df.join(grouped, cond, "left")
-    empty = F.array().cast(grouped.schema["__matches"].dataType)
+    empty = _empty_matches(grouped, count_only)
     out = joined.withColumn(as_field, F.coalesce(F.col("__matches"), empty))
     return out.drop("__matches", *[f"__fk{i}" for i in range(len(join_pairs))])

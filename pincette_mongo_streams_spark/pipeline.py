@@ -50,8 +50,10 @@ def compile_pipeline(pipeline: list[dict], ctx: Context) -> Callable[[DataFrame]
     """Compile a pipeline (list of one-key stage objects) to a DataFrame
     transformation.  ``_trace``/``_collection`` extension keys on a stage
     object are accepted and stripped (Pipeline.java:210,324-326)."""
+    from .plans.optimize import optimize_pipeline
+
     stages: list[tuple[str, Any]] = []
-    for stage_obj in pipeline:
+    for stage_obj in optimize_pipeline(pipeline):
         names = [k for k in stage_obj if k.startswith("$")]
         if len(names) != 1:
             raise ValueError(f"stage object must have exactly one $-key: {stage_obj}")

@@ -135,3 +135,89 @@ def test_lookup_10_pipeline_gte_unwind(spark, ctx):
     assert len(got) == 2
     others = sorted((r["other"] for r in got), key=lambda d: d["_id"])
     assert others == [MESSAGE1, MESSAGE2]
+
+
+# ---------------------------------------------------------------- size-only
+# rewrite (plans/optimize.py): a $lookup whose array is consumed only as
+# {"$size": "$as"} by the next include-mode $project counts matches per key
+# instead of materializing collect_list(struct(*)) arrays
+
+
+def _size_pipeline(lookup):
+    return [lookup, {"$project": {"_id": 1, "n": {"$toLong": {"$size": "$other"}}}}]
+
+
+def test_size_only_rewrite_fires():
+    from pincette_mongo_streams_spark.plans.optimize import optimize_pipeline
+
+    out = optimize_pipeline(_size_pipeline(
+        {"$lookup": {"from": "c", "localField": "a", "foreignField": "b",
+                     "as": "other"}}))
+    assert out[0]["$lookup"]["__countOnly__"] is True
+    assert out[1]["$project"]["n"] == {"$toLong": "$other"}
+
+
+def test_size_only_rewrite_blocked_by_passthrough():
+    from pincette_mongo_streams_spark.plans.optimize import optimize_pipeline
+
+    pipeline = [
+        {"$lookup": {"from": "c", "localField": "a", "foreignField": "b",
+                     "as": "other"}},
+        {"$project": {"other": 1, "n": {"$size": "$other"}}},
+    ]
+    out = optimize_pipeline(pipeline)
+    assert "__countOnly__" not in out[0]["$lookup"]
+
+
+def test_size_only_rewrite_blocked_by_element_access():
+    from pincette_mongo_streams_spark.plans.optimize import optimize_pipeline
+
+    pipeline = [
+        {"$lookup": {"from": "c", "localField": "a", "foreignField": "b",
+                     "as": "other"}},
+        {"$project": {"x": "$other._id", "n": {"$size": "$other"}}},
+    ]
+    out = optimize_pipeline(pipeline)
+    assert "__countOnly__" not in out[0]["$lookup"]
+
+
+def test_size_only_equality_results(spark, ctx):
+    got = _run_one(
+        spark, ctx,
+        _size_pipeline({"$lookup": {"from": "test-coll", "localField": "test",
+                                    "foreignField": "test", "as": "other"}}),
+        {"_id": "0", "test": 0},
+    )
+    assert got == [{"_id": "0", "n": 1}]
+
+
+def test_size_only_equality_no_match_is_zero(spark, ctx):
+    got = _run_one(
+        spark, ctx,
+        _size_pipeline({"$lookup": {"from": "test-coll", "localField": "test",
+                                    "foreignField": "test", "as": "other"}}),
+        {"_id": "0", "test": 7},
+    )
+    assert got == [{"_id": "0", "n": 0}]
+
+
+def test_size_only_pipeline_form_results(spark, ctx):
+    got = _run_one(
+        spark, ctx,
+        _size_pipeline({"$lookup": {"from": "test-coll", "let": {"var": "$test"},
+                                    "pipeline": [{"$match": {"test": {"$gte": "$$var"}}}],
+                                    "as": "other"}}),
+        {"_id": "0", "test": 0},
+    )
+    assert got == [{"_id": "0", "n": 2}]
+
+
+def test_size_only_inner_filters(spark, ctx):
+    got = _run_one(
+        spark, ctx,
+        _size_pipeline({"$lookup": {"from": "test-coll", "inner": True,
+                                    "localField": "test", "foreignField": "test",
+                                    "as": "other"}}),
+        {"_id": "0", "test": 7},
+    )
+    assert got == []
