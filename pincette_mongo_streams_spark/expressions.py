@@ -711,6 +711,34 @@ OPERATORS["$isoWeekYear"] = lambda raw, ctx: (
 OPERATORS["$isoDayOfWeek"] = lambda raw, ctx: (F.weekday(_c(_args(raw)[0], ctx)) + 1).cast("int")
 OPERATORS["$toDate"] = lambda raw, ctx: _c(_args(raw)[0], ctx).try_cast("timestamp")
 
+
+@_op("$dateToParts")
+def _date_to_parts(raw: Any, ctx: ExprContext) -> Column:
+    """``{date, iso8601?}`` → a parts document ({year..millisecond}, or the
+    ISO variant {isoWeekYear, isoWeek, isoDayOfWeek, ...} when iso8601)."""
+    d = _c(raw["date"], ctx)
+    ms = (F.unix_millis(d) % 1000).cast("int")
+    if raw.get("iso8601"):
+        return F.struct(
+            F.year(F.date_add(d.cast("date"), 4 - (F.weekday(d) + 1))).cast("long")
+            .alias("isoWeekYear"),
+            F.weekofyear(d).alias("isoWeek"),
+            (F.weekday(d) + 1).cast("int").alias("isoDayOfWeek"),
+            F.hour(d).alias("hour"),
+            F.minute(d).alias("minute"),
+            F.second(d).alias("second"),
+            ms.alias("millisecond"),
+        )
+    return F.struct(
+        F.year(d).alias("year"),
+        F.month(d).alias("month"),
+        F.dayofmonth(d).alias("day"),
+        F.hour(d).alias("hour"),
+        F.minute(d).alias("minute"),
+        F.second(d).alias("second"),
+        ms.alias("millisecond"),
+    )
+
 _DATE_UNITS = {"year", "quarter", "month", "week", "day", "hour", "minute", "second", "millisecond"}
 
 

@@ -45,7 +45,21 @@ _FIELD_OPS = {
     "$elemMatch",
     "$size",
     "$not",
+    "$bitsAllSet",
+    "$bitsAnySet",
+    "$bitsAllClear",
+    "$bitsAnyClear",
 }
+
+
+def _bitmask(arg: Any) -> int:
+    """A $bits* operand: numeric mask, or a list of bit positions."""
+    if isinstance(arg, list):
+        mask = 0
+        for pos in arg:
+            mask |= 1 << int(pos)
+        return mask
+    return int(arg)
 
 
 def compile_match(query: dict, ctx: ExprContext) -> Column:
@@ -177,6 +191,17 @@ def _one_op(col: Column, ftype: Any, op: str, arg: Any, ops: dict, ctx: ExprCont
         )
     if op == "$not":
         return ~_operator_predicate(col, ftype, arg, ctx)
+    if op in ("$bitsAllSet", "$bitsAnySet", "$bitsAllClear", "$bitsAnyClear"):
+        mask = F.lit(_bitmask(arg)).cast("long")
+        v = col.cast("long")
+        masked = v.bitwiseAND(mask)
+        pred = {
+            "$bitsAllSet": masked == mask,
+            "$bitsAnySet": masked != 0,
+            "$bitsAllClear": masked == 0,
+            "$bitsAnyClear": masked != mask,
+        }[op]
+        return F.coalesce(pred, F.lit(False))
     raise NotImplementedError(f"unsupported query operator {op}")
 
 

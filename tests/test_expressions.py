@@ -269,3 +269,16 @@ def test_bitwise_operators(spark):
     assert ev(spark, {"$bitXor": ["$a", "$b"]}, rows) == [6]
     assert ev(spark, {"$bitNot": "$a"}, rows) == [-13]
     assert ev(spark, {"$bitAnd": [7, 3, 1]}, rows) == [1]
+
+
+def test_date_to_parts(spark):
+    import datetime
+
+    rows = [Row(d=datetime.datetime(2024, 2, 29, 13, 45, 30, 123000))]
+    got = ev(spark, {"$dateToParts": {"date": "$d"}}, rows)[0].asDict()
+    assert got == {"year": 2024, "month": 2, "day": 29, "hour": 13,
+                   "minute": 45, "second": 30, "millisecond": 123}
+    iso = ev(spark, {"$dateToParts": {"date": "$d", "iso8601": True}}, rows)[0].asDict()
+    # 2024-02-29 is a Thursday of ISO week 9
+    assert iso == {"isoWeekYear": 2024, "isoWeek": 9, "isoDayOfWeek": 4,
+                   "hour": 13, "minute": 45, "second": 30, "millisecond": 123}

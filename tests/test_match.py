@@ -76,3 +76,13 @@ def test_sample_rate(spark):
     assert 0 < mid < 100
     with pytest.raises(ValueError):
         compile_pipeline([{"$match": {"$sampleRate": 2}}], ctx)(df).count()
+
+
+def test_bits_operators(spark):
+    # v=0b1010 (10): bits 1 and 3 set
+    rows = [Row(id=1, v=10), Row(id=2, v=5), Row(id=3, v=0), Row(id=4, v=None)]
+    assert keep(spark, {"v": {"$bitsAllSet": [1, 3]}}, rows) == [1]
+    assert keep(spark, {"v": {"$bitsAllSet": 10}}, rows) == [1]
+    assert keep(spark, {"v": {"$bitsAnySet": [0, 1]}}, rows) == [1, 2]
+    assert keep(spark, {"v": {"$bitsAllClear": [0, 2]}}, rows) == [1, 3]
+    assert keep(spark, {"v": {"$bitsAnyClear": [1, 3]}}, rows) == [2, 3]
