@@ -128,14 +128,16 @@ _register(
        FROM orders
        WHERE o_orderstatus IN ('O','F')
          AND o_totalprice >= 1000 AND o_totalprice < 200000
-         AND regexp_matches(o_orderpriority, '^[12]')""",
+         AND regexp_matches(o_orderpriority, '^[12]')
+         AND (o_orderkey & 3) = 0""",
 )(
     _pipe(
         "orders",
         [
             {"$match": {"o_orderstatus": {"$in": ["O", "F"]},
                         "o_totalprice": {"$gte": 1000, "$lt": 200000},
-                        "o_orderpriority": {"$regex": "^[12]"}}},
+                        "o_orderpriority": {"$regex": "^[12]"},
+                        "o_orderkey": {"$bitsAllClear": [0, 1]}}},
             {"$project": {"o_orderkey": 1, "o_custkey": 1, "o_totalprice": 1}},
         ],
     )
@@ -772,12 +774,15 @@ _register(
               CAST(o_orderkey & 255 AS BIGINT) AS band,
               CAST(o_orderkey | 255 AS BIGINT) AS bor,
               CAST(xor(o_orderkey, 255) AS BIGINT) AS bxor,
-              CAST(~o_orderkey AS BIGINT) AS bnot
+              CAST(~o_orderkey AS BIGINT) AS bnot,
+              CAST(day(o_orderdate) AS INT) AS pday,
+              CAST(hour(o_orderdate) AS INT) AS phour
        FROM orders""",
 )(
     _pipe(
         "orders",
         [
+            {"$addFields": {"__p": {"$dateToParts": {"date": "$o_orderdate"}}}},
             {"$project": {
                 "o_orderkey": 1,
                 "w": {"$week": "$o_orderdate"},
@@ -792,6 +797,8 @@ _register(
                 "bor": {"$bitOr": ["$o_orderkey", 255]},
                 "bxor": {"$bitXor": ["$o_orderkey", 255]},
                 "bnot": {"$bitNot": "$o_orderkey"},
+                "pday": "$__p.day",
+                "phour": "$__p.hour",
             }},
         ],
     )

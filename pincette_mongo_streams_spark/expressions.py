@@ -692,8 +692,10 @@ OPERATORS["$dayOfMonth"] = lambda raw, ctx: F.dayofmonth(_c(_args(raw)[0], ctx))
 OPERATORS["$hour"] = lambda raw, ctx: F.hour(_c(_args(raw)[0], ctx))
 OPERATORS["$minute"] = lambda raw, ctx: F.minute(_c(_args(raw)[0], ctx))
 OPERATORS["$second"] = lambda raw, ctx: F.second(_c(_args(raw)[0], ctx))
+# unix_millis rejects TIMESTAMP_NTZ (the parquet date type) — cast first;
+# with the UTC session timezone the cast is value-preserving
 OPERATORS["$millisecond"] = lambda raw, ctx: (
-    F.unix_millis(_c(_args(raw)[0], ctx)) % 1000
+    F.unix_millis(_c(_args(raw)[0], ctx).cast("timestamp")) % 1000
 ).cast("int")
 OPERATORS["$dayOfWeek"] = lambda raw, ctx: F.dayofweek(_c(_args(raw)[0], ctx))
 OPERATORS["$dayOfYear"] = lambda raw, ctx: F.dayofyear(_c(_args(raw)[0], ctx))
@@ -717,7 +719,7 @@ def _date_to_parts(raw: Any, ctx: ExprContext) -> Column:
     """``{date, iso8601?}`` → a parts document ({year..millisecond}, or the
     ISO variant {isoWeekYear, isoWeek, isoDayOfWeek, ...} when iso8601)."""
     d = _c(raw["date"], ctx)
-    ms = (F.unix_millis(d) % 1000).cast("int")
+    ms = (F.unix_millis(d.cast("timestamp")) % 1000).cast("int")
     if raw.get("iso8601"):
         return F.struct(
             F.year(F.date_add(d.cast("date"), 4 - (F.weekday(d) + 1))).cast("long")
