@@ -1671,6 +1671,28 @@ _register(
     )
 )
 
+_register(
+    "ann_ivf_search",
+    None,  # IVF-flat ANN (sampled coarse quantizer): rows-only gate;
+    # exactness at nprobe==nlist and self-match under pruning are pinned
+    # in tests/test_multimodal.py
+)(
+    _pipe(
+        "embeddings",
+        [
+            {"$annIvfSearch": {"queries": "queries", "input": "$embedding",
+                               "id": "vec_id", "k": 5, "nlist": 16,
+                               "nprobe": 4}},
+            {"$project": {"query_id": 1, "corpus_id": 1,
+                          "score": {"$round": ["$score", 4]}, "rank": 1}},
+        ],
+        collections={
+            "queries": lambda t: t["embeddings"].filter(F.col("vec_id") < 10).select(
+                F.col("vec_id").alias("query_id"), "embedding")
+        },
+    )
+)
+
 
 # =====================================================================
 # driver API

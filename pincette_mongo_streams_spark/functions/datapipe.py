@@ -571,6 +571,96 @@ def ann_lsh_search_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$annIvfSearch")
+def ann_ivf_search_stage(expression: Any, ctx: Context) -> StageFn:
+    """IVF-flat ANN: ``{queries, input, id, k, nlist, nprobe}``.
+
+    The data-dependent complement to $annLshSearch's data-independent
+    hyperplanes.  Coarse quantizer = ``nlist`` corpus vectors sampled
+    deterministically (smallest xxhash64(id) — a random sample under a
+    fixed seed); centroids are tiny metadata, collected once and inlined
+    as plan literals, so **cell assignment is pure column algebra with
+    zero shuffle** — each corpus row scores against the literal centroid
+    array and takes the argmax.  Queries probe their ``nprobe`` nearest
+    cells; the equi-join on cell prunes the scan to ~nprobe/nlist of the
+    corpus; exact cosine + per-query top-k runs on survivors.  With
+    nprobe == nlist this degrades to exact brute force (tested).  A
+    production deployment would Lloyd-refine the sample and persist the
+    centroid set with the table; the search plan is unchanged.
+    """
+    queries_coll = expression["queries"]
+    inp = expression["input"]
+    id_field = expression.get("id", "vec_id")
+    k = int(expression.get("k", 10))
+    nlist = int(expression.get("nlist", 16))
+    nprobe = int(expression.get("nprobe", 4))
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from pyspark.sql import Window
+
+        emb = compile_expr(inp, ExprContext(schema=df.schema)).cast("array<double>")
+        corpus = df.select(
+            F.col(id_field).alias("corpus_id"), emb.alias("__ce")
+        ).withColumn("__cn", vec_norm(F.col("__ce")))
+        # coarse quantizer: nlist sampled vectors, unit-normalized driver
+        # side (nlist × dim floats — dimension-table-sized metadata)
+        sample = (
+            corpus.select("corpus_id", "__ce")
+            .orderBy(F.xxhash64(F.col("corpus_id").cast("string")), "corpus_id")
+            .limit(nlist)
+            .collect()
+        )
+        import math
+
+        def unit(v: list) -> list:
+            n = math.sqrt(sum(x * x for x in v))
+            return [x / n for x in v] if n > 0 else list(v)
+
+        cents = F.array(*[
+            F.array(*[F.lit(float(x)) for x in unit(r["__ce"])]) for r in sample
+        ])
+
+        def cell_scores(vec: Column) -> Column:
+            return F.transform(cents, lambda cv: vec_dot(cv, vec))
+
+        def best_cell(vec: Column) -> Column:
+            s = cell_scores(vec)
+            return (F.array_position(s, F.array_max(s)) - 1).cast("int")
+
+        corpus = corpus.withColumn("__cell", best_cell(F.col("__ce")))
+        q = c.collection(queries_coll)
+        qe = F.col("embedding").cast("array<double>")
+        queries = (
+            q.select(F.col("query_id"), qe.alias("__qe"))
+            .withColumn("__qn", vec_norm(F.col("__qe")))
+        )
+        # top-nprobe cells per query: sort (−score, cell) structs, slice
+        idx = F.sequence(F.lit(0), F.lit(nlist - 1))
+        ranked = F.array_sort(F.zip_with(
+            cell_scores(F.col("__qe")), idx,
+            lambda s, i: F.struct((-s).alias("d"), i.cast("int").alias("cid")),
+        ))
+        probe_cells = F.transform(F.slice(ranked, 1, nprobe), lambda x: x["cid"])
+        probed = queries.select(
+            "query_id", "__qe", "__qn", F.explode(probe_cells).alias("__cell")
+        )
+        candidates = corpus.join(F.broadcast(probed), "__cell")
+        scored = candidates.select(
+            "query_id", "corpus_id",
+            cosine_hoisted(F.col("__ce"), F.col("__qe"),
+                           F.col("__cn"), F.col("__qn")).alias("score"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("corpus_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    return fn
+
+
 # ------------------------------------------------------------ text analysis
 
 _STOPWORDS = {

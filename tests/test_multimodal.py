@@ -104,6 +104,45 @@ def test_ann_lsh_search_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.25, f"recall {recall} collapsed"  # uniform data, 6 bits
 
 
+def test_ann_ivf_search_exact_when_probing_all_cells(spark, sf_dir):
+    """$annIvfSearch with nprobe == nlist probes every cell, so it must
+    reproduce brute-force $annTopK exactly; with nprobe < nlist it must
+    still find each query's own vector (its own cell is the top probe)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ctx = Context(spark=spark, collections={"q": queries})
+    brute = compile_pipeline(
+        [{"$annTopK": {"queries": "q", "input": "$embedding", "id": "vec_id",
+                       "k": 5}}], ctx
+    )(emb).collect()
+    full = compile_pipeline(
+        [{"$annIvfSearch": {"queries": "q", "input": "$embedding",
+                            "id": "vec_id", "k": 5, "nlist": 8,
+                            "nprobe": 8}}], ctx
+    )(emb).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(((r["query_id"], r["rank"], r["corpus_id"]) for r in full)) == \
+        sorted(((r["query_id"], r["rank"], r["corpus_id"]) for r in brute))
+
+    pruned = compile_pipeline(
+        [{"$annIvfSearch": {"queries": "q", "input": "$embedding",
+                            "id": "vec_id", "k": 5, "nlist": 8,
+                            "nprobe": 2}}], ctx
+    )(emb).collect()
+    assert {c for c in pruned[0].asDict()} == {"query_id", "corpus_id", "score", "rank"}
+    got = {(r["query_id"], r["corpus_id"]) for r in pruned}
+    assert all((q, q) in got for q in range(10))
+    # deterministic: same pipeline twice -> identical result
+    again = compile_pipeline(
+        [{"$annIvfSearch": {"queries": "q", "input": "$embedding",
+                            "id": "vec_id", "k": 5, "nlist": 8,
+                            "nprobe": 2}}], ctx
+    )(emb).collect()
+    assert sorted(map(tuple, pruned)) == sorted(map(tuple, again))
+
+
 def test_http_parallel_transport(spark):
     """$http parallelism extension: pooled transport beats the reference's
     strictly sequential per-partition calls; row/response alignment and
