@@ -48,3 +48,13 @@ def test_ann_topk_uses_window_group_limit(spark):
     df = entrymod.queries()["ann_topk"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan  # per-partition heap-k before shuffle
+
+
+def test_size_only_lookup_avoids_collect_list(spark):
+    """The size-only rewrite (plans/optimize.py) must remove the
+    collect_list(struct(*)) match-array materialization from both bench
+    lookup queries."""
+    for name in ("lookup_array_size", "lookup_pipeline"):
+        df = entrymod.queries()[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "collect_list" not in plan, f"{name} still materializes arrays"
