@@ -1400,6 +1400,57 @@ _register(
     )
 )
 
+_BM25_TERMS = ["spark", "vector", "merge"]
+_BM25_TFS = ",\n".join(
+    f"         len(list_filter(ts, x -> x = '{t}')) AS tf{i}"
+    for i, t in enumerate(_BM25_TERMS)
+)
+_BM25_DFS = ",\n".join(
+    f"         sum(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}"
+    for i in range(len(_BM25_TERMS))
+)
+_BM25_SCORE = " + ".join(
+    f"ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * 2.2"
+    f" / (tf{i} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+    for i in range(len(_BM25_TERMS))
+)
+
+_register(
+    "bm25_search",
+    f"""WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
+{_BM25_TFS}
+  FROM tok),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+{_BM25_DFS}
+  FROM base),
+scored AS (
+  SELECT doc_id, {_BM25_SCORE} AS score
+  FROM base CROSS JOIN stats),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored)
+SELECT doc_id, {_r("score", 4)} AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$bm25": {"query": " ".join(_BM25_TERMS), "input": "$text",
+                       "id": "doc_id", "k": 10}},
+            {"$project": {"doc_id": 1, "score": {"$round": ["$score", 4]},
+                          "rank": 1}},
+        ],
+    )
+)
+
 from pincette_mongo_streams_spark.functions.datapipe import (  # noqa: E402
     MINHASH_P,
     minhash_coeffs,

@@ -749,6 +749,82 @@ def token_count_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$bm25")
+def bm25_stage(expression: Any, ctx: Context) -> StageFn:
+    """BM25 ranked retrieval: ``{query, input, id, k, k1, b}`` →
+    ``(id, score, rank)`` for the top-k documents.
+
+    Spark-first plan: per-document term frequencies are array-filter
+    counts over the tokenized text (one column per query term — query
+    terms are few, so no explode), corpus statistics (N, avgdl, per-term
+    document frequency) are ONE global aggregate broadcast back as a
+    single row, and the final top-k is orderBy+limit, which Spark
+    executes as TakeOrderedAndProject (per-partition heap-k + driver
+    merge — no global sort shuffle).  At 100 TB the only wide operation
+    is the single-row stats aggregate, whose partial aggregation reduces
+    each task to one row.
+    """
+    query = expression["query"]
+    inp = expression["input"]
+    id_field = expression.get("id", "_id")
+    k = int(expression.get("k", 10))
+    k1 = float(expression.get("k1", 1.2))
+    b = float(expression.get("b", 0.75))
+    import re as _re
+
+    terms = list(dict.fromkeys(
+        t for t in _re.sub(r"[^a-z0-9 ]", " ", query.lower()).split() if t
+    ))
+    if not terms:
+        raise ValueError("$bm25 needs at least one query term")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from pyspark.sql import Window
+
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        tokens = F.filter(
+            F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != ""
+        )
+        # NB: a two-arg lambda to F.filter means (element, index) — build
+        # the per-term predicate via a closure factory instead
+        def tf_count(term: str) -> Column:
+            return F.size(F.filter(tokens, lambda t: t == F.lit(term)))
+
+        base = df.select(
+            F.col(id_field),
+            F.size(tokens).cast("double").alias("__dl"),
+            *[
+                tf_count(term).cast("double").alias(f"__tf{i}")
+                for i, term in enumerate(terms)
+            ],
+        )
+        stats = base.agg(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.avg("__dl").alias("__avgdl"),
+            *[
+                F.sum((F.col(f"__tf{i}") > 0).cast("double")).alias(f"__df{i}")
+                for i in range(len(terms))
+            ],
+        )
+        joined = base.crossJoin(F.broadcast(stats))
+        score = F.lit(0.0)
+        for i in range(len(terms)):
+            tf, dfreq = F.col(f"__tf{i}"), F.col(f"__df{i}")
+            idf = F.log(
+                F.lit(1.0) + (F.col("__n") - dfreq + 0.5) / (dfreq + 0.5)
+            )
+            norm = tf + F.lit(k1) * (
+                F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+            )
+            score = score + idf * tf * F.lit(k1 + 1.0) / norm
+        scored = joined.select(F.col(id_field), score.alias("score"))
+        top = scored.orderBy(F.col("score").desc(), F.col(id_field)).limit(k)
+        w = Window.orderBy(F.col("score").desc(), F.col(id_field))
+        return top.withColumn("rank", F.row_number().over(w))
+
+    return fn
+
+
 @register_stage("$fingerprint")
 def fingerprint_stage(expression: Any, ctx: Context) -> StageFn:
     """Normalized content fingerprint: ``{input, as}`` = md5 of

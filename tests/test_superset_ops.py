@@ -241,3 +241,31 @@ def test_scalar_sum_max_in_expression_position(spark):
     assert _eval(spark, {"$min": "$x"}, rows, "x double, s string") == [5.0]
     assert _eval(spark, {"$avg": "$x"}, rows, "x double, s string") == [5.0]
     assert _eval(spark, {"$sum": "$s"}, rows, "x double, s string") == [0.0]
+
+
+def test_bm25_ranking_and_plan(spark):
+    """$bm25 ranks docs containing more/rarer query terms higher; the
+    top-k executes as TakeOrderedAndProject (per-partition heap-k, no
+    global sort shuffle)."""
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    rows = [
+        (1, "spark joins data with spark sql"),
+        (2, "pandas eats bamboo"),
+        (3, "spark spark spark everywhere"),
+        (4, "data data data data data data"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ctx = Context(spark=spark)
+    out = compile_pipeline(
+        [{"$bm25": {"query": "spark data", "input": "$text",
+                    "id": "doc_id", "k": 3}}], ctx
+    )(df)
+    got = [(r.rank, r.doc_id) for r in out.orderBy("rank").collect()]
+    assert len(got) == 3
+    assert got[0][0] == 1
+    ranked_ids = [d for _, d in got]
+    assert 2 not in ranked_ids  # no query term -> score 0, pushed out of top-3
+    assert all(r.score > 0 for r in out.collect() if r.doc_id in (1, 3))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
