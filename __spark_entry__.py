@@ -1400,43 +1400,49 @@ _register(
     )
 )
 
-_BM25_TERMS = ["spark", "vector", "merge"]
-_BM25_TFS = ",\n".join(
-    f"         len(list_filter(ts, x -> x = '{t}')) AS tf{i}"
-    for i, t in enumerate(_BM25_TERMS)
-)
-_BM25_DFS = ",\n".join(
-    f"         sum(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}"
-    for i in range(len(_BM25_TERMS))
-)
-_BM25_SCORE = " + ".join(
-    f"ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * 2.2"
-    f" / (tf{i} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
-    for i in range(len(_BM25_TERMS))
-)
-
-_register(
-    "bm25_search",
-    f"""WITH tok AS (
+def _bm25_ctes(terms: list, p: str) -> str:
+    """DuckDB CTE chain computing a BM25 ranking over `documents`, with
+    all CTE names prefixed by ``p`` (so two rankings can coexist)."""
+    tfs = ",\n".join(
+        f"         len(list_filter(ts, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    dfs = ",\n".join(
+        f"         sum(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * 2.2"
+        f" / (tf{i} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    return f"""{p}tok AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                      x -> x <> '') AS ts
   FROM documents),
-base AS (
+{p}base AS (
   SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
-{_BM25_TFS}
-  FROM tok),
-stats AS (
+{tfs}
+  FROM {p}tok),
+{p}stats AS (
   SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
-{_BM25_DFS}
-  FROM base),
-scored AS (
-  SELECT doc_id, {_BM25_SCORE} AS score
-  FROM base CROSS JOIN stats),
-ranked AS (
+{dfs}
+  FROM {p}base),
+{p}scored AS (
+  SELECT doc_id, {score} AS score
+  FROM {p}base CROSS JOIN {p}stats),
+{p}ranked AS (
   SELECT doc_id, score,
          row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-  FROM scored)
+  FROM {p}scored)"""
+
+
+_BM25_TERMS = ["spark", "vector", "merge"]
+
+_register(
+    "bm25_search",
+    f"""WITH {_bm25_ctes(_BM25_TERMS, '')}
 SELECT doc_id, {_r("score", 4)} AS score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10""",
 )(
@@ -1446,6 +1452,47 @@ FROM ranked WHERE rank <= 10""",
             {"$bm25": {"query": " ".join(_BM25_TERMS), "input": "$text",
                        "id": "doc_id", "k": 10}},
             {"$project": {"doc_id": 1, "score": {"$round": ["$score", 4]},
+                          "rank": 1}},
+        ],
+    )
+)
+
+_RF_TERMS_B = ["hash", "window", "batch"]
+
+_register(
+    "rank_fusion",
+    f"""WITH {_bm25_ctes(_BM25_TERMS, 'a')},
+{_bm25_ctes(_RF_TERMS_B, 'b')},
+atop AS (SELECT doc_id, rank FROM aranked WHERE rank <= 20),
+btop AS (SELECT doc_id, rank FROM branked WHERE rank <= 20),
+fused AS (
+  SELECT coalesce(atop.doc_id, btop.doc_id) AS doc_id,
+         coalesce(2.0 / (60 + atop.rank), 0)
+           + coalesce(1.0 / (60 + btop.rank), 0) AS score
+  FROM atop FULL OUTER JOIN btop ON atop.doc_id = btop.doc_id),
+rr AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM fused)
+SELECT doc_id, {_r("score", 6)} AS score, CAST(rank AS INT) AS rank
+FROM rr WHERE rank <= 10""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$rankFusion": {
+                "input": {"pipelines": {
+                    "text_a": [{"$bm25": {"query": " ".join(_BM25_TERMS),
+                                          "input": "$text", "id": "doc_id",
+                                          "k": 20}}],
+                    "text_b": [{"$bm25": {"query": " ".join(_RF_TERMS_B),
+                                          "input": "$text", "id": "doc_id",
+                                          "k": 20}}],
+                }},
+                "combination": {"weights": {"text_a": 2, "text_b": 1}},
+                "rankConstant": 60, "id": "doc_id", "limit": 10,
+            }},
+            {"$project": {"doc_id": 1, "score": {"$round": ["$score", 6]},
                           "rank": 1}},
         ],
     )

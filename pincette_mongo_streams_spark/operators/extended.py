@@ -127,6 +127,66 @@ def union_with_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$rankFusion")
+def rank_fusion_stage(expression: Any, ctx: Context) -> StageFn:
+    """Hybrid-search reciprocal rank fusion (MongoDB 8.0's $rankFusion):
+    ``{input: {pipelines: {name: [...stages]}}, combination: {weights},
+    rankConstant, id, limit}``.
+
+    Each named sub-pipeline runs over the same input and must yield a
+    ranked result carrying the ``id`` column and a ``rank`` column (our
+    $bm25 / $annTopK / $annLshSearch / $annIvfSearch all do; any pipeline
+    ending in $sort+$limit can add one via $setWindowFields $rank).  RRF
+    score = Σ_p weight_p / (rankConstant + rank_p) over the pipelines
+    that returned the doc.  Spark shape: the k-row ranked outputs are
+    full-outer-joined on id — each side is top-k-sized, i.e. broadcast-
+    tiny regardless of corpus size — then re-ranked by fused score.
+    """
+    pipelines: dict = expression["input"]["pipelines"]
+    weights = (expression.get("combination") or {}).get("weights", {})
+    rank_const = float(expression.get("rankConstant", 60))
+    id_field = expression.get("id", "_id")
+    limit = expression.get("limit")
+    if not pipelines:
+        raise ValueError("$rankFusion needs at least one input pipeline")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        _batch_only("$rankFusion", c)
+        fused: Optional[DataFrame] = None
+        contribs = []
+        for name, sub in pipelines.items():
+            res = compile_pipeline(sub, c)(df)
+            if "rank" not in res.columns or id_field not in res.columns:
+                raise ValueError(
+                    f"$rankFusion pipeline {name!r} must output "
+                    f"'{id_field}' and 'rank' columns"
+                )
+            w = float(weights.get(name, 1))
+            side = res.select(
+                F.col(id_field),
+                (F.lit(w) / (F.lit(rank_const) + F.col("rank").cast("double")))
+                .alias(f"__rrf_{name}"),
+            )
+            contribs.append(f"__rrf_{name}")
+            fused = side if fused is None else fused.join(
+                side, on=id_field, how="full_outer"
+            )
+        score = sum(
+            (F.coalesce(F.col(c_), F.lit(0.0)) for c_ in contribs),
+            start=F.lit(0.0),
+        )
+        out = fused.select(F.col(id_field), score.alias("score"))
+        ordered = out.orderBy(F.col("score").desc(), F.col(id_field))
+        if limit is not None:
+            ordered = ordered.limit(int(limit))
+        from pyspark.sql import Window
+
+        w_ = Window.orderBy(F.col("score").desc(), F.col(id_field))
+        return ordered.withColumn("rank", F.row_number().over(w_))
+
+    return fn
+
+
 @register_stage("$facet")
 def facet_stage(expression: Any, ctx: Context) -> StageFn:
     """Each facet sub-pipeline runs over the same input; the output is ONE

@@ -269,3 +269,35 @@ def test_bm25_ranking_and_plan(spark):
     assert all(r.score > 0 for r in out.collect() if r.doc_id in (1, 3))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rank_fusion_weights_and_missing_docs(spark):
+    """$rankFusion: RRF score sums weight/(k+rank) per pipeline; docs
+    present in only one ranking still score; weights shift the order."""
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    rows = [
+        (1, "spark sql engine", "alpha beta"),
+        (2, "spark spark spark", "beta beta beta"),
+        (3, "unrelated words here", "beta gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t1 string, t2 string")
+    ctx = Context(spark=spark)
+    out = compile_pipeline(
+        [{"$rankFusion": {
+            "input": {"pipelines": {
+                "p1": [{"$bm25": {"query": "spark", "input": "$t1",
+                                  "id": "doc_id", "k": 2}}],
+                "p2": [{"$bm25": {"query": "beta", "input": "$t2",
+                                  "id": "doc_id", "k": 3}}],
+            }},
+            "combination": {"weights": {"p1": 10, "p2": 1}},
+            "rankConstant": 60, "id": "doc_id",
+        }}], ctx
+    )(df).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert set(by_id) == {1, 2, 3}          # union of both rankings
+    # p1 ranks doc 2 first (tf=3); weight 10 dominates -> doc 2 on top
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)][0] == 2
+    # doc 3 appears only in p2 -> its score is exactly 1/(60+rank_p2)
+    assert abs(by_id[3].score - 1.0 / (60 + 3)) < 1e-12
