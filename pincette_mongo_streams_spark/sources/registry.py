@@ -63,7 +63,25 @@ def read_source(
     raise ValueError(f"unknown source kind {kind}")
 
 
-def write_sink(df: DataFrame, kind: str, path_or_options: Any, mode: str = "overwrite"):
+def write_sink(
+    df: DataFrame,
+    kind: str,
+    path_or_options: Any,
+    mode: str = "overwrite",
+    partition_by: Optional[list[str]] = None,
+    bucket_by: Optional[tuple[int, list[str]]] = None,
+    table: Optional[str] = None,
+):
+    """Batch/streaming sink dispatch.
+
+    Scale levers on the batch file sinks:
+    - ``partition_by``: hive-style directory partitioning — downstream
+      scans prune partitions on those columns for free.
+    - ``bucket_by = (n, cols)``: persists a hash-bucketed layout (requires
+      ``table``, Spark bucketing is catalog-metadata); a later join or
+      aggregation on the bucket columns skips its shuffle entirely — the
+      pre-shuffled-at-rest layout for repeated 100 TB joins.
+    """
     if df.isStreaming:
         if kind == "kafka":
             opts = dict(path_or_options)
@@ -80,12 +98,23 @@ def write_sink(df: DataFrame, kind: str, path_or_options: Any, mode: str = "over
         if kind == "parquet":
             return df.writeStream.format("parquet").option("path", path_or_options).start()
         raise ValueError(f"unknown streaming sink {kind}")
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if bucket_by is not None:
+        if not table:
+            raise ValueError("bucket_by needs a table name (catalog metadata)")
+        n, cols = bucket_by
+        writer = writer.bucketBy(n, *cols).sortBy(*cols)
+        if kind in ("parquet", "orc", "json", "csv"):
+            return writer.option("path", path_or_options).format(kind).saveAsTable(table)
+        raise ValueError(f"unknown bucketed sink {kind}")
     if kind == "parquet":
-        return df.write.mode(mode).parquet(path_or_options)
+        return writer.parquet(path_or_options)
     if kind == "orc":
-        return df.write.mode(mode).orc(path_or_options)
+        return writer.orc(path_or_options)
     if kind == "json":
-        return df.write.mode(mode).json(path_or_options)
+        return writer.json(path_or_options)
     if kind == "csv":
-        return df.write.mode(mode).option("header", True).csv(path_or_options)
+        return writer.option("header", True).csv(path_or_options)
     raise ValueError(f"unknown batch sink {kind}")

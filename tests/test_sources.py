@@ -39,3 +39,39 @@ def test_unknown_kinds_rejected(spark):
     df = spark.createDataFrame([(1,)], "i long")
     with pytest.raises(ValueError):
         write_sink(df, "xml", "/tmp/nope")
+
+
+def test_partitioned_write_enables_pruning(spark, tmp_path):
+    src = read_source(spark, "parquet", "/root/testdata/sf0.001/nation.parquet")
+    path = str(tmp_path / "nation_part")
+    write_sink(src, "parquet", path, partition_by=["n_regionkey"])
+    back = read_source(spark, "parquet", path).filter("n_regionkey = 2")
+    assert back.count() == src.filter("n_regionkey = 2").count()
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the filter must prune partitions at the scan, not post-filter rows
+    assert "PartitionFilters: [" in plan and "n_regionkey" in \
+        [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+
+
+def test_bucketed_write_skips_join_shuffle(spark, tmp_path):
+    src = read_source(spark, "parquet", "/root/testdata/sf0.001/customer.parquet")
+    path = str(tmp_path / "cust_bucketed")
+    spark.sql("DROP TABLE IF EXISTS cust_bucketed")
+    write_sink(src, "parquet", path, bucket_by=(4, ["c_custkey"]),
+               table="cust_bucketed")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path: on a tiny table the planner prefers
+        # broadcast and ignores bucketing; at scale the bucketed layout is
+        # what removes the exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = spark.table("cust_bucketed")
+        joined = t.alias("a").join(t.alias("b"), "c_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, \
+            "bucketed self-join still shuffles"
+        assert "Bucketed: true" in plan
+        assert joined.count() == src.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS cust_bucketed")
