@@ -37,6 +37,8 @@ HEADLINE = [
     "simhash",              # bit-vote hashing
     "ann_topk",             # broadcast brute-force ANN
     "dedup_exact",          # hash-partitioned exact dedup
+    "bm25_search",          # single-stats-agg ranked retrieval
+    "ann_ivf_search",       # cell-pruned ANN (sampled coarse quantizer)
 ]
 
 

@@ -785,17 +785,30 @@ def bm25_stage(expression: Any, ctx: Context) -> StageFn:
         tokens = F.filter(
             F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != ""
         )
-        # NB: a two-arg lambda to F.filter means (element, index) — build
-        # the per-term predicate via a closure factory instead
-        def tf_count(term: str) -> Column:
-            return F.size(F.filter(tokens, lambda t: t == F.lit(term)))
-
+        # ALL term frequencies in one fold over the token array (the
+        # simhash vote-fold pattern): tokenization happens once per row
+        # regardless of query size, instead of once per term — HOFs are
+        # interpreted (no codegen CSE), so textual duplication would
+        # really recompute the split
+        terms_arr = F.array(*[F.lit(t) for t in terms])
+        counts = F.aggregate(
+            tokens,
+            F.array_repeat(F.lit(0.0), len(terms)),
+            lambda acc, t: F.zip_with(
+                acc, terms_arr,
+                lambda a, trm: a + F.when(t == trm, F.lit(1.0)).otherwise(F.lit(0.0)),
+            ),
+        )
         base = df.select(
             F.col(id_field),
             F.size(tokens).cast("double").alias("__dl"),
+            counts.alias("__tfs"),
+        ).select(
+            F.col(id_field),
+            "__dl",
             *[
-                tf_count(term).cast("double").alias(f"__tf{i}")
-                for i, term in enumerate(terms)
+                F.element_at(F.col("__tfs"), i + 1).alias(f"__tf{i}")
+                for i in range(len(terms))
             ],
         )
         stats = base.agg(
