@@ -44,6 +44,9 @@ class Context:
     # streaming mode flag: stage compilers may pick different physical
     # strategies (e.g. dropDuplicatesWithinWatermark vs window-dedup)
     streaming: bool = False
+    # (event-time column, delay) when run_streaming applied a watermark —
+    # lets $deduplicate bound its state store instead of growing forever
+    watermark: Optional[tuple[str, str]] = None
     # deterministic order column for batch analogs of stream-order semantics
     # ($deduplicate keep-first, $per packing, $group $last); None = no order
     order_by: Optional[str] = None

@@ -43,7 +43,16 @@ def deduplicate_stage(expression: Any, ctx: Context) -> StageFn:
         value = compile_expr(value_expr, ExprContext(schema=df.schema))
         tagged = df.withColumn("__dedup", value)
         if c.streaming:
-            out = tagged.dropDuplicates(["__dedup"])
+            if c.watermark is not None:
+                # bounded state: duplicates are only tracked within the
+                # watermark delay — the state-store TTL analog of the
+                # reference's Mongo-collection TTL index advice
+                # (Pipeline.java:74-81)
+                out = tagged.dropDuplicatesWithinWatermark(["__dedup"])
+            else:
+                # unbounded state — parity with the reference's collection
+                # without a TTL index
+                out = tagged.dropDuplicates(["__dedup"])
             return out.drop("__dedup")
         if c.order_by and c.order_by in df.columns:
             from pyspark.sql import Window

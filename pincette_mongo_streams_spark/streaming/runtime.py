@@ -84,6 +84,7 @@ def run_streaming(
                 "infinite streams — Pipeline.java:31-32)"
             )
     ctx.streaming = True
+    ctx.watermark = watermark
     if watermark is not None:
         source = source.withWatermark(*watermark)
 

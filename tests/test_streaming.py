@@ -317,3 +317,29 @@ def test_per_carries_timestamps_and_nulls(spark, tmpdir):
     assert sorted(v for _, v in flat if v is not None) == [1, 3, 4]
     assert sum(1 for _, v in flat if v is None) == 1
     assert all(ts is not None and ts.year == 2024 for ts, _ in flat)
+
+
+def test_deduplicate_within_watermark_bounds_state(spark, tmpdir):
+    """With a watermark configured, $deduplicate compiles to
+    dropDuplicatesWithinWatermark: duplicates inside the delay are
+    dropped, and the state store is bounded by the watermark instead of
+    growing forever (the reference's TTL-index advice,
+    Pipeline.java:74-81)."""
+    schema = T.StructType([
+        T.StructField("_id", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.LongType()),
+    ])
+    batches = [
+        [{"_id": "m1", "ts": "2024-01-01T00:00:00", "v": 10},
+         {"_id": "m2", "ts": "2024-01-01T00:00:05", "v": 10},   # dup in delay
+         {"_id": "m3", "ts": "2024-01-01T00:00:10", "v": 20}],
+        [{"_id": "m4", "ts": "2024-01-01T00:00:20", "v": 10}],  # still in delay
+    ]
+    pipeline = [{"$deduplicate": "$v"}]
+    emissions = _run(
+        spark, tmpdir, schema, batches, pipeline,
+        watermark=("ts", "10 minutes"),
+    )
+    flat = sorted(r["v"] for rows in emissions for r in rows)
+    assert flat == [10, 20]
