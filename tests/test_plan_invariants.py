@@ -58,3 +58,11 @@ def test_size_only_lookup_avoids_collect_list(spark):
         df = entrymod.queries()[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "collect_list" not in plan, f"{name} still materializes arrays"
+
+
+def test_group_uses_partial_aggregation(spark):
+    """Aggregations must map-side combine (HashAggregate partial -> final)
+    so the shuffle carries one row per (task, key), not per input row."""
+    df = entrymod.queries()["group_accumulators"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_" in plan, "no partial aggregation before the exchange"
