@@ -46,6 +46,17 @@ def read_source(
         return reader.json(path_or_options)
     if kind == "csv":
         return reader.option("header", True).csv(path_or_options)
+    if kind == "text":
+        return reader.text(path_or_options)
+    if kind == "avro":
+        # spark-avro is a separate jar; gate so environments without it
+        # get a clear error instead of a ClassNotFound stack
+        try:
+            return reader.format("avro").load(path_or_options)
+        except Exception as e:  # pragma: no cover - depends on jars
+            raise RuntimeError(
+                "avro source needs the spark-avro package on the classpath"
+            ) from e
     if kind == "kafka":
         if schema is None:
             raise ValueError("kafka source needs a value schema (fixed-schema engine)")
@@ -117,4 +128,13 @@ def write_sink(
         return writer.json(path_or_options)
     if kind == "csv":
         return writer.option("header", True).csv(path_or_options)
+    if kind == "text":
+        return writer.text(path_or_options)
+    if kind == "avro":
+        try:
+            return writer.format("avro").save(path_or_options)
+        except Exception as e:  # pragma: no cover - depends on jars
+            raise RuntimeError(
+                "avro sink needs the spark-avro package on the classpath"
+            ) from e
     raise ValueError(f"unknown batch sink {kind}")

@@ -75,3 +75,17 @@ def test_bucketed_write_skips_join_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS cust_bucketed")
+
+
+def test_text_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("hello",), ("world",)], "value string")
+    path = str(tmp_path / "txt")
+    write_sink(df, "text", path)
+    back = read_source(spark, "text", path)
+    assert sorted(r.value for r in back.collect()) == ["hello", "world"]
+
+
+def test_avro_gated_without_jar(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises((RuntimeError, Exception)):
+        write_sink(df, "avro", str(tmp_path / "av"))
