@@ -38,7 +38,9 @@ HEADLINE = [
     "ann_topk",             # broadcast brute-force ANN
     "dedup_exact",          # hash-partitioned exact dedup
     "bm25_search",          # single-stats-agg ranked retrieval
-    "ann_ivf_search",       # cell-pruned ANN (sampled coarse quantizer)
+    # ann_ivf_search / ann_lsh_search are benchmarked in tests, not here:
+    # they have no DuckDB oracle, so including them would inflate the
+    # BENCH total with no counterpart in the measured baseline
 ]
 
 

@@ -789,19 +789,18 @@ def bm25_stage(expression: Any, ctx: Context) -> StageFn:
         # simhash vote-fold pattern): tokenization happens once per row
         # regardless of query size, instead of once per term — HOFs are
         # interpreted (no codegen CSE), so textual duplication would
-        # really recompute the split
-        terms_arr = F.array(*[F.lit(t) for t in terms])
-        counts = F.aggregate(
-            tokens,
-            F.array_repeat(F.lit(0.0), len(terms)),
-            lambda acc, t: F.zip_with(
-                acc, terms_arr,
-                lambda a, trm: a + F.when(t == trm, F.lit(1.0)).otherwise(F.lit(0.0)),
-            ),
+        # really recompute the split.  The fold is ONE SQL string: the
+        # equivalent nested-lambda Column construction costs ~1 s of py4j
+        # round-trips per plan (the simhash lesson).
+        terms_sql = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+        counts = F.expr(
+            f"aggregate(`__toks`, array_repeat(0.0D, {len(terms)}), "
+            f"(acc, t) -> zip_with(acc, array({terms_sql}), "
+            f"(a, trm) -> a + if(t = trm, 1.0D, 0.0D)))"
         )
-        base = df.select(
+        base = df.withColumn("__toks", tokens).select(
             F.col(id_field),
-            F.size(tokens).cast("double").alias("__dl"),
+            F.expr("cast(size(`__toks`) as double)").alias("__dl"),
             counts.alias("__tfs"),
         ).select(
             F.col(id_field),
