@@ -221,3 +221,35 @@ def test_size_only_inner_filters(spark, ctx):
         {"_id": "0", "test": 7},
     )
     assert got == []
+
+
+def test_size_only_rewrite_equivalence_randomized(spark):
+    """Soundness of the size-only rewrite: for random stream/foreign
+    tables (dup keys, missing keys, inner on/off), the optimized pipeline
+    must equal the unoptimized stage composition exactly."""
+    import random
+
+    from pincette_mongo_streams_spark.pipeline import compile_stage
+
+    rng = random.Random(7)
+    for trial in range(6):
+        n_stream, n_foreign = rng.randint(1, 8), rng.randint(0, 12)
+        stream_rows = [(i, rng.randint(0, 5)) for i in range(n_stream)]
+        foreign_rows = [(rng.randint(0, 5), rng.randint(0, 99))
+                        for _ in range(n_foreign)]
+        df = spark.createDataFrame(stream_rows, "sid long, k long")
+        fdf = spark.createDataFrame(foreign_rows, "fk long, payload long") \
+            if foreign_rows else spark.createDataFrame([], "fk long, payload long")
+        inner = rng.random() < 0.5
+        ctx = Context(spark=spark, collections={"f": fdf})
+        lookup = {"$lookup": {"from": "f", "localField": "k",
+                              "foreignField": "fk", "as": "m", "inner": inner}}
+        proj = {"$project": {"sid": 1, "n": {"$size": "$m"}}}
+        optimized = compile_pipeline([lookup, proj], ctx)(df)
+        # unoptimized: compile the stages directly, no pipeline-level pass
+        plain = compile_stage("$project", proj["$project"], ctx)(
+            compile_stage("$lookup", lookup["$lookup"], ctx)(df, ctx), ctx
+        )
+        got = sorted((r.sid, r.n) for r in optimized.collect())
+        want = sorted((r.sid, r.n) for r in plain.collect())
+        assert got == want, f"trial {trial}: {got} != {want}"
