@@ -141,10 +141,9 @@ def drop_path(df: DataFrame, path: str) -> DataFrame:
         return df
     parent_t = path_type(df.schema, parts[:-1])
     if isinstance(parent_t, T.StructType) and len(parent_t.fields) == 1:
-        # dropping the last field would leave an empty struct, which Spark
-        # rejects — drop the parent instead (Mongo leaves `{}`; documented
-        # fixed-schema deviation)
-        return drop_path(df, join_path(parts[:-1]))
+        # dropping the parent's only field leaves the empty object `{}`,
+        # exactly like Mongo (TestUnset.java:32-39 "$unset 2")
+        return set_path(df, join_path(parts[:-1]), F.struct())
     quoted = ".".join("`" + p.replace("`", "``") + "`" for p in parts[1:])
     new_col = nested_col([head]).dropFields(quoted)
     return df.withColumn(head, new_col)

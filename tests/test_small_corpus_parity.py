@@ -109,3 +109,82 @@ def test_bucket_full_emission_sequence_with_default(spark, tmpdir):
         ("20", 1), ("20", 2),
         ("other", 1), ("other", 2), ("other", 3),
     ]
+
+
+def test_match_golden(spark):
+    """TestMatch.java:18-28: {$match:{test:0}} keeps only the matching doc."""
+    docs = _run_batch(
+        spark, [{"$match": {"test": 0}}],
+        [Row(_id="0", test=0), Row(_id="1", test=1)],
+        "_id string, test long",
+    )
+    assert docs == [{"_id": "0", "test": 0}]
+
+
+def test_unwind_golden(spark):
+    """TestUnwind.java:18-27: $unwind "$test" over [0,1] emits one message
+    per element with the element substituted at the path."""
+    docs = _run_batch(
+        spark, [{"$unwind": "$test"}],
+        [Row(_id="0", test=[0, 1])],
+        "_id string, test array<long>",
+    )
+    assert docs == [{"_id": "0", "test": 0}, {"_id": "0", "test": 1}]
+
+
+def test_unset_golden(spark):
+    """TestUnset.java:22-39: string form drops a top-level field; array form
+    drops a top-level and a nested field (leaving the empty parent)."""
+    rows = [Row(_id="0", test1=0, test2=Row(test=0))]
+    schema = ("_id string, test1 long, "
+              "test2 struct<test: long>")
+    one = _run_batch(spark, [{"$unset": "test1"}], rows, schema)
+    assert one == [{"_id": "0", "test2": {"test": 0}}]
+    two = _run_batch(spark, [{"$unset": ["test1", "test2.test"]}], rows, schema)
+    assert two == [{"_id": "0", "test2": {}}]
+
+
+def test_setkey_golden(spark):
+    """TestSetKey.java:22-30: the stringified expression value becomes the
+    message key; the payload is unchanged."""
+    from pyspark.sql import types as T
+
+    rows = [Row(__key="0", _id="0", test="1")]
+    schema = T.StructType([
+        T.StructField(KEY_COL, T.StringType()),
+        T.StructField("_id", T.StringType()),
+        T.StructField("test", T.StringType()),
+    ])
+    docs = _run_batch(spark, [{"$setKey": "$test"}], rows, schema)
+    assert docs == [{KEY_COL: "1", "_id": "0", "test": "1"}]
+
+
+def test_per_golden(spark):
+    """TestPer.java:19-28: {$per:{amount:2, as:"test"}} over three docs
+    yields [doc0,doc1] then [doc2]."""
+    docs = _run_batch(
+        spark, [{"$per": {"amount": 2, "as": "test"}}],
+        [Row(test=0, ord=0), Row(test=1, ord=1), Row(test=2, ord=2)],
+        "test long, ord long",
+        order_by="ord",
+    )
+    batches = [[e["test"] for e in d["test"]] for d in docs]
+    assert sorted(batches) == [[0, 1], [2]]
+
+
+def test_out_golden(spark):
+    """TestOut.java:21-36: $out passes the message through AND the target
+    collection holds the replaced doc keyed by _id."""
+    written = {}
+    ctx = Context(
+        spark=spark,
+        collections={"pms-test": spark.createDataFrame([], "_id string")},
+        collection_writer=lambda name, df: written.__setitem__(name, df),
+    )
+    df = spark.createDataFrame([Row(_id="0")], "_id string")
+    out = compile_pipeline([{"$out": "pms-test"}], ctx)(df)
+    docs = [r.asDict(recursive=True) for r in out.collect()]
+    assert docs == [{"_id": "0"}]
+    assert "pms-test" in written
+    stored = [r.asDict() for r in written["pms-test"].collect()]
+    assert stored == [{"_id": "0"}]
