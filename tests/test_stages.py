@@ -338,3 +338,44 @@ def test_lookup_scalar_and_array_local_field(spark):
         (r["_id"], sorted((x["k"], x["v"]) for x in r["m"])) for r in out.collect()
     )
     assert got == [(1, [(100, "a"), (300, "b")]), (2, [])]
+
+
+def test_stage_extensions_and_builtin_precedence(spark):
+    """Context.stageExtensions merges user stages (Context.java:34-35;
+    the reference's test-only $wait — Wait.java:23-31); built-ins win on
+    name collision (Pipeline.java:275-276)."""
+    from pyspark.sql import functions as F
+
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    def wait_stage(expression, ctx):
+        assert isinstance(expression, int)
+
+        def fn(df, c):  # a passthrough marker instead of an async sleep
+            return df.withColumn("__waited", F.lit(expression))
+
+        return fn
+
+    def bogus_match(expression, ctx):  # must NOT shadow the builtin
+        def fn(df, c):
+            raise AssertionError("extension shadowed a builtin stage")
+
+        return fn
+
+    ctx = Context(spark=spark,
+                  stage_extensions={"$wait": wait_stage, "$match": bogus_match})
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    out = compile_pipeline([{"$wait": 5}, {"$match": {"v": 2}}], ctx)(df)
+    rows = [r.asDict() for r in out.collect()]
+    assert rows == [{"v": 2, "__waited": 5}]
+
+
+def test_unknown_stage_raises(spark):
+    """Deliberate deviation: unknown stages raise instead of being silently
+    ignored (reference skips them — Pipeline.java:264-266)."""
+    import pytest as _pytest
+
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    with _pytest.raises(ValueError, match="unknown pipeline stage"):
+        compile_pipeline([{"$nope": 1}], Context(spark=spark))
