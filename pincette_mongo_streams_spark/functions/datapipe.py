@@ -616,6 +616,17 @@ def ann_ivf_search_stage(expression: Any, ctx: Context) -> StageFn:
             n = math.sqrt(sum(x * x for x in v))
             return [x / n for x in v] if n > 0 else list(v)
 
+        if not sample:
+            # empty corpus: no centroids to inline — return the (empty)
+            # result with the standard output schema
+            q0 = c.collection(queries_coll)
+            return (
+                q0.select(F.col("query_id"))
+                .withColumn("corpus_id", F.col("query_id"))
+                .withColumn("score", F.lit(0.0))
+                .withColumn("rank", F.lit(1))
+                .limit(0)
+            )
         cents = F.array(*[
             F.array(*[F.lit(float(x)) for x in unit(r["__ce"])]) for r in sample
         ])

@@ -181,3 +181,18 @@ def test_http_parallel_transport(spark):
     assert {r["i"]: r["resp"] for r in seq_rows} == {r["i"]: r["resp"] for r in rows}
     # 8 x 0.1s of transport: the pool must reclaim most of it
     assert par_t < seq_t - 0.3, f"pool {par_t:.2f}s vs sequential {seq_t:.2f}s"
+
+
+def test_ann_ivf_empty_corpus(spark):
+    """Empty corpus: no centroids exist — the stage returns an empty
+    result with the standard (query_id, corpus_id, score, rank) schema."""
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(1, [1.0, 0.0])],
+                              "query_id long, embedding array<double>")
+    ctx = Context(spark=spark, collections={"q": q})
+    out = compile_pipeline(
+        [{"$annIvfSearch": {"queries": "q", "input": "$embedding",
+                            "id": "vec_id", "k": 3, "nlist": 4}}], ctx
+    )(emb)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "corpus_id", "score", "rank"}
