@@ -1498,6 +1498,52 @@ FROM rr WHERE rank <= 10""",
     )
 )
 
+_register(
+    "score_fusion",
+    f"""WITH {_bm25_ctes(_BM25_TERMS, 'a')},
+{_bm25_ctes(_RF_TERMS_B, 'b')},
+atop AS (SELECT doc_id, score FROM aranked WHERE rank <= 20),
+btop AS (SELECT doc_id, score FROM branked WHERE rank <= 20),
+an AS (SELECT doc_id,
+              coalesce((score - min(score) OVER ())
+                / nullif(max(score) OVER () - min(score) OVER (), 0), 0) AS s
+       FROM atop),
+bn AS (SELECT doc_id,
+              coalesce((score - min(score) OVER ())
+                / nullif(max(score) OVER () - min(score) OVER (), 0), 0) AS s
+       FROM btop),
+fused AS (
+  SELECT coalesce(an.doc_id, bn.doc_id) AS doc_id,
+         (coalesce(an.s, 0) * 2.0 + coalesce(bn.s, 0) * 1.0) / 3.0 AS score
+  FROM an FULL OUTER JOIN bn ON an.doc_id = bn.doc_id),
+rr AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM fused)
+SELECT doc_id, {_r("score", 6)} AS score, CAST(rank AS INT) AS rank
+FROM rr WHERE rank <= 10""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$scoreFusion": {
+                "input": {"pipelines": {
+                    "text_a": [{"$bm25": {"query": " ".join(_BM25_TERMS),
+                                          "input": "$text", "id": "doc_id",
+                                          "k": 20}}],
+                    "text_b": [{"$bm25": {"query": " ".join(_RF_TERMS_B),
+                                          "input": "$text", "id": "doc_id",
+                                          "k": 20}}],
+                }, "normalization": "minMaxScaler"},
+                "combination": {"weights": {"text_a": 2, "text_b": 1}},
+                "id": "doc_id", "limit": 10,
+            }},
+            {"$project": {"doc_id": 1, "score": {"$round": ["$score", 6]},
+                          "rank": 1}},
+        ],
+    )
+)
+
 from pincette_mongo_streams_spark.functions.datapipe import (  # noqa: E402
     MINHASH_P,
     minhash_coeffs,

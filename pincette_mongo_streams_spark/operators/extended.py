@@ -187,6 +187,75 @@ def rank_fusion_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$scoreFusion")
+def score_fusion_stage(expression: Any, ctx: Context) -> StageFn:
+    """Score-based hybrid search (the shape of MongoDB 8.2's $scoreFusion):
+    ``{input: {pipelines: {name: [...]}, normalization}, combination:
+    {weights, method}, id, limit}``.
+
+    Each sub-pipeline must emit ``id`` + ``score``; scores are normalized
+    per pipeline (``minMaxScaler`` to [0,1] or ``sigmoid``), then combined
+    as the weighted average over the pipelines that returned the doc.
+    Like $rankFusion, the fusion joins top-k-sized inputs — min/max come
+    from a single-row aggregate over k rows, broadcast back.
+    """
+    pipelines: dict = expression["input"]["pipelines"]
+    normalization = expression["input"].get("normalization", "none")
+    if normalization not in ("none", "minMaxScaler", "sigmoid"):
+        raise ValueError(f"unknown normalization {normalization!r}")
+    weights = (expression.get("combination") or {}).get("weights", {})
+    id_field = expression.get("id", "_id")
+    limit = expression.get("limit")
+    if not pipelines:
+        raise ValueError("$scoreFusion needs at least one input pipeline")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        _batch_only("$scoreFusion", c)
+        fused: Optional[DataFrame] = None
+        names = list(pipelines)
+        for name in names:
+            res = compile_pipeline(pipelines[name], c)(df)
+            if "score" not in res.columns or id_field not in res.columns:
+                raise ValueError(
+                    f"$scoreFusion pipeline {name!r} must output "
+                    f"'{id_field}' and 'score' columns"
+                )
+            s = F.col("score").cast("double")
+            if normalization == "sigmoid":
+                norm = F.lit(1.0) / (F.lit(1.0) + F.exp(-s))
+                side = res.select(F.col(id_field), norm.alias(f"__s_{name}"))
+            elif normalization == "minMaxScaler":
+                stats = res.agg(F.min(s).alias("__lo"), F.max(s).alias("__hi"))
+                norm = F.coalesce(
+                    F.try_divide(s - F.col("__lo"), F.col("__hi") - F.col("__lo")),
+                    F.lit(0.0),
+                )
+                side = res.crossJoin(F.broadcast(stats)).select(
+                    F.col(id_field), norm.alias(f"__s_{name}")
+                )
+            else:
+                side = res.select(F.col(id_field), s.alias(f"__s_{name}"))
+            fused = side if fused is None else fused.join(
+                side, on=id_field, how="full_outer"
+            )
+        num = sum(
+            (F.coalesce(F.col(f"__s_{n}"), F.lit(0.0)) * F.lit(float(weights.get(n, 1)))
+             for n in names),
+            start=F.lit(0.0),
+        )
+        den = sum((F.lit(float(weights.get(n, 1))) for n in names), start=F.lit(0.0))
+        out = fused.select(F.col(id_field), (num / den).alias("score"))
+        ordered = out.orderBy(F.col("score").desc(), F.col(id_field))
+        if limit is not None:
+            ordered = ordered.limit(int(limit))
+        from pyspark.sql import Window
+
+        w_ = Window.orderBy(F.col("score").desc(), F.col(id_field))
+        return ordered.withColumn("rank", F.row_number().over(w_))
+
+    return fn
+
+
 @register_stage("$facet")
 def facet_stage(expression: Any, ctx: Context) -> StageFn:
     """Each facet sub-pipeline runs over the same input; the output is ONE

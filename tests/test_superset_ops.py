@@ -301,3 +301,40 @@ def test_rank_fusion_weights_and_missing_docs(spark):
     assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)][0] == 2
     # doc 3 appears only in p2 -> its score is exactly 1/(60+rank_p2)
     assert abs(by_id[3].score - 1.0 / (60 + 3)) < 1e-12
+
+
+def test_score_fusion_sigmoid_and_weights(spark):
+    """$scoreFusion: sigmoid normalization maps scores to (0,1); weighted
+    average over contributing pipelines; absent docs contribute 0."""
+    import math
+
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    rows = [
+        (1, "spark sql engine", "alpha beta"),
+        (2, "spark spark spark", "beta beta beta"),
+        (3, "unrelated words here", "beta gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t1 string, t2 string")
+    ctx = Context(spark=spark)
+
+    def one(pipe_query, col):
+        return [{"$bm25": {"query": pipe_query, "input": col,
+                           "id": "doc_id", "k": 2}}]
+
+    out = compile_pipeline(
+        [{"$scoreFusion": {
+            "input": {"pipelines": {"p1": one("spark", "$t1"),
+                                    "p2": one("beta", "$t2")},
+                      "normalization": "sigmoid"},
+            "combination": {"weights": {"p1": 3, "p2": 1}},
+            "id": "doc_id",
+        }}], ctx
+    )(df)
+    got = {r.doc_id: r.score for r in out.collect()}
+    # every fused score is a weighted average of (0,1) values -> in [0,1)
+    assert all(0 <= s < 1 for s in got.values())
+    # doc 2 tops both rankings -> highest fused score
+    assert max(got, key=got.get) == 2
+    # k=2 keeps docs {1,2} in p1 and two of three in p2 -> union covers all
+    assert set(got) <= {1, 2, 3}
