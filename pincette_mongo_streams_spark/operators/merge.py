@@ -60,6 +60,10 @@ def merge_stage(expression: Any, ctx: Context) -> StageFn:
     if isinstance(expression, str):
         expression = {"into": expression}
     into = expression["into"]
+    if isinstance(into, dict):
+        # MongoDB object form {db, coll} — routed through the qualified
+        # collection name, like the $lookup `database` extension
+        into = f"{into['db']}.{into['coll']}"
     on = _on_fields(expression)
     when_matched = expression.get("whenMatched", "merge")
     when_not_matched = expression.get("whenNotMatched", "insert")

@@ -105,3 +105,15 @@ def test_merge_missing_on_value_fails(spark):
     with pytest.raises(ValueError):
         compile_pipeline([{"$merge": {"into": "m", "on": "_id",
                                       "whenNotMatched": "discard"}}], ctx)(df)
+
+
+def test_merge_object_form_into(spark):
+    """MongoDB object form {db, coll} routes through the qualified
+    collection name (like the $lookup `database` extension)."""
+    ctx = Context(spark=spark, collections={})
+    out = compile_pipeline(
+        [{"$merge": {"into": {"db": "other", "coll": "m"},
+                     "on": "_id", "whenNotMatched": "insert"}}], ctx
+    )(_msg1(spark))
+    assert _docs(out) == [{"_id": "0", "test": 0}]
+    assert _docs(ctx.collection("other.m")) == [{"_id": "0", "test": 0}]
