@@ -265,23 +265,20 @@ def simhash_stage(expression: Any, ctx: Context) -> StageFn:
 
         # two steps, both ONE SQL string (the equivalent nested-lambda
         # Column construction costs ~0.6 s of py4j roundtrips per plan at
-        # bits=16): materialize one md5 hash per shingle, then fold ±1
-        # vote vectors over the hash array — the md5 is computed exactly
-        # once per shingle (lambda bodies get no subexpression
-        # elimination, so inlining it per bit term runs 16x the md5s)
+        # bits=16): materialize one md5 hash per shingle, then per bit j
+        # the vote sum is 2·(count of set bits) − n — a compact nested-HOF
+        # expression (one tree node per construct, not per bit: the
+        # bits-way unrolled vote-vector fold cost ~1 s of parse/analysis
+        # per plan and allocated a 16-wide array per shingle at runtime)
         hashes = F.expr(
             "transform(`__sh`, s -> "
             "cast(conv(substr(md5(concat('0:', s)), 1, 15), 16, 10) as bigint))"
         )
-        votes = ", ".join(
-            f"if((shiftright(h, {j}) & 1) = 1, 1L, -1L)" for j in range(bits)
-        )
-        powers = ", ".join(f"{1 << j}L" for j in range(bits))
         value = F.expr(
-            f"aggregate(zip_with("
-            f"aggregate(`__sh_h`, array_repeat(0L, {bits}), "
-            f"(acc, h) -> zip_with(acc, array({votes}), (x, y) -> x + y)), "
-            f"array({powers}), (v, p) -> if(v > 0, p, 0L)), "
+            f"aggregate(transform(sequence(0, {bits - 1}), j -> "
+            f"if(2L * aggregate(`__sh_h`, 0L, "
+            f"(acc, h) -> acc + (shiftright(h, j) & 1)) "
+            f"> size(`__sh_h`), shiftleft(1L, j), 0L)), "
             f"0L, (acc, x) -> acc + x)"
         )
         return (
