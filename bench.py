@@ -65,9 +65,10 @@ def main() -> None:
 
     qs = entry.queries()
     timings: dict[str, float] = {}
-    # best-of-2: the host is shared, and occasional multi-second GC /
-    # contention spikes otherwise dominate sub-second queries
-    for _pass in range(2):
+    # best-of-3: the host is shared (contention spikes) and C2 JIT ramps
+    # over the first executions — the best pass measures steady state
+    # while still timing plan construction + execution per query
+    for _pass in range(3):
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.perf_counter()
