@@ -36,6 +36,14 @@ class Context:
     collection_loader: Optional[Callable[[str], DataFrame]] = None
     collection_writer: Optional[Callable[[str, DataFrame], None]] = None
     producer: Optional[Callable[[str, Optional[str], dict], None]] = None
+    # scale path for $send/$delay side outputs: a SERIALIZABLE zero-arg
+    # factory invoked once per partition ON THE EXECUTORS, returning a
+    # ``(topic, key, value_dict) -> None`` callable (e.g. wrapping a Kafka
+    # producer).  With it set, routed messages never cross the driver.  The
+    # plain ``producer`` remains the driver-side test/dev hook.
+    producer_factory: Optional[
+        Callable[[], Callable[[str, Optional[str], dict], None]]
+    ] = None
     stage_extensions: dict[str, Any] = field(default_factory=dict)
     http_transport: Optional[Callable[[dict], dict]] = None
     trace: bool = False

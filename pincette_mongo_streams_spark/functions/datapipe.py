@@ -123,6 +123,10 @@ def dedup_exact_stage(expression: Any, ctx: Context) -> StageFn:
 
 MINHASH_P = (1 << 31) - 1  # Mersenne prime: products stay under 2^62
 
+# $embedDedup: corpora estimated above this refuse the exact O(n²)
+# all-pairs plan unless {exact: true} (use {bits: k} LSH instead)
+ALL_PAIRS_SIZE_LIMIT = 32 << 20
+
 
 def minhash_coeffs(num: int) -> list[tuple[int, int]]:
     """Deterministic universal-hash coefficients (a_i, b_i), shared with the
@@ -298,14 +302,21 @@ def ngram_jaccard_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     Pairs are generated only for docs sharing at least one shingle
     (inverted-index join on exploded shingles), then exact Jaccard =
     |inter| / |union| filters candidates; the larger-``id`` doc of each
-    qualifying pair is removed.  The shingle join is the scale lever: at
-    100 TB, frequency-cap hot shingles (drop the top-0.1% document
-    frequency) to bound bucket fan-out.
+    qualifying pair is removed.
+
+    Scale guard: one stop-word-like shingle shared by m documents makes a
+    quadratic m² bucket.  Shingles whose document frequency exceeds
+    ``maxShingleDf`` (default 1000) are dropped from CANDIDATE GENERATION
+    only; the Jaccard of each surviving candidate pair is still computed
+    exactly over the full shingle sets (array_intersect), so results are
+    unchanged unless a near-dup pair shares *only* hot shingles — the
+    standard inverted-index-dedup recall trade, documented in SCALE.md.
     """
     inp = expression["input"]
     id_field = expression.get("id", "_id")
     n = int(expression.get("n", 3))
     threshold = float(expression.get("threshold", 0.8))
+    max_df = int(expression.get("maxShingleDf", 1000))
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         df = _spread(df)
@@ -313,22 +324,34 @@ def ngram_jaccard_dedup_stage(expression: Any, ctx: Context) -> StageFn:
         with_sh = df.withColumn("__sh", word_shingles(text, n))
         docs = with_sh.select(F.col(id_field).alias("__did"), "__sh")
         inv = docs.select("__did", F.explode("__sh").alias("__g"))
-        pairs = (
-            inv.alias("a")
-            .join(inv.alias("b"), (F.col("a.__g") == F.col("b.__g"))
-                  & (F.col("a.__did") < F.col("b.__did")))
-            .groupBy(F.col("a.__did").alias("__ida"), F.col("b.__did").alias("__idb"))
-            .agg(F.count("*").alias("__inter"))
+        # document-frequency cap: the DF aggregate shuffles inv by __g —
+        # the same partitioning the candidate self-join needs, so the cap
+        # costs no extra shuffle of the big side (no broadcast of the hot
+        # list either: it can be large in open-world corpora)
+        cold = (
+            inv.groupBy("__g").agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("__g")
         )
-        sizes = docs.select(F.col("__did"), F.size("__sh").alias("__n"))
+        inv_c = inv.join(cold, "__g")
+        cands = (
+            inv_c.alias("a")
+            .join(inv_c.alias("b"), (F.col("a.__g") == F.col("b.__g"))
+                  & (F.col("a.__did") < F.col("b.__did")))
+            .select(F.col("a.__did").alias("__ida"),
+                    F.col("b.__did").alias("__idb"))
+            .distinct()
+        )
+        sa = docs.select(F.col("__did").alias("__ida"), F.col("__sh").alias("__sha"))
+        sb = docs.select(F.col("__did").alias("__idb"), F.col("__sh").alias("__shb"))
         scored = (
-            pairs.join(sizes.withColumnRenamed("__did", "__ida").withColumnRenamed("__n", "__na"),
-                       "__ida")
-            .join(sizes.withColumnRenamed("__did", "__idb").withColumnRenamed("__n", "__nb"),
-                  "__idb")
+            cands.join(sa, "__ida").join(sb, "__idb")
+            .withColumn("__inter",
+                        F.size(F.array_intersect("__sha", "__shb")))
             .withColumn(
                 "__j",
-                F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter")),
+                F.col("__inter")
+                / (F.size("__sha") + F.size("__shb") - F.col("__inter")),
             )
         )
         dups = scored.filter(F.col("__j") >= threshold).select(
@@ -370,14 +393,38 @@ def embed_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     LSH bucketing by random-hyperplane sign bits (seeded md5 hyperplanes)
     limits candidate pairs to same-bucket docs; exact cosine then decides.
     The larger id of each near-dup pair is dropped.
+
+    Scale guard: with ``bits`` omitted the plan is an exact all-pairs
+    self-join — O(n²) and unrunnable on a large corpus.  That plan is
+    REFUSED when the input's optimizer size estimate exceeds
+    ``ALL_PAIRS_SIZE_LIMIT`` unless ``{exact: true}`` is passed; set
+    ``{bits: k}`` for the LSH path instead.
     """
     inp = expression["input"]
     id_field = expression.get("id", "vec_id")
     threshold = float(expression.get("threshold", 0.99))
     bits = expression.get("bits")
     dim = int(expression.get("dim", 16))
+    force_exact = bool(expression.get("exact", False))
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        if bits is None and not force_exact:
+            try:
+                est = int(
+                    df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                )
+            except Exception:
+                est = 0
+            if est >= (1 << 63) - 1:
+                est = 0  # Long.MaxValue sentinel: no estimate (in-memory
+                # relations, CBO off) — don't refuse what we can't size
+            if est > ALL_PAIRS_SIZE_LIMIT:
+                raise ValueError(
+                    "$embedDedup: exact all-pairs self-join refused for a "
+                    f"corpus estimated at {est} bytes "
+                    f"(> {ALL_PAIRS_SIZE_LIMIT}); pass {{bits: k}} for the "
+                    "LSH path or {exact: true} to force the O(n²) plan"
+                )
         emb = compile_expr(inp, ExprContext(schema=df.schema)).cast("array<double>")
         # normalize ONCE per row so each pair costs a single dot product
         # (norms recomputed per pair would triple the pairwise HOF work)

@@ -35,7 +35,9 @@ from ..context import Context
 from ..expressions import ExprContext, compile_expr
 from ..pipeline import StageFn, register_stage
 
-BROADCAST_ROW_LIMIT = 1_000_000  # pre-aggregated dims beyond this shuffle-join
+BROADCAST_SIZE_LIMIT = 64 << 20  # bytes (optimizer estimate); beyond this
+# the pre-aggregated foreign side shuffle-joins instead of broadcasting — a
+# 100x dimension must never be forced onto every executor's heap
 
 
 def _foreign_struct(df: DataFrame) -> Column:
@@ -43,9 +45,18 @@ def _foreign_struct(df: DataFrame) -> Column:
 
 
 def _maybe_broadcast(df: DataFrame) -> DataFrame:
-    # local[...] harness: broadcast unconditionally for dims; a real
-    # deployment would consult catalog stats (AQE also converts at runtime)
-    return F.broadcast(df)
+    """Broadcast the pre-aggregated foreign side only when the optimizer's
+    size estimate stays under ``BROADCAST_SIZE_LIMIT``.  Above the limit the
+    join is left unhinted: it plans as a shuffle hash/sort-merge join, and
+    AQE still converts it to broadcast at runtime if the *actual* post-
+    aggregation size turns out small (runtime stats beat estimates)."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df  # no estimate available — leave the choice to AQE
+    if size <= BROADCAST_SIZE_LIMIT:
+        return F.broadcast(df)
+    return df
 
 
 def _substitute_vars(node: Any, bindings: dict[str, Any]) -> Any:

@@ -16,7 +16,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # stages whose *transport* legitimately crosses into Python (Arrow-batched
 # mapInPandas, SCALE.md §0) — everything else must be pure JVM
-_PYTHON_ALLOWED = {"http_enrich", "decode_media_meta"}
+_PYTHON_ALLOWED = {"http_enrich", "decode_media_meta", "media_pipeline"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
@@ -42,6 +42,27 @@ def test_lookup_broadcasts_small_side(spark):
     df = entrymod.queries()["lookup_array_size"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_lookup_broadcast_gated_by_size_estimate(spark):
+    """A foreign side whose optimizer size estimate exceeds
+    BROADCAST_SIZE_LIMIT must NOT be broadcast-hinted ($lookup gate,
+    operators/lookup.py): forcing a 100x dimension onto every executor
+    heap is the canonical scale OOM.  AQE may still convert at runtime —
+    the invariant is about the *logical* hint we emit."""
+    from pincette_mongo_streams_spark.operators import lookup as lk
+
+    big = spark.range(0, 10).withColumnRenamed("id", "fk")
+    old = lk.BROADCAST_SIZE_LIMIT
+    try:
+        lk.BROADCAST_SIZE_LIMIT = 0  # everything is "too big"
+        out = lk._maybe_broadcast(big)
+        assert "ResolvedHint" not in out._jdf.queryExecution().analyzed().toString()
+    finally:
+        lk.BROADCAST_SIZE_LIMIT = old
+    # and a genuinely small side still gets the hint
+    out = lk._maybe_broadcast(big)
+    assert "ResolvedHint" in out._jdf.queryExecution().analyzed().toString()
 
 
 def test_ann_topk_uses_window_group_limit(spark):
