@@ -662,11 +662,14 @@ def ann_ivf_search_stage(expression: Any, ctx: Context) -> StageFn:
 
         if not sample:
             # empty corpus: no centroids to inline — return the (empty)
-            # result with the standard output schema
+            # result with the standard output schema; corpus_id must take
+            # the CORPUS id column's type (the queries table's id type may
+            # differ, which would break downstream unions)
             q0 = c.collection(queries_coll)
+            cid_type = corpus.schema["corpus_id"].dataType
             return (
                 q0.select(F.col("query_id"))
-                .withColumn("corpus_id", F.col("query_id"))
+                .withColumn("corpus_id", F.lit(None).cast(cid_type))
                 .withColumn("score", F.lit(0.0))
                 .withColumn("rank", F.lit(1))
                 .limit(0)

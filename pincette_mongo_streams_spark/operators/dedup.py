@@ -43,7 +43,10 @@ def deduplicate_stage(expression: Any, ctx: Context) -> StageFn:
         value = compile_expr(value_expr, ExprContext(schema=df.schema))
         tagged = df.withColumn("__dedup", value)
         if c.streaming:
-            if c.watermark is not None:
+            # the watermark only holds if the event-time column survived
+            # the upstream stages ($project/$unset may have dropped it);
+            # without it dropDuplicatesWithinWatermark raises
+            if c.watermark is not None and c.watermark[0] in df.columns:
                 # bounded state: duplicates are only tracked within the
                 # watermark delay — the state-store TTL analog of the
                 # reference's Mongo-collection TTL index advice

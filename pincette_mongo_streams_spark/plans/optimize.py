@@ -49,10 +49,25 @@ def _is_exclude_mode(spec: dict) -> bool:
     return bool(vals) and all(v in (0, False) for v in vals)
 
 
+def _whole_doc_ref(node: Any) -> bool:
+    """True when any string node can reach the whole document — ``$$ROOT``
+    / ``$$CURRENT`` (directly or via a path) carry the as-field without
+    naming it, so the size-only rewrite must not fire."""
+    if isinstance(node, str):
+        return node.startswith("$$ROOT") or node.startswith("$$CURRENT")
+    if isinstance(node, list):
+        return any(_whole_doc_ref(v) for v in node)
+    if isinstance(node, dict):
+        return any(_whole_doc_ref(v) for v in node.values())
+    return False
+
+
 def _size_only_project(spec: dict, as_field: str) -> bool:
     """True when an include/compute-mode $project references ``$as_field``
     only as the operand of ``$size`` and does not pass the array through."""
     if not isinstance(spec, dict) or _is_exclude_mode(spec):
+        return False
+    if _whole_doc_ref(spec):
         return False
     ref = "$" + as_field
     refs = _references(spec, ref)

@@ -50,13 +50,19 @@ def read_source(
         return reader.text(path_or_options)
     if kind == "avro":
         # spark-avro is a separate jar; gate so environments without it
-        # get a clear error instead of a ClassNotFound stack
+        # get a clear error instead of a ClassNotFound stack — but ONLY
+        # rewrap missing-data-source errors: a bad path or corrupt file
+        # must surface as itself for users who do have the jar
         try:
             return reader.format("avro").load(path_or_options)
         except Exception as e:  # pragma: no cover - depends on jars
-            raise RuntimeError(
-                "avro source needs the spark-avro package on the classpath"
-            ) from e
+            msg = str(e)
+            if ("Failed to find" in msg and "data source" in msg) or \
+                    "ClassNotFoundException" in msg:
+                raise RuntimeError(
+                    "avro source needs the spark-avro package on the classpath"
+                ) from e
+            raise
     if kind == "kafka":
         if schema is None:
             raise ValueError("kafka source needs a value schema (fixed-schema engine)")

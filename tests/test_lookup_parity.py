@@ -181,6 +181,23 @@ def test_size_only_rewrite_blocked_by_element_access():
     assert "__countOnly__" not in out[0]["$lookup"]
 
 
+def test_size_only_rewrite_blocked_by_root_ref():
+    """ADVICE r1: {doc: "$$ROOT"} (or $$CURRENT / a $let binding of them)
+    reaches the as-field without naming it — the rewrite must not fire,
+    else the document copy carries an int count where the array belongs."""
+    from pincette_mongo_streams_spark.plans.optimize import optimize_pipeline
+
+    for doc_expr in ("$$ROOT", "$$CURRENT.other",
+                     {"$let": {"vars": {"d": "$$ROOT"}, "in": "$$d"}}):
+        pipeline = [
+            {"$lookup": {"from": "c", "localField": "a", "foreignField": "b",
+                         "as": "other"}},
+            {"$project": {"n": {"$size": "$other"}, "doc": doc_expr}},
+        ]
+        out = optimize_pipeline(pipeline)
+        assert "__countOnly__" not in out[0]["$lookup"], doc_expr
+
+
 def test_size_only_equality_results(spark, ctx):
     got = _run_one(
         spark, ctx,

@@ -196,3 +196,19 @@ def test_ann_ivf_empty_corpus(spark):
     )(emb)
     assert out.count() == 0
     assert set(out.columns) == {"query_id", "corpus_id", "score", "rank"}
+
+
+def test_ann_ivf_empty_corpus_id_type_follows_corpus(spark):
+    """ADVICE r1: the empty result's corpus_id must take the CORPUS id
+    type (string here), not the query table's (long) — a type flip breaks
+    downstream unions with non-empty results."""
+    emb = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    q = spark.createDataFrame([(1, [1.0, 0.0])],
+                              "query_id long, embedding array<double>")
+    ctx = Context(spark=spark, collections={"q": q})
+    out = compile_pipeline(
+        [{"$annIvfSearch": {"queries": "q", "input": "$embedding",
+                            "id": "vec_id", "k": 3, "nlist": 4}}], ctx
+    )(emb)
+    assert out.count() == 0
+    assert dict(out.dtypes)["corpus_id"] == "string"

@@ -343,3 +343,26 @@ def test_deduplicate_within_watermark_bounds_state(spark, tmpdir):
     )
     flat = sorted(r["v"] for rows in emissions for r in rows)
     assert flat == [10, 20]
+
+
+def test_deduplicate_watermark_survives_dropped_event_time(spark, tmpdir):
+    """ADVICE r1: if an upstream $unset dropped the event-time column, the
+    stream no longer carries the watermark — $deduplicate must fall back
+    to plain dropDuplicates instead of raising AnalysisException."""
+    schema = T.StructType([
+        T.StructField("_id", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.LongType()),
+    ])
+    batches = [
+        [{"_id": "m1", "ts": "2024-01-01T00:00:00", "v": 10},
+         {"_id": "m2", "ts": "2024-01-01T00:00:05", "v": 10}],
+        [{"_id": "m3", "ts": "2024-01-01T00:00:10", "v": 20}],
+    ]
+    pipeline = [{"$unset": "ts"}, {"$deduplicate": "$v"}]
+    emissions = _run(
+        spark, tmpdir, schema, batches, pipeline,
+        watermark=("ts", "10 minutes"),
+    )
+    flat = sorted(r["v"] for rows in emissions for r in rows)
+    assert flat == [10, 20]
