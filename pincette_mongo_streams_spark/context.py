@@ -58,6 +58,12 @@ class Context:
     # deterministic order column for batch analogs of stream-order semantics
     # ($deduplicate keep-first, $per packing, $group $last); None = no order
     order_by: Optional[str] = None
+    # True while a stage executes inside a streaming foreachBatch: batch
+    # compilers run there per micro-batch, but cross-batch accumulators
+    # ($probe minute rollover) need to know the run is part of a stream
+    micro_batch: bool = False
+    # $probe cross-micro-batch rollover state: name -> {minute, count}
+    probe_state: dict = field(default_factory=dict)
 
     def collection(self, name: str) -> DataFrame:
         if name in self.collections:

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import time
 from typing import Any, Iterator, Optional
 
@@ -95,8 +96,24 @@ def send_stage(expression: Any, ctx: Context) -> StageFn:
 
 @register_stage("$delay")
 def delay_stage(expression: Any, ctx: Context) -> StageFn:
+    """``{duration, topic, delayTopic?}``.  The reference schedules an
+    in-process send after ``duration`` ms and drops the message
+    (Delay.java:34-47) — an executor cannot hold timers across a batch
+    job, so the Spark translation is the retry-topic pattern:
+
+    - with ``delayTopic`` set, each valid message is wrapped in an
+      envelope ``{deliverAt: epoch_ms, topic: <target>, doc: <message>}``
+      and routed to the delay topic; a consumer of that topic runs
+      ``$delayRelease``, which delivers due envelopes to their target
+      topic and passes the rest through for re-enqueue.
+    - without ``delayTopic`` (compat default) the send happens
+      immediately, as before.
+
+    Valid = duration evaluates to a long AND topic to a string; anything
+    else passes through unchanged (Delay.java:63-70)."""
     duration_expr = expression["duration"]
     topic_expr = expression["topic"]
+    delay_topic = expression.get("delayTopic")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         ectx = ExprContext(schema=df.schema)
@@ -104,23 +121,78 @@ def delay_stage(expression: Any, ctx: Context) -> StageFn:
         topic = compile_expr(topic_expr, ectx).try_cast("string")
         tagged = df.withColumn("__dur", duration).withColumn("__topic", topic)
         valid = F.col("__dur").isNotNull() & F.col("__topic").isNotNull()
-        _emit_side_output(tagged.filter(valid), c, ("__dur",))
+        to_send = tagged.filter(valid)
+        if delay_topic is not None:
+            now_ms = int(c.clock() * 1000)
+            doc = F.struct(*[F.col(x) for x in df.columns])
+            env = to_send.select(
+                (F.lit(now_ms) + F.col("__dur")).alias("deliverAt"),
+                F.col("__topic").alias("topic"),
+                doc.alias("doc"),
+            ).withColumn("__topic", F.lit(delay_topic))
+            _emit_side_output(env, c, ())
+        else:
+            _emit_side_output(to_send, c, ("__dur",))
         # invalid eval -> passthrough unchanged (Delay.java:63-70)
         return tagged.filter(~valid).drop("__dur", "__topic")
 
     return fn
 
 
+@register_stage("$delayRelease")
+def delay_release_stage(expression: Any, ctx: Context) -> StageFn:
+    """Consumer half of the ``$delay`` retry-topic pattern (engine
+    extension): input rows are ``{deliverAt, topic, doc}`` envelopes.
+    Envelopes whose ``deliverAt`` has passed are delivered — ``doc`` is
+    sent to ``topic`` — and dropped; the rest pass through unchanged so
+    the caller re-enqueues them on the delay topic."""
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        now_ms = int(c.clock() * 1000)
+        due = F.col("deliverAt") <= F.lit(now_ms)
+        to_send = df.filter(due).select(
+            F.col("topic").alias("__topic"), F.col("doc.*")
+        )
+        _emit_side_output(to_send, c, ())
+        return df.filter(~due)
+
+    return fn
+
+
 @register_stage("$probe")
 def probe_stage(expression: Any, ctx: Context) -> StageFn:
+    """Passthrough tap emitting ``{name, minute, count}`` (Probe.java:
+    43-78).  Batch run: one count per run (minute = epoch minute int).
+    Streaming (inside foreachBatch, ``ctx.micro_batch``): counts
+    accumulate across micro-batches and the COMPLETED minute is emitted
+    when the wall clock rolls into the next one — minute formatted as the
+    reference's ISO instant string (Running.minute.toString())."""
     name = expression["name"]
     topic = expression["topic"]
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
-        if c.producer is not None:
+        if c.producer is None:
+            return df
+        n = df.count()
+        if not c.micro_batch:
             minute = int(c.clock() // 60)
-            n = df.count()
             c.send(topic, None, {"name": name, "minute": minute, "count": n})
+            return df
+        import datetime as _dt
+
+        cur = int(c.clock() // 60)
+        st = c.probe_state.get(name)
+        if st is None:
+            c.probe_state[name] = {"minute": cur, "count": n}
+        elif cur > st["minute"]:
+            iso = _dt.datetime.fromtimestamp(
+                st["minute"] * 60, _dt.timezone.utc
+            ).isoformat().replace("+00:00", "Z")
+            c.send(topic, None,
+                   {"name": name, "minute": iso, "count": st["count"]})
+            c.probe_state[name] = {"minute": cur, "count": n}
+        else:
+            st["count"] += n
         return df
 
     return fn
@@ -323,32 +395,103 @@ _TEXT_MIME_TYPES = {
 
 
 
-def _default_transport(request: dict) -> dict:
-    """Real HTTP transport over urllib (stdlib only).  Returns
-    {status, body, contentType}.  Tests inject a deterministic fake via
-    Context.http_transport."""
-    import urllib.error
-    import urllib.request
+def _ssl_client_context(spec: dict, state: dict):
+    """Client-certificate ``ssl.SSLContext`` for ``$http`` ``sslContext``
+    (Http.java:183-198).  Two forms:
 
-    req = urllib.request.Request(
-        request["url"],
-        method=request.get("method", "GET") or "GET",
-        data=(request.get("body") or "").encode() or None,
-        headers=request.get("headers") or {},
-    )
-    try:
-        with urllib.request.urlopen(req, timeout=30) as resp:
+    - ``{keyStore: <PKCS#12 path>, password}`` — the reference's form;
+      unpacked with the ``cryptography`` package (import-gated).
+    - ``{certFile: <PEM>, keyFile: <PEM>, password?}`` — stdlib-native.
+
+    Plus the engine extension ``trustStore`` (PEM CA bundle) for private
+    CAs.  The context is rebuilt whenever the key-store file's mtime
+    advances — the reference's hot-reload (Http.java:254-277); ``state``
+    holds the per-process cache."""
+    import ssl
+
+    path = spec.get("keyStore") or spec.get("certFile")
+    mtime = os.stat(path).st_mtime if path and os.path.exists(path) else None
+    if state.get("ctx") is not None and state.get("mtime") == mtime:
+        return state["ctx"]
+    sctx = ssl.create_default_context()
+    if spec.get("trustStore"):
+        sctx.load_verify_locations(cafile=spec["trustStore"])
+    password = spec.get("password") or None
+    if "keyStore" in spec:
+        try:
+            from cryptography.hazmat.primitives.serialization import (
+                Encoding, NoEncryption, PrivateFormat, pkcs12,
+            )
+        except ImportError as e:  # pragma: no cover - depends on package
+            raise RuntimeError(
+                "$http sslContext with a PKCS#12 keyStore needs the "
+                "'cryptography' package; use the {certFile, keyFile} PEM "
+                "form instead"
+            ) from e
+        with open(spec["keyStore"], "rb") as fh:
+            data = fh.read()
+        key, cert, extras = pkcs12.load_key_and_certificates(
+            data, password.encode() if password else None
+        )
+        import tempfile
+
+        # stdlib load_cert_chain only reads files — write the unpacked
+        # PEM to a private temp file just long enough to load it
+        with tempfile.NamedTemporaryFile(suffix=".pem") as tmp:
+            tmp.write(cert.public_bytes(Encoding.PEM))
+            for extra in extras or []:
+                tmp.write(extra.public_bytes(Encoding.PEM))
+            tmp.write(key.private_bytes(
+                Encoding.PEM, PrivateFormat.PKCS8, NoEncryption()))
+            tmp.flush()
+            sctx.load_cert_chain(tmp.name)
+    elif spec.get("certFile"):
+        sctx.load_cert_chain(
+            spec["certFile"], spec.get("keyFile"), password=password
+        )
+    # else: trust-only context (private CA, no client certificate)
+    state["ctx"] = sctx
+    state["mtime"] = mtime
+    return sctx
+
+
+def _make_transport(ssl_spec: Optional[dict]):
+    """Build the urllib transport (stdlib only), optionally with a
+    client-certificate SSL context.  Returns {status, body, contentType}.
+    Tests inject a deterministic fake via Context.http_transport."""
+    ssl_state: dict = {}
+
+    def transport(request: dict) -> dict:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            request["url"],
+            method=request.get("method", "GET") or "GET",
+            data=(request.get("body") or "").encode() or None,
+            headers=request.get("headers") or {},
+        )
+        kwargs = {"timeout": 30}
+        if ssl_spec is not None:
+            kwargs["context"] = _ssl_client_context(ssl_spec, ssl_state)
+        try:
+            with urllib.request.urlopen(req, **kwargs) as resp:
+                return {
+                    "status": resp.status,
+                    "body": resp.read().decode("utf-8", "replace"),
+                    "contentType": resp.headers.get("Content-Type", ""),
+                }
+        except urllib.error.HTTPError as e:  # status >= 400 still has a body
             return {
-                "status": resp.status,
-                "body": resp.read().decode("utf-8", "replace"),
-                "contentType": resp.headers.get("Content-Type", ""),
+                "status": e.code,
+                "body": e.read().decode("utf-8", "replace"),
+                "contentType": e.headers.get("Content-Type", "") if e.headers else "",
             }
-    except urllib.error.HTTPError as e:  # status >= 400 still has a body
-        return {
-            "status": e.code,
-            "body": e.read().decode("utf-8", "replace"),
-            "contentType": e.headers.get("Content-Type", "") if e.headers else "",
-        }
+
+    return transport
+
+
+_default_transport = _make_transport(None)
 
 
 @register_stage("$http")
@@ -375,7 +518,8 @@ def http_stage(expression: Any, ctx: Context) -> StageFn:
         tagged = df.withColumns(
             {"__url": url, "__method": method, "__headers": headers, "__body": body}
         )
-        transport = c.http_transport or _default_transport
+        transport = c.http_transport or _make_transport(
+            expression.get("sslContext"))
         out_schema = T.StructType(list(tagged.schema.fields) + _HTTP_RESULT_SCHEMA_SUFFIX)
 
         # the reference is strictly sequential per partition

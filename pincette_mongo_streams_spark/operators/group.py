@@ -27,6 +27,23 @@ Deliberate deviation (documented in README): the reference's ``$stdDevPop``
 selector emits the running *count* instead of sigma (Group.java:451-453,
 golden-tested at TestGroup.java:214-227 — a reference quirk); this engine
 emits the mathematically correct population stddev.
+
+Mixed-type total order (SURVEY.md §2.3a last row — the reference compares
+via net.pincette.mongo.Util.compare's BSON-bracket total JSON order for
+``$min/$max/$addToSet`` and ``$bucket`` boundaries): this engine's STANCE
+is that it is a *typed-column* engine.  A Spark column holds exactly one
+data type, so a group can never contain, say, an int and a string — the
+open-world case the BSON bracket order exists for cannot be represented.
+What CAN mix is resolved at plan time by Catalyst's coercion rules, and
+the result matches MongoDB:
+
+- numeric widths (int vs double) coerce to the widest numeric type, and
+  comparison is numeric — identical to BSON's cross-numeric comparison;
+- null/missing are IGNORED by ``$min/$max`` (Spark aggregate semantics =
+  MongoDB's, which skips null/missing);
+- genuinely heterogeneous data must live in a string/JSON column, where
+  ordering is lexicographic on the encoded form — a user-visible,
+  documented boundary, pinned in tests/test_mixed_type_order.py.
 """
 
 from __future__ import annotations

@@ -100,6 +100,8 @@ def run_streaming(
     def process(batch_df: DataFrame, epoch: int) -> None:
         batch_ctx = ctx
         batch_ctx.streaming = False  # inside foreachBatch everything is batch
+        batch_ctx.micro_batch = True  # ...but stages with cross-batch
+        # accumulators ($probe rollover) see the stream context
         out = compile_pipeline(batch_part, batch_ctx)(batch_df) if batch_part else batch_df
         if suppress_unchanged:
             rows = out.collect()
@@ -120,6 +122,7 @@ def run_streaming(
             out = out.sparkSession.createDataFrame(fresh, out.schema)
         sink(out, epoch)
         batch_ctx.streaming = True
+        batch_ctx.micro_batch = False
 
     writer = transformed.writeStream.foreachBatch(process)
     writer = writer.outputMode("update" if _needs_update_mode(plan_part) else "append")
