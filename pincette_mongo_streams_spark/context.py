@@ -64,6 +64,9 @@ class Context:
     micro_batch: bool = False
     # $probe cross-micro-batch rollover state: name -> {minute, count}
     probe_state: dict = field(default_factory=dict)
+    # directory resolving $jq/$jslt "resource:/..." script roots — the
+    # classpath-resources analog (Script.java:28-46)
+    resource_root: Optional[str] = None
 
     def collection(self, name: str) -> DataFrame:
         if name in self.collections:

@@ -856,38 +856,34 @@ def bm25_stage(expression: Any, ctx: Context) -> StageFn:
             f"(acc, t) -> zip_with(acc, array({terms_sql}), "
             f"(a, trm) -> a + if(t = trm, 1.0D, 0.0D)))"
         )
+        # the whole scoring plan is built from GENERATED SQL strings — a
+        # handful of py4j calls total, instead of O(terms) Column-building
+        # round-trips (~0.3 s of driver latency per plan at 3 terms)
+        idq = f"`{id_field}`"
         base = df.withColumn("__toks", tokens).select(
             F.col(id_field),
             F.expr("cast(size(`__toks`) as double)").alias("__dl"),
             counts.alias("__tfs"),
-        ).select(
-            F.col(id_field),
-            "__dl",
-            *[
-                F.element_at(F.col("__tfs"), i + 1).alias(f"__tf{i}")
-                for i in range(len(terms))
-            ],
+        ).selectExpr(
+            idq, "__dl",
+            *[f"__tfs[{i}] as __tf{i}" for i in range(len(terms))],
         )
-        stats = base.agg(
-            F.count(F.lit(1)).cast("double").alias("__n"),
-            F.avg("__dl").alias("__avgdl"),
+        stats = base.groupBy().agg(
+            F.expr("cast(count(1) as double)").alias("__n"),
+            F.expr("avg(__dl)").alias("__avgdl"),
             *[
-                F.sum((F.col(f"__tf{i}") > 0).cast("double")).alias(f"__df{i}")
+                F.expr(f"sum(cast(__tf{i} > 0 as double))").alias(f"__df{i}")
                 for i in range(len(terms))
             ],
         )
         joined = base.crossJoin(F.broadcast(stats))
-        score = F.lit(0.0)
-        for i in range(len(terms)):
-            tf, dfreq = F.col(f"__tf{i}"), F.col(f"__df{i}")
-            idf = F.log(
-                F.lit(1.0) + (F.col("__n") - dfreq + 0.5) / (dfreq + 0.5)
-            )
-            norm = tf + F.lit(k1) * (
-                F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
-            )
-            score = score + idf * tf * F.lit(k1 + 1.0) / norm
-        scored = joined.select(F.col(id_field), score.alias("score"))
+        score_sql = " + ".join(
+            f"ln(1.0D + (__n - __df{i} + 0.5D) / (__df{i} + 0.5D))"
+            f" * __tf{i} * {k1 + 1.0}D"
+            f" / (__tf{i} + {k1}D * ({1.0 - b}D + {b}D * __dl / __avgdl))"
+            for i in range(len(terms))
+        )
+        scored = joined.selectExpr(idq, f"0.0D + {score_sql} as score")
         top = scored.orderBy(F.col("score").desc(), F.col(id_field)).limit(k)
         w = Window.orderBy(F.col("score").desc(), F.col(id_field))
         return top.withColumn("rank", F.row_number().over(w))

@@ -527,9 +527,11 @@ def http_stage(expression: Any, ctx: Context) -> StageFn:
         # extension: a bounded thread pool per partition, order preserved
         parallelism = int(expression.get("parallelism", 1))
         # transport errors retry with backoff (Util.java:47 RETRY = 5 s,
-        # retry-forever); here retries are bounded in-task and then the
-        # task FAILS so Spark's task/stream retry takes over — a documented
-        # deviation from the infinite loop (same at-least-once outcome)
+        # retry-forever); by default retries are bounded in-task and then
+        # the task FAILS so Spark's task/stream retry takes over — a
+        # documented deviation with the same at-least-once outcome.
+        # `retries: -1` opts into the reference's literal never-give-up
+        # loop (tryToGetForever) for sinks that must not drop.
         retries = int(expression.get("retries", 3))
         retry_interval_s = float(expression.get("retryIntervalMs", 5000)) / 1000.0
 
@@ -596,7 +598,7 @@ def http_stage(expression: Any, ctx: Context) -> StageFn:
                         break
                     except Exception:
                         attempt += 1
-                        if attempt > retries:
+                        if 0 <= retries < attempt:
                             raise
                         time.sleep(retry_interval_s)
                 kind = content_kind(resp.get("contentType"))

@@ -36,11 +36,22 @@ _JQ_ADD = re.compile(r"^\s*\.\s*\+\s*(\{.*\})\s*$", re.S)
 _JQ_IDENTITY = re.compile(r"^\s*\.\s*$")
 
 
-def _load_script(spec: str) -> str:
+def _load_script(spec: str, resource_root: Optional[str] = None) -> str:
     """Scripts may be inline, ``resource:/...`` or a file path
-    (Script.java:28-46)."""
+    (Script.java:28-46).  ``resource:`` roots — the reference's classpath
+    lookup — resolve against ``Context.resource_root`` (a directory, the
+    deployment's unpacked-resources analog)."""
     if spec.startswith("resource:"):
-        raise NotImplementedError("resource: scripts need a resource root configured")
+        if resource_root is None:
+            raise NotImplementedError(
+                "resource: scripts need Context.resource_root configured "
+                "(the classpath-resources directory)"
+            )
+        import os
+
+        rel = spec[len("resource:"):].lstrip("/")
+        with open(os.path.join(resource_root, rel)) as fh:
+            return fh.read()
     if spec.endswith((".jq", ".jslt")) and "/" in spec:
         with open(spec) as fh:
             return fh.read()
@@ -99,7 +110,7 @@ def _apply_added(df: DataFrame, added: dict) -> DataFrame:
 
 def _script_stage(kind: str, expression: Any, ctx: Context) -> StageFn:
     spec = expression["script"] if isinstance(expression, dict) else expression
-    script = _load_script(spec)
+    script = _load_script(spec, ctx.resource_root)
     native = _jq_native(script) if kind == "jq" else _jslt_native(script)
 
     def fn(df: DataFrame, c: Context) -> DataFrame:

@@ -98,6 +98,24 @@ def test_jq_file(spark, tmp_path):
     _script_roundtrip(spark, "$jq", str(p))
 
 
+def test_jq_resource_root(spark, tmp_path):
+    """TestScript jq1's actual form: resource:/test.jq, resolved against
+    Context.resource_root (the classpath-resources analog,
+    Script.java:28-46)."""
+    (tmp_path / "test.jq").write_text(". + {test: 1}\n")
+    ctx = Context(spark=spark, resource_root=str(tmp_path))
+    df = spark.createDataFrame([("0", 0)], "_id string, test long")
+    out = compile_pipeline([{"$jq": "resource:/test.jq"}], ctx)(df)
+    assert _docs(out) == [{"_id": "0", "test": 1}]
+
+
+def test_jq_resource_without_root_raises(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="resource_root"):
+        compile_pipeline([{"$jq": "resource:/x.jq"}], Context(spark=spark))
+
+
 def test_jslt_template(spark):
     _script_roundtrip(spark, "$jslt", '{"test": 1, *: .}')  # TestScript jslt2
 

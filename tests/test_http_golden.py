@@ -170,6 +170,29 @@ def test_transport_errors_exhaust_retries_fail_task(spark):
         )(df).collect()
 
 
+def test_retry_forever_survives_long_outage(spark):
+    # retries: -1 = the reference's tryToGetForever (Util.java:47): the
+    # call never gives up; a 10-failure outage ends in success, not a
+    # task failure
+    fails = [10]
+
+    def flaky(req):
+        if fails[0] > 0:
+            fails[0] -= 1
+            raise ConnectionError("transient")
+        return {"status": 200, "contentType": "application/json",
+                "body": json.dumps({"ok": True})}
+
+    df = spark.createDataFrame([("m1",)], "_id string").repartition(1)
+    ctx = Context(spark=spark, http_transport=flaky)
+    out = compile_pipeline(
+        [{"$http": {"url": {"$concat": ["http://svc/", "$_id"]},
+                    "method": "GET", "as": "result",
+                    "retries": -1, "retryIntervalMs": 1}}], ctx
+    )(df).collect()
+    assert json.loads(out[0]["result"]) == {"ok": True}
+
+
 def test_unparseable_url_bad_request(spark):
     # Http.java:111-113: url that can't be executed -> httpError 400,
     # message passes through
