@@ -44,14 +44,21 @@ def _foreign_struct(df: DataFrame) -> Column:
     return F.struct(*[F.col(c) for c in df.columns])
 
 
-def _maybe_broadcast(df: DataFrame) -> DataFrame:
+def _maybe_broadcast(df: DataFrame, size_of: Optional[DataFrame] = None) -> DataFrame:
     """Broadcast the pre-aggregated foreign side only when the optimizer's
     size estimate stays under ``BROADCAST_SIZE_LIMIT``.  Above the limit the
     join is left unhinted: it plans as a shuffle hash/sort-merge join, and
     AQE still converts it to broadcast at runtime if the *actual* post-
-    aggregation size turns out small (runtime stats beat estimates)."""
+    aggregation size turns out small (runtime stats beat estimates).
+
+    ``size_of`` probes the foreign INPUT rather than the fresh aggregate
+    plan: per-key aggregation only shrinks the data, the input DataFrame's
+    optimized plan is cached across pipeline compiles (no repeated
+    analysis cost), and an over-estimate only errs toward the safe
+    shuffle join."""
     try:
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        probe = size_of if size_of is not None else df
+        size = int(probe._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
         return df  # no estimate available — leave the choice to AQE
     if size <= BROADCAST_SIZE_LIMIT:
@@ -142,7 +149,7 @@ def _equality_lookup(
         foreign.groupBy(fkey.alias("__fk"))
         .agg(_match_agg(foreign, count_only))
     )
-    grouped = _maybe_broadcast(grouped)
+    grouped = _maybe_broadcast(grouped, size_of=foreign)
     if isinstance(lt, T.ArrayType):
         # array-valued local field: membership join via exploded bridge,
         # then regroup per row id (Lookup.java:197-200 array-wraps locals)
@@ -283,7 +290,7 @@ def _pipeline_lookup(
         transformed.groupBy(*[F.col(fk).alias(f"__fk{i}") for i, (fk, _) in enumerate(join_pairs)])
         .agg(_match_agg(transformed, count_only))
     )
-    grouped = _maybe_broadcast(grouped)
+    grouped = _maybe_broadcast(grouped, size_of=foreign)
     cond = None
     for i, (_fk, local_expr) in enumerate(join_pairs):
         clause = compile_expr(local_expr, ectx).eqNullSafe(F.col(f"__fk{i}"))
