@@ -481,16 +481,23 @@ def ann_topk_stage(expression: Any, ctx: Context) -> StageFn:
 
         q = c.collection(queries_coll)
         emb = compile_expr(inp, ExprContext(schema=df.schema))
+        # norms + dot as generated SQL (one py4j call each) — the Python
+        # HOF-lambda form costs a py4j round-trip per lambda, which is
+        # pure driver latency on every plan build (the bm25 lesson).
+        # aggregate(a, 0, (acc,x) -> acc + x*x) folds in the same order as
+        # aggregate(transform(a, x -> x*x), ...) — bit-identical sums.
+        norm = "sqrt(aggregate({0}, 0.0D, (acc, x) -> acc + x * x))"
         corpus = df.select(
             F.col(id_field).alias("corpus_id"), emb.cast("array<double>").alias("__ce")
-        ).withColumn("__cn", vec_norm(F.col("__ce")))
-        queries = q.select(
-            F.col("query_id"), F.col("embedding").cast("array<double>").alias("__qe")
-        ).withColumn("__qn", vec_norm(F.col("__qe")))
-        scored = corpus.crossJoin(F.broadcast(queries)).select(
+        ).selectExpr("corpus_id", "__ce", norm.format("__ce") + " as __cn")
+        queries = q.selectExpr(
+            "query_id", "cast(embedding as array<double>) as __qe"
+        ).selectExpr("query_id", "__qe", norm.format("__qe") + " as __qn")
+        dot = ("aggregate(zip_with(__ce, __qe, (x, y) -> x * y), 0.0D, "
+               "(acc, v) -> acc + v)")
+        scored = corpus.crossJoin(F.broadcast(queries)).selectExpr(
             "query_id", "corpus_id",
-            cosine_hoisted(F.col("__ce"), F.col("__qe"),
-                           F.col("__cn"), F.col("__qn")).alias("score"),
+            f"try_divide({dot}, __cn * __qn) as score",
         )
         w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("corpus_id"))
         return (
