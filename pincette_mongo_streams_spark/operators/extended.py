@@ -455,16 +455,24 @@ def set_window_fields_stage(expression: Any, ctx: Context) -> StageFn:
             elif op == "$expMovingAvg":
                 # EMA from partition start to the current row (Mongo allows
                 # no explicit window here): sequential fold over the
-                # running collect_list. O(n^2) per partition in batch —
-                # fine for correctness; SCALE.md notes the streaming
-                # alternative for long partitions.
+                # running collect_list.  The frame is TRUNCATED to the last
+                # K rows where (1-alpha)^K < 1e-18: older terms weigh less
+                # than double precision can represent, so results are
+                # exact-within-representation while the per-partition cost
+                # drops from O(n^2) to O(n*K) — linear in partition length.
+                # Rows with fewer than K predecessors see their whole
+                # history (frames clip at the partition edge): exact.
+                import math
+
                 alpha = (
                     2.0 / (arg["N"] + 1) if "N" in arg else float(arg["alpha"])
                 )
+                if alpha >= 1.0:
+                    hist = 1
+                else:
+                    hist = max(1, math.ceil(-41.5 / math.log1p(-alpha)))
                 y = compile_expr(arg["input"], ectx).cast("double")
-                run = ordered.rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
+                run = ordered.rowsBetween(-(hist - 1), Window.currentRow)
                 vals = F.collect_list(y).over(run)
                 col = F.aggregate(
                     vals,

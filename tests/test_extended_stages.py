@@ -360,6 +360,27 @@ def test_window_exp_moving_avg(spark):
                                       pytest.approx(e3)]
 
 
+def test_window_exp_moving_avg_long_partition_linear_and_exact(spark):
+    """The truncated-history EMA (O(n*K) instead of O(n^2)) must agree
+    with the exact sequential recurrence to double precision on a
+    partition much longer than the history bound K (~38 rows at N=2)."""
+    n = 3000
+    rows = [("a", i, float((i * 37) % 100)) for i in range(n)]
+    out = _run(
+        spark, rows, "k string, o long, v double",
+        [{"$setWindowFields": {
+            "partitionBy": "$k", "sortBy": {"o": 1},
+            "output": {"ema": {"$expMovingAvg": {"input": "$v", "N": 2}}}}}],
+    ).collect()
+    got = [r["ema"] for r in sorted(out, key=lambda r: r["o"])]
+    alpha = 2.0 / 3.0
+    exact = None
+    for i in range(n):
+        v = float((i * 37) % 100)
+        exact = v if exact is None else v * alpha + exact * (1 - alpha)
+        assert got[i] == pytest.approx(exact, rel=1e-12), f"row {i}"
+
+
 def test_window_locf_and_linear_fill_ops(spark):
     """$locf and $linearFill as $setWindowFields operators (the window-op
     spellings $fill desugars to in MongoDB)."""
