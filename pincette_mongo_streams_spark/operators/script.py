@@ -118,9 +118,28 @@ def _script_stage(kind: str, expression: Any, ctx: Context) -> StageFn:
             return _apply_added(df, native)
         if kind == "jq":
             return _jq_udf(df, script)
-        raise NotImplementedError(
-            "JSLT beyond object templates has no Python runtime (JVM-only extension)"
-        )
+        # tier 1.5: the JSLT-subset compiler (paths, operators, if/else,
+        # let, builtins) — native Columns, no UDF (operators/jslt.py)
+        from .jslt import JsltUnsupported, compile_jslt
+
+        try:
+            added, projected = compile_jslt(script, df)
+        except JsltUnsupported as e:
+            raise NotImplementedError(
+                f"JSLT outside the compiled subset ({e}); full JSLT has no "
+                "Python runtime (JVM-only extension)"
+            ) from e
+
+        def apply(frame: DataFrame) -> DataFrame:
+            if added is not None:
+                out = frame
+                for k, v in added.items():
+                    out = out.withColumn(k, v)
+                return _rekey_on_id(out) if "_id" in added else out
+            out = frame.select(*projected)
+            return _rekey_on_id(out) if "_id" in out.columns else out
+
+        return apply(df)
 
     return fn
 

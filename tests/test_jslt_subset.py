@@ -1,0 +1,91 @@
+"""The JSLT-subset compiler (operators/jslt.py): scripts beyond the
+object-template fast path compile to native Columns — paths, operators,
+if/else, let, builtins, spread vs projecting templates."""
+
+import pytest
+from pyspark.sql import Row
+
+from pincette_mongo_streams_spark import Context, compile_pipeline
+
+
+def _run(spark, script, rows=None, schema=None):
+    rows = rows or [Row(_id="0", name="Ada Lovelace", age=36,
+                        score=91.5, tags=["a", "b"])]
+    df = spark.createDataFrame(rows, schema) if schema else spark.createDataFrame(rows)
+    out = compile_pipeline([{"$jslt": script}], Context(spark=spark))(df)
+    return [r.asDict(recursive=True) for r in out.collect()]
+
+
+def test_spread_template_with_expressions(spark):
+    docs = _run(spark, '{"upper": uppercase(.name), "next": .age + 1, *: .}')
+    d = docs[0]
+    assert d["upper"] == "ADA LOVELACE" and d["next"] == 37
+    assert d["name"] == "Ada Lovelace" and d["tags"] == ["a", "b"]
+
+
+def test_projecting_template_without_spread(spark):
+    docs = _run(spark, '{"n": .name, "half": .score / 2}')
+    assert docs == [{"n": "Ada Lovelace", "half": 45.75}]
+
+
+def test_if_else_and_comparisons(spark):
+    docs = _run(spark, '{"grown": if (.age >= 18) "yes" else "no", *: .}')
+    assert docs[0]["grown"] == "yes"
+    docs = _run(spark, '{"x": if (.age < 18) 1, *: .}')
+    assert docs[0]["x"] is None
+
+
+def test_string_concat_plus(spark):
+    docs = _run(spark, '{"label": .name + "/" + .age, *: .}')
+    assert docs[0]["label"] == "Ada Lovelace/36"
+
+
+def test_let_bindings(spark):
+    docs = _run(spark, 'let base = .score * 2\n{"double": $base, *: .}')
+    assert docs[0]["double"] == 183.0
+
+
+def test_builtins(spark):
+    docs = _run(spark, """
+    // line comment
+    {"n_tags": size(.tags), "n_name": size(.name),
+     "lo": lowercase(.name), "tr": trim("  x  "),
+     "has_a": contains("a", .tags), "in_name": contains("Ada", .name),
+     "parts": split(.name, " "), "joined": join(.tags, "-"),
+     "re": test(.name, "^Ada"), "rounded": round(.score),
+     "fl": floor(.score), "ce": ceiling(.score),
+     "s": string(.age), "num": number("12.5"),
+     *: .}
+    """)
+    d = docs[0]
+    assert d["n_tags"] == 2 and d["n_name"] == 12
+    assert d["lo"] == "ada lovelace" and d["tr"] == "x"
+    assert d["has_a"] is True and d["in_name"] is True
+    assert d["parts"] == ["Ada", "Lovelace"] and d["joined"] == "a-b"
+    assert d["re"] is True and d["rounded"] == 92
+    assert d["fl"] == 91 and d["ce"] == 92
+    assert d["s"] == "36" and d["num"] == 12.5
+
+
+def test_absent_path_is_null(spark):
+    docs = _run(spark, '{"missing": .nope.deep, *: .}')
+    assert docs[0]["missing"] is None
+
+
+def test_nested_object_and_array_values(spark):
+    docs = _run(spark, '{"o": {"a": .age, "b": [1, .score]}, *: .}')
+    assert docs[0]["o"] == {"a": 36, "b": [1.0, 91.5]}
+
+
+def test_rekey_on_new_id(spark):
+    from pincette_mongo_streams_spark.operators.stateless import KEY_COL
+
+    rows = [Row(__key="0", _id="0", test=0)]
+    df_schema = "__key string, _id string, test long"
+    docs = _run(spark, '{"_id": "9", *: .}', rows=rows, schema=df_schema)
+    assert docs[0]["_id"] == "9" and docs[0][KEY_COL] == "9"
+
+
+def test_unsupported_raises_jvm_boundary(spark):
+    with pytest.raises(NotImplementedError, match="JSLT outside"):
+        _run(spark, 'for (.tags) { "t": . }')
