@@ -71,9 +71,11 @@ def run_streaming(
     emits every group *touched* in a batch, so a batch that touches a
     group without changing its value (e.g. a new max candidate that
     loses) would emit a duplicate — the suppression filter drops rows
-    identical to the group's previous emission.  Cost: one driver-side
-    dict entry per live group; the dict does not survive a checkpoint
-    restart (the first post-restart batch may re-emit unchanged groups).
+    identical to the group's previous emission.  The last-emitted state
+    is a DISTRIBUTED DataFrame diffed with a left-anti join (no row ever
+    crosses the driver) and localCheckpoint()ed per batch to truncate
+    lineage; it does not survive a checkpoint restart (the first
+    post-restart batch may re-emit unchanged groups — documented).
     Requires a group-keyed output (``_id``); use only when sinks require
     exact reference emission parity."""
     for stage in pipeline:
@@ -95,7 +97,7 @@ def run_streaming(
             break
     plan_part, batch_part = pipeline[:split], pipeline[split:]
     transformed = compile_pipeline(plan_part, ctx)(source) if plan_part else source
-    last_emitted: dict = {}
+    last_emitted: list = [None]  # distributed last-emission DataFrame
 
     def process(batch_df: DataFrame, epoch: int) -> None:
         batch_ctx = ctx
@@ -104,7 +106,6 @@ def run_streaming(
         # accumulators ($probe rollover) see the stream context
         out = compile_pipeline(batch_part, batch_ctx)(batch_df) if batch_part else batch_df
         if suppress_unchanged:
-            rows = out.collect()
             cols = out.columns
             if "_id" not in cols:
                 raise ValueError(
@@ -112,14 +113,28 @@ def run_streaming(
                     "column): without a key, distinct events with equal "
                     "values would be suppressed as duplicates"
                 )
-            fresh = []
-            for r in rows:
-                vals = tuple(repr(r[c]) for c in cols)
-                key = repr(r["_id"])
-                if last_emitted.get(key) != vals:
-                    last_emitted[key] = vals
-                    fresh.append(r)
-            out = out.sparkSession.createDataFrame(fresh, out.schema)
+            last = last_emitted[0]
+            if last is None:
+                fresh = out
+            else:
+                # a row is fresh unless the SAME key emitted the SAME
+                # values last time — null-safe equality on every column
+                fresh = out.join(
+                    last,
+                    [out[c].eqNullSafe(last[c]) for c in cols],
+                    "left_anti",
+                )
+            # materialize the diff ONCE (localCheckpoint truncates
+            # lineage so state never re-grows the plan), then fold it
+            # into the next batch's state: this batch's emissions
+            # override the previous ones per key; untouched keys carry
+            # forward.  No row ever crosses the driver.
+            fresh = fresh.localCheckpoint(eager=True)
+            new_last = fresh if last is None else fresh.unionByName(
+                last.join(fresh.select("_id"), "_id", "left_anti")
+            )
+            last_emitted[0] = new_last.localCheckpoint(eager=True)
+            out = fresh
         sink(out, epoch)
         batch_ctx.streaming = True
         batch_ctx.micro_batch = False
