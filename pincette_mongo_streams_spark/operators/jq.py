@@ -1,0 +1,402 @@
+"""Native jq-subset compiler: jq filters -> Spark DataFrame programs.
+
+The python ``jq`` binding is absent from many runtimes (including this
+image), so ``$jq`` scripts beyond the ``. + {...}`` fast path would be
+dead weight.  This module compiles the pipeline-shaped jq subset — the
+forms that make sense over a stream of documents — straight to
+Catalyst, sharing the AST + Column codegen with the JSLT compiler
+(operators/jslt.py).
+
+A script is a ``|``-pipe of STEPS; each step transforms the document:
+
+- ``.``                       identity
+- ``. + {k: <expr>, ...}``    merge fields in ($addFields semantics)
+- ``{k: <expr>, ...}``        rebuild the document with exactly these
+                              keys (``{foo}`` shorthand = ``{foo: .foo}``)
+- ``del(.a, .b)``             remove top-level fields
+- ``select(<expr>)``          keep the document only when the filter holds
+
+Expressions: dot paths (absent -> null), literals, arrays/objects,
+``+ - * /`` (``+`` concatenates when a side is a string), comparisons,
+``and`` / ``or``, ``if c then a else b end`` (else optional),
+``<a> // <b>`` (alternative: right when left is null/false), and VALUE
+PIPES inside parentheses — ``(.name | ascii_downcase)``,
+``(.text | split(",") | length)`` — with builtins length, not, tostring,
+tonumber, floor, ceil, round, ascii_downcase, ascii_upcase, ltrimstr,
+rtrimstr, test, split (literal separator, as in jq), join.  Anything
+else raises ``JqUnsupported`` and script.py reports the tier-2 boundary
+(the real jq binding, import-gated).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .jslt import (
+    Arr,
+    Bin,
+    Call,
+    If,
+    Lit,
+    Obj,
+    Path,
+    _Compiler,
+    _unquote,
+)
+
+
+class JqUnsupported(Exception):
+    """Filter uses jq beyond the compiled subset."""
+
+
+_JQ_TOKEN = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<number>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<op>==|!=|<=|>=|//|[-+*/<>(){}\[\],:.;|])
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    """,
+    re.X,
+)
+
+
+def _jq_tokenize(src: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    i = 0
+    while i < len(src):
+        m = _JQ_TOKEN.match(src, i)
+        if not m:
+            raise JqUnsupported(f"unexpected character {src[i]!r} at {i}")
+        i = m.end()
+        if m.lastgroup != "ws":
+            out.append((m.lastgroup, m.group()))
+    out.append(("eof", ""))
+    return out
+
+
+# zero-argument builtins usable bare after a value pipe: `.x | length`
+_ZERO_ARG = {"length", "not", "tostring", "tonumber", "floor", "ceil",
+             "round", "ascii_downcase", "ascii_upcase"}
+
+
+class _JqParser:
+    """Recursive-descent parser over the jq subset, producing the JSLT
+    AST (operators/jslt.py) so the Column compiler is shared.  Value
+    pipes fold into calls: ``x | f(a)`` -> Call(f, [x, a])."""
+
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> None:
+        kind, val = self.next()
+        if val != text:
+            raise JqUnsupported(f"expected {text!r}, got {val!r}")
+
+    # steps ----------------------------------------------------------
+
+    def parse_pipeline(self) -> list[Any]:
+        steps = [self.parse_step()]
+        while self.peek()[1] == "|":
+            self.next()
+            steps.append(self.parse_step())
+        if self.peek()[0] != "eof":
+            raise JqUnsupported(f"trailing input at {self.peek()[1]!r}")
+        return steps
+
+    def parse_step(self) -> tuple[str, Any]:
+        if self.peek() == ("ident", "del"):
+            self.next()
+            self.expect("(")
+            paths = [self.parse_expr()]
+            while self.peek()[1] == ",":
+                self.next()
+                paths.append(self.parse_expr())
+            self.expect(")")
+            for p in paths:
+                if not isinstance(p, Path) or len(p.parts) != 1:
+                    raise JqUnsupported("del() takes top-level field paths")
+            return ("del", paths)
+        if self.peek() == ("ident", "select"):
+            self.next()
+            self.expect("(")
+            cond = self.parse_expr()
+            self.expect(")")
+            return ("select", cond)
+        return ("expr", self.parse_expr())
+
+    # expressions ----------------------------------------------------
+
+    def parse_expr(self) -> Any:
+        return self.parse_alt()
+
+    def parse_alt(self) -> Any:
+        node = self.parse_or()
+        while self.peek()[1] == "//":
+            self.next()
+            node = Bin("//", node, self.parse_or())
+        return node
+
+    def parse_or(self) -> Any:
+        node = self.parse_and()
+        while self.peek() == ("ident", "or"):
+            self.next()
+            node = Bin("or", node, self.parse_and())
+        return node
+
+    def parse_and(self) -> Any:
+        node = self.parse_cmp()
+        while self.peek() == ("ident", "and"):
+            self.next()
+            node = Bin("and", node, self.parse_cmp())
+        return node
+
+    def parse_cmp(self) -> Any:
+        node = self.parse_add()
+        if self.peek()[1] in ("==", "!=", "<", "<=", ">", ">="):
+            op = self.next()[1]
+            node = Bin(op, node, self.parse_add())
+        return node
+
+    def parse_add(self) -> Any:
+        node = self.parse_mul()
+        while self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            node = Bin(op, node, self.parse_mul())
+        return node
+
+    def parse_mul(self) -> Any:
+        node = self.parse_unary()
+        while self.peek()[1] in ("*", "/"):
+            op = self.next()[1]
+            node = Bin(op, node, self.parse_unary())
+        return node
+
+    def parse_unary(self) -> Any:
+        if self.peek()[1] == "-":
+            self.next()
+            return Bin("-", Lit(0), self.parse_primary())
+        return self.parse_primary()
+
+    def parse_primary(self) -> Any:
+        kind, val = self.peek()
+        if val == "(":
+            self.next()
+            node = self.parse_expr()
+            # value pipes: (x | f | g(a)) folds to g(f(x), a)
+            while self.peek()[1] == "|":
+                self.next()
+                node = self.parse_piped_call(node)
+            self.expect(")")
+            return node
+        if val == ".":
+            return self.parse_path()
+        if val == "[":
+            self.next()
+            items = []
+            while self.peek()[1] != "]":
+                items.append(self.parse_expr())
+                if self.peek()[1] == ",":
+                    self.next()
+            self.expect("]")
+            return Arr(items)
+        if val == "{":
+            return self.parse_object()
+        if kind == "string":
+            self.next()
+            return Lit(_unquote(val))
+        if kind == "number":
+            self.next()
+            return Lit(float(val) if any(c in val for c in ".eE") else int(val))
+        if kind == "ident":
+            if val == "if":
+                self.next()
+                cond = self.parse_expr()
+                self.expect("then")
+                then = self.parse_expr()
+                other = None
+                if self.peek() == ("ident", "else"):
+                    self.next()
+                    other = self.parse_expr()
+                self.expect("end")
+                return If(cond, then, other)
+            if val in ("true", "false"):
+                self.next()
+                return Lit(val == "true")
+            if val == "null":
+                self.next()
+                return Lit(None)
+        raise JqUnsupported(f"unsupported token {val!r}")
+
+    def parse_piped_call(self, value: Any) -> Any:
+        kind, name = self.next()
+        if kind != "ident":
+            raise JqUnsupported(f"pipe target must be a builtin, got {name!r}")
+        args = [value]
+        if self.peek()[1] == "(":
+            self.next()
+            while self.peek()[1] != ")":
+                args.append(self.parse_expr())
+                if self.peek()[1] == ";":
+                    self.next()
+            self.expect(")")
+        elif name not in _ZERO_ARG:
+            raise JqUnsupported(f"builtin {name!r} needs arguments")
+        return Call(name, args)
+
+    def parse_path(self) -> Path:
+        parts: list[str] = []
+        while self.peek()[1] == ".":
+            self.next()
+            kind, val = self.peek()
+            if kind == "ident":
+                self.next()
+                parts.append(val)
+            elif kind == "string":
+                self.next()
+                parts.append(_unquote(val))
+            else:
+                break
+        return Path(parts)
+
+    def parse_object(self) -> Obj:
+        self.expect("{")
+        pairs: list[tuple[str, Any]] = []
+        while self.peek()[1] != "}":
+            kind, val = self.peek()
+            if kind == "string":
+                self.next()
+                key = _unquote(val)
+            elif kind == "ident":
+                self.next()
+                key = val
+            else:
+                raise JqUnsupported(f"bad object key {val!r}")
+            if self.peek()[1] == ":":
+                self.next()
+                pairs.append((key, self.parse_expr()))
+            else:
+                # jq shorthand: {foo} == {foo: .foo}
+                pairs.append((key, Path([key])))
+            if self.peek()[1] == ",":
+                self.next()
+        self.expect("}")
+        return Obj(pairs, False)
+
+
+_JQ_TO_JSLT_FN = {
+    "length": "size",
+    "not": "not",
+    "tostring": "string",
+    "tonumber": "number",
+    "ascii_downcase": "lowercase",
+    "ascii_upcase": "uppercase",
+    "floor": "floor",
+    "ceil": "ceiling",
+    "round": "round",
+    "test": "test",
+    "join": "join",
+}
+
+
+class _JqCompiler(_Compiler):
+    def compile_bin(self, node: Bin) -> tuple[Column, Any]:
+        if node.op == "//":
+            left, lh = self.compile(node.left)
+            right, rh = self.compile(node.right)
+            # jq alternative: right when left is null or false
+            if lh == "bool":
+                keep = left.isNotNull() & left
+            else:
+                keep = left.isNotNull()
+            return F.when(keep, left).otherwise(right), lh or rh
+        return super().compile_bin(node)
+
+    def compile_call(self, node: Call) -> tuple[Column, Any]:
+        name = node.name
+        if name in _JQ_TO_JSLT_FN:
+            return super().compile_call(Call(_JQ_TO_JSLT_FN[name], node.args))
+        if name in ("ltrimstr", "rtrimstr"):
+            if len(node.args) != 2:
+                raise JqUnsupported(f"{name} takes one argument")
+            target, _ = self.compile(node.args[0])
+            s = node.args[1]
+            if not (isinstance(s, Lit) and isinstance(s.value, str)):
+                raise JqUnsupported(f"{name} needs a literal string")
+            lit, n = s.value, len(s.value)
+            if name == "ltrimstr":
+                col = F.when(
+                    target.startswith(lit),
+                    target.substr(F.lit(n + 1), F.length(target)),
+                ).otherwise(target)
+            else:
+                col = F.when(
+                    target.endswith(lit),
+                    target.substr(F.lit(1), F.length(target) - n),
+                ).otherwise(target)
+            return col, "string"
+        if name == "split":
+            if len(node.args) != 2:
+                raise JqUnsupported("split takes one argument")
+            target, _ = self.compile(node.args[0])
+            s = node.args[1]
+            if not (isinstance(s, Lit) and isinstance(s.value, str)):
+                raise JqUnsupported("split needs a literal string")
+            # jq split(s) splits on the LITERAL string, not a regex
+            return F.split(target, re.escape(s.value)), "array"
+        raise JqUnsupported(f"builtin {name!r}")
+
+
+def compile_jq_steps(script: str, rekey) -> Any:
+    """Parse ``script``; returns a function ``df -> DataFrame`` or raises
+    ``JqUnsupported``.  ``rekey`` is the _rekey_on_id hook applied when a
+    step (re)sets ``_id``."""
+    steps = _JqParser(_jq_tokenize(script)).parse_pipeline()
+
+    def apply(df: DataFrame) -> DataFrame:
+        out = df
+        for tag, payload in steps:
+            comp = _JqCompiler(out.schema, {})
+            if tag == "del":
+                out = out.drop(*[p.parts[0] for p in payload])
+                continue
+            if tag == "select":
+                out = out.filter(comp.compile(payload)[0])
+                continue
+            node = payload
+            if isinstance(node, Path) and not node.parts:
+                continue  # identity
+            if (isinstance(node, Bin) and node.op == "+"
+                    and isinstance(node.left, Path) and not node.left.parts
+                    and isinstance(node.right, Obj)):
+                for k, v in node.right.pairs:
+                    out = out.withColumn(k, comp.compile(v)[0])
+                if any(k == "_id" for k, _ in node.right.pairs):
+                    out = rekey(out)
+                continue
+            if isinstance(node, Obj):
+                out = out.select(*[comp.compile(v)[0].alias(k)
+                                   for k, v in node.pairs])
+                if "_id" in out.columns:
+                    out = rekey(out)
+                continue
+            raise JqUnsupported(
+                "pipe steps must be '.', '. + {..}', '{..}', del(..) or "
+                "select(..)"
+            )
+        return out
+
+    return apply

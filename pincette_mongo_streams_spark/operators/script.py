@@ -117,7 +117,17 @@ def _script_stage(kind: str, expression: Any, ctx: Context) -> StageFn:
         if native is not None:
             return _apply_added(df, native)
         if kind == "jq":
-            return _jq_udf(df, script)
+            # tier 1.5: the jq-subset compiler (pipes of steps, paths,
+            # operators, select/del, value-piped builtins) — native
+            # Columns, no UDF (operators/jq.py); the python jq binding
+            # (tier 2) only for scripts beyond the subset
+            from .jq import JqUnsupported, compile_jq_steps
+
+            try:
+                apply_steps = compile_jq_steps(script, _rekey_on_id)
+            except JqUnsupported:
+                return _jq_udf(df, script)
+            return apply_steps(df)
         # tier 1.5: the JSLT-subset compiler (paths, operators, if/else,
         # let, builtins) — native Columns, no UDF (operators/jslt.py)
         from .jslt import JsltUnsupported, compile_jslt

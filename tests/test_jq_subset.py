@@ -1,0 +1,92 @@
+"""The jq-subset compiler (operators/jq.py): pipeline-shaped jq filters
+compile to native DataFrame programs — steps (merge/rebuild/del/select),
+paths, operators, // alternative, if/then/else/end, value-piped
+builtins."""
+
+import pytest
+from pyspark.sql import Row
+
+from pincette_mongo_streams_spark import Context, compile_pipeline
+
+
+def _run(spark, script, rows=None, schema=None):
+    rows = rows or [Row(_id="0", name="Ada Lovelace", age=36,
+                        score=91.5, tags=["a", "b"], note=None)]
+    schema = schema or "_id string, name string, age long, score double, " \
+                       "tags array<string>, note string"
+    df = spark.createDataFrame(rows, schema)
+    out = compile_pipeline([{"$jq": script}], Context(spark=spark))(df)
+    return [r.asDict(recursive=True) for r in out.collect()]
+
+
+def test_merge_with_expressions(spark):
+    docs = _run(spark, '. + {up: (.name | ascii_upcase), next: .age + 1}')
+    d = docs[0]
+    assert d["up"] == "ADA LOVELACE" and d["next"] == 37
+    assert d["name"] == "Ada Lovelace"
+
+
+def test_rebuild_object_and_shorthand(spark):
+    docs = _run(spark, '{name, half: .score / 2}')
+    assert docs == [{"name": "Ada Lovelace", "half": 45.75}]
+
+
+def test_pipe_of_steps_del_select(spark):
+    rows = [Row(_id=str(i), kind=("err" if i % 2 else "ok"), v=i)
+            for i in range(6)]
+    docs = _run(spark, 'select(.kind == "ok") | . + {vv: .v * 10} | del(.kind)',
+                rows=rows, schema="_id string, kind string, v long")
+    assert [d["vv"] for d in docs] == [0, 20, 40]
+    assert "kind" not in docs[0]
+
+
+def test_alternative_operator(spark):
+    docs = _run(spark, '. + {n: (.note // "none"), a: (.age // 0)}')
+    assert docs[0]["n"] == "none" and docs[0]["a"] == 36
+
+
+def test_if_then_else_end(spark):
+    docs = _run(spark, '. + {grown: if .age >= 18 then "yes" else "no" end}')
+    assert docs[0]["grown"] == "yes"
+
+
+def test_value_piped_builtins(spark):
+    docs = _run(spark, """. + {
+        n: (.name | length),
+        words: (.name | split(" ") | length),
+        lo: (.name | ascii_downcase),
+        t: (.name | test("^Ada")),
+        joined: (.tags | join("-")),
+        trimmed: (.name | ltrimstr("Ada ")),
+        r: (.score | round),
+        s: (.age | tostring),
+        num: ("12.5" | tonumber)
+    }""")
+    d = docs[0]
+    assert d["n"] == 12 and d["words"] == 2
+    assert d["lo"] == "ada lovelace" and d["t"] is True
+    assert d["joined"] == "a-b" and d["trimmed"] == "Lovelace"
+    assert d["r"] == 92 and d["s"] == "36" and d["num"] == 12.5
+
+
+def test_split_is_literal_not_regex(spark):
+    rows = [Row(_id="0", s="a.b.c")]
+    docs = _run(spark, '. + {parts: (.s | split("."))}',
+                rows=rows, schema="_id string, s string")
+    assert docs[0]["parts"] == ["a", "b", "c"]
+
+
+def test_rekey_on_new_id(spark):
+    from pincette_mongo_streams_spark.operators.stateless import KEY_COL
+
+    rows = [Row(__key="0", _id="0", test=0)]
+    docs = _run(spark, '. + {_id: "9"}', rows=rows,
+                schema="__key string, _id string, test long")
+    assert docs[0]["_id"] == "9" and docs[0][KEY_COL] == "9"
+
+
+def test_unsupported_falls_to_tier2_boundary(spark):
+    # reduce/foreach are beyond the subset; without the python jq binding
+    # the tier-2 fallback raises its documented boundary
+    with pytest.raises(NotImplementedError, match="jq"):
+        _run(spark, 'reduce .tags[] as $t (0; . + 1)')
