@@ -1976,14 +1976,23 @@ _register(
     )
 )
 
-# --- $jq + $jslt chained ----------------------------------------------
+# --- $jq + $jslt chained (subset compilers: pipes/select + expressions)
 
 _register(
     "script_stages",
-    "SELECT r_regionkey, r_name, 1 AS flag, 2 AS flag2 FROM region",
+    """SELECT r_regionkey, r_name, 1 AS flag,
+              upper(r_name) || '-' || CAST(r_regionkey + 1 AS VARCHAR)
+                AS label
+       FROM region WHERE r_regionkey >= 1""",
 )(
-    _pipe("region", [{"$jq": '. + {"flag": 1}'},
-                     {"$jslt": '{"flag2": 2, *: .}'}])
+    _pipe(
+        "region",
+        [
+            {"$jq": '. + {flag: 1} | select(.r_regionkey >= 1)'},
+            {"$jslt": '{"label": uppercase(.r_name) + "-" + '
+                      'string(.r_regionkey + .flag), *: .}'},
+        ],
+    )
 )
 
 # --- conditional + date + ISO/bitwise expressions on orders -----------

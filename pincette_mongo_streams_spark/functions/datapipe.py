@@ -207,18 +207,23 @@ def minhash_stage(expression: Any, ctx: Context) -> StageFn:
 def minhash_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     """Near-dup removal via MinHash + LSH banding.
 
-    ``{input, id, shingle, numHashes, bands}`` — docs sharing any band
-    bucket are candidate duplicates; within a bucket only the min-``id``
-    doc survives.  This is the scale path: explode to (band, bucket-hash)
-    pairs, one groupBy over buckets, one semi-join back — never a pairwise
-    O(n²) comparison.  (Bucket-transitive pruning is slightly more
-    aggressive than exact pairwise Jaccard >= t — standard LSH behavior.)
+    ``{input, id, shingle, numHashes, bands, verify?}`` — docs sharing
+    any band bucket are candidate duplicates; within a bucket only the
+    min-``id`` doc survives.  This is the scale path: explode to (band,
+    bucket-hash) pairs, one groupBy over buckets, one semi-join back —
+    never a pairwise O(n²) comparison.  Bucket-transitive pruning is
+    slightly more aggressive than exact pairwise Jaccard >= t (standard
+    LSH); ``verify: <threshold>`` adds an exact-Jaccard check on each
+    (bucket keeper, member) candidate pair — only pairs whose TRUE
+    shingle Jaccard reaches the threshold are dropped, at the cost of one
+    extra candidate-sized join (candidates are bucket-bounded, not n²).
     """
     inp = expression["input"]
     id_field = expression.get("id", "_id")
     n = int(expression.get("shingle", 3))
     num = int(expression.get("numHashes", 32))
     bands = int(expression.get("bands", 8))
+    verify = expression.get("verify")
     rows_per_band = num // bands
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
@@ -239,12 +244,30 @@ def minhash_dedup_stage(expression: Any, ctx: Context) -> StageFn:
         )
         # min doc id per bucket survives; every other bucket member is a dup
         keepers = buckets.groupBy("__bucket").agg(F.min("__did").alias("__keep"))
-        dups = (
+        cands = (
             buckets.join(keepers, "__bucket")
             .filter(F.col("__did") != F.col("__keep"))
-            .select(F.col("__did"))
+            .select("__did", "__keep")
             .distinct()
         )
+        if verify is not None:
+            # exact-Jaccard confirmation per candidate pair over the true
+            # shingle sets — candidate-sized work, not all-pairs
+            sh = df.select(F.col(id_field).alias("__vid"),
+                           word_shingles(text, n).alias("__vsh"))
+            sa = sh.select(F.col("__vid").alias("__did"),
+                           F.col("__vsh").alias("__sha"))
+            sb = sh.select(F.col("__vid").alias("__keep"),
+                           F.col("__vsh").alias("__shb"))
+            inter = F.size(F.array_intersect("__sha", "__shb"))
+            cands = (
+                cands.join(sa, "__did").join(sb, "__keep")
+                .filter(
+                    inter / (F.size("__sha") + F.size("__shb") - inter)
+                    >= float(verify)
+                )
+            )
+        dups = cands.select(F.col("__did")).distinct()
         return with_sig.join(
             dups, with_sig[id_field] == dups["__did"], "left_anti"
         ).drop("__sig")

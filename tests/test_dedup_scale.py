@@ -53,6 +53,32 @@ def test_ngram_cap_drops_hot_only_candidates(spark):
     assert _ngram(spark, rows, maxShingleDf=4) == [0, 1, 2, 3, 4]
 
 
+def test_minhash_dedup_verify_rescues_false_positives(spark):
+    """LSH bucket-transitive pruning over-drops; {verify: t} confirms
+    each (keeper, member) candidate with exact shingle Jaccard before
+    dropping — true near-dups still dedup, low-overlap bucket collisions
+    survive."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),   # near-dup of 1
+        (3, "alpha completely different words here now okay fine"),
+    ]
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+    def run(**opts):
+        p = [{"$minhashDedup": {"input": "$text", "id": "doc_id",
+                                "shingle": 1, "numHashes": 32, "bands": 32,
+                                **opts}}]
+        out = compile_pipeline(p, Context(spark=spark))(df)
+        return sorted(r.doc_id for r in out.collect())
+
+    # single-row bands: doc 3 shares one word with doc 1 -> bucket collision
+    assert run() == [1]                 # unverified over-drops doc 3
+    assert run(verify=0.5) == [1, 3]    # verified keeps it, still drops 2
+
+
 def _embed(spark, n_rows, **opts):
     df = spark.createDataFrame(
         [Row(vec_id=i, embedding=[float(i % 3), 1.0, 2.0]) for i in range(n_rows)]
