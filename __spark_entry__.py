@@ -1397,11 +1397,25 @@ _register(
                           WHEN hits_fr = best THEN 'fr'
                           WHEN hits_es = best THEN 'es'
                           ELSE 'und' END AS lang_pred
-              FROM b)
-        SELECT doc_id, quality,
-               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
-                 AS n_ws
-        FROM l WHERE lang_pred = 'en'""",
+              FROM b),
+        sel AS (SELECT doc_id, quality,
+                       CAST(len(string_split_regex(trim(text), '\\s+'))
+                            AS BIGINT) AS n_ws
+                FROM l WHERE lang_pred = 'en'),
+        hashed AS (SELECT *,
+                          ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                                          1, 15))::BIGINT % 1000000 AS h,
+                          coalesce(sum(n_ws) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS off
+                   FROM sel)
+        SELECT doc_id, quality, n_ws,
+               CASE WHEN h < 800000 THEN 'train'
+                    WHEN h < 900000 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(floor(off / 512) AS BIGINT) AS pack,
+               CAST(off % 512 AS BIGINT) AS pack_offset
+        FROM hashed""",
 )(
     _pipe(
         "documents",
@@ -1412,7 +1426,14 @@ _register(
             {"$match": {"lang_pred": "en"}},
             {"$tokenCount": {"input": "$text", "as": "n_ws",
                              "mode": "whitespace"}},
-            {"$project": {"doc_id": 1, "quality": 1, "n_ws": 1}},
+            {"$datasetSplit": {"id": "$doc_id",
+                               "weights": {"train": 0.8, "val": 0.1,
+                                           "test": 0.1},
+                               "as": "split", "seed": 42}},
+            {"$packSequences": {"tokens": "$n_ws", "budget": 512,
+                                "sortBy": {"doc_id": 1}, "as": "pack"}},
+            {"$project": {"doc_id": 1, "quality": 1, "n_ws": 1,
+                          "split": 1, "pack": 1, "pack_offset": 1}},
         ],
     )
 )

@@ -921,6 +921,92 @@ def bm25_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$datasetSplit")
+def dataset_split_stage(expression: Any, ctx: Context) -> StageFn:
+    """Deterministic train/val/test assignment:
+    ``{id, weights: {name: w, ...}, as, seed}``.
+
+    A document's bucket is the first name whose cumulative weight range
+    contains ``md5_long(seed:id) % 1e6`` — reproducible across runs and
+    engines (md5 is portable, unlike engine-native hashes), and stable
+    under corpus growth: assignment depends only on the row's own id,
+    never on other rows.  Map-only — scales trivially."""
+    id_expr = expression.get("id", "$_id")
+    weights: dict = expression["weights"]
+    as_field = expression.get("as", "split")
+    seed = int(expression.get("seed", 0))
+    if not weights:
+        raise ValueError("$datasetSplit needs non-empty weights")
+    total = float(sum(weights.values()))
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        idc = compile_expr(id_expr, ExprContext(schema=df.schema)).cast("string")
+        h = md5_long(idc, seed) % F.lit(1_000_000)
+        col = None
+        cum = 0.0
+        names = list(weights)
+        for name in names[:-1]:
+            cum += float(weights[name]) / total
+            cond = h < F.lit(int(round(cum * 1_000_000)))
+            col = F.when(cond, name) if col is None else col.when(cond, name)
+        col = names[-1] if col is None else col.otherwise(names[-1])
+        return df.withColumn(as_field, F.lit(col) if isinstance(col, str) else col)
+
+    return fn
+
+
+@register_stage("$packSequences")
+def pack_sequences_stage(expression: Any, ctx: Context) -> StageFn:
+    """Concatenate-then-chunk layout for LLM pretraining shards:
+    ``{tokens, budget, sortBy, as, partitionBy?}``.
+
+    Documents are laid out in ``sortBy`` order and the running token
+    offset assigns ``as = floor(offset / budget)`` plus
+    ``<as>_offset = offset % budget`` — the standard "concatenate all
+    text, cut every N tokens" pretraining pipeline, expressed as ONE
+    window cumulative sum.  With ``partitionBy`` the layout is per shard
+    (chunk ids repeat per shard — combine (shard, chunk) downstream) and
+    the window shuffles once on the shard key: scales.  Without it the
+    global order serializes the cumsum to a single partition — the same
+    documented caveat as ordered ``$per`` (SCALE.md §5)."""
+    tokens_expr = expression["tokens"]
+    budget = int(expression["budget"])
+    as_field = expression.get("as", "pack")
+    part = expression.get("partitionBy")
+    sort_by = expression.get("sortBy")
+    if budget <= 0:
+        raise ValueError("$packSequences needs a positive budget")
+    if not sort_by:
+        raise ValueError("$packSequences needs sortBy (deterministic layout)")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from pyspark.sql import Window
+
+        ectx = ExprContext(schema=df.schema)
+        t = compile_expr(tokens_expr, ectx).cast("long")
+        order_cols = [
+            F.col(k).asc() if d >= 0 else F.col(k).desc()
+            for k, d in sort_by.items()
+        ]
+        base = (
+            Window.partitionBy(compile_expr(part, ectx))
+            if part is not None
+            else Window
+        )
+        w = base.orderBy(*order_cols).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        off = F.coalesce(F.sum(t).over(w), F.lit(0))
+        tagged = df.withColumn("__off", off)
+        return (
+            tagged.withColumn(as_field, (F.col("__off") / budget).cast("long"))
+            .withColumn(f"{as_field}_offset", F.col("__off") % budget)
+            .drop("__off")
+        )
+
+    return fn
+
+
 @register_stage("$fingerprint")
 def fingerprint_stage(expression: Any, ctx: Context) -> StageFn:
     """Normalized content fingerprint: ``{input, as}`` = md5 of

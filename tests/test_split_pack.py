@@ -1,0 +1,81 @@
+"""$datasetSplit (deterministic hash split) and $packSequences
+(concatenate-then-chunk token layout) — the train/val/test + shard-pack
+half of a training-data pipeline."""
+
+import pytest
+from pyspark.sql import Row
+
+from pincette_mongo_streams_spark import Context, compile_pipeline
+
+
+def _df(spark, n=1000):
+    return spark.createDataFrame(
+        [Row(doc_id=i, n_tok=(i % 50) + 1) for i in range(n)]
+    )
+
+
+def test_dataset_split_proportions_and_determinism(spark):
+    pipeline = [{"$datasetSplit": {"id": "$doc_id",
+                                   "weights": {"train": 0.8, "val": 0.1,
+                                               "test": 0.1},
+                                   "as": "split", "seed": 7}}]
+    out = compile_pipeline(pipeline, Context(spark=spark))(_df(spark))
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] == pytest.approx(800, abs=60)
+    assert counts["val"] == pytest.approx(100, abs=40)
+    # determinism: same seed -> identical assignment; the assignment of a
+    # doc must not depend on the rest of the corpus (prefix run agrees)
+    again = compile_pipeline(pipeline, Context(spark=spark))(_df(spark))
+    assert (out.exceptAll(again).count() == 0
+            and again.exceptAll(out).count() == 0)
+    prefix = compile_pipeline(pipeline, Context(spark=spark))(_df(spark, 100))
+    full = {r.doc_id: r.split for r in out.collect()}
+    assert all(full[r.doc_id] == r.split for r in prefix.collect())
+
+
+def test_dataset_split_seed_changes_assignment(spark):
+    def run(seed):
+        p = [{"$datasetSplit": {"id": "$doc_id",
+                                "weights": {"a": 0.5, "b": 0.5},
+                                "as": "s", "seed": seed}}]
+        return {r.doc_id: r.s
+                for r in compile_pipeline(p, Context(spark=spark))(_df(spark)).collect()}
+
+    assert run(1) != run(2)
+
+
+def test_pack_sequences_chunk_layout(spark):
+    rows = [Row(doc_id=i, n_tok=t) for i, t in
+            enumerate([100, 200, 300, 250, 150, 400])]
+    df = spark.createDataFrame(rows)
+    pipeline = [{"$packSequences": {"tokens": "$n_tok", "budget": 500,
+                                    "sortBy": {"doc_id": 1}, "as": "pack"}}]
+    out = compile_pipeline(pipeline, Context(spark=spark))(df)
+    got = {r.doc_id: (r.pack, r.pack_offset)
+           for r in out.collect()}
+    # offsets: 0,100,300,600,850,1000 -> chunks 0,0,0,1,1,2
+    assert got == {0: (0, 0), 1: (0, 100), 2: (0, 300),
+                   3: (1, 100), 4: (1, 350), 5: (2, 0)}
+
+
+def test_pack_sequences_per_shard_no_global_sort(spark):
+    from pyspark.sql import functions as F
+
+    df = _df(spark).withColumn("shard", F.col("doc_id") % 4)
+    pipeline = [{"$packSequences": {"tokens": "$n_tok", "budget": 256,
+                                    "sortBy": {"doc_id": 1},
+                                    "partitionBy": "$shard", "as": "pack"}}]
+    out = compile_pipeline(pipeline, Context(spark=spark))(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan  # sharded: no global-order window
+    # every (shard, pack) holds at most budget tokens at chunk boundaries:
+    # offsets within a chunk stay below budget
+    assert out.filter(F.col("pack_offset") >= 256).count() == 0
+
+
+def test_pack_sequences_requires_sort(spark):
+    with pytest.raises(ValueError, match="sortBy"):
+        compile_pipeline(
+            [{"$packSequences": {"tokens": "$n_tok", "budget": 10}}],
+            Context(spark=spark))(_df(spark))
