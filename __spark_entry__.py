@@ -2450,6 +2450,44 @@ def _ann_indexed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _register("ann_indexed", None)(_ann_indexed_query)
 
+# --- $vectorNormalize + $vectorQuantize round trip --------------------
+# (registered past the driver window; verified by the local oracle
+# mirror and tests/test_vector_quant.py)
+
+_register(
+    "vector_quantize",
+    f"""WITH v AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE))
+                            AS e
+                   FROM embeddings),
+        n AS (SELECT vec_id,
+                     list_transform(e, x -> x / sqrt(list_sum(
+                         list_transform(e, y -> y * y)))) AS u
+              FROM v),
+        s AS (SELECT vec_id, u,
+                     list_max(list_transform(u, x -> abs(x))) / 127.0
+                       AS scale
+              FROM n)
+        SELECT vec_id, {_r("scale", 9)} AS scale,
+               to_json(list_transform(u, x ->
+                   CAST(floor(x / scale + 0.5) AS INT)))::VARCHAR AS q
+        FROM s""",
+)(
+    _json_cols(
+        _pipe(
+            "embeddings",
+            [
+                {"$vectorNormalize": {"input": "$embedding", "as": "u"}},
+                {"$vectorQuantize": {"input": "$u", "as": "qv", "bits": 8}},
+                {"$project": {"vec_id": 1,
+                              "scale": {"$round": ["$qv.scale", 9]},
+                              "q": "$qv.q"}},
+            ],
+        ),
+        "q",
+    )
+)
+
 # --- $decodeMedia + $frameSample chained ------------------------------
 
 
