@@ -840,14 +840,23 @@ def lang_id_stage(expression: Any, ctx: Context) -> StageFn:
     def fn(df: DataFrame, c: Context) -> DataFrame:
         text = compile_expr(inp, ExprContext(schema=df.schema))
         words = F.split(F.lower(text), "[^a-z]+")
-        scores = {lang: _stopword_hits(words, lang) for lang in _STOPWORDS}
+        # materialize the hit counts ONCE in an intermediate projection:
+        # HOFs are interpreted (no codegen CSE), and the argmax when-chain
+        # references each score ~6x — inlined, that re-runs split+filter
+        # ~24x per row.  CollapseProject keeps non-cheap expressions in
+        # their own project, so the struct evaluates once.
+        hits = F.struct(*[
+            _stopword_hits(words, lang).alias(lang) for lang in _STOPWORDS
+        ])
+        tmp = df.withColumn("__lang_hits", hits)
+        scores = {lang: F.col(f"__lang_hits.{lang}") for lang in _STOPWORDS}
         best = F.greatest(*scores.values())
         expr = F.lit("und")
         # deterministic tie-break: language order en,de,fr,es (first wins)
         for lang in reversed(list(_STOPWORDS)):
             expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
         expr = F.when(best <= 0, F.lit("und")).otherwise(expr)
-        return df.withColumn(as_field, expr)
+        return tmp.withColumn(as_field, expr).drop("__lang_hits")
 
     return fn
 
