@@ -2450,6 +2450,29 @@ def _ann_indexed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _register("ann_indexed", None)(_ann_indexed_query)
 
+# --- $scrubText PII scrubbing (past-window; local oracle mirror) ------
+
+_register(
+    "scrub_text",
+    r"""SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+               '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS clean
+       FROM documents""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$scrubText": {"input": "$text", "as": "clean"}},
+            {"$project": {"doc_id": 1, "clean": 1}},
+        ],
+    )
+)
+
 # --- $vectorNormalize + $vectorQuantize round trip --------------------
 # (registered past the driver window; verified by the local oracle
 # mirror and tests/test_vector_quant.py)

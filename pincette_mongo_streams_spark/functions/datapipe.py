@@ -995,6 +995,46 @@ def bm25_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+# ordered scrub rules: name -> (regex, replacement token).  Emails before
+# URLs (an email's domain must not be half-matched as a URL), URLs before
+# phone-ish digit runs.
+SCRUB_RULES: list[tuple[str, tuple[str, str]]] = [
+    ("email", (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+               "<EMAIL>")),
+    ("url", (r"https?://[^\s]+", "<URL>")),
+    ("ip", (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>")),
+    ("phone", (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>")),
+]
+
+
+@register_stage("$scrubText")
+def scrub_text_stage(expression: Any, ctx: Context) -> StageFn:
+    """PII scrubbing for training corpora: ``{input, as, rules?}`` —
+    emails, URLs, IPs and phone-number-shaped digit runs are replaced by
+    placeholder tokens, in a fixed rule order (emails before URLs before
+    digit runs, so one entity is never half-matched by a later rule).
+    ``rules`` selects a subset by name.  A chain of native
+    ``regexp_replace`` calls: map-only, scales."""
+    inp = expression["input"]
+    as_field = expression.get("as", "text")
+    selected = expression.get("rules")
+    rules = [
+        (name, rx, tok) for name, (rx, tok) in SCRUB_RULES
+        if selected is None or name in selected
+    ]
+    if selected is not None and len(rules) != len(selected):
+        known = [n for n, _ in SCRUB_RULES]
+        raise ValueError(f"$scrubText: unknown rule in {selected}; known: {known}")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        col = compile_expr(inp, ExprContext(schema=df.schema))
+        for _name, rx, tok in rules:
+            col = F.regexp_replace(col, rx, tok)
+        return df.withColumn(as_field, col)
+
+    return fn
+
+
 @register_stage("$datasetSplit")
 def dataset_split_stage(expression: Any, ctx: Context) -> StageFn:
     """Deterministic train/val/test assignment:
