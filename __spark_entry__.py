@@ -1784,8 +1784,9 @@ _register(
 
 
 def _media_embed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only gate (the xxhash64-derived stub embedding has no concise
-    SQL twin); determinism + ANN composition are pytest-covered."""
+    """Hard-signal gate: the md5-derived stub embedding has an exact DuckDB
+    twin.  Components are integer-encoded (×1000, exact in FP) so the JSON
+    comparison is integer-only — double formatting never enters the hash."""
     tables = _load(spark, sf_dir)
     docs = tables["documents"].withColumn("content", F.encode(F.col("text"), "UTF-8"))
     ctx = Context(spark=spark)
@@ -1794,11 +1795,24 @@ def _media_embed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"$project": {"doc_id": 1, "emb": 1}},
     ]
     out = compile_pipeline(pipeline, ctx)(docs)
-    # JSON-serialize the vector: the driver canonicalizer can't hash lists
-    return out.withColumn("emb", F.to_json(F.col("emb")))
+    # integer-encode: emb[d] = (h_d % 2000)/1000 - 1 → ×1000 is an integer
+    return out.withColumn(
+        "emb",
+        F.to_json(F.transform(
+            F.col("emb"),
+            lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"),
+        )),
+    )
 
 
-_register("media_embed", None)(_media_embed_query)
+_register(
+    "media_embed",
+    """SELECT doc_id,
+              to_json([(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || text),
+                                        1, 15))::BIGINT % 2000) - 1000
+                       FOR d IN range(0, 16)])::VARCHAR AS emb
+       FROM documents""",
+)(_media_embed_query)
 
 
 def _decode_media_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2436,19 +2450,58 @@ FROM sig JOIN sim USING (doc_id)""",
     )
 )
 
-# --- $annLshSearch + $annIvfSearch (rows-only: approximate by nature) --
+# --- $annLshSearch + $annIvfSearch, exact-mode configurations ---------
+# LSH with bits=1, probes=2 probes BOTH buckets; IVF with nprobe == nlist
+# probes every cell — each degrades to exact brute force (pytest-proven,
+# tests/test_multimodal.py), so the brute-force top-k SQL is a hard
+# oracle.  The approximate configurations stay registered past the window
+# (ann_lsh_search / ann_ivf_search) with recall pinned in pytest.
 
 
 def _ann_indexed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lsh = _REGISTRY["ann_lsh_search"][0](spark, sf_dir)
-    ivf = _REGISTRY["ann_ivf_search"][0](spark, sf_dir)
+    tables = _load(spark, sf_dir)
+    queries = tables["embeddings"].filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    ctx = Context(spark=spark, collections={"queries": queries})
+    project = {"$project": {"query_id": 1, "corpus_id": 1,
+                            "score": {"$round": ["$score", 4]},
+                            "rank": {"$toLong": "$rank"}}}
+    lsh = compile_pipeline([
+        {"$annLshSearch": {"queries": "queries", "input": "$embedding",
+                           "id": "vec_id", "k": 5, "bits": 1, "dim": 64,
+                           "probes": 2}},
+        project,
+    ], ctx)(tables["embeddings"])
+    ivf = compile_pipeline([
+        {"$annIvfSearch": {"queries": "queries", "input": "$embedding",
+                           "id": "vec_id", "k": 5, "nlist": 8, "nprobe": 8}},
+        project,
+    ], ctx)(tables["embeddings"])
     return lsh.select(F.lit("lsh").alias("method"), "query_id", "corpus_id",
                       "score", "rank").unionByName(
         ivf.select(F.lit("ivf").alias("method"), "query_id", "corpus_id",
                    "score", "rank"))
 
 
-_register("ann_indexed", None)(_ann_indexed_query)
+_register(
+    "ann_indexed",
+    f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+s AS (SELECT query_id, v.vec_id AS corpus_id,
+             list_cosine_similarity(v.e, qe) AS sc
+      FROM v CROSS JOIN q),
+r AS (SELECT query_id, corpus_id, {_r("sc", 4)} AS score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sc DESC, corpus_id) AS rank
+      FROM s),
+t AS (SELECT query_id, corpus_id, score, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= 5)
+SELECT 'lsh' AS method, query_id, corpus_id, score, rank FROM t
+UNION ALL
+SELECT 'ivf' AS method, query_id, corpus_id, score, rank FROM t""",
+)(_ann_indexed_query)
 
 # --- $scrubText PII scrubbing (past-window; local oracle mirror) ------
 

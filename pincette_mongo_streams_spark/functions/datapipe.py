@@ -1260,19 +1260,27 @@ def media_embed_stage(expression: Any, ctx: Context) -> StageFn:
     ``{input, dim, as}`` -> ``array<double>`` in [-1, 1).
 
     Stub featurizer (this container has no image/audio models): dimension
-    d = seeded xxhash64 of the bytes — deterministic, JVM-native, and
-    shaped exactly like a real model's output so it composes with
-    $annTopK/$annLsh/$embedDedup.  A real encoder replaces the hash with
-    an Arrow-batched mapInPandas model call behind the same schema.
+    d = the same 60-bit md5 derivation as ``md5_long`` over ``d:bytes`` —
+    deterministic, JVM-native, reproducible in any SQL engine with md5
+    (``(('0x'||substr(md5(d||':'||x),1,15))::BIGINT % 2000)/1000 - 1`` in
+    DuckDB), and shaped exactly like a real model's output so it composes
+    with $annTopK/$annLsh/$embedDedup.  A real encoder replaces the hash
+    with an Arrow-batched mapInPandas model call behind the same schema.
     """
     inp = expression["input"]
     dim = int(expression.get("dim", 16))
     as_field = expression.get("as", "embedding")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
-        data = compile_expr(inp, ExprContext(schema=df.schema))
+        data = compile_expr(inp, ExprContext(schema=df.schema)).cast("binary")
         comps = [
-            (F.pmod(F.xxhash64(F.lit(d), data), F.lit(2000)) / 1000.0 - 1.0)
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.encode(F.lit(f"{d}:"), "UTF-8"), data)),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long") % 2000 / 1000.0 - 1.0
             for d in range(dim)
         ]
         return df.withColumn(as_field, F.array(*comps))
