@@ -80,13 +80,27 @@ def _emit_side_output(df: DataFrame, c: Context,
             c.send(t, str(doc.get("_id", "")), doc)
 
 
+def _pin_once(df: DataFrame, c: Context) -> DataFrame:
+    """Side-output stages evaluate their input twice — once for the emit
+    action, once for the returned passthrough/drop filter.  A
+    nondeterministic or re-read source could disagree between the two
+    evaluations (row delivered AND retained, or dropped without being
+    sent), so truncate lineage with a lazy localCheckpoint: the first
+    action materializes the split input exactly once and both sides read
+    the pinned copy.  Skipped when no producer is wired (the emit is a
+    no-op, so only one evaluation happens anyway)."""
+    if c.producer_factory is not None or c.producer is not None:
+        return df.localCheckpoint(eager=False)
+    return df
+
+
 @register_stage("$send")
 def send_stage(expression: Any, ctx: Context) -> StageFn:
     topic_expr = expression["topic"] if isinstance(expression, dict) else expression
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         topic = compile_expr(topic_expr, ExprContext(schema=df.schema))
-        tagged = df.withColumn("__topic", topic.cast("string"))
+        tagged = _pin_once(df.withColumn("__topic", topic.cast("string")), c)
         _emit_side_output(tagged.filter(F.col("__topic").isNotNull()), c, ())
         # messages with a resolvable topic are dropped (Send.java:36-68)
         return tagged.filter(F.col("__topic").isNull()).drop("__topic")
@@ -119,7 +133,9 @@ def delay_stage(expression: Any, ctx: Context) -> StageFn:
         ectx = ExprContext(schema=df.schema)
         duration = compile_expr(duration_expr, ectx).try_cast("long")
         topic = compile_expr(topic_expr, ectx).try_cast("string")
-        tagged = df.withColumn("__dur", duration).withColumn("__topic", topic)
+        tagged = _pin_once(
+            df.withColumn("__dur", duration).withColumn("__topic", topic), c
+        )
         valid = F.col("__dur").isNotNull() & F.col("__topic").isNotNull()
         to_send = tagged.filter(valid)
         if delay_topic is not None:
@@ -150,11 +166,12 @@ def delay_release_stage(expression: Any, ctx: Context) -> StageFn:
     def fn(df: DataFrame, c: Context) -> DataFrame:
         now_ms = int(c.clock() * 1000)
         due = F.col("deliverAt") <= F.lit(now_ms)
-        to_send = df.filter(due).select(
+        pinned = _pin_once(df, c)
+        to_send = pinned.filter(due).select(
             F.col("topic").alias("__topic"), F.col("doc.*")
         )
         _emit_side_output(to_send, c, ())
-        return df.filter(~due)
+        return pinned.filter(~due)
 
     return fn
 
@@ -410,7 +427,12 @@ def _ssl_client_context(spec: dict, state: dict):
     import ssl
 
     path = spec.get("keyStore") or spec.get("certFile")
-    mtime = os.stat(path).st_mtime if path and os.path.exists(path) else None
+    # cache key covers every file the context is built from: rotating the
+    # trustStore CA bundle must invalidate too, not just the key store
+    mtime = tuple(
+        os.stat(p).st_mtime if p and os.path.exists(p) else None
+        for p in (path, spec.get("trustStore"))
+    )
     if state.get("ctx") is not None and state.get("mtime") == mtime:
         return state["ctx"]
     sctx = ssl.create_default_context()

@@ -47,6 +47,7 @@ from .jslt import (
     _Compiler,
     _unquote,
 )
+from .stateless import KEY_COL
 
 
 class JqUnsupported(Exception):
@@ -388,8 +389,13 @@ def compile_jq_steps(script: str, rekey) -> Any:
                     out = rekey(out)
                 continue
             if isinstance(node, Obj):
-                out = out.select(*[comp.compile(v)[0].alias(k)
-                                   for k, v in node.pairs])
+                # a rebuild replaces the DOCUMENT, not the message key:
+                # carry engine-internal key column through (as $project/
+                # $replaceWith do — stateless.py:185,255), then re-derive
+                # it only when the rebuild changed `_id`
+                keep = [F.col(c) for c in (KEY_COL,) if c in out.columns]
+                out = out.select(*keep, *[comp.compile(v)[0].alias(k)
+                                          for k, v in node.pairs])
                 if "_id" in out.columns:
                     out = rekey(out)
                 continue

@@ -44,7 +44,7 @@ _TOKEN = re.compile(
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<number>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<op>==|!=|<=|>=|\*:|[-+*/<>(){}\[\],:.$=])
-  | (?P<ident>[A-Za-z_][A-Za-z0-9_-]*)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.X,
 )
@@ -176,10 +176,21 @@ class _Parser:
 
     def parse_add(self) -> Any:
         node = self.parse_mul()
-        while self.peek()[1] in ("+", "-"):
-            op = self.next()[1]
-            node = Bin(op, node, self.parse_mul())
-        return node
+        while True:
+            kind, val = self.peek()
+            if val in ("+", "-"):
+                op = self.next()[1]
+                node = Bin(op, node, self.parse_mul())
+                continue
+            # unspaced subtraction: `.score-1` lexes the right side as the
+            # negative number -1 (JSLT parses this as subtraction)
+            if kind == "number" and val.startswith("-"):
+                self.next()
+                lit = Lit(float(val[1:]) if any(c in val for c in ".eE")
+                          else int(val[1:]))
+                node = Bin("-", node, lit)
+                continue
+            return node
 
     def parse_mul(self) -> Any:
         node = self.parse_unary()
@@ -355,7 +366,11 @@ class _Compiler:
             return F.lit(node.value), hint
         if isinstance(node, Path):
             if not node.parts:
-                return (F.struct(*[F.col(c) for c in self.schema.fieldNames()]),
+                # whole-document value: engine-internal columns (`__key`
+                # after $setKey, `__`-reserved) are not part of the user
+                # document — mirror $send/$delay's doc construction
+                return (F.struct(*[F.col(c) for c in self.schema.fieldNames()
+                                   if not c.startswith("__")]),
                         _UNKNOWN)
             dt = self.field_type(node.parts)
             if dt is None:

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..context import Context
 from ..expressions import _lit_deep
 from ..pipeline import StageFn, register_stage
-from .stateless import _rekey_on_id
+from .stateless import KEY_COL, _rekey_on_id
 
 _JQ_ADD = re.compile(r"^\s*\.\s*\+\s*(\{.*\})\s*$", re.S)
 _JQ_IDENTITY = re.compile(r"^\s*\.\s*$")
@@ -146,7 +146,11 @@ def _script_stage(kind: str, expression: Any, ctx: Context) -> StageFn:
                 for k, v in added.items():
                     out = out.withColumn(k, v)
                 return _rekey_on_id(out) if "_id" in added else out
-            out = frame.select(*projected)
+            # a projecting template replaces the document, not the message
+            # key — carry the internal key column through (as $project
+            # does, stateless.py:185), then rekey only if `_id` changed
+            keep = [F.col(c) for c in (KEY_COL,) if c in frame.columns]
+            out = frame.select(*keep, *projected)
             return _rekey_on_id(out) if "_id" in out.columns else out
 
         return apply(df)

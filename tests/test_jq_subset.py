@@ -90,3 +90,26 @@ def test_unsupported_falls_to_tier2_boundary(spark):
     # the tier-2 fallback raises its documented boundary
     with pytest.raises(NotImplementedError, match="jq"):
         _run(spark, 'reduce .tags[] as $t (0; . + 1)')
+
+
+def test_rebuild_preserves_message_key(spark):
+    """A `{..}` rebuild replaces the document, not the message key: the
+    internal __key column survives; it is only re-derived when `_id`
+    changed (ADVICE r2 medium)."""
+    from pincette_mongo_streams_spark.operators.stateless import KEY_COL
+
+    rows = [Row(__key="k7", _id="0", name="x", v=1)]
+    schema = "__key string, _id string, name string, v long"
+    docs = _run(spark, '{name, vv: .v + 1}', rows=rows, schema=schema)
+    assert docs == [{KEY_COL: "k7", "name": "x", "vv": 2}]
+    # _id in the rebuild -> rekey from the new _id
+    docs = _run(spark, '{_id: "9", name}', rows=rows, schema=schema)
+    assert docs[0][KEY_COL] == "9" and docs[0]["_id"] == "9"
+
+
+def test_whole_document_value_excludes_internal_columns(spark):
+    """`.` as a VALUE must not embed engine-internal columns (ADVICE r2)."""
+    rows = [Row(__key="k7", _id="0", v=1)]
+    schema = "__key string, _id string, v long"
+    docs = _run(spark, '. + {copy: .}', rows=rows, schema=schema)
+    assert docs[0]["copy"] == {"_id": "0", "v": 1}

@@ -89,3 +89,27 @@ def test_rekey_on_new_id(spark):
 def test_unsupported_raises_jvm_boundary(spark):
     with pytest.raises(NotImplementedError, match="JSLT outside"):
         _run(spark, 'for (.tags) { "t": . }')
+
+
+def test_projecting_template_preserves_message_key(spark):
+    """A spread-less template replaces the document, not the message key
+    (ADVICE r2 medium)."""
+    from pincette_mongo_streams_spark.operators.stateless import KEY_COL
+
+    rows = [Row(__key="k7", _id="0", test=5)]
+    docs = _run(spark, '{"t": .test + 1}', rows=rows,
+                schema="__key string, _id string, test long")
+    assert docs == [{KEY_COL: "k7", "t": 6}]
+
+
+def test_whole_document_value_excludes_internal_columns(spark):
+    rows = [Row(__key="k7", _id="0", test=5)]
+    docs = _run(spark, '{"doc": ., *: .}', rows=rows,
+                schema="__key string, _id string, test long")
+    assert docs[0]["doc"] == {"_id": "0", "test": 5}
+
+
+def test_unspaced_subtraction(spark):
+    """`.score-1` is subtraction, not a path named `score-1` (ADVICE r2)."""
+    docs = _run(spark, '{"down": .score-1, "up": .score+1}')
+    assert docs == [{"down": 90.5, "up": 92.5}]
