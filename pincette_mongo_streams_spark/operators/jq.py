@@ -23,9 +23,20 @@ Expressions: dot paths (absent -> null), literals, arrays/objects,
 PIPES inside parentheses — ``(.name | ascii_downcase)``,
 ``(.text | split(",") | length)`` — with builtins length, not, tostring,
 tonumber, floor, ceil, round, ascii_downcase, ascii_upcase, ltrimstr,
-rtrimstr, test, split (literal separator, as in jq), join.  Anything
-else raises ``JqUnsupported`` and script.py reports the tier-2 boundary
-(the real jq binding, import-gated).
+rtrimstr, test, split (literal separator, as in jq), join, and the
+array builtins add, min, max, first, last, reverse, sort, unique.
+
+Folds and bindings (r3) — all compiled to ``aggregate``/``transform``
+higher-order functions, no UDF:
+
+- ``reduce .xs[] as $x (INIT; UPD)`` (``.`` = accumulator in UPD)
+- ``[foreach .xs[] as $x (INIT; UPD)]`` — the collected running scan
+- ``map(f)`` (``.`` = element inside f)
+- ``EXPR as $x | <rest>`` step-level bindings (hidden-column backed) and
+  ``(EXPR as $x | BODY)`` expression-level bindings
+
+Anything else raises ``JqUnsupported`` and script.py reports the tier-2
+boundary (the real jq binding, import-gated).
 """
 
 from __future__ import annotations
@@ -38,13 +49,19 @@ from pyspark.sql import functions as F
 
 from .jslt import (
     Arr,
+    As,
     Bin,
     Call,
+    For,
+    Foreach,
     If,
     Lit,
     Obj,
     Path,
+    Reduce,
+    Var,
     _Compiler,
+    _schema_hint,
     _unquote,
 )
 from .stateless import KEY_COL
@@ -59,7 +76,7 @@ _JQ_TOKEN = re.compile(
     (?P<ws>\s+)
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<number>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
-  | (?P<op>==|!=|<=|>=|//|[-+*/<>(){}\[\],:.;|])
+  | (?P<op>==|!=|<=|>=|//|[-+*/<>(){}\[\],:.;|$])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.X,
@@ -82,7 +99,9 @@ def _jq_tokenize(src: str) -> list[tuple[str, str]]:
 
 # zero-argument builtins usable bare after a value pipe: `.x | length`
 _ZERO_ARG = {"length", "not", "tostring", "tonumber", "floor", "ceil",
-             "round", "ascii_downcase", "ascii_upcase"}
+             "round", "ascii_downcase", "ascii_upcase",
+             "add", "min", "max", "first", "last", "reverse", "sort",
+             "unique"}
 
 
 class _JqParser:
@@ -137,7 +156,20 @@ class _JqParser:
             cond = self.parse_expr()
             self.expect(")")
             return ("select", cond)
-        return ("expr", self.parse_expr())
+        node = self.parse_expr()
+        if self.peek() == ("ident", "as"):
+            # step-level binding: `EXPR as $x | <rest of pipeline>` —
+            # $x is visible to every later step
+            self.next()
+            return ("bind", (node, self.parse_var_name()))
+        return ("expr", node)
+
+    def parse_var_name(self) -> str:
+        self.expect("$")
+        kind, name = self.next()
+        if kind != "ident":
+            raise JqUnsupported("variable name must follow $")
+        return name
 
     # expressions ----------------------------------------------------
 
@@ -197,12 +229,29 @@ class _JqParser:
         if val == "(":
             self.next()
             node = self.parse_expr()
+            if self.peek() == ("ident", "as"):
+                # expression-level binding: (EXPR as $x | BODY)
+                self.next()
+                var = self.parse_var_name()
+                self.expect("|")
+                body = self.parse_expr()
+                while self.peek()[1] == "|":
+                    self.next()
+                    body = self.parse_piped_call(body)
+                self.expect(")")
+                return As(node, var, body)
             # value pipes: (x | f | g(a)) folds to g(f(x), a)
             while self.peek()[1] == "|":
                 self.next()
                 node = self.parse_piped_call(node)
             self.expect(")")
             return node
+        if val == "$":
+            self.next()
+            kind2, name = self.next()
+            if kind2 != "ident":
+                raise JqUnsupported("variable name must follow $")
+            return Var(name)
         if val == ".":
             return self.parse_path()
         if val == "[":
@@ -240,6 +289,27 @@ class _JqParser:
             if val == "null":
                 self.next()
                 return Lit(None)
+            if val in ("reduce", "foreach"):
+                # reduce SRC[] as $x (INIT; UPD) / foreach ... (collected)
+                self.next()
+                src = self.parse_primary()
+                if self.peek()[1] == "[":  # `.items[]` iteration suffix
+                    self.next()
+                    self.expect("]")
+                    if isinstance(src, Path) and not src.parts:
+                        raise JqUnsupported(
+                            "`.[]` over the whole document is not an array")
+                if self.peek() != ("ident", "as"):
+                    raise JqUnsupported(f"{val} needs `as $var`")
+                self.next()
+                var = self.parse_var_name()
+                self.expect("(")
+                init = self.parse_expr()
+                self.expect(";")
+                upd = self.parse_expr()
+                self.expect(")")
+                cls = Reduce if val == "reduce" else Foreach
+                return cls(src, var, init, upd)
         raise JqUnsupported(f"unsupported token {val!r}")
 
     def parse_piped_call(self, value: Any) -> Any:
@@ -259,11 +329,15 @@ class _JqParser:
         return Call(name, args)
 
     def parse_path(self) -> Path:
+        from .jslt import _RESERVED
+
         parts: list[str] = []
         while self.peek()[1] == ".":
             self.next()
             kind, val = self.peek()
-            if kind == "ident":
+            # keywords after a bare `.` belong to the surrounding grammar
+            # (`reduce .nums[] as $x (0; . + $x)`), not the path
+            if kind == "ident" and val not in _RESERVED:
                 self.next()
                 parts.append(val)
             elif kind == "string":
@@ -313,7 +387,20 @@ _JQ_TO_JSLT_FN = {
 }
 
 
+_JQVAR = "__jqvar_"  # hidden column prefix for step-level `as $x` bindings
+
+
 class _JqCompiler(_Compiler):
+    def compile(self, node: Any) -> tuple[Column, Any]:
+        # step-level bindings live in hidden __jqvar_* columns; lambda-
+        # scoped binds (reduce/map element vars) shadow them
+        if isinstance(node, Var) and node.name not in self.binds \
+                and node.name not in self.lets:
+            hidden = _JQVAR + node.name
+            if hidden in self.schema.fieldNames():
+                return F.col(hidden), _schema_hint(self.schema[hidden].dataType)
+        return super().compile(node)
+
     def compile_bin(self, node: Bin) -> tuple[Column, Any]:
         if node.op == "//":
             left, lh = self.compile(node.left)
@@ -328,6 +415,36 @@ class _JqCompiler(_Compiler):
 
     def compile_call(self, node: Call) -> tuple[Column, Any]:
         name = node.name
+        if name == "map":
+            # map(f) over an array: f sees `.` as the element — compile
+            # lazily as a For (F.transform), not via eager arg compile
+            if len(node.args) != 2:
+                raise JqUnsupported("map takes one argument")
+            return self.compile(For(node.args[0], node.args[1], None))
+        if name == "add":
+            if len(node.args) != 1:
+                raise JqUnsupported("add takes no arguments")
+            src, elem_dt = self.compile_seq(node.args[0])
+            return (
+                F.aggregate(src, F.lit(0.0), lambda acc, x: acc + x),
+                "number",
+            )
+        if name in ("min", "max", "first", "last", "reverse", "sort",
+                    "unique"):
+            if len(node.args) != 1:
+                raise JqUnsupported(f"{name} takes no arguments")
+            src, _ = self.compile_seq(node.args[0])
+            col = {
+                "min": F.array_min,
+                "max": F.array_max,
+                "first": lambda c: F.element_at(c, 1),
+                "last": lambda c: F.element_at(c, -1),
+                "reverse": F.reverse,
+                "sort": F.array_sort,
+                "unique": lambda c: F.array_sort(F.array_distinct(c)),
+            }[name](src)
+            hint = "array" if name in ("reverse", "sort", "unique") else None
+            return col, hint
         if name in _JQ_TO_JSLT_FN:
             return super().compile_call(Call(_JQ_TO_JSLT_FN[name], node.args))
         if name in ("ltrimstr", "rtrimstr"):
@@ -371,6 +488,13 @@ def compile_jq_steps(script: str, rekey) -> Any:
         out = df
         for tag, payload in steps:
             comp = _JqCompiler(out.schema, {})
+            if tag == "bind":
+                # `EXPR as $x | ...`: materialize the binding as a hidden
+                # column so later steps (and rebuilds) can reference it
+                expr_node, var = payload
+                out = out.withColumn(_JQVAR + var,
+                                     comp.compile(expr_node)[0])
+                continue
             if tag == "del":
                 out = out.drop(*[p.parts[0] for p in payload])
                 continue
@@ -393,16 +517,18 @@ def compile_jq_steps(script: str, rekey) -> Any:
                 # carry engine-internal key column through (as $project/
                 # $replaceWith do — stateless.py:185,255), then re-derive
                 # it only when the rebuild changed `_id`
-                keep = [F.col(c) for c in (KEY_COL,) if c in out.columns]
+                keep = [F.col(c) for c in out.columns
+                        if c == KEY_COL or c.startswith(_JQVAR)]
                 out = out.select(*keep, *[comp.compile(v)[0].alias(k)
                                           for k, v in node.pairs])
                 if "_id" in out.columns:
                     out = rekey(out)
                 continue
             raise JqUnsupported(
-                "pipe steps must be '.', '. + {..}', '{..}', del(..) or "
-                "select(..)"
+                "pipe steps must be '.', '. + {..}', '{..}', del(..), "
+                "select(..) or 'EXPR as $x'"
             )
-        return out
+        hidden = [c for c in out.columns if c.startswith(_JQVAR)]
+        return out.drop(*hidden) if hidden else out
 
     return apply

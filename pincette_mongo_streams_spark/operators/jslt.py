@@ -19,6 +19,11 @@ Supported (grammar of jslt.schibsted.com, subset):
   schema / literal types.
 - ``if (<expr>) <expr> else <expr>`` (missing else -> null)
 - ``let name = <expr>`` bindings referenced as ``$name``
+- for comprehensions (r3, compiled to ``transform``/``filter`` HOFs —
+  no UDF): ``[for (<seq>) <body> if (<cond>)]`` over arrays (``.`` =
+  element inside body/cond; lets stay document-scoped), and the object
+  form ``{for (<seq>) <key> : <value>}`` -> a MapType column (dynamic
+  keys cannot be struct fields)
 - builtins: size, not, string, number, round, floor, ceiling,
   lowercase, uppercase, trim, contains, split, join, test
 - ``//`` line comments
@@ -69,6 +74,13 @@ class JsltUnsupported(Exception):
     """Script uses JSLT beyond the compiled subset."""
 
 
+# keywords that may directly follow a bare `.` in the surrounding grammar
+_RESERVED = frozenset({
+    "if", "else", "for", "let", "and", "or", "as", "then", "end",
+    "reduce", "foreach",
+})
+
+
 # ---------------------------------------------------------------- AST
 
 @dataclass
@@ -115,6 +127,54 @@ class Arr:
 class Obj:
     pairs: list[tuple[str, Any]]
     spread: bool
+
+
+@dataclass
+class For:
+    """JSLT array comprehension ``[for (seq) body if (cond)]`` — and the
+    target of jq's ``map(f)``.  Inside ``body``/``cond``, ``.`` is the
+    element."""
+    seq: Any
+    body: Any
+    cond: Any  # may be None
+
+
+@dataclass
+class ForObj:
+    """JSLT object comprehension ``{for (seq) key: value}`` — compiles to
+    a MapType column (dynamic keys cannot be a struct)."""
+    seq: Any
+    key: Any
+    value: Any
+    cond: Any  # may be None
+
+
+@dataclass
+class Reduce:
+    """jq ``reduce SRC[] as $var (INIT; UPD)``.  Inside ``UPD``, ``.`` is
+    the accumulator and ``$var`` the element."""
+    src: Any
+    var: str
+    init: Any
+    upd: Any
+
+
+@dataclass
+class Foreach:
+    """jq ``[foreach SRC[] as $var (INIT; UPD)]`` — the collected form:
+    the array of intermediate accumulator states (a running scan)."""
+    src: Any
+    var: str
+    init: Any
+    upd: Any
+
+
+@dataclass
+class As:
+    """jq expression-level binding ``(EXPR as $var | BODY)``."""
+    expr: Any
+    var: str
+    body: Any
 
 
 class _Parser:
@@ -222,6 +282,21 @@ class _Parser:
             return Var(name)
         if val == "[":
             self.next()
+            if self.peek() == ("ident", "for"):
+                # [for (seq) body if (cond)]
+                self.next()
+                self.expect("(")
+                seq = self.parse_expr()
+                self.expect(")")
+                body = self.parse_expr()
+                cond = None
+                if self.peek() == ("ident", "if"):
+                    self.next()
+                    self.expect("(")
+                    cond = self.parse_expr()
+                    self.expect(")")
+                self.expect("]")
+                return For(seq, body, cond)
             items = []
             while self.peek()[1] != "]":
                 items.append(self.parse_expr())
@@ -274,7 +349,10 @@ class _Parser:
         while self.peek()[1] == ".":
             self.next()
             kind, val = self.peek()
-            if kind == "ident":
+            # keywords after a bare `.` belong to the surrounding grammar
+            # (`[for (..) . if (..)]`), not the path — whitespace is gone
+            # by now, so `.if` as a field needs the quoted form `."if"`
+            if kind == "ident" and val not in _RESERVED:
                 self.next()
                 parts.append(val)
             elif kind == "string":
@@ -284,8 +362,25 @@ class _Parser:
                 break  # bare `.`
         return Path(parts)
 
-    def parse_object(self) -> Obj:
+    def parse_object(self):
         self.expect("{")
+        if self.peek() == ("ident", "for"):
+            # {for (seq) key : value if (cond)} -> map (dynamic keys)
+            self.next()
+            self.expect("(")
+            seq = self.parse_expr()
+            self.expect(")")
+            key = self.parse_expr()
+            self.expect(":")
+            value = self.parse_expr()
+            cond = None
+            if self.peek() == ("ident", "if"):
+                self.next()
+                self.expect("(")
+                cond = self.parse_expr()
+                self.expect(")")
+            self.expect("}")
+            return ForObj(seq, key, value, cond)
         pairs: list[tuple[str, Any]] = []
         spread = False
         while self.peek()[1] != "}":
@@ -347,6 +442,19 @@ class _Compiler:
     def __init__(self, schema: T.StructType, lets: dict[str, Any]):
         self.schema = schema
         self.lets = lets
+        # lambda scoping (HOF bodies): `dot` rebinds `.` to
+        # (column, dtype, hint); `binds` holds loop/binding variables ->
+        # (column, dtype, hint)
+        self.dot: Optional[tuple[Column, Optional[T.DataType], Optional[str]]] = None
+        self.binds: dict[str, tuple[Column, Optional[T.DataType], Optional[str]]] = {}
+
+    def scoped(self, dot=None, binds=None) -> "_Compiler":
+        """Child compiler for a HOF lambda body: same schema/lets, with
+        `.` rebound and/or extra variables visible."""
+        child = type(self)(self.schema, self.lets)
+        child.dot = dot if dot is not None else self.dot
+        child.binds = {**self.binds, **(binds or {})}
+        return child
 
     def field_type(self, parts: list[str]) -> Optional[T.DataType]:
         cur: T.DataType = self.schema
@@ -355,6 +463,19 @@ class _Compiler:
                 return None
             cur = cur[p].dataType
         return cur
+
+    def _dot_path(self, parts: list[str]) -> tuple[Column, Optional[str]]:
+        """Resolve a path against the rebound `.` (a HOF lambda value)."""
+        col, dt, hint = self.dot
+        if not parts:
+            return col, _schema_hint(dt) if dt is not None else hint
+        for p in parts:
+            if dt is not None:
+                if not isinstance(dt, T.StructType) or p not in dt.fieldNames():
+                    return F.lit(None), _UNKNOWN  # absent -> null
+                dt = dt[p].dataType
+            col = col.getField(p)
+        return col, _schema_hint(dt) if dt is not None else _UNKNOWN
 
     def compile(self, node: Any) -> tuple[Column, Optional[str]]:
         if isinstance(node, Lit):
@@ -365,6 +486,8 @@ class _Compiler:
                     else _NUMBER)
             return F.lit(node.value), hint
         if isinstance(node, Path):
+            if self.dot is not None:  # inside a HOF lambda: `.` = element
+                return self._dot_path(node.parts)
             if not node.parts:
                 # whole-document value: engine-internal columns (`__key`
                 # after $setKey, `__`-reserved) are not part of the user
@@ -377,8 +500,16 @@ class _Compiler:
                 return F.lit(None), _UNKNOWN  # absent -> null (JSLT)
             return F.col(".".join(f"`{p}`" for p in node.parts)), _schema_hint(dt)
         if isinstance(node, Var):
+            if node.name in self.binds:
+                col, _dt, hint = self.binds[node.name]
+                return col, hint
             if node.name not in self.lets:
                 raise JsltUnsupported(f"unbound variable ${node.name}")
+            if self.dot is not None:
+                # let-bindings are document-scoped: compile them outside
+                # the lambda so their paths hit columns, not the element
+                return type(self)(self.schema, self.lets).compile(
+                    self.lets[node.name])
             return self.compile(self.lets[node.name])
         if isinstance(node, Bin):
             return self.compile_bin(node)
@@ -390,6 +521,10 @@ class _Compiler:
             other, oh = self.compile(node.other)
             return F.when(cond, then).otherwise(other), th or oh
         if isinstance(node, Arr):
+            # `[foreach ...]` is the collected running-scan form: the
+            # Foreach already compiles to an array of states
+            if len(node.items) == 1 and isinstance(node.items[0], Foreach):
+                return self.compile_foreach(node.items[0])
             cols = [self.compile(i)[0] for i in node.items]
             return F.array(*cols), _ARRAY
         if isinstance(node, Obj):
@@ -397,9 +532,107 @@ class _Compiler:
                 raise JsltUnsupported("nested objects cannot use `* : .`")
             return (F.struct(*[self.compile(v)[0].alias(k)
                                for k, v in node.pairs]), _UNKNOWN)
+        if isinstance(node, For):
+            seq, elem_dt = self.compile_seq(node.seq)
+            dot = lambda x: (x, elem_dt, _schema_hint(elem_dt)
+                             if elem_dt is not None else _UNKNOWN)
+            if node.cond is not None:
+                seq = F.filter(
+                    seq,
+                    lambda x: self.scoped(dot=dot(x)).compile(
+                        node.cond)[0].cast("boolean"),
+                )
+            body = lambda x: self.scoped(dot=dot(x)).compile(node.body)[0]
+            return F.transform(seq, body), _ARRAY
+        if isinstance(node, ForObj):
+            seq, elem_dt = self.compile_seq(node.seq)
+            dot = lambda x: (x, elem_dt, _schema_hint(elem_dt)
+                             if elem_dt is not None else _UNKNOWN)
+            if node.cond is not None:
+                seq = F.filter(
+                    seq,
+                    lambda x: self.scoped(dot=dot(x)).compile(
+                        node.cond)[0].cast("boolean"),
+                )
+            keys = F.transform(seq, lambda x: self.scoped(dot=dot(x))
+                               .compile(node.key)[0].cast("string"))
+            vals = F.transform(seq, lambda x: self.scoped(dot=dot(x))
+                               .compile(node.value)[0])
+            return F.map_from_arrays(keys, vals), _UNKNOWN
+        if isinstance(node, Reduce):
+            return self.compile_reduce(node)
+        if isinstance(node, Foreach):
+            raise JsltUnsupported(
+                "foreach emits a stream; only the collected form "
+                "[foreach ...] is supported")
+        if isinstance(node, As):
+            col, dt, hint = self._compile_binding(node.expr)
+            return self.scoped(binds={node.var: (col, dt, hint)}).compile(
+                node.body)
         if isinstance(node, Call):
             return self.compile_call(node)
         raise JsltUnsupported(f"unsupported node {node!r}")
+
+    def compile_seq(self, node: Any) -> tuple[Column, Optional[T.DataType]]:
+        """Compile a sequence expression, tracking the ELEMENT type when
+        the schema knows it (needed to resolve paths inside HOF lambdas)."""
+        if isinstance(node, Path) and node.parts and self.dot is None:
+            dt = self.field_type(node.parts)
+            col = F.col(".".join(f"`{p}`" for p in node.parts))
+            if isinstance(dt, T.ArrayType):
+                return col, dt.elementType
+            return col, None
+        col, _hint = self.compile(node)
+        return col, None
+
+    def _compile_binding(self, node: Any):
+        """Compile a bound expression, carrying its dtype when derivable
+        (so paths into the bound value resolve inside lambdas)."""
+        dt = None
+        if isinstance(node, Path) and node.parts and self.dot is None:
+            dt = self.field_type(node.parts)
+        col, hint = self.compile(node)
+        return col, dt, hint
+
+    def _fold_init(self, node: Any) -> tuple[Column, Optional[str]]:
+        """The zero of an aggregate must have the merged type: jq numbers
+        are doubles, so numeric (and numeric-literal) zeros widen to
+        double up front instead of failing analysis on long+double."""
+        col, hint = self.compile(node)
+        if isinstance(node, Lit) and isinstance(node.value, (int, float)) \
+                and not isinstance(node.value, bool):
+            return F.lit(float(node.value)), _NUMBER
+        if hint == _NUMBER:
+            return col.cast("double"), _NUMBER
+        return col, hint
+
+    def _fold_lambda(self, node: Reduce | Foreach, elem_dt, init_hint):
+        ehint = _schema_hint(elem_dt) if elem_dt is not None else _UNKNOWN
+        return lambda acc, x: self.scoped(
+            dot=(acc, None, init_hint),
+            binds={node.var: (x, elem_dt, ehint)},
+        ).compile(node.upd)[0]
+
+    def compile_reduce(self, node: Reduce) -> tuple[Column, Optional[str]]:
+        src, elem_dt = self.compile_seq(node.src)
+        init, ih = self._fold_init(node.init)
+        upd = self._fold_lambda(node, elem_dt, ih)
+        return F.aggregate(src, init, upd), ih
+
+    def compile_foreach(self, node: Foreach) -> tuple[Column, Optional[str]]:
+        """Collected foreach = running scan: state[i] folds UPD over the
+        first i elements.  O(n²) element visits but fully native (one
+        nested HOF expression, no Python)."""
+        src, elem_dt = self.compile_seq(node.src)
+        init, ih = self._fold_init(node.init)
+        upd = self._fold_lambda(node, elem_dt, ih)
+        # sequence(1, 0) would generate DESCENDING [1, 0]: guard empties
+        idx = F.when(F.size(src) > 0, F.sequence(F.lit(1), F.size(src))) \
+            .otherwise(F.array().cast("array<int>"))
+        return (
+            F.transform(idx, lambda i: F.aggregate(F.slice(src, 1, i), init, upd)),
+            _ARRAY,
+        )
 
     def compile_bin(self, node: Bin) -> tuple[Column, Optional[str]]:
         left, lh = self.compile(node.left)

@@ -124,10 +124,11 @@ def _script_stage(kind: str, expression: Any, ctx: Context) -> StageFn:
             from .jq import JqUnsupported, compile_jq_steps
 
             try:
-                apply_steps = compile_jq_steps(script, _rekey_on_id)
+                # apply can also raise (e.g. a step whose result is not a
+                # document) — both fall to tier 2
+                return compile_jq_steps(script, _rekey_on_id)(df)
             except JqUnsupported:
                 return _jq_udf(df, script)
-            return apply_steps(df)
         # tier 1.5: the JSLT-subset compiler (paths, operators, if/else,
         # let, builtins) — native Columns, no UDF (operators/jslt.py)
         from .jslt import JsltUnsupported, compile_jslt
@@ -159,24 +160,44 @@ def _script_stage(kind: str, expression: Any, ctx: Context) -> StageFn:
 
 
 def _jq_udf(df: DataFrame, script: str) -> DataFrame:
+    """Tier 2 for $jq scripts beyond the native compiler: the C-backed
+    python ``jq`` binding when installed, else the pure-Python interpreter
+    (operators/jq_interp.py) — slower (Python per row) but correct for
+    the long tail (Jq.java:19-33 runs arbitrary jackson-jq)."""
     try:
         import jq  # type: ignore
-    except ImportError as e:  # pragma: no cover - binding not in the image
-        raise NotImplementedError(
-            "arbitrary $jq scripts need the python 'jq' binding (tier 2); "
-            "only '. + {..}' / '.' compile natively"
-        ) from e
-    compiled = jq.compile(script)
+
+        compiled = jq.compile(script)
+        run_one = lambda doc: compiled.input(doc).first()
+    except ImportError:
+        from . import jq_interp
+        from .jq_interp import JqInterpError, jq_first
+
+        try:
+            # ship the interpreter inside the closure: executors need no
+            # package install / sys.path setup for the tier-2 path
+            from pyspark import cloudpickle
+
+            cloudpickle.register_pickle_by_value(jq_interp)
+        except Exception:  # pragma: no cover - older pickler
+            pass
+        try:
+            run_one = jq_first(script)
+        except JqInterpError as e:
+            raise NotImplementedError(
+                f"$jq script beyond both the native subset and the "
+                f"tier-2 interpreter ({e})"
+            ) from e
     sample = df.limit(1).collect()
     if not sample:
         return df
-    out_sample = compiled.input(sample[0].asDict(recursive=True)).first()
+    out_sample = run_one(sample[0].asDict(recursive=True))
     schema = F.schema_of_json(F.lit(json.dumps(out_sample)))
     jsons = df.select(F.to_json(F.struct(*df.columns)).alias("__doc"))
 
     @F.udf("string")
     def run(doc: str) -> str:
-        return json.dumps(compiled.input(json.loads(doc)).first())
+        return json.dumps(run_one(json.loads(doc)))
 
     return jsons.select(F.from_json(run("__doc"), schema).alias("__o")).select("__o.*")
 

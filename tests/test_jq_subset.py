@@ -86,10 +86,26 @@ def test_rekey_on_new_id(spark):
 
 
 def test_unsupported_falls_to_tier2_boundary(spark):
-    # reduce/foreach are beyond the subset; without the python jq binding
-    # the tier-2 fallback raises its documented boundary
+    # `limit` streams are beyond both the native subset and the tier-2
+    # interpreter; the boundary error is still loud (r3: to_entries-class
+    # scripts now run on the pure-Python tier-2 interpreter instead)
     with pytest.raises(NotImplementedError, match="jq"):
-        _run(spark, 'reduce .tags[] as $t (0; . + 1)')
+        _run(spark, 'limit(1; .tags[])')
+
+
+def test_beyond_subset_runs_on_tier2_interpreter(spark):
+    """r3: scripts the native compiler rejects degrade to the pure-Python
+    interpreter (operators/jq_interp.py) instead of ImportError."""
+    rows = [Row(_id="0", name="Ada", tags=["a", "b"]),
+            Row(_id="1", name="Bob", tags=["c"])]
+    schema = "_id string, name string, tags array<string>"
+    docs = _run(spark, '{id: ._id, n: (.tags | length), '
+                       'entries: (. | to_entries | map(.key) | sort)}',
+                rows=rows, schema=schema)
+    docs.sort(key=lambda d: d["id"])
+    assert docs[0] == {"id": "0", "n": 2,
+                       "entries": ["_id", "name", "tags"]}
+    assert docs[1]["n"] == 1
 
 
 def test_rebuild_preserves_message_key(spark):
@@ -113,3 +129,44 @@ def test_whole_document_value_excludes_internal_columns(spark):
     schema = "__key string, _id string, v long"
     docs = _run(spark, '. + {copy: .}', rows=rows, schema=schema)
     assert docs[0]["copy"] == {"_id": "0", "v": 1}
+
+
+def test_reduce_foreach_and_variables(spark):
+    """r3: reduce / [foreach] / as-bindings compile to aggregate/transform
+    HOFs (Jq.java:19-33 runs arbitrary jq; this closes the common fold
+    forms natively)."""
+    rows = [Row(_id="0", nums=[1, 2, 3, 4], tags=["a", "b"], factor=10)]
+    schema = "_id string, nums array<long>, tags array<string>, factor long"
+    d = _run(spark, '. + {total: reduce .nums[] as $x (0; . + $x)}',
+             rows=rows, schema=schema)[0]
+    assert d["total"] == 10.0
+    d = _run(spark, '. + {runs: [foreach .nums[] as $x (0; . + $x)]}',
+             rows=rows, schema=schema)[0]
+    assert d["runs"] == [1.0, 3.0, 6.0, 10.0]
+    # string accumulator
+    d = _run(spark, '. + {joined: reduce .tags[] as $t (""; . + $t)}',
+             rows=rows, schema=schema)[0]
+    assert d["joined"] == "ab"
+    # step-level binding survives a rebuild; expression-level binding;
+    # outer binding visible inside a fold lambda
+    d = _run(spark, '.factor as $f | {_id, wsum: reduce .nums[] as $x (0; . + $x * $f)}',
+             rows=rows, schema=schema)[0]
+    assert d == {"_id": "0", "wsum": 100.0}
+    d = _run(spark, '. + {scaled: (.factor as $f | $f * 2)}',
+             rows=rows, schema=schema)[0]
+    assert d["scaled"] == 20
+
+
+def test_map_and_array_builtins(spark):
+    rows = [Row(_id="0", nums=[4, 1, 3, 1], tags=["a", "b"])]
+    schema = "_id string, nums array<long>, tags array<string>"
+    d = _run(spark, '. + {up: (.tags | map(. + "!")), s: (.nums | add), '
+                    'mn: (.nums | min), mx: (.nums | max), '
+                    'u: (.nums | unique), srt: (.nums | sort), '
+                    'rev: (.nums | reverse), fst: (.nums | first), '
+                    'lst: (.nums | last)}',
+             rows=rows, schema=schema)[0]
+    assert d["up"] == ["a!", "b!"] and d["s"] == 9.0
+    assert d["mn"] == 1 and d["mx"] == 4
+    assert d["u"] == [1, 3, 4] and d["srt"] == [1, 1, 3, 4]
+    assert d["rev"] == [1, 3, 1, 4] and d["fst"] == 4 and d["lst"] == 1

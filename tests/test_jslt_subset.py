@@ -113,3 +113,30 @@ def test_unspaced_subtraction(spark):
     """`.score-1` is subtraction, not a path named `score-1` (ADVICE r2)."""
     docs = _run(spark, '{"down": .score-1, "up": .score+1}')
     assert docs == [{"down": 90.5, "up": 92.5}]
+
+
+def test_for_comprehensions(spark):
+    """r3: JSLT for loops compile to transform/filter HOFs (closing the
+    former JVM-only boundary for the array/object comprehension forms)."""
+    rows = [Row(_id="0", nums=[1, 2, 3, 4], tags=["a", "bb"],
+                items=[Row(k="x", v=1), Row(k="y", v=2)])]
+    schema = ("_id string, nums array<long>, tags array<string>, "
+              "items array<struct<k:string,v:long>>")
+    d = _run(spark, '{"doubled": [for (.nums) . * 2], *: .}',
+             rows=rows, schema=schema)[0]
+    assert d["doubled"] == [2, 4, 6, 8]
+    d = _run(spark, '{"big": [for (.nums) . if (. > 2)], *: .}',
+             rows=rows, schema=schema)[0]
+    assert d["big"] == [3, 4]
+    # element paths into struct arrays
+    d = _run(spark, '{"keys": [for (.items) .k], "tens": [for (.items) .v * 10]}',
+             rows=rows, schema=schema)[0]
+    assert d == {"keys": ["x", "y"], "tens": [10, 20]}
+    # object-for -> map (dynamic keys)
+    d = _run(spark, '{"m": {for (.tags) . : size(.)}, *: .}',
+             rows=rows, schema=schema)[0]
+    assert d["m"] == {"a": 1, "bb": 2}
+    # document-scoped let inside the lambda
+    d = _run(spark, 'let n = size(.nums)\n{"scaled": [for (.nums) . * $n], *: .}',
+             rows=rows, schema=schema)[0]
+    assert d["scaled"] == [4, 8, 12, 16]

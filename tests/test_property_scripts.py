@@ -90,3 +90,84 @@ def test_random_scripts_match_python_eval(spark, seed, kind):
             assert got == pytest.approx(expect, rel=1e-9, abs=1e-9), (
                 f"seed={seed} case={i} row={base}: engine {got} != py {expect}"
             )
+
+
+# ---------------------------------------------------------------- folds
+# r3: reduce / [foreach] / map / as-bindings (jq) and for-comprehensions
+# (JSLT) — randomized over an array column, checked against Python folds.
+
+FOLD_ROWS = [
+    (2.0, [1.0, 2.0, 3.0]),
+    (5.0, [0.0, -1.0, 4.0, 2.5]),
+    (-1.0, []),
+    (0.5, [10.0]),
+    (3.0, [-2.0, -2.0, 7.0, 1.0, 0.25]),
+]
+
+
+@pytest.mark.parametrize("seed", [5, 17, 31])
+def test_random_jq_folds_match_python_eval(spark, seed):
+    rng = random.Random(seed)
+    cases = []
+    for i in range(8):
+        k = rng.randint(-4, 4) or 2
+        init = rng.randint(-3, 3)
+        form = rng.choice(["reduce", "foreach", "map", "as"])
+        if form == "reduce":
+            script = f"reduce .xs[] as $e ({init}; . + $e * {k})"
+            ev = (lambda row, I=init, K=k:
+                  float(I) + sum(e * K for e in row["xs"]))
+        elif form == "foreach":
+            script = f"[foreach .xs[] as $e ({init}; . + $e * {k})]"
+
+            def ev(row, I=init, K=k):
+                acc, outs = float(I), []
+                for e in row["xs"]:
+                    acc = acc + e * K
+                    outs.append(acc)
+                return outs
+        elif form == "map":
+            script = f"(.xs | map(. * {k} + {init}))"
+            ev = (lambda row, I=init, K=k:
+                  [e * K + I for e in row["xs"]])
+        else:
+            script = f"(.a as $t | $t * {k} + {init})"
+            ev = lambda row, I=init, K=k: row["a"] * K + I
+        cases.append((script, ev))
+    body = ", ".join(f"x{i}: {s}" for i, (s, _) in enumerate(cases))
+    df = spark.createDataFrame(FOLD_ROWS, "a double, xs array<double>")
+    out = compile_pipeline(
+        [{"$jq": ". + {" + body + "}"}], Context(spark=spark))(df)
+    rows = [r.asDict() for r in out.collect()]
+    for r in rows:
+        base = {"a": r["a"], "xs": r["xs"]}
+        for i, (_, ev) in enumerate(cases):
+            assert r[f"x{i}"] == pytest.approx(ev(base), rel=1e-9, abs=1e-9), (
+                f"seed={seed} case={i} script={cases[i][0]} row={base}")
+
+
+@pytest.mark.parametrize("seed", [7, 13, 29])
+def test_random_jslt_for_match_python_eval(spark, seed):
+    rng = random.Random(seed)
+    cases = []
+    for i in range(8):
+        k = rng.randint(-4, 4) or 2
+        t = rng.randint(-2, 3)
+        if rng.random() < 0.5:
+            script = f"[for (.xs) . * {k}]"
+            ev = lambda row, K=k: [e * K for e in row["xs"]]
+        else:
+            script = f"[for (.xs) . * {k} if (. > {t})]"
+            ev = (lambda row, K=k, T=t:
+                  [e * K for e in row["xs"] if e > T])
+        cases.append((script, ev))
+    body = ", ".join(f'"x{i}": {s}' for i, (s, _) in enumerate(cases))
+    df = spark.createDataFrame(FOLD_ROWS, "a double, xs array<double>")
+    out = compile_pipeline(
+        [{"$jslt": "{" + body + ", *: .}"}], Context(spark=spark))(df)
+    rows = [r.asDict() for r in out.collect()]
+    for r in rows:
+        base = {"a": r["a"], "xs": r["xs"]}
+        for i, (_, ev) in enumerate(cases):
+            assert r[f"x{i}"] == pytest.approx(ev(base), rel=1e-9, abs=1e-9), (
+                f"seed={seed} case={i} script={cases[i][0]} row={base}")
