@@ -74,8 +74,14 @@ def run_streaming(
     identical to the group's previous emission.  The last-emitted state
     is a DISTRIBUTED DataFrame diffed with a left-anti join (no row ever
     crosses the driver) and localCheckpoint()ed per batch to truncate
-    lineage; it does not survive a checkpoint restart (the first
-    post-restart batch may re-emit unchanged groups — documented).
+    lineage.  With a ``checkpoint`` location the state is also persisted
+    to ``<checkpoint>/suppress_state`` parquet after every batch and
+    reloaded on start, so a restarted query does NOT re-emit unchanged
+    groups (the reference durably stores group state in Mongo —
+    Group.java:173-186).  The rewrite is full-state per batch — fine for
+    the group-cardinality-sized states this protocol is for; a
+    production deployment with huge group counts would swap in an
+    incremental store (e.g. Delta MERGE) behind the same reload contract.
     Requires a group-keyed output (``_id``); use only when sinks require
     exact reference emission parity."""
     for stage in pipeline:
@@ -98,6 +104,15 @@ def run_streaming(
     plan_part, batch_part = pipeline[:split], pipeline[split:]
     transformed = compile_pipeline(plan_part, ctx)(source) if plan_part else source
     last_emitted: list = [None]  # distributed last-emission DataFrame
+    state_dir = (f"{checkpoint}/suppress_state"
+                 if checkpoint and suppress_unchanged else None)
+    if state_dir is not None:
+        try:
+            prior = ctx.spark.read.parquet(state_dir)
+            # pin the reload off the files before they are overwritten
+            last_emitted[0] = prior.localCheckpoint(eager=True)
+        except Exception:
+            last_emitted[0] = None  # first start: no persisted state
 
     def process(batch_df: DataFrame, epoch: int) -> None:
         batch_ctx = ctx
@@ -134,6 +149,11 @@ def run_streaming(
                 last.join(fresh.select("_id"), "_id", "left_anti")
             )
             last_emitted[0] = new_last.localCheckpoint(eager=True)
+            if state_dir is not None:
+                # durable snapshot: the localCheckpoint above materialized
+                # the state, so overwriting the very files it was reloaded
+                # from is safe (no live scan of state_dir in its lineage)
+                last_emitted[0].write.mode("overwrite").parquet(state_dir)
             out = fresh
         sink(out, epoch)
         batch_ctx.streaming = True

@@ -366,3 +366,44 @@ def test_deduplicate_watermark_survives_dropped_event_time(spark, tmpdir):
     )
     flat = sorted(r["v"] for rows in emissions for r in rows)
     assert flat == [10, 20]
+
+
+def test_suppress_unchanged_state_survives_restart(spark, tmpdir):
+    """r3: with a checkpoint location, the suppress_unchanged last-emission
+    snapshot persists to <ckpt>/suppress_state and reloads on restart, so
+    a restarted query does not re-emit unchanged groups (the reference
+    durably stores group state in Mongo — Group.java:173-186)."""
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    in_dir = os.path.join(tmpdir, "in")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    pipeline = [{"$group": {"_id": None, "mx": {"$max": "$v"}}}]
+    _write_batches(in_dir, [[{"v": 5}], [{"v": 2}]])
+
+    def start(sink):
+        source = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).json(in_dir))
+        q = run_streaming(source, pipeline, Context(spark=spark), sink,
+                          trigger={"availableNow": True}, checkpoint=ckpt,
+                          suppress_unchanged=True)
+        q.awaitTermination(120)
+
+    first: list = []
+    start(lambda df, e: first.extend(r.asDict() for r in df.collect()))
+    assert [r["mx"] for r in first] == [5]
+    # "restart": a NEW query on the same checkpoint; the added batch
+    # touches the group but does not change the max
+    path = os.path.join(in_dir, "batch2.json")
+    with open(path, "w") as f:
+        f.write(json.dumps({"v": 3}) + "\n")
+    second: list = []
+    start(lambda df, e: second.extend(r.asDict() for r in df.collect()))
+    # without the persisted snapshot the restarted query would re-emit
+    # {_id: null, mx: 5} for the touched-but-unchanged group
+    assert second == []
+    # and a genuine change after restart still emits
+    path = os.path.join(in_dir, "batch3.json")
+    with open(path, "w") as f:
+        f.write(json.dumps({"v": 9}) + "\n")
+    third: list = []
+    start(lambda df, e: third.extend(r.asDict() for r in df.collect()))
+    assert [r["mx"] for r in third] == [9]
