@@ -2503,6 +2503,81 @@ UNION ALL
 SELECT 'ivf' AS method, query_id, corpus_id, score, rank FROM t""",
 )(_ann_indexed_query)
 
+# --- streaming runtime parity: $group update-mode + suppress_unchanged
+# The foreachBatch runtime (streaming/runtime.py) replayed as a
+# deterministic 4-batch file stream over events; the emission SEQUENCE
+# is the oracle (Group.java:176-186 emission-diff protocol, TestGroup
+# "$group $max"): a batch emits a group iff it TOUCHED the group and the
+# group's max(value) CHANGED.  DuckDB reproduces the sequence from the
+# same batch split (event_id % 4 = epoch).
+
+
+def _streaming_parity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    tables = _load(spark, sf_dir)
+    ev = tables["events"].select(
+        "event_id", "event_type", "value",
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("ep"),
+    )
+    pdf = ev.toPandas()  # bounded fixture: the gate runs at sf<=0.01
+    tmp = tempfile.mkdtemp(prefix="spark_graft_strparity_")
+    src_dir = os.path.join(tmp, "src")
+    os.makedirs(src_dir, exist_ok=True)
+    for e in range(4):
+        part = pdf[pdf.ep == e][["event_id", "event_type", "value"]]
+        path = os.path.join(src_dir, f"batch{e}.parquet")
+        part.to_parquet(path, index=False)
+        os.utime(path, (1_700_000_000 + e * 10, 1_700_000_000 + e * 10))
+
+    from pincette_mongo_streams_spark.streaming import run_streaming
+
+    source = (
+        spark.readStream
+        .schema("event_id bigint, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    emissions: list[tuple[int, str, float]] = []
+
+    def sink(batch_df: DataFrame, epoch: int) -> None:
+        for r in batch_df.collect():  # emission stream is group-sized
+            emissions.append((epoch, r["_id"], r["mx"]))
+
+    q = run_streaming(
+        source,
+        [{"$group": {"_id": "$event_type", "mx": {"$max": "$value"}}}],
+        Context(spark=spark),
+        sink,
+        trigger={"availableNow": True},
+        checkpoint=os.path.join(tmp, "ckpt"),
+        suppress_unchanged=True,
+    )
+    q.awaitTermination(300)
+    return spark.createDataFrame(
+        emissions, "ep bigint, _id string, mx double"
+    )
+
+
+_register(
+    "streaming_parity",
+    """WITH e AS (SELECT event_type, value, event_id % 4 AS ep FROM events),
+       t AS (SELECT ep, event_type, max(value) AS bmx
+             FROM e GROUP BY ep, event_type),
+       c AS (SELECT ep, event_type,
+                    max(bmx) OVER (PARTITION BY event_type ORDER BY ep
+                                   ROWS UNBOUNDED PRECEDING) AS mx
+             FROM t),
+       d AS (SELECT ep, event_type, mx,
+                    lag(mx) OVER (PARTITION BY event_type ORDER BY ep)
+                      AS prev
+             FROM c)
+       SELECT ep, event_type AS _id, mx
+       FROM d WHERE prev IS NULL OR mx != prev""",
+)(_streaming_parity_query)
+
+
 # --- $scrubText PII scrubbing (past-window; local oracle mirror) ------
 
 _register(
@@ -2611,10 +2686,13 @@ _register(
 
 _ORDER = [
     # §2.1 stages + §2.3 match language
+    # r3: lookup_residual moved past-window (redundant with
+    # lookup_pipeline's residual-correlation coverage) to make room for
+    # streaming_parity — the foreachBatch emission-sequence gate
     "match_operators", "project_compute", "field_ops", "replace_with",
     "unwind", "group_accumulators", "group_arrays", "group_first_last",
     "bucket", "lookup_unwind", "lookup_array_size", "lookup_pipeline",
-    "lookup_residual", "deduplicate", "merge_out", "delete_passthrough",
+    "streaming_parity", "deduplicate", "merge_out", "delete_passthrough",
     "redact", "per_batches", "effects_chain", "script_stages",
     "http_enrich",
     # §2.3a expressions + §2.4 accumulators (superset included)
