@@ -89,6 +89,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # host contention context: r2's apparent per-query regressions
+        # were load noise — record the 1/5/15-min load averages so a
+        # noisy run is identifiable from the JSON alone
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     print(json.dumps(out))
     spark.stop()

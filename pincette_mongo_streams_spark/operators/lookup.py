@@ -25,7 +25,7 @@ per message — we run one distributed join per pipeline):
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

@@ -66,10 +66,9 @@ def read_source(
     if kind == "kafka":
         if schema is None:
             raise ValueError("kafka source needs a value schema (fixed-schema engine)")
-        opts = dict(path_or_options)
         df = (
             reader.format("kafka")
-            .options(**opts)
+            .options(**kafka_reader_options(path_or_options))
             .load()
         )
         parsed = df.select(
@@ -78,6 +77,27 @@ def read_source(
         )
         return parsed.select("__key", "__doc.*")
     raise ValueError(f"unknown source kind {kind}")
+
+
+def kafka_reader_options(options: Any) -> dict:
+    """Validate/normalize the option dict handed to ``format("kafka")``.
+
+    Split out from ``read_source`` so the plumbing is assertable without
+    a broker or the kafka-sql jar (neither exists in this harness — the
+    end-to-end Kafka path is documented as untested wiring in SCALE.md).
+    Catches the two config mistakes a broker-less environment can't:
+    missing bootstrap servers and zero/multiple subscription modes."""
+    opts = dict(options)
+    if not opts.get("kafka.bootstrap.servers"):
+        raise ValueError("kafka source needs kafka.bootstrap.servers")
+    modes = [k for k in ("subscribe", "subscribePattern", "assign")
+             if k in opts]
+    if len(modes) != 1:
+        raise ValueError(
+            "kafka source needs exactly one of subscribe / "
+            f"subscribePattern / assign, got {modes or 'none'}"
+        )
+    return opts
 
 
 def write_sink(

@@ -89,3 +89,25 @@ def test_avro_gated_without_jar(spark, tmp_path):
     df = spark.createDataFrame([(1,)], "v long")
     with pytest.raises((RuntimeError, Exception)):
         write_sink(df, "avro", str(tmp_path / "av"))
+
+
+def test_kafka_reader_options_plumbing():
+    """Broker-less smoke check of the kafka option plumbing (the full
+    path is untested wiring: no broker/jar in this harness — SCALE.md)."""
+    from pincette_mongo_streams_spark.sources.registry import (
+        kafka_reader_options,
+    )
+
+    opts = kafka_reader_options({
+        "kafka.bootstrap.servers": "h1:9092,h2:9092",
+        "subscribe": "events",
+        "startingOffsets": "earliest",
+    })
+    assert opts["subscribe"] == "events"
+    with pytest.raises(ValueError, match="bootstrap"):
+        kafka_reader_options({"subscribe": "events"})
+    with pytest.raises(ValueError, match="exactly one"):
+        kafka_reader_options({"kafka.bootstrap.servers": "h:9092"})
+    with pytest.raises(ValueError, match="exactly one"):
+        kafka_reader_options({"kafka.bootstrap.servers": "h:9092",
+                              "subscribe": "a", "assign": "b"})
