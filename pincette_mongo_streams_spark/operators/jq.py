@@ -251,9 +251,9 @@ class _JqParser:
             kind2, name = self.next()
             if kind2 != "ident":
                 raise JqUnsupported("variable name must follow $")
-            return Var(name)
+            return self.parse_postfix_path(Var(name))
         if val == ".":
-            return self.parse_path()
+            return self.parse_postfix_path(self.parse_path())
         if val == "[":
             self.next()
             items = []
@@ -327,6 +327,39 @@ class _JqParser:
         elif name not in _ZERO_ARG:
             raise JqUnsupported(f"builtin {name!r} needs arguments")
         return Call(name, args)
+
+    def parse_postfix_path(self, node):
+        """Literal array indexing after a path/variable: ``.foo[0]``,
+        ``.foo[-1].bar`` — literal integer index only (``[]`` iteration
+        is the reduce/foreach source form; other bracket forms fall to
+        tier 2)."""
+        from .jslt import _RESERVED, Idx, Sub
+
+        while (self.peek()[1] == "["
+               and self.toks[self.i + 1][0] == "number"
+               and "." not in self.toks[self.i + 1][1]
+               and self.toks[self.i + 2][1] == "]"):
+            self.next()
+            _, num = self.next()
+            self.next()
+            node = Idx(node, int(num))
+            parts: list[str] = []
+            while self.peek()[1] == ".":
+                save = self.i
+                self.next()
+                k, v = self.peek()
+                if k == "ident" and v not in _RESERVED:
+                    self.next()
+                    parts.append(v)
+                elif k == "string":
+                    self.next()
+                    parts.append(_unquote(v))
+                else:
+                    self.i = save
+                    break
+            if parts:
+                node = Sub(node, parts)
+        return node
 
     def parse_path(self) -> Path:
         from .jslt import _RESERVED

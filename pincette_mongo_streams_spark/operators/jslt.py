@@ -130,6 +130,21 @@ class Obj:
 
 
 @dataclass
+class Idx:
+    """Literal array index on a value: ``.foo[0]`` / ``.foo[-1]``
+    (out-of-range -> null, as in jq/JSLT; compiled to try_element_at)."""
+    target: Any
+    index: int
+
+
+@dataclass
+class Sub:
+    """Field path applied to a computed value: ``.foo[0].bar``."""
+    target: Any
+    parts: list[str]
+
+
+@dataclass
 class For:
     """JSLT array comprehension ``[for (seq) body if (cond)]`` — and the
     target of jq's ``map(f)``.  Inside ``body``/``cond``, ``.`` is the
@@ -273,13 +288,13 @@ class _Parser:
             self.expect(")")
             return node
         if val == ".":
-            return self.parse_path()
+            return self.parse_postfix_path(self.parse_path())
         if val == "$":
             self.next()
             k, name = self.next()
             if k != "ident":
                 raise JsltUnsupported("$ needs a variable name")
-            return Var(name)
+            return self.parse_postfix_path(Var(name))
         if val == "[":
             self.next()
             if self.peek() == ("ident", "for"):
@@ -343,6 +358,36 @@ class _Parser:
             self.expect(")")
             return Call(val, args)
         raise JsltUnsupported(f"unsupported token {val!r}")
+
+    def parse_postfix_path(self, node):
+        """Literal array indexing after a path/variable: ``.foo[0]``,
+        ``.foo[-1].bar``, ``$v[2]`` — only a literal integer index (the
+        empty ``[]`` iteration form belongs to reduce/foreach sources)."""
+        while (self.peek()[1] == "["
+               and self.toks[self.i + 1][0] == "number"
+               and "." not in self.toks[self.i + 1][1]
+               and self.toks[self.i + 2][1] == "]"):
+            self.next()
+            _, num = self.next()
+            self.next()
+            node = Idx(node, int(num))
+            parts: list[str] = []
+            while self.peek()[1] == ".":
+                save = self.i
+                self.next()
+                k, v = self.peek()
+                if k == "ident" and v not in _RESERVED:
+                    self.next()
+                    parts.append(v)
+                elif k == "string":
+                    self.next()
+                    parts.append(_unquote(v))
+                else:
+                    self.i = save
+                    break
+            if parts:
+                node = Sub(node, parts)
+        return node
 
     def parse_path(self) -> Path:
         parts: list[str] = []
@@ -464,6 +509,29 @@ class _Compiler:
             cur = cur[p].dataType
         return cur
 
+    def node_type(self, node: Any) -> Optional[T.DataType]:
+        """Static type of a path-like node, when the schema knows it."""
+        if isinstance(node, Path):
+            if self.dot is not None:
+                dt = self.dot[1]
+                for p in node.parts:
+                    if not isinstance(dt, T.StructType) or p not in dt.fieldNames():
+                        return None
+                    dt = dt[p].dataType
+                return dt
+            return self.field_type(node.parts)
+        if isinstance(node, Idx):
+            dt = self.node_type(node.target)
+            return dt.elementType if isinstance(dt, T.ArrayType) else None
+        if isinstance(node, Sub):
+            dt = self.node_type(node.target)
+            for p in node.parts:
+                if not isinstance(dt, T.StructType) or p not in dt.fieldNames():
+                    return None
+                dt = dt[p].dataType
+            return dt
+        return None
+
     def _dot_path(self, parts: list[str]) -> tuple[Column, Optional[str]]:
         """Resolve a path against the rebound `.` (a HOF lambda value)."""
         col, dt, hint = self.dot
@@ -511,6 +579,22 @@ class _Compiler:
                 return type(self)(self.schema, self.lets).compile(
                     self.lets[node.name])
             return self.compile(self.lets[node.name])
+        if isinstance(node, Idx):
+            col, _ = self.compile(node.target)
+            pos = node.index + 1 if node.index >= 0 else node.index
+            dt = self.node_type(node)
+            return (F.try_element_at(col, F.lit(pos)),
+                    _schema_hint(dt) if dt is not None else _UNKNOWN)
+        if isinstance(node, Sub):
+            col, _ = self.compile(node.target)
+            dt = self.node_type(node.target)
+            for p in node.parts:
+                if dt is not None:
+                    if not isinstance(dt, T.StructType) or p not in dt.fieldNames():
+                        return F.lit(None), _UNKNOWN  # absent -> null
+                    dt = dt[p].dataType
+                col = col.getField(p)
+            return col, _schema_hint(dt) if dt is not None else _UNKNOWN
         if isinstance(node, Bin):
             return self.compile_bin(node)
         if isinstance(node, If):
@@ -576,21 +660,16 @@ class _Compiler:
     def compile_seq(self, node: Any) -> tuple[Column, Optional[T.DataType]]:
         """Compile a sequence expression, tracking the ELEMENT type when
         the schema knows it (needed to resolve paths inside HOF lambdas)."""
-        if isinstance(node, Path) and node.parts and self.dot is None:
-            dt = self.field_type(node.parts)
-            col = F.col(".".join(f"`{p}`" for p in node.parts))
-            if isinstance(dt, T.ArrayType):
-                return col, dt.elementType
-            return col, None
+        dt = self.node_type(node)
         col, _hint = self.compile(node)
+        if isinstance(dt, T.ArrayType):
+            return col, dt.elementType
         return col, None
 
     def _compile_binding(self, node: Any):
         """Compile a bound expression, carrying its dtype when derivable
         (so paths into the bound value resolve inside lambdas)."""
-        dt = None
-        if isinstance(node, Path) and node.parts and self.dot is None:
-            dt = self.field_type(node.parts)
+        dt = self.node_type(node)
         col, hint = self.compile(node)
         return col, dt, hint
 

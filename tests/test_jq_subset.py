@@ -170,3 +170,38 @@ def test_map_and_array_builtins(spark):
     assert d["mn"] == 1 and d["mx"] == 4
     assert d["u"] == [1, 3, 4] and d["srt"] == [1, 1, 3, 4]
     assert d["rev"] == [1, 3, 1, 4] and d["fst"] == 4 and d["lst"] == 1
+
+
+def test_native_array_indexing(spark):
+    """r3: literal array indexing compiles to try_element_at (out-of-range
+    -> null, jq semantics) — no tier-2 fallback, no Python in the plan."""
+    rows = [Row(_id="0", nums=[10, 20, 30],
+                items=[Row(k="x", v=1), Row(k="y", v=2)])]
+    schema = ("_id string, nums array<long>, "
+              "items array<struct<k:string,v:long>>")
+    d = _run(spark, '. + {first: .nums[0], last: .nums[-1], oob: .nums[9], '
+                    'k1: .items[1].k, missing: (.items[0].zzz // "none")}',
+             rows=rows, schema=schema)[0]
+    assert d["first"] == 10 and d["last"] == 30 and d["oob"] is None
+    assert d["k1"] == "y" and d["missing"] == "none"
+    d = _run(spark, '.nums as $n | . + {second: $n[1]}',
+             rows=rows, schema=schema)[0]
+    assert d["second"] == 20
+
+
+def test_fold_and_index_plans_stay_jvm_side(spark):
+    """The r3 native constructs (folds, map, indexing) must compile to
+    pure Catalyst expressions — a Python eval node means the tier-2
+    fallback fired where tier 1 should have."""
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    rows = [Row(_id="0", nums=[1, 2, 3])]
+    df = spark.createDataFrame(rows, "_id string, nums array<long>")
+    out = compile_pipeline([{"$jq":
+        '. + {t: reduce .nums[] as $x (0; . + $x), '
+        'r: [foreach .nums[] as $x (0; . + $x)], '
+        'm: (.nums | map(. * 2)), f: .nums[0]}'}],
+        Context(spark=spark))(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -140,3 +140,14 @@ def test_for_comprehensions(spark):
     d = _run(spark, 'let n = size(.nums)\n{"scaled": [for (.nums) . * $n], *: .}',
              rows=rows, schema=schema)[0]
     assert d["scaled"] == [4, 8, 12, 16]
+
+
+def test_native_array_indexing(spark):
+    rows = [Row(_id="0", nums=[10, 20, 30],
+                items=[Row(k="x", v=1), Row(k="y", v=2)])]
+    schema = ("_id string, nums array<long>, "
+              "items array<struct<k:string,v:long>>")
+    d = _run(spark, '{"first": .nums[0], "k1": .items[1].k, '
+                    '"oob": .nums[5], *: .}',
+             rows=rows, schema=schema)[0]
+    assert d["first"] == 10 and d["k1"] == "y" and d["oob"] is None
