@@ -63,6 +63,9 @@ def _emit_side_output(df: DataFrame, c: Context,
                     t = doc.pop("__topic")
                     for f_ in drop_fields:
                         doc.pop(f_, None)
+                    # engine-internal columns are not part of the document
+                    for f_ in [k for k in doc if k.startswith("__")]:
+                        doc.pop(f_)
                     prod(t, str(doc.get("_id", "")), doc)
             finally:
                 close = getattr(prod, "close", None)
@@ -77,6 +80,8 @@ def _emit_side_output(df: DataFrame, c: Context,
             t = doc.pop("__topic")
             for f_ in drop_fields:
                 doc.pop(f_, None)
+            for f_ in [k for k in doc if k.startswith("__")]:
+                doc.pop(f_)
             c.send(t, str(doc.get("_id", "")), doc)
 
 
@@ -140,7 +145,10 @@ def delay_stage(expression: Any, ctx: Context) -> StageFn:
         to_send = tagged.filter(valid)
         if delay_topic is not None:
             now_ms = int(c.clock() * 1000)
-            doc = F.struct(*[F.col(x) for x in df.columns])
+            # the envelope carries the user DOCUMENT — engine-internal
+            # columns stay out (the key re-derives from _id at delivery)
+            doc = F.struct(*[F.col(x) for x in df.columns
+                             if not x.startswith("__")])
             env = to_send.select(
                 (F.lit(now_ms) + F.col("__dur")).alias("deliverAt"),
                 F.col("__topic").alias("topic"),
