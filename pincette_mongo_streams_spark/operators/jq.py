@@ -26,6 +26,9 @@ tonumber, floor, ceil, round, ascii_downcase, ascii_upcase, ltrimstr,
 rtrimstr, test, split (literal separator, as in jq), join, and the
 array builtins add, min, max, first, last, reverse, sort, unique.
 
+String interpolation ``"a \(expr) b"`` compiles to a native concat
+chain (interpolated object KEYS are dynamic and fall to tier 2).
+
 Folds and bindings (r3) — all compiled to ``aggregate``/``transform``
 higher-order functions, no UDF:
 
@@ -267,7 +270,7 @@ class _JqParser:
             return self.parse_object()
         if kind == "string":
             self.next()
-            return Lit(_unquote(val))
+            return self.string_node(val)
         if kind == "number":
             self.next()
             return Lit(float(val) if any(c in val for c in ".eE") else int(val))
@@ -311,6 +314,48 @@ class _JqParser:
                 cls = Reduce if val == "reduce" else Foreach
                 return cls(src, var, init, upd)
         raise JqUnsupported(f"unsupported token {val!r}")
+
+    def string_node(self, raw: str) -> Any:
+        """A string literal, or — with ``\\(expr)`` interpolations — a
+        native concat chain (`+` with a string side concatenates)."""
+        import json as _json
+
+        inner = raw[1:-1]
+        if "\\(" not in inner:
+            return Lit(_unquote(raw))
+        node: Any = Lit("")
+        buf = ""
+        i = 0
+        while i < len(inner):
+            if inner.startswith("\\(", i):
+                depth, j = 1, i + 2
+                while j < len(inner) and depth:
+                    if inner[j] == "(":
+                        depth += 1
+                    elif inner[j] == ")":
+                        depth -= 1
+                    j += 1
+                if depth:
+                    raise JqUnsupported("unterminated \\( interpolation")
+                if buf:
+                    node = Bin("+", node, Lit(_json.loads(f'"{buf}"')))
+                    buf = ""
+                sub = _JqParser(_jq_tokenize(inner[i + 2:j - 1]))
+                expr = sub.parse_expr()
+                if sub.peek()[0] != "eof":
+                    raise JqUnsupported("trailing input in interpolation")
+                node = Bin("+", node, Call("tostring", [expr]))
+                i = j
+                continue
+            if inner[i] == "\\":
+                buf += inner[i:i + 2]
+                i += 2
+                continue
+            buf += inner[i]
+            i += 1
+        if buf:
+            node = Bin("+", node, Lit(_json.loads(f'"{buf}"')))
+        return node
 
     def parse_piped_call(self, value: Any) -> Any:
         kind, name = self.next()

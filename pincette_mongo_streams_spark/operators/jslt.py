@@ -24,8 +24,14 @@ Supported (grammar of jslt.schibsted.com, subset):
   element inside body/cond; lets stay document-scoped), and the object
   form ``{for (<seq>) <key> : <value>}`` -> a MapType column (dynamic
   keys cannot be struct fields)
-- builtins: size, not, string, number, round, floor, ceiling,
-  lowercase, uppercase, trim, contains, split, join, test
+- builtins (r3: most of the schibsted reference set, all native
+  Columns): size, not, string, number, boolean, round, floor, ceiling,
+  lowercase, uppercase, trim, contains, split, join, test, fallback,
+  min, max, sum, mod, starts-with, ends-with, replace, uuid,
+  sha256-hex, the is-* type predicates (compile-time under static
+  typing), index-of, zip, zip-with-index, flatten, get-key, to-json,
+  parse-time, format-time, now, capture (named regex groups ->
+  object), parse-url
 - ``//`` line comments
 
 Top level must be an object: with ``* : .`` it behaves like
@@ -345,8 +351,14 @@ class _Parser:
             if val == "null":
                 self.next()
                 return Lit(None)
-            # function call
+            # function call — JSLT builtin names may contain hyphens
+            # (starts-with, zip-with-index): bare identifiers are never
+            # valid values, so greedily joining ident(-ident)* is safe
             self.next()
+            while (self.peek() == ("op", "-")
+                   and self.toks[self.i + 1][0] == "ident"):
+                self.next()
+                val += "-" + self.next()[1]
             if self.peek()[1] != "(":
                 raise JsltUnsupported(f"bare identifier {val!r}")
             self.next()
@@ -459,7 +471,11 @@ class _Parser:
 def _unquote(s: str) -> str:
     import json
 
-    return json.loads(s)
+    try:
+        return json.loads(s)
+    except json.JSONDecodeError as e:
+        # e.g. a jq interpolation escape `\(` in key position
+        raise JsltUnsupported(f"unsupported string escape in {s!r}") from e
 
 
 # ------------------------------------------------------------- compiler
@@ -801,7 +817,222 @@ class _Compiler:
         if name == "test":
             need(2)
             return cols[0].rlike(_literal_str(node.args[1])), _BOOL
+        if name == "fallback":
+            if len(cols) < 2:
+                raise JsltUnsupported("fallback() takes 2+ arguments")
+            return F.coalesce(*cols), next((h for _, h in args if h), _UNKNOWN)
+        if name in ("min", "max"):
+            need(2)
+            return ((F.least if name == "min" else F.greatest)(*cols),
+                    args[0][1] or args[1][1])
+        if name == "sum":
+            need(1)
+            return (F.aggregate(cols[0], F.lit(0.0).cast("double"),
+                                lambda acc, x: acc + x), _NUMBER)
+        if name == "mod":
+            need(2)
+            return F.pmod(cols[0].cast("long"), cols[1].cast("long")), _NUMBER
+        if name == "starts-with":
+            need(2)
+            return cols[0].startswith(cols[1]), _BOOL
+        if name == "ends-with":
+            need(2)
+            return cols[0].endswith(cols[1]), _BOOL
+        if name == "replace":
+            need(3)
+            return (F.regexp_replace(cols[0], _literal_str(node.args[1]),
+                                     _literal_str(node.args[2])), _STRING)
+        if name == "uuid":
+            need(0)
+            return F.uuid(), _STRING
+        if name == "sha256-hex":
+            need(1)
+            return F.sha2(cols[0].cast("string"), 256), _STRING
+        if name == "boolean":
+            need(1)
+            return self._truthy(node.args[0], *args[0]), _BOOL
+        if name in ("is-number", "is-integer", "is-decimal", "is-string",
+                    "is-boolean", "is-object", "is-array"):
+            need(1)
+            return self._type_predicate(name, node.args[0], args[0][1])
+        if name == "index-of":
+            need(2)
+            # JSLT index-of: 0-based position, -1 when absent
+            pos = F.array_position(cols[0], cols[1])
+            return F.when(pos > 0, pos - 1).otherwise(F.lit(-1)).cast("long"), _NUMBER
+        if name == "zip":
+            need(2)
+            ta, tb = (self.node_type(node.args[0]),
+                      self.node_type(node.args[1]))
+            if isinstance(ta, T.ArrayType) and isinstance(tb, T.ArrayType) \
+                    and not (
+                        ta.elementType == tb.elementType
+                        or (isinstance(ta.elementType, T.NumericType)
+                            and isinstance(tb.elementType, T.NumericType))):
+                raise JsltUnsupported(
+                    "zip() of differently-typed arrays has no typed "
+                    "column representation")
+            return (F.zip_with(cols[0], cols[1],
+                               lambda a, b: F.array(a, b)), _ARRAY)
+        if name == "zip-with-index":
+            need(1)
+            # JSLT pairs each element with its index as [value, index]
+            idx = F.sequence(F.lit(0), F.size(cols[0]) - 1)
+            return (F.zip_with(cols[0], idx,
+                               lambda v, i: F.struct(v.alias("value"),
+                                                     i.alias("index"))),
+                    _ARRAY)
+        if name == "flatten":
+            need(1)
+            dt = self.node_type(node.args[0])
+            col = cols[0]
+            if not isinstance(dt, T.ArrayType):
+                raise JsltUnsupported(
+                    "flatten() needs a statically-typed array")
+            # JSLT flatten is recursive; the schema bounds the depth
+            while isinstance(dt.elementType, T.ArrayType):
+                col = F.flatten(col)
+                dt = dt.elementType
+            return col, _ARRAY
+        if name == "get-key":
+            if len(cols) not in (2, 3):
+                raise JsltUnsupported("get-key() takes 2 or 3 arguments")
+            dt = self.node_type(node.args[0])
+            if isinstance(dt, T.MapType):
+                got = F.try_element_at(cols[0], cols[1])
+            elif isinstance(node.args[1], Lit) and isinstance(
+                    node.args[1].value, str):
+                key = node.args[1].value
+                if isinstance(dt, T.StructType):
+                    got = cols[0].getField(key) \
+                        if key in dt.fieldNames() else F.lit(None)
+                else:  # dtype unknown (computed object): blind access
+                    got = cols[0].getField(key)
+            else:
+                raise JsltUnsupported(
+                    "get-key() needs a map-typed object or a literal key")
+            if len(cols) == 3:
+                got = F.coalesce(got, cols[2])
+            return got, _UNKNOWN
+        if name == "to-json":
+            need(1)
+            dt = self.node_type(node.args[0])
+            hint = args[0][1]
+            if isinstance(dt, (T.ArrayType, T.StructType, T.MapType)) \
+                    or hint == _ARRAY:
+                return F.to_json(cols[0]), _STRING
+            if hint == _NUMBER or isinstance(dt, T.NumericType):
+                return cols[0].cast("string"), _STRING
+            if hint == _BOOL or isinstance(dt, T.BooleanType):
+                return F.when(cols[0], "true").otherwise("false"), _STRING
+            if hint == _STRING or isinstance(dt, T.StringType):
+                return F.to_json(F.struct(cols[0].alias("v"))).substr(
+                    F.lit(6), F.length(F.to_json(F.struct(cols[0].alias("v")))) - 6
+                ), _STRING
+            raise JsltUnsupported("to-json() needs a typed argument")
+        if name == "parse-time":
+            if len(cols) not in (2, 3):
+                raise JsltUnsupported("parse-time() takes 2 or 3 arguments")
+            ts = F.try_to_timestamp(cols[0], F.lit(_literal_str(node.args[1])))
+            secs = ts.cast("double")
+            if len(cols) == 3:
+                secs = F.coalesce(secs, cols[2])
+            return secs, _NUMBER
+        if name == "format-time":
+            need(2)
+            return (F.date_format(F.timestamp_seconds(cols[0]),
+                                  _literal_str(node.args[1])), _STRING)
+        if name == "now":
+            need(0)
+            return F.current_timestamp().cast("double"), _NUMBER
+        if name == "capture":
+            need(2)
+            return self._capture(cols[0], _literal_str(node.args[1]))
+        if name == "parse-url":
+            need(1)
+            url = cols[0]
+            parts = {
+                "scheme": F.parse_url(url, F.lit("PROTOCOL")),
+                "host": F.parse_url(url, F.lit("HOST")),
+                "path": F.parse_url(url, F.lit("PATH")),
+                "query": F.parse_url(url, F.lit("QUERY")),
+                "fragment": F.parse_url(url, F.lit("REF")),
+                "userinfo": F.parse_url(url, F.lit("USERINFO")),
+            }
+            return (F.struct(*[v.alias(k) for k, v in parts.items()]),
+                    _UNKNOWN)
         raise JsltUnsupported(f"builtin {name!r}")
+
+    def _truthy(self, node: Any, col: Column, hint: Optional[str]) -> Column:
+        """JSLT truthiness: null, false, 0, "", [] and {} are falsy."""
+        dt = self.node_type(node)
+        if hint == _BOOL or isinstance(dt, T.BooleanType):
+            return F.coalesce(col, F.lit(False))
+        if hint == _NUMBER or isinstance(dt, T.NumericType):
+            return col.isNotNull() & (col != 0)
+        if hint == _STRING or isinstance(dt, T.StringType):
+            return col.isNotNull() & (F.length(col) > 0)
+        if hint == _ARRAY or isinstance(dt, (T.ArrayType, T.MapType)):
+            return col.isNotNull() & (F.size(col) > 0)
+        if isinstance(dt, T.StructType):
+            return col.isNotNull()
+        raise JsltUnsupported("boolean() needs a typed argument")
+
+    def _type_predicate(self, name: str, node: Any,
+                        hint: Optional[str]) -> tuple[Column, Optional[str]]:
+        """Static typing makes JSLT's is-* checks compile-time constants
+        (null is never a member of any type, so nullable columns fold to
+        `isNotNull & <const>`)."""
+        dt = self.node_type(node)
+        if dt is None and hint is None:
+            raise JsltUnsupported(f"{name}() needs a typed argument")
+        if dt is None and name in ("is-integer", "is-decimal"):
+            # a number hint can't distinguish the two — refuse loudly
+            # rather than answer wrong
+            raise JsltUnsupported(f"{name}() needs a statically-typed argument")
+        col, _ = self.compile(node)
+        checks = {
+            "is-number": isinstance(dt, T.NumericType) or hint == _NUMBER,
+            "is-integer": isinstance(dt, (T.IntegerType, T.LongType,
+                                          T.ShortType, T.ByteType)),
+            "is-decimal": isinstance(dt, (T.DoubleType, T.FloatType,
+                                          T.DecimalType)),
+            "is-string": isinstance(dt, T.StringType) or hint == _STRING,
+            "is-boolean": isinstance(dt, T.BooleanType) or hint == _BOOL,
+            "is-object": isinstance(dt, (T.StructType, T.MapType)),
+            "is-array": isinstance(dt, T.ArrayType) or (
+                dt is None and hint == _ARRAY),
+        }
+        return (col.isNotNull() & F.lit(bool(checks[name])), _BOOL)
+
+    def _capture(self, col: Column, pattern: str) -> tuple[Column, Optional[str]]:
+        """JSLT capture(): named regex groups -> object.  The pattern is a
+        literal, so the named groups (and their indexes among ALL groups)
+        are known at compile time — one regexp_extract per name."""
+        import re as _re
+
+        names: list[tuple[str, int]] = []
+        group_idx = 0
+        i = 0
+        while i < len(pattern):
+            ch = pattern[i]
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == "(" and not pattern.startswith("(?:", i):
+                group_idx += 1
+                m = _re.match(r"\(\?P?<([A-Za-z][A-Za-z0-9]*)>", pattern[i:])
+                if m:
+                    names.append((m.group(1), group_idx))
+            i += 1
+        if not names:
+            raise JsltUnsupported("capture() needs named groups")
+        spark_pat = pattern.replace("(?<", "(?P<").replace("(?P<", "(?<")
+        fields = [
+            F.regexp_extract(col, spark_pat, idx).alias(nm)
+            for nm, idx in names
+        ]
+        return F.struct(*fields), _UNKNOWN
 
 
 def _literal_str(node: Any) -> str:

@@ -122,12 +122,15 @@ def _script_stage(kind: str, expression: Any, ctx: Context) -> StageFn:
             # Columns, no UDF (operators/jq.py); the python jq binding
             # (tier 2) only for scripts beyond the subset
             from .jq import JqUnsupported, compile_jq_steps
+            from .jslt import JsltUnsupported as _SharedUnsupported
 
             try:
                 # apply can also raise (e.g. a step whose result is not a
                 # document) — both fall to tier 2
                 return compile_jq_steps(script, _rekey_on_id)(df)
-            except JqUnsupported:
+            except (JqUnsupported, _SharedUnsupported):
+                # the shared Column compiler (operators/jslt.py) raises
+                # its own boundary error for jq scripts too
                 return _jq_udf(df, script)
         # tier 1.5: the JSLT-subset compiler (paths, operators, if/else,
         # let, builtins) — native Columns, no UDF (operators/jslt.py)

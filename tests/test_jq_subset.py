@@ -205,3 +205,13 @@ def test_fold_and_index_plans_stay_jvm_side(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_string_interpolation_native(spark):
+    r"""r3: "\(expr)" interpolations compile to a native concat chain;
+    interpolated KEYS (dynamic) fall to the tier-2 interpreter."""
+    docs = _run(spark, r'. + {greet: "hi \(.name)!", t: "age=\(.age + 1)"}')
+    assert docs[0]["greet"] == "hi Ada Lovelace!"
+    assert docs[0]["t"] == "age=37"
+    docs = _run(spark, r'{("k\(.age)"): .name}')
+    assert docs[0] == {"k36": "Ada Lovelace"}

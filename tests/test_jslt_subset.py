@@ -151,3 +151,54 @@ def test_native_array_indexing(spark):
                     '"oob": .nums[5], *: .}',
              rows=rows, schema=schema)[0]
     assert d["first"] == 10 and d["k1"] == "y" and d["oob"] is None
+
+
+def test_extended_builtins(spark):
+    """r3: the wider schibsted-JSLT builtin surface, all native Columns:
+    fallback/min/max/sum/mod, string predicates + replace + sha256-hex,
+    boolean()/is-* (static types make is-* compile-time), array zip /
+    zip-with-index / index-of / flatten, to-json, parse-time /
+    format-time, capture (named regex groups), parse-url."""
+    rows = [Row(_id="0", name="Ada Lovelace", age=36, score=91.5,
+                nums=[3.0, 1.0, 2.0], more=[9.0, 8.0, 7.0],
+                nested=[[1, 2], [3]], tags=["a", "b"],
+                url="https://example.com:8080/p/x?q=1#frag",
+                ts="2024-03-01 10:30:00", note=None)]
+    schema = ("_id string, name string, age long, score double, "
+              "nums array<double>, more array<double>, "
+              "nested array<array<long>>, tags array<string>, "
+              "url string, ts string, note string")
+    d = _run(spark, '''{
+      "fb": fallback(.note, .name),
+      "mn": min(.age, 40), "sm": sum(.nums), "md": mod(.age, 10),
+      "sw": starts-with(.name, "Ada"), "rep": replace(.name, "[aeiou]", "_"),
+      "b1": boolean(.note), "b2": boolean(.tags),
+      "ii": is-integer(.age), "idec": is-decimal(.score),
+      "ia": is-array(.nums), "ix": index-of(.nums, 2.0),
+      "z": zip(.nums, .more), "zi": zip-with-index(.tags),
+      "fl": flatten(.nested), "tj": to-json(.nums),
+      "ft": format-time(1709288000, "yyyy-MM-dd"),
+      "cap": capture(.name, "(?<first>\\\\w+) (?<last>\\\\w+)"),
+      "host": get-key(parse-url(.url), "host")
+    }''', rows=rows, schema=schema)[0]
+    assert d["fb"] == "Ada Lovelace" and d["mn"] == 36
+    assert d["sm"] == 6.0 and d["md"] == 6
+    assert d["sw"] is True and d["rep"] == "Ad_ L_v_l_c_"
+    assert d["b1"] is False and d["b2"] is True
+    assert d["ii"] is True and d["idec"] is True and d["ia"] is True
+    assert d["ix"] == 2
+    assert d["z"] == [[3.0, 9.0], [1.0, 8.0], [2.0, 7.0]]
+    assert d["zi"] == [{"value": "a", "index": 0},
+                       {"value": "b", "index": 1}]
+    assert d["fl"] == [1, 2, 3] and d["tj"] == "[3.0,1.0,2.0]"
+    assert d["ft"] == "2024-03-01"
+    assert d["cap"] == {"first": "Ada", "last": "Lovelace"}
+    assert d["host"] == "example.com"
+
+
+def test_hetero_zip_refused_loudly(spark):
+    rows = [Row(_id="0", nums=[1.0], tags=["a"])]
+    schema = "_id string, nums array<double>, tags array<string>"
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="zip"):
+        _run(spark, '{"bad": zip(.tags, .nums)}', rows=rows, schema=schema)
