@@ -1834,10 +1834,31 @@ _register(
        FROM documents""",
 )(_decode_media_query)
 
+def _lsh_bucket_oracle_sql(bits: int, dim: int) -> str:
+    """DuckDB twin of lsh_bucket (datapipe.py): the hyperplane components
+    are deterministic md5-derived Python constants, inlined as literals;
+    each dot product is an explicit LEFT-FOLD chain so the FP summation
+    order matches Spark's aggregate() fold bit-for-bit (no sign flips on
+    near-zero dots)."""
+    from pincette_mongo_streams_spark.functions.datapipe import _plane_component
+
+    bit_terms = []
+    for j in range(bits):
+        dot = "0.0"
+        for d in range(dim):
+            c = repr(_plane_component(j, d))
+            dot = f"({dot} + CAST(embedding[{d + 1}] AS DOUBLE) * {c})"
+        bit_terms.append(
+            f"(CASE WHEN {dot} >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END"
+            + (f" * {1 << j}" if j else "") + ")"
+        )
+    expr = " + ".join(bit_terms)
+    return f"SELECT vec_id, {expr} AS bucket FROM embeddings"
+
+
 _register(
     "ann_lsh_buckets",
-    None,  # seeded-hyperplane bucket assignment: verified rows-only (the
-    # md5-derived plane constants are generated code — no concise SQL twin)
+    _lsh_bucket_oracle_sql(8, 64),
 )(
     _pipe(
         "embeddings",
@@ -1848,10 +1869,50 @@ _register(
     )
 )
 
+def _lsh_search_oracle_sql(bits: int, dim: int, probes: int, k: int) -> str:
+    """DuckDB twin of $annLshSearch: the multi-probe pruning is fully
+    deterministic (md5-derived planes, XOR single-bit flips), so the
+    approximate result itself is oracle-able — same bucket fold order as
+    _lsh_bucket_oracle_sql, same cosine + tie-break as the ann_topk
+    oracle."""
+    from pincette_mongo_streams_spark.functions.datapipe import _plane_component
+
+    def bucket_expr(col: str) -> str:
+        terms = []
+        for j in range(bits):
+            dot = "0.0"
+            for d in range(dim):
+                c = repr(_plane_component(j, d))
+                dot = f"({dot} + {col}[{d + 1}] * {c})"
+            terms.append(
+                f"(CASE WHEN {dot} >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END"
+                + (f" * {1 << j}" if j else "") + ")"
+            )
+        return " + ".join(terms)
+
+    flips = ", ".join(["qb"] + [f"xor(qb, {1 << b})" for b in range(bits)])
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+b AS (SELECT vec_id AS corpus_id, e, {bucket_expr('e')} AS bucket FROM v),
+q0 AS (SELECT vec_id AS query_id, e AS qe, {bucket_expr('e')} AS qb
+       FROM v WHERE vec_id < 10),
+p AS (SELECT query_id, qe, unnest(list_slice([{flips}], 1, {probes}))
+        AS bucket
+      FROM q0),
+s AS (SELECT query_id, corpus_id, list_cosine_similarity(b.e, qe) AS sc
+      FROM b JOIN p USING (bucket)),
+r AS (SELECT query_id, corpus_id, {_r("sc", 4)} AS score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sc DESC, corpus_id) AS rank
+      FROM s)
+SELECT query_id, corpus_id, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}"""
+
+
 _register(
     "ann_lsh_search",
-    None,  # bucket-pruned multi-probe ANN: rows-only gate; recall vs the
-    # brute-force $annTopK baseline is pinned in tests/test_multimodal.py
+    _lsh_search_oracle_sql(6, 64, 7, 5),
 )(
     _pipe(
         "embeddings",
@@ -1860,7 +1921,8 @@ _register(
                                "id": "vec_id", "k": 5, "bits": 6, "dim": 64,
                                "probes": 7}},
             {"$project": {"query_id": 1, "corpus_id": 1,
-                          "score": {"$round": ["$score", 4]}, "rank": 1}},
+                          "score": {"$round": ["$score", 4]},
+                          "rank": {"$toLong": "$rank"}}},
         ],
         collections={
             "queries": lambda t: t["embeddings"].filter(F.col("vec_id") < 10).select(
@@ -1871,9 +1933,11 @@ _register(
 
 _register(
     "ann_ivf_search",
-    None,  # IVF-flat ANN (sampled coarse quantizer): rows-only gate;
-    # exactness at nprobe==nlist and self-match under pruning are pinned
-    # in tests/test_multimodal.py
+    None,  # IVF-flat ANN: the coarse quantizer samples by Spark's
+    # xxhash64, which DuckDB cannot reproduce — rows-only here; the
+    # EXACT configuration (nprobe == nlist) is hard-oracled in-window
+    # via ann_indexed, and pruning behavior is pinned in
+    # tests/test_multimodal.py
 )(
     _pipe(
         "embeddings",

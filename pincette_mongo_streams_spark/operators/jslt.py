@@ -3,8 +3,11 @@
 The reference runs full JSLT on the JVM (Jslt.java:19-36, the Schibsted
 engine).  No Python JSLT runtime exists, so this module compiles the
 practically-used subset straight to Catalyst expressions — keeping
-codegen, pushdown and vectorization — and rejects the rest loudly
-(script.py falls back to its documented JVM-only boundary).
+codegen, pushdown and vectorization.  What the Column model cannot
+hold (recursive defs, struct-object iteration, dynamically-typed
+values) falls to the tier-2 pure-Python evaluator
+(operators/jslt_eval.py) instead of erroring; only scripts the shared
+parser itself rejects remain a loud boundary.
 
 Supported (grammar of jslt.schibsted.com, subset):
 
@@ -19,6 +22,10 @@ Supported (grammar of jslt.schibsted.com, subset):
   schema / literal types.
 - ``if (<expr>) <expr> else <expr>`` (missing else -> null)
 - ``let name = <expr>`` bindings referenced as ``$name``
+- ``def name(p1, p2) <expr>`` user functions (r3): non-recursive defs
+  INLINE into Catalyst expressions (params bound as variables);
+  recursion trips the depth guard and runs on tier 2
+- the matcher ``* - a, b : .`` spread with exclusions (r3)
 - for comprehensions (r3, compiled to ``transform``/``filter`` HOFs —
   no UDF): ``[for (<seq>) <body> if (<cond>)]`` over arrays (``.`` =
   element inside body/cond; lets stay document-scoped), and the object
@@ -133,6 +140,7 @@ class Arr:
 class Obj:
     pairs: list[tuple[str, Any]]
     spread: bool
+    minus: tuple = ()  # `* - a, b : .` spread exclusions (JSLT matcher)
 
 
 @dataclass
@@ -216,20 +224,39 @@ class _Parser:
         if val != text:
             raise JsltUnsupported(f"expected {text!r}, got {val!r}")
 
-    # let bindings then the body expression
-    def parse_script(self) -> tuple[dict[str, Any], Any]:
+    # let/def declarations then the body expression
+    def parse_script(self):
         lets: dict[str, Any] = {}
-        while self.peek() == ("ident", "let"):
-            self.next()
+        defs: dict[str, tuple[list[str], Any]] = {}
+        while self.peek()[0] == "ident" and self.peek()[1] in ("let", "def"):
+            kw = self.next()[1]
             kind, name = self.next()
             if kind != "ident":
-                raise JsltUnsupported("let needs an identifier")
-            self.expect("=")
-            lets[name] = self.parse_expr()
+                raise JsltUnsupported(f"{kw} needs an identifier")
+            if kw == "let":
+                self.expect("=")
+                lets[name] = self.parse_expr()
+                continue
+            # def name(p1, p2) <expr> — params referenced as $p1
+            while (self.peek() == ("op", "-")
+                   and self.toks[self.i + 1][0] == "ident"):
+                self.next()
+                name += "-" + self.next()[1]
+            self.expect("(")
+            params: list[str] = []
+            while self.peek()[1] != ")":
+                k2, p = self.next()
+                if k2 != "ident":
+                    raise JsltUnsupported("bad def parameter")
+                params.append(p)
+                if self.peek()[1] == ",":
+                    self.next()
+            self.expect(")")
+            defs[name] = (params, self.parse_expr())
         body = self.parse_expr()
         if self.peek()[0] != "eof":
             raise JsltUnsupported(f"trailing input at {self.peek()[1]!r}")
-        return lets, body
+        return lets, defs, body
 
     def parse_expr(self) -> Any:
         return self.parse_or()
@@ -440,12 +467,27 @@ class _Parser:
             return ForObj(seq, key, value, cond)
         pairs: list[tuple[str, Any]] = []
         spread = False
+        minus: list[str] = []
         while self.peek()[1] != "}":
             kind, val = self.peek()
             if val == "*" or val == "*:":
-                # `* : .` / `*: .`
+                # `* : .` / `*: .` / `* - a, b : .` (matcher exclusions)
                 self.next()
                 if val == "*":
+                    if self.peek()[1] == "-":
+                        self.next()
+                        while True:
+                            k2, nm = self.next()
+                            if k2 == "string":
+                                minus.append(_unquote(nm))
+                            elif k2 == "ident":
+                                minus.append(nm)
+                            else:
+                                raise JsltUnsupported("bad matcher exclusion")
+                            if self.peek()[1] == ",":
+                                self.next()
+                                continue
+                            break
                     self.expect(":")
                 tail = self.parse_expr()
                 if not (isinstance(tail, Path) and not tail.parts):
@@ -465,7 +507,7 @@ class _Parser:
             if self.peek()[1] == ",":
                 self.next()
         self.expect("}")
-        return Obj(pairs, spread)
+        return Obj(pairs, spread, tuple(minus))
 
 
 def _unquote(s: str) -> str:
@@ -500,9 +542,12 @@ def _schema_hint(dt: T.DataType) -> Optional[str]:
 
 
 class _Compiler:
-    def __init__(self, schema: T.StructType, lets: dict[str, Any]):
+    def __init__(self, schema: T.StructType, lets: dict[str, Any],
+                 defs: Optional[dict] = None):
         self.schema = schema
         self.lets = lets
+        self.defs = defs or {}  # user functions: name -> (params, body)
+        self._def_depth = 0
         # lambda scoping (HOF bodies): `dot` rebinds `.` to
         # (column, dtype, hint); `binds` holds loop/binding variables ->
         # (column, dtype, hint)
@@ -512,7 +557,8 @@ class _Compiler:
     def scoped(self, dot=None, binds=None) -> "_Compiler":
         """Child compiler for a HOF lambda body: same schema/lets, with
         `.` rebound and/or extra variables visible."""
-        child = type(self)(self.schema, self.lets)
+        child = type(self)(self.schema, self.lets, self.defs)
+        child._def_depth = self._def_depth
         child.dot = dot if dot is not None else self.dot
         child.binds = {**self.binds, **(binds or {})}
         return child
@@ -592,7 +638,7 @@ class _Compiler:
             if self.dot is not None:
                 # let-bindings are document-scoped: compile them outside
                 # the lambda so their paths hit columns, not the element
-                return type(self)(self.schema, self.lets).compile(
+                return type(self)(self.schema, self.lets, self.defs).compile(
                     self.lets[node.name])
             return self.compile(self.lets[node.name])
         if isinstance(node, Idx):
@@ -675,11 +721,25 @@ class _Compiler:
 
     def compile_seq(self, node: Any) -> tuple[Column, Optional[T.DataType]]:
         """Compile a sequence expression, tracking the ELEMENT type when
-        the schema knows it (needed to resolve paths inside HOF lambdas)."""
+        the schema knows it (needed to resolve paths inside HOF lambdas).
+        JSLT iterates objects as {key, value} pairs: map-typed columns do
+        that natively via map_entries; struct-typed objects have
+        heterogeneous field types (no single element type) and fall to
+        the tier-2 evaluator."""
         dt = self.node_type(node)
         col, _hint = self.compile(node)
         if isinstance(dt, T.ArrayType):
             return col, dt.elementType
+        if isinstance(dt, T.MapType):
+            elem = T.StructType([
+                T.StructField("key", dt.keyType),
+                T.StructField("value", dt.valueType),
+            ])
+            return F.map_entries(col), elem
+        if isinstance(dt, T.StructType):
+            raise JsltUnsupported(
+                "iteration over a struct-typed object (heterogeneous "
+                "fields) — tier 2")
         return col, None
 
     def _compile_binding(self, node: Any):
@@ -762,6 +822,22 @@ class _Compiler:
         raise JsltUnsupported(f"operator {op!r}")
 
     def compile_call(self, node: Call) -> tuple[Column, Optional[str]]:
+        if node.name in self.defs:
+            # user `def`: inline by binding value-compiled args as
+            # variables — `.` inside the body is the call-site input.
+            # Recursive defs cannot inline (no fixed expression depth):
+            # the guard trips and tier 2 interprets them instead.
+            params, body = self.defs[node.name]
+            if len(node.args) != len(params):
+                raise JsltUnsupported(
+                    f"{node.name}() takes {len(params)} argument(s)")
+            if self._def_depth > 16:
+                raise JsltUnsupported(f"recursive def {node.name}()")
+            binds = {p: self._compile_binding(a)
+                     for p, a in zip(params, node.args)}
+            child = self.scoped(binds=binds)
+            child._def_depth = self._def_depth + 1
+            return child.compile(body)
         args = [self.compile(a) for a in node.args]
         cols = [c for c, _ in args]
         name = node.name
@@ -1044,16 +1120,18 @@ def _literal_str(node: Any) -> str:
 def compile_jslt(script: str, df: DataFrame):
     """Compile a JSLT script against ``df``'s schema.
 
-    Returns ``(added, projected)``: exactly one is non-None —
-    ``added`` (dict of name -> Column) for spread templates
-    ($addFields semantics), ``projected`` (list of aliased Columns)
-    for spread-less templates ($project-compute semantics).
-    Raises JsltUnsupported outside the subset."""
-    lets, body = _Parser(tokenize(script)).parse_script()
+    Returns ``(added, dropped, projected)``: exactly one of
+    ``added``/``projected`` is non-None — ``added`` (dict of name ->
+    Column) for spread templates ($addFields semantics), with
+    ``dropped`` the matcher exclusions (`* - a, b : .`) to remove;
+    ``projected`` (list of aliased Columns) for spread-less templates
+    ($project-compute semantics).  Raises JsltUnsupported outside the
+    subset."""
+    lets, defs, body = _Parser(tokenize(script)).parse_script()
     if not isinstance(body, Obj):
         raise JsltUnsupported("top-level JSLT must be an object template")
-    comp = _Compiler(df.schema, lets)
+    comp = _Compiler(df.schema, lets, defs)
     cols = {k: comp.compile(v)[0] for k, v in body.pairs}
     if body.spread:
-        return cols, None
-    return None, [c.alias(k) for k, c in cols.items()]
+        return cols, tuple(m for m in body.minus if m not in cols), None
+    return None, (), [c.alias(k) for k, c in cols.items()]

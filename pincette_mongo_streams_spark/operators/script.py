@@ -133,22 +133,24 @@ def _script_stage(kind: str, expression: Any, ctx: Context) -> StageFn:
                 # its own boundary error for jq scripts too
                 return _jq_udf(df, script)
         # tier 1.5: the JSLT-subset compiler (paths, operators, if/else,
-        # let, builtins) — native Columns, no UDF (operators/jslt.py)
+        # let/def, for, builtins) — native Columns, no UDF
+        # (operators/jslt.py); tier 2: the pure-Python evaluator
+        # (operators/jslt_eval.py) for what the Column model can't hold
         from .jslt import JsltUnsupported, compile_jslt
 
         try:
-            added, projected = compile_jslt(script, df)
-        except JsltUnsupported as e:
-            raise NotImplementedError(
-                f"JSLT outside the compiled subset ({e}); full JSLT has no "
-                "Python runtime (JVM-only extension)"
-            ) from e
+            added, dropped, projected = compile_jslt(script, df)
+        except JsltUnsupported:
+            return _jslt_udf(df, script)
 
         def apply(frame: DataFrame) -> DataFrame:
             if added is not None:
                 out = frame
                 for k, v in added.items():
                     out = out.withColumn(k, v)
+                drops = [c for c in dropped if c in out.columns]
+                if drops:
+                    out = out.drop(*drops)
                 return _rekey_on_id(out) if "_id" in added else out
             # a projecting template replaces the document, not the message
             # key — carry the internal key column through (as $project
@@ -160,6 +162,58 @@ def _script_stage(kind: str, expression: Any, ctx: Context) -> StageFn:
         return apply(df)
 
     return fn
+
+
+def _script_udf(df: DataFrame, run_one) -> DataFrame:
+    """Shared tier-2 plumbing: the document (engine-internal ``__``
+    columns stripped) round-trips through JSON and ``run_one``; the
+    message-key column rides alongside and re-derives from ``_id`` when
+    the script changed it (Script.java:67-73)."""
+    sample = df.limit(1).collect()
+    if not sample:
+        return df
+    doc_cols = [c for c in df.columns if not c.startswith("__")]
+    clean = {k: v for k, v in sample[0].asDict(recursive=True).items()
+             if not k.startswith("__")}
+    out_sample = run_one(clean)
+    schema = F.schema_of_json(F.lit(json.dumps(out_sample)))
+    keep = [F.col(c) for c in (KEY_COL,) if c in df.columns]
+    jsons = df.select(
+        *keep, F.to_json(F.struct(*doc_cols)).alias("__doc"))
+
+    @F.udf("string")
+    def run(doc: str) -> str:
+        return json.dumps(run_one(json.loads(doc)))
+
+    out = jsons.select(
+        *[F.col(c) for c in (KEY_COL,) if c in jsons.columns],
+        F.from_json(run("__doc"), schema).alias("__o"),
+    ).select(*[c for c in (KEY_COL,) if c in jsons.columns], "__o.*")
+    return _rekey_on_id(out) if "_id" in out.columns else out
+
+
+def _jslt_udf(df: DataFrame, script: str) -> DataFrame:
+    """Tier 2 for $jslt scripts the Column compiler rejects: the
+    pure-Python evaluator over the same AST (operators/jslt_eval.py) —
+    Python per row, but the reference's arbitrary-JSLT surface
+    (Jslt.java:19-36) stays available instead of erroring."""
+    from . import jslt_eval
+    from .jslt import JsltUnsupported
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(jslt_eval)
+    except Exception:  # pragma: no cover - older pickler
+        pass
+    try:
+        run_one = jslt_eval.jslt_transform(script)
+    except JsltUnsupported as e:
+        raise NotImplementedError(
+            f"JSLT beyond both the native subset and the tier-2 "
+            f"evaluator ({e})"
+        ) from e
+    return _script_udf(df, run_one)
 
 
 def _jq_udf(df: DataFrame, script: str) -> DataFrame:
@@ -191,18 +245,7 @@ def _jq_udf(df: DataFrame, script: str) -> DataFrame:
                 f"$jq script beyond both the native subset and the "
                 f"tier-2 interpreter ({e})"
             ) from e
-    sample = df.limit(1).collect()
-    if not sample:
-        return df
-    out_sample = run_one(sample[0].asDict(recursive=True))
-    schema = F.schema_of_json(F.lit(json.dumps(out_sample)))
-    jsons = df.select(F.to_json(F.struct(*df.columns)).alias("__doc"))
-
-    @F.udf("string")
-    def run(doc: str) -> str:
-        return json.dumps(run_one(json.loads(doc)))
-
-    return jsons.select(F.from_json(run("__doc"), schema).alias("__o")).select("__o.*")
+    return _script_udf(df, run_one)
 
 
 @register_stage("$jq")

@@ -87,7 +87,10 @@ def test_rekey_on_new_id(spark):
 
 
 def test_unsupported_raises_jvm_boundary(spark):
-    with pytest.raises(NotImplementedError, match="JSLT outside"):
+    # bare `for` outside brackets is invalid JSLT: both the native
+    # compiler and the tier-2 evaluator's shared parser reject it, and
+    # the boundary error is still loud (r3)
+    with pytest.raises(NotImplementedError, match="JSLT beyond"):
         _run(spark, 'for (.tags) { "t": . }')
 
 
@@ -196,9 +199,50 @@ def test_extended_builtins(spark):
     assert d["host"] == "example.com"
 
 
-def test_hetero_zip_refused_loudly(spark):
+def test_hetero_zip_falls_to_tier2(spark):
+    """zip() of differently-typed arrays has no typed Column shape — the
+    native compiler refuses and the tier-2 evaluator takes over (r3).
+    The JSON bridge coerces mixed pairs to the inferred common type."""
     rows = [Row(_id="0", nums=[1.0], tags=["a"])]
     schema = "_id string, nums array<double>, tags array<string>"
-    import pytest as _pytest
-    with _pytest.raises(NotImplementedError, match="zip"):
-        _run(spark, '{"bad": zip(.tags, .nums)}', rows=rows, schema=schema)
+    d = _run(spark, '{"bad": zip(.tags, .nums)}', rows=rows, schema=schema)[0]
+    assert d["bad"] == [["a", "1.0"]]
+
+
+def test_tier2_evaluator_recursive_def_and_object_iteration(spark):
+    """r3: recursive defs and struct-object iteration run on the
+    pure-Python tier-2 evaluator (operators/jslt_eval.py) instead of
+    raising the JVM-only boundary."""
+    rows = [Row(_id="0", age=5, s=Row(a=1, b=2))]
+    schema = "_id string, age long, s struct<a:long,b:long>"
+    d = _run(spark, 'def fact(n) if ($n <= 1) 1 else $n * fact($n - 1)\n'
+                    '{"f": fact(.age), "ks": [for (.s) .key]}',
+             rows=rows, schema=schema)[0]
+    assert d["f"] == 120 and sorted(d["ks"]) == ["a", "b"]
+
+
+def test_def_inlines_natively_and_map_iteration_is_native(spark):
+    """Non-recursive defs inline into Catalyst expressions; map-typed
+    object iteration uses map_entries — no Python eval nodes."""
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    rows = [Row(_id="0", age=36, m={"x": 1, "y": 2})]
+    df = spark.createDataFrame(rows, "_id string, age long, m map<string,long>")
+    out = compile_pipeline([{"$jslt":
+        'def twice(x) $x * 2\n'
+        '{"d": twice(twice(.age)), "ks": [for (.m) .key], '
+        '"tens": {for (.m) .key : .value * 10}}'}],
+        Context(spark=spark))(df)
+    d = [r.asDict(recursive=True) for r in out.collect()][0]
+    assert d["d"] == 144 and sorted(d["ks"]) == ["x", "y"]
+    assert d["tens"] == {"x": 10, "y": 20}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_spread_minus_exclusions(spark):
+    """`* - a, b : .` copies the rest of the document except the listed
+    keys (JSLT matcher exclusions), natively."""
+    d = _run(spark, '{* - age, note : ., "extra": 1}')[0]
+    assert "age" not in d and "note" not in d
+    assert d["name"] == "Ada Lovelace" and d["extra"] == 1
