@@ -1152,6 +1152,46 @@ _register(
     )
 )
 
+# $sessionWindow: Spark's native session_window vs the classic
+# gaps-and-islands SQL (new session when the gap since the previous
+# event of the key is >= the gap; session end = last event + gap)
+
+_register(
+    "session_window",
+    f"""WITH o AS (SELECT user_id, ts, value,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           AS prev
+                  FROM events),
+        m AS (SELECT user_id, ts, value,
+                     sum(CASE WHEN prev IS NULL
+                              OR ts - prev >= INTERVAL 15 MINUTE
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o)
+       SELECT user_id AS _id,
+              CAST(floor(epoch(min(ts))) AS BIGINT) AS ss,
+              CAST(floor(epoch(max(ts) + INTERVAL 15 MINUTE)) AS BIGINT)
+                AS se,
+              CAST(count(*) AS BIGINT) AS n, {_r("sum(value)", 4)} AS total
+       FROM m GROUP BY user_id, sid""",
+)(
+    _pipe(
+        "events",
+        [
+            {"$sessionWindow": {"on": "$ts", "gap": "15 minutes",
+                                "_id": "$user_id",
+                                "n": {"$count": {}},
+                                "total": {"$sum": "$value"}}},
+            {"$project": {"_id": 1,
+                          "ss": {"$tsSecond": "$session_start"},
+                          "se": {"$tsSecond": "$session_end"},
+                          "n": 1, "total": {"$round": ["$total", 4]}}},
+        ],
+    )
+)
+
+
 def _graph_lookup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = _load(spark, sf_dir)
     h = tables["nation"].select(

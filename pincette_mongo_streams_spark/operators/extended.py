@@ -748,6 +748,50 @@ def window_group_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$sessionWindow")
+def session_window_stage(expression: Any, ctx: Context) -> StageFn:
+    """Event-time SESSION window aggregation (engine extension — the gap
+    variant $windowGroup's fixed windows can't express).  Spec:
+    ``{on: <ts expr>, gap: "10 minutes", _id?: <key expr>,
+    <name>: {<accumulator>: <expr>}, ...}``.
+
+    Compiles to Spark's native ``session_window`` (dynamic-gap stateful
+    windows): batch and streaming share the plan; in streaming add a
+    watermark on the source and use append mode — closed sessions emit
+    once, state is gap-evicted.  Batch semantics match the classic
+    gaps-and-islands SQL (new session when the time since the previous
+    event in the key exceeds the gap), which is the DuckDB oracle shape.
+    """
+    on = expression["on"]
+    gap = expression["gap"]
+    id_expr = expression.get("_id")
+    accumulators = {
+        k: v
+        for k, v in expression.items()
+        if k not in ("on", "gap", "_id", "_collection")
+    }
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        ectx = ExprContext(schema=df.schema)
+        ts = compile_expr(on, ectx)
+        win = F.session_window(ts, gap)
+        keys = [win.alias("__w")]
+        if id_expr is not None:
+            keys.append(compile_expr(id_expr, ectx).alias("_id"))
+        aggs = []
+        for name, acc in accumulators.items():
+            (op, arg), = acc.items()
+            aggs.append(compile_accumulator(name, op, arg, ectx, order=None))
+        out = df.groupBy(*keys).agg(*aggs)
+        return out.select(
+            F.col("__w.start").alias("session_start"),
+            F.col("__w.end").alias("session_end"),
+            *[c_ for c_ in out.columns if c_ != "__w"],
+        )
+
+    return fn
+
+
 # ---------------------------------------------------------- $graphLookup
 
 

@@ -32,11 +32,11 @@ _PLAN_STAGES = {
     "$match", "$project", "$addFields", "$set", "$unset", "$replaceRoot",
     "$replaceWith", "$setKey", "$unwind", "$redact", "$group", "$bucket",
     "$count", "$deduplicate", "$lookup", "$trace", "$backTrace", "$throttle",
-    "$windowGroup", "$sortByCount", "$per",
+    "$windowGroup", "$sessionWindow", "$sortByCount", "$per",
 }
 
-_AGG_STAGES = ("$group", "$bucket", "$count", "$windowGroup", "$sortByCount",
-               "$per")
+_AGG_STAGES = ("$group", "$bucket", "$count", "$windowGroup",
+               "$sessionWindow", "$sortByCount", "$per")
 
 # stages with no meaning on an infinite stream (extended.py _batch_only);
 # rejected here too — otherwise the foreachBatch split would silently run
@@ -47,8 +47,13 @@ _BATCH_ONLY_STAGES = {
 }
 
 
-def _needs_update_mode(pipeline: list[dict]) -> bool:
-    return any(next(iter(s)) in _AGG_STAGES for s in pipeline)
+def _output_mode(pipeline: list[dict]) -> str:
+    names = {next(iter(s)) for s in pipeline}
+    if "$sessionWindow" in names:
+        # Spark rejects update mode for session-window aggregations:
+        # sessions close on watermark and emit once (append)
+        return "append"
+    return "update" if names & set(_AGG_STAGES) else "append"
 
 
 def run_streaming(
@@ -160,7 +165,7 @@ def run_streaming(
         batch_ctx.micro_batch = False
 
     writer = transformed.writeStream.foreachBatch(process)
-    writer = writer.outputMode("update" if _needs_update_mode(plan_part) else "append")
+    writer = writer.outputMode(_output_mode(plan_part))
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     if trigger:

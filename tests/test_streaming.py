@@ -407,3 +407,34 @@ def test_suppress_unchanged_state_survives_restart(spark, tmpdir):
     third: list = []
     start(lambda df, e: third.extend(r.asDict() for r in df.collect()))
     assert [r["mx"] for r in third] == [9]
+
+
+def test_session_window_stream(spark, tmpdir):
+    """r3: $sessionWindow folds into the streaming plan (native
+    session_window state); events 5s apart merge into one session with a
+    10s gap, a >10s silence then a new event opens a second session."""
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.LongType()),
+    ])
+    batches = [
+        [{"k": "a", "ts": "2024-01-01 00:00:00", "v": 1},
+         {"k": "a", "ts": "2024-01-01 00:00:05", "v": 2}],
+        [{"k": "a", "ts": "2024-01-01 00:01:00", "v": 10}],
+        # append mode emits a session only after the watermark passes its
+        # close: this flush event advances the watermark beyond session 2
+        # (and itself stays open/unemitted when the stream drains)
+        [{"k": "z", "ts": "2024-01-01 00:10:00", "v": 0}],
+    ]
+    pipeline = [{"$sessionWindow": {"on": "$ts", "gap": "10 seconds",
+                                    "_id": "$k",
+                                    "n": {"$count": {}},
+                                    "total": {"$sum": "$v"}}}]
+    emissions = _run(spark, tmpdir, schema, batches, pipeline,
+                     watermark=("ts", "0 seconds"))
+    rows = sorted((r["_id"], r["n"], r["total"])
+                  for batch in emissions for r in batch)
+    assert ("a", 2, 3) in rows, rows       # first session: both events
+    assert ("a", 1, 10) in rows, rows      # second session after the gap
+    assert ("z", 1, 0) not in rows, rows   # open session not yet emitted
