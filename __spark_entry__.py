@@ -2682,6 +2682,106 @@ _register(
 )(_streaming_parity_query)
 
 
+# --- r3 training-pipeline additions (past-window; oracle-backed) ------
+
+_register(
+    "stratified_sample",
+    """SELECT doc_id, lang
+       FROM documents
+       WHERE ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                 ::BIGINT % 1000000
+             < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                         ELSE 50000 END""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$stratifiedSample": {"by": "$lang",
+                                   "fractions": {"en": 0.5, "de": 0.25},
+                                   "default": 0.05,
+                                   "key": "$doc_id", "seed": 7}},
+            {"$project": {"doc_id": 1, "lang": 1}},
+        ],
+    )
+)
+
+_register(
+    "chunk_text",
+    """WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS words
+                  FROM documents),
+       c AS (SELECT doc_id, len(words) AS n,
+                    CASE WHEN len(words) > 0
+                         THEN greatest(1, CAST(ceil((len(words) - 8) / 24.0)
+                                               AS INT))
+                         ELSE 0 END AS n_chunks,
+                    words
+             FROM w),
+       u AS (SELECT doc_id, n, words,
+                    unnest(range(0, n_chunks)) AS idx
+             FROM c WHERE n_chunks > 0)
+       SELECT doc_id, idx,
+              array_to_string(words[idx * 24 + 1 : idx * 24 + 32], ' ')
+                AS chunk,
+              least(32, n - idx * 24) AS n_words
+       FROM u""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$chunkText": {"input": "$text", "size": 32, "overlap": 8,
+                            "as": "chunks"}},
+            {"$unwind": {"path": "$chunks",
+                         "preserveNullAndEmptyArrays": False}},
+            {"$project": {"doc_id": 1, "idx": "$chunks.idx",
+                          "chunk": "$chunks.text",
+                          "n_words": "$chunks.n_words"}},
+        ],
+    )
+)
+
+_register(
+    "decontaminate",
+    """WITH bench AS (SELECT text FROM documents WHERE doc_id < 50),
+       bw AS (SELECT string_split_regex(lower(text), '\\s+') AS words
+              FROM bench),
+       bs AS (SELECT DISTINCT
+                     ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT AS h
+              FROM bw,
+                   unnest(list_distinct([array_to_string(words[j:j+7], ' ')
+                          FOR j IN range(1, greatest(len(words) - 6, 1))]))
+                     AS t(s)),
+       dw AS (SELECT doc_id,
+                     string_split_regex(lower(text), '\\s+') AS words
+              FROM documents),
+       ds AS (SELECT doc_id,
+                     list_distinct([
+                         ('0x' || substr(md5('0:' ||
+                              array_to_string(words[j:j+7], ' ')), 1, 15))
+                             ::BIGINT
+                         FOR j IN range(1, greatest(len(words) - 6, 1))])
+                       AS hs
+              FROM dw),
+       ref AS (SELECT list(h) AS l FROM bs)
+       SELECT doc_id,
+              CAST(len(list_intersect(hs, l)) AS INT) AS contamination
+       FROM ds, ref""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$decontaminate": {"input": "$text", "against": "bench",
+                                "againstField": "text", "shingle": 8,
+                                "as": "contamination", "mode": "flag"}},
+            {"$project": {"doc_id": 1, "contamination": 1}},
+        ],
+        collections={
+            "bench": lambda t: t["documents"].filter(
+                F.col("doc_id") < 50).select("text")
+        },
+    )
+)
+
+
 # --- $scrubText PII scrubbing (past-window; local oracle mirror) ------
 
 _register(

@@ -1254,6 +1254,151 @@ def frame_sample_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$stratifiedSample")
+def stratified_sample_stage(expression: Any, ctx: Context) -> StageFn:
+    """Deterministic per-stratum sampling for training-mix construction:
+    ``{by: <expr>, fractions: {value: fraction, ...} | fraction,
+    seed?, default?}``.
+
+    Each row keeps iff ``md5_long(seed:key) % 10^6 < fraction * 10^6`` —
+    a pure map-side filter (no shuffle, no RNG state), reproducible
+    across engines and stable under retries/recomputation, unlike
+    ``df.sample``.  ``by`` is the stratum label; with a scalar
+    ``fractions`` every stratum uses the same rate.  Keying the hash on
+    the DOCUMENT key (pass ``key: <expr>``, default ``$_id``) keeps the
+    decision per-document, not per-stratum."""
+    by = expression["by"]
+    fractions = expression["fractions"]
+    seed = int(expression.get("seed", 0))
+    key = expression.get("key", "$_id")
+    default = float(expression.get("default", 0.0))
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        ectx = ExprContext(schema=df.schema)
+        h = F.pmod(
+            md5_long(compile_expr(key, ectx).cast("string"), seed),
+            F.lit(1_000_000),
+        )
+        if isinstance(fractions, dict):
+            stratum = compile_expr(by, ectx).cast("string")
+            thresh: Column = F.lit(int(default * 1_000_000))
+            for value, frac in fractions.items():
+                thresh = F.when(
+                    stratum == str(value), F.lit(int(float(frac) * 1_000_000))
+                ).otherwise(thresh)
+        else:
+            thresh = F.lit(int(float(fractions) * 1_000_000))
+        return df.filter(h < thresh)
+
+    return fn
+
+
+@register_stage("$chunkText")
+def chunk_text_stage(expression: Any, ctx: Context) -> StageFn:
+    """Split a text column into overlapping WORD-window chunks (training
+    context windows / RAG passages): ``{input, size, overlap?, as}`` ->
+    ``array<struct<idx, text, n_words>>``.
+
+    Pure HOF column algebra (split -> sequence -> slice -> join): row-
+    local, zero shuffle, pipelines with the scan.  The last chunk may be
+    short; a document shorter than ``size`` yields one chunk."""
+    inp = expression["input"]
+    size = int(expression["size"])
+    overlap = int(expression.get("overlap", 0))
+    as_field = expression.get("as", "chunks")
+    if not 0 <= overlap < size:
+        raise ValueError("$chunkText needs 0 <= overlap < size")
+    stride = size - overlap
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        words = F.split(text, r"\s+")
+        n = F.size(words)
+        # chunk starts: 0, stride, 2*stride, ...; the last window reaches
+        # the end (ceil), with no redundant tail chunk once covered; docs
+        # shorter than the overlap still yield their single chunk
+        n_chunks = F.when(
+            n > 0,
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil((n - F.lit(overlap)) / F.lit(stride)),
+            ),
+        ).otherwise(F.lit(0)).cast("int")
+        chunks = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("idx"),
+                F.array_join(
+                    F.slice(words, i * stride + 1, size), " "
+                ).alias("text"),
+                F.least(F.lit(size), n - i * stride).cast("long")
+                .alias("n_words"),
+            ),
+        )
+        empty = F.array().cast(
+            "array<struct<idx:bigint,text:string,n_words:bigint>>")
+        return df.withColumn(
+            as_field, F.when(n_chunks > 0, chunks).otherwise(empty)
+        )
+
+    return fn
+
+
+@register_stage("$decontaminate")
+def decontaminate_stage(expression: Any, ctx: Context) -> StageFn:
+    """Training-corpus decontamination against a reference set (e.g. an
+    eval benchmark): ``{input, against: <collection>, againstField,
+    shingle?, minOverlap?, as?, mode?}``.
+
+    Both sides reduce to distinct word-``shingle`` n-gram hash sets; the
+    reference side's DISTINCT shingle hashes broadcast (benchmarks are
+    dimension-sized next to a training corpus); each document counts its
+    overlapping shingles with one row-local array intersection against
+    the broadcast set — no shuffle of the corpus.  ``mode``: ``flag``
+    (default — adds ``as`` with the overlap count), ``drop`` (removes
+    contaminated docs: overlap >= minOverlap), ``keep`` (keeps only
+    contaminated docs, for auditing).  100 TB path: the broadcast is
+    gated by the same limit as $lookup; beyond it, pre-join on a bucket
+    of the shingle hash instead."""
+    inp = expression["input"]
+    against = expression["against"]
+    against_field = expression.get("againstField", "text")
+    shingle = int(expression.get("shingle", 8))
+    min_overlap = int(expression.get("minOverlap", 1))
+    as_field = expression.get("as", "contamination")
+    mode = expression.get("mode", "flag")
+    if mode not in ("flag", "drop", "keep"):
+        raise ValueError("$decontaminate mode must be flag|drop|keep")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        ref = c.collection(against)
+        ref_hashes = (
+            ref.select(
+                F.explode(
+                    word_shingles(F.col(against_field), shingle)
+                ).alias("__s")
+            )
+            .select(md5_long(F.col("__s"), 0).alias("__h"))
+            .distinct()
+            .agg(F.collect_list("__h").alias("__ref"))
+        )
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        doc_hashes = F.transform(
+            word_shingles(text, shingle), _seeded_hasher(0)
+        )
+        tagged = df.crossJoin(F.broadcast(ref_hashes)).withColumn(
+            as_field,
+            F.size(F.array_intersect(doc_hashes, F.col("__ref"))),
+        ).drop("__ref")
+        if mode == "drop":
+            return tagged.filter(F.col(as_field) < min_overlap).drop(as_field)
+        if mode == "keep":
+            return tagged.filter(F.col(as_field) >= min_overlap)
+        return tagged
+
+    return fn
+
+
 @register_stage("$mediaEmbed")
 def media_embed_stage(expression: Any, ctx: Context) -> StageFn:
     """Deterministic feature embedding of a binary column:

@@ -1,0 +1,114 @@
+"""r3 training-pipeline operators: $stratifiedSample (deterministic
+hash sampling), $chunkText (overlapping context windows), $decontaminate
+(benchmark-overlap flagging/dropping)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pincette_mongo_streams_spark import Context, compile_pipeline
+
+
+def test_stratified_sample_deterministic_and_mapside(spark):
+    rows = [Row(_id=str(i), label=("a" if i % 2 else "b")) for i in range(400)]
+    df = spark.createDataFrame(rows, "_id string, label string")
+    pipeline = [{"$stratifiedSample": {
+        "by": "$label", "fractions": {"a": 0.5, "b": 0.1}, "key": "$_id"}}]
+    out = compile_pipeline(pipeline, Context(spark=spark))(df)
+    got = {r["_id"] for r in out.collect()}
+    # deterministic: the same rows every run
+    again = {r["_id"] for r in
+             compile_pipeline(pipeline, Context(spark=spark))(df).collect()}
+    assert got == again
+    counts = (
+        out.groupBy("label").count().collect()
+    )
+    by_cls = {r["label"]: r["count"] for r in counts}
+    assert 60 <= by_cls.get("a", 0) <= 140  # ~100 of 200 at 0.5
+    assert 2 <= by_cls.get("b", 0) <= 50    # ~20 of 200 at 0.1
+    # map-side: no shuffle in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stratified_scalar_fraction_and_default(spark):
+    rows = [Row(_id=str(i), label="x") for i in range(200)]
+    df = spark.createDataFrame(rows, "_id string, label string")
+    out = compile_pipeline([{"$stratifiedSample": {
+        "by": "$label", "fractions": 1.0, "key": "$_id"}}],
+        Context(spark=spark))(df)
+    assert out.count() == 200  # fraction 1.0 keeps everything
+    out = compile_pipeline([{"$stratifiedSample": {
+        "by": "$label", "fractions": {"other": 0.5}, "key": "$_id"}}],
+        Context(spark=spark))(df)
+    assert out.count() == 0  # unmatched stratum -> default 0.0
+
+
+def test_chunk_text_windows(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    rows = [Row(_id="0", text=text), Row(_id="1", text="a b"),
+            Row(_id="2", text="solo")]
+    df = spark.createDataFrame(rows, "_id string, text string")
+    out = compile_pipeline([{"$chunkText": {
+        "input": "$text", "size": 4, "overlap": 1, "as": "chunks"}}],
+        Context(spark=spark))(df)
+    got = {r["_id"]: r.asDict(recursive=True)["chunks"]
+           for r in out.collect()}
+    # stride 3: starts 0, 3, 6 — the window at 6 reaches the end, so
+    # no redundant tail chunk is emitted (full coverage in 3 chunks)
+    c0 = got["0"]
+    assert [c["text"] for c in c0] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"]
+    assert [c["n_words"] for c in c0] == [4, 4, 4]
+    assert [c["text"] for c in got["1"]] == ["a b"]
+    assert [c["text"] for c in got["2"]] == ["solo"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_chunk_text_rejects_bad_overlap(spark):
+    with pytest.raises(ValueError, match="overlap"):
+        compile_pipeline([{"$chunkText": {"input": "$t", "size": 4,
+                                          "overlap": 4}}],
+                         Context(spark=spark))
+
+
+def _decon_frames(spark):
+    docs = [
+        Row(doc_id=0, text="the quick brown fox jumps over the lazy dog today"),
+        Row(doc_id=1, text="a completely different sentence with no overlap here at all"),
+        Row(doc_id=2, text="quick brown fox jumps over the lazy dog again and again"),
+    ]
+    bench = [Row(text="quick brown fox jumps over the lazy dog")]
+    return (spark.createDataFrame(docs, "doc_id long, text string"),
+            spark.createDataFrame(bench, "text string"))
+
+
+def test_decontaminate_modes(spark):
+    df, bench = _decon_frames(spark)
+    ctx = Context(spark=spark, collections={"bench": bench})
+    flag = compile_pipeline([{"$decontaminate": {
+        "input": "$text", "against": "bench", "shingle": 8,
+        "as": "hits", "mode": "flag"}}], ctx)(df)
+    hits = {r["doc_id"]: r["hits"] for r in flag.collect()}
+    assert hits[0] >= 1 and hits[2] >= 1 and hits[1] == 0
+    dropped = compile_pipeline([{"$decontaminate": {
+        "input": "$text", "against": "bench", "shingle": 8,
+        "mode": "drop"}}], ctx)(df)
+    assert [r["doc_id"] for r in dropped.collect()] == [1]
+    assert "hits" not in dropped.columns and \
+        "contamination" not in dropped.columns
+    kept = compile_pipeline([{"$decontaminate": {
+        "input": "$text", "against": "bench", "shingle": 8,
+        "mode": "keep", "as": "hits"}}], ctx)(df)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 2]
+
+
+def test_decontaminate_broadcasts_reference(spark):
+    df, bench = _decon_frames(spark)
+    ctx = Context(spark=spark, collections={"bench": bench})
+    out = compile_pipeline([{"$decontaminate": {
+        "input": "$text", "against": "bench", "shingle": 8,
+        "mode": "flag"}}], ctx)(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan  # the corpus side never shuffles
