@@ -1275,10 +1275,13 @@ def stratified_sample_stage(expression: Any, ctx: Context) -> StageFn:
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         ectx = ExprContext(schema=df.schema)
-        h = F.pmod(
-            md5_long(compile_expr(key, ectx).cast("string"), seed),
-            F.lit(1_000_000),
-        )
+        # a null key must not silently drop the row (null < thresh is
+        # null -> filtered): null-keyed rows hash as "" — one shared,
+        # deterministic decision per stratum; give documents a real
+        # unique key for per-document decisions
+        key_str = F.coalesce(
+            compile_expr(key, ectx).cast("string"), F.lit(""))
+        h = F.pmod(md5_long(key_str, seed), F.lit(1_000_000))
         if isinstance(fractions, dict):
             stratum = compile_expr(by, ectx).cast("string")
             thresh: Column = F.lit(int(default * 1_000_000))

@@ -502,10 +502,21 @@ class _JqCompiler(_Compiler):
         if name == "add":
             if len(node.args) != 1:
                 raise JqUnsupported("add takes no arguments")
+            from pyspark.sql import types as T
+
             src, elem_dt = self.compile_seq(node.args[0])
+            if isinstance(elem_dt, T.StringType):
+                # jq add concatenates string arrays
+                folded = F.aggregate(src, F.lit(""),
+                                     lambda acc, x: F.concat(acc, x))
+                hint = "string"
+            else:
+                folded = F.aggregate(src, F.lit(0.0), lambda acc, x: acc + x)
+                hint = "number"
+            # jq: add of an empty (or null) array is null, not the zero
             return (
-                F.aggregate(src, F.lit(0.0), lambda acc, x: acc + x),
-                "number",
+                F.when(F.size(src) > 0, folded).otherwise(F.lit(None)),
+                hint,
             )
         if name in ("min", "max", "first", "last", "reverse", "sort",
                     "unique"):
@@ -587,26 +598,28 @@ def compile_jq_steps(script: str, rekey) -> Any:
                     and isinstance(node.right, Obj)):
                 for k, v in node.right.pairs:
                     out = out.withColumn(k, comp.compile(v)[0])
-                if any(k == "_id" for k, _ in node.right.pairs):
-                    out = rekey(out)
                 continue
             if isinstance(node, Obj):
                 # a rebuild replaces the DOCUMENT, not the message key:
-                # carry engine-internal key column through (as $project/
-                # $replaceWith do — stateless.py:185,255), then re-derive
-                # it only when the rebuild changed `_id`
+                # carry the engine-internal key column through (as
+                # $project/$replaceWith do — stateless.py:185,255); the
+                # end-of-stage rekey below re-derives it from the
+                # result's _id exactly as the reference does
                 keep = [F.col(c) for c in out.columns
                         if c == KEY_COL or c.startswith(_JQVAR)]
                 out = out.select(*keep, *[comp.compile(v)[0].alias(k)
                                           for k, v in node.pairs])
-                if "_id" in out.columns:
-                    out = rekey(out)
                 continue
             raise JqUnsupported(
                 "pipe steps must be '.', '. + {..}', '{..}', del(..), "
                 "select(..) or 'EXPR as $x'"
             )
         hidden = [c for c in out.columns if c.startswith(_JQVAR)]
-        return out.drop(*hidden) if hidden else out
+        if hidden:
+            out = out.drop(*hidden)
+        # reference stage semantics (Script.java:67-73): the output key
+        # is the result's _id WHENEVER the result carries one (even if
+        # unchanged), else the incoming key — once per script stage
+        return rekey(out)
 
     return apply

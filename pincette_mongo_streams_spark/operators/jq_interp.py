@@ -186,6 +186,12 @@ class _Parser:
             raise JqInterpError("variable name must follow $")
         return name
 
+    def _str_ast(self, parts):
+        """Pre-parse ``\\(...)`` interpolations ONCE at parse time — the
+        evaluator must never re-tokenize per row."""
+        return [p if isinstance(p, str) else (_INTERP, parse(p[1]))
+                for p in parts]
+
     def parse_comma(self):
         node = self.parse_alt()
         while self.at(","):
@@ -293,7 +299,7 @@ class _Parser:
                 default = ("index", ("identity",), ("lit", val))
             elif kind == "string":
                 self.next()
-                key_node = ("str", val) if not (
+                key_node = ("str", self._str_ast(val)) if not (
                     len(val) == 1 and isinstance(val[0], str)) else \
                     ("lit", val[0] if val else "")
                 default = None
@@ -335,7 +341,7 @@ class _Parser:
                 return ("lit", val[0])
             if not val:
                 return ("lit", "")
-            return ("str", val)
+            return ("str", self._str_ast(val))
         if self.at("("):
             self.next()
             node = self.parse_pipe()
@@ -609,13 +615,14 @@ def _ev(node, inp, env) -> Iterator[Any]:
         yield node[1]
         return
     if kind == "str":
-        # string with interpolations (parts pre-lexed)
+        # string with interpolations (parts pre-lexed; expressions
+        # pre-PARSED at script parse time — never re-parsed per row)
         pieces_sets = []
         for part in node[1]:
             if isinstance(part, str):
                 pieces_sets.append([part])
             else:
-                sub = parse(part[1])
+                sub = part[1]
                 pieces_sets.append([
                     v if isinstance(v, str) else json.dumps(v)
                     for v in _ev(sub, inp, env)
@@ -900,7 +907,16 @@ def _call(name, args, inp, env) -> Iterator[Any]:
     b = _BUILTINS.get((name, len(args)))
     if b is None:
         raise JqInterpError(f"unknown builtin {name}/{len(args)}")
-    yield from b(args, inp, env)
+    # jq converts type/value errors inside builtins into CATCHABLE jq
+    # errors (try/catch, //) — raw Python exceptions would instead kill
+    # the whole Spark task on one bad row
+    try:
+        yield from b(args, inp, env)
+    except (_JqRuntimeError, JqInterpError):
+        raise
+    except (ValueError, TypeError, IndexError, KeyError, AttributeError,
+            ZeroDivisionError, OverflowError) as e:
+        raise _JqRuntimeError(f"{name}: {e}") from e
 
 
 def _b(fn: Callable[[Any], Any]):

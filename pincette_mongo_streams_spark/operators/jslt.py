@@ -899,8 +899,14 @@ class _Compiler:
             return F.coalesce(*cols), next((h for _, h in args if h), _UNKNOWN)
         if name in ("min", "max"):
             need(2)
-            return ((F.least if name == "min" else F.greatest)(*cols),
-                    args[0][1] or args[1][1])
+            # JSLT (and tier 2) return null when either side is null;
+            # Spark's least/greatest skip nulls — guard explicitly
+            best = (F.least if name == "min" else F.greatest)(*cols)
+            return (
+                F.when(cols[0].isNull() | cols[1].isNull(),
+                       F.lit(None)).otherwise(best),
+                args[0][1] or args[1][1],
+            )
         if name == "sum":
             need(1)
             return (F.aggregate(cols[0], F.lit(0.0).cast("double"),
@@ -948,12 +954,20 @@ class _Compiler:
                 raise JsltUnsupported(
                     "zip() of differently-typed arrays has no typed "
                     "column representation")
-            return (F.zip_with(cols[0], cols[1],
+            # truncate to the SHORTER side (JSLT/tier-2 semantics);
+            # Spark's zip_with would null-pad the longer one
+            n = F.least(F.size(cols[0]), F.size(cols[1]))
+            return (F.zip_with(F.slice(cols[0], 1, n),
+                               F.slice(cols[1], 1, n),
                                lambda a, b: F.array(a, b)), _ARRAY)
         if name == "zip-with-index":
             need(1)
-            # JSLT pairs each element with its index as [value, index]
-            idx = F.sequence(F.lit(0), F.size(cols[0]) - 1)
+            # sequence(0, -1) on an empty array would generate the
+            # DESCENDING [0, -1] (phantom entries) — guard empties
+            idx = F.when(
+                F.size(cols[0]) > 0,
+                F.sequence(F.lit(0), F.size(cols[0]) - 1),
+            ).otherwise(F.array().cast("array<int>"))
             return (F.zip_with(cols[0], idx,
                                lambda v, i: F.struct(v.alias("value"),
                                                      i.alias("index"))),
@@ -1090,20 +1104,33 @@ class _Compiler:
         names: list[tuple[str, int]] = []
         group_idx = 0
         i = 0
+        in_class = False
         while i < len(pattern):
             ch = pattern[i]
             if ch == "\\":
                 i += 2
                 continue
-            if ch == "(" and not pattern.startswith("(?:", i):
-                group_idx += 1
+            if ch == "[":
+                in_class = True
+            elif ch == "]":
+                in_class = False
+            if ch == "(" and not in_class:
+                # only CAPTURING groups count toward regexp_extract's
+                # numbering: named groups `(?<n>`/`(?P<n>` and plain `(`;
+                # `(?:`, lookarounds `(?=`/`(?!`/`(?<=`/`(?<!`, and
+                # inline flags `(?i)` do not
                 m = _re.match(r"\(\?P?<([A-Za-z][A-Za-z0-9]*)>", pattern[i:])
                 if m:
+                    group_idx += 1
                     names.append((m.group(1), group_idx))
+                elif not pattern.startswith("(?", i):
+                    group_idx += 1
             i += 1
         if not names:
             raise JsltUnsupported("capture() needs named groups")
-        spark_pat = pattern.replace("(?<", "(?P<").replace("(?P<", "(?<")
+        # Python-style `(?P<name>` -> Java `(?<name>` (regexp_extract);
+        # anchored on a letter so lookbehinds are never touched
+        spark_pat = _re.sub(r"\(\?P<([A-Za-z])", r"(?<\1", pattern)
         fields = [
             F.regexp_extract(col, spark_pat, idx).alias(nm)
             for nm, idx in names

@@ -313,10 +313,14 @@ def _flatten(v):
 def _capture(v, pattern):
     if v is None:
         return None
-    m = re.search(pattern.replace("(?<", "(?P<").replace("(?PP<", "(?P<"), v)
+    # Java-style `(?<name>` -> Python `(?P<name>`, WITHOUT touching
+    # lookbehinds `(?<=` / `(?<!` (a blind replace would corrupt them)
+    py_pat = re.sub(r"\(\?<([A-Za-z])", r"(?P<\1", pattern)
+    m = re.search(py_pat, v)
+    if not m:
+        return {}
     return {k: (x if x is not None else "")
-            for k, x in (m.groupdict().items() if m else [])} \
-        if m else {}
+            for k, x in m.groupdict().items()}
 
 
 def _parse_url(v):

@@ -105,7 +105,8 @@ def _apply_added(df: DataFrame, added: dict) -> DataFrame:
     out = df
     for k, v in added.items():
         out = out.withColumn(k, _lit_deep(v))
-    return _rekey_on_id(out) if "_id" in added else out
+    # Script.java:67-73: key = result _id whenever present
+    return _rekey_on_id(out)
 
 
 def _script_stage(kind: str, expression: Any, ctx: Context) -> StageFn:
@@ -151,13 +152,14 @@ def _script_stage(kind: str, expression: Any, ctx: Context) -> StageFn:
                 drops = [c for c in dropped if c in out.columns]
                 if drops:
                     out = out.drop(*drops)
-                return _rekey_on_id(out) if "_id" in added else out
+                return _rekey_on_id(out)
             # a projecting template replaces the document, not the message
             # key — carry the internal key column through (as $project
-            # does, stateless.py:185), then rekey only if `_id` changed
+            # does, stateless.py:185); the key then re-derives from the
+            # result's _id whenever one is present (Script.java:67-73)
             keep = [F.col(c) for c in (KEY_COL,) if c in frame.columns]
             out = frame.select(*keep, *projected)
-            return _rekey_on_id(out) if "_id" in out.columns else out
+            return _rekey_on_id(out)
 
         return apply(df)
 
@@ -167,8 +169,8 @@ def _script_stage(kind: str, expression: Any, ctx: Context) -> StageFn:
 def _script_udf(df: DataFrame, run_one) -> DataFrame:
     """Shared tier-2 plumbing: the document (engine-internal ``__``
     columns stripped) round-trips through JSON and ``run_one``; the
-    message-key column rides alongside and re-derives from ``_id`` when
-    the script changed it (Script.java:67-73)."""
+    message-key column rides alongside and re-derives from the result's
+    ``_id`` whenever one is present (Script.java:67-73)."""
     sample = df.limit(1).collect()
     if not sample:
         return df
@@ -189,7 +191,7 @@ def _script_udf(df: DataFrame, run_one) -> DataFrame:
         *[F.col(c) for c in (KEY_COL,) if c in jsons.columns],
         F.from_json(run("__doc"), schema).alias("__o"),
     ).select(*[c for c in (KEY_COL,) if c in jsons.columns], "__o.*")
-    return _rekey_on_id(out) if "_id" in out.columns else out
+    return _rekey_on_id(out)
 
 
 def _jslt_udf(df: DataFrame, script: str) -> DataFrame:

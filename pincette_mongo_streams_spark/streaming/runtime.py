@@ -154,13 +154,17 @@ def run_streaming(
                 last.join(fresh.select("_id"), "_id", "left_anti")
             )
             last_emitted[0] = new_last.localCheckpoint(eager=True)
-            if state_dir is not None:
-                # durable snapshot: the localCheckpoint above materialized
-                # the state, so overwriting the very files it was reloaded
-                # from is safe (no live scan of state_dir in its lineage)
-                last_emitted[0].write.mode("overwrite").parquet(state_dir)
             out = fresh
         sink(out, epoch)
+        if suppress_unchanged and state_dir is not None:
+            # durable snapshot AFTER the sink call: a crash between the
+            # two replays the batch and re-emits (at-least-once) — the
+            # reverse order would mark rows as already-emitted before
+            # the sink ever saw them (silent loss).  The localCheckpoint
+            # above materialized the state, so overwriting the very
+            # files it was reloaded from is safe (no live scan of
+            # state_dir in its lineage).
+            last_emitted[0].write.mode("overwrite").parquet(state_dir)
         batch_ctx.streaming = True
         batch_ctx.micro_batch = False
 

@@ -122,3 +122,12 @@ def test_cross_check_against_native_compiler(spark):
             for k, v in want.items():
                 assert have[k] == pytest.approx(v) if isinstance(v, float) \
                     else have[k] == v, (script, k, have[k], v)
+
+
+def test_builtin_errors_are_catchable():
+    """r3 review fix: type/value errors inside builtins become catchable
+    jq errors instead of raw Python exceptions killing the task."""
+    assert jq_first('try (.x | tonumber) catch "bad"')({"x": "abc"}) == "bad"
+    assert jq_first('try (.xs | first) catch "empty"')({"xs": []}) == "empty"
+    assert jq_first('(.x | tonumber)? // -1')({"x": "abc"}) == -1
+    assert jq_first('try (.n | ascii_downcase) catch "t"')({"n": 3}) == "t"

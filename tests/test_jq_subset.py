@@ -215,3 +215,14 @@ def test_string_interpolation_native(spark):
     assert docs[0]["t"] == "age=37"
     docs = _run(spark, r'{("k\(.age)"): .name}')
     assert docs[0] == {"k36": "Ada Lovelace"}
+
+
+def test_add_empty_and_string_arrays(spark):
+    """r3 review fixes: add of an empty array is null (jq semantics, so
+    `// default` fires); add of a string array concatenates."""
+    rows = [Row(_id="0", empty=[], words=["a", "b", "c"])]
+    schema = "_id string, empty array<double>, words array<string>"
+    d = _run(spark, '. + {e: ((.empty | add) // -1), '
+                    'w: (.words | add)}',
+             rows=rows, schema=schema)[0]
+    assert d["e"] == -1.0 and d["w"] == "abc"

@@ -246,3 +246,39 @@ def test_spread_minus_exclusions(spark):
     d = _run(spark, '{* - age, note : ., "extra": 1}')[0]
     assert "age" not in d and "note" not in d
     assert d["name"] == "Ada Lovelace" and d["extra"] == 1
+
+
+def test_builtin_edge_semantics_match_tier2(spark):
+    """r3 review fixes: zip truncates to the shorter array (no null
+    padding), zip-with-index of an empty array is empty (no phantom
+    descending sequence), min/max return null when either side is null
+    — all matching the tier-2 evaluator."""
+    rows = [Row(_id="0", xs=[1.0, 2.0, 3.0], ys=[9.0], empty=[],
+                a=None, b=5.0)]
+    schema = ("_id string, xs array<double>, ys array<double>, "
+              "empty array<double>, a double, b double")
+    d = _run(spark, '{"z": zip(.xs, .ys), "zi": zip-with-index(.empty), '
+                    '"mn": min(.a, .b), "mx": max(.a, .b)}',
+             rows=rows, schema=schema)[0]
+    assert d["z"] == [[1.0, 9.0]]
+    assert d["zi"] == []
+    assert d["mn"] is None and d["mx"] is None
+    from pincette_mongo_streams_spark.operators.jslt_eval import (
+        jslt_transform,
+    )
+    doc = {"xs": [1.0, 2.0, 3.0], "ys": [9.0], "empty": [],
+           "a": None, "b": 5.0}
+    t2 = jslt_transform('{"z": zip(.xs, .ys), '
+                        '"zi": zip-with-index(.empty), '
+                        '"mn": min(.a, .b), "mx": max(.a, .b)}')(doc)
+    assert t2["z"] == [[1.0, 9.0]] and t2["zi"] == []
+    assert t2["mn"] is None and t2["mx"] is None
+
+
+def test_capture_ignores_noncapturing_groups(spark):
+    """Lookarounds / non-capturing groups must not shift the named-group
+    numbering in regexp_extract (r3 review fix)."""
+    rows = [Row(_id="0", s="price: 42 usd")]
+    d = _run(spark, r'{"c": capture(.s, "(?:price): (?<amount>\\d+) (?<unit>\\w+)")}',
+             rows=rows, schema="_id string, s string")[0]
+    assert d["c"] == {"amount": "42", "unit": "usd"}

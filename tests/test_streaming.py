@@ -438,3 +438,40 @@ def test_session_window_stream(spark, tmpdir):
     assert ("a", 2, 3) in rows, rows       # first session: both events
     assert ("a", 1, 10) in rows, rows      # second session after the gap
     assert ("z", 1, 0) not in rows, rows   # open session not yet emitted
+
+
+def test_suppress_state_persists_after_sink_not_before(spark, tmpdir):
+    """r3 review fix: the durable suppress-state snapshot is written
+    AFTER the sink call — a sink failure replays the batch and re-emits
+    (at-least-once) instead of marking rows as already-emitted before
+    the sink ever saw them (silent loss)."""
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    in_dir = os.path.join(tmpdir, "in")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    pipeline = [{"$group": {"_id": None, "mx": {"$max": "$v"}}}]
+    _write_batches(in_dir, [[{"v": 5}]])
+
+    def failing_sink(batch_df, epoch):
+        batch_df.collect()
+        raise RuntimeError("sink down")
+
+    source = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(in_dir))
+    q = run_streaming(source, pipeline, Context(spark=spark), failing_sink,
+                      trigger={"availableNow": True}, checkpoint=ckpt,
+                      suppress_unchanged=True)
+    with pytest.raises(Exception, match="sink down"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+    # restart with a working sink: the failed batch replays and the
+    # emission arrives (it would be suppressed if state preceded sink)
+    got: list = []
+    source2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).json(in_dir))
+    q2 = run_streaming(source2, pipeline, Context(spark=spark),
+                       lambda df, e: got.extend(
+                           r.asDict() for r in df.collect()),
+                       trigger={"availableNow": True}, checkpoint=ckpt,
+                       suppress_unchanged=True)
+    q2.awaitTermination(120)
+    assert [r["mx"] for r in got] == [5]
