@@ -1971,13 +1971,57 @@ _register(
     )
 )
 
+def _ivf_search_oracle_sql(nlist: int, nprobe: int, k: int) -> str:
+    """DuckDB twin of $annIvfSearch in its APPROXIMATE configuration: the
+    coarse quantizer is the nlist corpus vectors with the smallest
+    md5('ivf:' || id) (bit-identical hex ordering in both engines),
+    unit-normalized; cell assignment is argmax dot with first-index
+    tie-break; queries probe their nprobe best cells; exact cosine +
+    per-query top-k on the survivors.  Scores round to 4 digits so
+    fold-order FP noise between Spark's aggregate() and DuckDB's
+    list_dot_product cannot flip the hash."""
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+samp AS (SELECT e, row_number() OVER (
+               ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+             AS cid
+         FROM v
+         ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
+         LIMIT {nlist}),
+cents AS (SELECT cid,
+                 list_transform(e, x -> x / sqrt(list_sum(
+                     list_transform(e, y -> y * y)))) AS ce
+          FROM samp),
+csc AS (SELECT v.vec_id AS corpus_id, v.e, c.cid,
+               list_dot_product(v.e, c.ce) AS d
+        FROM v CROSS JOIN cents c),
+cell AS (SELECT corpus_id, e, cid AS cell
+         FROM (SELECT *, row_number() OVER (PARTITION BY corpus_id
+                                            ORDER BY d DESC, cid) AS rn
+               FROM csc)
+         WHERE rn = 1),
+q0 AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+qsc AS (SELECT query_id, qe, cid, list_dot_product(qe, ce) AS d
+        FROM q0 CROSS JOIN cents),
+probes AS (SELECT query_id, qe, cid AS cell
+           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                              ORDER BY d DESC, cid) AS rn
+                 FROM qsc)
+           WHERE rn <= {nprobe}),
+s AS (SELECT query_id, corpus_id, list_cosine_similarity(cell.e, qe) AS sc
+      FROM cell JOIN probes USING (cell)),
+r AS (SELECT query_id, corpus_id, {_r("sc", 4)} AS score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sc DESC, corpus_id) AS rank
+      FROM s)
+SELECT query_id, corpus_id, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}"""
+
+
 _register(
     "ann_ivf_search",
-    None,  # IVF-flat ANN: the coarse quantizer samples by Spark's
-    # xxhash64, which DuckDB cannot reproduce — rows-only here; the
-    # EXACT configuration (nprobe == nlist) is hard-oracled in-window
-    # via ann_indexed, and pruning behavior is pinned in
-    # tests/test_multimodal.py
+    _ivf_search_oracle_sql(16, 4, 5),
 )(
     _pipe(
         "embeddings",
@@ -1986,7 +2030,8 @@ _register(
                                "id": "vec_id", "k": 5, "nlist": 16,
                                "nprobe": 4}},
             {"$project": {"query_id": 1, "corpus_id": 1,
-                          "score": {"$round": ["$score", 4]}, "rank": 1}},
+                          "score": {"$round": ["$score", 4]},
+                          "rank": {"$toLong": "$rank"}}},
         ],
         collections={
             "queries": lambda t: t["embeddings"].filter(F.col("vec_id") < 10).select(
@@ -1994,6 +2039,51 @@ _register(
         },
     )
 )
+
+
+def _connected_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$connectedComponents over a deterministic two-hub graph: each
+    customer links to its key mod 100 and mod 97, so components merge
+    transitively across the two hub relations — a real exercise of the
+    large-star/small-star iteration, not a star toy."""
+    tables = _load(spark, sf_dir)
+    orders = tables["orders"]
+    edges = orders.select(
+        F.col("o_custkey").alias("src"), (F.col("o_custkey") % 100).alias("dst")
+    ).union(orders.select(
+        F.col("o_custkey").alias("src"), (F.col("o_custkey") % 97).alias("dst")
+    ))
+    ctx = Context(spark=spark, collections={"e": edges})
+    pipeline = [
+        {"$connectedComponents": {"edges": "e", "src": "src", "dst": "dst",
+                                  "on": "c_custkey", "as": "component"}},
+        {"$project": {"c_custkey": 1, "component": {"$toLong": "$component"}}},
+    ]
+    return compile_pipeline(pipeline, ctx)(tables["customer"])
+
+
+_register(
+    "connected_components",
+    # oracle: transitive closure by recursive min-reachability — tractable
+    # at sf0.01 node counts; the Spark side uses O(log n)-round
+    # large-star/small-star instead (operators/graphcc.py)
+    """WITH RECURSIVE base AS (
+           SELECT o_custkey AS a, o_custkey % 100 AS b FROM orders
+           UNION
+           SELECT o_custkey, o_custkey % 97 FROM orders),
+       sym AS (SELECT a, b FROM base WHERE a <> b
+               UNION
+               SELECT b, a FROM base WHERE a <> b),
+       r AS (SELECT a AS node, b AS rch FROM sym
+             UNION
+             SELECT r.node, e.b FROM r JOIN sym e ON r.rch = e.a),
+       comp AS (SELECT node, least(node, min(rch)) AS component
+                FROM r GROUP BY node)
+       SELECT c.c_custkey,
+              CAST(coalesce(comp.component, c.c_custkey) AS BIGINT)
+                  AS component
+       FROM customer c LEFT JOIN comp ON c.c_custkey = comp.node""",
+)(_connected_components_query)
 
 
 # =====================================================================

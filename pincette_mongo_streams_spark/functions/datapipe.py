@@ -207,16 +207,26 @@ def minhash_stage(expression: Any, ctx: Context) -> StageFn:
 def minhash_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     """Near-dup removal via MinHash + LSH banding.
 
-    ``{input, id, shingle, numHashes, bands, verify?}`` — docs sharing
-    any band bucket are candidate duplicates; within a bucket only the
-    min-``id`` doc survives.  This is the scale path: explode to (band,
-    bucket-hash) pairs, one groupBy over buckets, one semi-join back —
-    never a pairwise O(n²) comparison.  Bucket-transitive pruning is
-    slightly more aggressive than exact pairwise Jaccard >= t (standard
-    LSH); ``verify: <threshold>`` adds an exact-Jaccard check on each
-    (bucket keeper, member) candidate pair — only pairs whose TRUE
+    ``{input, id, shingle, numHashes, bands, verify?, transitive?}`` —
+    docs sharing any band bucket are candidate duplicates; within a
+    bucket only the min-``id`` doc survives.  This is the scale path:
+    explode to (band, bucket-hash) pairs, one groupBy over buckets, one
+    semi-join back — never a pairwise O(n²) comparison.  Bucket-transitive
+    pruning is slightly more aggressive than exact pairwise Jaccard >= t
+    (standard LSH); ``verify: <threshold>`` adds an exact-Jaccard check on
+    each (bucket keeper, member) candidate pair — only pairs whose TRUE
     shingle Jaccard reaches the threshold are dropped, at the cost of one
     extra candidate-sized join (candidates are bucket-bounded, not n²).
+
+    ``transitive: true`` resolves candidate pairs with connected
+    components (operators/graphcc.py) instead of per-bucket pruning:
+    overlapping buckets merge into one cluster and exactly the min-id doc
+    of each *transitive* cluster survives (per-bucket pruning can leave
+    several survivors in a chained cluster, e.g. buckets {b,c} and {a,b}
+    keep both a and b).  The pair graph stays linear in bucket size —
+    star edges (member, bucket keeper), never all pairs.  With ``verify``
+    the edges are the verified pairs, so clusters only span docs whose
+    pairwise path passed the exact-Jaccard check.
     """
     inp = expression["input"]
     id_field = expression.get("id", "_id")
@@ -224,6 +234,7 @@ def minhash_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     num = int(expression.get("numHashes", 32))
     bands = int(expression.get("bands", 8))
     verify = expression.get("verify")
+    transitive = bool(expression.get("transitive", False))
     rows_per_band = num // bands
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
@@ -267,7 +278,18 @@ def minhash_dedup_stage(expression: Any, ctx: Context) -> StageFn:
                     >= float(verify)
                 )
             )
-        dups = cands.select(F.col("__did")).distinct()
+        if transitive:
+            from ..operators.graphcc import connected_components
+
+            labels = connected_components(
+                cands.select(F.col("__did").alias("a"), F.col("__keep").alias("b"))
+            )
+            dups = (
+                labels.filter(F.col("__cc_node") != F.col("__cc_comp"))
+                .select(F.col("__cc_node").alias("__did"))
+            )
+        else:
+            dups = cands.select(F.col("__did")).distinct()
         return with_sig.join(
             dups, with_sig[id_field] == dups["__did"], "left_anti"
         ).drop("__sig")
@@ -716,8 +738,10 @@ def ann_ivf_search_stage(expression: Any, ctx: Context) -> StageFn:
 
     The data-dependent complement to $annLshSearch's data-independent
     hyperplanes.  Coarse quantizer = ``nlist`` corpus vectors sampled
-    deterministically (smallest xxhash64(id) — a random sample under a
-    fixed seed); centroids are tiny metadata, collected once and inlined
+    deterministically (smallest ``md5('ivf:' || id)`` — a random sample
+    under a fixed seed, and md5 is bit-identical in DuckDB so even the
+    *approximate* configuration has a full SQL oracle, not just the
+    nprobe == nlist exact mode); centroids are tiny metadata, collected once and inlined
     as plan literals, so **cell assignment is pure column algebra with
     zero shuffle** — each corpus row scores against the literal centroid
     array and takes the argmax.  Queries probe their ``nprobe`` nearest
@@ -745,7 +769,10 @@ def ann_ivf_search_stage(expression: Any, ctx: Context) -> StageFn:
         # side (nlist × dim floats — dimension-table-sized metadata)
         sample = (
             corpus.select("corpus_id", "__ce")
-            .orderBy(F.xxhash64(F.col("corpus_id").cast("string")), "corpus_id")
+            .orderBy(
+                F.md5(F.concat(F.lit("ivf:"), F.col("corpus_id").cast("string"))),
+                "corpus_id",
+            )
             .limit(nlist)
             .collect()
         )

@@ -1,0 +1,142 @@
+"""``$connectedComponents`` — distributed connected components over an
+edge collection; the transitive-clustering backbone for near-dup dedup.
+
+Beyond-reference training-data operator (SURVEY.md §7 step 8; no
+counterpart in /root/reference — the reference has no graph stage).  At
+100 TB, near-duplicate document clusters are *transitive* (A~B and B~C
+put {A,B,C} in one cluster even when A and C never share a bucket), so
+keeping one representative per cluster requires connected components over
+the candidate-pair graph — per-bucket pruning alone can leave several
+survivors in one transitive cluster.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", ACM SoCC 2014).  It
+converges in O(log n) rounds regardless of graph diameter, where plain
+min-label propagation needs O(diameter) rounds — a chain-shaped candidate
+graph at corpus scale would never finish under label propagation.  Scale
+properties of each round:
+
+- two ``groupBy(node).min`` shuffles + one edge join — the per-node
+  neighborhood is **never** materialized (no ``collect_set``), so the hot
+  node of a large component (its minimum, which every member eventually
+  points at) is handled by partial aggregation, not a single giant task;
+- the edge set shrinks monotonically toward a star forest;
+- lineage is truncated every round with ``localCheckpoint`` so the
+  iterative plan does not grow unboundedly (on a real cluster, swap in
+  ``checkpoint`` to reliable storage via ``spark.sparkContext.
+  setCheckpointDir`` — same call site, durable against executor loss).
+
+The driver loop only compares edge-set fingerprints for convergence; the
+data never collects to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..context import Context
+from ..expressions import ExprContext, compile_expr
+from ..pipeline import StageFn, register_stage
+
+
+def _large_star(directed: DataFrame) -> DataFrame:
+    """One large-star round: for every node u with m = min(N(u) ∪ {u}),
+    connect each strictly larger neighbor v > u to m.  Input/output are
+    edge DataFrames with columns (a, b); input may be any orientation."""
+    sym = directed.union(
+        directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("__mn"))
+        .select("a", F.least("a", "__mn").alias("__m"))
+    )
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("__m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(directed: DataFrame) -> DataFrame:
+    """One small-star round over larger→smaller directed edges: for every
+    node u, point all smaller neighbors (and u itself) at
+    m = min(N⁻(u) ∪ {u})."""
+    d = directed.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    mins = d.groupBy("a").agg(F.min("b").alias("__m"))
+    pairs = (
+        d.join(mins, "a")
+        .filter(F.col("b") != F.col("__m"))
+        .select(F.col("b").alias("a"), F.col("__m").alias("b"))
+    )
+    selfs = mins.select("a", F.col("__m").alias("b"))
+    return pairs.union(selfs).distinct()
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """(a, b) edge DataFrame → (``__cc_node``, ``__cc_comp``) labels, where
+    the component id is the minimum node id of the component.  Nodes that
+    appear in no edge are absent (callers coalesce to the node's own id).
+    Node ids may be any orderable type (numeric, string)."""
+    cur = (
+        edges.filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur_count = cur.count()
+    if cur_count == 0:
+        return cur.select(F.col("a").alias("__cc_node"), F.col("b").alias("__cc_comp"))
+    for _ in range(max_iterations):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt_count = nxt.count()
+        if nxt_count == cur_count and nxt.exceptAll(cur).isEmpty():
+            break
+        cur, cur_count = nxt, nxt_count
+    else:
+        raise RuntimeError(
+            f"$connectedComponents did not converge in {max_iterations} rounds"
+        )
+    # fixpoint is a star forest: every non-root points at its component
+    # minimum; the min() is a safety net, not a correctness requirement
+    return cur.groupBy(F.col("a").alias("__cc_node")).agg(
+        F.min("b").alias("__cc_comp")
+    )
+
+
+@register_stage("$connectedComponents")
+def connected_components_stage(expression: Any, ctx: Context) -> StageFn:
+    """``{edges, src, dst, on, as, maxIterations}`` — label every input
+    document with the connected-component id (the minimum node id of its
+    component) of its ``on`` value in the graph stored in collection
+    ``edges``.  Documents whose node appears in no edge form singleton
+    components (their own id)."""
+    edges_coll = expression["edges"]
+    src = expression.get("src", "src")
+    dst = expression.get("dst", "dst")
+    on = expression.get("on", "_id")
+    as_field = expression.get("as", "component")
+    max_iter = int(expression.get("maxIterations", 50))
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        e = c.collection(edges_coll)
+        sctx = ExprContext(schema=e.schema)
+        edge_df = e.select(
+            compile_expr(f"${src}", sctx).alias("a"),
+            compile_expr(f"${dst}", sctx).alias("b"),
+        )
+        labels = connected_components(edge_df, max_iter)
+        node = compile_expr(f"${on}", ExprContext(schema=df.schema))
+        joined = df.join(labels, node.eqNullSafe(F.col("__cc_node")), "left")
+        return joined.withColumn(
+            as_field, F.coalesce(F.col("__cc_comp"), node)
+        ).drop("__cc_node", "__cc_comp")
+
+    return fn

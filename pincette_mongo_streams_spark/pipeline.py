@@ -92,5 +92,6 @@ from .operators import (  # noqa: E402,F401
     effects as _effects,
     script as _script,
     extended as _extended,
+    graphcc as _graphcc,
 )
 from .functions import datapipe as _datapipe  # noqa: E402,F401
