@@ -2041,6 +2041,68 @@ _register(
 )
 
 
+def _knn_join_oracle_sql(bits: int, dim: int, probes: int, k: int,
+                         left_max: int) -> str:
+    """DuckDB twin of $knnJoin in its approximate LSH configuration —
+    same deterministic md5-derived planes and left-fold bucket expression
+    as the $annLshSearch oracle, with the multi-probe explode on the LEFT
+    side (the join side that is corpus-sized in production)."""
+    from pincette_mongo_streams_spark.functions.datapipe import _plane_component
+
+    def bucket_expr(col: str) -> str:
+        terms = []
+        for j in range(bits):
+            dot = "0.0"
+            for d in range(dim):
+                c = repr(_plane_component(j, d))
+                dot = f"({dot} + {col}[{d + 1}] * {c})"
+            terms.append(
+                f"(CASE WHEN {dot} >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END"
+                + (f" * {1 << j}" if j else "") + ")"
+            )
+        return " + ".join(terms)
+
+    flips = ", ".join(["lb"] + [f"xor(lb, {1 << b})" for b in range(bits)])
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+r AS (SELECT vec_id AS right_id, e, {bucket_expr('e')} AS bucket FROM v),
+l0 AS (SELECT vec_id AS left_id, e AS le, {bucket_expr('e')} AS lb
+       FROM v WHERE vec_id < {left_max}),
+lp AS (SELECT left_id, le, unnest(list_slice([{flips}], 1, {probes}))
+           AS bucket
+       FROM l0),
+s AS (SELECT left_id, right_id, list_cosine_similarity(r.e, le) AS sc
+      FROM r JOIN lp USING (bucket)
+      WHERE right_id <> left_id),
+rk AS (SELECT left_id, right_id, {_r("sc", 4)} AS score,
+              row_number() OVER (PARTITION BY left_id
+                                 ORDER BY sc DESC, right_id) AS rank
+       FROM s)
+SELECT left_id, right_id, score, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {k}"""
+
+
+_register(
+    "knn_join",
+    _knn_join_oracle_sql(6, 64, 3, 5, 50),
+)(
+    _pipe(
+        "embeddings",
+        [
+            {"$match": {"vec_id": {"$lt": 50}}},
+            {"$knnJoin": {"from": "emb", "input": "$embedding",
+                          "id": "vec_id", "k": 5, "bits": 6, "dim": 64,
+                          "probes": 3, "excludeSelf": True}},
+            {"$project": {"left_id": 1, "right_id": 1,
+                          "score": {"$round": ["$score", 4]},
+                          "rank": {"$toLong": "$rank"}}},
+        ],
+        collections={"emb": "embeddings"},
+    )
+)
+
+
 def _connected_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$connectedComponents over a deterministic two-hub graph: each
     customer links to its key mod 100 and mod 97, so components merge
@@ -2305,7 +2367,12 @@ _register(
               {_r("l_quantity + l_discount + l_tax", 4)} AS tot,
               to_json(list_slice(list_reverse_sort(
                   [l_quantity, l_discount, l_tax]), 1, 2))::VARCHAR AS mx2,
-              {_r("sin(l_discount)", 6)} AS sn
+              {_r("sin(l_discount)", 6)} AS sn,
+              {_r("ln(l_quantity + sqrt(l_quantity * l_quantity + 1))", 6)}
+                  AS ash,
+              {_r("ln((1 + l_quantity) + sqrt((1 + l_quantity) * (1 + l_quantity) - 1))", 6)}
+                  AS ach,
+              {_r("0.5 * ln((1 + l_discount) / (1 - l_discount))", 6)} AS ath
        FROM lineitem WHERE l_linenumber = 1""",
 )(
     _json_cols(
@@ -2328,6 +2395,9 @@ _register(
                     "tot": {"$round": [{"$sum": "$vals"}, 4]},
                     "mx2": {"$maxN": {"input": "$vals", "n": 2}},
                     "sn": {"$round": [{"$sin": "$l_discount"}, 6]},
+                    "ash": {"$round": [{"$asinh": "$l_quantity"}, 6]},
+                    "ach": {"$round": [{"$acosh": {"$add": [1, "$l_quantity"]}}, 6]},
+                    "ath": {"$round": [{"$atanh": "$l_discount"}, 6]},
                 }},
             ],
         ),

@@ -959,6 +959,9 @@ OPERATORS["$atan2"] = lambda raw, ctx: F.atan2(
 OPERATORS["$sinh"] = lambda raw, ctx: F.sinh(_c(_args(raw)[0], ctx))
 OPERATORS["$cosh"] = lambda raw, ctx: F.cosh(_c(_args(raw)[0], ctx))
 OPERATORS["$tanh"] = lambda raw, ctx: F.tanh(_c(_args(raw)[0], ctx))
+OPERATORS["$asinh"] = lambda raw, ctx: F.asinh(_c(_args(raw)[0], ctx))
+OPERATORS["$acosh"] = lambda raw, ctx: F.acosh(_c(_args(raw)[0], ctx))
+OPERATORS["$atanh"] = lambda raw, ctx: F.atanh(_c(_args(raw)[0], ctx))
 OPERATORS["$degreesToRadians"] = lambda raw, ctx: F.radians(_c(_args(raw)[0], ctx))
 OPERATORS["$radiansToDegrees"] = lambda raw, ctx: F.degrees(_c(_args(raw)[0], ctx))
 

@@ -841,6 +841,100 @@ def ann_ivf_search_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$knnJoin")
+def knn_join_stage(expression: Any, ctx: Context) -> StageFn:
+    """k-NN JOIN: ``{from?, input, id, foreignInput?, foreignId?, k, bits,
+    dim, probes, excludeSelf?}`` — every LEFT document finds its ``k``
+    nearest neighbors in a corpus (``from`` collection, or the input
+    itself when absent = self-join).
+
+    This is the corpus-to-corpus scale primitive the search stages don't
+    cover: $annTopK/$annLshSearch/$annIvfSearch all broadcast a *small*
+    query set, but embedding clustering / near-dup graph construction
+    needs a left side as large as the corpus.  Physical strategy: both
+    sides compute the LSH sign-bucket row-locally (same md5-derived
+    hyperplanes as $annLsh — deterministic, oracle-able); the left side
+    explodes to its ``probes`` multi-probe buckets (own bucket + 1-bit
+    flips); the join is a plain equi-join on bucket — both sides
+    hash-partition, **nothing broadcasts, no all-pairs product**; exact
+    cosine + per-left top-k runs on the bucket-bounded survivors.
+
+    A right-side vector occupies exactly one bucket and probe buckets are
+    distinct, so a (left, right) pair is generated at most once — no
+    dedup shuffle is needed before the top-k window.
+
+    Scale notes: the bucket join fans out to 2^bits keys — size ``bits``
+    so 2^bits ≫ shuffle partitions or hot buckets serialize (at corpus
+    scale use 16-24 bits; AQE skew-split absorbs residual imbalance).
+    ``bits: 0`` puts everything in one bucket = exact brute force —
+    quadratic, only for tests/oracles and small corpora.
+    """
+    from_coll = expression.get("from")
+    inp = expression["input"]
+    id_field = expression.get("id", "_id")
+    fin = expression.get("foreignInput", inp)
+    fid = expression.get("foreignId", id_field)
+    k = int(expression.get("k", 10))
+    bits = int(expression.get("bits", 8))
+    dim = int(expression.get("dim", 16))
+    probes = int(expression.get("probes", 1))
+    exclude_self = bool(expression.get("excludeSelf", from_coll is None))
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from pyspark.sql import Window
+
+        left_emb = compile_expr(inp, ExprContext(schema=df.schema)).cast(
+            "array<double>"
+        )
+        left = df.select(
+            F.col(id_field).alias("left_id"), left_emb.alias("__le")
+        ).withColumn("__ln", vec_norm(F.col("__le")))
+        right_df = c.collection(from_coll) if from_coll else df
+        right_emb = compile_expr(fin, ExprContext(schema=right_df.schema)).cast(
+            "array<double>"
+        )
+        right = right_df.select(
+            F.col(fid).alias("right_id"), right_emb.alias("__re")
+        ).withColumn("__rn", vec_norm(F.col("__re")))
+        if bits > 0:
+            right = right.withColumn(
+                "__bucket", lsh_bucket(F.col("__re"), bits, dim)
+            )
+            lb = left.withColumn("__lb", lsh_bucket(F.col("__le"), bits, dim))
+            probe_buckets = F.slice(
+                F.concat(
+                    F.array(F.col("__lb")),
+                    F.array(*[
+                        F.col("__lb").bitwiseXOR(F.lit(1 << b))
+                        for b in range(bits)
+                    ]),
+                ),
+                1,
+                min(probes, bits + 1),
+            )
+            left = lb.withColumn("__bucket", F.explode(probe_buckets)).drop("__lb")
+        else:
+            right = right.withColumn("__bucket", F.lit(0))
+            left = left.withColumn("__bucket", F.lit(0))
+        cand = left.join(right, "__bucket")
+        if exclude_self:
+            cand = cand.filter(~F.col("left_id").eqNullSafe(F.col("right_id")))
+        scored = cand.select(
+            "left_id", "right_id",
+            cosine_hoisted(F.col("__le"), F.col("__re"),
+                           F.col("__ln"), F.col("__rn")).alias("score"),
+        )
+        w = Window.partitionBy("left_id").orderBy(
+            F.col("score").desc(), F.col("right_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    return fn
+
+
 # ------------------------------------------------------------ text analysis
 
 _STOPWORDS = {

@@ -212,3 +212,64 @@ def test_ann_ivf_empty_corpus_id_type_follows_corpus(spark):
     )(emb)
     assert out.count() == 0
     assert dict(out.dtypes)["corpus_id"] == "string"
+
+
+def _knn_brute(vecs, left_ids, k, exclude_self):
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    out = {}
+    for li in left_ids:
+        scored = [
+            (cos(vecs[li], vecs[ri]), ri)
+            for ri in vecs
+            if not (exclude_self and ri == li)
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        out[li] = [ri for _, ri in scored[:k]]
+    return out
+
+
+def test_knn_join_exact_bits0_matches_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 40
+    )
+    ctx = Context(spark=spark)
+    got = compile_pipeline(
+        [{"$knnJoin": {"input": "$embedding", "id": "vec_id", "k": 3,
+                       "bits": 0}}],
+        ctx,
+    )(emb).collect()
+    vecs = {r["vec_id"]: list(r["embedding"])
+            for r in emb.select("vec_id", "embedding").collect()}
+    expect = _knn_brute(vecs, list(vecs), 3, exclude_self=True)
+    by_left = {}
+    for r in sorted(got, key=lambda r: (r["left_id"], r["rank"])):
+        by_left.setdefault(r["left_id"], []).append(r["right_id"])
+    assert by_left == expect
+
+
+def test_knn_join_lsh_self_bucket_and_determinism(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    left = emb.filter(F.col("vec_id") < 20)
+    ctx = Context(spark=spark, collections={"corpus": emb})
+    run = compile_pipeline(
+        [{"$knnJoin": {"from": "corpus", "input": "$embedding",
+                       "id": "vec_id", "k": 5, "bits": 6, "dim": 64,
+                       "probes": 3}}],
+        ctx,
+    )
+    got = run(left).collect()
+    # every left vector is in the corpus and shares its own bucket:
+    # rank 1 must be itself at cosine 1 (excludeSelf defaults false when
+    # `from` is given)
+    top = {r["left_id"]: (r["right_id"], round(r["score"], 6))
+           for r in got if r["rank"] == 1}
+    assert top == {i: (i, 1.0) for i in range(20)}
+    again = run(left).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
