@@ -2041,6 +2041,64 @@ _register(
 )
 
 
+def _kmeans_oracle_sql(k: int, iterations: int, dim: int) -> str:
+    """DuckDB twin of $kmeans: the whole Lloyd iteration is reproduced in
+    SQL — md5-seeded init, argmin-Euclidean assignment (first index wins
+    ties), mean update rounded half-up to 9 digits (the operator rounds
+    identically, so parallel-summation ULP noise cannot diverge the
+    engines), empty cells keep their centroid."""
+    blocks = ["""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+c0 AS (SELECT row_number() OVER (
+               ORDER BY md5('kmeans:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+             AS cid, e AS ce
+       FROM v
+       ORDER BY md5('kmeans:' || CAST(vec_id AS VARCHAR)), vec_id
+       LIMIT {k})""".format(k=k)]
+    prev = "c0"
+    for it in range(1, iterations + 1):
+        blocks.append(f"""
+a{it} AS (SELECT vec_id, e, cid FROM (
+          SELECT v.vec_id, v.e, c.cid,
+                 row_number() OVER (PARTITION BY v.vec_id
+                                    ORDER BY list_distance(v.e, c.ce), c.cid)
+                     AS rn
+          FROM v CROSS JOIN {prev} c) WHERE rn = 1),
+n{it} AS (SELECT cid, d,
+                 floor(sum(e[d]) / count(*) * 1e9 + 0.5) / 1e9 AS m
+          FROM a{it}, generate_series(1, {dim}) t(d) GROUP BY cid, d),
+c{it} AS (SELECT {prev}.cid,
+                 CASE WHEN count(n{it}.m) > 0
+                      THEN list(n{it}.m ORDER BY n{it}.d)
+                      ELSE {prev}.ce END AS ce
+          FROM {prev} LEFT JOIN n{it} USING (cid)
+          GROUP BY {prev}.cid, {prev}.ce)""")
+        prev = f"c{it}"
+    final = f"""
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_distance(v.e, c.ce), c.cid) AS rn
+    FROM v CROSS JOIN {prev} c) WHERE rn = 1"""
+    return ",".join(blocks) + final
+
+
+_register(
+    "kmeans",
+    _kmeans_oracle_sql(4, 2, 64),
+)(
+    _pipe(
+        "embeddings",
+        [
+            {"$kmeans": {"input": "$embedding", "id": "vec_id", "k": 4,
+                         "iterations": 2, "as": "cluster"}},
+            {"$project": {"vec_id": 1, "cluster": {"$toLong": "$cluster"}}},
+        ],
+    )
+)
+
+
 def _knn_join_oracle_sql(bits: int, dim: int, probes: int, k: int,
                          left_max: int) -> str:
     """DuckDB twin of $knnJoin in its approximate LSH configuration —

@@ -841,6 +841,110 @@ def ann_ivf_search_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+def _round9(x: float) -> float:
+    """Half-up 9-digit rounding (same fold as the oracle's
+    floor(x*1e9+0.5)/1e9): quantizes away float-summation-order ULP noise
+    so centroids are bit-identical run-to-run and engine-to-engine."""
+    import math
+
+    return math.floor(x * 1e9 + 0.5) / 1e9
+
+
+@register_stage("$kmeans")
+def kmeans_stage(expression: Any, ctx: Context) -> StageFn:
+    """Lloyd k-means over an embedding column: ``{input, id, k,
+    iterations, as, distanceAs?}`` — labels every row with its final
+    cluster (0..k-1).
+
+    This is the production "Lloyd-refine the IVF sample" step
+    ($annIvfSearch docstring) as a first-class operator, and it is fully
+    deterministic so the *whole iteration* is DuckDB-oracle-able:
+
+    - init = the ``k`` rows with the smallest ``md5('kmeans:' || id)``
+      (the same seeded-sample trick as the IVF quantizer);
+    - each Lloyd round: cell assignment is pure column algebra against
+      the k×dim centroid literals (zero shuffle — argmin Euclidean);
+      the update is ``posexplode`` → ``groupBy(cell, dim).sum`` — partial
+      aggregation shrinks the shuffle to tasks×k×dim rows regardless of
+      input size — then k×dim sums collect to the driver (dimension-table
+      metadata, same size class as the IVF centroid inline);
+    - new centroids round to 9 digits (half-up), so parallel-summation
+      ULP noise cannot make runs or engines disagree;
+    - a cell that loses all members keeps its previous centroid;
+    - ``iterations`` is a fixed count (no data-dependent convergence
+      test), which keeps the computation reproducible and the oracle SQL
+      finite.
+
+    Scale: per round, one partial-aggregated shuffle over (cell, dim) and
+    one k×dim collect.  k is quantizer-sized (≤ a few thousand); this is
+    not a general clustering service for millions of centroids.
+    """
+    inp = expression["input"]
+    id_field = expression.get("id", "_id")
+    k = int(expression.get("k", 8))
+    iterations = int(expression.get("iterations", 2))
+    as_field = expression.get("as", "cluster")
+    dist_as = expression.get("distanceAs")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        emb = compile_expr(inp, ExprContext(schema=df.schema)).cast("array<double>")
+        pts = df.withColumn("__km_e", emb)
+        sample = (
+            pts.select(F.col(id_field).alias("__kid"), "__km_e")
+            .orderBy(
+                F.md5(F.concat(F.lit("kmeans:"), F.col("__kid").cast("string"))),
+                "__kid",
+            )
+            .limit(k)
+            .collect()
+        )
+        if not sample:
+            return df.withColumn(as_field, F.lit(None).cast("int"))
+        cents = [list(r["__km_e"]) for r in sample]
+
+        def dist2(vec: Column, centroid: list) -> Column:
+            ca = F.array(*[F.lit(float(x)) for x in centroid])
+            return F.aggregate(
+                F.zip_with(vec, ca, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, v: acc + v,
+            )
+
+        def assign(vec: Column) -> Column:
+            ds = F.array(*[dist2(vec, ct) for ct in cents])
+            return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+
+        for _ in range(iterations):
+            assigned = pts.withColumn("__cell", assign(F.col("__km_e")))
+            stats = (
+                assigned.select(
+                    "__cell", F.posexplode("__km_e").alias("__d", "__v")
+                )
+                .groupBy("__cell", "__d")
+                .agg(F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__n"))
+                .collect()
+            )
+            sums: dict[int, dict[int, tuple[float, int]]] = {}
+            for r in stats:
+                sums.setdefault(r["__cell"], {})[r["__d"]] = (r["__s"], r["__n"])
+            new_cents = []
+            for ci, old in enumerate(cents):
+                comp = sums.get(ci)
+                if not comp:
+                    new_cents.append(old)  # empty cell keeps its centroid
+                    continue
+                new_cents.append([
+                    _round9(comp[d][0] / comp[d][1]) for d in range(len(old))
+                ])
+            cents = new_cents
+        out = pts.withColumn(as_field, assign(F.col("__km_e")))
+        if dist_as:
+            ds = F.array(*[dist2(F.col("__km_e"), ct) for ct in cents])
+            out = out.withColumn(dist_as, F.sqrt(F.array_min(ds)))
+        return out.drop("__km_e")
+
+    return fn
+
+
 @register_stage("$knnJoin")
 def knn_join_stage(expression: Any, ctx: Context) -> StageFn:
     """k-NN JOIN: ``{from?, input, id, foreignInput?, foreignId?, k, bits,
