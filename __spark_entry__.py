@@ -2041,6 +2041,66 @@ _register(
 )
 
 
+def _asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$asOfJoin: for each click event, the user's latest view event at or
+    before it — the union-trick plan (one shuffle on user_id, no join)."""
+    tables = _load(spark, sf_dir)
+    events = tables["events"]
+    clicks = events.filter(F.col("event_type") == "click")
+    views = events.filter(F.col("event_type") == "view")
+    ctx = Context(spark=spark, collections={"v": views})
+    pipeline = [
+        {"$asOfJoin": {"from": "v", "on": "user_id", "leftTime": "$ts",
+                       "rightTime": "$ts", "as": "m"}},
+        {"$project": {"event_id": 1, "user_id": 1,
+                      "m_event": "$m.event_id",
+                      "m_value": "$m.value"}},
+    ]
+    return compile_pipeline(pipeline, ctx)(clicks)
+
+
+_register(
+    "asof_join",
+    # oracle: DuckDB's native ASOF JOIN (backward inclusive)
+    """SELECT l.event_id, l.user_id, r.event_id AS m_event,
+              r.value AS m_value
+       FROM (SELECT * FROM events WHERE event_type = 'click') l
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
+)(_asof_join_query)
+
+
+def _range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$rangeJoin: click events against ±5 value bands around purchase
+    events per user — the binned-equi-join plan, never an inequality
+    cross product."""
+    tables = _load(spark, sf_dir)
+    events = tables["events"]
+    clicks = events.filter(F.col("event_type") == "click")
+    bands = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id",
+        (F.col("value") - 5).alias("lo"), (F.col("value") + 5).alias("hi"),
+    )
+    ctx = Context(spark=spark, collections={"b": bands})
+    pipeline = [
+        {"$rangeJoin": {"from": "b", "on": "user_id", "leftValue": "$value",
+                        "rightStart": "$lo", "rightEnd": "$hi", "as": "m",
+                        "binSize": 10}},
+        {"$project": {"event_id": 1, "user_id": 1, "m_event": "$m.event_id"}},
+    ]
+    return compile_pipeline(pipeline, ctx)(clicks)
+
+
+_register(
+    "range_join",
+    """SELECT l.event_id, l.user_id, r.event_id AS m_event
+       FROM (SELECT * FROM events WHERE event_type = 'click') l
+       JOIN (SELECT event_id, user_id, value - 5 AS lo, value + 5 AS hi
+             FROM events WHERE event_type = 'purchase') r
+         ON l.user_id = r.user_id AND l.value BETWEEN r.lo AND r.hi""",
+)(_range_join_query)
+
+
 def _kmeans_oracle_sql(k: int, iterations: int, dim: int) -> str:
     """DuckDB twin of $kmeans: the whole Lloyd iteration is reproduced in
     SQL — md5-seeded init, argmin-Euclidean assignment (first index wins

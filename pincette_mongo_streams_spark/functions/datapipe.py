@@ -1168,6 +1168,9 @@ def bm25_stage(expression: Any, ctx: Context) -> StageFn:
     def fn(df: DataFrame, c: Context) -> DataFrame:
         from pyspark.sql import Window
 
+        df = _spread(df)  # a small corpus file arrives as ONE scan
+        # partition; the token fold is the per-row-heavy work _spread
+        # exists for (large inputs are already wide and pass through)
         text = compile_expr(inp, ExprContext(schema=df.schema))
         tokens = F.filter(
             F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != ""

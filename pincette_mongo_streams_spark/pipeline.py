@@ -93,5 +93,6 @@ from .operators import (  # noqa: E402,F401
     script as _script,
     extended as _extended,
     graphcc as _graphcc,
+    timeseries as _timeseries,
 )
 from .functions import datapipe as _datapipe  # noqa: E402,F401
