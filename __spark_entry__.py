@@ -1712,6 +1712,61 @@ _register("simhash", _simhash_sql(16))(
     )
 )
 
+def _simhash_dedup_sql(bits: int, max_h: int) -> str:
+    """DuckDB twin of $simhashDedup (shingle=1): same simhash fold as
+    _simhash_sql, pigeonhole bands as UNION ALL shifts, popcount verify,
+    (member, bucket-keeper) pruning."""
+    hashes = (
+        "list_transform(list_distinct([words[j] "
+        "FOR j IN range(1, len(words) + 1)]), s -> "
+        "('0x' || substr(md5('0:' || s), 1, 15))::BIGINT)"
+    )
+    terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> {j}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(bits)
+    )
+    nb = max_h + 1
+    base_w, extra = divmod(bits, nb)
+    bands, start = [], 0
+    for i in range(nb):
+        w = base_w + (1 if i < extra else 0)
+        bands.append((i, start, (1 << w) - 1))
+        start += w
+    band_sel = " UNION ALL ".join(
+        f"SELECT doc_id, h, {i} AS bi, (h >> {s}) & {m} AS bv FROM s"
+        for i, s, m in bands
+    )
+    return f"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
+           FROM documents),
+hh AS (SELECT doc_id, {hashes} AS h FROM w),
+s AS (SELECT doc_id, CAST({terms} AS BIGINT) AS h FROM hh),
+b AS ({band_sel}),
+k AS (SELECT bi, bv, min(doc_id) AS keep FROM b GROUP BY bi, bv),
+c AS (SELECT DISTINCT b.doc_id AS did, b.h AS dh, k.keep
+      FROM b JOIN k USING (bi, bv) WHERE b.doc_id <> k.keep),
+v AS (SELECT DISTINCT c.did FROM c JOIN s ks ON ks.doc_id = c.keep
+      WHERE bit_count(xor(c.dh, ks.h)) <= {max_h})
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT did FROM v)"""
+
+
+_register(
+    "simhash_dedup",
+    _simhash_dedup_sql(16, 3),
+)(
+    _pipe(
+        "documents",
+        [
+            {"$simhashDedup": {"input": "$text", "id": "doc_id",
+                               "shingle": 1, "bits": 16, "maxHamming": 3}},
+            {"$project": {"doc_id": 1}},
+        ],
+    )
+)
+
+
 _register(
     "ngram_jaccard_dedup",
     """

@@ -977,9 +977,23 @@ def _sort_array(raw: Any, ctx: ExprContext) -> Column:
     inp = _c(raw["input"], ctx)
     by = raw.get("sortBy", 1)
     if isinstance(by, dict):
-        raise NotImplementedError(
-            "$sortArray field-wise sortBy: sort on a projected key instead"
-        )
+        # field-wise sort over arrays of documents: an array_sort
+        # comparator chaining the sort keys (null sorts smallest, as in
+        # BSON order; descending reverses)
+        specs = [(f, int(d)) for f, d in by.items()]
+
+        def comparator(l: Column, r: Column) -> Column:
+            result = F.lit(0)
+            for f, d in reversed(specs):
+                lf, rf = l.getField(f), r.getField(f)
+                lt = (lf.isNull() & rf.isNotNull()) | (lf < rf)
+                gt = (rf.isNull() & lf.isNotNull()) | (lf > rf)
+                result = (
+                    F.when(lt, F.lit(-d)).when(gt, F.lit(d)).otherwise(result)
+                )
+            return result
+
+        return F.array_sort(inp, comparator)
     return F.array_sort(inp) if by == 1 else F.reverse(F.array_sort(inp))
 
 

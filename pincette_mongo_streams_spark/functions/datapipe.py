@@ -308,34 +308,117 @@ def simhash_stage(expression: Any, ctx: Context) -> StageFn:
     bits = int(expression.get("bits", 16))
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
-        df = _spread(df)
-        text = compile_expr(inp, ExprContext(schema=df.schema))
-        sh = word_shingles(text, n)
+        return _with_simhash(_spread(df), inp, n, bits, as_field)
 
-        # two steps, both ONE SQL string (the equivalent nested-lambda
-        # Column construction costs ~0.6 s of py4j roundtrips per plan at
-        # bits=16): materialize one md5 hash per shingle, then per bit j
-        # the vote sum is 2·(count of set bits) − n — a compact nested-HOF
-        # expression (one tree node per construct, not per bit: the
-        # bits-way unrolled vote-vector fold cost ~1 s of parse/analysis
-        # per plan and allocated a 16-wide array per shingle at runtime)
-        hashes = F.expr(
-            "transform(`__sh`, s -> "
-            "cast(conv(substr(md5(concat('0:', s)), 1, 15), 16, 10) as bigint))"
+    return fn
+
+
+def _with_simhash(df: DataFrame, inp: Any, n: int, bits: int,
+                  out_col: str) -> DataFrame:
+    """Append the SimHash column (shared by $simhash and $simhashDedup).
+
+    Two steps, both ONE SQL string (the equivalent nested-lambda Column
+    construction costs ~0.6 s of py4j roundtrips per plan at bits=16):
+    materialize one md5 hash per shingle, then per bit j the vote sum is
+    2·(count of set bits) − n — a compact nested-HOF expression (one tree
+    node per construct, not per bit: the bits-way unrolled vote-vector
+    fold cost ~1 s of parse/analysis per plan and allocated a 16-wide
+    array per shingle at runtime)."""
+    text = compile_expr(inp, ExprContext(schema=df.schema))
+    sh = word_shingles(text, n)
+    hashes = F.expr(
+        "transform(`__sh`, s -> "
+        "cast(conv(substr(md5(concat('0:', s)), 1, 15), 16, 10) as bigint))"
+    )
+    value = F.expr(
+        f"aggregate(transform(sequence(0, {bits - 1}), j -> "
+        f"if(2L * aggregate(`__sh_h`, 0L, "
+        f"(acc, h) -> acc + (shiftright(h, j) & 1)) "
+        f"> size(`__sh_h`), shiftleft(1L, j), 0L)), "
+        f"0L, (acc, x) -> acc + x)"
+    )
+    return (
+        df.withColumn("__sh", sh)
+        .withColumn("__sh_h", hashes)
+        .withColumn(out_col, value)
+        .drop("__sh", "__sh_h")
+    )
+
+
+@register_stage("$simhashDedup")
+def simhash_dedup_stage(expression: Any, ctx: Context) -> StageFn:
+    """Hamming-ball near-dup removal over SimHash signatures:
+    ``{input, id, shingle, bits, maxHamming, transitive?}``.
+
+    The pigeonhole band trick: split the ``bits``-bit signature into
+    ``maxHamming + 1`` contiguous bands — two signatures within Hamming
+    distance ``maxHamming`` must agree EXACTLY on at least one band — so
+    candidate pairs come from an equi-join on (band index, band value),
+    and one ``bit_count(xor)`` per candidate verifies the true distance.
+    Exact over the (member, bucket-keeper) pairing, bucket-bounded,
+    never all-pairs; the same scale profile as $minhashDedup with a far
+    cheaper verify (one popcount vs a shingle-set intersection).
+    ``transitive: true`` resolves verified pairs with connected
+    components, like $minhashDedup."""
+    inp = expression["input"]
+    id_field = expression.get("id", "_id")
+    n = int(expression.get("shingle", 2))
+    bits = int(expression.get("bits", 16))
+    max_h = int(expression.get("maxHamming", 3))
+    transitive = bool(expression.get("transitive", False))
+    nb = max_h + 1
+    if nb > bits:
+        raise ValueError("$simhashDedup needs bits >= maxHamming + 1")
+    base_w, extra = divmod(bits, nb)
+    bands = []  # (start, width)
+    start = 0
+    for i in range(nb):
+        w = base_w + (1 if i < extra else 0)
+        bands.append((start, w))
+        start += w
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        hashed = _with_simhash(_spread(df), inp, n, bits, "__simh")
+        band_vals = [
+            F.concat(
+                F.lit(f"{i}:"),
+                (F.shiftright(F.col("__simh"), s)
+                 .bitwiseAND(F.lit((1 << w) - 1))).cast("string"),
+            )
+            for i, (s, w) in enumerate(bands)
+        ]
+        buckets = hashed.select(
+            F.col(id_field).alias("__did"), F.col("__simh").alias("__dh"),
+            F.explode(F.array(*band_vals)).alias("__bucket"),
         )
-        value = F.expr(
-            f"aggregate(transform(sequence(0, {bits - 1}), j -> "
-            f"if(2L * aggregate(`__sh_h`, 0L, "
-            f"(acc, h) -> acc + (shiftright(h, j) & 1)) "
-            f"> size(`__sh_h`), shiftleft(1L, j), 0L)), "
-            f"0L, (acc, x) -> acc + x)"
+        keepers = buckets.groupBy("__bucket").agg(
+            F.min("__did").alias("__keep")
         )
-        return (
-            df.withColumn("__sh", sh)
-            .withColumn("__sh_h", hashes)
-            .withColumn(as_field, value)
-            .drop("__sh", "__sh_h")
+        cands = (
+            buckets.join(keepers, "__bucket")
+            .filter(F.col("__did") != F.col("__keep"))
+            .select("__did", "__dh", "__keep")
+            .distinct()
         )
+        kh = hashed.select(
+            F.col(id_field).alias("__keep"), F.col("__simh").alias("__kh")
+        )
+        verified = cands.join(kh, "__keep").filter(
+            F.bit_count(F.col("__dh").bitwiseXOR(F.col("__kh"))) <= max_h
+        )
+        if transitive:
+            from ..operators.graphcc import connected_components
+
+            labels = connected_components(
+                verified.select(F.col("__did").alias("a"),
+                                F.col("__keep").alias("b"))
+            )
+            dups = labels.select(F.col("__cc_node").alias("__did"))
+        else:
+            dups = verified.select("__did").distinct()
+        return hashed.join(
+            dups, hashed[id_field] == dups["__did"], "left_anti"
+        ).drop("__simh")
 
     return fn
 
@@ -887,6 +970,9 @@ def kmeans_stage(expression: Any, ctx: Context) -> StageFn:
     dist_as = expression.get("distanceAs")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..operators.extended import _batch_only
+
+        _batch_only("$kmeans", c)
         emb = compile_expr(inp, ExprContext(schema=df.schema)).cast("array<double>")
         pts = df.withColumn("__km_e", emb)
         sample = (
@@ -987,6 +1073,9 @@ def knn_join_stage(expression: Any, ctx: Context) -> StageFn:
     def fn(df: DataFrame, c: Context) -> DataFrame:
         from pyspark.sql import Window
 
+        from ..operators.extended import _batch_only
+
+        _batch_only("$knnJoin", c)
         left_emb = compile_expr(inp, ExprContext(schema=df.schema)).cast(
             "array<double>"
         )

@@ -79,23 +79,31 @@ def _small_star(directed: DataFrame) -> DataFrame:
     return pairs.union(selfs).distinct()
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Truncate lineage between rounds: durable ``checkpoint`` when the
+    session has a checkpoint directory configured (survives executor loss
+    — the right choice on a cluster), ``localCheckpoint`` otherwise."""
+    sc = df.sparkSession.sparkContext
+    has_dir = sc._jsc.sc().getCheckpointDir().isDefined()
+    return df.checkpoint(eager=True) if has_dir else df.localCheckpoint(eager=True)
+
+
 def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
     """(a, b) edge DataFrame → (``__cc_node``, ``__cc_comp``) labels, where
     the component id is the minimum node id of the component.  Nodes that
     appear in no edge are absent (callers coalesce to the node's own id).
     Node ids may be any orderable type (numeric, string)."""
-    cur = (
+    cur = _pin(
         edges.filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     cur_count = cur.count()
     if cur_count == 0:
         return cur.select(F.col("a").alias("__cc_node"), F.col("b").alias("__cc_comp"))
     for _ in range(max_iterations):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = _pin(_small_star(_large_star(cur)))
         nxt_count = nxt.count()
         if nxt_count == cur_count and nxt.exceptAll(cur).isEmpty():
             break
@@ -126,6 +134,9 @@ def connected_components_stage(expression: Any, ctx: Context) -> StageFn:
     max_iter = int(expression.get("maxIterations", 50))
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        from .extended import _batch_only
+
+        _batch_only("$connectedComponents", c)
         e = c.collection(edges_coll)
         sctx = ExprContext(schema=e.schema)
         edge_df = e.select(

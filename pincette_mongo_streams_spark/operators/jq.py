@@ -26,7 +26,7 @@ tonumber, floor, ceil, round, ascii_downcase, ascii_upcase, ltrimstr,
 rtrimstr, test, split (literal separator, as in jq), join, and the
 array builtins add, min, max, first, last, reverse, sort, unique.
 
-String interpolation ``"a \(expr) b"`` compiles to a native concat
+String interpolation ``"a \\(expr) b"`` compiles to a native concat
 chain (interpolated object KEYS are dynamic and fall to tier 2).
 
 Folds and bindings (r3) — all compiled to ``aggregate``/``transform``

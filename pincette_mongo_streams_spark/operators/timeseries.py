@@ -61,6 +61,9 @@ def as_of_join_stage(expression: Any, ctx: Context) -> StageFn:
     def fn(df: DataFrame, c: Context) -> DataFrame:
         from pyspark.sql import Window
 
+        from .extended import _batch_only
+
+        _batch_only("$asOfJoin", c)
         right = c.collection(from_coll)
         lt = compile_expr(left_time, ExprContext(schema=df.schema))
         rt = compile_expr(right_time, ExprContext(schema=right.schema))

@@ -282,3 +282,27 @@ def test_date_to_parts(spark):
     # 2024-02-29 is a Thursday of ISO week 9
     assert iso == {"isoWeekYear": 2024, "isoWeek": 9, "isoDayOfWeek": 4,
                    "hour": 13, "minute": 45, "second": 30, "millisecond": 123}
+
+
+def test_sort_array_fieldwise(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    df = spark.createDataFrame(
+        [(1, [{"a": 3, "b": "x"}, {"a": 1, "b": "z"}, {"a": None, "b": "y"},
+              {"a": 1, "b": "a"}])],
+        "id long, arr array<struct<a:int,b:string>>",
+    )
+    out = compile_pipeline(
+        [{"$project": {
+            "s1": {"$sortArray": {"input": "$arr",
+                                  "sortBy": {"a": 1, "b": -1}}},
+            "s2": {"$sortArray": {"input": "$arr", "sortBy": {"a": -1}}},
+        }}],
+        Context(spark=spark),
+    )(df).collect()[0]
+    assert [(r["a"], r["b"]) for r in out["s1"]] == [
+        (None, "y"), (1, "z"), (1, "a"), (3, "x")
+    ]
+    assert [(r["a"], r["b"]) for r in out["s2"]] == [
+        (3, "x"), (1, "z"), (1, "a"), (None, "y")
+    ]

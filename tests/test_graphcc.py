@@ -168,3 +168,19 @@ def test_minhash_dedup_transitive_subset_of_default(spark):
         }
 
     assert run(True) <= run(False)
+
+
+def test_durable_checkpoint_used_when_dir_configured(spark, tmp_path):
+    sc = spark.sparkContext
+    assert not sc._jsc.sc().getCheckpointDir().isDefined()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        edges = [(1, 2), (2, 3), (10, 11)]
+        assert _cc_spark(spark, edges) == _expected(edges)
+        import os
+        assert any(os.scandir(tmp_path / "ckpt"))  # rounds were persisted
+    finally:
+        # restore the localCheckpoint path for the rest of the suite
+        none_cls = getattr(spark.sparkContext._jvm.scala, "None$")
+        scala_none = getattr(none_cls, "MODULE$")
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(scala_none)

@@ -87,3 +87,33 @@ def test_group_uses_partial_aggregation(spark):
     df = entrymod.queries()["group_accumulators"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_" in plan, "no partial aggregation before the exchange"
+
+
+def test_knn_join_never_cartesian(spark):
+    """$knnJoin's LSH bucket equi-join must plan as a hash join — an
+    inequality/cross plan would be the O(n^2) product the operator exists
+    to avoid."""
+    df = entrymod.queries()["knn_join"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_never_cartesian(spark):
+    """$rangeJoin's binned strategy must plan the containment predicate as
+    a residual on an equi-join, not as a nested-loop join."""
+    df = entrymod.queries()["range_join"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_single_key_shuffle(spark):
+    """$asOfJoin's union trick costs exactly ONE hash shuffle (the window
+    partitioning) — a join-based plan would add per-side exchanges."""
+    df = entrymod.queries()["asof_join"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges == 1, plan
+    assert "Join" not in plan

@@ -1,0 +1,96 @@
+"""$simhashDedup (functions/datapipe.py): pigeonhole-band candidate
+generation + exact popcount verification, pinned against a brute-force
+Hamming dedup in the driver."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from pincette_mongo_streams_spark import Context, compile_pipeline
+
+
+def _ref_simhash(text, n, bits):
+    words = [w for w in text.lower().split() if w]
+    shingles = list(dict.fromkeys(
+        " ".join(words[i:i + n]) for i in range(max(0, len(words) - n + 1))
+    ))
+    hs = [int(hashlib.md5(f"0:{s}".encode()).hexdigest()[:15], 16)
+          for s in shingles]
+    v = 0
+    for j in range(bits):
+        if 2 * sum((h >> j) & 1 for h in hs) > len(hs):
+            v |= 1 << j
+    return v
+
+
+def _ref_dedup(docs, n, bits, max_h):
+    """Brute-force mirror of the (member, bucket-keeper) semantics."""
+    sigs = {i: _ref_simhash(t, n, bits) for i, t in docs.items()}
+    nb = max_h + 1
+    base_w, extra = divmod(bits, nb)
+    bands, start = [], 0
+    for i in range(nb):
+        w = base_w + (1 if i < extra else 0)
+        bands.append((start, w))
+        start += w
+    buckets = {}
+    for i, h in sigs.items():
+        for bi, (s, w) in enumerate(bands):
+            buckets.setdefault((bi, (h >> s) & ((1 << w) - 1)), []).append(i)
+    dups = set()
+    for members in buckets.values():
+        keep = min(members)
+        for m in members:
+            if m != keep and bin(sigs[m] ^ sigs[keep]).count("1") <= max_h:
+                dups.add(m)
+    return set(docs) - dups
+
+
+def test_simhash_dedup_matches_reference(spark, sf_dir):
+    docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ctx = Context(spark=spark)
+    out = compile_pipeline(
+        [{"$simhashDedup": {"input": "$text", "id": "doc_id", "shingle": 1,
+                            "bits": 16, "maxHamming": 3}},
+         {"$project": {"doc_id": 1}}],
+        ctx,
+    )(docs_df).collect()
+    got = {r["doc_id"] for r in out}
+    docs = {r["doc_id"]: r["text"]
+            for r in docs_df.select("doc_id", "text").collect()}
+    expect = _ref_dedup(docs, 1, 16, 3)
+    assert got == expect
+    # sanity: near-dups exist at bits=16 on this corpus, so some docs drop
+    assert len(got) < len(docs)
+
+
+def test_simhash_dedup_identical_docs_collapse(spark):
+    docs = spark.createDataFrame(
+        [(1, "same words here"), (2, "same words here"),
+         (3, "entirely other content")],
+        "doc_id long, text string",
+    )
+    out = compile_pipeline(
+        [{"$simhashDedup": {"input": "$text", "id": "doc_id", "shingle": 1,
+                            "bits": 32, "maxHamming": 2}}],
+        Context(spark=spark),
+    )(docs).collect()
+    assert {r["doc_id"] for r in out} == {1, 3}
+
+
+def test_simhash_dedup_transitive(spark, sf_dir):
+    docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ctx = Context(spark=spark)
+
+    def run(t):
+        return {
+            r["doc_id"]
+            for r in compile_pipeline(
+                [{"$simhashDedup": {"input": "$text", "id": "doc_id",
+                                    "shingle": 1, "bits": 16,
+                                    "maxHamming": 4, "transitive": t}}],
+                ctx,
+            )(docs_df).collect()
+        }
+
+    assert run(True) <= run(False)

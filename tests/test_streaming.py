@@ -475,3 +475,32 @@ def test_suppress_state_persists_after_sink_not_before(spark, tmpdir):
                        suppress_unchanged=True)
     q2.awaitTermination(120)
     assert [r["mx"] for r in got] == [5]
+
+
+def test_asof_join_per_micro_batch_stream_static(spark, tmpdir):
+    """$asOfJoin runs inside foreachBatch as a stream-static enrichment:
+    each micro-batch's rows match against the static right side exactly as
+    in batch mode (per-batch semantics — the right side is static, so the
+    union across batches equals the batch result)."""
+    quotes = spark.createDataFrame(
+        [(0, "A", 9.5), (3, "A", 10.5), (6, "A", 11.5)],
+        "t long, sym string, bid double",
+    )
+    ctx = Context(spark=spark, collections={"q": quotes})
+    pipeline = [
+        {"$asOfJoin": {"from": "q", "on": "sym", "leftTime": "$t",
+                       "rightTime": "$t", "as": "m"}},
+        {"$project": {"t": 1, "sym": 1, "bid": "$m.bid"}},
+    ]
+    emissions = _run(
+        spark, tmpdir, "t long, sym string, px double",
+        [
+            [{"t": 1, "sym": "A", "px": 10.0}, {"t": 4, "sym": "A", "px": 10.1}],
+            [{"t": 7, "sym": "A", "px": 10.2}],
+        ],
+        pipeline, ctx=ctx,
+    )
+    flat = sorted(
+        (r["t"], r["bid"]) for batch in emissions for r in batch
+    )
+    assert flat == [(1, 9.5), (4, 10.5), (7, 11.5)]
