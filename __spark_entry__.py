@@ -1535,6 +1535,36 @@ FROM ranked WHERE rank <= 10""",
     )
 )
 
+_register(
+    "tf_idf",
+    f"""WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM toks GROUP BY doc_id, term),
+dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, {_r("tf * ln(n.n / dfq.df)", 9)} AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+  WHERE dfq.df >= 2 AND dfq.df / n.n <= 0.5),
+r AS (SELECT doc_id, term, tf, score,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      FROM scored)
+SELECT doc_id, term, tf, score, CAST(rnk AS INT) AS rank
+FROM r WHERE rnk <= 5""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$tfIdf": {"input": "$text", "id": "doc_id", "topK": 5,
+                        "minDf": 2, "maxDfRatio": 0.5}},
+        ],
+    )
+)
+
 _RF_TERMS_B = ["hash", "window", "batch"]
 
 _register(

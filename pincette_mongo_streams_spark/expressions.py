@@ -23,6 +23,7 @@ Deliberate fixed-schema deviations (documented in README): per-row
 from __future__ import annotations
 
 import re
+from functools import reduce
 from typing import Any, Callable, Optional
 
 from pyspark.sql import Column
@@ -575,20 +576,42 @@ def _slice(raw: Any, ctx: ExprContext) -> Column:
 @_op("$zip")
 def _zip(raw: Any, ctx: ExprContext) -> Column:
     inputs = [_c(e, ctx) for e in raw["inputs"]]
-    if len(inputs) != 2:
-        raise NotImplementedError("$zip supports exactly 2 inputs in this engine")
-    a, b = inputs
+    if len(inputs) == 2 and not raw.get("useLongestLength"):
+        # fast path: zip_with runs to the longest length, so trim both to
+        # the shortest first
+        a, b = inputs
+        n = F.least(F.size(a), F.size(b))
+        return F.zip_with(
+            F.slice(a, 1, n), F.slice(b, 1, n), lambda x, y: F.array(x, y)
+        )
+    # N-ary: index-walk 0..n-1 and pick element i from every input
+    # (try_element_at nulls past-the-end picks under longest-length)
+    sizes = [F.size(i) for i in inputs]
     if raw.get("useLongestLength"):
+        n = F.greatest(*sizes) if len(sizes) > 1 else sizes[0]
         defaults = raw.get("defaults")
-        if defaults is not None:
-            da, db = [_c(e, ctx) for e in defaults]
-            return F.zip_with(
-                a, b, lambda x, y: F.array(F.coalesce(x, da), F.coalesce(y, db))
-            )
-        return F.zip_with(a, b, lambda x, y: F.array(x, y))
-    # shortest-length semantics: trim both to min size first
-    n = F.least(F.size(a), F.size(b))
-    return F.zip_with(F.slice(a, 1, n), F.slice(b, 1, n), lambda x, y: F.array(x, y))
+        dcols = (
+            [_c(e, ctx) for e in defaults] if defaults is not None
+            else [None] * len(inputs)
+        )
+    else:
+        n = F.least(*sizes) if len(sizes) > 1 else sizes[0]
+        dcols = [None] * len(inputs)
+
+    def elem(i: Column) -> Column:
+        picks = [
+            F.try_element_at(inp, (i + 1).cast("int")) if d is None
+            else F.coalesce(F.try_element_at(inp, (i + 1).cast("int")), d)
+            for inp, d in zip(inputs, dcols)
+        ]
+        return F.array(*picks)
+
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    # Mongo: any null input -> null result (least/greatest would skip nulls)
+    any_null = reduce(lambda acc, c: acc | c.isNull(), inputs, F.lit(False))
+    return F.when(~any_null, F.transform(idx, elem))
 
 
 @_op("$arrayToObject")

@@ -1312,6 +1312,85 @@ def bm25_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$tfIdf")
+def tf_idf_stage(expression: Any, ctx: Context) -> StageFn:
+    """Per-document top-K TF-IDF keyword extraction:
+    ``{input, id, topK, minDf?, maxDfRatio?}`` → ``(id, term, tf, score,
+    rank)`` rows, ``topK`` terms per document.
+
+    The curation twin of $bm25: where $bm25 ranks documents for a fixed
+    query, $tfIdf surfaces each document's most characteristic terms
+    (corpus labeling, cluster naming, topic drift checks).  ``minDf``
+    drops hapax noise; ``maxDfRatio`` drops stopword-ish terms present in
+    more than that fraction of documents.
+
+    Spark-first plan, corpus-scale by construction: term frequencies are
+    one (id, term) partial-aggregated shuffle over the exploded tokens;
+    document frequencies reduce the SAME aggregate again by term
+    (vocabulary-sized); N is a single-row aggregate broadcast back; the
+    tf⋈df equi-join shuffles on term (AQE broadcasts it when the
+    vocabulary is small); the per-document top-K window rides the id
+    shuffle.  Nothing is quadratic and nothing collects to the driver.
+    Scores are ``tf · ln(N/df)`` rounded to 9 digits so parallel
+    summation order can't leak into comparisons.
+    """
+    inp = expression["input"]
+    id_field = expression.get("id", "_id")
+    top_k = int(expression.get("topK", 5))
+    min_df = float(expression.get("minDf", 1))
+    max_df_ratio = float(expression.get("maxDfRatio", 1.0))
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from pyspark.sql import Window
+
+        df = _spread(df)
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        tokens = F.filter(
+            F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != ""
+        )
+        pairs = df.select(
+            F.col(id_field).alias("__tid"), F.explode(tokens).alias("term")
+        )
+        tf = pairs.groupBy("__tid", "term").agg(
+            F.count(F.lit(1)).cast("double").alias("tf")
+        )
+        dfreq = tf.groupBy("term").agg(
+            F.count(F.lit(1)).cast("double").alias("__df")
+        )
+        n = df.groupBy().agg(F.count(F.lit(1)).cast("double").alias("__n"))
+        scored = (
+            tf.join(dfreq, "term")
+            .crossJoin(F.broadcast(n))
+            .filter(
+                (F.col("__df") >= F.lit(min_df))
+                & (F.col("__df") / F.col("__n") <= F.lit(max_df_ratio))
+            )
+            .withColumn(
+                "score",
+                # half-up at 9 digits via the floor formula — bit-identical
+                # to the SQL-oracle convention (plain round() differs
+                # between engines on boundary halves)
+                F.floor(
+                    F.col("tf") * F.log(F.col("__n") / F.col("__df")) * 1e9
+                    + F.lit(0.5)
+                ).cast("double")
+                / F.lit(1e9),
+            )
+        )
+        w = Window.partitionBy("__tid").orderBy(
+            F.col("score").desc(), F.col("term")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select(
+                F.col("__tid").alias(id_field), "term", "tf", "score", "rank"
+            )
+        )
+
+    return fn
+
+
 # ordered scrub rules: name -> (regex, replacement token).  Emails before
 # URLs (an email's domain must not be half-matched as a URL), URLs before
 # phone-ish digit runs.

@@ -306,3 +306,29 @@ def test_sort_array_fieldwise(spark):
     assert [(r["a"], r["b"]) for r in out["s2"]] == [
         (3, "x"), (1, "z"), (1, "a"), (None, "y")
     ]
+
+
+def test_zip_nary(spark):
+    rows = [([1, 2, 3], [10, 20], [100, 200, 300, 400])]
+    mk = lambda: spark.createDataFrame(
+        rows, "a array<int>, b array<int>, c array<int>"
+    )
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    out = compile_pipeline(
+        [{"$project": {
+            "z3": {"$zip": {"inputs": ["$a", "$b", "$c"]}},
+            "z3l": {"$zip": {"inputs": ["$a", "$b", "$c"],
+                             "useLongestLength": True,
+                             "defaults": [0, -1, -2]}},
+            "z2l": {"$zip": {"inputs": ["$a", "$b"],
+                             "useLongestLength": True}},
+            "znull": {"$zip": {"inputs": ["$a", None]}},
+        }}],
+        Context(spark=spark),
+    )(mk()).collect()[0]
+    assert out["z3"] == [[1, 10, 100], [2, 20, 200]]
+    assert out["z3l"] == [[1, 10, 100], [2, 20, 200], [3, -1, 300],
+                          [0, -1, 400]]
+    assert out["z2l"] == [[1, 10], [2, 20], [3, None]]
+    assert out["znull"] is None

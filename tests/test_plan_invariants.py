@@ -117,3 +117,15 @@ def test_asof_join_single_key_shuffle(spark):
     n_hash_exchanges = plan.count("Exchange hashpartitioning")
     assert n_hash_exchanges == 1, plan
     assert "Join" not in plan
+
+
+def test_tf_idf_reuses_token_shuffle(spark):
+    """$tfIdf derives document frequencies from the SAME (id, term)
+    aggregate that feeds term frequencies — at runtime the exchange must
+    be reused, not recomputed (a second tokenize+explode pass would
+    double the scan cost at corpus scale)."""
+    df = entrymod.queries()["tf_idf"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+    assert "CartesianProduct" not in plan

@@ -112,3 +112,48 @@ def test_decontaminate_broadcasts_reference(spark):
         "mode": "flag"}}], ctx)(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan  # the corpus side never shuffles
+
+
+def test_tf_idf_semantics(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"),
+         (3, "apple cherry cherry date")],
+        "doc_id long, text string",
+    )
+    out = compile_pipeline(
+        [{"$tfIdf": {"input": "$text", "id": "doc_id", "topK": 2}}],
+        Context(spark=spark),
+    )(docs).collect()
+    import math
+
+    def score(tf, df, n=3):
+        return math.floor(tf * math.log(n / df) * 1e9 + 0.5) / 1e9
+
+    got = {(r["doc_id"], r["term"]): (r["tf"], r["score"], r["rank"])
+           for r in out}
+    # doc 1: apple tf=2 df=2 -> 2*ln(1.5); banana tf=1 df=2
+    assert got[(1, "apple")] == (2.0, score(2, 2), 1)
+    assert got[(1, "banana")] == (1.0, score(1, 2), 2)
+    # doc 3: cherry tf=2 df=2 beats date tf=1 df=1 (2*ln1.5=0.81 < ln3=1.09)
+    assert got[(3, "date")][2] == 1
+    assert got[(3, "cherry")][2] == 2
+    # topK=2 respected
+    assert max(r["rank"] for r in out) <= 2
+
+
+def test_tf_idf_max_df_ratio_drops_stopwords(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "the apple"), (2, "the banana"), (3, "the cherry")],
+        "doc_id long, text string",
+    )
+    out = compile_pipeline(
+        [{"$tfIdf": {"input": "$text", "id": "doc_id", "topK": 5,
+                     "maxDfRatio": 0.5}}],
+        Context(spark=spark),
+    )(docs).collect()
+    assert all(r["term"] != "the" for r in out)
+    assert {r["term"] for r in out} == {"apple", "banana", "cherry"}
