@@ -1714,6 +1714,55 @@ WHERE doc_id NOT IN (SELECT doc_id FROM dups)""",
 )
 
 
+def _mh_sig_cte(p: str, where: str) -> str:
+    """Prefixed DuckDB CTE chain producing (doc_id, sig) for a filtered
+    slice of `documents` — the two-corpus twin of _MINHASH_SQL_SIG."""
+    return f"""{p}w AS (SELECT doc_id,
+            string_split_regex(lower(text), '\\s+') AS words
+            FROM documents WHERE {where}),
+{p}s AS (SELECT doc_id,
+             list_distinct([array_to_string(words[j:j+2], ' ')
+                            FOR j IN range(1, greatest(len(words) - 1, 1))]) AS sh
+      FROM {p}w),
+{p}bhh AS (SELECT doc_id,
+               list_transform(sh, s ->
+                   ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT % {MINHASH_P}) AS bh
+        FROM {p}s),
+{p}sig AS (SELECT doc_id, [{_MINHASH_SIG_TERMS}] AS sig FROM {p}bhh)"""
+
+
+_register(
+    "cross_dedup",
+    f"""WITH {_mh_sig_cte('l', 'doc_id % 7 <> 0')},
+{_mh_sig_cte('r', 'doc_id % 7 = 0')},
+lb AS (SELECT doc_id,
+              unnest([md5(b::VARCHAR || ',' || sig[b*4+1:b*4+4]::VARCHAR)
+                      FOR b IN range(0, 8)]) AS bucket
+       FROM lsig),
+rb AS (SELECT DISTINCT bucket FROM (
+         SELECT unnest([md5(b::VARCHAR || ',' || sig[b*4+1:b*4+4]::VARCHAR)
+                        FOR b IN range(0, 8)]) AS bucket
+         FROM rsig)),
+dups AS (SELECT DISTINCT doc_id FROM lb JOIN rb USING (bucket))
+SELECT doc_id FROM documents
+WHERE doc_id % 7 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dups)""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$match": {"$expr": {"$ne": [{"$mod": ["$doc_id", 7]}, 0]}}},
+            {"$crossDedup": {"from": "bench", "input": "$text",
+                             "id": "doc_id", "shingle": 3,
+                             "numHashes": 32, "bands": 8}},
+            {"$project": {"doc_id": 1}},
+        ],
+        collections={
+            "bench": lambda t: t["documents"].filter("doc_id % 7 = 0")
+        },
+    )
+)
+
+
 def _simhash_sql(bits: int = 16) -> str:
     hashes = (
         "list_transform(list_distinct([words[j] "

@@ -297,6 +297,108 @@ def minhash_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$crossDedup")
+def cross_dedup_stage(expression: Any, ctx: Context) -> StageFn:
+    """Cross-corpus near-dup removal: drop input documents that
+    near-duplicate ANY document of a *reference* collection.
+
+    ``{from, input, foreignInput?, id, shingle, numHashes, bands,
+    verify?}`` — the near-dup generalization of ``$decontaminate``
+    (which needs exact shingle overlap and broadcasts the benchmark):
+    here BOTH corpora can be 100 TB class.  Each side computes MinHash
+    band hashes row-locally; the membership test is a bucket equi-join —
+    the input explodes to (id, bucket), the reference reduces to DISTINCT
+    buckets, and a left-semi join marks contaminated ids.  Nothing
+    broadcasts, nothing is pairwise.  ``verify: <threshold>`` joins the
+    true shingle sets of each candidate (input, reference) pair and keeps
+    only exact Jaccard ≥ threshold — candidate-sized work, bucket-bounded.
+
+    Input rows are REMOVED when contaminated (the ``$decontaminate``
+    convention of keeping a flag column is available by composing
+    ``$minhash`` + ``$lookup`` instead).
+    """
+    from_coll = expression["from"]
+    inp = expression["input"]
+    fin = expression.get("foreignInput", inp)
+    id_field = expression.get("id", "_id")
+    n = int(expression.get("shingle", 3))
+    num = int(expression.get("numHashes", 32))
+    bands = int(expression.get("bands", 8))
+    verify = expression.get("verify")
+    rows_per_band = num // bands
+
+    def band_hashes(sig_col: str) -> list:
+        return [
+            F.md5(F.concat_ws(",", *[
+                F.lit(b),
+                F.slice(F.col(sig_col), b * rows_per_band + 1,
+                        rows_per_band).cast("string"),
+            ]))
+            for b in range(bands)
+        ]
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        df = _spread(df)
+        ref = c.collection(from_coll)
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        rtext = compile_expr(fin, ExprContext(schema=ref.schema))
+        left_sig = (
+            df.withColumn("__mh_bases", minhash_bases(text, n))
+            .withColumn("__sig", minhash_sig_sql("__mh_bases", num))
+        )
+        right_sig = (
+            ref.withColumn("__mh_bases", minhash_bases(rtext, n))
+            .withColumn("__sig", minhash_sig_sql("__mh_bases", num))
+        )
+        lb = left_sig.select(
+            F.col(id_field).alias("__did"),
+            F.explode(F.array(*band_hashes("__sig"))).alias("__bucket"),
+        )
+        if verify is None:
+            rb = right_sig.select(
+                F.explode(F.array(*band_hashes("__sig"))).alias("__bucket")
+            ).distinct()
+            dups = lb.join(rb, "__bucket", "left_semi").select(
+                "__did"
+            ).distinct()
+        else:
+            # candidate pairs carry only ids through the bucket join; the
+            # true shingle sets are fetched per-side afterwards (the
+            # $minhashDedup verify pattern — shipping shingle arrays
+            # through the band explode would multiply the shuffle payload
+            # by `bands`).  The reference-side key is a deterministic
+            # content hash, so retries and re-reads agree.
+            rkey = F.xxhash64(rtext)
+            rb = right_sig.select(
+                rkey.alias("__rid"),
+                F.explode(F.array(*band_hashes("__sig"))).alias("__bucket"),
+            )
+            rsh = ref.select(
+                rkey.alias("__rid"), word_shingles(rtext, n).alias("__shb")
+            ).dropDuplicates(["__rid"])
+            lsh = df.select(
+                F.col(id_field).alias("__did"),
+                word_shingles(text, n).alias("__sha"),
+            )
+            pairs = (
+                lb.join(rb, "__bucket")
+                .select("__did", "__rid")
+                .distinct()
+                .join(rsh, "__rid")
+                .join(lsh, "__did")
+            )
+            inter = F.size(F.array_intersect("__sha", "__shb"))
+            dups = pairs.filter(
+                inter / (F.size("__sha") + F.size("__shb") - inter)
+                >= float(verify)
+            ).select("__did").distinct()
+        return df.join(
+            dups, df[id_field] == dups["__did"], "left_anti"
+        )
+
+    return fn
+
+
 @register_stage("$simhash")
 def simhash_stage(expression: Any, ctx: Context) -> StageFn:
     """64-bit SimHash over word shingles: ``{input, as, shingle, bits}``.

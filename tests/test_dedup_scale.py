@@ -111,3 +111,37 @@ def test_embed_dedup_exact_under_limit_unchanged(spark):
     # tiny corpus under the default limit: exact all-pairs still the default
     out = _embed(spark, 9)
     assert sorted(r.vec_id for r in out.collect()) == [0, 1, 2]
+
+
+def test_cross_dedup_removes_benchmark_near_dups(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today"),
+         (101, "completely unrelated benchmark text about spark engines")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),   # exact
+         (2, "the quick brown fox jumps over the lazy cat today"),   # near
+         (3, "an entirely different document about parquet files and joins")],
+        "doc_id long, text string",
+    )
+    ctx = Context(spark=spark, collections={"bench": bench})
+    out = compile_pipeline(
+        [{"$crossDedup": {"from": "bench", "input": "$text", "id": "doc_id",
+                          "shingle": 2, "numHashes": 32, "bands": 16}}],
+        ctx,
+    )(corpus).collect()
+    kept = {r["doc_id"] for r in out}
+    assert 1 not in kept            # exact dup always caught
+    assert 3 in kept                # unrelated survives
+    # verify path: a strict threshold keeps the near-but-not-exact doc
+    out2 = compile_pipeline(
+        [{"$crossDedup": {"from": "bench", "input": "$text", "id": "doc_id",
+                          "shingle": 2, "numHashes": 32, "bands": 16,
+                          "verify": 0.99}}],
+        ctx,
+    )(corpus).collect()
+    kept2 = {r["doc_id"] for r in out2}
+    assert 1 not in kept2 and 2 in kept2 and 3 in kept2
