@@ -1565,6 +1565,42 @@ FROM r WHERE rnk <= 5""",
     )
 )
 
+_register(
+    "collocations",
+    """WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+uni AS (SELECT w, CAST(count(*) AS DOUBLE) AS c
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+bi AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cnt
+       FROM (SELECT unnest([struct_pack(w1 := t[i], w2 := t[i + 1])
+                            FOR i IN range(1, len(t))], recursive := true)
+             FROM toks)
+       GROUP BY w1, w2 HAVING count(*) >= 5),
+tot AS (SELECT CAST(sum(len(t)) AS DOUBLE) AS tt,
+               CAST(sum(greatest(len(t) - 1, 0)) AS DOUBLE) AS bb
+        FROM toks),
+scored AS (
+  SELECT w1, w2, cnt,
+         floor(ln((cnt / bb) / ((c1.c / tt) * (c2.c / tt))) * 1e9 + 0.5)
+           / 1e9 AS pmi
+  FROM bi JOIN uni c1 ON bi.w1 = c1.w JOIN uni c2 ON bi.w2 = c2.w
+  CROSS JOIN tot),
+r AS (SELECT w1, w2, cnt, pmi,
+             row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rnk
+      FROM scored)
+SELECT w1, w2, cnt AS count, pmi, CAST(rnk AS INT) AS rank
+FROM r WHERE rnk <= 20""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$collocations": {"input": "$text", "top": 20, "minCount": 5}},
+        ],
+    )
+)
+
 _RF_TERMS_B = ["hash", "window", "batch"]
 
 _register(

@@ -1493,6 +1493,84 @@ def tf_idf_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$collocations")
+def collocations_stage(expression: Any, ctx: Context) -> StageFn:
+    """Corpus-level collocation mining: ``{input, top, minCount?}`` →
+    the ``top`` adjacent word pairs by pointwise mutual information, as
+    ``(w1, w2, count, pmi, rank)`` rows.
+
+    PMI = ln((c12 / B) / ((c1 / T) · (c2 / T))) with T total tokens and
+    B total bigrams; ``minCount`` (default 5) suppresses the classic
+    low-frequency PMI explosion.  Corpus-scale plan: bigram and unigram
+    counts are two partial-aggregated shuffles over row-local explodes;
+    totals are a single-row broadcast; the two unigram joins are
+    vocabulary-sized equi-joins (AQE broadcasts small vocabularies); the
+    final top-N is orderBy+limit = TakeOrderedAndProject (per-partition
+    heap, no global sort shuffle).
+    """
+    inp = expression["input"]
+    top = int(expression.get("top", 20))
+    min_count = int(expression.get("minCount", 5))
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        df = _spread(df)
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        tokens = F.filter(
+            F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != ""
+        )
+        toked = df.select(tokens.alias("__toks"))
+        uni = (
+            toked.select(F.explode("__toks").alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        )
+        bi_arr = F.expr(
+            "filter(zip_with(`__toks`, slice(`__toks`, 2, "
+            "greatest(size(`__toks`) - 1, 0)), "
+            "(a, b) -> struct(a as w1, b as w2)), p -> p.w2 is not null)"
+        )
+        bi = (
+            toked.select(F.explode(bi_arr).alias("p"))
+            .select("p.w1", "p.w2")
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).cast("double").alias("count"))
+            .filter(F.col("count") >= min_count)
+        )
+        totals = toked.groupBy().agg(
+            F.sum(F.size("__toks")).cast("double").alias("__t"),
+            F.sum(F.greatest(F.size("__toks") - 1, F.lit(0)))
+            .cast("double").alias("__b"),
+        )
+        c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("__c1"))
+        c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("__c2"))
+        scored = (
+            bi.join(c1, "w1")
+            .join(c2, "w2")
+            .crossJoin(F.broadcast(totals))
+            .withColumn(
+                "pmi",
+                F.floor(
+                    F.log(
+                        (F.col("count") / F.col("__b"))
+                        / ((F.col("__c1") / F.col("__t"))
+                           * (F.col("__c2") / F.col("__t")))
+                    ) * 1e9 + F.lit(0.5)
+                ).cast("double") / F.lit(1e9),
+            )
+        )
+        from pyspark.sql import Window
+
+        ranked = scored.orderBy(
+            F.col("pmi").desc(), F.col("w1"), F.col("w2")
+        ).limit(top)
+        w = Window.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+        return ranked.withColumn("rank", F.row_number().over(w)).select(
+            "w1", "w2", "count", "pmi", "rank"
+        )
+
+    return fn
+
+
 # ordered scrub rules: name -> (regex, replacement token).  Emails before
 # URLs (an email's domain must not be half-matched as a URL), URLs before
 # phone-ish digit runs.

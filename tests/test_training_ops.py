@@ -157,3 +157,27 @@ def test_tf_idf_max_df_ratio_drops_stopwords(spark):
     )(docs).collect()
     assert all(r["term"] != "the" for r in out)
     assert {r["term"] for r in out} == {"apple", "banana", "cherry"}
+
+
+def test_collocations_pmi(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "new york new york new york"),
+         (2, "new york is big and big city new york"),
+         (3, "york new day and new york again")],
+        "doc_id long, text string",
+    )
+    out = compile_pipeline(
+        [{"$collocations": {"input": "$text", "top": 3, "minCount": 2}}],
+        Context(spark=spark),
+    )(docs).collect()
+    got = {(r["w1"], r["w2"]): (r["count"], r["pmi"], r["rank"]) for r in out}
+    assert ("new", "york") in got
+    cnt, pmi, _ = got[("new", "york")]
+    # unigrams: new=7, york=7, T=22; bigram (new, york)=6, B=19
+    assert cnt == 6.0
+    expect = math.floor(math.log((6/19) / ((7/22) * (7/22))) * 1e9 + 0.5) / 1e9
+    assert pmi == expect
+    assert max(r["rank"] for r in out) <= 3
