@@ -2739,6 +2739,28 @@ _register(
     )
 )
 
+# --- $hint tuning passthrough -----------------------------------------
+
+_register(
+    "hint_partitioning",
+    f"""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+              {_r("sum(o_totalprice)", 2)} AS total
+       FROM orders GROUP BY o_custkey""",
+)(
+    _pipe(
+        "orders",
+        [
+            {"$hint": {"repartition": {"numPartitions": 16,
+                                       "by": ["o_custkey"]},
+                       "rebalance": True}},
+            {"$group": {"_id": "$o_custkey", "n": {"$count": {}},
+                        "total": {"$sum": "$o_totalprice"}}},
+            {"$project": {"o_custkey": "$_id", "n": 1,
+                          "total": {"$round": ["$total", 2]}, "_id": 0}},
+        ],
+    )
+)
+
 # --- $sortByCount + $sort + $skip + $limit ----------------------------
 
 _register(

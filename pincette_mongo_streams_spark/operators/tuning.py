@@ -1,0 +1,76 @@
+"""$hint: physical-plan tuning passthrough.
+
+The reference engine has no analogue (it runs per-message on a reactive
+stream); on a 1000-executor cluster the ability to place an exchange, cap
+output file counts, or pin a broadcast is part of the product.  Rows and
+schema pass through COMPLETELY unchanged — $hint only annotates the plan:
+
+- ``{"repartition": N}`` — round-robin to N partitions
+- ``{"repartition": {"numPartitions": N?, "by": ["k", ...]}}`` — hash
+  partition on the named fields (co-locates a following stateful op or
+  sort-merge join; numPartitions optional = session shuffle partitions)
+- ``{"coalesce": N}`` — shrink to N partitions without a shuffle (output
+  file sizing before $out/$merge); batch only
+- ``{"rebalance": true}`` — AQE rebalance hint (splits skewed partitions,
+  merges tiny ones — the right default before writing parquet)
+- ``{"broadcast": true}`` — mark this side broadcast-able for a
+  subsequent join regardless of the optimizer's size estimate
+- ``{"cache": true}`` — persist (MEMORY_AND_DISK) for pipelines that fan
+  out over the same intermediate; batch only
+
+Multiple keys compose left-to-right in the order above.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..context import Context
+from ..paths import nested_col, split_path
+from ..pipeline import StageFn, register_stage
+from .extended import _batch_only
+
+
+@register_stage("$hint")
+def hint_stage(expression: Any, ctx: Context) -> StageFn:
+    if not isinstance(expression, dict) or not expression:
+        raise ValueError("$hint takes a non-empty option document")
+    known = {"repartition", "coalesce", "rebalance", "broadcast", "cache"}
+    unknown = set(expression) - known
+    if unknown:
+        raise ValueError(f"unknown $hint options: {sorted(unknown)}")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        out = df
+        rp = expression.get("repartition")
+        if rp is not None:
+            if isinstance(rp, dict):
+                n = rp.get("numPartitions")
+                cols = [nested_col(split_path(k)) for k in rp.get("by", [])]
+                if not cols:
+                    raise ValueError(
+                        "$hint repartition object form needs 'by' fields"
+                    )
+                out = (
+                    out.repartition(int(n), *cols) if n
+                    else out.repartition(*cols)
+                )
+            else:
+                out = out.repartition(int(rp))
+        co = expression.get("coalesce")
+        if co is not None:
+            _batch_only("$hint coalesce", c)
+            out = out.coalesce(int(co))
+        if expression.get("rebalance"):
+            out = out.hint("rebalance")
+        if expression.get("broadcast"):
+            out = F.broadcast(out)
+        if expression.get("cache"):
+            _batch_only("$hint cache", c)
+            out = out.cache()
+        return out
+
+    return fn

@@ -94,5 +94,6 @@ from .operators import (  # noqa: E402,F401
     extended as _extended,
     graphcc as _graphcc,
     timeseries as _timeseries,
+    tuning as _tuning,
 )
 from .functions import datapipe as _datapipe  # noqa: E402,F401

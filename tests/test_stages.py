@@ -379,3 +379,52 @@ def test_unknown_stage_raises(spark):
 
     with _pytest.raises(ValueError, match="unknown pipeline stage"):
         compile_pipeline([{"$nope": 1}], Context(spark=spark))
+
+
+def test_hint_passthrough_and_plan(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id long, k long, v double"
+    )
+    out = compile_pipeline(
+        [{"$hint": {"repartition": {"numPartitions": 4, "by": ["k"]}}},
+         {"$group": {"_id": "$k", "n": {"$count": {}}}}],
+        Context(spark=spark),
+    )(df)
+    rows = {r["_id"]: r["n"] for r in out.collect()}
+    assert rows == {0: 10, 1: 10, 2: 10}
+
+    ident = compile_pipeline(
+        [{"$hint": {"repartition": 6}}], Context(spark=spark)
+    )(df)
+    assert ident.rdd.getNumPartitions() == 6
+    assert ident.count() == 30
+
+    co = compile_pipeline(
+        [{"$hint": {"coalesce": 2}}], Context(spark=spark)
+    )(df)
+    assert co.rdd.getNumPartitions() <= 2
+
+    import pytest
+    with pytest.raises(ValueError):
+        compile_pipeline([{"$hint": {"nope": 1}}], Context(spark=spark))(df)
+
+
+def test_hint_broadcast_pins_join_side(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    big = spark.range(0, 10000).selectExpr("id", "id % 100 as fk")
+    dim = spark.range(0, 100).selectExpr("id as dk", "id * 2 as val")
+    ctx = Context(spark=spark, collections={
+        "dim": compile_pipeline([{"$hint": {"broadcast": True}}],
+                                Context(spark=spark))(dim)})
+    out = compile_pipeline(
+        [{"$lookup": {"from": "dim", "localField": "fk",
+                      "foreignField": "dk", "as": "d"}},
+         {"$unwind": "$d"}],
+        ctx,
+    )(big)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert out.count() == 10000
