@@ -590,6 +590,10 @@ def _zip(raw: Any, ctx: ExprContext) -> Column:
     if raw.get("useLongestLength"):
         n = F.greatest(*sizes) if len(sizes) > 1 else sizes[0]
         defaults = raw.get("defaults")
+        if defaults is not None and len(defaults) != len(inputs):
+            raise ValueError(
+                "$zip defaults must have the same length as inputs"
+            )
         dcols = (
             [_c(e, ctx) for e in defaults] if defaults is not None
             else [None] * len(inputs)
@@ -599,9 +603,13 @@ def _zip(raw: Any, ctx: ExprContext) -> Column:
         dcols = [None] * len(inputs)
 
     def elem(i: Column) -> Column:
+        # the default only fills positions PAST an input's end — a stored
+        # null element stays null (Mongo semantics)
         picks = [
             F.try_element_at(inp, (i + 1).cast("int")) if d is None
-            else F.coalesce(F.try_element_at(inp, (i + 1).cast("int")), d)
+            else F.when(i < F.size(inp),
+                        F.try_element_at(inp, (i + 1).cast("int"))
+                        ).otherwise(d)
             for inp, d in zip(inputs, dcols)
         ]
         return F.array(*picks)

@@ -203,6 +203,32 @@ def minhash_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+def minhash_band_hashes(sig_col: str, bands: int,
+                        rows_per_band: int) -> list:
+    """Band hashes over a MinHash signature column — ONE format shared by
+    $minhashDedup and $crossDedup (the DuckDB oracles pin it, so the two
+    stages must never drift apart)."""
+    return [
+        F.md5(F.concat_ws(",", *[
+            F.lit(b),
+            F.slice(F.col(sig_col), b * rows_per_band + 1,
+                    rows_per_band).cast("string"),
+        ]))
+        for b in range(bands)
+    ]
+
+
+def _check_bands(stage: str, num: int, bands: int) -> None:
+    """bands must tile numHashes exactly: rows_per_band = 0 would make
+    every band hash identical (silently deleting the whole corpus), and a
+    non-divisible split silently ignores trailing signature rows."""
+    if bands <= 0 or bands > num or num % bands != 0:
+        raise ValueError(
+            f"{stage}: numHashes ({num}) must be divisible by bands "
+            f"({bands}) with 1 <= bands <= numHashes"
+        )
+
+
 @register_stage("$minhashDedup")
 def minhash_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     """Near-dup removal via MinHash + LSH banding.
@@ -235,16 +261,13 @@ def minhash_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     bands = int(expression.get("bands", 8))
     verify = expression.get("verify")
     transitive = bool(expression.get("transitive", False))
+    _check_bands("$minhashDedup", num, bands)
     rows_per_band = num // bands
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         df = _spread(df)
         text = compile_expr(inp, ExprContext(schema=df.schema))
-        band_hash = [
-            F.md5(F.concat_ws(",", *[F.lit(b), F.slice(F.col("__sig"), b * rows_per_band + 1,
-                                                       rows_per_band).cast("string")]))
-            for b in range(bands)
-        ]
+        band_hash = minhash_band_hashes("__sig", bands, rows_per_band)
         with_sig = (
             df.withColumn("__mh_bases", minhash_bases(text, n))
             .withColumn("__sig", minhash_sig_sql("__mh_bases", num))
@@ -325,17 +348,11 @@ def cross_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     num = int(expression.get("numHashes", 32))
     bands = int(expression.get("bands", 8))
     verify = expression.get("verify")
+    _check_bands("$crossDedup", num, bands)
     rows_per_band = num // bands
 
     def band_hashes(sig_col: str) -> list:
-        return [
-            F.md5(F.concat_ws(",", *[
-                F.lit(b),
-                F.slice(F.col(sig_col), b * rows_per_band + 1,
-                        rows_per_band).cast("string"),
-            ]))
-            for b in range(bands)
-        ]
+        return minhash_band_hashes(sig_col, bands, rows_per_band)
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         df = _spread(df)
@@ -1529,18 +1546,19 @@ def collocations_stage(expression: Any, ctx: Context) -> StageFn:
             "greatest(size(`__toks`) - 1, 0)), "
             "(a, b) -> struct(a as w1, b as w2)), p -> p.w2 is not null)"
         )
-        bi = (
+        bi_all = (
             toked.select(F.explode(bi_arr).alias("p"))
             .select("p.w1", "p.w2")
             .groupBy("w1", "w2")
             .agg(F.count(F.lit(1)).cast("double").alias("count"))
-            .filter(F.col("count") >= min_count)
         )
-        totals = toked.groupBy().agg(
-            F.sum(F.size("__toks")).cast("double").alias("__t"),
-            F.sum(F.greatest(F.size("__toks") - 1, F.lit(0)))
-            .cast("double").alias("__b"),
-        )
+        bi = bi_all.filter(F.col("count") >= min_count)
+        # T and B are exactly the sums of the two count aggregates — a
+        # third tokenize pass over the corpus would just recompute them;
+        # these re-reduce the (reused) shuffle outputs, vocabulary-sized
+        totals = uni.groupBy().agg(
+            F.sum("c").alias("__t")
+        ).crossJoin(bi_all.groupBy().agg(F.sum("count").alias("__b")))
         c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("__c1"))
         c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("__c2"))
         scored = (

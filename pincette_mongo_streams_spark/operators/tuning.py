@@ -42,18 +42,24 @@ def hint_stage(expression: Any, ctx: Context) -> StageFn:
     unknown = set(expression) - known
     if unknown:
         raise ValueError(f"unknown $hint options: {sorted(unknown)}")
+    rp = expression.get("repartition")
+    if isinstance(rp, dict):
+        rp_unknown = set(rp) - {"numPartitions", "by"}
+        if rp_unknown:
+            raise ValueError(
+                f"unknown $hint repartition options: {sorted(rp_unknown)}"
+            )
+        if not rp.get("by"):
+            raise ValueError(
+                "$hint repartition object form needs 'by' fields"
+            )
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         out = df
-        rp = expression.get("repartition")
         if rp is not None:
             if isinstance(rp, dict):
                 n = rp.get("numPartitions")
-                cols = [nested_col(split_path(k)) for k in rp.get("by", [])]
-                if not cols:
-                    raise ValueError(
-                        "$hint repartition object form needs 'by' fields"
-                    )
+                cols = [nested_col(split_path(k)) for k in rp["by"]]
                 out = (
                     out.repartition(int(n), *cols) if n
                     else out.repartition(*cols)

@@ -145,3 +145,19 @@ def test_cross_dedup_removes_benchmark_near_dups(spark):
     )(corpus).collect()
     kept2 = {r["doc_id"] for r in out2}
     assert 1 not in kept2 and 2 in kept2 and 3 in kept2
+
+
+def test_band_config_validated(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    for stage in (
+        {"$minhashDedup": {"input": "$text", "id": "doc_id",
+                           "numHashes": 32, "bands": 64}},
+        {"$crossDedup": {"from": "b", "input": "$text", "id": "doc_id",
+                         "numHashes": 32, "bands": 6}},
+    ):
+        with pytest.raises(ValueError, match="divisible"):
+            compile_pipeline([stage], Context(
+                spark=spark, collections={"b": df}))(df)

@@ -332,3 +332,35 @@ def test_zip_nary(spark):
                           [0, -1, 400]]
     assert out["z2l"] == [[1, 10], [2, 20], [3, None]]
     assert out["znull"] is None
+
+
+def test_zip_defaults_only_fill_past_end(spark):
+    """A stored null element stays null — defaults only pad positions
+    past an input's end (Mongo semantics)."""
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    df = spark.createDataFrame(
+        [([1, None], [10, 20, 30])], "a array<int>, b array<int>"
+    )
+    out = compile_pipeline(
+        [{"$project": {"z": {"$zip": {
+            "inputs": ["$a", "$b"], "useLongestLength": True,
+            "defaults": [9, -9]}}}}],
+        Context(spark=spark),
+    )(df).collect()[0]
+    assert out["z"] == [[1, 10], [None, 20], [9, 30]]
+
+
+def test_zip_defaults_length_mismatch_raises(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+    import pytest
+
+    df = spark.createDataFrame([([1], [2], [3])],
+                               "a array<int>, b array<int>, c array<int>")
+    with pytest.raises(ValueError, match="defaults"):
+        compile_pipeline(
+            [{"$project": {"z": {"$zip": {
+                "inputs": ["$a", "$b", "$c"], "useLongestLength": True,
+                "defaults": [0, -1]}}}}],
+            Context(spark=spark),
+        )(df)

@@ -151,11 +151,14 @@ def test_http_parallel_transport(spark):
     import time
 
     def slow_transport(req):
+        t0 = time.perf_counter()
         time.sleep(0.1)
+        t1 = time.perf_counter()
         n = int(req["url"].rsplit("/", 1)[1])
         if n == 3:
             return {"status": 404, "body": "nope", "contentType": "text/plain"}
-        return {"status": 200, "body": _json.dumps({"n": n * 10}),
+        return {"status": 200,
+                "body": _json.dumps({"n": n * 10, "t0": t0, "t1": t1}),
                 "contentType": "application/json"}
 
     df = spark.createDataFrame([(i,) for i in range(8)], "i long").repartition(1)
@@ -169,18 +172,36 @@ def test_http_parallel_transport(spark):
         rows = compile_pipeline(pipeline, ctx)(df).collect()
         return rows, time.perf_counter() - t0
 
-    run(1)  # warm the session so timings compare like-for-like
-    seq_rows, seq_t = run(1)
-    rows, par_t = run(8)
+    seq_rows, _ = run(1)
+    rows, _ = run(8)
     by_i = {r["i"]: r for r in rows}
-    assert _json.loads(by_i[0]["resp"]) == {"n": 0}
-    assert _json.loads(by_i[7]["resp"]) == {"n": 70}
+    assert _json.loads(by_i[0]["resp"])["n"] == 0
+    assert _json.loads(by_i[7]["resp"])["n"] == 70
     assert by_i[3]["resp"] is None
     assert by_i[3]["httpError"].asDict() == {"statusCode": 404, "body": "nope"}
     # pooled and sequential agree on results
-    assert {r["i"]: r["resp"] for r in seq_rows} == {r["i"]: r["resp"] for r in rows}
-    # 8 x 0.1s of transport: the pool must reclaim most of it
-    assert par_t < seq_t - 0.3, f"pool {par_t:.2f}s vs sequential {seq_t:.2f}s"
+    assert ({r["i"]: r["resp"] and _json.loads(r["resp"])["n"]
+             for r in seq_rows}
+            == {r["i"]: r["resp"] and _json.loads(r["resp"])["n"]
+                for r in rows})
+
+    # concurrency proof by transport-reported call intervals, not
+    # wall-clock margins (which go flaky under host load): the pooled run
+    # must overlap calls, the sequential run must not
+    def intervals(rs):
+        spans = [_json.loads(r["resp"]) for r in rs if r["resp"]]
+        return sorted((s["t0"], s["t1"]) for s in spans)
+
+    def max_concurrent(spans):
+        events = [(t0, 1) for t0, _ in spans] + [(t1, -1) for _, t1 in spans]
+        cur = best = 0
+        for _, d in sorted(events):
+            cur += d
+            best = max(best, cur)
+        return best
+
+    assert max_concurrent(intervals(rows)) >= 2, "pool never overlapped"
+    assert max_concurrent(intervals(seq_rows)) == 1, "sequential overlapped"
 
 
 def test_ann_ivf_empty_corpus(spark):
