@@ -3152,6 +3152,66 @@ _register(
 )(_streaming_parity_query)
 
 
+def _streaming_per_message_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-message $group emission (applyInPandasWithState parity mode):
+    a $count accumulator emits on EVERY input row, so the (epoch, key, n)
+    multiset is deterministic regardless of in-batch arrival order — the
+    k-th row of a key carries n = k, with epoch boundaries fixed by the
+    replayed files."""
+    import os
+    import tempfile
+
+    tables = _load(spark, sf_dir)
+    ev = tables["events"].select(
+        "event_id", "event_type",
+        F.pmod(F.col("event_id"), F.lit(3)).cast("int").alias("ep"),
+    )
+    pdf = ev.toPandas()
+    tmp = tempfile.mkdtemp(prefix="spark_graft_strpermsg_")
+    src_dir = os.path.join(tmp, "src")
+    os.makedirs(src_dir, exist_ok=True)
+    for e in range(3):
+        part = pdf[pdf.ep == e][["event_id", "event_type"]]
+        path = os.path.join(src_dir, f"batch{e}.parquet")
+        part.to_parquet(path, index=False)
+        os.utime(path, (1_700_000_000 + e * 10, 1_700_000_000 + e * 10))
+
+    from pincette_mongo_streams_spark.streaming import run_streaming
+
+    source = (
+        spark.readStream
+        .schema("event_id bigint, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    emissions: list[tuple[int, str, int]] = []
+
+    def sink(batch_df: DataFrame, epoch: int) -> None:
+        for r in batch_df.collect():
+            emissions.append((epoch, r["_id"], r["n"]))
+
+    q = run_streaming(
+        source,
+        [{"$group": {"_id": "$event_type", "n": {"$count": {}}}}],
+        Context(spark=spark),
+        sink,
+        trigger={"availableNow": True},
+        checkpoint=os.path.join(tmp, "ckpt"),
+        emission="per_message",
+    )
+    q.awaitTermination(300)
+    return spark.createDataFrame(emissions, "ep bigint, _id string, n bigint")
+
+
+_register(
+    "streaming_per_message",
+    """SELECT CAST(event_id % 3 AS BIGINT) AS ep, event_type AS _id,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY event_id % 3) AS n
+       FROM events""",
+)(_streaming_per_message_query)
+
+
 # --- r3 training-pipeline additions (past-window; oracle-backed) ------
 
 _register(

@@ -1,0 +1,195 @@
+"""Per-message $group emission: applyInPandasWithState parity mode.
+
+The reference emits the full updated group document for every
+state-CHANGING input message (Group.java:176-186,423-430); Spark's
+update-mode aggregation emits per micro-batch — the granularity
+difference documented in SURVEY.md §2.4.  This module closes the gap for
+the decomposable accumulators: the accumulator INPUT expressions compile
+to native Columns in the streaming plan (JVM-side, whole-stage codegen),
+and a keyed ``applyInPandasWithState`` fold then updates per-key state
+row by row, emitting one group document per state-changing input message
+— exactly the reference protocol, including the not-re-emitted losing
+update (a new max candidate that loses changes nothing and emits
+nothing).
+
+This is inherently row-at-a-time work — the price of per-message
+granularity; the default per-batch update mode stays the scale path.
+State is per-key and accumulator-sized (a JSON document of running
+values), stored in Spark's state store and restored across micro-batches
+and restarts via the checkpoint.
+
+Ordering: within a micro-batch, rows of one key arrive in shuffle order;
+the reference's total input order only exists on a single-partition
+source.  Emission order across keys is likewise unordered (reference
+processes one message at a time globally).
+
+Restrictions (raise at compile): accumulator inputs and the group key
+must be atomic (numeric / string / boolean) so the JSON state round-trips
+exactly; supported accumulators are $sum, $count, $avg, $min, $max,
+$first, $last, $push, $addToSet.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..context import Context
+from ..expressions import ExprContext, compile_expr
+
+_SUPPORTED = {"$sum", "$count", "$avg", "$min", "$max", "$first", "$last",
+              "$push", "$addToSet"}
+
+_ATOMIC = (T.NumericType, T.StringType, T.BooleanType)
+
+
+def _py(v: Any) -> Any:
+    """numpy/pandas scalar -> plain python (JSON-serializable)."""
+    if v is None:
+        return None
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    return v.item() if hasattr(v, "item") else v
+
+
+def compile_group_per_message(
+    expression: dict, ctx: Context
+) -> Callable[[DataFrame], DataFrame]:
+    """``$group`` spec -> streaming-DataFrame transform emitting one group
+    doc per state-changing input message."""
+    gid = expression.get("_id")
+    specs: list[tuple[str, str, Any]] = []
+    for name, spec in expression.items():
+        if name == "_id":
+            continue
+        if not isinstance(spec, dict) or len(spec) != 1:
+            raise ValueError(f"accumulator {name}: single-operator document")
+        op, arg = next(iter(spec.items()))
+        if op not in _SUPPORTED:
+            raise ValueError(
+                f"per-message emission supports {sorted(_SUPPORTED)}; "
+                f"{name} uses {op} (run the default per-batch mode)"
+            )
+        specs.append((name, op, arg))
+
+    def fn(df: DataFrame) -> DataFrame:
+        sctx = ExprContext(schema=df.schema)
+        cols = [compile_expr(gid, sctx).alias("__gk")]
+        for i, (_, op, arg) in enumerate(specs):
+            if op == "$count":
+                cols.append(F.lit(1).alias(f"__in{i}"))
+            else:
+                cols.append(compile_expr(arg, sctx).alias(f"__in{i}"))
+        prepared = df.select(*cols)
+        ptypes = {f.name: f.dataType for f in prepared.schema.fields}
+        if not isinstance(ptypes["__gk"], _ATOMIC):
+            raise ValueError(
+                "per-message emission needs an atomic group key "
+                f"(got {ptypes['__gk'].simpleString()})"
+            )
+        out_fields = [T.StructField("_id", ptypes["__gk"])]
+        for i, (name, op, _) in enumerate(specs):
+            it = ptypes[f"__in{i}"]
+            if not isinstance(it, _ATOMIC):
+                raise ValueError(
+                    f"accumulator {name}: per-message emission needs an "
+                    f"atomic input (got {it.simpleString()})"
+                )
+            if op in ("$sum", "$count"):
+                ot = (T.LongType() if isinstance(it, T.IntegralType)
+                      else T.DoubleType())
+            elif op == "$avg":
+                ot = T.DoubleType()
+            elif op in ("$push", "$addToSet"):
+                ot = T.ArrayType(it)
+            else:
+                ot = it
+            out_fields.append(T.StructField(name, ot))
+        out_schema = T.StructType(out_fields)
+        state_schema = T.StructType([T.StructField("s", T.StringType())])
+        names = [name for name, _, _ in specs]
+        ops = [op for _, op, _ in specs]
+
+        def value(st: dict, i: int) -> Any:
+            op = ops[i]
+            s = st[str(i)]
+            if op == "$avg":
+                return s["s"] / s["c"] if s["c"] else None
+            if op in ("$push", "$addToSet"):
+                return list(s["v"])  # copy: the emission diff compares
+                # against the PREVIOUS snapshot, not the mutated list
+            return s.get("v")
+
+        def update(st: dict, i: int, v: Any) -> None:
+            op = ops[i]
+            s = st[str(i)]
+            if op in ("$sum", "$count"):
+                if v is not None:
+                    s["v"] = (s.get("v") or 0) + v
+            elif op == "$avg":
+                if v is not None:
+                    s["s"] += v
+                    s["c"] += 1
+            elif op == "$min":
+                if v is not None and (s.get("v") is None or v < s["v"]):
+                    s["v"] = v
+            elif op == "$max":
+                if v is not None and (s.get("v") is None or v > s["v"]):
+                    s["v"] = v
+            elif op == "$first":
+                if not s.get("set"):
+                    s["v"] = v
+                    s["set"] = True
+            elif op == "$last":
+                s["v"] = v
+                s["set"] = True
+            elif op == "$push":
+                s["v"].append(v)
+            elif op == "$addToSet":
+                if v not in s["v"]:
+                    s["v"].append(v)
+
+        def init_state() -> dict:
+            st: dict = {}
+            for i, op in enumerate(ops):
+                if op in ("$sum", "$count"):
+                    st[str(i)] = {"v": 0}
+                elif op == "$avg":
+                    st[str(i)] = {"s": 0.0, "c": 0}
+                elif op in ("$push", "$addToSet"):
+                    st[str(i)] = {"v": []}
+                else:
+                    st[str(i)] = {}
+            return st
+
+        def fold(key: tuple, pdfs: Iterable[pd.DataFrame], state
+                 ) -> Iterable[pd.DataFrame]:
+            st = json.loads(state.get[0]) if state.exists else init_state()
+            prev = [value(st, i) for i in range(len(specs))]
+            out: list[list] = []
+            for pdf in pdfs:
+                in_cols = [pdf[f"__in{i}"] for i in range(len(specs))]
+                for r in range(len(pdf)):
+                    for i in range(len(specs)):
+                        update(st, i, _py(in_cols[i].iloc[r]))
+                    cur = [value(st, i) for i in range(len(specs))]
+                    if cur != prev:  # the reference's emission diff
+                        out.append([_py(key[0])] + list(cur))
+                        prev = cur
+            state.update((json.dumps(st),))
+            if out:
+                yield pd.DataFrame(out, columns=["_id"] + names)
+
+        return prepared.groupBy("__gk").applyInPandasWithState(
+            fold, out_schema, state_schema, "append", "NoTimeout"
+        )
+
+    return fn

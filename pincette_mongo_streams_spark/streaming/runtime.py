@@ -65,6 +65,7 @@ def run_streaming(
     trigger: Optional[dict] = None,
     checkpoint: Optional[str] = None,
     suppress_unchanged: bool = False,
+    emission: str = "per_batch",
 ):
     """Run ``pipeline`` over a streaming ``source``; ``sink(batch_df,
     epoch)`` receives each output micro-batch (foreachBatch = exactly-once
@@ -101,13 +102,47 @@ def run_streaming(
     if watermark is not None:
         source = source.withWatermark(*watermark)
 
-    split = len(pipeline)
-    for i, stage in enumerate(pipeline):
-        if next(iter(stage)) not in _PLAN_STAGES:
-            split = i
-            break
-    plan_part, batch_part = pipeline[:split], pipeline[split:]
-    transformed = compile_pipeline(plan_part, ctx)(source) if plan_part else source
+    if emission == "per_message":
+        # reference-granularity $group: one emission per state-CHANGING
+        # input message (applyInPandasWithState — streaming/permessage.py)
+        if suppress_unchanged:
+            raise ValueError(
+                "per_message emission already diffs per message; "
+                "suppress_unchanged is redundant"
+            )
+        from .permessage import compile_group_per_message
+
+        gidx = next(
+            (i for i, s in enumerate(pipeline)
+             if next(iter(s)) == "$group"), None
+        )
+        if gidx is None:
+            raise ValueError("per_message emission needs a $group stage")
+        pre = pipeline[:gidx]
+        for stage in pre:
+            if next(iter(stage)) not in _PLAN_STAGES:
+                raise ValueError(
+                    f"{next(iter(stage))} cannot precede a per-message "
+                    "$group (plan stages only)"
+                )
+        upstream = compile_pipeline(pre, ctx)(source) if pre else source
+        transformed = compile_group_per_message(
+            pipeline[gidx]["$group"], ctx
+        )(upstream)
+        batch_part = pipeline[gidx + 1:]
+        plan_part = []  # output mode: append (stateful op emits deltas)
+    elif emission != "per_batch":
+        raise ValueError(f"unknown emission mode {emission!r}")
+    else:
+        split = len(pipeline)
+        for i, stage in enumerate(pipeline):
+            if next(iter(stage)) not in _PLAN_STAGES:
+                split = i
+                break
+        plan_part, batch_part = pipeline[:split], pipeline[split:]
+        transformed = (
+            compile_pipeline(plan_part, ctx)(source) if plan_part else source
+        )
     last_emitted: list = [None]  # distributed last-emission DataFrame
     state_dir = (f"{checkpoint}/suppress_state"
                  if checkpoint and suppress_unchanged else None)

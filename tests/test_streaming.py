@@ -504,3 +504,57 @@ def test_asof_join_per_micro_batch_stream_static(spark, tmpdir):
         (r["t"], r["bid"]) for batch in emissions for r in batch
     )
     assert flat == [(1, 9.5), (4, 10.5), (7, 11.5)]
+
+
+def test_group_per_message_emission(spark, tmpdir):
+    """emission="per_message": the applyInPandasWithState parity mode
+    emits one group doc per state-CHANGING input message — a losing max
+    candidate emits nothing, matching the reference per-message protocol
+    (Group.java:176-186,423-430) instead of per-micro-batch update mode."""
+    pipeline = [{"$group": {"_id": "$k", "mx": {"$max": "$v"}}}]
+    emissions = _run(
+        spark, tmpdir, "k string, v long",
+        [
+            [{"k": "a", "v": 5}],
+            # one loses vs 5, one wins: exactly ONE emission regardless of
+            # in-batch arrival order
+            [{"k": "a", "v": 3}, {"k": "a", "v": 7}],
+            [{"k": "a", "v": 6}, {"k": "b", "v": 1}],  # a unchanged; b new
+        ],
+        pipeline, emission="per_message",
+    )
+    flat = [(r["_id"], r["mx"]) for batch in emissions for r in batch]
+    assert [e for e in flat if e[0] == "a"] == [("a", 5), ("a", 7)]
+    assert [e for e in flat if e[0] == "b"] == [("b", 1)]
+
+
+def test_group_per_message_multi_accumulators(spark, tmpdir):
+    """sum/count/avg/push state survives across micro-batches; every row
+    emits when any accumulator value changes."""
+    pipeline = [{"$group": {
+        "_id": "$k", "total": {"$sum": "$v"}, "n": {"$count": {}},
+        "avg": {"$avg": "$v"}, "vals": {"$push": "$v"},
+    }}]
+    emissions = _run(
+        spark, tmpdir, "k string, v long",
+        [[{"k": "a", "v": 2}], [{"k": "a", "v": 4}]],
+        pipeline, emission="per_message",
+    )
+    flat = [r for batch in emissions for r in batch if r["_id"] == "a"]
+    assert [(r["total"], r["n"], r["avg"], r["vals"]) for r in flat] == [
+        (2, 1, 2.0, [2]), (6, 2, 3.0, [2, 4]),
+    ]
+
+
+def test_group_per_message_rejects_nonatomic_and_combo(spark, tmpdir):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="redundant"):
+        _run(spark, tmpdir, "k string, v long",
+             [[{"k": "a", "v": 1}]],
+             [{"$group": {"_id": "$k", "mx": {"$max": "$v"}}}],
+             emission="per_message", suppress_unchanged=True)
+    with _pytest.raises(ValueError, match="\\$group"):
+        _run(spark, tmpdir, "k string, v long",
+             [[{"k": "a", "v": 1}]],
+             [{"$project": {"k": 1}}], emission="per_message")
