@@ -1799,6 +1799,36 @@ WHERE doc_id % 7 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dups)""",
 )
 
 
+_register(
+    "jaccard_join",
+    f"""WITH {_mh_sig_cte('', 'true')},
+b AS (SELECT doc_id,
+             unnest([md5(bd::VARCHAR || ',' || sig[bd*4+1:bd*4+4]::VARCHAR)
+                     FOR bd IN range(0, 8)]) AS bucket
+      FROM sig),
+p AS (SELECT DISTINCT a.doc_id AS lid, bb.doc_id AS rid
+      FROM b a JOIN b bb USING (bucket) WHERE a.doc_id < bb.doc_id),
+v AS (SELECT p.lid, p.rid,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS i,
+             CAST(len(sa.sh) + len(sb.sh)
+                  - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS u
+      FROM p JOIN s sa ON sa.doc_id = p.lid
+             JOIN s sb ON sb.doc_id = p.rid)
+SELECT lid AS left_id, rid AS right_id,
+       floor(i / u * 1e9 + 0.5) / 1e9 AS jaccard
+FROM v WHERE u > 0 AND floor(i / u * 1e9 + 0.5) / 1e9 >= 0.3""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$jaccardJoin": {"input": "$text", "id": "doc_id",
+                              "shingle": 3, "numHashes": 32, "bands": 8,
+                              "threshold": 0.3}},
+        ],
+    )
+)
+
+
 def _simhash_sql(bits: int = 16) -> str:
     hashes = (
         "list_transform(list_distinct([words[j] "

@@ -416,6 +416,95 @@ def cross_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$jaccardJoin")
+def jaccard_join_stage(expression: Any, ctx: Context) -> StageFn:
+    """Near-dup PAIR output: ``{from?, input, id, foreignInput?,
+    foreignId?, shingle, numHashes, bands, threshold}`` →
+    ``(left_id, right_id, jaccard)`` rows for every candidate pair whose
+    exact shingle Jaccard reaches ``threshold``.
+
+    The analytical counterpart of $minhashDedup (which *removes*): the
+    pair list feeds near-dup graph audits, cluster review, and
+    $connectedComponents without deciding survivors.  Same scale
+    profile: candidates come from the MinHash band-bucket equi-join
+    (never all-pairs), collapse to DISTINCT id pairs (a pair colliding
+    in several bands verifies once), and the exact-Jaccard verify
+    fetches each side's shingle set by id — candidate-sized joins.
+    Without ``from`` it is a self-join emitting each unordered pair once
+    (left_id < right_id).  ``jaccard`` is rounded half-up at 9 digits
+    (the SQL-oracle convention).
+    """
+    from_coll = expression.get("from")
+    inp = expression["input"]
+    id_field = expression.get("id", "_id")
+    fin = expression.get("foreignInput", inp)
+    fid = expression.get("foreignId", id_field)
+    n = int(expression.get("shingle", 3))
+    num = int(expression.get("numHashes", 32))
+    bands = int(expression.get("bands", 8))
+    threshold = float(expression.get("threshold", 0.7))
+    _check_bands("$jaccardJoin", num, bands)
+    rows_per_band = num // bands
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        df = _spread(df)
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        left = (
+            df.withColumn("__mh_bases", minhash_bases(text, n))
+            .withColumn("__sig", minhash_sig_sql("__mh_bases", num))
+        )
+        lb = left.select(
+            F.col(id_field).alias("left_id"),
+            F.explode(
+                F.array(*minhash_band_hashes("__sig", bands, rows_per_band))
+            ).alias("__bucket"),
+        )
+        if from_coll is None:
+            right_df, rtext, rid = df, text, id_field
+        else:
+            right_df = c.collection(from_coll)
+            rtext = compile_expr(fin, ExprContext(schema=right_df.schema))
+            rid = fid
+        right = (
+            right_df.withColumn("__mh_bases", minhash_bases(rtext, n))
+            .withColumn("__sig", minhash_sig_sql("__mh_bases", num))
+        )
+        rb = right.select(
+            F.col(rid).alias("right_id"),
+            F.explode(
+                F.array(*minhash_band_hashes("__sig", bands, rows_per_band))
+            ).alias("__bucket"),
+        )
+        pairs = lb.join(rb, "__bucket").select("left_id", "right_id")
+        if from_coll is None:
+            pairs = pairs.filter(F.col("left_id") < F.col("right_id"))
+        pairs = pairs.distinct()
+        lsh = df.select(
+            F.col(id_field).alias("left_id"),
+            word_shingles(text, n).alias("__sha"),
+        )
+        rsh = right_df.select(
+            F.col(rid).alias("right_id"),
+            word_shingles(rtext, n).alias("__shb"),
+        )
+        inter = F.size(F.array_intersect("__sha", "__shb"))
+        union = F.size("__sha") + F.size("__shb") - inter
+        jacc = inter / union
+        return (
+            pairs.join(lsh, "left_id")
+            .join(rsh, "right_id")
+            .filter(union > 0)
+            .withColumn(
+                "jaccard",
+                F.floor(jacc * 1e9 + F.lit(0.5)).cast("double") / F.lit(1e9),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("left_id", "right_id", "jaccard")
+        )
+
+    return fn
+
+
 @register_stage("$simhash")
 def simhash_stage(expression: Any, ctx: Context) -> StageFn:
     """64-bit SimHash over word shingles: ``{input, as, shingle, bits}``.

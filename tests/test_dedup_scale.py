@@ -161,3 +161,45 @@ def test_band_config_validated(spark):
         with pytest.raises(ValueError, match="divisible"):
             compile_pipeline([stage], Context(
                 spark=spark, collections={"b": df}))(df)
+
+
+def test_jaccard_join_pairs(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon eta"),    # near-dup of 1
+         (3, "totally different words entirely here now")],
+        "doc_id long, text string",
+    )
+    out = compile_pipeline(
+        [{"$jaccardJoin": {"input": "$text", "id": "doc_id", "shingle": 2,
+                           "numHashes": 32, "bands": 16, "threshold": 0.3}}],
+        Context(spark=spark),
+    )(docs).collect()
+    pairs = {(r["left_id"], r["right_id"]): r["jaccard"] for r in out}
+    assert (1, 2) in pairs
+    # 2-shingles: doc1/doc2 share 4 of 6 distinct -> J = 4/6
+    import math
+    assert pairs[(1, 2)] == math.floor(4 / 6 * 1e9 + 0.5) / 1e9
+    assert all(3 not in p for p in pairs)
+    # unordered pairs emitted once, left < right
+    assert all(l < r for l, r in pairs)
+
+
+def test_jaccard_join_cross_corpus(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    left = spark.createDataFrame(
+        [(1, "one two three four five")], "doc_id long, text string")
+    right = spark.createDataFrame(
+        [(9, "one two three four six"), (8, "unrelated totally")],
+        "rid long, text string")
+    out = compile_pipeline(
+        [{"$jaccardJoin": {"from": "r", "input": "$text", "id": "doc_id",
+                           "foreignId": "rid", "shingle": 1,
+                           "numHashes": 32, "bands": 16,
+                           "threshold": 0.4}}],
+        Context(spark=spark, collections={"r": right}),
+    )(left).collect()
+    assert {(r["left_id"], r["right_id"]) for r in out} == {(1, 9)}
