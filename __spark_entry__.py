@@ -2769,6 +2769,35 @@ _register(
     )
 )
 
+# --- $jsonSchema match operator ---------------------------------------
+
+_register(
+    "json_schema_filter",
+    """SELECT doc_id FROM documents
+       WHERE text IS NOT NULL
+         AND (lang IS NULL OR lang IN ('en', 'de', 'fr'))
+         AND (n_chars IS NULL OR (n_chars >= 100 AND n_chars % 1 = 0))
+         AND length(text) >= 50
+         AND (source IS NULL OR source ~ '^[a-z_]+$')""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$match": {"$jsonSchema": {
+                "bsonType": "object",
+                "required": ["text"],
+                "properties": {
+                    "lang": {"enum": ["en", "de", "fr"]},
+                    "n_chars": {"bsonType": "long", "minimum": 100},
+                    "text": {"bsonType": "string", "minLength": 50},
+                    "source": {"pattern": "^[a-z_]+$"},
+                },
+            }, "$comment": "training-data quality gate"}},
+            {"$project": {"doc_id": 1}},
+        ],
+    )
+)
+
 # --- $hint tuning passthrough -----------------------------------------
 
 _register(

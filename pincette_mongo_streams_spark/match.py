@@ -80,6 +80,10 @@ def compile_match(query: dict, ctx: ExprContext) -> Column:
             if not isinstance(value, (int, float)) or not 0 <= value <= 1:
                 raise ValueError("$sampleRate needs a number in [0, 1]")
             preds.append(F.rand() < F.lit(float(value)))
+        elif key == "$jsonSchema":
+            preds.append(_json_schema_root(value, ctx))
+        elif key == "$comment":
+            continue  # metadata only, like Mongo
         elif key.startswith("$"):
             raise NotImplementedError(f"unsupported top-level query operator {key}")
         else:
@@ -224,3 +228,158 @@ def _getfield_chain(base: Column, parts: list[str]) -> Column:
     for p in parts:
         col = col.getField(p)
     return col
+
+
+# --------------------------------------------------------------- $jsonSchema
+# Draft-4-flavored subset as MongoDB documents it, compiled to a boolean
+# Column.  Fixed-schema stance (same deviation as $exists): a field absent
+# from the Spark schema is uniformly "missing"; a null value counts as
+# missing, so it passes every keyword except `required` (Mongo validates
+# present-but-null values against `type` — with absent ≈ null the engine
+# cannot distinguish the two, documented in the module header).
+
+_TYPE_NAMES = {
+    "string": (T.StringType,),
+    "double": (T.DoubleType, T.FloatType),
+    "int": (T.IntegerType, T.ShortType, T.ByteType),
+    "long": (T.LongType,),
+    "integer": (T.IntegerType, T.LongType, T.ShortType, T.ByteType),
+    "number": (T.NumericType,),
+    "decimal": (T.DecimalType,),
+    "bool": (T.BooleanType,),
+    "boolean": (T.BooleanType,),
+    "array": (T.ArrayType,),
+    "object": (T.StructType, T.MapType),
+    "date": (T.DateType, T.TimestampType),
+    "timestamp": (T.TimestampType,),
+}
+
+_SCHEMA_KEYWORDS = {
+    "type", "bsonType", "enum", "minimum", "maximum", "exclusiveMinimum",
+    "exclusiveMaximum", "multipleOf", "minLength", "maxLength", "pattern",
+    "minItems", "maxItems", "uniqueItems", "items", "properties",
+    "required", "allOf", "anyOf", "oneOf", "not", "title", "description",
+    "additionalProperties",
+}
+
+
+def _type_pred(col: Column, stype: Any, names: Any) -> Column:
+    if isinstance(names, str):
+        names = [names]
+    ok = False
+    for nm in names:
+        if nm == "null":
+            return col.isNull()
+        classes = _TYPE_NAMES.get(nm)
+        if classes is None:
+            raise NotImplementedError(f"$jsonSchema type {nm!r}")
+        if isinstance(stype, classes):
+            ok = True
+    # type is a STATIC property of the fixed schema: a mismatching
+    # column fails for every non-null value
+    return F.lit(True) if ok else F.lit(False)
+
+
+def _schema_pred(col: Column, stype: Any, sch: dict) -> Column:
+    """Validity of a NON-NULL value under sub-schema ``sch``."""
+    unknown = set(sch) - _SCHEMA_KEYWORDS
+    if unknown:
+        raise NotImplementedError(f"$jsonSchema keywords {sorted(unknown)}")
+    preds: list[Column] = []
+    tnames = sch.get("bsonType", sch.get("type"))
+    if tnames is not None:
+        preds.append(_type_pred(col, stype, tnames))
+    if "enum" in sch:
+        preds.append(_fold_or([col.eqNullSafe(_lit_deep(v))
+                               for v in sch["enum"]]))
+    for kw, mk in (("minimum", lambda b: col >= F.lit(b)),
+                   ("maximum", lambda b: col <= F.lit(b)),
+                   ("exclusiveMinimum", lambda b: col > F.lit(b)),
+                   ("exclusiveMaximum", lambda b: col < F.lit(b))):
+        if kw in sch:
+            preds.append(F.coalesce(mk(sch[kw]), F.lit(False)))
+    if "multipleOf" in sch:
+        preds.append(F.coalesce(col % F.lit(sch["multipleOf"]) == 0,
+                                F.lit(False)))
+    if "minLength" in sch:
+        preds.append(F.length(col) >= F.lit(int(sch["minLength"])))
+    if "maxLength" in sch:
+        preds.append(F.length(col) <= F.lit(int(sch["maxLength"])))
+    if "pattern" in sch:
+        preds.append(col.rlike(sch["pattern"]))
+    if "minItems" in sch:
+        preds.append(F.size(col) >= F.lit(int(sch["minItems"])))
+    if "maxItems" in sch:
+        preds.append(F.size(col) <= F.lit(int(sch["maxItems"])))
+    if sch.get("uniqueItems"):
+        preds.append(F.size(F.array_distinct(col)) == F.size(col))
+    if "items" in sch and isinstance(stype, T.ArrayType):
+        isch = sch["items"]
+        preds.append(F.forall(
+            col, lambda e: _value_pred(e, stype.elementType, isch)
+        ))
+    if isinstance(stype, T.StructType):
+        fields = {f.name: f.dataType for f in stype.fields}
+        for req in sch.get("required", []):
+            preds.append(col.getField(req).isNotNull()
+                         if req in fields else F.lit(False))
+        for name, psch in (sch.get("properties") or {}).items():
+            if name in fields:
+                preds.append(_value_pred(col.getField(name),
+                                         fields[name], psch))
+            # absent from the fixed schema = missing = valid
+    if "allOf" in sch:
+        preds.append(_fold_and([_schema_pred(col, stype, s)
+                                for s in sch["allOf"]]))
+    if "anyOf" in sch:
+        preds.append(_fold_or([_schema_pred(col, stype, s)
+                               for s in sch["anyOf"]]))
+    if "oneOf" in sch:
+        ones = [_schema_pred(col, stype, s).cast("int")
+                for s in sch["oneOf"]]
+        total = ones[0]
+        for o in ones[1:]:
+            total = total + o
+        preds.append(total == 1)
+    if "not" in sch:
+        preds.append(~_schema_pred(col, stype, sch["not"]))
+    if not preds:
+        return F.lit(True)
+    return _fold_and(preds)
+
+
+def _value_pred(col: Column, stype: Any, sch: dict) -> Column:
+    """Missing (null) passes every keyword except `required` (handled by
+    the enclosing object schema)."""
+    return col.isNull() | _schema_pred(col, stype, sch)
+
+
+def _json_schema_root(sch: dict, ctx: ExprContext) -> Column:
+    """$jsonSchema against the document root (the row)."""
+    if not isinstance(sch, dict):
+        raise ValueError("$jsonSchema takes a schema document")
+    preds: list[Column] = []
+    fields = {f.name: f.dataType for f in ctx.schema.fields}
+    tnames = sch.get("bsonType", sch.get("type"))
+    if tnames is not None:
+        names = [tnames] if isinstance(tnames, str) else tnames
+        if "object" not in names:
+            raise ValueError("$jsonSchema root must allow type 'object'")
+    for req in sch.get("required", []):
+        preds.append(ctx.resolve(split_path(req)).isNotNull()
+                     if req in fields else F.lit(False))
+    for name, psch in (sch.get("properties") or {}).items():
+        parts = split_path(name)
+        if parts[0] not in fields:
+            continue  # missing field = valid (unless required above)
+        col = ctx.resolve(parts)
+        preds.append(_value_pred(col, ctx.type_of_path(parts), psch))
+    for comb, fold in (("allOf", _fold_and), ("anyOf", _fold_or)):
+        if comb in sch:
+            preds.append(fold([_json_schema_root(s, ctx)
+                               for s in sch[comb]]))
+    if "not" in sch:
+        preds.append(~_json_schema_root(sch["not"], ctx))
+    if not preds:
+        return F.lit(True)
+    return _fold_and(preds)

@@ -86,3 +86,44 @@ def test_bits_operators(spark):
     assert keep(spark, {"v": {"$bitsAnySet": [0, 1]}}, rows) == [1, 2]
     assert keep(spark, {"v": {"$bitsAllClear": [0, 2]}}, rows) == [1, 3]
     assert keep(spark, {"v": {"$bitsAnyClear": [1, 3]}}, rows) == [2, 3]
+
+
+def test_json_schema_match(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "alice", 30, ["a", "b"], {"city": "x", "zip": "12345"}),
+         (2, "bob", -5, ["a"], {"city": "y", "zip": "99"}),
+         (3, None, 40, [], {"city": None, "zip": "54321"}),
+         (4, "eve", None, ["a", "a"], None)],
+        "id long, name string, age int, tags array<string>, "
+        "addr struct<city:string,zip:string>",
+    )
+    ctx = Context(spark=spark)
+
+    def run(schema):
+        out = compile_pipeline([{"$match": {"$jsonSchema": schema}}], ctx)(df)
+        return {r["id"] for r in out.collect()}
+
+    # required + type + minimum
+    assert run({"required": ["name"],
+                "properties": {"age": {"bsonType": "int", "minimum": 0}}}
+               ) == {1, 4}  # 2 fails minimum, 3 fails required; 4: age null passes
+    # string pattern on nested property
+    assert run({"properties": {"addr": {
+        "bsonType": "object", "required": ["zip"],
+        "properties": {"zip": {"pattern": "^[0-9]{5}$"}}}}}) == {1, 3, 4}
+    # array constraints
+    assert run({"properties": {"tags": {
+        "bsonType": "array", "minItems": 1, "uniqueItems": True,
+        "items": {"enum": ["a", "b"]}}}}) == {1, 2}
+    # enum + anyOf
+    assert run({"anyOf": [{"properties": {"name": {"enum": ["bob"]}}},
+                          {"properties": {"age": {"minimum": 35}}}]}
+               ) == {2, 3, 4}  # 4: null name & null age pass both branches
+    # type mismatch is static false for non-null values
+    assert run({"properties": {"name": {"bsonType": "int"}}}) == {3}
+    # $comment is a no-op
+    out = compile_pipeline(
+        [{"$match": {"id": {"$gte": 3}, "$comment": "audit"}}], ctx)(df)
+    assert {r["id"] for r in out.collect()} == {3, 4}
