@@ -1003,6 +1003,44 @@ OPERATORS["$isNumber"] = lambda raw, ctx: _c(_args(raw)[0], ctx).try_cast(
 ).isNotNull()
 
 
+def _interp_percentile(sorted_arr: Column, n: Column, p: Any) -> Column:
+    """Continuous-interpolation percentile over a sorted double array —
+    the same definition as Spark's percentile() aggregate, keeping the
+    expression form consistent with the $group accumulator form."""
+    rank = (n - 1).cast("double") * F.lit(float(p))
+    lo = F.floor(rank).cast("int")
+    hi = F.ceil(rank).cast("int")
+    vlo = F.element_at(sorted_arr, lo + 1)
+    vhi = F.element_at(sorted_arr, hi + 1)
+    return F.when(n > 0, vlo + (rank - lo.cast("double")) * (vhi - vlo))
+
+
+def _numeric_sorted(raw: Any, ctx: ExprContext) -> tuple[Column, Column]:
+    inp = _c(raw["input"], ctx)
+    s = F.array_sort(
+        F.filter(inp, lambda x: x.isNotNull()).cast("array<double>")
+    )
+    return s, F.size(s)
+
+
+@_op("$median")
+def _median_expr(raw: Any, ctx: ExprContext) -> Column:
+    """Array-input expression form (Mongo 7.0); the accumulator form
+    lives in operators/group.py.  Continuous interpolation (the engine's
+    documented stance for $median/$percentile, matching Spark's
+    median()/percentile() aggregates rather than Mongo's t-digest
+    approximation)."""
+    s, n = _numeric_sorted(raw, ctx)
+    return _interp_percentile(s, n, 0.5)
+
+
+@_op("$percentile")
+def _percentile_expr(raw: Any, ctx: ExprContext) -> Column:
+    s, n = _numeric_sorted(raw, ctx)
+    ps = raw["p"]
+    return F.array(*[_interp_percentile(s, n, p) for p in ps])
+
+
 @_op("$sortArray")
 def _sort_array(raw: Any, ctx: ExprContext) -> Column:
     inp = _c(raw["input"], ctx)

@@ -364,3 +364,27 @@ def test_zip_defaults_length_mismatch_raises(spark):
                 "defaults": [0, -1]}}}}],
             Context(spark=spark),
         )(df)
+
+
+def test_median_percentile_expression_forms(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    df = spark.createDataFrame(
+        [(1, [3, 1, 4, 1, 5]), (2, [2, None, 8]), (3, [])],
+        "id long, xs array<int>",
+    )
+    out = compile_pipeline(
+        [{"$project": {
+            "id": 1,
+            "med": {"$median": {"input": "$xs", "method": "approximate"}},
+            "pcts": {"$percentile": {"input": "$xs", "p": [0.0, 0.5, 1.0],
+                                     "method": "approximate"}},
+        }}],
+        Context(spark=spark),
+    )(df).collect()
+    by = {r["id"]: r for r in out}
+    assert by[1]["med"] == 3.0               # sorted [1,1,3,4,5]
+    assert by[1]["pcts"] == [1.0, 3.0, 5.0]
+    assert by[2]["med"] == 5.0               # nulls ignored: [2,8] -> 5.0
+    assert by[3]["med"] is None
+    assert by[3]["pcts"] == [None, None, None]
