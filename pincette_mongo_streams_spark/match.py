@@ -267,21 +267,30 @@ def _type_pred(col: Column, stype: Any, names: Any) -> Column:
     if isinstance(names, str):
         names = [names]
     ok = False
+    allow_null = False
     for nm in names:
         if nm == "null":
-            return col.isNull()
+            allow_null = True
+            continue
         classes = _TYPE_NAMES.get(nm)
         if classes is None:
             raise NotImplementedError(f"$jsonSchema type {nm!r}")
         if isinstance(stype, classes):
             ok = True
     # type is a STATIC property of the fixed schema: a mismatching
-    # column fails for every non-null value
-    return F.lit(True) if ok else F.lit(False)
+    # column fails for every non-null value; 'null' in a type UNION adds
+    # the null case, it never discards a matching type
+    static = F.lit(ok)
+    return col.isNull() | static if allow_null else static
 
 
-def _schema_pred(col: Column, stype: Any, sch: dict) -> Column:
+def _schema_pred(col: Column, stype: Any, sch: Any) -> Column:
     """Validity of a NON-NULL value under sub-schema ``sch``."""
+    if not isinstance(sch, dict):
+        raise NotImplementedError(
+            "$jsonSchema sub-schemas must be documents (tuple-form "
+            "'items' arrays are not supported)"
+        )
     unknown = set(sch) - _SCHEMA_KEYWORDS
     if unknown:
         raise NotImplementedError(f"$jsonSchema keywords {sorted(unknown)}")
@@ -292,32 +301,50 @@ def _schema_pred(col: Column, stype: Any, sch: dict) -> Column:
     if "enum" in sch:
         preds.append(_fold_or([col.eqNullSafe(_lit_deep(v))
                                for v in sch["enum"]]))
+    is_num = isinstance(stype, T.NumericType)
     for kw, mk in (("minimum", lambda b: col >= F.lit(b)),
                    ("maximum", lambda b: col <= F.lit(b)),
                    ("exclusiveMinimum", lambda b: col > F.lit(b)),
                    ("exclusiveMaximum", lambda b: col < F.lit(b))):
         if kw in sch:
-            preds.append(F.coalesce(mk(sch[kw]), F.lit(False)))
+            preds.append(F.coalesce(mk(sch[kw]), F.lit(False))
+                         if is_num else F.lit(False))
     if "multipleOf" in sch:
         preds.append(F.coalesce(col % F.lit(sch["multipleOf"]) == 0,
-                                F.lit(False)))
+                                F.lit(False))
+                     if is_num else F.lit(False))
+    # string/array keywords are TYPE-GUARDED: on a mismatching column the
+    # keyword is statically false (same stance as _type_pred) instead of
+    # crashing compilation on F.length/F.size
+    is_str = isinstance(stype, T.StringType)
+    is_arr = isinstance(stype, T.ArrayType)
     if "minLength" in sch:
-        preds.append(F.length(col) >= F.lit(int(sch["minLength"])))
+        preds.append(F.length(col) >= F.lit(int(sch["minLength"]))
+                     if is_str else F.lit(False))
     if "maxLength" in sch:
-        preds.append(F.length(col) <= F.lit(int(sch["maxLength"])))
+        preds.append(F.length(col) <= F.lit(int(sch["maxLength"]))
+                     if is_str else F.lit(False))
     if "pattern" in sch:
-        preds.append(col.rlike(sch["pattern"]))
+        preds.append(col.rlike(sch["pattern"]) if is_str else F.lit(False))
     if "minItems" in sch:
-        preds.append(F.size(col) >= F.lit(int(sch["minItems"])))
+        preds.append(F.size(col) >= F.lit(int(sch["minItems"]))
+                     if is_arr else F.lit(False))
     if "maxItems" in sch:
-        preds.append(F.size(col) <= F.lit(int(sch["maxItems"])))
+        preds.append(F.size(col) <= F.lit(int(sch["maxItems"]))
+                     if is_arr else F.lit(False))
     if sch.get("uniqueItems"):
-        preds.append(F.size(F.array_distinct(col)) == F.size(col))
-    if "items" in sch and isinstance(stype, T.ArrayType):
+        preds.append(F.size(F.array_distinct(col)) == F.size(col)
+                     if is_arr else F.lit(False))
+    if "items" in sch:
         isch = sch["items"]
-        preds.append(F.forall(
-            col, lambda e: _value_pred(e, stype.elementType, isch)
-        ))
+        if not isinstance(isch, dict):
+            raise NotImplementedError(
+                "$jsonSchema tuple-form 'items' is not supported"
+            )
+        preds.append(
+            F.forall(col, lambda e: _value_pred(e, stype.elementType, isch))
+            if is_arr else F.lit(False)
+        )
     if isinstance(stype, T.StructType):
         fields = {f.name: f.dataType for f in stype.fields}
         for req in sch.get("required", []):
@@ -354,10 +381,24 @@ def _value_pred(col: Column, stype: Any, sch: dict) -> Column:
     return col.isNull() | _schema_pred(col, stype, sch)
 
 
+_ROOT_KEYWORDS = {
+    "type", "bsonType", "properties", "required", "allOf", "anyOf",
+    "oneOf", "not", "title", "description", "additionalProperties",
+}
+
+
 def _json_schema_root(sch: dict, ctx: ExprContext) -> Column:
     """$jsonSchema against the document root (the row)."""
     if not isinstance(sch, dict):
         raise ValueError("$jsonSchema takes a schema document")
+    unknown = set(sch) - _ROOT_KEYWORDS
+    if unknown:
+        # same convention as nested schemas: an unknown (or typo'd)
+        # keyword must fail loudly — a silently ignored keyword would
+        # leave a data-quality gate wide open
+        raise NotImplementedError(
+            f"$jsonSchema root keywords {sorted(unknown)}"
+        )
     preds: list[Column] = []
     fields = {f.name: f.dataType for f in ctx.schema.fields}
     tnames = sch.get("bsonType", sch.get("type"))
@@ -378,6 +419,12 @@ def _json_schema_root(sch: dict, ctx: ExprContext) -> Column:
         if comb in sch:
             preds.append(fold([_json_schema_root(s, ctx)
                                for s in sch[comb]]))
+    if "oneOf" in sch:
+        ones = [_json_schema_root(s, ctx).cast("int") for s in sch["oneOf"]]
+        total = ones[0]
+        for o in ones[1:]:
+            total = total + o
+        preds.append(total == 1)
     if "not" in sch:
         preds.append(~_json_schema_root(sch["not"], ctx))
     if not preds:

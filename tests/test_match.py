@@ -127,3 +127,38 @@ def test_json_schema_match(spark):
     out = compile_pipeline(
         [{"$match": {"id": {"$gte": 3}, "$comment": "audit"}}], ctx)(df)
     assert {r["id"] for r in out.collect()} == {3, 4}
+
+
+def test_json_schema_review_fixes(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "alice", 30), (2, None, 7), (3, "bob", None)],
+        "id long, name string, age int",
+    )
+    ctx = Context(spark=spark)
+
+    def run(schema):
+        out = compile_pipeline([{"$match": {"$jsonSchema": schema}}], ctx)(df)
+        return {r["id"] for r in out.collect()}
+
+    # ['string', 'null'] union keeps matching non-null strings
+    assert run({"properties": {"name": {"bsonType": ["string", "null"]}}}
+               ) == {1, 2, 3}
+    assert run({"properties": {"name": {"bsonType": ["int", "null"]}}}
+               ) == {2}  # only the null passes the int-or-null union
+    # root-level unknown/typo'd keyword fails loudly
+    with _pytest.raises(NotImplementedError, match="requird"):
+        run({"requird": ["name"]})
+    # root oneOf
+    assert run({"oneOf": [{"required": ["name"]}, {"required": ["age"]}]}
+               ) == {2, 3}  # 1 satisfies both -> fails oneOf
+    # type-mismatched string/array/numeric keywords are statically false,
+    # not compile crashes
+    assert run({"properties": {"name": {"minItems": 1}}}) == {2}
+    assert run({"properties": {"age": {"minLength": 1}}}) == {3}
+    assert run({"properties": {"name": {"minimum": 1}}}) == {2}
+    # tuple-form items rejected clearly
+    with _pytest.raises(NotImplementedError, match="items"):
+        run({"properties": {"name": {"items": [{"bsonType": "int"}]}}})
