@@ -514,6 +514,9 @@ def simhash_stage(expression: Any, ctx: Context) -> StageFn:
     as_field = expression.get("as", "simhash")
     n = int(expression.get("shingle", 2))
     bits = int(expression.get("bits", 16))
+    if not 1 <= bits <= 60:
+        raise ValueError("$simhash bits must be in [1, 60] (the shingle "
+                         "hashes carry 60 bits)")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         return _with_simhash(_spread(df), inp, n, bits, as_field)
@@ -574,6 +577,9 @@ def simhash_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     bits = int(expression.get("bits", 16))
     max_h = int(expression.get("maxHamming", 3))
     transitive = bool(expression.get("transitive", False))
+    if not 1 <= bits <= 60:
+        raise ValueError("$simhashDedup bits must be in [1, 60] (the "
+                         "shingle hashes carry 60 bits)")
     nb = max_h + 1
     if nb > bits:
         raise ValueError("$simhashDedup needs bits >= maxHamming + 1")

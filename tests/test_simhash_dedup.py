@@ -94,3 +94,20 @@ def test_simhash_dedup_transitive(spark, sf_dir):
         }
 
     assert run(True) <= run(False)
+
+
+def test_simhash_bits_guard(spark):
+    import pytest
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    for stage in ({"$simhash": {"input": "$text", "bits": 64}},
+                  {"$simhashDedup": {"input": "$text", "id": "doc_id",
+                                     "bits": 64}}):
+        with pytest.raises(ValueError, match="60"):
+            compile_pipeline([stage], Context(spark=spark))(df)
+    # 60 is the documented maximum and works
+    out = compile_pipeline(
+        [{"$simhash": {"input": "$text", "bits": 60}}],
+        Context(spark=spark))(df).collect()
+    assert out[0]["simhash"] is not None
