@@ -111,3 +111,36 @@ def test_simhash_bits_guard(spark):
         [{"$simhash": {"input": "$text", "bits": 60}}],
         Context(spark=spark))(df).collect()
     assert out[0]["simhash"] is not None
+
+
+def test_pigeonhole_band_property():
+    """Pure property of the band split (no Spark): ANY two bits-wide
+    values within Hamming distance maxHamming agree exactly on at least
+    one of the maxHamming+1 bands — the guarantee that makes the bucket
+    equi-join a complete candidate generator."""
+    from hypothesis import given, settings, strategies as st
+
+    bits, max_h = 16, 3
+    nb = max_h + 1
+    base_w, extra = divmod(bits, nb)
+    bands, start = [], 0
+    for i in range(nb):
+        w = base_w + (1 if i < extra else 0)
+        bands.append((start, w))
+        start += w
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(0, 2**bits - 1),
+           st.sets(st.integers(0, bits - 1), max_size=max_h))
+    def check(sig, flips):
+        other = sig
+        for b in flips:
+            other ^= 1 << b
+        assert bin(sig ^ other).count("1") <= max_h
+        shares = any(
+            (sig >> s) & ((1 << w) - 1) == (other >> s) & ((1 << w) - 1)
+            for s, w in bands
+        )
+        assert shares, (sig, other, flips)
+
+    check()
