@@ -3492,9 +3492,15 @@ _ORDER = [
     "expr_strings", "expr_math_superset", "expr_cond_dates", "expr_arrays",
     "group_superset",
     # batch-completeness stages
+    # r3 swaps: sample_count ($sample+$count — trivial fixed-count
+    # signal) -> asof_join gives the time-series join family a hard
+    # driver row; documents_json ($documents+$jsonGet, still covered
+    # past-window by documents_inline/json_props_extract) -> kmeans
+    # gives clustering one.  Both displaced queries stay registered and
+    # locally oracle-checked.
     "sort_ops", "union_with", "window_all", "fill_locf", "densify_grid",
-    "facet_summary", "window_group_hourly", "graph_lookup", "sample_count",
-    "bucket_auto", "documents_json",
+    "facet_summary", "window_group_hourly", "graph_lookup", "asof_join",
+    "bucket_auto", "kmeans",
     # LLM-data-pipeline operators
     "dedup_exact", "text_metrics", "training_pipeline", "bm25_search",
     "fusion", "sig_hashes", "minhash_dedup", "ngram_jaccard_dedup",
