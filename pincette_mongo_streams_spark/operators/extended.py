@@ -898,6 +898,62 @@ def graph_lookup_stage(expression: Any, ctx: Context) -> StageFn:
 # ------------------------------------------------- $bucketAuto / $documents
 
 
+# preferred-number series for $bucketAuto granularity (public Renard /
+# E-series / powers-of-2 tables, as MongoDB documents them)
+_GRANULARITIES: dict[str, list[float]] = {
+    "R5": [1.0, 1.6, 2.5, 4.0, 6.3],
+    "R10": [1.0, 1.25, 1.6, 2.0, 2.5, 3.15, 4.0, 5.0, 6.3, 8.0],
+    "R20": [1.0, 1.12, 1.25, 1.4, 1.6, 1.8, 2.0, 2.24, 2.5, 2.8, 3.15,
+            3.55, 4.0, 4.5, 5.0, 5.6, 6.3, 7.1, 8.0, 9.0],
+    "R40": [1.0, 1.06, 1.12, 1.18, 1.25, 1.32, 1.4, 1.5, 1.6, 1.7, 1.8,
+            1.9, 2.0, 2.12, 2.24, 2.36, 2.5, 2.65, 2.8, 3.0, 3.15, 3.35,
+            3.55, 3.75, 4.0, 4.25, 4.5, 4.75, 5.0, 5.3, 5.6, 6.0, 6.3,
+            6.7, 7.1, 7.5, 8.0, 8.5, 9.0, 9.5],
+    "R80": [1.0, 1.03, 1.06, 1.09, 1.12, 1.15, 1.18, 1.22, 1.25, 1.28,
+            1.32, 1.36, 1.4, 1.45, 1.5, 1.55, 1.6, 1.65, 1.7, 1.75, 1.8,
+            1.85, 1.9, 1.95, 2.0, 2.06, 2.12, 2.18, 2.24, 2.3, 2.36,
+            2.43, 2.5, 2.58, 2.65, 2.72, 2.8, 2.9, 3.0, 3.07, 3.15,
+            3.25, 3.35, 3.45, 3.55, 3.65, 3.75, 3.87, 4.0, 4.12, 4.25,
+            4.37, 4.5, 4.62, 4.75, 4.87, 5.0, 5.15, 5.3, 5.45, 5.6,
+            5.8, 6.0, 6.15, 6.3, 6.5, 6.7, 6.9, 7.1, 7.3, 7.5, 7.75,
+            8.0, 8.25, 8.5, 8.75, 9.0, 9.25, 9.5, 9.75],
+    "1-2-5": [1.0, 2.0, 5.0],
+    "E6": [1.0, 1.5, 2.2, 3.3, 4.7, 6.8],
+    "E12": [1.0, 1.2, 1.5, 1.8, 2.2, 2.7, 3.3, 3.9, 4.7, 5.6, 6.8, 8.2],
+    "E24": [1.0, 1.1, 1.2, 1.3, 1.5, 1.6, 1.8, 2.0, 2.2, 2.4, 2.7, 3.0,
+            3.3, 3.6, 3.9, 4.3, 4.7, 5.1, 5.6, 6.2, 6.8, 7.5, 8.2, 9.1],
+}
+
+
+def _series_round(x: float, granularity: str, up: bool) -> float:
+    """Round ``x`` to the preferred-number series: smallest series value
+    >= x (up) or largest <= x (down).  Values must be non-negative
+    (Mongo's restriction); 0 stays 0."""
+    import math
+
+    if x < 0:
+        raise ValueError("$bucketAuto granularity needs non-negative values")
+    if x == 0:
+        return 0.0
+    if granularity == "POWERSOF2":
+        e = math.log2(x)
+        return float(2 ** (math.ceil(e) if up else math.floor(e)))
+    series = _GRANULARITIES.get(granularity)
+    if series is None:
+        raise ValueError(f"unknown $bucketAuto granularity {granularity!r}")
+    exp = math.floor(math.log10(x))
+    # scan three decades around x to dodge log10 edge rounding
+    candidates = [
+        s * (10.0 ** e)
+        for e in (exp - 1, exp, exp + 1)
+        for s in series
+    ]
+    eps = 1e-9 * x
+    if up:
+        return min(c for c in candidates if c >= x - eps)
+    return max(c for c in candidates if c <= x + eps)
+
+
 @register_stage("$bucketAuto")
 def bucket_auto_stage(expression: Any, ctx: Context) -> StageFn:
     """Even-count bucketing (MongoDB $bucketAuto, absent from the
@@ -905,14 +961,24 @@ def bucket_auto_stage(expression: Any, ctx: Context) -> StageFn:
     pass + one aggregation.  ``_id`` = contiguous {min, max} bounds:
     each bucket's max is the NEXT bucket's min (exclusive upper), the
     last bucket's max is the overall max inclusive — Mongo's bound shape.
-    Documented deviations: ``granularity`` unsupported; ntile may split a
-    run of equal groupBy values across adjacent buckets where Mongo keeps
-    them together; the bucketing window is an (intentional) single
-    partition — the second-pass bound stitching touches only
-    ``buckets`` rows."""
+
+    ``granularity`` (R5/R10/R20/R40/R80, 1-2-5, E6/E12/E24, POWERSOF2)
+    rounds the ideal ntile boundaries to the preferred-number series:
+    the first bucket's min rounds DOWN, every other boundary rounds UP
+    (Mongo's rule); equal rounded boundaries merge, so fewer than
+    ``buckets`` buckets can result.  The boundary list is
+    ``buckets``-sized driver metadata (the kmeans-centroid pattern), and
+    the re-bucketing pass is a literal CASE chain — zero extra shuffle
+    beyond the groupBy.
+
+    Documented deviations: ntile may split a run of equal groupBy values
+    across adjacent buckets where Mongo keeps them together; the
+    bucketing window is an (intentional) single partition — the
+    second-pass bound stitching touches only ``buckets`` rows."""
     group_by = expression["groupBy"]
     n_buckets = int(expression["buckets"])
     output = expression.get("output", {"count": {"$sum": 1}})
+    granularity = expression.get("granularity")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         _batch_only("$bucketAuto", c)
@@ -920,23 +986,75 @@ def bucket_auto_stage(expression: Any, ctx: Context) -> StageFn:
         gb = compile_expr(group_by, ectx)
         w = Window.orderBy(gb)
         tiled = df.withColumn("__tile", F.ntile(n_buckets).over(w))
-        aggs = [F.min(gb).alias("__lo"), F.max(gb).alias("__hi")]
+        if granularity is None:
+            aggs = [F.min(gb).alias("__lo"), F.max(gb).alias("__hi")]
+            for name, acc in output.items():
+                (op, arg), = acc.items()
+                aggs.append(
+                    compile_accumulator(name, op, arg, ectx, order=None)
+                )
+            per_tile = tiled.groupBy("__tile").agg(*aggs)
+            bounds = Window.orderBy("__tile")
+            return (
+                per_tile.withColumn(
+                    "_id",
+                    F.struct(
+                        F.col("__lo").alias("min"),
+                        F.coalesce(
+                            F.lead("__lo", 1).over(bounds), F.col("__hi")
+                        ).alias("max"),
+                    ),
+                )
+                .drop("__tile", "__lo", "__hi")
+            )
+        # granularity: collect the buckets-sized ideal boundaries
+        # (driver metadata), snap to the series, re-bucket by literals
+        stats = (
+            tiled.groupBy("__tile")
+            .agg(F.min(gb).alias("lo"), F.max(gb).alias("hi"))
+            .orderBy("__tile")
+            .collect()
+        )
+        if not stats:
+            return (
+                df.groupBy(gb.alias("_id")).count().filter(F.lit(False))
+            )
+        ideal = [float(stats[0]["lo"])] + [
+            float(r["lo"]) for r in stats[1:]
+        ] + [float(stats[-1]["hi"])]
+        snapped = [_series_round(ideal[0], granularity, up=False)] + [
+            _series_round(b, granularity, up=True) for b in ideal[1:]
+        ]
+        bounds_list: list[float] = []
+        for b in snapped:
+            if not bounds_list or b > bounds_list[-1]:
+                bounds_list.append(b)
+        if len(bounds_list) < 2:
+            bounds_list.append(
+                _series_round(bounds_list[-1] * 2 + 1, granularity, True)
+            )
+        gcol = gb.cast("double")
+        idx = F.lit(len(bounds_list) - 2)  # default: last bucket
+        for i in range(len(bounds_list) - 2, -1, -1):
+            idx = F.when(gcol < F.lit(bounds_list[i + 1]), F.lit(i)).otherwise(idx)
+        aggs2 = []
         for name, acc in output.items():
             (op, arg), = acc.items()
-            aggs.append(compile_accumulator(name, op, arg, ectx, order=None))
-        per_tile = tiled.groupBy("__tile").agg(*aggs)
-        bounds = Window.orderBy("__tile")
+            aggs2.append(compile_accumulator(name, op, arg, ectx, order=None))
+        mins = F.array(*[F.lit(b) for b in bounds_list[:-1]])
+        maxs = F.array(*[F.lit(b) for b in bounds_list[1:]])
         return (
-            per_tile.withColumn(
+            df.withColumn("__bi", idx)
+            .groupBy("__bi")
+            .agg(*aggs2)
+            .withColumn(
                 "_id",
                 F.struct(
-                    F.col("__lo").alias("min"),
-                    F.coalesce(
-                        F.lead("__lo", 1).over(bounds), F.col("__hi")
-                    ).alias("max"),
+                    F.element_at(mins, F.col("__bi") + 1).alias("min"),
+                    F.element_at(maxs, F.col("__bi") + 1).alias("max"),
                 ),
             )
-            .drop("__tile", "__lo", "__hi")
+            .drop("__bi")
         )
 
     return fn

@@ -338,3 +338,53 @@ def test_score_fusion_sigmoid_and_weights(spark):
     assert max(got, key=got.get) == 2
     # k=2 keeps docs {1,2} in p1 and two of three in p2 -> union covers all
     assert set(got) <= {1, 2, 3}
+
+
+def test_bucket_auto_granularity(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [3, 7, 12, 18, 29, 44, 67, 95, 140, 210]],
+        "price double",
+    )
+    out = compile_pipeline(
+        [{"$bucketAuto": {"groupBy": "$price", "buckets": 4,
+                          "granularity": "R5"}}],
+        Context(spark=spark),
+    )(df).collect()
+    rows = sorted(
+        ((r["_id"]["min"], r["_id"]["max"]), r["count"]) for r in out
+    )
+    # boundaries are R5 series values (s in {1,1.6,2.5,4,6.3} * 10^k)
+    import math
+    series = [1.0, 1.6, 2.5, 4.0, 6.3]
+    for (lo, hi), _ in rows:
+        for b in (lo, hi):
+            mant = b / (10 ** math.floor(math.log10(b)))
+            assert any(abs(mant - s) < 1e-6 or abs(mant - 10 * s) < 1e-6
+                       for s in series), b
+    # buckets are contiguous and cover all 10 rows
+    assert sum(n for _, n in rows) == 10
+    bs = [b for b, _ in rows]
+    assert all(bs[i][1] == bs[i + 1][0] for i in range(len(bs) - 1))
+    # first min rounds DOWN below the data min; last max rounds UP above
+    assert bs[0][0] <= 3.0 and bs[-1][1] >= 210.0
+
+
+def test_bucket_auto_powers_of_2(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [1, 3, 6, 12, 25, 50, 100, 200]],
+        "v double",
+    )
+    out = compile_pipeline(
+        [{"$bucketAuto": {"groupBy": "$v", "buckets": 3,
+                          "granularity": "POWERSOF2"}}],
+        Context(spark=spark),
+    )(df).collect()
+    import math
+    for r in out:
+        for b in (r["_id"]["min"], r["_id"]["max"]):
+            assert abs(math.log2(b) - round(math.log2(b))) < 1e-9, b
+    assert sum(r["count"] for r in out) == 8
