@@ -55,6 +55,97 @@ def _last_per_key(df: DataFrame, keys: list[str], ctx: Context) -> DataFrame:
     )
 
 
+_WM_STAGES = {"$set", "$addFields", "$unset", "$project", "$replaceRoot",
+              "$replaceWith"}
+
+
+def _apply_update_pipeline(
+    stages: list[dict], source: DataFrame, target: DataFrame
+) -> dict[str, Column]:
+    """whenMatched update pipeline -> {field: Column} over the joined
+    frame: the root document is the matched TARGET row (``__t_*``
+    columns), ``$$new`` is the incoming source document.  MongoDB allows
+    exactly $addFields/$set/$project/$unset/$replaceRoot/$replaceWith
+    here; field paths are top-level (nested write paths raise)."""
+    src_cols = [x for x in source.columns if x != "__in_id"]
+    new_doc = F.struct(*[F.col(x).alias(x) for x in src_cols])
+    fields: dict[str, Column] = {
+        name: F.col(f"__t_{name}") for name in target.columns
+    }
+
+    def res(parts: list[str]) -> Column:
+        if parts[0] not in fields:
+            return F.lit(None)
+        base = fields[parts[0]]
+        for p in parts[1:]:
+            base = base.getField(p)
+        return base
+
+    for stage in stages:
+        (op, spec), = stage.items()
+        if op not in _WM_STAGES:
+            raise ValueError(
+                f"whenMatched pipeline allows {sorted(_WM_STAGES)}; got {op}"
+            )
+        root = (
+            F.struct(*[c.alias(n) for n, c in fields.items()])
+            if fields else F.lit(None)
+        )
+        ectx = ExprContext(
+            schema=None,
+            variables={"new": new_doc, "ROOT": root, "CURRENT": root},
+            resolver=res,
+        )
+        if op in ("$set", "$addFields"):
+            updates = {}
+            for k, v in spec.items():
+                if "." in k:
+                    raise NotImplementedError(
+                        "whenMatched pipeline: top-level field paths only"
+                    )
+                updates[k] = compile_expr(v, ectx)
+            fields = {**fields, **updates}
+        elif op == "$unset":
+            names = spec if isinstance(spec, list) else [spec]
+            fields = {k: c for k, c in fields.items() if k not in names}
+        elif op == "$project":
+            includes = {k: v for k, v in spec.items() if v not in (0, False)}
+            excludes = {k for k, v in spec.items() if v in (0, False)}
+            if includes and excludes - {"_id"}:
+                raise ValueError("whenMatched $project: cannot mix "
+                                 "include and exclude")
+            if includes:
+                nf = {}
+                for k, v in includes.items():
+                    if "." in k:
+                        raise NotImplementedError(
+                            "whenMatched pipeline: top-level paths only"
+                        )
+                    nf[k] = (fields.get(k, F.lit(None))
+                             if v in (1, True) else compile_expr(v, ectx))
+                if "_id" in fields and "_id" not in excludes and "_id" not in nf:
+                    nf["_id"] = fields["_id"]
+                fields = nf
+            else:
+                fields = {k: c for k, c in fields.items() if k not in excludes}
+        else:  # $replaceRoot / $replaceWith
+            expr = spec["newRoot"] if op == "$replaceRoot" else spec
+            if expr == "$$new":
+                fields = {x: F.col(x) for x in src_cols}
+            elif isinstance(expr, dict) and not any(
+                k.startswith("$") for k in expr
+            ):
+                fields = {}
+                for k, v in expr.items():
+                    fields[k] = compile_expr(v, ectx)
+            else:
+                raise NotImplementedError(
+                    "whenMatched $replaceRoot/$replaceWith: $$new or an "
+                    "object literal"
+                )
+    return fields
+
+
 @register_stage("$merge")
 def merge_stage(expression: Any, ctx: Context) -> StageFn:
     if isinstance(expression, str):
@@ -67,8 +158,16 @@ def merge_stage(expression: Any, ctx: Context) -> StageFn:
     on = _on_fields(expression)
     when_matched = expression.get("whenMatched", "merge")
     when_not_matched = expression.get("whenNotMatched", "insert")
+    wm_pipeline = None
     if not isinstance(when_matched, str):
-        raise NotImplementedError("pipeline-valued whenMatched unsupported (Pipeline.java:124-125)")
+        # MongoDB's pipeline-form whenMatched (engine superset — the
+        # reference rejects it, Pipeline.java:124-125): an update
+        # pipeline over each matched TARGET doc with $$new = the
+        # incoming doc.  Compiled to per-field Columns on the join.
+        if not isinstance(when_matched, list):
+            raise ValueError("whenMatched: mode string or update pipeline")
+        wm_pipeline = when_matched
+        when_matched = "__pipeline__"
 
     def fn(df: DataFrame, c: Context) -> StageFn:
         source = df.drop(KEY_COL) if KEY_COL in df.columns else df
@@ -100,13 +199,21 @@ def merge_stage(expression: Any, ctx: Context) -> StageFn:
         src_only = F.col(f"__t_{on[0]}").isNull()
         tgt_only = F.col(on[0]).isNull()
 
+        wm_fields: dict[str, Column] = {}
+        if wm_pipeline is not None:
+            wm_fields = _apply_update_pipeline(
+                wm_pipeline, source, target
+            )
         out_cols: list[Column] = []
-        all_fields = [x for x in dict.fromkeys(list(source.columns) + list(target.columns))
+        all_fields = [x for x in dict.fromkeys(list(source.columns) + list(target.columns)
+                                               + list(wm_fields))
                       if x != "__in_id"]
         for name in all_fields:
             s = F.col(name) if name in source.columns else F.lit(None)
             tg = F.col(f"__t_{name}") if name in target.columns else F.lit(None)
-            if when_matched == "merge":
+            if when_matched == "__pipeline__":
+                m = wm_fields.get(name, F.lit(None))
+            elif when_matched == "merge":
                 # shallow field merge: source fields overwrite, target-only
                 # fields survive (Merge.java:118-122)
                 m = F.coalesce(s, tg) if name in source.columns and name in target.columns else (

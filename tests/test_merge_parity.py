@@ -117,3 +117,61 @@ def test_merge_object_form_into(spark):
     )(_msg1(spark))
     assert _docs(out) == [{"_id": "0", "test": 0}]
     assert _docs(ctx.collection("other.m")) == [{"_id": "0", "test": 0}]
+
+
+def test_merge_when_matched_pipeline(spark):
+    """MongoDB's pipeline-form whenMatched (engine superset; the
+    reference rejects it — Pipeline.java:124-125): the update pipeline
+    runs over each matched TARGET doc with $$new = the incoming doc."""
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    target = spark.createDataFrame(
+        [(1, 10.0, 2), (2, 20.0, 5)], "_id long, total double, n long"
+    )
+    src = spark.createDataFrame(
+        [(1, 7.0), (3, 3.0)], "_id long, amount double"
+    )
+    ctx = Context(spark=spark, collections={"acc": target})
+    out = compile_pipeline(
+        [{"$merge": {"into": "acc", "on": "_id",
+                     "whenMatched": [
+                         {"$set": {"total": {"$add": ["$total",
+                                                      "$$new.amount"]},
+                                   "n": {"$add": ["$n", 1]}}},
+                     ],
+                     "whenNotMatched": "insert"}}],
+        ctx,
+    )(src)
+    out.collect()  # run the side effect
+    stored = {r["_id"]: r.asDict() for r in ctx.collection("acc").collect()}
+    assert stored[1]["total"] == 17.0 and stored[1]["n"] == 3  # updated
+    assert stored[2]["total"] == 20.0 and stored[2]["n"] == 5  # untouched
+    assert stored[3]["amount"] == 3.0                          # inserted
+
+
+def test_merge_when_matched_replace_with_new(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    target = spark.createDataFrame([(1, "old")], "_id long, v string")
+    src = spark.createDataFrame([(1, "new")], "_id long, v string")
+    ctx = Context(spark=spark, collections={"t": target})
+    compile_pipeline(
+        [{"$merge": {"into": "t", "on": "_id",
+                     "whenMatched": [{"$replaceWith": "$$new"}]}}],
+        ctx,
+    )(src).collect()
+    assert ctx.collection("t").collect()[0]["v"] == "new"
+
+
+def test_merge_when_matched_pipeline_rejects_bad_stage(spark):
+    import pytest
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    target = spark.createDataFrame([(1, 1)], "_id long, v long")
+    src = spark.createDataFrame([(1, 2)], "_id long, v long")
+    ctx = Context(spark=spark, collections={"t": target})
+    with pytest.raises(ValueError, match="whenMatched"):
+        compile_pipeline(
+            [{"$merge": {"into": "t", "whenMatched":
+                         [{"$group": {"_id": None}}]}}], ctx
+        )(src).collect()
