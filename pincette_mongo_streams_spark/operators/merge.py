@@ -29,7 +29,7 @@ shuffle instead of N round-trips.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -60,15 +60,23 @@ _WM_STAGES = {"$set", "$addFields", "$unset", "$project", "$replaceRoot",
 
 
 def _apply_update_pipeline(
-    stages: list[dict], source: DataFrame, target: DataFrame
+    stages: list[dict], source: DataFrame, target: DataFrame,
+    let: Optional[dict] = None,
 ) -> dict[str, Column]:
     """whenMatched update pipeline -> {field: Column} over the joined
     frame: the root document is the matched TARGET row (``__t_*``
-    columns), ``$$new`` is the incoming source document.  MongoDB allows
-    exactly $addFields/$set/$project/$unset/$replaceRoot/$replaceWith
-    here; field paths are top-level (nested write paths raise)."""
+    columns), ``$$new`` is the incoming source document (or the ``let``
+    variables when given — Mongo 5.0 semantics: ``let`` replaces the
+    default ``{new: "$$ROOT"}`` binding, evaluated over the SOURCE doc).
+    MongoDB allows exactly $addFields/$set/$project/$unset/$replaceRoot/
+    $replaceWith here; field paths are top-level (nested write paths
+    raise)."""
     src_cols = [x for x in source.columns if x != "__in_id"]
     new_doc = F.struct(*[F.col(x).alias(x) for x in src_cols])
+    extra_vars: dict[str, Column] = {}
+    if let:
+        sctx = ExprContext(schema=source.schema)
+        extra_vars = {k: compile_expr(v, sctx) for k, v in let.items()}
     fields: dict[str, Column] = {
         name: F.col(f"__t_{name}") for name in target.columns
     }
@@ -93,7 +101,8 @@ def _apply_update_pipeline(
         )
         ectx = ExprContext(
             schema=None,
-            variables={"new": new_doc, "ROOT": root, "CURRENT": root},
+            variables={"new": new_doc, "ROOT": root,
+                       "CURRENT": root, **extra_vars},
             resolver=res,
         )
         if op in ("$set", "$addFields"):
@@ -202,7 +211,7 @@ def merge_stage(expression: Any, ctx: Context) -> StageFn:
         wm_fields: dict[str, Column] = {}
         if wm_pipeline is not None:
             wm_fields = _apply_update_pipeline(
-                wm_pipeline, source, target
+                wm_pipeline, source, target, expression.get("let")
             )
         out_cols: list[Column] = []
         all_fields = [x for x in dict.fromkeys(list(source.columns) + list(target.columns)

@@ -175,3 +175,20 @@ def test_merge_when_matched_pipeline_rejects_bad_stage(spark):
             [{"$merge": {"into": "t", "whenMatched":
                          [{"$group": {"_id": None}}]}}], ctx
         )(src).collect()
+
+
+def test_merge_when_matched_let_variables(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    target = spark.createDataFrame([(1, 10.0)], "_id long, total double")
+    src = spark.createDataFrame([(1, 7.0)], "_id long, amount double")
+    ctx = Context(spark=spark, collections={"t": target})
+    compile_pipeline(
+        [{"$merge": {"into": "t", "on": "_id",
+                     "let": {"delta": {"$multiply": ["$amount", 2]}},
+                     "whenMatched": [
+                         {"$set": {"total": {"$add": ["$total",
+                                                      "$$delta"]}}}]}}],
+        ctx,
+    )(src).collect()
+    assert ctx.collection("t").collect()[0]["total"] == 24.0
