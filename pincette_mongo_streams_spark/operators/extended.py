@@ -1046,27 +1046,36 @@ def bucket_auto_stage(expression: Any, ctx: Context) -> StageFn:
         # (driver metadata), snap to the series, re-bucket by literals
         stats = (
             tiled.groupBy("__tile")
-            .agg(F.min(gb).alias("lo"), F.max(gb).alias("hi"))
+            .agg(F.min(gb).alias("lo"), F.max(gb).alias("hi"),
+                 F.sum(gb.isNull().cast("long")).alias("nulls"))
             .orderBy("__tile")
             .collect()
         )
-        if not stats:
-            return (
-                df.groupBy(gb.alias("_id")).count().filter(F.lit(False))
+        if any(r["nulls"] for r in stats):
+            # Mongo's rule: granularity requires every groupBy value to
+            # be a non-negative number (null/missing is an error)
+            raise ValueError(
+                "$bucketAuto granularity requires non-negative numeric "
+                "groupBy values on every document (found null/missing)"
             )
-        ideal = [float(stats[0]["lo"])] + [
-            float(r["lo"]) for r in stats[1:]
-        ] + [float(stats[-1]["hi"])]
-        snapped = [_series_round(ideal[0], granularity, up=False)] + [
-            _series_round(b, granularity, up=True) for b in ideal[1:]
-        ]
+        if stats:
+            ideal = [float(stats[0]["lo"])] + [
+                float(r["lo"]) for r in stats[1:]
+            ] + [float(stats[-1]["hi"])]
+            snapped = [_series_round(ideal[0], granularity, up=False)] + [
+                _series_round(b, granularity, up=True) for b in ideal[1:]
+            ]
+        else:
+            snapped = []  # empty input: placeholder bounds keep the
+            # output schema (struct _id + accumulators) — zero rows out
         bounds_list: list[float] = []
         for b in snapped:
             if not bounds_list or b > bounds_list[-1]:
                 bounds_list.append(b)
-        if len(bounds_list) < 2:
+        while len(bounds_list) < 2:
             bounds_list.append(
                 _series_round(bounds_list[-1] * 2 + 1, granularity, True)
+                if bounds_list else 0.0
             )
         gcol = gb.cast("double")
         idx = F.lit(len(bounds_list) - 2)  # default: last bucket

@@ -99,9 +99,12 @@ def _apply_update_pipeline(
             F.struct(*[c.alias(n) for n, c in fields.items()])
             if fields else F.lit(None)
         )
+        # Mongo 5.0: `let` REPLACES the default {new: $$ROOT} binding —
+        # $$new is undefined when let is given unless the user rebinds it
+        base_vars = {} if let else {"new": new_doc}
         ectx = ExprContext(
             schema=None,
-            variables={"new": new_doc, "ROOT": root,
+            variables={**base_vars, "ROOT": root,
                        "CURRENT": root, **extra_vars},
             resolver=res,
         )
@@ -118,8 +121,17 @@ def _apply_update_pipeline(
             names = spec if isinstance(spec, list) else [spec]
             fields = {k: c for k, c in fields.items() if k not in names}
         elif op == "$project":
-            includes = {k: v for k, v in spec.items() if v not in (0, False)}
-            excludes = {k for k, v in spec.items() if v in (0, False)}
+            def _is_incl(v: Any) -> bool:
+                # Mongo: ANY nonzero number (or True) includes the field
+                return (v is True or (isinstance(v, (int, float))
+                                      and not isinstance(v, bool) and v != 0))
+
+            def _is_excl(v: Any) -> bool:
+                return v is False or (isinstance(v, (int, float))
+                                      and not isinstance(v, bool) and v == 0)
+
+            includes = {k: v for k, v in spec.items() if not _is_excl(v)}
+            excludes = {k for k, v in spec.items() if _is_excl(v)}
             if includes and excludes - {"_id"}:
                 raise ValueError("whenMatched $project: cannot mix "
                                  "include and exclude")
@@ -131,7 +143,7 @@ def _apply_update_pipeline(
                             "whenMatched pipeline: top-level paths only"
                         )
                     nf[k] = (fields.get(k, F.lit(None))
-                             if v in (1, True) else compile_expr(v, ectx))
+                             if _is_incl(v) else compile_expr(v, ectx))
                 if "_id" in fields and "_id" not in excludes and "_id" not in nf:
                     nf["_id"] = fields["_id"]
                 fields = nf
@@ -144,9 +156,12 @@ def _apply_update_pipeline(
             elif isinstance(expr, dict) and not any(
                 k.startswith("$") for k in expr
             ):
-                fields = {}
-                for k, v in expr.items():
-                    fields[k] = compile_expr(v, ectx)
+                # compile against the PRE-stage fields (the resolver
+                # closure reads `fields` late — assigning first would
+                # resolve the literal's own keys / nulls instead of the
+                # old document)
+                nf = {k: compile_expr(v, ectx) for k, v in expr.items()}
+                fields = nf
             else:
                 raise NotImplementedError(
                     "whenMatched $replaceRoot/$replaceWith: $$new or an "

@@ -192,3 +192,58 @@ def test_merge_when_matched_let_variables(spark):
         ctx,
     )(src).collect()
     assert ctx.collection("t").collect()[0]["total"] == 24.0
+
+
+def test_merge_replace_with_literal_resolves_old_doc(spark):
+    """Object-literal $replaceWith must resolve "$field" paths against
+    the PRE-stage target doc, not the literal being built."""
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    target = spark.createDataFrame([(1, 10.0)], "_id long, total double")
+    src = spark.createDataFrame([(1, 7.0)], "_id long, amount double")
+    ctx = Context(spark=spark, collections={"t": target})
+    compile_pipeline(
+        [{"$merge": {"into": "t", "on": "_id",
+                     "whenMatched": [{"$replaceWith": {
+                         "_id": "$_id",
+                         "total": {"$add": ["$total", "$$new.amount"]}}}]}}],
+        ctx,
+    )(src).collect()
+    row = ctx.collection("t").collect()[0]
+    assert row["_id"] == 1 and row["total"] == 17.0
+
+
+def test_merge_let_unbinds_new(spark):
+    """Mongo 5.0: let REPLACES the default $$new binding."""
+    import pytest
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    target = spark.createDataFrame([(1, 10.0)], "_id long, total double")
+    src = spark.createDataFrame([(1, 7.0)], "_id long, amount double")
+    ctx = Context(spark=spark, collections={"t": target})
+    with pytest.raises(ValueError, match="new"):
+        compile_pipeline(
+            [{"$merge": {"into": "t", "on": "_id",
+                         "let": {"d": "$amount"},
+                         "whenMatched": [{"$set": {
+                             "total": "$$new.amount"}}]}}],
+            ctx,
+        )(src).collect()
+
+
+def test_merge_project_numeric_inclusion(spark):
+    """$project {f: 2} INCLUDES the field (any nonzero number), it does
+    not write the literal 2."""
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    target = spark.createDataFrame([(1, 10.0, "x")],
+                                   "_id long, total double, tag string")
+    src = spark.createDataFrame([(1, 7.0)], "_id long, amount double")
+    ctx = Context(spark=spark, collections={"t": target})
+    compile_pipeline(
+        [{"$merge": {"into": "t", "on": "_id",
+                     "whenMatched": [{"$project": {"total": 2}}]}}],
+        ctx,
+    )(src).collect()
+    row = ctx.collection("t").collect()[0]
+    assert row["total"] == 10.0 and row["_id"] == 1

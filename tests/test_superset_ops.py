@@ -388,3 +388,27 @@ def test_bucket_auto_powers_of_2(spark):
         for b in (r["_id"]["min"], r["_id"]["max"]):
             assert abs(math.log2(b) - round(math.log2(b))) < 1e-9, b
     assert sum(r["count"] for r in out) == 8
+
+
+def test_bucket_auto_granularity_null_and_empty(spark):
+    import pytest
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    ctx = Context(spark=spark)
+    withnull = spark.createDataFrame(
+        [(1.0,), (None,), (5.0,)], "v double")
+    with pytest.raises(ValueError, match="non-negative numeric"):
+        compile_pipeline(
+            [{"$bucketAuto": {"groupBy": "$v", "buckets": 2,
+                              "granularity": "R5"}}], ctx
+        )(withnull).collect()
+    # empty input keeps the contract schema: struct _id + accumulators
+    empty = spark.createDataFrame([], "v double")
+    out = compile_pipeline(
+        [{"$bucketAuto": {"groupBy": "$v", "buckets": 2,
+                          "granularity": "R5",
+                          "output": {"avg": {"$avg": "$v"}}}}], ctx
+    )(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema["_id"].dataType.fields] == ["min", "max"]
+    assert "avg" in out.columns
