@@ -490,6 +490,13 @@ def set_window_fields_stage(expression: Any, ctx: Context) -> StageFn:
                     )
                 elif "documents" in window:
                     w = _frame(window["documents"], ordered, is_range=False)
+                elif "unit" in window:
+                    # date-keyed range window: re-order by the sortBy key
+                    # scaled to `unit`, so the numeric range bounds mean
+                    # "N units" (Mongo {range: [-1, 0], unit: "hour"})
+                    t = _sort_numeric(sort_by, ectx, window["unit"])
+                    w = _frame(window["range"], base.orderBy(t),
+                               is_range=True)
                 else:
                     w = _frame(window["range"], ordered, is_range=True)
                 if op == "$count":

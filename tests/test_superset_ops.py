@@ -412,3 +412,31 @@ def test_bucket_auto_granularity_null_and_empty(spark):
     assert out.count() == 0
     assert [f.name for f in out.schema["_id"].dataType.fields] == ["min", "max"]
     assert "avg" in out.columns
+
+
+def test_window_range_with_time_unit(spark):
+    """{range: [-1, 0], unit: "hour"}: a date-keyed range window spans
+    the trailing hour per partition."""
+    from datetime import datetime
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 10, 0), 1.0),
+        ("a", datetime(2024, 1, 1, 10, 30), 2.0),
+        ("a", datetime(2024, 1, 1, 11, 15), 4.0),   # 10:30 in range, 10:00 not
+        ("a", datetime(2024, 1, 1, 13, 0), 8.0),    # alone
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = compile_pipeline(
+        [{"$setWindowFields": {
+            "partitionBy": "$k", "sortBy": {"ts": 1},
+            "output": {"s": {"$sum": "$v",
+                             "window": {"range": [-1, 0],
+                                        "unit": "hour"}}}}}],
+        Context(spark=spark),
+    )(df).collect()
+    got = {r["ts"].hour * 100 + r["ts"].minute: r["s"] for r in out}
+    assert got[1000] == 1.0
+    assert got[1030] == 3.0
+    assert got[1115] == 6.0   # 10:30 + 11:15 (10:00 is 75 min back)
+    assert got[1300] == 8.0
