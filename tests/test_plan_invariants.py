@@ -129,3 +129,22 @@ def test_tf_idf_reuses_token_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_new_corpus_ops_never_cartesian_or_python(spark):
+    """tf_idf / collocations / cross_dedup / jaccard_join: equi-join
+    plans only (no nested-loop/cartesian products except the single-row
+    stats broadcasts), and no Python eval nodes — the whole surface
+    stays JVM-side."""
+    for name in ("tf_idf", "collocations", "cross_dedup", "jaccard_join"):
+        df = entrymod.queries()[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        # a BroadcastNestedLoopJoin is legal ONLY for the single-row
+        # totals/stats cross joins (IdentityBroadcastMode); any other
+        # nested loop means a join lost its equi-keys
+        for line in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                assert "Cross" in line, (name, line)
