@@ -2798,6 +2798,42 @@ _register(
     )
 )
 
+# --- Atlas-syntax $vectorSearch ---------------------------------------
+
+def _vector_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.filter("vec_id = 0").select("embedding").collect()[0][0]]
+    return compile_pipeline(
+        [
+            {"$vectorSearch": {"index": "default", "path": "embedding",
+                               "queryVector": qv, "numCandidates": 100,
+                               "limit": 10,
+                               "filter": {"$expr": {"$eq": [
+                                   {"$mod": ["$vec_id", 2]}, 0]}}}},
+            {"$project": {"vec_id": 1,
+                          "score": {"$round": [
+                              {"$meta": "vectorSearchScore"}, 6]}}},
+        ],
+        Context(spark=spark),
+    )(emb)
+
+
+_register(
+    "vector_search",
+    f"""WITH v AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         FROM embeddings),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+s AS (SELECT v.vec_id,
+             (1 + list_cosine_similarity(v.e, qe)) / 2 AS sc
+      FROM v CROSS JOIN q WHERE v.vec_id % 2 = 0),
+r AS (SELECT vec_id, {_r("sc", 6)} AS score,
+             row_number() OVER (ORDER BY sc DESC, vec_id) AS rnk
+      FROM s)
+SELECT vec_id, score FROM r WHERE rnk <= 10""",
+)(_vector_search_query)
+
 # --- $hint tuning passthrough -----------------------------------------
 
 _register(

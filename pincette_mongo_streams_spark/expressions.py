@@ -1003,6 +1003,18 @@ OPERATORS["$isNumber"] = lambda raw, ctx: _c(_args(raw)[0], ctx).try_cast(
 ).isNotNull()
 
 
+@_op("$meta")
+def _meta(raw: Any, ctx: ExprContext) -> Column:
+    """Atlas/Mongo ``{"$meta": "vectorSearchScore" | "searchScore" |
+    "textScore"}``: reads the hidden score column bound by the
+    $vectorSearch/$search stages (operators/atlas.py)."""
+    name = _args(raw)[0]
+    if not isinstance(name, str):
+        raise ValueError("$meta takes a metadata field name string")
+    alias = {"textScore": "searchScore"}.get(name, name)
+    return ctx.resolve([f"__meta_{alias}"])
+
+
 def _interp_percentile(sorted_arr: Column, n: Column, p: Any) -> Column:
     """Continuous-interpolation percentile over a sorted double array —
     the same definition as Spark's percentile() aggregate, keeping the

@@ -95,5 +95,6 @@ from .operators import (  # noqa: E402,F401
     graphcc as _graphcc,
     timeseries as _timeseries,
     tuning as _tuning,
+    atlas as _atlas,
 )
 from .functions import datapipe as _datapipe  # noqa: E402,F401

@@ -1,0 +1,61 @@
+"""Atlas-syntax compatibility: $vectorSearch / $search / $meta
+(operators/atlas.py)."""
+
+import math
+
+from pincette_mongo_streams_spark import Context, compile_pipeline
+
+
+def test_vector_search(spark):
+    rows = [(1, [1.0, 0.0], "a"), (2, [0.9, 0.1], "a"),
+            (3, [0.0, 1.0], "b"), (4, [-1.0, 0.0], "a")]
+    df = spark.createDataFrame(rows, "id long, emb array<double>, g string")
+    out = compile_pipeline(
+        [{"$vectorSearch": {"index": "ignored", "path": "emb",
+                            "queryVector": [1.0, 0.0], "numCandidates": 10,
+                            "limit": 2, "filter": {"g": "a"}}},
+         {"$project": {"id": 1,
+                       "score": {"$meta": "vectorSearchScore"}}}],
+        Context(spark=spark),
+    )(df).collect()
+    assert [r["id"] for r in out] == [1, 2]
+    assert abs(out[0]["score"] - 1.0) < 1e-9          # cos=1 -> (1+1)/2
+    cos2 = 0.9 / math.sqrt(0.81 + 0.01)
+    assert abs(out[1]["score"] - (1 + cos2) / 2) < 1e-9
+    # doc 3 filtered out by g, doc 4 would score 0.0
+
+
+def test_search_text_bm25(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark engine", "big data spark"),
+         (2, "other text", "nothing here"),
+         (3, "spark spark spark", "spark")],
+        "doc_id long, title string, body string",
+    )
+    out = compile_pipeline(
+        [{"$search": {"index": "default",
+                      "text": {"query": "spark", "path": ["title", "body"]}}},
+         {"$limit": 2},
+         {"$project": {"doc_id": 1, "s": {"$meta": "searchScore"}}}],
+        Context(spark=spark),
+    )(docs).collect()
+    assert len(out) == 2
+    assert out[0]["s"] >= out[1]["s"] > 0
+    assert {r["doc_id"] for r in out} <= {1, 3}
+    # doc 2 scores 0 -> excluded entirely
+    full = compile_pipeline(
+        [{"$search": {"text": {"query": "spark", "path": "title"}}}],
+        Context(spark=spark),
+    )(docs).collect()
+    assert {r["doc_id"] for r in full} == {1, 3}
+
+
+def test_search_rejects_compound(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], "id long, t string")
+    with pytest.raises(NotImplementedError):
+        compile_pipeline(
+            [{"$search": {"compound": {"must": []}}}],
+            Context(spark=spark),
+        )(df)
