@@ -237,6 +237,26 @@ def _compile_accumulator_superset(
         value = compile_expr(arg["input"], ectx)
         ps = arg["p"]
         return F.percentile(value, F.array(*[F.lit(p) for p in ps])).alias(name)
+    if op == "$approxCountDistinct":
+        # engine superset: the 100 TB path for cardinality — a
+        # HyperLogLog++ sketch (fixed-size state, partial-aggregated)
+        # where $addToSet + $size would materialize the full value set
+        if isinstance(arg, dict):
+            value = compile_expr(arg["input"], ectx)
+            rsd = float(arg.get("relativeSD", 0.05))
+        else:
+            value = compile_expr(arg, ectx)
+            rsd = 0.05
+        return F.approx_count_distinct(value, rsd=rsd).alias(name)
+    if op == "$approxQuantile":
+        # engine superset: Greenwald-Khanna sketch — bounded state where
+        # exact $percentile collects per-group sorted values
+        value = compile_expr(arg["input"], ectx)
+        ps = arg["p"]
+        acc = float(arg.get("accuracy", 10000))
+        return F.percentile_approx(
+            value, F.array(*[F.lit(p) for p in ps]), F.lit(int(acc))
+        ).alias(name)
     raise NotImplementedError(f"unsupported accumulator {op}")
 
 

@@ -428,3 +428,30 @@ def test_hint_broadcast_pins_join_side(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert out.count() == 10000
+
+
+def test_approx_accumulators(spark):
+    """$approxCountDistinct / $approxQuantile: sketch-based aggregates
+    (fixed-size state — the 100 TB path); pinned within tolerance of the
+    exact answers."""
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    df = spark.createDataFrame(
+        [(i % 3, float(i), i % 97) for i in range(2000)],
+        "k long, v double, u long",
+    )
+    out = compile_pipeline(
+        [{"$group": {"_id": "$k",
+                     "nd": {"$approxCountDistinct": "$u"},
+                     "nd2": {"$approxCountDistinct": {"input": "$u",
+                                                      "relativeSD": 0.01}},
+                     "q": {"$approxQuantile": {"input": "$v",
+                                               "p": [0.5, 0.9]}}}}],
+        Context(spark=spark),
+    )(df).collect()
+    for r in out:
+        assert abs(r["nd"] - 97) <= 10
+        assert abs(r["nd2"] - 97) <= 3
+        med, p90 = r["q"]
+        assert 800 <= med <= 1200      # exact median ~1000
+        assert 1600 <= p90 <= 2000
