@@ -385,6 +385,9 @@ _WINDOW_AGGS = {
     "$last": lambda v: F.last(v),
     "$stdDevPop": F.stddev_pop,
     "$stdDevSamp": F.stddev_samp,
+    # sketch superset (same stance as the $group accumulators): bounded
+    # state per frame where addToSet/percentile would collect values
+    "$approxCountDistinct": F.approx_count_distinct,
 }
 
 

@@ -63,6 +63,19 @@ def read_source(
                     "avro source needs the spark-avro package on the classpath"
                 ) from e
             raise
+    if kind == "delta":
+        # delta-spark is a separate jar; same gating stance as avro
+        try:
+            return reader.format("delta").load(path_or_options)
+        except Exception as e:  # pragma: no cover - depends on jars
+            msg = str(e)
+            if ("Failed to find" in msg and "data source" in msg) or \
+                    "ClassNotFoundException" in msg:
+                raise RuntimeError(
+                    "delta source needs the delta-spark package on the "
+                    "classpath"
+                ) from e
+            raise
     if kind == "kafka":
         if schema is None:
             raise ValueError("kafka source needs a value schema (fixed-schema engine)")

@@ -111,3 +111,11 @@ def test_kafka_reader_options_plumbing():
     with pytest.raises(ValueError, match="exactly one"):
         kafka_reader_options({"kafka.bootstrap.servers": "h:9092",
                               "subscribe": "a", "assign": "b"})
+
+
+def test_delta_source_gated(spark, tmp_path):
+    import pytest
+    from pincette_mongo_streams_spark.sources.registry import read_source
+
+    with pytest.raises(RuntimeError, match="delta-spark"):
+        read_source(spark, "delta", str(tmp_path / "nope"))

@@ -440,3 +440,20 @@ def test_window_range_with_time_unit(spark):
     assert got[1030] == 3.0
     assert got[1115] == 6.0   # 10:30 + 11:15 (10:00 is 75 min back)
     assert got[1300] == 8.0
+
+
+def test_window_approx_count_distinct(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    df = spark.createDataFrame(
+        [(i, i % 50) for i in range(500)], "i long, u long")
+    out = compile_pipeline(
+        [{"$setWindowFields": {
+            "sortBy": {"i": 1},
+            "output": {"nd": {"$approxCountDistinct": "$u",
+                              "window": {"documents":
+                                         ["unbounded", "current"]}}}}}],
+        Context(spark=spark),
+    )(df).collect()
+    last = max(out, key=lambda r: r["i"])
+    assert abs(last["nd"] - 50) <= 5
