@@ -1012,7 +1012,15 @@ def _meta(raw: Any, ctx: ExprContext) -> Column:
     if not isinstance(name, str):
         raise ValueError("$meta takes a metadata field name string")
     alias = {"textScore": "searchScore"}.get(name, name)
-    return ctx.resolve([f"__meta_{alias}"])
+    col = f"__meta_{alias}"
+    if ctx.schema is not None and not has_path(ctx.schema, [col]):
+        # Mongo errors here too ("query requires ... score metadata") —
+        # a silent null would hide a missing/mis-ordered search stage
+        raise ValueError(
+            f"$meta {name!r}: no score metadata in scope — bind it with "
+            "a preceding $vectorSearch/$search stage"
+        )
+    return ctx.resolve([col])
 
 
 def _interp_percentile(sorted_arr: Column, n: Column, p: Any) -> Column:

@@ -81,7 +81,14 @@ def vector_search_stage(expression: Any, ctx: Context) -> StageFn:
         order_keys = [F.col(VSCORE).desc()] + [
             F.col(x) for x in df.columns[:1]
         ]
-        return scored.orderBy(*order_keys).limit(limit)
+        # null/zero-norm/wrong-length embeddings score NULL — exclude
+        # them (Atlas only returns indexed vectors) instead of letting
+        # null-scored rows pad the top-k when limit exceeds the matches
+        return (
+            scored.filter(F.col(VSCORE).isNotNull())
+            .orderBy(*order_keys)
+            .limit(limit)
+        )
 
     return fn
 
@@ -119,8 +126,15 @@ def search_stage(expression: Any, ctx: Context) -> StageFn:
         out = df
         for pi, p in enumerate(paths):
             text = compile_expr(f"${p}", ExprContext(schema=df.schema))
-            toks = F.filter(
-                F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != ""
+            # a null path must contribute an EMPTY token list, not null:
+            # a null tf array would null the summed score (dropping docs
+            # that match on another path) and size(null) = -1 would
+            # pollute the avgdl length normalization
+            toks = F.coalesce(
+                F.filter(
+                    F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != ""
+                ),
+                F.array().cast("array<string>"),
             )
             out = out.withColumn(f"__s_toks{pi}", toks).withColumn(
                 f"__s_tfs{pi}",

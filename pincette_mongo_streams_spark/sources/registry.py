@@ -48,32 +48,20 @@ def read_source(
         return reader.option("header", True).csv(path_or_options)
     if kind == "text":
         return reader.text(path_or_options)
-    if kind == "avro":
-        # spark-avro is a separate jar; gate so environments without it
-        # get a clear error instead of a ClassNotFound stack — but ONLY
+    if kind in ("avro", "delta"):
+        # jar-dependent formats: gate so environments without the jar get
+        # a clear error instead of a ClassNotFound stack — but ONLY
         # rewrap missing-data-source errors: a bad path or corrupt file
         # must surface as itself for users who do have the jar
+        pkg = {"avro": "spark-avro", "delta": "delta-spark"}[kind]
         try:
-            return reader.format("avro").load(path_or_options)
+            return reader.format(kind).load(path_or_options)
         except Exception as e:  # pragma: no cover - depends on jars
             msg = str(e)
             if ("Failed to find" in msg and "data source" in msg) or \
                     "ClassNotFoundException" in msg:
                 raise RuntimeError(
-                    "avro source needs the spark-avro package on the classpath"
-                ) from e
-            raise
-    if kind == "delta":
-        # delta-spark is a separate jar; same gating stance as avro
-        try:
-            return reader.format("delta").load(path_or_options)
-        except Exception as e:  # pragma: no cover - depends on jars
-            msg = str(e)
-            if ("Failed to find" in msg and "data source" in msg) or \
-                    "ClassNotFoundException" in msg:
-                raise RuntimeError(
-                    "delta source needs the delta-spark package on the "
-                    "classpath"
+                    f"{kind} source needs the {pkg} package on the classpath"
                 ) from e
             raise
     if kind == "kafka":

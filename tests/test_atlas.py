@@ -59,3 +59,38 @@ def test_search_rejects_compound(spark):
             [{"$search": {"compound": {"must": []}}}],
             Context(spark=spark),
         )(df)
+
+
+def test_search_null_path_and_vector_nulls(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "spark", None), (2, None, "spark engine"), (3, None, None)],
+        "doc_id long, title string, body string",
+    )
+    out = compile_pipeline(
+        [{"$search": {"text": {"query": "spark",
+                               "path": ["title", "body"]}}}],
+        Context(spark=spark),
+    )(docs).collect()
+    # null paths contribute empty token lists: 1 and 2 both rank
+    assert {r["doc_id"] for r in out} == {1, 2}
+
+    vec = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, None)],
+        "id long, emb array<double>",
+    )
+    got = compile_pipeline(
+        [{"$vectorSearch": {"path": "emb", "queryVector": [1.0, 0.0],
+                            "limit": 10}}],
+        Context(spark=spark),
+    )(vec).collect()
+    # zero-norm / null embeddings are excluded, never null-score padding
+    assert [r["id"] for r in got] == [1]
+
+    # $meta without a search stage errors instead of silently nulling
+    with pytest.raises(ValueError, match="score metadata"):
+        compile_pipeline(
+            [{"$project": {"s": {"$meta": "vectorSearchScore"}}}],
+            Context(spark=spark),
+        )(docs)
