@@ -187,3 +187,30 @@ def search_stage(expression: Any, ctx: Context) -> StageFn:
         )
 
     return fn
+
+
+@register_stage("$searchMeta")
+def search_meta_stage(expression: Any, ctx: Context) -> StageFn:
+    """``{index?, text: {query, path}, count?: {type}}`` — Atlas
+    $searchMeta's count form: ONE row ``{count: {total}}`` with the
+    number of documents the equivalent $search would return.  Always
+    reports an exact ``total`` (Atlas's lowerBound mode is an
+    index-internal shortcut; exact is never less correct).  Facet
+    collection is ``$facet``'s job in this engine."""
+    if "count" in expression and not isinstance(expression["count"], dict):
+        raise ValueError("$searchMeta count takes an options document")
+    if "facet" in expression:
+        raise NotImplementedError(
+            "$searchMeta facets: use $search + $facet (native facets)"
+        )
+    inner = search_stage(
+        {k: v for k, v in expression.items() if k != "count"}, ctx
+    )
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        scored = inner(df, c)
+        return scored.groupBy().agg(
+            F.count(F.lit(1)).alias("__n")
+        ).select(F.struct(F.col("__n").alias("total")).alias("count"))
+
+    return fn

@@ -94,3 +94,17 @@ def test_search_null_path_and_vector_nulls(spark):
             [{"$project": {"s": {"$meta": "vectorSearchScore"}}}],
             Context(spark=spark),
         )(docs)
+
+
+def test_search_meta_count(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark rules"), (2, "nothing"), (3, "spark again")],
+        "doc_id long, t string",
+    )
+    out = compile_pipeline(
+        [{"$searchMeta": {"index": "default",
+                          "text": {"query": "spark", "path": "t"},
+                          "count": {"type": "total"}}}],
+        Context(spark=spark),
+    )(docs).collect()
+    assert len(out) == 1 and out[0]["count"]["total"] == 2
