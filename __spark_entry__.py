@@ -2808,7 +2808,7 @@ def _vector_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             {"$vectorSearch": {"index": "default", "path": "embedding",
                                "queryVector": qv, "numCandidates": 100,
-                               "limit": 10,
+                               "limit": 10, "exact": True,
                                "filter": {"$expr": {"$eq": [
                                    {"$mod": ["$vec_id", 2]}, 0]}}}},
             {"$project": {"vec_id": 1,

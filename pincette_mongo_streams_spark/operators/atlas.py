@@ -8,10 +8,11 @@ unchanged:
 - ``$vectorSearch`` → row-local cosine scoring + TakeOrderedAndProject
   (the $annTopK plan for a single literal query vector).  Scores follow
   Atlas' cosine normalization ``(1 + cos) / 2``.  ``filter`` compiles
-  through the $match language and pushes down to the scan.  The
-  ``numCandidates``/``exact`` knobs are accepted for compatibility; both
-  currently execute the exact plan (recall 1.0 — never worse than
-  Atlas' ANN).  The horizontal-scale ANN paths remain
+  through the $match language and pushes down to the scan.
+  ``exact: false`` (Atlas' default) prunes the scan with the engine's
+  sign-bit LSH (query bucket + 1-bit-flip multiprobe, hyperplanes
+  shared with $annLsh); ``exact: true`` scans everything.  The
+  horizontal-scale multi-query ANN paths remain
   $annLshSearch/$annIvfSearch.
 - ``$search`` (``text`` operator subset) → the $bm25 scoring fold over
   one or more paths, emitting every matching document ordered by score;
@@ -46,17 +47,42 @@ SSCORE = "__meta_searchScore"
 @register_stage("$vectorSearch")
 def vector_search_stage(expression: Any, ctx: Context) -> StageFn:
     """``{index?, path, queryVector, numCandidates?, limit, filter?,
-    exact?}`` — Atlas $vectorSearch syntax."""
+    exact?, bits?}`` — Atlas $vectorSearch syntax.
+
+    ``exact: true`` scans the whole (filtered) corpus.  ``exact: false``
+    (the Atlas default) prunes the scan with the engine's sign-bit LSH:
+    the query vector's bucket is computed driver-side from the SAME
+    md5-derived hyperplanes the corpus column uses, and only rows in the
+    query's bucket or a 1-bit-flip neighbor (standard multiprobe) get
+    the exact cosine — ``bits`` (default 8) sizes the pruning; recall is
+    standard-LSH approximate.  ``numCandidates`` is accepted for
+    syntax compatibility (bucket membership, not a candidate count, is
+    the pruning unit here)."""
     path = expression["path"]
     qv = [float(x) for x in expression["queryVector"]]
     limit = int(expression["limit"])
     flt = expression.get("filter")
+    exact = bool(expression.get("exact", False))
+    bits = int(expression.get("bits", 8))
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         ectx = ExprContext(schema=df.schema)
         if flt:
             df = df.filter(compile_match(flt, ectx))
         emb = nested_col(split_path(path)).cast("array<double>")
+        if not exact:
+            from ..functions.datapipe import _plane_component, lsh_bucket
+
+            dim = len(qv)
+            qb = 0
+            for j in range(bits):
+                dot = sum(
+                    qv[d] * _plane_component(j, d) for d in range(dim)
+                )
+                if dot >= 0:
+                    qb |= 1 << j
+            probes = [qb] + [qb ^ (1 << j) for j in range(bits)]
+            df = df.filter(lsh_bucket(emb, bits, dim).isin(probes))
         qlit = F.array(*[F.lit(x) for x in qv])
         import math
 

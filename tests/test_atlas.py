@@ -13,7 +13,8 @@ def test_vector_search(spark):
     out = compile_pipeline(
         [{"$vectorSearch": {"index": "ignored", "path": "emb",
                             "queryVector": [1.0, 0.0], "numCandidates": 10,
-                            "limit": 2, "filter": {"g": "a"}}},
+                            "limit": 2, "exact": True,
+                            "filter": {"g": "a"}}},
          {"$project": {"id": 1,
                        "score": {"$meta": "vectorSearchScore"}}}],
         Context(spark=spark),
@@ -82,7 +83,7 @@ def test_search_null_path_and_vector_nulls(spark):
     )
     got = compile_pipeline(
         [{"$vectorSearch": {"path": "emb", "queryVector": [1.0, 0.0],
-                            "limit": 10}}],
+                            "limit": 10, "exact": True}}],
         Context(spark=spark),
     )(vec).collect()
     # zero-norm / null embeddings are excluded, never null-score padding
@@ -108,3 +109,25 @@ def test_search_meta_count(spark):
         Context(spark=spark),
     )(docs).collect()
     assert len(out) == 1 and out[0]["count"]["total"] == 2
+
+
+def test_vector_search_approximate_recall(spark):
+    """exact:false prunes with the shared LSH hyperplanes; on a clustered
+    fixture the top hit survives pruning and recall vs exact stays high."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    q = rows[7][1]
+
+    def run(exact):
+        return [r["id"] for r in compile_pipeline(
+            [{"$vectorSearch": {"path": "emb", "queryVector": q,
+                                "limit": 10, "exact": exact, "bits": 6}}],
+            Context(spark=spark),
+        )(df).collect()]
+
+    ex, ap = run(True), run(False)
+    assert ex[0] == 7 and ap[0] == 7          # the identical vector survives
+    assert len(set(ex) & set(ap)) >= 5        # recall@10 >= 0.5 on this seed
