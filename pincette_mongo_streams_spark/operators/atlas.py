@@ -148,7 +148,6 @@ def search_stage(expression: Any, ctx: Context) -> StageFn:
         terms_sql = ", ".join(
             "'" + t.replace("'", "''") + "'" for t in terms
         )
-        score_total = None
         out = df
         for pi, p in enumerate(paths):
             text = compile_expr(f"${p}", ExprContext(schema=df.schema))
