@@ -665,6 +665,12 @@ def densify_stage(expression: Any, ctx: Context) -> StageFn:
     rng = expression["range"]
     step = rng["step"]
     bounds = rng["bounds"]
+    unit = rng.get("unit")
+    if unit is not None and unit not in (
+        "millisecond", "second", "minute", "hour", "day", "week",
+        "month", "quarter", "year",
+    ):
+        raise ValueError(f"$densify: unknown unit {unit!r}")
     partition_fields = rng.get("partitionByFields") or expression.get(
         "partitionByFields", []
     )
@@ -688,7 +694,13 @@ def densify_stage(expression: Any, ctx: Context) -> StageFn:
                 )
             else:
                 grid_base = df.agg(lo.alias("__lo"), hi.alias("__hi"))
-            seq = F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+            if unit is not None:
+                # date-valued field: interval-typed step (Mongo `unit`)
+                seq = F.expr(
+                    f"sequence(__lo, __hi, interval {int(step)} {unit})"
+                )
+            else:
+                seq = F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
         else:
             lo_v, hi_v = bounds
             grid_base = (
@@ -697,10 +709,20 @@ def densify_stage(expression: Any, ctx: Context) -> StageFn:
                 else df.limit(1).select(F.lit(1).alias("__one"))
             )
             # MongoDB bounds [lo, hi) — upper exclusive
-            seq = F.filter(
-                F.sequence(F.lit(lo_v), F.lit(hi_v), F.lit(step)),
-                lambda x: x < F.lit(hi_v),
-            )
+            if unit is not None:
+                lo_c = F.lit(lo_v).cast("timestamp")
+                hi_c = F.lit(hi_v).cast("timestamp")
+                raw = F.expr(
+                    f"sequence(cast('{lo_v}' as timestamp), "
+                    f"cast('{hi_v}' as timestamp), "
+                    f"interval {int(step)} {unit})"
+                )
+                seq = F.filter(raw, lambda x: x < hi_c)
+            else:
+                seq = F.filter(
+                    F.sequence(F.lit(lo_v), F.lit(hi_v), F.lit(step)),
+                    lambda x: x < F.lit(hi_v),
+                )
         grid = grid_base.select(
             *partition_fields, F.explode(seq).alias(field)
         )

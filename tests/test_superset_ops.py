@@ -457,3 +457,35 @@ def test_window_approx_count_distinct(spark):
     )(df).collect()
     last = max(out, key=lambda r: r["i"])
     assert abs(last["nd"] - 50) <= 5
+
+
+def test_densify_date_unit(spark):
+    from datetime import datetime
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 0), 1.0),
+         ("a", datetime(2024, 1, 1, 3), 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = compile_pipeline(
+        [{"$densify": {"field": "ts",
+                       "range": {"step": 1, "unit": "hour",
+                                 "bounds": "full"}}}],
+        Context(spark=spark),
+    )(df).collect()
+    hours = sorted(r["ts"].hour for r in out)
+    assert hours == [0, 1, 2, 3]
+    filled = [r for r in out if r["v"] is None]
+    assert len(filled) == 2  # 01:00 and 02:00 inserted
+
+    # literal date bounds, upper exclusive
+    out2 = compile_pipeline(
+        [{"$densify": {"field": "ts",
+                       "range": {"step": 2, "unit": "hour",
+                                 "bounds": ["2024-01-01 00:00:00",
+                                            "2024-01-01 06:00:00"]}}}],
+        Context(spark=spark),
+    )(df).collect()
+    hours2 = sorted(r["ts"].hour for r in out2)
+    assert hours2 == [0, 2, 3, 4]  # grid 0,2,4 (6 excluded); 0 existed, 3 kept
