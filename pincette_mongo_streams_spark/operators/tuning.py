@@ -80,3 +80,33 @@ def hint_stage(expression: Any, ctx: Context) -> StageFn:
         return out
 
     return fn
+
+
+@register_stage("$explain")
+def explain_stage(expression: Any, ctx: Context) -> StageFn:
+    """Replace the stream with ONE row holding the upstream plan:
+    ``{mode?: "simple" | "extended" | "codegen" | "cost" | "formatted"}``
+    (default formatted).  The plan-tuning companion to $hint: pipelines
+    under development append ``{"$explain": {}}`` to see exactly what
+    Catalyst will run — exchanges, pushed filters, join strategies —
+    without executing the full job.  Batch-only, driver-sized output."""
+    mode = "formatted"
+    if isinstance(expression, dict):
+        mode = expression.get("mode", "formatted")
+    elif isinstance(expression, str) and expression:
+        mode = expression
+    if mode not in ("simple", "extended", "codegen", "cost", "formatted"):
+        raise ValueError(f"unknown $explain mode {mode!r}")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from .extended import _batch_only
+
+        _batch_only("$explain", c)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+        if c.spark is None:
+            raise ValueError("$explain needs Context.spark")
+        return c.spark.createDataFrame([(mode, plan)], "mode string, plan string")
+
+    return fn

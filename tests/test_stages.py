@@ -455,3 +455,20 @@ def test_approx_accumulators(spark):
         med, p90 = r["q"]
         assert 800 <= med <= 1200      # exact median ~1000
         assert 1600 <= p90 <= 2000
+
+
+def test_explain_stage(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    out = compile_pipeline(
+        [{"$match": {"id": {"$gte": 2}}}, {"$explain": {}}],
+        Context(spark=spark),
+    )(df).collect()
+    assert len(out) == 1
+    assert "Physical Plan" in out[0]["plan"]
+    assert out[0]["mode"] == "formatted"
+    out2 = compile_pipeline(
+        [{"$explain": "simple"}], Context(spark=spark)
+    )(df).collect()
+    assert "Scan" in out2[0]["plan"] or "Physical" in out2[0]["plan"]
