@@ -9,9 +9,9 @@ unchanged:
   (the $annTopK plan for a single literal query vector).  Scores follow
   Atlas' cosine normalization ``(1 + cos) / 2``.  ``filter`` compiles
   through the $match language and pushes down to the scan.
-  ``exact: false`` (Atlas' default) prunes the scan with the engine's
-  sign-bit LSH (query bucket + 1-bit-flip multiprobe, hyperplanes
-  shared with $annLsh); ``exact: true`` scans everything.  The
+  ``exact: false`` opts into the LSH-pruned scan (query bucket +
+  1-bit-flip multiprobe, hyperplanes shared with $annLsh);
+  ``exact: true`` — the default, recall 1.0 — scans everything.  The
   horizontal-scale multi-query ANN paths remain
   $annLshSearch/$annIvfSearch.
 - ``$search`` (``text`` operator subset) → the $bm25 scoring fold over
@@ -49,8 +49,10 @@ def vector_search_stage(expression: Any, ctx: Context) -> StageFn:
     """``{index?, path, queryVector, numCandidates?, limit, filter?,
     exact?, bits?}`` — Atlas $vectorSearch syntax.
 
-    ``exact: true`` scans the whole (filtered) corpus.  ``exact: false``
-    (the Atlas default) prunes the scan with the engine's sign-bit LSH:
+    ``exact: true`` (the default here — recall 1.0, never worse than
+    Atlas' ANN; Atlas defaults to approximate) scans the whole
+    (filtered) corpus.  ``exact: false`` prunes the scan with the
+    engine's sign-bit LSH:
     the query vector's bucket is computed driver-side from the SAME
     md5-derived hyperplanes the corpus column uses, and only rows in the
     query's bucket or a 1-bit-flip neighbor (standard multiprobe) get
@@ -62,7 +64,7 @@ def vector_search_stage(expression: Any, ctx: Context) -> StageFn:
     qv = [float(x) for x in expression["queryVector"]]
     limit = int(expression["limit"])
     flt = expression.get("filter")
-    exact = bool(expression.get("exact", False))
+    exact = bool(expression.get("exact", True))
     bits = int(expression.get("bits", 8))
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
@@ -222,19 +224,50 @@ def search_meta_stage(expression: Any, ctx: Context) -> StageFn:
     reports an exact ``total`` (Atlas's lowerBound mode is an
     index-internal shortcut; exact is never less correct).  Facet
     collection is ``$facet``'s job in this engine."""
-    if "count" in expression and not isinstance(expression["count"], dict):
+    cnt = expression.get("count", {})
+    if not isinstance(cnt, dict):
         raise ValueError("$searchMeta count takes an options document")
+    if cnt.get("type", "total") not in ("total", "lowerBound"):
+        raise ValueError(
+            f"$searchMeta count.type must be total or lowerBound, "
+            f"got {cnt.get('type')!r}"
+        )
     if "facet" in expression:
         raise NotImplementedError(
             "$searchMeta facets: use $search + $facet (native facets)"
         )
-    inner = search_stage(
-        {k: v for k, v in expression.items() if k != "count"}, ctx
-    )
+    spec = expression.get("text")
+    if not isinstance(spec, dict):
+        raise NotImplementedError("$searchMeta supports the text operator")
+    query = spec["query"]
+    paths = spec["path"]
+    if isinstance(paths, str):
+        paths = [paths]
+    import re as _re
+
+    terms = list(dict.fromkeys(
+        t for t in _re.sub(r"[^a-z0-9 ]", " ", query.lower()).split() if t
+    ))
+    if not terms:
+        raise ValueError("$searchMeta text.query needs at least one term")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
-        scored = inner(df, c)
-        return scored.groupBy().agg(
+        # a document counts iff ANY path contains ANY query term — the
+        # BM25 score is positive exactly then, so the count needs only a
+        # tokenize + overlap filter, not the full scoring plan
+        tlit = F.array(*[F.lit(t) for t in terms])
+        match = None
+        for p in paths:
+            text = compile_expr(f"${p}", ExprContext(schema=df.schema))
+            toks = F.coalesce(
+                F.filter(
+                    F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != ""
+                ),
+                F.array().cast("array<string>"),
+            )
+            m = F.arrays_overlap(toks, tlit)
+            match = m if match is None else (match | m)
+        return df.filter(match).groupBy().agg(
             F.count(F.lit(1)).alias("__n")
         ).select(F.struct(F.col("__n").alias("total")).alias("count"))
 

@@ -666,11 +666,18 @@ def densify_stage(expression: Any, ctx: Context) -> StageFn:
     step = rng["step"]
     bounds = rng["bounds"]
     unit = rng.get("unit")
-    if unit is not None and unit not in (
-        "millisecond", "second", "minute", "hour", "day", "week",
-        "month", "quarter", "year",
-    ):
-        raise ValueError(f"$densify: unknown unit {unit!r}")
+    if unit is not None:
+        if unit not in ("millisecond", "second", "minute", "hour", "day",
+                        "week", "month", "quarter", "year"):
+            raise ValueError(f"$densify: unknown unit {unit!r}")
+        if float(step) != int(step):
+            # Mongo rejects fractional steps with a unit; silently
+            # truncating would fill a denser, wrong grid
+            raise ValueError("$densify: step must be a whole number "
+                             "when unit is specified")
+        step = int(step)
+        if unit == "quarter":   # Spark intervals have no quarter unit
+            step, unit = step * 3, "month"
     partition_fields = rng.get("partitionByFields") or expression.get(
         "partitionByFields", []
     )
@@ -697,7 +704,7 @@ def densify_stage(expression: Any, ctx: Context) -> StageFn:
             if unit is not None:
                 # date-valued field: interval-typed step (Mongo `unit`)
                 seq = F.expr(
-                    f"sequence(__lo, __hi, interval {int(step)} {unit})"
+                    f"sequence(__lo, __hi, interval {step} {unit})"
                 )
             else:
                 seq = F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
@@ -712,10 +719,8 @@ def densify_stage(expression: Any, ctx: Context) -> StageFn:
             if unit is not None:
                 lo_c = F.lit(lo_v).cast("timestamp")
                 hi_c = F.lit(hi_v).cast("timestamp")
-                raw = F.expr(
-                    f"sequence(cast('{lo_v}' as timestamp), "
-                    f"cast('{hi_v}' as timestamp), "
-                    f"interval {int(step)} {unit})"
+                raw = F.sequence(
+                    lo_c, hi_c, F.expr(f"interval {step} {unit}")
                 )
                 seq = F.filter(raw, lambda x: x < hi_c)
             else:

@@ -92,6 +92,9 @@ def explain_stage(expression: Any, ctx: Context) -> StageFn:
     without executing the full job.  Batch-only, driver-sized output."""
     mode = "formatted"
     if isinstance(expression, dict):
+        unknown = set(expression) - {"mode"}
+        if unknown:
+            raise ValueError(f"unknown $explain options: {sorted(unknown)}")
         mode = expression.get("mode", "formatted")
     elif isinstance(expression, str) and expression:
         mode = expression
@@ -99,8 +102,6 @@ def explain_stage(expression: Any, ctx: Context) -> StageFn:
         raise ValueError(f"unknown $explain mode {mode!r}")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
-        from .extended import _batch_only
-
         _batch_only("$explain", c)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), mode

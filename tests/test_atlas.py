@@ -131,3 +131,19 @@ def test_vector_search_approximate_recall(spark):
     ex, ap = run(True), run(False)
     assert ex[0] == 7 and ap[0] == 7          # the identical vector survives
     assert len(set(ex) & set(ap)) >= 5        # recall@10 >= 0.5 on this seed
+
+
+def test_search_meta_validation_and_explain_options(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "x")], "id long, t string")
+    with pytest.raises(ValueError, match="lowerBound"):
+        compile_pipeline(
+            [{"$searchMeta": {"text": {"query": "x", "path": "t"},
+                              "count": {"type": "bogus"}}}],
+            Context(spark=spark),
+        )(docs)
+    with pytest.raises(ValueError, match="explain"):
+        compile_pipeline(
+            [{"$explain": {"mod": "cost"}}], Context(spark=spark)
+        )(docs)

@@ -489,3 +489,27 @@ def test_densify_date_unit(spark):
     )(df).collect()
     hours2 = sorted(r["ts"].hour for r in out2)
     assert hours2 == [0, 2, 3, 4]  # grid 0,2,4 (6 excluded); 0 existed, 3 kept
+
+
+def test_densify_quarter_and_fractional_step(spark):
+    import pytest
+    from datetime import datetime
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1),), (datetime(2024, 10, 1),)], "ts timestamp")
+    out = compile_pipeline(
+        [{"$densify": {"field": "ts",
+                       "range": {"step": 1, "unit": "quarter",
+                                 "bounds": "full"}}}],
+        Context(spark=spark),
+    )(df).collect()
+    months = sorted(r["ts"].month for r in out)
+    assert months == [1, 4, 7, 10]  # quarter = 3 months
+    with pytest.raises(ValueError, match="whole number"):
+        compile_pipeline(
+            [{"$densify": {"field": "ts",
+                           "range": {"step": 1.5, "unit": "hour",
+                                     "bounds": "full"}}}],
+            Context(spark=spark),
+        )(df)
