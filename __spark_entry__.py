@@ -2769,6 +2769,26 @@ _register(
     )
 )
 
+# --- $quantileBin -----------------------------------------------------
+
+_register(
+    "quantile_bin",
+    """SELECT o_orderkey,
+              CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                   AS INT) AS decile
+       FROM orders""",
+)(
+    _pipe(
+        "orders",
+        [
+            {"$quantileBin": {"input": "$o_totalprice", "bins": 10,
+                              "as": "decile", "exact": True,
+                              "tieBreak": "$o_orderkey"}},
+            {"$project": {"o_orderkey": 1, "decile": 1}},
+        ],
+    )
+)
+
 # --- $jsonSchema match operator ---------------------------------------
 
 _register(

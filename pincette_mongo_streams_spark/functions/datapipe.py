@@ -1810,6 +1810,61 @@ def pack_sequences_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$quantileBin")
+def quantile_bin_stage(expression: Any, ctx: Context) -> StageFn:
+    """Equal-frequency bin labels: ``{input, bins, as, exact?,
+    accuracy?}`` — appends a 1-based bin index (decile/percentile
+    bucketing for feature engineering and stratified reporting).
+
+    Two physical modes:
+    - default (scale path): bin BOUNDARIES come from one
+      ``percentile_approx`` aggregate (Greenwald-Khanna sketch,
+      driver-sized result), and the bin index is a row-local literal
+      CASE chain — no global sort, no extra shuffle beyond the single
+      aggregate.  Bin populations are approximately equal (sketch
+      ``accuracy``, default 10000).
+    - ``exact: true``: Spark ``ntile`` over a global order — exactly
+      equal counts, but a single-partition sort; test/small-data only
+      (same stance as $bucketAuto's ntile).
+    """
+    inp = expression["input"]
+    bins = int(expression["bins"])
+    as_field = expression.get("as", "bin")
+    exact = bool(expression.get("exact", False))
+    accuracy = int(expression.get("accuracy", 10000))
+    tie_break = expression.get("tieBreak")
+    if bins < 2:
+        raise ValueError("$quantileBin needs bins >= 2")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from pyspark.sql import Window
+
+        sctx = ExprContext(schema=df.schema)
+        value = compile_expr(inp, sctx).cast("double")
+        if exact:
+            # ntile on ties is order-dependent; an explicit tieBreak key
+            # makes the assignment fully deterministic
+            keys = [value] + (
+                [compile_expr(tie_break, sctx)] if tie_break else []
+            )
+            w = Window.orderBy(*keys)
+            return df.withColumn(as_field, F.ntile(bins).over(w))
+        ps = [i / bins for i in range(1, bins)]
+        row = df.select(
+            F.percentile_approx(
+                value, F.array(*[F.lit(p) for p in ps]), F.lit(accuracy)
+            ).alias("__qb")
+        ).collect()[0]["__qb"]
+        bounds = list(row) if row is not None else []
+        idx = F.lit(bins)
+        for i in range(len(bounds) - 1, -1, -1):
+            idx = F.when(value <= F.lit(float(bounds[i])),
+                         F.lit(i + 1)).otherwise(idx)
+        return df.withColumn(as_field, F.when(value.isNotNull(), idx))
+
+    return fn
+
+
 @register_stage("$fingerprint")
 def fingerprint_stage(expression: Any, ctx: Context) -> StageFn:
     """Normalized content fingerprint: ``{input, as}`` = md5 of

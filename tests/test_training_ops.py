@@ -181,3 +181,40 @@ def test_collocations_pmi(spark):
     expect = math.floor(math.log((6/19) / ((7/22) * (7/22))) * 1e9 + 0.5) / 1e9
     assert pmi == expect
     assert max(r["rank"] for r in out) <= 3
+
+
+def test_quantile_bin_modes(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "id long, v double")
+    exact = compile_pipeline(
+        [{"$quantileBin": {"input": "$v", "bins": 4, "as": "q",
+                           "exact": True, "tieBreak": "$id"}}],
+        Context(spark=spark),
+    )(df).collect()
+    from collections import Counter
+    counts = Counter(r["q"] for r in exact)
+    assert counts == {1: 250, 2: 250, 3: 250, 4: 250}
+    # exact: value 0 in bin 1, value 999 in bin 4
+    by_v = {r["v"]: r["q"] for r in exact}
+    assert by_v[0.0] == 1 and by_v[999.0] == 4
+
+    approx = compile_pipeline(
+        [{"$quantileBin": {"input": "$v", "bins": 4, "as": "q"}}],
+        Context(spark=spark),
+    )(df).collect()
+    ca = Counter(r["q"] for r in approx)
+    assert set(ca) == {1, 2, 3, 4}
+    assert all(200 <= n <= 300 for n in ca.values())  # sketch tolerance
+    # monotone: higher values never get a lower bin
+    byv = sorted((r["v"], r["q"]) for r in approx)
+    assert all(byv[i][1] <= byv[i + 1][1] for i in range(len(byv) - 1))
+
+    # nulls stay null
+    dfn = spark.createDataFrame([(1, None), (2, 5.0)], "id long, v double")
+    outn = compile_pipeline(
+        [{"$quantileBin": {"input": "$v", "bins": 2}}],
+        Context(spark=spark),
+    )(dfn).collect()
+    assert {r["id"]: r["bin"] for r in outn}[1] is None
