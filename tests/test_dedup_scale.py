@@ -203,3 +203,42 @@ def test_jaccard_join_cross_corpus(spark):
         Context(spark=spark, collections={"r": right}),
     )(left).collect()
     assert {(r["left_id"], r["right_id"]) for r in out} == {(1, 9)}
+
+
+def test_jaccard_join_invariants_random(spark):
+    """LSH-independent invariants on random corpora: every returned pair
+    truly meets the threshold (soundness — the exact verify guarantees
+    no false positives), and exact-duplicate texts are ALWAYS found
+    (identical signatures share every band)."""
+    import random
+
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    rng = random.Random(23)
+    words = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(40):
+        n = rng.randint(4, 10)
+        rows.append((i, " ".join(rng.choice(words) for _ in range(n))))
+    rows.append((100, rows[5][1]))  # exact duplicate of doc 5
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = compile_pipeline(
+        [{"$jaccardJoin": {"input": "$text", "id": "doc_id", "shingle": 2,
+                           "numHashes": 32, "bands": 16,
+                           "threshold": 0.5}}],
+        Context(spark=spark),
+    )(df).collect()
+
+    def shingles(t):
+        ws = t.lower().split()
+        return set(" ".join(ws[i:i + 2]) for i in range(len(ws) - 1))
+
+    texts = dict(rows)
+    for r in out:
+        a, b = shingles(texts[r["left_id"]]), shingles(texts[r["right_id"]])
+        true_j = len(a & b) / len(a | b)
+        assert true_j >= 0.5 - 1e-9, (r, true_j)   # soundness
+    assert any(r["left_id"] == 5 and r["right_id"] == 100 for r in out)
+    exact_pair = [r for r in out
+                  if (r["left_id"], r["right_id"]) == (5, 100)][0]
+    assert exact_pair["jaccard"] == 1.0
