@@ -242,3 +242,44 @@ def test_jaccard_join_invariants_random(spark):
     exact_pair = [r for r in out
                   if (r["left_id"], r["right_id"]) == (5, 100)][0]
     assert exact_pair["jaccard"] == 1.0
+
+
+def test_cross_dedup_invariants_random(spark):
+    """Invariants independent of LSH randomness: with verify, every
+    REMOVED doc truly near-duplicates some benchmark doc (soundness);
+    docs textually identical to a benchmark doc are always removed."""
+    import random
+
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    rng = random.Random(31)
+    words = [f"w{i}" for i in range(10)]
+
+    def mk(n):
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    bench_rows = [(100 + i, mk(rng.randint(5, 9))) for i in range(8)]
+    corpus_rows = [(i, mk(rng.randint(5, 9))) for i in range(30)]
+    corpus_rows.append((50, bench_rows[2][1]))  # verbatim benchmark copy
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    ctx = Context(spark=spark, collections={"bench": bench})
+    out = compile_pipeline(
+        [{"$crossDedup": {"from": "bench", "input": "$text",
+                          "id": "doc_id", "shingle": 2, "numHashes": 32,
+                          "bands": 16, "verify": 0.6}}],
+        ctx,
+    )(corpus).collect()
+    kept = {r["doc_id"] for r in out}
+    assert 50 not in kept  # the verbatim copy always dies
+
+    def shingles(t):
+        ws = t.lower().split()
+        return set(" ".join(ws[i:i + 2]) for i in range(len(ws) - 1))
+
+    bsh = [shingles(t) for _, t in bench_rows]
+    for did, text in corpus_rows:
+        if did not in kept:
+            s = shingles(text)
+            best = max(len(s & b) / len(s | b) for b in bsh)
+            assert best >= 0.6 - 1e-9, (did, best)  # soundness of removal
