@@ -2769,6 +2769,39 @@ _register(
     )
 )
 
+# --- $charLmScore -----------------------------------------------------
+
+_register(
+    "char_lm_score",
+    """WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+cb AS (SELECT bg, CAST(count(*) AS DOUBLE) AS cab FROM (
+         SELECT unnest([s[i:i+1] FOR i IN range(1, len(s))]) AS bg FROM t)
+       GROUP BY bg),
+ca AS (SELECT pre, CAST(count(*) AS DOUBLE) AS cpre FROM (
+         SELECT unnest([s[i:i] FOR i IN range(1, len(s))]) AS pre FROM t)
+       GROUP BY pre),
+vv AS (SELECT CAST(count(DISTINCT ch) AS DOUBLE) AS v FROM (
+         SELECT unnest([s[i:i] FOR i IN range(1, len(s) + 1)]) AS ch
+         FROM t)),
+db AS (SELECT doc_id, unnest([s[i:i+1] FOR i IN range(1, len(s))]) AS bg
+       FROM t),
+sc AS (SELECT doc_id, avg(-log2((cab + 1) / (cpre + v))) AS bits
+       FROM db JOIN cb USING (bg)
+             JOIN ca ON ca.pre = db.bg[1:1]
+             CROSS JOIN vv
+       GROUP BY doc_id)
+SELECT t.doc_id, floor(sc.bits * 1e9 + 0.5) / 1e9 AS bits
+FROM t LEFT JOIN sc USING (doc_id)""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$charLmScore": {"input": "$text", "as": "bits"}},
+            {"$project": {"doc_id": 1, "bits": 1}},
+        ],
+    )
+)
+
 # --- $quantileBin -----------------------------------------------------
 
 _register(

@@ -1810,6 +1810,99 @@ def pack_sequences_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$charLmScore")
+def char_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
+    """Corpus-trained character-bigram cross-entropy: ``{input, as}`` —
+    appends bits-per-character under a Laplace-smoothed char-bigram
+    model fit on the SAME corpus.  The perplexity-style quality signal
+    without a neural LM: gibberish, encoding junk, and wrong-language
+    text score high; fluent text scores low.  Null for docs shorter
+    than two characters.
+
+    bits = −mean log2 (c(ab)+1) / (c(a)+V) over the doc's bigrams,
+    where c(ab)/c(a) are corpus bigram/prefix counts and V the corpus
+    character vocabulary size.
+
+    Corpus-scale plan: bigrams come from row-local substr explodes; the
+    two count tables partial-aggregate to character-vocabulary size
+    (≤ |charset|²) and BROADCAST back to the scoring join; the per-doc
+    mean rides one doc-keyed shuffle.  Join keys are substr slices in
+    both engines, so the DuckDB oracle is exact.
+    """
+    inp = expression["input"]
+    as_field = expression.get("as", "bits_per_char")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        df = _spread(df)
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        lowered = F.lower(text)
+        # positions 1..len-1: bigram substr(i,2); its conditioning
+        # prefix is substr(i,1)
+        # sequence(1, 0) DESCENDS in Spark — gate short strings to an
+        # explicit empty array
+        bi_arr = F.expr(
+            "if(length(`__lm_t`) < 2, array(), "
+            "transform(sequence(1, length(`__lm_t`) - 1), "
+            "i -> substring(`__lm_t`, i, 2)))"
+        )
+        uni_arr = F.expr(
+            "if(length(`__lm_t`) < 1, array(), "
+            "transform(sequence(1, length(`__lm_t`)), "
+            "i -> substring(`__lm_t`, i, 1)))"
+        )
+        base = df.withColumn("__lm_t", lowered)
+        corpus_bi = (
+            base.select(F.explode(bi_arr).alias("__bg"))
+            .groupBy("__bg")
+            .agg(F.count(F.lit(1)).cast("double").alias("__cab"))
+        )
+        corpus_uni = (
+            base.select(
+                F.explode(
+                    F.expr(
+                        "if(length(`__lm_t`) < 2, array(), "
+                        "transform(sequence(1, length(`__lm_t`) - 1), "
+                        "i -> substring(`__lm_t`, i, 1)))"
+                    )
+                ).alias("__pre")
+            )
+            .groupBy("__pre")
+            .agg(F.count(F.lit(1)).cast("double").alias("__ca"))
+        )
+        vocab = base.select(F.explode(uni_arr).alias("__ch")).agg(
+            F.countDistinct("__ch").cast("double").alias("__v")
+        )
+        key = F.xxhash64(F.col("__lm_t"))
+        doc_bi = base.withColumn("__did", key).select(
+            "__did", F.explode(bi_arr).alias("__bg")
+        ).withColumn("__pre", F.substring("__bg", 1, 1))
+        scored = (
+            doc_bi.join(F.broadcast(corpus_bi), "__bg")
+            .join(F.broadcast(corpus_uni), "__pre")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy("__did")
+            .agg(
+                F.avg(
+                    -F.log2(
+                        (F.col("__cab") + 1.0)
+                        / (F.col("__ca") + F.col("__v"))
+                    )
+                ).alias("__bits")
+            )
+        )
+        # doc-keyed equi-join (scored is corpus-cardinality — never
+        # broadcast); AQE picks the strategy
+        out = base.withColumn("__did", key).join(scored, "__did", "left")
+        # half-up at 9 digits (the SQL-oracle convention)
+        return out.withColumn(
+            as_field,
+            F.floor(F.col("__bits") * 1e9 + F.lit(0.5)).cast("double")
+            / F.lit(1e9),
+        ).drop("__lm_t", "__did", "__bits")
+
+    return fn
+
+
 @register_stage("$quantileBin")
 def quantile_bin_stage(expression: Any, ctx: Context) -> StageFn:
     """Equal-frequency bin labels: ``{input, bins, as, exact?,

@@ -218,3 +218,33 @@ def test_quantile_bin_modes(spark):
         Context(spark=spark),
     )(dfn).collect()
     assert {r["id"]: r["bin"] for r in outn}[1] is None
+
+
+def test_char_lm_score(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "ababab"), (2, "ababab"), (3, "xq"), (4, "z")],
+        "doc_id long, text string",
+    )
+    out = compile_pipeline(
+        [{"$charLmScore": {"input": "$text", "as": "bits"}}],
+        Context(spark=spark),
+    )(docs).collect()
+    by = {r["doc_id"]: r["bits"] for r in out}
+    # corpus bigrams: ab x6, ba x4, xq x1; prefixes a x6, b x4, x x1
+    # vocab: a, b, x, q, z -> V = 5
+    def bits(pairs):
+        cab = {"ab": 6.0, "ba": 4.0, "xq": 1.0}
+        ca = {"a": 6.0, "b": 4.0, "x": 1.0}
+        vals = [-math.log2((cab[p] + 1) / (ca[p[0]] + 5)) for p in pairs]
+        m = sum(vals) / len(vals)
+        return math.floor(m * 1e9 + 0.5) / 1e9
+
+    assert by[1] == bits(["ab", "ba", "ab", "ba", "ab"])
+    assert by[1] == by[2]              # identical text, identical score
+    assert by[3] == bits(["xq"])
+    assert by[4] is None               # too short to score
+    # the repeated fluent pattern scores lower than the rare bigram
+    assert by[1] < by[3]
