@@ -558,3 +558,53 @@ def test_group_per_message_rejects_nonatomic_and_combo(spark, tmpdir):
         _run(spark, tmpdir, "k string, v long",
              [[{"k": "a", "v": 1}]],
              [{"$project": {"k": 1}}], emission="per_message")
+
+
+def test_group_per_message_state_survives_restart(spark, tmpdir):
+    """applyInPandasWithState state lives in the checkpointed state
+    store: a NEW query over the SAME checkpoint continues accumulating
+    where the stopped one left off (no re-emission, no reset counts)."""
+    import json as _json
+    import os
+
+    in_dir = os.path.join(tmpdir, "in")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    os.makedirs(in_dir, exist_ok=True)
+    pipeline = [{"$group": {"_id": "$k", "n": {"$count": {}},
+                            "mx": {"$max": "$v"}}}]
+    emissions = []
+
+    def sink(batch_df, epoch):
+        emissions.extend(
+            r.asDict() for r in batch_df.collect()
+        )
+
+    def write_batch(i, rows):
+        with open(os.path.join(in_dir, f"b{i}.json"), "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+        os.utime(os.path.join(in_dir, f"b{i}.json"),
+                 (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def run_once():
+        source = (
+            spark.readStream.schema("k string, v long")
+            .option("maxFilesPerTrigger", 1).json(in_dir)
+        )
+        q = run_streaming(
+            source, pipeline, Context(spark=spark), sink,
+            trigger={"availableNow": True}, checkpoint=ckpt,
+            emission="per_message",
+        )
+        q.awaitTermination(120)
+
+    write_batch(0, [{"k": "a", "v": 5}, {"k": "a", "v": 9}])
+    run_once()   # first query: n=1 (mx 5), n=2 (mx 9)
+    first = list(emissions)
+    assert [(r["n"], r["mx"]) for r in first] == [(1, 5), (2, 9)]
+
+    write_batch(1, [{"k": "a", "v": 7}])   # loses on max, but n changes
+    run_once()   # RESTARTED query, same checkpoint
+    tail = emissions[len(first):]
+    # continues from n=2 / mx=9 — no reset, no replay of batch 0
+    assert [(r["n"], r["mx"]) for r in tail] == [(3, 9)]
