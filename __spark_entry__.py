@@ -2769,6 +2769,34 @@ _register(
     )
 )
 
+# --- $sentenceSplit ---------------------------------------------------
+
+_register(
+    "sentence_split",
+    r"""WITH t AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+             string_split_regex(text, '[.!?]+\s+|[.!?]+$'),
+             s -> trim(s)), s -> len(s) >= 5) AS arr
+  FROM documents),
+u AS (SELECT doc_id,
+             unnest([{'idx': i - 1, 's': arr[i]}
+                     FOR i IN range(1, len(arr) + 1)],
+                    recursive := true)
+      FROM t)
+SELECT doc_id, CAST(idx AS BIGINT) AS idx, s AS sentence FROM u""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$sentenceSplit": {"input": "$text", "as": "s",
+                                "minChars": 5}},
+            {"$unwind": {"path": "$s", "includeArrayIndex": "idx"}},
+            {"$project": {"doc_id": 1, "idx": 1, "sentence": "$s"}},
+        ],
+    )
+)
+
 # --- $charLmScore -----------------------------------------------------
 
 _register(

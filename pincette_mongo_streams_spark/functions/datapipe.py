@@ -1810,6 +1810,34 @@ def pack_sequences_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$sentenceSplit")
+def sentence_split_stage(expression: Any, ctx: Context) -> StageFn:
+    """Sentence segmentation: ``{input, as, minChars?}`` — splits on
+    runs of sentence-ending punctuation (``.!?``) followed by
+    whitespace (or end of text), trims, and drops segments shorter than
+    ``minChars`` (default 1).  Row-local HOFs, no shuffle; compose with
+    ``$unwind {includeArrayIndex}`` for per-sentence rows.  The regex is
+    deliberately lookaround-free so the same pattern runs identically in
+    any SQL engine (trailing punctuation is consumed, not kept)."""
+    inp = expression["input"]
+    as_field = expression.get("as", "sentences")
+    min_chars = int(expression.get("minChars", 1))
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        df = _spread(df)
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        return df.withColumn("__ss_t", text).withColumn(
+            as_field,
+            F.expr(
+                "filter(transform(split(`__ss_t`, "
+                r"'[.!?]+\\s+|[.!?]+$'), s -> trim(s)), "
+                f"s -> length(s) >= {min_chars})"
+            ),
+        ).drop("__ss_t")
+
+    return fn
+
+
 @register_stage("$charLmScore")
 def char_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
     """Corpus-trained character-bigram cross-entropy: ``{input, as}`` —

@@ -248,3 +248,23 @@ def test_char_lm_score(spark):
     assert by[4] is None               # too short to score
     # the repeated fluent pattern scores lower than the rare bigram
     assert by[1] < by[3]
+
+
+def test_sentence_split(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "First one. Second!  Third?No split here... and a tail"),
+         (2, "x. y"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = compile_pipeline(
+        [{"$sentenceSplit": {"input": "$text", "as": "s", "minChars": 2}}],
+        Context(spark=spark),
+    )(docs).collect()
+    by = {r["doc_id"]: r["s"] for r in out}
+    # "Third?No" has no whitespace after ? -> stays one segment
+    assert by[1] == ["First one", "Second", "Third?No split here",
+                     "and a tail"]
+    assert by[2] == []         # "x" and "y" both under minChars=2
+    assert by[3] == []
