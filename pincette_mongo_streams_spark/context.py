@@ -45,6 +45,24 @@ class Context:
         Callable[[], Callable[[str, Optional[str], dict], None]]
     ] = None
     stage_extensions: dict[str, Any] = field(default_factory=dict)
+    # --- Features analog (reference Context.java:25-26 carries a
+    # net.pincette.mongo.Features consumed by every expression/match
+    # compile and by the script stages) ---
+    # custom aggregation-expression operators: "$name" ->
+    #   (raw_args, ExprContext) -> Column.  Built-ins win
+    # (the reference's stage-extension precedence, Pipeline.java:275-276).
+    expression_extensions: dict[str, Callable] = field(default_factory=dict)
+    # custom $match field operators: "$name" ->
+    #   (field_col, raw_arg, ExprContext) -> boolean Column.
+    match_extensions: dict[str, Callable] = field(default_factory=dict)
+    # customJsltFunctions analog (Jslt.java:27-33): plain Python callables
+    # "name" -> fn(*args) used by the tier-2 JSLT evaluator for function
+    # calls that are neither script-local defs nor builtins.  Must be
+    # picklable (they ship to executors inside the row UDF closure).
+    jslt_functions: dict[str, Callable] = field(default_factory=dict)
+    # jqModuleLoader analog (Jq.java:27-31): "name" -> fn(input, *args)
+    # consulted by the tier-2 jq interpreter after script defs + builtins.
+    jq_functions: dict[str, Callable] = field(default_factory=dict)
     http_transport: Optional[Callable[[dict], dict]] = None
     trace: bool = False
     # wall clock, injectable for deterministic tests ($probe/$throttle/$delay)

@@ -113,6 +113,13 @@ def compile_expr(expr: Any, ctx: ExprContext) -> Any:
                 raise ValueError(f"operator object must have a single key: {expr}")
             fn = OPERATORS.get(op)
             if fn is None:
+                # Features analog: user expression operators registered on
+                # the pipeline Context (reference Context.java:25-26);
+                # built-ins win, so this is consulted only on a miss
+                from .features import expression_extension
+
+                fn = expression_extension(op)
+            if fn is None:
                 raise NotImplementedError(f"unsupported expression operator {op}")
             return fn(expr[op], ctx)
         # expression object {k: expr, ...} -> struct (Group.java:233-246)

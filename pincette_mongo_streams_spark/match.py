@@ -24,6 +24,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import features
 from .expressions import ExprContext, _lit_deep, compile_expr, mongo_truthy
 from .paths import split_path
 
@@ -108,7 +109,8 @@ def _fold_or(preds: list[Column]) -> Column:
 
 
 def _is_operator_doc(value: Any) -> bool:
-    return isinstance(value, dict) and bool(value) and all(k in _FIELD_OPS for k in value)
+    ops = _FIELD_OPS | features.match_extension_names()
+    return isinstance(value, dict) and bool(value) and all(k in ops for k in value)
 
 
 def _field_predicate(path: str, value: Any, ctx: ExprContext) -> Column:
@@ -206,6 +208,9 @@ def _one_op(col: Column, ftype: Any, op: str, arg: Any, ops: dict, ctx: ExprCont
             "$bitsAnyClear": masked != mask,
         }[op]
         return F.coalesce(pred, F.lit(False))
+    ext = features.match_extension(op)
+    if ext is not None:
+        return ext(col, arg, ctx)
     raise NotImplementedError(f"unsupported query operator {op}")
 
 

@@ -579,11 +579,16 @@ def _truthy(v):
 
 
 class _Env:
-    __slots__ = ("vars", "funcs", "parent")
+    __slots__ = ("vars", "funcs", "customs", "parent")
 
-    def __init__(self, vars=None, funcs=None, parent=None):
+    def __init__(self, vars=None, funcs=None, parent=None, customs=None):
         self.vars = vars or {}
         self.funcs = funcs or {}
+        # jqModuleLoader analog (reference Jq.java:27-31): plain Python
+        # callables ``name -> fn(input, *arg_values)`` consulted after
+        # script defs and builtins (built-ins win)
+        self.customs = customs if customs is not None else (
+            parent.customs if parent is not None else {})
         self.parent = parent
 
     def var(self, name):
@@ -906,6 +911,15 @@ def _call(name, args, inp, env) -> Iterator[Any]:
         return
     b = _BUILTINS.get((name, len(args)))
     if b is None:
+        custom = env.customs.get(name)
+        if custom is not None:
+            try:
+                yield custom(inp, *[_one(a, inp, env) for a in args])
+            except (_JqRuntimeError, JqInterpError):
+                raise
+            except Exception as e:  # same catchable-error contract as builtins
+                raise _JqRuntimeError(f"{name}: {e}") from e
+            return
         raise JqInterpError(f"unknown builtin {name}/{len(args)}")
     # jq converts type/value errors inside builtins into CATCHABLE jq
     # errors (try/catch, //) — raw Python exceptions would instead kill
@@ -1198,25 +1212,29 @@ def parse(src: str):
     return node
 
 
-def jq_first(script: str):
+def jq_first(script: str, functions=None):
     """Compile ``script``; returns ``doc -> first output`` (the stage
-    contract: one document in, one document out — Script.java:58-73)."""
+    contract: one document in, one document out — Script.java:58-73).
+    ``functions``: custom ``{name: fn(input, *args)}`` (jqModuleLoader
+    analog, Jq.java:27-31) consulted after script defs and builtins."""
     ast = parse(script)
+    customs = dict(functions or {})
 
     def run(doc):
-        for v in _ev(ast, doc, _Env()):
+        for v in _ev(ast, doc, _Env(customs=customs)):
             return v
         return None
 
     return run
 
 
-def jq_all(script: str):
+def jq_all(script: str, functions=None):
     """Compile ``script``; returns ``doc -> list of all outputs`` (stream
     semantics, for tests and future multi-output stages)."""
     ast = parse(script)
+    customs = dict(functions or {})
 
     def run(doc):
-        return list(_ev(ast, doc, _Env()))
+        return list(_ev(ast, doc, _Env(customs=customs)))
 
     return run

@@ -137,16 +137,21 @@ def _pairs(v: Any):
 
 
 class _Env:
-    __slots__ = ("vars", "lets", "defs", "doc")
+    __slots__ = ("vars", "lets", "defs", "doc", "customs")
 
-    def __init__(self, vars, lets, defs, doc):
+    def __init__(self, vars, lets, defs, doc, customs=None):
         self.vars = vars
         self.lets = lets
         self.defs = defs
         self.doc = doc
+        # customJsltFunctions analog (reference Jslt.java:27-33): plain
+        # Python callables ``name -> fn(*arg_values)``, consulted last so
+        # script-local defs and builtins win
+        self.customs = customs or {}
 
     def child(self, extra):
-        return _Env({**self.vars, **extra}, self.lets, self.defs, self.doc)
+        return _Env({**self.vars, **extra}, self.lets, self.defs, self.doc,
+                    self.customs)
 
 
 def _ev(node, dot, env) -> Any:
@@ -261,6 +266,9 @@ def _call(name, args, dot, env) -> Any:
         return _ev(body, dot, env.child(vals))
     fn = _BUILTINS.get(name)
     if fn is None:
+        custom = env.customs.get(name)
+        if custom is not None:
+            return custom(*[_ev(a, dot, env) for a in args])
         raise JsltEvalError(f"unknown function {name}()")
     return fn([_ev(a, dot, env) for a in args], args, dot, env)
 
@@ -449,20 +457,24 @@ def _format_time(secs, fmt):
     return d.strftime(_java_fmt_to_py(fmt))
 
 
-def jslt_transform(script: str):
+def jslt_transform(script: str, functions=None):
     """Parse ``script`` with the shared parser and return
     ``doc -> transformed doc`` over plain JSON values.  Raises the
-    compiler's JsltUnsupported if even the parser rejects it."""
+    compiler's JsltUnsupported if even the parser rejects it.
+
+    ``functions`` is the customJsltFunctions analog (Jslt.java:27-33):
+    ``{name: fn(*args)}`` consulted after script defs and builtins."""
     from .jslt import _Parser, tokenize
 
     lets, defs, body = _Parser(tokenize(script)).parse_script()
     plain_lets = {k: _strip(v) for k, v in lets.items()}
     plain_defs = {k: (list(p), _strip(b)) for k, (p, b) in defs.items()}
     plain_body = _strip(body)
+    customs = dict(functions or {})
 
     def run(doc: dict) -> Any:
         clean = {k: v for k, v in doc.items() if not k.startswith("__")}
-        env = _Env({}, plain_lets, plain_defs, clean)
+        env = _Env({}, plain_lets, plain_defs, clean, customs)
         return _ev(plain_body, clean, env)
 
     return run

@@ -127,12 +127,14 @@ def _script_stage(kind: str, expression: Any, ctx: Context) -> StageFn:
 
             try:
                 # apply can also raise (e.g. a step whose result is not a
-                # document) — both fall to tier 2
+                # document) — both fall to tier 2.  A script calling a
+                # Context.jq_functions custom function lands here too:
+                # the native compiler rejects the unknown name
                 return compile_jq_steps(script, _rekey_on_id)(df)
             except (JqUnsupported, _SharedUnsupported):
                 # the shared Column compiler (operators/jslt.py) raises
                 # its own boundary error for jq scripts too
-                return _jq_udf(df, script)
+                return _jq_udf(df, script, c.jq_functions)
         # tier 1.5: the JSLT-subset compiler (paths, operators, if/else,
         # let/def, for, builtins) — native Columns, no UDF
         # (operators/jslt.py); tier 2: the pure-Python evaluator
@@ -142,7 +144,9 @@ def _script_stage(kind: str, expression: Any, ctx: Context) -> StageFn:
         try:
             added, dropped, projected = compile_jslt(script, df)
         except JsltUnsupported:
-            return _jslt_udf(df, script)
+            # custom Context.jslt_functions scripts also land here (the
+            # native compiler rejects the unknown function name)
+            return _jslt_udf(df, script, c.jslt_functions)
 
         def apply(frame: DataFrame) -> DataFrame:
             if added is not None:
@@ -194,7 +198,7 @@ def _script_udf(df: DataFrame, run_one) -> DataFrame:
     return _rekey_on_id(out)
 
 
-def _jslt_udf(df: DataFrame, script: str) -> DataFrame:
+def _jslt_udf(df: DataFrame, script: str, functions=None) -> DataFrame:
     """Tier 2 for $jslt scripts the Column compiler rejects: the
     pure-Python evaluator over the same AST (operators/jslt_eval.py) —
     Python per row, but the reference's arbitrary-JSLT surface
@@ -209,7 +213,7 @@ def _jslt_udf(df: DataFrame, script: str) -> DataFrame:
     except Exception:  # pragma: no cover - older pickler
         pass
     try:
-        run_one = jslt_eval.jslt_transform(script)
+        run_one = jslt_eval.jslt_transform(script, functions)
     except JsltUnsupported as e:
         raise NotImplementedError(
             f"JSLT beyond both the native subset and the tier-2 "
@@ -218,12 +222,15 @@ def _jslt_udf(df: DataFrame, script: str) -> DataFrame:
     return _script_udf(df, run_one)
 
 
-def _jq_udf(df: DataFrame, script: str) -> DataFrame:
+def _jq_udf(df: DataFrame, script: str, functions=None) -> DataFrame:
     """Tier 2 for $jq scripts beyond the native compiler: the C-backed
     python ``jq`` binding when installed, else the pure-Python interpreter
     (operators/jq_interp.py) — slower (Python per row) but correct for
     the long tail (Jq.java:19-33 runs arbitrary jackson-jq)."""
     try:
+        if functions:
+            # custom Python functions only exist in the interpreter path
+            raise ImportError
         import jq  # type: ignore
 
         compiled = jq.compile(script)
@@ -241,7 +248,7 @@ def _jq_udf(df: DataFrame, script: str) -> DataFrame:
         except Exception:  # pragma: no cover - older pickler
             pass
         try:
-            run_one = jq_first(script)
+            run_one = jq_first(script, functions)
         except JqInterpError as e:
             raise NotImplementedError(
                 f"$jq script beyond both the native subset and the "

@@ -18,6 +18,7 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame
 
 from .context import Context
+from .features import active_features
 
 StageFn = Callable[[DataFrame, Context], DataFrame]
 StageCompiler = Callable[[Any, Context], StageFn]
@@ -61,15 +62,19 @@ def compile_pipeline(pipeline: list[dict], ctx: Context) -> Callable[[DataFrame]
 
     # stages precompile at construction, mirroring Pipeline.create's
     # expression precompilation (Pipeline.java:273-299); invalid stage
-    # specs fail here, not at first run
-    compiled = [(name, compile_stage(name, expression, ctx))
-                for name, expression in stages]
+    # specs fail here, not at first run.  The context's Features analog
+    # (expression/match extensions — Context.java:25-26) is in scope for
+    # both the precompile and every application of the pipeline.
+    with active_features(ctx):
+        compiled = [(name, compile_stage(name, expression, ctx))
+                    for name, expression in stages]
 
     def run(df: DataFrame) -> DataFrame:
-        out = df
-        for _name, fn in compiled:
-            out = fn(out, ctx)
-        return out
+        with active_features(ctx):
+            out = df
+            for _name, fn in compiled:
+                out = fn(out, ctx)
+            return out
 
     return run
 
