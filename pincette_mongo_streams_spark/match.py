@@ -306,6 +306,11 @@ def _schema_pred(col: Column, stype: Any, sch: Any) -> Column:
     if "enum" in sch:
         preds.append(_fold_or([col.eqNullSafe(_lit_deep(v))
                                for v in sch["enum"]]))
+    # draft-4 (and Mongo) semantics: keywords that don't apply to the
+    # instance type are IGNORED — a numeric keyword on a string column
+    # (or vice versa) validates every value.  With a fixed schema the
+    # applicability test is static per column, so a non-applicable
+    # keyword compiles to lit(True), never to a silent reject-all.
     is_num = isinstance(stype, T.NumericType)
     for kw, mk in (("minimum", lambda b: col >= F.lit(b)),
                    ("maximum", lambda b: col <= F.lit(b)),
@@ -313,33 +318,30 @@ def _schema_pred(col: Column, stype: Any, sch: Any) -> Column:
                    ("exclusiveMaximum", lambda b: col < F.lit(b))):
         if kw in sch:
             preds.append(F.coalesce(mk(sch[kw]), F.lit(False))
-                         if is_num else F.lit(False))
+                         if is_num else F.lit(True))
     if "multipleOf" in sch:
         preds.append(F.coalesce(col % F.lit(sch["multipleOf"]) == 0,
                                 F.lit(False))
-                     if is_num else F.lit(False))
-    # string/array keywords are TYPE-GUARDED: on a mismatching column the
-    # keyword is statically false (same stance as _type_pred) instead of
-    # crashing compilation on F.length/F.size
+                     if is_num else F.lit(True))
     is_str = isinstance(stype, T.StringType)
     is_arr = isinstance(stype, T.ArrayType)
     if "minLength" in sch:
         preds.append(F.length(col) >= F.lit(int(sch["minLength"]))
-                     if is_str else F.lit(False))
+                     if is_str else F.lit(True))
     if "maxLength" in sch:
         preds.append(F.length(col) <= F.lit(int(sch["maxLength"]))
-                     if is_str else F.lit(False))
+                     if is_str else F.lit(True))
     if "pattern" in sch:
-        preds.append(col.rlike(sch["pattern"]) if is_str else F.lit(False))
+        preds.append(col.rlike(sch["pattern"]) if is_str else F.lit(True))
     if "minItems" in sch:
         preds.append(F.size(col) >= F.lit(int(sch["minItems"]))
-                     if is_arr else F.lit(False))
+                     if is_arr else F.lit(True))
     if "maxItems" in sch:
         preds.append(F.size(col) <= F.lit(int(sch["maxItems"]))
-                     if is_arr else F.lit(False))
+                     if is_arr else F.lit(True))
     if sch.get("uniqueItems"):
         preds.append(F.size(F.array_distinct(col)) == F.size(col)
-                     if is_arr else F.lit(False))
+                     if is_arr else F.lit(True))
     if "items" in sch:
         isch = sch["items"]
         if not isinstance(isch, dict):
@@ -348,7 +350,7 @@ def _schema_pred(col: Column, stype: Any, sch: Any) -> Column:
             )
         preds.append(
             F.forall(col, lambda e: _value_pred(e, stype.elementType, isch))
-            if is_arr else F.lit(False)
+            if is_arr else F.lit(True)
         )
     if isinstance(stype, T.StructType):
         fields = {f.name: f.dataType for f in stype.fields}

@@ -146,7 +146,12 @@ def rank_fusion_stage(expression: Any, ctx: Context) -> StageFn:
     weights = (expression.get("combination") or {}).get("weights", {})
     rank_const = float(expression.get("rankConstant", 60))
     id_field = expression.get("id", "_id")
-    limit = expression.get("limit")
+    # Mongo requires bounded sub-pipelines; an unbounded fused set would
+    # serialize through the final unpartitioned rank window.  A missing
+    # `limit` therefore defaults to 1000 (documented) so ordering+limit
+    # always collapses to TakeOrderedAndProject and the rank window runs
+    # over at most `limit` rows.
+    limit = int(expression.get("limit", 1000))
     if not pipelines:
         raise ValueError("$rankFusion needs at least one input pipeline")
 
@@ -176,9 +181,7 @@ def rank_fusion_stage(expression: Any, ctx: Context) -> StageFn:
             start=F.lit(0.0),
         )
         out = fused.select(F.col(id_field), score.alias("score"))
-        ordered = out.orderBy(F.col("score").desc(), F.col(id_field))
-        if limit is not None:
-            ordered = ordered.limit(int(limit))
+        ordered = out.orderBy(F.col("score").desc(), F.col(id_field)).limit(limit)
         from pyspark.sql import Window
 
         w_ = Window.orderBy(F.col("score").desc(), F.col(id_field))
@@ -205,7 +208,9 @@ def score_fusion_stage(expression: Any, ctx: Context) -> StageFn:
         raise ValueError(f"unknown normalization {normalization!r}")
     weights = (expression.get("combination") or {}).get("weights", {})
     id_field = expression.get("id", "_id")
-    limit = expression.get("limit")
+    # same bounded-fusion stance as $rankFusion: default limit keeps the
+    # final rank window over at most `limit` rows
+    limit = int(expression.get("limit", 1000))
     if not pipelines:
         raise ValueError("$scoreFusion needs at least one input pipeline")
 
@@ -245,9 +250,7 @@ def score_fusion_stage(expression: Any, ctx: Context) -> StageFn:
         )
         den = sum((F.lit(float(weights.get(n, 1))) for n in names), start=F.lit(0.0))
         out = fused.select(F.col(id_field), (num / den).alias("score"))
-        ordered = out.orderBy(F.col("score").desc(), F.col(id_field))
-        if limit is not None:
-            ordered = ordered.limit(int(limit))
+        ordered = out.orderBy(F.col("score").desc(), F.col(id_field)).limit(limit)
         from pyspark.sql import Window
 
         w_ = Window.orderBy(F.col("score").desc(), F.col(id_field))
@@ -487,6 +490,23 @@ def set_window_fields_stage(expression: Any, ctx: Context) -> StageFn:
             else:
                 # aggregate op over a frame: default = whole partition
                 # (MongoDB's documented default window)
+                if window is not None:
+                    if "unit" in window and "documents" in window:
+                        # Mongo rejects unit with document windows
+                        raise ValueError(
+                            "$setWindowFields: 'unit' is only valid with "
+                            "'range' windows, not 'documents'"
+                        )
+                    if "unit" in window and "range" not in window:
+                        raise ValueError(
+                            "$setWindowFields: a window with 'unit' "
+                            "requires a 'range' bound"
+                        )
+                    if "documents" not in window and "range" not in window:
+                        raise ValueError(
+                            "$setWindowFields: a window needs 'documents' "
+                            f"or 'range' (got {sorted(window)})"
+                        )
                 if window is None:
                     w = (ordered if sort_by else base).rowsBetween(
                         Window.unboundedPreceding, Window.unboundedFollowing

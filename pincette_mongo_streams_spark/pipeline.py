@@ -74,6 +74,14 @@ def compile_pipeline(pipeline: list[dict], ctx: Context) -> Callable[[DataFrame]
             out = df
             for _name, fn in compiled:
                 out = fn(out, ctx)
+            # Atlas never exposes score metadata unless the user asked for
+            # it via {"$meta": ...} — which copies the value into a user
+            # column.  The hidden score columns bound by $vectorSearch /
+            # $search (operators/atlas.py) are dropped at pipeline end so
+            # unprojected pipelines don't grow a synthetic column.
+            meta_cols = [c for c in out.columns if c.startswith("__meta_")]
+            if meta_cols:
+                out = out.drop(*meta_cols)
             return out
 
     return run

@@ -25,13 +25,17 @@ processes one message at a time globally).
 
 Restrictions (raise at compile): accumulator inputs and the group key
 must be atomic (numeric / string / boolean) so the JSON state round-trips
-exactly; supported accumulators are $sum, $count, $avg, $min, $max,
-$first, $last, $push, $addToSet.
+exactly — except ``$mergeObjects``, whose input is a struct of atomic
+fields (objects are already JSON).  Supported accumulators: $sum, $count,
+$avg, $min, $max, $first, $last, $push, $addToSet, $mergeObjects,
+$stdDevPop — the reference's full registry (Group.java:107-117) plus
+$first.
 """
 
 from __future__ import annotations
 
 import json
+import math
 from typing import Any, Callable, Iterable
 
 import pandas as pd
@@ -43,9 +47,9 @@ from ..context import Context
 from ..expressions import ExprContext, compile_expr
 
 _SUPPORTED = {"$sum", "$count", "$avg", "$min", "$max", "$first", "$last",
-              "$push", "$addToSet"}
+              "$push", "$addToSet", "$mergeObjects", "$stdDevPop"}
 
-_ATOMIC = (T.NumericType, T.StringType, T.BooleanType)
+_ATOMIC = (T.NumericType, T.StringType, T.BooleanType, T.NullType)
 
 
 def _py(v: Any) -> Any:
@@ -58,6 +62,16 @@ def _py(v: Any) -> Any:
     except (TypeError, ValueError):
         pass
     return v.item() if hasattr(v, "item") else v
+
+
+def _py_deep(v: Any) -> Any:
+    """deep numpy/pandas -> plain python (struct inputs for $mergeObjects
+    arrive from Arrow as dicts whose values are numpy scalars)."""
+    if isinstance(v, dict):
+        return {k: _py_deep(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_py_deep(x) for x in v]
+    return _py(v)
 
 
 def compile_group_per_message(
@@ -98,7 +112,18 @@ def compile_group_per_message(
         out_fields = [T.StructField("_id", ptypes["__gk"])]
         for i, (name, op, _) in enumerate(specs):
             it = ptypes[f"__in{i}"]
-            if not isinstance(it, _ATOMIC):
+            if op == "$mergeObjects":
+                # objects are already JSON: a struct of atomic fields
+                # round-trips through the JSON state exactly
+                if not (isinstance(it, T.StructType)
+                        and all(isinstance(f.dataType, _ATOMIC)
+                                for f in it.fields)):
+                    raise ValueError(
+                        f"accumulator {name}: $mergeObjects per-message "
+                        f"emission needs a struct of atomic fields "
+                        f"(got {it.simpleString()})"
+                    )
+            elif not isinstance(it, _ATOMIC):
                 raise ValueError(
                     f"accumulator {name}: per-message emission needs an "
                     f"atomic input (got {it.simpleString()})"
@@ -106,7 +131,7 @@ def compile_group_per_message(
             if op in ("$sum", "$count"):
                 ot = (T.LongType() if isinstance(it, T.IntegralType)
                       else T.DoubleType())
-            elif op == "$avg":
+            elif op in ("$avg", "$stdDevPop"):
                 ot = T.DoubleType()
             elif op in ("$push", "$addToSet"):
                 ot = T.ArrayType(it)
@@ -123,6 +148,15 @@ def compile_group_per_message(
             s = st[str(i)]
             if op == "$avg":
                 return s["s"] / s["c"] if s["c"] else None
+            if op == "$stdDevPop":
+                # sigma = sqrt(n*s2 - s1^2)/n, the reference's running
+                # formula (Group.java:437-449)
+                n = s["n"]
+                if not n:
+                    return None
+                return math.sqrt(max(n * s["s2"] - s["s1"] ** 2, 0.0)) / n
+            if op == "$mergeObjects":
+                return dict(s["v"])  # copy, same reason as the lists below
             if op in ("$push", "$addToSet"):
                 return list(s["v"])  # copy: the emission diff compares
                 # against the PREVIOUS snapshot, not the mutated list
@@ -156,6 +190,16 @@ def compile_group_per_message(
             elif op == "$addToSet":
                 if v not in s["v"]:
                     s["v"].append(v)
+            elif op == "$mergeObjects":
+                # non-object values merge as the empty object — i.e. they
+                # change nothing (Group.java:291-299)
+                if isinstance(v, dict):
+                    s["v"].update({k: x for k, x in v.items()})
+            elif op == "$stdDevPop":
+                if v is not None:
+                    s["n"] += 1
+                    s["s1"] += v
+                    s["s2"] += v * v
 
         def init_state() -> dict:
             st: dict = {}
@@ -164,26 +208,38 @@ def compile_group_per_message(
                     st[str(i)] = {"v": 0}
                 elif op == "$avg":
                     st[str(i)] = {"s": 0.0, "c": 0}
+                elif op == "$stdDevPop":
+                    st[str(i)] = {"n": 0, "s1": 0.0, "s2": 0.0}
                 elif op in ("$push", "$addToSet"):
                     st[str(i)] = {"v": []}
+                elif op == "$mergeObjects":
+                    st[str(i)] = {"v": {}}
                 else:
                     st[str(i)] = {}
             return st
 
         def fold(key: tuple, pdfs: Iterable[pd.DataFrame], state
                  ) -> Iterable[pd.DataFrame]:
-            st = json.loads(state.get[0]) if state.exists else init_state()
+            existed = state.exists
+            st = json.loads(state.get[0]) if existed else init_state()
             prev = [value(st, i) for i in range(len(specs))]
+            # a brand-new key has no prior emission to diff against: the
+            # reference upserts and emits the newly created group doc even
+            # when every accumulator still sits at its initial value
+            # (Group.java:176-186 diffs against the ABSENT Mongo doc)
+            first_pending = not existed
             out: list[list] = []
             for pdf in pdfs:
                 in_cols = [pdf[f"__in{i}"] for i in range(len(specs))]
                 for r in range(len(pdf)):
                     for i in range(len(specs)):
-                        update(st, i, _py(in_cols[i].iloc[r]))
+                        update(st, i, _py_deep(in_cols[i].iloc[r]))
                     cur = [value(st, i) for i in range(len(specs))]
-                    if cur != prev:  # the reference's emission diff
+                    if cur != prev or first_pending:
+                        # the reference's emission diff
                         out.append([_py(key[0])] + list(cur))
                         prev = cur
+                        first_pending = False
             state.update((json.dumps(st),))
             if out:
                 yield pd.DataFrame(out, columns=["_id"] + names)

@@ -51,6 +51,35 @@ def test_search_text_bm25(spark):
     assert {r["doc_id"] for r in full} == {1, 3}
 
 
+def test_meta_columns_never_leak(spark):
+    """Atlas never exposes score metadata unless requested via $meta: an
+    unprojected $vectorSearch/$search pipeline must not grow a synthetic
+    __meta_* column (the hidden score column drops at pipeline end)."""
+    rows = [(1, [1.0, 0.0], "t spark"), (2, [0.0, 1.0], "spark x")]
+    df = spark.createDataFrame(rows, "id long, emb array<double>, t string")
+    out = compile_pipeline(
+        [{"$vectorSearch": {"path": "emb", "queryVector": [1.0, 0.0],
+                            "limit": 2}}],
+        Context(spark=spark),
+    )(df)
+    assert out.columns == ["id", "emb", "t"]
+    out2 = compile_pipeline(
+        [{"$search": {"text": {"query": "spark", "path": "t"}}}],
+        Context(spark=spark),
+    )(df)
+    assert out2.columns == ["id", "emb", "t"]
+    # ...and requesting the score via $meta still works (value copied to a
+    # user column; the hidden column itself is still dropped)
+    out3 = compile_pipeline(
+        [{"$vectorSearch": {"path": "emb", "queryVector": [1.0, 0.0],
+                            "limit": 2}},
+         {"$addFields": {"score": {"$meta": "vectorSearchScore"}}}],
+        Context(spark=spark),
+    )(df)
+    assert out3.columns == ["id", "emb", "t", "score"]
+    assert abs(out3.collect()[0]["score"] - 1.0) < 1e-9
+
+
 def test_search_rejects_compound(spark):
     import pytest
 

@@ -96,6 +96,26 @@ def test_set_window_fields(spark):
     assert b["cum"] == 5.0 and b["rnk"] == 1
 
 
+def test_set_window_fields_window_spec_validation(spark):
+    """A window spec with `unit` but no `range` gets a clear ValueError
+    (not a bare KeyError); `unit` with a `documents` window is rejected
+    the way Mongo rejects it."""
+    rows = [("a", 1, 10.0)]
+    schema = "k string, o long, v double"
+
+    def bad(window, match):
+        with pytest.raises(ValueError, match=match):
+            _run(spark, rows, schema, [{"$setWindowFields": {
+                "partitionBy": "$k", "sortBy": {"o": 1},
+                "output": {"s": {"$sum": "$v", "window": window}},
+            }}]).collect()
+
+    bad({"unit": "hour"}, "requires a 'range'")
+    bad({"unit": "hour", "documents": ["unbounded", "current"]},
+        "only valid with 'range'")
+    bad({"bogus": 1}, "needs 'documents' or 'range'")
+
+
 def test_fill_value_and_locf(spark):
     rows = [("a", 1, None), ("a", 2, 7.0), ("a", 3, None), ("a", 4, None)]
     out = _run(

@@ -154,11 +154,16 @@ def test_json_schema_review_fixes(spark):
     # root oneOf
     assert run({"oneOf": [{"required": ["name"]}, {"required": ["age"]}]}
                ) == {2, 3}  # 1 satisfies both -> fails oneOf
-    # type-mismatched string/array/numeric keywords are statically false,
-    # not compile crashes
-    assert run({"properties": {"name": {"minItems": 1}}}) == {2}
-    assert run({"properties": {"age": {"minLength": 1}}}) == {3}
-    assert run({"properties": {"name": {"minimum": 1}}}) == {2}
+    # draft-4 / Mongo: keywords that don't apply to the instance type are
+    # IGNORED — a Mongo-written numeric/string/array keyword over a
+    # mismatching fixed-schema column validates every row (it must NOT
+    # silently reject everything, and must not crash compilation)
+    assert run({"properties": {"name": {"minItems": 1}}}) == {1, 2, 3}
+    assert run({"properties": {"age": {"minLength": 1}}}) == {1, 2, 3}
+    assert run({"properties": {"name": {"minimum": 1}}}) == {1, 2, 3}
+    # ...while applicable keywords still bite
+    assert run({"properties": {"name": {"minLength": 4}}}) == {1, 2}
+    assert run({"properties": {"age": {"minimum": 10}}}) == {1, 3}
     # tuple-form items rejected clearly
     with _pytest.raises(NotImplementedError, match="items"):
         run({"properties": {"name": {"items": [{"bsonType": "int"}]}}})

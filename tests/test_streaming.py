@@ -546,6 +546,49 @@ def test_group_per_message_multi_accumulators(spark, tmpdir):
     ]
 
 
+def test_group_per_message_merge_objects_stddev(spark, tmpdir):
+    """$mergeObjects and $stdDevPop complete the reference's accumulator
+    registry in per-message mode (Group.java:107-117; running sigma
+    formula Group.java:437-449).  State survives across micro-batches."""
+    pipeline = [{"$group": {
+        "_id": "$k",
+        "m": {"$mergeObjects": {"x": "$x", "y": "$y"}},
+        "sd": {"$stdDevPop": "$v"},
+    }}]
+    emissions = _run(
+        spark, tmpdir, "k string, v double, x long, y string",
+        [
+            [{"k": "a", "v": 2.0, "x": 1, "y": None}],
+            [{"k": "a", "v": 4.0, "x": None, "y": "b"}],
+        ],
+        pipeline, emission="per_message",
+    )
+    flat = [r for batch in emissions for r in batch if r["_id"] == "a"]
+    assert [r["sd"] for r in flat] == [0.0, 1.0]
+    as_dict = lambda m: m if isinstance(m, dict) else m.asDict()
+    assert as_dict(flat[0]["m"]) == {"x": 1, "y": None}
+    # later docs overwrite per-field; the merged object accumulates
+    assert as_dict(flat[1]["m"]) == {"x": None, "y": "b"}
+
+
+def test_group_per_message_first_emission_at_init_value(spark, tmpdir):
+    """A brand-new group key emits its first group doc even when the first
+    message leaves every accumulator at its initial value ($sum over a
+    null field stays 0) — the reference has no prior emission to diff
+    against and emits the newly created group document."""
+    pipeline = [{"$group": {"_id": "$k", "t": {"$sum": "$missing"}}}]
+    emissions = _run(
+        spark, tmpdir, "k string, v long",
+        [
+            [{"k": "a", "v": 1}],   # creates key a: must emit t=0
+            [{"k": "a", "v": 2}],   # nothing changes: no emission
+        ],
+        pipeline, emission="per_message",
+    )
+    flat = [(r["_id"], r["t"]) for batch in emissions for r in batch]
+    assert flat == [("a", 0)]
+
+
 def test_group_per_message_rejects_nonatomic_and_combo(spark, tmpdir):
     import pytest as _pytest
 

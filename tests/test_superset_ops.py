@@ -303,6 +303,30 @@ def test_rank_fusion_weights_and_missing_docs(spark):
     assert abs(by_id[3].score - 1.0 / (60 + 3)) < 1e-12
 
 
+def test_fusion_without_limit_is_bounded(spark):
+    """A missing `limit` defaults to 1000 (Mongo requires bounded fused
+    pipelines): ordering+limit collapses to TakeOrderedAndProject so the
+    final rank window never sorts an unbounded fused set through one
+    partition."""
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    rows = [(i, f"spark doc {i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    ctx = Context(spark=spark)
+    out = compile_pipeline(
+        [{"$rankFusion": {
+            "input": {"pipelines": {
+                "p1": [{"$bm25": {"query": "spark", "input": "$t",
+                                  "id": "doc_id", "k": 3}}],
+            }},
+            "id": "doc_id",  # no limit
+        }}], ctx
+    )(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert len(out.collect()) == 3
+
+
 def test_score_fusion_sigmoid_and_weights(spark):
     """$scoreFusion: sigmoid normalization maps scores to (0,1); weighted
     average over contributing pipelines; absent docs contribute 0."""
