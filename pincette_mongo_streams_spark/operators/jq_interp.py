@@ -15,16 +15,20 @@ Supported beyond the native subset: multi-output streams and ``,``,
 ``*`` deep-merge, string ``/`` split, array ``-`` difference), object
 construction with computed keys, ``if/elif``, ``reduce`` / ``foreach``
 (3-arg too), ``as`` bindings, ``try``/``catch`` and ``error``, ``def``
-user functions (non-recursive, value args), and ~45 builtins
-(to_entries/from_entries/with_entries, group_by/sort_by/unique_by/
-min_by/max_by, map/map_values/select/empty, range, flatten, any/all,
-startswith/endswith/explode/implode, tostring/tonumber/type/has/in/
-contains, paths, getpath, env-free).
+user functions (recursive too — the definition stays in scope inside
+its own body), recursive descent ``..`` / ``recurse(f)``, ``limit``,
+the regex family with Oniguruma named captures converted to Python
+(``test``/``match``/``capture``/``scan``/``sub``/``gsub``/``splits``),
+``@base64``-style format strings (text/json/csv/tsv/html/uri/sh/
+base64/base64d, both as filters and as ``@fmt "..."`` interpolation),
+and ~60 builtins (to_entries/from_entries/with_entries, group_by/
+sort_by/unique_by/min_by/max_by, map/map_values/select/empty, range,
+flatten, any/all, startswith/endswith/explode/implode, tostring/
+tonumber/type/has/in/contains, paths/leaf_paths, getpath, env-free).
 
-Not supported: recursion (``..`` and recursive defs), ``limit``,
-``input``/``inputs``, ``@base64``-style format strings, regex captures,
-SQL-ish builtins, ``$__loc__``.  Those raise ``JqInterpError`` at parse
-or eval time.
+Not supported: ``input``/``inputs`` (stream stages are one-doc-in),
+``import``/``include`` modules, ``label``/``break``, SQL-ish builtins,
+``$__loc__``.  Those raise ``JqInterpError`` at parse or eval time.
 """
 
 from __future__ import annotations
@@ -45,7 +49,8 @@ _TOKEN = re.compile(
     r"""
     (?P<ws>\s+|\#[^\n]*)
   | (?P<number>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
-  | (?P<op>\?//|==|!=|<=|>=|//=|//|\|=|\+=|-=|\*=|/=|%=|[-+*/%<>(){}\[\],:.;|$?])
+  | (?P<op>\?//|==|!=|<=|>=|//=|//|\|=|\+=|-=|\*=|/=|%=|\.\.|[-+*/%<>(){}\[\],:.;|$?])
+  | (?P<format>@[A-Za-z0-9]+)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<string>")
     """,
@@ -363,6 +368,11 @@ class _Parser:
             if k2 != "ident":
                 raise JqInterpError("variable name must follow $")
             return ("var", name)
+        if self.at(".."):
+            # recursive descent: every sub-value, pre-order (jq `..` ==
+            # `recurse`, jackson-jq runs it — Jq.java:19-33)
+            self.next()
+            return ("call", "recurse", [])
         if self.at("."):
             self.next()
             kind2, val2 = self.peek()
@@ -373,6 +383,19 @@ class _Parser:
                 self.next()
                 return ("index", ("identity",), ("str", val2))
             return ("identity",)
+        if kind == "format":
+            # @base64 etc.: alone it formats the input; followed by a
+            # string it formats each interpolated value (jq format strings)
+            self.next()
+            fmt = val[1:]
+            if fmt not in _FORMATS:
+                raise JqInterpError(f"unknown format @{fmt}")
+            if self.peek()[0] == "string":
+                _, parts = self.next()
+                if len(parts) == 1 and isinstance(parts[0], str):
+                    return ("lit", parts[0])
+                return ("fstr", fmt, self._str_ast(parts))
+            return ("format", fmt)
         if kind == "ident":
             return self.parse_ident(val)
         raise JqInterpError(f"unsupported token {val!r}")
@@ -455,7 +478,7 @@ class _Parser:
             self.expect(";")
             rest = self.parse_pipe()
             return ("def", name, params, body, rest)
-        if val in ("import", "include", "label", "limit", "input",
+        if val in ("import", "include", "label", "input",
                    "inputs", "__loc__"):
             raise JqInterpError(f"jq {val!r} is not supported (tier 2)")
         # builtin or user function call
@@ -619,17 +642,22 @@ def _ev(node, inp, env) -> Iterator[Any]:
     if kind == "lit":
         yield node[1]
         return
-    if kind == "str":
+    if kind in ("str", "fstr"):
         # string with interpolations (parts pre-lexed; expressions
-        # pre-PARSED at script parse time — never re-parsed per row)
+        # pre-PARSED at script parse time — never re-parsed per row).
+        # "fstr" = @fmt "..." — each interpolated value runs through the
+        # format; literal parts stay as-is (jq format strings)
+        fmt = node[1] if kind == "fstr" else None
+        parts = node[2] if kind == "fstr" else node[1]
         pieces_sets = []
-        for part in node[1]:
+        for part in parts:
             if isinstance(part, str):
                 pieces_sets.append([part])
             else:
                 sub = part[1]
                 pieces_sets.append([
-                    v if isinstance(v, str) else json.dumps(v)
+                    _format(fmt, v) if fmt is not None else
+                    (v if isinstance(v, str) else json.dumps(v))
                     for v in _ev(sub, inp, env)
                 ])
         # cartesian product over interpolated streams (usually singleton)
@@ -840,6 +868,9 @@ def _ev(node, inp, env) -> Iterator[Any]:
         return
     if kind == "var":
         yield env.var(node[1])
+        return
+    if kind == "format":
+        yield _format(node[1], inp)
         return
     if kind == "call":
         yield from _call(node[1], node[2], inp, env)
@@ -1091,7 +1122,248 @@ def _builtin_range(args, inp, env):
                 x += step
 
 
+# --------------------------------------------- recursion / limit / regex
+
+def _subvalues(v):
+    """Pre-order stream of v and every sub-value (jq `..`/`recurse`)."""
+    yield v
+    if isinstance(v, dict):
+        for x in v.values():
+            yield from _subvalues(x)
+    elif isinstance(v, list):
+        for x in v:
+            yield from _subvalues(x)
+
+
+def _builtin_recurse(args, inp, env):
+    if not args:
+        yield from _subvalues(inp)
+        return
+    # recurse(f) / recurse(f; cond): repeatedly apply f, pre-order; like
+    # jq, errors inside f stop that branch only when recurse() is the
+    # 0-arg form — the explicit form propagates them
+    cond = args[1] if len(args) == 2 else None
+
+    def walk(v):
+        if cond is not None and not any(
+                _truthy(c) for c in _ev(cond, v, env)):
+            return
+        yield v
+        for nxt in _ev(args[0], v, env):
+            yield from walk(nxt)
+
+    yield from walk(inp)
+
+
+def _builtin_limit(args, inp, env):
+    for n in _ev(args[0], inp, env):
+        n = int(n)
+        if n <= 0:
+            return
+        count = 0
+        for v in _ev(args[1], inp, env):
+            yield v
+            count += 1
+            if count >= n:
+                return
+
+
+_ONIG_NAMED = re.compile(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>")
+
+
+def _onig(pat):
+    """jq regexes use Oniguruma named groups ``(?<x>...)``; Python wants
+    ``(?P<x>...)``.  Lookbehind ``(?<=``/``(?<!`` is left untouched."""
+    if not isinstance(pat, str):
+        raise _JqRuntimeError(f"{_type_name(pat)} is not a regex")
+    return _ONIG_NAMED.sub(r"(?P<\1>", pat)
+
+
+def _re_flags(flags):
+    f = 0
+    for ch in flags or "":
+        if ch == "i":
+            f |= re.I
+        elif ch == "x":
+            f |= re.X
+        elif ch == "s":
+            f |= re.S
+        elif ch == "m":
+            f |= re.M
+        elif ch in ("g", "n"):
+            pass  # handled by the caller (global / no-match-ok)
+        else:
+            raise _JqRuntimeError(f"unsupported regex flag {ch!r}")
+    return f
+
+
+def _rx(args, inp, env):
+    """Common (regex, flags) prep for the regex builtins."""
+    pat = _one(args[0], inp, env)
+    flags = _one(args[1], inp, env) if len(args) > 1 else ""
+    if flags is None:
+        flags = ""
+    return (re.compile(_onig(pat), _re_flags(flags)),
+            "g" in flags)
+
+
+def _match_obj(m):
+    caps = []
+    byindex = {i: n for n, i in m.re.groupindex.items()}
+    for gi in range(1, (m.re.groups or 0) + 1):
+        s = m.group(gi)
+        caps.append({
+            "offset": m.start(gi) if s is not None else -1,
+            "length": (m.end(gi) - m.start(gi)) if s is not None else 0,
+            "string": s,
+            "name": byindex.get(gi),
+        })
+    return {"offset": m.start(), "length": m.end() - m.start(),
+            "string": m.group(0), "captures": caps}
+
+
+def _builtin_match(args, inp, env):
+    rx, g = _rx(args, inp, env)
+    if not isinstance(inp, str):
+        raise _JqRuntimeError(f"{_type_name(inp)} cannot be matched")
+    it = rx.finditer(inp)
+    for m in it:
+        yield _match_obj(m)
+        if not g:
+            return
+
+
+def _builtin_capture(args, inp, env):
+    for mo in _builtin_match(args, inp, env):
+        yield {c["name"]: c["string"] for c in mo["captures"]
+               if c["name"] is not None}
+
+
+def _builtin_scan(args, inp, env):
+    rx, _g = _rx(args, inp, env)  # scan is always global
+    if not isinstance(inp, str):
+        raise _JqRuntimeError(f"{_type_name(inp)} cannot be scanned")
+    for m in rx.finditer(inp):
+        if m.re.groups:
+            yield [m.group(i) for i in range(1, m.re.groups + 1)]
+        else:
+            yield m.group(0)
+
+
+def _builtin_splits(args, inp, env):
+    rx, _g = _rx(args, inp, env)
+    if not isinstance(inp, str):
+        raise _JqRuntimeError(f"{_type_name(inp)} cannot be split")
+    yield from rx.split(inp)
+
+
+def _sub_impl(args, inp, env, global_):
+    rx, g = _rx([args[0]] + list(args[2:]), inp, env)
+    if not isinstance(inp, str):
+        raise _JqRuntimeError(f"{_type_name(inp)} cannot be substituted")
+    g = g or global_
+    out = []
+    pos = 0
+    byindex = {i: n for n, i in rx.groupindex.items()}
+    for m in rx.finditer(inp):
+        caps = {byindex[gi]: m.group(gi)
+                for gi in range(1, (rx.groups or 0) + 1)
+                if gi in byindex}
+        # the replacement is a jq expression over the capture object,
+        # with named captures also bound as $variables (jq sub/gsub)
+        repl = _one(args[1], caps, env.child(dict(caps)))
+        if not isinstance(repl, str):
+            raise _JqRuntimeError("sub replacement must be a string")
+        out.append(inp[pos:m.start()])
+        out.append(repl)
+        pos = m.end()
+        if not g:
+            break
+    out.append(inp[pos:])
+    yield "".join(out)
+
+
+def _format(name, v):
+    import base64
+    from urllib.parse import quote
+
+    if name == "text":
+        return _tostring(v)
+    if name == "json":
+        return json.dumps(v)
+    if name == "base64":
+        return base64.b64encode(_tostring(v).encode("utf-8")).decode("ascii")
+    if name == "base64d":
+        s = _tostring(v)
+        s += "=" * (-len(s) % 4)
+        return base64.b64decode(s.encode("ascii")).decode("utf-8")
+    if name == "uri":
+        return quote(_tostring(v), safe="")
+    if name == "html":
+        return (_tostring(v).replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;").replace("'", "&#39;")
+                .replace('"', "&quot;"))
+    if name == "csv" or name == "tsv":
+        if not isinstance(v, list):
+            raise _JqRuntimeError(f"@{name} needs an array input")
+        cells = []
+        for x in v:
+            if x is None:
+                cells.append("")
+            elif isinstance(x, bool):
+                cells.append("true" if x else "false")
+            elif isinstance(x, (int, float)):
+                cells.append(json.dumps(x))
+            elif isinstance(x, str):
+                if name == "csv":
+                    cells.append('"' + x.replace('"', '""') + '"')
+                else:
+                    cells.append(x.replace("\\", "\\\\")
+                                 .replace("\t", "\\t").replace("\n", "\\n")
+                                 .replace("\r", "\\r"))
+            else:
+                raise _JqRuntimeError(f"@{name} cell cannot be "
+                                      f"{_type_name(x)}")
+        return (","if name == "csv" else "\t").join(cells)
+    if name == "sh":
+        def q(x):
+            if isinstance(x, (int, float)) and not isinstance(x, bool):
+                return json.dumps(x)
+            if isinstance(x, str):
+                return "'" + x.replace("'", "'\\''") + "'"
+            raise _JqRuntimeError(f"@sh cannot quote {_type_name(x)}")
+        if isinstance(v, list):
+            return " ".join(q(x) for x in v)
+        return q(v)
+    raise _JqRuntimeError(f"unknown format @{name}")
+
+
+_FORMATS = {"text", "json", "base64", "base64d", "uri", "csv", "tsv",
+            "html", "sh"}
+
+
 _BUILTINS: dict[tuple[str, int], Any] = {
+    ("recurse", 0): _builtin_recurse,
+    ("recurse", 1): _builtin_recurse,
+    ("recurse", 2): _builtin_recurse,
+    ("limit", 2): _builtin_limit,
+    ("test", 2): lambda a, i, e: iter([
+        _rx(a, i, e)[0].search(i) is not None]),
+    ("match", 1): _builtin_match,
+    ("match", 2): _builtin_match,
+    ("capture", 1): _builtin_capture,
+    ("capture", 2): _builtin_capture,
+    ("scan", 1): _builtin_scan,
+    ("splits", 1): _builtin_splits,
+    ("splits", 2): _builtin_splits,
+    ("split", 2): lambda a, i, e: iter([list(_builtin_splits(a, i, e))]),
+    ("sub", 2): lambda a, i, e: _sub_impl(a, i, e, False),
+    ("sub", 3): lambda a, i, e: _sub_impl(a, i, e, False),
+    ("gsub", 2): lambda a, i, e: _sub_impl(a, i, e, True),
+    ("gsub", 3): lambda a, i, e: _sub_impl(a, i, e, True),
+    ("leaf_paths", 0): _b_stream(lambda v: (
+        p for p in _paths(v, [])
+        if not isinstance(_getpath(v, p), (dict, list)))),
     ("empty", 0): lambda a, i, e: iter(()),
     ("error", 0): _b(lambda v: (_ for _ in ()).throw(_JqRuntimeError(v))),
     ("error", 1): lambda a, i, e: (_ for _ in ()).throw(
@@ -1103,8 +1375,25 @@ _BUILTINS: dict[tuple[str, int], Any] = {
     ("keys", 0): _b(_keys),
     ("keys_unsorted", 0): _b(lambda v: list(v.keys())
                              if isinstance(v, dict) else _keys(v)),
-    ("values", 0): _b(lambda v: list(v.values()) if isinstance(v, dict)
-                      else v),
+    # type filters: select the input when it has the named type (jq
+    # `values` is the non-null filter, NOT dict-values — that's `.[]`)
+    ("values", 0): _b_stream(lambda v: iter(() if v is None else (v,))),
+    ("nulls", 0): _b_stream(lambda v: iter((v,) if v is None else ())),
+    ("numbers", 0): _b_stream(lambda v: iter(
+        (v,) if isinstance(v, (int, float)) and not isinstance(v, bool)
+        else ())),
+    ("strings", 0): _b_stream(lambda v: iter(
+        (v,) if isinstance(v, str) else ())),
+    ("booleans", 0): _b_stream(lambda v: iter(
+        (v,) if isinstance(v, bool) else ())),
+    ("arrays", 0): _b_stream(lambda v: iter(
+        (v,) if isinstance(v, list) else ())),
+    ("objects", 0): _b_stream(lambda v: iter(
+        (v,) if isinstance(v, dict) else ())),
+    ("iterables", 0): _b_stream(lambda v: iter(
+        (v,) if isinstance(v, (list, dict)) else ())),
+    ("scalars", 0): _b_stream(lambda v: iter(
+        () if isinstance(v, (list, dict)) else (v,))),
     ("has", 1): lambda a, i, e: iter([
         (_one(a[0], i, e) in i) if isinstance(i, dict)
         else (0 <= int(_one(a[0], i, e)) < len(i))]),
@@ -1162,7 +1451,7 @@ _BUILTINS: dict[tuple[str, int], Any] = {
             "" if x is None else
             x if isinstance(x, str) else json.dumps(x) for x in i)]),
     ("test", 1): lambda a, i, e: iter([
-        re.search(_one(a[0], i, e), i) is not None]),
+        _rx(a, i, e)[0].search(i) is not None]),
     ("explode", 0): _b(lambda v: [ord(c) for c in v]),
     ("implode", 0): _b(lambda v: "".join(chr(int(c)) for c in v)),
     ("reverse", 0): _b(lambda v: v[::-1]),

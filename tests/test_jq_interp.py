@@ -76,9 +76,96 @@ def test_polymorphic_arithmetic():
 
 
 def test_unsupported_is_loud():
-    for bad in ("limit(2; .xs[])", "input", "..|numbers"):
+    for bad in ("input", "inputs", 'import "m" as m; .',
+                "label $out | .xs[]"):
         with pytest.raises(JqInterpError):
             jq_first(bad)(DOC)
+
+
+def test_recursive_descent():
+    """`..` streams every sub-value pre-order (jq recurse; jackson-jq
+    runs it — Jq.java:19-33); composes with type filters and select."""
+    assert jq_all("..")({"a": [1, {"b": 2}]}) == [
+        {"a": [1, {"b": 2}]}, [1, {"b": 2}], 1, {"b": 2}, 2]
+    assert jq_all(".. | numbers")(DOC) == [2, 3, 4.0, 1.0, 3.0, 1, 2]
+    assert jq_all("[.. | strings] | length")(DOC) == [5]
+    assert jq_all('.. | select(type == "object" and has("k")) | .v'
+                  )(DOC) == [1, 2]
+    # recurse(f) and recurse(f; cond)
+    assert jq_all("recurse")(DOC) == jq_all("..")(DOC)
+    assert jq_all("1 | recurse(. * 2; . < 20)")(None) == [1, 2, 4, 8, 16]
+
+
+def test_limit():
+    assert jq_all("limit(2; .xs[])")(DOC) == [4.0, 1.0]
+    assert jq_all("limit(0; .xs[])")(DOC) == []
+    assert jq_all("limit(99; .xs[])")(DOC) == [4.0, 1.0, 3.0]
+    # limit short-circuits: the infinite-ish source never runs past n
+    assert jq_all("[limit(3; range(1000000))]")(None) == [[0, 1, 2]]
+
+
+def test_regex_captures():
+    doc = {"s": "id=42;name=ada"}
+    assert jq_first('.s | capture("id=(?<id>[0-9]+)") | .id')(doc) == "42"
+    assert jq_first('.s | capture("(?<k>[a-z]+)=(?<v>[0-9]+)")')(doc) == \
+        {"k": "id", "v": "42"}
+    m = jq_first('.s | match("name=(?<n>[a-z]+)")')(doc)
+    assert m["string"] == "name=ada" and m["offset"] == 6
+    assert m["captures"][0] == {"offset": 11, "length": 3,
+                                "string": "ada", "name": "n"}
+    # global + case-insensitive flags
+    assert jq_all('.s | match("[A-Z]+=[0-9A-Z]+"; "ig") | .string')(doc) \
+        == ["id=42", "name=ada"]
+    assert jq_all('.s | scan("[a-z]+")')(doc) == ["id", "name", "ada"]
+    assert jq_first('.s | [splits("[;=]")]')(doc) == \
+        ["id", "42", "name", "ada"]
+    assert jq_first('.s | split(";"; "")')(doc) == ["id=42", "name=ada"]
+    # no match -> empty stream, catchable type errors
+    assert jq_all('.s | capture("zzz(?<x>.)")')(doc) == []
+    assert jq_first('try (42 | match("x")) catch "t"')(None) == "t"
+
+
+def test_sub_gsub():
+    assert jq_first('sub("a"; "X")')("banana") == "bXnana"
+    assert jq_first('gsub("a"; "X")')("banana") == "bXnXnX"
+    assert jq_first('sub("a"; "X"; "g")')("banana") == "bXnXnX"
+    # named captures feed the replacement both as `.name` and `$name`
+    assert jq_first('gsub("(?<c>[aeiou])"; "<\\(.c)>")')("lo") == "l<o>"
+    assert jq_first('gsub("(?<c>[ab])"; ($c | ascii_upcase))')("abc") == \
+        "ABc"
+    assert jq_first('gsub("x"; "y")')("none here") == "none here"
+
+
+def test_format_strings():
+    assert jq_first("@base64")("hi") == "aGk="
+    assert jq_first('@base64 "v=\\(.a)"')(DOC) == "v=" + "Mg=="
+    assert jq_first("@base64d")("aGk=") == "hi"
+    assert jq_first("@uri")("a b&c") == "a%20b%26c"
+    assert jq_first("@csv")([1, "a\"b", None, True]) == '1,"a""b",,true'
+    assert jq_first("@tsv")(["a\tb", 2]) == "a\\tb\t2"
+    assert jq_first("@html")("<a>&'") == "&lt;a&gt;&amp;&#39;"
+    assert jq_first("@sh")(["a b", 3]) == "'a b' 3"
+    assert jq_first("@json")({"a": 1}) == '{"a": 1}'
+    assert jq_first("@text")(42) == "42"
+    with pytest.raises(JqInterpError):
+        jq_first("@nosuch")(1)
+
+
+def test_recursive_defs():
+    """User defs may recurse: the definition stays in scope inside its
+    own body (jackson-jq runs arbitrary defs)."""
+    assert jq_first(
+        "def fact: if . <= 1 then 1 else . * (. - 1 | fact) end; 5 | fact"
+    )(None) == 120
+    assert jq_first(
+        "def fib($n): if $n < 2 then $n else fib($n - 1) + fib($n - 2) "
+        "end; fib(10)"
+    )(None) == 55
+    # mutual shape via nested def
+    assert jq_all(
+        "def walk_up($n): $n, (if $n < 3 then walk_up($n + 1) else empty "
+        "end); walk_up(0)"
+    )(None) == [0, 1, 2, 3]
 
 
 def test_runtime_vs_parse_errors():

@@ -86,11 +86,12 @@ def test_rekey_on_new_id(spark):
 
 
 def test_unsupported_falls_to_tier2_boundary(spark):
-    # `limit` streams are beyond both the native subset and the tier-2
-    # interpreter; the boundary error is still loud (r3: to_entries-class
-    # scripts now run on the pure-Python tier-2 interpreter instead)
+    # `input` (multi-doc streams) is beyond both the native subset and
+    # the tier-2 interpreter (stage contract is one-doc-in); the boundary
+    # error stays loud (r4: limit/../regex-capture scripts now run on the
+    # tier-2 interpreter instead)
     with pytest.raises(NotImplementedError, match="jq"):
-        _run(spark, 'limit(1; .tags[])')
+        _run(spark, '. + {next: input}')
 
 
 def test_beyond_subset_runs_on_tier2_interpreter(spark):
