@@ -1,0 +1,136 @@
+"""sf0.1 scale-stress pass for the r3 corpus operators (VERDICT r3 #5):
+$crossDedup, $knnJoin, $connectedComponents run over the real
+driver-generated sf0.1 tables (5k documents / 2k embeddings) asserting
+
+1. runtime plan shape — no CartesianProduct, no BroadcastNestedLoopJoin,
+   no Python eval in the plan (the scale invariants from SCALE.md §2 at
+   a scale where a regression would already cost wall-time), and
+2. a wall-clock budget — a plan regression that survives the shape
+   checks (e.g. an accidental all-pairs explosion behind an equi-join)
+   still trips the timer.
+
+Budgets are generous (the suite shares a loaded CI host) but an O(n²)
+regression at 5k docs ≈ 25M pairs blows straight through them.
+"""
+
+import time
+
+import pytest
+
+from pincette_mongo_streams_spark import Context, compile_pipeline
+
+SF_DIR = "/root/testdata/sf0.1"
+
+_BAD_PLAN = ("CartesianProduct", "BroadcastNestedLoopJoin",
+             "BatchEvalPython", "ArrowEvalPython", "MapInPandas")
+
+
+def _plan_of(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _assert_scale_plan(df, name):
+    plan = _plan_of(df)
+    for marker in _BAD_PLAN:
+        assert marker not in plan, f"{name}: {marker} in plan"
+    return plan
+
+
+def _timed(df):
+    t0 = time.monotonic()
+    n = df.count()
+    return n, time.monotonic() - t0
+
+
+def test_cross_dedup_sf01(spark):
+    """Corpus (sf0.1 documents) vs reference corpus (a 40% sample of the
+    same table): both sides 100 TB-class in design — the reference side
+    reduces to DISTINCT band buckets, membership is a left-semi equi-join,
+    nothing broadcasts pairwise."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.filter("doc_id % 5 < 2").select("doc_id", "text")
+    ctx = Context(spark=spark, collections={"bench": bench})
+    out = compile_pipeline(
+        [{"$crossDedup": {"from": "bench", "input": "$text",
+                          "id": "doc_id", "shingle": 3,
+                          "numHashes": 32, "bands": 16}}],
+        ctx,
+    )(docs)
+    _assert_scale_plan(out, "cross_dedup")
+    n, secs = _timed(out)
+    # every bench doc IS in the corpus -> its exact dup must drop;
+    # survivors are a strict, non-empty subset
+    assert 0 < n <= 3000
+    assert secs < 45, f"cross_dedup took {secs:.1f}s at sf0.1"
+    # the verify path stays candidate-sized (adds the id-keyed shingle
+    # fetch join, still no cartesian)
+    out2 = compile_pipeline(
+        [{"$crossDedup": {"from": "bench", "input": "$text",
+                          "id": "doc_id", "shingle": 3,
+                          "numHashes": 32, "bands": 16, "verify": 0.8}}],
+        ctx,
+    )(docs)
+    _assert_scale_plan(out2, "cross_dedup_verify")
+    n2, secs2 = _timed(out2)
+    assert n <= n2 <= 5000  # verify only rescues, never drops more
+    assert secs2 < 60, f"cross_dedup verify took {secs2:.1f}s at sf0.1"
+
+
+def test_knn_join_sf01(spark):
+    """Self k-NN join over the full sf0.1 embeddings table: both sides
+    bucket row-locally, plain equi-join on bucket, per-left top-k.  The
+    2k x 2k all-pairs product (4M rows) would blow the budget; the
+    bucketed plan touches only same-bucket pairs."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    ctx = Context(spark=spark)
+    out = compile_pipeline(
+        [{"$knnJoin": {"input": "$embedding", "id": "vec_id", "k": 3,
+                       "bits": 8, "dim": dim, "probes": 3}}],
+        ctx,
+    )(emb)
+    plan = _assert_scale_plan(out, "knn_join")
+    # the bucket join must be a real equi-join (hash or sort-merge)
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+    n, secs = _timed(out)
+    assert n > 0
+    # each left vector yields AT MOST k neighbors (pairs arise once)
+    assert n <= 2000 * 3
+    assert secs < 45, f"knn_join took {secs:.1f}s at sf0.1"
+    per_left = out.groupBy("left_id").count()
+    assert per_left.filter("count > 3").count() == 0
+
+
+def test_connected_components_sf01(spark):
+    """Large-star/small-star over a worst-case 5k-node chain (maximum
+    round count for the node set) plus star components: O(log n) rounds,
+    no neighborhood materialization, budget-bounded."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    # chain 0-1-2-...-2499 (one 2500-node component, log-depth stress)
+    chain = spark.range(1, 2500).selectExpr("id - 1 as src", "id as dst")
+    # stars: hub h = 2500 + (i % 50) for the rest
+    stars = spark.range(2550, n_docs).selectExpr(
+        "id as src", "2500 + cast(id % 50 as long) as dst")
+    edges = chain.unionByName(stars)
+    ctx = Context(spark=spark, collections={"e": edges})
+    out = compile_pipeline(
+        [{"$connectedComponents": {"edges": "e", "src": "src",
+                                   "dst": "dst", "on": "doc_id",
+                                   "as": "comp"}}],
+        ctx,
+    )(docs)
+    _assert_scale_plan(out, "connected_components")
+    t0 = time.monotonic()
+    rows = out.select("doc_id", "comp").collect()
+    secs = time.monotonic() - t0
+    comp = {r["doc_id"]: r["comp"] for r in rows}
+    # the whole chain collapses to min id 0
+    assert {comp[i] for i in range(2500)} == {0}
+    # each star labels with its hub id (the minimum in the component)
+    assert comp[2550] == 2500 and comp[2599] == 2549 and comp[2600] == 2500
+    # isolated nodes (2500..2549 appear as hubs; all nodes covered) —
+    # no document loses its label
+    assert len(comp) == n_docs
+    assert secs < 90, f"connected_components took {secs:.1f}s at sf0.1"
