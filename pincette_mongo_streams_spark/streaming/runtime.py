@@ -46,6 +46,11 @@ _BATCH_ONLY_STAGES = {
     "$fill", "$densify", "$graphLookup", "$bucketAuto",
 }
 
+# suppress_unchanged incremental store: compact the epoch-delta appends
+# into one snapshot after this many deltas (bounds both the reload's
+# latest-per-key window input and the state dir's file count)
+_COMPACT_EVERY = 16
+
 
 def _output_mode(pipeline: list[dict]) -> str:
     names = {next(iter(s)) for s in pipeline}
@@ -81,13 +86,14 @@ def run_streaming(
     is a DISTRIBUTED DataFrame diffed with a left-anti join (no row ever
     crosses the driver) and localCheckpoint()ed per batch to truncate
     lineage.  With a ``checkpoint`` location the state is also persisted
-    to ``<checkpoint>/suppress_state`` parquet after every batch and
-    reloaded on start, so a restarted query does NOT re-emit unchanged
-    groups (the reference durably stores group state in Mongo —
-    Group.java:173-186).  The rewrite is full-state per batch — fine for
-    the group-cardinality-sized states this protocol is for; a
-    production deployment with huge group counts would swap in an
-    incremental store (e.g. Delta MERGE) behind the same reload contract.
+    to ``<checkpoint>/suppress_state`` parquet and reloaded on start, so
+    a restarted query does NOT re-emit unchanged groups (the reference
+    durably stores group state in Mongo — Group.java:173-186).
+    Persistence is INCREMENTAL: each batch appends only its fresh
+    emissions as an ``__epoch``-stamped delta (a batch that changes
+    nothing writes nothing); reload keeps the latest row per key; after
+    ``_COMPACT_EVERY`` deltas the state compacts to one snapshot — so
+    per-batch durable I/O is delta-sized, not group-cardinality-sized.
     Requires a group-keyed output (``_id``); use only when sinks require
     exact reference emission parity."""
     for stage in pipeline:
@@ -144,13 +150,24 @@ def run_streaming(
             compile_pipeline(plan_part, ctx)(source) if plan_part else source
         )
     last_emitted: list = [None]  # distributed last-emission DataFrame
+    deltas_since_compact: list = [0]
     state_dir = (f"{checkpoint}/suppress_state"
                  if checkpoint and suppress_unchanged else None)
     if state_dir is not None:
         try:
-            prior = ctx.spark.read.parquet(state_dir)
-            # pin the reload off the files before they are overwritten
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            raw = ctx.spark.read.parquet(state_dir)
+            # incremental store: latest row per key wins across the
+            # snapshot + appended epoch deltas
+            w = Window.partitionBy("_id").orderBy(F.col("__epoch").desc())
+            prior = (raw.withColumn("__rn", F.row_number().over(w))
+                     .filter("__rn = 1").drop("__rn", "__epoch"))
+            # pin the reload off the files before any compaction overwrite
             last_emitted[0] = prior.localCheckpoint(eager=True)
+            deltas_since_compact[0] = (
+                raw.select("__epoch").distinct().count())
         except Exception:
             last_emitted[0] = None  # first start: no persisted state
 
@@ -192,14 +209,28 @@ def run_streaming(
             out = fresh
         sink(out, epoch)
         if suppress_unchanged and state_dir is not None:
-            # durable snapshot AFTER the sink call: a crash between the
-            # two replays the batch and re-emits (at-least-once) — the
+            # durable write AFTER the sink call: a crash between the two
+            # replays the batch and re-emits (at-least-once) — the
             # reverse order would mark rows as already-emitted before
-            # the sink ever saw them (silent loss).  The localCheckpoint
-            # above materialized the state, so overwriting the very
-            # files it was reloaded from is safe (no live scan of
-            # state_dir in its lineage).
-            last_emitted[0].write.mode("overwrite").parquet(state_dir)
+            # the sink ever saw them (silent loss).  Incremental scheme:
+            # only this batch's FRESH rows append (epoch-stamped delta);
+            # a batch that changed nothing writes nothing, so unchanged
+            # state is never rewritten.  Every _COMPACT_EVERY deltas the
+            # full state compacts to one snapshot (the localCheckpoints
+            # above materialized it, so overwriting the files it was
+            # loaded from is safe — no live scan of state_dir in its
+            # lineage).
+            from pyspark.sql import functions as F
+
+            if not fresh.isEmpty():
+                if deltas_since_compact[0] + 1 >= _COMPACT_EVERY:
+                    (last_emitted[0].withColumn("__epoch", F.lit(epoch))
+                     .write.mode("overwrite").parquet(state_dir))
+                    deltas_since_compact[0] = 1
+                else:
+                    (fresh.withColumn("__epoch", F.lit(epoch))
+                     .write.mode("append").parquet(state_dir))
+                    deltas_since_compact[0] += 1
         batch_ctx.streaming = True
         batch_ctx.micro_batch = False
 

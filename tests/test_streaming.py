@@ -409,6 +409,112 @@ def test_suppress_unchanged_state_survives_restart(spark, tmpdir):
     assert [r["mx"] for r in third] == [9]
 
 
+def test_suppress_state_is_incremental(spark, tmpdir):
+    """r4: the suppress-state store appends only each batch's fresh
+    emissions — a batch that changes nothing writes NOTHING to the state
+    dir (no per-batch full-state rewrite), and the delta files survive
+    reload with latest-per-key semantics."""
+    schema = T.StructType([T.StructField("k", T.StringType()),
+                           T.StructField("v", T.LongType())])
+    in_dir = os.path.join(tmpdir, "in")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    state_dir = os.path.join(ckpt, "suppress_state")
+    pipeline = [{"$group": {"_id": "$k", "mx": {"$max": "$v"}}}]
+    _write_batches(in_dir, [[{"k": "a", "v": 5}, {"k": "b", "v": 1}]])
+
+    def start(sink):
+        source = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).json(in_dir))
+        q = run_streaming(source, pipeline, Context(spark=spark), sink,
+                          trigger={"availableNow": True}, checkpoint=ckpt,
+                          suppress_unchanged=True)
+        q.awaitTermination(120)
+
+    def state_files():
+        return sorted(
+            (f, os.path.getmtime(os.path.join(state_dir, f)))
+            for f in os.listdir(state_dir) if f.endswith(".parquet"))
+
+    got: list = []
+    start(lambda df, e: got.extend(r.asDict() for r in df.collect()))
+    assert sorted((r["_id"], r["mx"]) for r in got) == [("a", 5), ("b", 1)]
+    before = state_files()
+    assert before, "first batch must persist its delta"
+    # batch 2 touches group a without changing it: NO state write at all
+    with open(os.path.join(in_dir, "b2.json"), "w") as f:
+        f.write(json.dumps({"k": "a", "v": 3}) + "\n")
+    got2: list = []
+    start(lambda df, e: got2.extend(r.asDict() for r in df.collect()))
+    assert got2 == []
+    assert state_files() == before, "unchanged batch rewrote state files"
+    # batch 3 changes ONLY group b: exactly the changed key appends (the
+    # existing files for batch 1 are untouched)
+    with open(os.path.join(in_dir, "b3.json"), "w") as f:
+        f.write(json.dumps({"k": "b", "v": 7}) + "\n")
+    got3: list = []
+    start(lambda df, e: got3.extend(r.asDict() for r in df.collect()))
+    assert [(r["_id"], r["mx"]) for r in got3] == [("b", 7)]
+    after = state_files()
+    assert set(dict(before)) <= set(dict(after)), "old delta files rewritten"
+    assert len(after) > len(before)
+    # reload semantics: latest-per-key — another unchanged batch stays
+    # suppressed for BOTH keys (a from delta 1, b from delta 3)
+    with open(os.path.join(in_dir, "b4.json"), "w") as f:
+        f.write(json.dumps({"k": "a", "v": 5}) + "\n")
+        f.write(json.dumps({"k": "b", "v": 7}) + "\n")
+    got4: list = []
+    start(lambda df, e: got4.extend(r.asDict() for r in df.collect()))
+    assert got4 == []
+
+
+def test_suppress_state_compaction(spark, tmpdir):
+    """After _COMPACT_EVERY deltas the state compacts to one snapshot:
+    emissions stay correct across the compaction boundary and the state
+    dir does not grow without bound."""
+    from pincette_mongo_streams_spark.streaming import runtime as rt
+
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    in_dir = os.path.join(tmpdir, "in")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    state_dir = os.path.join(ckpt, "suppress_state")
+    pipeline = [{"$group": {"_id": None, "mx": {"$max": "$v"}}}]
+    old = rt._COMPACT_EVERY
+    rt._COMPACT_EVERY = 3
+    try:
+        _write_batches(in_dir, [[{"v": 1}]])
+        emitted: list = []
+
+        def start():
+            source = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 1).json(in_dir))
+            q = run_streaming(source, pipeline, Context(spark=spark),
+                              lambda df, e: emitted.extend(
+                                  r.asDict() for r in df.collect()),
+                              trigger={"availableNow": True},
+                              checkpoint=ckpt, suppress_unchanged=True)
+            q.awaitTermination(120)
+
+        start()
+        for i, v in enumerate((2, 3, 4, 5, 6)):  # 5 more changing batches
+            with open(os.path.join(in_dir, f"c{i}.json"), "w") as f:
+                f.write(json.dumps({"v": v}) + "\n")
+            start()
+        assert [r["mx"] for r in emitted] == [1, 2, 3, 4, 5, 6]
+        # 6 changing batches with compact-every-3 => the dir holds far
+        # fewer than 6 epochs' worth of files
+        import pyspark.sql.functions as F
+        raw = spark.read.parquet(state_dir)
+        assert raw.select("__epoch").distinct().count() <= 3
+        # and a post-compaction restart still suppresses unchanged
+        with open(os.path.join(in_dir, "c9.json"), "w") as f:
+            f.write(json.dumps({"v": 2}) + "\n")  # loses vs 6
+        n_before = len(emitted)
+        start()
+        assert len(emitted) == n_before
+    finally:
+        rt._COMPACT_EVERY = old
+
+
 def test_session_window_stream(spark, tmpdir):
     """r3: $sessionWindow folds into the streaming plan (native
     session_window state); events 5s apart merge into one session with a
