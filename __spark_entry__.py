@@ -3588,6 +3588,78 @@ _register(
 )(_media_pipeline_query)
 
 
+# --- r4: Features analog — Context-level custom operators -------------
+# (reference Context.java:25-26 net.pincette.mongo.Features; built-ins
+# win — features.py)
+
+
+def _features_ext_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pincette_mongo_streams_spark.expressions import compile_expr
+
+    tables = _load(spark, sf_dir)
+    ctx = Context(
+        spark=spark,
+        expression_extensions={
+            # custom expression operator: price * (1 + tax)
+            "$taxedPrice": lambda args, ec: (
+                compile_expr(args[0], ec) * (1 + compile_expr(args[1], ec))
+            ),
+        },
+        match_extensions={
+            # custom query operator: string length >= arg
+            "$strLenGte": lambda col, arg, ec: F.length(col) >= F.lit(arg),
+        },
+    )
+    return compile_pipeline(
+        [
+            {"$match": {"l_returnflag": "R",
+                        "l_linestatus": {"$strLenGte": 1}}},
+            {"$addFields": {"g": {"$taxedPrice": ["$l_extendedprice",
+                                                  "$l_tax"]}}},
+            {"$group": {"_id": "$l_linestatus", "n": {"$count": {}},
+                        "g": {"$sum": "$g"}}},
+            {"$project": {"n": 1, "gross": {"$round": ["$g", 2]}}},
+        ],
+        ctx,
+    )(tables["lineitem"])
+
+
+_register(
+    "features_ext",
+    f"""SELECT l_linestatus AS _id, CAST(count(*) AS BIGINT) AS n,
+               {_r('sum(l_extendedprice * (1 + l_tax))', 2)} AS gross
+        FROM lineitem
+        WHERE l_returnflag = 'R' AND length(l_linestatus) >= 1
+        GROUP BY 1""",
+)(_features_ext_query)
+
+
+# --- r4: jq tier-2 long tail — limit/scan/capture/@format as a stage --
+# (documented Python transport boundary: the tier-2 interpreter runs the
+# script per row — operators/jq_interp.py; jackson-jq parity Jq.java:19-33)
+
+_register(
+    "jq_tail",
+    """SELECT doc_id AS id,
+              coalesce(regexp_extract(text, '[A-Za-z]+'), '') AS head,
+              to_base64(encode(lang)) AS b64,
+              regexp_extract(lang, '^([a-z])', 1) AS cap
+       FROM documents""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$project": {"doc_id": 1, "text": 1, "lang": 1}},
+            {"$jq": '{id: .doc_id, '
+                    'head: (([limit(1; .text | scan("[A-Za-z]+"))] '
+                    '| first) // ""), '
+                    'b64: (.lang | @base64), '
+                    'cap: ((.lang | capture("^(?<a>[a-z])") | .a) // "")}'},
+        ],
+    )
+)
+
+
 # =====================================================================
 # Driver evaluation window: the first 50 names here are what the driver
 # scores (one per distinct operator, merged variants covering the rest).

@@ -15,8 +15,11 @@ import __spark_entry__ as entrymod
 SF_DIR = "/root/testdata/sf0.001"
 
 # stages whose *transport* legitimately crosses into Python (Arrow-batched
-# mapInPandas, SCALE.md §0) — everything else must be pure JVM
-_PYTHON_ALLOWED = {"http_enrich", "decode_media_meta", "media_pipeline"}
+# mapInPandas, SCALE.md §0) — everything else must be pure JVM.
+# jq_tail: the tier-2 jq interpreter is the documented per-row Python
+# boundary for scripts beyond the native Column compiler (script.py).
+_PYTHON_ALLOWED = {"http_enrich", "decode_media_meta", "media_pipeline",
+                   "jq_tail"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
