@@ -3634,6 +3634,41 @@ _register(
 )(_features_ext_query)
 
 
+# --- r4: stage-extension registry as a driver-gated query -------------
+# (Context.stageExtensions, Context.java:34-35; built-ins win,
+# Pipeline.java:275-276 — pipeline.py compile_stage)
+
+
+def _stage_ext_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = _load(spark, sf_dir)
+
+    def upper_field_stage(expression, ctx):
+        field, as_field = expression["field"], expression["as"]
+
+        def fn(df, c):
+            return df.withColumn(as_field, F.upper(F.col(field)))
+
+        return fn
+
+    ctx = Context(spark=spark,
+                  stage_extensions={"$upperField": upper_field_stage})
+    return compile_pipeline(
+        [
+            {"$upperField": {"field": "n_name", "as": "uname"}},
+            {"$match": {"n_regionkey": {"$lte": 2}}},
+            {"$project": {"n_nationkey": 1, "uname": 1}},
+        ],
+        ctx,
+    )(tables["nation"])
+
+
+_register(
+    "stage_ext",
+    """SELECT n_nationkey, upper(n_name) AS uname
+       FROM nation WHERE n_regionkey <= 2""",
+)(_stage_ext_query)
+
+
 # --- r4: jq tier-2 long tail — limit/scan/capture/@format as a stage --
 # (documented Python transport boundary: the tier-2 interpreter runs the
 # script per row — operators/jq_interp.py; jackson-jq parity Jq.java:19-33)

@@ -938,7 +938,14 @@ def _call(name, args, inp, env) -> Iterator[Any]:
         vars = {}
         for p, a in zip(params, args):
             vars[p] = _one(a, inp, env)
-        yield from _ev(body, inp, env.child(vars))
+        try:
+            yield from _ev(body, inp, env.child(vars))
+        except RecursionError:
+            # a non-terminating recursive def must surface as a
+            # catchable jq error, not a raw Python exception killing
+            # the whole Spark task on one bad row
+            raise _JqRuntimeError(
+                f"{name}: recursion depth exceeded") from None
         return
     b = _BUILTINS.get((name, len(args)))
     if b is None:

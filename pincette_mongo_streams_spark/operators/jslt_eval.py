@@ -263,7 +263,13 @@ def _call(name, args, dot, env) -> Any:
         if len(args) != len(params):
             raise JsltEvalError(f"{name}() takes {len(params)} argument(s)")
         vals = {p: _ev(a, dot, env) for p, a in zip(params, args)}
-        return _ev(body, dot, env.child(vals))
+        try:
+            return _ev(body, dot, env.child(vals))
+        except RecursionError:
+            # non-terminating recursion -> evaluator error, not a raw
+            # Python exception killing the Spark task
+            raise JsltEvalError(
+                f"{name}(): recursion depth exceeded") from None
     fn = _BUILTINS.get(name)
     if fn is None:
         custom = env.customs.get(name)

@@ -151,6 +151,18 @@ def test_format_strings():
         jq_first("@nosuch")(1)
 
 
+def test_runaway_recursion_is_catchable():
+    """`def f: f; f` must surface as a catchable jq error (try/catch),
+    never a raw RecursionError that kills the Spark task."""
+    assert jq_first('try (def f: f; f) catch "deep"')(None) == "deep"
+    from pincette_mongo_streams_spark.operators.jq_interp import (
+        _JqRuntimeError,
+    )
+
+    with pytest.raises(_JqRuntimeError, match="recursion"):
+        jq_first("def f: f + 1; f")(0)
+
+
 def test_recursive_defs():
     """User defs may recurse: the definition stays in scope inside its
     own body (jackson-jq runs arbitrary defs)."""

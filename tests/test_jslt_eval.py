@@ -128,3 +128,18 @@ def test_tier2_preserves_message_key_and_rekeys(spark):
                            Context(spark=spark))(df)
     d = [r.asDict(recursive=True) for r in out.collect()][0]
     assert d[KEY_COL] == "k7"
+
+
+def test_runaway_recursion_is_evaluator_error():
+    """A non-terminating recursive def raises JsltEvalError, never a raw
+    RecursionError that would kill the Spark task on one bad row."""
+    import pytest
+
+    from pincette_mongo_streams_spark.operators.jslt_eval import (
+        JsltEvalError,
+        jslt_transform,
+    )
+
+    run = jslt_transform("def f(x)\n  f($x + 1)\n\n{\"r\": f(1)}")
+    with pytest.raises(JsltEvalError, match="recursion"):
+        run({})
