@@ -18,10 +18,21 @@ win** — the same precedence the reference applies to stage extensions
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 from typing import Any, Callable, Iterator, Optional
 
-_SCOPE: list[Any] = []  # stack of Context objects carrying feature dicts
+# per-THREAD stack of Context objects carrying feature dicts: concurrent
+# pipeline compiles (e.g. two streaming queries' foreachBatch threads)
+# must not see each other's registries or pop each other's frames
+_TLS = threading.local()
+
+
+def _scope() -> list[Any]:
+    stack = getattr(_TLS, "stack", None)
+    if stack is None:
+        stack = _TLS.stack = []
+    return stack
 
 
 @contextmanager
@@ -29,15 +40,16 @@ def active_features(ctx: Any) -> Iterator[None]:
     """Install ``ctx``'s feature registries for the dynamic extent of a
     pipeline compile/run.  Nested pipelines ($lookup sub-pipelines,
     $facet) push again; inner contexts win for their own extent."""
-    _SCOPE.append(ctx)
+    stack = _scope()
+    stack.append(ctx)
     try:
         yield
     finally:
-        _SCOPE.pop()
+        stack.pop()
 
 
 def _lookup(attr: str, name: str) -> Optional[Callable]:
-    for ctx in reversed(_SCOPE):
+    for ctx in reversed(_scope()):
         ext = getattr(ctx, attr, None)
         if ext and name in ext:
             return ext[name]
@@ -60,7 +72,7 @@ def match_extension(op: str) -> Optional[Callable]:
 
 def match_extension_names() -> set[str]:
     out: set[str] = set()
-    for ctx in _SCOPE:
+    for ctx in _scope():
         ext = getattr(ctx, "match_extensions", None)
         if ext:
             out.update(ext)

@@ -967,7 +967,12 @@ def _call(name, args, inp, env) -> Iterator[Any]:
     except (_JqRuntimeError, JqInterpError):
         raise
     except (ValueError, TypeError, IndexError, KeyError, AttributeError,
-            ZeroDivisionError, OverflowError) as e:
+            ZeroDivisionError, OverflowError, re.error, RecursionError,
+            UnicodeDecodeError) as e:
+        # re.error: bad (possibly data-built) regex patterns;
+        # RecursionError: unbounded recurse(f); UnicodeDecodeError:
+        # @base64d over non-UTF-8 — all must stay jq-catchable, never a
+        # raw Python exception killing the Spark task on one row
         raise _JqRuntimeError(f"{name}: {e}") from e
 
 
@@ -1146,18 +1151,16 @@ def _builtin_recurse(args, inp, env):
     if not args:
         yield from _subvalues(inp)
         return
-    # recurse(f) / recurse(f; cond): repeatedly apply f, pre-order; like
-    # jq, errors inside f stop that branch only when recurse() is the
-    # 0-arg form — the explicit form propagates them
+    # jq: def recurse(f; cond): def r: ., (f | select(cond) | r); r;
+    # the SEED is emitted unconditionally — cond filters only f's outputs
     cond = args[1] if len(args) == 2 else None
 
     def walk(v):
-        if cond is not None and not any(
-                _truthy(c) for c in _ev(cond, v, env)):
-            return
         yield v
         for nxt in _ev(args[0], v, env):
-            yield from walk(nxt)
+            if cond is None or any(
+                    _truthy(c) for c in _ev(cond, nxt, env)):
+                yield from walk(nxt)
 
     yield from walk(inp)
 
@@ -1165,7 +1168,11 @@ def _builtin_recurse(args, inp, env):
 def _builtin_limit(args, inp, env):
     for n in _ev(args[0], inp, env):
         n = int(n)
-        if n <= 0:
+        if n == 0:
+            return
+        if n < 0:
+            # jq: limit with a negative count passes every output through
+            yield from _ev(args[1], inp, env)
             return
         count = 0
         for v in _ev(args[1], inp, env):
@@ -1261,7 +1268,13 @@ def _builtin_splits(args, inp, env):
     rx, _g = _rx(args, inp, env)
     if not isinstance(inp, str):
         raise _JqRuntimeError(f"{_type_name(inp)} cannot be split")
-    yield from rx.split(inp)
+    # manual span walk, NOT re.split: Python's split interleaves capture
+    # groups into the result; jq's splits never emits captures
+    pos = 0
+    for m in rx.finditer(inp):
+        yield inp[pos:m.start()]
+        pos = m.end()
+    yield inp[pos:]
 
 
 def _sub_impl(args, inp, env, global_):
@@ -1291,6 +1304,18 @@ def _sub_impl(args, inp, env, global_):
 
 
 def _format(name, v):
+    # format application must honor the catchable-error contract: a
+    # decode/type failure on one row surfaces as a jq error (try/catch,
+    # //), never as a raw Python exception killing the Spark task
+    try:
+        return _format_raw(name, v)
+    except (_JqRuntimeError, JqInterpError):
+        raise
+    except Exception as e:
+        raise _JqRuntimeError(f"@{name}: {e}") from e
+
+
+def _format_raw(name, v):
     import base64
     from urllib.parse import quote
 
@@ -1303,7 +1328,9 @@ def _format(name, v):
     if name == "base64d":
         s = _tostring(v)
         s += "=" * (-len(s) % 4)
-        return base64.b64decode(s.encode("ascii")).decode("utf-8")
+        # validate=True: jq errors on non-base64 input instead of
+        # silently discarding invalid characters
+        return base64.b64decode(s.encode("ascii"), validate=True).decode("utf-8")
     if name == "uri":
         return quote(_tostring(v), safe="")
     if name == "html":

@@ -162,14 +162,22 @@ def compile_group_per_message(
                 # against the PREVIOUS snapshot, not the mutated list
             return s.get("v")
 
+        def is_num(v: Any) -> bool:
+            # Mongo's numeric accumulators ignore non-numeric values
+            # (booleans included) — reference Group.numbers()
+            return isinstance(v, (int, float)) and not isinstance(v, bool)
+
         def update(st: dict, i: int, v: Any) -> None:
             op = ops[i]
             s = st[str(i)]
-            if op in ("$sum", "$count"):
+            if op == "$count":
                 if v is not None:
                     s["v"] = (s.get("v") or 0) + v
+            elif op == "$sum":
+                if is_num(v):
+                    s["v"] = (s.get("v") or 0) + v
             elif op == "$avg":
-                if v is not None:
+                if is_num(v):
                     s["s"] += v
                     s["c"] += 1
             elif op == "$min":
@@ -196,7 +204,7 @@ def compile_group_per_message(
                 if isinstance(v, dict):
                     s["v"].update({k: x for k, x in v.items()})
             elif op == "$stdDevPop":
-                if v is not None:
+                if is_num(v):
                     s["n"] += 1
                     s["s1"] += v
                     s["s2"] += v * v

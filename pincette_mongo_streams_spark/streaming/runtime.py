@@ -132,9 +132,15 @@ def run_streaming(
                     "$group (plan stages only)"
                 )
         upstream = compile_pipeline(pre, ctx)(source) if pre else source
-        transformed = compile_group_per_message(
-            pipeline[gidx]["$group"], ctx
-        )(upstream)
+        # accumulator input expressions compile here, outside any
+        # compile_pipeline wrapper — install the Features scope so
+        # Context.expression_extensions work in per-message mode too
+        from ..features import active_features
+
+        with active_features(ctx):
+            transformed = compile_group_per_message(
+                pipeline[gidx]["$group"], ctx
+            )(upstream)
         batch_part = pipeline[gidx + 1:]
         plan_part = []  # output mode: append (stateful op emits deltas)
     elif emission != "per_batch":

@@ -175,6 +175,41 @@ def test_match_extension_in_expr_context(spark):
     assert len(out) == 1
 
 
+def test_feature_scope_is_per_thread():
+    """Concurrent pipeline compiles (e.g. two streaming queries'
+    foreachBatch threads) must not see each other's registries or pop
+    each other's frames — the scope stack is thread-local."""
+    import threading
+    import time as _t
+
+    from pincette_mongo_streams_spark.features import (
+        expression_extension,
+    )
+
+    errs: list = []
+
+    class C:
+        def __init__(self, ops):
+            self.expression_extensions = ops
+
+    def worker(name, present, absent):
+        try:
+            with active_features(C({present: lambda a, c: None})):
+                for _ in range(200):
+                    if expression_extension(present) is None:
+                        raise AssertionError(f"{name}: lost own extension")
+                    if expression_extension(absent) is not None:
+                        raise AssertionError(f"{name}: sees foreign extension")
+                    _t.sleep(0)
+        except Exception as e:  # surface across the thread boundary
+            errs.append(e)
+
+    t1 = threading.Thread(target=worker, args=("t1", "$one", "$two"))
+    t2 = threading.Thread(target=worker, args=("t2", "$two", "$one"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+
+
 def test_active_features_nesting():
     class C1:
         expression_extensions = {"$one": lambda a, c: F.lit(1)}

@@ -94,12 +94,17 @@ def test_recursive_descent():
     # recurse(f) and recurse(f; cond)
     assert jq_all("recurse")(DOC) == jq_all("..")(DOC)
     assert jq_all("1 | recurse(. * 2; . < 20)")(None) == [1, 2, 4, 8, 16]
+    # the SEED is emitted unconditionally — cond filters only f's
+    # outputs (jq: def recurse(f; cond): def r: ., (f|select(cond)|r); r)
+    assert jq_all("5 | recurse(. + 1; . < 3)")(None) == [5]
 
 
 def test_limit():
     assert jq_all("limit(2; .xs[])")(DOC) == [4.0, 1.0]
     assert jq_all("limit(0; .xs[])")(DOC) == []
     assert jq_all("limit(99; .xs[])")(DOC) == [4.0, 1.0, 3.0]
+    # jq: a NEGATIVE count passes every output through (only 0 is empty)
+    assert jq_all("[limit(-1; (1,2,3))]")(None) == [[1, 2, 3]]
     # limit short-circuits: the infinite-ish source never runs past n
     assert jq_all("[limit(3; range(1000000))]")(None) == [[0, 1, 2]]
 
@@ -123,6 +128,11 @@ def test_regex_captures():
     # no match -> empty stream, catchable type errors
     assert jq_all('.s | capture("zzz(?<x>.)")')(doc) == []
     assert jq_first('try (42 | match("x")) catch "t"')(None) == "t"
+    # an INVALID pattern (possibly data-built) is jq-catchable, never a
+    # raw re.error killing the task
+    assert jq_first('try test("[") catch "bad-re"')("x") == "bad-re"
+    # splits never interleaves capture-group text (unlike Python re.split)
+    assert jq_first('[splits("(?<d>[0-9])")]')("a1b2c") == ["a", "b", "c"]
 
 
 def test_sub_gsub():
@@ -149,6 +159,11 @@ def test_format_strings():
     assert jq_first("@text")(42) == "42"
     with pytest.raises(JqInterpError):
         jq_first("@nosuch")(1)
+    # decode failures are jq-catchable and invalid base64 errors loudly
+    # (validate=True) instead of silently dropping characters
+    assert jq_first('try @base64d catch "bad"')("/w==") == "bad"  # not UTF-8
+    assert jq_first('try ("!!!" | @base64d) catch "bad"')(None) == "bad"
+    assert jq_first('try @csv catch "bad"')("not-an-array") == "bad"
 
 
 def test_runaway_recursion_is_catchable():

@@ -677,6 +677,26 @@ def test_group_per_message_merge_objects_stddev(spark, tmpdir):
     assert as_dict(flat[1]["m"]) == {"x": None, "y": "b"}
 
 
+def test_group_per_message_numeric_accs_ignore_nonnumeric(spark, tmpdir):
+    """$sum/$avg/$stdDevPop ignore non-numeric inputs (reference
+    Group.numbers()) — a string column must not crash the streaming
+    query, it just never changes the numeric state."""
+    pipeline = [{"$group": {
+        "_id": "$k", "t": {"$sum": "$name"}, "a": {"$avg": "$name"},
+        "sd": {"$stdDevPop": "$name"}, "mx": {"$max": "$name"},
+    }}]
+    emissions = _run(
+        spark, tmpdir, "k string, name string",
+        [[{"k": "a", "name": "x"}], [{"k": "a", "name": "z"}]],
+        pipeline, emission="per_message",
+    )
+    flat = [r for batch in emissions for r in batch]
+    # first message creates the group (first-emission rule); z then
+    # changes only $max
+    assert [(r["t"], r["a"], r["sd"], r["mx"]) for r in flat] == [
+        (0, None, None, "x"), (0, None, None, "z")]
+
+
 def test_group_per_message_first_emission_at_init_value(spark, tmpdir):
     """A brand-new group key emits its first group doc even when the first
     message leaves every accumulator at its initial value ($sum over a
