@@ -152,6 +152,16 @@ class Idx:
 
 
 @dataclass
+class Slice:
+    """Array/string slice ``.xs[1:3]`` / ``[1:]`` / ``[:-1]`` with
+    literal integer bounds (JSLT slicing; Python-style half-open range,
+    negative indices count from the end)."""
+    target: Any
+    lo: Optional[int]
+    hi: Optional[int]
+
+
+@dataclass
 class Sub:
     """Field path applied to a computed value: ``.foo[0].bar``."""
     target: Any
@@ -398,18 +408,74 @@ class _Parser:
             return Call(val, args)
         raise JsltUnsupported(f"unsupported token {val!r}")
 
+    def _try_parse_slice(self, node):
+        """``[lo:hi]`` / ``[lo:]`` / ``[:hi]`` with literal int bounds
+        after a path/variable; returns a Slice node or None."""
+        if self.peek()[1] != "[":
+            return None
+        save = self.i
+        self.next()
+
+        def lit_int():
+            neg = False
+            if self.peek() == ("op", "-"):
+                self.next()
+                neg = True
+            k, v = self.peek()
+            if k != "number" or "." in v:
+                return None, False
+            self.next()
+            return (-int(v) if neg else int(v)), True
+
+        lo = None
+        if self.peek()[1] != ":":
+            lo, ok = lit_int()
+            if not ok:
+                self.i = save
+                return None
+        if self.peek()[1] != ":":
+            self.i = save
+            return None
+        self.next()
+        hi = None
+        if self.peek()[1] != "]":
+            hi, ok = lit_int()
+            if not ok:
+                self.i = save
+                return None
+        if self.peek()[1] != "]":
+            self.i = save
+            return None
+        self.next()
+        return Slice(node, lo, hi)
+
     def parse_postfix_path(self, node):
-        """Literal array indexing after a path/variable: ``.foo[0]``,
-        ``.foo[-1].bar``, ``$v[2]`` — only a literal integer index (the
-        empty ``[]`` iteration form belongs to reduce/foreach sources)."""
-        while (self.peek()[1] == "["
-               and self.toks[self.i + 1][0] == "number"
-               and "." not in self.toks[self.i + 1][1]
-               and self.toks[self.i + 2][1] == "]"):
+        """Literal array indexing/slicing after a path/variable:
+        ``.foo[0]``, ``.foo[-1].bar``, ``$v[2]``, ``.xs[1:3]`` — only
+        literal integer bounds (the empty ``[]`` iteration form belongs
+        to reduce/foreach sources)."""
+        while True:
+            sliced = self._try_parse_slice(node)
+            if sliced is not None:
+                node = sliced
+                continue
+            if not (self.peek()[1] == "["
+                    and (self.toks[self.i + 1][0] == "number"
+                         or (self.toks[self.i + 1] == ("op", "-")
+                             and self.toks[self.i + 2][0] == "number"))):
+                break
+            save = self.i
             self.next()
+            neg = False
+            if self.peek() == ("op", "-"):
+                self.next()
+                neg = True
             _, num = self.next()
+            if "." in num or self.peek()[1] != "]":
+                self.i = save
+                break
             self.next()
-            node = Idx(node, int(num))
+            node = Idx(node, -int(num) if neg else int(num))
             parts: list[str] = []
             while self.peek()[1] == ".":
                 save = self.i
@@ -585,6 +651,9 @@ class _Compiler:
         if isinstance(node, Idx):
             dt = self.node_type(node.target)
             return dt.elementType if isinstance(dt, T.ArrayType) else None
+        if isinstance(node, Slice):
+            dt = self.node_type(node.target)
+            return dt if isinstance(dt, (T.ArrayType, T.StringType)) else None
         if isinstance(node, Sub):
             dt = self.node_type(node.target)
             for p in node.parts:
@@ -647,6 +716,33 @@ class _Compiler:
             dt = self.node_type(node)
             return (F.try_element_at(col, F.lit(pos)),
                     _schema_hint(dt) if dt is not None else _UNKNOWN)
+        if isinstance(node, Slice):
+            col, _ = self.compile(node.target)
+            dt = self.node_type(node.target)
+            # Python/JSLT half-open [lo:hi) with negative bounds -> the
+            # (start, length) form Spark's slice()/substr() want; bounds
+            # clamp to [0, n] so out-of-range never errors
+            if isinstance(dt, T.ArrayType):
+                n = F.size(col)
+            elif isinstance(dt, T.StringType):
+                n = F.length(col)
+            else:
+                raise JsltUnsupported("slice of a non-array/string value")
+
+            def norm(bound, default):
+                if bound is None:
+                    return default
+                b = F.lit(bound) if bound >= 0 else n + F.lit(bound)
+                return F.greatest(F.least(b, n), F.lit(0))
+
+            lo = norm(node.lo, F.lit(0))
+            hi = norm(node.hi, n)
+            length = F.greatest(hi - lo, F.lit(0))
+            if isinstance(dt, T.ArrayType):
+                out = F.slice(col, lo + 1, length)
+            else:
+                out = col.substr(lo + 1, length)
+            return out, _schema_hint(dt)
         if isinstance(node, Sub):
             col, _ = self.compile(node.target)
             dt = self.node_type(node.target)

@@ -60,6 +60,8 @@ def _strip(node: Any) -> Any:
                 node.spread, tuple(node.minus))
     if isinstance(node, J.Idx):
         return ("idx", _strip(node.target), node.index)
+    if isinstance(node, J.Slice):
+        return ("slice", _strip(node.target), node.lo, node.hi)
     if isinstance(node, J.Sub):
         return ("sub", _strip(node.target), tuple(node.parts))
     if isinstance(node, J.For):
@@ -231,6 +233,11 @@ def _ev(node, dot, env) -> Any:
         if i < 0:
             i += n
         return v[i] if 0 <= i < n else None
+    if kind == "slice":
+        v = _ev(node[1], dot, env)
+        if not isinstance(v, (list, str)):
+            return None
+        return v[node[2]:node[3]]
     if kind == "sub":
         return _walk(_ev(node[1], dot, env), node[2])
     if kind == "for":

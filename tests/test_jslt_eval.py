@@ -143,3 +143,17 @@ def test_runaway_recursion_is_evaluator_error():
     run = jslt_transform("def f(x)\n  f($x + 1)\n\n{\"r\": f(1)}")
     with pytest.raises(JsltEvalError, match="recursion"):
         run({})
+
+
+def test_array_and_string_slicing():
+    """JSLT slicing [lo:hi] with negative bounds on arrays and strings
+    (half-open, clamped, out-of-range -> empty) — tier-2 evaluator."""
+    from pincette_mongo_streams_spark.operators.jslt_eval import (
+        jslt_transform,
+    )
+
+    run = jslt_transform('{"m": .xs[1:3], "t": .xs[-2:], "h": .s[0:3], '
+                         '"c": .s[1:-1], "o": .xs[5:9], "n": .nope[0:2]}')
+    got = run({"xs": [1, 2, 3, 4], "s": "abcdef"})
+    assert got == {"m": [2, 3], "t": [3, 4], "h": "abc", "c": "bcde",
+                   "o": [], "n": None}

@@ -282,3 +282,22 @@ def test_capture_ignores_noncapturing_groups(spark):
     d = _run(spark, r'{"c": capture(.s, "(?:price): (?<amount>\\d+) (?<unit>\\w+)")}',
              rows=rows, schema="_id string, s string")[0]
     assert d["c"] == {"amount": "42", "unit": "usd"}
+
+
+def test_array_string_slicing_native(spark):
+    """JSLT slicing compiles to native slice()/substr() Columns (no
+    Python in the plan): half-open [lo:hi], negative bounds, clamped
+    out-of-range."""
+    from pyspark.sql import Row as _Row
+
+    rows = [_Row(_id="0", xs=[1, 2, 3, 4], s="abcdef")]
+    df = spark.createDataFrame(rows, "_id string, xs array<int>, s string")
+    out = compile_pipeline(
+        [{"$jslt": '{"m": .xs[1:3], "t": .xs[-2:], "h": .s[0:3], '
+                   '"c": .s[1:-1], "o": .xs[5:9]}'}],
+        Context(spark=spark))(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    d = [r.asDict() for r in out.collect()][0]
+    assert list(d["m"]) == [2, 3] and list(d["t"]) == [3, 4]
+    assert d["h"] == "abc" and d["c"] == "bcde" and list(d["o"]) == []
