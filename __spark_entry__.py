@@ -3669,6 +3669,42 @@ _register(
 )(_stage_ext_query)
 
 
+# --- r4: Atlas $search compound/phrase/range/equals/wildcard surface --
+# (operators/atlas.py; non-text clauses score a deterministic constant,
+# overridable via Atlas score modifiers — documented in the stage)
+
+_register(
+    "search_compound",
+    """SELECT doc_id,
+              1.0 + (CASE WHEN regexp_matches(lower(text),
+                          '(^|[^a-z0-9])(the)($|[^a-z0-9])')
+                     THEN 3.0 ELSE 0.0 END)
+                  + (CASE WHEN lang LIKE 'e_' THEN 1.0 ELSE 0.0 END)
+                AS score
+       FROM documents
+       WHERE text IS NOT NULL AND n_chars >= 200
+         AND lang IS DISTINCT FROM 'zh'""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$search": {"compound": {
+                "must": [{"exists": {"path": "text"}}],
+                "filter": [{"range": {"path": "n_chars", "gte": 200}}],
+                "mustNot": [{"equals": {"path": "lang", "value": "zh"}}],
+                "should": [
+                    {"phrase": {"query": "the", "path": "text",
+                                "score": {"constant": {"value": 3.0}}}},
+                    {"wildcard": {"path": "lang", "query": "e?"}},
+                ],
+            }}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "score": {"$meta": "searchScore"}}},
+        ],
+    )
+)
+
+
 # --- r4: jq tier-2 long tail — limit/scan/capture/@format as a stage --
 # (documented Python transport boundary: the tier-2 interpreter runs the
 # script per row — operators/jq_interp.py; jackson-jq parity Jq.java:19-33)

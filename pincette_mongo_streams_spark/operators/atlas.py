@@ -121,95 +121,250 @@ def vector_search_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
-@register_stage("$search")
-def search_stage(expression: Any, ctx: Context) -> StageFn:
-    """``{index?, text: {query, path}}`` — the Atlas $search ``text``
-    operator subset, BM25-scored (k1=1.2, b=0.75).  Emits every document
-    with a positive score, ordered by score descending; compose with
-    ``$limit`` for top-k (collapses to TakeOrderedAndProject)."""
-    spec = expression.get("text")
-    if not isinstance(spec, dict):
-        raise NotImplementedError(
-            "$search supports the `text` operator (compound/autocomplete "
-            "and friends are Atlas-index features)"
-        )
-    query = spec["query"]
-    paths = spec["path"]
-    if isinstance(paths, str):
-        paths = [paths]
+# $search operator surface beyond `text` (all deterministic and
+# SQL-oracle-able; Atlas's own Lucene scores are index-internal and not
+# reproducible, so non-text operators default to score 1.0, overridable
+# with Atlas's own `score: {constant|boost}` modifiers):
+#   phrase   — query tokens in order, up to `slop` intervening tokens
+#   equals   — exact value match on a field
+#   range    — gt/gte/lt/lte bounds
+#   exists   — field is present (fixed-schema: non-null)
+#   wildcard — * / ? glob over the whole field value
+#   compound — must/mustNot/should/filter with minimumShouldMatch;
+#              score = sum of matched must+should clause scores
+
+_SEARCH_OPS = {"text", "phrase", "equals", "range", "exists", "wildcard",
+               "compound"}
+
+
+def _clause_score(body: dict, base: Column) -> Column:
+    """Apply Atlas's `score: {constant: {value}} | {boost: {value}}`."""
+    mod = body.get("score")
+    if not mod:
+        return base
+    if "constant" in mod:
+        return F.lit(float(mod["constant"]["value"]))
+    if "boost" in mod:
+        return base * F.lit(float(mod["boost"]["value"]))
+    raise NotImplementedError(f"$search score modifier {sorted(mod)}")
+
+
+def _norm_terms(query: str) -> list[str]:
     import re as _re
 
-    terms = list(dict.fromkeys(
-        t for t in _re.sub(r"[^a-z0-9 ]", " ", query.lower()).split() if t
-    ))
+    return [t for t in _re.sub(r"[^a-z0-9 ]", " ", query.lower()).split()
+            if t]
+
+
+def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int]
+                   ) -> tuple[DataFrame, Column, Column, list[str]]:
+    """Compile one $search operator to (df', matched_pred, score,
+    temp_cols_to_drop).  ``idx`` is a mutable counter making temp column
+    names unique across nested compound clauses."""
+    if op == "text":
+        i = idx[0]
+        idx[0] += 1
+        df2, score, drops = _bm25_prepare(df, body["query"], body["path"],
+                                          f"c{i}")
+        return df2, score > 0, _clause_score(body, score), drops
+    if op == "phrase":
+        paths = body["path"]
+        if isinstance(paths, str):
+            paths = [paths]
+        terms = _norm_terms(body["query"])
+        if not terms:
+            raise ValueError("$search phrase.query needs at least one term")
+        slop = int(body.get("slop", 0))
+        import re as _re2
+
+        gap = "[^a-z0-9]+" + (f"(?:[a-z0-9]+[^a-z0-9]+){{0,{slop}}}"
+                              if slop else "")
+        pat = gap.join(_re2.escape(t) for t in terms)
+        # token-boundary anchors so "cat" never phrase-matches "catalog"
+        pat = f"(^|[^a-z0-9])({pat})($|[^a-z0-9])"
+        pred = None
+        for p in paths:
+            text = compile_expr(f"${p}", ExprContext(schema=df.schema))
+            m = F.coalesce(F.lower(text).rlike(pat), F.lit(False))
+            pred = m if pred is None else (pred | m)
+        return df, pred, _clause_score(body, F.lit(1.0)), []
+    if op == "equals":
+        col = compile_expr(f"${body['path']}",
+                           ExprContext(schema=df.schema))
+        pred = col.eqNullSafe(F.lit(body["value"]))
+        return df, pred, _clause_score(body, F.lit(1.0)), []
+    if op == "range":
+        col = compile_expr(f"${body['path']}",
+                           ExprContext(schema=df.schema))
+        pred = None
+        for kw, mk in (("gt", lambda v: col > F.lit(v)),
+                       ("gte", lambda v: col >= F.lit(v)),
+                       ("lt", lambda v: col < F.lit(v)),
+                       ("lte", lambda v: col <= F.lit(v))):
+            if kw in body:
+                clause = F.coalesce(mk(body[kw]), F.lit(False))
+                pred = clause if pred is None else (pred & clause)
+        if pred is None:
+            raise ValueError("$search range needs gt/gte/lt/lte")
+        return df, pred, _clause_score(body, F.lit(1.0)), []
+    if op == "exists":
+        col = compile_expr(f"${body['path']}",
+                           ExprContext(schema=df.schema))
+        return df, col.isNotNull(), _clause_score(body, F.lit(1.0)), []
+    if op == "wildcard":
+        import re as _re3
+
+        glob = body["query"]
+        pat = "".join("[\\s\\S]*" if ch == "*" else "[\\s\\S]"
+                      if ch == "?" else _re3.escape(ch) for ch in glob)
+        col = compile_expr(f"${body['path']}",
+                           ExprContext(schema=df.schema))
+        pred = F.coalesce(col.rlike(f"^(?s)({pat})$"), F.lit(False))
+        return df, pred, _clause_score(body, F.lit(1.0)), []
+    if op == "compound":
+        out = df
+        drops: list[str] = []
+        musts: list[tuple[Column, Column]] = []
+        shoulds: list[tuple[Column, Column]] = []
+        must_nots: list[Column] = []
+        filters: list[Column] = []
+        for kind in ("must", "should", "mustNot", "filter"):
+            for sub in body.get(kind, []):
+                sub_op = next(k for k in sub if k in _SEARCH_OPS)
+                out, pred, score, d = _search_clause(out, sub_op,
+                                                     sub[sub_op], idx)
+                drops += d
+                if kind == "must":
+                    musts.append((pred, score))
+                elif kind == "should":
+                    shoulds.append((pred, score))
+                elif kind == "mustNot":
+                    must_nots.append(pred)
+                else:
+                    filters.append(pred)
+        pred = F.lit(True)
+        for p, _ in musts:
+            pred = pred & p
+        for p in filters:
+            pred = pred & p
+        for p in must_nots:
+            pred = pred & ~p
+        min_should = int(body.get("minimumShouldMatch", 0))
+        if shoulds:
+            matched = sum(
+                (F.when(p, 1).otherwise(0) for p, _ in shoulds),
+                start=F.lit(0),
+            )
+            # Atlas: with no must/filter clauses at least one should
+            # clause has to match
+            need = max(min_should, 1 if not musts and not filters else 0)
+            if need:
+                pred = pred & (matched >= F.lit(need))
+        score = sum(
+            (F.when(p, s).otherwise(F.lit(0.0)) for p, s in musts + shoulds),
+            start=F.lit(0.0),
+        )
+        # a pure-filter compound still emits score 1 for matched docs
+        if not musts and not shoulds:
+            score = F.lit(1.0)
+        return out, pred, _clause_score(body, score), drops
+    raise NotImplementedError(f"$search operator {op!r}")
+
+
+def _bm25_prepare(df: DataFrame, query: str, paths: Any, tag: str
+                  ) -> tuple[DataFrame, Column, list[str]]:
+    """Shared BM25 scoring prep (k1=1.2, b=0.75): adds per-path tf/dl
+    temp columns + a broadcast single-row stats join; returns (df',
+    score_col, temp_cols)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    terms = _norm_terms(query)
     if not terms:
         raise ValueError("$search text.query needs at least one term")
     k1, b = 1.2, 0.75
-
-    def fn(df: DataFrame, c: Context) -> DataFrame:
-        terms_sql = ", ".join(
-            "'" + t.replace("'", "''") + "'" for t in terms
+    terms_sql = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    out = df
+    for pi, p in enumerate(paths):
+        text = compile_expr(f"${p}", ExprContext(schema=df.schema))
+        toks = F.coalesce(
+            F.filter(F.split(F.lower(text), "[^a-z0-9]+"),
+                     lambda t: t != ""),
+            F.array().cast("array<string>"),
         )
-        out = df
-        for pi, p in enumerate(paths):
-            text = compile_expr(f"${p}", ExprContext(schema=df.schema))
-            # a null path must contribute an EMPTY token list, not null:
-            # a null tf array would null the summed score (dropping docs
-            # that match on another path) and size(null) = -1 would
-            # pollute the avgdl length normalization
-            toks = F.coalesce(
-                F.filter(
-                    F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != ""
-                ),
-                F.array().cast("array<string>"),
-            )
-            out = out.withColumn(f"__s_toks{pi}", toks).withColumn(
-                f"__s_tfs{pi}",
-                F.expr(
-                    f"aggregate(`__s_toks{pi}`, "
-                    f"array_repeat(0.0D, {len(terms)}), "
-                    f"(acc, t) -> zip_with(acc, array({terms_sql}), "
-                    f"(a, trm) -> a + if(t = trm, 1.0D, 0.0D)))"
-                ),
-            ).withColumn(
-                f"__s_dl{pi}",
-                F.expr(f"cast(size(`__s_toks{pi}`) as double)"),
-            ).drop(f"__s_toks{pi}")
-        stats = out.groupBy().agg(
-            F.expr("cast(count(1) as double)").alias("__n"),
-            *[F.expr(f"avg(__s_dl{pi})").alias(f"__avgdl{pi}")
-              for pi in range(len(paths))],
-            *[
-                F.expr(
-                    f"sum(cast(__s_tfs{pi}[{i}] > 0 as double))"
-                ).alias(f"__df{pi}_{i}")
-                for pi in range(len(paths))
-                for i in range(len(terms))
-            ],
-        )
-        joined = out.crossJoin(F.broadcast(stats))
-        score_sql = " + ".join(
-            f"ln(1.0D + (__n - __df{pi}_{i} + 0.5D) / (__df{pi}_{i} + 0.5D))"
-            f" * __s_tfs{pi}[{i}] * {k1 + 1.0}D"
-            f" / (__s_tfs{pi}[{i}] + {k1}D * ({1.0 - b}D + {b}D * "
-            f"__s_dl{pi} / __avgdl{pi}))"
+        out = out.withColumn(f"__s_{tag}_toks{pi}", toks).withColumn(
+            f"__s_{tag}_tfs{pi}",
+            F.expr(
+                f"aggregate(`__s_{tag}_toks{pi}`, "
+                f"array_repeat(0.0D, {len(terms)}), "
+                f"(acc, t) -> zip_with(acc, array({terms_sql}), "
+                f"(a, trm) -> a + if(t = trm, 1.0D, 0.0D)))"
+            ),
+        ).withColumn(
+            f"__s_{tag}_dl{pi}",
+            F.expr(f"cast(size(`__s_{tag}_toks{pi}`) as double)"),
+        ).drop(f"__s_{tag}_toks{pi}")
+    stats = out.groupBy().agg(
+        F.expr("cast(count(1) as double)").alias(f"__s_{tag}_n"),
+        *[F.expr(f"avg(__s_{tag}_dl{pi})").alias(f"__s_{tag}_avgdl{pi}")
+          for pi in range(len(paths))],
+        *[
+            F.expr(
+                f"sum(cast(__s_{tag}_tfs{pi}[{i}] > 0 as double))"
+            ).alias(f"__s_{tag}_df{pi}_{i}")
             for pi in range(len(paths))
             for i in range(len(terms))
+        ],
+    )
+    out = out.crossJoin(F.broadcast(stats))
+    score_sql = " + ".join(
+        f"ln(1.0D + (__s_{tag}_n - __s_{tag}_df{pi}_{i} + 0.5D) / "
+        f"(__s_{tag}_df{pi}_{i} + 0.5D))"
+        f" * __s_{tag}_tfs{pi}[{i}] * {k1 + 1.0}D"
+        f" / (__s_{tag}_tfs{pi}[{i}] + {k1}D * ({1.0 - b}D + {b}D * "
+        f"__s_{tag}_dl{pi} / __s_{tag}_avgdl{pi}))"
+        for pi in range(len(paths))
+        for i in range(len(terms))
+    )
+    drops = (
+        [f"__s_{tag}_n"]
+        + [f"__s_{tag}_avgdl{pi}" for pi in range(len(paths))]
+        + [f"__s_{tag}_df{pi}_{i}" for pi in range(len(paths))
+           for i in range(len(terms))]
+        + [f"__s_{tag}_tfs{pi}" for pi in range(len(paths))]
+        + [f"__s_{tag}_dl{pi}" for pi in range(len(paths))]
+    )
+    return out, F.expr(f"0.0D + {score_sql}"), drops
+
+
+@register_stage("$search")
+def search_stage(expression: Any, ctx: Context) -> StageFn:
+    """``{index?, <operator>: {...}}`` — the Atlas $search surface:
+    ``text`` (BM25-scored, k1=1.2, b=0.75), ``phrase``, ``equals``,
+    ``range``, ``exists``, ``wildcard``, and ``compound``
+    (must/mustNot/should/filter, minimumShouldMatch).  Emits every
+    document with a positive score ordered by score descending; compose
+    with ``$limit`` for top-k (collapses to TakeOrderedAndProject).
+    Non-text operators score a deterministic constant 1.0 (Atlas's
+    Lucene scores are index-internal), overridable per clause via
+    Atlas's ``score: {constant|boost}`` modifiers."""
+    op = next((k for k in expression if k in _SEARCH_OPS), None)
+    if op is None:
+        raise NotImplementedError(
+            f"$search supports {sorted(_SEARCH_OPS)} (autocomplete and "
+            "friends are Atlas-index features)"
         )
-        scored = joined.withColumn(
-            SSCORE, F.expr(f"0.0D + {score_sql}")
-        )
-        drop = (
-            ["__n"]
-            + [f"__avgdl{pi}" for pi in range(len(paths))]
-            + [f"__df{pi}_{i}" for pi in range(len(paths))
-               for i in range(len(terms))]
-            + [f"__s_tfs{pi}" for pi in range(len(paths))]
-            + [f"__s_dl{pi}" for pi in range(len(paths))]
-        )
+    spec = expression[op]
+    if not isinstance(spec, dict):
+        raise ValueError(f"$search {op} takes an options document")
+    if op == "text" and not _norm_terms(spec.get("query", "")):
+        raise ValueError("$search text.query needs at least one term")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        out, pred, score, drops = _search_clause(df, op, spec, [0])
+        scored = out.withColumn(SSCORE, F.when(pred, score))
         return (
-            scored.filter(F.col(SSCORE) > 0)
-            .drop(*drop)
+            scored.filter(F.col(SSCORE).isNotNull() & (F.col(SSCORE) > 0))
+            .drop(*drops)
             .orderBy(F.col(SSCORE).desc(), *[F.col(df.columns[0])])
         )
 

@@ -80,15 +80,113 @@ def test_meta_columns_never_leak(spark):
     assert abs(out3.collect()[0]["score"] - 1.0) < 1e-9
 
 
-def test_search_rejects_compound(spark):
+def test_search_rejects_unknown_operator(spark):
     import pytest
 
     df = spark.createDataFrame([(1, "x")], "id long, t string")
     with pytest.raises(NotImplementedError):
         compile_pipeline(
-            [{"$search": {"compound": {"must": []}}}],
+            [{"$search": {"autocomplete": {"query": "x", "path": "t"}}}],
             Context(spark=spark),
         )(df)
+
+
+def _search(spark, rows, schema, spec):
+    df = spark.createDataFrame(rows, schema)
+    out = compile_pipeline(
+        [{"$search": spec},
+         {"$addFields": {"s": {"$meta": "searchScore"}}}],
+        Context(spark=spark),
+    )(df)
+    return [(r["id"], r["s"]) for r in out.collect()]
+
+
+_DOCS = [
+    (1, "the quick brown fox", "news", 10),
+    (2, "quick review of brown shoes", "blog", 25),
+    (3, "slow green turtle", "news", 40),
+    (4, None, "blog", 5),
+]
+_SCHEMA = "id long, t string, cat string, views long"
+
+
+def test_search_phrase(spark):
+    # adjacent tokens, in order, token-boundary anchored
+    got = _search(spark, _DOCS, _SCHEMA,
+                  {"phrase": {"query": "quick brown", "path": "t"}})
+    assert [g[0] for g in got] == [1]
+    # slop 1 allows one intervening token ("quick review of brown" needs 2)
+    got = _search(spark, _DOCS, _SCHEMA,
+                  {"phrase": {"query": "quick brown", "path": "t",
+                              "slop": 2}})
+    assert sorted(g[0] for g in got) == [1, 2]
+    # no substring false-positives: "row" never matches "brown"
+    got = _search(spark, _DOCS, _SCHEMA,
+                  {"phrase": {"query": "row", "path": "t"}})
+    assert got == []
+
+
+def test_search_equals_range_exists_wildcard(spark):
+    got = _search(spark, _DOCS, _SCHEMA,
+                  {"equals": {"path": "cat", "value": "news"}})
+    assert sorted(g[0] for g in got) == [1, 3]
+    got = _search(spark, _DOCS, _SCHEMA,
+                  {"range": {"path": "views", "gte": 10, "lt": 40}})
+    assert sorted(g[0] for g in got) == [1, 2]
+    got = _search(spark, _DOCS, _SCHEMA, {"exists": {"path": "t"}})
+    assert sorted(g[0] for g in got) == [1, 2, 3]
+    got = _search(spark, _DOCS, _SCHEMA,
+                  {"wildcard": {"path": "t", "query": "*brown*"}})
+    assert sorted(g[0] for g in got) == [1, 2]
+    # wildcard is whole-value: no implicit substring match
+    got = _search(spark, _DOCS, _SCHEMA,
+                  {"wildcard": {"path": "cat", "query": "new"}})
+    assert got == []
+    got = _search(spark, _DOCS, _SCHEMA,
+                  {"wildcard": {"path": "cat", "query": "ne?s"}})
+    assert sorted(g[0] for g in got) == [1, 3]
+
+
+def test_search_compound(spark):
+    # must + mustNot + should with constant scores: score sums matched
+    # must and should clauses
+    got = _search(spark, _DOCS, _SCHEMA, {"compound": {
+        "must": [{"exists": {"path": "t"}}],
+        "mustNot": [{"equals": {"path": "cat", "value": "blog"}}],
+        "should": [{"phrase": {"query": "brown", "path": "t",
+                               "score": {"constant": {"value": 5.0}}}}],
+    }})
+    assert dict(got) == {1: 6.0, 3: 1.0}  # 3 matches must only
+    # minimumShouldMatch drops docs matching too few shoulds
+    got = _search(spark, _DOCS, _SCHEMA, {"compound": {
+        "must": [{"exists": {"path": "t"}}],
+        "should": [{"phrase": {"query": "quick", "path": "t"}},
+                   {"phrase": {"query": "brown", "path": "t"}}],
+        "minimumShouldMatch": 2,
+    }})
+    assert sorted(g[0] for g in got) == [1, 2]
+    # pure-should compound: at least one should must match
+    got = _search(spark, _DOCS, _SCHEMA, {"compound": {
+        "should": [{"equals": {"path": "views", "value": 40}}],
+    }})
+    assert [g[0] for g in got] == [3]
+    # filter gates without scoring; boost multiplies
+    got = _search(spark, _DOCS, _SCHEMA, {"compound": {
+        "filter": [{"range": {"path": "views", "lte": 25}}],
+        "must": [{"exists": {"path": "cat",
+                             "score": {"boost": {"value": 3.0}}}}],
+    }})
+    assert dict(got) == {1: 3.0, 2: 3.0, 4: 3.0}
+
+
+def test_search_compound_with_text_clause(spark):
+    # a BM25 text clause nests inside compound; its score flows through
+    got = _search(spark, _DOCS, _SCHEMA, {"compound": {
+        "must": [{"text": {"query": "quick", "path": "t"}}],
+        "filter": [{"equals": {"path": "cat", "value": "news"}}],
+    }})
+    assert [g[0] for g in got] == [1]
+    assert got[0][1] > 0
 
 
 def test_search_null_path_and_vector_nulls(spark):
