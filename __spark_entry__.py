@@ -3705,6 +3705,48 @@ _register(
 )
 
 
+_register(
+    "search_meta_facet",
+    """WITH f AS (SELECT * FROM documents WHERE n_chars >= 100),
+            sb AS (SELECT lang AS _id, count(*) AS count FROM f
+                   WHERE lang IS NOT NULL
+                   GROUP BY 1 ORDER BY count DESC, _id LIMIT 3),
+            nb AS (SELECT CAST(CASE WHEN n_chars < 500 THEN 0
+                               ELSE 500 END AS BIGINT) AS _id,
+                          count(*) AS count
+                   FROM f WHERE n_chars >= 0 AND n_chars < 5000
+                   GROUP BY 1)
+       SELECT struct_pack(total := (SELECT count(*) FROM f)) AS count,
+              struct_pack(
+                langs := struct_pack(buckets := (
+                  SELECT coalesce(list(struct_pack(_id := _id,
+                                                   count := count)
+                                       ORDER BY count DESC, _id), [])
+                  FROM sb)),
+                sizes := struct_pack(buckets := (
+                  SELECT coalesce(list(struct_pack(_id := _id,
+                                                   count := count)
+                                       ORDER BY _id), [])
+                  FROM nb))
+              ) AS facet""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$searchMeta": {"facet": {
+                "operator": {"range": {"path": "n_chars", "gte": 100}},
+                "facets": {
+                    "langs": {"type": "string", "path": "lang",
+                              "numBuckets": 3},
+                    "sizes": {"type": "number", "path": "n_chars",
+                              "boundaries": [0, 500, 5000]},
+                },
+            }}},
+        ],
+    )
+)
+
+
 # --- r4: jq tier-2 long tail — limit/scan/capture/@format as a stage --
 # (documented Python transport boundary: the tier-2 interpreter runs the
 # script per row — operators/jq_interp.py; jackson-jq parity Jq.java:19-33)

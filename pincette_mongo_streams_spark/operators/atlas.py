@@ -371,14 +371,107 @@ def search_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+def _text_match_pred(df: DataFrame, spec: dict) -> Column:
+    """Fast membership filter for a text clause: a document counts iff
+    ANY path contains ANY query term — the BM25 score is positive
+    exactly then, so counting needs only tokenize + overlap, not the
+    full scoring plan."""
+    paths = spec["path"]
+    if isinstance(paths, str):
+        paths = [paths]
+    terms = _norm_terms(spec["query"])
+    if not terms:
+        raise ValueError("$searchMeta text.query needs at least one term")
+    tlit = F.array(*[F.lit(t) for t in terms])
+    match = None
+    for p in paths:
+        text = compile_expr(f"${p}", ExprContext(schema=df.schema))
+        toks = F.coalesce(
+            F.filter(
+                F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != ""
+            ),
+            F.array().cast("array<string>"),
+        )
+        m = F.arrays_overlap(toks, tlit)
+        match = m if match is None else (match | m)
+    return match
+
+
+def _meta_filtered(df: DataFrame, expression: dict) -> DataFrame:
+    """The documents the equivalent $search would return."""
+    op = next((k for k in expression if k in _SEARCH_OPS), None)
+    if op is None:
+        return df  # facet form without an operator counts everything
+    if op == "text":
+        return df.filter(_text_match_pred(df, expression[op]))
+    out, pred, _score, drops = _search_clause(df, op, expression[op], [0])
+    out = out.filter(pred)
+    return out.drop(*drops) if drops else out
+
+
+def _facet_bucket_col(df: DataFrame, name: str, spec: dict) -> DataFrame:
+    """One facet -> a single-row DataFrame with column ``name`` holding
+    the ordered ``[{_id, count}]`` bucket array."""
+    ftype = spec.get("type", "string")
+    path = spec["path"]
+    col = compile_expr(f"${path}", ExprContext(schema=df.schema))
+    if ftype == "string":
+        n = int(spec.get("numBuckets", 10))
+        counts = (
+            df.filter(col.isNotNull())
+            .groupBy(col.alias("_id"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.col("count").desc(), F.col("_id"))
+            .limit(n)
+        )
+    elif ftype in ("number", "date"):
+        bounds = spec["boundaries"]
+        if len(bounds) < 2 or sorted(bounds) != list(bounds):
+            raise ValueError(f"facet {name}: boundaries must be ordered")
+        bucket = None
+        for lo, hi in zip(bounds, bounds[1:]):
+            clause = (col >= F.lit(lo)) & (col < F.lit(hi))
+            b = F.when(clause, F.lit(lo))
+            bucket = b if bucket is None else bucket.when(clause, F.lit(lo))
+        default = spec.get("default")
+        bucket = (bucket.otherwise(F.lit(default)) if default is not None
+                  else bucket)
+        counts = (
+            df.withColumn("__fb", bucket)
+            .filter(F.col("__fb").isNotNull())
+            .groupBy(F.col("__fb").alias("_id"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.col("_id"))
+        )
+    else:
+        raise NotImplementedError(f"facet type {ftype!r}")
+    # deterministic in-array order: count desc then _id for string
+    # facets, boundary order for numeric — encoded in the sort key
+    if ftype == "string":
+        keyed = F.struct((-F.col("count")).alias("__k1"),
+                         F.col("_id").alias("__k2"),
+                         F.struct("_id", "count").alias("__b"))
+    else:
+        keyed = F.struct(F.col("_id").alias("__k1"),
+                         F.lit(0).alias("__k2"),
+                         F.struct("_id", "count").alias("__b"))
+    return counts.agg(
+        F.transform(
+            F.sort_array(F.collect_list(keyed)), lambda s: s["__b"]
+        ).alias(name)
+    )
+
+
 @register_stage("$searchMeta")
 def search_meta_stage(expression: Any, ctx: Context) -> StageFn:
-    """``{index?, text: {query, path}, count?: {type}}`` — Atlas
-    $searchMeta's count form: ONE row ``{count: {total}}`` with the
-    number of documents the equivalent $search would return.  Always
-    reports an exact ``total`` (Atlas's lowerBound mode is an
-    index-internal shortcut; exact is never less correct).  Facet
-    collection is ``$facet``'s job in this engine."""
+    """``{index?, <operator>: {...}, count?: {type}}`` or the facet form
+    ``{facet: {operator?: {...}, facets: {name: {type, path, ...}}}}`` —
+    Atlas $searchMeta: ONE row with ``count.total`` (always exact;
+    Atlas's lowerBound is an index-internal shortcut) and, in the facet
+    form, ``facet.<name>.buckets`` arrays.  String facets emit the top
+    ``numBuckets`` (default 10) values by count; number/date facets
+    bucket by ``boundaries`` with an optional ``default`` catch-all.
+    All $search operators work as the filter."""
     cnt = expression.get("count", {})
     if not isinstance(cnt, dict):
         raise ValueError("$searchMeta count takes an options document")
@@ -387,43 +480,34 @@ def search_meta_stage(expression: Any, ctx: Context) -> StageFn:
             f"$searchMeta count.type must be total or lowerBound, "
             f"got {cnt.get('type')!r}"
         )
-    if "facet" in expression:
-        raise NotImplementedError(
-            "$searchMeta facets: use $search + $facet (native facets)"
-        )
-    spec = expression.get("text")
-    if not isinstance(spec, dict):
-        raise NotImplementedError("$searchMeta supports the text operator")
-    query = spec["query"]
-    paths = spec["path"]
-    if isinstance(paths, str):
-        paths = [paths]
-    import re as _re
-
-    terms = list(dict.fromkeys(
-        t for t in _re.sub(r"[^a-z0-9 ]", " ", query.lower()).split() if t
-    ))
-    if not terms:
-        raise ValueError("$searchMeta text.query needs at least one term")
+    facet = expression.get("facet")
+    if facet is None:
+        op = next((k for k in expression if k in _SEARCH_OPS), None)
+        if op is None:
+            raise NotImplementedError(
+                f"$searchMeta needs one of {sorted(_SEARCH_OPS)} or facet"
+            )
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
-        # a document counts iff ANY path contains ANY query term — the
-        # BM25 score is positive exactly then, so the count needs only a
-        # tokenize + overlap filter, not the full scoring plan
-        tlit = F.array(*[F.lit(t) for t in terms])
-        match = None
-        for p in paths:
-            text = compile_expr(f"${p}", ExprContext(schema=df.schema))
-            toks = F.coalesce(
-                F.filter(
-                    F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != ""
-                ),
-                F.array().cast("array<string>"),
+        if facet is None:
+            filt = _meta_filtered(df, expression)
+            return filt.groupBy().agg(
+                F.count(F.lit(1)).alias("__n")
+            ).select(F.struct(F.col("__n").alias("total")).alias("count"))
+        filt = _meta_filtered(df, facet.get("operator", {}))
+        total = filt.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+        out = total
+        names = []
+        for name, spec in facet["facets"].items():
+            names.append(name)
+            out = out.crossJoin(
+                F.broadcast(_facet_bucket_col(filt, name, spec))
             )
-            m = F.arrays_overlap(toks, tlit)
-            match = m if match is None else (match | m)
-        return df.filter(match).groupBy().agg(
-            F.count(F.lit(1)).alias("__n")
-        ).select(F.struct(F.col("__n").alias("total")).alias("count"))
+        return out.select(
+            F.struct(F.col("__n").alias("total")).alias("count"),
+            F.struct(*[
+                F.struct(F.col(n).alias("buckets")).alias(n) for n in names
+            ]).alias("facet"),
+        )
 
     return fn

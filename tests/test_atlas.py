@@ -179,6 +179,50 @@ def test_search_compound(spark):
     assert dict(got) == {1: 3.0, 2: 3.0, 4: 3.0}
 
 
+def test_search_meta_operator_surface(spark):
+    # $searchMeta counts through ANY $search operator, not just text
+    df = spark.createDataFrame(_DOCS, _SCHEMA)
+    out = compile_pipeline(
+        [{"$searchMeta": {"range": {"path": "views", "gte": 10}}}],
+        Context(spark=spark),
+    )(df).collect()
+    assert out[0]["count"]["total"] == 3
+
+
+def test_search_meta_facets(spark):
+    df = spark.createDataFrame(_DOCS, _SCHEMA)
+    out = compile_pipeline(
+        [{"$searchMeta": {"facet": {
+            "operator": {"exists": {"path": "t"}},
+            "facets": {
+                "cats": {"type": "string", "path": "cat",
+                         "numBuckets": 5},
+                "viewsF": {"type": "number", "path": "views",
+                           "boundaries": [0, 20, 50]},
+            },
+        }}}],
+        Context(spark=spark),
+    )(df).collect()
+    row = out[0]
+    assert row["count"]["total"] == 3  # doc 4 has no t
+    cats = [(b["_id"], b["count"]) for b in row["facet"]["cats"]["buckets"]]
+    # count desc then _id asc
+    assert cats == [("news", 2), ("blog", 1)]
+    views = [(b["_id"], b["count"])
+             for b in row["facet"]["viewsF"]["buckets"]]
+    assert views == [(0, 1), (20, 2)]  # 10 -> [0,20); 25,40 -> [20,50)
+    # facet without an operator counts the whole collection
+    out2 = compile_pipeline(
+        [{"$searchMeta": {"facet": {"facets": {
+            "cats": {"type": "string", "path": "cat"}}}}}],
+        Context(spark=spark),
+    )(df).collect()
+    assert out2[0]["count"]["total"] == 4
+    assert [(b["_id"], b["count"])
+            for b in out2[0]["facet"]["cats"]["buckets"]] == [
+        ("blog", 2), ("news", 2)]
+
+
 def test_search_compound_with_text_clause(spark):
     # a BM25 text clause nests inside compound; its score flows through
     got = _search(spark, _DOCS, _SCHEMA, {"compound": {
