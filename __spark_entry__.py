@@ -3706,6 +3706,30 @@ _register(
 
 
 _register(
+    "date_from_parts",
+    """SELECT o_orderkey,
+              make_timestamp(CAST(year(o_orderdate) AS BIGINT),
+                             CAST(month(o_orderdate) AS BIGINT),
+                             CAST(day(o_orderdate) AS BIGINT),
+                             6, 30, 15.25) AS rebuilt
+       FROM orders""",
+)(
+    _pipe(
+        "orders",
+        [
+            {"$project": {"_id": 0, "o_orderkey": 1, "rebuilt": {
+                "$dateFromParts": {
+                    "year": {"$year": "$o_orderdate"},
+                    "month": {"$month": "$o_orderdate"},
+                    "day": {"$dayOfMonth": "$o_orderdate"},
+                    "hour": 6, "minute": 30, "second": 15,
+                    "millisecond": 250,
+                }}}},
+        ],
+    )
+)
+
+_register(
     "search_meta_facet",
     """WITH f AS (SELECT * FROM documents WHERE n_chars >= 100),
             sb AS (SELECT lang AS _id, count(*) AS count FROM f

@@ -717,6 +717,56 @@ def _date_from_string(raw: Any, ctx: ExprContext) -> Column:
     return F.try_to_timestamp(ds)
 
 
+@_op("$dateFromParts")
+def _date_from_parts(raw: Any, ctx: ExprContext) -> Column:
+    """``{year, month?, day?, hour?, minute?, second?, millisecond?,
+    timezone?}`` or the ISO form ``{isoWeekYear, isoWeek?,
+    isoDayOfWeek?, ...}``.  Out-of-range parts CARRY like Mongo's
+    (month 13 -> next January, day 0 -> last day of the previous
+    month): the date builds as make_date(y,1,1) + months + days, and
+    the time-of-day as one dt-interval."""
+    if not isinstance(raw, dict):
+        raise ValueError("$dateFromParts takes a document")
+
+    def part(name: str, default: int) -> Column:
+        if name in raw:
+            return F.coalesce(_c(raw[name], ctx).cast("int"),
+                              F.lit(default))
+        return F.lit(default)
+
+    if "isoWeekYear" in raw:
+        y = _c(raw["isoWeekYear"], ctx).cast("int")
+        w = part("isoWeek", 1)
+        d = part("isoDayOfWeek", 1)
+        # ISO week 1 always contains Jan 4; weekday() is 0 for Monday
+        jan4 = F.make_date(y, F.lit(1), F.lit(4))
+        monday1 = F.date_sub(jan4, F.weekday(jan4))
+        base = F.date_add(monday1, (w - 1) * 7 + (d - 1))
+    else:
+        y = _c(raw["year"], ctx).cast("int")
+        base = F.date_add(
+            F.add_months(F.make_date(y, F.lit(1), F.lit(1)),
+                         part("month", 1) - 1),
+            part("day", 1) - 1,
+        )
+    secs = (
+        part("second", 0).cast("double")
+        + part("millisecond", 0).cast("double") / 1000.0
+    )
+    ts = base.cast("timestamp") + F.make_dt_interval(
+        F.lit(0), part("hour", 0), part("minute", 0), secs
+    )
+    tz = raw.get("timezone")
+    if tz is not None:
+        if not isinstance(tz, str):
+            raise NotImplementedError(
+                "$dateFromParts timezone must be a literal string"
+            )
+        # the parts describe wall-clock time IN tz; sessions run UTC
+        ts = F.to_utc_timestamp(ts, tz)
+    return ts
+
+
 @_op("$dateToString")
 def _date_to_string(raw: Any, ctx: ExprContext) -> Column:
     date = _c(raw["date"], ctx)

@@ -388,3 +388,34 @@ def test_median_percentile_expression_forms(spark):
     assert by[2]["med"] == 5.0               # nulls ignored: [2,8] -> 5.0
     assert by[3]["med"] is None
     assert by[3]["pcts"] == [None, None, None]
+
+
+def test_date_from_parts(spark):
+    """$dateFromParts: calendar + ISO-week forms, Mongo's out-of-range
+    carrying (month 13 -> next Jan, day 0 -> last day of prev month),
+    milliseconds, and literal timezone interpretation."""
+    import datetime
+
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    df = spark.createDataFrame([(2024, 2, 29)], "y int, m int, d int")
+    out = compile_pipeline([{"$addFields": {
+        "plain": {"$dateFromParts": {
+            "year": "$y", "month": "$m", "day": "$d",
+            "hour": 6, "minute": 30, "second": 15, "millisecond": 250}},
+        "carry_month": {"$dateFromParts": {"year": 2023, "month": 13,
+                                           "day": 1}},
+        "carry_day": {"$dateFromParts": {"year": 2024, "month": 3,
+                                         "day": 0}},
+        "iso": {"$dateFromParts": {"isoWeekYear": 2024, "isoWeek": 2,
+                                   "isoDayOfWeek": 3}},
+        "tz": {"$dateFromParts": {"year": 2024, "month": 1, "day": 1,
+                                  "hour": 12,
+                                  "timezone": "America/New_York"}},
+    }}], Context(spark=spark))(df)
+    r = out.collect()[0]
+    assert r["plain"] == datetime.datetime(2024, 2, 29, 6, 30, 15, 250000)
+    assert r["carry_month"] == datetime.datetime(2024, 1, 1)
+    assert r["carry_day"] == datetime.datetime(2024, 2, 29)   # leap year
+    assert r["iso"] == datetime.datetime(2024, 1, 10)
+    assert r["tz"] == datetime.datetime(2024, 1, 1, 17, 0)    # EST=UTC-5
