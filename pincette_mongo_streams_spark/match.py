@@ -146,14 +146,16 @@ def _one_op(col: Column, ftype: Any, op: str, arg: Any, ops: dict, ctx: ExprCont
         return _equality(col, ftype, arg)
     if op == "$ne":
         return ~_equality(col, ftype, arg)
-    if op == "$gt":
-        return F.coalesce(col > _lit_deep(arg), F.lit(False))
-    if op == "$gte":
-        return F.coalesce(col >= _lit_deep(arg), F.lit(False))
-    if op == "$lt":
-        return F.coalesce(col < _lit_deep(arg), F.lit(False))
-    if op == "$lte":
-        return F.coalesce(col <= _lit_deep(arg), F.lit(False))
+    if op in ("$gt", "$gte", "$lt", "$lte"):
+        mk = {"$gt": lambda c: c > _lit_deep(arg),
+              "$gte": lambda c: c >= _lit_deep(arg),
+              "$lt": lambda c: c < _lit_deep(arg),
+              "$lte": lambda c: c <= _lit_deep(arg)}[op]
+        if isinstance(ftype, T.ArrayType) and not isinstance(arg, list):
+            # Mongo array-field matching: ANY element may satisfy the
+            # comparison
+            return F.coalesce(F.exists(col, mk), F.lit(False))
+        return F.coalesce(mk(col), F.lit(False))
     if op == "$in":
         if isinstance(ftype, T.ArrayType):
             return F.coalesce(

@@ -190,11 +190,14 @@ _RESIDUAL_OPS = {
 
 
 def _let_var(v: Any, let: dict) -> Any:
-    """The let-expression bound by a ``"$$var"`` string, or None."""
+    """The let-expression bound by a ``"$$var"`` string, or None.
+    ``$$var.sub.path`` rewrites to a ``$let`` so the sub-path resolves
+    against the bound value (Lookup.replaceVariables substitutes into
+    the pipeline the same way — Lookup.java:122-128)."""
     if isinstance(v, str) and v.startswith("$$") and v[2:].split(".")[0] in let:
         head, *path = v[2:].split(".")
         if path:
-            raise NotImplementedError("nested $$var paths in lookup match")
+            return {"$let": {"vars": {head: let[head]}, "in": v}}
         return let[head]
     return None
 

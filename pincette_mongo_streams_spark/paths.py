@@ -55,8 +55,13 @@ def _field(schema: T.StructType | None, name: str) -> T.StructField | None:
 
 
 def has_path(schema: T.StructType, parts: list[str]) -> bool:
+    """Paths traverse structs AND arrays of structs: Mongo's ``m.v`` on
+    an array-of-documents field yields the array of element values, and
+    Spark's getField does the same on array<struct> columns."""
     cur: T.DataType = schema
     for p in parts:
+        while isinstance(cur, T.ArrayType):
+            cur = cur.elementType
         if not isinstance(cur, T.StructType):
             return False
         f = _field(cur, p)
@@ -67,14 +72,23 @@ def has_path(schema: T.StructType, parts: list[str]) -> bool:
 
 
 def path_type(schema: T.StructType, parts: list[str]) -> T.DataType | None:
+    """Type of the resolved path; steps through array<struct> wrap the
+    result back into an array (getField on array<struct<..f: t..>>
+    yields array<t>)."""
     cur: T.DataType = schema
     for p in parts:
+        depth = 0
+        while isinstance(cur, T.ArrayType):
+            cur = cur.elementType
+            depth += 1
         if not isinstance(cur, T.StructType):
             return None
         f = _field(cur, p)
         if f is None:
             return None
         cur = f.dataType
+        for _ in range(depth):
+            cur = T.ArrayType(cur)
     return cur
 
 

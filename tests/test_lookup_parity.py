@@ -270,3 +270,28 @@ def test_size_only_rewrite_equivalence_randomized(spark):
         got = sorted((r.sid, r.n) for r in optimized.collect())
         want = sorted((r.sid, r.n) for r in plain.collect())
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_lookup_let_nested_var_path(spark, ctx):
+    """``let: {o: "$spec"}`` + ``$match: {key: "$$o.k"}`` — a nested
+    $$var sub-path resolves against the bound struct value (the
+    reference substitutes variables into the sub-pipeline the same way,
+    Lookup.java:122-128)."""
+    from pyspark.sql import Row
+
+    stream = spark.createDataFrame(
+        [Row(_id="1", spec=Row(k="a", n=1)),
+         Row(_id="2", spec=Row(k="b", n=2))],
+        "_id string, spec struct<k:string,n:int>")
+    foreign = spark.createDataFrame(
+        [("a", 10), ("a", 11), ("b", 20)], "key string, v int")
+    c = Context(spark=spark, collections={"f": foreign})
+    out = compile_pipeline(
+        [{"$lookup": {"from": "f", "let": {"o": "$spec"},
+                      "pipeline": [{"$match": {"key": "$$o.k"}}],
+                      "as": "m"}},
+         {"$project": {"_id": 1, "vs": "$m.v"}}],
+        c,
+    )(stream)
+    got = {r["_id"]: sorted(r["vs"]) for r in out.collect()}
+    assert got == {"1": [10, 11], "2": [20]}

@@ -167,3 +167,29 @@ def test_json_schema_review_fixes(spark):
     # tuple-form items rejected clearly
     with _pytest.raises(NotImplementedError, match="items"):
         run({"properties": {"name": {"items": [{"bsonType": "int"}]}}})
+
+
+def test_array_of_struct_path_traversal(spark):
+    """Mongo path semantics through arrays of documents: ``m.v`` as an
+    expression yields the array of element values; as a $match field it
+    matches documents where ANY element matches (r4 — previously such
+    paths resolved to missing/null)."""
+    from pyspark.sql import Row
+
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    rows = [
+        Row(_id="1", m=[Row(v=10), Row(v=11)]),
+        Row(_id="2", m=[Row(v=20)]),
+    ]
+    df = spark.createDataFrame(rows, "_id string, m array<struct<v:int>>")
+    ctx = Context(spark=spark)
+    out = compile_pipeline(
+        [{"$project": {"_id": 1, "vs": "$m.v"}}], ctx)(df)
+    got = {r["_id"]: list(r["vs"]) for r in out.collect()}
+    assert got == {"1": [10, 11], "2": [20]}
+    out2 = compile_pipeline([{"$match": {"m.v": 11}}], ctx)(df)
+    assert [r["_id"] for r in out2.collect()] == ["1"]
+    out3 = compile_pipeline(
+        [{"$match": {"m.v": {"$gte": 20}}}], ctx)(df)
+    assert [r["_id"] for r in out3.collect()] == ["2"]
