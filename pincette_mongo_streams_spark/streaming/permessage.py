@@ -23,13 +23,15 @@ the reference's total input order only exists on a single-partition
 source.  Emission order across keys is likewise unordered (reference
 processes one message at a time globally).
 
-Restrictions (raise at compile): accumulator inputs and the group key
-must be atomic (numeric / string / boolean) so the JSON state round-trips
-exactly — except ``$mergeObjects``, whose input is a struct of atomic
-fields (objects are already JSON).  Supported accumulators: $sum, $count,
-$avg, $min, $max, $first, $last, $push, $addToSet, $mergeObjects,
-$stdDevPop — the reference's full registry (Group.java:107-117) plus
-$first.
+Group keys: atomic (numeric / string / boolean), object (struct of
+atomic fields — grouped on the canonical JSON rendering, _id rebuilt per
+emission), or array — which, matching the reference's ``hasId`` filter
+(Group.java:261-263,429), never emits.  Accumulator inputs must be
+atomic so the JSON state round-trips exactly — except ``$mergeObjects``,
+whose input is a struct of atomic fields (objects are already JSON).
+Supported accumulators: $sum, $count, $avg, $min, $max, $first, $last,
+$push, $addToSet, $mergeObjects, $stdDevPop — the reference's full
+registry (Group.java:107-117) plus $first.
 """
 
 from __future__ import annotations
@@ -79,6 +81,18 @@ def compile_group_per_message(
 ) -> Callable[[DataFrame], DataFrame]:
     """``$group`` spec -> streaming-DataFrame transform emitting one group
     doc per state-changing input message."""
+    try:
+        # ship this module inside the fold closure: executors whose
+        # working dir / sys.path can't import the package still run the
+        # stateful fold (same stance as the jq tier-2 interpreter,
+        # operators/script.py)
+        import sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:  # pragma: no cover - older pickler
+        pass
     gid = expression.get("_id")
     specs: list[tuple[str, str, Any]] = []
     for name, spec in expression.items():
@@ -104,12 +118,32 @@ def compile_group_per_message(
                 cols.append(compile_expr(arg, sctx).alias(f"__in{i}"))
         prepared = df.select(*cols)
         ptypes = {f.name: f.dataType for f in prepared.schema.fields}
-        if not isinstance(ptypes["__gk"], _ATOMIC):
+        gk_t = ptypes["__gk"]
+        json_key = False
+        if isinstance(gk_t, T.ArrayType):
+            # reference parity: group docs whose _id is an array are
+            # FILTERED from emission (Group.hasId, Group.java:261-263,
+            # 429) — with a fixed schema the key is statically an array,
+            # so the stage emits nothing
+            prepared = prepared.filter(F.lit(False))
+        elif isinstance(gk_t, T.StructType):
+            # object group keys: group on the canonical JSON rendering
+            # (objects are already JSON; null and missing group together,
+            # as in Mongo) and rebuild the _id struct per emission
+            if not all(isinstance(f.dataType, _ATOMIC) for f in gk_t.fields):
+                raise ValueError(
+                    "per-message emission needs atomic fields in an "
+                    f"object group key (got {gk_t.simpleString()})"
+                )
+            json_key = True
+            prepared = prepared.withColumn(
+                "__gk", F.to_json(F.col("__gk")))
+        elif not isinstance(gk_t, _ATOMIC):
             raise ValueError(
-                "per-message emission needs an atomic group key "
-                f"(got {ptypes['__gk'].simpleString()})"
+                "per-message emission needs an atomic, object, or array "
+                f"group key (got {gk_t.simpleString()})"
             )
-        out_fields = [T.StructField("_id", ptypes["__gk"])]
+        out_fields = [T.StructField("_id", gk_t)]
         for i, (name, op, _) in enumerate(specs):
             it = ptypes[f"__in{i}"]
             if op == "$mergeObjects":
@@ -142,6 +176,8 @@ def compile_group_per_message(
         state_schema = T.StructType([T.StructField("s", T.StringType())])
         names = [name for name, _, _ in specs]
         ops = [op for _, op, _ in specs]
+        gk_fields = ([f.name for f in gk_t.fields]
+                     if isinstance(gk_t, T.StructType) else None)
 
         def value(st: dict, i: int) -> Any:
             op = ops[i]
@@ -236,6 +272,13 @@ def compile_group_per_message(
             # when every accumulator still sits at its initial value
             # (Group.java:176-186 diffs against the ABSENT Mongo doc)
             first_pending = not existed
+            if json_key:
+                # rebuild the _id object; to_json omitted null fields,
+                # so fill them back for a stable output struct
+                loaded = json.loads(key[0])
+                key_out = {f: loaded.get(f) for f in gk_fields}
+            else:
+                key_out = _py(key[0])
             out: list[list] = []
             for pdf in pdfs:
                 in_cols = [pdf[f"__in{i}"] for i in range(len(specs))]
@@ -245,7 +288,7 @@ def compile_group_per_message(
                     cur = [value(st, i) for i in range(len(specs))]
                     if cur != prev or first_pending:
                         # the reference's emission diff
-                        out.append([_py(key[0])] + list(cur))
+                        out.append([key_out] + list(cur))
                         prev = cur
                         first_pending = False
             state.update((json.dumps(st),))

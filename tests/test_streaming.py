@@ -715,6 +715,34 @@ def test_group_per_message_first_emission_at_init_value(spark, tmpdir):
     assert flat == [("a", 0)]
 
 
+def test_group_per_message_object_and_array_keys(spark, tmpdir):
+    """Object group keys group on the canonical JSON rendering and the
+    emitted _id is the rebuilt struct; array group keys never emit
+    (reference hasId filter, Group.java:261-263,429)."""
+    pipeline = [{"$group": {"_id": {"a": "$a", "b": "$b"},
+                            "n": {"$count": {}}}}]
+    emissions = _run(
+        spark, tmpdir, "a string, b long, v long",
+        [
+            [{"a": "x", "b": 1, "v": 1}, {"a": "x", "b": 1, "v": 2}],
+            [{"a": "x", "b": 2, "v": 3}, {"a": None, "b": 1, "v": 4}],
+        ],
+        pipeline, emission="per_message",
+    )
+    flat = [((r["_id"]["a"] or "", r["_id"]["b"]), r["n"])
+            for batch in emissions for r in batch]
+    assert sorted(flat) == [
+        (("", 1), 1), (("x", 1), 1), (("x", 1), 2), (("x", 2), 1)]
+    # array _id: zero emissions, stream still runs
+    emissions2 = _run(
+        spark, tmpdir + "-arr", "a string, v long",
+        [[{"a": "x", "v": 1}]],
+        [{"$group": {"_id": ["$a", "$a"], "n": {"$count": {}}}}],
+        emission="per_message",
+    )
+    assert [r for batch in emissions2 for r in batch] == []
+
+
 def test_group_per_message_rejects_nonatomic_and_combo(spark, tmpdir):
     import pytest as _pytest
 
