@@ -3808,15 +3808,22 @@ _ORDER = [
     # r3: lookup_residual moved past-window (redundant with
     # lookup_pipeline's residual-correlation coverage) to make room for
     # streaming_parity — the foreachBatch emission-sequence gate
+    # r4 swaps: group_first_last and group_superset move past-window
+    # (both are $group-accumulator variants; group_accumulators +
+    # group_arrays keep the in-window accumulator rows and the displaced
+    # two stay registered + locally oracle-checked) to give the two
+    # previously driver-unscored extension seams hard rows: stage_ext
+    # (Context.stageExtensions registry) and features_ext (the Features
+    # analog — custom expression/match operators).
     "match_operators", "project_compute", "field_ops", "replace_with",
-    "unwind", "group_accumulators", "group_arrays", "group_first_last",
+    "unwind", "group_accumulators", "group_arrays", "stage_ext",
     "bucket", "lookup_unwind", "lookup_array_size", "lookup_pipeline",
     "streaming_parity", "deduplicate", "merge_out", "delete_passthrough",
     "redact", "per_batches", "effects_chain", "script_stages",
     "http_enrich",
     # §2.3a expressions + §2.4 accumulators (superset included)
     "expr_strings", "expr_math_superset", "expr_cond_dates", "expr_arrays",
-    "group_superset",
+    "features_ext",
     # batch-completeness stages
     # r3 swaps: sample_count ($sample+$count — trivial fixed-count
     # signal) -> asof_join gives the time-series join family a hard
