@@ -185,7 +185,9 @@ def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int]
         pred = None
         for p in paths:
             text = compile_expr(f"${p}", ExprContext(schema=df.schema))
-            m = F.coalesce(F.lower(text).rlike(pat), F.lit(False))
+            # isNotNull & rlike (not coalesce): the null guard stays a
+            # plain conjunct so IsNotNull pushes into the parquet scan
+            m = text.isNotNull() & F.lower(text).rlike(pat)
             pred = m if pred is None else (pred | m)
         return df, pred, _clause_score(body, F.lit(1.0)), []
     if op == "equals":
@@ -196,15 +198,18 @@ def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int]
     if op == "range":
         col = compile_expr(f"${body['path']}",
                            ExprContext(schema=df.schema))
-        pred = None
+        # isNotNull & bound (not coalesce-wrapped): plain conjuncts push
+        # into the parquet scan (PushedFilters), a coalesce blocks it
+        pred = col.isNotNull()
+        found = False
         for kw, mk in (("gt", lambda v: col > F.lit(v)),
                        ("gte", lambda v: col >= F.lit(v)),
                        ("lt", lambda v: col < F.lit(v)),
                        ("lte", lambda v: col <= F.lit(v))):
             if kw in body:
-                clause = F.coalesce(mk(body[kw]), F.lit(False))
-                pred = clause if pred is None else (pred & clause)
-        if pred is None:
+                found = True
+                pred = pred & mk(body[kw])
+        if not found:
             raise ValueError("$search range needs gt/gte/lt/lte")
         return df, pred, _clause_score(body, F.lit(1.0)), []
     if op == "exists":
@@ -219,7 +224,7 @@ def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int]
                       if ch == "?" else _re3.escape(ch) for ch in glob)
         col = compile_expr(f"${body['path']}",
                            ExprContext(schema=df.schema))
-        pred = F.coalesce(col.rlike(f"^(?s)({pat})$"), F.lit(False))
+        pred = col.isNotNull() & col.rlike(f"^(?s)({pat})$")
         return df, pred, _clause_score(body, F.lit(1.0)), []
     if op == "compound":
         out = df
@@ -361,9 +366,13 @@ def search_stage(expression: Any, ctx: Context) -> StageFn:
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         out, pred, score, drops = _search_clause(df, op, spec, [0])
-        scored = out.withColumn(SSCORE, F.when(pred, score))
+        # filter on the raw predicate FIRST: a plain boolean conjunction
+        # splits into conjuncts and the pushable ones (range bounds,
+        # null guards, equals) reach the parquet scan; scoring runs on
+        # the survivors only
+        scored = out.filter(pred).withColumn(SSCORE, score)
         return (
-            scored.filter(F.col(SSCORE).isNotNull() & (F.col(SSCORE) > 0))
+            scored.filter(F.col(SSCORE) > 0)
             .drop(*drops)
             .orderBy(F.col(SSCORE).desc(), *[F.col(df.columns[0])])
         )
