@@ -3729,6 +3729,70 @@ _register(
     )
 )
 
+# --- r4: $pageRank — power iteration over an edge collection ----------
+# (operators/graphcc.py; fixed 3 rounds unrolled in the oracle, output
+# rounded at 1e-6 on both sides to absorb FP summation-order noise)
+
+
+def _page_rank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = _load(spark, sf_dir)
+    li = tables["lineitem"]
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select("dst")).distinct())
+    ctx = Context(spark=spark, collections={"e": edges})
+    return compile_pipeline(
+        [
+            {"$pageRank": {"edges": "e", "src": "src", "dst": "dst",
+                           "on": "node", "as": "pr", "damping": 0.85,
+                           "iterations": 3}},
+            {"$project": {"node": 1, "pr": {"$round": ["$pr", 6]}}},
+        ],
+        ctx,
+    )(nodes)
+
+
+_register(
+    "page_rank",
+    f"""WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS a,
+                          'p' || CAST(l_partkey AS VARCHAR) AS b
+                   FROM lineitem),
+             nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e),
+             deg AS (SELECT a AS n, CAST(count(*) AS DOUBLE) AS d
+                     FROM e GROUP BY 1),
+             nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes),
+             r0 AS (SELECT n, 1.0 / (SELECT c FROM nn) AS r FROM nodes),
+             r1 AS (SELECT nodes.n,
+                           0.15 / (SELECT c FROM nn)
+                             + 0.85 * coalesce(s.m, 0) AS r
+                    FROM nodes LEFT JOIN (
+                      SELECT e.b AS n, sum(r0.r / deg.d) AS m
+                      FROM e JOIN r0 ON r0.n = e.a
+                             JOIN deg ON deg.n = e.a GROUP BY 1) s
+                    ON s.n = nodes.n),
+             r2 AS (SELECT nodes.n,
+                           0.15 / (SELECT c FROM nn)
+                             + 0.85 * coalesce(s.m, 0) AS r
+                    FROM nodes LEFT JOIN (
+                      SELECT e.b AS n, sum(r1.r / deg.d) AS m
+                      FROM e JOIN r1 ON r1.n = e.a
+                             JOIN deg ON deg.n = e.a GROUP BY 1) s
+                    ON s.n = nodes.n),
+             r3 AS (SELECT nodes.n,
+                           0.15 / (SELECT c FROM nn)
+                             + 0.85 * coalesce(s.m, 0) AS r
+                    FROM nodes LEFT JOIN (
+                      SELECT e.b AS n, sum(r2.r / deg.d) AS m
+                      FROM e JOIN r2 ON r2.n = e.a
+                             JOIN deg ON deg.n = e.a GROUP BY 1) s
+                    ON s.n = nodes.n)
+        SELECT n AS node, {_r('r', 6)} AS pr FROM r3""",
+)(_page_rank_query)
+
+
 _register(
     "search_meta_facet",
     """WITH f AS (SELECT * FROM documents WHERE n_chars >= 100),

@@ -151,3 +151,101 @@ def connected_components_stage(expression: Any, ctx: Context) -> StageFn:
         ).drop("__cc_node", "__cc_comp")
 
     return fn
+
+
+def page_rank(edges: DataFrame, damping: float, iterations: int) -> DataFrame:
+    """Directed (a, b) edge DataFrame -> (``__pr_node``, ``__pr_rank``)
+    after exactly ``iterations`` power-iteration rounds of the classic
+    simplified PageRank recurrence
+
+        r'(v) = (1 - d)/n + d * Σ_{u→v} r(u)/outdeg(u)
+
+    (dangling mass is dropped, the standard example formulation — ranks
+    need not sum to 1; documented).  Fixed iteration count, no
+    convergence test: the computation is a deterministic function of the
+    edge set, so an oracle can unroll the same rounds.  Per round: one
+    edge⋈rank hash join + one groupBy(dst) sum — both shuffles on the
+    node key, partial aggregation absorbs hub skew; lineage is truncated
+    per round (same durable/local checkpoint policy as
+    $connectedComponents)."""
+    e = _pin(
+        edges.filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = _pin(
+        e.select(F.col("a").alias("__n"))
+        .union(e.select(F.col("b").alias("__n")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(F.col("__n").alias("__pr_node"),
+                            F.lit(None).cast("double").alias("__pr_rank"))
+    outdeg = e.groupBy(F.col("a").alias("__n")).agg(
+        F.count(F.lit(1)).cast("double").alias("__deg")
+    )
+    ranks = nodes.withColumn("__r", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("__n", "a"), "a")
+            .join(outdeg.withColumnRenamed("__n", "a"), "a")
+            .select(F.col("b").alias("__n"),
+                    (F.col("__r") / F.col("__deg")).alias("__c"))
+            .groupBy("__n")
+            .agg(F.sum("__c").alias("__cs"))
+        )
+        ranks = _pin(
+            nodes.join(contrib, "__n", "left").select(
+                "__n",
+                (F.lit(base)
+                 + F.lit(damping) * F.coalesce(F.col("__cs"), F.lit(0.0))
+                 ).alias("__r"),
+            )
+        )
+    return ranks.select(F.col("__n").alias("__pr_node"),
+                        F.col("__r").alias("__pr_rank"))
+
+
+@register_stage("$pageRank")
+def page_rank_stage(expression: Any, ctx: Context) -> StageFn:
+    """``{edges, src, dst, on, as, damping?, iterations?}`` — label every
+    input document with the PageRank of its ``on`` value in the directed
+    graph stored in collection ``edges`` (distinct edges, self-loops
+    dropped).  Documents whose node appears in no edge get the isolated
+    rank ``(1-d)/n`` over the EDGE-graph node count (they receive no
+    links and, having no out-edges, contribute nothing under the
+    dropped-dangling formulation)."""
+    edges_coll = expression["edges"]
+    src = expression.get("src", "src")
+    dst = expression.get("dst", "dst")
+    on = expression.get("on", "_id")
+    as_field = expression.get("as", "rank")
+    damping = float(expression.get("damping", 0.85))
+    iterations = int(expression.get("iterations", 20))
+    if not 0.0 <= damping <= 1.0:
+        raise ValueError("$pageRank damping must be in [0, 1]")
+    if iterations < 1:
+        raise ValueError("$pageRank needs at least one iteration")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from .extended import _batch_only
+
+        _batch_only("$pageRank", c)
+        e = c.collection(edges_coll)
+        sctx = ExprContext(schema=e.schema)
+        edge_df = e.select(
+            compile_expr(f"${src}", sctx).alias("a"),
+            compile_expr(f"${dst}", sctx).alias("b"),
+        )
+        ranks = page_rank(edge_df, damping, iterations)
+        n_nodes = ranks.count()
+        node = compile_expr(f"${on}", ExprContext(schema=df.schema))
+        joined = df.join(ranks, node.eqNullSafe(F.col("__pr_node")), "left")
+        isolated = ((1.0 - damping) / n_nodes) if n_nodes else None
+        return joined.withColumn(
+            as_field, F.coalesce(F.col("__pr_rank"), F.lit(isolated))
+        ).drop("__pr_node", "__pr_rank")
+
+    return fn

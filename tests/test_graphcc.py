@@ -184,3 +184,63 @@ def test_durable_checkpoint_used_when_dir_configured(spark, tmp_path):
         none_cls = getattr(spark.sparkContext._jvm.scala, "None$")
         scala_none = getattr(none_cls, "MODULE$")
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(scala_none)
+
+
+def test_page_rank_matches_reference_power_iteration(spark):
+    """$pageRank reproduces a hand-rolled power iteration exactly
+    (same simplified recurrence, fixed rounds)."""
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    E = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    d, k = 0.85, 5
+    nodes = sorted({x for e in E for x in e})
+    n = len(nodes)
+    out = {u: sum(1 for a, _ in E if a == u) for u in nodes}
+    r = {u: 1.0 / n for u in nodes}
+    for _ in range(k):
+        nr = {}
+        for v in nodes:
+            s = sum(r[u] / out[u] for u, w in E if w == v)
+            nr[v] = (1 - d) / n + d * s
+        r = nr
+
+    edges = spark.createDataFrame(E, "src long, dst long")
+    docs = spark.createDataFrame([(u,) for u in nodes] + [(99,)], "node long")
+    ctx = Context(spark=spark, collections={"e": edges})
+    got = compile_pipeline(
+        [{"$pageRank": {"edges": "e", "src": "src", "dst": "dst",
+                        "on": "node", "as": "pr", "damping": d,
+                        "iterations": k}}],
+        ctx,
+    )(docs).collect()
+    by = {row["node"]: row["pr"] for row in got}
+    for u in nodes:
+        assert abs(by[u] - r[u]) < 1e-12, (u, by[u], r[u])
+    # isolated node: the (1-d)/n floor
+    assert abs(by[99] - (1 - d) / n) < 1e-12
+    # higher in-link mass -> higher rank (3 receives from 1 and 2)
+    assert by[3] > by[2]
+
+
+def test_page_rank_plan_is_joins_not_collects(spark):
+    """The per-round work is edge⋈rank joins + groupBy sums — no
+    cartesian, no Python eval."""
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    edges = spark.range(0, 500).selectExpr(
+        "id as src", "(id * 7) % 500 as dst")
+    docs = spark.range(0, 500).selectExpr("id as node")
+    ctx = Context(spark=spark, collections={"e": edges})
+    out = compile_pipeline(
+        [{"$pageRank": {"edges": "e", "src": "src", "dst": "dst",
+                        "on": "node", "as": "pr", "iterations": 3}}],
+        ctx,
+    )(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
+    rows = out.collect()
+    assert len(rows) == 500
+    total = sum(r["pr"] for r in rows)
+    assert total > 0
