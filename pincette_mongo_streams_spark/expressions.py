@@ -724,14 +724,19 @@ def _date_from_parts(raw: Any, ctx: ExprContext) -> Column:
     isoDayOfWeek?, ...}``.  Out-of-range parts CARRY like Mongo's
     (month 13 -> next January, day 0 -> last day of the previous
     month): the date builds as make_date(y,1,1) + months + days, and
-    the time-of-day as one dt-interval."""
+    the time-of-day as one dt-interval.  A part that IS specified but
+    evaluates to null makes the whole result null (Mongo's null
+    propagation) — defaults apply only to ABSENT parts."""
     if not isinstance(raw, dict):
         raise ValueError("$dateFromParts takes a document")
 
+    guards: list[Column] = []
+
     def part(name: str, default: int) -> Column:
         if name in raw:
-            return F.coalesce(_c(raw[name], ctx).cast("int"),
-                              F.lit(default))
+            c = _c(raw[name], ctx).cast("int")
+            guards.append(c)
+            return F.coalesce(c, F.lit(default))
         return F.lit(default)
 
     if "isoWeekYear" in raw:
@@ -764,6 +769,11 @@ def _date_from_parts(raw: Any, ctx: ExprContext) -> Column:
             )
         # the parts describe wall-clock time IN tz; sessions run UTC
         ts = F.to_utc_timestamp(ts, tz)
+    if guards:
+        cond = guards[0].isNotNull()
+        for g in guards[1:]:
+            cond = cond & g.isNotNull()
+        ts = F.when(cond, ts)
     return ts
 
 

@@ -235,7 +235,13 @@ def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int]
         filters: list[Column] = []
         for kind in ("must", "should", "mustNot", "filter"):
             for sub in body.get(kind, []):
-                sub_op = next(k for k in sub if k in _SEARCH_OPS)
+                sub_op = next((k for k in sub if k in _SEARCH_OPS), None)
+                if sub_op is None:
+                    raise NotImplementedError(
+                        f"$search compound.{kind} operator "
+                        f"{sorted(sub)}: supported operators are "
+                        f"{sorted(_SEARCH_OPS)}"
+                    )
                 out, pred, score, d = _search_clause(out, sub_op,
                                                      sub[sub_op], idx)
                 drops += d
@@ -351,7 +357,16 @@ def search_stage(expression: Any, ctx: Context) -> StageFn:
     with ``$limit`` for top-k (collapses to TakeOrderedAndProject).
     Non-text operators score a deterministic constant 1.0 (Atlas's
     Lucene scores are index-internal), overridable per clause via
-    Atlas's ``score: {constant|boost}`` modifiers."""
+    Atlas's ``score: {constant|boost}`` modifiers.
+
+    ``phrase.slop`` is an IN-ORDER, PER-GAP approximation: each gap
+    between consecutive phrase terms admits up to ``slop`` filler
+    tokens, and terms never reorder.  Lucene's sloppy phrase instead
+    shares one edit-distance budget across the whole phrase and permits
+    transpositions at slop >= 2 — so multi-term phrases with slop > 0
+    can over-match in-order documents (every gap gets the full budget)
+    and under-match reordered ones.  Single-gap (two-term) phrases and
+    slop=0 are exact."""
     op = next((k for k in expression if k in _SEARCH_OPS), None)
     if op is None:
         raise NotImplementedError(
@@ -437,20 +452,42 @@ def _facet_bucket_col(df: DataFrame, name: str, spec: dict) -> DataFrame:
         bounds = spec["boundaries"]
         if len(bounds) < 2 or sorted(bounds) != list(bounds):
             raise ValueError(f"facet {name}: boundaries must be ordered")
-        bucket = None
-        for lo, hi in zip(bounds, bounds[1:]):
-            clause = (col >= F.lit(lo)) & (col < F.lit(hi))
-            b = F.when(clause, F.lit(lo))
-            bucket = b if bucket is None else bucket.when(clause, F.lit(lo))
         default = spec.get("default")
-        bucket = (bucket.otherwise(F.lit(default)) if default is not None
-                  else bucket)
+        # Atlas's `default` is a STRING bucket name next to numeric/date
+        # boundary ids; one Spark column holds one type, so when a
+        # default is present every bucket _id is rendered as a string
+        # (boundary values via CAST, the default verbatim).  A separate
+        # ordinal keeps boundary order with the default bucket LAST —
+        # never a lexicographic sort over the mixed renderings.
+        bucket = None
+        ordinal = None
+        for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+            clause = (col >= F.lit(lo)) & (col < F.lit(hi))
+            bid = (F.lit(lo).cast("string") if default is not None
+                   else F.lit(lo))
+            bucket = (F.when(clause, bid) if bucket is None
+                      else bucket.when(clause, bid))
+            ordinal = (F.when(clause, F.lit(i)) if ordinal is None
+                       else ordinal.when(clause, F.lit(i)))
+        if default is not None:
+            if not isinstance(default, str):
+                raise ValueError(
+                    f"facet {name}: default must be a string bucket name"
+                )
+            bucket = bucket.otherwise(F.lit(default))
+            ordinal = ordinal.otherwise(F.lit(len(bounds)))
+        else:
+            ordinal = ordinal.otherwise(F.lit(None))
         counts = (
-            df.withColumn("__fb", bucket)
+            # a missing/null path is not faceted at all — `default`
+            # catches out-of-boundary VALUES, not absent fields
+            df.filter(col.isNotNull())
+            .withColumn("__fb", bucket).withColumn("__fo", ordinal)
             .filter(F.col("__fb").isNotNull())
             .groupBy(F.col("__fb").alias("_id"))
-            .agg(F.count(F.lit(1)).alias("count"))
-            .orderBy(F.col("_id"))
+            .agg(F.count(F.lit(1)).alias("count"),
+                 F.min("__fo").alias("__fo"))
+            .orderBy(F.col("__fo"))
         )
     else:
         raise NotImplementedError(f"facet type {ftype!r}")
@@ -461,7 +498,7 @@ def _facet_bucket_col(df: DataFrame, name: str, spec: dict) -> DataFrame:
                          F.col("_id").alias("__k2"),
                          F.struct("_id", "count").alias("__b"))
     else:
-        keyed = F.struct(F.col("_id").alias("__k1"),
+        keyed = F.struct(F.col("__fo").alias("__k1"),
                          F.lit(0).alias("__k2"),
                          F.struct("_id", "count").alias("__b"))
     return counts.agg(

@@ -181,6 +181,8 @@ def rank_fusion_stage(expression: Any, ctx: Context) -> StageFn:
             start=F.lit(0.0),
         )
         out = fused.select(F.col(id_field), score.alias("score"))
+        out = _check_fusion_truncation(
+            "$rankFusion", out, limit, "limit" in expression)
         ordered = out.orderBy(F.col("score").desc(), F.col(id_field)).limit(limit)
         from pyspark.sql import Window
 
@@ -188,6 +190,32 @@ def rank_fusion_stage(expression: Any, ctx: Context) -> StageFn:
         return ordered.withColumn("rank", F.row_number().over(w_))
 
     return fn
+
+
+def _check_fusion_truncation(
+    stage: str, fused: DataFrame, limit: int, explicit: bool
+) -> DataFrame:
+    """When the user did NOT pass a ``limit``, the implicit default 1000
+    silently truncates larger fused sets — make that detectable: pin the
+    fused set (top-k-sized: at most the sum of the bounded sub-pipeline
+    outputs) with an eager localCheckpoint, count it, and warn when the
+    default limit cuts rows.  An explicit ``limit`` is user-requested
+    truncation and stays fully lazy."""
+    if explicit:
+        return fused
+    pinned = fused.localCheckpoint(eager=True)
+    n = pinned.count()
+    if n > limit:
+        import warnings
+
+        warnings.warn(
+            f"{stage}: fused result has {n} distinct ids; the implicit "
+            f"default limit {limit} truncates it — pass an explicit "
+            f"'limit' to choose the bound (or silence this warning)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return pinned
 
 
 @register_stage("$scoreFusion")
@@ -250,6 +278,8 @@ def score_fusion_stage(expression: Any, ctx: Context) -> StageFn:
         )
         den = sum((F.lit(float(weights.get(n, 1))) for n in names), start=F.lit(0.0))
         out = fused.select(F.col(id_field), (num / den).alias("score"))
+        out = _check_fusion_truncation(
+            "$scoreFusion", out, limit, "limit" in expression)
         ordered = out.orderBy(F.col("score").desc(), F.col(id_field)).limit(limit)
         from pyspark.sql import Window
 

@@ -223,6 +223,51 @@ def test_search_meta_facets(spark):
         ("blog", 2), ("news", 2)]
 
 
+def test_search_meta_numeric_facet_default_bucket(spark):
+    """A number/date facet with a string `default` must not crash on the
+    mixed _id types: with a default present every bucket _id renders as
+    a string, boundary order is kept, and the default bucket sorts
+    LAST (Atlas's catch-all)."""
+    df = spark.createDataFrame(_DOCS, _SCHEMA)
+    out = compile_pipeline(
+        [{"$searchMeta": {"facet": {"facets": {
+            "viewsF": {"type": "number", "path": "views",
+                       "boundaries": [20, 50], "default": "other"},
+        }}}}],
+        Context(spark=spark),
+    )(df).collect()
+    buckets = [(b["_id"], b["count"])
+               for b in out[0]["facet"]["viewsF"]["buckets"]]
+    # views: 25/40 -> [20,50); 10 and 5 fall outside -> default
+    assert buckets == [("20", 2), ("other", 2)]
+    # a non-string default is a compile-time error, not a cast crash
+    import pytest
+
+    with pytest.raises(ValueError, match="default"):
+        compile_pipeline(
+            [{"$searchMeta": {"facet": {"facets": {
+                "v": {"type": "number", "path": "views",
+                      "boundaries": [0, 10], "default": 99},
+            }}}}],
+            Context(spark=spark),
+        )(df).collect()
+
+
+def test_search_compound_unknown_suboperator_message(spark):
+    """An unsupported operator inside a compound clause raises a clear
+    NotImplementedError naming the operator — not a bare StopIteration."""
+    import pytest
+
+    df = spark.createDataFrame(_DOCS, _SCHEMA)
+    with pytest.raises(NotImplementedError, match="autocomplete"):
+        compile_pipeline(
+            [{"$search": {"compound": {"must": [
+                {"autocomplete": {"query": "qu", "path": "t"}},
+            ]}}}],
+            Context(spark=spark),
+        )(df).collect()
+
+
 def test_search_compound_with_text_clause(spark):
     # a BM25 text clause nests inside compound; its score flows through
     got = _search(spark, _DOCS, _SCHEMA, {"compound": {

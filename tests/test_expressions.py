@@ -419,3 +419,28 @@ def test_date_from_parts(spark):
     assert r["carry_day"] == datetime.datetime(2024, 2, 29)   # leap year
     assert r["iso"] == datetime.datetime(2024, 1, 10)
     assert r["tz"] == datetime.datetime(2024, 1, 1, 17, 0)    # EST=UTC-5
+
+
+def test_date_from_parts_null_part_propagates(spark):
+    """A part that IS specified but evaluates to null nulls the whole
+    result (Mongo's null propagation) — it must NOT silently fall back
+    to the part's default (null month != January)."""
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    df = spark.createDataFrame(
+        [(2024, None, 5), (2024, 3, None), (2024, 3, 5)],
+        "y int, m int, d int")
+    out = compile_pipeline([{"$project": {
+        "ts": {"$dateFromParts": {"year": "$y", "month": "$m",
+                                  "day": "$d"}},
+        "iso": {"$dateFromParts": {"isoWeekYear": "$y",
+                                   "isoWeek": "$m"}},
+    }}], Context(spark=spark))(df)
+    rows = out.collect()
+    import datetime
+
+    assert rows[0]["ts"] is None          # null month -> null, not Jan
+    assert rows[1]["ts"] is None          # null day -> null, not 1st
+    assert rows[2]["ts"] == datetime.datetime(2024, 3, 5)
+    assert rows[0]["iso"] is None         # null isoWeek -> null
+    assert rows[2]["iso"] is not None

@@ -327,6 +327,39 @@ def test_fusion_without_limit_is_bounded(spark):
     assert len(out.collect()) == 3
 
 
+def test_fusion_implicit_limit_truncation_warns(spark):
+    """When no `limit` was given and the fused set exceeds the implicit
+    default 1000, the stage warns (silent truncation is not detectable
+    otherwise); an explicit limit stays silent — that truncation is
+    user-requested."""
+    import warnings
+
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    rows = [(i,) for i in range(1, 1102)]        # 1101 fused ids
+    df = spark.createDataFrame(rows, "doc_id long")
+    ranked = [{"$project": {"doc_id": 1, "rank": "$doc_id"}}]
+    ctx = Context(spark=spark)
+    with warnings.catch_warnings(record=True) as got:
+        warnings.simplefilter("always")
+        out = compile_pipeline(
+            [{"$rankFusion": {"input": {"pipelines": {"p": ranked}},
+                              "id": "doc_id"}}], ctx
+        )(df)
+        assert len(out.collect()) == 1000
+    msgs = [str(w.message) for w in got
+            if issubclass(w.category, RuntimeWarning)]
+    assert any("1101" in m and "$rankFusion" in m for m in msgs)
+    with warnings.catch_warnings(record=True) as got2:
+        warnings.simplefilter("always")
+        out2 = compile_pipeline(
+            [{"$rankFusion": {"input": {"pipelines": {"p": ranked}},
+                              "id": "doc_id", "limit": 50}}], ctx
+        )(df)
+        assert len(out2.collect()) == 50
+    assert not [w for w in got2 if issubclass(w.category, RuntimeWarning)]
+
+
 def test_score_fusion_sigmoid_and_weights(spark):
     """$scoreFusion: sigmoid normalization maps scores to (0,1); weighted
     average over contributing pipelines; absent docs contribute 0."""
