@@ -63,6 +63,13 @@ class Context:
     # jqModuleLoader analog (Jq.java:27-31): "name" -> fn(input, *args)
     # consulted by the tier-2 jq interpreter after script defs + builtins.
     jq_functions: dict[str, Callable] = field(default_factory=dict)
+    # JSLT module resolver (the resolver hook the reference passes into
+    # the JSLT engine through Features — Jslt.java:19-36): module name ->
+    # template SOURCE, as a dict or a callable.  Serves `import "m" as m`
+    # declarations in $jslt scripts; imported functions are called as
+    # `m:fn(...)`.  Honored by BOTH tiers (resolution happens at compile
+    # time, so tier-2 closures ship plain ASTs, never the resolver).
+    jslt_resolver: Any = None
     http_transport: Optional[Callable[[dict], dict]] = None
     trace: bool = False
     # wall clock, injectable for deterministic tests ($probe/$throttle/$delay)

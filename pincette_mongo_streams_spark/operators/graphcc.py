@@ -145,7 +145,12 @@ def connected_components_stage(expression: Any, ctx: Context) -> StageFn:
         )
         labels = connected_components(edge_df, max_iter)
         node = compile_expr(f"${on}", ExprContext(schema=df.schema))
-        joined = df.join(labels, node.eqNullSafe(F.col("__cc_node")), "left")
+        # plain equality, not eqNullSafe: connected_components() filters
+        # null endpoints out of the edge set, so label keys are never
+        # null — and a null-safe join's composite coalesce/isnull key
+        # would forfeit the long-key HashedRelation fast path.  A null
+        # document node falls through to its own (null) singleton id.
+        joined = df.join(labels, node == F.col("__cc_node"), "left")
         return joined.withColumn(
             as_field, F.coalesce(F.col("__cc_comp"), node)
         ).drop("__cc_node", "__cc_comp")
@@ -242,7 +247,12 @@ def page_rank_stage(expression: Any, ctx: Context) -> StageFn:
         ranks = page_rank(edge_df, damping, iterations)
         n_nodes = ranks.count()
         node = compile_expr(f"${on}", ExprContext(schema=df.schema))
-        joined = df.join(ranks, node.eqNullSafe(F.col("__pr_node")), "left")
+        # plain equality, not eqNullSafe: page_rank() filters null nodes
+        # out of the edge graph, so there is never a null rank key to
+        # match — and the composite coalesce/isnull key of a null-safe
+        # join would forfeit the long-key HashedRelation fast path.  A
+        # null document node falls through to the isolated rank.
+        joined = df.join(ranks, node == F.col("__pr_node"), "left")
         isolated = ((1.0 - damping) / n_nodes) if n_nodes else None
         return joined.withColumn(
             as_field, F.coalesce(F.col("__pr_rank"), F.lit(isolated))

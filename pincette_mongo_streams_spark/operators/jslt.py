@@ -234,8 +234,23 @@ class _Parser:
         if val != text:
             raise JsltUnsupported(f"expected {text!r}, got {val!r}")
 
-    # let/def declarations then the body expression
+    # import declarations, then let/def declarations, then the body
+    # expression (absent in declarations-only module files)
     def parse_script(self):
+        imports: dict[str, str] = {}
+        while self.peek() == ("ident", "import"):
+            # `import "module" as alias` (JSLT modules; the reference
+            # passes a resolver through Features — Jslt.java:19-36)
+            self.next()
+            kind, mod = self.next()
+            if kind != "string":
+                raise JsltUnsupported("import needs a quoted module name")
+            if self.next() != ("ident", "as"):
+                raise JsltUnsupported("import needs `as <alias>`")
+            kind, alias = self.next()
+            if kind != "ident":
+                raise JsltUnsupported("import alias must be an identifier")
+            imports[alias] = _unquote(mod)
         lets: dict[str, Any] = {}
         defs: dict[str, tuple[list[str], Any]] = {}
         while self.peek()[0] == "ident" and self.peek()[1] in ("let", "def"):
@@ -263,10 +278,13 @@ class _Parser:
                     self.next()
             self.expect(")")
             defs[name] = (params, self.parse_expr())
-        body = self.parse_expr()
-        if self.peek()[0] != "eof":
-            raise JsltUnsupported(f"trailing input at {self.peek()[1]!r}")
-        return lets, defs, body
+        if self.peek()[0] == "eof":
+            body = None  # declarations-only module file
+        else:
+            body = self.parse_expr()
+            if self.peek()[0] != "eof":
+                raise JsltUnsupported(f"trailing input at {self.peek()[1]!r}")
+        return imports, lets, defs, body
 
     def parse_expr(self) -> Any:
         return self.parse_or()
@@ -396,6 +414,17 @@ class _Parser:
                    and self.toks[self.i + 1][0] == "ident"):
                 self.next()
                 val += "-" + self.next()[1]
+            if (self.peek() == ("op", ":")
+                    and self.toks[self.i + 1][0] == "ident"):
+                # module-qualified call `alias:fn(...)` (imports); safe:
+                # a bare identifier before `:` is never a valid value in
+                # expression position
+                self.next()
+                val += ":" + self.next()[1]
+                while (self.peek() == ("op", "-")
+                       and self.toks[self.i + 1][0] == "ident"):
+                    self.next()
+                    val += "-" + self.next()[1]
             if self.peek()[1] != "(":
                 raise JsltUnsupported(f"bare identifier {val!r}")
             self.next()
@@ -584,6 +613,151 @@ def _unquote(s: str) -> str:
     except json.JSONDecodeError as e:
         # e.g. a jq interpolation escape `\(` in key position
         raise JsltUnsupported(f"unsupported string escape in {s!r}") from e
+
+
+# ------------------------------------------------------------- modules
+#
+# `import "module" as m` + `m:fn(...)` — the resolver seam the reference
+# passes into the JSLT engine through Features (Jslt.java:19-36).  A
+# resolver maps module names to template SOURCE (a dict or a callable);
+# module files contain declarations only (imports/lets/defs, no body).
+# Resolution is purely compile-time: imported defs are merged into the
+# host script's def table under their qualified `alias:name`, with
+# module-level lets substituted into the def bodies and sibling/nested
+# calls rewritten to qualified names — both tiers then treat them like
+# ordinary script-local defs (tier 1 inlines, tier 2 interprets).
+
+
+def _map_ast(node: Any, f) -> Any:
+    """Bottom-up AST rebuild: recurse into dataclass fields / lists /
+    tuples, then apply ``f`` to each rebuilt dataclass node."""
+    import dataclasses
+
+    if dataclasses.is_dataclass(node) and not isinstance(node, type):
+        kwargs = {
+            fld.name: _map_ast(getattr(node, fld.name), f)
+            for fld in dataclasses.fields(node)
+        }
+        return f(type(node)(**kwargs))
+    if isinstance(node, list):
+        return [_map_ast(v, f) for v in node]
+    if isinstance(node, tuple):
+        return tuple(_map_ast(v, f) for v in node)
+    return node
+
+
+def _substitute_lets(node: Any, subst: dict[str, Any], bound: frozenset) -> Any:
+    """Replace free ``$name`` variables with their AST from ``subst``,
+    respecting the jq-form binders (Reduce/Foreach/As) and leaving bound
+    occurrences alone."""
+    if isinstance(node, Var):
+        if node.name not in bound and node.name in subst:
+            return subst[node.name]
+        return node
+    if isinstance(node, (Reduce, Foreach)):
+        inner = bound | {node.var}
+        return type(node)(
+            _substitute_lets(node.src, subst, bound), node.var,
+            _substitute_lets(node.init, subst, inner),
+            _substitute_lets(node.upd, subst, inner),
+        )
+    if isinstance(node, As):
+        return As(
+            _substitute_lets(node.expr, subst, bound), node.var,
+            _substitute_lets(node.body, subst, bound | {node.var}),
+        )
+    import dataclasses
+
+    if dataclasses.is_dataclass(node) and not isinstance(node, type):
+        kwargs = {
+            fld.name: _substitute_lets(getattr(node, fld.name), subst, bound)
+            for fld in dataclasses.fields(node)
+        }
+        return type(node)(**kwargs)
+    if isinstance(node, list):
+        return [_substitute_lets(v, subst, bound) for v in node]
+    if isinstance(node, tuple):
+        return tuple(_substitute_lets(v, subst, bound) for v in node)
+    return node
+
+
+def _resolver_fn(resolver):
+    if resolver is None:
+        return None
+    if callable(resolver):
+        return resolver
+    return lambda name: resolver[name]
+
+
+def _module_defs(
+    mod: str, resolver, seen: frozenset
+) -> dict[str, tuple[list, Any]]:
+    """Load module ``mod`` and return its functions keyed by LOCAL name
+    (own defs as ``fn``, nested imports as ``sub:fn``), with module lets
+    substituted and internal calls rewritten to those local names.  The
+    importer prefixes everything with its alias via ``_prefix_defs``."""
+    if mod in seen:
+        raise JsltUnsupported(f"circular JSLT module import {mod!r}")
+    try:
+        src = _resolver_fn(resolver)(mod)
+    except KeyError:
+        raise JsltUnsupported(f"unresolved JSLT module {mod!r}") from None
+    imports, lets, defs, body = _Parser(tokenize(src)).parse_script()
+    if body is not None:
+        raise JsltUnsupported(
+            f"JSLT module {mod!r} must contain only declarations "
+            "(imports/lets/defs) — module bodies are not supported"
+        )
+    flat: dict[str, tuple[list, Any]] = {}
+    for alias, sub in imports.items():
+        flat.update(_prefix_defs(
+            _module_defs(sub, resolver, seen | {mod}), alias))
+    # module-level lets: substitute in declaration order (earlier lets
+    # visible to later ones), then into every def body minus its params
+    subst: dict[str, Any] = {}
+    for name, ast in lets.items():
+        subst[name] = _substitute_lets(ast, subst, frozenset())
+    for name, (params, bodyast) in defs.items():
+        visible = {k: v for k, v in subst.items() if k not in params}
+        flat[name] = (
+            list(params), _substitute_lets(bodyast, visible, frozenset())
+        )
+    return flat
+
+
+def _prefix_defs(
+    flat: dict[str, tuple[list, Any]], alias: str
+) -> dict[str, tuple[list, Any]]:
+    keys = set(flat)
+
+    def fix(node):
+        if isinstance(node, Call) and node.name in keys:
+            return Call(f"{alias}:{node.name}", node.args)
+        return node
+
+    return {
+        f"{alias}:{k}": (params, _map_ast(body, fix))
+        for k, (params, body) in flat.items()
+    }
+
+
+def load_import_defs(
+    imports: dict[str, str], resolver
+) -> dict[str, tuple[list, Any]]:
+    """Resolve a script's imports into a flat qualified-name def table
+    (``alias:fn`` / ``alias:sub:fn``)."""
+    if not imports:
+        return {}
+    if resolver is None:
+        raise JsltUnsupported(
+            f"script imports {sorted(imports.values())} but no "
+            "jslt_resolver is configured on the Context"
+        )
+    out: dict[str, tuple[list, Any]] = {}
+    for alias, mod in imports.items():
+        out.update(_prefix_defs(
+            _module_defs(mod, resolver, frozenset()), alias))
+    return out
 
 
 # ------------------------------------------------------------- compiler
@@ -1240,7 +1414,7 @@ def _literal_str(node: Any) -> str:
     raise JsltUnsupported("this argument must be a string literal")
 
 
-def compile_jslt(script: str, df: DataFrame):
+def compile_jslt(script: str, df: DataFrame, resolver=None):
     """Compile a JSLT script against ``df``'s schema.
 
     Returns ``(added, dropped, projected)``: exactly one of
@@ -1249,10 +1423,12 @@ def compile_jslt(script: str, df: DataFrame):
     ``dropped`` the matcher exclusions (`* - a, b : .`) to remove;
     ``projected`` (list of aliased Columns) for spread-less templates
     ($project-compute semantics).  Raises JsltUnsupported outside the
-    subset."""
-    lets, defs, body = _Parser(tokenize(script)).parse_script()
+    subset.  ``resolver`` (dict or callable: module name -> source)
+    serves `import "m" as m` declarations (Jslt.java:19-36)."""
+    imports, lets, defs, body = _Parser(tokenize(script)).parse_script()
     if not isinstance(body, Obj):
         raise JsltUnsupported("top-level JSLT must be an object template")
+    defs = {**load_import_defs(imports, resolver), **defs}
     comp = _Compiler(df.schema, lets, defs)
     cols = {k: comp.compile(v)[0] for k, v in body.pairs}
     if body.spread:

@@ -142,11 +142,12 @@ def _script_stage(kind: str, expression: Any, ctx: Context) -> StageFn:
         from .jslt import JsltUnsupported, compile_jslt
 
         try:
-            added, dropped, projected = compile_jslt(script, df)
+            added, dropped, projected = compile_jslt(
+                script, df, resolver=c.jslt_resolver)
         except JsltUnsupported:
             # custom Context.jslt_functions scripts also land here (the
             # native compiler rejects the unknown function name)
-            return _jslt_udf(df, script, c.jslt_functions)
+            return _jslt_udf(df, script, c.jslt_functions, c.jslt_resolver)
 
         def apply(frame: DataFrame) -> DataFrame:
             if added is not None:
@@ -198,7 +199,8 @@ def _script_udf(df: DataFrame, run_one) -> DataFrame:
     return _rekey_on_id(out)
 
 
-def _jslt_udf(df: DataFrame, script: str, functions=None) -> DataFrame:
+def _jslt_udf(df: DataFrame, script: str, functions=None,
+              resolver=None) -> DataFrame:
     """Tier 2 for $jslt scripts the Column compiler rejects: the
     pure-Python evaluator over the same AST (operators/jslt_eval.py) —
     Python per row, but the reference's arbitrary-JSLT surface
@@ -213,7 +215,7 @@ def _jslt_udf(df: DataFrame, script: str, functions=None) -> DataFrame:
     except Exception:  # pragma: no cover - older pickler
         pass
     try:
-        run_one = jslt_eval.jslt_transform(script, functions)
+        run_one = jslt_eval.jslt_transform(script, functions, resolver)
     except JsltUnsupported as e:
         raise NotImplementedError(
             f"JSLT beyond both the native subset and the tier-2 "

@@ -157,3 +157,22 @@ def test_array_and_string_slicing():
     got = run({"xs": [1, 2, 3, 4], "s": "abcdef"})
     assert got == {"m": [2, 3], "t": [3, 4], "h": "abc", "c": "bcde",
                    "o": [], "n": None}
+
+
+def test_tier2_module_imports(spark):
+    """Scripts the Column compiler rejects (recursive module defs) fall
+    to the tier-2 evaluator with the same resolver-served module defs."""
+    from pyspark.sql import Row
+
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    modules = {"m": """
+        def fact(n) if ($n <= 1) 1 else $n * fact($n - 1)
+    """}
+    rows = [Row(_id="0", n=5)]
+    df = spark.createDataFrame(rows, "_id string, n long")
+    ctx = Context(spark=spark, jslt_resolver=modules)
+    out = compile_pipeline(
+        [{"$jslt": 'import "m" as m\n{"f": m:fact(.n), "_id": ._id}'}],
+        ctx)(df)
+    assert [r.asDict() for r in out.collect()] == [{"f": 120, "_id": "0"}]

@@ -301,3 +301,61 @@ def test_array_string_slicing_native(spark):
     d = [r.asDict() for r in out.collect()][0]
     assert list(d["m"]) == [2, 3] and list(d["t"]) == [3, 4]
     assert d["h"] == "abc" and d["c"] == "bcde" and list(d["o"]) == []
+
+
+def test_module_imports_native(spark):
+    """`import "m" as m` + `m:fn(...)`: the Context.jslt_resolver seam
+    (reference Features resolver hook, Jslt.java:19-36).  Module defs
+    inline natively — no Python in the plan; module-level lets and
+    sibling/nested imports resolve module-locally."""
+    modules = {
+        "util": """
+            let factor = 10
+            def scale(x) $x * $factor
+            def scale2(x) scale(scale($x))
+        """,
+        "text": """
+            import "util" as u
+            def shout(s) uppercase($s) + "!"
+            def big(x) u:scale($x)
+        """,
+    }
+    rows = [Row(_id="0", name="Ada Lovelace", age=36,
+                score=91.5, tags=["a", "b"])]
+    df = spark.createDataFrame(rows)
+    ctx = Context(spark=spark, jslt_resolver=modules)
+    out = compile_pipeline(
+        [{"$jslt": 'import "util" as u\nimport "text" as t\n'
+                   '{"ten": u:scale(.age), "hundred": u:scale2(1), '
+                   '"s": t:shout(.name), "b": t:big(2), *: .}'}],
+        ctx)(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    d = [r.asDict() for r in out.collect()][0]
+    assert d["ten"] == 360 and d["hundred"] == 100
+    assert d["s"] == "ADA LOVELACE!" and d["b"] == 20
+    assert d["name"] == "Ada Lovelace"  # spread intact
+
+
+def test_module_import_errors(spark):
+    """Imports without a resolver, unresolved modules, circular imports,
+    and module bodies are compile-time errors (surfaced as the stage's
+    NotImplementedError after both tiers reject)."""
+    rows = [Row(_id="0", name="x", age=1, score=1.0, tags=["a"])]
+    df = spark.createDataFrame(rows)
+
+    def run(script, resolver=None):
+        ctx = Context(spark=spark, jslt_resolver=resolver)
+        return compile_pipeline([{"$jslt": script}], ctx)(df).collect()
+
+    with pytest.raises(NotImplementedError):
+        run('import "m" as m\n{"x": m:f(1)}')  # no resolver
+    with pytest.raises(NotImplementedError):
+        run('import "m" as m\n{"x": m:f(1)}', {"other": "def f(x) $x"})
+    loop = {"a": 'import "b" as b\ndef f(x) b:g($x)',
+            "b": 'import "a" as a\ndef g(x) a:f($x)'}
+    with pytest.raises(NotImplementedError):
+        run('import "a" as a\n{"x": a:f(1)}', loop)
+    with pytest.raises(NotImplementedError):
+        run('import "m" as m\n{"x": m:f(1)}',
+            {"m": 'def f(x) $x\n{"body": 1}'})  # module body

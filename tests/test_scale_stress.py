@@ -134,3 +134,46 @@ def test_connected_components_sf01(spark):
     # no document loses its label
     assert len(comp) == n_docs
     assert secs < 90, f"connected_components took {secs:.1f}s at sf0.1"
+
+
+def test_page_rank_sf01(spark):
+    """$pageRank over a hub-skewed directed graph on the sf0.1 documents
+    table (r4 verdict #7): per power-iteration round exactly one
+    edges⋈ranks hash join + one groupBy(dst) partial-agg sum — never a
+    cartesian/nested-loop product, no Python in the plan, lineage pinned
+    per round so the final plan stays round-local; wall-time budgeted."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    # hub-skew: every doc links to one of 10 hubs (worst-case key skew
+    # for the contribution aggregate) plus a ring for irreducibility
+    hubs = spark.range(0, n_docs).selectExpr(
+        "id as src", "cast(id % 10 as long) as dst")
+    ring = spark.range(0, n_docs).selectExpr(
+        "id as src", f"cast((id + 1) % {n_docs} as long) as dst")
+    edges = hubs.unionByName(ring)
+    ctx = Context(spark=spark, collections={"e": edges})
+    out = compile_pipeline(
+        [{"$pageRank": {"edges": "e", "src": "src", "dst": "dst",
+                        "on": "doc_id", "as": "rank",
+                        "iterations": 5}}],
+        ctx,
+    )(docs)
+    plan = _assert_scale_plan(out, "page_rank")
+    # the label join keeps the single-key fast path: no null-safe
+    # composite (coalesce/isnull) broadcast keys
+    assert "coalesce(doc_id" not in plan
+    t0 = time.monotonic()
+    rows = out.select("doc_id", "rank").collect()
+    secs = time.monotonic() - t0
+    ranks = {r["doc_id"]: r["rank"] for r in rows}
+    assert len(ranks) == n_docs and all(v is not None for v in ranks.values())
+    # hubs receive mass from n/10 in-links each: every hub must outrank
+    # every non-hub outside the hubs' immediate ring wake (nodes 10-14
+    # inherit half a hub's mass through the ring, decaying ~0.425/step)
+    non_hub_max = max(v for k, v in ranks.items() if k >= 15)
+    hub_min = min(v for k, v in ranks.items() if k < 10)
+    assert hub_min > non_hub_max
+    # total rank is bounded by 1 (dangling-dropped recurrence leaks mass
+    # only downward; no round may create mass)
+    assert sum(ranks.values()) <= 1.0 + 1e-6
+    assert secs < 90, f"page_rank took {secs:.1f}s at sf0.1"
