@@ -3867,6 +3867,42 @@ _register(
 # Granular variants stay registered after the window.
 # =====================================================================
 
+# --- r5: JSLT module imports (Context.jslt_resolver — the Features
+# resolver hook, Jslt.java:19-36).  The script imports a module whose
+# defs use a module-level let; tier-1 inlines everything natively.
+
+
+def _jslt_import_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = _load(spark, sf_dir)
+    ctx = Context(spark=spark, jslt_resolver={
+        "fin": """
+            let rate = 0.07
+            def gross(p) $p * (1 + $rate)
+            def tier(p) if ($p >= 100000) "high" else "low"
+        """,
+    })
+    return compile_pipeline(
+        [
+            {"$jslt": 'import "fin" as f\n'
+                      '{"okey": .o_orderkey, "g": f:gross(.o_totalprice), '
+                      '"tier": f:tier(.o_totalprice)}'},
+            {"$project": {"okey": 1, "tier": 1,
+                          "gross": {"$round": ["$g", 4]}}},
+        ],
+        ctx,
+    )(tables["orders"])
+
+
+_register(
+    "jslt_import",
+    f"""SELECT o_orderkey AS okey,
+               CASE WHEN o_totalprice >= 100000 THEN 'high' ELSE 'low'
+               END AS tier,
+               {_r('o_totalprice * (1 + 0.07)', 4)} AS gross
+        FROM orders""",
+)(_jslt_import_query)
+
+
 _ORDER = [
     # §2.1 stages + §2.3 match language
     # r3: lookup_residual moved past-window (redundant with

@@ -63,6 +63,11 @@ class Context:
     # jqModuleLoader analog (Jq.java:27-31): "name" -> fn(input, *args)
     # consulted by the tier-2 jq interpreter after script defs + builtins.
     jq_functions: dict[str, Callable] = field(default_factory=dict)
+    # jq module resolver (module name -> jq source, dict or callable):
+    # serves `import "m" as m;` / `include "m";` directives in $jq
+    # scripts; imported functions are called `m::fn(...)`.  Like
+    # jslt_resolver, resolution happens at compile time.
+    jq_resolver: Any = None
     # JSLT module resolver (the resolver hook the reference passes into
     # the JSLT engine through Features — Jslt.java:19-36): module name ->
     # template SOURCE, as a dict or a callable.  Serves `import "m" as m`

@@ -26,9 +26,15 @@ sort_by/unique_by/min_by/max_by, map/map_values/select/empty, range,
 flatten, any/all, startswith/endswith/explode/implode, tostring/
 tonumber/type/has/in/contains, paths/leaf_paths, getpath, env-free).
 
+Also supported: ``label $out | ... break $out`` (exception-based
+unwinding, deliberately not catchable by try/catch), and
+``import "m" as alias;`` / ``include "m";`` module directives served by
+a resolver (``Context.jq_resolver`` — the jackson-jq module-loader seam,
+Jq.java:27-31); imported functions are called ``alias::fn(...)``.
+
 Not supported: ``input``/``inputs`` (stream stages are one-doc-in),
-``import``/``include`` modules, ``label``/``break``, SQL-ish builtins,
-``$__loc__``.  Those raise ``JqInterpError`` at parse or eval time.
+SQL-ish builtins, ``$__loc__``.  Those raise ``JqInterpError`` at parse
+or eval time.
 """
 
 from __future__ import annotations
@@ -464,7 +470,9 @@ class _Parser:
                 self.next()
                 while not self.at(")"):
                     if self.at("$"):
-                        params.append(self.parse_var_name())
+                        # value param: bound once per call ("$" marker
+                        # distinguishes it from a filter param)
+                        params.append("$" + self.parse_var_name())
                     else:
                         k3, p = self.next()
                         if k3 != "ident":
@@ -478,11 +486,29 @@ class _Parser:
             self.expect(";")
             rest = self.parse_pipe()
             return ("def", name, params, body, rest)
-        if val in ("import", "include", "label", "input",
-                   "inputs", "__loc__"):
+        if val == "label":
+            # `label $out | body` — body runs until a matching
+            # `break $out` unwinds it (jq control flow; NOT caught by
+            # try/catch, which only sees jq runtime errors)
+            self.next()
+            name = self.parse_var_name()
+            self.expect("|")
+            return ("label", name, self.parse_pipe())
+        if val == "break":
+            self.next()
+            return ("break", self.parse_var_name())
+        if val in ("import", "include", "input", "inputs", "__loc__"):
             raise JqInterpError(f"jq {val!r} is not supported (tier 2)")
         # builtin or user function call
         self.next()
+        if (self.at(":") and self.toks[self.i] == ("op", ":")
+                and self.toks[self.i + 1] == ("op", ":")
+                and self.toks[self.i + 2][0] == "ident"):
+            # module-qualified call `alias::fn` (import "m" as alias);
+            # unambiguous: slices carry a single `:`
+            self.next()
+            self.next()
+            val += "::" + self.next()[1]
         args = []
         if self.at("("):
             self.next()
@@ -534,6 +560,15 @@ class _JqRuntimeError(Exception):
     def __init__(self, value):
         super().__init__(str(value))
         self.value = value
+
+
+class _LabelBreak(Exception):
+    """`break $name` unwinding toward its `label $name |` — control
+    flow, NOT catchable by try/catch (hence not a _JqRuntimeError)."""
+
+    def __init__(self, name):
+        super().__init__(name)
+        self.name = name
 
 
 def _arith(op, a, b):
@@ -866,6 +901,18 @@ def _ev(node, inp, env) -> Iterator[Any]:
         env2 = env.child(funcs={(node[1], len(node[2])): (node[2], node[3])})
         yield from _ev(node[4], inp, env2)
         return
+    if kind == "label":
+        # break unwinds as its own exception type: deliberately NOT a
+        # _JqRuntimeError, so try/catch never intercepts it (jq's break
+        # is control flow, not a catchable error)
+        try:
+            yield from _ev(node[2], inp, env)
+        except _LabelBreak as e:
+            if e.name != node[1]:
+                raise
+        return
+    if kind == "break":
+        raise _LabelBreak(node[1])
     if kind == "var":
         yield env.var(node[1])
         return
@@ -933,13 +980,29 @@ def _call(name, args, inp, env) -> Iterator[Any]:
         return
     user = env.func((name, len(args)))
     if user is not None:
-        params, body = user
-        # value-style params: each arg evaluated against the CALLER input
+        # funcs store (params, body) for `def`s — evaluated in the
+        # CALL-SITE env (dynamic, recursion-friendly) — or the 3-tuple
+        # (params, body, captured_env) for filter-param closures, whose
+        # body must evaluate in the env where the argument was WRITTEN
+        # (the caller's): otherwise `def quad(x): double(double(x))`
+        # re-resolves the inner `x` against its own binding forever.
+        params, body = user[0], user[1]
+        body_env = user[2] if len(user) > 2 else env
+        # jq's two parameter kinds: `$x` binds ONE value against the
+        # caller's input; a bare `f` is a FILTER param — registered as a
+        # zero-arity closure re-evaluated at every use site against the
+        # input there (so `def mymap(f): [.[] | f]` applies f per
+        # element).  A `$x` param also exposes the filter form `x`.
         vars = {}
+        funcs = {}
         for p, a in zip(params, args):
-            vars[p] = _one(a, inp, env)
+            if p.startswith("$"):
+                vars[p[1:]] = _one(a, inp, env)
+                funcs[(p[1:], 0)] = ([], ("var", p[1:]))
+            else:
+                funcs[(p, 0)] = ([], a, env)
         try:
-            yield from _ev(body, inp, env.child(vars))
+            yield from _ev(body, inp, body_env.child(vars, funcs))
         except RecursionError:
             # a non-terminating recursive def must surface as a
             # catchable jq error, not a raw Python exception killing
@@ -1527,20 +1590,111 @@ _BUILTINS: dict[tuple[str, int], Any] = {
 _BUILTINS = {k: v for k, v in _BUILTINS.items() if v is not None}
 
 
-def parse(src: str):
-    p = _Parser(tokenize(src))
-    node = p.parse_pipe()
-    if p.peek()[0] != "eof":
-        raise JqInterpError(f"trailing input at {p.peek()[1]!r}")
+def _qualify_calls(node, keys, alias):
+    """Rewrite ``("call", name, args)`` nodes whose (name, arity) is a
+    module-local def into the alias-qualified name — sibling calls must
+    keep resolving after the module's defs are re-registered under
+    ``alias::name`` (user funcs evaluate in the CALL-SITE env)."""
+    if isinstance(node, tuple):
+        if (node and node[0] == "call"
+                and (node[1], len(node[2])) in keys):
+            return ("call", f"{alias}::{node[1]}",
+                    [_qualify_calls(a, keys, alias) for a in node[2]])
+        return tuple(_qualify_calls(v, keys, alias) for v in node)
+    if isinstance(node, list):
+        return [_qualify_calls(v, keys, alias) for v in node]
     return node
 
 
-def jq_first(script: str, functions=None):
+def _module_defs(mod: str, resolver, seen: frozenset):
+    """Load jq module ``mod`` (declarations only) -> [(name, params,
+    body)].  Nested imports resolve recursively and arrive pre-qualified
+    under their own aliases."""
+    if mod in seen:
+        raise JqInterpError(f"circular jq module import {mod!r}")
+    try:
+        src = resolver(mod) if callable(resolver) else resolver[mod]
+    except KeyError:
+        raise JqInterpError(f"unresolved jq module {mod!r}") from None
+    # a module is a def-only file: parse it as `<defs> .` and unwind the
+    # def chain the parser builds
+    try:
+        ast = _parse_with_imports(src + "\n.", resolver, seen | {mod})
+    except JqInterpError as e:
+        raise JqInterpError(
+            f"jq module {mod!r} failed to parse as a declarations-only "
+            f"file ({e})"
+        ) from None
+    defs = []
+    while isinstance(ast, tuple) and ast and ast[0] == "def":
+        defs.append((ast[1], ast[2], ast[3]))
+        ast = ast[4]
+    if ast != ("identity",):
+        raise JqInterpError(
+            f"jq module {mod!r} must contain only def declarations"
+        )
+    return defs
+
+
+def _parse_with_imports(src: str, resolver, seen: frozenset = frozenset()):
+    """Parse a program with leading `import "m" as alias;` / `include
+    "m";` directives (the jackson-jq module-loader seam, Jq.java:27-31).
+    Imported defs wrap the program as ordinary ``def`` nodes — imported
+    as ``alias::fn`` (called ``alias::fn(...)``), included under their
+    own names."""
+    p = _Parser(tokenize(src))
+    pending: list[tuple] = []  # (alias | None, module name)
+    while p.peek() in (("ident", "import"), ("ident", "include")):
+        directive = p.next()[1]
+        k, parts = p.next()
+        if (k != "string" or len(parts) != 1
+                or not isinstance(parts[0], str)):
+            raise JqInterpError(
+                f"jq {directive} needs a literal module name")
+        mod = parts[0]
+        alias = None
+        if directive == "import":
+            if p.next() != ("ident", "as"):
+                raise JqInterpError("jq import needs `as <alias>`")
+            k2, alias = p.next()
+            if k2 != "ident":
+                raise JqInterpError("jq import alias must be an identifier")
+        p.expect(";")
+        pending.append((alias, mod))
+    node = p.parse_pipe()
+    if p.peek()[0] != "eof":
+        raise JqInterpError(f"trailing input at {p.peek()[1]!r}")
+    if pending and resolver is None:
+        raise JqInterpError(
+            f"script imports jq modules "
+            f"{sorted(m for _, m in pending)} but no jq_resolver is "
+            "configured on the Context"
+        )
+    for alias, mod in reversed(pending):
+        defs = _module_defs(mod, resolver, seen)
+        if alias is not None:
+            keys = {(n, len(ps)) for n, ps, _ in defs}
+            defs = [
+                (f"{alias}::{n}", ps, _qualify_calls(b, keys, alias))
+                for n, ps, b in defs
+            ]
+        for n, ps, b in reversed(defs):
+            node = ("def", n, ps, b, node)
+    return node
+
+
+def parse(src: str, resolver=None):
+    return _parse_with_imports(src, resolver)
+
+
+def jq_first(script: str, functions=None, resolver=None):
     """Compile ``script``; returns ``doc -> first output`` (the stage
     contract: one document in, one document out — Script.java:58-73).
     ``functions``: custom ``{name: fn(input, *args)}`` (jqModuleLoader
-    analog, Jq.java:27-31) consulted after script defs and builtins."""
-    ast = parse(script)
+    analog, Jq.java:27-31) consulted after script defs and builtins.
+    ``resolver`` (dict or callable: module name -> jq source) serves
+    `import "m" as m;` / `include "m";` directives at compile time."""
+    ast = parse(script, resolver)
     customs = dict(functions or {})
 
     def run(doc):
@@ -1551,10 +1705,10 @@ def jq_first(script: str, functions=None):
     return run
 
 
-def jq_all(script: str, functions=None):
+def jq_all(script: str, functions=None, resolver=None):
     """Compile ``script``; returns ``doc -> list of all outputs`` (stream
     semantics, for tests and future multi-output stages)."""
-    ast = parse(script)
+    ast = parse(script, resolver)
     customs = dict(functions or {})
 
     def run(doc):

@@ -314,7 +314,11 @@ def delete_stage(expression: Any, ctx: Context) -> StageFn:
         keys = out.select([F.col(f).alias(f"__k_{f}") for f in on]).distinct()
         cond = None
         for f in on:
-            clause = F.col(f).eqNullSafe(F.col(f"__k_{f}"))
+            # plain equality: the key set filtered null `on` values above,
+            # so a null-safe comparison adds nothing — and its composite
+            # coalesce/isnull key would forfeit the single-key
+            # HashedRelation fast path on the anti join
+            clause = F.col(f) == F.col(f"__k_{f}")
             cond = clause if cond is None else cond & clause
         # no broadcast hint: the delete-key set is micro-batch-bounded in
         # streaming but can be arbitrarily large in batch mode — AQE

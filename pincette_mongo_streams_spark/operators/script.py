@@ -134,7 +134,7 @@ def _script_stage(kind: str, expression: Any, ctx: Context) -> StageFn:
             except (JqUnsupported, _SharedUnsupported):
                 # the shared Column compiler (operators/jslt.py) raises
                 # its own boundary error for jq scripts too
-                return _jq_udf(df, script, c.jq_functions)
+                return _jq_udf(df, script, c.jq_functions, c.jq_resolver)
         # tier 1.5: the JSLT-subset compiler (paths, operators, if/else,
         # let/def, for, builtins) — native Columns, no UDF
         # (operators/jslt.py); tier 2: the pure-Python evaluator
@@ -224,14 +224,16 @@ def _jslt_udf(df: DataFrame, script: str, functions=None,
     return _script_udf(df, run_one)
 
 
-def _jq_udf(df: DataFrame, script: str, functions=None) -> DataFrame:
+def _jq_udf(df: DataFrame, script: str, functions=None,
+            resolver=None) -> DataFrame:
     """Tier 2 for $jq scripts beyond the native compiler: the C-backed
     python ``jq`` binding when installed, else the pure-Python interpreter
     (operators/jq_interp.py) — slower (Python per row) but correct for
     the long tail (Jq.java:19-33 runs arbitrary jackson-jq)."""
     try:
-        if functions:
-            # custom Python functions only exist in the interpreter path
+        if functions or resolver:
+            # custom Python functions and resolver-served modules only
+            # exist in the interpreter path
             raise ImportError
         import jq  # type: ignore
 
@@ -250,7 +252,7 @@ def _jq_udf(df: DataFrame, script: str, functions=None) -> DataFrame:
         except Exception:  # pragma: no cover - older pickler
             pass
         try:
-            run_one = jq_first(script, functions)
+            run_one = jq_first(script, functions, resolver)
         except JqInterpError as e:
             raise NotImplementedError(
                 f"$jq script beyond both the native subset and the "

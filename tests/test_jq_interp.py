@@ -76,8 +76,10 @@ def test_polymorphic_arithmetic():
 
 
 def test_unsupported_is_loud():
-    for bad in ("input", "inputs", 'import "m" as m; .',
-                "label $out | .xs[]"):
+    # label/break and module imports are supported since r5 (see
+    # test_label_break / test_module_imports); the residual exclusions
+    # and an import without a resolver still raise
+    for bad in ("input", "inputs", 'import "m" as m; .'):
         with pytest.raises(JqInterpError):
             jq_first(bad)(DOC)
 
@@ -245,3 +247,82 @@ def test_builtin_errors_are_catchable():
     assert jq_first('try (.xs | first) catch "empty"')({"xs": []}) == "empty"
     assert jq_first('(.x | tonumber)? // -1')({"x": "abc"}) == -1
     assert jq_first('try (.n | ascii_downcase) catch "t"')({"n": 3}) == "t"
+
+
+def test_label_break():
+    """`label $out | ... break $out` unwinds to the matching label; NOT
+    catchable by try/catch (jq control flow, not a runtime error)."""
+    assert jq_all(
+        "[label $out | .[] | if . > 3 then break $out else . * 10 end]"
+    )([1, 2, 3, 9, 4]) == [[10, 20, 30]]
+    # break passes THROUGH try/catch
+    assert jq_all(
+        "[label $out | .[] | try (if . > 1 then break $out else . end) "
+        'catch "caught"]'
+    )([1, 5, 2]) == [[1]]
+    # nested labels: inner break unwinds only the inner label
+    assert jq_all(
+        "[label $a | .[] | label $b | (if . == 2 then break $b else . end)]"
+    )([1, 2, 3]) == [[1, 3]]
+
+
+def test_filter_params():
+    """Bare def params are FILTER params (jq): re-evaluated per use site
+    against the input there, in the caller's environment; `$x` params
+    bind one value and also expose the filter form `x`."""
+    assert jq_all("def mymap(f): [.[] | f]; mymap(. * 2)")([1, 2, 3]) \
+        == [[2, 4, 6]]
+    assert jq_all("def scale($k): map(. * k); scale(3)")([1, 2]) == [[3, 6]]
+    # nested application must not self-capture the param name
+    assert jq_all(
+        "def double(x): x * 2; def quad(x): double(double(x)); quad(.n)"
+    )({"n": 3}) == [12]
+    # a multi-output filter arg streams per use
+    assert jq_all("def twice(f): [f]; twice(.[ ])")([1, 2]) == [[1, 2]]
+
+
+def test_module_imports():
+    """`import "m" as alias;` / `include "m";` served by a resolver —
+    the jackson-jq module-loader seam (Jq.java:27-31).  Imported
+    functions are namespaced `alias::fn`; includes land under their own
+    names; nested imports and module-sibling calls resolve; cycles,
+    unresolved modules, and module bodies raise JqInterpError."""
+    import pytest as _pytest
+
+    mods = {
+        "util": "def double(x): x * 2;\ndef quad(x): double(double(x));",
+        "top": 'import "util" as u;\ndef big(x): u::quad(x) + 1;',
+    }
+    assert jq_all(
+        'import "util" as u; import "top" as t; '
+        "{a: u::double(.n), b: u::quad(.n), c: t::big(.n)}",
+        resolver=mods,
+    )({"n": 3}) == [{"a": 6, "b": 12, "c": 13}]
+    assert jq_all('include "util"; quad(.n)', resolver=mods)({"n": 2}) == [8]
+    with _pytest.raises(JqInterpError, match="no jq_resolver"):
+        jq_all('import "x" as x; .')
+    with _pytest.raises(JqInterpError, match="unresolved"):
+        jq_all('import "x" as x; .', resolver={"y": "def f: 1;"})
+    with _pytest.raises(JqInterpError, match="circular"):
+        jq_all('import "a" as a; .', resolver={
+            "a": 'import "b" as b; def f: 1;',
+            "b": 'import "a" as a; def g: 2;'})
+    with _pytest.raises(JqInterpError, match="declarations-only"):
+        jq_all('import "m" as m; .', resolver={"m": ". + 1"})
+
+
+def test_jq_stage_module_resolver(spark):
+    """$jq end-to-end: Context.jq_resolver serves module imports in the
+    tier-2 interpreter path."""
+    from pyspark.sql import Row
+
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    mods = {"m": "def rate: 0.1;\ndef taxed(p): p * (1 + rate);"}
+    df = spark.createDataFrame([Row(_id="0", price=100.0)])
+    ctx = Context(spark=spark, jq_resolver=mods)
+    out = compile_pipeline(
+        [{"$jq": 'import "m" as m; {_id: ._id, gross: m::taxed(.price)}'}],
+        ctx)(df)
+    rows = [r.asDict() for r in out.collect()]
+    assert rows == [{"_id": "0", "gross": 110.00000000000001}]
