@@ -3706,6 +3706,30 @@ _register(
 
 
 _register(
+    # r5: Atlas autocomplete — token-prefix matching (edge-gram analog);
+    # "sequential" = prefix-tokens adjacent and in order
+    "search_autocomplete",
+    """SELECT doc_id
+       FROM documents
+       WHERE text IS NOT NULL
+         AND regexp_matches(lower(text),
+                            '(^|[^a-z0-9])th[a-z0-9]*[^a-z0-9]+qu')
+       ORDER BY doc_id""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$search": {"autocomplete": {
+                "query": "th qu", "path": "text",
+                "tokenOrder": "sequential"}}},
+            {"$project": {"_id": 0, "doc_id": 1}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
+_register(
     "date_from_parts",
     """SELECT o_orderkey,
               make_timestamp(CAST(year(o_orderdate) AS BIGINT),

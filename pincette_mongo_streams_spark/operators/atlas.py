@@ -130,11 +130,14 @@ def vector_search_stage(expression: Any, ctx: Context) -> StageFn:
 #   range    — gt/gte/lt/lte bounds
 #   exists   — field is present (fixed-schema: non-null)
 #   wildcard — * / ? glob over the whole field value
+#   autocomplete — every query token matches as a token PREFIX
+#              (Atlas's edge-gram index, re-expressed as anchored
+#              regexes); tokenOrder any|sequential
 #   compound — must/mustNot/should/filter with minimumShouldMatch;
 #              score = sum of matched must+should clause scores
 
 _SEARCH_OPS = {"text", "phrase", "equals", "range", "exists", "wildcard",
-               "compound"}
+               "autocomplete", "compound"}
 
 
 def _clause_score(body: dict, base: Column) -> Column:
@@ -216,6 +219,42 @@ def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int]
         col = compile_expr(f"${body['path']}",
                            ExprContext(schema=df.schema))
         return df, col.isNotNull(), _clause_score(body, F.lit(1.0)), []
+    if op == "autocomplete":
+        # Atlas indexes edge-grams of each token: every ANALYZED query
+        # token matches as a PREFIX of some document token.  tokenOrder
+        # "any" (default): each prefix anywhere, any order (conjunction
+        # of anchored regexes); "sequential": prefix-matched tokens
+        # ADJACENT and in query order (one anchored regex).  `fuzzy` is
+        # an index-analyzer feature with no deterministic analog here.
+        if "fuzzy" in body:
+            raise NotImplementedError(
+                "$search autocomplete.fuzzy is not supported "
+                "(edit-distance matching is an Atlas index feature)"
+            )
+        terms = _norm_terms(body["query"])
+        if not terms:
+            raise ValueError(
+                "$search autocomplete.query needs at least one term")
+        order = body.get("tokenOrder", "any")
+        if order not in ("any", "sequential"):
+            raise ValueError(
+                f"$search autocomplete.tokenOrder must be any or "
+                f"sequential, got {order!r}"
+            )
+        import re as _re4
+
+        col = compile_expr(f"${body['path']}",
+                           ExprContext(schema=df.schema))
+        low = F.lower(col)
+        if order == "sequential":
+            pat = "(^|[^a-z0-9])" + "[a-z0-9]*[^a-z0-9]+".join(
+                _re4.escape(t) for t in terms)
+            pred = col.isNotNull() & low.rlike(pat)
+        else:
+            pred = col.isNotNull()
+            for t in terms:
+                pred = pred & low.rlike(f"(^|[^a-z0-9]){_re4.escape(t)}")
+        return df, pred, _clause_score(body, F.lit(1.0)), []
     if op == "wildcard":
         import re as _re3
 
@@ -351,8 +390,9 @@ def _bm25_prepare(df: DataFrame, query: str, paths: Any, tag: str
 def search_stage(expression: Any, ctx: Context) -> StageFn:
     """``{index?, <operator>: {...}}`` — the Atlas $search surface:
     ``text`` (BM25-scored, k1=1.2, b=0.75), ``phrase``, ``equals``,
-    ``range``, ``exists``, ``wildcard``, and ``compound``
-    (must/mustNot/should/filter, minimumShouldMatch).  Emits every
+    ``range``, ``exists``, ``wildcard``, ``autocomplete``
+    (token-prefix matching, tokenOrder any|sequential), and
+    ``compound`` (must/mustNot/should/filter, minimumShouldMatch).  Emits every
     document with a positive score ordered by score descending; compose
     with ``$limit`` for top-k (collapses to TakeOrderedAndProject).
     Non-text operators score a deterministic constant 1.0 (Atlas's
@@ -370,8 +410,9 @@ def search_stage(expression: Any, ctx: Context) -> StageFn:
     op = next((k for k in expression if k in _SEARCH_OPS), None)
     if op is None:
         raise NotImplementedError(
-            f"$search supports {sorted(_SEARCH_OPS)} (autocomplete and "
-            "friends are Atlas-index features)"
+            f"$search supports {sorted(_SEARCH_OPS)} (moreLikeThis, "
+            "queryString, embeddedDocument and geo operators are "
+            "Atlas-index features)"
         )
     spec = expression[op]
     if not isinstance(spec, dict):

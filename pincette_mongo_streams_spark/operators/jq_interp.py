@@ -32,9 +32,11 @@ unwinding, deliberately not catchable by try/catch), and
 a resolver (``Context.jq_resolver`` — the jackson-jq module-loader seam,
 Jq.java:27-31); imported functions are called ``alias::fn(...)``.
 
-Not supported: ``input``/``inputs`` (stream stages are one-doc-in),
-SQL-ish builtins, ``$__loc__``.  Those raise ``JqInterpError`` at parse
-or eval time.
+``$__loc__`` yields ``{file: "<stdin>", line}`` with real token line
+numbers.
+
+Not supported: ``input``/``inputs`` (stream stages are one-doc-in) and
+SQL-ish builtins.  Those raise ``JqInterpError`` at parse or eval time.
 """
 
 from __future__ import annotations
@@ -118,7 +120,9 @@ def _lex_string(src: str, i: int):
     raise JqInterpError("unterminated string")
 
 
-def tokenize(src: str) -> list[tuple[str, Any]]:
+def tokenize(src: str, lines: Any = None) -> list[tuple[str, Any]]:
+    """``lines``, when a list, receives the 1-based source line of each
+    emitted token (parallel to the result) — only $__loc__ needs it."""
     out: list[tuple[str, Any]] = []
     i = 0
     while i < len(src):
@@ -126,14 +130,21 @@ def tokenize(src: str) -> list[tuple[str, Any]]:
         if not m:
             raise JqInterpError(f"unexpected character {src[i]!r} at {i}")
         kind = m.lastgroup
+        start = i
         if kind == "string":
             parts, i = _lex_string(src, m.end())
             out.append(("string", parts))
+            if lines is not None:
+                lines.append(src.count("\n", 0, start) + 1)
             continue
         i = m.end()
         if kind != "ws":
             out.append((kind, m.group()))
+            if lines is not None:
+                lines.append(src.count("\n", 0, start) + 1)
     out.append(("eof", ""))
+    if lines is not None:
+        lines.append(src.count("\n") + 1)
     return out
 
 
@@ -148,8 +159,9 @@ _KEYWORDS = {"if", "then", "elif", "else", "end", "as", "def", "reduce",
 
 
 class _Parser:
-    def __init__(self, tokens):
+    def __init__(self, tokens, lines=None):
         self.toks = tokens
+        self.lines = lines  # per-token source lines ($__loc__ only)
         self.i = 0
 
     def peek(self):
@@ -373,6 +385,11 @@ class _Parser:
             k2, name = self.next()
             if k2 != "ident":
                 raise JqInterpError("variable name must follow $")
+            if name == "__loc__":
+                # jq $__loc__: {file, line} of the token itself
+                line = (self.lines[self.i - 1]
+                        if self.lines is not None else 1)
+                return ("lit", {"file": "<stdin>", "line": line})
             return ("var", name)
         if self.at(".."):
             # recursive descent: every sub-value, pre-order (jq `..` ==
@@ -497,8 +514,14 @@ class _Parser:
         if val == "break":
             self.next()
             return ("break", self.parse_var_name())
-        if val in ("import", "include", "input", "inputs", "__loc__"):
-            raise JqInterpError(f"jq {val!r} is not supported (tier 2)")
+        if val == "__loc__":
+            raise JqInterpError("write $__loc__ (with the $), not __loc__")
+        if val in ("import", "include"):
+            raise JqInterpError(
+                f"jq {val!r} is only valid at the top of the program")
+        if val in ("input", "inputs"):
+            raise JqInterpError(
+                f"jq {val!r} is not supported (stages are one-doc-in)")
         # builtin or user function call
         self.next()
         if (self.at(":") and self.toks[self.i] == ("op", ":")
@@ -1642,7 +1665,8 @@ def _parse_with_imports(src: str, resolver, seen: frozenset = frozenset()):
     Imported defs wrap the program as ordinary ``def`` nodes — imported
     as ``alias::fn`` (called ``alias::fn(...)``), included under their
     own names."""
-    p = _Parser(tokenize(src))
+    lines: list[int] = []
+    p = _Parser(tokenize(src, lines), lines)
     pending: list[tuple] = []  # (alias | None, module name)
     while p.peek() in (("ident", "import"), ("ident", "include")):
         directive = p.next()[1]

@@ -86,7 +86,7 @@ def test_search_rejects_unknown_operator(spark):
     df = spark.createDataFrame([(1, "x")], "id long, t string")
     with pytest.raises(NotImplementedError):
         compile_pipeline(
-            [{"$search": {"autocomplete": {"query": "x", "path": "t"}}}],
+            [{"$search": {"moreLikeThis": {"like": {"t": "x"}}}}],
             Context(spark=spark),
         )(df)
 
@@ -253,16 +253,61 @@ def test_search_meta_numeric_facet_default_bucket(spark):
         )(df).collect()
 
 
+def test_search_autocomplete(spark):
+    """autocomplete: every query token is a token-PREFIX match (Atlas
+    edge-grams); tokenOrder any (default) vs sequential (adjacent, in
+    order); fuzzy rejected; composes inside compound."""
+    rows = [
+        (1, "quick brown fox", "news", 1),
+        (2, "the quiet brownie", "blog", 2),
+        (3, "brown quilt", "news", 3),
+        (4, "embroidery", "blog", 4),   # 'bro' only mid-token
+    ]
+    # "qui bro": both prefixes somewhere, any order
+    got = _search(spark, rows, _SCHEMA,
+                  {"autocomplete": {"query": "qui bro", "path": "t"}})
+    assert sorted(g[0] for g in got) == [1, 2, 3]
+    # sequential: 'qui...'-token immediately followed by 'bro...'-token
+    got = _search(spark, rows, _SCHEMA,
+                  {"autocomplete": {"query": "qui bro", "path": "t",
+                                    "tokenOrder": "sequential"}})
+    assert sorted(g[0] for g in got) == [1, 2]  # not 3 (reversed order)
+    # single partial token
+    got = _search(spark, rows, _SCHEMA,
+                  {"autocomplete": {"query": "emb", "path": "t"}})
+    assert [g[0] for g in got] == [4]
+    # inside compound
+    got = _search(spark, rows, _SCHEMA, {"compound": {
+        "must": [{"autocomplete": {"query": "bro", "path": "t"}}],
+        "filter": [{"equals": {"path": "cat", "value": "news"}}],
+    }})
+    assert sorted(g[0] for g in got) == [1, 3]
+    import pytest
+
+    df = spark.createDataFrame(rows, _SCHEMA)
+    with pytest.raises(NotImplementedError, match="fuzzy"):
+        compile_pipeline(
+            [{"$search": {"autocomplete": {
+                "query": "qui", "path": "t",
+                "fuzzy": {"maxEdits": 1}}}}],
+            Context(spark=spark))(df)
+    with pytest.raises(ValueError, match="tokenOrder"):
+        compile_pipeline(
+            [{"$search": {"autocomplete": {
+                "query": "qui", "path": "t", "tokenOrder": "weird"}}}],
+            Context(spark=spark))(df)
+
+
 def test_search_compound_unknown_suboperator_message(spark):
     """An unsupported operator inside a compound clause raises a clear
     NotImplementedError naming the operator — not a bare StopIteration."""
     import pytest
 
     df = spark.createDataFrame(_DOCS, _SCHEMA)
-    with pytest.raises(NotImplementedError, match="autocomplete"):
+    with pytest.raises(NotImplementedError, match="moreLikeThis"):
         compile_pipeline(
             [{"$search": {"compound": {"must": [
-                {"autocomplete": {"query": "qu", "path": "t"}},
+                {"moreLikeThis": {"like": {"t": "qu"}}},
             ]}}}],
             Context(spark=spark),
         )(df).collect()

@@ -326,3 +326,14 @@ def test_jq_stage_module_resolver(spark):
         ctx)(df)
     rows = [r.asDict() for r in out.collect()]
     assert rows == [{"_id": "0", "gross": 110.00000000000001}]
+
+
+def test_loc():
+    """$__loc__ yields {file: "<stdin>", line} with the token's real
+    source line (jackson-jq parity for the last debug builtin)."""
+    assert jq_all("$__loc__")(None) == [{"file": "<stdin>", "line": 1}]
+    assert jq_all(".a\n| {loc: $__loc__,\n l2: $__loc__}")({"a": 1}) == [
+        {"loc": {"file": "<stdin>", "line": 2},
+         "l2": {"file": "<stdin>", "line": 3}}]
+    with pytest.raises(JqInterpError, match="\\$__loc__"):
+        jq_all("__loc__")
