@@ -3730,6 +3730,35 @@ _register(
 
 
 _register(
+    # r5: Atlas queryString — Lucene query syntax over documents:
+    # (term OR term) AND field-range, with a NOT clause
+    "search_query_string",
+    """SELECT doc_id
+       FROM documents
+       WHERE text IS NOT NULL
+         AND (regexp_matches(lower(text), '(^|[^a-z0-9])the($|[^a-z0-9])')
+              OR regexp_matches(lower(text), '(^|[^a-z0-9])qu[a-z0-9]*($|[^a-z0-9])'))
+         AND n_chars IS NOT NULL AND n_chars >= 100 AND n_chars <= 2000
+         AND NOT coalesce(lang IS NOT NULL
+              AND regexp_matches(lower(lang), '(^|[^a-z0-9])zh($|[^a-z0-9])'),
+              false)
+       ORDER BY doc_id""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$search": {"queryString": {
+                "defaultPath": "text",
+                "query": "(the OR qu*) AND n_chars:[100 TO 2000] "
+                         "AND NOT lang:zh"}}},
+            {"$project": {"_id": 0, "doc_id": 1}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
+_register(
     "date_from_parts",
     """SELECT o_orderkey,
               make_timestamp(CAST(year(o_orderdate) AS BIGINT),

@@ -29,10 +29,11 @@ as-is.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..context import Context
 from ..expressions import ExprContext, compile_expr
@@ -133,11 +134,307 @@ def vector_search_stage(expression: Any, ctx: Context) -> StageFn:
 #   autocomplete — every query token matches as a token PREFIX
 #              (Atlas's edge-gram index, re-expressed as anchored
 #              regexes); tokenOrder any|sequential
+#   queryString — the Lucene-syntax subset (see _QsParser below)
+#   embeddedDocument — operator matches within ONE array element
+#              (F.exists over the array — row-local, no explode)
 #   compound — must/mustNot/should/filter with minimumShouldMatch;
 #              score = sum of matched must+should clause scores
 
 _SEARCH_OPS = {"text", "phrase", "equals", "range", "exists", "wildcard",
-               "autocomplete", "compound"}
+               "autocomplete", "queryString", "embeddedDocument",
+               "compound"}
+
+
+# --------------------------------------------------- queryString parser
+#
+# Atlas's `queryString` operator takes Lucene query syntax.  Supported
+# subset (all deterministic, matching the rest of this module's
+# analyzer: lowercase, [a-z0-9] tokens):
+#   term             — token match on the default/explicit field
+#   "a phrase"       — adjacent tokens in order
+#   field:value      — per-clause field override (also field:(sub query))
+#   wild*card / wi?d — token-level wildcard terms
+#   [lo TO hi] / {lo TO hi} — inclusive/exclusive ranges (numeric when
+#                      both bounds parse as numbers, else lexicographic);
+#                      * as an open bound
+#   AND / OR / NOT, parentheses; bare juxtaposition = OR (Lucene's
+#   default operator, which Atlas keeps)
+# Rejected loudly: fuzzy (~), boosts (^n), regex (/.../)
+
+
+def _qs_tokenize(q: str) -> list[str]:
+    import re as _re
+
+    # ranges (optionally field-prefixed) first — they contain spaces,
+    # so the generic token class must not get a chance to split them
+    toks = _re.findall(
+        r'"[^"]*"'
+        r"|[^\s()]*\[[^\]]*\]"
+        r"|[^\s()]*\{[^}]*\}"
+        r"|\(|\)|[^\s()]+", q)
+    return [t for t in toks if t.strip()]
+
+
+class _QsParser:
+    def __init__(self, toks: list[str], default_path: str):
+        self.toks = toks
+        self.i = 0
+        self.default_path = default_path
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def parse(self) -> dict:
+        node = self.parse_or()
+        if self.peek() is not None:
+            raise ValueError(
+                f"$search queryString: trailing input at {self.peek()!r}")
+        return node
+
+    def parse_or(self) -> dict:
+        # bare juxtaposition = OR (Lucene's default operator); AND binds
+        # tighter and is fully consumed inside parse_and
+        parts = [self.parse_and()]
+        while self.peek() is not None and self.peek() != ")":
+            if self.peek() == "OR":
+                self.next()
+            parts.append(self.parse_and())
+        return parts[0] if len(parts) == 1 else {"or": parts}
+
+    def parse_and(self) -> dict:
+        parts = [self.parse_not()]
+        while self.peek() == "AND":
+            self.next()
+            parts.append(self.parse_not())
+        return parts[0] if len(parts) == 1 else {"and": parts}
+
+    def parse_not(self) -> dict:
+        if self.peek() == "NOT":
+            self.next()
+            return {"not": self.parse_not()}
+        return self.parse_unit(self.default_path)
+
+    def parse_unit(self, path: str) -> dict:
+        t = self.next()
+        if t is None:
+            raise ValueError("$search queryString: unexpected end of query")
+        if t == "(":
+            saved, self.default_path = self.default_path, path
+            node = self.parse_or()
+            self.default_path = saved
+            if self.next() != ")":
+                raise ValueError("$search queryString: missing ')'")
+            return node
+        # field:value / field:(...) — split on the first colon of an
+        # unquoted token
+        if not t.startswith('"') and ":" in t:
+            field, rest = t.split(":", 1)
+            if rest:
+                self.toks.insert(self.i, rest)
+            return self.parse_unit(field)
+        for bad, what in (("~", "fuzzy"), ("^", "boost")):
+            if not t.startswith('"') and bad in t:
+                raise NotImplementedError(
+                    f"$search queryString {what} ({t!r}) is not supported")
+        if t.startswith('"'):
+            return {"kind": "phrase", "path": path, "query": t.strip('"')}
+        if (t.startswith("[") and t.endswith("]")) or (
+                t.startswith("{") and t.endswith("}")):
+            inner = t[1:-1].split()
+            if len(inner) != 3 or inner[1].upper() != "TO":
+                raise ValueError(
+                    f"$search queryString: bad range {t!r} "
+                    "(expected [lo TO hi])")
+            return {"kind": "rangeq", "path": path, "lo": inner[0],
+                    "hi": inner[2], "inclusive": t.startswith("[")}
+        if "*" in t or "?" in t:
+            return {"kind": "wildterm", "path": path, "term": t}
+        return {"kind": "term", "path": path, "term": t}
+
+
+def _qs_pred(node: dict, df: DataFrame) -> Column:
+    import re as _re
+
+    if "or" in node:
+        out = None
+        for sub in node["or"]:
+            p = _qs_pred(sub, df)
+            out = p if out is None else (out | p)
+        return out
+    if "and" in node:
+        out = None
+        for sub in node["and"]:
+            p = _qs_pred(sub, df)
+            out = p if out is None else (out & p)
+        return out
+    if "not" in node:
+        return ~F.coalesce(_qs_pred(node["not"], df), F.lit(False))
+    path = node["path"]
+    col = compile_expr(f"${path}", ExprContext(schema=df.schema))
+    if node["kind"] == "rangeq":
+        lo, hi = node["lo"], node["hi"]
+
+        def bound(v: str):
+            if v == "*":
+                return None
+            try:
+                return F.lit(float(v)), True
+            except ValueError:
+                return F.lit(v), False
+
+        pred = col.isNotNull()
+        b_lo, b_hi = bound(lo), bound(hi)
+        # numeric compare only when BOTH bounds are numeric (Lucene
+        # ranges are typed by the field; the literal decides here)
+        for b, cmp_incl, cmp_excl in (
+            (b_lo, lambda c, v: c >= v, lambda c, v: c > v),
+            (b_hi, lambda c, v: c <= v, lambda c, v: c < v),
+        ):
+            if b is None:
+                continue
+            lit, _is_num = b
+            pred = pred & (cmp_incl(col, lit) if node["inclusive"]
+                           else cmp_excl(col, lit))
+        return pred
+    low = F.lower(col)
+    if node["kind"] == "phrase":
+        terms = _norm_terms(node["query"])
+        if not terms:
+            raise ValueError("$search queryString: empty phrase")
+        pat = "[^a-z0-9]+".join(_re.escape(t) for t in terms)
+        return col.isNotNull() & low.rlike(
+            f"(^|[^a-z0-9])({pat})($|[^a-z0-9])")
+    if node["kind"] == "wildterm":
+        term = node["term"].lower()
+        pat = "".join(
+            "[a-z0-9]*" if ch == "*" else "[a-z0-9]" if ch == "?"
+            else _re.escape(ch) for ch in term)
+        return col.isNotNull() & low.rlike(f"(^|[^a-z0-9])({pat})($|[^a-z0-9])")
+    terms = _norm_terms(node["term"])
+    if not terms:
+        raise ValueError(f"$search queryString: empty term {node['term']!r}")
+    pred = col.isNotNull()
+    for t in terms:
+        pred = pred & low.rlike(f"(^|[^a-z0-9]){_re.escape(t)}($|[^a-z0-9])")
+    return pred
+
+
+def _embedded_pred(elem: Column, etype: T.StructType, op: str,
+                   body: dict, root: str) -> Column:
+    """Predicate of one $search operator evaluated against a single
+    array ELEMENT (embeddedDocument).  Paths may be written Atlas-style
+    (full, ``items.name``) or relative to the element (``name``)."""
+    import re as _re
+
+    def field(p: str) -> tuple[Column, Any]:
+        if p.startswith(root + "."):
+            p = p[len(root) + 1:]
+        col: Column = elem
+        dt: Any = etype
+        for part in p.split("."):
+            if not isinstance(dt, T.StructType) or part not in dt.fieldNames():
+                return F.lit(None), None
+            col = col.getField(part)
+            dt = dt[part].dataType
+        return col, dt
+
+    def token_pred(col: Column, pattern: str) -> Column:
+        return col.isNotNull() & F.lower(col).rlike(pattern)
+
+    if op == "equals":
+        col, _ = field(body["path"])
+        return col.eqNullSafe(F.lit(body["value"]))
+    if op == "exists":
+        col, _ = field(body["path"])
+        return col.isNotNull()
+    if op == "range":
+        col, _ = field(body["path"])
+        pred = col.isNotNull()
+        found = False
+        for kw, mk in (("gt", lambda v: col > F.lit(v)),
+                       ("gte", lambda v: col >= F.lit(v)),
+                       ("lt", lambda v: col < F.lit(v)),
+                       ("lte", lambda v: col <= F.lit(v))):
+            if kw in body:
+                found = True
+                pred = pred & mk(body[kw])
+        if not found:
+            raise ValueError("$search range needs gt/gte/lt/lte")
+        return pred
+    if op == "text":
+        # predicate form only: ANY analyzed query token matches (the
+        # element-level BM25 score is index-internal)
+        terms = _norm_terms(body["query"])
+        if not terms:
+            raise ValueError("$search text.query needs at least one term")
+        col, _ = field(body["path"])
+        pred = None
+        for t in terms:
+            m = token_pred(col, f"(^|[^a-z0-9]){_re.escape(t)}($|[^a-z0-9])")
+            pred = m if pred is None else (pred | m)
+        return pred
+    if op == "phrase":
+        terms = _norm_terms(body["query"])
+        if not terms:
+            raise ValueError("$search phrase.query needs at least one term")
+        slop = int(body.get("slop", 0))
+        gap = "[^a-z0-9]+" + (f"(?:[a-z0-9]+[^a-z0-9]+){{0,{slop}}}"
+                              if slop else "")
+        pat = gap.join(_re.escape(t) for t in terms)
+        col, _ = field(body["path"])
+        return token_pred(col, f"(^|[^a-z0-9])({pat})($|[^a-z0-9])")
+    if op == "wildcard":
+        glob = body["query"]
+        pat = "".join("[\\s\\S]*" if ch == "*" else "[\\s\\S]"
+                      if ch == "?" else _re.escape(ch) for ch in glob)
+        col, _ = field(body["path"])
+        return col.isNotNull() & col.rlike(f"^(?s)({pat})$")
+    if op == "compound":
+        pred: Optional[Column] = F.lit(True)
+        for kind in ("must", "filter"):
+            for sub in body.get(kind, []):
+                sop = next((k for k in sub if k in _SEARCH_OPS), None)
+                if sop is None:
+                    raise NotImplementedError(
+                        f"$search embeddedDocument compound.{kind} "
+                        f"operator {sorted(sub)}")
+                pred = pred & _embedded_pred(elem, etype, sop, sub[sop], root)
+        for sub in body.get("mustNot", []):
+            sop = next((k for k in sub if k in _SEARCH_OPS), None)
+            if sop is None:
+                raise NotImplementedError(
+                    f"$search embeddedDocument compound.mustNot "
+                    f"operator {sorted(sub)}")
+            pred = pred & ~F.coalesce(
+                _embedded_pred(elem, etype, sop, sub[sop], root),
+                F.lit(False))
+        shoulds = body.get("should", [])
+        if shoulds:
+            min_should = int(body.get("minimumShouldMatch", 0))
+            matched = None
+            for sub in shoulds:
+                sop = next((k for k in sub if k in _SEARCH_OPS), None)
+                if sop is None:
+                    raise NotImplementedError(
+                        f"$search embeddedDocument compound.should "
+                        f"operator {sorted(sub)}")
+                m = F.when(
+                    F.coalesce(_embedded_pred(elem, etype, sop, sub[sop],
+                                              root), F.lit(False)),
+                    1).otherwise(0)
+                matched = m if matched is None else (matched + m)
+            if min_should:
+                pred = pred & (matched >= F.lit(min_should))
+        return pred
+    raise NotImplementedError(
+        f"$search {op!r} inside embeddedDocument is not supported "
+        "(index-analyzer feature)"
+    )
 
 
 def _clause_score(body: dict, base: Column) -> Column:
@@ -219,6 +516,48 @@ def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int]
         col = compile_expr(f"${body['path']}",
                            ExprContext(schema=df.schema))
         return df, col.isNotNull(), _clause_score(body, F.lit(1.0)), []
+    if op == "embeddedDocument":
+        # {path, operator}: the operator must match within ONE array
+        # element (Atlas's nested-document semantics — a `must` over
+        # different elements does NOT match, unlike flattened fields).
+        # Compiled to F.exists(array, elem -> pred): stays row-local,
+        # no explode/regroup shuffle.  Scores are constant 1.0 like the
+        # other non-text operators (Atlas's per-element Lucene scores
+        # and score.embedded aggregates are index-internal).
+        apath = body["path"]
+        dt: Any = df.schema
+        for part in apath.split("."):
+            if not isinstance(dt, T.StructType) or part not in dt.fieldNames():
+                raise ValueError(
+                    f"$search embeddedDocument path {apath!r} is not in "
+                    "the schema")
+            dt = dt[part].dataType
+        if not (isinstance(dt, T.ArrayType)
+                and isinstance(dt.elementType, T.StructType)):
+            raise ValueError(
+                f"$search embeddedDocument path {apath!r} must be an "
+                f"array of documents (got {dt.simpleString()})"
+            )
+        etype = dt.elementType
+        arr = compile_expr(f"${apath}", ExprContext(schema=df.schema))
+        inner = body["operator"]
+        iop = next((k for k in inner if k in _SEARCH_OPS), None)
+        if iop is None:
+            raise NotImplementedError(
+                f"$search embeddedDocument operator {sorted(inner)}: "
+                f"supported operators are {sorted(_SEARCH_OPS)}"
+            )
+        pred = arr.isNotNull() & F.exists(
+            arr, lambda e: _embedded_pred(e, etype, iop, inner[iop], apath)
+        )
+        return df, pred, _clause_score(body, F.lit(1.0)), []
+    if op == "queryString":
+        if "defaultPath" not in body:
+            raise ValueError("$search queryString needs defaultPath")
+        node = _QsParser(
+            _qs_tokenize(body["query"]), body["defaultPath"]).parse()
+        pred = _qs_pred(node, df)
+        return df, pred, _clause_score(body, F.lit(1.0)), []
     if op == "autocomplete":
         # Atlas indexes edge-grams of each token: every ANALYZED query
         # token matches as a PREFIX of some document token.  tokenOrder
@@ -391,8 +730,10 @@ def search_stage(expression: Any, ctx: Context) -> StageFn:
     """``{index?, <operator>: {...}}`` — the Atlas $search surface:
     ``text`` (BM25-scored, k1=1.2, b=0.75), ``phrase``, ``equals``,
     ``range``, ``exists``, ``wildcard``, ``autocomplete``
-    (token-prefix matching, tokenOrder any|sequential), and
-    ``compound`` (must/mustNot/should/filter, minimumShouldMatch).  Emits every
+    (token-prefix matching, tokenOrder any|sequential), ``queryString``
+    (the Lucene-syntax subset: AND/OR/NOT, field:value, phrases, token
+    wildcards, ranges), and ``compound`` (must/mustNot/should/filter,
+    minimumShouldMatch).  Emits every
     document with a positive score ordered by score descending; compose
     with ``$limit`` for top-k (collapses to TakeOrderedAndProject).
     Non-text operators score a deterministic constant 1.0 (Atlas's

@@ -298,6 +298,48 @@ def test_search_autocomplete(spark):
             Context(spark=spark))(df)
 
 
+def test_search_query_string(spark):
+    """queryString: the Lucene-syntax subset — terms (juxtaposition =
+    OR), AND/OR/NOT, field:value and field:(...) overrides, quoted
+    phrases, token wildcards, [lo TO hi]/{lo TO hi} ranges; fuzzy and
+    boosts rejected loudly."""
+    rows = _DOCS
+
+    def qs(query):
+        got = _search(spark, rows, _SCHEMA,
+                      {"queryString": {"defaultPath": "t", "query": query}})
+        return sorted(g[0] for g in got)
+
+    assert qs("quick brown") == [1, 2]           # juxtaposition = OR
+    assert qs("quick AND fox") == [1]
+    assert qs("green OR fox") == [1, 3]
+    # NOT: a null field doesn't match `quick`, so doc 4 qualifies
+    assert qs("NOT quick") == [3, 4]
+    assert qs("cat:news") == [1, 3]
+    assert qs("cat:(news OR blog)") == [1, 2, 3, 4]
+    assert qs('"brown fox"') == [1]              # doc 2: not adjacent
+    assert qs("qui*") == [1, 2]
+    assert qs("b?own") == [1, 2]
+    assert qs("views:[10 TO 25]") == [1, 2]
+    assert qs("views:{10 TO 40}") == [2]
+    assert qs("views:[25 TO *]") == [2, 3]
+    assert qs("t:quick AND cat:news") == [1]
+    assert qs("(green OR fox) AND cat:news") == [1, 3]
+    import pytest
+
+    df = spark.createDataFrame(rows, _SCHEMA)
+    for bad, msg in [("quick~1", "fuzzy"), ("quick^2", "boost")]:
+        with pytest.raises(NotImplementedError, match=msg):
+            compile_pipeline(
+                [{"$search": {"queryString": {"defaultPath": "t",
+                                              "query": bad}}}],
+                Context(spark=spark))(df)
+    with pytest.raises(ValueError, match="defaultPath"):
+        compile_pipeline(
+            [{"$search": {"queryString": {"query": "x"}}}],
+            Context(spark=spark))(df)
+
+
 def test_search_compound_unknown_suboperator_message(spark):
     """An unsupported operator inside a compound clause raises a clear
     NotImplementedError naming the operator — not a bare StopIteration."""
@@ -408,3 +450,64 @@ def test_search_meta_validation_and_explain_options(spark):
         compile_pipeline(
             [{"$explain": {"mod": "cost"}}], Context(spark=spark)
         )(docs)
+
+
+def test_search_embedded_document(spark):
+    """embeddedDocument: the inner operator must match within ONE array
+    element — a compound whose clauses only co-occur across different
+    elements does NOT match (Atlas nested semantics); row-local
+    F.exists, no explode in the plan."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("items", T.ArrayType(T.StructType([
+            T.StructField("name", T.StringType()),
+            T.StructField("qty", T.LongType()),
+        ]))),
+    ])
+    rows = [
+        (1, [{"name": "red apple", "qty": 5}, {"name": "pear", "qty": 1}]),
+        # 'apple' and qty>=5 only across DIFFERENT elements:
+        (2, [{"name": "apple pie", "qty": 1}, {"name": "fig", "qty": 9}]),
+        (3, [{"name": "banana", "qty": 2}]),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+
+    def run(spec):
+        out = compile_pipeline(
+            [{"$search": spec}, {"$project": {"id": 1}}],
+            Context(spark=spark))(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Generate" not in plan  # no explode: row-local exists()
+        return sorted(r["id"] for r in out.collect())
+
+    # single-element conjunction
+    assert run({"embeddedDocument": {
+        "path": "items",
+        "operator": {"compound": {"must": [
+            {"text": {"query": "apple", "path": "items.name"}},
+            {"range": {"path": "items.qty", "gte": 5}},
+        ]}}}}) == [1]
+    # relative inner paths work too
+    assert run({"embeddedDocument": {
+        "path": "items",
+        "operator": {"text": {"query": "banana", "path": "name"}}}}) == [3]
+    # range alone: any element with qty >= 9
+    assert run({"embeddedDocument": {
+        "path": "items",
+        "operator": {"range": {"path": "qty", "gte": 9}}}}) == [2]
+    # inside compound at the top level
+    assert run({"compound": {
+        "must": [{"embeddedDocument": {
+            "path": "items",
+            "operator": {"equals": {"path": "name", "value": "pear"}}}}],
+    }}) == [1]
+    import pytest
+
+    with pytest.raises(ValueError, match="array of documents"):
+        compile_pipeline(
+            [{"$search": {"embeddedDocument": {
+                "path": "id", "operator": {"exists": {"path": "x"}}}}}],
+            Context(spark=spark))(df)
