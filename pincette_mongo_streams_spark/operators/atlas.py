@@ -137,12 +137,14 @@ def vector_search_stage(expression: Any, ctx: Context) -> StageFn:
 #   queryString — the Lucene-syntax subset (see _QsParser below)
 #   embeddedDocument — operator matches within ONE array element
 #              (F.exists over the array — row-local, no explode)
+#   moreLikeThis — like-doc string fields analyzed into per-field BM25
+#              text clauses, combined compound-should
 #   compound — must/mustNot/should/filter with minimumShouldMatch;
 #              score = sum of matched must+should clause scores
 
 _SEARCH_OPS = {"text", "phrase", "equals", "range", "exists", "wildcard",
                "autocomplete", "queryString", "embeddedDocument",
-               "compound"}
+               "moreLikeThis", "compound"}
 
 
 # --------------------------------------------------- queryString parser
@@ -516,6 +518,55 @@ def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int]
         col = compile_expr(f"${body['path']}",
                            ExprContext(schema=df.schema))
         return df, col.isNotNull(), _clause_score(body, F.lit(1.0)), []
+    if op == "moreLikeThis":
+        # {like: doc | [docs]} — Atlas extracts representative terms
+        # from the like documents and searches with them.  Deterministic
+        # analog (Lucene's tf-idf term selection is index-internal):
+        # every ANALYZED token of every string field that exists in the
+        # schema becomes a per-field BM25 `text` clause, combined
+        # compound-should — documents sharing more vocabulary with the
+        # like docs score higher.  Like docs themselves are not
+        # excluded (Atlas returns them too; follow with $match to drop).
+        like = body["like"]
+        docs_ = like if isinstance(like, list) else [like]
+        if not docs_:
+            raise ValueError("$search moreLikeThis.like needs a document")
+        field_terms: dict[str, set] = {}
+
+        def walk_like(d: Any, prefix: str) -> None:
+            if isinstance(d, dict):
+                for k, v in d.items():
+                    walk_like(v, f"{prefix}.{k}" if prefix else k)
+            elif isinstance(d, str):
+                field_terms.setdefault(prefix, set()).update(_norm_terms(d))
+
+        for d in docs_:
+            if not isinstance(d, dict):
+                raise ValueError(
+                    "$search moreLikeThis.like entries must be documents")
+            walk_like(d, "")
+
+        def in_schema(p: str) -> bool:
+            dt: Any = df.schema
+            for part in p.split("."):
+                if not isinstance(dt, T.StructType) or part not in dt.fieldNames():
+                    return False
+                dt = dt[part].dataType
+            return isinstance(dt, T.StringType)
+
+        shoulds = [
+            {"text": {"query": " ".join(sorted(ts)), "path": p}}
+            for p, ts in sorted(field_terms.items())
+            if ts and in_schema(p)
+        ]
+        if not shoulds:
+            raise ValueError(
+                "$search moreLikeThis.like has no analyzable string "
+                "field present in the schema"
+            )
+        df2, pred, score, drops = _search_clause(
+            df, "compound", {"should": shoulds}, idx)
+        return df2, pred, _clause_score(body, score), drops
     if op == "embeddedDocument":
         # {path, operator}: the operator must match within ONE array
         # element (Atlas's nested-document semantics — a `must` over
@@ -751,9 +802,8 @@ def search_stage(expression: Any, ctx: Context) -> StageFn:
     op = next((k for k in expression if k in _SEARCH_OPS), None)
     if op is None:
         raise NotImplementedError(
-            f"$search supports {sorted(_SEARCH_OPS)} (moreLikeThis, "
-            "queryString, embeddedDocument and geo operators are "
-            "Atlas-index features)"
+            f"$search supports {sorted(_SEARCH_OPS)} (geoShape/geoWithin "
+            "and near are Atlas-index features)"
         )
     spec = expression[op]
     if not isinstance(spec, dict):

@@ -86,7 +86,7 @@ def test_search_rejects_unknown_operator(spark):
     df = spark.createDataFrame([(1, "x")], "id long, t string")
     with pytest.raises(NotImplementedError):
         compile_pipeline(
-            [{"$search": {"moreLikeThis": {"like": {"t": "x"}}}}],
+            [{"$search": {"geoWithin": {"path": "loc", "circle": {}}}}],
             Context(spark=spark),
         )(df)
 
@@ -346,10 +346,10 @@ def test_search_compound_unknown_suboperator_message(spark):
     import pytest
 
     df = spark.createDataFrame(_DOCS, _SCHEMA)
-    with pytest.raises(NotImplementedError, match="moreLikeThis"):
+    with pytest.raises(NotImplementedError, match="geoWithin"):
         compile_pipeline(
             [{"$search": {"compound": {"must": [
-                {"moreLikeThis": {"like": {"t": "qu"}}},
+                {"geoWithin": {"path": "loc", "circle": {}}},
             ]}}}],
             Context(spark=spark),
         )(df).collect()
@@ -510,4 +510,40 @@ def test_search_embedded_document(spark):
         compile_pipeline(
             [{"$search": {"embeddedDocument": {
                 "path": "id", "operator": {"exists": {"path": "x"}}}}}],
+            Context(spark=spark))(df)
+
+
+def test_search_more_like_this(spark):
+    """moreLikeThis: like-doc string fields analyze into per-field BM25
+    text clauses (compound-should) — documents sharing more vocabulary
+    with the like docs score higher; unmapped/numeric like fields are
+    ignored; empty analyzable surface raises."""
+    rows = [
+        (1, "spark engine tuning", "perf"),
+        (2, "spark sql engine internals deep dive", "eng"),
+        (3, "cooking with cast iron", "food"),
+        (4, None, "misc"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string, cat string")
+    out = compile_pipeline(
+        [{"$search": {"moreLikeThis": {
+            "like": {"t": "spark engine", "views": 7,
+                     "nosuch": "ignored entirely"}}}},
+         {"$project": {"id": 1, "s": {"$meta": "searchScore"}}}],
+        Context(spark=spark))(df)
+    got = {r["id"]: r["s"] for r in out.collect()}
+    assert set(got) == {1, 2}              # 3 and 4 share no vocabulary
+    assert all(v > 0 for v in got.values())
+    # multiple like docs pool their vocabulary
+    out2 = compile_pipeline(
+        [{"$search": {"moreLikeThis": {"like": [
+            {"t": "cast iron"}, {"cat": "eng"}]}}},
+         {"$project": {"id": 1}}],
+        Context(spark=spark))(df)
+    assert sorted(r["id"] for r in out2.collect()) == [2, 3]
+    import pytest
+
+    with pytest.raises(ValueError, match="analyzable"):
+        compile_pipeline(
+            [{"$search": {"moreLikeThis": {"like": {"views": 9}}}}],
             Context(spark=spark))(df)
