@@ -144,7 +144,7 @@ def vector_search_stage(expression: Any, ctx: Context) -> StageFn:
 
 _SEARCH_OPS = {"text", "phrase", "equals", "range", "exists", "wildcard",
                "autocomplete", "queryString", "embeddedDocument",
-               "moreLikeThis", "compound"}
+               "moreLikeThis", "in", "near", "compound"}
 
 
 # --------------------------------------------------- queryString parser
@@ -518,6 +518,57 @@ def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int]
         col = compile_expr(f"${body['path']}",
                            ExprContext(schema=df.schema))
         return df, col.isNotNull(), _clause_score(body, F.lit(1.0)), []
+    if op == "in":
+        # {path, value: x | [xs]} — field equals any of the values;
+        # array fields match on ANY element (Atlas `in` semantics)
+        vals = body["value"]
+        if not isinstance(vals, list):
+            vals = [vals]
+        if not vals:
+            raise ValueError("$search in.value needs at least one value")
+        col = compile_expr(f"${body['path']}",
+                           ExprContext(schema=df.schema))
+        dt: Any = df.schema
+        for part in body["path"].split("."):
+            dt = (dt[part].dataType
+                  if isinstance(dt, T.StructType) and part in dt.fieldNames()
+                  else None)
+            if dt is None:
+                break
+        if isinstance(dt, T.ArrayType):
+            lits = F.array(*[F.lit(v) for v in vals])
+            pred = col.isNotNull() & F.arrays_overlap(col, lits)
+        else:
+            pred = col.isin(vals)
+        return df, pred, _clause_score(body, F.lit(1.0)), []
+    if op == "near":
+        # {path, origin, pivot} over numbers/dates: matches every doc
+        # with the field, scored pivot / (pivot + |value - origin|) —
+        # Atlas's documented decay, deterministic (geo origins are
+        # index-bound and rejected).
+        origin = body.get("origin")
+        pivot = float(body["pivot"])
+        if pivot <= 0:
+            raise ValueError("$search near.pivot must be positive")
+        col = compile_expr(f"${body['path']}",
+                           ExprContext(schema=df.schema))
+        if isinstance(origin, (int, float)) and not isinstance(origin, bool):
+            num = col.cast("double")
+            o = F.lit(float(origin))
+        elif isinstance(origin, str):
+            # ISO date/timestamp origin; distance in SECONDS (pivot is
+            # therefore seconds too — Atlas uses milliseconds; callers
+            # scale, documented)
+            num = col.cast("timestamp").cast("double")
+            o = F.to_timestamp(F.lit(origin)).cast("double")
+        else:
+            raise NotImplementedError(
+                "$search near with a geo origin is an Atlas-index "
+                "feature; numeric and ISO-date origins are supported"
+            )
+        dist = F.abs(num - o)
+        score = F.lit(pivot) / (F.lit(pivot) + dist)
+        return df, col.isNotNull(), _clause_score(body, score), []
     if op == "moreLikeThis":
         # {like: doc | [docs]} — Atlas extracts representative terms
         # from the like documents and searches with them.  Deterministic

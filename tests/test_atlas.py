@@ -547,3 +547,41 @@ def test_search_more_like_this(spark):
         compile_pipeline(
             [{"$search": {"moreLikeThis": {"like": {"views": 9}}}}],
             Context(spark=spark))(df)
+
+
+def test_search_in_and_near(spark):
+    """`in`: equality against any of a value list (array fields match on
+    any element); `near`: every doc with the field matches, scored
+    pivot/(pivot + |value - origin|) — Atlas's decay, deterministic for
+    numeric and ISO-date origins; geo origins rejected."""
+    got = _search(spark, _DOCS, _SCHEMA,
+                  {"in": {"path": "cat", "value": ["news", "nosuch"]}})
+    assert sorted(g[0] for g in got) == [1, 3]
+    got = _search(spark, _DOCS, _SCHEMA,
+                  {"in": {"path": "views", "value": 25}})
+    assert [g[0] for g in got] == [2]
+    # near over views, origin 25, pivot 15: doc2 dist 0 -> 1.0,
+    # doc1 dist 15 -> 0.5, doc4 dist 20 -> 15/35, doc3 dist 15 -> 0.5
+    got = _search(spark, _DOCS, _SCHEMA,
+                  {"near": {"path": "views", "origin": 25, "pivot": 15}})
+    by = dict(got)
+    assert abs(by[2] - 1.0) < 1e-12
+    assert abs(by[1] - 0.5) < 1e-12 and abs(by[3] - 0.5) < 1e-12
+    assert abs(by[4] - 15.0 / 35.0) < 1e-12
+    # array-field `in`: any element matches
+    rows = [(1, ["a", "b"]), (2, ["c"]), (3, None)]
+    df = spark.createDataFrame(rows, "id long, tags array<string>")
+    out = compile_pipeline(
+        [{"$search": {"in": {"path": "tags", "value": ["b", "z"]}}},
+         {"$project": {"id": 1}}],
+        Context(spark=spark))(df)
+    assert [r["id"] for r in out.collect()] == [1]
+    import pytest
+
+    df2 = spark.createDataFrame(_DOCS, _SCHEMA)
+    with pytest.raises(NotImplementedError, match="geo"):
+        compile_pipeline(
+            [{"$search": {"near": {"path": "views", "pivot": 1,
+                                   "origin": {"type": "Point",
+                                              "coordinates": [0, 0]}}}}],
+            Context(spark=spark))(df2)
