@@ -3759,6 +3759,102 @@ _register(
 
 
 _register(
+    # r5: Gopher-style repetition filters over the documents corpus
+    "repetition_score",
+    f"""WITH nl AS (
+  SELECT doc_id, line, count(*) AS c, length(line) AS len
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        FROM documents)
+  WHERE line <> ''
+  GROUP BY doc_id, line
+),
+lstats AS (
+  SELECT doc_id,
+         1.0 - (count(*)::DOUBLE / sum(c)) AS dlf,
+         coalesce(sum(CASE WHEN c > 1 THEN c * len ELSE 0 END)::DOUBLE
+                  / nullif(sum(c * len), 0), 0) AS dlcf
+  FROM nl GROUP BY doc_id
+),
+w AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text),
+                     '[^a-z0-9]', ' ', 'g'), ' '), x -> x <> '') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+wl AS (SELECT doc_id, ws,
+              length(array_to_string(ws, ' ')) AS wlen FROM w),
+g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+           i -> array_to_string(ws[i:i+1], ' '))) AS gram FROM wl),
+g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+           i -> array_to_string(ws[i:i+2], ' '))) AS gram FROM wl),
+g4 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 2),
+           i -> array_to_string(ws[i:i+3], ' '))) AS gram FROM wl),
+g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+           i -> array_to_string(ws[i:i+4], ' '))) AS gram FROM wl),
+t2 AS (SELECT doc_id, c, length(gram) AS glen FROM (
+  SELECT doc_id, gram, count(*) AS c,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY count(*) DESC, gram) AS rn
+  FROM g2 GROUP BY doc_id, gram) WHERE rn = 1),
+t3 AS (SELECT doc_id, c, length(gram) AS glen FROM (
+  SELECT doc_id, gram, count(*) AS c,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY count(*) DESC, gram) AS rn
+  FROM g3 GROUP BY doc_id, gram) WHERE rn = 1),
+t4 AS (SELECT doc_id, c, length(gram) AS glen FROM (
+  SELECT doc_id, gram, count(*) AS c,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY count(*) DESC, gram) AS rn
+  FROM g4 GROUP BY doc_id, gram) WHERE rn = 1),
+d5 AS (SELECT doc_id,
+              sum(CASE WHEN c > 1 THEN c * glen ELSE 0 END) AS dupchars
+       FROM (SELECT doc_id, gram, count(*) AS c,
+                    length(gram) AS glen
+             FROM g5 GROUP BY doc_id, gram)
+       GROUP BY doc_id)
+SELECT d.doc_id,
+       {_r('coalesce(l.dlf, 0)', 6)} AS dup_line_frac,
+       {_r('coalesce(l.dlcf, 0)', 6)} AS dup_line_char_frac,
+       {_r('''coalesce(CASE WHEN t2.c >= 2
+            THEN least(t2.c * t2.glen / wl.wlen, 1.0) ELSE 0 END, 0)''',
+           6)} AS top2_char_frac,
+       {_r('''coalesce(CASE WHEN t3.c >= 2
+            THEN least(t3.c * t3.glen / wl.wlen, 1.0) ELSE 0 END, 0)''',
+           6)} AS top3_char_frac,
+       {_r('''coalesce(CASE WHEN t4.c >= 2
+            THEN least(t4.c * t4.glen / wl.wlen, 1.0) ELSE 0 END, 0)''',
+           6)} AS top4_char_frac,
+       {_r('coalesce(least(d5.dupchars / wl.wlen, 1.0), 0)', 6)}
+           AS dup5_char_frac
+FROM documents d
+LEFT JOIN lstats l USING (doc_id)
+LEFT JOIN wl USING (doc_id)
+LEFT JOIN t2 USING (doc_id)
+LEFT JOIN t3 USING (doc_id)
+LEFT JOIN t4 USING (doc_id)
+LEFT JOIN d5 USING (doc_id)
+ORDER BY d.doc_id""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$repetitionScore": {"input": "$text", "as": "rep"}},
+            {"$project": {
+                "_id": 0, "doc_id": 1,
+                "dup_line_frac": "$rep.dup_line_frac",
+                "dup_line_char_frac": "$rep.dup_line_char_frac",
+                "top2_char_frac": "$rep.top2_char_frac",
+                "top3_char_frac": "$rep.top3_char_frac",
+                "top4_char_frac": "$rep.top4_char_frac",
+                "dup5_char_frac": "$rep.dup5_char_frac",
+            }},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
+_register(
     "date_from_parts",
     """SELECT o_orderkey,
               make_timestamp(CAST(year(o_orderdate) AS BIGINT),

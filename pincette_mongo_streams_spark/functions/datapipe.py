@@ -1416,6 +1416,130 @@ def quality_score_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$repetitionScore")
+def repetition_score_stage(expression: Any, ctx: Context) -> StageFn:
+    """Gopher-style repetition signals (Rae et al. 2021, table A1), the
+    classic pretraining-data repetition filters: ``{input, as?}`` adds a
+    struct of six doubles (rounded to 6):
+
+    - ``dup_line_frac`` — 1 − distinct/total over non-empty lines
+    - ``dup_line_char_frac`` — characters inside lines occurring more
+      than once / total line characters
+    - ``top2_char_frac`` / ``top3_char_frac`` / ``top4_char_frac`` —
+      occurrences × length of the most frequent word n-gram / length of
+      the normalized text (0.0 unless it occurs at least twice; ties
+      break to the lexicographically smallest n-gram; capped at 1.0 —
+      overlapping occurrences can over-count)
+    - ``dup5_char_frac`` — Σ occurrences × length over 5-grams occurring
+      more than once / normalized length, capped at 1.0 (an
+      overlap-agnostic upper bound of Gopher's covered-character
+      fraction — documented approximation)
+
+    Normalization: words = lowercased text with non-[a-z0-9] mapped to
+    spaces, split on whitespace; lines split on ``\\n``, empty lines
+    dropped.  100 TB shape: pure row-local column program — sort_array +
+    one aggregate() fold per metric, no shuffle, no Python."""
+    inp = expression["input"]
+    as_field = expression.get("as", "repetition")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        out = df.withColumn("__rep_t", text)
+        # non-empty lines, sorted so duplicates are neighbors
+        out = out.withColumn(
+            "__rep_lines",
+            F.sort_array(F.filter(F.split(F.col("__rep_t"), "\n"),
+                                  lambda x: x != F.lit(""))),
+        )
+        # normalized word array + joined length (the n-gram denominator)
+        out = out.withColumn(
+            "__rep_w",
+            F.filter(
+                F.split(F.regexp_replace(F.lower(F.col("__rep_t")),
+                                         "[^a-z0-9]", " "), " "),
+                lambda x: x != F.lit(""),
+            ),
+        ).withColumn(
+            "__rep_wlen", F.length(F.concat_ws(" ", F.col("__rep_w")))
+        )
+        # neighbor-run fold over a sorted array: on the SECOND element of
+        # a run both occurrences' characters become "duplicated", each
+        # further one adds its own — O(L log L), no pairwise compare
+        run_fold = """
+            aggregate({arr},
+              named_struct('prev', cast(null as string), 'run', 0L,
+                           'best', 0L, 'bestlen', 0L,
+                           'dup', 0L, 'tot', 0L),
+              (acc, x) -> named_struct(
+                 'prev', x,
+                 'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
+                 'best', IF(IF(x <=> acc.prev, acc.run + 1L, 1L) > acc.best,
+                            IF(x <=> acc.prev, acc.run + 1L, 1L), acc.best),
+                 'bestlen', IF(IF(x <=> acc.prev, acc.run + 1L, 1L) > acc.best,
+                               length(x), acc.bestlen),
+                 'dup', acc.dup + IF(x <=> acc.prev,
+                        IF(acc.run = 1L, 2L, 1L) * length(x), 0L),
+                 'tot', acc.tot + length(x)))
+        """
+        out = out.withColumn(
+            "__rep_lagg", F.expr(run_fold.format(arr="__rep_lines")))
+
+        def grams(n: int) -> Column:
+            return F.expr(f"""
+                IF(size(__rep_w) >= {n},
+                   sort_array(transform(
+                      sequence(1, size(__rep_w) - {n} + 1),
+                      i -> concat_ws(' ', slice(__rep_w, i, {n})))),
+                   array())
+            """)
+
+        for n in (2, 3, 4, 5):
+            out = out.withColumn(f"__rep_g{n}", grams(n)).withColumn(
+                f"__rep_a{n}", F.expr(run_fold.format(arr=f"__rep_g{n}")))
+
+        def r6(col: Column) -> Column:
+            # coalesce BEFORE least: Spark's least() skips nulls, so a
+            # 0/0 try_divide null would otherwise "win" as 1.0
+            return F.round(
+                F.least(F.coalesce(col, F.lit(0.0)), F.lit(1.0)), 6)
+
+        nlines = F.size("__rep_lines").cast("double")
+        la = F.col("__rep_lagg")
+        wlen = F.col("__rep_wlen").cast("double")
+
+        def top_frac(n: int) -> Column:
+            a = F.col(f"__rep_a{n}")
+            return r6(
+                F.when(
+                    a["best"] >= 2,
+                    F.try_divide(
+                        (a["best"] * a["bestlen"]).cast("double"), wlen),
+                ).otherwise(F.lit(0.0))
+            )
+
+        rep = F.struct(
+            r6(F.when(nlines > 0,
+                      F.lit(1.0) - F.size(F.array_distinct("__rep_lines"))
+                      / nlines).otherwise(F.lit(0.0))
+               ).alias("dup_line_frac"),
+            r6(F.try_divide(la["dup"].cast("double"),
+                            la["tot"].cast("double"))
+               ).alias("dup_line_char_frac"),
+            top_frac(2).alias("top2_char_frac"),
+            top_frac(3).alias("top3_char_frac"),
+            top_frac(4).alias("top4_char_frac"),
+            r6(F.try_divide(F.col("__rep_a5")["dup"].cast("double"), wlen)
+               ).alias("dup5_char_frac"),
+        )
+        drops = (["__rep_t", "__rep_lines", "__rep_w", "__rep_wlen",
+                  "__rep_lagg"]
+                 + [f"__rep_g{n}" for n in (2, 3, 4, 5)]
+                 + [f"__rep_a{n}" for n in (2, 3, 4, 5)])
+        return out.withColumn(as_field, rep).drop(*drops)
+
+    return fn
+
+
 @register_stage("$tokenCount")
 def token_count_stage(expression: Any, ctx: Context) -> StageFn:
     """Token counting: ``{input, as, mode: whitespace|bpe}``.  ``bpe`` uses

@@ -268,3 +268,37 @@ def test_sentence_split(spark):
                      "and a tail"]
     assert by[2] == []         # "x" and "y" both under minChars=2
     assert by[3] == []
+
+
+def test_repetition_score(spark):
+    """$repetitionScore: Gopher-style repetition filters — duplicate
+    line fractions, top-n-gram char fractions (ties to the smallest
+    gram, capped at 1.0), overlap-agnostic dup-5-gram fraction; pure
+    column program (no Python, no shuffle)."""
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    rows = [
+        (1, "a b c\na b c\nx y z"),
+        (2, "the cat the cat the cat"),
+        (3, "unique words only here"),
+        (4, None),
+        (5, "one two three four five one two three four five"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = compile_pipeline(
+        [{"$repetitionScore": {"input": "$t"}}], Context(spark=spark))(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
+    by = {r["id"]: r["repetition"].asDict() for r in out.collect()}
+    # doc 1: 1 of 3 lines duplicated -> 1 - 2/3; 'a b c' chars (5*2)
+    # over total 15
+    assert by[1]["dup_line_frac"] == round(1 - 2 / 3, 6)
+    assert by[1]["dup_line_char_frac"] == round(10 / 15, 6)
+    # doc 2: 'the cat' x3 over 'the cat the cat the cat' (23 chars)
+    assert by[2]["top2_char_frac"] == round(min(3 * 7 / 23, 1.0), 6)
+    assert by[2]["top4_char_frac"] == 1.0          # capped (overlap)
+    # doc 3/4: no repetition / null text -> all zeros
+    assert all(v == 0.0 for v in by[3].values())
+    assert all(v == 0.0 for v in by[4].values())
+    # doc 5: the 5-gram 'one two three four five' repeats -> dup5 > 0
+    assert by[5]["dup5_char_frac"] == round(2 * 23 / 47, 6)
