@@ -834,13 +834,19 @@ def search_stage(expression: Any, ctx: Context) -> StageFn:
     ``range``, ``exists``, ``wildcard``, ``autocomplete``
     (token-prefix matching, tokenOrder any|sequential), ``queryString``
     (the Lucene-syntax subset: AND/OR/NOT, field:value, phrases, token
-    wildcards, ranges), and ``compound`` (must/mustNot/should/filter,
-    minimumShouldMatch).  Emits every
+    wildcards, ranges), ``embeddedDocument`` (single-array-element
+    nested matching via row-local exists), ``moreLikeThis`` (like-doc
+    vocabulary as per-field BM25 should-clauses), ``in``, ``near``
+    (numeric/ISO-date pivot decay), and ``compound``
+    (must/mustNot/should/filter, minimumShouldMatch).  Emits every
     document with a positive score ordered by score descending; compose
     with ``$limit`` for top-k (collapses to TakeOrderedAndProject).
     Non-text operators score a deterministic constant 1.0 (Atlas's
-    Lucene scores are index-internal), overridable per clause via
-    Atlas's ``score: {constant|boost}`` modifiers.
+    Lucene scores are index-internal; ``near`` scores its documented
+    pivot/(pivot+distance) decay), overridable per clause via Atlas's
+    ``score: {constant|boost}`` modifiers.  Geo operators
+    (geoShape/geoWithin/near-with-geo-origin) are Atlas-index features
+    and rejected.
 
     ``phrase.slop`` is an IN-ORDER, PER-GAP approximation: each gap
     between consecutive phrase terms admits up to ``slop`` filler
