@@ -3855,6 +3855,53 @@ ORDER BY d.doc_id""",
 
 
 _register(
+    # r5: C4 line/document cleaning rules
+    "c4_filter",
+    """WITH base AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)), x ->
+            regexp_matches(trim(x), '[.!?"]$')
+            AND len(list_filter(regexp_split_to_array(trim(x), '\\s+'),
+                                w -> w <> '')) >= 5
+            AND NOT contains(lower(x), 'javascript')) AS keep
+  FROM documents
+),
+built AS (
+  SELECT doc_id,
+         coalesce(array_to_string(keep, chr(10)), '') AS clean_text,
+         coalesce(len(lines), 0) AS n_lines,
+         coalesce(len(keep), 0) AS n_kept,
+         coalesce(
+           length(regexp_replace(
+              coalesce(array_to_string(keep, chr(10)), ''),
+              '[^.!?]', '', 'g')) < 3
+           OR contains(text, '{')
+           OR contains(lower(text), 'lorem ipsum'),
+           true) AS drop_doc
+  FROM base)
+SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+       CAST(n_kept AS INT) AS n_kept, drop_doc,
+       length(clean_text) AS clean_len
+FROM built ORDER BY doc_id""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$c4Filter": {"input": "$text", "as": "c4"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "n_lines": "$c4.n_lines",
+                          "n_kept": "$c4.n_kept",
+                          "drop_doc": "$c4.drop_doc",
+                          "clean_len": {"$toLong": {"$strLenCP":
+                                                    "$c4.clean_text"}}}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
+_register(
     "date_from_parts",
     """SELECT o_orderkey,
               make_timestamp(CAST(year(o_orderdate) AS BIGINT),

@@ -1540,6 +1540,64 @@ def repetition_score_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$c4Filter")
+def c4_filter_stage(expression: Any, ctx: Context) -> StageFn:
+    """C4-style cleaning (Raffel et al. 2020 §2.2, the public heuristics
+    behind the C4 corpus): ``{input, as?, minWords?}`` adds a struct:
+
+    - ``clean_text`` — the kept lines joined with ``\\n``: a line stays
+      when it ends in terminal punctuation (``. ! ? "``), has at least
+      ``minWords`` words (default 5), and does not contain
+      ``javascript`` (case-insensitive) — C4's line rules
+    - ``n_lines`` / ``n_kept`` — line counts before/after
+    - ``drop_doc`` — C4's document rules: fewer than 3 kept sentences
+      (terminal-punctuation count over kept lines), or the raw text
+      contains ``{`` (code) or ``lorem ipsum``
+
+    Deviation from the paper: the "bad words" blocklist is not shipped
+    (policy-laden, corpus-specific) — compose with ``$match`` over
+    ``clean_text`` for custom blocklists.  100 TB shape: pure row-local
+    column program, no shuffle, no Python."""
+    inp = expression["input"]
+    as_field = expression.get("as", "c4")
+    min_words = int(expression.get("minWords", 5))
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        out = df.withColumn("__c4_t", text)
+        lines = F.split(F.col("__c4_t"), "\n")
+        keep = F.filter(
+            lines,
+            lambda x: (
+                F.trim(x).rlike('[.!?"]$')
+                & (F.size(F.filter(F.split(F.trim(x), "\\s+"),
+                                   lambda w: w != F.lit("")))
+                   >= F.lit(min_words))
+                & ~F.lower(x).contains("javascript")
+            ),
+        )
+        out = out.withColumn("__c4_keep", keep)
+        clean = F.concat_ws("\n", F.col("__c4_keep"))
+        # sentence count: terminal punctuation marks across kept lines
+        n_sent = F.length(F.regexp_replace(clean, "[^.!?]", ""))
+        drop = (
+            (n_sent < 3)
+            | F.col("__c4_t").contains("{")
+            | F.lower(F.col("__c4_t")).contains("lorem ipsum")
+        )
+        st = F.struct(
+            clean.alias("clean_text"),
+            F.coalesce(F.size(lines), F.lit(0)).cast("int")
+            .alias("n_lines"),
+            F.coalesce(F.size(F.col("__c4_keep")), F.lit(0)).cast("int")
+            .alias("n_kept"),
+            F.coalesce(drop, F.lit(True)).alias("drop_doc"),
+        )
+        return out.withColumn(as_field, st).drop("__c4_t", "__c4_keep")
+
+    return fn
+
+
 @register_stage("$tokenCount")
 def token_count_stage(expression: Any, ctx: Context) -> StageFn:
     """Token counting: ``{input, as, mode: whitespace|bpe}``.  ``bpe`` uses

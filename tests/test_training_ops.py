@@ -302,3 +302,40 @@ def test_repetition_score(spark):
     assert all(v == 0.0 for v in by[4].values())
     # doc 5: the 5-gram 'one two three four five' repeats -> dup5 > 0
     assert by[5]["dup5_char_frac"] == round(2 * 23 / 47, 6)
+
+
+def test_c4_filter(spark):
+    """$c4Filter: C4 line rules (terminal punctuation, >= minWords
+    words, no 'javascript') + document rules (>= 3 sentences, no '{',
+    no 'lorem ipsum'); row-local column program."""
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    rows = [
+        (1, 'Good sentence with many words here.\nshort line\n'
+            'Another proper sentence with enough words!\n'
+            'A third full sentence keeps this document alive.'),
+        (2, 'This javascript line has enough words here.\n'
+            'Fine sentence with plenty of words inside.'),
+        (3, 'function f() { return 1; }\n'
+            'Real sentence one with enough words here.\n'
+            'Real sentence two with enough words too.\n'
+            'Real sentence three with enough words also.'),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = compile_pipeline(
+        [{"$c4Filter": {"input": "$t"}}], Context(spark=spark))(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
+    by = {r["id"]: r["c4"].asDict() for r in out.collect()}
+    # doc 1: 'short line' dropped (no terminal punct, < 5 words)
+    assert by[1]["n_lines"] == 4 and by[1]["n_kept"] == 3
+    assert not by[1]["drop_doc"]
+    assert "short line" not in by[1]["clean_text"]
+    # doc 2: javascript line dropped; only 1 kept sentence -> drop_doc
+    assert by[2]["n_kept"] == 1 and by[2]["drop_doc"]
+    # doc 3: '{' -> drop_doc even with 3 kept sentences
+    assert by[3]["n_kept"] == 3 and by[3]["drop_doc"]
+    # null text: empty, dropped
+    assert by[4] == {"clean_text": "", "n_lines": 0, "n_kept": 0,
+                     "drop_doc": True}
