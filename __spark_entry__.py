@@ -3902,6 +3902,79 @@ FROM built ORDER BY doc_id""",
 
 
 _register(
+    # r5: C4 sentence-span corpus dedup (text rewrite).  The corpus
+    # unions with a doc_id-shifted copy of itself so every span IS
+    # duplicated — the gate exercises the removal path end-to-end
+    # (copies strip; originals win by minimum id).  span=1 because the
+    # synthetic docs carry no punctuation (each is ONE sentence; a
+    # 3-span never exists here); the span-3 semantics are pinned by
+    # tests/test_training_ops.py
+    "span_dedup",
+    r"""WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents),
+s AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+            regexp_split_to_array(text, '[.!?]+\s+|[.!?]+$'),
+            x -> trim(x)), x -> length(x) >= 1) AS sents
+  FROM corpus),
+occ AS (
+  SELECT doc_id, i AS pos,
+         lower(array_to_string(sents[i:i], ' ')) AS k
+  FROM s, unnest(range(1, len(sents) + 1)) AS t(i)),
+marked AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY k) AS n,
+         row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+  FROM occ),
+rem AS (
+  SELECT DISTINCT doc_id, pos + d AS idx
+  FROM marked, unnest(range(0, 1)) AS t(d)
+  WHERE n > 1 AND rn > 1),
+sent_rows AS (
+  SELECT doc_id, i AS idx, sents[i] AS sent
+  FROM s, unnest(range(1, len(sents) + 1)) AS t(i)),
+kept AS (
+  SELECT sr.doc_id, string_agg(sr.sent, ' ' ORDER BY sr.idx) AS clean
+  FROM sent_rows sr
+  LEFT JOIN rem ON sr.doc_id = rem.doc_id AND sr.idx = rem.idx
+  WHERE rem.idx IS NULL
+  GROUP BY sr.doc_id),
+remc AS (SELECT doc_id, count(*) AS nrem FROM rem GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(k.clean, '') AS text,
+       CAST(coalesce(len(s.sents), 0) AS INT) AS n_sentences,
+       CAST(coalesce(remc.nrem, 0) AS INT) AS n_removed
+FROM corpus d
+LEFT JOIN s USING (doc_id)
+LEFT JOIN kept k USING (doc_id)
+LEFT JOIN remc USING (doc_id)
+ORDER BY d.doc_id""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$project": {"_id": 0, "doc_id": 1, "text": 1}},
+            {"$unionWith": {"coll": "documents2", "pipeline": [
+                {"$project": {"_id": 0, "text": 1,
+                              "doc_id": {"$add": ["$doc_id", 10000]}}},
+            ]}},
+            {"$spanDedup": {"input": "$text", "id": "$doc_id",
+                            "as": "sd", "span": 1}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "text": "$sd.text",
+                          "n_sentences": "$sd.n_sentences",
+                          "n_removed": "$sd.n_removed"}},
+            {"$sort": {"doc_id": 1}},
+        ],
+        collections={"documents2": "documents"},
+    )
+)
+
+
+_register(
     "date_from_parts",
     """SELECT o_orderkey,
               make_timestamp(CAST(year(o_orderdate) AS BIGINT),

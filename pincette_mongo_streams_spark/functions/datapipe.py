@@ -2020,6 +2020,108 @@ def sentence_split_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$spanDedup")
+def span_dedup_stage(expression: Any, ctx: Context) -> StageFn:
+    """C4's corpus-wide sentence-span dedup (Raffel et al. 2020 §2.2:
+    "we removed any three-sentence span occurring more than once"):
+    ``{input, id, as?, span?, minChars?}`` — sentences split with the
+    $sentenceSplit rule, every window of ``span`` (default 3)
+    consecutive sentences is matched CORPUS-WIDE (case-insensitive);
+    for each duplicated span, the occurrence with the minimum
+    (id, position) survives and every other occurrence's sentences are
+    removed from their documents.  ``id`` must be unique per row.
+
+    Adds a struct ``as`` (default "span_dedup"): ``text`` (surviving
+    sentences joined with single spaces — the rewrite is lossy about
+    original punctuation/whitespace, as C4's was), ``n_sentences``,
+    ``n_removed``.
+
+    100 TB shape: spans explode to slim (id, pos, xxhash64) rows —
+    O(corpus sentences); ownership is one groupBy(span-hash) with
+    partial aggregation (boilerplate spans collapse map-side); removals
+    group back by id and join the corpus once (AQE broadcasts when the
+    removal set is small).  Never pairwise."""
+    inp = expression["input"]
+    id_expr = expression["id"]
+    as_field = expression.get("as", "span_dedup")
+    span = int(expression.get("span", 3))
+    min_chars = int(expression.get("minChars", 1))
+    if span < 1:
+        raise ValueError("$spanDedup span must be >= 1")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        ectx = ExprContext(schema=df.schema)
+        base = (
+            df.withColumn("__sd_id", compile_expr(id_expr, ectx))
+            .withColumn("__sd_t", compile_expr(inp, ectx))
+            .withColumn(
+                "__sd_s",
+                F.expr(
+                    "filter(transform(split(`__sd_t`, "
+                    r"'[.!?]+\\s+|[.!?]+$'), s -> trim(s)), "
+                    f"s -> length(s) >= {min_chars})"
+                ),
+            )
+        )
+        # slim span occurrences: (id, pos, hash of the lowercased span)
+        occ = base.select(
+            F.col("__sd_id").alias("__id"),
+            F.explode(
+                F.expr(
+                    f"""IF(size(__sd_s) >= {span},
+                       transform(sequence(1, size(__sd_s) - {span} + 1),
+                         i -> named_struct(
+                            'pos', i,
+                            'h', xxhash64(lower(
+                                concat_ws(' ', slice(__sd_s, i, {span})))))),
+                       array())"""
+                )
+            ).alias("__sp"),
+        ).select("__id", F.col("__sp.pos").alias("__pos"),
+                 F.col("__sp.h").alias("__h"))
+        owners = occ.groupBy("__h").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__own"),
+        )
+        # non-canonical occurrences of duplicated spans -> removed
+        # sentence indices per doc
+        removed = (
+            occ.join(owners, "__h")
+            .filter(
+                (F.col("__n") > 1)
+                & ~F.struct(F.col("__id"), F.col("__pos"))
+                .eqNullSafe(F.col("__own"))
+            )
+            .select(
+                "__id",
+                F.explode(
+                    F.sequence(F.col("__pos"),
+                               F.col("__pos") + F.lit(span - 1))
+                ).alias("__ri"),
+            )
+            .groupBy("__id")
+            .agg(F.array_sort(F.collect_set("__ri")).alias("__removed"))
+        )
+        out = base.join(removed, base["__sd_id"] == removed["__id"], "left")
+        keep = F.filter(
+            F.col("__sd_s"),
+            lambda s, i: F.col("__removed").isNull()
+            | ~F.array_contains(F.col("__removed"), i + 1),
+        )
+        st = F.struct(
+            F.concat_ws(" ", keep).alias("text"),
+            F.coalesce(F.size("__sd_s"), F.lit(0)).cast("int")
+            .alias("n_sentences"),
+            F.coalesce(F.size("__removed"), F.lit(0)).cast("int")
+            .alias("n_removed"),
+        )
+        return out.withColumn(as_field, st).drop(
+            "__sd_id", "__sd_t", "__sd_s", "__id", "__removed"
+        )
+
+    return fn
+
+
 @register_stage("$charLmScore")
 def char_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
     """Corpus-trained character-bigram cross-entropy: ``{input, as}`` —

@@ -339,3 +339,39 @@ def test_c4_filter(spark):
     # null text: empty, dropped
     assert by[4] == {"clean_text": "", "n_lines": 0, "n_kept": 0,
                      "drop_doc": True}
+
+
+def test_span_dedup(spark):
+    """$spanDedup: corpus-wide C4 span dedup — for each duplicated
+    3-sentence span the minimum (id, pos) occurrence survives, every
+    other occurrence's sentences are removed; matching is
+    case-insensitive; docs shorter than the span pass through."""
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    shared = ("One two three alpha. Second sentence here beta. "
+              "Third one gamma.")
+    rows = [
+        (1, shared + " Unique tail for doc one."),
+        (2, "Opening line for two. " + shared.upper()),   # case-insens
+        (3, "Totally different content. No shared spans at all. "
+            "Nothing here."),
+        (4, "Short doc."),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    out = compile_pipeline(
+        [{"$spanDedup": {"input": "$t", "id": "$doc_id"}}],
+        Context(spark=spark))(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "CartesianProduct" not in plan
+    by = {r["doc_id"]: r["span_dedup"].asDict() for r in out.collect()}
+    # doc 1 owns the span (min id): nothing removed
+    assert by[1]["n_removed"] == 0 and "alpha" in by[1]["text"]
+    # doc 2 loses the three shared sentences (uppercased copy), keeps
+    # its own opener
+    assert by[2]["n_removed"] == 3
+    assert by[2]["text"] == "Opening line for two"
+    assert by[3]["n_removed"] == 0
+    assert by[4] == {"text": "Short doc", "n_sentences": 1,
+                     "n_removed": 0}
+    assert by[5] == {"text": "", "n_sentences": 0, "n_removed": 0}
