@@ -1286,6 +1286,12 @@ def _regex_find_all(raw: Any, ctx: ExprContext) -> Column:
 OPERATORS["$binarySize"] = lambda raw, ctx: F.octet_length(_c(_args(raw)[0], ctx))
 OPERATORS["$toUUID"] = lambda raw, ctx: _c(_args(raw)[0], ctx).cast("string")
 OPERATORS["$tsSecond"] = lambda raw, ctx: F.unix_timestamp(_c(_args(raw)[0], ctx))
+# BSON-timestamp ordinal: plain timestamps carry no per-second counter,
+# so the increment is the sub-second ordinal proxy (microsecond part) —
+# documents written in the same second order the same way
+OPERATORS["$tsIncrement"] = lambda raw, ctx: (
+    F.unix_micros(_c(_args(raw)[0], ctx).cast("timestamp")) % 1_000_000
+)
 OPERATORS["$rand"] = lambda raw, ctx: F.rand()
 
 

@@ -444,3 +444,20 @@ def test_date_from_parts_null_part_propagates(spark):
     assert rows[2]["ts"] == datetime.datetime(2024, 3, 5)
     assert rows[0]["iso"] is None         # null isoWeek -> null
     assert rows[2]["iso"] is not None
+
+
+def test_ts_second_increment(spark):
+    """$tsSecond / $tsIncrement: epoch second + the sub-second ordinal
+    proxy (plain timestamps carry no BSON per-second counter)."""
+    import datetime
+
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 0, 0, 5, 123456),)], "ts timestamp")
+    out = compile_pipeline(
+        [{"$project": {"s": {"$tsSecond": "$ts"},
+                       "i": {"$tsIncrement": "$ts"}}}],
+        Context(spark=spark))(df)
+    r = out.collect()[0]
+    assert r["s"] == 1704067205 and r["i"] == 123456
