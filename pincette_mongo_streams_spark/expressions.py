@@ -1289,8 +1289,9 @@ OPERATORS["$tsSecond"] = lambda raw, ctx: F.unix_timestamp(_c(_args(raw)[0], ctx
 # BSON-timestamp ordinal: plain timestamps carry no per-second counter,
 # so the increment is the sub-second ordinal proxy (microsecond part) —
 # documents written in the same second order the same way
-OPERATORS["$tsIncrement"] = lambda raw, ctx: (
-    F.unix_micros(_c(_args(raw)[0], ctx).cast("timestamp")) % 1_000_000
+OPERATORS["$tsIncrement"] = lambda raw, ctx: F.pmod(
+    # pmod, not %: pre-epoch micros are negative and % keeps the sign
+    F.unix_micros(_c(_args(raw)[0], ctx).cast("timestamp")), 1_000_000
 )
 OPERATORS["$rand"] = lambda raw, ctx: F.rand()
 

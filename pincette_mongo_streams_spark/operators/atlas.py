@@ -167,10 +167,11 @@ _SEARCH_OPS = {"text", "phrase", "equals", "range", "exists", "wildcard",
 def _qs_tokenize(q: str) -> list[str]:
     import re as _re
 
-    # ranges (optionally field-prefixed) first — they contain spaces,
-    # so the generic token class must not get a chance to split them
+    # quoted phrases and ranges (each optionally field-prefixed) first —
+    # they contain spaces, so the generic token class must not get a
+    # chance to split them
     toks = _re.findall(
-        r'"[^"]*"'
+        r'[^\s()]*"[^"]*"'
         r"|[^\s()]*\[[^\]]*\]"
         r"|[^\s()]*\{[^}]*\}"
         r"|\(|\)|[^\s()]+", q)
@@ -281,27 +282,34 @@ def _qs_pred(node: dict, df: DataFrame) -> Column:
     if node["kind"] == "rangeq":
         lo, hi = node["lo"], node["hi"]
 
-        def bound(v: str):
-            if v == "*":
-                return None
+        def is_num(v: str) -> bool:
             try:
-                return F.lit(float(v)), True
+                float(v)
+                return True
             except ValueError:
-                return F.lit(v), False
+                return False
 
+        # numeric compare only when EVERY closed bound is numeric; a
+        # mixed/textual range compares lexicographically on the string
+        # rendering (Lucene ranges are typed by the field; the literals
+        # decide here)
+        closed = [v for v in (lo, hi) if v != "*"]
+        if not closed:
+            raise ValueError(
+                "$search queryString: range needs at least one bound")
+        numeric = all(is_num(v) for v in closed)
+        cmp_col = col if numeric else col.cast("string")
+        mk = ((lambda v: F.lit(float(v))) if numeric
+              else (lambda v: F.lit(v)))
         pred = col.isNotNull()
-        b_lo, b_hi = bound(lo), bound(hi)
-        # numeric compare only when BOTH bounds are numeric (Lucene
-        # ranges are typed by the field; the literal decides here)
-        for b, cmp_incl, cmp_excl in (
-            (b_lo, lambda c, v: c >= v, lambda c, v: c > v),
-            (b_hi, lambda c, v: c <= v, lambda c, v: c < v),
+        for v, cmp_incl, cmp_excl in (
+            (lo, lambda c, b: c >= b, lambda c, b: c > b),
+            (hi, lambda c, b: c <= b, lambda c, b: c < b),
         ):
-            if b is None:
+            if v == "*":
                 continue
-            lit, _is_num = b
-            pred = pred & (cmp_incl(col, lit) if node["inclusive"]
-                           else cmp_excl(col, lit))
+            pred = pred & (cmp_incl(cmp_col, mk(v)) if node["inclusive"]
+                           else cmp_excl(cmp_col, mk(v)))
         return pred
     low = F.lower(col)
     if node["kind"] == "phrase":
@@ -430,8 +438,14 @@ def _embedded_pred(elem: Column, etype: T.StructType, op: str,
                                               root), F.lit(False)),
                     1).otherwise(0)
                 matched = m if matched is None else (matched + m)
-            if min_should:
-                pred = pred & (matched >= F.lit(min_should))
+            # same rule as the top-level compound: with no must/filter
+            # clauses, at least one should clause has to match —
+            # otherwise a should-only compound would be lit(True) and
+            # exists() would match every non-empty array
+            has_hard = bool(body.get("must") or body.get("filter"))
+            need = max(min_should, 0 if has_hard else 1)
+            if need:
+                pred = pred & (matched >= F.lit(need))
         return pred
     raise NotImplementedError(
         f"$search {op!r} inside embeddedDocument is not supported "
@@ -860,7 +874,7 @@ def search_stage(expression: Any, ctx: Context) -> StageFn:
     if op is None:
         raise NotImplementedError(
             f"$search supports {sorted(_SEARCH_OPS)} (geoShape/geoWithin "
-            "and near are Atlas-index features)"
+            "and near-with-geo-origin are Atlas-index features)"
         )
     spec = expression[op]
     if not isinstance(spec, dict):

@@ -196,26 +196,25 @@ def _check_fusion_truncation(
     stage: str, fused: DataFrame, limit: int, explicit: bool
 ) -> DataFrame:
     """When the user did NOT pass a ``limit``, the implicit default 1000
-    silently truncates larger fused sets — make that detectable: pin the
-    fused set (top-k-sized: at most the sum of the bounded sub-pipeline
-    outputs) with an eager localCheckpoint, count it, and warn when the
-    default limit cuts rows.  An explicit ``limit`` is user-requested
-    truncation and stays fully lazy."""
+    silently truncates larger fused sets — make that detectable: probe
+    ``limit + 1`` rows (a BOUNDED job, never a full materialization —
+    nothing enforces that sub-pipelines are actually bounded) and warn
+    when a row past the limit exists.  An explicit ``limit`` is
+    user-requested truncation and stays fully lazy."""
     if explicit:
         return fused
-    pinned = fused.localCheckpoint(eager=True)
-    n = pinned.count()
-    if n > limit:
+    over = fused.limit(limit + 1).count() > limit
+    if over:
         import warnings
 
         warnings.warn(
-            f"{stage}: fused result has {n} distinct ids; the implicit "
-            f"default limit {limit} truncates it — pass an explicit "
-            f"'limit' to choose the bound (or silence this warning)",
+            f"{stage}: fused result exceeds the implicit default limit "
+            f"{limit} and is being truncated — pass an explicit 'limit' "
+            "to choose the bound (or silence this warning)",
             RuntimeWarning,
             stacklevel=2,
         )
-    return pinned
+    return fused
 
 
 @register_stage("$scoreFusion")

@@ -1613,19 +1613,35 @@ _BUILTINS: dict[tuple[str, int], Any] = {
 _BUILTINS = {k: v for k, v in _BUILTINS.items() if v is not None}
 
 
-def _qualify_calls(node, keys, alias):
+def _qualify_calls(node, keys, alias, shadow=frozenset()):
     """Rewrite ``("call", name, args)`` nodes whose (name, arity) is a
     module-local def into the alias-qualified name — sibling calls must
     keep resolving after the module's defs are re-registered under
-    ``alias::name`` (user funcs evaluate in the CALL-SITE env)."""
+    ``alias::name`` (user funcs evaluate in the CALL-SITE env).
+
+    ``shadow`` tracks (name, arity) pairs bound by ENCLOSING local defs
+    and their filter params: a shadowed name must stay unqualified so
+    local bindings keep winning (``def g(f): f + f`` must call the
+    param, not a sibling def ``f``)."""
     if isinstance(node, tuple):
+        if node and node[0] == "def":
+            name, params, body, rest = node[1], node[2], node[3], node[4]
+            own = {(name, len(params))}
+            body_shadow = shadow | own | {
+                (p, 0) for p in params if not p.startswith("$")
+            } | {(p[1:], 0) for p in params if p.startswith("$")}
+            return ("def", name, params,
+                    _qualify_calls(body, keys, alias, body_shadow),
+                    _qualify_calls(rest, keys, alias, shadow | own))
         if (node and node[0] == "call"
-                and (node[1], len(node[2])) in keys):
+                and (node[1], len(node[2])) in keys
+                and (node[1], len(node[2])) not in shadow):
             return ("call", f"{alias}::{node[1]}",
-                    [_qualify_calls(a, keys, alias) for a in node[2]])
-        return tuple(_qualify_calls(v, keys, alias) for v in node)
+                    [_qualify_calls(a, keys, alias, shadow)
+                     for a in node[2]])
+        return tuple(_qualify_calls(v, keys, alias, shadow) for v in node)
     if isinstance(node, list):
-        return [_qualify_calls(v, keys, alias) for v in node]
+        return [_qualify_calls(v, keys, alias, shadow) for v in node]
     return node
 
 
@@ -1698,8 +1714,17 @@ def _parse_with_imports(src: str, resolver, seen: frozenset = frozenset()):
         defs = _module_defs(mod, resolver, seen)
         if alias is not None:
             keys = {(n, len(ps)) for n, ps, _ in defs}
+
+            def param_shadow(ps):
+                # a def's own params shadow same-named siblings inside
+                # its body (filter params as name/0, $x also as x/0)
+                return frozenset(
+                    (p[1:] if p.startswith("$") else p, 0) for p in ps
+                )
+
             defs = [
-                (f"{alias}::{n}", ps, _qualify_calls(b, keys, alias))
+                (f"{alias}::{n}", ps,
+                 _qualify_calls(b, keys, alias, param_shadow(ps)))
                 for n, ps, b in defs
             ]
         for n, ps, b in reversed(defs):
@@ -1722,8 +1747,13 @@ def jq_first(script: str, functions=None, resolver=None):
     customs = dict(functions or {})
 
     def run(doc):
-        for v in _ev(ast, doc, _Env(customs=customs)):
-            return v
+        try:
+            for v in _ev(ast, doc, _Env(customs=customs)):
+                return v
+        except _LabelBreak as e:
+            # real jq reports an unmatched break as an error
+            raise _JqRuntimeError(f"break ${e.name} with no matching "
+                                  f"label") from None
         return None
 
     return run
@@ -1736,6 +1766,10 @@ def jq_all(script: str, functions=None, resolver=None):
     customs = dict(functions or {})
 
     def run(doc):
-        return list(_ev(ast, doc, _Env(customs=customs)))
+        try:
+            return list(_ev(ast, doc, _Env(customs=customs)))
+        except _LabelBreak as e:
+            raise _JqRuntimeError(f"break ${e.name} with no matching "
+                                  f"label") from None
 
     return run

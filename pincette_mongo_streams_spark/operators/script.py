@@ -230,10 +230,12 @@ def _jq_udf(df: DataFrame, script: str, functions=None,
     python ``jq`` binding when installed, else the pure-Python interpreter
     (operators/jq_interp.py) — slower (Python per row) but correct for
     the long tail (Jq.java:19-33 runs arbitrary jackson-jq)."""
+    has_imports = script.lstrip().startswith(("import", "include"))
     try:
-        if functions or resolver:
+        if functions or has_imports:
             # custom Python functions and resolver-served modules only
-            # exist in the interpreter path
+            # exist in the interpreter path; a configured resolver alone
+            # must NOT disable the C binding for import-free scripts
             raise ImportError
         import jq  # type: ignore
 

@@ -585,3 +585,44 @@ def test_search_in_and_near(spark):
                                    "origin": {"type": "Point",
                                               "coordinates": [0, 0]}}}}],
             Context(spark=spark))(df2)
+
+
+def test_search_review_fixes(spark):
+    """r5 review regressions: embeddedDocument should-only compounds
+    need >= 1 should match; queryString field-scoped quoted phrases stay
+    one token; mixed-type ranges compare lexicographically."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("items", T.ArrayType(T.StructType([
+            T.StructField("name", T.StringType()),
+        ]))),
+    ])
+    df = spark.createDataFrame(
+        [(1, [{"name": "apple"}]), (2, [{"name": "fig"}])], schema)
+    out = compile_pipeline(
+        [{"$search": {"embeddedDocument": {
+            "path": "items",
+            "operator": {"compound": {"should": [
+                {"text": {"query": "apple", "path": "name"}}]}}}}},
+         {"$project": {"id": 1}}],
+        Context(spark=spark))(df)
+    # should-only: doc 2 must NOT match just for having elements
+    assert [r["id"] for r in out.collect()] == [1]
+
+    docs = spark.createDataFrame(_DOCS, _SCHEMA)
+    out2 = compile_pipeline(
+        [{"$search": {"queryString": {
+            "defaultPath": "cat", "query": 't:"brown fox"'}}},
+         {"$project": {"id": 1}}],
+        Context(spark=spark))(docs)
+    # the field-scoped phrase must bind to t, adjacent-token semantics
+    assert [r["id"] for r in out2.collect()] == [1]
+    # mixed range -> lexicographic on the string rendering
+    out3 = compile_pipeline(
+        [{"$search": {"queryString": {
+            "defaultPath": "t", "query": "cat:[blog TO news]"}}},
+         {"$project": {"id": 1}}],
+        Context(spark=spark))(docs)
+    assert sorted(r["id"] for r in out3.collect()) == [1, 2, 3, 4]

@@ -337,3 +337,24 @@ def test_loc():
          "l2": {"file": "<stdin>", "line": 3}}]
     with pytest.raises(JqInterpError, match="\\$__loc__"):
         jq_all("__loc__")
+
+
+def test_module_shadowing_and_unmatched_break():
+    """Module-def qualification must respect local shadowing (a filter
+    param or nested local def wins over a same-named sibling), and an
+    unmatched `break` surfaces as a catchable jq error, not a raw
+    internal exception."""
+    assert jq_all('import "m" as m; m::g(10)',
+                  resolver={"m": "def f: 1;\ndef g(f): f + f;"})(None) \
+        == [20]
+    assert jq_all('import "m" as m; m::h',
+                  resolver={"m": "def f: 1;\ndef h: def f: 5; f + f;"}
+                  )(None) == [10]
+    assert jq_all('import "m" as m; m::k',
+                  resolver={"m": "def f: 3;\ndef k: f * 2;"})(None) == [6]
+    from pincette_mongo_streams_spark.operators.jq_interp import (
+        _JqRuntimeError,
+    )
+
+    with pytest.raises(_JqRuntimeError, match="no matching label"):
+        jq_all("break $out")(None)

@@ -349,7 +349,8 @@ def test_fusion_implicit_limit_truncation_warns(spark):
         assert len(out.collect()) == 1000
     msgs = [str(w.message) for w in got
             if issubclass(w.category, RuntimeWarning)]
-    assert any("1101" in m and "$rankFusion" in m for m in msgs)
+    assert any("$rankFusion" in m and "implicit default limit" in m
+               for m in msgs)
     with warnings.catch_warnings(record=True) as got2:
         warnings.simplefilter("always")
         out2 = compile_pipeline(
