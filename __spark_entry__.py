@@ -3975,6 +3975,42 @@ ORDER BY d.doc_id""",
 
 
 _register(
+    # r5: winnowing fingerprints (MOSS) — k=5 char grams, window 4
+    "winnow",
+    """WITH n AS (
+  SELECT doc_id,
+         regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         CASE WHEN length(t) >= 5 THEN
+           list_transform(range(1, length(t) - 5 + 2),
+             i -> ('0x' || substr(md5('7:' || substr(t, i, 5)), 1, 15))
+                  ::BIGINT)
+         ELSE [] END AS hs
+  FROM n)
+SELECT doc_id,
+       CASE WHEN len(hs) = 0 THEN []
+            WHEN len(hs) < 4 THEN [list_min(hs)]
+            ELSE list_sort(list_distinct(
+               list_transform(range(1, len(hs) - 4 + 2),
+                 j -> list_min(hs[j:j+3]))))
+       END AS fps
+FROM h ORDER BY doc_id""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$winnow": {"input": "$text", "as": "fps",
+                         "k": 5, "window": 4}},
+            {"$project": {"_id": 0, "doc_id": 1, "fps": 1}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
+_register(
     "date_from_parts",
     """SELECT o_orderkey,
               make_timestamp(CAST(year(o_orderdate) AS BIGINT),

@@ -2122,6 +2122,62 @@ def span_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$winnow")
+def winnow_stage(expression: Any, ctx: Context) -> StageFn:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm): ``{input, as?, k?, window?}`` — the text
+    normalizes (lowercase, non-[a-z0-9] stripped), every char k-gram
+    (k default 5) hashes with the same md5-derived 60-bit hash as the
+    dedup family (bit-identical in DuckDB — oracle-able), a window of
+    ``window`` consecutive hashes (default 4) slides selecting each
+    window's minimum, and the DISTINCT selected hashes emit sorted as an
+    array<long>.  Value-set semantics make the paper's rightmost-tie
+    rule irrelevant.  Guarantee: any shared substring of length >=
+    window + k - 1 between two documents yields at least one shared
+    fingerprint — position-robust local fingerprints for
+    plagiarism/near-dup detection, pair via ``$crossDedup``-style band
+    joins or array intersection.  Fewer than ``window`` k-grams winnow
+    to the single global minimum; shorter than ``k`` to an empty array.
+    100 TB shape: pure row-local HOFs, zero shuffle, no Python."""
+    inp = expression["input"]
+    as_field = expression.get("as", "fingerprints")
+    k = int(expression.get("k", 5))
+    w = int(expression.get("window", 4))
+    if k < 1 or w < 1:
+        raise ValueError("$winnow needs k >= 1 and window >= 1")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        out = df.withColumn(
+            "__wn_t",
+            F.regexp_replace(F.lower(text), "[^a-z0-9]", ""),
+        )
+        out = out.withColumn(
+            "__wn_h",
+            F.expr(
+                f"""IF(length(__wn_t) >= {k},
+                   transform(sequence(1, length(__wn_t) - {k} + 1),
+                     i -> cast(conv(substr(md5(concat('7:',
+                            substr(__wn_t, i, {k}))), 1, 15), 16, 10)
+                          as bigint)),
+                   array())"""
+            ),
+        )
+        fps = F.expr(
+            f"""CASE
+               WHEN size(__wn_h) = 0 THEN array()
+               WHEN size(__wn_h) < {w}
+                 THEN array(array_min(__wn_h))
+               ELSE array_sort(array_distinct(
+                 transform(sequence(1, size(__wn_h) - {w} + 1),
+                   j -> array_min(slice(__wn_h, j, {w})))))
+               END"""
+        )
+        return out.withColumn(as_field, fps).drop("__wn_t", "__wn_h")
+
+    return fn
+
+
 @register_stage("$charLmScore")
 def char_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
     """Corpus-trained character-bigram cross-entropy: ``{input, as}`` —

@@ -375,3 +375,35 @@ def test_span_dedup(spark):
     assert by[4] == {"text": "Short doc", "n_sentences": 1,
                      "n_removed": 0}
     assert by[5] == {"text": "", "n_sentences": 0, "n_removed": 0}
+
+
+def test_winnow(spark):
+    """$winnow: winnowing fingerprints — the guarantee is that any
+    shared substring of length >= window + k - 1 yields at least one
+    shared fingerprint; disjoint texts share (almost surely) none;
+    edge cases: shorter than k -> empty, fewer than window grams ->
+    global minimum only."""
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    shared = "the winnowing algorithm selects robust fingerprints"
+    rows = [
+        (1, "AAA " + shared + " tail one"),
+        (2, "completely different prefix " + shared.upper()),
+        (3, "nothing in common with the others at all zzz qqq"),
+        (4, "abc"),          # 3 chars < k=5 -> empty
+        (5, "abcdefg"),      # 3 grams < window=4 -> [min]
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    out = compile_pipeline(
+        [{"$winnow": {"input": "$t", "k": 5, "window": 4}}],
+        Context(spark=spark))(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
+    by = {r["doc_id"]: set(r["fingerprints"]) for r in out.collect()}
+    assert by[1] & by[2]                 # shared substring -> overlap
+    assert not (by[1] & by[3])
+    assert by[4] == set()
+    out5 = [r for r in out.collect() if r["doc_id"] == 5][0]
+    assert len(out5["fingerprints"]) == 1
+    assert by[6] == set()
