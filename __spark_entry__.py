@@ -4220,6 +4220,19 @@ _ORDER = [
     # previously driver-unscored extension seams hard rows: stage_ext
     # (Context.stageExtensions registry) and features_ext (the Features
     # analog — custom expression/match operators).
+    # r5 swaps (displaced queries stay registered + locally oracled by
+    # tests/test_oracle_parity.py):
+    #   expr_arrays -> jslt_import (the Features resolver seam —
+    #     Context.jslt_resolver — gets a hard driver row like r4's
+    #     stage_ext/features_ext; expression arrays remain covered by
+    #     expr_strings/expr_math_superset/expr_cond_dates + past-window
+    #     expr_superset rows)
+    #   ngram_jaccard_dedup -> repetition_score (the dedup family keeps
+    #     dedup_exact + minhash_dedup + embed_dedup in-window; Gopher
+    #     repetition filters open a new quality-filter family)
+    #   media_embed -> span_dedup (multimodal plumbing keeps its
+    #     media_pipeline row; media_embed is a declared-stub capability;
+    #     C4 span dedup is a flagship distributed text-rewrite op)
     "match_operators", "project_compute", "field_ops", "replace_with",
     "unwind", "group_accumulators", "group_arrays", "stage_ext",
     "bucket", "lookup_unwind", "lookup_array_size", "lookup_pipeline",
@@ -4227,7 +4240,7 @@ _ORDER = [
     "redact", "per_batches", "effects_chain", "script_stages",
     "http_enrich",
     # §2.3a expressions + §2.4 accumulators (superset included)
-    "expr_strings", "expr_math_superset", "expr_cond_dates", "expr_arrays",
+    "expr_strings", "expr_math_superset", "expr_cond_dates", "jslt_import",
     "features_ext",
     # batch-completeness stages
     # r3 swaps: sample_count ($sample+$count — trivial fixed-count
@@ -4241,9 +4254,9 @@ _ORDER = [
     "bucket_auto", "kmeans",
     # LLM-data-pipeline operators
     "dedup_exact", "text_metrics", "training_pipeline", "bm25_search",
-    "fusion", "sig_hashes", "minhash_dedup", "ngram_jaccard_dedup",
+    "fusion", "sig_hashes", "minhash_dedup", "repetition_score",
     "embed_dedup", "ann_topk", "ann_indexed", "media_pipeline",
-    "media_embed",
+    "span_dedup",
 ]
 
 assert len(_ORDER) == 50, f"driver window must hold 50 queries, got {len(_ORDER)}"
