@@ -2050,6 +2050,12 @@ def span_dedup_stage(expression: Any, ctx: Context) -> StageFn:
         raise ValueError("$spanDedup span must be >= 1")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..operators.extended import _batch_only
+
+        # corpus-wide ownership needs the whole corpus: a streaming
+        # micro-batch would dedup only within itself (and the self-join
+        # shape is unsupported on streams anyway)
+        _batch_only("$spanDedup", c)
         ectx = ExprContext(schema=df.schema)
         base = (
             df.withColumn("__sd_id", compile_expr(id_expr, ectx))
