@@ -3759,6 +3759,58 @@ _register(
 
 
 _register(
+    # r5: Atlas geo surface — geoWithin circle containment + near geo
+    # decay, both haversine on the IUGG mean sphere computed straight
+    # from the column (operators/atlas.py geo helpers; no 2dsphere
+    # index).  Synthetic lon/lat grid derived from events keys; scores
+    # rounded to 6 digits so libm last-ulp drift can't leak into hashes.
+    "geo_search",
+    """WITH pts AS (
+  SELECT event_id,
+         CAST((event_id * 7) % 360 - 180 AS DOUBLE) AS lon,
+         CAST((user_id * 13) % 180 - 90 AS DOUBLE) AS lat
+  FROM events
+),
+d AS (
+  SELECT event_id,
+         2 * 6371008.7714 * asin(sqrt(
+             pow(sin((radians(lat) - radians(0.0)) / 2), 2)
+             + cos(radians(lat)) * cos(radians(0.0))
+               * pow(sin((radians(lon) - radians(0.0)) / 2), 2))) AS dist
+  FROM pts
+)
+SELECT event_id, round(1.0 + 1000000.0 / (1000000.0 + dist), 6) AS score
+FROM d WHERE dist <= 3000000.0""",
+)(
+    _pipe(
+        "events",
+        [
+            {"$set": {
+                "lon": {"$toDouble": {"$subtract": [
+                    {"$mod": [{"$multiply": ["$event_id", 7]}, 360]},
+                    180]}},
+                "lat": {"$toDouble": {"$subtract": [
+                    {"$mod": [{"$multiply": ["$user_id", 13]}, 180]},
+                    90]}},
+            }},
+            {"$set": {"loc": ["$lon", "$lat"]}},
+            {"$search": {"compound": {
+                "must": [{"geoWithin": {
+                    "path": "loc",
+                    "circle": {"center": [0.0, 0.0],
+                               "radius": 3_000_000.0}}}],
+                "should": [{"near": {"path": "loc", "origin": [0.0, 0.0],
+                                     "pivot": 1_000_000.0}}],
+            }}},
+            {"$project": {"_id": 0, "event_id": 1,
+                          "score": {"$round": [
+                              {"$meta": "searchScore"}, 6]}}},
+        ],
+    )
+)
+
+
+_register(
     # r5: Gopher-style repetition filters over the documents corpus
     "repetition_score",
     f"""WITH nl AS (

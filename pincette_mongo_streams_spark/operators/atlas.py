@@ -131,6 +131,7 @@ def vector_search_stage(expression: Any, ctx: Context) -> StageFn:
 #   range    — gt/gte/lt/lte bounds
 #   exists   — field is present (fixed-schema: non-null)
 #   wildcard — * / ? glob over the whole field value
+#   regex    — regular expression over the whole field value
 #   autocomplete — every query token matches as a token PREFIX
 #              (Atlas's edge-gram index, re-expressed as anchored
 #              regexes); tokenOrder any|sequential
@@ -139,12 +140,17 @@ def vector_search_stage(expression: Any, ctx: Context) -> StageFn:
 #              (F.exists over the array — row-local, no explode)
 #   moreLikeThis — like-doc string fields analyzed into per-field BM25
 #              text clauses, combined compound-should
+#   geoWithin — box / circle / GeoJSON Polygon|MultiPolygon containment
+#              over [lon, lat] or GeoJSON point columns (column math,
+#              not a 2dsphere index; see search_stage docstring)
+#   geoShape — within|intersects|disjoint|contains over point fields
 #   compound — must/mustNot/should/filter with minimumShouldMatch;
 #              score = sum of matched must+should clause scores
 
 _SEARCH_OPS = {"text", "phrase", "equals", "range", "exists", "wildcard",
-               "autocomplete", "queryString", "embeddedDocument",
-               "moreLikeThis", "in", "near", "compound"}
+               "regex", "autocomplete", "queryString", "embeddedDocument",
+               "moreLikeThis", "in", "near", "geoWithin", "geoShape",
+               "compound"}
 
 
 # --------------------------------------------------- queryString parser
@@ -404,6 +410,9 @@ def _embedded_pred(elem: Column, etype: T.StructType, op: str,
                       if ch == "?" else _re.escape(ch) for ch in glob)
         col, _ = field(body["path"])
         return col.isNotNull() & col.rlike(f"^(?s)({pat})$")
+    if op == "regex":
+        col, _ = field(body["path"])
+        return col.isNotNull() & col.rlike(f"^(?s)(?:{body['query']})$")
     if op == "compound":
         pred: Optional[Column] = F.lit(True)
         for kind in ("must", "filter"):
@@ -470,6 +479,123 @@ def _norm_terms(query: str) -> list[str]:
 
     return [t for t in _re.sub(r"[^a-z0-9 ]", " ", query.lower()).split()
             if t]
+
+
+# ---------------------------------------------------------- geo helpers
+#
+# Atlas's geoWithin/geoShape/near-with-geo-origin operate on 2dsphere
+# index data; this engine computes the same predicates directly from the
+# column with pure Column math (zero UDFs, zero shuffles): haversine on
+# the IUGG mean sphere for distances, even-odd ray casting on the
+# lon/lat plane for polygon containment (a planar approximation of the
+# index's spherical polygons — exact for the box form, documented in
+# search_stage for the rest).
+
+_EARTH_R_M = 6371008.7714  # IUGG mean Earth radius, Lucene's constant
+
+
+def _geo_lonlat(df: DataFrame, path: str) -> tuple[Column, Column]:
+    """Resolve a geo point field to ``(lon, lat)`` double columns.
+
+    Accepted shapes: ``array<numeric>`` as ``[lon, lat]`` or a
+    GeoJSON-style struct carrying a ``coordinates`` array field.
+    """
+    dt: Any = df.schema
+    for part in path.split("."):
+        dt = (dt[part].dataType
+              if isinstance(dt, T.StructType) and part in dt.fieldNames()
+              else None)
+        if dt is None:
+            raise ValueError(
+                f"$search geo path {path!r} is not in the schema")
+    col = compile_expr(f"${path}", ExprContext(schema=df.schema))
+    if isinstance(dt, T.StructType) and "coordinates" in dt.fieldNames():
+        col = col["coordinates"]
+        dt = dt["coordinates"].dataType
+    if not isinstance(dt, T.ArrayType):
+        raise ValueError(
+            f"$search geo path {path!r} must be [lon, lat] or a GeoJSON "
+            f"point (got {dt.simpleString()})")
+    return col[0].cast("double"), col[1].cast("double")
+
+
+def _geo_point(spec: Any, what: str) -> tuple[float, float]:
+    """A literal query-side point: GeoJSON ``{type: Point, coordinates}``
+    or bare ``[lon, lat]``."""
+    if isinstance(spec, dict) and "coordinates" in spec:
+        spec = spec["coordinates"]
+    if (isinstance(spec, (list, tuple)) and len(spec) >= 2
+            and all(isinstance(v, (int, float)) and not isinstance(v, bool)
+                    for v in spec[:2])):
+        return float(spec[0]), float(spec[1])
+    raise ValueError(f"$search {what} must be [lon, lat] or a GeoJSON Point")
+
+
+def _haversine_m(lon: Column, lat: Column, olon: float, olat: float
+                 ) -> Column:
+    """Great-circle metres from ``(lon, lat)`` to a literal origin."""
+    import math
+
+    a = (F.pow(F.sin((F.radians(lat) - F.lit(math.radians(olat))) / 2), 2)
+         + F.cos(F.radians(lat)) * F.lit(math.cos(math.radians(olat)))
+         * F.pow(F.sin((F.radians(lon) - F.lit(math.radians(olon))) / 2), 2))
+    root = F.sqrt(a)
+    # clamp fp drift above 1.0 with when(), NOT least() — least SKIPS
+    # nulls, which would turn a null coordinate into a real distance
+    root = F.when(root > 1.0, F.lit(1.0)).otherwise(root)
+    return F.lit(2.0 * _EARTH_R_M) * F.asin(root)
+
+
+def _point_in_ring(lon: Column, lat: Column, ring: list) -> Column:
+    """Even-odd ray cast against ONE linear ring of literal vertices.
+
+    The query-side ring is constant, so the crossing test unrolls into a
+    chain of boolean-XOR ``when`` terms — whole-stage-codegen friendly,
+    no array column, no UDF.  The ring may or may not repeat its first
+    vertex; horizontal edges drop out of the parity test.
+    """
+    pts = [(float(p[0]), float(p[1])) for p in ring]
+    if len(pts) >= 2 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    if len(pts) < 3:
+        raise ValueError("$search geo ring needs at least 3 distinct points")
+    parity: Column = F.lit(False)
+    for i in range(len(pts)):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % len(pts)]
+        if y1 == y2:
+            continue
+        straddles = (F.lit(y1) > lat) != (F.lit(y2) > lat)
+        xcross = (F.lit((x2 - x1) / (y2 - y1)) * (lat - F.lit(y1))
+                  + F.lit(x1))
+        parity = parity != (straddles & (lon < xcross))
+    return parity
+
+
+def _point_in_geometry(lon: Column, lat: Column, geom: dict) -> Column:
+    """Point-in-GeoJSON-geometry for Polygon (holes honored) and
+    MultiPolygon query geometries."""
+    gtype = geom.get("type")
+    coords = geom.get("coordinates") or []
+    if gtype == "Polygon":
+        if not coords:
+            raise ValueError("$search geo Polygon needs at least one ring")
+        pred = _point_in_ring(lon, lat, coords[0])
+        for hole in coords[1:]:
+            pred = pred & ~_point_in_ring(lon, lat, hole)
+        return pred
+    if gtype == "MultiPolygon":
+        pred: Any = None
+        for poly in coords:
+            p = _point_in_geometry(
+                lon, lat, {"type": "Polygon", "coordinates": poly})
+            pred = p if pred is None else (pred | p)
+        if pred is None:
+            raise ValueError("$search geo MultiPolygon needs a polygon")
+        return pred
+    raise NotImplementedError(
+        f"$search geo geometry type {gtype!r}; Polygon and MultiPolygon "
+        "are supported")
 
 
 def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int]
@@ -556,14 +682,23 @@ def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int]
             pred = col.isin(vals)
         return df, pred, _clause_score(body, F.lit(1.0)), []
     if op == "near":
-        # {path, origin, pivot} over numbers/dates: matches every doc
-        # with the field, scored pivot / (pivot + |value - origin|) —
-        # Atlas's documented decay, deterministic (geo origins are
-        # index-bound and rejected).
+        # {path, origin, pivot} over numbers/dates/geo points: matches
+        # every doc with the field, scored pivot / (pivot + distance) —
+        # Atlas's documented decay (|value - origin| for numbers,
+        # seconds for dates, haversine metres for geo origins).
         origin = body.get("origin")
         pivot = float(body["pivot"])
         if pivot <= 0:
             raise ValueError("$search near.pivot must be positive")
+        if isinstance(origin, (dict, list, tuple)):
+            # geo origin: distance in METRES (haversine), pivot metres —
+            # Atlas's documented geo near decay
+            olon, olat = _geo_point(origin, "near.origin")
+            lon, lat = _geo_lonlat(df, body["path"])
+            dist = _haversine_m(lon, lat, olon, olat)
+            score = F.lit(pivot) / (F.lit(pivot) + dist)
+            return (df, lon.isNotNull() & lat.isNotNull(),
+                    _clause_score(body, score), [])
         col = compile_expr(f"${body['path']}",
                            ExprContext(schema=df.schema))
         if isinstance(origin, (int, float)) and not isinstance(origin, bool):
@@ -577,12 +712,63 @@ def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int]
             o = F.to_timestamp(F.lit(origin)).cast("double")
         else:
             raise NotImplementedError(
-                "$search near with a geo origin is an Atlas-index "
-                "feature; numeric and ISO-date origins are supported"
+                "$search near origins: number, ISO date, [lon, lat] or "
+                "GeoJSON Point"
             )
         dist = F.abs(num - o)
         score = F.lit(pivot) / (F.lit(pivot) + dist)
         return df, col.isNotNull(), _clause_score(body, score), []
+    if op == "geoWithin":
+        # {path, box | circle | geometry} — constant score like Atlas
+        lon, lat = _geo_lonlat(df, body["path"])
+        base = lon.isNotNull() & lat.isNotNull()
+        if "box" in body:
+            bl_lon, bl_lat = _geo_point(
+                body["box"]["bottomLeft"], "geoWithin box.bottomLeft")
+            tr_lon, tr_lat = _geo_point(
+                body["box"]["topRight"], "geoWithin box.topRight")
+            pred = (base & (lon >= F.lit(bl_lon)) & (lon <= F.lit(tr_lon))
+                    & (lat >= F.lit(bl_lat)) & (lat <= F.lit(tr_lat)))
+        elif "circle" in body:
+            c = body["circle"]
+            olon, olat = _geo_point(c["center"], "geoWithin circle.center")
+            radius = float(c["radius"])
+            if radius <= 0:
+                raise ValueError("$search geoWithin circle.radius must be "
+                                 "positive")
+            pred = base & (_haversine_m(lon, lat, olon, olat)
+                           <= F.lit(radius))
+        elif "geometry" in body:
+            pred = base & _point_in_geometry(lon, lat, body["geometry"])
+        else:
+            raise ValueError(
+                "$search geoWithin needs box, circle or geometry")
+        return df, pred, _clause_score(body, F.lit(1.0)), []
+    if op == "geoShape":
+        # {path, relation, geometry} over point fields: within and
+        # intersects both reduce to point-in-geometry (boundary
+        # containment differences are spherical-index details), disjoint
+        # is its complement (still requiring the field), contains only
+        # holds for an identical Point geometry.
+        relation = body.get("relation")
+        geom = body["geometry"]
+        lon, lat = _geo_lonlat(df, body["path"])
+        base = lon.isNotNull() & lat.isNotNull()
+        if relation not in ("within", "intersects", "disjoint", "contains"):
+            raise ValueError(
+                "$search geoShape.relation must be "
+                "within|intersects|disjoint|contains")
+        if geom.get("type") == "Point":
+            qlon, qlat = _geo_point(geom, "geoShape geometry")
+            inside = (lon == F.lit(qlon)) & (lat == F.lit(qlat))
+        elif relation == "contains":
+            raise NotImplementedError(
+                "$search geoShape contains over a point field can only "
+                "contain a Point geometry")
+        else:
+            inside = _point_in_geometry(lon, lat, geom)
+        pred = base & (~inside if relation == "disjoint" else inside)
+        return df, pred, _clause_score(body, F.lit(1.0)), []
     if op == "moreLikeThis":
         # {like: doc | [docs]} — Atlas extracts representative terms
         # from the like documents and searches with them.  Deterministic
@@ -720,6 +906,16 @@ def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int]
                            ExprContext(schema=df.schema))
         pred = col.isNotNull() & col.rlike(f"^(?s)({pat})$")
         return df, pred, _clause_score(body, F.lit(1.0)), []
+    if op == "regex":
+        # {path, query}: regular expression matched against the ENTIRE
+        # field value (Atlas regex semantics — wildcard's sibling).
+        # Java regex is a practical superset of Lucene's regexp syntax;
+        # Lucene-only operators (`~` interval, `@` any-string) are not
+        # translated.
+        col = compile_expr(f"${body['path']}",
+                           ExprContext(schema=df.schema))
+        pred = col.isNotNull() & col.rlike(f"^(?s)(?:{body['query']})$")
+        return df, pred, _clause_score(body, F.lit(1.0)), []
     if op == "compound":
         out = df
         drops: list[str] = []
@@ -845,22 +1041,31 @@ def _bm25_prepare(df: DataFrame, query: str, paths: Any, tag: str
 def search_stage(expression: Any, ctx: Context) -> StageFn:
     """``{index?, <operator>: {...}}`` — the Atlas $search surface:
     ``text`` (BM25-scored, k1=1.2, b=0.75), ``phrase``, ``equals``,
-    ``range``, ``exists``, ``wildcard``, ``autocomplete``
+    ``range``, ``exists``, ``wildcard``, ``regex`` (whole-value
+    regular-expression match), ``autocomplete``
     (token-prefix matching, tokenOrder any|sequential), ``queryString``
     (the Lucene-syntax subset: AND/OR/NOT, field:value, phrases, token
     wildcards, ranges), ``embeddedDocument`` (single-array-element
     nested matching via row-local exists), ``moreLikeThis`` (like-doc
     vocabulary as per-field BM25 should-clauses), ``in``, ``near``
-    (numeric/ISO-date pivot decay), and ``compound``
-    (must/mustNot/should/filter, minimumShouldMatch).  Emits every
-    document with a positive score ordered by score descending; compose
-    with ``$limit`` for top-k (collapses to TakeOrderedAndProject).
-    Non-text operators score a deterministic constant 1.0 (Atlas's
-    Lucene scores are index-internal; ``near`` scores its documented
-    pivot/(pivot+distance) decay), overridable per clause via Atlas's
-    ``score: {constant|boost}`` modifiers.  Geo operators
-    (geoShape/geoWithin/near-with-geo-origin) are Atlas-index features
-    and rejected.
+    (numeric/ISO-date/geo-point pivot decay), ``geoWithin``
+    (box/circle/GeoJSON Polygon/MultiPolygon over ``[lon, lat]`` or
+    GeoJSON point columns), ``geoShape``
+    (within/intersects/disjoint/contains over point fields), and
+    ``compound`` (must/mustNot/should/filter, minimumShouldMatch).
+    Emits every document with a positive score ordered by score
+    descending; compose with ``$limit`` for top-k (collapses to
+    TakeOrderedAndProject).  Non-text operators score a deterministic
+    constant 1.0 (Atlas's Lucene scores are index-internal; ``near``
+    scores its documented pivot/(pivot+distance) decay), overridable
+    per clause via Atlas's ``score: {constant|boost}`` modifiers.
+
+    Geo semantics are computed from the COLUMN, not a 2dsphere index:
+    distances are haversine on the IUGG mean sphere (Lucene's
+    constant), and polygon containment is even-odd ray casting on the
+    lon/lat PLANE — a planar approximation of the index's spherical
+    polygons that is exact for ``box`` and diverges only for rings
+    spanning large arcs, the antimeridian, or a pole.
 
     ``phrase.slop`` is an IN-ORDER, PER-GAP approximation: each gap
     between consecutive phrase terms admits up to ``slop`` filler
@@ -873,8 +1078,7 @@ def search_stage(expression: Any, ctx: Context) -> StageFn:
     op = next((k for k in expression if k in _SEARCH_OPS), None)
     if op is None:
         raise NotImplementedError(
-            f"$search supports {sorted(_SEARCH_OPS)} (geoShape/geoWithin "
-            "and near-with-geo-origin are Atlas-index features)"
+            f"$search supports {sorted(_SEARCH_OPS)}"
         )
     spec = expression[op]
     if not isinstance(spec, dict):

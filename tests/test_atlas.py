@@ -86,7 +86,7 @@ def test_search_rejects_unknown_operator(spark):
     df = spark.createDataFrame([(1, "x")], "id long, t string")
     with pytest.raises(NotImplementedError):
         compile_pipeline(
-            [{"$search": {"geoWithin": {"path": "loc", "circle": {}}}}],
+            [{"$search": {"span": {"path": "t", "query": "x"}}}],
             Context(spark=spark),
         )(df)
 
@@ -346,10 +346,10 @@ def test_search_compound_unknown_suboperator_message(spark):
     import pytest
 
     df = spark.createDataFrame(_DOCS, _SCHEMA)
-    with pytest.raises(NotImplementedError, match="geoWithin"):
+    with pytest.raises(NotImplementedError, match="span"):
         compile_pipeline(
             [{"$search": {"compound": {"must": [
-                {"geoWithin": {"path": "loc", "circle": {}}},
+                {"span": {"path": "title", "query": "x"}},
             ]}}}],
             Context(spark=spark),
         )(df).collect()
@@ -578,8 +578,10 @@ def test_search_in_and_near(spark):
     assert [r["id"] for r in out.collect()] == [1]
     import pytest
 
+    # a geo origin over a NON-geo path is a clear schema error (geo
+    # near itself is covered by test_search_geo_shape_and_near)
     df2 = spark.createDataFrame(_DOCS, _SCHEMA)
-    with pytest.raises(NotImplementedError, match="geo"):
+    with pytest.raises(ValueError, match="geo path"):
         compile_pipeline(
             [{"$search": {"near": {"path": "views", "pivot": 1,
                                    "origin": {"type": "Point",
@@ -626,3 +628,131 @@ def test_search_review_fixes(spark):
          {"$project": {"id": 1}}],
         Context(spark=spark))(docs)
     assert sorted(r["id"] for r in out3.collect()) == [1, 2, 3, 4]
+
+
+def test_search_geo_within(spark):
+    """$search geoWithin box/circle/polygon over [lon, lat] and GeoJSON
+    point columns (atlas.py geo helpers; Atlas geoWithin semantics)."""
+    rows = [
+        (1, [4.35, 50.85]),    # Brussels
+        (2, [2.35, 48.86]),    # Paris
+        (3, [-74.0, 40.71]),   # New York
+        (4, [151.21, -33.87]),  # Sydney
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, loc array<double>")
+    run = lambda spec: sorted(
+        r["id"]
+        for r in compile_pipeline(
+            [{"$search": spec}, {"$project": {"id": 1}}],
+            Context(spark=spark))(df).collect()
+    )
+    # box around western Europe
+    assert run({"geoWithin": {
+        "path": "loc",
+        "box": {"bottomLeft": [-5.0, 42.0], "topRight": [10.0, 55.0]},
+    }}) == [1, 2]
+    # circle: 350 km around Brussels reaches Paris (~264 km), not NY
+    assert run({"geoWithin": {
+        "path": "loc",
+        "circle": {"center": {"type": "Point",
+                              "coordinates": [4.35, 50.85]},
+                   "radius": 350_000.0},
+    }}) == [1, 2]
+    # 200 km circle keeps only Brussels itself
+    assert run({"geoWithin": {
+        "path": "loc",
+        "circle": {"center": [4.35, 50.85], "radius": 200_000.0},
+    }}) == [1]
+    # polygon with a hole: big EU square minus a notch around Paris
+    assert run({"geoWithin": {
+        "path": "loc",
+        "geometry": {
+            "type": "Polygon",
+            "coordinates": [
+                [[-5.0, 42.0], [10.0, 42.0], [10.0, 55.0], [-5.0, 55.0],
+                 [-5.0, 42.0]],
+                [[2.0, 48.0], [3.0, 48.0], [3.0, 49.5], [2.0, 49.5],
+                 [2.0, 48.0]],
+            ],
+        },
+    }}) == [1]
+    # MultiPolygon: EU square OR a square around Sydney
+    assert run({"geoWithin": {
+        "path": "loc",
+        "geometry": {
+            "type": "MultiPolygon",
+            "coordinates": [
+                [[[-5.0, 42.0], [10.0, 42.0], [10.0, 55.0], [-5.0, 55.0]]],
+                [[[150.0, -35.0], [152.0, -35.0], [152.0, -33.0],
+                  [150.0, -33.0]]],
+            ],
+        },
+    }}) == [1, 2, 4]
+
+
+def test_search_geo_shape_and_near(spark):
+    """$search geoShape relations over point fields + near with a geo
+    origin (haversine pivot decay)."""
+    rows = [(1, {"type": "Point", "coordinates": [4.35, 50.85]}),
+            (2, {"type": "Point", "coordinates": [2.35, 48.86]}),
+            (3, {"type": "Point", "coordinates": [-74.0, 40.71]})]
+    df = spark.createDataFrame(
+        rows,
+        "id long, loc struct<type string, coordinates array<double>>")
+    eu = {"type": "Polygon",
+          "coordinates": [[[-5.0, 42.0], [10.0, 42.0], [10.0, 55.0],
+                           [-5.0, 55.0]]]}
+    run = lambda spec, proj={"id": 1}: compile_pipeline(
+        [{"$search": spec}, {"$project": proj}],
+        Context(spark=spark))(df).collect()
+    ids = lambda spec: sorted(r["id"] for r in run(spec))
+    assert ids({"geoShape": {"path": "loc", "relation": "within",
+                             "geometry": eu}}) == [1, 2]
+    assert ids({"geoShape": {"path": "loc", "relation": "intersects",
+                             "geometry": eu}}) == [1, 2]
+    assert ids({"geoShape": {"path": "loc", "relation": "disjoint",
+                             "geometry": eu}}) == [3]
+    assert ids({"geoShape": {
+        "path": "loc", "relation": "contains",
+        "geometry": {"type": "Point", "coordinates": [2.35, 48.86]},
+    }}) == [2]
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        run({"geoShape": {"path": "loc", "relation": "contains",
+                          "geometry": eu}})
+    # near with geo origin: Brussels origin, pivot 100 km
+    out = run({"near": {"path": "loc",
+                        "origin": {"type": "Point",
+                                   "coordinates": [4.35, 50.85]},
+                        "pivot": 100_000.0}},
+              {"id": 1, "s": {"$meta": "searchScore"}})
+    by = {r["id"]: r["s"] for r in out}
+    assert abs(by[1] - 1.0) < 1e-9              # distance 0 -> score 1
+    assert by[1] > by[2] > by[3] > 0
+    # Paris ~264 km from Brussels: score = 1e5 / (1e5 + d)
+    import math as _m
+    assert abs(by[2] - 1e5 / (1e5 + 263_000)) < 0.01
+
+
+def test_search_regex(spark):
+    """$search regex: whole-value regular-expression match (wildcard's
+    sibling), top-level, inside compound, and inside embeddedDocument."""
+    rows = [(1, "alpha-7", [{"sku": "A-001"}]),
+            (2, "beta-22", [{"sku": "B-17"}]),
+            (3, None, [])]
+    df = spark.createDataFrame(
+        rows, "id long, code string, items array<struct<sku string>>")
+    run = lambda spec: sorted(
+        r["id"] for r in compile_pipeline(
+            [{"$search": spec}, {"$project": {"id": 1}}],
+            Context(spark=spark))(df).collect())
+    assert run({"regex": {"path": "code", "query": "[a-z]+-[0-9]"}}) == [1]
+    assert run({"regex": {"path": "code",
+                          "query": "[a-z]+-[0-9]+"}}) == [1, 2]
+    assert run({"compound": {
+        "must": [{"regex": {"path": "code", "query": ".*-22"}}]}}) == [2]
+    assert run({"embeddedDocument": {
+        "path": "items",
+        "operator": {"regex": {"path": "sku",
+                               "query": "A-[0-9]{3}"}}}}) == [1]

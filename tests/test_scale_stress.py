@@ -177,3 +177,39 @@ def test_page_rank_sf01(spark):
     # only downward; no round may create mass)
     assert sum(ranks.values()) <= 1.0 + 1e-6
     assert secs < 90, f"page_rank took {secs:.1f}s at sf0.1"
+
+
+def test_span_dedup_sf01(spark):
+    """$spanDedup over sf0.1 documents (r5 corpus op): corpus-wide
+    ownership is one groupBy(span-hash) + equi-joins — never a
+    cartesian/nested-loop pair explosion, no Python eval; wall-time
+    budgeted.  A shared 4-sentence boilerplate block is appended to a
+    third of the corpus so the dedup path (ownership + removal rewrite)
+    does real work at scale."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    boiler = ("Subscribe to our newsletter. All rights reserved. "
+              "Terms of service apply. Contact support for help.")
+    corpus = docs.selectExpr(
+        "doc_id",
+        f"CASE WHEN doc_id % 3 = 0 THEN concat(text, ' {boiler}') "
+        "ELSE text END AS text",
+    )
+    out = compile_pipeline(
+        [{"$spanDedup": {"input": "$text", "id": "$doc_id", "span": 3}},
+         {"$project": {"doc_id": 1,
+                       "n_removed": "$span_dedup.n_removed"}}],
+        Context(spark=spark),
+    )(corpus)
+    _assert_scale_plan(out, "span_dedup")
+    t0 = time.monotonic()
+    rows = out.collect()
+    secs = time.monotonic() - t0
+    by = {r["doc_id"]: r["n_removed"] for r in rows}
+    assert len(by) == corpus.count()
+    dup_ids = sorted(k for k in by if k % 3 == 0 and by[k] is not None)
+    # near-all boilerplate carriers lose sentences — only span owners
+    # (one per duplicated span) and null/short-text docs keep them all;
+    # owner-survival precision itself is pinned by the unit test
+    losers = [k for k in dup_ids if by[k] > 0]
+    assert len(losers) >= max(1, len(dup_ids) - 20)
+    assert secs < 120, f"span_dedup took {secs:.1f}s at sf0.1"
