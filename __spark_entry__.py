@@ -3811,6 +3811,51 @@ FROM d WHERE dist <= 3000000.0""",
 
 
 _register(
+    # r5: Mongo-core $geoNear — nearest-first with distanceField (km via
+    # distanceMultiplier), min/max distance rings (operators/atlas.py
+    # geo_near_stage; same synthetic grid + haversine as geo_search)
+    "geo_near",
+    """WITH pts AS (
+  SELECT event_id,
+         CAST((event_id * 7) % 360 - 180 AS DOUBLE) AS lon,
+         CAST((user_id * 13) % 180 - 90 AS DOUBLE) AS lat
+  FROM events
+),
+d AS (
+  SELECT event_id,
+         2 * 6371008.7714 * asin(sqrt(
+             pow(sin((radians(lat) - radians(50.0)) / 2), 2)
+             + cos(radians(lat)) * cos(radians(50.0))
+               * pow(sin((radians(lon) - radians(4.0)) / 2), 2))) AS dist
+  FROM pts
+)
+SELECT event_id, round(dist * 0.001, 6) AS km
+FROM d WHERE dist >= 500000.0 AND dist <= 2500000.0""",
+)(
+    _pipe(
+        "events",
+        [
+            {"$set": {
+                "lon": {"$toDouble": {"$subtract": [
+                    {"$mod": [{"$multiply": ["$event_id", 7]}, 360]},
+                    180]}},
+                "lat": {"$toDouble": {"$subtract": [
+                    {"$mod": [{"$multiply": ["$user_id", 13]}, 180]},
+                    90]}},
+            }},
+            {"$set": {"loc": ["$lon", "$lat"]}},
+            {"$geoNear": {"near": [4.0, 50.0], "distanceField": "km",
+                          "key": "loc", "minDistance": 500_000.0,
+                          "maxDistance": 2_500_000.0,
+                          "distanceMultiplier": 0.001}},
+            {"$project": {"_id": 0, "event_id": 1,
+                          "km": {"$round": ["$km", 6]}}},
+        ],
+    )
+)
+
+
+_register(
     # r5: Gopher-style repetition filters over the documents corpus
     "repetition_score",
     f"""WITH nl AS (

@@ -1264,3 +1264,61 @@ def search_meta_stage(expression: Any, ctx: Context) -> StageFn:
         )
 
     return fn
+
+
+@register_stage("$geoNear")
+def geo_near_stage(expression: Any, ctx: Context) -> StageFn:
+    """MongoDB-core ``$geoNear``: ``{near, distanceField, key, query?,
+    minDistance?, maxDistance?, distanceMultiplier?, includeLocs?,
+    spherical?}`` — nearest-first emission with the computed distance
+    written to ``distanceField``.
+
+    Reference parity notes (Mongo's stage is 2dsphere-index-backed):
+    ``key`` is REQUIRED here — with no index there is nothing to infer
+    the geo field from; distances are spherical metres (haversine, IUGG
+    mean sphere) regardless of ``spherical`` — the legacy planar 2d
+    mode is not reproduced; documents whose geo field is null/missing
+    drop, as the index scan would skip them.
+
+    100 TB shape: distance is row-local column arithmetic against a
+    literal origin; ``query``/min/max filters stay plain conjuncts
+    (pushdown candidates); the only wide operation is the nearest-first
+    global sort, which collapses to TakeOrderedAndProject under a
+    following ``$limit``.
+    """
+    near = expression["near"]
+    dist_field = expression["distanceField"]
+    key = expression.get("key")
+    if not key:
+        raise ValueError(
+            "$geoNear needs `key` (no 2dsphere index to infer the geo "
+            "field from)")
+    query = expression.get("query")
+    min_d = expression.get("minDistance")
+    max_d = expression.get("maxDistance")
+    mult = float(expression.get("distanceMultiplier", 1.0))
+    include_locs = expression.get("includeLocs")
+    olon, olat = _geo_point(near, "geoNear.near")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..paths import set_path
+
+        lon, lat = _geo_lonlat(df, key)
+        dist = _haversine_m(lon, lat, olon, olat)
+        pred = lon.isNotNull() & lat.isNotNull()
+        if query:
+            pred = pred & compile_match(query, ExprContext(schema=df.schema))
+        if min_d is not None:
+            pred = pred & (dist >= F.lit(float(min_d)))
+        if max_d is not None:
+            pred = pred & (dist <= F.lit(float(max_d)))
+        out = df.filter(pred)
+        out = set_path(out, dist_field,
+                       dist * F.lit(mult) if mult != 1.0 else dist)
+        if include_locs:
+            out = set_path(
+                out, include_locs,
+                compile_expr(f"${key}", ExprContext(schema=df.schema)))
+        return out.orderBy(nested_col(split_path(dist_field)).asc())
+
+    return fn

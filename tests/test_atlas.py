@@ -756,3 +756,42 @@ def test_search_regex(spark):
         "path": "items",
         "operator": {"regex": {"path": "sku",
                                "query": "A-[0-9]{3}"}}}}) == [1]
+
+
+def test_geo_near_stage(spark):
+    """Mongo-core $geoNear: nearest-first, distanceField (+multiplier),
+    query filter, min/max distance, includeLocs, null geo drops."""
+    import pytest
+
+    rows = [(1, [4.35, 50.85], "a"), (2, [2.35, 48.86], "b"),
+            (3, [-74.0, 40.71], "a"), (4, None, "a")]
+    df = spark.createDataFrame(rows, "id long, loc array<double>, g string")
+    out = compile_pipeline(
+        [{"$geoNear": {"near": {"type": "Point", "coordinates": [4.0, 50.0]},
+                       "distanceField": "d", "key": "loc",
+                       "distanceMultiplier": 0.001,
+                       "includeLocs": "where"}}],
+        Context(spark=spark))(df).collect()
+    assert [r["id"] for r in out] == [1, 2, 3]     # nearest-first, 4 drops
+    assert out[0]["where"] == [4.35, 50.85]
+    # Brussels ~98 km from (4.0, 50.0): multiplier 0.001 -> km
+    assert 90 < out[0]["d"] < 110
+    assert out[1]["d"] < out[2]["d"]
+    # query + maxDistance compose as plain conjuncts
+    out = compile_pipeline(
+        [{"$geoNear": {"near": [4.0, 50.0], "distanceField": "d",
+                       "key": "loc", "query": {"g": "a"},
+                       "maxDistance": 1_000_000.0}}],
+        Context(spark=spark))(df).collect()
+    assert [r["id"] for r in out] == [1]
+    # minDistance excludes the near ring
+    out = compile_pipeline(
+        [{"$geoNear": {"near": [4.0, 50.0], "distanceField": "d",
+                       "key": "loc", "minDistance": 1_000_000.0}}],
+        Context(spark=spark))(df).collect()
+    assert [r["id"] for r in out] == [3]
+    # key is required: no index to infer the geo field from
+    with pytest.raises(ValueError, match="key"):
+        compile_pipeline(
+            [{"$geoNear": {"near": [0.0, 0.0], "distanceField": "d"}}],
+            Context(spark=spark))(df)
