@@ -795,3 +795,59 @@ def test_geo_near_stage(spark):
         compile_pipeline(
             [{"$geoNear": {"near": [0.0, 0.0], "distanceField": "d"}}],
             Context(spark=spark))(df)
+
+
+def test_geo_polygon_raycast_property(spark):
+    """The unrolled XOR-chain ray cast must agree with an independent
+    per-point Python pnpoly over seeded random points and concave /
+    holed / multi polygons (guards Column operator-precedence and null
+    regressions in the geo compiler)."""
+    import random
+
+    rng = random.Random(20260814)
+    pts = [[round(rng.uniform(-10, 10), 3), round(rng.uniform(-10, 10), 3)]
+           for _ in range(300)]
+
+    def pnpoly(ring, x, y):
+        c = False
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            if (y1 > y) != (y2 > y) and \
+                    x < (x2 - x1) * (y - y1) / (y2 - y1) + x1:
+                c = not c
+        return c
+
+    concave = [[-5.0, -5.0], [5.0, -5.0], [5.0, 5.0], [0.0, 0.5],
+               [-5.0, 5.0]]                      # notched top
+    outer = [[-8.0, -8.0], [8.0, -8.0], [8.0, 8.0], [-8.0, 8.0]]
+    hole = [[-2.0, -2.0], [2.0, -2.0], [2.0, 2.0], [-2.0, 2.0]]
+    island = [[9.0, 9.0], [9.9, 9.0], [9.9, 9.9], [9.0, 9.9]]
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pts)], "id long, loc array<double>")
+
+    def spark_inside(geometry):
+        got = compile_pipeline(
+            [{"$search": {"geoWithin": {"path": "loc",
+                                        "geometry": geometry}}},
+             {"$project": {"id": 1}}],
+            Context(spark=spark))(df).collect()
+        return {r["id"] for r in got}
+
+    # concave polygon
+    exp = {i for i, (x, y) in enumerate(pts) if pnpoly(concave, x, y)}
+    assert spark_inside({"type": "Polygon",
+                         "coordinates": [concave]}) == exp
+    # polygon with a hole
+    exp = {i for i, (x, y) in enumerate(pts)
+           if pnpoly(outer, x, y) and not pnpoly(hole, x, y)}
+    assert spark_inside({"type": "Polygon",
+                         "coordinates": [outer, hole]}) == exp
+    # multipolygon: holed square OR island
+    exp = {i for i, (x, y) in enumerate(pts)
+           if (pnpoly(outer, x, y) and not pnpoly(hole, x, y))
+           or pnpoly(island, x, y)}
+    assert spark_inside({"type": "MultiPolygon",
+                         "coordinates": [[outer, hole], [island]]}) == exp
