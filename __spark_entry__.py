@@ -3856,6 +3856,44 @@ FROM d WHERE dist >= 500000.0 AND dist <= 2500000.0""",
 
 
 _register(
+    # r5: $urlParse — URL decomposition for domain-level curation
+    # (functions/datapipe.py url_parse_stage); URLs synthesized from
+    # documents keys so every row parses
+    "url_parse",
+    r"""WITH u AS (
+  SELECT doc_id,
+         'https://www.' || source || '.example.com/docs/' || doc_id
+           || '?lang=' || coalesce(lang, 'und') AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+                      '^www\.', '') AS domain,
+       regexp_extract(
+           regexp_replace(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+                          '^www\.', ''),
+           '([^.]+\.[^.]+)$', 1) AS apex,
+       regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '\?([^#]*)', 1) AS query
+FROM u""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$set": {"u": {"$concat": [
+                "https://www.", "$source", ".example.com/docs/",
+                {"$toString": "$doc_id"}, "?lang=",
+                {"$ifNull": ["$lang", "und"]}]}}},
+            {"$urlParse": {"input": "$u"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "domain": "$url.domain", "apex": "$url.apex",
+                          "path": "$url.path", "query": "$url.query"}},
+        ],
+    )
+)
+
+
+_register(
     # r5: Gopher-style repetition filters over the documents corpus
     "repetition_score",
     f"""WITH nl AS (

@@ -2645,3 +2645,59 @@ def media_embed_stage(expression: Any, ctx: Context) -> StageFn:
         return df.withColumn(as_field, F.array(*comps))
 
     return fn
+
+
+@register_stage("$urlParse")
+def url_parse_stage(expression: Any, ctx: Context) -> StageFn:
+    """URL decomposition for corpus curation: ``{input, as?}`` adds a
+    struct (default ``url``) with ``scheme``, ``host``, ``domain``
+    (host minus one leading ``www.``), ``apex`` (last two host labels),
+    ``path``, ``query`` and ``fragment`` — every part null when the
+    value does not parse as a URL.
+
+    The standard front door to domain-level curation (blocklists,
+    per-domain caps, URL dedup): follow with $match on ``url.domain``
+    or $lookup against a domain table.  ``apex`` is a PSL-free
+    approximation — correct for ``example.com``-style hosts, wrong for
+    multi-label public suffixes like ``co.uk``; pipelines that need
+    exact registrable domains join a public-suffix-list collection
+    instead (the engine keeps this row-local rather than embedding a
+    suffix snapshot that silently goes stale).
+
+    100 TB: a map-only pass — ``try_parse_url`` and label slicing are
+    JVM intrinsics, zero shuffle, zero Python.
+    """
+    inp = expression["input"]
+    as_field = expression.get("as", "url")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        tmp = df.withColumn("__url_in", text)
+
+        def part(p: str) -> Column:
+            return F.expr(f"try_parse_url(`__url_in`, '{p}')")
+
+        host = part("HOST")
+        domain = F.regexp_replace(host, r"^www\.", "")
+        labels = F.split(domain, r"\.")
+        apex = F.when(
+            F.size(labels) >= 2,
+            F.concat_ws(
+                ".",
+                F.element_at(labels, -2), F.element_at(labels, -1)),
+        ).otherwise(domain)
+        out = tmp.withColumn(
+            as_field,
+            F.struct(
+                part("PROTOCOL").alias("scheme"),
+                host.alias("host"),
+                domain.alias("domain"),
+                apex.alias("apex"),
+                part("PATH").alias("path"),
+                part("QUERY").alias("query"),
+                part("REF").alias("fragment"),
+            ),
+        )
+        return out.drop("__url_in")
+
+    return fn

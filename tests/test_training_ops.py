@@ -407,3 +407,28 @@ def test_winnow(spark):
     out5 = [r for r in out.collect() if r["doc_id"] == 5][0]
     assert len(out5["fingerprints"]) == 1
     assert by[6] == set()
+
+
+def test_url_parse(spark):
+    """$urlParse: scheme/host/domain/apex/path/query/fragment, null for
+    unparseable values; apex is the documented PSL-free approximation."""
+    rows = [
+        (1, "https://www.news.example.com/a/b?x=1&y=2#top"),
+        (2, "http://example.org"),
+        (3, "not a url"),
+        (4, None),
+        (5, "https://sub.deep.host.co.uk/p"),
+    ]
+    df = spark.createDataFrame(rows, "id long, u string")
+    out = compile_pipeline(
+        [{"$urlParse": {"input": "$u"}}], Context(spark=spark))(df)
+    by = {r["id"]: r["url"].asDict() for r in out.collect()}
+    assert by[1] == {"scheme": "https", "host": "www.news.example.com",
+                     "domain": "news.example.com", "apex": "example.com",
+                     "path": "/a/b", "query": "x=1&y=2", "fragment": "top"}
+    assert by[2]["domain"] == "example.org" and by[2]["apex"] == "example.org"
+    assert by[2]["query"] is None
+    assert all(v is None for v in by[3].values())
+    assert all(v is None for v in by[4].values())
+    # PSL-free approximation: co.uk collapses (documented)
+    assert by[5]["apex"] == "co.uk"
