@@ -69,6 +69,10 @@ def vector_search_stage(expression: Any, ctx: Context) -> StageFn:
     bits = int(expression.get("bits", 8))
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        from .extended import _batch_only
+
+        # top-k emission is a global sort + limit
+        _batch_only("$vectorSearch", c)
         ectx = ExprContext(schema=df.schema)
         if flt:
             df = df.filter(compile_match(flt, ectx))
@@ -1087,6 +1091,10 @@ def search_stage(expression: Any, ctx: Context) -> StageFn:
         raise ValueError("$search text.query needs at least one term")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        from .extended import _batch_only
+
+        # score-ordered emission is a global sort
+        _batch_only("$search", c)
         out, pred, score, drops = _search_clause(df, op, spec, [0])
         # filter on the raw predicate FIRST: a plain boolean conjunction
         # splits into conjuncts and the pushable ones (range bounds,
@@ -1242,6 +1250,10 @@ def search_meta_stage(expression: Any, ctx: Context) -> StageFn:
             )
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        from .extended import _batch_only
+
+        # corpus-wide counts/facets assembled with broadcast cross joins
+        _batch_only("$searchMeta", c)
         if facet is None:
             filt = _meta_filtered(df, expression)
             return filt.groupBy().agg(
@@ -1302,7 +1314,10 @@ def geo_near_stage(expression: Any, ctx: Context) -> StageFn:
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         from ..paths import set_path
+        from .extended import _batch_only
 
+        # nearest-first emission is a global sort
+        _batch_only("$geoNear", c)
         lon, lat = _geo_lonlat(df, key)
         dist = _haversine_m(lon, lat, olon, olat)
         pred = lon.isNotNull() & lat.isNotNull()

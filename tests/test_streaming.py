@@ -805,3 +805,30 @@ def test_group_per_message_state_survives_restart(spark, tmpdir):
     tail = emissions[len(first):]
     # continues from n=2 / mx=9 — no reset, no replay of batch 0
     assert [(r["n"], r["mx"]) for r in tail] == [(3, 9)]
+
+
+def test_atlas_stages_batch_only(spark):
+    """$vectorSearch/$search/$searchMeta/$geoNear are batch-only
+    (global sort / corpus-wide aggregation shapes): a streaming context
+    raises the same clear error as $sort instead of a raw Spark
+    unsupported-operation failure."""
+    import pytest
+
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    sdf = (spark.readStream.format("rate").option("rowsPerSecond", 1)
+           .load().selectExpr("value as id",
+                              "array(1.0, 0.0) as emb",
+                              "'x' as t",
+                              "array(0.0, 0.0) as loc"))
+    ctx = Context(spark=spark, streaming=True)
+    for pipeline in (
+        [{"$vectorSearch": {"path": "emb", "queryVector": [1.0, 0.0],
+                            "limit": 1}}],
+        [{"$search": {"exists": {"path": "t"}}}],
+        [{"$searchMeta": {"exists": {"path": "t"}}}],
+        [{"$geoNear": {"near": [0.0, 0.0], "distanceField": "d",
+                       "key": "loc"}}],
+    ):
+        with pytest.raises(ValueError, match="batch-only"):
+            compile_pipeline(pipeline, ctx)(sdf)
