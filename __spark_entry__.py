@@ -3894,6 +3894,29 @@ FROM u""",
 
 
 _register(
+    # r5: $groupCap — per-group row cap (domain-cap primitive;
+    # functions/datapipe.py group_cap_stage): top-2 longest docs per
+    # source, deterministic via the doc_id tie-break
+    "group_cap",
+    """SELECT doc_id, source, n_chars
+FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY source
+    ORDER BY n_chars DESC NULLS LAST, doc_id) <= 2""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$groupCap": {"by": "$source", "cap": 2,
+                           "sortBy": {"n_chars": -1, "doc_id": 1}}},
+            {"$project": {"_id": 0, "doc_id": 1, "source": 1,
+                          "n_chars": 1}},
+        ],
+    )
+)
+
+
+_register(
     # r5: Gopher-style repetition filters over the documents corpus
     "repetition_score",
     f"""WITH nl AS (

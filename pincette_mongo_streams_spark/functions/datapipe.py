@@ -2701,3 +2701,53 @@ def url_parse_stage(expression: Any, ctx: Context) -> StageFn:
         return out.drop("__url_in")
 
     return fn
+
+
+@register_stage("$groupCap")
+def group_cap_stage(expression: Any, ctx: Context) -> StageFn:
+    """Per-group row cap: ``{by, cap, sortBy}`` keeps the first ``cap``
+    rows of each group in ``sortBy`` order — the domain-cap /
+    best-per-cluster curation primitive (``cap: 1`` is argmin/argmax:
+    e.g. keep the highest-quality document per ``url.domain``, or cap
+    any one domain's contribution to a training mix).
+
+    ``by`` is one expression or a list (compound key); ``sortBy`` is a
+    Mongo sort document over field paths (``{field: 1|-1}``) and is
+    REQUIRED — a cap without an order is nondeterministic; add a unique
+    tie-break field (the doc id) for fully stable output.
+
+    100 TB shape: compiles to ``row_number`` over (by, sortBy), which
+    Spark rewrites to WindowGroupLimit — every task pre-prunes its
+    input to ``cap`` rows per group BEFORE the exchange, so a skewed
+    group (one domain = half the corpus) costs cap×tasks shuffled rows,
+    not its full size.  One hash shuffle on the group key, no join, no
+    global sort.
+    """
+    by = expression["by"]
+    cap = int(expression["cap"])
+    sort_by = expression.get("sortBy")
+    if cap < 1:
+        raise ValueError("$groupCap cap must be >= 1")
+    if not sort_by:
+        raise ValueError(
+            "$groupCap needs sortBy — a cap without an order would keep "
+            "arbitrary rows")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from pyspark.sql import Window
+
+        from ..operators.extended import _batch_only, _sort_cols
+
+        _batch_only("$groupCap", c)
+        ectx = ExprContext(schema=df.schema)
+        keys = by if isinstance(by, list) else [by]
+        w = Window.partitionBy(
+            *[compile_expr(k, ectx) for k in keys]
+        ).orderBy(*_sort_cols(sort_by))
+        return (
+            df.withColumn("__gc_rn", F.row_number().over(w))
+            .filter(F.col("__gc_rn") <= cap)
+            .drop("__gc_rn")
+        )
+
+    return fn

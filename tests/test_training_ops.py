@@ -432,3 +432,39 @@ def test_url_parse(spark):
     assert all(v is None for v in by[4].values())
     # PSL-free approximation: co.uk collapses (documented)
     assert by[5]["apex"] == "co.uk"
+
+
+def test_group_cap(spark):
+    """$groupCap: top-cap rows per group in sortBy order; the plan
+    carries WindowGroupLimit (map-side per-group pruning before the
+    shuffle) and validation rejects cap-without-order."""
+    import pytest
+
+    rows = [(1, "a", 10), (2, "a", 30), (3, "a", 20),
+            (4, "b", 5), (5, "b", 50), (6, None, 1)]
+    df = spark.createDataFrame(rows, "id long, dom string, q long")
+    out = compile_pipeline(
+        [{"$groupCap": {"by": "$dom", "cap": 2,
+                        "sortBy": {"q": -1, "id": 1}}}],
+        Context(spark=spark))(df)
+    got = {(r["dom"], r["id"]) for r in out.collect()}
+    assert got == {("a", 2), ("a", 3), ("b", 5), ("b", 4), (None, 6)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    # cap 1 = argmax per group
+    out = compile_pipeline(
+        [{"$groupCap": {"by": "$dom", "cap": 1,
+                        "sortBy": {"q": -1, "id": 1}}},
+         {"$project": {"id": 1}}],
+        Context(spark=spark))(df)
+    assert sorted(r["id"] for r in out.collect()) == [2, 5, 6]
+    # compound key
+    out = compile_pipeline(
+        [{"$groupCap": {"by": ["$dom", {"$mod": ["$q", 2]}], "cap": 1,
+                        "sortBy": {"id": 1}}}],
+        Context(spark=spark))(df)
+    assert len(out.collect()) == 4   # (a,0),(b,1),(b,0),(null,1)
+    with pytest.raises(ValueError, match="sortBy"):
+        compile_pipeline(
+            [{"$groupCap": {"by": "$dom", "cap": 2}}],
+            Context(spark=spark))(df)
