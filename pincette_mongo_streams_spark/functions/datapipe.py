@@ -253,6 +253,14 @@ def minhash_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     star edges (member, bucket keeper), never all pairs.  With ``verify``
     the edges are the verified pairs, so clusters only span docs whose
     pairwise path passed the exact-Jaccard check.
+
+    ``as: "<field>"`` (requires ``transitive: true``) switches to
+    ANNOTATE mode: every row is kept and labeled with its transitive
+    cluster id (the component's min id; singletons label themselves)
+    instead of dropping non-canonical members — compose with
+    ``$groupCap {by: "$<field>", cap: 1, sortBy: {quality: -1, ...}}``
+    to keep the best-quality document per near-dup cluster rather than
+    the min-id one.
     """
     inp = expression["input"]
     id_field = expression.get("id", "_id")
@@ -261,6 +269,12 @@ def minhash_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     bands = int(expression.get("bands", 8))
     verify = expression.get("verify")
     transitive = bool(expression.get("transitive", False))
+    as_field = expression.get("as")
+    if as_field and not transitive:
+        raise ValueError(
+            "$minhashDedup as (annotate mode) requires transitive: true — "
+            "cluster labels are connected-component ids; per-bucket "
+            "pruning has no single well-defined cluster per document")
     _check_bands("$minhashDedup", num, bands)
     rows_per_band = num // bands
 
@@ -307,6 +321,23 @@ def minhash_dedup_stage(expression: Any, ctx: Context) -> StageFn:
             labels = connected_components(
                 cands.select(F.col("__did").alias("a"), F.col("__keep").alias("b"))
             )
+            if as_field:
+                # annotate mode: keep every row, add the transitive
+                # cluster id (min id of the component; singletons label
+                # themselves) — compose with $groupCap {by: "$<as>"} to
+                # keep the BEST doc per cluster instead of the min-id one
+                lab = labels.select(
+                    F.col("__cc_node").alias("__did"),
+                    F.col("__cc_comp").alias("__lab"),
+                )
+                return (
+                    with_sig.join(
+                        lab, with_sig[id_field] == lab["__did"], "left")
+                    .withColumn(
+                        as_field,
+                        F.coalesce(F.col("__lab"), F.col(id_field)))
+                    .drop("__did", "__lab", "__sig")
+                )
             dups = (
                 labels.filter(F.col("__cc_node") != F.col("__cc_comp"))
                 .select(F.col("__cc_node").alias("__did"))

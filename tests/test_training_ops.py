@@ -468,3 +468,42 @@ def test_group_cap(spark):
         compile_pipeline(
             [{"$groupCap": {"by": "$dom", "cap": 2}}],
             Context(spark=spark))(df)
+
+
+def test_minhash_dedup_annotate_mode(spark):
+    """$minhashDedup {as} annotates transitive cluster ids instead of
+    dropping rows; composing with $groupCap keeps the best doc per
+    cluster.  Annotate without transitive is rejected."""
+    import pytest
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, a, 0.2),
+        (2, a + " extra", 0.9),          # near-dup of 1, higher quality
+        (3, "completely different text about spark engines", 0.5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+    out = compile_pipeline(
+        [{"$minhashDedup": {"input": "$text", "id": "doc_id",
+                            "shingle": 3, "numHashes": 32, "bands": 16,
+                            "transitive": True, "as": "cluster"}}],
+        Context(spark=spark))(df)
+    got = {r["doc_id"]: r["cluster"] for r in out.collect()}
+    assert set(got) == {1, 2, 3}          # nothing dropped
+    assert got[1] == got[2] == 1          # min-id component label
+    assert got[3] == 3                    # singleton labels itself
+    # keep the best-quality doc per cluster (doc 2, not min-id doc 1)
+    best = compile_pipeline(
+        [{"$minhashDedup": {"input": "$text", "id": "doc_id",
+                            "shingle": 3, "numHashes": 32, "bands": 16,
+                            "transitive": True, "as": "cluster"}},
+         {"$groupCap": {"by": "$cluster", "cap": 1,
+                        "sortBy": {"q": -1, "doc_id": 1}}},
+         {"$project": {"doc_id": 1}}],
+        Context(spark=spark))(df)
+    assert sorted(r["doc_id"] for r in best.collect()) == [2, 3]
+    with pytest.raises(ValueError, match="transitive"):
+        compile_pipeline(
+            [{"$minhashDedup": {"input": "$text", "id": "doc_id",
+                                "as": "cluster"}}],
+            Context(spark=spark))(df)
