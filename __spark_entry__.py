@@ -4391,9 +4391,16 @@ _ORDER = [
     #   media_embed -> span_dedup (multimodal plumbing keeps its
     #     media_pipeline row; media_embed is a declared-stub capability;
     #     C4 span dedup is a flagship distributed text-rewrite op)
+    #   lookup_array_size -> geo_search (lookup keeps two hard rows,
+    #     lookup_unwind + lookup_pipeline, and lookup_array_size stays
+    #     locally oracled; the r5 geo surface — geoWithin circle
+    #     containment + near haversine decay — gets a hard row)
+    #   bucket_auto -> group_cap ($bucketAuto stays locally oracled;
+    #     the domain-cap primitive with its WindowGroupLimit plan is a
+    #     flagship r5 curation op)
     "match_operators", "project_compute", "field_ops", "replace_with",
     "unwind", "group_accumulators", "group_arrays", "stage_ext",
-    "bucket", "lookup_unwind", "lookup_array_size", "lookup_pipeline",
+    "bucket", "lookup_unwind", "geo_search", "lookup_pipeline",
     "streaming_parity", "deduplicate", "merge_out", "delete_passthrough",
     "redact", "per_batches", "effects_chain", "script_stages",
     "http_enrich",
@@ -4409,7 +4416,7 @@ _ORDER = [
     # locally oracle-checked.
     "sort_ops", "union_with", "window_all", "fill_locf", "densify_grid",
     "facet_summary", "window_group_hourly", "graph_lookup", "asof_join",
-    "bucket_auto", "kmeans",
+    "group_cap", "kmeans",
     # LLM-data-pipeline operators
     "dedup_exact", "text_metrics", "training_pipeline", "bm25_search",
     "fusion", "sig_hashes", "minhash_dedup", "repetition_score",
