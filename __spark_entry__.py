@@ -3811,6 +3811,53 @@ FROM d WHERE dist <= 3000000.0""",
 
 
 _register(
+    # r5: the $match query-language geo operators — $geoWithin with
+    # $centerSphere (spherical, radius in radians) AND a legacy planar
+    # $box, composed with $geoIntersects (match.py _geo_predicate)
+    "geo_match",
+    """WITH pts AS (
+  SELECT event_id,
+         CAST((event_id * 7) % 360 - 180 AS DOUBLE) AS lon,
+         CAST((user_id * 13) % 180 - 90 AS DOUBLE) AS lat
+  FROM events
+)
+SELECT event_id
+FROM pts
+WHERE 2 * 6371008.7714 * asin(sqrt(
+          pow(sin((radians(lat) - radians(0.0)) / 2), 2)
+          + cos(radians(lat)) * cos(radians(0.0))
+            * pow(sin((radians(lon) - radians(0.0)) / 2), 2)))
+      <= 0.6 * 6371008.7714
+  AND lon >= -30.5 AND lon <= 30.5 AND lat >= -20.5 AND lat <= 20.5""",
+)(
+    _pipe(
+        "events",
+        [
+            {"$set": {
+                "lon": {"$toDouble": {"$subtract": [
+                    {"$mod": [{"$multiply": ["$event_id", 7]}, 360]},
+                    180]}},
+                "lat": {"$toDouble": {"$subtract": [
+                    {"$mod": [{"$multiply": ["$user_id", 13]}, 180]},
+                    90]}},
+            }},
+            {"$set": {"loc": ["$lon", "$lat"]}},
+            {"$match": {"$and": [
+                {"loc": {"$geoWithin": {
+                    "$centerSphere": [[0.0, 0.0], 0.6]}}},
+                {"loc": {"$geoIntersects": {"$geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[-30.5, -20.5], [30.5, -20.5],
+                                     [30.5, 20.5], [-30.5, 20.5]]],
+                }}}},
+            ]}},
+            {"$project": {"_id": 0, "event_id": 1}},
+        ],
+    )
+)
+
+
+_register(
     # r5: Mongo-core $geoNear — nearest-first with distanceField (km via
     # distanceMultiplier), min/max distance rings (operators/atlas.py
     # geo_near_stage; same synthetic grid + haversine as geo_search)

@@ -50,6 +50,8 @@ _FIELD_OPS = {
     "$bitsAnySet",
     "$bitsAllClear",
     "$bitsAnyClear",
+    "$geoWithin",
+    "$geoIntersects",
 }
 
 
@@ -210,10 +212,58 @@ def _one_op(col: Column, ftype: Any, op: str, arg: Any, ops: dict, ctx: ExprCont
             "$bitsAnyClear": masked != mask,
         }[op]
         return F.coalesce(pred, F.lit(False))
+    if op in ("$geoWithin", "$geoIntersects"):
+        return _geo_predicate(col, ftype, op, arg)
     ext = features.match_extension(op)
     if ext is not None:
         return ext(col, arg, ctx)
     raise NotImplementedError(f"unsupported query operator {op}")
+
+
+def _geo_predicate(col: Column, ftype: Any, op: str, arg: Any) -> Column:
+    """Mongo's query-language geo operators over point fields (geo.py;
+    index-free — Mongo's are 2dsphere/2d-index backed).
+
+    ``$geoWithin``: ``$geometry`` (GeoJSON Polygon/MultiPolygon,
+    spherical semantics approximated planar per geo.py), ``$box`` /
+    ``$polygon`` / ``$center`` (Mongo's legacy 2d PLANAR shapes —
+    planar math here is exact), ``$centerSphere`` (radius in RADIANS,
+    haversine).  ``$geoIntersects``: ``$geometry`` only, and for a
+    point field intersection reduces to containment."""
+    from .geo import (EARTH_R_M, geo_point, haversine_m, lonlat_from_type,
+                      point_in_geometry, point_in_ring)
+
+    if not isinstance(arg, dict) or not arg:
+        raise ValueError(f"{op} needs a shape document")
+    lon, lat = lonlat_from_type(col, ftype, op)
+    base = lon.isNotNull() & lat.isNotNull()
+    if "$geometry" in arg:
+        return base & point_in_geometry(lon, lat, arg["$geometry"])
+    if op == "$geoIntersects":
+        raise ValueError("$geoIntersects supports $geometry only")
+    if "$box" in arg:
+        (x1, y1), (x2, y2) = (geo_point(p, "$box corner")
+                              for p in arg["$box"])
+        return (base
+                & (lon >= F.lit(min(x1, x2))) & (lon <= F.lit(max(x1, x2)))
+                & (lat >= F.lit(min(y1, y2))) & (lat <= F.lit(max(y1, y2))))
+    if "$polygon" in arg:
+        return base & point_in_ring(lon, lat, arg["$polygon"])
+    if "$center" in arg:
+        (cx, cy), r = arg["$center"]
+        # legacy 2d $center is PLANAR: euclidean distance in coordinate
+        # units, exactly as Mongo computes it for 2d indexes
+        d2 = ((lon - F.lit(float(cx))) * (lon - F.lit(float(cx)))
+              + (lat - F.lit(float(cy))) * (lat - F.lit(float(cy))))
+        return base & (d2 <= F.lit(float(r) * float(r)))
+    if "$centerSphere" in arg:
+        (cx, cy), r = arg["$centerSphere"]
+        # radius in RADIANS (Mongo's spherical convention): compare
+        # haversine metres against r * R
+        return base & (haversine_m(lon, lat, float(cx), float(cy))
+                       <= F.lit(float(r) * EARTH_R_M))
+    raise ValueError(
+        f"{op} needs $geometry, $box, $polygon, $center or $centerSphere")
 
 
 def _elem_predicate(elem: Column, elem_t: Any, query: dict, ctx: ExprContext) -> Column:

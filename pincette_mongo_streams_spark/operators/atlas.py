@@ -487,15 +487,18 @@ def _norm_terms(query: str) -> list[str]:
 
 # ---------------------------------------------------------- geo helpers
 #
-# Atlas's geoWithin/geoShape/near-with-geo-origin operate on 2dsphere
-# index data; this engine computes the same predicates directly from the
-# column with pure Column math (zero UDFs, zero shuffles): haversine on
-# the IUGG mean sphere for distances, even-odd ray casting on the
-# lon/lat plane for polygon containment (a planar approximation of the
-# index's spherical polygons — exact for the box form, documented in
-# search_stage for the rest).
+# Shared with $geoNear and the $match query language's
+# $geoWithin/$geoIntersects — implementations live in ..geo (pure
+# Column math: haversine on the IUGG mean sphere, even-odd ray casting
+# over literal rings; see that module's docstring for the planar
+# approximation notes).
 
-_EARTH_R_M = 6371008.7714  # IUGG mean Earth radius, Lucene's constant
+from ..geo import (EARTH_R_M as _EARTH_R_M,  # noqa: E402
+                   geo_point as _geo_point,
+                   haversine_m as _haversine_m,
+                   lonlat_from_type as _lonlat_from_type,
+                   point_in_geometry as _point_in_geometry,
+                   point_in_ring as _point_in_ring)
 
 
 def _geo_lonlat(df: DataFrame, path: str) -> tuple[Column, Column]:
@@ -513,93 +516,7 @@ def _geo_lonlat(df: DataFrame, path: str) -> tuple[Column, Column]:
             raise ValueError(
                 f"$search geo path {path!r} is not in the schema")
     col = compile_expr(f"${path}", ExprContext(schema=df.schema))
-    if isinstance(dt, T.StructType) and "coordinates" in dt.fieldNames():
-        col = col["coordinates"]
-        dt = dt["coordinates"].dataType
-    if not isinstance(dt, T.ArrayType):
-        raise ValueError(
-            f"$search geo path {path!r} must be [lon, lat] or a GeoJSON "
-            f"point (got {dt.simpleString()})")
-    return col[0].cast("double"), col[1].cast("double")
-
-
-def _geo_point(spec: Any, what: str) -> tuple[float, float]:
-    """A literal query-side point: GeoJSON ``{type: Point, coordinates}``
-    or bare ``[lon, lat]``."""
-    if isinstance(spec, dict) and "coordinates" in spec:
-        spec = spec["coordinates"]
-    if (isinstance(spec, (list, tuple)) and len(spec) >= 2
-            and all(isinstance(v, (int, float)) and not isinstance(v, bool)
-                    for v in spec[:2])):
-        return float(spec[0]), float(spec[1])
-    raise ValueError(f"$search {what} must be [lon, lat] or a GeoJSON Point")
-
-
-def _haversine_m(lon: Column, lat: Column, olon: float, olat: float
-                 ) -> Column:
-    """Great-circle metres from ``(lon, lat)`` to a literal origin."""
-    import math
-
-    a = (F.pow(F.sin((F.radians(lat) - F.lit(math.radians(olat))) / 2), 2)
-         + F.cos(F.radians(lat)) * F.lit(math.cos(math.radians(olat)))
-         * F.pow(F.sin((F.radians(lon) - F.lit(math.radians(olon))) / 2), 2))
-    root = F.sqrt(a)
-    # clamp fp drift above 1.0 with when(), NOT least() — least SKIPS
-    # nulls, which would turn a null coordinate into a real distance
-    root = F.when(root > 1.0, F.lit(1.0)).otherwise(root)
-    return F.lit(2.0 * _EARTH_R_M) * F.asin(root)
-
-
-def _point_in_ring(lon: Column, lat: Column, ring: list) -> Column:
-    """Even-odd ray cast against ONE linear ring of literal vertices.
-
-    The query-side ring is constant, so the crossing test unrolls into a
-    chain of boolean-XOR ``when`` terms — whole-stage-codegen friendly,
-    no array column, no UDF.  The ring may or may not repeat its first
-    vertex; horizontal edges drop out of the parity test.
-    """
-    pts = [(float(p[0]), float(p[1])) for p in ring]
-    if len(pts) >= 2 and pts[0] == pts[-1]:
-        pts = pts[:-1]
-    if len(pts) < 3:
-        raise ValueError("$search geo ring needs at least 3 distinct points")
-    parity: Column = F.lit(False)
-    for i in range(len(pts)):
-        x1, y1 = pts[i]
-        x2, y2 = pts[(i + 1) % len(pts)]
-        if y1 == y2:
-            continue
-        straddles = (F.lit(y1) > lat) != (F.lit(y2) > lat)
-        xcross = (F.lit((x2 - x1) / (y2 - y1)) * (lat - F.lit(y1))
-                  + F.lit(x1))
-        parity = parity != (straddles & (lon < xcross))
-    return parity
-
-
-def _point_in_geometry(lon: Column, lat: Column, geom: dict) -> Column:
-    """Point-in-GeoJSON-geometry for Polygon (holes honored) and
-    MultiPolygon query geometries."""
-    gtype = geom.get("type")
-    coords = geom.get("coordinates") or []
-    if gtype == "Polygon":
-        if not coords:
-            raise ValueError("$search geo Polygon needs at least one ring")
-        pred = _point_in_ring(lon, lat, coords[0])
-        for hole in coords[1:]:
-            pred = pred & ~_point_in_ring(lon, lat, hole)
-        return pred
-    if gtype == "MultiPolygon":
-        pred: Any = None
-        for poly in coords:
-            p = _point_in_geometry(
-                lon, lat, {"type": "Polygon", "coordinates": poly})
-            pred = p if pred is None else (pred | p)
-        if pred is None:
-            raise ValueError("$search geo MultiPolygon needs a polygon")
-        return pred
-    raise NotImplementedError(
-        f"$search geo geometry type {gtype!r}; Polygon and MultiPolygon "
-        "are supported")
+    return _lonlat_from_type(col, dt, f"$search geo path {path!r}")
 
 
 def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int]

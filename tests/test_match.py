@@ -193,3 +193,52 @@ def test_array_of_struct_path_traversal(spark):
     out3 = compile_pipeline(
         [{"$match": {"m.v": {"$gte": 20}}}], ctx)(df)
     assert [r["_id"] for r in out3.collect()] == ["2"]
+
+
+def test_geo_within_and_intersects(spark):
+    """$geoWithin ($geometry/$box/$polygon/$center/$centerSphere) and
+    $geoIntersects in the match language (match.py _geo_predicate;
+    index-free geo over point columns)."""
+    import pytest
+
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    rows = [(1, [4.35, 50.85]),    # Brussels
+            (2, [2.35, 48.86]),    # Paris
+            (3, [-74.0, 40.71]),   # New York
+            (4, None)]
+    df = spark.createDataFrame(rows, "id long, loc array<double>")
+
+    def ids(q):
+        out = compile_pipeline([{"$match": q}, {"$project": {"id": 1}}],
+                               Context(spark=spark))(df)
+        return sorted(r["id"] for r in out.collect())
+
+    eu = {"type": "Polygon",
+          "coordinates": [[[-5.0, 42.0], [10.0, 42.0], [10.0, 55.0],
+                           [-5.0, 55.0]]]}
+    assert ids({"loc": {"$geoWithin": {"$geometry": eu}}}) == [1, 2]
+    assert ids({"loc": {"$geoIntersects": {"$geometry": eu}}}) == [1, 2]
+    # legacy planar shapes — corners in any opposite order for $box
+    assert ids({"loc": {"$geoWithin": {
+        "$box": [[10.0, 55.0], [-5.0, 42.0]]}}}) == [1, 2]
+    assert ids({"loc": {"$geoWithin": {
+        "$polygon": [[-5.0, 42.0], [10.0, 42.0], [10.0, 55.0],
+                     [-5.0, 55.0]]}}}) == [1, 2]
+    # planar circle radius 3 degrees around Brussels: Paris is
+    # sqrt(2^2 + 1.99^2) ~ 2.82 away -> inside
+    assert ids({"loc": {"$geoWithin": {
+        "$center": [[4.35, 50.85], 3.0]}}}) == [1, 2]
+    assert ids({"loc": {"$geoWithin": {
+        "$center": [[4.35, 50.85], 1.0]}}}) == [1]
+    # spherical circle: 350 km in radians reaches Paris (~264 km)
+    assert ids({"loc": {"$geoWithin": {
+        "$centerSphere": [[4.35, 50.85], 350_000 / 6371008.7714]}}}) \
+        == [1, 2]
+    # $not composes; null geo never matches either branch's base
+    assert ids({"loc": {"$not": {"$geoWithin": {"$geometry": eu}}}}) == [3, 4]
+    with pytest.raises(ValueError, match="geometry only"):
+        ids({"loc": {"$geoIntersects": {
+            "$box": [[0.0, 0.0], [1.0, 1.0]]}}})
+    with pytest.raises(ValueError, match="shape"):
+        ids({"loc": {"$geoWithin": {}}})
