@@ -35,8 +35,13 @@ Jq.java:27-31); imported functions are called ``alias::fn(...)``.
 ``$__loc__`` yields ``{file: "<stdin>", line}`` with real token line
 numbers.
 
-Not supported: ``input``/``inputs`` (stream stages are one-doc-in) and
-SQL-ish builtins.  Those raise ``JqInterpError`` at parse or eval time.
+``input``/``inputs`` follow one-doc-in stream semantics: the single
+input is already consumed as ``.``, so ``inputs`` is exhausted (empty —
+``[., inputs]`` and ``reduce inputs`` idioms degrade cleanly) and
+``input`` errors with jq's own "No more inputs" (catchable with try).
+
+Not supported: SQL-ish builtins.  Those raise ``JqInterpError`` at
+parse or eval time.
 """
 
 from __future__ import annotations
@@ -519,9 +524,6 @@ class _Parser:
         if val in ("import", "include"):
             raise JqInterpError(
                 f"jq {val!r} is only valid at the top of the program")
-        if val in ("input", "inputs"):
-            raise JqInterpError(
-                f"jq {val!r} is not supported (stages are one-doc-in)")
         # builtin or user function call
         self.next()
         if (self.at(":") and self.toks[self.i] == ("op", ":")
@@ -1485,6 +1487,13 @@ _BUILTINS: dict[tuple[str, int], Any] = {
         p for p in _paths(v, [])
         if not isinstance(_getpath(v, p), (dict, list)))),
     ("empty", 0): lambda a, i, e: iter(()),
+    # one-doc-in stream semantics: the single input was already consumed
+    # as `.`, so `inputs` is exhausted (empty) and `input` errors with
+    # jq's own message — catchable, so `try input catch "x"` works and
+    # the common `[., inputs]` / `reduce inputs` idioms degrade cleanly
+    ("inputs", 0): lambda a, i, e: iter(()),
+    ("input", 0): lambda a, i, e: (_ for _ in ()).throw(
+        _JqRuntimeError("No more inputs")),
     ("error", 0): _b(lambda v: (_ for _ in ()).throw(_JqRuntimeError(v))),
     ("error", 1): lambda a, i, e: (_ for _ in ()).throw(
         _JqRuntimeError(_one(a[0], i, e))),

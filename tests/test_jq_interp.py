@@ -77,11 +77,21 @@ def test_polymorphic_arithmetic():
 
 def test_unsupported_is_loud():
     # label/break and module imports are supported since r5 (see
-    # test_label_break / test_module_imports); the residual exclusions
-    # and an import without a resolver still raise
-    for bad in ("input", "inputs", 'import "m" as m; .'):
-        with pytest.raises(JqInterpError):
-            jq_first(bad)(DOC)
+    # test_label_break / test_module_imports); an import without a
+    # resolver still raises
+    with pytest.raises(JqInterpError):
+        jq_first('import "m" as m; .')(DOC)
+
+
+def test_input_inputs_one_doc_semantics():
+    """One-doc-in stream semantics: `.` already consumed the only
+    input, so `inputs` is exhausted and `input` errors with jq's "No
+    more inputs" — catchable, so the [., inputs] idiom works."""
+    assert jq_all("[., inputs]")(DOC) == [[DOC]]
+    assert jq_all("reduce inputs as $x (0; . + 1)")(DOC) == [0]
+    assert jq_all('try input catch "exhausted"')(DOC) == ["exhausted"]
+    with pytest.raises(Exception, match="No more inputs"):
+        jq_first("input")(DOC)
 
 
 def test_recursive_descent():
