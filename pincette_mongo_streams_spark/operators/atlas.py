@@ -976,7 +976,10 @@ def search_stage(expression: Any, ctx: Context) -> StageFn:
     ``compound`` (must/mustNot/should/filter, minimumShouldMatch).
     Emits every document with a positive score ordered by score
     descending; compose with ``$limit`` for top-k (collapses to
-    TakeOrderedAndProject).  Non-text operators score a deterministic
+    TakeOrderedAndProject).  The Atlas ``sort`` option replaces
+    relevance order with field order (``{field: 1|-1}``, and
+    ``{x: {"$meta": "searchScore"}}`` mixes the score back in; score
+    desc remains the final tie-break).  Non-text operators score a deterministic
     constant 1.0 (Atlas's Lucene scores are index-internal; ``near``
     scores its documented pivot/(pivot+distance) decay), overridable
     per clause via Atlas's ``score: {constant|boost}`` modifiers.
@@ -1006,6 +1009,9 @@ def search_stage(expression: Any, ctx: Context) -> StageFn:
         raise ValueError(f"$search {op} takes an options document")
     if op == "text" and not _norm_terms(spec.get("query", "")):
         raise ValueError("$search text.query needs at least one term")
+    sort = expression.get("sort")
+    if sort is not None and (not isinstance(sort, dict) or not sort):
+        raise ValueError("$search sort takes a non-empty sort document")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         from .extended import _batch_only
@@ -1018,10 +1024,28 @@ def search_stage(expression: Any, ctx: Context) -> StageFn:
         # null guards, equals) reach the parquet scan; scoring runs on
         # the survivors only
         scored = out.filter(pred).withColumn(SSCORE, score)
+        if sort:
+            # Atlas `sort` option: field order instead of relevance;
+            # {"field": 1|-1} plus {"x": {"$meta": "searchScore"}} to
+            # mix the score back in; score desc stays the tie-break
+            order = []
+            for fname, sdir in sort.items():
+                if isinstance(sdir, dict):
+                    if sdir.get("$meta") != "searchScore":
+                        raise ValueError(
+                            "$search sort values are 1, -1 or "
+                            "{$meta: searchScore}")
+                    order.append(F.col(SSCORE).desc())
+                else:
+                    c = F.col(fname)
+                    order.append(c.asc() if sdir == 1 else c.desc())
+            order.append(F.col(SSCORE).desc())
+        else:
+            order = [F.col(SSCORE).desc(), F.col(df.columns[0])]
         return (
             scored.filter(F.col(SSCORE) > 0)
             .drop(*drops)
-            .orderBy(F.col(SSCORE).desc(), *[F.col(df.columns[0])])
+            .orderBy(*order)
         )
 
     return fn

@@ -851,3 +851,28 @@ def test_geo_polygon_raycast_property(spark):
            or pnpoly(island, x, y)}
     assert spark_inside({"type": "MultiPolygon",
                          "coordinates": [[outer, hole], [island]]}) == exp
+
+
+def test_search_sort_option(spark):
+    """Atlas $search `sort`: field order replaces relevance order
+    (score desc stays the tie-break; {$meta: searchScore} mixes the
+    score back in)."""
+    import pytest
+
+    df = spark.createDataFrame(_DOCS, _SCHEMA)
+    out = compile_pipeline(
+        [{"$search": {"exists": {"path": "t"}, "sort": {"views": -1}}},
+         {"$project": {"id": 1}}],
+        Context(spark=spark))(df).collect()
+    assert [r["id"] for r in out] == [3, 2, 1]       # views 40, 25, 10
+    out = compile_pipeline(
+        [{"$search": {"exists": {"path": "t"},
+                      "sort": {"s": {"$meta": "searchScore"},
+                               "views": 1}}},
+         {"$project": {"id": 1}}],
+        Context(spark=spark))(df).collect()
+    assert [r["id"] for r in out] == [1, 2, 3]       # equal scores -> views
+    with pytest.raises(ValueError, match="sort"):
+        compile_pipeline(
+            [{"$search": {"exists": {"path": "t"}, "sort": {}}}],
+            Context(spark=spark))(df)
