@@ -2683,8 +2683,12 @@ def url_parse_stage(expression: Any, ctx: Context) -> StageFn:
     """URL decomposition for corpus curation: ``{input, as?}`` adds a
     struct (default ``url``) with ``scheme``, ``host``, ``domain``
     (host minus one leading ``www.``), ``apex`` (last two host labels),
-    ``path``, ``query`` and ``fragment`` — every part null when the
-    value does not parse as a URL.
+    ``path``, ``query`` and ``fragment`` — each part null when that
+    component is absent.  Values with no recognizable URL structure get
+    all-null parts, but scheme-less inputs like ``example.com/path``
+    parse PARTIALLY (Java URI semantics: path non-null, host/scheme
+    null) — filter on ``url.host`` (not ``url.path``) as the
+    "parsed as a web URL" proxy.
 
     The standard front door to domain-level curation (blocklists,
     per-domain caps, URL dedup): follow with $match on ``url.domain``

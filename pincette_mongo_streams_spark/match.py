@@ -235,6 +235,10 @@ def _geo_predicate(col: Column, ftype: Any, op: str, arg: Any) -> Column:
 
     if not isinstance(arg, dict) or not arg:
         raise ValueError(f"{op} needs a shape document")
+    if ftype is None:
+        # Mongo: a missing field simply doesn't match any geo predicate
+        # (every other $match operator degrades the same way here)
+        return F.lit(False)
     lon, lat = lonlat_from_type(col, ftype, op)
     base = lon.isNotNull() & lat.isNotNull()
     if "$geometry" in arg:

@@ -507,14 +507,12 @@ def _geo_lonlat(df: DataFrame, path: str) -> tuple[Column, Column]:
     Accepted shapes: ``array<numeric>`` as ``[lon, lat]`` or a
     GeoJSON-style struct carrying a ``coordinates`` array field.
     """
-    dt: Any = df.schema
-    for part in path.split("."):
-        dt = (dt[part].dataType
-              if isinstance(dt, T.StructType) and part in dt.fieldNames()
-              else None)
-        if dt is None:
-            raise ValueError(
-                f"$search geo path {path!r} is not in the schema")
+    from ..paths import path_type
+
+    dt = path_type(df.schema, split_path(path))
+    if dt is None:
+        raise ValueError(
+            f"$search geo path {path!r} is not in the schema")
     col = compile_expr(f"${path}", ExprContext(schema=df.schema))
     return _lonlat_from_type(col, dt, f"$search geo path {path!r}")
 
@@ -1036,10 +1034,16 @@ def search_stage(expression: Any, ctx: Context) -> StageFn:
                             "$search sort values are 1, -1 or "
                             "{$meta: searchScore}")
                     order.append(F.col(SSCORE).desc())
+                elif sdir in (1, -1):
+                    fc = F.col(fname)
+                    order.append(fc.asc() if sdir == 1 else fc.desc())
                 else:
-                    c = F.col(fname)
-                    order.append(c.asc() if sdir == 1 else c.desc())
-            order.append(F.col(SSCORE).desc())
+                    raise ValueError(
+                        "$search sort values are 1, -1 or "
+                        "{$meta: searchScore}")
+            # score desc then first column: the same deterministic
+            # tie-break as relevance order, so $limit top-k is stable
+            order += [F.col(SSCORE).desc(), F.col(df.columns[0])]
         else:
             order = [F.col(SSCORE).desc(), F.col(df.columns[0])]
         return (
@@ -1250,6 +1254,10 @@ def geo_near_stage(expression: Any, ctx: Context) -> StageFn:
     min_d = expression.get("minDistance")
     max_d = expression.get("maxDistance")
     mult = float(expression.get("distanceMultiplier", 1.0))
+    if mult < 0:
+        # Mongo rejects it too; silently sorting ascending on negated
+        # distances would emit farthest-first
+        raise ValueError("$geoNear distanceMultiplier must be nonnegative")
     include_locs = expression.get("includeLocs")
     olon, olat = _geo_point(near, "geoNear.near")
 

@@ -876,3 +876,21 @@ def test_search_sort_option(spark):
         compile_pipeline(
             [{"$search": {"exists": {"path": "t"}, "sort": {}}}],
             Context(spark=spark))(df)
+
+
+def test_search_sort_and_geo_near_validation(spark):
+    """Review fixes: $search sort rejects directions beyond 1/-1;
+    $geoNear rejects a negative distanceMultiplier."""
+    import pytest
+
+    df = spark.createDataFrame(_DOCS, _SCHEMA)
+    with pytest.raises(ValueError, match="sort values"):
+        compile_pipeline(
+            [{"$search": {"exists": {"path": "t"},
+                          "sort": {"views": "asc"}}}],
+            Context(spark=spark))(df).collect()
+    with pytest.raises(ValueError, match="nonnegative"):
+        compile_pipeline(
+            [{"$geoNear": {"near": [0.0, 0.0], "distanceField": "d",
+                           "key": "loc", "distanceMultiplier": -1.0}}],
+            Context(spark=spark))

@@ -86,12 +86,11 @@ def test_rekey_on_new_id(spark):
 
 
 def test_unsupported_falls_to_tier2_boundary(spark):
-    # `input` (multi-doc streams) is beyond both the native subset and
-    # the tier-2 interpreter (stage contract is one-doc-in); the boundary
-    # error stays loud (r4: limit/../regex-capture scripts now run on the
-    # tier-2 interpreter instead)
+    # `@base32` is beyond both the native subset and the tier-2
+    # interpreter; the boundary error stays loud (r5: `input`/`inputs`
+    # now run tier-2 with one-doc-in stream semantics)
     with pytest.raises(NotImplementedError, match="jq"):
-        _run(spark, '. + {next: input}')
+        _run(spark, '@base32 "\\(.name)"')
 
 
 def test_beyond_subset_runs_on_tier2_interpreter(spark):

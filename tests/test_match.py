@@ -242,3 +242,21 @@ def test_geo_within_and_intersects(spark):
             "$box": [[0.0, 0.0], [1.0, 1.0]]}}})
     with pytest.raises(ValueError, match="shape"):
         ids({"loc": {"$geoWithin": {}}})
+
+
+def test_geo_missing_field_does_not_match(spark):
+    """Mongo semantics: a geo predicate over a field absent from the
+    schema simply matches nothing (no compile error), so $or branches
+    keep working."""
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    out = compile_pipeline(
+        [{"$match": {"$or": [
+            {"loc": {"$geoWithin": {"$geometry": {
+                "type": "Polygon",
+                "coordinates": [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]]]}}}},
+            {"id": 1},
+        ]}}],
+        Context(spark=spark))(df)
+    assert [r["id"] for r in out.collect()] == [1]
