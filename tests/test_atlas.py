@@ -894,3 +894,34 @@ def test_search_sort_and_geo_near_validation(spark):
             [{"$geoNear": {"near": [0.0, 0.0], "distanceField": "d",
                            "key": "loc", "distanceMultiplier": -1.0}}],
             Context(spark=spark))
+
+
+def test_search_meta_geo_operator(spark):
+    """$searchMeta counts/facets through the geo clauses (shared
+    _search_clause path — geoWithin region counts come for free)."""
+    rows = [(1, [4.35, 50.85], "be"), (2, [2.35, 48.86], "fr"),
+            (3, [-74.0, 40.71], "us"), (4, None, "be")]
+    df = spark.createDataFrame(
+        rows, "id long, loc array<double>, country string")
+    out = compile_pipeline(
+        [{"$searchMeta": {"geoWithin": {
+            "path": "loc",
+            "box": {"bottomLeft": [-5.0, 42.0],
+                    "topRight": [10.0, 55.0]}}}}],
+        Context(spark=spark))(df).collect()
+    assert out[0]["count"]["total"] == 2
+    out = compile_pipeline(
+        [{"$searchMeta": {"facet": {
+            "operator": {"geoWithin": {
+                "path": "loc",
+                "box": {"bottomLeft": [-5.0, 42.0],
+                        "topRight": [10.0, 55.0]}}},
+            "facets": {"by_country": {"type": "string",
+                                      "path": "country"}},
+        }}}],
+        Context(spark=spark))(df).collect()
+    row = out[0].asDict(recursive=True)
+    assert row["count"]["total"] == 2
+    buckets = {b["_id"]: b["count"]
+               for b in row["facet"]["by_country"]["buckets"]}
+    assert buckets == {"be": 1, "fr": 1}
