@@ -213,3 +213,26 @@ def test_span_dedup_sf01(spark):
     losers = [k for k in dup_ids if by[k] > 0]
     assert len(losers) >= max(1, len(dup_ids) - 20)
     assert secs < 120, f"span_dedup took {secs:.1f}s at sf0.1"
+
+
+def test_group_cap_sf01(spark):
+    """$groupCap over sf0.1 documents (r5): the rank filter must compile
+    to WindowGroupLimit (partial map-side per-group pruning BEFORE the
+    exchange + final pruning after), one hash exchange, no join, no
+    Python; wall-time budgeted."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = compile_pipeline(
+        [{"$groupCap": {"by": "$source", "cap": 3,
+                        "sortBy": {"n_chars": -1, "doc_id": 1}}},
+         {"$project": {"doc_id": 1, "source": 1}}],
+        Context(spark=spark))(docs)
+    plan = _assert_scale_plan(out, "group_cap")
+    assert plan.count("WindowGroupLimit") == 2   # partial + final
+    t0 = time.monotonic()
+    rows = out.collect()
+    secs = time.monotonic() - t0
+    from collections import Counter
+
+    per = Counter(r["source"] for r in rows)
+    assert per and max(per.values()) <= 3
+    assert secs < 60, f"group_cap took {secs:.1f}s at sf0.1"
