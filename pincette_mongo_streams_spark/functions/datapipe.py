@@ -767,6 +767,13 @@ def embed_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     limits candidate pairs to same-bucket docs; exact cosine then decides.
     The larger id of each near-dup pair is dropped.
 
+    ``transitive: true`` resolves chained near-dups (a≈b≈c with a̸≈c)
+    with connected components — exactly the min-id doc of each cluster
+    survives; ``as: "<field>"`` (requires transitive) switches to
+    ANNOTATE mode, labeling every row with its cluster id instead of
+    dropping (compose with ``$groupCap`` for best-per-cluster keep) —
+    the same contract as ``$minhashDedup``.
+
     Scale guard: with ``bits`` omitted the plan is an exact all-pairs
     self-join — O(n²) and unrunnable on a large corpus.  That plan is
     REFUSED when the input's optimizer size estimate exceeds
@@ -779,6 +786,13 @@ def embed_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     bits = expression.get("bits")
     dim = int(expression.get("dim", 16))
     force_exact = bool(expression.get("exact", False))
+    transitive = bool(expression.get("transitive", False))
+    as_field = expression.get("as")
+    if as_field and not transitive:
+        raise ValueError(
+            "$embedDedup as (annotate mode) requires transitive: true — "
+            "cluster labels are connected-component ids (same contract "
+            "as $minhashDedup)")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         if bits is None and not force_exact:
@@ -826,10 +840,35 @@ def embed_dedup_stage(expression: Any, ctx: Context) -> StageFn:
         pairs = (
             docs.alias("a")
             .join(docs.alias("b"), cond)
-            .select(F.col("b.__did").alias("__idb"), dot.alias("__cos"))
+            .select(F.col("a.__did").alias("__ida"),
+                    F.col("b.__did").alias("__idb"), dot.alias("__cos"))
+            .filter(F.col("__cos") >= threshold)
         )
-        dups = pairs.filter(F.col("__cos") >= threshold).select(
-            F.col("__idb").alias("__did")).distinct()
+        if transitive:
+            # resolve chained near-dups (a≈b≈c with a̸≈c) into one
+            # connected component; exactly the min-id doc survives, or —
+            # annotate mode — every row keeps its cluster label
+            from ..operators.graphcc import connected_components
+
+            labels = connected_components(
+                pairs.select(F.col("__ida").alias("a"),
+                             F.col("__idb").alias("b")))
+            if as_field:
+                lab = labels.select(F.col("__cc_node").alias("__did"),
+                                    F.col("__cc_comp").alias("__lab"))
+                return (
+                    df.join(lab, df[id_field] == lab["__did"], "left")
+                    .withColumn(
+                        as_field,
+                        F.coalesce(F.col("__lab"), F.col(id_field)))
+                    .drop("__did", "__lab")
+                )
+            dups = (
+                labels.filter(F.col("__cc_node") != F.col("__cc_comp"))
+                .select(F.col("__cc_node").alias("__did"))
+            )
+        else:
+            dups = pairs.select(F.col("__idb").alias("__did")).distinct()
         return df.join(dups, df[id_field] == dups["__did"], "left_anti")
 
     return fn

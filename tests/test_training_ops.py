@@ -507,3 +507,33 @@ def test_minhash_dedup_annotate_mode(spark):
             [{"$minhashDedup": {"input": "$text", "id": "doc_id",
                                 "as": "cluster"}}],
             Context(spark=spark))(df)
+
+
+def test_embed_dedup_transitive_and_annotate(spark):
+    """$embedDedup transitive/annotate: chained near-dups (a~b~c with
+    a!~c at the threshold) collapse to one CC cluster; annotate labels
+    instead of dropping (same contract as $minhashDedup)."""
+    import math
+
+    import pytest
+
+    def unit(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    rows = [(1, unit(0)), (2, unit(20)), (3, unit(40)), (4, unit(90))]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    thr = math.cos(math.radians(25))     # ~0.906: links 0-20, 20-40
+    base = {"input": "$emb", "id": "vec_id", "threshold": thr}
+    kept = compile_pipeline(
+        [{"$embedDedup": {**base, "transitive": True}}],
+        Context(spark=spark))(df)
+    assert sorted(r["vec_id"] for r in kept.collect()) == [1, 4]
+    out = compile_pipeline(
+        [{"$embedDedup": {**base, "transitive": True, "as": "cluster"}}],
+        Context(spark=spark))(df)
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+    with pytest.raises(ValueError, match="transitive"):
+        compile_pipeline(
+            [{"$embedDedup": {**base, "as": "cluster"}}],
+            Context(spark=spark))(df)
