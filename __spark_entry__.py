@@ -1828,6 +1828,25 @@ FROM v WHERE u > 0 AND floor(i / u * 1e9 + 0.5) / 1e9 >= 0.3""",
     )
 )
 
+# $editDistanceJoin's q-gram prefix filtering is EXACT (no recall loss),
+# so the oracle is the brute-force all-pairs ground truth, not a
+# reproduction of the candidate path.
+_register(
+    "edit_distance_join",
+    """SELECT a.p_partkey AS left_id, b.p_partkey AS right_id,
+              CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+       FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+       WHERE levenshtein(a.p_name, b.p_name) <= 1""",
+)(
+    _pipe(
+        "part",
+        [
+            {"$editDistanceJoin": {"input": "$p_name", "id": "p_partkey",
+                                   "maxDistance": 1}},
+        ],
+    )
+)
+
 
 def _simhash_sql(bits: int = 16) -> str:
     hashes = (

@@ -536,6 +536,153 @@ def jaccard_join_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$editDistanceJoin")
+def edit_distance_join_stage(expression: Any, ctx: Context) -> StageFn:
+    """Edit-distance similarity join: ``{from?, input, id, foreignInput?,
+    foreignId?, maxDistance, gram}`` → ``(left_id, right_id, distance)``
+    rows for every pair whose Levenshtein distance is <= ``maxDistance``.
+
+    Complements $jaccardJoin for short strings (titles, names, OCR/typo
+    noise) where set similarity is too coarse.  Candidate generation is
+    EXACT (no recall loss, unlike the MinHash/SimHash banding families):
+
+    * Long strings (``len >= gram*(maxDistance+1)``) use q-gram prefix
+      filtering (ED-Join, Xiao et al., VLDB 2008): <= ``maxDistance``
+      edits destroy at most ``gram*maxDistance`` of a string's positional
+      q-grams, so two strings within distance k must share a gram among
+      their ``gram*k + 1`` globally-rarest grams.  One corpus-wide gram
+      document-frequency aggregate defines the rarity order; per-string
+      prefix selection is a ``row_number <= q*k+1`` (WindowGroupLimit);
+      candidates come from an equi-join of the tiny prefix sets — rare
+      grams first means hot grams (stop-word shingles) almost never key
+      the join, which is what keeps bucket sizes bounded at corpus scale.
+    * Short strings (too few grams for the pigeonhole bound) fall back to
+      a length-band equi-join: the short side fans out to its 2k+1
+      admissible lengths; both sides of the band are restricted to
+      ``len < gram*(maxDistance+1) + maxDistance``, so the band pool only
+      degenerates when the whole corpus is that short (pick a smaller
+      ``gram``).
+
+    Verification is Spark's banded `levenshtein(a, b, k)` (O(k·n) per
+    pair, returns -1 above the threshold) behind a length-difference
+    prefilter.  Without ``from`` it is a self-join emitting each
+    unordered pair once (left_id < right_id).  Null strings never match.
+    """
+    from_coll = expression.get("from")
+    inp = expression["input"]
+    id_field = expression.get("id", "_id")
+    fin = expression.get("foreignInput", inp)
+    fid = expression.get("foreignId", id_field)
+    k = int(expression.get("maxDistance", 1))
+    q = int(expression.get("gram", 2))
+    if k < 0:
+        raise ValueError("$editDistanceJoin maxDistance must be >= 0")
+    if q < 1:
+        raise ValueError("$editDistanceJoin gram must be >= 1")
+    prefix_len = q * k + 1
+    min_long = q * (k + 1)
+
+    def positional_grams(s: Column) -> Column:
+        # array<struct<pos, g>>: the q-length windows of s (1-based pos);
+        # only called where length(s) >= min_long >= q, so the sequence
+        # bound is always >= 1
+        return F.transform(
+            F.sequence(F.lit(1), F.length(s) - q + 1),
+            lambda i: F.struct(i.alias("pos"), s.substr(i, F.lit(q)).alias("g")),
+        )
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        df = _spread(df)
+        ltext = compile_expr(inp, ExprContext(schema=df.schema)).cast("string")
+        left = df.select(F.col(id_field).alias("left_id"), ltext.alias("__sa"))
+        if from_coll is None:
+            right = left.select(
+                F.col("left_id").alias("right_id"), F.col("__sa").alias("__sb")
+            )
+        else:
+            right_df = c.collection(from_coll)
+            rtext = compile_expr(
+                fin, ExprContext(schema=right_df.schema)
+            ).cast("string")
+            right = right_df.select(
+                F.col(fid).alias("right_id"), rtext.alias("__sb")
+            )
+
+        def grams(side: DataFrame, idc: str, sc: str) -> DataFrame:
+            return (
+                side.filter(F.length(sc) >= min_long)
+                .select(idc, F.explode(positional_grams(F.col(sc))).alias("__pg"))
+                .select(
+                    idc,
+                    F.col("__pg.g").alias("__g"),
+                    F.col("__pg.pos").alias("__pos"),
+                )
+            )
+
+        lg = grams(left, "left_id", "__sa")
+        if from_coll is None:
+            rg = lg.select(
+                F.col("left_id").alias("right_id"), "__g", "__pos"
+            )
+            all_grams = lg.select("__g")
+        else:
+            rg = grams(right, "right_id", "__sb")
+            all_grams = lg.select("__g").unionByName(rg.select("__g"))
+        # one global gram-frequency pass defines the rarity order; the
+        # result is vocabulary-sized (AQE broadcasts it when small)
+        freq = all_grams.groupBy("__g").agg(F.count("*").alias("__df"))
+
+        def prefix(g: DataFrame, idc: str) -> DataFrame:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(idc).orderBy("__df", "__g", "__pos")
+            return (
+                g.join(freq, "__g")
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= prefix_len)
+                .select(idc, "__g")
+            )
+
+        cand_long = prefix(lg, "left_id").join(
+            prefix(rg, "right_id"), "__g"
+        ).select("left_id", "right_id")
+        # short-string fallback: both pool members are < min_long + k
+        # chars, and any pair with a sub-min_long member has both members
+        # in the pool; the left fans out to its 2k+1 admissible lengths
+        short_cut = min_long + k
+        ls = left.filter(F.length("__sa") < short_cut).select(
+            "left_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(-k), F.lit(k)),
+                    lambda d: F.length("__sa") + d,
+                )
+            ).alias("__lb"),
+        )
+        rs = right.filter(F.length("__sb") < short_cut).select(
+            "right_id", F.length("__sb").alias("__lb")
+        )
+        cand_short = ls.join(rs, "__lb").select("left_id", "right_id")
+        pairs = cand_long.unionByName(cand_short)
+        if from_coll is None:
+            pairs = pairs.filter(F.col("left_id") < F.col("right_id"))
+        pairs = pairs.distinct()
+        dist = (
+            F.levenshtein("__sa", "__sb", k) if k > 0
+            else F.when(F.col("__sa") == F.col("__sb"), 0).otherwise(-1)
+        )
+        return (
+            pairs.join(left, "left_id")
+            .join(right, "right_id")
+            .filter(F.abs(F.length("__sa") - F.length("__sb")) <= k)
+            .withColumn("distance", dist.cast("long"))
+            .filter(F.col("distance") >= 0)
+            .select("left_id", "right_id", "distance")
+        )
+
+    return fn
+
+
 @register_stage("$simhash")
 def simhash_stage(expression: Any, ctx: Context) -> StageFn:
     """64-bit SimHash over word shingles: ``{input, as, shingle, bits}``.

@@ -537,3 +537,60 @@ def test_embed_dedup_transitive_and_annotate(spark):
         compile_pipeline(
             [{"$embedDedup": {**base, "as": "cluster"}}],
             Context(spark=spark))(df)
+
+
+def test_edit_distance_join_self(spark):
+    """$editDistanceJoin self-join: exact candidate generation (q-gram
+    prefix filter) + thresholded levenshtein verify, unordered pairs."""
+    df = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting"), (3, "kitchen"), (4, "mitten"),
+         (5, "apple"), (6, None)],
+        "id long, s string")
+    out = compile_pipeline(
+        [{"$editDistanceJoin": {"input": "$s", "id": "id",
+                                "maxDistance": 2}}],
+        Context(spark=spark))(df)
+    got = sorted((r.left_id, r.right_id, r.distance) for r in out.collect())
+    # kitten~kitchen d=2, kitten~mitten d=1; sitting is d=3 from all
+    assert got == [(1, 3, 2), (1, 4, 1)]
+
+
+def test_edit_distance_join_short_string_fallback(spark):
+    """Strings below gram*(k+1) chars have too few q-grams for the
+    pigeonhole bound; they route through the length-band fallback."""
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "ba"), (3, "abc"), (4, "zz"), (5, "")],
+        "id long, s string")
+    out = compile_pipeline(
+        [{"$editDistanceJoin": {"input": "$s", "id": "id",
+                                "maxDistance": 1}}],
+        Context(spark=spark))(df)
+    got = sorted((r.left_id, r.right_id, r.distance) for r in out.collect())
+    assert got == [(1, 3, 1)]
+
+
+def test_edit_distance_join_from_collection(spark):
+    """from-collection form joins against a foreign corpus; pairs carry
+    both orders' ids without the self-join left<right constraint."""
+    df = spark.createDataFrame([(10, "widget"), (11, "gizmo")],
+                               "id long, s string")
+    ref = spark.createDataFrame([(1, "widgets"), (2, "midget"), (3, "bolt")],
+                                "rid long, name string")
+    out = compile_pipeline(
+        [{"$editDistanceJoin": {"from": "ref", "input": "$s", "id": "id",
+                                "foreignInput": "$name", "foreignId": "rid",
+                                "maxDistance": 1}}],
+        Context(spark=spark, collections={"ref": ref}))(df)
+    got = sorted((r.left_id, r.right_id, r.distance) for r in out.collect())
+    assert got == [(10, 1, 1), (10, 2, 1)]
+
+
+def test_edit_distance_join_validation(spark):
+    with pytest.raises(ValueError, match="maxDistance"):
+        compile_pipeline(
+            [{"$editDistanceJoin": {"input": "$s", "maxDistance": -1}}],
+            Context(spark=spark))
+    with pytest.raises(ValueError, match="gram"):
+        compile_pipeline(
+            [{"$editDistanceJoin": {"input": "$s", "gram": 0}}],
+            Context(spark=spark))
