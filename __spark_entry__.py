@@ -4432,6 +4432,141 @@ _register(
 )(_jslt_import_query)
 
 
+# r5: markup / quality / PII signals over the documents corpus.  The sf
+# documents carry no markup or PII, so the queries first synthesize a
+# deterministic page/message around each text (same concat in the
+# oracle) — the operators are exercised on real variety, not on a
+# constant.
+_HTML_HEAD = ('<html><head><title>t</title><style>p {color:red}</style>'
+              '</head><body class="x">')
+_HTML_TAIL = ('<script type="text/javascript">var i=0;</script>'
+              '<p>Tom &amp; Jerry &lt;3 &quot;cheese&quot;&nbsp;'
+              '&#39;ok&#39;</p></body></html>')
+
+_register(
+    "html_strip",
+    f"""WITH page AS (
+  SELECT doc_id, '{_HTML_HEAD.replace("'", "''")}' || text
+                 || '{_HTML_TAIL.replace("'", "''")}' AS p
+  FROM documents),
+stripped AS (
+  SELECT doc_id, p,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(p, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '<[^>]*>', ' ', 'g'),
+             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
+           '\\s+', ' ', 'g')) AS clean
+  FROM page)
+SELECT doc_id, clean AS clean_text,
+       CAST(len(regexp_extract_all(p, '<[^>]*>')) AS INT) AS n_tags,
+       {_r('1.0 - length(clean)::DOUBLE / length(p)', 6)} AS markup_ratio
+FROM stripped ORDER BY doc_id""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$set": {"page": {"$concat": [_HTML_HEAD, "$text", _HTML_TAIL]}}},
+            {"$htmlStrip": {"input": "$page", "as": "html"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "clean_text": "$html.clean_text",
+                          "n_tags": "$html.n_tags",
+                          "markup_ratio": "$html.markup_ratio"}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
+_register(
+    # Shannon entropy quality signal, both units; DuckDB's entropy()
+    # aggregate is the log-2 ground truth for the HOF column program.
+    "entropy_score",
+    f"""WITH ch AS (
+  SELECT doc_id,
+         unnest([substring(text, i+1, 1) FOR i IN range(0, len(text))]) AS c
+  FROM documents),
+ce AS (SELECT doc_id, {_r('entropy(c)', 6)} AS char_entropy
+       FROM ch GROUP BY doc_id),
+wd AS (SELECT doc_id,
+              unnest(list_filter(string_split_regex(text, '\\s+'),
+                                 w -> w <> '')) AS w
+       FROM documents),
+we AS (SELECT doc_id, {_r('entropy(w)', 6)} AS word_entropy
+       FROM wd GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(ce.char_entropy, 0.0) END AS char_entropy,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(we.word_entropy, 0.0) END AS word_entropy
+FROM documents d
+LEFT JOIN ce USING (doc_id) LEFT JOIN we USING (doc_id)
+ORDER BY d.doc_id""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$entropyScore": {"input": "$text", "as": "char_entropy"}},
+            {"$entropyScore": {"input": "$text", "as": "word_entropy",
+                               "unit": "word"}},
+            {"$project": {"_id": 0, "doc_id": 1, "char_entropy": 1,
+                          "word_entropy": 1}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
+_PII_A = " reach me at jo.doe+x@mail-host.co or https://ex.org/a?b=1 "
+_PII_B = " from 10.0.12.9 call +1 (415) 555-0199 now"
+
+_register(
+    "pii_stats",
+    f"""WITH msg AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN '{_PII_A}' ELSE '' END
+              || CASE WHEN doc_id % 4 = 0 THEN '{_PII_B}' ELSE '' END AS m
+  FROM documents),
+c AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(m,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT) AS email,
+    CAST(len(regexp_extract_all(m, 'https?://[^\\s]+')) AS INT) AS url,
+    CAST(len(regexp_extract_all(m,
+      '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS INT) AS ip,
+    CAST(len(regexp_extract_all(m,
+      '\\+?\\d[\\d\\s().-]{{7,}}\\d')) AS INT) AS phone
+  FROM msg)
+SELECT doc_id, email, url, ip, phone,
+       CAST(email + url + ip + phone AS INT) AS total,
+       (email + url + ip + phone) > 0 AS has_pii
+FROM c ORDER BY doc_id""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$set": {"msg": {"$concat": [
+                "$text",
+                {"$cond": [{"$eq": [{"$mod": ["$doc_id", 3]}, 0]},
+                           _PII_A, ""]},
+                {"$cond": [{"$eq": [{"$mod": ["$doc_id", 4]}, 0]},
+                           _PII_B, ""]}]}}},
+            {"$piiStats": {"input": "$msg", "as": "pii"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "email": "$pii.email", "url": "$pii.url",
+                          "ip": "$pii.ip", "phone": "$pii.phone",
+                          "total": "$pii.total",
+                          "has_pii": "$pii.has_pii"}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
 _ORDER = [
     # §2.1 stages + §2.3 match language
     # r3: lookup_residual moved past-window (redundant with

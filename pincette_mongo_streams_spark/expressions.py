@@ -1284,6 +1284,13 @@ def _regex_find_all(raw: Any, ctx: ExprContext) -> Column:
 
 
 OPERATORS["$binarySize"] = lambda raw, ctx: F.octet_length(_c(_args(raw)[0], ctx))
+# BSON wire size is not reproducible without a BSON encoder; the engine's
+# documented proxy is the UTF-8 byte length of the document's JSON
+# encoding — same monotonicity ("which document is bigger"), different
+# constant.  Null documents -> null, like Mongo.
+OPERATORS["$bsonSize"] = lambda raw, ctx: F.octet_length(
+    F.to_json(_c(_args(raw)[0], ctx))
+)
 OPERATORS["$toUUID"] = lambda raw, ctx: _c(_args(raw)[0], ctx).cast("string")
 OPERATORS["$tsSecond"] = lambda raw, ctx: F.unix_timestamp(_c(_args(raw)[0], ctx))
 # BSON-timestamp ordinal: plain timestamps carry no per-second counter,

@@ -2972,3 +2972,153 @@ def group_cap_stage(expression: Any, ctx: Context) -> StageFn:
         )
 
     return fn
+
+
+# ------------------------------------------------- markup / quality signals
+
+
+def _half_up6(col: Column) -> Column:
+    """Half-up at 6 digits via the floor formula — bit-identical to the
+    SQL-oracle ``_r(expr, 6)`` convention (plain round() differs between
+    engines on boundary halves)."""
+    return (F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("double")
+
+
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+]
+
+
+@register_stage("$htmlStrip")
+def html_strip_stage(expression: Any, ctx: Context) -> StageFn:
+    """Markup removal for web-scraped corpora: ``{input, as?}`` adds a
+    struct:
+
+    - ``clean_text`` — ``<script>``/``<style>`` blocks dropped wholesale
+      (their text is code, not prose), every remaining tag replaced by a
+      space, the common named entities decoded (``&amp; &lt; &gt; &quot;
+      &#39; &apos; &nbsp;``), whitespace runs collapsed, trimmed
+    - ``n_tags`` — tag count in the raw text (markup-density signal)
+    - ``markup_ratio`` — ``1 - len(clean)/len(raw)`` (0 for empty raw):
+      the fraction of the document that was markup
+
+    This is a heuristic regex stripper for corpus triage, not an HTML
+    parser — CDATA, conditional comments and numeric entities pass
+    through (documented boundary; a real extraction pass would sit in
+    ``mapInPandas`` behind the same schema).  Regexes avoid
+    backreferences so the operator stays oracle-checkable under RE2.
+    100 TB shape: a row-local ``regexp_replace`` chain — no shuffle, no
+    Python."""
+    inp = expression["input"]
+    as_field = expression.get("as", "html")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        raw = compile_expr(inp, ExprContext(schema=df.schema))
+        clean = raw
+        for block in ("script", "style"):
+            clean = F.regexp_replace(
+                clean, f"(?is)<{block}[^>]*>.*?</{block}>", " ")
+        clean = F.regexp_replace(clean, "<[^>]*>", " ")
+        for ent, rep in HTML_ENTITIES:
+            clean = F.replace(clean, F.lit(ent), F.lit(rep))
+        clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
+        ratio = F.when(
+            F.length(raw) > 0,
+            _half_up6(1.0 - F.length(clean).cast("double") / F.length(raw)),
+        ).otherwise(F.lit(0.0))
+        st = F.struct(
+            clean.alias("clean_text"),
+            F.regexp_count(raw, F.lit("<[^>]*>")).cast("int").alias("n_tags"),
+            ratio.alias("markup_ratio"),
+        )
+        return df.withColumn(as_field, st)
+
+    return fn
+
+
+@register_stage("$entropyScore")
+def entropy_score_stage(expression: Any, ctx: Context) -> StageFn:
+    """Shannon entropy of the document's unigram distribution —
+    ``{input, as?, unit?: "char"|"word"}`` adds a double column (bits):
+    low character entropy flags gibberish / boilerplate / repeated-key
+    spam, low word entropy flags template pages (a standard
+    quality-filter feature alongside $repetitionScore's Gopher rules).
+
+    Entirely a higher-order-function column program (no UDF, no
+    shuffle): tokens -> ``array_sort`` -> run-length boundaries via an
+    indexed ``filter`` -> counts via ``zip_with`` against the shifted
+    boundary list -> ``H = log2(n) - sum(c*log2(c))/n`` via
+    ``aggregate``.  Per-row memory is O(doc length) — the same bound as
+    the shingling operators.  Null input -> null; empty -> 0.0.
+    Rounded to 6 digits (cross-engine libm drift)."""
+    inp = expression["input"]
+    as_field = expression.get("as", "entropy")
+    unit = expression.get("unit", "char")
+    if unit not in ("char", "word"):
+        raise ValueError(f"$entropyScore unit must be char|word, got {unit}")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        raw = compile_expr(inp, ExprContext(schema=df.schema))
+        sep = "" if unit == "char" else r"\s+"
+        toks = F.filter(F.split(raw, sep), lambda x: x != F.lit(""))
+        s = F.array_sort(toks)
+        n = F.size(s)
+        # 0-based positions where a new run starts in the sorted array
+        idx = F.filter(
+            F.transform(s, lambda x, i: i),
+            lambda i: (i == F.lit(0))
+            | (F.element_at(s, i) != F.element_at(s, i + F.lit(1))),
+        )
+        shifted = F.concat(
+            F.slice(idx, 2, F.greatest(F.size(idx) - 1, F.lit(0))),
+            F.array(n),
+        )
+        counts = F.zip_with(idx, shifted, lambda a, b: b - a)
+        sum_clogc = F.aggregate(
+            counts,
+            F.lit(0.0),
+            lambda acc, cnt: acc
+            + cnt.cast("double") * F.log2(cnt.cast("double")),
+        )
+        ent = (
+            F.when(raw.isNull(), F.lit(None).cast("double"))
+            .when(n > 0, _half_up6(F.log2(n.cast("double")) - sum_clogc / n))
+            .otherwise(F.lit(0.0))
+        )
+        return df.withColumn(as_field, ent)
+
+    return fn
+
+
+@register_stage("$piiStats")
+def pii_stats_stage(expression: Any, ctx: Context) -> StageFn:
+    """PII density signals: ``{input, as?}`` adds a struct with a
+    non-overlapping match count per $scrubText rule — ``{email, url,
+    ip, phone, total, has_pii}`` — so pipelines can FILTER or ROUTE on
+    PII density (``$scrubText`` rewrites; this one measures).  Counts
+    are independent per rule (a URL embedding an @-token counts under
+    both ``url`` and ``email``), unlike $scrubText's ordered rewrite
+    chain — document-level triage wants the raw per-pattern signal.
+    100 TB shape: four native ``regexp_count`` calls, row-local, no
+    shuffle, no Python."""
+    inp = expression["input"]
+    as_field = expression.get("as", "pii")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        raw = compile_expr(inp, ExprContext(schema=df.schema))
+        counts = {
+            name: F.regexp_count(raw, F.lit(rx)).cast("int")
+            for name, (rx, _tok) in SCRUB_RULES
+        }
+        total = None
+        for cnt in counts.values():
+            total = cnt if total is None else total + cnt
+        st = F.struct(
+            *[cnt.alias(name) for name, cnt in counts.items()],
+            total.cast("int").alias("total"),
+            (total > 0).alias("has_pii"),
+        )
+        return df.withColumn(as_field, st)
+
+    return fn

@@ -1,0 +1,130 @@
+"""$htmlStrip / $entropyScore / $piiStats — markup, entropy and PII-density
+signals for corpus curation (r5 additions; DuckDB parity in
+test_oracle_parity.py — these are the edge cases parity can't reach)."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from pincette_mongo_streams_spark import Context, compile_pipeline
+
+
+def _one(spark, stage, text, field):
+    df = spark.createDataFrame([Row(doc_id=1, text=text)],
+                               "doc_id long, text string")
+    out = compile_pipeline([stage], Context(spark=spark))(df)
+    return out.collect()[0][field]
+
+
+# ------------------------------------------------------------- $htmlStrip
+
+
+def _strip(spark, text):
+    return _one(spark, {"$htmlStrip": {"input": "$text", "as": "h"}},
+                text, "h")
+
+
+def test_html_strip_tags_and_entities(spark):
+    h = _strip(spark, '<p class="a">Tom &amp; Jerry</p><br/>')
+    assert h.clean_text == "Tom & Jerry"
+    assert h.n_tags == 3
+    assert h.markup_ratio > 0.5
+
+
+def test_html_strip_drops_script_and_style_bodies(spark):
+    h = _strip(spark, "<style>p{x}</style>keep<script>var a=1;\n"
+                      "if(a<2){a++}</script>also")
+    # the script body (including its '<' comparison) is gone wholesale
+    assert h.clean_text == "keep also"
+
+
+def test_html_strip_plain_text_is_identity(spark):
+    h = _strip(spark, "no markup here, just 1 < 2 prose")
+    # a bare '<' with no closing '>' on the line is not a tag
+    assert h.clean_text == "no markup here, just 1 < 2 prose"
+    assert h.n_tags == 0
+    assert h.markup_ratio == 0.0
+
+
+def test_html_strip_empty_and_null(spark):
+    h = _strip(spark, "")
+    assert h.clean_text == "" and h.n_tags == 0 and h.markup_ratio == 0.0
+    h = _strip(spark, None)
+    assert h.clean_text is None and h.n_tags is None
+
+
+# ---------------------------------------------------------- $entropyScore
+
+
+def _entropy(spark, text, **opts):
+    return _one(
+        spark,
+        {"$entropyScore": {"input": "$text", "as": "e", **opts}},
+        text, "e")
+
+
+def test_entropy_uniform_chars(spark):
+    # 4 distinct chars, equal counts -> exactly 2 bits
+    assert _entropy(spark, "aabbccdd") == 2.0
+
+
+def test_entropy_single_symbol_is_zero(spark):
+    assert _entropy(spark, "aaaaaaaa") == 0.0
+
+
+def test_entropy_matches_python(spark):
+    text = "abracadabra"
+    n = len(text)
+    h = -sum(
+        text.count(ch) / n * math.log2(text.count(ch) / n)
+        for ch in set(text)
+    )
+    assert _entropy(spark, text) == pytest.approx(h, abs=1e-6)
+
+
+def test_entropy_word_unit(spark):
+    # 3 words, one repeated: p = (2/3, 1/3)
+    h = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
+    assert _entropy(spark, "to be  to", unit="word") == \
+        pytest.approx(h, abs=1e-6)
+
+
+def test_entropy_empty_and_null(spark):
+    assert _entropy(spark, "") == 0.0
+    assert _entropy(spark, None) is None
+
+
+def test_entropy_rejects_unknown_unit(spark):
+    with pytest.raises(ValueError, match="unit"):
+        _entropy(spark, "x", unit="byte")
+
+
+# ------------------------------------------------------------- $piiStats
+
+
+def _pii(spark, text):
+    return _one(spark, {"$piiStats": {"input": "$text", "as": "p"}},
+                text, "p")
+
+
+def test_pii_stats_counts_each_rule(spark):
+    p = _pii(spark, "a@b.co and c@d.io via https://x.io from 10.0.0.1 "
+                    "call +1 (555) 123-4567")
+    assert (p.email, p.url, p.ip) == (2, 1, 1)
+    assert p.phone >= 1
+    assert p.total == p.email + p.url + p.ip + p.phone
+    assert p.has_pii
+
+
+def test_pii_stats_clean_text(spark):
+    p = _pii(spark, "ordinary prose, nothing to see")
+    assert (p.email, p.url, p.ip, p.phone, p.total) == (0, 0, 0, 0, 0)
+    assert not p.has_pii
+
+
+def test_pii_stats_counts_are_independent_per_rule(spark):
+    # an email inside a URL counts under BOTH rules (unlike $scrubText's
+    # ordered rewrite) — documented triage semantics
+    p = _pii(spark, "see https://x.io/mail?to=a@b.co now")
+    assert p.url == 1 and p.email == 1

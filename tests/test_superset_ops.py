@@ -74,6 +74,15 @@ def test_is_number_binary_size(spark):
     assert _eval(spark, {"$binarySize": "$s"}, rows, "x double, s string")[0] == 3
 
 
+def test_bson_size_json_proxy(spark):
+    # documented proxy: UTF-8 byte length of the JSON encoding
+    rows = [((1, "ab"),), (None,)]
+    schema = "d struct<i: long, s: string>"
+    out = _eval(spark, {"$bsonSize": "$d"}, rows, schema)
+    assert out[0] == len('{"i":1,"s":"ab"}')
+    assert out[1] is None
+
+
 def _group(spark, rows, schema, group_expr, order_by=None):
     df = spark.createDataFrame(rows, schema)
     ctx = Context(spark=spark, order_by=order_by)
