@@ -4521,6 +4521,35 @@ ORDER BY d.doc_id""",
 )
 
 
+_register(
+    # r5: legacy $text in $match (path-scoped: the engine is index-free,
+    # so the text-index field set is stated inline).  Terms OR, -term
+    # excludes, -"phrase" excludes by substring; tokenization is
+    # [^A-Za-z0-9]+ on both sides, same as the oracle.
+    "text_match",
+    """SELECT doc_id, n_chars FROM documents
+       WHERE (list_contains(string_split_regex(lower(text),
+                                               '[^a-z0-9]+'), 'merge')
+              OR list_contains(string_split_regex(lower(text),
+                                                  '[^a-z0-9]+'), 'window'))
+         AND NOT list_contains(string_split_regex(lower(text),
+                                                  '[^a-z0-9]+'), 'spill')
+         AND NOT contains(lower(text), 'slow scan')
+       ORDER BY doc_id""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$match": {"$text": {
+                "$search": 'merge window -spill -"slow scan"',
+                "$path": "text"}}},
+            {"$project": {"_id": 0, "doc_id": 1, "n_chars": 1}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
 _PII_A = " reach me at jo.doe+x@mail-host.co or https://ex.org/a?b=1 "
 _PII_B = " from 10.0.12.9 call +1 (415) 555-0199 now"
 

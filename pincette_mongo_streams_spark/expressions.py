@@ -1292,6 +1292,12 @@ OPERATORS["$bsonSize"] = lambda raw, ctx: F.octet_length(
     F.to_json(_c(_args(raw)[0], ctx))
 )
 OPERATORS["$toUUID"] = lambda raw, ctx: _c(_args(raw)[0], ctx).cast("string")
+# Mongo's hashed-index key is an md5-folded BSON hash; without a BSON
+# encoder the engine's documented proxy is the native 64-bit xxhash of
+# the value — same contract (stable int64, uniform), different constant.
+OPERATORS["$toHashedIndexKey"] = lambda raw, ctx: F.xxhash64(
+    _c(_args(raw)[0], ctx)
+)
 OPERATORS["$tsSecond"] = lambda raw, ctx: F.unix_timestamp(_c(_args(raw)[0], ctx))
 # BSON-timestamp ordinal: plain timestamps carry no per-second counter,
 # so the increment is the sub-second ordinal proxy (microsecond part) —

@@ -85,6 +85,8 @@ def compile_match(query: dict, ctx: ExprContext) -> Column:
             preds.append(F.rand() < F.lit(float(value)))
         elif key == "$jsonSchema":
             preds.append(_json_schema_root(value, ctx))
+        elif key == "$text":
+            preds.append(_text_predicate(value, ctx))
         elif key == "$comment":
             continue  # metadata only, like Mongo
         elif key.startswith("$"):
@@ -108,6 +110,103 @@ def _fold_or(preds: list[Column]) -> Column:
     for p in preds[1:]:
         acc = acc | p
     return acc
+
+
+def _parse_text_search(search: str) -> tuple[list[str], list[str],
+                                             list[str], list[str]]:
+    """Mongo $text search-string grammar: quoted phrases (optionally
+    ``-``-negated), whitespace terms, ``-term`` negations.
+    -> (terms, phrases, neg_terms, neg_phrases)."""
+    import re
+
+    phrases: list[str] = []
+    neg_phrases: list[str] = []
+
+    def grab(m: "re.Match[str]") -> str:
+        (neg_phrases if m.group(1) else phrases).append(m.group(2))
+        return " "
+
+    rest = re.sub(r'(-?)"([^"]*)"', grab, search)
+    terms: list[str] = []
+    neg_terms: list[str] = []
+    for tok in rest.split():
+        neg = tok.startswith("-") and len(tok) > 1
+        body = tok[1:] if neg else tok
+        # tokenize the query the same way documents are tokenized
+        words = [w for w in re.split(r"[^A-Za-z0-9]+", body) if w]
+        (neg_terms if neg else terms).extend(words)
+    return terms, [p for p in phrases if p], neg_terms, \
+        [p for p in neg_phrases if p]
+
+
+def _text_predicate(spec: Any, ctx: ExprContext) -> Column:
+    """``{$text: {$search, $path, $caseSensitive?, $language?}}`` —
+    index-free legacy text match.  Mongo resolves the field set from the
+    collection's text index; this engine has no index metadata, so the
+    field(s) MUST be named inline via ``$path`` (string or list — the
+    documented deviation).  Semantics per Mongo's $text contract:
+
+    - terms are OR-ed; ``-term`` excludes; quoted phrases are substring
+      matches and, when present, are what is required (each phrase must
+      appear — loose terms then only affect scoring in Mongo, so they
+      do not further restrict the match here either)
+    - an all-negation search matches nothing, like Mongo
+    - case-insensitive unless ``$caseSensitive: true``
+
+    Documented approximations: no stemming and no diacritic folding
+    (``$language`` / ``$diacriticSensitive`` are accepted and ignored —
+    an index-free engine carries no per-language stemmer).  Word
+    tokenization is ``[^A-Za-z0-9]+`` splitting on both the query and
+    the document, identical to the DuckDB oracle."""
+    if not isinstance(spec, dict) or "$search" not in spec:
+        raise ValueError("$text needs {$search: <string>, $path: <field>}")
+    unknown = set(spec) - {"$search", "$path", "$caseSensitive",
+                           "$language", "$diacriticSensitive"}
+    if unknown:
+        raise NotImplementedError(f"$text options {sorted(unknown)}")
+    paths = spec.get("$path")
+    if not paths:
+        raise ValueError(
+            "$text needs $path (index-free engine: the text-index field "
+            "set must be stated inline)")
+    paths = paths if isinstance(paths, list) else [paths]
+    case = bool(spec.get("$caseSensitive", False))
+    terms, phrases, neg_terms, neg_phrases = \
+        _parse_text_search(str(spec["$search"]))
+    if not case:
+        terms = [t.lower() for t in terms]
+        phrases = [p.lower() for p in phrases]
+        neg_terms = [t.lower() for t in neg_terms]
+        neg_phrases = [p.lower() for p in neg_phrases]
+
+    def field_cols() -> list[Column]:
+        out = []
+        for p in paths:
+            col = ctx.resolve(split_path(p)).cast("string")
+            out.append(col if case else F.lower(col))
+        return out
+
+    cols = field_cols()
+    words = [F.split(c, "[^A-Za-z0-9]+") for c in cols]
+
+    def term_hit(t: str) -> Column:
+        return _fold_or([
+            F.exists(w, lambda x: x == F.lit(t)) for w in words])
+
+    def phrase_hit(p: str) -> Column:
+        return _fold_or([c.contains(p) for c in cols])
+
+    if phrases:
+        positive = _fold_and([phrase_hit(p) for p in phrases])
+    elif terms:
+        positive = _fold_or([term_hit(t) for t in terms])
+    else:
+        return F.lit(False)  # all-negation searches match nothing
+    negative = [term_hit(t) for t in neg_terms] + \
+        [phrase_hit(p) for p in neg_phrases]
+    if negative:
+        positive = positive & ~_fold_or(negative)
+    return positive
 
 
 def _is_operator_doc(value: Any) -> bool:

@@ -260,3 +260,63 @@ def test_geo_missing_field_does_not_match(spark):
         ]}}],
         Context(spark=spark))(df)
     assert [r["id"] for r in out.collect()] == [1]
+
+
+# ------------------------------------------------------------------ $text
+
+TEXT_ROWS = [
+    Row(id=1, title="Fast Merge", body="the quick merge path wins"),
+    Row(id=2, title="scan notes", body="a slow scan, then a window"),
+    Row(id=3, title="Spill", body="merge under memory spill pressure"),
+    Row(id=4, title="misc", body="nothing relevant here"),
+]
+
+
+def tkeep(spark, search, **opts):
+    q = {"$text": {"$search": search, "$path": "body", **opts}}
+    return keep(spark, q, TEXT_ROWS)
+
+
+def test_text_terms_or(spark):
+    assert tkeep(spark, "merge window") == [1, 2, 3]
+
+
+def test_text_negated_term(spark):
+    assert tkeep(spark, "merge -spill") == [1]
+
+
+def test_text_phrase_is_required(spark):
+    # with a phrase present, loose terms do not restrict (Mongo contract)
+    assert tkeep(spark, 'window "slow scan"') == [2]
+    assert tkeep(spark, '"merge path" window') == [1]
+
+
+def test_text_negated_phrase(spark):
+    assert tkeep(spark, 'scan -"slow scan"') == []
+
+
+def test_text_all_negation_matches_nothing(spark):
+    assert tkeep(spark, "-merge") == []
+
+
+def test_text_case_sensitivity(spark):
+    q = {"$text": {"$search": "fast", "$path": "title"}}
+    assert keep(spark, q, TEXT_ROWS) == [1]
+    q = {"$text": {"$search": "fast", "$path": "title",
+                   "$caseSensitive": True}}
+    assert keep(spark, q, TEXT_ROWS) == []
+
+
+def test_text_multi_path(spark):
+    q = {"$text": {"$search": "spill", "$path": ["title", "body"]}}
+    assert keep(spark, q, TEXT_ROWS) == [3]
+
+
+def test_text_requires_path(spark):
+    with pytest.raises(ValueError, match=r"\$path"):
+        keep(spark, {"$text": {"$search": "x"}}, TEXT_ROWS)
+
+
+def test_text_unknown_option_rejected(spark):
+    with pytest.raises(NotImplementedError, match="options"):
+        tkeep(spark, "x", **{"$score": 1})

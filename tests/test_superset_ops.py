@@ -74,6 +74,14 @@ def test_is_number_binary_size(spark):
     assert _eval(spark, {"$binarySize": "$s"}, rows, "x double, s string")[0] == 3
 
 
+def test_to_hashed_index_key_proxy(spark):
+    # documented proxy: stable engine-native int64, not Mongo's constant
+    rows = [("a",), ("a",), ("b",), (None,)]
+    out = _eval(spark, {"$toHashedIndexKey": "$s"}, rows, "s string")
+    assert out[0] == out[1] and out[0] != out[2]
+    assert isinstance(out[0], int)
+
+
 def test_bson_size_json_proxy(spark):
     # documented proxy: UTF-8 byte length of the JSON encoding
     rows = [((1, "ab"),), (None,)]
