@@ -236,3 +236,25 @@ def test_group_cap_sf01(spark):
     per = Counter(r["source"] for r in rows)
     assert per and max(per.values()) <= 3
     assert secs < 60, f"group_cap took {secs:.1f}s at sf0.1"
+
+
+def test_edit_distance_join_sf01(spark):
+    """Self edit-distance join over the full sf0.1 documents table
+    (5k long texts): candidates come from the q*k+1 globally-RAREST
+    positional grams per string (ED-Join prefix filtering), so the join
+    keys are never the hot boilerplate shingles; verify is banded
+    levenshtein behind a length-diff prefilter.  Correctness is the
+    brute-force oracle at sf0.01 (edit_distance_join); this pins the
+    plan shape and the wall-time at 10x."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = compile_pipeline(
+        [{"$editDistanceJoin": {"input": "$text", "id": "doc_id",
+                                "maxDistance": 2, "gram": 3}}],
+        Context(spark=spark),
+    )(docs)
+    _assert_scale_plan(out, "edit_distance_join")
+    n, secs = _timed(out)
+    # the corpus plants exact duplicates (distance 0) -> non-empty; a
+    # candidate-path blowup would instead verify ~n^2/2 = 12.5M pairs
+    assert 0 < n < 5000
+    assert secs < 60, f"edit_distance_join took {secs:.1f}s at sf0.1"
