@@ -4628,6 +4628,13 @@ _ORDER = [
     #   bucket_auto -> group_cap ($bucketAuto stays locally oracled;
     #     the domain-cap primitive with its WindowGroupLimit plan is a
     #     flagship r5 curation op)
+    #   sort_ops -> text_match (the r5 $text match-language surface gets
+    #     a hard row; $sortByCount/$skip/$limit stay locally oracled and
+    #     $sort/$limit run inside most in-window queries anyway)
+    #   text_metrics -> entropy_score (langId/qualityScore/tokenCount
+    #     remain exercised IN-window by training_pipeline; the entropy
+    #     quality signal is oracled against DuckDB's native entropy()
+    #     aggregate — the strongest ground truth of the quality family)
     "match_operators", "project_compute", "field_ops", "replace_with",
     "unwind", "group_accumulators", "group_arrays", "stage_ext",
     "bucket", "lookup_unwind", "geo_search", "lookup_pipeline",
@@ -4644,11 +4651,11 @@ _ORDER = [
     # past-window by documents_inline/json_props_extract) -> kmeans
     # gives clustering one.  Both displaced queries stay registered and
     # locally oracle-checked.
-    "sort_ops", "union_with", "window_all", "fill_locf", "densify_grid",
+    "text_match", "union_with", "window_all", "fill_locf", "densify_grid",
     "facet_summary", "window_group_hourly", "graph_lookup", "asof_join",
     "group_cap", "kmeans",
     # LLM-data-pipeline operators
-    "dedup_exact", "text_metrics", "training_pipeline", "bm25_search",
+    "dedup_exact", "entropy_score", "training_pipeline", "bm25_search",
     "fusion", "sig_hashes", "minhash_dedup", "repetition_score",
     "embed_dedup", "ann_topk", "ann_indexed", "media_pipeline",
     "span_dedup",

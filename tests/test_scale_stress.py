@@ -258,3 +258,63 @@ def test_edit_distance_join_sf01(spark):
     # candidate-path blowup would instead verify ~n^2/2 = 12.5M pairs
     assert 0 < n < 5000
     assert secs < 60, f"edit_distance_join took {secs:.1f}s at sf0.1"
+
+
+def test_jaccard_join_sf01(spark):
+    """Self Jaccard-similarity join over sf0.1 documents: LSH band
+    buckets generate candidates (DISTINCT before verify), exact-Jaccard
+    verification touches candidate pairs only."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = compile_pipeline(
+        [{"$jaccardJoin": {"input": "$text", "id": "doc_id", "shingle": 3,
+                           "numHashes": 32, "bands": 8, "threshold": 0.5}}],
+        Context(spark=spark),
+    )(docs)
+    _assert_scale_plan(out, "jaccard_join")
+    n, secs = _timed(out)
+    # planted near-dups at >= 0.5 Jaccard exist; an LSH regression to
+    # all-pairs would verify 12.5M candidates instead of hundreds
+    assert 0 < n < 10_000
+    assert secs < 30, f"jaccard_join took {secs:.1f}s at sf0.1"
+
+
+def test_asof_join_sf01(spark):
+    """$asOfJoin at sf0.1 (20k clicks vs 20k views, on user_id): the
+    union-trick plan — one sort-merge per key group, never a range
+    cross product (no BroadcastNestedLoopJoin)."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    clicks = ev.filter("event_type = 'click'")
+    views = ev.filter("event_type = 'view'")
+    ctx = Context(spark=spark, collections={"v": views})
+    out = compile_pipeline(
+        [{"$asOfJoin": {"from": "v", "on": "user_id", "leftTime": "$ts",
+                        "rightTime": "$ts", "as": "m"}}],
+        ctx,
+    )(clicks)
+    plan = _assert_scale_plan(out, "asof_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    n, secs = _timed(out)
+    assert n == clicks.count()  # left-preserving
+    assert secs < 30, f"asof_join took {secs:.1f}s at sf0.1"
+
+
+def test_ann_ivf_search_sf01(spark):
+    """$annIvfSearch at sf0.1 (2k corpus / 50 queries / nprobe 4 of 16):
+    the corpus is probed through centroid buckets — an equi-join on the
+    cell id, not a brute-force scan per query."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ctx = Context(spark=spark, collections={
+        "queries": emb.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("query_id"), "embedding")})
+    out = compile_pipeline(
+        [{"$annIvfSearch": {"queries": "queries", "input": "$embedding",
+                            "id": "vec_id", "k": 10, "nlist": 16,
+                            "nprobe": 4}}],
+        ctx,
+    )(emb)
+    _assert_scale_plan(out, "ann_ivf_search")
+    n, secs = _timed(out)
+    assert n == 50 * 10  # k results per query
+    assert secs < 30, f"ann_ivf_search took {secs:.1f}s at sf0.1"
