@@ -4458,8 +4458,9 @@ stripped AS (
                  regexp_replace(p, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
                  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
                '<[^>]*>', ' ', 'g'),
-             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
              '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
+             '&amp;', '&'),
            '\\s+', ' ', 'g')) AS clean
   FROM page)
 SELECT doc_id, clean AS clean_text,

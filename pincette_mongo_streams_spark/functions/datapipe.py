@@ -2984,9 +2984,11 @@ def _half_up6(col: Column) -> Column:
     return (F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("double")
 
 
+# &amp; decodes LAST: decoding it first would double-decode escaped
+# references ("&amp;lt;" must become the literal "&lt;", not "<")
 HTML_ENTITIES: list[tuple[str, str]] = [
-    ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-    ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
 ]
 
 
@@ -3023,10 +3025,15 @@ def html_strip_stage(expression: Any, ctx: Context) -> StageFn:
         for ent, rep in HTML_ENTITIES:
             clean = F.replace(clean, F.lit(ent), F.lit(rep))
         clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
-        ratio = F.when(
-            F.length(raw) > 0,
-            _half_up6(1.0 - F.length(clean).cast("double") / F.length(raw)),
-        ).otherwise(F.lit(0.0))
+        ratio = (
+            F.when(raw.isNull(), F.lit(None).cast("double"))
+            .when(
+                F.length(raw) > 0,
+                _half_up6(1.0 - F.length(clean).cast("double")
+                          / F.length(raw)),
+            )
+            .otherwise(F.lit(0.0))
+        )
         st = F.struct(
             clean.alias("clean_text"),
             F.regexp_count(raw, F.lit("<[^>]*>")).cast("int").alias("n_tags"),

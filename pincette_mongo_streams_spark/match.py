@@ -215,6 +215,16 @@ def _is_operator_doc(value: Any) -> bool:
 
 
 def _field_predicate(path: str, value: Any, ctx: ExprContext) -> Column:
+    if isinstance(value, dict):
+        geo = {"$near", "$nearSphere"} & set(value)
+        if geo:
+            # Mongo itself forbids these inside an aggregation $match —
+            # reject explicitly instead of falling through to implicit
+            # equality against a literal (README: $geoNear is the stage
+            # for nearest-first)
+            raise NotImplementedError(
+                f"{sorted(geo)[0]} is not allowed in $match (Mongo forbids "
+                "it in aggregation); use the $geoNear stage")
     parts = split_path(path)
     col = ctx.resolve(parts)
     ftype = ctx.type_of_path(parts)

@@ -51,7 +51,17 @@ def test_html_strip_empty_and_null(spark):
     h = _strip(spark, "")
     assert h.clean_text == "" and h.n_tags == 0 and h.markup_ratio == 0.0
     h = _strip(spark, None)
+    # all three signals propagate null — a null doc must not read as
+    # "perfectly clean prose" to a markup_ratio filter
     assert h.clean_text is None and h.n_tags is None
+    assert h.markup_ratio is None
+
+
+def test_html_strip_no_double_decode(spark):
+    # "&amp;lt;" is a page DISPLAYING the literal "&lt;" — &amp; decodes
+    # last, so it must not collapse to "<"
+    h = _strip(spark, "literal &amp;lt; stays, plain &lt; decodes")
+    assert h.clean_text == "literal &lt; stays, plain < decodes"
 
 
 # ---------------------------------------------------------- $entropyScore

@@ -320,3 +320,12 @@ def test_text_requires_path(spark):
 def test_text_unknown_option_rejected(spark):
     with pytest.raises(NotImplementedError, match="options"):
         tkeep(spark, "x", **{"$score": 1})
+
+
+def test_near_rejected_in_match(spark):
+    # Mongo forbids $near/$nearSphere inside an aggregation $match
+    with pytest.raises(NotImplementedError, match=r"\$near"):
+        keep(spark, {"nested": {"$near": [0, 0]}}, ROWS)
+    with pytest.raises(NotImplementedError, match=r"\$nearSphere"):
+        keep(spark, {"nested": {"$nearSphere": [0, 0], "$maxDistance": 1}},
+             ROWS)
