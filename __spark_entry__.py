@@ -4551,6 +4551,38 @@ _register(
 )
 
 
+_register(
+    # r5: $sql escape hatch — a relational step in plain Spark SQL over
+    # the pipeline's current frame, with a Context collection bound as a
+    # second template view.  One seamless Catalyst plan (the $match
+    # still pushes into the lineitem scan under the SQL join/agg).
+    "sql_stage",
+    f"""SELECT l.l_returnflag AS flag, o.o_orderpriority AS prio,
+               {_r("sum(l.l_extendedprice * (1 - l.l_discount))", 2)}
+                   AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate < TIMESTAMP '1998-09-02'
+        GROUP BY 1, 2 ORDER BY flag, prio""",
+)(
+    _pipe(
+        "lineitem",
+        [
+            {"$match": {"l_shipdate": {"$lt": "1998-09-02"}}},
+            {"$sql": {"query": """
+                SELECT l.l_returnflag AS flag, o.o_orderpriority AS prio,
+                       sum(l.l_extendedprice * (1 - l.l_discount))
+                           AS revenue
+                FROM {this} l JOIN {ord} o
+                  ON l.l_orderkey = o.o_orderkey
+                GROUP BY 1, 2""", "views": ["ord"]}},
+            {"$set": {"revenue": {"$round": ["$revenue", 2]}}},
+            {"$sort": {"flag": 1, "prio": 1}},
+        ],
+        collections={"ord": "orders"},
+    )
+)
+
+
 _PII_A = " reach me at jo.doe+x@mail-host.co or https://ex.org/a?b=1 "
 _PII_B = " from 10.0.12.9 call +1 (415) 555-0199 now"
 

@@ -111,3 +111,47 @@ def explain_stage(expression: Any, ctx: Context) -> StageFn:
         return c.spark.createDataFrame([(mode, plan)], "mode string, plan string")
 
     return fn
+
+
+@register_stage("$sql")
+def sql_stage(expression: Any, ctx: Context) -> StageFn:
+    """Spark-SQL escape hatch: run a SQL statement over the pipeline's
+    current frame — ``"SELECT ... FROM {this}"`` or ``{query, views?}``
+    where ``views`` is a list of Context collection names additionally
+    bound as ``{name}`` template parameters.
+
+    This is a superset stage with no reference analog (the reference's
+    escape hatches are $jq/$jslt per-document scripts); it exists so a
+    migrating user can express a one-off relational step in plain SQL
+    without leaving the pipeline.  The statement is parameterized via
+    ``spark.sql(query, **frames)`` — DataFrame template binding, not
+    string-interpolated temp views, so no global temp-view namespace is
+    touched and two concurrent pipelines can't collide.  Catalyst sees
+    one seamless plan: filters/projections in the SQL still push into
+    the upstream scan, so there is no optimization boundary and no
+    scale cost beyond what the SQL itself does."""
+    if isinstance(expression, str):
+        query, views = expression, []
+    elif isinstance(expression, dict) and "query" in expression:
+        unknown = set(expression) - {"query", "views"}
+        if unknown:
+            raise ValueError(f"unknown $sql options: {sorted(unknown)}")
+        query = expression["query"]
+        views = list(expression.get("views", []))
+    else:
+        raise ValueError('$sql takes "SELECT ... FROM {this}" or '
+                         '{query, views?}')
+    if "{this}" not in query:
+        raise ValueError("$sql query must reference {this} (the "
+                         "pipeline's current frame)")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        frames = {"this": df}
+        for name in views:
+            if name not in c.collections:
+                raise ValueError(f"$sql view {name!r} is not a known "
+                                 "collection")
+            frames[name] = c.collections[name]
+        return df.sparkSession.sql(query, **frames)
+
+    return fn
