@@ -594,3 +594,45 @@ def test_edit_distance_join_validation(spark):
         compile_pipeline(
             [{"$editDistanceJoin": {"input": "$s", "gram": 0}}],
             Context(spark=spark))
+
+
+def test_edit_distance_join_randomized_exactness(spark):
+    """Differential test: the prefix-filtered candidate path must be
+    EXACT (no recall loss) — every (k, q) combination reproduces the
+    brute-force all-pairs ground truth on a random small-alphabet corpus
+    (short strings route through the length-band pool, long ones through
+    the rare-gram prefix join, so both paths are exercised)."""
+    import itertools
+    import random
+
+    rng = random.Random(20260814)
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    strings = ["".join(rng.choice("abc")
+                       for _ in range(rng.randint(0, 12)))
+               for _ in range(60)]
+    rows = [(i, s) for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    for k, q in [(1, 2), (2, 3)]:
+        truth = sorted(
+            (i, j, lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(rows, 2)
+            if lev(a, b) <= k)
+        out = compile_pipeline(
+            [{"$editDistanceJoin": {"input": "$s", "id": "id",
+                                    "maxDistance": k, "gram": q}}],
+            Context(spark=spark))(df)
+        got = sorted((r.left_id, r.right_id, r.distance)
+                     for r in out.collect())
+        assert got == truth, f"k={k} q={q}"
