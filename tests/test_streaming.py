@@ -832,3 +832,35 @@ def test_atlas_stages_batch_only(spark):
     ):
         with pytest.raises(ValueError, match="batch-only"):
             compile_pipeline(pipeline, ctx)(sdf)
+
+
+def test_curation_family_streams(spark, tmpdir):
+    """The row-local curation operators ($langId/$qualityScore/
+    $tokenCount/$entropyScore/$piiStats/$htmlStrip/$scrubText/
+    $fingerprint) are pure column programs, so the SAME pipeline runs
+    unchanged under Structured Streaming — the training-data filter
+    chain works on a live feed, not just in batch."""
+    schema = "doc_id long, text string"
+    batches = [
+        [{"doc_id": 1, "text": "the quick brown fox jumps over a lazy dog"},
+         {"doc_id": 2, "text": "aaaa aaaa aaaa aaaa"}],
+        [{"doc_id": 3, "text": "mail a@b.co about <b>bold</b> moves"}],
+    ]
+    out = _run(
+        spark, str(tmpdir), schema, batches,
+        [
+            {"$entropyScore": {"input": "$text", "as": "ent"}},
+            {"$piiStats": {"input": "$text", "as": "pii"}},
+            {"$htmlStrip": {"input": "$text", "as": "html"}},
+            {"$tokenCount": {"input": "$text", "as": "n_tok",
+                             "mode": "whitespace"}},
+            {"$project": {"doc_id": 1, "ent": 1, "n_tok": 1,
+                          "emails": "$pii.email",
+                          "n_tags": "$html.n_tags"}},
+        ],
+    )
+    rows = {r["doc_id"]: r for e in out for r in e}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["ent"] > rows[2]["ent"]  # varied text > repeated text
+    assert rows[3]["emails"] == 1 and rows[3]["n_tags"] == 2
+    assert rows[1]["n_tok"] == 9
