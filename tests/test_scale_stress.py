@@ -318,3 +318,82 @@ def test_ann_ivf_search_sf01(spark):
     n, secs = _timed(out)
     assert n == 50 * 10  # k results per query
     assert secs < 30, f"ann_ivf_search took {secs:.1f}s at sf0.1"
+
+
+def test_range_join_sf01(spark):
+    """$rangeJoin at sf0.1 (20k clicks vs purchase value-bands on
+    user_id): the binned equi-join — candidates come from (key, bin)
+    equality, never a pure range cross product."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    clicks = ev.filter("event_type = 'click'")
+    bands = (ev.filter("event_type = 'purchase'")
+             .select("user_id", "event_id",
+                     (F.col("value") - 5).alias("lo"),
+                     (F.col("value") + 5).alias("hi")))
+    ctx = Context(spark=spark, collections={"b": bands})
+    out = compile_pipeline(
+        [{"$rangeJoin": {"from": "b", "on": "user_id",
+                         "leftValue": "$value", "rightStart": "$lo",
+                         "rightEnd": "$hi", "as": "m", "binSize": 10}}],
+        ctx,
+    )(clicks)
+    plan = _assert_scale_plan(out, "range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    n, secs = _timed(out)
+    assert n > 0
+    assert secs < 30, f"range_join took {secs:.1f}s at sf0.1"
+
+
+def test_decontaminate_sf01(spark):
+    """$decontaminate at sf0.1 (5k docs vs a 715-doc benchmark slice):
+    benchmark shingle hashes reduce to DISTINCT and broadcast; the
+    corpus never shuffles its text."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.filter("doc_id % 7 = 0").select("text")
+    ctx = Context(spark=spark, collections={"bench": bench})
+    out = compile_pipeline(
+        [{"$decontaminate": {"input": "$text", "against": "bench",
+                             "againstField": "text", "shingle": 8,
+                             "as": "contamination", "mode": "flag"}}],
+        ctx,
+    )(docs)
+    # the one BroadcastNestedLoopJoin is the intended shape: the
+    # benchmark's DISTINCT shingle hashes collect into a SINGLE row and
+    # cross-broadcast (IdentityBroadcastMode) — a metadata-sized build
+    # side, same pattern as bm25's stats row, not a pairwise hazard
+    plan = _plan_of(out)
+    for marker in ("CartesianProduct", "BatchEvalPython",
+                   "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"decontaminate: {marker} in plan"
+    assert "IdentityBroadcastMode" in plan
+    n, secs = _timed(out)
+    assert n == docs.count()  # flag mode annotates, never drops
+    # every benchmark doc IS in the corpus -> those flag as contaminated
+    flagged = out.filter("contamination > 0").count()
+    assert flagged >= bench.count()
+    assert secs < 30, f"decontaminate took {secs:.1f}s at sf0.1"
+
+
+def test_graph_lookup_sf01(spark):
+    """$graphLookup at sf0.1 (15k-node div-10 ancestry chain, maxDepth
+    4): one frontier-join per BFS level, the frontier monotone-shrinks,
+    no cartesian anywhere."""
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_custkey") / F.lit(10)).cast("long").alias("parent"))
+    ctx = Context(spark=spark, collections={"h": cust})
+    out = compile_pipeline(
+        [{"$graphLookup": {"from": "h", "startWith": "$parent",
+                           "connectFromField": "parent",
+                           "connectToField": "id",
+                           "as": "anc", "maxDepth": 4}}],
+        ctx,
+    )(cust)
+    _assert_scale_plan(out, "graph_lookup")
+    n, secs = _timed(out)
+    assert n == 15_000  # left-preserving
+    assert secs < 30, f"graph_lookup took {secs:.1f}s at sf0.1"
