@@ -4583,6 +4583,52 @@ _register(
 )
 
 
+_register(
+    # r5: deterministic corpus shuffle.  The driver compare sorts rows,
+    # so the ORDER itself is proven by the $limit: the SET of the first
+    # 100 docs under the seeded-hash order is order-sensitive evidence
+    # (the full permutation is asserted in tests/test_corpus_signals.py).
+    "shuffle_head",
+    """SELECT doc_id FROM documents
+       ORDER BY ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)),
+                                1, 15))::BIGINT
+       LIMIT 100""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$shuffle": {"id": "$doc_id", "seed": 7}},
+            {"$limit": 100},
+            {"$project": {"_id": 0, "doc_id": 1}},
+        ],
+    )
+)
+
+
+_register(
+    "truncate_tokens",
+    """SELECT doc_id,
+              array_to_string(
+                list_filter(string_split_regex(trim(text), '\\s+'),
+                            w -> w <> '')[1:10], ' ') AS head_tokens,
+              substring(text, 1, 40) AS head_chars
+       FROM documents ORDER BY doc_id""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$truncateTokens": {"input": "$text", "as": "head_tokens",
+                                 "max": 10}},
+            {"$truncateTokens": {"input": "$text", "as": "head_chars",
+                                 "max": 40, "unit": "chars"}},
+            {"$project": {"_id": 0, "doc_id": 1, "head_tokens": 1,
+                          "head_chars": 1}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
 _PII_A = " reach me at jo.doe+x@mail-host.co or https://ex.org/a?b=1 "
 _PII_B = " from 10.0.12.9 call +1 (415) 555-0199 now"
 

@@ -3129,3 +3129,67 @@ def pii_stats_stage(expression: Any, ctx: Context) -> StageFn:
         return df.withColumn(as_field, st)
 
     return fn
+
+
+@register_stage("$shuffle")
+def shuffle_stage(expression: Any, ctx: Context) -> StageFn:
+    """Deterministic corpus shuffle: ``{id, seed?}`` orders the corpus
+    by ``md5(seed:id)`` — the write-order randomization step of a
+    training-data pipeline.  Seeded and engine-portable (same md5 fold
+    as $datasetSplit), so a re-run, a retry, or another engine produces
+    the SAME order; changing ``seed`` produces an independent
+    permutation.  Documents keep all their columns.
+
+    100 TB shape: one range exchange on the hash (uniform keys ⇒
+    balanced ranges, no skew by construction) — exactly the cost of any
+    global sort, and the sampling pass is over the 8-byte hash, not the
+    documents.  There is no window function and no single-partition
+    funnel; each output partition is written independently in hash
+    order.  Batch-only (a global order is meaningless mid-stream)."""
+    id_expr = expression.get("id", "$_id")
+    seed = int(expression.get("seed", 0))
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..operators.extended import _batch_only
+
+        _batch_only("$shuffle", c)
+        idc = compile_expr(id_expr, ExprContext(schema=df.schema))
+        return df.orderBy(md5_long(idc.cast("string"), seed))
+
+    return fn
+
+
+@register_stage("$truncateTokens")
+def truncate_tokens_stage(expression: Any, ctx: Context) -> StageFn:
+    """Token-budget truncation: ``{input, as?, max, unit?:
+    "tokens"|"chars"}`` cuts each document to its first ``max``
+    whitespace tokens (rejoined single-spaced — documented: original
+    whitespace runs are not preserved) or to ``max`` characters.  The
+    context-length guard of a training pipeline ("cap documents at 8k
+    tokens before packing").  Null in -> null out; a non-positive
+    ``max`` is a compile-time error.  100 TB shape: row-local
+    slice/substr column program, zero shuffle."""
+    inp = expression["input"]
+    as_field = expression.get("as", "text")
+    max_n = int(expression["max"])
+    unit = expression.get("unit", "tokens")
+    if max_n <= 0:
+        raise ValueError("$truncateTokens max must be >= 1")
+    if unit not in ("tokens", "chars"):
+        raise ValueError(
+            f"$truncateTokens unit must be tokens|chars, got {unit}")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        if unit == "chars":
+            out = F.substring(text, 1, max_n)
+        else:
+            toks = F.filter(F.split(F.trim(text), r"\s+"),
+                            lambda x: x != F.lit(""))
+            out = F.concat_ws(" ", F.slice(toks, 1, max_n))
+            # concat_ws treats null arrays as '' — keep null in -> null out
+            out = F.when(text.isNull(), F.lit(None).cast("string")) \
+                .otherwise(out)
+        return df.withColumn(as_field, out)
+
+    return fn

@@ -138,3 +138,52 @@ def test_pii_stats_counts_are_independent_per_rule(spark):
     # ordered rewrite) — documented triage semantics
     p = _pii(spark, "see https://x.io/mail?to=a@b.co now")
     assert p.url == 1 and p.email == 1
+
+
+# --------------------------------------------- $shuffle / $truncateTokens
+
+
+def test_shuffle_matches_python_permutation(spark):
+    import hashlib
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(50)],
+                               "doc_id long, text string")
+    out = compile_pipeline(
+        [{"$shuffle": {"id": "$doc_id", "seed": 3}}],
+        Context(spark=spark))(df)
+    got = [r.doc_id for r in out.collect()]
+
+    def key(i):
+        return int(hashlib.md5(f"3:{i}".encode()).hexdigest()[:15], 16)
+
+    assert got == sorted(range(50), key=key)
+    # a different seed is an independent permutation
+    out2 = compile_pipeline(
+        [{"$shuffle": {"id": "$doc_id", "seed": 4}}],
+        Context(spark=spark))(df)
+    assert [r.doc_id for r in out2.collect()] != got
+
+
+def _trunc(spark, text, **opts):
+    return _one(spark,
+                {"$truncateTokens": {"input": "$text", "as": "t", **opts}},
+                text, "t")
+
+
+def test_truncate_tokens(spark):
+    assert _trunc(spark, "a  b\tc d e", max=3) == "a b c"
+    assert _trunc(spark, "a b", max=5) == "a b"  # shorter than budget
+    assert _trunc(spark, "", max=3) == ""
+    assert _trunc(spark, None, max=3) is None
+
+
+def test_truncate_chars(spark):
+    assert _trunc(spark, "abcdef", max=4, unit="chars") == "abcd"
+    assert _trunc(spark, None, max=4, unit="chars") is None
+
+
+def test_truncate_validation(spark):
+    with pytest.raises(ValueError, match="max"):
+        _trunc(spark, "x", max=0)
+    with pytest.raises(ValueError, match="unit"):
+        _trunc(spark, "x", max=1, unit="bytes")
