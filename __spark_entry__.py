@@ -4591,7 +4591,8 @@ _register(
     "shuffle_head",
     """SELECT doc_id FROM documents
        ORDER BY ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)),
-                                1, 15))::BIGINT
+                                1, 15))::BIGINT,
+                CAST(doc_id AS VARCHAR)
        LIMIT 100""",
 )(
     _pipe(

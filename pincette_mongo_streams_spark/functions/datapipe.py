@@ -3061,7 +3061,9 @@ def entropy_score_stage(expression: Any, ctx: Context) -> StageFn:
     Rounded to 6 digits (cross-engine libm drift)."""
     inp = expression["input"]
     as_field = expression.get("as", "entropy")
-    unit = expression.get("unit", "char")
+    # plural accepted too, mirroring $truncateTokens
+    unit = {"chars": "char", "words": "word"}.get(
+        expression.get("unit", "char"), expression.get("unit", "char"))
     if unit not in ("char", "word"):
         raise ValueError(f"$entropyScore unit must be char|word, got {unit}")
 
@@ -3138,7 +3140,11 @@ def shuffle_stage(expression: Any, ctx: Context) -> StageFn:
     training-data pipeline.  Seeded and engine-portable (same md5 fold
     as $datasetSplit), so a re-run, a retry, or another engine produces
     the SAME order; changing ``seed`` produces an independent
-    permutation.  Documents keep all their columns.
+    permutation.  The id string is the secondary sort key, so hash
+    collisions (60-bit prefixes collide with real probability at
+    billions of docs) still place deterministically; rows SHARING an id
+    remain mutually unordered — give documents unique ids for a total
+    order.  Documents keep all their columns.
 
     100 TB shape: one range exchange on the hash (uniform keys ⇒
     balanced ranges, no skew by construction) — exactly the cost of any
@@ -3154,7 +3160,8 @@ def shuffle_stage(expression: Any, ctx: Context) -> StageFn:
 
         _batch_only("$shuffle", c)
         idc = compile_expr(id_expr, ExprContext(schema=df.schema))
-        return df.orderBy(md5_long(idc.cast("string"), seed))
+        ids = idc.cast("string")
+        return df.orderBy(md5_long(ids, seed), ids)
 
     return fn
 
@@ -3172,7 +3179,10 @@ def truncate_tokens_stage(expression: Any, ctx: Context) -> StageFn:
     inp = expression["input"]
     as_field = expression.get("as", "text")
     max_n = int(expression["max"])
-    unit = expression.get("unit", "tokens")
+    # singular and plural both accepted — $entropyScore spells the same
+    # knob "char"/"word"; the family must not punish the analogy
+    unit = {"token": "tokens", "char": "chars"}.get(
+        expression.get("unit", "tokens"), expression.get("unit", "tokens"))
     if max_n <= 0:
         raise ValueError("$truncateTokens max must be >= 1")
     if unit not in ("tokens", "chars"):

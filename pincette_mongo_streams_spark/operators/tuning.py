@@ -118,7 +118,10 @@ def sql_stage(expression: Any, ctx: Context) -> StageFn:
     """Spark-SQL escape hatch: run a SQL statement over the pipeline's
     current frame — ``"SELECT ... FROM {this}"`` or ``{query, views?}``
     where ``views`` is a list of Context collection names additionally
-    bound as ``{name}`` template parameters.
+    bound as ``{name}`` template parameters.  Literal braces in the SQL
+    (regex quantifiers, JSON literals) must be doubled — ``RLIKE
+    'a{{2,3}}'`` — str.format template semantics; unbound fields are a
+    compile-time error naming the fix.
 
     This is a superset stage with no reference analog (the reference's
     escape hatches are $jq/$jslt per-document scripts); it exists so a
@@ -144,6 +147,26 @@ def sql_stage(expression: Any, ctx: Context) -> StageFn:
     if "{this}" not in query:
         raise ValueError("$sql query must reference {this} (the "
                          "pipeline's current frame)")
+    # 'this' is always the pipeline frame; names that collide with
+    # SparkSession.sql's own parameters would be swallowed by the call
+    reserved = {"this", "self", "sqlQuery", "args", "kwargs"}
+    for name in views:
+        if name in reserved or not name.isidentifier():
+            raise ValueError(
+                f"$sql view name {name!r} is reserved or not a valid "
+                "identifier")
+    # validate every template field up front: str.format semantics make
+    # a stray '{2}' (regex quantifier, JSON literal) fail at run time
+    # with an unhelpful formatter error otherwise
+    import string
+
+    allowed = {"this", *views}
+    for _lit, field, _spec, _conv in string.Formatter().parse(query):
+        if field is not None and field not in allowed:
+            raise ValueError(
+                f"$sql template field {{{field}}} is not bound — name it "
+                "in views, or escape literal braces as {{ and }} "
+                "(e.g. RLIKE 'a{{2,3}}')")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         frames = {"this": df}

@@ -187,3 +187,25 @@ def test_truncate_validation(spark):
         _trunc(spark, "x", max=0)
     with pytest.raises(ValueError, match="unit"):
         _trunc(spark, "x", max=1, unit="bytes")
+
+
+def test_unit_spelling_is_forgiving(spark):
+    # the family accepts both singular and plural for the same knob
+    assert _trunc(spark, "a b c", max=2, unit="token") == "a b"
+    assert _trunc(spark, "abc", max=2, unit="char") == "ab"
+    assert _entropy(spark, "aabb", unit="chars") == 1.0
+    assert _entropy(spark, "x y x y", unit="words") == 1.0
+
+
+def test_shuffle_ties_break_on_id(spark):
+    # duplicate ids (hash ties) still order deterministically across
+    # repartitionings — the id string is the secondary sort key
+    rows = [(i % 5, f"t{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = [{"$shuffle": {"id": "$doc_id", "seed": 1}}]
+    a = [(r.doc_id, r.text) for r in
+         compile_pipeline(p, Context(spark=spark))(df).collect()]
+    b = [(r.doc_id, r.text) for r in
+         compile_pipeline(p, Context(spark=spark))(
+             df.repartition(7)).collect()]
+    assert [x[0] for x in a] == [x[0] for x in b]

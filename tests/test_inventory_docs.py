@@ -1,7 +1,9 @@
 """Docs-honesty guard: every registered pipeline stage must appear in
 README.md's operator inventory (the judge-facing surface ledger), and
-every stage named in the inventory must exist in the registry — the
-two can never drift apart silently."""
+the README's stated stage count must equal the registry's.  (The
+reverse direction — README naming a stage that doesn't exist — is not
+checkable this way: the README legitimately names hundreds of
+expression/match/accumulator operators that are not pipeline stages.)"""
 
 import os
 import re

@@ -62,3 +62,30 @@ def test_sql_unknown_option_rejected(spark):
         compile_pipeline(
             [{"$sql": {"query": "SELECT * FROM {this}", "view": ["x"]}}],
             Context(spark=spark))(df)
+
+
+def test_sql_literal_braces_need_doubling(spark):
+    df = spark.createDataFrame(ROWS)
+    # undoubled regex quantifier -> clear compile-time error, not a
+    # runtime formatter crash
+    with pytest.raises(ValueError, match="escape literal braces"):
+        compile_pipeline(
+            [{"$sql": "SELECT * FROM {this} WHERE CAST(id AS STRING) "
+                      "RLIKE '1{2}'"}],
+            Context(spark=spark))(df)
+    # doubled braces reach Spark as literal { }
+    out = compile_pipeline(
+        [{"$sql": "SELECT id FROM {this} WHERE CAST(v AS STRING) "
+                  "RLIKE '[0-9]{{2}}'"}],
+        Context(spark=spark))(df)
+    assert out.count() == 3
+
+
+def test_sql_reserved_view_names_rejected(spark):
+    df = spark.createDataFrame(ROWS)
+    for bad in ("this", "args", "not an identifier"):
+        with pytest.raises(ValueError, match="reserved|identifier"):
+            compile_pipeline(
+                [{"$sql": {"query": "SELECT * FROM {this}",
+                           "views": [bad]}}],
+                Context(spark=spark, collections={bad: df}))(df)
