@@ -397,3 +397,43 @@ def test_graph_lookup_sf01(spark):
     n, secs = _timed(out)
     assert n == 15_000  # left-preserving
     assert secs < 30, f"graph_lookup took {secs:.1f}s at sf0.1"
+
+
+def test_minhash_dedup_sf01(spark):
+    """The canonical web-scale dedup at sf0.1: signature computation is
+    row-local HOFs, the only shuffle is the slim band-bucket
+    groupBy(min), survivors come back via one anti-join — O(corpus),
+    never pairwise."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = compile_pipeline(
+        [{"$minhashDedup": {"input": "$text", "id": "doc_id",
+                            "shingle": 3, "numHashes": 32, "bands": 16}}],
+        Context(spark=spark),
+    )(docs)
+    _assert_scale_plan(out, "minhash_dedup")
+    n, secs = _timed(out)
+    # planted near-dups drop; survivors are a strict non-empty subset
+    assert 0 < n < 5000
+    assert secs < 30, f"minhash_dedup took {secs:.1f}s at sf0.1"
+
+
+def test_set_window_fields_sf01(spark):
+    """$setWindowFields at sf0.1 (100k events over user_id partitions):
+    ONE hash shuffle on partitionBy, frames evaluated streaming within
+    partition — no per-frame joins, no Python."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = compile_pipeline(
+        [{"$setWindowFields": {
+            "partitionBy": "$user_id", "sortBy": {"ts": 1},
+            "output": {
+                "running": {"$sum": "$value",
+                            "window": {"documents": ["unbounded",
+                                                     "current"]}},
+                "rank": {"$denseRank": {}}}}}],
+        Context(spark=spark),
+    )(ev)
+    plan = _assert_scale_plan(out, "set_window_fields")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    n, secs = _timed(out)
+    assert n == 100_000  # row-preserving
+    assert secs < 30, f"set_window_fields took {secs:.1f}s at sf0.1"
