@@ -209,3 +209,85 @@ def test_shuffle_ties_break_on_id(spark):
          compile_pipeline(p, Context(spark=spark))(
              df.repartition(7)).collect()]
     assert [x[0] for x in a] == [x[0] for x in b]
+
+
+# ----------------------------------- randomized differential (vs Python)
+
+
+def test_html_strip_matches_python_reference(spark):
+    """Seeded random markup soup: Spark's regexp chain must equal a
+    literal Python re implementation of the same spec (guards regex
+    dialect drift beyond the fixed-corpus oracle)."""
+    import random
+    import re
+
+    rng = random.Random(515)
+    pieces = ["plain", "a &amp; b", "&lt;code&gt;", "<b>", "</b>",
+              "<script>var x=1;</script>", "<style>p{c}</style>",
+              "<p class='x'>", "</p>", "1 < 2", "x > y", "&nbsp;",
+              "&#39;q&#39;", "  ", "\n", "word"]
+    docs = [" ".join(rng.choice(pieces)
+                     for _ in range(rng.randint(0, 12)))
+            for _ in range(200)]
+
+    def py_strip(p):
+        c = p
+        for block in ("script", "style"):
+            c = re.sub(rf"(?is)<{block}[^>]*>.*?</{block}>", " ", c)
+        c = re.sub(r"<[^>]*>", " ", c)
+        for ent, rep in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                         ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+                         ("&amp;", "&")]:
+            c = c.replace(ent, rep)
+        return re.sub(r"\s+", " ", c).strip()
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string")
+    out = compile_pipeline(
+        [{"$htmlStrip": {"input": "$text", "as": "h"}}],
+        Context(spark=spark))(df)
+    for r in out.sort("doc_id").collect():
+        d = docs[r.doc_id]
+        assert r.h.clean_text == py_strip(d), repr(d)
+        assert r.h.n_tags == len(re.findall(r"<[^>]*>", d)), repr(d)
+
+
+def test_pii_stats_matches_python_reference(spark):
+    import random
+    import re
+
+    from pincette_mongo_streams_spark.functions.datapipe import SCRUB_RULES
+
+    rng = random.Random(516)
+    pieces = ["text", "a.b-c@mail.example.co", "http://x.io/p?q=1",
+              "https://y.org", "10.0.0.1", "999.12.1.2",
+              "+1 (555) 123-4567", "555 123 4567", "v1.2.3", "x@y",
+              "12345678", "@", ".", "-"]
+    docs = [" ".join(rng.choice(pieces)
+                     for _ in range(rng.randint(0, 10)))
+            for _ in range(200)]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string")
+    out = compile_pipeline(
+        [{"$piiStats": {"input": "$text", "as": "p"}}],
+        Context(spark=spark))(df)
+    for r in out.sort("doc_id").collect():
+        d = docs[r.doc_id]
+        for name, (rx, _tok) in SCRUB_RULES:
+            assert r.p[name] == len(re.findall(rx, d)), (name, repr(d))
+
+
+def test_truncate_tokens_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(517)
+    docs = ["".join(rng.choice("ab \t\n") for _ in range(rng.randint(0, 30)))
+            for _ in range(200)]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string")
+    out = compile_pipeline(
+        [{"$truncateTokens": {"input": "$text", "as": "t", "max": 3}}],
+        Context(spark=spark))(df)
+    for r in out.sort("doc_id").collect():
+        assert r.t == " ".join(docs[r.doc_id].split()[:3]), \
+            repr(docs[r.doc_id])
