@@ -4535,7 +4535,8 @@ _register(
                                                   '[^a-z0-9]+'), 'window'))
          AND NOT list_contains(string_split_regex(lower(text),
                                                   '[^a-z0-9]+'), 'spill')
-         AND NOT contains(lower(text), 'slow scan')
+         AND NOT regexp_matches(lower(text),
+               '(^|[^A-Za-z0-9])slow[^A-Za-z0-9]+scan([^A-Za-z0-9]|$)')
        ORDER BY doc_id""",
 )(
     _pipe(

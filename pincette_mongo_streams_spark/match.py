@@ -146,10 +146,13 @@ def _text_predicate(spec: Any, ctx: ExprContext) -> Column:
     field(s) MUST be named inline via ``$path`` (string or list — the
     documented deviation).  Semantics per Mongo's $text contract:
 
-    - terms are OR-ed; ``-term`` excludes; quoted phrases are substring
-      matches and, when present, are what is required (each phrase must
-      appear — loose terms then only affect scoring in Mongo, so they
-      do not further restrict the match here either)
+    - terms are OR-ed; ``-term`` excludes; quoted phrases match as
+      TOKEN sequences (any non-alphanumeric run separates tokens, so
+      ``"slow scan"`` matches ``slow scan,`` and ``slow-scan`` but
+      never the inside of ``coleslaw scandal``) and, when present, are
+      what is required (each phrase must appear — loose terms then only
+      affect scoring in Mongo, so they do not further restrict the
+      match here either)
     - an all-negation search matches nothing, like Mongo
     - case-insensitive unless ``$caseSensitive: true``
 
@@ -194,7 +197,17 @@ def _text_predicate(spec: Any, ctx: ExprContext) -> Column:
             F.exists(w, lambda x: x == F.lit(t)) for w in words])
 
     def phrase_hit(p: str) -> Column:
-        return _fold_or([c.contains(p) for c in cols])
+        # token-sequence match: tokenize the phrase the same way as the
+        # documents; tokens are pure alphanumeric after the split, so
+        # the pattern needs no escaping and is Java/RE2-portable
+        import re as _re
+
+        toks = [w for w in _re.split(r"[^A-Za-z0-9]+", p) if w]
+        if not toks:
+            return F.lit(False)
+        rx = ("(^|[^A-Za-z0-9])" + "[^A-Za-z0-9]+".join(toks)
+              + "([^A-Za-z0-9]|$)")
+        return _fold_or([c.rlike(rx) for c in cols])
 
     if phrases:
         positive = _fold_and([phrase_hit(p) for p in phrases])

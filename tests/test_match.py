@@ -329,3 +329,17 @@ def test_near_rejected_in_match(spark):
     with pytest.raises(NotImplementedError, match=r"\$nearSphere"):
         keep(spark, {"nested": {"$nearSphere": [0, 0], "$maxDistance": 1}},
              ROWS)
+
+
+def test_text_phrase_is_token_bounded(spark):
+    rows = [
+        Row(id=1, title="x", body="the slow scan, then rest"),
+        Row(id=2, title="x", body="a coleslaw scandal brews"),
+        Row(id=3, title="x", body="slow-scan telemetry mode"),
+    ]
+    q = {"$text": {"$search": '"low scan"', "$path": "body"}}
+    assert keep(spark, q, rows) == []  # never matches inside tokens
+    q = {"$text": {"$search": '"slow scan"', "$path": "body"}}
+    # punctuation and '-' both separate tokens; 'coleslaw scandal' does
+    # not contain the token sequence
+    assert keep(spark, q, rows) == [1, 3]
