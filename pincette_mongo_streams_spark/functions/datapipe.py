@@ -3144,7 +3144,10 @@ def shuffle_stage(expression: Any, ctx: Context) -> StageFn:
     collisions (60-bit prefixes collide with real probability at
     billions of docs) still place deterministically; rows SHARING an id
     remain mutually unordered — give documents unique ids for a total
-    order.  Documents keep all their columns.
+    order.  Null ids sort first (Spark's null ordering; engines that
+    default nulls-last would place them at the other end — keep ids
+    non-null for the cross-engine guarantee).  Documents keep all their
+    columns.
 
     100 TB shape: one range exchange on the hash (uniform keys ⇒
     balanced ranges, no skew by construction) — exactly the cost of any

@@ -26,3 +26,13 @@ def test_stage_count_claim_is_current():
     assert int(m.group(1)) == len(stage_names()), (
         f"README claims {m.group(1)} stages, registry has "
         f"{len(stage_names())}")
+
+
+def test_expression_count_claim_is_current():
+    from pincette_mongo_streams_spark.expressions import OPERATORS
+
+    m = re.search(r"\(§2\.3a, (\d+) operators", open(README).read())
+    assert m, "README must state the expression-operator count"
+    assert int(m.group(1)) == len(OPERATORS), (
+        f"README claims {m.group(1)} expression operators, registry "
+        f"has {len(OPERATORS)}")
