@@ -4631,6 +4631,39 @@ _register(
 )
 
 
+_register(
+    # r5: deterministic weighted corpus mixture (base 60% + an extra
+    # collection at 30%, salted per part name — same md5 fold as
+    # $datasetSplit, so DuckDB reproduces the exact row fate).
+    "mix_corpora",
+    """SELECT doc_id, 'web' AS mix_source FROM documents
+       WHERE ('0x' || substr(md5('1:web:' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT % 1000000 < 600000
+       UNION ALL
+       SELECT doc_id, 'books' AS mix_source FROM documents
+       WHERE source IN ('src1', 'src2')
+         AND ('0x' || substr(md5('1:books:' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT % 1000000 < 300000
+       ORDER BY mix_source, doc_id""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$mixCorpora": {"id": "$doc_id", "seed": 1,
+                             "base": {"name": "web", "rate": 0.6},
+                             "extra": {"books": {"from": "aux",
+                                                 "rate": 0.3}}}},
+            {"$project": {"_id": 0, "doc_id": 1, "mix_source": 1}},
+            {"$sort": {"mix_source": 1, "doc_id": 1}},
+        ],
+        collections={
+            "aux": lambda t: t["documents"].filter(
+                F.col("source").isin("src1", "src2")),
+        },
+    )
+)
+
+
 _PII_A = " reach me at jo.doe+x@mail-host.co or https://ex.org/a?b=1 "
 _PII_B = " from 10.0.12.9 call +1 (415) 555-0199 now"
 

@@ -3206,3 +3206,60 @@ def truncate_tokens_stage(expression: Any, ctx: Context) -> StageFn:
         return df.withColumn(as_field, out)
 
     return fn
+
+
+@register_stage("$mixCorpora")
+def mix_corpora_stage(expression: Any, ctx: Context) -> StageFn:
+    """Deterministic weighted corpus mixture — the "70% web / 30%
+    books" composition step of a training-data pipeline:
+
+    ``{id, seed?, as?, base: {name, rate}, extra: {name: {from,
+    rate, id?}}}``
+
+    The pipeline frame is the ``base`` corpus, down-sampled to
+    ``rate``; each ``extra`` entry names a Context collection sampled
+    at its own rate; all parts union (by column name, missing columns
+    null-filled) with the part's name in the ``as`` column (default
+    ``mix_source``).  Sampling keeps a row when
+    ``md5(seed:name:id) % 1e6 < rate*1e6`` — the same engine-portable
+    fold as $datasetSplit, so the mixture is reproducible across runs,
+    retries and engines, stable under corpus growth (a row's fate
+    depends only on its own id), and independent per part (the part
+    name salts the hash).  Rates are exact in expectation, not exact
+    counts — cheap and shuffle-free where an exact-count mix would
+    need a global sort; compose with $groupCap for hard caps.
+
+    100 TB shape: row-local hash filters + a metadata-only union —
+    zero shuffle, each part's parquet scan prunes independently."""
+    id_expr = expression.get("id", "$_id")
+    seed = int(expression.get("seed", 0))
+    as_field = expression.get("as", "mix_source")
+    base = expression.get("base", {})
+    base_name = base.get("name", "base")
+    extra: dict = expression.get("extra", {})
+    parts = [(base_name, None, float(base.get("rate", 1.0)),
+              expression.get("id", "$_id"))]
+    for name, spec in extra.items():
+        parts.append((name, spec["from"], float(spec.get("rate", 1.0)),
+                      spec.get("id", id_expr)))
+    for name, _src, rate, _id in parts:
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"$mixCorpora rate for {name!r} must be in "
+                             f"[0, 1], got {rate}")
+    if len({name for name, *_ in parts}) != len(parts):
+        raise ValueError("$mixCorpora part names must be unique")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        out = None
+        for name, src, rate, part_id in parts:
+            part = df if src is None else c.collections[src]
+            idc = compile_expr(part_id, ExprContext(schema=part.schema))
+            h = md5_long(F.concat(F.lit(f"{name}:"), idc.cast("string")),
+                         seed) % F.lit(1_000_000)
+            kept = part.filter(h < F.lit(int(round(rate * 1_000_000)))) \
+                .withColumn(as_field, F.lit(name))
+            out = kept if out is None else out.unionByName(
+                kept, allowMissingColumns=True)
+        return out
+
+    return fn

@@ -291,3 +291,56 @@ def test_truncate_tokens_matches_python_reference(spark):
     for r in out.sort("doc_id").collect():
         assert r.t == " ".join(docs[r.doc_id].split()[:3]), \
             repr(docs[r.doc_id])
+
+
+# ------------------------------------------------------------ $mixCorpora
+
+
+def test_mix_corpora_deterministic_and_tagged(spark):
+    import hashlib
+
+    base = spark.createDataFrame([(i, f"w{i}") for i in range(100)],
+                                 "doc_id long, text string")
+    books = spark.createDataFrame([(i, f"b{i}", True) for i in range(100)],
+                                  "doc_id long, text string, book boolean")
+    ctx = Context(spark=spark, collections={"bk": books})
+    p = [{"$mixCorpora": {"id": "$doc_id", "seed": 5,
+                          "base": {"name": "web", "rate": 0.5},
+                          "extra": {"books": {"from": "bk",
+                                              "rate": 0.25}}}}]
+    out = compile_pipeline(p, Context(spark=spark,
+                                      collections={"bk": books}))(base)
+    rows = [(r.doc_id, r.mix_source, r.book) for r in out.collect()]
+
+    def kept(name, i, rate):
+        h = int(hashlib.md5(f"5:{name}:{i}".encode()).hexdigest()[:15],
+                16) % 1_000_000
+        return h < rate * 1_000_000
+
+    exp_web = {i for i in range(100) if kept("web", i, 0.5)}
+    exp_books = {i for i in range(100) if kept("books", i, 0.25)}
+    assert {i for i, s, _ in rows if s == "web"} == exp_web
+    assert {i for i, s, _ in rows if s == "books"} == exp_books
+    # missing columns null-fill across parts; tags are exact
+    assert all(b is None for i, s, b in rows if s == "web")
+    assert all(b is True for i, s, b in rows if s == "books")
+    # re-run is identical (retry determinism)
+    out2 = compile_pipeline(p, ctx)(base)
+    assert sorted(rows) == sorted(
+        (r.doc_id, r.mix_source, r.book) for r in out2.collect())
+
+
+def test_mix_corpora_validation(spark):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="rate"):
+        compile_pipeline(
+            [{"$mixCorpora": {"id": "$doc_id",
+                              "base": {"name": "b", "rate": 1.5}}}],
+            Context(spark=spark))(df)
+    with pytest.raises(ValueError, match="unique"):
+        compile_pipeline(
+            [{"$mixCorpora": {"id": "$doc_id",
+                              "base": {"name": "x", "rate": 0.5},
+                              "extra": {"x": {"from": "c",
+                                              "rate": 0.5}}}}],
+            Context(spark=spark))(df)
