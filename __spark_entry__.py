@@ -4525,8 +4525,9 @@ ORDER BY d.doc_id""",
 _register(
     # r5: legacy $text in $match (path-scoped: the engine is index-free,
     # so the text-index field set is stated inline).  Terms OR, -term
-    # excludes, -"phrase" excludes by substring; tokenization is
-    # [^A-Za-z0-9]+ on both sides, same as the oracle.
+    # excludes, -"phrase" excludes as a token SEQUENCE (any
+    # non-alphanumeric run separates tokens); tokenization is
+    # [^A-Za-z0-9]+ on both sides, same as the oracle's regexp.
     "text_match",
     """SELECT doc_id, n_chars FROM documents
        WHERE (list_contains(string_split_regex(lower(text),

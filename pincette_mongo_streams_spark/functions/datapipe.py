@@ -3225,8 +3225,10 @@ def mix_corpora_stage(expression: Any, ctx: Context) -> StageFn:
     fold as $datasetSplit, so the mixture is reproducible across runs,
     retries and engines, stable under corpus growth (a row's fate
     depends only on its own id), and independent per part (the part
-    name salts the hash).  Rates are exact in expectation, not exact
-    counts — cheap and shuffle-free where an exact-count mix would
+    name salts the hash).  Null ids hash as the empty string, so all
+    null-id rows of a part share one deterministic fate rather than
+    silently dropping — give rows unique ids for per-row sampling.
+    Rates are exact in expectation, not exact counts — cheap and shuffle-free where an exact-count mix would
     need a global sort; compose with $groupCap for hard caps.
 
     100 TB shape: row-local hash filters + a metadata-only union —
@@ -3237,9 +3239,12 @@ def mix_corpora_stage(expression: Any, ctx: Context) -> StageFn:
     base = expression.get("base", {})
     base_name = base.get("name", "base")
     extra: dict = expression.get("extra", {})
-    parts = [(base_name, None, float(base.get("rate", 1.0)),
-              expression.get("id", "$_id"))]
+    parts = [(base_name, None, float(base.get("rate", 1.0)), id_expr)]
     for name, spec in extra.items():
+        if not isinstance(spec, dict) or "from" not in spec:
+            raise ValueError(
+                f"$mixCorpora extra part {name!r} needs "
+                "{from: <collection>, rate?}")
         parts.append((name, spec["from"], float(spec.get("rate", 1.0)),
                       spec.get("id", id_expr)))
     for name, _src, rate, _id in parts:
@@ -3254,8 +3259,13 @@ def mix_corpora_stage(expression: Any, ctx: Context) -> StageFn:
         for name, src, rate, part_id in parts:
             part = df if src is None else c.collections[src]
             idc = compile_expr(part_id, ExprContext(schema=part.schema))
-            h = md5_long(F.concat(F.lit(f"{name}:"), idc.cast("string")),
-                         seed) % F.lit(1_000_000)
+            # null ids hash as the empty string (coalesce), not to a
+            # dropped NULL predicate — a row's fate must be a decision,
+            # never silent loss ($datasetSplit keeps null-id rows too)
+            h = md5_long(
+                F.concat(F.lit(f"{name}:"),
+                         F.coalesce(idc.cast("string"), F.lit(""))),
+                seed) % F.lit(1_000_000)
             kept = part.filter(h < F.lit(int(round(rate * 1_000_000)))) \
                 .withColumn(as_field, F.lit(name))
             out = kept if out is None else out.unionByName(

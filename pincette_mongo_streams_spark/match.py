@@ -18,6 +18,7 @@ in the schema means "is null"; absent-from-schema fields are uniformly
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 from pyspark.sql import Column
@@ -112,13 +113,16 @@ def _fold_or(preds: list[Column]) -> Column:
     return acc
 
 
+# $text tokenization — ONE pattern for the query terms, the document
+# split, and the phrase-sequence regex, so the three can never drift
+_TEXT_TOKEN_SPLIT = "[^A-Za-z0-9]+"
+
+
 def _parse_text_search(search: str) -> tuple[list[str], list[str],
                                              list[str], list[str]]:
     """Mongo $text search-string grammar: quoted phrases (optionally
     ``-``-negated), whitespace terms, ``-term`` negations.
     -> (terms, phrases, neg_terms, neg_phrases)."""
-    import re
-
     phrases: list[str] = []
     neg_phrases: list[str] = []
 
@@ -133,7 +137,7 @@ def _parse_text_search(search: str) -> tuple[list[str], list[str],
         neg = tok.startswith("-") and len(tok) > 1
         body = tok[1:] if neg else tok
         # tokenize the query the same way documents are tokenized
-        words = [w for w in re.split(r"[^A-Za-z0-9]+", body) if w]
+        words = [w for w in re.split(_TEXT_TOKEN_SPLIT, body) if w]
         (neg_terms if neg else terms).extend(words)
     return terms, [p for p in phrases if p], neg_terms, \
         [p for p in neg_phrases if p]
@@ -190,7 +194,7 @@ def _text_predicate(spec: Any, ctx: ExprContext) -> Column:
         return out
 
     cols = field_cols()
-    words = [F.split(c, "[^A-Za-z0-9]+") for c in cols]
+    words = [F.split(c, _TEXT_TOKEN_SPLIT) for c in cols]
 
     def term_hit(t: str) -> Column:
         return _fold_or([
@@ -200,14 +204,21 @@ def _text_predicate(spec: Any, ctx: ExprContext) -> Column:
         # token-sequence match: tokenize the phrase the same way as the
         # documents; tokens are pure alphanumeric after the split, so
         # the pattern needs no escaping and is Java/RE2-portable
-        import re as _re
-
-        toks = [w for w in _re.split(r"[^A-Za-z0-9]+", p) if w]
-        if not toks:
-            return F.lit(False)
-        rx = ("(^|[^A-Za-z0-9])" + "[^A-Za-z0-9]+".join(toks)
-              + "([^A-Za-z0-9]|$)")
+        toks = [w for w in re.split(_TEXT_TOKEN_SPLIT, p) if w]
+        rx = (f"(^|{_TEXT_TOKEN_SPLIT})"
+              + _TEXT_TOKEN_SPLIT.join(toks)
+              + f"({_TEXT_TOKEN_SPLIT}|$)")
         return _fold_or([c.rlike(rx) for c in cols])
+
+    def has_tokens(p: str) -> bool:
+        return any(w for w in re.split(_TEXT_TOKEN_SPLIT, p))
+
+    # a phrase that tokenizes to nothing ('"!!!"') imposes no constraint
+    # — Mongo's tokenizer reduces it to the empty phrase too; dropping
+    # it lets the remaining terms/phrases decide the match instead of
+    # compiling an unsatisfiable constant
+    phrases = [p for p in phrases if has_tokens(p)]
+    neg_phrases = [p for p in neg_phrases if has_tokens(p)]
 
     if phrases:
         positive = _fold_and([phrase_hit(p) for p in phrases])

@@ -344,3 +344,37 @@ def test_mix_corpora_validation(spark):
                               "extra": {"x": {"from": "c",
                                               "rate": 0.5}}}}],
             Context(spark=spark))(df)
+
+
+def test_mix_corpora_null_ids_share_one_fate(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (None, "c")], "doc_id long, text string")
+    h = int(hashlib.md5("0:web:".encode()).hexdigest()[:15],
+            16) % 1_000_000
+    out = compile_pipeline(
+        [{"$mixCorpora": {"id": "$doc_id",
+                          "base": {"name": "web", "rate": 0.5}}}],
+        Context(spark=spark))(df)
+    texts = sorted(r.text for r in out.collect())
+    expect_nulls = ["b", "c"] if h < 500_000 else []
+    base = [] if int(hashlib.md5("0:web:1".encode()).hexdigest()[:15],
+                     16) % 1_000_000 >= 500_000 else ["a"]
+    assert texts == sorted(base + expect_nulls)
+    # rate 1.0 keeps EVERY row, null ids included — never silent loss
+    out2 = compile_pipeline(
+        [{"$mixCorpora": {"id": "$doc_id",
+                          "base": {"name": "web", "rate": 1.0}}}],
+        Context(spark=spark))(df)
+    assert out2.count() == 3
+
+
+def test_mix_corpora_missing_from_is_clear(spark):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match=r"\$mixCorpora extra part"):
+        compile_pipeline(
+            [{"$mixCorpora": {"id": "$doc_id",
+                              "base": {"name": "b", "rate": 0.5},
+                              "extra": {"books": {"rate": 0.3}}}}],
+            Context(spark=spark))(df)

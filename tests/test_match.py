@@ -343,3 +343,15 @@ def test_text_phrase_is_token_bounded(spark):
     # punctuation and '-' both separate tokens; 'coleslaw scandal' does
     # not contain the token sequence
     assert keep(spark, q, rows) == [1, 3]
+
+
+def test_text_tokenless_phrase_is_no_constraint(spark):
+    rows = [Row(id=1, title="x", body="merge now !!!"),
+            Row(id=2, title="x", body="other things")]
+    # a phrase that tokenizes to nothing imposes no constraint — the
+    # remaining terms decide (it must not compile to constant False)
+    q = {"$text": {"$search": 'merge "!!!"', "$path": "body"}}
+    assert keep(spark, q, rows) == [1]
+    # alone, it is an all-negation-style empty positive: matches nothing
+    q = {"$text": {"$search": '"!!!"', "$path": "body"}}
+    assert keep(spark, q, rows) == []
