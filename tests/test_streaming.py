@@ -864,3 +864,18 @@ def test_curation_family_streams(spark, tmpdir):
     assert rows[1]["ent"] > rows[2]["ent"]  # varied text > repeated text
     assert rows[3]["emails"] == 1 and rows[3]["n_tags"] == 2
     assert rows[1]["n_tok"] == 9
+
+
+def test_sql_stage_streams(spark, tmpdir):
+    """$sql's DataFrame template binding works on streaming frames too
+    (spark.sql(q, this=streamingDF) keeps isStreaming) — the escape
+    hatch composes with the streaming runtime unchanged."""
+    schema = "doc_id long, v long"
+    batches = [[{"doc_id": 1, "v": 10}, {"doc_id": 2, "v": 20}],
+               [{"doc_id": 3, "v": 30}]]
+    out = _run(
+        spark, str(tmpdir), schema, batches,
+        [{"$sql": "SELECT doc_id, v * 2 AS d FROM {this} WHERE v >= 20"}],
+    )
+    rows = sorted((r["doc_id"], r["d"]) for e in out for r in e)
+    assert rows == [(2, 40), (3, 60)]
