@@ -2320,12 +2320,12 @@ _register(
 )(_range_join_query)
 
 
-def _kmeans_oracle_sql(k: int, iterations: int, dim: int) -> str:
-    """DuckDB twin of $kmeans: the whole Lloyd iteration is reproduced in
-    SQL — md5-seeded init, argmin-Euclidean assignment (first index wins
-    ties), mean update rounded half-up to 9 digits (the operator rounds
-    identically, so parallel-summation ULP noise cannot diverge the
-    engines), empty cells keep their centroid."""
+def _kmeans_ctes(k: int, iterations: int, dim: int) -> tuple[str, str]:
+    """The shared Lloyd-iteration CTE chain (md5-seeded init, argmin
+    assignment, 9-digit-rounded means, empty cells keep their centroid)
+    — returns (joined CTE text, name of the final centroid CTE).  Used
+    by both the $kmeans and $semanticDedup oracles, which reproduce the
+    engine's deterministic iteration exactly."""
     blocks = ["""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
            FROM embeddings),
@@ -2354,13 +2354,47 @@ c{it} AS (SELECT {prev}.cid,
           FROM {prev} LEFT JOIN n{it} USING (cid)
           GROUP BY {prev}.cid, {prev}.ce)""")
         prev = f"c{it}"
-    final = f"""
+    return ",".join(blocks), prev
+
+
+def _kmeans_oracle_sql(k: int, iterations: int, dim: int) -> str:
+    """DuckDB twin of $kmeans: the whole Lloyd iteration is reproduced in
+    SQL — see :func:`_kmeans_ctes`."""
+    ctes, prev = _kmeans_ctes(k, iterations, dim)
+    return ctes + f"""
 SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
     SELECT v.vec_id, c.cid,
            row_number() OVER (PARTITION BY v.vec_id
                               ORDER BY list_distance(v.e, c.ce), c.cid) AS rn
     FROM v CROSS JOIN {prev} c) WHERE rn = 1"""
-    return ",".join(blocks) + final
+
+
+def _semantic_dedup_oracle_sql(
+    k: int, iterations: int, dim: int, threshold: float
+) -> str:
+    """DuckDB twin of $semanticDedup (keep: 'far'): the Lloyd chain from
+    :func:`_kmeans_ctes`, then same-cell pairs with cosine >= threshold
+    drop the member closer to its centroid (9-digit-rounded squared
+    distance, ties drop the larger id) — the exact engine fold, so the
+    comparison cannot diverge on summation-order ULP noise."""
+    ctes, prev = _kmeans_ctes(k, iterations, dim)
+    dist2 = ("list_sum(list_transform(list_zip(v.e, c.ce), "
+             "p -> (p[1] - p[2]) * (p[1] - p[2])))")
+    return ctes + f""",
+asg AS (SELECT vec_id, e, cid, cd FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           floor({dist2} * 1e9 + 0.5) / 1e9 AS cd,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_distance(v.e, c.ce), c.cid) AS rn
+    FROM v CROSS JOIN {prev} c) WHERE rn = 1),
+p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, a.cd AS cda, b.cd AS cdb
+      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.e, b.e) >= {threshold}),
+dups AS (SELECT DISTINCT CASE WHEN cda < cdb THEN ia
+                              WHEN cdb < cda THEN ib
+                              ELSE greatest(ia, ib) END AS did FROM p)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT did FROM dups)"""
 
 
 _register(
@@ -2373,6 +2407,21 @@ _register(
             {"$kmeans": {"input": "$embedding", "id": "vec_id", "k": 4,
                          "iterations": 2, "as": "cluster"}},
             {"$project": {"vec_id": 1, "cluster": {"$toLong": "$cluster"}}},
+        ],
+    )
+)
+
+
+_register(
+    "semantic_dedup",
+    _semantic_dedup_oracle_sql(4, 1, 64, 0.3),
+)(
+    _pipe(
+        "embeddings",
+        [
+            {"$semanticDedup": {"input": "$embedding", "id": "vec_id",
+                                "k": 4, "iterations": 1, "threshold": 0.3}},
+            {"$project": {"vec_id": 1, "label": 1}},
         ],
     )
 )

@@ -1364,6 +1364,79 @@ def _round9(x: float) -> float:
     return math.floor(x * 1e9 + 0.5) / 1e9
 
 
+def _round9_col(col: Column) -> Column:
+    """Column twin of :func:`_round9` — the identical fold on both sides
+    keeps engine-vs-oracle float comparisons exact."""
+    return F.floor(col * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+
+def _km_dist2(vec: Column, centroid: list) -> Column:
+    """Squared Euclidean distance of an array column to a literal
+    centroid — pure codegen fold, zero shuffle."""
+    ca = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, ca, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
+def _km_assign(vec: Column, cents: list[list]) -> Column:
+    """Argmin-Euclidean cell assignment against k×dim centroid literals
+    (first index wins ties) — row-local column algebra."""
+    ds = F.array(*[_km_dist2(vec, ct) for ct in cents])
+    return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+
+
+def _lloyd_centroids(
+    pts: DataFrame, id_field: str, k: int, iterations: int
+) -> list[list[float]]:
+    """Deterministic Lloyd iteration shared by ``$kmeans`` and
+    ``$semanticDedup`` — ``pts`` must carry the embedding in ``__km_e``.
+    Init = the k rows with the smallest ``md5('kmeans:' || id)``; each
+    round assigns by argmin Euclidean then updates via posexplode →
+    ``groupBy(cell, dim).sum`` (partial aggregation bounds the shuffle at
+    tasks×k×dim rows) and a k×dim driver collect (metadata-sized).  Means
+    round half-up to 9 digits so parallel-summation ULP noise cannot make
+    runs or engines disagree; an empty cell keeps its previous centroid.
+    Returns [] on an empty input."""
+    sample = (
+        pts.select(F.col(id_field).alias("__kid"), "__km_e")
+        .orderBy(
+            F.md5(F.concat(F.lit("kmeans:"), F.col("__kid").cast("string"))),
+            "__kid",
+        )
+        .limit(k)
+        .collect()
+    )
+    if not sample:
+        return []
+    cents = [list(r["__km_e"]) for r in sample]
+    for _ in range(iterations):
+        assigned = pts.withColumn("__cell", _km_assign(F.col("__km_e"), cents))
+        stats = (
+            assigned.select(
+                "__cell", F.posexplode("__km_e").alias("__d", "__v")
+            )
+            .groupBy("__cell", "__d")
+            .agg(F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        sums: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in stats:
+            sums.setdefault(r["__cell"], {})[r["__d"]] = (r["__s"], r["__n"])
+        new_cents = []
+        for ci, old in enumerate(cents):
+            comp = sums.get(ci)
+            if not comp:
+                new_cents.append(old)  # empty cell keeps its centroid
+                continue
+            new_cents.append([
+                _round9(comp[d][0] / comp[d][1]) for d in range(len(old))
+            ])
+        cents = new_cents
+    return cents
+
+
 @register_stage("$kmeans")
 def kmeans_stage(expression: Any, ctx: Context) -> StageFn:
     """Lloyd k-means over an embedding column: ``{input, id, k,
@@ -1406,58 +1479,145 @@ def kmeans_stage(expression: Any, ctx: Context) -> StageFn:
         _batch_only("$kmeans", c)
         emb = compile_expr(inp, ExprContext(schema=df.schema)).cast("array<double>")
         pts = df.withColumn("__km_e", emb)
-        sample = (
-            pts.select(F.col(id_field).alias("__kid"), "__km_e")
-            .orderBy(
-                F.md5(F.concat(F.lit("kmeans:"), F.col("__kid").cast("string"))),
-                "__kid",
-            )
-            .limit(k)
-            .collect()
-        )
-        if not sample:
+        cents = _lloyd_centroids(pts, id_field, k, iterations)
+        if not cents:
             return df.withColumn(as_field, F.lit(None).cast("int"))
-        cents = [list(r["__km_e"]) for r in sample]
-
-        def dist2(vec: Column, centroid: list) -> Column:
-            ca = F.array(*[F.lit(float(x)) for x in centroid])
-            return F.aggregate(
-                F.zip_with(vec, ca, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda acc, v: acc + v,
-            )
-
-        def assign(vec: Column) -> Column:
-            ds = F.array(*[dist2(vec, ct) for ct in cents])
-            return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
-
-        for _ in range(iterations):
-            assigned = pts.withColumn("__cell", assign(F.col("__km_e")))
-            stats = (
-                assigned.select(
-                    "__cell", F.posexplode("__km_e").alias("__d", "__v")
-                )
-                .groupBy("__cell", "__d")
-                .agg(F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__n"))
-                .collect()
-            )
-            sums: dict[int, dict[int, tuple[float, int]]] = {}
-            for r in stats:
-                sums.setdefault(r["__cell"], {})[r["__d"]] = (r["__s"], r["__n"])
-            new_cents = []
-            for ci, old in enumerate(cents):
-                comp = sums.get(ci)
-                if not comp:
-                    new_cents.append(old)  # empty cell keeps its centroid
-                    continue
-                new_cents.append([
-                    _round9(comp[d][0] / comp[d][1]) for d in range(len(old))
-                ])
-            cents = new_cents
-        out = pts.withColumn(as_field, assign(F.col("__km_e")))
+        out = pts.withColumn(as_field, _km_assign(F.col("__km_e"), cents))
         if dist_as:
-            ds = F.array(*[dist2(F.col("__km_e"), ct) for ct in cents])
+            ds = F.array(*[_km_dist2(F.col("__km_e"), ct) for ct in cents])
             out = out.withColumn(dist_as, F.sqrt(F.array_min(ds)))
         return out.drop("__km_e")
+
+    return fn
+
+
+@register_stage("$semanticDedup")
+def semantic_dedup_stage(expression: Any, ctx: Context) -> StageFn:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): ``{input, id, k, iterations?, threshold?, keep?,
+    transitive?, as?}``.
+
+    Candidate pairs are bounded to SAME-CLUSTER documents — a
+    deterministic Lloyd k-means (shared with ``$kmeans``: md5-seeded
+    init, fixed ``iterations``, 9-digit-rounded means) partitions the
+    corpus into ``k`` cells, and the pair join is a plain equi-join on
+    the cell id.  That is the whole scale story of the paper: expected
+    O(n²/k) candidate work instead of O(n²), with no broadcast and no
+    cartesian product; ``k`` grows with the corpus.  Within a cell,
+    pairs with unit-vector cosine ≥ ``threshold`` (default 0.95) are
+    semantic duplicates:
+
+    - ``keep: "far"`` (default — the paper's policy): the pair member
+      FARTHER from its cluster centroid survives, the closer (more
+      redundant) one drops; distance ties drop the larger id.  Distances
+      round half-up to 9 digits so engine/run float noise cannot flip a
+      comparison.
+    - ``keep: "minId"``: the larger id of each pair drops (the
+      ``$embedDedup`` rule, cluster-bounded).
+    - ``transitive: true`` resolves duplicate chains with connected
+      components (min-id doc per component survives); ``as: "<field>"``
+      switches to annotate mode, labeling rows with their component id —
+      the same contract as ``$minhashDedup`` / ``$embedDedup``.
+      ``keep: "far"`` is pairwise and cannot combine with transitive.
+
+    Clustering operates on the raw embedding (as ``$kmeans`` does);
+    compose with ``$vectorNormalize`` first for the paper's exact
+    normalized-embedding setup.  Skew note: one giant cluster degrades
+    toward all-pairs within that cell — size ``k`` so the expected cell
+    population keeps cell²·dim work tractable (SCALE.md §3).
+    """
+    inp = expression["input"]
+    id_field = expression.get("id", "vec_id")
+    k = int(expression.get("k", 8))
+    iterations = int(expression.get("iterations", 1))
+    threshold = float(expression.get("threshold", 0.95))
+    keep = expression.get("keep")
+    transitive = bool(expression.get("transitive", False))
+    as_field = expression.get("as")
+    if keep not in (None, "far", "minId"):
+        raise ValueError("$semanticDedup keep must be 'far' or 'minId'")
+    if transitive and keep == "far":
+        raise ValueError(
+            "$semanticDedup keep: 'far' is pairwise — transitive chains "
+            "resolve by component min-id; drop keep or use keep: 'minId'")
+    if as_field and not transitive:
+        raise ValueError(
+            "$semanticDedup as (annotate mode) requires transitive: true")
+    if keep is None:
+        keep = "minId" if transitive else "far"
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..operators.extended import _batch_only
+
+        _batch_only("$semanticDedup", c)
+        emb = compile_expr(inp, ExprContext(schema=df.schema)).cast("array<double>")
+        pts = df.withColumn("__km_e", emb)
+        cents = _lloyd_centroids(pts, id_field, k, iterations)
+        if not cents:
+            return df
+        # one pass over the corpus: cell assignment + unit normalization
+        # are row-local column algebra; the min over the dist2 array IS
+        # the distance to the assigned (argmin) centroid
+        norm = F.sqrt(
+            F.aggregate(F.transform(F.col("__km_e"), lambda x: x * x),
+                        F.lit(0.0), lambda acc, v: acc + v)
+        )
+        unit = F.when(
+            norm > 0, F.transform(F.col("__km_e"), lambda x: x / norm)
+        ).otherwise(F.col("__km_e"))
+        ds = F.array(*[_km_dist2(F.col("__km_e"), ct) for ct in cents])
+        docs = pts.select(
+            F.col(id_field).alias("__did"),
+            unit.alias("__e"),
+            _km_assign(F.col("__km_e"), cents).alias("__cell"),
+            _round9_col(F.array_min(ds)).alias("__cd"),
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("a.__e"), F.col("b.__e"), lambda x, y: x * y),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        pairs = (
+            docs.alias("a")
+            .join(docs.alias("b"),
+                  (F.col("a.__cell") == F.col("b.__cell"))
+                  & (F.col("a.__did") < F.col("b.__did")))
+            .filter(dot >= F.lit(threshold))
+            .select(F.col("a.__did").alias("__ida"),
+                    F.col("b.__did").alias("__idb"),
+                    F.col("a.__cd").alias("__cda"),
+                    F.col("b.__cd").alias("__cdb"))
+        )
+        if transitive:
+            from ..operators.graphcc import connected_components
+
+            labels = connected_components(
+                pairs.select(F.col("__ida").alias("a"),
+                             F.col("__idb").alias("b")))
+            if as_field:
+                lab = labels.select(F.col("__cc_node").alias("__did"),
+                                    F.col("__cc_comp").alias("__lab"))
+                return (
+                    df.join(lab, df[id_field] == lab["__did"], "left")
+                    .withColumn(
+                        as_field,
+                        F.coalesce(F.col("__lab"), F.col(id_field)))
+                    .drop("__did", "__lab")
+                )
+            dups = (
+                labels.filter(F.col("__cc_node") != F.col("__cc_comp"))
+                .select(F.col("__cc_node").alias("__did"))
+            )
+        elif keep == "far":
+            # the member CLOSER to its centroid is the redundant one
+            dups = pairs.select(
+                F.when(F.col("__cda") < F.col("__cdb"), F.col("__ida"))
+                .when(F.col("__cdb") < F.col("__cda"), F.col("__idb"))
+                .otherwise(F.greatest("__ida", "__idb"))
+                .alias("__did")
+            ).distinct()
+        else:
+            dups = pairs.select(F.col("__idb").alias("__did")).distinct()
+        return df.join(dups, df[id_field] == dups["__did"], "left_anti")
 
     return fn
 

@@ -102,6 +102,28 @@ def test_knn_join_sf01(spark):
     assert per_left.filter("count > 3").count() == 0
 
 
+def test_semantic_dedup_sf01(spark):
+    """SemDeDup over the full sf0.1 embeddings table: the pair join is a
+    plain equi-join on the k-means cell id, so candidate work is bounded
+    at Σ cell² instead of the 2k × 2k all-pairs product; assignment and
+    centroid distances are row-local column algebra."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ctx = Context(spark=spark)
+    out = compile_pipeline(
+        [{"$semanticDedup": {"input": "$embedding", "id": "vec_id",
+                             "k": 8, "iterations": 1, "threshold": 0.3}}],
+        ctx,
+    )(emb)
+    plan = _assert_scale_plan(out, "semantic_dedup")
+    # the cell join must be a real equi-join (hash or sort-merge)
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+    n, secs = _timed(out)
+    # survivors are a strict, non-empty subset at this threshold
+    assert 0 < n < 2000
+    assert secs < 45, f"semantic_dedup took {secs:.1f}s at sf0.1"
+
+
 def test_connected_components_sf01(spark):
     """Large-star/small-star over a worst-case 5k-node chain (maximum
     round count for the node set) plus star components: O(log n) rounds,
