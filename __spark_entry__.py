@@ -4031,6 +4031,87 @@ QUALIFY row_number() OVER (
 )
 
 
+def _gopher_rules_oracle_sql() -> str:
+    """DuckDB twin of $gopherRules at paper-default thresholds (f-string
+    expressions cannot hold the regex backslashes, so the ratio pieces
+    assemble here)."""
+    mean_wl = _r("coalesce(list_sum(list_transform(ws, x -> len(x)))::DOUBLE"
+                 " / nullif(len(ws), 0), 0)", 6)
+    hash_r = _r("coalesce((len(text) - len(replace(text, '#', '')))::DOUBLE"
+                " / nullif(len(ws), 0), 0)", 6)
+    ell_r = _r(r"coalesce(len(regexp_extract_all(text, '\.\.\.|…'))::DOUBLE"
+               " / nullif(len(ws), 0), 0)", 6)
+    bullet = _r("coalesce(len(list_filter(ls, l -> regexp_matches(l,"
+                " '^[•‣▪*-]')))::DOUBLE / nullif(len(ls), 0), 0)", 6)
+    ell_line = _r(r"coalesce(len(list_filter(ls, l -> regexp_matches(l,"
+                  r" '(\.\.\.|…)$')))::DOUBLE / nullif(len(ls), 0), 0)", 6)
+    alpha = _r("coalesce(len(list_filter(ws, x -> regexp_matches(x,"
+               " '[A-Za-z]')))::DOUBLE / nullif(len(ws), 0), 0)", 6)
+    return rf"""WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS ws,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    l -> trim(l)), l -> l <> '') AS ls
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    len(ws) AS n_words,
+    {mean_wl} AS mean_word_len,
+    {hash_r} AS hash_word_ratio,
+    {ell_r} AS ellipsis_word_ratio,
+    {bullet} AS bullet_line_frac,
+    {ell_line} AS ellipsis_line_frac,
+    {alpha} AS alpha_word_frac,
+    len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))),
+        ['the','be','to','of','and','that','have','with']))
+        AS stop_word_hits
+  FROM w
+)
+SELECT doc_id, n_words, mean_word_len, hash_word_ratio,
+       ellipsis_word_ratio, bullet_line_frac, ellipsis_line_frac,
+       alpha_word_frac, stop_word_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3 AND mean_word_len <= 10
+        AND hash_word_ratio <= 0.1 AND ellipsis_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8 AND stop_word_hits >= 1) AS pass
+FROM s"""
+
+
+_register(
+    # r5: Gopher's non-repetition quality rules (Rae et al. 2021 Table
+    # A1; functions/datapipe.py gopher_rules_stage) at paper-default
+    # thresholds — the documents corpus splits on the 50-word floor and
+    # the stop-word rule
+    "gopher_rules",
+    _gopher_rules_oracle_sql(),
+)(
+    _pipe(
+        "documents",
+        [
+            # minStopWords 1: the synthetic vocabulary carries only
+            # "the" from Gopher's eight stop words, so the paper default
+            # of 2 would blanket-fail and hide the verdict column
+            {"$gopherRules": {"input": "$text", "minStopWords": 1}},
+            {"$project": {
+                "_id": 0, "doc_id": 1,
+                "n_words": "$gopher.n_words",
+                "mean_word_len": "$gopher.mean_word_len",
+                "hash_word_ratio": "$gopher.hash_word_ratio",
+                "ellipsis_word_ratio": "$gopher.ellipsis_word_ratio",
+                "bullet_line_frac": "$gopher.bullet_line_frac",
+                "ellipsis_line_frac": "$gopher.ellipsis_line_frac",
+                "alpha_word_frac": "$gopher.alpha_word_frac",
+                "stop_word_hits": "$gopher.stop_word_hits",
+                "pass": "$gopher.pass",
+            }},
+        ],
+    )
+)
+
+
 _register(
     # r5: Gopher-style repetition filters over the documents corpus
     "repetition_score",

@@ -1917,6 +1917,113 @@ def repetition_score_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$gopherRules")
+def gopher_rules_stage(expression: Any, ctx: Context) -> StageFn:
+    """Gopher's published document-quality filters (Rae et al. 2021,
+    Table A1 — the non-repetition rules; `$repetitionScore` carries the
+    repetition table): ``{input, as?, ...thresholds}`` adds a struct of
+    the measured signals plus a ``pass`` verdict:
+
+    - ``n_words`` — whitespace word count; pass requires
+      ``minWords`` ≤ n ≤ ``maxWords`` (50 / 100000)
+    - ``mean_word_len`` — characters per word; ``minMeanWordLen`` /
+      ``maxMeanWordLen`` (3 / 10)
+    - ``hash_word_ratio`` / ``ellipsis_word_ratio`` — ``#`` count and
+      non-overlapping ``...``/``…`` count over words; each must stay
+      ≤ ``maxSymbolRatio`` (0.1)
+    - ``bullet_line_frac`` — non-empty lines starting with a bullet
+      (``• ‣ ▪ - *``); ≤ ``maxBulletFrac`` (0.9)
+    - ``ellipsis_line_frac`` — non-empty lines ending in an ellipsis;
+      ≤ ``maxEllipsisLineFrac`` (0.3)
+    - ``alpha_word_frac`` — words containing at least one ``[A-Za-z]``;
+      ≥ ``minAlphaFrac`` (0.8)
+    - ``stop_word_hits`` — how many of Gopher's eight stop words (the,
+      be, to, of, and, that, have, with) appear as lowercase words;
+      ≥ ``minStopWords`` (2)
+
+    Ratios round half-up to 6 digits; an empty document measures zeros
+    and fails.  100 TB shape: pure row-local column program (split /
+    filter / aggregate higher-order functions), no shuffle, no Python.
+    """
+    inp = expression["input"]
+    as_field = expression.get("as", "gopher")
+    min_words = int(expression.get("minWords", 50))
+    max_words = int(expression.get("maxWords", 100_000))
+    min_mwl = float(expression.get("minMeanWordLen", 3))
+    max_mwl = float(expression.get("maxMeanWordLen", 10))
+    max_symbol = float(expression.get("maxSymbolRatio", 0.1))
+    max_bullet = float(expression.get("maxBulletFrac", 0.9))
+    max_ell_line = float(expression.get("maxEllipsisLineFrac", 0.3))
+    min_alpha = float(expression.get("minAlphaFrac", 0.8))
+    min_stop = int(expression.get("minStopWords", 2))
+
+    STOP = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        out = df.withColumn("__gr_t", text)
+        t = F.col("__gr_t")
+        words = F.filter(F.split(F.trim(t), "\\s+"),
+                         lambda w: w != F.lit(""))
+        n_words = F.size(words).cast("double")
+        word_chars = F.aggregate(
+            F.transform(words, F.length), F.lit(0),
+            lambda acc, v: acc + v).cast("double")
+        mean_wl = F.coalesce(F.try_divide(word_chars, n_words), F.lit(0.0))
+        hashes = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+                  ).cast("double")
+        ellipses = F.regexp_count(t, F.lit("\\.\\.\\.|…")).cast("double")
+        hash_ratio = F.coalesce(F.try_divide(hashes, n_words), F.lit(0.0))
+        ell_ratio = F.coalesce(F.try_divide(ellipses, n_words), F.lit(0.0))
+        lines = F.filter(F.transform(F.split(t, "\n"), F.trim),
+                         lambda l: l != F.lit(""))
+        n_lines = F.size(lines).cast("double")
+        bullet_frac = F.coalesce(F.try_divide(
+            F.size(F.filter(lines,
+                            lambda l: l.rlike("^[•‣▪*-]"))).cast("double"),
+            n_lines), F.lit(0.0))
+        ell_line_frac = F.coalesce(F.try_divide(
+            F.size(F.filter(lines,
+                            lambda l: l.rlike("(\\.\\.\\.|…)$"))
+                   ).cast("double"),
+            n_lines), F.lit(0.0))
+        alpha_frac = F.coalesce(F.try_divide(
+            F.size(F.filter(words,
+                            lambda w: w.rlike("[A-Za-z]"))).cast("double"),
+            n_words), F.lit(0.0))
+        stop_hits = F.size(F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(s) for s in STOP])))
+        sig = {
+            "n_words": n_words.cast("long"),
+            "mean_word_len": _half_up6(mean_wl),
+            "hash_word_ratio": _half_up6(hash_ratio),
+            "ellipsis_word_ratio": _half_up6(ell_ratio),
+            "bullet_line_frac": _half_up6(bullet_frac),
+            "ellipsis_line_frac": _half_up6(ell_line_frac),
+            "alpha_word_frac": _half_up6(alpha_frac),
+            "stop_word_hits": stop_hits.cast("long"),
+        }
+        # thresholds compare the ROUNDED signals, so the verdict is
+        # exactly reproducible from the exposed numbers (and the oracle)
+        ok = (
+            (sig["n_words"] >= min_words) & (sig["n_words"] <= max_words)
+            & (sig["mean_word_len"] >= min_mwl)
+            & (sig["mean_word_len"] <= max_mwl)
+            & (sig["hash_word_ratio"] <= max_symbol)
+            & (sig["ellipsis_word_ratio"] <= max_symbol)
+            & (sig["bullet_line_frac"] <= max_bullet)
+            & (sig["ellipsis_line_frac"] <= max_ell_line)
+            & (sig["alpha_word_frac"] >= min_alpha)
+            & (sig["stop_word_hits"] >= min_stop)
+        )
+        struct = F.struct(
+            *[v.alias(k) for k, v in sig.items()], ok.alias("pass"))
+        return out.withColumn(as_field, struct).drop("__gr_t")
+
+    return fn
+
+
 @register_stage("$c4Filter")
 def c4_filter_stage(expression: Any, ctx: Context) -> StageFn:
     """C4-style cleaning (Raffel et al. 2020 §2.2, the public heuristics

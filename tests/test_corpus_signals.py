@@ -378,3 +378,57 @@ def test_mix_corpora_missing_from_is_clear(spark):
                               "base": {"name": "b", "rate": 0.5},
                               "extra": {"books": {"rate": 0.3}}}}],
             Context(spark=spark))(df)
+
+
+# ----------------------------------------------------------- $gopherRules
+
+
+def _gopher(spark, text, **thresholds):
+    return _one(
+        spark,
+        {"$gopherRules": {"input": "$text", "as": "g", **thresholds}},
+        text, "g")
+
+
+def test_gopher_rules_clean_doc_passes(spark):
+    text = ("the quick brown fox jumps over the lazy dog and that "
+            "sentence will have to repeat with more words of filler "
+            "until the word count clears the fifty word floor so here "
+            "are some more plain english words that keep the ratios "
+            "inside every single one of the published gopher bounds ok")
+    g = _gopher(spark, text)
+    assert g["pass"] is True
+    assert g.n_words >= 50 and g.stop_word_hits >= 2
+    assert g.alpha_word_frac == 1.0 and g.bullet_line_frac == 0.0
+
+
+def test_gopher_rules_signal_math(spark):
+    g = _gopher(spark, "aa bb## cc... dd", minWords=1, minStopWords=0)
+    assert g.n_words == 4
+    # 10 word chars (## and ... count: "bb##" is 4, "cc..." is 5) / 4
+    assert g.mean_word_len == round((2 + 4 + 5 + 2) / 4, 6)
+    assert g.hash_word_ratio == 0.5      # two '#' over four words
+    assert g.ellipsis_word_ratio == 0.25  # one '...' over four words
+    assert g.stop_word_hits == 0
+
+
+def test_gopher_rules_line_fractions(spark):
+    text = "• first bullet\n- second bullet\nplain line ends well...\n\n"
+    g = _gopher(spark, text, minWords=1, minStopWords=0)
+    # 3 non-empty lines: 2 bullets, 1 ellipsis-terminated
+    assert g.bullet_line_frac == round(2 / 3, 6)
+    assert g.ellipsis_line_frac == round(1 / 3, 6)
+    assert g["pass"] is False  # ellipsis_line_frac 0.33 > 0.3
+
+
+def test_gopher_rules_stop_words_and_alpha(spark):
+    g = _gopher(spark, "The cat sat with 12345 67890", minWords=1)
+    assert g.stop_word_hits == 2          # the, with
+    assert g.alpha_word_frac == round(4 / 6, 6)
+    assert g["pass"] is False             # alpha 0.67 < 0.8
+
+
+def test_gopher_rules_empty_doc_fails(spark):
+    g = _gopher(spark, "")
+    assert g.n_words == 0 and g.mean_word_len == 0.0
+    assert g["pass"] is False
