@@ -4080,6 +4080,65 @@ SELECT doc_id, n_words, mean_word_len, hash_word_ratio,
 FROM s"""
 
 
+def _dsir_oracle_sql(buckets: int, alpha: float) -> str:
+    """DuckDB twin of $dsirScore (n=2, target = the lang='en' slice):
+    identical md5 bucket hash, Laplace-smoothed unigram models over the
+    hashed unigram+bigram bag, per-doc Σ of log ratios rounded at 6."""
+    h = "('0x' || substr(md5('0:' || g), 1, 15))::BIGINT"
+    ab = alpha * buckets
+    return rf"""WITH sw AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+sf AS (
+  SELECT doc_id, {h} % {buckets} AS b FROM (
+    SELECT doc_id, unnest(ws) AS g FROM sw
+    UNION ALL
+    SELECT doc_id, unnest([array_to_string(ws[j:j+1], ' ')
+                           FOR j IN range(1, greatest(len(ws), 1))]) AS g
+    FROM sw)
+),
+tf AS (SELECT b FROM sf JOIN sw USING (doc_id) WHERE sw.lang = 'en'),
+sc AS (SELECT b, count(*) AS cs FROM sf GROUP BY b),
+tc AS (SELECT b, count(*) AS ct FROM tf GROUP BY b),
+tot AS (SELECT (SELECT sum(cs) FROM sc) AS ts,
+               (SELECT count(*) FROM tf) AS tt),
+r AS (SELECT sc.b,
+             ln((coalesce(tc.ct, 0) + {alpha}) / (tot.tt + {ab}))
+           - ln((sc.cs + {alpha}) / (tot.ts + {ab})) AS lr
+      FROM sc LEFT JOIN tc USING (b), tot),
+ds AS (SELECT sf.doc_id, sum(r.lr) AS raw
+       FROM sf JOIN r USING (b) GROUP BY sf.doc_id)
+SELECT d.doc_id, d.lang,
+       floor(coalesce(ds.raw, 0) * 1e6 + 0.5) / 1e6 AS dsir_score
+FROM documents d LEFT JOIN ds USING (doc_id)"""
+
+
+_register(
+    # r5: DSIR importance weighting (functions/datapipe.py
+    # dsir_score_stage) — target model from the lang='en' slice of the
+    # same corpus, so en-like documents score high
+    "dsir_score",
+    _dsir_oracle_sql(10_000, 1.0),
+)(
+    _pipe(
+        "documents",
+        [
+            {"$dsirScore": {"input": "$text", "id": "doc_id",
+                            "from": "tgt"}},
+            {"$project": {"_id": 0, "doc_id": 1, "lang": 1,
+                          "dsir_score": 1}},
+        ],
+        collections={
+            "tgt": lambda tables:
+                tables["documents"].filter(F.col("lang") == "en"),
+        },
+    )
+)
+
+
 _register(
     # r5: Gopher's non-repetition quality rules (Rae et al. 2021 Table
     # A1; functions/datapipe.py gopher_rules_stage) at paper-default

@@ -3042,6 +3042,119 @@ def chunk_text_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$dsirScore")
+def dsir_score_stage(expression: Any, ctx: Context) -> StageFn:
+    """DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169):
+    ``{input, id, from, targetInput?, n?, buckets?, smoothing?, as?}`` —
+    scores every input document by how much more likely its hashed
+    n-gram bag is under a TARGET corpus' unigram-feature model than
+    under the input (source) corpus' own model:
+
+        score(x) = Σ_{g ∈ ngrams(x)} ln p_target(bucket(g))
+                                   − ln p_source(bucket(g))
+
+    Features are word n-grams for every size 1..``n`` (default 2 —
+    the paper's unigram+bigram bag), hashed into ``buckets`` (default
+    10000) via the engine's md5 bucket hash (oracle-reproducible);
+    probabilities are Laplace-smoothed (``smoothing``, default 1.0):
+    p[b] = (count_b + α) / (total + α·buckets).  Select with a
+    downstream ``$match``/``$quantileBin`` on the score (the paper adds
+    Gumbel noise for sampling — compose ``$stratifiedSample`` for
+    that).  Scores round half-up at 6 digits.
+
+    100 TB shape: both corpus models are one explode + partial-aggregated
+    ``groupBy(bucket)`` — at most ``buckets`` rows survive each shuffle,
+    independent of corpus size; totals are single-row broadcast
+    aggregates; the per-bucket log-ratio table is buckets-sized (AQE
+    broadcasts it into the feature join); per-doc summation rides one
+    shuffle on ``id``.  No driver collect, no pairwise work, no Python.
+    """
+    inp = expression["input"]
+    id_field = expression["id"]
+    from_coll = expression["from"]
+    target_input = expression.get("targetInput", inp)
+    n = int(expression.get("n", 2))
+    buckets = int(expression.get("buckets", 10_000))
+    alpha = float(expression.get("smoothing", 1.0))
+    as_field = expression.get("as", "dsir_score")
+    if n < 1 or buckets < 1 or alpha <= 0:
+        raise ValueError(
+            "$dsirScore needs n >= 1, buckets >= 1 and smoothing > 0")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..operators.extended import _batch_only
+
+        _batch_only("$dsirScore", c)
+        tgt = c.collection(from_coll)
+
+        def feats(col: Column) -> Column:
+            """All word n-grams of sizes 1..n as a BAG (not distinct),
+            hashed to bucket ids — row-local HOFs only."""
+            words = F.filter(F.split(F.lower(F.trim(col)), "\\s+"),
+                             lambda w: w != F.lit(""))
+            def gram_hasher(size):
+                # closure binding, NOT a default arg — `lambda i, s=size:`
+                # would change the lambda's arity and make pyspark pass
+                # the array index as the second argument (same trap as
+                # _seeded_hasher)
+                def g(i: Column) -> Column:
+                    return F.pmod(
+                        md5_long(
+                            F.array_join(F.slice(words, i + 1, size), " "),
+                            0),
+                        F.lit(buckets))
+
+                return g
+
+            parts = []
+            for size in range(1, n + 1):
+                k = F.size(words) - F.lit(size - 1)
+                idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+                    F.array().cast("array<int>"))
+                parts.append(F.transform(idx, gram_hasher(size)))
+            return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+        src_expr = compile_expr(inp, ExprContext(schema=df.schema))
+        tgt_expr = compile_expr(target_input, ExprContext(schema=tgt.schema))
+        src_feats = df.select(
+            F.col(id_field).alias("__did"),
+            F.explode(feats(src_expr)).alias("__b"))
+        tgt_feats = tgt.select(F.explode(feats(tgt_expr)).alias("__b"))
+        src_counts = src_feats.groupBy("__b").agg(
+            F.count(F.lit(1)).alias("__cs"))
+        tgt_counts = tgt_feats.groupBy("__b").agg(
+            F.count(F.lit(1)).alias("__ct"))
+        src_tot = src_counts.agg(F.sum("__cs").alias("__ts"))
+        tgt_tot = tgt_feats.agg(F.count(F.lit(1)).alias("__tt"))
+        a = F.lit(alpha)
+        ab = F.lit(alpha * buckets)
+        ratios = (
+            src_counts.join(tgt_counts, "__b", "left")
+            .crossJoin(F.broadcast(src_tot))
+            .crossJoin(F.broadcast(tgt_tot))
+            .select(
+                "__b",
+                (F.log((F.coalesce(F.col("__ct"), F.lit(0)) + a)
+                       / (F.coalesce(F.col("__tt"), F.lit(0)) + ab))
+                 - F.log((F.col("__cs") + a) / (F.col("__ts") + ab))
+                 ).alias("__lr"),
+            )
+        )
+        scores = (
+            src_feats.join(ratios, "__b")
+            .groupBy("__did")
+            .agg(F.sum("__lr").alias("__raw"))
+        )
+        return (
+            df.join(scores, df[id_field] == scores["__did"], "left")
+            .withColumn(as_field,
+                        _half_up6(F.coalesce(F.col("__raw"), F.lit(0.0))))
+            .drop("__did", "__raw")
+        )
+
+    return fn
+
+
 @register_stage("$decontaminate")
 def decontaminate_stage(expression: Any, ctx: Context) -> StageFn:
     """Training-corpus decontamination against a reference set (e.g. an

@@ -432,3 +432,51 @@ def test_gopher_rules_empty_doc_fails(spark):
     g = _gopher(spark, "")
     assert g.n_words == 0 and g.mean_word_len == 0.0
     assert g["pass"] is False
+
+
+# ------------------------------------------------------------- $dsirScore
+
+
+def test_dsir_score_prefers_target_like_docs(spark):
+    src = spark.createDataFrame(
+        [Row(doc_id=1, text="cat purrs on the mat"),
+         Row(doc_id=2, text="cat naps on the sofa"),
+         Row(doc_id=3, text="dog barks at the van"),
+         Row(doc_id=4, text="dog digs in the yard")],
+        "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [Row(text="cat purrs and the cat naps"),
+         Row(text="a cat sits on the mat")],
+        "text string")
+    out = compile_pipeline(
+        [{"$dsirScore": {"input": "$text", "id": "doc_id", "from": "tgt",
+                         "buckets": 1000}}],
+        Context(spark=spark, collections={"tgt": tgt}))(src)
+    scores = {r["doc_id"]: r["dsir_score"] for r in out.collect()}
+    assert len(scores) == 4
+    # cat documents look more target-like than dog documents
+    assert min(scores[1], scores[2]) > max(scores[3], scores[4])
+
+
+def test_dsir_score_empty_and_null_text(spark):
+    src = spark.createDataFrame(
+        [Row(doc_id=1, text="shared words here"),
+         Row(doc_id=2, text=""), Row(doc_id=3, text=None)],
+        "doc_id long, text string")
+    tgt = spark.createDataFrame([Row(text="shared words here")],
+                                "text string")
+    out = compile_pipeline(
+        [{"$dsirScore": {"input": "$text", "id": "doc_id", "from": "tgt"}}],
+        Context(spark=spark, collections={"tgt": tgt}))(src)
+    scores = {r["doc_id"]: r["dsir_score"] for r in out.collect()}
+    assert scores[2] == 0.0 and scores[3] == 0.0  # no features -> 0
+
+
+def test_dsir_score_spec_validation(spark):
+    ctx = Context(spark=spark)
+    with pytest.raises(ValueError, match="smoothing"):
+        compile_pipeline(
+            [{"$dsirScore": {"input": "$t", "id": "i", "from": "x",
+                             "smoothing": 0}}], ctx)
+    with pytest.raises(KeyError):
+        compile_pipeline([{"$dsirScore": {"input": "$t"}}], ctx)
