@@ -1975,7 +1975,10 @@ def gopher_rules_stage(expression: Any, ctx: Context) -> StageFn:
         ellipses = F.regexp_count(t, F.lit("\\.\\.\\.|…")).cast("double")
         hash_ratio = F.coalesce(F.try_divide(hashes, n_words), F.lit(0.0))
         ell_ratio = F.coalesce(F.try_divide(ellipses, n_words), F.lit(0.0))
-        lines = F.filter(F.transform(F.split(t, "\n"), F.trim),
+        # explicit one-arg lambda: F.trim has an optional second param,
+        # so passing it bare would make transform() feed the array index
+        # in as a trim-character set (the _seeded_hasher arity trap)
+        lines = F.filter(F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
                          lambda l: l != F.lit(""))
         n_lines = F.size(lines).cast("double")
         bullet_frac = F.coalesce(F.try_divide(

@@ -480,3 +480,58 @@ def test_dsir_score_spec_validation(spark):
                              "smoothing": 0}}], ctx)
     with pytest.raises(KeyError):
         compile_pipeline([{"$dsirScore": {"input": "$t"}}], ctx)
+
+
+def test_gopher_rules_matches_python_reference(spark):
+    """Seeded random word soup (bullets, ellipses, hashes, digits,
+    multi-line): every $gopherRules signal must equal a literal Python
+    re-implementation of the spec."""
+    import math
+    import random
+    import re
+
+    rng = random.Random(518)
+    pieces = ["the", "and", "with", "zz", "a#b", "##", "...", "x...",
+              "12", "•", "- item", "* b", "…", "WORD", "mix3d", ""]
+    docs = []
+    for _ in range(200):
+        lines = [" ".join(rng.choice(pieces)
+                          for _ in range(rng.randint(0, 8)))
+                 for _ in range(rng.randint(1, 5))]
+        docs.append("\n".join(lines))
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def ref(text):
+        ws = [w for w in re.split(r"\s+", text.strip()) if w]
+        ls = [l for l in (s.strip() for s in text.split("\n")) if l]
+        nw, nl = len(ws), len(ls)
+        stop = {"the", "be", "to", "of", "and", "that", "have", "with"}
+        return {
+            "n_words": nw,
+            "mean_word_len": r6(sum(map(len, ws)) / nw) if nw else 0.0,
+            "hash_word_ratio": r6(text.count("#") / nw) if nw else 0.0,
+            "ellipsis_word_ratio":
+                r6(len(re.findall(r"\.\.\.|…", text)) / nw) if nw else 0.0,
+            "bullet_line_frac":
+                r6(sum(bool(re.match(r"^[•‣▪*-]", l)) for l in ls) / nl)
+                if nl else 0.0,
+            "ellipsis_line_frac":
+                r6(sum(bool(re.search(r"(\.\.\.|…)$", l)) for l in ls) / nl)
+                if nl else 0.0,
+            "alpha_word_frac":
+                r6(sum(bool(re.search("[A-Za-z]", w)) for w in ws) / nw)
+                if nw else 0.0,
+            "stop_word_hits": len({w.lower() for w in ws} & stop),
+        }
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string")
+    out = compile_pipeline(
+        [{"$gopherRules": {"input": "$text", "as": "g"}}],
+        Context(spark=spark))(df)
+    for r in out.sort("doc_id").collect():
+        want = ref(docs[r.doc_id])
+        for k, v in want.items():
+            assert r.g[k] == v, (k, v, r.g[k], repr(docs[r.doc_id]))

@@ -459,3 +459,35 @@ def test_set_window_fields_sf01(spark):
     n, secs = _timed(out)
     assert n == 100_000  # row-preserving
     assert secs < 30, f"set_window_fields took {secs:.1f}s at sf0.1"
+
+
+def test_dsir_score_sf01(spark):
+    """$dsirScore at sf0.1 (5k docs scored against a 1.1k-doc en
+    target): both corpus models partial-aggregate to <= buckets rows,
+    the log-ratio table broadcasts into the feature join, the per-doc
+    sum rides one doc-keyed shuffle — O(corpus tokens) end to end."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tgt = docs.filter(F.col("lang") == "en")
+    ctx = Context(spark=spark, collections={"tgt": tgt})
+    out = compile_pipeline(
+        [{"$dsirScore": {"input": "$text", "id": "doc_id", "from": "tgt"}}],
+        ctx,
+    )(docs)
+    # the two BroadcastNestedLoopJoin nodes are the intended shape: the
+    # model TOTALS are single-row aggregates cross-broadcast into the
+    # buckets-sized ratio table (IdentityBroadcastMode, 1-row build
+    # side) — bm25's stats pattern, not a pairwise hazard
+    plan = _plan_of(out)
+    for marker in ("CartesianProduct", "BatchEvalPython",
+                   "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"dsir_score: {marker} in plan"
+    assert "IdentityBroadcastMode" in plan
+    n, secs = _timed(out)
+    assert n == docs.count()  # scoring annotates every row
+    assert secs < 30, f"dsir_score took {secs:.1f}s at sf0.1"
+    # en documents skew toward the target model
+    means = {r["lang"]: r["m"] for r in out.groupBy("lang")
+             .agg(F.avg("dsir_score").alias("m")).collect()}
+    assert means["en"] == max(means.values())

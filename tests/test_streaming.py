@@ -852,11 +852,15 @@ def test_curation_family_streams(spark, tmpdir):
             {"$entropyScore": {"input": "$text", "as": "ent"}},
             {"$piiStats": {"input": "$text", "as": "pii"}},
             {"$htmlStrip": {"input": "$text", "as": "html"}},
+            {"$gopherRules": {"input": "$text", "as": "g",
+                              "minWords": 5, "minStopWords": 1}},
             {"$tokenCount": {"input": "$text", "as": "n_tok",
                              "mode": "whitespace"}},
             {"$project": {"doc_id": 1, "ent": 1, "n_tok": 1,
                           "emails": "$pii.email",
-                          "n_tags": "$html.n_tags"}},
+                          "n_tags": "$html.n_tags",
+                          "g_pass": "$g.pass",
+                          "g_words": "$g.n_words"}},
         ],
     )
     rows = {r["doc_id"]: r for e in out for r in e}
@@ -864,6 +868,8 @@ def test_curation_family_streams(spark, tmpdir):
     assert rows[1]["ent"] > rows[2]["ent"]  # varied text > repeated text
     assert rows[3]["emails"] == 1 and rows[3]["n_tags"] == 2
     assert rows[1]["n_tok"] == 9
+    assert rows[1]["g_pass"] is True and rows[1]["g_words"] == 9
+    assert rows[2]["g_pass"] is False  # no stop words in "aaaa ..."
 
 
 def test_sql_stage_streams(spark, tmpdir):
