@@ -2389,7 +2389,8 @@ asg AS (SELECT vec_id, e, cid, cd FROM (
     FROM v CROSS JOIN {prev} c) WHERE rn = 1),
 p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, a.cd AS cda, b.cd AS cdb
       FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.e, b.e) >= {threshold}),
+      WHERE floor(list_cosine_similarity(a.e, b.e) * 1e9 + 0.5) / 1e9
+            >= {threshold}),
 dups AS (SELECT DISTINCT CASE WHEN cda < cdb THEN ia
                               WHEN cdb < cda THEN ib
                               ELSE greatest(ia, ib) END AS did FROM p)
@@ -4048,11 +4049,14 @@ def _gopher_rules_oracle_sql() -> str:
     alpha = _r("coalesce(len(list_filter(ws, x -> regexp_matches(x,"
                " '[A-Za-z]')))::DOUBLE / nullif(len(ws), 0), 0)", 6)
     return rf"""WITH w AS (
-  SELECT doc_id, text,
-         list_filter(string_split_regex(trim(text), '\s+'),
+  SELECT doc_id, coalesce(text, '') AS text,
+         list_filter(string_split_regex(coalesce(text, ''),
+                                        '[ \t\n\r\f\x0B]+'),
                      x -> x <> '') AS ws,
-         list_filter(list_transform(string_split(text, chr(10)),
-                                    l -> trim(l)), l -> l <> '') AS ls
+         list_filter(list_transform(
+             string_split_regex(coalesce(text, ''), '\r?\n'),
+             l -> regexp_replace(l, '^[ \t]+|[ \t]+$', '', 'g')),
+           l -> l <> '') AS ls
   FROM documents
 ),
 s AS (
@@ -4088,7 +4092,8 @@ def _dsir_oracle_sql(buckets: int, alpha: float) -> str:
     ab = alpha * buckets
     return rf"""WITH sw AS (
   SELECT doc_id, lang,
-         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         list_filter(string_split_regex(lower(text),
+                                        '[ \t\n\r\f\x0B]+'),
                      w -> w <> '') AS ws
   FROM documents
 ),

@@ -86,6 +86,65 @@ def word_shingles(col: Column, n: int) -> Column:
     )
 
 
+# whitespace class shared with the DuckDB oracles: Java's \s and RE2's
+# \s disagree on vertical tab (\x0B), so operators whose oracle
+# tokenizes in SQL spell the set out explicitly on both sides
+_WS = "[ \\t\\n\\r\\f\\x0B]"
+
+
+# --------------------------------------------------- embedding-pair shared
+
+
+def _unit_vector(emb: Column) -> Column:
+    """Unit-normalize ONCE per row (zero vectors pass through) so each
+    candidate pair later costs a single dot product — norms recomputed
+    per pair would triple the pairwise HOF work."""
+    norm = F.sqrt(
+        F.aggregate(F.transform(emb, lambda x: x * x), F.lit(0.0),
+                    lambda acc, v: acc + v)
+    )
+    return F.when(norm > 0, F.transform(emb, lambda x: x / norm)).otherwise(emb)
+
+
+def _pair_dot(a: Column, b: Column) -> Column:
+    """Dot product of two (unit) vectors — codegen fold, zero shuffle."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                       lambda acc, v: acc + v)
+
+
+def _cc_labels(pairs: DataFrame) -> DataFrame:
+    """Connected components over a near-dup pair frame (__ida, __idb):
+    resolves chained near-dups (a≈b≈c with a̸≈c) into one component,
+    labeled by its min id (columns __cc_node, __cc_comp)."""
+    from ..operators.graphcc import connected_components
+
+    return connected_components(
+        pairs.select(F.col("__ida").alias("a"), F.col("__idb").alias("b")))
+
+
+def _annotate_components(df: DataFrame, labels: DataFrame,
+                         id_field: str, as_field: str) -> DataFrame:
+    """ANNOTATE mode shared by $minhashDedup/$embedDedup/$semanticDedup:
+    label every row with its component id (isolated rows label
+    themselves) instead of dropping."""
+    lab = labels.select(F.col("__cc_node").alias("__did"),
+                        F.col("__cc_comp").alias("__lab"))
+    return (
+        df.join(lab, df[id_field] == lab["__did"], "left")
+        .withColumn(as_field, F.coalesce(F.col("__lab"), F.col(id_field)))
+        .drop("__did", "__lab")
+    )
+
+
+def _component_dups(labels: DataFrame) -> DataFrame:
+    """Every non-representative component member as a (__did) frame —
+    exactly the min-id doc of each cluster survives the anti-join."""
+    return (
+        labels.filter(F.col("__cc_node") != F.col("__cc_comp"))
+        .select(F.col("__cc_node").alias("__did"))
+    )
+
+
 # ------------------------------------------------------------- exact dedup
 
 
@@ -960,16 +1019,8 @@ def embed_dedup_stage(expression: Any, ctx: Context) -> StageFn:
                     "LSH path or {exact: true} to force the O(n²) plan"
                 )
         emb = compile_expr(inp, ExprContext(schema=df.schema)).cast("array<double>")
-        # normalize ONCE per row so each pair costs a single dot product
-        # (norms recomputed per pair would triple the pairwise HOF work)
-        norm = F.sqrt(
-            F.aggregate(F.transform(emb, lambda x: x * x), F.lit(0.0),
-                        lambda acc, v: acc + v)
-        )
-        unit = F.when(
-            norm > 0, F.transform(emb, lambda x: x / norm)
-        ).otherwise(emb)
-        docs = df.select(F.col(id_field).alias("__did"), unit.alias("__e"))
+        docs = df.select(F.col(id_field).alias("__did"),
+                         _unit_vector(emb).alias("__e"))
         # candidate generation: exact pairwise by default; {bits: k} is the
         # 100 TB path — same-bucket LSH candidates only (see $annLsh),
         # recall traded per LSH guarantees
@@ -980,40 +1031,19 @@ def embed_dedup_stage(expression: Any, ctx: Context) -> StageFn:
             )
         else:
             cond = F.col("a.__did") < F.col("b.__did")
-        dot = F.aggregate(
-            F.zip_with(F.col("a.__e"), F.col("b.__e"), lambda x, y: x * y),
-            F.lit(0.0), lambda acc, v: acc + v,
-        )
         pairs = (
             docs.alias("a")
             .join(docs.alias("b"), cond)
             .select(F.col("a.__did").alias("__ida"),
-                    F.col("b.__did").alias("__idb"), dot.alias("__cos"))
+                    F.col("b.__did").alias("__idb"),
+                    _pair_dot(F.col("a.__e"), F.col("b.__e")).alias("__cos"))
             .filter(F.col("__cos") >= threshold)
         )
         if transitive:
-            # resolve chained near-dups (a≈b≈c with a̸≈c) into one
-            # connected component; exactly the min-id doc survives, or —
-            # annotate mode — every row keeps its cluster label
-            from ..operators.graphcc import connected_components
-
-            labels = connected_components(
-                pairs.select(F.col("__ida").alias("a"),
-                             F.col("__idb").alias("b")))
+            labels = _cc_labels(pairs)
             if as_field:
-                lab = labels.select(F.col("__cc_node").alias("__did"),
-                                    F.col("__cc_comp").alias("__lab"))
-                return (
-                    df.join(lab, df[id_field] == lab["__did"], "left")
-                    .withColumn(
-                        as_field,
-                        F.coalesce(F.col("__lab"), F.col(id_field)))
-                    .drop("__did", "__lab")
-                )
-            dups = (
-                labels.filter(F.col("__cc_node") != F.col("__cc_comp"))
-                .select(F.col("__cc_node").alias("__did"))
-            )
+                return _annotate_components(df, labels, id_field, as_field)
+            dups = _component_dups(labels)
         else:
             dups = pairs.select(F.col("__idb").alias("__did")).distinct()
         return df.join(dups, df[id_field] == dups["__did"], "left_anti")
@@ -1558,55 +1588,34 @@ def semantic_dedup_stage(expression: Any, ctx: Context) -> StageFn:
         # one pass over the corpus: cell assignment + unit normalization
         # are row-local column algebra; the min over the dist2 array IS
         # the distance to the assigned (argmin) centroid
-        norm = F.sqrt(
-            F.aggregate(F.transform(F.col("__km_e"), lambda x: x * x),
-                        F.lit(0.0), lambda acc, v: acc + v)
-        )
-        unit = F.when(
-            norm > 0, F.transform(F.col("__km_e"), lambda x: x / norm)
-        ).otherwise(F.col("__km_e"))
         ds = F.array(*[_km_dist2(F.col("__km_e"), ct) for ct in cents])
         docs = pts.select(
             F.col(id_field).alias("__did"),
-            unit.alias("__e"),
+            _unit_vector(F.col("__km_e")).alias("__e"),
             _km_assign(F.col("__km_e"), cents).alias("__cell"),
             _round9_col(F.array_min(ds)).alias("__cd"),
         )
-        dot = F.aggregate(
-            F.zip_with(F.col("a.__e"), F.col("b.__e"), lambda x, y: x * y),
-            F.lit(0.0), lambda acc, v: acc + v,
-        )
+        # the cosine rounds half-up at 9 digits BEFORE the threshold
+        # comparison (like the distances): the oracle computes it with a
+        # different float operation order, and an unrounded >= would let
+        # a 1-ULP disagreement flip a pair at the threshold edge
         pairs = (
             docs.alias("a")
             .join(docs.alias("b"),
                   (F.col("a.__cell") == F.col("b.__cell"))
                   & (F.col("a.__did") < F.col("b.__did")))
-            .filter(dot >= F.lit(threshold))
+            .filter(_round9_col(_pair_dot(F.col("a.__e"), F.col("b.__e")))
+                    >= F.lit(threshold))
             .select(F.col("a.__did").alias("__ida"),
                     F.col("b.__did").alias("__idb"),
                     F.col("a.__cd").alias("__cda"),
                     F.col("b.__cd").alias("__cdb"))
         )
         if transitive:
-            from ..operators.graphcc import connected_components
-
-            labels = connected_components(
-                pairs.select(F.col("__ida").alias("a"),
-                             F.col("__idb").alias("b")))
+            labels = _cc_labels(pairs)
             if as_field:
-                lab = labels.select(F.col("__cc_node").alias("__did"),
-                                    F.col("__cc_comp").alias("__lab"))
-                return (
-                    df.join(lab, df[id_field] == lab["__did"], "left")
-                    .withColumn(
-                        as_field,
-                        F.coalesce(F.col("__lab"), F.col(id_field)))
-                    .drop("__did", "__lab")
-                )
-            dups = (
-                labels.filter(F.col("__cc_node") != F.col("__cc_comp"))
-                .select(F.col("__cc_node").alias("__did"))
-            )
+                return _annotate_components(df, labels, id_field, as_field)
+            dups = _component_dups(labels)
         elif keep == "far":
             # the member CLOSER to its centroid is the redundant one
             dups = pairs.select(
@@ -1961,9 +1970,14 @@ def gopher_rules_stage(expression: Any, ctx: Context) -> StageFn:
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         text = compile_expr(inp, ExprContext(schema=df.schema))
-        out = df.withColumn("__gr_t", text)
+        # null text measures like the empty document (zeros, fail) —
+        # without the coalesce, size(split(NULL)) would surface as -1
+        out = df.withColumn(
+            "__gr_t", F.coalesce(text.cast("string"), F.lit("")))
         t = F.col("__gr_t")
-        words = F.filter(F.split(F.trim(t), "\\s+"),
+        # explicit whitespace class: Java's \s and RE2's \s disagree on
+        # vertical tab, so the oracle would tokenize differently
+        words = F.filter(F.split(t, _WS + "+"),
                          lambda w: w != F.lit(""))
         n_words = F.size(words).cast("double")
         word_chars = F.aggregate(
@@ -1975,11 +1989,16 @@ def gopher_rules_stage(expression: Any, ctx: Context) -> StageFn:
         ellipses = F.regexp_count(t, F.lit("\\.\\.\\.|…")).cast("double")
         hash_ratio = F.coalesce(F.try_divide(hashes, n_words), F.lit(0.0))
         ell_ratio = F.coalesce(F.try_divide(ellipses, n_words), F.lit(0.0))
-        # explicit one-arg lambda: F.trim has an optional second param,
-        # so passing it bare would make transform() feed the array index
-        # in as a trim-character set (the _seeded_hasher arity trap)
-        lines = F.filter(F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
-                         lambda l: l != F.lit(""))
+        # lines split on \r?\n (a CRLF \r left on the line would let
+        # Java's $ match before it while RE2's $ would not) and trim
+        # [ \t] at both ends — F.trim is space-only AND has an optional
+        # second param, so bare in transform() it would bind the array
+        # index as a trim-character set (the _seeded_hasher arity trap)
+        lines = F.filter(
+            F.transform(
+                F.split(t, "\r?\n"),
+                lambda l: F.regexp_replace(l, "^[ \\t]+|[ \\t]+$", "")),
+            lambda l: l != F.lit(""))
         n_lines = F.size(lines).cast("double")
         bullet_frac = F.coalesce(F.try_divide(
             F.size(F.filter(lines,
@@ -3092,8 +3111,10 @@ def dsir_score_stage(expression: Any, ctx: Context) -> StageFn:
 
         def feats(col: Column) -> Column:
             """All word n-grams of sizes 1..n as a BAG (not distinct),
-            hashed to bucket ids — row-local HOFs only."""
-            words = F.filter(F.split(F.lower(F.trim(col)), "\\s+"),
+            hashed to bucket ids — row-local HOFs only.  The explicit
+            whitespace class keeps tokenization identical to the RE2
+            oracle (Java \\s vs RE2 \\s differ on vertical tab)."""
+            words = F.filter(F.split(F.lower(col), _WS + "+"),
                              lambda w: w != F.lit(""))
             def gram_hasher(size):
                 # closure binding, NOT a default arg — `lambda i, s=size:`
@@ -3127,8 +3148,10 @@ def dsir_score_stage(expression: Any, ctx: Context) -> StageFn:
             F.count(F.lit(1)).alias("__cs"))
         tgt_counts = tgt_feats.groupBy("__b").agg(
             F.count(F.lit(1)).alias("__ct"))
+        # totals derive from the already-aggregated bucket tables — a
+        # count over tgt_feats would re-run the whole feature explode
         src_tot = src_counts.agg(F.sum("__cs").alias("__ts"))
-        tgt_tot = tgt_feats.agg(F.count(F.lit(1)).alias("__tt"))
+        tgt_tot = tgt_counts.agg(F.sum("__ct").alias("__tt"))
         a = F.lit(alpha)
         ab = F.lit(alpha * buckets)
         ratios = (

@@ -492,20 +492,26 @@ def test_gopher_rules_matches_python_reference(spark):
 
     rng = random.Random(518)
     pieces = ["the", "and", "with", "zz", "a#b", "##", "...", "x...",
-              "12", "•", "- item", "* b", "…", "WORD", "mix3d", ""]
+              "12", "•", "- item", "* b", "…", "WORD", "mix3d", "",
+              "\tx", "a\x0bb"]
     docs = []
     for _ in range(200):
+        nl = rng.choice(["\n", "\r\n"])
         lines = [" ".join(rng.choice(pieces)
                           for _ in range(rng.randint(0, 8)))
                  for _ in range(rng.randint(1, 5))]
-        docs.append("\n".join(lines))
+        docs.append(nl.join(lines))
 
     def r6(x):
         return math.floor(x * 1e6 + 0.5) / 1e6
 
     def ref(text):
-        ws = [w for w in re.split(r"\s+", text.strip()) if w]
-        ls = [l for l in (s.strip() for s in text.split("\n")) if l]
+        # the operator's documented contract: the explicit [ \t\n\r\f\v]
+        # word separator (NOT python/unicode \s) and [ \t]-trimmed
+        # \r?\n-split lines
+        ws = [w for w in re.split("[ \t\n\r\f\x0b]+", text) if w]
+        ls = [l for l in (s.strip(" \t") for s in re.split(r"\r?\n", text))
+              if l]
         nw, nl = len(ws), len(ls)
         stop = {"the", "be", "to", "of", "and", "that", "have", "with"}
         return {
@@ -535,3 +541,10 @@ def test_gopher_rules_matches_python_reference(spark):
         want = ref(docs[r.doc_id])
         for k, v in want.items():
             assert r.g[k] == v, (k, v, r.g[k], repr(docs[r.doc_id]))
+
+
+def test_gopher_rules_null_text_measures_zero(spark):
+    g = _gopher(spark, None)
+    assert g.n_words == 0 and g.stop_word_hits == 0
+    assert g.mean_word_len == 0.0
+    assert g["pass"] is False

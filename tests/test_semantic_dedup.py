@@ -57,7 +57,7 @@ def _ref_semantic_dedup(vecs, k, iterations, threshold, keep):
         for b in ids[ai + 1:]:
             if cells[a] != cells[b]:
                 continue
-            cos = sum(x * y for x, y in zip(units[a], units[b]))
+            cos = r9(sum(x * y for x, y in zip(units[a], units[b])))
             if cos < threshold:
                 continue
             if keep == "minId":
