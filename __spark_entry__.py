@@ -3774,6 +3774,47 @@ _register(
 )
 
 
+def _search_synonyms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5: Atlas text.synonyms — an 'equivalent' mapping collection
+    (engine analog: Context.collections[name]) expands query tokens into
+    one BM25 term slot per group; here inside a compound FILTER so the
+    rowset is score-independent and the oracle is a token-membership
+    predicate."""
+    tables = _load(spark, sf_dir)
+    mapping = tables["region"].limit(1).selectExpr(
+        "'equivalent' AS mappingType",
+        "CAST(NULL AS array<string>) AS input",
+        "array('table', 'row', 'line') AS synonyms")
+    ctx = Context(spark=spark, collections={"syn": mapping})
+    return compile_pipeline(
+        [
+            {"$search": {"compound": {
+                "filter": [{"text": {"query": "table", "path": "text",
+                                     "synonyms": "syn"}}],
+                "mustNot": [{"text": {"query": "slow", "path": "text"}}],
+            }}},
+            {"$project": {"_id": 0, "doc_id": 1, "lang": 1}},
+            {"$sort": {"doc_id": 1}},
+        ],
+        ctx,
+    )(tables["documents"])
+
+
+_register(
+    "search_synonyms",
+    """WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, lang FROM t
+WHERE list_has_any(toks, ['table', 'row', 'line'])
+  AND NOT list_contains(toks, 'slow')
+ORDER BY doc_id""",
+)(_search_synonyms_query)
+
+
 _register(
     # r5: Atlas autocomplete — token-prefix matching (edge-gram analog);
     # "sequential" = prefix-tokens adjacent and in order

@@ -389,6 +389,10 @@ def _embedded_pred(elem: Column, etype: T.StructType, op: str,
     if op == "text":
         # predicate form only: ANY analyzed query token matches (the
         # element-level BM25 score is index-internal)
+        if "synonyms" in body:
+            raise NotImplementedError(
+                "$search text.synonyms inside embeddedDocument is not "
+                "supported — apply synonyms on a top-level text clause")
         terms = _norm_terms(body["query"])
         if not terms:
             raise ValueError("$search text.query needs at least one term")
@@ -517,16 +521,66 @@ def _geo_lonlat(df: DataFrame, path: str) -> tuple[Column, Column]:
     return _lonlat_from_type(col, dt, f"$search geo path {path!r}")
 
 
-def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int]
+def _synonym_groups(ctx: Optional["Context"], mapping: str,
+                    query: str) -> list[list[str]]:
+    """Expand the analyzed query tokens through an Atlas synonyms source
+    collection (wired as ``Context.collections[mapping]`` — the engine's
+    analog of the index's ``synonyms`` definition).  Docs follow Atlas's
+    format: ``{mappingType: "equivalent", synonyms: [...]}`` matches any
+    member of the group (the token included, it is in the list);
+    ``{mappingType: "explicit", input: [...], synonyms: [...]}`` REWRITES
+    an input token to the synonyms (it matches itself only if listed).
+    The collection is metadata-sized (Atlas caps synonym collections) and
+    collects once per compile — same class as the IVF quantizer sample."""
+    if ctx is None:
+        raise ValueError(
+            "$search text.synonyms needs the synonyms source collection "
+            "in Context.collections")
+    rows = ctx.collection(mapping).collect()
+    equiv: dict[str, set] = {}
+    expl: dict[str, set] = {}
+    for r in rows:
+        d = r.asDict(recursive=True)
+        mt = d.get("mappingType")
+        syns = [tok for s in (d.get("synonyms") or [])
+                for tok in _norm_terms(s)]
+        if mt == "equivalent":
+            for s in syns:
+                equiv.setdefault(s, set()).update(syns)
+        elif mt == "explicit":
+            for inp in d.get("input") or []:
+                for tok in _norm_terms(inp):
+                    expl.setdefault(tok, set()).update(syns)
+        else:
+            raise ValueError(
+                f"synonyms mapping {mapping!r}: mappingType must be "
+                f"'equivalent' or 'explicit', got {mt!r}")
+
+    def expand(tok: str) -> list[str]:
+        out = set()
+        if tok in equiv:
+            out |= equiv[tok]
+        if tok in expl:
+            out |= expl[tok]
+        return sorted(out) if out else [tok]
+
+    return [expand(t) for t in _norm_terms(query)]
+
+
+def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int],
+                   ctx: Optional["Context"] = None
                    ) -> tuple[DataFrame, Column, Column, list[str]]:
     """Compile one $search operator to (df', matched_pred, score,
     temp_cols_to_drop).  ``idx`` is a mutable counter making temp column
-    names unique across nested compound clauses."""
+    names unique across nested compound clauses; ``ctx`` resolves
+    ``text.synonyms`` source collections."""
     if op == "text":
         i = idx[0]
         idx[0] += 1
+        groups = (_synonym_groups(ctx, body["synonyms"], body["query"])
+                  if "synonyms" in body else None)
         df2, score, drops = _bm25_prepare(df, body["query"], body["path"],
-                                          f"c{i}")
+                                          f"c{i}", groups=groups)
         return df2, score > 0, _clause_score(body, score), drops
     if op == "phrase":
         paths = body["path"]
@@ -735,7 +789,7 @@ def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int]
                 "field present in the schema"
             )
         df2, pred, score, drops = _search_clause(
-            df, "compound", {"should": shoulds}, idx)
+            df, "compound", {"should": shoulds}, idx, ctx)
         return df2, pred, _clause_score(body, score), drops
     if op == "embeddedDocument":
         # {path, operator}: the operator must match within ONE array
@@ -852,7 +906,7 @@ def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int]
                         f"{sorted(_SEARCH_OPS)}"
                     )
                 out, pred, score, d = _search_clause(out, sub_op,
-                                                     sub[sub_op], idx)
+                                                     sub[sub_op], idx, ctx)
                 drops += d
                 if kind == "must":
                     musts.append((pred, score))
@@ -891,18 +945,32 @@ def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int]
     raise NotImplementedError(f"$search operator {op!r}")
 
 
-def _bm25_prepare(df: DataFrame, query: str, paths: Any, tag: str
+def _bm25_prepare(df: DataFrame, query: str, paths: Any, tag: str,
+                  groups: Optional[list[list[str]]] = None
                   ) -> tuple[DataFrame, Column, list[str]]:
     """Shared BM25 scoring prep (k1=1.2, b=0.75): adds per-path tf/dl
     temp columns + a broadcast single-row stats join; returns (df',
-    score_col, temp_cols)."""
+    score_col, temp_cols).
+
+    ``groups`` (the synonyms path) replaces each analyzed query term
+    with an expansion GROUP: a group's tf counts tokens matching ANY
+    member (Lucene's query-time synonym graph folds synonyms into one
+    term position), and its document frequency counts documents
+    containing any member — one BM25 term slot per group."""
     if isinstance(paths, str):
         paths = [paths]
-    terms = _norm_terms(query)
+    if groups is None:
+        groups = [[t] for t in _norm_terms(query)]
+    terms = groups
     if not terms:
         raise ValueError("$search text.query needs at least one term")
     k1, b = 1.2, 0.75
-    terms_sql = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+
+    def _q(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
+    terms_sql = ", ".join(
+        "array(" + ", ".join(_q(t) for t in grp) + ")" for grp in terms)
     out = df
     for pi, p in enumerate(paths):
         text = compile_expr(f"${p}", ExprContext(schema=df.schema))
@@ -917,7 +985,7 @@ def _bm25_prepare(df: DataFrame, query: str, paths: Any, tag: str
                 f"aggregate(`__s_{tag}_toks{pi}`, "
                 f"array_repeat(0.0D, {len(terms)}), "
                 f"(acc, t) -> zip_with(acc, array({terms_sql}), "
-                f"(a, trm) -> a + if(t = trm, 1.0D, 0.0D)))"
+                f"(a, grp) -> a + if(array_contains(grp, t), 1.0D, 0.0D)))"
             ),
         ).withColumn(
             f"__s_{tag}_dl{pi}",
@@ -959,7 +1027,12 @@ def _bm25_prepare(df: DataFrame, query: str, paths: Any, tag: str
 @register_stage("$search")
 def search_stage(expression: Any, ctx: Context) -> StageFn:
     """``{index?, <operator>: {...}}`` — the Atlas $search surface:
-    ``text`` (BM25-scored, k1=1.2, b=0.75), ``phrase``, ``equals``,
+    ``text`` (BM25-scored, k1=1.2, b=0.75; ``synonyms: "name"`` expands
+    query tokens through an Atlas-format mapping collection wired as
+    ``Context.collections[name]`` — equivalent groups match any member,
+    explicit mappings rewrite input tokens one-directionally, and each
+    expansion group scores as ONE BM25 term slot, Lucene's query-time
+    synonym-graph behavior), ``phrase``, ``equals``,
     ``range``, ``exists``, ``wildcard``, ``regex`` (whole-value
     regular-expression match), ``autocomplete``
     (token-prefix matching, tokenOrder any|sequential), ``queryString``
@@ -1016,7 +1089,7 @@ def search_stage(expression: Any, ctx: Context) -> StageFn:
 
         # score-ordered emission is a global sort
         _batch_only("$search", c)
-        out, pred, score, drops = _search_clause(df, op, spec, [0])
+        out, pred, score, drops = _search_clause(df, op, spec, [0], c)
         # filter on the raw predicate FIRST: a plain boolean conjunction
         # splits into conjuncts and the pushable ones (range bounds,
         # null guards, equals) reach the parquet scan; scoring runs on
@@ -1055,7 +1128,8 @@ def search_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
-def _text_match_pred(df: DataFrame, spec: dict) -> Column:
+def _text_match_pred(df: DataFrame, spec: dict,
+                     ctx: Optional["Context"] = None) -> Column:
     """Fast membership filter for a text clause: a document counts iff
     ANY path contains ANY query term — the BM25 score is positive
     exactly then, so counting needs only tokenize + overlap, not the
@@ -1063,7 +1137,11 @@ def _text_match_pred(df: DataFrame, spec: dict) -> Column:
     paths = spec["path"]
     if isinstance(paths, str):
         paths = [paths]
-    terms = _norm_terms(spec["query"])
+    if "synonyms" in spec:
+        terms = sorted({t for grp in _synonym_groups(
+            ctx, spec["synonyms"], spec["query"]) for t in grp})
+    else:
+        terms = _norm_terms(spec["query"])
     if not terms:
         raise ValueError("$searchMeta text.query needs at least one term")
     tlit = F.array(*[F.lit(t) for t in terms])
@@ -1081,14 +1159,16 @@ def _text_match_pred(df: DataFrame, spec: dict) -> Column:
     return match
 
 
-def _meta_filtered(df: DataFrame, expression: dict) -> DataFrame:
+def _meta_filtered(df: DataFrame, expression: dict,
+                   ctx: Optional["Context"] = None) -> DataFrame:
     """The documents the equivalent $search would return."""
     op = next((k for k in expression if k in _SEARCH_OPS), None)
     if op is None:
         return df  # facet form without an operator counts everything
     if op == "text":
-        return df.filter(_text_match_pred(df, expression[op]))
-    out, pred, _score, drops = _search_clause(df, op, expression[op], [0])
+        return df.filter(_text_match_pred(df, expression[op], ctx))
+    out, pred, _score, drops = _search_clause(df, op, expression[op], [0],
+                                              ctx)
     out = out.filter(pred)
     return out.drop(*drops) if drops else out
 
@@ -1200,11 +1280,11 @@ def search_meta_stage(expression: Any, ctx: Context) -> StageFn:
         # corpus-wide counts/facets assembled with broadcast cross joins
         _batch_only("$searchMeta", c)
         if facet is None:
-            filt = _meta_filtered(df, expression)
+            filt = _meta_filtered(df, expression, c)
             return filt.groupBy().agg(
                 F.count(F.lit(1)).alias("__n")
             ).select(F.struct(F.col("__n").alias("total")).alias("count"))
-        filt = _meta_filtered(df, facet.get("operator", {}))
+        filt = _meta_filtered(df, facet.get("operator", {}), c)
         total = filt.groupBy().agg(F.count(F.lit(1)).alias("__n"))
         out = total
         names = []

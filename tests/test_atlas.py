@@ -925,3 +925,110 @@ def test_search_meta_geo_operator(spark):
     buckets = {b["_id"]: b["count"]
                for b in row["facet"]["by_country"]["buckets"]}
     assert buckets == {"be": 1, "fr": 1}
+
+
+# ------------------------------------------------------- text.synonyms
+
+
+def _syn_ctx(spark, docs, mapping_rows):
+    mapping = spark.createDataFrame(
+        mapping_rows,
+        "mappingType string, input array<string>, synonyms array<string>")
+    return Context(spark=spark, collections={"syn": mapping})
+
+
+def _syn_docs(spark):
+    return spark.createDataFrame(
+        [(1, "my car is fast"), (2, "an auto on the road"),
+         (3, "the automobile age"), (4, "a bicycle lane"),
+         (5, "car auto together")],
+        "doc_id long, text string")
+
+
+def test_search_text_synonyms_equivalent(spark):
+    docs = _syn_docs(spark)
+    ctx = _syn_ctx(spark, docs,
+                   [("equivalent", None, ["car", "auto", "automobile"])])
+    out = compile_pipeline(
+        [{"$search": {"text": {"query": "car", "path": "text",
+                               "synonyms": "syn"}}},
+         {"$project": {"doc_id": 1, "s": {"$meta": "searchScore"}}}],
+        ctx,
+    )(docs).collect()
+    ids = {r["doc_id"] for r in out}
+    assert ids == {1, 2, 3, 5}  # every synonym matches, bicycle doesn't
+    by_id = {r["doc_id"]: r["s"] for r in out}
+    # the group is ONE BM25 term slot: doc 5 has tf 2 for the group and
+    # the shortest... (two synonym tokens) so it outranks single-hit docs
+    assert by_id[5] == max(by_id.values())
+    # without synonyms only the literal token matches
+    plain = compile_pipeline(
+        [{"$search": {"text": {"query": "car", "path": "text"}}}],
+        ctx,
+    )(docs).collect()
+    assert {r["doc_id"] for r in plain} == {1, 5}
+
+
+def test_search_text_synonyms_explicit_is_one_directional(spark):
+    docs = _syn_docs(spark)
+    # explicit: "vehicle" REWRITES to car/auto; car does NOT expand
+    ctx = _syn_ctx(spark, docs,
+                   [("explicit", ["vehicle"], ["car", "auto"])])
+    out = compile_pipeline(
+        [{"$search": {"text": {"query": "vehicle", "path": "text",
+                               "synonyms": "syn"}}}],
+        ctx,
+    )(docs).collect()
+    assert {r["doc_id"] for r in out} == {1, 2, 5}
+    # an input token not in the synonyms list does not match itself:
+    # docs saying "vehicle" are NOT matched unless listed
+    docs2 = docs.union(spark.createDataFrame(
+        [(6, "a vehicle here")], "doc_id long, text string"))
+    out2 = compile_pipeline(
+        [{"$search": {"text": {"query": "vehicle", "path": "text",
+                               "synonyms": "syn"}}}],
+        ctx,
+    )(docs2).collect()
+    assert 6 not in {r["doc_id"] for r in out2}
+
+
+def test_search_synonyms_in_compound_filter_and_meta(spark):
+    docs = _syn_docs(spark)
+    ctx = _syn_ctx(spark, docs,
+                   [("equivalent", None, ["car", "auto", "automobile"])])
+    out = compile_pipeline(
+        [{"$search": {"compound": {
+            "filter": [{"text": {"query": "car", "path": "text",
+                                 "synonyms": "syn"}}],
+            "mustNot": [{"text": {"query": "together", "path": "text"}}],
+        }}},
+         {"$project": {"doc_id": 1}}],
+        ctx,
+    )(docs).collect()
+    assert {r["doc_id"] for r in out} == {1, 2, 3}
+    meta = compile_pipeline(
+        [{"$searchMeta": {"count": {"type": "total"},
+                          "text": {"query": "car", "path": "text",
+                                   "synonyms": "syn"}}}],
+        ctx,
+    )(docs).collect()
+    assert meta[0]["count"]["total"] == 4
+
+
+def test_search_synonyms_validation(spark):
+    docs = _syn_docs(spark)
+    ctx = _syn_ctx(spark, docs, [("fuzzy", None, ["a", "b"])])
+    import pytest
+
+    with pytest.raises(ValueError, match="mappingType"):
+        compile_pipeline(
+            [{"$search": {"text": {"query": "car", "path": "text",
+                                   "synonyms": "syn"}}}],
+            ctx,
+        )(docs).collect()
+    with pytest.raises(Exception, match="collection|synonyms"):
+        compile_pipeline(
+            [{"$search": {"text": {"query": "car", "path": "text",
+                                   "synonyms": "missing"}}}],
+            Context(spark=spark),
+        )(docs).collect()
