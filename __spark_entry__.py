@@ -3816,6 +3816,35 @@ ORDER BY doc_id""",
 
 
 _register(
+    # r5: Atlas text.fuzzy — classic-Levenshtein slot widening (documented
+    # deviation: Lucene counts transpositions as 1 edit, Levenshtein as 2);
+    # filter context so the rowset is score-independent
+    "search_fuzzy",
+    """WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, lang FROM t
+WHERE len(list_filter(toks, x -> levenshtein(x, 'tabl') <= 1)) > 0
+ORDER BY doc_id""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$search": {"compound": {
+                "filter": [{"text": {"query": "tabl", "path": "text",
+                                     "fuzzy": {"maxEdits": 1}}}],
+            }}},
+            {"$project": {"_id": 0, "doc_id": 1, "lang": 1}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
+_register(
     # r5: Atlas autocomplete — token-prefix matching (edge-gram analog);
     # "sequential" = prefix-tokens adjacent and in order
     "search_autocomplete",

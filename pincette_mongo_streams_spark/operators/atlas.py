@@ -389,10 +389,10 @@ def _embedded_pred(elem: Column, etype: T.StructType, op: str,
     if op == "text":
         # predicate form only: ANY analyzed query token matches (the
         # element-level BM25 score is index-internal)
-        if "synonyms" in body:
+        if "synonyms" in body or "fuzzy" in body:
             raise NotImplementedError(
-                "$search text.synonyms inside embeddedDocument is not "
-                "supported — apply synonyms on a top-level text clause")
+                "$search text synonyms/fuzzy inside embeddedDocument are "
+                "not supported — apply them on a top-level text clause")
         terms = _norm_terms(body["query"])
         if not terms:
             raise ValueError("$search text.query needs at least one term")
@@ -577,10 +577,15 @@ def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int],
     if op == "text":
         i = idx[0]
         idx[0] += 1
+        if "synonyms" in body and "fuzzy" in body:
+            raise ValueError(
+                "$search text cannot combine fuzzy with synonyms "
+                "(Atlas forbids it too)")
         groups = (_synonym_groups(ctx, body["synonyms"], body["query"])
                   if "synonyms" in body else None)
         df2, score, drops = _bm25_prepare(df, body["query"], body["path"],
-                                          f"c{i}", groups=groups)
+                                          f"c{i}", groups=groups,
+                                          fuzzy=body.get("fuzzy"))
         return df2, score > 0, _clause_score(body, score), drops
     if op == "phrase":
         paths = body["path"]
@@ -945,8 +950,31 @@ def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int],
     raise NotImplementedError(f"$search operator {op!r}")
 
 
+def _q_sql(t: str) -> str:
+    return "'" + t.replace("'", "''") + "'"
+
+
+def _fuzzy_cond(term: str, fuzzy: dict) -> str:
+    """SQL token predicate for one fuzzy term slot: classic Levenshtein
+    within ``maxEdits`` (1 or 2), sharing a literal prefix of
+    ``prefixLength`` chars.  Lucene's fuzzy counts a TRANSPOSITION as
+    one edit (Damerau); plain Levenshtein counts it as two — a fuzzy
+    query here can under-match transposed tokens at maxEdits 1.
+    ``maxExpansions`` is an index-side cap and is accepted/ignored."""
+    k = int(fuzzy.get("maxEdits", 2))
+    if k not in (1, 2):
+        raise ValueError("$search fuzzy.maxEdits must be 1 or 2")
+    pl = int(fuzzy.get("prefixLength", 0))
+    cond = f"levenshtein(t, {_q_sql(term)}) <= {k}"
+    if pl > 0:
+        cond += (f" AND substring(t, 1, {pl}) = "
+                 f"{_q_sql(term[:pl])}")
+    return cond
+
+
 def _bm25_prepare(df: DataFrame, query: str, paths: Any, tag: str,
-                  groups: Optional[list[list[str]]] = None
+                  groups: Optional[list[list[str]]] = None,
+                  fuzzy: Optional[dict] = None
                   ) -> tuple[DataFrame, Column, list[str]]:
     """Shared BM25 scoring prep (k1=1.2, b=0.75): adds per-path tf/dl
     temp columns + a broadcast single-row stats join; returns (df',
@@ -956,7 +984,9 @@ def _bm25_prepare(df: DataFrame, query: str, paths: Any, tag: str,
     with an expansion GROUP: a group's tf counts tokens matching ANY
     member (Lucene's query-time synonym graph folds synonyms into one
     term position), and its document frequency counts documents
-    containing any member — one BM25 term slot per group."""
+    containing any member — one BM25 term slot per group.  ``fuzzy``
+    (mutually exclusive with groups, as in Atlas) widens each term slot
+    to tokens within ``maxEdits`` Levenshtein edits."""
     if isinstance(paths, str):
         paths = [paths]
     if groups is None:
@@ -966,11 +996,15 @@ def _bm25_prepare(df: DataFrame, query: str, paths: Any, tag: str,
         raise ValueError("$search text.query needs at least one term")
     k1, b = 1.2, 0.75
 
-    def _q(t: str) -> str:
-        return "'" + t.replace("'", "''") + "'"
+    def slot_cond(grp: list[str]) -> str:
+        """Boolean SQL over the token variable ``t`` for one term slot."""
+        if fuzzy is not None:
+            return " OR ".join(f"({_fuzzy_cond(t, fuzzy)})" for t in grp)
+        if len(grp) == 1:
+            return f"t = {_q_sql(grp[0])}"
+        return "array_contains(array(" + ", ".join(
+            _q_sql(t) for t in grp) + "), t)"
 
-    terms_sql = ", ".join(
-        "array(" + ", ".join(_q(t) for t in grp) + ")" for grp in terms)
     out = df
     for pi, p in enumerate(paths):
         text = compile_expr(f"${p}", ExprContext(schema=df.schema))
@@ -979,14 +1013,12 @@ def _bm25_prepare(df: DataFrame, query: str, paths: Any, tag: str,
                      lambda t: t != ""),
             F.array().cast("array<string>"),
         )
+        tf_sql = ", ".join(
+            f"cast(size(filter(`__s_{tag}_toks{pi}`, "
+            f"t -> {slot_cond(grp)})) as double)"
+            for grp in terms)
         out = out.withColumn(f"__s_{tag}_toks{pi}", toks).withColumn(
-            f"__s_{tag}_tfs{pi}",
-            F.expr(
-                f"aggregate(`__s_{tag}_toks{pi}`, "
-                f"array_repeat(0.0D, {len(terms)}), "
-                f"(acc, t) -> zip_with(acc, array({terms_sql}), "
-                f"(a, grp) -> a + if(array_contains(grp, t), 1.0D, 0.0D)))"
-            ),
+            f"__s_{tag}_tfs{pi}", F.expr(f"array({tf_sql})"),
         ).withColumn(
             f"__s_{tag}_dl{pi}",
             F.expr(f"cast(size(`__s_{tag}_toks{pi}`) as double)"),
@@ -1137,6 +1169,10 @@ def _text_match_pred(df: DataFrame, spec: dict,
     paths = spec["path"]
     if isinstance(paths, str):
         paths = [paths]
+    if "synonyms" in spec and "fuzzy" in spec:
+        raise ValueError(
+            "$search text cannot combine fuzzy with synonyms "
+            "(Atlas forbids it too)")
     if "synonyms" in spec:
         terms = sorted({t for grp in _synonym_groups(
             ctx, spec["synonyms"], spec["query"]) for t in grp})
@@ -1144,7 +1180,23 @@ def _text_match_pred(df: DataFrame, spec: dict,
         terms = _norm_terms(spec["query"])
     if not terms:
         raise ValueError("$searchMeta text.query needs at least one term")
+    fuzzy = spec.get("fuzzy")
     tlit = F.array(*[F.lit(t) for t in terms])
+
+    def tok_hit(t: Column) -> Column:
+        """fuzzy membership: the token is within maxEdits of ANY term."""
+        k = int(fuzzy.get("maxEdits", 2))
+        if k not in (1, 2):
+            raise ValueError("$search fuzzy.maxEdits must be 1 or 2")
+        pl = int(fuzzy.get("prefixLength", 0))
+        hit = None
+        for term in terms:
+            c = F.levenshtein(t, F.lit(term)) <= k
+            if pl > 0:
+                c = c & (F.substring(t, 1, pl) == F.lit(term[:pl]))
+            hit = c if hit is None else (hit | c)
+        return hit
+
     match = None
     for p in paths:
         text = compile_expr(f"${p}", ExprContext(schema=df.schema))
@@ -1154,7 +1206,8 @@ def _text_match_pred(df: DataFrame, spec: dict,
             ),
             F.array().cast("array<string>"),
         )
-        m = F.arrays_overlap(toks, tlit)
+        m = (F.exists(toks, tok_hit) if fuzzy is not None
+             else F.arrays_overlap(toks, tlit))
         match = m if match is None else (match | m)
     return match
 

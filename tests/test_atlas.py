@@ -1032,3 +1032,66 @@ def test_search_synonyms_validation(spark):
                                    "synonyms": "missing"}}}],
             Context(spark=spark),
         )(docs).collect()
+
+
+# ----------------------------------------------------------- text.fuzzy
+
+
+def test_search_text_fuzzy(spark):
+    docs = spark.createDataFrame(
+        [(1, "the spark engine"), (2, "a sparc processor"),
+         (3, "spork utensils"), (4, "nothing related")],
+        "doc_id long, text string")
+    out = compile_pipeline(
+        [{"$search": {"text": {"query": "spark", "path": "text",
+                               "fuzzy": {"maxEdits": 1}}}},
+         {"$project": {"doc_id": 1, "s": {"$meta": "searchScore"}}}],
+        Context(spark=spark),
+    )(docs).collect()
+    # spark (0 edits), sparc (1), spork (1); "nothing related" excluded
+    assert {r["doc_id"] for r in out} == {1, 2, 3}
+    assert all(r["s"] > 0 for r in out)
+
+
+def test_search_text_fuzzy_prefix_length(spark):
+    docs = spark.createDataFrame(
+        [(1, "the spark engine"), (2, "a sparc processor"),
+         (3, "spork utensils")],
+        "doc_id long, text string")
+    out = compile_pipeline(
+        [{"$search": {"text": {"query": "spark", "path": "text",
+                               "fuzzy": {"maxEdits": 1,
+                                         "prefixLength": 4}}}}],
+        Context(spark=spark),
+    )(docs).collect()
+    # prefixLength 4 requires the literal "spar" prefix — spork drops
+    assert {r["doc_id"] for r in out} == {1, 2}
+
+
+def test_search_text_fuzzy_validation_and_meta(spark):
+    docs = spark.createDataFrame([(1, "text spark")],
+                                 "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(ValueError, match="maxEdits"):
+        compile_pipeline(
+            [{"$search": {"text": {"query": "x", "path": "text",
+                                   "fuzzy": {"maxEdits": 3}}}}],
+            Context(spark=spark))(docs).collect()
+    mapping = spark.createDataFrame(
+        [("equivalent", None, ["a", "b"])],
+        "mappingType string, input array<string>, synonyms array<string>")
+    with pytest.raises(ValueError, match="fuzzy with synonyms"):
+        compile_pipeline(
+            [{"$search": {"text": {"query": "x", "path": "text",
+                                   "fuzzy": {"maxEdits": 1},
+                                   "synonyms": "syn"}}}],
+            Context(spark=spark, collections={"syn": mapping}))(docs)
+    # $searchMeta counting honors fuzzy membership
+    meta = compile_pipeline(
+        [{"$searchMeta": {"count": {"type": "total"},
+                          "text": {"query": "sperk", "path": "text",
+                                   "fuzzy": {"maxEdits": 1}}}}],
+        Context(spark=spark),
+    )(docs).collect()
+    assert meta[0]["count"]["total"] == 1

@@ -548,3 +548,57 @@ def test_gopher_rules_null_text_measures_zero(spark):
     assert g.n_words == 0 and g.stop_word_hits == 0
     assert g.mean_word_len == 0.0
     assert g["pass"] is False
+
+
+def test_dsir_score_matches_python_reference(spark):
+    """Seeded random corpora: the whole DSIR computation (md5 bucket
+    hash, unigram+bigram bag, Laplace-smoothed models, log-ratio sum)
+    must equal a literal Python implementation."""
+    import hashlib
+    import math
+    import random
+
+    rng = random.Random(519)
+    vocab = ["cat", "dog", "the", "a", "runs", "sleeps", "fast", "12"]
+    mk = lambda: " ".join(rng.choice(vocab)
+                          for _ in range(rng.randint(0, 12)))
+    src_docs = {i: mk() for i in range(60)}
+    tgt_docs = [mk() for _ in range(25)]
+    buckets, alpha = 97, 0.5  # intentionally small: force collisions
+
+    def feats(text):
+        ws = [w for w in text.lower().split(" ") if w]
+        grams = ws + [" ".join(ws[i:i + 2]) for i in range(len(ws) - 1)]
+        return [int(hashlib.md5(f"0:{g}".encode()).hexdigest()[:15], 16)
+                % buckets for g in grams]
+
+    src_f = {i: feats(t) for i, t in src_docs.items()}
+    tgt_f = [b for t in tgt_docs for b in feats(t)]
+    sc: dict[int, int] = {}
+    for bs in src_f.values():
+        for b in bs:
+            sc[b] = sc.get(b, 0) + 1
+    tc: dict[int, int] = {}
+    for b in tgt_f:
+        tc[b] = tc.get(b, 0) + 1
+    ts, tt = sum(sc.values()), len(tgt_f)
+    ab = alpha * buckets
+
+    def ref_score(bs):
+        raw = sum(
+            math.log((tc.get(b, 0) + alpha) / (tt + ab))
+            - math.log((sc[b] + alpha) / (ts + ab))
+            for b in bs)
+        return math.floor(raw * 1e6 + 0.5) / 1e6
+
+    src = spark.createDataFrame(list(src_docs.items()),
+                                "doc_id long, text string")
+    tgt = spark.createDataFrame([(t,) for t in tgt_docs], "text string")
+    out = compile_pipeline(
+        [{"$dsirScore": {"input": "$text", "id": "doc_id", "from": "tgt",
+                         "buckets": buckets, "smoothing": alpha}}],
+        Context(spark=spark, collections={"tgt": tgt}))(src)
+    for r in out.collect():
+        want = ref_score(src_f[r["doc_id"]])
+        assert abs(r["dsir_score"] - want) < 2e-6, (
+            r["doc_id"], r["dsir_score"], want)
