@@ -3026,6 +3026,40 @@ _register(
     )
 )
 
+_register(
+    # r5: Mongo 8.1 $minMaxScaler window function + $sigmoid expression
+    "window_scaler",
+    f"""SELECT o_orderkey,
+               CASE WHEN max(o_totalprice) OVER w = min(o_totalprice) OVER w
+                    THEN 0.0
+                    ELSE {_r("(o_totalprice - min(o_totalprice) OVER w)"
+                             " / (max(o_totalprice) OVER w"
+                             " - min(o_totalprice) OVER w)", 6)}
+               END AS scaled,
+               {_r("1.0 / (1.0 + exp(-(o_totalprice / 100000)))", 6)} AS sig
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority)""",
+)(
+    _pipe(
+        "orders",
+        [
+            {"$setWindowFields": {
+                "partitionBy": "$o_orderpriority",
+                "output": {"scaled": {
+                    "$minMaxScaler": {"input": "$o_totalprice"}}},
+            }},
+            {"$project": {
+                "_id": 0, "o_orderkey": 1,
+                "scaled": {"$round": ["$scaled", 6]},
+                "sig": {"$round": [
+                    {"$sigmoid": {"$divide": ["$o_totalprice", 100000]}},
+                    6]},
+            }},
+        ],
+    )
+)
+
+
 # --- both $setWindowFields surfaces in one window pass ----------------
 
 _register(

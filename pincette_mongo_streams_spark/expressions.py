@@ -247,6 +247,10 @@ OPERATORS["$ceil"] = lambda raw, ctx: F.ceil(_c(_args(raw)[0], ctx))
 OPERATORS["$floor"] = lambda raw, ctx: F.floor(_c(_args(raw)[0], ctx))
 OPERATORS["$sqrt"] = lambda raw, ctx: F.sqrt(_c(_args(raw)[0], ctx))
 OPERATORS["$exp"] = lambda raw, ctx: F.exp(_c(_args(raw)[0], ctx))
+# Mongo 8.1 $sigmoid: 1 / (1 + e^-x)
+OPERATORS["$sigmoid"] = lambda raw, ctx: (
+    F.lit(1.0) / (F.lit(1.0) + F.exp(-_c(_args(raw)[0], ctx).cast("double")))
+)
 OPERATORS["$ln"] = lambda raw, ctx: F.log(_c(_args(raw)[0], ctx))
 OPERATORS["$log10"] = lambda raw, ctx: F.log10(_c(_args(raw)[0], ctx))
 OPERATORS["$log"] = lambda raw, ctx: (

@@ -572,6 +572,18 @@ def set_window_fields_stage(expression: Any, ctx: Context) -> StageFn:
                         compile_expr(arg["input"], ectx).cast("double")
                     ).over(w)
                     col = F.array(*[_array_quantile(vals, p) for p in arg["p"]])
+                elif op == "$minMaxScaler":
+                    # Mongo 8.1: scale the current value into [min, max]
+                    # using the window frame's extrema; a constant frame
+                    # (wmax == wmin) scales to the lower bound
+                    x = compile_expr(arg["input"], ectx).cast("double")
+                    lo = F.lit(float(arg.get("min", 0.0)))
+                    hi = F.lit(float(arg.get("max", 1.0)))
+                    wmin = F.min(x).over(w)
+                    wmax = F.max(x).over(w)
+                    scaled = lo + F.try_divide(
+                        (x - wmin) * (hi - lo), wmax - wmin)
+                    col = F.when(x.isNotNull(), F.coalesce(scaled, lo))
                 elif op == "$derivative":
                     # (Δ output) / (Δ sortBy), per `unit` when sortBy is a
                     # date (Mongo $derivative)

@@ -461,3 +461,15 @@ def test_ts_second_increment(spark):
         Context(spark=spark))(df)
     r = out.collect()[0]
     assert r["s"] == 1704067205 and r["i"] == 123456
+
+
+def test_sigmoid(spark):
+    import math
+
+    df = spark.createDataFrame([(0.0,), (2.0,), (-2.0,)], "x double")
+    ectx = ExprContext(schema=df.schema)
+    out = df.select(compile_expr({"$sigmoid": "$x"}, ectx).alias("s")).collect()
+    got = sorted(r["s"] for r in out)
+    want = sorted(1.0 / (1.0 + math.exp(-x)) for x in (0.0, 2.0, -2.0))
+    for g, w in zip(got, want):
+        assert abs(g - w) < 1e-12

@@ -462,3 +462,40 @@ def test_union_with_documents_only_pipeline(spark):
             {"$documents": [{"a": 2, "b": "y"}]}]}}],
     ).collect()
     assert sorted((r["a"], r["b"]) for r in out) == [(1, "x"), (2, "y")]
+
+
+def test_min_max_scaler_window(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+         (4, "b", 5.0), (5, "b", 5.0), (6, "c", None)],
+        "id long, g string, v double")
+    out = compile_pipeline(
+        [{"$setWindowFields": {
+            "partitionBy": "$g",
+            "output": {"s": {"$minMaxScaler": {"input": "$v"}},
+                       "s5": {"$minMaxScaler": {"input": "$v",
+                                                "min": 1, "max": 3}}}}}],
+        Context(spark=spark))(df)
+    rows = {r["id"]: (r["s"], r["s5"]) for r in out.collect()}
+    assert rows[1] == (0.0, 1.0)
+    assert rows[2] == (0.5, 2.0)
+    assert rows[3] == (1.0, 3.0)
+    # a constant frame scales to the lower bound
+    assert rows[4] == (0.0, 1.0) and rows[5] == (0.0, 1.0)
+    # null input stays null
+    assert rows[6] == (None, None)
+
+
+def test_min_max_scaler_framed_window(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 6)], "id long, v double")
+    out = compile_pipeline(
+        [{"$setWindowFields": {
+            "sortBy": {"id": 1},
+            "output": {"s": {"$minMaxScaler": {"input": "$v"},
+                             "window": {"documents": [-1, 1]}}}}}],
+        Context(spark=spark))(df)
+    rows = {r["id"]: r["s"] for r in out.collect()}
+    # interior rows sit mid-frame; edges clip to 2-row frames
+    assert rows[1] == 0.0 and rows[5] == 1.0
+    assert rows[2] == 0.5 and rows[3] == 0.5 and rows[4] == 0.5
