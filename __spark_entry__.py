@@ -5048,8 +5048,21 @@ _ORDER = [
     #     remain exercised IN-window by training_pipeline; the entropy
     #     quality signal is oracled against DuckDB's native entropy()
     #     aggregate — the strongest ground truth of the quality family)
+    # r5 session-3 swaps (same contract — displaced rows stay registered
+    # + locally oracled):
+    #   union_with -> semantic_dedup (SemDeDup cluster-bounded embedding
+    #     dedup — the flagship new dedup family member; $unionWith is a
+    #     metadata-only plan union exercised inside fusion's
+    #     sub-pipelines anyway)
+    #   group_arrays -> dsir_score (DSIR importance weighting gets a
+    #     hard row; $push/$addToSet stay covered by group_accumulators
+    #     in-window plus the past-window group_arrays row)
+    #   repetition_score -> gopher_rules (one Gopher-family row stays
+    #     in-window; gopher_rules carries eight signals + the pass
+    #     verdict vs repetition_score's six, and repetition_score stays
+    #     locally oracled)
     "match_operators", "project_compute", "field_ops", "replace_with",
-    "unwind", "group_accumulators", "group_arrays", "stage_ext",
+    "unwind", "group_accumulators", "dsir_score", "stage_ext",
     "bucket", "lookup_unwind", "geo_search", "lookup_pipeline",
     "streaming_parity", "deduplicate", "merge_out", "delete_passthrough",
     "redact", "per_batches", "effects_chain", "script_stages",
@@ -5064,12 +5077,12 @@ _ORDER = [
     # past-window by documents_inline/json_props_extract) -> kmeans
     # gives clustering one.  Both displaced queries stay registered and
     # locally oracle-checked.
-    "text_match", "union_with", "window_all", "fill_locf", "densify_grid",
+    "text_match", "semantic_dedup", "window_all", "fill_locf", "densify_grid",
     "facet_summary", "window_group_hourly", "graph_lookup", "asof_join",
     "group_cap", "kmeans",
     # LLM-data-pipeline operators
     "dedup_exact", "entropy_score", "training_pipeline", "bm25_search",
-    "fusion", "sig_hashes", "minhash_dedup", "repetition_score",
+    "fusion", "sig_hashes", "minhash_dedup", "gopher_rules",
     "embed_dedup", "ann_topk", "ann_indexed", "media_pipeline",
     "span_dedup",
 ]
