@@ -2004,9 +2004,12 @@ def gopher_rules_stage(expression: Any, ctx: Context) -> StageFn:
             F.size(F.filter(lines,
                             lambda l: l.rlike("^[•‣▪*-]"))).cast("double"),
             n_lines), F.lit(0.0))
+        # \z (absolute end), not $: Java's $ also matches before a
+        # residual final \r (or U+2028/U+2029/U+0085) that the [ \t]
+        # trim keeps, where RE2's $ and Python's $ do not
         ell_line_frac = F.coalesce(F.try_divide(
             F.size(F.filter(lines,
-                            lambda l: l.rlike("(\\.\\.\\.|…)$"))
+                            lambda l: l.rlike("(\\.\\.\\.|…)\\z"))
                    ).cast("double"),
             n_lines), F.lit(0.0))
         alpha_frac = F.coalesce(F.try_divide(

@@ -539,30 +539,40 @@ def _synonym_groups(ctx: Optional["Context"], mapping: str,
     rows = ctx.collection(mapping).collect()
     equiv: dict[str, set] = {}
     expl: dict[str, set] = {}
+
+    def one_token(s: str, what: str) -> str:
+        toks = _norm_terms(s)
+        if len(toks) != 1:
+            # Lucene handles phrase synonyms as a token GRAPH; a
+            # flattened bag would match any single word of the phrase
+            # (silent over-matching) — reject instead
+            raise NotImplementedError(
+                f"synonyms mapping {mapping!r}: multi-word {what} "
+                f"{s!r} is not supported (single-token synonyms only)")
+        return toks[0]
+
     for r in rows:
         d = r.asDict(recursive=True)
         mt = d.get("mappingType")
-        syns = [tok for s in (d.get("synonyms") or [])
-                for tok in _norm_terms(s)]
+        syns = [one_token(s, "synonym") for s in d.get("synonyms") or []]
         if mt == "equivalent":
             for s in syns:
                 equiv.setdefault(s, set()).update(syns)
         elif mt == "explicit":
             for inp in d.get("input") or []:
-                for tok in _norm_terms(inp):
-                    expl.setdefault(tok, set()).update(syns)
+                # an explicit input with an empty synonyms list REWRITES
+                # to nothing (matches no token) — distinct from "has no
+                # mapping", which falls through to the literal token
+                expl.setdefault(one_token(inp, "input"), set()).update(syns)
         else:
             raise ValueError(
                 f"synonyms mapping {mapping!r}: mappingType must be "
                 f"'equivalent' or 'explicit', got {mt!r}")
 
     def expand(tok: str) -> list[str]:
-        out = set()
-        if tok in equiv:
-            out |= equiv[tok]
-        if tok in expl:
-            out |= expl[tok]
-        return sorted(out) if out else [tok]
+        if tok not in equiv and tok not in expl:
+            return [tok]
+        return sorted(equiv.get(tok, set()) | expl.get(tok, set()))
 
     return [expand(t) for t in _norm_terms(query)]
 
@@ -954,21 +964,34 @@ def _q_sql(t: str) -> str:
     return "'" + t.replace("'", "''") + "'"
 
 
-def _fuzzy_cond(term: str, fuzzy: dict) -> str:
-    """SQL token predicate for one fuzzy term slot: classic Levenshtein
-    within ``maxEdits`` (1 or 2), sharing a literal prefix of
-    ``prefixLength`` chars.  Lucene's fuzzy counts a TRANSPOSITION as
-    one edit (Damerau); plain Levenshtein counts it as two — a fuzzy
-    query here can under-match transposed tokens at maxEdits 1.
-    ``maxExpansions`` is an index-side cap and is accepted/ignored."""
+def _fuzzy_params(term: str, fuzzy: dict) -> tuple[int, str]:
+    """Validate a fuzzy spec against one term: returns (maxEdits,
+    required literal prefix).  ``prefixLength`` caps at the term length
+    (Lucene: the non-fuzzy prefix is the first ``prefixLength`` chars
+    OF THE TERM — a longer candidate still matches when it starts with
+    that prefix).  ``maxExpansions`` is an index-side cap and is
+    accepted/ignored.  Single source of truth for both the BM25 SQL
+    slots and the $searchMeta Column predicate — the rowset and the
+    count must stay in lockstep."""
     k = int(fuzzy.get("maxEdits", 2))
     if k not in (1, 2):
         raise ValueError("$search fuzzy.maxEdits must be 1 or 2")
-    pl = int(fuzzy.get("prefixLength", 0))
+    pl = min(int(fuzzy.get("prefixLength", 0)), len(term))
+    return k, term[:pl]
+
+
+def _fuzzy_cond(term: str, fuzzy: dict) -> str:
+    """SQL token predicate (over the variable ``t``) for one fuzzy term
+    slot: classic Levenshtein within ``maxEdits``, sharing the literal
+    prefix from :func:`_fuzzy_params`.  Lucene's fuzzy counts a
+    TRANSPOSITION as one edit (Damerau); plain Levenshtein counts it as
+    two — a fuzzy query here can under-match transposed tokens at
+    maxEdits 1."""
+    k, prefix = _fuzzy_params(term, fuzzy)
     cond = f"levenshtein(t, {_q_sql(term)}) <= {k}"
-    if pl > 0:
-        cond += (f" AND substring(t, 1, {pl}) = "
-                 f"{_q_sql(term[:pl])}")
+    if prefix:
+        cond += (f" AND substring(t, 1, {len(prefix)}) = "
+                 f"{_q_sql(prefix)}")
     return cond
 
 
@@ -998,6 +1021,10 @@ def _bm25_prepare(df: DataFrame, query: str, paths: Any, tag: str,
 
     def slot_cond(grp: list[str]) -> str:
         """Boolean SQL over the token variable ``t`` for one term slot."""
+        if not grp:
+            # an explicit synonym mapping rewrote the term to nothing:
+            # the slot matches no token (tf 0, df 0)
+            return "false"
         if fuzzy is not None:
             return " OR ".join(f"({_fuzzy_cond(t, fuzzy)})" for t in grp)
         if len(grp) == 1:
@@ -1174,8 +1201,14 @@ def _text_match_pred(df: DataFrame, spec: dict,
             "$search text cannot combine fuzzy with synonyms "
             "(Atlas forbids it too)")
     if "synonyms" in spec:
+        if not _norm_terms(spec["query"]):
+            raise ValueError(
+                "$searchMeta text.query needs at least one term")
         terms = sorted({t for grp in _synonym_groups(
             ctx, spec["synonyms"], spec["query"]) for t in grp})
+        if not terms:
+            # every query term rewrote to nothing — matches no document
+            return F.lit(False)
     else:
         terms = _norm_terms(spec["query"])
     if not terms:
@@ -1184,16 +1217,15 @@ def _text_match_pred(df: DataFrame, spec: dict,
     tlit = F.array(*[F.lit(t) for t in terms])
 
     def tok_hit(t: Column) -> Column:
-        """fuzzy membership: the token is within maxEdits of ANY term."""
-        k = int(fuzzy.get("maxEdits", 2))
-        if k not in (1, 2):
-            raise ValueError("$search fuzzy.maxEdits must be 1 or 2")
-        pl = int(fuzzy.get("prefixLength", 0))
+        """fuzzy membership: the token is within maxEdits of ANY term
+        (parameters from _fuzzy_params — the BM25 slots' source of
+        truth, so count and rowset cannot drift)."""
         hit = None
         for term in terms:
+            k, prefix = _fuzzy_params(term, fuzzy)
             c = F.levenshtein(t, F.lit(term)) <= k
-            if pl > 0:
-                c = c & (F.substring(t, 1, pl) == F.lit(term[:pl]))
+            if prefix:
+                c = c & (F.substring(t, 1, len(prefix)) == F.lit(prefix))
             hit = c if hit is None else (hit | c)
         return hit
 

@@ -576,9 +576,29 @@ def set_window_fields_stage(expression: Any, ctx: Context) -> StageFn:
                     # Mongo 8.1: scale the current value into [min, max]
                     # using the window frame's extrema; a constant frame
                     # (wmax == wmin) scales to the lower bound
+                    lo_v = float(arg.get("min", 0.0))
+                    hi_v = float(arg.get("max", 1.0))
+                    if not lo_v < hi_v:
+                        raise ValueError("$minMaxScaler needs min < max")
+                    if window is not None:
+                        # a frame excluding the current document would
+                        # scale x against extrema not containing it —
+                        # out-of-range output; Mongo rejects such windows
+                        def _b(v, side):
+                            if v == "unbounded":
+                                return (float("-inf") if side == "lo"
+                                        else float("inf"))
+                            return 0.0 if v == "current" else float(v)
+
+                        bnds = (window.get("documents")
+                                or window.get("range"))
+                        if _b(bnds[0], "lo") > 0 or _b(bnds[1], "hi") < 0:
+                            raise ValueError(
+                                "$minMaxScaler window must include the "
+                                "current document")
                     x = compile_expr(arg["input"], ectx).cast("double")
-                    lo = F.lit(float(arg.get("min", 0.0)))
-                    hi = F.lit(float(arg.get("max", 1.0)))
+                    lo = F.lit(lo_v)
+                    hi = F.lit(hi_v)
                     wmin = F.min(x).over(w)
                     wmax = F.max(x).over(w)
                     scaled = lo + F.try_divide(

@@ -1095,3 +1095,56 @@ def test_search_text_fuzzy_validation_and_meta(spark):
         Context(spark=spark),
     )(docs).collect()
     assert meta[0]["count"]["total"] == 1
+
+
+def test_search_fuzzy_prefix_longer_than_term(spark):
+    # prefixLength caps at the term length: longer candidates that
+    # START with the whole term still match (Lucene behavior)
+    docs = spark.createDataFrame(
+        [(1, "ab here"), (2, "abc here"), (3, "xbc here")],
+        "doc_id long, text string")
+    out = compile_pipeline(
+        [{"$search": {"text": {"query": "ab", "path": "text",
+                               "fuzzy": {"maxEdits": 1,
+                                         "prefixLength": 3}}}}],
+        Context(spark=spark),
+    )(docs).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}  # xbc lacks the prefix
+
+
+def test_search_synonyms_explicit_empty_rewrites_to_nothing(spark):
+    docs = spark.createDataFrame(
+        [(1, "a vehicle here"), (2, "plain words")],
+        "doc_id long, text string")
+    mapping = spark.createDataFrame(
+        [("explicit", ["vehicle"], [])],
+        "mappingType string, input array<string>, synonyms array<string>")
+    ctx = Context(spark=spark, collections={"syn": mapping})
+    out = compile_pipeline(
+        [{"$search": {"text": {"query": "vehicle", "path": "text",
+                               "synonyms": "syn"}}}],
+        ctx,
+    )(docs).collect()
+    assert out == []  # rewritten to nothing — matches NO document
+    meta = compile_pipeline(
+        [{"$searchMeta": {"count": {"type": "total"},
+                          "text": {"query": "vehicle", "path": "text",
+                                   "synonyms": "syn"}}}],
+        ctx,
+    )(docs).collect()
+    assert meta[0]["count"]["total"] == 0
+
+
+def test_search_synonyms_multiword_rejected(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    mapping = spark.createDataFrame(
+        [("equivalent", None, ["car", "motor vehicle"])],
+        "mappingType string, input array<string>, synonyms array<string>")
+    with pytest.raises(NotImplementedError, match="multi-word"):
+        compile_pipeline(
+            [{"$search": {"text": {"query": "car", "path": "text",
+                                   "synonyms": "syn"}}}],
+            Context(spark=spark, collections={"syn": mapping}),
+        )(docs).collect()

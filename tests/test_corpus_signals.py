@@ -493,7 +493,7 @@ def test_gopher_rules_matches_python_reference(spark):
     rng = random.Random(518)
     pieces = ["the", "and", "with", "zz", "a#b", "##", "...", "x...",
               "12", "•", "- item", "* b", "…", "WORD", "mix3d", "",
-              "\tx", "a\x0bb"]
+              "\tx", "a\x0bb", "e...\r"]
     docs = []
     for _ in range(200):
         nl = rng.choice(["\n", "\r\n"])

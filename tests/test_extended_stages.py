@@ -499,3 +499,20 @@ def test_min_max_scaler_framed_window(spark):
     # interior rows sit mid-frame; edges clip to 2-row frames
     assert rows[1] == 0.0 and rows[5] == 1.0
     assert rows[2] == 0.5 and rows[3] == 0.5 and rows[4] == 0.5
+
+
+def test_min_max_scaler_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with pytest.raises(ValueError, match="min < max"):
+        compile_pipeline(
+            [{"$setWindowFields": {"output": {"s": {
+                "$minMaxScaler": {"input": "$v", "min": 5, "max": 5}}}}}],
+            Context(spark=spark))(df).collect()
+    with pytest.raises(ValueError, match="include the current"):
+        compile_pipeline(
+            [{"$setWindowFields": {"sortBy": {"id": 1}, "output": {"s": {
+                "$minMaxScaler": {"input": "$v"},
+                "window": {"documents": [-2, -1]}}}}}],
+            Context(spark=spark))(df).collect()
