@@ -2413,6 +2413,73 @@ _register(
 )
 
 
+def _mmr_oracle_sql(k: int, lam: float) -> str:
+    """DuckDB twin of $mmr: the greedy selection unrolled to k steps
+    (the $kmeans-oracle technique).  Every comparator value rounds
+    half-up at 9 digits exactly like the engine, and ``1 - lambda`` is
+    emitted as the IEEE double repr (0.7 -> 0.30000000000000004) so the
+    arithmetic is bit-identical, not decimal-identical."""
+    l9 = repr(lam)
+    m9 = repr(1.0 - lam)
+    blocks = [f"""
+WITH v AS (SELECT vec_id % 4 AS g, vec_id AS i,
+                  ((vec_id * 37) % 100) / 100.0 AS s,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+sel1 AS (SELECT g, i, s, e, 1 AS r FROM (
+    SELECT *, row_number() OVER (PARTITION BY g ORDER BY
+        floor(({l9} * s) * 1e9 + 0.5) / 1e9 DESC, i) AS rn
+    FROM v) WHERE rn = 1)"""]
+    prev = "sel1"
+    for n in range(2, k + 1):
+        blocks.append(f"""
+p{n} AS (SELECT * FROM {prev}{"" if n == 2 else f" UNION ALL SELECT * FROM sel{n-1}"}),
+m{n} AS (SELECT v.g, v.i,
+                max(floor(list_cosine_similarity(v.e, p.e) * 1e9 + 0.5)
+                    / 1e9) AS ms
+         FROM v JOIN p{n} p ON p.g = v.g GROUP BY v.g, v.i),
+c{n} AS (SELECT v.g, v.i, v.s, v.e,
+                floor(({l9} * v.s - {m9} * m{n}.ms) * 1e9 + 0.5) / 1e9
+                    AS val
+         FROM v JOIN m{n} ON m{n}.g = v.g AND m{n}.i = v.i
+         WHERE NOT EXISTS (SELECT 1 FROM p{n} p
+                           WHERE p.g = v.g AND p.i = v.i)),
+sel{n} AS (SELECT g, i, s, e, {n} AS r FROM (
+    SELECT *, row_number() OVER (PARTITION BY g ORDER BY val DESC, i)
+        AS rn FROM c{n}) WHERE rn = 1)""")
+        prev = f"p{n}"
+    union = " UNION ALL ".join(f"SELECT g, i, r FROM sel{n}"
+                               for n in range(1, k + 1))
+    return ",".join(blocks) + f"""
+SELECT i AS vec_id, CAST(g AS BIGINT) AS g, CAST(r AS BIGINT) AS rank
+FROM ({union})"""
+
+
+_register(
+    # r5: $mmr — MMR diversified top-k, greedy iteration unrolled in SQL
+    "mmr_rerank",
+    _mmr_oracle_sql(5, 0.7),
+)(
+    _pipe(
+        "embeddings",
+        [
+            {"$set": {
+                "g": {"$mod": ["$vec_id", 4]},
+                "s": {"$divide": [
+                    {"$mod": [{"$multiply": ["$vec_id", 37]}, 100]},
+                    100.0]},
+            }},
+            {"$mmr": {"score": "$s", "input": "$embedding",
+                      "id": "vec_id", "by": "$g", "k": 5,
+                      "lambda": 0.7, "as": "rank"}},
+            {"$project": {"_id": 0, "vec_id": 1,
+                          "g": {"$toLong": "$g"},
+                          "rank": {"$toLong": "$rank"}}},
+        ],
+    )
+)
+
+
 _register(
     "semantic_dedup",
     _semantic_dedup_oracle_sql(4, 1, 64, 0.3),

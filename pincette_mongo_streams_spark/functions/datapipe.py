@@ -3184,6 +3184,111 @@ def dsir_score_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$mmr")
+def mmr_stage(expression: Any, ctx: Context) -> StageFn:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): ``{score, input, id, by?, k?, lambda?, as?}`` — per group
+    (``by``, e.g. the query id; omitted = one global group) greedily
+    select ``k`` candidates, each step taking the argmax of
+
+        lambda * score  -  (1 - lambda) * max cosine-sim to selected
+
+    — the classic diversified top-k for retrieval/sampling: high
+    ``lambda`` favors relevance, low favors diversity.  Emits ONLY the
+    selected rows, with their 1-based selection rank in ``as`` (default
+    ``mmr_rank``).  Deterministic: candidates order by ``id``, the MMR
+    value and the pairwise similarities round half-up at 9 digits, and
+    value ties pick the smaller id — so the whole greedy iteration is
+    DuckDB-oracle-able (unrolled like $kmeans).  Rows with a null
+    score/embedding/id are not candidates.
+
+    Scale: one ``groupBy(by).collect_list`` shuffle — holistic, the
+    group must hold ONE QUERY'S candidate set (top-N sized, e.g. the
+    output of $annTopK/$knnJoin/$bm25; thousands, not corpus-scale);
+    selection is a row-local k-step fold (O(k²·n·dim) per group); the
+    rank joins back on (group, id).  No driver collect, no cartesian.
+    """
+    score_e = expression["score"]
+    inp = expression["input"]
+    id_field = expression["id"]
+    by = expression.get("by")
+    k = int(expression.get("k", 10))
+    lam = float(expression.get("lambda", 0.5))
+    as_field = expression.get("as", "mmr_rank")
+    if k < 1:
+        raise ValueError("$mmr needs k >= 1")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("$mmr lambda must be in [0, 1]")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..operators.extended import _batch_only
+
+        _batch_only("$mmr", c)
+        ectx = ExprContext(schema=df.schema)
+        emb = compile_expr(inp, ectx).cast("array<double>")
+        score = compile_expr(score_e, ectx).cast("double")
+        gexpr = (compile_expr(by, ectx) if by is not None else F.lit(0))
+        pts = df.select(
+            gexpr.alias("__g"),
+            F.col(id_field).alias("__i"),
+            score.alias("__s"),
+            _unit_vector(emb).alias("__e"),
+        ).filter(F.col("__i").isNotNull() & F.col("__s").isNotNull()
+                 & F.col("__e").isNotNull())
+        # candidates sort by id (struct field order), so position-order
+        # argmax ties resolve to the smaller id on every engine/run
+        grouped = pts.groupBy("__g").agg(
+            F.sort_array(F.collect_list(
+                F.struct(F.col("__i").alias("i"), F.col("__s").alias("s"),
+                         F.col("__e").alias("e")))).alias("__c"))
+        cands = F.col("__c")
+        neg = F.lit(-1e300)
+
+        def pair_sim(ce: Column, j: Column) -> Column:
+            return _round9_col(
+                _pair_dot(ce, F.element_at(cands, j + 1).getField("e")))
+
+        def step(acc: Column, _n: Column) -> Column:
+            vals = F.transform(
+                cands,
+                lambda cand, i: F.when(F.array_contains(acc, i), neg)
+                .otherwise(_round9_col(
+                    F.lit(lam) * cand.getField("s")
+                    - F.lit(1.0 - lam) * F.coalesce(
+                        F.array_max(F.transform(
+                            acc, lambda j: pair_sim(cand.getField("e"), j))),
+                        F.lit(0.0)))),
+            )
+            pick = (F.array_position(vals, F.array_max(vals)) - 1).cast("int")
+            return F.when(F.size(acc) >= F.size(cands), acc).otherwise(
+                F.concat(acc, F.array(pick)))
+
+        sel = F.aggregate(
+            F.sequence(F.lit(1), F.lit(k)),
+            F.array().cast("array<int>"),
+            step,
+        )
+        ranked = grouped.select(
+            "__g",
+            F.explode(F.transform(
+                sel,
+                lambda p, r: F.struct(
+                    F.element_at(cands, p + 1).getField("i").alias("i"),
+                    (r + 1).cast("int").alias("r")))).alias("__x"),
+        ).select(F.col("__g").alias("__mg"),
+                 F.col("__x.i").alias("__mi"),
+                 F.col("__x.r").alias(as_field))
+        return (
+            df.join(
+                ranked,
+                gexpr.eqNullSafe(F.col("__mg"))
+                & (F.col(id_field) == F.col("__mi")))
+            .drop("__mg", "__mi")
+        )
+
+    return fn
+
+
 @register_stage("$decontaminate")
 def decontaminate_stage(expression: Any, ctx: Context) -> StageFn:
     """Training-corpus decontamination against a reference set (e.g. an

@@ -1,0 +1,109 @@
+"""$mmr (functions/datapipe.py): MMR diversified top-k pinned against an
+independent Python greedy reference."""
+
+import math
+import random
+
+import pytest
+
+from pincette_mongo_streams_spark import Context, compile_pipeline
+
+
+def _r9(x):
+    return math.floor(x * 1e9 + 0.5) / 1e9
+
+
+def _ref_mmr(rows, k, lam):
+    """rows: {id: (score, vec)} (one group).  Returns {id: rank}."""
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else v
+
+    us = {i: unit(v) for i, (_, v) in rows.items()}
+    sel: list = []
+    for _ in range(min(k, len(rows))):
+        best = None
+        for i in sorted(rows):
+            if i in sel:
+                continue
+            ms = max((_r9(sum(a * b for a, b in zip(us[i], us[j])))
+                      for j in sel), default=0.0)
+            val = _r9(lam * rows[i][0] - (1.0 - lam) * ms)
+            if best is None or val > best[1]:
+                best = (i, val)
+        sel.append(best[0])
+    return {i: r + 1 for r, i in enumerate(sel)}
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    rows = [(1, 0.95, [1.0, 0.0]), (2, 0.94, [0.999, 0.04]),
+            (3, 0.60, [0.0, 1.0]), (4, 0.10, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "id long, s double, e array<double>")
+    out = compile_pipeline(
+        [{"$mmr": {"score": "$s", "input": "$e", "id": "id",
+                   "k": 3, "lambda": 0.5, "as": "rank"}}],
+        Context(spark=spark))(df)
+    got = sorted((r["rank"], r["id"]) for r in out.collect())
+    # 1 leads on score; the diverse 3 beats the near-dup 2 at step two
+    assert got == [(1, 1), (2, 3), (3, 2)]
+
+
+def test_mmr_lambda_one_is_pure_topk(spark):
+    rows = [(i, i / 10.0, [1.0, 0.0]) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "id long, s double, e array<double>")
+    out = compile_pipeline(
+        [{"$mmr": {"score": "$s", "input": "$e", "id": "id",
+                   "k": 3, "lambda": 1.0}}],
+        Context(spark=spark))(df)
+    got = {r["id"]: r["mmr_rank"] for r in out.collect()}
+    assert got == {7: 1, 6: 2, 5: 3}
+
+
+def test_mmr_groups_and_small_groups(spark):
+    rows = [(1, "a", 0.9, [1.0, 0.0]), (2, "a", 0.8, [0.0, 1.0]),
+            (3, "b", 0.7, [1.0, 0.0])]
+    df = spark.createDataFrame(
+        rows, "id long, g string, s double, e array<double>")
+    out = compile_pipeline(
+        [{"$mmr": {"score": "$s", "input": "$e", "id": "id",
+                   "by": "$g", "k": 5, "lambda": 0.7}}],
+        Context(spark=spark))(df)
+    got = sorted((r["g"], r["mmr_rank"], r["id"]) for r in out.collect())
+    # k exceeds every group: all rows selected, per-group ranks from 1
+    assert got == [("a", 1, 1), ("a", 2, 2), ("b", 1, 3)]
+
+
+def test_mmr_matches_python_reference(spark):
+    rng = random.Random(520)
+    rows = {i: (round(rng.random(), 3),
+                [round(rng.gauss(0, 1), 3) for _ in range(8)])
+            for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, s, v) for i, (s, v) in rows.items()],
+        "id long, s double, e array<double>")
+    out = compile_pipeline(
+        [{"$mmr": {"score": "$s", "input": "$e", "id": "id",
+                   "k": 10, "lambda": 0.6}}],
+        Context(spark=spark))(df)
+    got = {r["id"]: r["mmr_rank"] for r in out.collect()}
+    assert got == _ref_mmr(rows, 10, 0.6)
+
+
+def test_mmr_null_candidates_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, 0.9, [1.0]), (2, None, [1.0]), (3, 0.8, None)],
+        "id long, s double, e array<double>")
+    out = compile_pipeline(
+        [{"$mmr": {"score": "$s", "input": "$e", "id": "id", "k": 5}}],
+        Context(spark=spark))(df)
+    assert [r["id"] for r in out.collect()] == [1]  # nulls not candidates
+    ctx = Context(spark=spark)
+    with pytest.raises(ValueError, match="lambda"):
+        compile_pipeline(
+            [{"$mmr": {"score": "$s", "input": "$e", "id": "id",
+                       "lambda": 1.5}}], ctx)
+    with pytest.raises(ValueError, match="k >= 1"):
+        compile_pipeline(
+            [{"$mmr": {"score": "$s", "input": "$e", "id": "id",
+                       "k": 0}}], ctx)
