@@ -2456,6 +2456,53 @@ FROM ({union})"""
 
 
 _register(
+    # r5: $rankEval — nDCG/precision/recall/MRR@k per query group
+    "rank_eval",
+    f"""WITH v AS (
+  SELECT vec_id % 5 AS g, CAST(label % 3 AS DOUBLE) AS gain,
+         CAST(row_number() OVER (PARTITION BY vec_id % 5 ORDER BY vec_id)
+              AS DOUBLE) AS r
+  FROM embeddings),
+i AS (SELECT g, gain,
+             row_number() OVER (PARTITION BY g ORDER BY gain DESC) AS ir
+      FROM v),
+a AS (SELECT g,
+        sum(CASE WHEN r <= 10 THEN gain / log2(r + 1) ELSE 0.0 END) AS dcg,
+        sum(CASE WHEN gain > 0 AND r <= 10 THEN 1 ELSE 0 END) AS hits,
+        sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS nrel,
+        min(CASE WHEN gain > 0 THEN r END) AS fr
+      FROM v GROUP BY g),
+b AS (SELECT g, sum(gain / log2(ir + 1)) AS idcg
+      FROM i WHERE ir <= 10 GROUP BY g)
+SELECT a.g AS _id,
+       {_r("CASE WHEN b.idcg > 0 THEN a.dcg / b.idcg ELSE 0.0 END", 6)}
+           AS ndcg,
+       {_r("a.hits / 10.0", 6)} AS precision,
+       CASE WHEN a.nrel > 0 THEN {_r("a.hits * 1.0 / a.nrel", 6)} END
+           AS recall,
+       {_r("1.0 / a.fr", 6)} AS mrr,
+       CAST(a.nrel AS BIGINT) AS n_relevant
+FROM a JOIN b USING (g)""",
+)(
+    _pipe(
+        "embeddings",
+        [
+            {"$set": {"g": {"$mod": ["$vec_id", 5]},
+                      "gain": {"$mod": ["$label", 3]}}},
+            {"$setWindowFields": {
+                "partitionBy": "$g", "sortBy": {"vec_id": 1},
+                "output": {"r": {"$documentNumber": {}}}}},
+            {"$rankEval": {"by": "$g", "rank": "$r", "gain": "$gain",
+                           "k": 10}},
+            {"$project": {"_id": {"$toLong": "$_id"}, "ndcg": 1,
+                          "precision": 1, "recall": 1, "mrr": 1,
+                          "n_relevant": 1}},
+        ],
+    )
+)
+
+
+_register(
     # r5: $mmr — MMR diversified top-k, greedy iteration unrolled in SQL
     "mmr_rerank",
     _mmr_oracle_sql(5, 0.7),

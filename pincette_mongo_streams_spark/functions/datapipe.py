@@ -3289,6 +3289,75 @@ def mmr_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$rankEval")
+def rank_eval_stage(expression: Any, ctx: Context) -> StageFn:
+    """Ranking-quality evaluation over (group, rank, gain) triples:
+    ``{by, rank, gain, k?, dcg?}`` — one output row per group (query):
+
+    - ``_id`` — the group key
+    - ``ndcg`` — nDCG@k: DCG over ranks ≤ k divided by the ideal DCG of
+      the group's top-k gains; ``dcg: "linear"`` (default,
+      gain/log2(rank+1)) or ``"exp"`` ((2^gain − 1)/log2(rank+1))
+    - ``precision`` / ``recall`` — relevant (gain > 0) in the top k
+      over k / over all relevant (recall null when nothing is relevant)
+    - ``mrr`` — 1 / first relevant rank (null when nothing is relevant)
+    - ``n_relevant`` — total relevant items in the group
+
+    ``rank`` is the 1-based position your ranker assigned (e.g. a
+    ``$documentNumber`` window or $annTopK's ``rank``); doubles round
+    half-up at 6 digits.  Scale: ONE partial-aggregated groupBy — the
+    ideal-DCG term collects the group's gains (a query's result list,
+    top-N sized), everything else is algebraic.  No joins, no driver
+    collect."""
+    by = expression["by"]
+    rank_e = expression["rank"]
+    gain_e = expression["gain"]
+    k = int(expression.get("k", 10))
+    dcg_mode = expression.get("dcg", "linear")
+    if k < 1:
+        raise ValueError("$rankEval needs k >= 1")
+    if dcg_mode not in ("linear", "exp"):
+        raise ValueError("$rankEval dcg must be 'linear' or 'exp'")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..operators.extended import _batch_only
+
+        _batch_only("$rankEval", c)
+        ectx = ExprContext(schema=df.schema)
+        g = compile_expr(by, ectx)
+        rank = compile_expr(rank_e, ectx).cast("double")
+        gain = compile_expr(gain_e, ectx).cast("double")
+        if dcg_mode == "exp":
+            gain = F.pow(F.lit(2.0), gain) - F.lit(1.0)
+        rel = gain > 0
+        dcg = F.sum(F.when(rank <= k, gain / F.log2(rank + 1))
+                    .otherwise(F.lit(0.0)))
+        # ideal DCG: the group's top-k gains in descending order
+        gains = F.reverse(F.array_sort(F.collect_list(gain)))
+        idcg = F.aggregate(
+            F.zip_with(
+                F.slice(gains, 1, k),
+                F.sequence(F.lit(1), F.least(F.size(gains), F.lit(k))),
+                lambda gn, i: gn / F.log2(i.cast("double") + 1.0)),
+            F.lit(0.0), lambda acc, v: acc + v)
+        hits = F.sum(F.when(rel & (rank <= k), 1).otherwise(0))
+        n_rel = F.sum(F.when(rel, 1).otherwise(0))
+        first_rel = F.min(F.when(rel, rank))
+        out = df.groupBy(g.alias("_id")).agg(
+            _half_up6(F.when(idcg > 0, dcg / idcg)
+                      .otherwise(F.lit(0.0))).alias("ndcg"),
+            _half_up6(hits.cast("double") / F.lit(float(k))
+                      ).alias("precision"),
+            _half_up6(F.when(n_rel > 0, hits.cast("double") / n_rel)
+                      ).alias("recall"),
+            _half_up6(F.lit(1.0) / first_rel).alias("mrr"),
+            n_rel.cast("long").alias("n_relevant"),
+        )
+        return out
+
+    return fn
+
+
 @register_stage("$decontaminate")
 def decontaminate_stage(expression: Any, ctx: Context) -> StageFn:
     """Training-corpus decontamination against a reference set (e.g. an

@@ -107,3 +107,62 @@ def test_mmr_null_candidates_and_validation(spark):
         compile_pipeline(
             [{"$mmr": {"score": "$s", "input": "$e", "id": "id",
                        "k": 0}}], ctx)
+
+
+# --------------------------------------------------------------- $rankEval
+
+
+def test_rank_eval_known_values(spark):
+    # one query: ranks 1..4, gains [3, 0, 2, 1] (linear dcg, k=3)
+    rows = [(1, 1, 3.0), (2, 2, 0.0), (3, 3, 2.0), (4, 4, 1.0)]
+    df = spark.createDataFrame(rows, "id long, r long, gain double")
+    out = compile_pipeline(
+        [{"$rankEval": {"by": 1, "rank": "$r", "gain": "$gain", "k": 3}}],
+        Context(spark=spark))(df).collect()
+    import math
+
+    row = out[0]
+    dcg = 3 / math.log2(2) + 0 / math.log2(3) + 2 / math.log2(4)
+    idcg = 3 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
+    assert row["ndcg"] == math.floor(dcg / idcg * 1e6 + 0.5) / 1e6
+    assert row["precision"] == math.floor(2 / 3 * 1e6 + 0.5) / 1e6
+    assert row["recall"] == math.floor(2 / 3 * 1e6 + 0.5) / 1e6
+    assert row["mrr"] == 1.0  # first relevant at rank 1
+    assert row["n_relevant"] == 3
+
+
+def test_rank_eval_no_relevant_and_exp(spark):
+    rows = [(1, "q", 1, 0.0), (2, "q", 2, 0.0),
+            (3, "p", 1, 1.0), (4, "p", 2, 2.0)]
+    df = spark.createDataFrame(rows, "id long, q string, r long, g double")
+    out = compile_pipeline(
+        [{"$rankEval": {"by": "$q", "rank": "$r", "gain": "$g",
+                        "k": 2, "dcg": "exp"}}],
+        Context(spark=spark))(df)
+    rows_ = {r["_id"]: r for r in out.collect()}
+    q = rows_["q"]
+    assert q["ndcg"] == 0.0 and q["precision"] == 0.0
+    assert q["recall"] is None and q["mrr"] is None
+    assert q["n_relevant"] == 0
+    import math
+
+    p = rows_["p"]
+    # exp gains: 2^1-1=1 at rank1, 2^2-1=3 at rank2; ideal = 3, 1
+    dcg = 1 / math.log2(2) + 3 / math.log2(3)
+    idcg = 3 / math.log2(2) + 1 / math.log2(3)
+    assert p["ndcg"] == math.floor(dcg / idcg * 1e6 + 0.5) / 1e6
+    assert p["mrr"] == 1.0
+
+
+def test_rank_eval_validation(spark):
+    ctx = Context(spark=spark)
+    import pytest
+
+    with pytest.raises(ValueError, match="k >= 1"):
+        compile_pipeline(
+            [{"$rankEval": {"by": 1, "rank": "$r", "gain": "$g",
+                            "k": 0}}], ctx)
+    with pytest.raises(ValueError, match="dcg"):
+        compile_pipeline(
+            [{"$rankEval": {"by": 1, "rank": "$r", "gain": "$g",
+                            "dcg": "log"}}], ctx)

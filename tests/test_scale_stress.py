@@ -491,3 +491,26 @@ def test_dsir_score_sf01(spark):
     means = {r["lang"]: r["m"] for r in out.groupBy("lang")
              .agg(F.avg("dsir_score").alias("m")).collect()}
     assert means["en"] == max(means.values())
+
+
+def test_mmr_sf01(spark):
+    """$mmr at sf0.1: 2k embeddings as 8 query groups of ~250
+    candidates each — the collect-per-group + row-local greedy fold
+    must stay cartesian-free and budget-bounded (the fold is
+    O(k^2*n*dim) per group, all inside codegen)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = emb.withColumn("g", F.col("vec_id") % 8).withColumn(
+        "s", ((F.col("vec_id") * 37) % 100) / 100.0)
+    out = compile_pipeline(
+        [{"$mmr": {"score": "$s", "input": "$embedding", "id": "vec_id",
+                   "by": "$g", "k": 10, "lambda": 0.7}}],
+        Context(spark=spark),
+    )(df)
+    _assert_scale_plan(out, "mmr")
+    n, secs = _timed(out)
+    assert n == 8 * 10
+    assert secs < 45, f"mmr took {secs:.1f}s at sf0.1"
+    per_group = out.groupBy("g").count().collect()
+    assert all(r["count"] == 10 for r in per_group)
