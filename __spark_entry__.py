@@ -5175,6 +5175,13 @@ _ORDER = [
     #     in-window; gopher_rules carries eight signals + the pass
     #     verdict vs repetition_score's six, and repetition_score stays
     #     locally oracled)
+    #   expr_cond_dates -> mmr_rerank (MMR diversified top-k — the whole
+    #     greedy iteration oracled by unrolled SQL; $cond/$switch/date
+    #     expressions stay covered by expr_strings/expr_math_superset
+    #     in-window plus the past-window expr rows)
+    #   sig_hashes -> rank_eval (nDCG/precision/recall/MRR@k; the
+    #     minhash family keeps minhash_dedup in-window and sig_hashes
+    #     stays locally oracled)
     "match_operators", "project_compute", "field_ops", "replace_with",
     "unwind", "group_accumulators", "dsir_score", "stage_ext",
     "bucket", "lookup_unwind", "geo_search", "lookup_pipeline",
@@ -5182,7 +5189,7 @@ _ORDER = [
     "redact", "per_batches", "effects_chain", "script_stages",
     "http_enrich",
     # §2.3a expressions + §2.4 accumulators (superset included)
-    "expr_strings", "expr_math_superset", "expr_cond_dates", "jslt_import",
+    "expr_strings", "expr_math_superset", "mmr_rerank", "jslt_import",
     "features_ext",
     # batch-completeness stages
     # r3 swaps: sample_count ($sample+$count — trivial fixed-count
@@ -5196,7 +5203,7 @@ _ORDER = [
     "group_cap", "kmeans",
     # LLM-data-pipeline operators
     "dedup_exact", "entropy_score", "training_pipeline", "bm25_search",
-    "fusion", "sig_hashes", "minhash_dedup", "gopher_rules",
+    "fusion", "rank_eval", "minhash_dedup", "gopher_rules",
     "embed_dedup", "ann_topk", "ann_indexed", "media_pipeline",
     "span_dedup",
 ]

@@ -3196,11 +3196,16 @@ def mmr_stage(expression: Any, ctx: Context) -> StageFn:
     — the classic diversified top-k for retrieval/sampling: high
     ``lambda`` favors relevance, low favors diversity.  Emits ONLY the
     selected rows, with their 1-based selection rank in ``as`` (default
-    ``mmr_rank``).  Deterministic: candidates order by ``id``, the MMR
-    value and the pairwise similarities round half-up at 9 digits, and
-    value ties pick the smaller id — so the whole greedy iteration is
-    DuckDB-oracle-able (unrolled like $kmeans).  Rows with a null
-    score/embedding/id are not candidates.
+    ``mmr_rank``; an existing column of that name is replaced).
+    Deterministic: candidates order by ``id``, the MMR value and the
+    pairwise similarities round half-up at 9 digits, and value ties
+    pick the smaller id — so the whole greedy iteration is
+    DuckDB-oracle-able (unrolled like $kmeans).  Rows with a null or
+    NaN score, or a null embedding/id, are not candidates.  ``id``
+    should be unique within its group: duplicated ids collapse to the
+    highest-scoring candidate before selection (so a rank is assigned
+    at most once per id), and every source row carrying a selected id
+    is emitted with that rank.
 
     Scale: one ``groupBy(by).collect_list`` shuffle — holistic, the
     group must hold ONE QUERY'S candidate set (top-N sized, e.g. the
@@ -3234,40 +3239,64 @@ def mmr_stage(expression: Any, ctx: Context) -> StageFn:
             score.alias("__s"),
             _unit_vector(emb).alias("__e"),
         ).filter(F.col("__i").isNotNull() & F.col("__s").isNotNull()
-                 & F.col("__e").isNotNull())
+                 & ~F.isnan(F.col("__s")) & F.col("__e").isNotNull())
         # candidates sort by id (struct field order), so position-order
         # argmax ties resolve to the smaller id on every engine/run
+        sorted_cands = F.sort_array(F.collect_list(
+            F.struct(F.col("__i").alias("i"), F.col("__s").alias("s"),
+                     F.col("__e").alias("e"))))
+        # duplicated ids collapse to their LAST (= highest (s, e))
+        # sorted entry, so a rank is assigned at most once per id
         grouped = pts.groupBy("__g").agg(
-            F.sort_array(F.collect_list(
-                F.struct(F.col("__i").alias("i"), F.col("__s").alias("s"),
-                         F.col("__e").alias("e")))).alias("__c"))
+            F.filter(
+                sorted_cands,
+                lambda c, i: (i == F.size(sorted_cands) - 1)
+                | (F.element_at(sorted_cands, i + 2).getField("i")
+                   != c.getField("i")),
+            ).alias("__c"))
         cands = F.col("__c")
         neg = F.lit(-1e300)
 
-        def pair_sim(ce: Column, j: Column) -> Column:
-            return _round9_col(
-                _pair_dot(ce, F.element_at(cands, j + 1).getField("e")))
+        # the fold state carries (picks, per-candidate running max-sim to
+        # the picked set) so each step dots every candidate against ONLY
+        # the newly picked vector — O(k·n·dim) total, not O(k²·n·dim).
+        # The running max of per-pair ROUNDED sims equals the max over
+        # all rounded sims, so results are bit-identical to the naive
+        # recompute (and to the unrolled oracle).
+        init = F.struct(
+            F.array().cast("array<int>").alias("picks"),
+            F.transform(cands, lambda c: F.lit(float("-inf"))).alias("ms"),
+        )
 
         def step(acc: Column, _n: Column) -> Column:
+            picks = acc.getField("picks")
+            ms = acc.getField("ms")
             vals = F.transform(
                 cands,
-                lambda cand, i: F.when(F.array_contains(acc, i), neg)
+                lambda cand, i: F.when(F.array_contains(picks, i), neg)
                 .otherwise(_round9_col(
                     F.lit(lam) * cand.getField("s")
-                    - F.lit(1.0 - lam) * F.coalesce(
-                        F.array_max(F.transform(
-                            acc, lambda j: pair_sim(cand.getField("e"), j))),
-                        F.lit(0.0)))),
+                    - F.lit(1.0 - lam) * F.when(
+                        F.size(picks) > 0, F.element_at(ms, i + 1)
+                    ).otherwise(F.lit(0.0)))),
             )
             pick = (F.array_position(vals, F.array_max(vals)) - 1).cast("int")
-            return F.when(F.size(acc) >= F.size(cands), acc).otherwise(
-                F.concat(acc, F.array(pick)))
+            picked_e = F.element_at(cands, pick + 1).getField("e")
+            new_ms = F.zip_with(
+                cands, ms,
+                lambda cand, m: F.greatest(
+                    m, _round9_col(_pair_dot(cand.getField("e"), picked_e))),
+            )
+            done = F.size(picks) >= F.size(cands)
+            return F.struct(
+                F.when(done, picks)
+                .otherwise(F.concat(picks, F.array(pick))).alias("picks"),
+                F.when(done, ms).otherwise(new_ms).alias("ms"),
+            )
 
         sel = F.aggregate(
-            F.sequence(F.lit(1), F.lit(k)),
-            F.array().cast("array<int>"),
-            step,
-        )
+            F.sequence(F.lit(1), F.lit(k)), init, step,
+        ).getField("picks")
         ranked = grouped.select(
             "__g",
             F.explode(F.transform(
@@ -3277,13 +3306,14 @@ def mmr_stage(expression: Any, ctx: Context) -> StageFn:
                     (r + 1).cast("int").alias("r")))).alias("__x"),
         ).select(F.col("__g").alias("__mg"),
                  F.col("__x.i").alias("__mi"),
-                 F.col("__x.r").alias(as_field))
+                 F.col("__x.r").alias("__mr"))
         return (
             df.join(
                 ranked,
                 gexpr.eqNullSafe(F.col("__mg"))
                 & (F.col(id_field) == F.col("__mi")))
-            .drop("__mg", "__mi")
+            .withColumn(as_field, F.col("__mr"))
+            .drop("__mg", "__mi", "__mr")
         )
 
     return fn

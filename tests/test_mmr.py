@@ -119,8 +119,6 @@ def test_rank_eval_known_values(spark):
     out = compile_pipeline(
         [{"$rankEval": {"by": 1, "rank": "$r", "gain": "$gain", "k": 3}}],
         Context(spark=spark))(df).collect()
-    import math
-
     row = out[0]
     dcg = 3 / math.log2(2) + 0 / math.log2(3) + 2 / math.log2(4)
     idcg = 3 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
@@ -144,8 +142,6 @@ def test_rank_eval_no_relevant_and_exp(spark):
     assert q["ndcg"] == 0.0 and q["precision"] == 0.0
     assert q["recall"] is None and q["mrr"] is None
     assert q["n_relevant"] == 0
-    import math
-
     p = rows_["p"]
     # exp gains: 2^1-1=1 at rank1, 2^2-1=3 at rank2; ideal = 3, 1
     dcg = 1 / math.log2(2) + 3 / math.log2(3)
@@ -156,8 +152,6 @@ def test_rank_eval_no_relevant_and_exp(spark):
 
 def test_rank_eval_validation(spark):
     ctx = Context(spark=spark)
-    import pytest
-
     with pytest.raises(ValueError, match="k >= 1"):
         compile_pipeline(
             [{"$rankEval": {"by": 1, "rank": "$r", "gain": "$g",
@@ -166,3 +160,42 @@ def test_rank_eval_validation(spark):
         compile_pipeline(
             [{"$rankEval": {"by": 1, "rank": "$r", "gain": "$g",
                             "dcg": "log"}}], ctx)
+
+
+def test_mmr_as_replaces_existing_column(spark):
+    df = spark.createDataFrame(
+        [(1, 0.9, [1.0, 0.0], "old"), (2, 0.5, [0.0, 1.0], "old")],
+        "id long, s double, e array<double>, tag string")
+    out = compile_pipeline(
+        [{"$mmr": {"score": "$s", "input": "$e", "id": "id",
+                   "k": 2, "as": "tag"}},
+         {"$project": {"id": 1, "tag": 1}}],
+        Context(spark=spark))(df)
+    got = {r["id"]: r["tag"] for r in out.collect()}
+    assert got == {1: 1, 2: 2}  # replaced, not duplicated
+
+
+def test_mmr_duplicate_ids_collapse(spark):
+    # two rows share id 1: selection sees ONE candidate (the higher
+    # score), so ranks are unique per id and id 2 still gets selected
+    df = spark.createDataFrame(
+        [(1, 0.9, [1.0, 0.0]), (1, 0.8, [1.0, 0.0]),
+         (2, 0.7, [0.0, 1.0])],
+        "id long, s double, e array<double>")
+    out = compile_pipeline(
+        [{"$mmr": {"score": "$s", "input": "$e", "id": "id",
+                   "k": 2, "lambda": 1.0}}],
+        Context(spark=spark))(df)
+    got = sorted((r["id"], r["mmr_rank"]) for r in out.collect())
+    # both id-1 source rows carry rank 1; id 2 holds rank 2
+    assert got == [(1, 1), (1, 1), (2, 2)]
+
+
+def test_mmr_nan_score_is_not_a_candidate(spark):
+    df = spark.createDataFrame(
+        [(1, 0.5, [1.0]), (2, float("nan"), [1.0])],
+        "id long, s double, e array<double>")
+    out = compile_pipeline(
+        [{"$mmr": {"score": "$s", "input": "$e", "id": "id", "k": 2}}],
+        Context(spark=spark))(df)
+    assert [r["id"] for r in out.collect()] == [1]
