@@ -2456,6 +2456,40 @@ FROM ({union})"""
 
 
 _register(
+    # r5: Mongo 8.0 $convert format — string<->binData directions
+    # (expressions.py _convert); hex lowered on both sides
+    "convert_bindata",
+    """SELECT doc_id,
+              lower(hex(source::BLOB)) AS hx,
+              base64(source::BLOB) AS b64,
+              decode(from_base64(base64(source::BLOB))) AS rt
+       FROM documents""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$set": {"bin": {"$convert": {
+                "input": "$source", "to": "binData", "format": "utf8"}}}},
+            {"$project": {
+                "_id": 0, "doc_id": 1,
+                "hx": {"$convert": {"input": "$bin", "to": "string",
+                                    "format": "hex"}},
+                "b64": {"$convert": {"input": "$bin", "to": "string",
+                                     "format": "base64"}},
+                "rt": {"$convert": {
+                    "input": {"$convert": {
+                        "input": {"$convert": {
+                            "input": "$bin", "to": "string",
+                            "format": "base64"}},
+                        "to": "binData", "format": "base64"}},
+                    "to": "string", "format": "utf8"}},
+            }},
+        ],
+    )
+)
+
+
+_register(
     # r5: $rankEval — nDCG/precision/recall/MRR@k per query group
     "rank_eval",
     f"""WITH v AS (

@@ -928,8 +928,62 @@ def _type(raw: Any, ctx: ExprContext) -> Column:
 
 @_op("$convert")
 def _convert(raw: Any, ctx: ExprContext) -> Column:
+    """Type conversion; Mongo 8.0's ``format`` option covers the
+    string<->binData directions (base64, base64url, hex, utf8).
+    Deviation: invalid base64/hex input passes through Java's lenient
+    decoders instead of raising as Mongo does (use a $match guard for
+    strict inputs); binData subtypes don't exist in Spark's BINARY type,
+    so a ``to: {type, subtype}`` document ignores the subtype."""
     inp = _c(raw["input"], ctx)
     to = raw["to"]
+    fmt = raw.get("format")
+    if isinstance(to, dict):
+        to = to["type"]
+    if to == "binData":
+        if fmt == "base64":
+            out = F.unbase64(inp)
+        elif fmt == "base64url":
+            b = F.translate(inp, "-_", "+/")
+            pad = F.lit("===").substr(
+                F.lit(1), (F.lit(4) - F.length(b) % 4) % 4)
+            out = F.unbase64(F.concat(b, pad))
+        elif fmt == "hex":
+            out = F.unhex(inp)
+        elif fmt == "utf8":
+            out = F.encode(inp, "utf-8")
+        else:
+            raise ValueError(
+                "$convert to binData needs format "
+                "base64|base64url|hex|utf8")
+        if "onError" in raw:
+            out = F.coalesce(
+                out, F.when(inp.isNotNull(), _c(raw["onError"], ctx)))
+        if "onNull" in raw:
+            out = F.when(inp.isNull(),
+                         _c(raw["onNull"], ctx)).otherwise(out)
+        return out
+    if to == "string" and fmt is not None:
+        if fmt == "base64":
+            out = F.base64(inp)
+        elif fmt == "base64url":
+            out = F.translate(F.base64(inp), "+/", "-_")
+        elif fmt == "hex":
+            # Mongo emits lowercase hex (DuckDB/Spark hex() upper —
+            # lowered on both engine and oracle sides)
+            out = F.lower(F.hex(inp))
+        elif fmt == "utf8":
+            out = F.decode(inp, "utf-8")
+        else:
+            raise ValueError(
+                "$convert to string supports format "
+                "base64|base64url|hex|utf8")
+        if "onError" in raw:
+            out = F.coalesce(
+                out, F.when(inp.isNotNull(), _c(raw["onError"], ctx)))
+        if "onNull" in raw:
+            out = F.when(inp.isNull(),
+                         _c(raw["onNull"], ctx)).otherwise(out)
+        return out
     spark_t = {
         "int": "int",
         "long": "long",

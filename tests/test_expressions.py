@@ -473,3 +473,44 @@ def test_sigmoid(spark):
     want = sorted(1.0 / (1.0 + math.exp(-x)) for x in (0.0, 2.0, -2.0))
     for g, w in zip(got, want):
         assert abs(g - w) < 1e-12
+
+
+def test_convert_bindata_formats(spark):
+    df = spark.createDataFrame([("hello", "aGVsbG8", "68656c6c6f")],
+                               "s string, b64u string, hx string")
+    ectx = ExprContext(schema=df.schema)
+
+    def conv(spec):
+        return df.select(compile_expr({"$convert": spec}, ectx)
+                         .alias("v")).collect()[0]["v"]
+
+    raw = conv({"input": "$s", "to": "binData", "format": "utf8"})
+    assert raw == b"hello"
+    # unpadded base64url round-trips
+    assert conv({"input": "$b64u", "to": "binData",
+                 "format": "base64url"}) == b"hello"
+    assert conv({"input": "$hx", "to": "binData", "format": "hex"}) \
+        == b"hello"
+    # binData -> string renderings
+    b = {"$convert": {"input": "$s", "to": "binData", "format": "utf8"}}
+    assert conv({"input": b, "to": "string", "format": "base64"}) \
+        == "aGVsbG8="
+    assert conv({"input": b, "to": "string", "format": "base64url"}) \
+        == "aGVsbG8="
+    assert conv({"input": b, "to": "string", "format": "hex"}) \
+        == "68656c6c6f"
+    assert conv({"input": b, "to": "string", "format": "utf8"}) == "hello"
+    # {type, subtype} form; subtype ignored
+    assert conv({"input": "$s", "to": {"type": "binData", "subtype": 0},
+                 "format": "utf8"}) == b"hello"
+    # onNull applies
+    df2 = spark.createDataFrame([(None,)], "s string")
+    v = df2.select(compile_expr(
+        {"$convert": {"input": "$s", "to": "binData", "format": "utf8",
+                      "onNull": "X"}},
+        ExprContext(schema=df2.schema)).alias("v")).collect()[0]["v"]
+    assert v == b"X"  # Spark unifies the branch type to binary
+    import pytest
+
+    with pytest.raises(ValueError, match="binData needs format"):
+        compile_expr({"$convert": {"input": "$s", "to": "binData"}}, ectx)
