@@ -930,16 +930,23 @@ def _type(raw: Any, ctx: ExprContext) -> Column:
 def _convert(raw: Any, ctx: ExprContext) -> Column:
     """Type conversion; Mongo 8.0's ``format`` option covers the
     string<->binData directions (base64, base64url, hex, utf8).
-    Deviation: invalid base64/hex input passes through Java's lenient
+    Deviations: invalid base64/hex input passes through Java's lenient
     decoders instead of raising as Mongo does (use a $match guard for
-    strict inputs); binData subtypes don't exist in Spark's BINARY type,
-    so a ``to: {type, subtype}`` document ignores the subtype."""
+    strict inputs); invalid UTF-8 renders U+FFFD replacement chars
+    instead of raising; binData subtypes don't exist in Spark's BINARY
+    type, so a ``to: {type, subtype}`` document ignores the subtype;
+    and binData -> string WITHOUT ``format`` falls through to the plain
+    string cast (lenient UTF-8) because the input's runtime type is not
+    known at compile time — pass ``format: "base64"`` explicitly for
+    Mongo's no-format default."""
     inp = _c(raw["input"], ctx)
     to = raw["to"]
     fmt = raw.get("format")
     if isinstance(to, dict):
         to = to["type"]
     if to == "binData":
+        if fmt is None:
+            fmt = "base64"  # Mongo 8.0's documented default
         if fmt == "base64":
             out = F.unbase64(inp)
         elif fmt == "base64url":
@@ -953,7 +960,7 @@ def _convert(raw: Any, ctx: ExprContext) -> Column:
             out = F.encode(inp, "utf-8")
         else:
             raise ValueError(
-                "$convert to binData needs format "
+                "$convert to binData format must be "
                 "base64|base64url|hex|utf8")
         if "onError" in raw:
             out = F.coalesce(
@@ -972,7 +979,10 @@ def _convert(raw: Any, ctx: ExprContext) -> Column:
             # lowered on both engine and oracle sides)
             out = F.lower(F.hex(inp))
         elif fmt == "utf8":
-            out = F.decode(inp, "utf-8")
+            # try_cast, not F.decode: decode THROWS on malformed UTF-8
+            # under ANSI and onError cannot catch an exception; the cast
+            # renders U+FFFD for invalid bytes (documented deviation)
+            out = inp.try_cast("string")
         else:
             raise ValueError(
                 "$convert to string supports format "

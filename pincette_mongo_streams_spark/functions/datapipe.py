@@ -3210,8 +3210,9 @@ def mmr_stage(expression: Any, ctx: Context) -> StageFn:
     Scale: one ``groupBy(by).collect_list`` shuffle — holistic, the
     group must hold ONE QUERY'S candidate set (top-N sized, e.g. the
     output of $annTopK/$knnJoin/$bm25; thousands, not corpus-scale);
-    selection is a row-local k-step fold (O(k²·n·dim) per group); the
-    rank joins back on (group, id).  No driver collect, no cartesian.
+    selection is a row-local k-step fold carrying a running max-sim per
+    candidate (O(k·n·dim) per group); the rank joins back on
+    (group, id).  No driver collect, no cartesian.
     """
     score_e = expression["score"]
     inp = expression["input"]

@@ -510,7 +510,18 @@ def test_convert_bindata_formats(spark):
                       "onNull": "X"}},
         ExprContext(schema=df2.schema)).alias("v")).collect()[0]["v"]
     assert v == b"X"  # Spark unifies the branch type to binary
-    import pytest
-
-    with pytest.raises(ValueError, match="binData needs format"):
-        compile_expr({"$convert": {"input": "$s", "to": "binData"}}, ectx)
+    # no format on string -> binData defaults to base64 (Mongo 8.0)
+    df3 = spark.createDataFrame([("aGVsbG8=",)], "s string")
+    v3 = df3.select(compile_expr(
+        {"$convert": {"input": "$s", "to": "binData"}},
+        ExprContext(schema=df3.schema)).alias("v")).collect()[0]["v"]
+    assert v3 == b"hello"
+    # malformed UTF-8 renders replacement chars, never aborts the job
+    df4 = spark.createDataFrame([(bytes([0xFF, 0x68]),)], "b binary")
+    v4 = df4.select(compile_expr(
+        {"$convert": {"input": "$b", "to": "string", "format": "utf8"}},
+        ExprContext(schema=df4.schema)).alias("v")).collect()[0]["v"]
+    assert v4.endswith("h") and len(v4) == 2
+    with pytest.raises(ValueError, match="format must be"):
+        compile_expr({"$convert": {"input": "$s", "to": "binData",
+                                   "format": "uuid"}}, ectx)
