@@ -2456,6 +2456,57 @@ FROM ({union})"""
 
 
 _register(
+    # r5: $readability — Flesch / FK grade via the vowel-group syllable
+    # estimator (functions/datapipe.py readability_stage)
+    "readability",
+    rf"""WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''),
+                                        '[ \t\n\r\f\x0B]+'),
+                     x -> x <> '') AS ws,
+         len(regexp_extract_all(coalesce(text, ''), '[.!?]+'))::DOUBLE
+             AS sruns
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    len(ws)::DOUBLE AS nw,
+    CASE WHEN len(ws) > 0 THEN greatest(sruns, 1.0) ELSE 0.0 END AS ns,
+    list_sum(list_transform(ws, x ->
+        CASE WHEN regexp_matches(x, '[A-Za-z]')
+             THEN greatest(len(regexp_extract_all(lower(x),
+                                                  '[aeiouy]+')), 1)
+             ELSE 0 END))::DOUBLE AS syl
+  FROM w
+)
+SELECT doc_id,
+       CAST(ns AS BIGINT) AS n_sentences,
+       CAST(nw AS BIGINT) AS n_words,
+       CAST(coalesce(syl, 0) AS BIGINT) AS n_syllables,
+       {_r("206.835 - 1.015 * (nw / ns) - 84.6 * (syl / nw)", 6)}
+           AS flesch,
+       {_r("0.39 * (nw / ns) + 11.8 * (syl / nw) - 15.59", 6)}
+           AS fk_grade
+FROM s""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$readability": {"input": "$text"}},
+            {"$project": {
+                "_id": 0, "doc_id": 1,
+                "n_sentences": "$readability.n_sentences",
+                "n_words": "$readability.n_words",
+                "n_syllables": "$readability.n_syllables",
+                "flesch": "$readability.flesch",
+                "fk_grade": "$readability.fk_grade",
+            }},
+        ],
+    )
+)
+
+
+_register(
     # r5: Mongo 8.0 $convert format — string<->binData directions
     # (expressions.py _convert); hex lowered on both sides
     "convert_bindata",

@@ -3658,6 +3658,64 @@ def html_strip_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$readability")
+def readability_stage(expression: Any, ctx: Context) -> StageFn:
+    """Flesch readability metrics (Flesch 1948 / Kincaid et al. 1975):
+    ``{input, as?}`` adds a struct:
+
+    - ``n_sentences`` — terminal-punctuation runs (``. ! ?``; at least
+      1 for non-empty text, so ratios stay defined)
+    - ``n_words`` — whitespace words (the $gopherRules separator class)
+    - ``n_syllables`` — vowel-group approximation: ``[aeiouy]+`` runs
+      per lowercased word, min 1 per word carrying a letter (the
+      standard dictionary-free estimator; no silent-e handling — a
+      documented approximation, consistent on both engines)
+    - ``flesch`` — 206.835 − 1.015·(words/sentences)
+      − 84.6·(syllables/words)
+    - ``fk_grade`` — 0.39·(words/sentences) + 11.8·(syllables/words)
+      − 15.59
+
+    Scores round half-up at 6 digits; empty/null text measures zeros
+    and null scores.  Row-local column program — no shuffle, no Python.
+    """
+    inp = expression["input"]
+    as_field = expression.get("as", "readability")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        t = F.coalesce(text.cast("string"), F.lit(""))
+        words = F.filter(F.split(t, _WS + "+"), lambda w: w != F.lit(""))
+        n_words = F.size(words).cast("double")
+        sent_runs = F.regexp_count(t, F.lit("[.!?]+")).cast("double")
+        n_sent = F.when(n_words > 0, F.greatest(sent_runs, F.lit(1.0))
+                        ).otherwise(F.lit(0.0))
+        syl = F.aggregate(
+            F.transform(
+                words,
+                lambda w: F.when(
+                    w.rlike("[A-Za-z]"),
+                    F.greatest(
+                        F.regexp_count(F.lower(w), F.lit("[aeiouy]+")),
+                        F.lit(1)),
+                ).otherwise(F.lit(0))),
+            F.lit(0), lambda acc, v: acc + v).cast("double")
+        wps = F.try_divide(n_words, n_sent)
+        spw = F.try_divide(syl, n_words)
+        flesch = (F.lit(206.835) - F.lit(1.015) * wps
+                  - F.lit(84.6) * spw)
+        fk = (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59))
+        struct = F.struct(
+            n_sent.cast("long").alias("n_sentences"),
+            n_words.cast("long").alias("n_words"),
+            syl.cast("long").alias("n_syllables"),
+            _half_up6(flesch).alias("flesch"),
+            _half_up6(fk).alias("fk_grade"),
+        )
+        return df.withColumn(as_field, struct)
+
+    return fn
+
+
 @register_stage("$entropyScore")
 def entropy_score_stage(expression: Any, ctx: Context) -> StageFn:
     """Shannon entropy of the document's unigram distribution —

@@ -602,3 +602,42 @@ def test_dsir_score_matches_python_reference(spark):
         want = ref_score(src_f[r["doc_id"]])
         assert abs(r["dsir_score"] - want) < 2e-6, (
             r["doc_id"], r["dsir_score"], want)
+
+
+# ------------------------------------------------------------ $readability
+
+
+def test_readability_known_text(spark):
+    g = _one(spark, {"$readability": {"input": "$text", "as": "r"}},
+             "The cat sat. The dog ran away!", "r")
+    assert g.n_sentences == 2 and g.n_words == 7
+    # syllables: the(1) cat(1) sat(1) the(1) dog(1) ran(1) away(2) = 8
+    assert g.n_syllables == 8
+    import math
+
+    wps, spw = 7 / 2, 8 / 7
+    assert g.flesch == math.floor(
+        (206.835 - 1.015 * wps - 84.6 * spw) * 1e6 + 0.5) / 1e6
+    assert g.fk_grade == math.floor(
+        (0.39 * wps + 11.8 * spw - 15.59) * 1e6 + 0.5) / 1e6
+
+
+def test_readability_no_terminal_punctuation_counts_one_sentence(spark):
+    g = _one(spark, {"$readability": {"input": "$text", "as": "r"}},
+             "words without any stops", "r")
+    assert g.n_sentences == 1 and g.n_words == 4
+
+
+def test_readability_empty_and_null(spark):
+    for t in ("", None):
+        g = _one(spark, {"$readability": {"input": "$text", "as": "r"}},
+                 t, "r")
+        assert g.n_sentences == 0 and g.n_words == 0
+        assert g.n_syllables == 0
+        assert g.flesch is None and g.fk_grade is None
+
+
+def test_readability_numeric_tokens_have_no_syllables(spark):
+    g = _one(spark, {"$readability": {"input": "$text", "as": "r"}},
+             "a 12345 b.", "r")
+    assert g.n_words == 3 and g.n_syllables == 2
