@@ -4696,6 +4696,65 @@ ORDER BY d.doc_id""",
 
 
 _register(
+    # r5: $spanDedup token mode — the Lee et al. 2021 exact-substring
+    # analog: duplicated 5-token windows removed corpus-wide (window
+    # granularity; min-(id, pos) occurrence survives)
+    "span_dedup_tokens",
+    r"""WITH s AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+occ AS (
+  SELECT doc_id, i AS pos,
+         lower(array_to_string(toks[i:i+4], ' ')) AS k
+  FROM s, unnest(range(1, len(toks) - 3)) AS t(i)
+  WHERE len(toks) >= 5),
+marked AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY k) AS n,
+         row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+  FROM occ),
+rem AS (
+  SELECT DISTINCT doc_id, pos + d AS idx
+  FROM marked, unnest(range(0, 5)) AS t(d)
+  WHERE n > 1 AND rn > 1),
+tok_rows AS (
+  SELECT doc_id, i AS idx, toks[i] AS tok
+  FROM s, unnest(range(1, len(toks) + 1)) AS t(i)),
+kept AS (
+  SELECT tr.doc_id, string_agg(tr.tok, ' ' ORDER BY tr.idx) AS clean
+  FROM tok_rows tr
+  LEFT JOIN rem ON tr.doc_id = rem.doc_id AND tr.idx = rem.idx
+  WHERE rem.idx IS NULL
+  GROUP BY tr.doc_id),
+remc AS (SELECT doc_id, count(*) AS nrem FROM rem GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(k.clean, '') AS text,
+       CAST(coalesce(len(s.toks), 0) AS INT) AS n_tokens,
+       CAST(coalesce(remc.nrem, 0) AS INT) AS n_removed
+FROM documents d
+LEFT JOIN s USING (doc_id)
+LEFT JOIN kept k USING (doc_id)
+LEFT JOIN remc USING (doc_id)
+ORDER BY d.doc_id""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$spanDedup": {"input": "$text", "id": "$doc_id",
+                            "as": "sd", "unit": "tokens", "span": 5}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "text": "$sd.text",
+                          "n_tokens": "$sd.n_sentences",
+                          "n_removed": "$sd.n_removed"}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
+_register(
     # r5: winnowing fingerprints (MOSS) — k=5 char grams, window 4
     "winnow",
     """WITH n AS (

@@ -2533,17 +2533,25 @@ def sentence_split_stage(expression: Any, ctx: Context) -> StageFn:
 def span_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     """C4's corpus-wide sentence-span dedup (Raffel et al. 2020 §2.2:
     "we removed any three-sentence span occurring more than once"):
-    ``{input, id, as?, span?, minChars?}`` — sentences split with the
-    $sentenceSplit rule, every window of ``span`` (default 3)
+    ``{input, id, as?, span?, minChars?, unit?}`` — sentences split
+    with the $sentenceSplit rule, every window of ``span`` (default 3)
     consecutive sentences is matched CORPUS-WIDE (case-insensitive);
     for each duplicated span, the occurrence with the minimum
     (id, position) survives and every other occurrence's sentences are
     removed from their documents.  ``id`` must be unique per row.
 
+    ``unit: "tokens"`` switches the segmentation to whitespace tokens —
+    the Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better") exact-substring-dedup analog, where duplicated
+    ``span``-token windows (their paper uses 50; the default becomes 50
+    in this mode) are removed wherever they recur.  The removal is
+    window-granular (whole windows drop), a scalable approximation of
+    the paper's suffix-array character spans.
+
     Adds a struct ``as`` (default "span_dedup"): ``text`` (surviving
-    sentences joined with single spaces — the rewrite is lossy about
-    original punctuation/whitespace, as C4's was), ``n_sentences``,
-    ``n_removed``.
+    segments joined with single spaces — the rewrite is lossy about
+    original punctuation/whitespace, as C4's was), ``n_sentences`` (the
+    SEGMENT count — tokens in token mode), ``n_removed``.
 
     100 TB shape: spans explode to slim (id, pos, xxhash64) rows —
     O(corpus sentences); ownership is one groupBy(span-hash) with
@@ -2553,7 +2561,10 @@ def span_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     inp = expression["input"]
     id_expr = expression["id"]
     as_field = expression.get("as", "span_dedup")
-    span = int(expression.get("span", 3))
+    unit = expression.get("unit", "sentences")
+    if unit not in ("sentences", "tokens"):
+        raise ValueError("$spanDedup unit must be 'sentences' or 'tokens'")
+    span = int(expression.get("span", 50 if unit == "tokens" else 3))
     min_chars = int(expression.get("minChars", 1))
     if span < 1:
         raise ValueError("$spanDedup span must be >= 1")
@@ -2566,17 +2577,20 @@ def span_dedup_stage(expression: Any, ctx: Context) -> StageFn:
         # shape is unsupported on streams anyway)
         _batch_only("$spanDedup", c)
         ectx = ExprContext(schema=df.schema)
+        if unit == "tokens":
+            seg = F.filter(
+                F.split(F.col("__sd_t"), _WS + "+"),
+                lambda s: (s != F.lit("")) & (F.length(s) >= min_chars))
+        else:
+            seg = F.expr(
+                "filter(transform(split(`__sd_t`, "
+                r"'[.!?]+\\s+|[.!?]+$'), s -> trim(s)), "
+                f"s -> length(s) >= {min_chars})"
+            )
         base = (
             df.withColumn("__sd_id", compile_expr(id_expr, ectx))
             .withColumn("__sd_t", compile_expr(inp, ectx))
-            .withColumn(
-                "__sd_s",
-                F.expr(
-                    "filter(transform(split(`__sd_t`, "
-                    r"'[.!?]+\\s+|[.!?]+$'), s -> trim(s)), "
-                    f"s -> length(s) >= {min_chars})"
-                ),
-            )
+            .withColumn("__sd_s", seg)
         )
         # slim span occurrences: (id, pos, hash of the lowercased span)
         occ = base.select(

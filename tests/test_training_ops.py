@@ -636,3 +636,38 @@ def test_edit_distance_join_randomized_exactness(spark):
         got = sorted((r.left_id, r.right_id, r.distance)
                      for r in out.collect())
         assert got == truth, f"k={k} q={q}"
+
+
+def test_span_dedup_token_mode(spark):
+    """unit: 'tokens' (Lee et al. 2021 exact-substring analog): a
+    duplicated 3-token window is removed from every occurrence except
+    the min-(id, pos) one; unique text survives untouched."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="the common span here plus own words"),
+         Row(doc_id=2, text="prefix the common span here suffix"),
+         Row(doc_id=3, text="wholly unique text with no overlap")],
+        "doc_id long, text string")
+    out = compile_pipeline(
+        [{"$spanDedup": {"input": "$text", "id": "$doc_id", "as": "sd",
+                         "unit": "tokens", "span": 4}}],
+        Context(spark=spark))(df)
+    rows = {r["doc_id"]: r["sd"] for r in out.collect()}
+    # doc 1 owns "the common span here" (pos 1) and keeps everything
+    assert rows[1].text == "the common span here plus own words"
+    assert rows[1].n_removed == 0
+    # doc 2 loses exactly that 4-token window
+    assert rows[2].text == "prefix suffix"
+    assert rows[2].n_removed == 4
+    assert rows[2].n_sentences == 6  # segment count = tokens here
+    assert rows[3].text == "wholly unique text with no overlap"
+
+
+def test_span_dedup_unit_validation(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="unit"):
+        compile_pipeline(
+            [{"$spanDedup": {"input": "$t", "id": "$i", "unit": "chars"}}],
+            Context(spark=spark))
