@@ -854,13 +854,16 @@ def test_curation_family_streams(spark, tmpdir):
             {"$htmlStrip": {"input": "$text", "as": "html"}},
             {"$gopherRules": {"input": "$text", "as": "g",
                               "minWords": 5, "minStopWords": 1}},
+            {"$readability": {"input": "$text", "as": "rd"}},
             {"$tokenCount": {"input": "$text", "as": "n_tok",
                              "mode": "whitespace"}},
             {"$project": {"doc_id": 1, "ent": 1, "n_tok": 1,
                           "emails": "$pii.email",
                           "n_tags": "$html.n_tags",
                           "g_pass": "$g.pass",
-                          "g_words": "$g.n_words"}},
+                          "g_words": "$g.n_words",
+                          "rd_words": "$rd.n_words",
+                          "rd_flesch": "$rd.flesch"}},
         ],
     )
     rows = {r["doc_id"]: r for e in out for r in e}
@@ -870,6 +873,7 @@ def test_curation_family_streams(spark, tmpdir):
     assert rows[1]["n_tok"] == 9
     assert rows[1]["g_pass"] is True and rows[1]["g_words"] == 9
     assert rows[2]["g_pass"] is False  # no stop words in "aaaa ..."
+    assert rows[1]["rd_words"] == 9 and rows[1]["rd_flesch"] is not None
 
 
 def test_sql_stage_streams(spark, tmpdir):
