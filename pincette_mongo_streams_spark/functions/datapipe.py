@@ -2564,6 +2564,13 @@ def span_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     unit = expression.get("unit", "sentences")
     if unit not in ("sentences", "tokens"):
         raise ValueError("$spanDedup unit must be 'sentences' or 'tokens'")
+    if unit == "tokens" and "minChars" in expression:
+        # segmentation feeds BOTH window matching and the rewrite, so a
+        # token-length floor would silently delete short tokens from
+        # every document's text even when nothing is duplicated
+        raise ValueError(
+            "$spanDedup minChars is a sentence-mode option; token mode "
+            "keeps every non-empty token")
     span = int(expression.get("span", 50 if unit == "tokens" else 3))
     min_chars = int(expression.get("minChars", 1))
     if span < 1:

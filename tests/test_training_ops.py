@@ -671,3 +671,13 @@ def test_span_dedup_unit_validation(spark):
         compile_pipeline(
             [{"$spanDedup": {"input": "$t", "id": "$i", "unit": "chars"}}],
             Context(spark=spark))
+
+
+def test_span_dedup_token_mode_rejects_min_chars(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="minChars"):
+        compile_pipeline(
+            [{"$spanDedup": {"input": "$t", "id": "$i", "unit": "tokens",
+                             "minChars": 2}}],
+            Context(spark=spark))
