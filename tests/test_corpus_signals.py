@@ -641,3 +641,51 @@ def test_readability_numeric_tokens_have_no_syllables(spark):
     g = _one(spark, {"$readability": {"input": "$text", "as": "r"}},
              "a 12345 b.", "r")
     assert g.n_words == 3 and g.n_syllables == 2
+
+
+def test_readability_matches_python_reference(spark):
+    """Seeded random word soup: every $readability signal equals a
+    literal Python re-implementation of the documented estimator."""
+    import random
+    import re
+
+    rng = random.Random(521)
+    pieces = ["the", "reading", "ease", "Dr.", "hmm!", "12", "a?",
+              "strengths", "IOU", "x...", "", "\tz", "co-op"]
+    docs = [" ".join(rng.choice(pieces)
+                     for _ in range(rng.randint(0, 15)))
+            for _ in range(200)]
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def ref(text):
+        ws = [w for w in re.split("[ \t\n\r\f\x0b]+", text) if w]
+        nw = len(ws)
+        sruns = len(re.findall(r"[.!?]+", text))
+        ns = max(sruns, 1) if nw else 0
+
+        def syl(w):
+            if not re.search("[A-Za-z]", w):
+                return 0
+            return max(len(re.findall("[aeiouy]+", w.lower())), 1)
+
+        s = sum(syl(w) for w in ws)
+        if nw and ns:
+            wps, spw = nw / ns, s / nw
+            fl = r6(206.835 - 1.015 * wps - 84.6 * spw)
+            fk = r6(0.39 * wps + 11.8 * spw - 15.59)
+        else:
+            fl = fk = None
+        return ns, nw, s, fl, fk
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string")
+    out = compile_pipeline(
+        [{"$readability": {"input": "$text", "as": "r"}}],
+        Context(spark=spark))(df)
+    for r in out.sort("doc_id").collect():
+        ns, nw, s, fl, fk = ref(docs[r.doc_id])
+        got = (r.r.n_sentences, r.r.n_words, r.r.n_syllables,
+               r.r.flesch, r.r.fk_grade)
+        assert got == (ns, nw, s, fl, fk), (repr(docs[r.doc_id]), got)

@@ -514,3 +514,25 @@ def test_mmr_sf01(spark):
     assert secs < 45, f"mmr took {secs:.1f}s at sf0.1"
     per_group = out.groupBy("g").count().collect()
     assert all(r["count"] == 10 for r in per_group)
+
+
+def test_span_dedup_tokens_sf01(spark):
+    """$spanDedup unit:'tokens' at sf0.1: the occurrence explode is
+    corpus-token-sized (5k docs x ~50 tokens), ownership is one
+    partial-aggregated groupBy on the window hash, removals join back
+    once — never pairwise, no Python."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = compile_pipeline(
+        [{"$spanDedup": {"input": "$text", "id": "$doc_id", "as": "sd",
+                         "unit": "tokens", "span": 5}}],
+        Context(spark=spark),
+    )(docs)
+    _assert_scale_plan(out, "span_dedup_tokens")
+    n, secs = _timed(out)
+    assert n == docs.count()  # rewrite annotates, never drops rows
+    assert secs < 45, f"span_dedup_tokens took {secs:.1f}s at sf0.1"
+    # the synthetic corpus DOES contain duplicated 5-token windows
+    from pyspark.sql import functions as F
+
+    touched = out.filter(F.col("sd.n_removed") > 0).count()
+    assert touched > 0
