@@ -2558,16 +2558,26 @@ a AS (SELECT g,
         min(CASE WHEN gain > 0 THEN r END) AS fr
       FROM v GROUP BY g),
 b AS (SELECT g, sum(gain / log2(ir + 1)) AS idcg
-      FROM i WHERE ir <= 10 GROUP BY g)
+      FROM i WHERE ir <= 10 GROUP BY g),
+c AS (SELECT g, r, CASE WHEN gain > 0 THEN 1.0 ELSE 0.0 END AS rv,
+             sum(CASE WHEN gain > 0 THEN 1.0 ELSE 0.0 END)
+                 OVER (PARTITION BY g ORDER BY r) AS cum
+      FROM v),
+ap AS (SELECT g, sum(CASE WHEN rv > 0 AND r <= 10 THEN cum / r END)
+           AS aps
+       FROM c GROUP BY g)
 SELECT a.g AS _id,
        {_r("CASE WHEN b.idcg > 0 THEN a.dcg / b.idcg ELSE 0.0 END", 6)}
            AS ndcg,
        {_r("a.hits / 10.0", 6)} AS precision,
        CASE WHEN a.nrel > 0 THEN {_r("a.hits * 1.0 / a.nrel", 6)} END
            AS recall,
+       CASE WHEN a.nrel > 0 THEN
+            {_r("coalesce(ap.aps, 0) / least(10.0, a.nrel)", 6)} END
+           AS ap,
        {_r("1.0 / a.fr", 6)} AS mrr,
        CAST(a.nrel AS BIGINT) AS n_relevant
-FROM a JOIN b USING (g)""",
+FROM a JOIN b USING (g) JOIN ap USING (g)""",
 )(
     _pipe(
         "embeddings",
@@ -2580,8 +2590,8 @@ FROM a JOIN b USING (g)""",
             {"$rankEval": {"by": "$g", "rank": "$r", "gain": "$gain",
                            "k": 10}},
             {"$project": {"_id": {"$toLong": "$_id"}, "ndcg": 1,
-                          "precision": 1, "recall": 1, "mrr": 1,
-                          "n_relevant": 1}},
+                          "precision": 1, "recall": 1, "ap": 1,
+                          "mrr": 1, "n_relevant": 1}},
         ],
     )
 )

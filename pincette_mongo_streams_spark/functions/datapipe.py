@@ -3352,6 +3352,9 @@ def rank_eval_stage(expression: Any, ctx: Context) -> StageFn:
       gain/log2(rank+1)) or ``"exp"`` ((2^gain − 1)/log2(rank+1))
     - ``precision`` / ``recall`` — relevant (gain > 0) in the top k
       over k / over all relevant (recall null when nothing is relevant)
+    - ``ap`` — average precision@k: Σ over relevant ranks r ≤ k of
+      precision@r, normalized by min(k, total relevant) — the per-query
+      term of MAP (null when nothing is relevant)
     - ``mrr`` — 1 / first relevant rank (null when nothing is relevant)
     - ``n_relevant`` — total relevant items in the group
 
@@ -3395,6 +3398,22 @@ def rank_eval_stage(expression: Any, ctx: Context) -> StageFn:
         hits = F.sum(F.when(rel & (rank <= k), 1).otherwise(0))
         n_rel = F.sum(F.when(rel, 1).otherwise(0))
         first_rel = F.min(F.when(rel, rank))
+        # average precision: fold the rank-sorted (rank, rel) pairs,
+        # accumulating precision@r at each relevant r <= k
+        pairs = F.sort_array(F.collect_list(F.struct(
+            rank.alias("r"),
+            F.when(rel, 1.0).otherwise(0.0).alias("v"))))
+        ap_sum = F.aggregate(
+            pairs,
+            F.struct(F.lit(0.0).alias("cnt"), F.lit(0.0).alias("ap")),
+            lambda acc, p: F.struct(
+                (acc.getField("cnt") + p.getField("v")).alias("cnt"),
+                (acc.getField("ap") + F.when(
+                    (p.getField("v") > 0) & (p.getField("r") <= k),
+                    (acc.getField("cnt") + p.getField("v"))
+                    / p.getField("r")).otherwise(F.lit(0.0))).alias("ap"),
+            ),
+            lambda acc: acc.getField("ap"))
         out = df.groupBy(g.alias("_id")).agg(
             _half_up6(F.when(idcg > 0, dcg / idcg)
                       .otherwise(F.lit(0.0))).alias("ndcg"),
@@ -3402,6 +3421,10 @@ def rank_eval_stage(expression: Any, ctx: Context) -> StageFn:
                       ).alias("precision"),
             _half_up6(F.when(n_rel > 0, hits.cast("double") / n_rel)
                       ).alias("recall"),
+            _half_up6(F.when(
+                n_rel > 0,
+                ap_sum / F.least(F.lit(float(k)), n_rel.cast("double")))
+            ).alias("ap"),
             _half_up6(F.lit(1.0) / first_rel).alias("mrr"),
             n_rel.cast("long").alias("n_relevant"),
         )

@@ -127,6 +127,8 @@ def test_rank_eval_known_values(spark):
     assert row["recall"] == math.floor(2 / 3 * 1e6 + 0.5) / 1e6
     assert row["mrr"] == 1.0  # first relevant at rank 1
     assert row["n_relevant"] == 3
+    # AP@3: relevant at ranks 1 and 3 within k -> (1/1 + 2/3)/min(3,3)
+    assert row["ap"] == math.floor((1.0 + 2 / 3) / 3 * 1e6 + 0.5) / 1e6
 
 
 def test_rank_eval_no_relevant_and_exp(spark):
@@ -140,7 +142,7 @@ def test_rank_eval_no_relevant_and_exp(spark):
     rows_ = {r["_id"]: r for r in out.collect()}
     q = rows_["q"]
     assert q["ndcg"] == 0.0 and q["precision"] == 0.0
-    assert q["recall"] is None and q["mrr"] is None
+    assert q["recall"] is None and q["mrr"] is None and q["ap"] is None
     assert q["n_relevant"] == 0
     p = rows_["p"]
     # exp gains: 2^1-1=1 at rank1, 2^2-1=3 at rank2; ideal = 3, 1
@@ -148,6 +150,7 @@ def test_rank_eval_no_relevant_and_exp(spark):
     idcg = 3 / math.log2(2) + 1 / math.log2(3)
     assert p["ndcg"] == math.floor(dcg / idcg * 1e6 + 0.5) / 1e6
     assert p["mrr"] == 1.0
+    assert p["ap"] == 1.0  # both ranks relevant: (1/1 + 2/2)/2
 
 
 def test_rank_eval_validation(spark):
