@@ -2553,6 +2553,14 @@ def span_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     original punctuation/whitespace, as C4's was), ``n_sentences`` (the
     SEGMENT count — tokens in token mode), ``n_removed``.
 
+    Duplicate spans are identified by xxhash64 of the lowercased span.
+    A 64-bit hash collides (birthday bound) with ~50% probability once
+    the corpus holds ~5e9 DISTINCT spans — at that scale a collision
+    deletes an unrelated span with no verification.  ``verify: true``
+    closes that: the ownership groupBy keys on the span STRING itself
+    (hash only pre-buckets), so only true duplicates are removed, at
+    the cost of shuffling span text instead of 8-byte hashes.
+
     100 TB shape: spans explode to slim (id, pos, xxhash64) rows —
     O(corpus sentences); ownership is one groupBy(span-hash) with
     partial aggregation (boilerplate spans collapse map-side); removals
@@ -2561,6 +2569,7 @@ def span_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     inp = expression["input"]
     id_expr = expression["id"]
     as_field = expression.get("as", "span_dedup")
+    verify = bool(expression.get("verify", False))
     unit = expression.get("unit", "sentences")
     if unit not in ("sentences", "tokens"):
         raise ValueError("$spanDedup unit must be 'sentences' or 'tokens'")
@@ -2599,7 +2608,11 @@ def span_dedup_stage(expression: Any, ctx: Context) -> StageFn:
             .withColumn("__sd_t", compile_expr(inp, ectx))
             .withColumn("__sd_s", seg)
         )
-        # slim span occurrences: (id, pos, hash of the lowercased span)
+        # slim span occurrences: (id, pos, hash of the lowercased span);
+        # verify mode also carries the span string so ownership keys on
+        # true equality (a hash collision can't delete an unrelated span)
+        span_s = (f"lower(concat_ws(' ', slice(__sd_s, i, {span})))"
+                  if verify else "''")
         occ = base.select(
             F.col("__sd_id").alias("__id"),
             F.explode(
@@ -2609,20 +2622,23 @@ def span_dedup_stage(expression: Any, ctx: Context) -> StageFn:
                          i -> named_struct(
                             'pos', i,
                             'h', xxhash64(lower(
-                                concat_ws(' ', slice(__sd_s, i, {span})))))),
+                                concat_ws(' ', slice(__sd_s, i, {span})))),
+                            's', {span_s})),
                        array())"""
                 )
             ).alias("__sp"),
         ).select("__id", F.col("__sp.pos").alias("__pos"),
-                 F.col("__sp.h").alias("__h"))
-        owners = occ.groupBy("__h").agg(
+                 F.col("__sp.h").alias("__h"),
+                 *([F.col("__sp.s").alias("__s")] if verify else []))
+        key = ["__h", "__s"] if verify else ["__h"]
+        owners = occ.groupBy(*key).agg(
             F.count(F.lit(1)).alias("__n"),
             F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__own"),
         )
         # non-canonical occurrences of duplicated spans -> removed
         # sentence indices per doc
         removed = (
-            occ.join(owners, "__h")
+            occ.join(owners, key)
             .filter(
                 (F.col("__n") > 1)
                 & ~F.struct(F.col("__id"), F.col("__pos"))

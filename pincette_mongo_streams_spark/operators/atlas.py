@@ -308,7 +308,10 @@ def _qs_pred(node: dict, df: DataFrame) -> Column:
             raise ValueError(
                 "$search queryString: range needs at least one bound")
         numeric = all(is_num(v) for v in closed)
-        cmp_col = col if numeric else col.cast("string")
+        # try_cast: a string-typed field holding non-numeric values must
+        # simply not match a numeric range (null compares null -> row
+        # dropped), not throw under ANSI mode's strict string->double cast
+        cmp_col = col.try_cast("double") if numeric else col.cast("string")
         mk = ((lambda v: F.lit(float(v))) if numeric
               else (lambda v: F.lit(v)))
         pred = col.isNotNull()
@@ -693,11 +696,11 @@ def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int],
             num = col.cast("double")
             o = F.lit(float(origin))
         elif isinstance(origin, str):
-            # ISO date/timestamp origin; distance in SECONDS (pivot is
-            # therefore seconds too — Atlas uses milliseconds; callers
-            # scale, documented)
-            num = col.cast("timestamp").cast("double")
-            o = F.to_timestamp(F.lit(origin)).cast("double")
+            # ISO date/timestamp origin; distance in MILLISECONDS, the
+            # unit Atlas documents for date near pivots — a pivot
+            # written for Atlas ports unchanged
+            num = col.cast("timestamp").cast("double") * F.lit(1000.0)
+            o = F.to_timestamp(F.lit(origin)).cast("double") * F.lit(1000.0)
         else:
             raise NotImplementedError(
                 "$search near origins: number, ISO date, [lon, lat] or "
@@ -1099,7 +1102,9 @@ def search_stage(expression: Any, ctx: Context) -> StageFn:
     wildcards, ranges), ``embeddedDocument`` (single-array-element
     nested matching via row-local exists), ``moreLikeThis`` (like-doc
     vocabulary as per-field BM25 should-clauses), ``in``, ``near``
-    (numeric/ISO-date/geo-point pivot decay), ``geoWithin``
+    (numeric/ISO-date/geo-point pivot decay; date distances and
+    pivots are in MILLISECONDS and geo in METRES, Atlas's documented
+    units — numeric origins use the field's own scale), ``geoWithin``
     (box/circle/GeoJSON Polygon/MultiPolygon over ``[lon, lat]`` or
     GeoJSON point columns), ``geoShape``
     (within/intersects/disjoint/contains over point fields), and

@@ -181,9 +181,8 @@ def rank_fusion_stage(expression: Any, ctx: Context) -> StageFn:
             start=F.lit(0.0),
         )
         out = fused.select(F.col(id_field), score.alias("score"))
-        out = _check_fusion_truncation(
-            "$rankFusion", out, limit, "limit" in expression)
-        ordered = out.orderBy(F.col("score").desc(), F.col(id_field)).limit(limit)
+        ordered = _fusion_top(
+            "$rankFusion", out, id_field, limit, "limit" in expression)
         from pyspark.sql import Window
 
         w_ = Window.orderBy(F.col("score").desc(), F.col(id_field))
@@ -192,19 +191,27 @@ def rank_fusion_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
-def _check_fusion_truncation(
-    stage: str, fused: DataFrame, limit: int, explicit: bool
+def _fusion_top(
+    stage: str, fused: DataFrame, id_field: str, limit: int, explicit: bool
 ) -> DataFrame:
-    """When the user did NOT pass a ``limit``, the implicit default 1000
-    silently truncates larger fused sets — make that detectable: probe
-    ``limit + 1`` rows (a BOUNDED job, never a full materialization —
-    nothing enforces that sub-pipelines are actually bounded) and warn
-    when a row past the limit exists.  An explicit ``limit`` is
+    """Order the fused (id, score) set and bound it to ``limit`` rows.
+
+    When the user did NOT pass a ``limit``, the implicit default 1000
+    silently truncates larger fused sets — make that detectable WITHOUT
+    re-executing the fused sub-pipelines: take ``limit + 1`` rows ONCE
+    (TakeOrderedAndProject — a bounded job even over unbounded-looking
+    sub-pipelines), persist that <= limit+1-row result, count it from
+    the cache to decide the warning, and serve the final ``limit`` rows
+    from the same cached plan.  The old shape probed with an eager
+    ``limit(limit+1).count()`` BEFORE the real query, running every
+    sub-pipeline's scans and joins twice.  An explicit ``limit`` is
     user-requested truncation and stays fully lazy."""
+    order = [F.col("score").desc(), F.col(id_field)]
+    ordered = fused.orderBy(*order)
     if explicit:
-        return fused
-    over = fused.limit(limit + 1).count() > limit
-    if over:
+        return ordered.limit(limit)
+    top = ordered.limit(limit + 1).persist()
+    if top.count() > limit:
         import warnings
 
         warnings.warn(
@@ -212,9 +219,9 @@ def _check_fusion_truncation(
             f"{limit} and is being truncated — pass an explicit 'limit' "
             "to choose the bound (or silence this warning)",
             RuntimeWarning,
-            stacklevel=2,
+            stacklevel=3,
         )
-    return fused
+    return top.orderBy(*order).limit(limit)
 
 
 @register_stage("$scoreFusion")
@@ -277,9 +284,8 @@ def score_fusion_stage(expression: Any, ctx: Context) -> StageFn:
         )
         den = sum((F.lit(float(weights.get(n, 1))) for n in names), start=F.lit(0.0))
         out = fused.select(F.col(id_field), (num / den).alias("score"))
-        out = _check_fusion_truncation(
-            "$scoreFusion", out, limit, "limit" in expression)
-        ordered = out.orderBy(F.col("score").desc(), F.col(id_field)).limit(limit)
+        ordered = _fusion_top(
+            "$scoreFusion", out, id_field, limit, "limit" in expression)
         from pyspark.sql import Window
 
         w_ = Window.orderBy(F.col("score").desc(), F.col(id_field))

@@ -224,13 +224,24 @@ def _jslt_udf(df: DataFrame, script: str, functions=None,
     return _script_udf(df, run_one)
 
 
+def _jq_has_imports(script: str) -> bool:
+    """True when the first non-comment token opens a module directive.
+    Skips jq ``#`` comment lines and whitespace (the old
+    ``lstrip().startswith`` prefix test missed a comment before the
+    import and false-positived on identifiers like ``include_all``)."""
+    import re as _re
+
+    return bool(_re.match(
+        r"(?:\s+|#[^\n]*(?:\n|\Z))*(?:import|include)\b", script))
+
+
 def _jq_udf(df: DataFrame, script: str, functions=None,
             resolver=None) -> DataFrame:
     """Tier 2 for $jq scripts beyond the native compiler: the C-backed
     python ``jq`` binding when installed, else the pure-Python interpreter
     (operators/jq_interp.py) — slower (Python per row) but correct for
     the long tail (Jq.java:19-33 runs arbitrary jackson-jq)."""
-    has_imports = script.lstrip().startswith(("import", "include"))
+    has_imports = _jq_has_imports(script)
     try:
         if functions or has_imports:
             # custom Python functions and resolver-served modules only
@@ -241,7 +252,10 @@ def _jq_udf(df: DataFrame, script: str, functions=None,
 
         compiled = jq.compile(script)
         run_one = lambda doc: compiled.input(doc).first()
-    except ImportError:
+    except Exception:
+        # broad on purpose: a jq.compile error (e.g. a directive the C
+        # binding can't resolve without our resolver seam) falls through
+        # to the interpreter instead of crashing the stage
         from . import jq_interp
         from .jq_interp import JqInterpError, jq_first
 

@@ -589,6 +589,36 @@ def test_search_in_and_near(spark):
             Context(spark=spark))(df2)
 
 
+def test_search_near_date_pivot_milliseconds(spark):
+    """r6 advisor fix: a date-origin near measures distance in
+    MILLISECONDS (Atlas's documented unit), so an Atlas pivot ports
+    unchanged — a doc 1s from the origin with pivot 1000 scores 0.5."""
+    rows = [(1, "2024-01-01T00:00:00Z"), (2, "2024-01-01T00:00:01Z"),
+            (3, None)]
+    df_rows = [(i, t) for i, t in rows]
+    got = _search(spark, df_rows, "id long, ts string",
+                  {"near": {"path": "ts", "origin": "2024-01-01T00:00:00Z",
+                            "pivot": 1000}})
+    by = dict(got)
+    assert abs(by[1] - 1.0) < 1e-12
+    assert abs(by[2] - 0.5) < 1e-12          # 1000/(1000+1000ms)
+    assert 3 not in by
+
+
+def test_query_string_numeric_range_on_messy_strings(spark):
+    """r6 advisor fix: a numeric range over a string field holding
+    non-numeric values must not-match those rows (try_cast), not throw
+    under ANSI mode's strict string->double cast."""
+    rows = [(1, "15"), (2, "oops"), (3, "35"), (4, None)]
+    df = spark.createDataFrame(rows, "id long, v string")
+    out = compile_pipeline(
+        [{"$search": {"queryString": {"defaultPath": "v",
+                                      "query": "v:[10 TO 20]"}}},
+         {"$project": {"id": 1}}],
+        Context(spark=spark))(df)
+    assert [r["id"] for r in out.collect()] == [1]
+
+
 def test_search_review_fixes(spark):
     """r5 review regressions: embeddedDocument should-only compounds
     need >= 1 should match; queryString field-scoped quoted phrases stay

@@ -338,6 +338,36 @@ def test_jq_stage_module_resolver(spark):
     assert rows == [{"_id": "0", "gross": 110.00000000000001}]
 
 
+def test_jq_stage_import_after_comment(spark):
+    """r6 advisor fix: a '#' comment line BEFORE the import must still
+    route the script to the resolver-aware interpreter (the old prefix
+    heuristic missed it, and with the C jq binding installed the stage
+    would crash on the unresolvable import instead of falling through)."""
+    from pyspark.sql import Row
+
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    mods = {"m": "def rate: 0.1;\ndef taxed(p): p * (1 + rate);"}
+    df = spark.createDataFrame([Row(_id="0", price=100.0)])
+    ctx = Context(spark=spark, jq_resolver=mods)
+    out = compile_pipeline(
+        [{"$jq": '# tax helper\nimport "m" as m; '
+                 "{_id: ._id, gross: m::taxed(.price)}"}],
+        ctx)(df)
+    rows = [r.asDict() for r in out.collect()]
+    assert rows == [{"_id": "0", "gross": 110.00000000000001}]
+    # the routing predicate itself (the C binding is absent here, so the
+    # end-to-end path can't distinguish): comments skip, identifiers
+    # like include_all don't false-positive
+    from pincette_mongo_streams_spark.operators.script import \
+        _jq_has_imports
+
+    assert _jq_has_imports('import "m" as m; .')
+    assert _jq_has_imports('# c1\n  # c2\ninclude "m"; .')
+    assert not _jq_has_imports("def include_all: 1; include_all")
+    assert not _jq_has_imports("# import nothing\n.a")
+
+
 def test_loc():
     """$__loc__ yields {file: "<stdin>", line} with the token's real
     source line (jackson-jq parity for the last debug builtin)."""

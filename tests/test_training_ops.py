@@ -375,6 +375,15 @@ def test_span_dedup(spark):
     assert by[4] == {"text": "Short doc", "n_sentences": 1,
                      "n_removed": 0}
     assert by[5] == {"text": "", "n_sentences": 0, "n_removed": 0}
+    # r6 advisor fix: `verify: true` keys ownership on the span STRING
+    # (a 64-bit hash collision can't delete an unrelated span) and must
+    # agree with the default hash path on a collision-free corpus
+    out_v = compile_pipeline(
+        [{"$spanDedup": {"input": "$t", "id": "$doc_id",
+                         "verify": True}}],
+        Context(spark=spark))(df)
+    by_v = {r["doc_id"]: r["span_dedup"].asDict() for r in out_v.collect()}
+    assert by_v == by
 
 
 def test_winnow(spark):
