@@ -1,0 +1,100 @@
+"""Streaming throughput bench: the sf events table replayed as a file
+stream through ``run_streaming`` with the reference's canonical stateful
+shape — ``$deduplicate`` (event_id) then update-mode ``$group`` (per-user
+count/sum) — under both state-store providers.
+
+Prints ONE JSON line::
+
+    {"metric": "streaming_events_per_sec", "value": <hdfs ev/s>,
+     "unit": "events/sec", "providers": {"hdfs": {...}, "rocksdb": {...}},
+     "events": N, "batches": B, "sf": ...}
+
+Not part of bench.py's driver metric — this records the streaming story
+(VERDICT r5 Next #1): events/sec, state rows (dedup keys + group keys),
+and the RocksDB-vs-heap delta.  Run:  python bench_streaming.py
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_FILES = 8  # micro-batches: one file per trigger
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from pincette_mongo_streams_spark import Context
+    from pincette_mongo_streams_spark.streaming.runtime import run_streaming
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_events = events.count()
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    in_dir = os.path.join(work, "in")
+    # replay corpus: N_FILES parquet files -> N_FILES micro-batches
+    events.repartition(N_FILES).write.mode("overwrite").parquet(in_dir)
+    schema = events.schema
+
+    pipeline = [
+        {"$deduplicate": "$event_id"},
+        {"$group": {"_id": "$user_id",
+                    "n": {"$count": {}},
+                    "sum_v": {"$sum": "$value"}}},
+    ]
+
+    results = {}
+    for provider in ("hdfs", "rocksdb"):
+        ckpt = os.path.join(work, f"ckpt_{provider}")
+        source = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        emitted = [0]
+
+        def sink(batch_df, epoch):
+            emitted[0] += batch_df.count()
+
+        t0 = time.perf_counter()
+        q = run_streaming(
+            source, pipeline, Context(spark=spark), sink,
+            trigger={"availableNow": True}, checkpoint=ckpt,
+            state_store=provider,
+        )
+        q.awaitTermination(600)
+        dt = time.perf_counter() - t0
+        prog = q.lastProgress or {}
+        state = (prog.get("stateOperators") or [])
+        results[provider] = {
+            "sec": round(dt, 3),
+            "events_per_sec": round(n_events / dt, 1),
+            "emitted_rows": emitted[0],
+            "state_rows": sum(s.get("numRowsTotal", 0) for s in state),
+        }
+
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps({
+        "metric": "streaming_events_per_sec",
+        "value": results["hdfs"]["events_per_sec"],
+        "unit": "events/sec",
+        "providers": results,
+        "events": n_events,
+        "batches": N_FILES,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "loadavg": list(os.getloadavg()),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

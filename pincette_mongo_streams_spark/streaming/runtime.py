@@ -51,6 +51,23 @@ _BATCH_ONLY_STAGES = {
 # latest-per-key window input and the state dir's file count)
 _COMPACT_EVERY = 16
 
+# state-store providers for the stateful plan operators ($group update
+# mode, dropDuplicates[WithinWatermark], session windows, per-message
+# applyInPandasWithState).  Spark's default keeps every state row on the
+# executor HEAP (HDFSBackedStateStoreProvider) — fine for tests, fatal at
+# 100 TB where grouped state outgrows memory.  RocksDB (bundled with
+# Spark since 3.2, no extra jars) spills state to local disk and, with
+# changelog checkpointing, uploads per-batch DELTAS to the checkpoint
+# instead of full snapshots — the durability/scale analog of the
+# reference keeping group state in Mongo collections
+# (Group.java:405-414, Pipeline.java:74-81).
+_STATE_STORE_PROVIDERS = {
+    "hdfs": "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+    "rocksdb": "org.apache.spark.sql.execution.streaming.state."
+               "RocksDBStateStoreProvider",
+}
+
 
 def _output_mode(pipeline: list[dict]) -> str:
     names = {next(iter(s)) for s in pipeline}
@@ -71,6 +88,7 @@ def run_streaming(
     checkpoint: Optional[str] = None,
     suppress_unchanged: bool = False,
     emission: str = "per_batch",
+    state_store: Optional[str] = None,
 ):
     """Run ``pipeline`` over a streaming ``source``; ``sink(batch_df,
     epoch)`` receives each output micro-batch (foreachBatch = exactly-once
@@ -95,7 +113,31 @@ def run_streaming(
     ``_COMPACT_EVERY`` deltas the state compacts to one snapshot — so
     per-batch durable I/O is delta-sized, not group-cardinality-sized.
     Requires a group-keyed output (``_id``); use only when sinks require
-    exact reference emission parity."""
+    exact reference emission parity.
+
+    ``state_store`` picks the provider backing ALL stateful operators in
+    the plan: ``"rocksdb"`` (state on executor local disk + changelog
+    checkpointing — per-batch delta uploads, the 100 TB configuration),
+    ``"hdfs"`` (Spark's on-heap default, test-scale), a full provider
+    class name, or ``None`` to leave the session untouched.  The
+    provider is a session conf captured at query START — it applies to
+    queries started after this call in the same session, and restarting
+    an existing checkpoint with a DIFFERENT provider is fine (Spark
+    rebuilds state from the checkpoint files, which are
+    provider-portable only via changelog/delta replay of the SAME
+    provider — keep the provider stable per checkpoint)."""
+    if state_store is not None:
+        provider = _STATE_STORE_PROVIDERS.get(state_store, state_store)
+        if "." not in provider:
+            raise ValueError(
+                f"unknown state_store {state_store!r}: use "
+                f"{sorted(_STATE_STORE_PROVIDERS)} or a provider class")
+        ctx.spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", provider)
+        ctx.spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            str(state_store == "rocksdb").lower())
     for stage in pipeline:
         name = next(iter(stage))
         if name in _BATCH_ONLY_STAGES:

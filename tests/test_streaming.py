@@ -889,3 +889,62 @@ def test_sql_stage_streams(spark, tmpdir):
     )
     rows = sorted((r["doc_id"], r["d"]) for e in out for r in e)
     assert rows == [(2, 40), (3, 60)]
+
+
+def test_rocksdb_state_store_provider(spark, tmpdir):
+    """r6: `state_store="rocksdb"` lands the provider + changelog
+    checkpointing confs and the stateful operators ($group update mode,
+    $deduplicate cross-batch state) produce identical results under the
+    RocksDB provider — the 100 TB state configuration (state on local
+    disk, delta checkpoint uploads; the reference's analog keeps state
+    in Mongo, Group.java:405-414)."""
+    schema = T.StructType(
+        [T.StructField("_id", T.StringType()),
+         T.StructField("k", T.StringType()),
+         T.StructField("v", T.LongType())]
+    )
+    batches = [
+        [{"_id": "m1", "k": "a", "v": 1}, {"_id": "m2", "k": "b", "v": 2}],
+        [{"_id": "m3", "k": "a", "v": 1}, {"_id": "m4", "k": "a", "v": 3}],
+    ]
+    try:
+        # dedup state spans batches under RocksDB: the duplicate (a,1)
+        # in batch 2 is dropped, then groups aggregate the survivors
+        emissions = _run(
+            spark, tmpdir, schema, batches,
+            [{"$deduplicate": {"expression":
+                 {"$concat": ["$k", "-", {"$toString": "$v"}]}}},
+             {"$group": {"_id": "$k", "total": {"$sum": "$v"}}}],
+            state_store="rocksdb",
+        )
+        assert (spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+                .endswith("RocksDBStateStoreProvider"))
+        assert spark.conf.get(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled") == "true"
+        by = {}
+        for rows in emissions:
+            for r in rows:
+                by[r["_id"]] = r["total"]
+        assert by == {"a": 4, "b": 2}
+        # the state files on disk are RocksDB's (zip/changelog layout),
+        # proving the provider actually backed the query
+        import glob as _glob
+        state_files = _glob.glob(
+            os.path.join(tmpdir, "ckpt", "state", "**", "*"),
+            recursive=True)
+        assert any(f.endswith((".zip", ".changelog")) for f in state_files), \
+            state_files
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset("spark.sql.streaming.stateStore.rocksdb."
+                         "changelogCheckpointing.enabled")
+
+
+def test_state_store_rejects_unknown_alias(spark, tmpdir):
+    import pytest as _pytest
+
+    source = spark.readStream.format("rate").load()
+    with _pytest.raises(ValueError, match="unknown state_store"):
+        run_streaming(source, [], Context(spark=spark),
+                      lambda d, e: None, state_store="bogus")
