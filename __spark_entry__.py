@@ -5336,6 +5336,20 @@ _ORDER = [
     #   sig_hashes -> rank_eval (nDCG/precision/recall/MRR@k; the
     #     minhash family keeps minhash_dedup in-window and sig_hashes
     #     stays locally oracled)
+    # r6 swaps (VERDICT r5 Next #2 — give the three biggest scale
+    # operators that never had a window row hard driver rows; the
+    # displaced three are simple, 3+ rounds green, and stay registered
+    # + locally oracled by tests/test_oracle_parity.py):
+    #   dedup_exact -> connected_components (large-star/small-star
+    #     O(log n) rounds vs a recursive-closure SQL oracle; exact
+    #     hash dedup stays covered in-window by training_pipeline's
+    #     dedup stage and locally by the dedup_exact row)
+    #   fill_locf -> knn_join (LSH-bucketed k-nearest-neighbor join —
+    #     the scale path for embedding joins; $fill LOCF stays locally
+    #     oracled and window_all keeps window functions in-window)
+    #   densify_grid -> page_rank (power iteration with checkpointed
+    #     lineage vs an unrolled-SQL oracle; $densify stays locally
+    #     oracled)
     "match_operators", "project_compute", "field_ops", "replace_with",
     "unwind", "group_accumulators", "dsir_score", "stage_ext",
     "bucket", "lookup_unwind", "geo_search", "lookup_pipeline",
@@ -5352,11 +5366,11 @@ _ORDER = [
     # past-window by documents_inline/json_props_extract) -> kmeans
     # gives clustering one.  Both displaced queries stay registered and
     # locally oracle-checked.
-    "text_match", "semantic_dedup", "window_all", "fill_locf", "densify_grid",
+    "text_match", "semantic_dedup", "window_all", "knn_join", "page_rank",
     "facet_summary", "window_group_hourly", "graph_lookup", "asof_join",
     "group_cap", "kmeans",
     # LLM-data-pipeline operators
-    "dedup_exact", "entropy_score", "training_pipeline", "bm25_search",
+    "connected_components", "entropy_score", "training_pipeline", "bm25_search",
     "fusion", "rank_eval", "minhash_dedup", "gopher_rules",
     "embed_dedup", "ann_topk", "ann_indexed", "media_pipeline",
     "span_dedup",
