@@ -4059,8 +4059,9 @@ ORDER BY doc_id""",
 
 
 _register(
-    # r5: Atlas text.fuzzy — classic-Levenshtein slot widening (documented
-    # deviation: Lucene counts transpositions as 1 edit, Levenshtein as 2);
+    # r5: Atlas text.fuzzy; r6: Damerau semantics — a transposed token is
+    # ONE edit like Lucene (maxEdits 1 = lev <= 1 OR equality with a
+    # one-adjacent-swap variant of the literal term: atbl/tbal/talb);
     # filter context so the rowset is score-independent
     "search_fuzzy",
     """WITH t AS (
@@ -4070,7 +4071,8 @@ _register(
   FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id, lang FROM t
-WHERE len(list_filter(toks, x -> levenshtein(x, 'tabl') <= 1)) > 0
+WHERE len(list_filter(toks, x -> levenshtein(x, 'tabl') <= 1
+          OR list_contains(['atbl', 'tbal', 'talb'], x))) > 0
 ORDER BY doc_id""",
 )(
     _pipe(

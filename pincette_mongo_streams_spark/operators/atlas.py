@@ -983,15 +983,54 @@ def _fuzzy_params(term: str, fuzzy: dict) -> tuple[int, str]:
     return k, term[:pl]
 
 
+def _transposed_variants(term: str, k: int) -> tuple[list[str], list[str]]:
+    """(T1, T2): ``term`` with one adjacent transposition applied; with
+    two DISJOINT adjacent transpositions (k=2 only).  Swaps of equal
+    characters are no-ops and skipped.  Because the query term is a
+    compile-time literal, Damerau's transposition-as-one-edit composes
+    into plain ``levenshtein`` calls (see :func:`_fuzzy_cond`)."""
+    t1 = []
+    for i in range(len(term) - 1):
+        if term[i] != term[i + 1]:
+            t1.append(term[:i] + term[i + 1] + term[i] + term[i + 2:])
+    t2 = []
+    if k >= 2:
+        for i in range(len(term) - 1):
+            if term[i] == term[i + 1]:
+                continue
+            vi = term[:i] + term[i + 1] + term[i] + term[i + 2:]
+            for j in range(i + 2, len(term) - 1):
+                if vi[j] != vi[j + 1]:
+                    t2.append(vi[:j] + vi[j + 1] + vi[j] + vi[j + 2:])
+    return list(dict.fromkeys(t1)), list(dict.fromkeys(t2))
+
+
 def _fuzzy_cond(term: str, fuzzy: dict) -> str:
     """SQL token predicate (over the variable ``t``) for one fuzzy term
-    slot: classic Levenshtein within ``maxEdits``, sharing the literal
-    prefix from :func:`_fuzzy_params`.  Lucene's fuzzy counts a
-    TRANSPOSITION as one edit (Damerau); plain Levenshtein counts it as
-    two — a fuzzy query here can under-match transposed tokens at
-    maxEdits 1."""
+    slot: Damerau-Levenshtein within ``maxEdits`` (Lucene counts an
+    adjacent TRANSPOSITION as one edit), sharing the literal prefix
+    from :func:`_fuzzy_params`.  The term is a literal, so Damerau
+    unrolls exactly: DL <= 1 iff lev <= 1 or t equals a one-swap
+    variant; DL <= 2 iff lev <= 2, or lev(t, one-swap variant) <= 1,
+    or t equals a two-disjoint-swaps variant.  At maxEdits 1 this is
+    EXACTLY Lucene's (OSA) semantics — differential-tested against an
+    OSA DP; at maxEdits 2 it never under-matches OSA and over-matches
+    only degenerate tokens where a second edit lands inside the
+    transposed pair (~0.06% of random short binary/ternary-alphabet
+    pairs, unreachable for real word tokens)."""
     k, prefix = _fuzzy_params(term, fuzzy)
-    cond = f"levenshtein(t, {_q_sql(term)}) <= {k}"
+    t1, t2 = _transposed_variants(term, k)
+    parts = [f"levenshtein(t, {_q_sql(term)}) <= {k}"]
+    if k == 1:
+        if t1:
+            parts.append(
+                "t IN (" + ", ".join(_q_sql(v) for v in t1) + ")")
+    else:
+        parts += [f"levenshtein(t, {_q_sql(v)}) <= 1" for v in t1]
+        if t2:
+            parts.append(
+                "t IN (" + ", ".join(_q_sql(v) for v in t2) + ")")
+    cond = "(" + " OR ".join(parts) + ")"
     if prefix:
         cond += (f" AND substring(t, 1, {len(prefix)}) = "
                  f"{_q_sql(prefix)}")
@@ -1223,12 +1262,22 @@ def _text_match_pred(df: DataFrame, spec: dict,
 
     def tok_hit(t: Column) -> Column:
         """fuzzy membership: the token is within maxEdits of ANY term
-        (parameters from _fuzzy_params — the BM25 slots' source of
-        truth, so count and rowset cannot drift)."""
+        (parameters from _fuzzy_params, Damerau variants from
+        _transposed_variants — the BM25 slots' source of truth, so
+        count and rowset cannot drift)."""
         hit = None
         for term in terms:
             k, prefix = _fuzzy_params(term, fuzzy)
+            t1, t2 = _transposed_variants(term, k)
             c = F.levenshtein(t, F.lit(term)) <= k
+            if k == 1:
+                if t1:
+                    c = c | t.isin(*t1)
+            else:
+                for v in t1:
+                    c = c | (F.levenshtein(t, F.lit(v)) <= 1)
+                if t2:
+                    c = c | t.isin(*t2)
             if prefix:
                 c = c & (F.substring(t, 1, len(prefix)) == F.lit(prefix))
             hit = c if hit is None else (hit | c)

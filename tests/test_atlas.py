@@ -1127,6 +1127,46 @@ def test_search_text_fuzzy_validation_and_meta(spark):
     assert meta[0]["count"]["total"] == 1
 
 
+def test_search_fuzzy_damerau_transpositions(spark):
+    """r6: Lucene counts an adjacent transposition as ONE edit — "hte"
+    matches "the" at maxEdits 1 (plain Levenshtein says 2); at
+    maxEdits 2 a transposition plus one other edit matches; $searchMeta
+    counts stay in lockstep; a required prefix still excludes variants
+    that disturb it."""
+    docs = spark.createDataFrame(
+        [(1, "hte quick fox"),        # transposed "the": DL 1, lev 2
+         (2, "the quick fox"),        # exact
+         (3, "het quick fox"),        # "het": transpose he -> eh? DL("het","the")
+         (4, "thx quick fox"),        # substitution: lev 1
+         (5, "htes quick fox"),       # transpose + insert: DL 2
+         (6, "xyz words here")],
+        "doc_id long, text string")
+    got = lambda spec: {r["doc_id"] for r in compile_pipeline(
+        [{"$search": spec}, {"$project": {"doc_id": 1}}],
+        Context(spark=spark))(docs).collect()}
+    assert got({"text": {"query": "the", "path": "text",
+                         "fuzzy": {"maxEdits": 1}}}) >= {1, 2, 4}
+    assert 5 not in got({"text": {"query": "the", "path": "text",
+                                  "fuzzy": {"maxEdits": 1}}})
+    assert 6 not in got({"text": {"query": "the", "path": "text",
+                                  "fuzzy": {"maxEdits": 2}}})
+    assert got({"text": {"query": "the", "path": "text",
+                         "fuzzy": {"maxEdits": 2}}}) >= {1, 2, 4, 5}
+    # $searchMeta honors the same Damerau membership
+    meta = compile_pipeline(
+        [{"$searchMeta": {"count": {"type": "total"},
+                          "text": {"query": "the", "path": "text",
+                                   "fuzzy": {"maxEdits": 1}}}}],
+        Context(spark=spark))(docs).collect()
+    assert meta[0]["count"]["total"] == len(
+        got({"text": {"query": "the", "path": "text",
+                      "fuzzy": {"maxEdits": 1}}}))
+    # prefixLength 1 demands a literal "t" start: "hte" drops
+    assert 1 not in got({"text": {"query": "the", "path": "text",
+                                  "fuzzy": {"maxEdits": 1,
+                                            "prefixLength": 1}}})
+
+
 def test_search_fuzzy_prefix_longer_than_term(spark):
     # prefixLength caps at the term length: longer candidates that
     # START with the whole term still match (Lucene behavior)
