@@ -78,19 +78,55 @@ def skip_stage(expression: Any, ctx: Context) -> StageFn:
 
 @register_stage("$sample")
 def sample_stage(expression: Any, ctx: Context) -> StageFn:
-    """``{size: n}`` = MongoDB's random-n (full shuffle on rand() — exact
-    count, expensive at scale); ``{fraction: f}`` = the 100 TB path
-    (engine extension): Bernoulli sampling at the scan, no shuffle,
-    approximate count (SCALE.md §5)."""
+    """``{size: n}`` = MongoDB's random-n, EXACT count.  r6 scale path
+    (Spark's own ``RDD.takeSample`` shape as DataFrame ops): count the
+    input (one agg job), Bernoulli-oversample at the scan with an
+    inflated fraction whose shortfall probability is < 1e-4
+    (``n/cnt + 9.2*sqrt(n)/cnt`` — the Poisson tail bound Spark's
+    SamplingUtils uses), then take exactly ``n`` of the ~n sampled rows
+    by rand() order — a TakeOrderedAndProject over O(n) rows, never a
+    global sort of the corpus.  On the rare shortfall the fraction
+    doubles (2 retries), then falls back to the full
+    orderBy(rand()).limit(n).  Uniform: Bernoulli keeps every row
+    independently, the top-n-by-rand picks a uniform n-subset of the
+    kept set, so every n-subset of the population is equally likely.
+    Eager (runs the count when the stage executes) like $bucketAuto's
+    boundary job.
+
+    ``{fraction: f}`` = the approximate-count engine extension:
+    Bernoulli sampling at the scan, no extra job, no shuffle
+    (SCALE.md §5)."""
     size = expression.get("size")
     fraction = expression.get("fraction")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         _batch_only("$sample", c)
+        seed = expression.get("seed")
         if fraction is not None:
-            seed = expression.get("seed")
-            return df.sample(float(fraction), seed=seed)
-        return df.orderBy(F.rand()).limit(int(size))
+            # keyword fraction=: the positional form binds to
+            # withReplacement and PySpark silently DROPS the seed
+            return df.sample(fraction=float(fraction), seed=seed)
+        n = int(size)
+        cnt = df.count()
+        if n >= cnt:
+            return df
+        import math
+
+        q = min(1.0, (n + 9.2 * math.sqrt(n) + 15.0) / cnt)
+        for attempt in range(3):
+            if q >= 1.0:
+                break
+            # sample() freezes its seed in the plan at call time (an
+            # explicit one here when given), so the count below and the
+            # emitted rows see the SAME Bernoulli draw
+            s = df.sample(fraction=q, seed=None if seed is None
+                          else int(seed) + attempt)
+            if s.count() >= n:
+                rnd = F.rand() if seed is None else F.rand(int(seed) + 7)
+                return s.orderBy(rnd).limit(n)
+            q = min(1.0, q * 2)
+        rnd = F.rand() if seed is None else F.rand(int(seed) + 7)
+        return df.orderBy(rnd).limit(n)
 
     return fn
 

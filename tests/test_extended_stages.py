@@ -38,6 +38,31 @@ def test_sample_size(spark):
     assert len({r["i"] for r in out}) == 7  # without replacement
 
 
+def test_sample_size_no_global_sort(spark):
+    """r6 scale path: exact-size $sample Bernoulli-oversamples at the
+    scan then takes n by rand() over the ~n-row sample — the plan shows
+    a Sample node feeding TakeOrderedAndProject and NEVER a full Sort
+    (Exchange rangepartitioning) of the corpus."""
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    df = spark.range(10_000).selectExpr("id AS i")
+    out = compile_pipeline([{"$sample": {"size": 50, "seed": 42}}],
+                           Context(spark=spark))(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Sample" in plan and "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    rows = out.collect()
+    assert len(rows) == 50 and len({r["i"] for r in rows}) == 50
+    # seeded: deterministic across executions
+    again = compile_pipeline([{"$sample": {"size": 50, "seed": 42}}],
+                             Context(spark=spark))(df).collect()
+    assert {r["i"] for r in again} == {r["i"] for r in rows}
+    # size >= population: every row returns (Mongo semantics)
+    small = spark.range(5).selectExpr("id AS i")
+    assert compile_pipeline([{"$sample": {"size": 99}}],
+                            Context(spark=spark))(small).count() == 5
+
+
 def test_sort_by_count(spark):
     rows = [("a",), ("b",), ("a",), ("c",), ("a",), ("b",)]
     out = _run(spark, rows, "k string", [{"$sortByCount": "$k"}]).collect()
