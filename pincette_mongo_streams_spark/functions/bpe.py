@@ -1,0 +1,152 @@
+"""GPT-2-style byte-pair-encoding for ``$tokenCount`` / ``$truncateTokens``
+``tokenizer: {merges: "<collection>"}`` mode.
+
+The merge table is a Context collection (metadata-sized, like the Atlas
+synonym mappings) with columns ``(left, right, rank)`` or ``(pair, rank)``
+where ``pair`` is the merges.txt line form ``"lo w"``.  It is collected on
+the driver (50k rows for a GPT-2-sized vocab) and shipped once per
+executor inside the Arrow-batched UDF closure.
+
+The encoder is the standard BPE algorithm (Sennrich et al. 2016; the
+GPT-2 tokenizer applies it per pre-token): split the text with a
+GPT-2-style pre-tokenizer, start each pre-token as characters, and
+repeatedly merge ALL occurrences of the lowest-rank adjacent pair until
+no adjacent pair has a rank.  Two documented simplifications vs the real
+GPT-2 tokenizer (tiktoken/tokenizers are not in the image — this is the
+tokenizer analog of the $decodeMedia codec boundary):
+
+- the pre-tokenizer is the ASCII approximation of GPT-2's regex
+  (``\\p{L}`` -> ``[A-Za-z]``, ``\\p{N}`` -> ``[0-9]``), and
+- symbols are CHARACTERS, not UTF-8 bytes with the byte->unicode
+  remap — identical for ASCII text, coarser for multi-byte scripts.
+
+Both the pre-tokenizer and the per-pre-token BPE preserve
+concatenation: ``"".join(tokens) == text`` (spaces travel with their
+following pre-token, GPT-2-style), so token-budget truncation
+reconstructs the exact prefix of the original text.
+
+The merge LOOP is unbounded-depth (one iteration per merge applied), so
+it runs as an Arrow-batched Pandas UDF rather than Spark HOFs — a
+documented Python boundary (SCALE.md §0); plan shape: one ArrowEvalPython
+over the projected text column, row-local, zero shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Tuple
+
+# ASCII approximation of the GPT-2 pre-tokenizer regex
+PRETOKEN_RE = re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[A-Za-z]+"
+    r"| ?[0-9]+"
+    r"| ?[^\sA-Za-z0-9]+"
+    r"|\s+(?!\S)"
+    r"|\s+"
+)
+
+Ranks = Dict[Tuple[str, str], int]
+
+
+def load_merges(ctx, name: str) -> Ranks:
+    """Collect the merge-rank collection ``name`` into ``{(l, r): rank}``.
+    Driver-side and metadata-sized by contract (the table IS the model,
+    like the $dsirScore hashed-ngram tables)."""
+    if name not in (ctx.collections or {}):
+        raise ValueError(
+            f"tokenizer.merges: unknown collection {name!r} — wire it as "
+            "Context(collections={...})")
+    df = ctx.collections[name]
+    cols = set(df.columns)
+    if {"left", "right", "rank"} <= cols:
+        rows = df.select("left", "right", "rank").collect()
+        ranks = {(r["left"], r["right"]): int(r["rank"]) for r in rows}
+    elif {"pair", "rank"} <= cols:
+        # merges.txt line form; symbols containing literal spaces (the
+        # char-level analog of GPT-2's Ġ) are only expressible in the
+        # (left, right, rank) column form
+        ranks = {}
+        for r in df.select("pair", "rank").collect():
+            parts = r["pair"].split(" ")
+            if len(parts) != 2 or not parts[0] or not parts[1]:
+                raise ValueError(
+                    f"tokenizer.merges: pair {r['pair']!r} must be two "
+                    "space-separated symbols (symbols with spaces need "
+                    "the left/right/rank column form)")
+            ranks[(parts[0], parts[1])] = int(r["rank"])
+    else:
+        raise ValueError(
+            "tokenizer.merges collection needs columns (left, right, rank) "
+            f"or (pair, rank); got {sorted(cols)}")
+    if not ranks:
+        raise ValueError("tokenizer.merges collection is empty")
+    return ranks
+
+
+def bpe_word(word: str, ranks: Ranks, cache: dict) -> List[str]:
+    """Encode ONE pre-token: start from characters, repeatedly merge all
+    occurrences of the lowest-rank adjacent pair."""
+    hit = cache.get(word)
+    if hit is not None:
+        return hit
+    parts: List[str] = list(word)
+    while len(parts) > 1:
+        best = None
+        best_rank = None
+        for i in range(len(parts) - 1):
+            r = ranks.get((parts[i], parts[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best = (parts[i], parts[i + 1])
+        if best is None:
+            break
+        merged: List[str] = []
+        i = 0
+        while i < len(parts):
+            if (i < len(parts) - 1
+                    and (parts[i], parts[i + 1]) == best):
+                merged.append(parts[i] + parts[i + 1])
+                i += 2
+            else:
+                merged.append(parts[i])
+                i += 1
+        parts = merged
+    cache[word] = parts
+    return parts
+
+
+def encode(text: str, ranks: Ranks, cache: dict) -> List[str]:
+    """Full-text BPE: pre-tokenize, encode each pre-token.  Tokens
+    concatenate back to ``text`` exactly."""
+    out: List[str] = []
+    for m in PRETOKEN_RE.finditer(text):
+        out.extend(bpe_word(m.group(0), ranks, cache))
+    return out
+
+
+def count_tokens(text, ranks: Ranks, cache: dict):
+    if text is None:
+        return None
+    n = 0
+    for m in PRETOKEN_RE.finditer(text):
+        n += len(bpe_word(m.group(0), ranks, cache))
+    return n
+
+
+def truncate_tokens(text, max_n: int, ranks: Ranks, cache: dict):
+    if text is None:
+        return None
+    kept: List[str] = []
+    n = 0
+    for m in PRETOKEN_RE.finditer(text):
+        toks = bpe_word(m.group(0), ranks, cache)
+        if n + len(toks) <= max_n:
+            kept.append(m.group(0))  # whole pre-token survives verbatim
+            n += len(toks)
+            if n == max_n:
+                break
+        else:
+            kept.extend(toks[: max_n - n])
+            break
+    return "".join(kept)

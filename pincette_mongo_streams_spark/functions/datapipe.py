@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from typing import Any, Iterator
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -2109,15 +2111,46 @@ def c4_filter_stage(expression: Any, ctx: Context) -> StageFn:
 
 @register_stage("$tokenCount")
 def token_count_stage(expression: Any, ctx: Context) -> StageFn:
-    """Token counting: ``{input, as, mode: whitespace|bpe}``.  ``bpe`` uses
-    a GPT-style pre-tokenizer regex (contractions / letter runs / digit
-    runs / punctuation) as a deterministic proxy for a real BPE vocab."""
+    """Token counting: ``{input, as, mode: whitespace|bpe, tokenizer?}``.
+    ``bpe`` uses a GPT-style pre-tokenizer regex (contractions / letter
+    runs / digit runs / punctuation) as a deterministic proxy for a real
+    BPE vocab.  r6: ``tokenizer: {merges: "<collection>"}`` runs REAL
+    byte-pair encoding against a broadcast GPT-2-style merge-rank table
+    (functions/bpe.py) — the count a context budget actually means.  The
+    merge loop is unbounded-depth, so this mode is an Arrow-batched
+    Pandas UDF: the documented tokenizer Python boundary (like the
+    $decodeMedia codec boundary), row-local, zero shuffle."""
     inp = expression["input"]
     as_field = expression.get("as", "n_tokens")
     mode = expression.get("mode", "whitespace")
+    tokenizer = expression.get("tokenizer")
+    if tokenizer is not None and "merges" not in tokenizer:
+        raise ValueError("$tokenCount tokenizer needs a merges collection")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         text = compile_expr(inp, ExprContext(schema=df.schema))
+        if tokenizer is not None:
+            from . import bpe as _bpe
+
+            try:
+                # ship the encoder inside the closure, like the jq/JSLT
+                # tier-2 interpreters: executors need no package install
+                from pyspark import cloudpickle
+
+                cloudpickle.register_pickle_by_value(_bpe)
+            except Exception:  # pragma: no cover - older pickler
+                pass
+            ranks = _bpe.load_merges(c, tokenizer["merges"])
+            bc = c.spark.sparkContext.broadcast(ranks)
+            count_tokens = _bpe.count_tokens
+
+            @F.pandas_udf("long")
+            def _count(s: pd.Series) -> pd.Series:
+                cache: dict = {}
+                rk = bc.value
+                return s.map(lambda t: count_tokens(t, rk, cache))
+
+            return df.withColumn(as_field, _count(text))
         if mode == "whitespace":
             count = F.size(F.split(F.trim(text), "\\s+"))
         elif mode == "bpe":
@@ -3910,10 +3943,22 @@ def truncate_tokens_stage(expression: Any, ctx: Context) -> StageFn:
     context-length guard of a training pipeline ("cap documents at 8k
     tokens before packing").  Null in -> null out; a non-positive
     ``max`` is a compile-time error.  100 TB shape: row-local
-    slice/substr column program, zero shuffle."""
+    slice/substr column program, zero shuffle.
+
+    r6: ``tokenizer: {merges: "<collection>"}`` truncates to ``max``
+    REAL BPE tokens (functions/bpe.py — GPT-2-style merge ranks
+    broadcast from a Context collection).  Pre-tokens carry their
+    leading whitespace, so the kept tokens concatenate to the EXACT
+    prefix of the original text (no whitespace loss, unlike the
+    whitespace mode's single-space rejoin).  Arrow-batched Pandas UDF —
+    the documented tokenizer boundary; row-local, zero shuffle."""
     inp = expression["input"]
     as_field = expression.get("as", "text")
     max_n = int(expression["max"])
+    tokenizer = expression.get("tokenizer")
+    if tokenizer is not None and "merges" not in tokenizer:
+        raise ValueError(
+            "$truncateTokens tokenizer needs a merges collection")
     # singular and plural both accepted — $entropyScore spells the same
     # knob "char"/"word"; the family must not punish the analogy
     unit = {"token": "tokens", "char": "chars"}.get(
@@ -3926,6 +3971,29 @@ def truncate_tokens_stage(expression: Any, ctx: Context) -> StageFn:
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         text = compile_expr(inp, ExprContext(schema=df.schema))
+        if tokenizer is not None:
+            if unit != "tokens":
+                raise ValueError(
+                    "$truncateTokens tokenizer applies to unit 'tokens'")
+            from . import bpe as _bpe
+
+            try:
+                from pyspark import cloudpickle
+
+                cloudpickle.register_pickle_by_value(_bpe)
+            except Exception:  # pragma: no cover - older pickler
+                pass
+            ranks = _bpe.load_merges(c, tokenizer["merges"])
+            bc = c.spark.sparkContext.broadcast(ranks)
+            truncate = _bpe.truncate_tokens
+
+            @F.pandas_udf("string")
+            def _trunc(s: pd.Series) -> pd.Series:
+                cache: dict = {}
+                rk = bc.value
+                return s.map(lambda t: truncate(t, max_n, rk, cache))
+
+            return df.withColumn(as_field, _trunc(text))
         if unit == "chars":
             out = F.substring(text, 1, max_n)
         else:

@@ -689,3 +689,143 @@ def test_readability_matches_python_reference(spark):
         got = (r.r.n_sentences, r.r.n_words, r.r.n_syllables,
                r.r.flesch, r.r.fk_grade)
         assert got == (ns, nw, s, fl, fk), (repr(docs[r.doc_id]), got)
+
+
+# --------------------------------------------------------- BPE tokenizer
+
+
+def _ref_bpe(word, ranks):
+    """Independent reference BPE (the GPT-2 encoder.py loop shape:
+    min-rank pair via set-of-pairs, index-scan merge) — deliberately a
+    DIFFERENT implementation from functions/bpe.py's linear-scan merge,
+    so the differential test has teeth."""
+    w = tuple(word)
+    while len(w) > 1:
+        pairs = {(w[i], w[i + 1]) for i in range(len(w) - 1)}
+        cand = [p for p in pairs if p in ranks]
+        if not cand:
+            break
+        first, second = min(cand, key=lambda p: ranks[p])
+        neww = []
+        i = 0
+        while i < len(w):
+            try:
+                j = w.index(first, i)
+            except ValueError:
+                neww.extend(w[i:])
+                break
+            neww.extend(w[i:j])
+            if j < len(w) - 1 and w[j + 1] == second:
+                neww.append(first + second)
+                i = j + 2
+            else:
+                neww.append(w[j])
+                i = j + 1
+        w = tuple(neww)
+    return list(w)
+
+
+_MERGES = [
+    ("t", "h", 0), ("th", "e", 1), ("h", "e", 2), ("i", "n", 3),
+    ("a", "n", 4), ("an", "d", 5), ("e", "r", 6), ("o", "n", 7),
+    (" ", "a", 8), ("r", "e", 9), (" ", "the", 10), ("o", "u", 11),
+    ("in", "g", 12), ("e", "d", 13), ("s", "t", 14),
+]
+
+
+def _merges_df(spark):
+    return spark.createDataFrame(_MERGES, "left string, right string, rank long")
+
+
+def _ref_count(text, ranks):
+    from pincette_mongo_streams_spark.functions.bpe import PRETOKEN_RE
+
+    return sum(len(_ref_bpe(m.group(0), ranks))
+               for m in PRETOKEN_RE.finditer(text))
+
+
+def test_bpe_token_count_differential_on_documents(spark):
+    """r6: tokenizer:{merges} BPE counting matches an independent
+    reference implementation over the real documents corpus, and the
+    encoder preserves concatenation (''.join(tokens) == text)."""
+    from pincette_mongo_streams_spark.functions import bpe as bpe_mod
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ctx = Context(spark=spark, collections={"merges": _merges_df(spark)})
+    out = compile_pipeline(
+        [{"$tokenCount": {"input": "$text", "as": "n_bpe",
+                          "tokenizer": {"merges": "merges"}}},
+         {"$project": {"doc_id": 1, "text": 1, "n_bpe": 1}}],
+        ctx)(docs)
+    rows = out.collect()
+    assert len(rows) > 100
+    ranks = {(l, r): k for l, r, k in _MERGES}
+    cache = {}
+    for r in rows:
+        assert r["n_bpe"] == _ref_count(r["text"], ranks), r["doc_id"]
+    # concatenation property on a sample of real texts
+    for r in rows[:25]:
+        toks = bpe_mod.encode(r["text"], ranks, cache)
+        assert "".join(toks) == r["text"]
+        # multi-level merges actually fired (e.g. " the" from
+        # t+h -> th+e -> " "+the) somewhere in a real corpus
+    joined = " the theory and responding "
+    assert bpe_mod.encode(joined, ranks, cache)[0] == " the"
+
+
+def test_bpe_truncate_exact_prefix(spark):
+    """tokenizer truncation keeps whitespace: the output is the exact
+    character prefix covered by the first max tokens."""
+    from pincette_mongo_streams_spark.functions import bpe as bpe_mod
+
+    ranks = {(l, r): k for l, r, k in _MERGES}
+    text = "the  thing and\tother words here"
+    ctx = Context(spark=spark, collections={"merges": _merges_df(spark)})
+    df = spark.createDataFrame([(text,), (None,)], "text string")
+    out = compile_pipeline(
+        [{"$truncateTokens": {"input": "$text", "as": "t", "max": 5,
+                              "tokenizer": {"merges": "merges"}}}],
+        ctx)(df).collect()
+    toks = bpe_mod.encode(text, ranks, {})
+    assert out[0]["t"] == "".join(toks[:5])
+    assert text.startswith(out[0]["t"])
+    assert out[1]["t"] is None
+    # budget >= length: whole text verbatim (tabs and double spaces kept)
+    out2 = compile_pipeline(
+        [{"$truncateTokens": {"input": "$text", "as": "t", "max": 999,
+                              "tokenizer": {"merges": "merges"}}}],
+        ctx)(df).collect()
+    assert out2[0]["t"] == text
+
+
+def test_bpe_merges_table_forms_and_validation(spark):
+    space_free = [(l, r, k) for l, r, k in _MERGES
+                  if " " not in l and " " not in r]
+    ranks = {(l, r): k for l, r, k in space_free}
+    pair_df = spark.createDataFrame(
+        [(f"{l} {r}", k) for l, r, k in space_free],
+        "pair string, rank long")
+    ctx = Context(spark=spark, collections={"m": pair_df})
+    df = spark.createDataFrame([("the theory",)], "text string")
+    out = compile_pipeline(
+        [{"$tokenCount": {"input": "$text", "as": "n",
+                          "tokenizer": {"merges": "m"}}}],
+        ctx)(df).collect()
+    assert out[0]["n"] == _ref_count("the theory", ranks)
+    with pytest.raises(ValueError, match="unknown collection"):
+        compile_pipeline(
+            [{"$tokenCount": {"input": "$text", "as": "n",
+                              "tokenizer": {"merges": "nope"}}}],
+            Context(spark=spark))(df).collect()
+    bad = spark.createDataFrame([("x",)], "whatever string")
+    with pytest.raises(ValueError, match="columns"):
+        compile_pipeline(
+            [{"$tokenCount": {"input": "$text", "as": "n",
+                              "tokenizer": {"merges": "b"}}}],
+            Context(spark=spark, collections={"b": bad}))(df).collect()
+    with pytest.raises(ValueError, match="tokenizer applies to unit"):
+        compile_pipeline(
+            [{"$truncateTokens": {"input": "$text", "as": "t", "max": 2,
+                                  "unit": "chars",
+                                  "tokenizer": {"merges": "m"}}}],
+            ctx)(df).collect()
