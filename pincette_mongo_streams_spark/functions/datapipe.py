@@ -3140,10 +3140,10 @@ def chunk_text_stage(expression: Any, ctx: Context) -> StageFn:
 @register_stage("$dsirScore")
 def dsir_score_stage(expression: Any, ctx: Context) -> StageFn:
     """DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169):
-    ``{input, id, from, targetInput?, n?, buckets?, smoothing?, as?}`` —
-    scores every input document by how much more likely its hashed
-    n-gram bag is under a TARGET corpus' unigram-feature model than
-    under the input (source) corpus' own model:
+    ``{input, id, from, targetInput?, sourceFrom?, sourceInput?, n?,
+    buckets?, smoothing?, as?}`` — scores every input document by how
+    much more likely its hashed n-gram bag is under a TARGET corpus'
+    unigram-feature model than under the source corpus' model:
 
         score(x) = Σ_{g ∈ ngrams(x)} ln p_target(bucket(g))
                                    − ln p_source(bucket(g))
@@ -3157,6 +3157,14 @@ def dsir_score_stage(expression: Any, ctx: Context) -> StageFn:
     Gumbel noise for sampling — compose ``$stratifiedSample`` for
     that).  Scores round half-up at 6 digits.
 
+    By default the SOURCE model fits on the input corpus itself, which
+    needs the whole corpus — batch only.  r6: ``sourceFrom`` names a
+    collection to fit the source model on instead (``sourceInput``
+    defaults to ``input``'s expression) — the PRE-TRAINED-model mode:
+    both models are static, per-document scoring is row-pure, and the
+    stage runs under Structured Streaming (per-message scores identical
+    regardless of micro-batch boundaries).
+
     100 TB shape: both corpus models are one explode + partial-aggregated
     ``groupBy(bucket)`` — at most ``buckets`` rows survive each shuffle,
     independent of corpus size; totals are single-row broadcast
@@ -3168,6 +3176,8 @@ def dsir_score_stage(expression: Any, ctx: Context) -> StageFn:
     id_field = expression["id"]
     from_coll = expression["from"]
     target_input = expression.get("targetInput", inp)
+    source_from = expression.get("sourceFrom")
+    source_input = expression.get("sourceInput", inp)
     n = int(expression.get("n", 2))
     buckets = int(expression.get("buckets", 10_000))
     alpha = float(expression.get("smoothing", 1.0))
@@ -3177,9 +3187,10 @@ def dsir_score_stage(expression: Any, ctx: Context) -> StageFn:
             "$dsirScore needs n >= 1, buckets >= 1 and smoothing > 0")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
-        from ..operators.extended import _batch_only
+        if source_from is None:
+            from ..operators.extended import _batch_only
 
-        _batch_only("$dsirScore", c)
+            _batch_only("$dsirScore", c)
         tgt = c.collection(from_coll)
 
         def feats(col: Column) -> Column:
@@ -3217,7 +3228,17 @@ def dsir_score_stage(expression: Any, ctx: Context) -> StageFn:
             F.col(id_field).alias("__did"),
             F.explode(feats(src_expr)).alias("__b"))
         tgt_feats = tgt.select(F.explode(feats(tgt_expr)).alias("__b"))
-        src_counts = src_feats.groupBy("__b").agg(
+        if source_from is not None:
+            # pre-trained source model from a static collection — the
+            # input corpus only provides the documents being scored
+            src_coll = c.collection(source_from)
+            src_model_expr = compile_expr(
+                source_input, ExprContext(schema=src_coll.schema))
+            model_feats = src_coll.select(
+                F.explode(feats(src_model_expr)).alias("__b"))
+        else:
+            model_feats = src_feats
+        src_counts = model_feats.groupBy("__b").agg(
             F.count(F.lit(1)).alias("__cs"))
         tgt_counts = tgt_feats.groupBy("__b").agg(
             F.count(F.lit(1)).alias("__ct"))
@@ -3227,22 +3248,37 @@ def dsir_score_stage(expression: Any, ctx: Context) -> StageFn:
         tgt_tot = tgt_counts.agg(F.sum("__ct").alias("__tt"))
         a = F.lit(alpha)
         ab = F.lit(alpha * buckets)
+        # full_outer + coalesced counts: in sourceFrom mode a document
+        # bucket may be absent from either model and must score its
+        # Laplace default, not silently drop (in the default fit-on-input
+        # mode every document bucket is in src_counts, so this is the
+        # same table plus never-joined target-only rows)
         ratios = (
-            src_counts.join(tgt_counts, "__b", "left")
+            src_counts.join(tgt_counts, "__b", "full_outer")
             .crossJoin(F.broadcast(src_tot))
             .crossJoin(F.broadcast(tgt_tot))
             .select(
                 "__b",
                 (F.log((F.coalesce(F.col("__ct"), F.lit(0)) + a)
                        / (F.coalesce(F.col("__tt"), F.lit(0)) + ab))
-                 - F.log((F.col("__cs") + a) / (F.col("__ts") + ab))
+                 - F.log((F.coalesce(F.col("__cs"), F.lit(0)) + a)
+                         / (F.coalesce(F.col("__ts"), F.lit(0)) + ab))
                  ).alias("__lr"),
             )
         )
         scores = (
-            src_feats.join(ratios, "__b")
+            src_feats.join(ratios, "__b", "left")
+            .crossJoin(F.broadcast(src_tot))
+            .crossJoin(F.broadcast(tgt_tot))
+            .withColumn(
+                "__lr1",
+                F.coalesce(
+                    F.col("__lr"),
+                    F.log(a / (F.coalesce(F.col("__tt"), F.lit(0)) + ab))
+                    - F.log(a / (F.coalesce(F.col("__ts"), F.lit(0))
+                                 + ab))))
             .groupBy("__did")
-            .agg(F.sum("__lr").alias("__raw"))
+            .agg(F.sum("__lr1").alias("__raw"))
         )
         return (
             df.join(scores, df[id_field] == scores["__did"], "left")

@@ -829,3 +829,50 @@ def test_bpe_merges_table_forms_and_validation(spark):
                                   "unit": "chars",
                                   "tokenizer": {"merges": "m"}}}],
             ctx)(df).collect()
+
+
+def test_dsir_score_pretrained_source_model(spark):
+    """r6: sourceFrom fits the source model on a static collection —
+    with that collection equal to the input corpus the scores match the
+    default fit-on-input mode exactly; a document with n-grams unseen
+    by BOTH models scores its Laplace default instead of dropping."""
+    rows = [Row(doc_id=1, text="cat purrs on the mat"),
+            Row(doc_id=2, text="cat naps on the sofa"),
+            Row(doc_id=3, text="dog barks at the van"),
+            Row(doc_id=4, text="dog digs in the yard")]
+    src = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [Row(text="cat purrs and the cat naps"),
+         Row(text="a cat sits on the mat")], "text string")
+    colls = {"tgt": tgt, "model": src.select("text")}
+    spec = {"input": "$text", "id": "doc_id", "from": "tgt",
+            "buckets": 1000}
+    base = {r["doc_id"]: r["dsir_score"] for r in compile_pipeline(
+        [{"$dsirScore": spec}],
+        Context(spark=spark, collections=colls))(src).collect()}
+    pre = {r["doc_id"]: r["dsir_score"] for r in compile_pipeline(
+        [{"$dsirScore": {**spec, "sourceFrom": "model"}}],
+        Context(spark=spark, collections=colls))(src).collect()}
+    assert pre == base
+    # unseen-everywhere n-grams: Laplace default, deterministic nonzero
+    novel = spark.createDataFrame([Row(doc_id=9, text="zzq wwx vvk")],
+                                  "doc_id long, text string")
+    out = compile_pipeline(
+        [{"$dsirScore": {**spec, "sourceFrom": "model"}}],
+        Context(spark=spark, collections=colls))(novel).collect()
+    import math
+    # both models unseen: per-feature lr = ln(a/(tt+aB)) - ln(a/(ts+aB))
+    # with 5 features (3 unigrams + 2 bigrams), a=1, B=1000
+    ts = tt = None
+    # totals: count of n-gram tokens in each corpus
+    def n_feats(texts, n=2):
+        tot = 0
+        for t in texts:
+            w = t.split()
+            for size in range(1, n + 1):
+                tot += max(0, len(w) - size + 1)
+        return tot
+    ts = n_feats([r.text for r in rows])
+    tt = n_feats(["cat purrs and the cat naps", "a cat sits on the mat"])
+    want = 5 * (math.log(1.0 / (tt + 1000)) - math.log(1.0 / (ts + 1000)))
+    assert abs(out[0]["dsir_score"] - round(want, 6)) < 1e-6

@@ -948,3 +948,58 @@ def test_state_store_rejects_unknown_alias(spark, tmpdir):
     with _pytest.raises(ValueError, match="unknown state_store"):
         run_streaming(source, [], Context(spark=spark),
                       lambda d, e: None, state_store="bogus")
+
+
+def test_dsir_score_streams_with_pretrained_model(spark, tmpdir):
+    """r6: $dsirScore with sourceFrom (pre-trained source model from a
+    static collection) runs under Structured Streaming, and per-doc
+    scores are identical to the batch run — micro-batch boundaries
+    can't leak into the model because both models are static."""
+    schema = "doc_id long, text string"
+    docs = [
+        {"doc_id": 1, "text": "cat purrs on the mat"},
+        {"doc_id": 2, "text": "cat naps on the sofa"},
+        {"doc_id": 3, "text": "dog barks at the van"},
+        {"doc_id": 4, "text": "dog digs in the yard"},
+    ]
+    batches = [docs[:2], docs[2:]]
+    tgt = spark.createDataFrame(
+        [("cat purrs and the cat naps",), ("a cat sits on the mat",)],
+        "text string")
+    model = spark.createDataFrame([(d["text"],) for d in docs],
+                                  "text string")
+    colls = {"tgt": tgt, "model": model}
+    pipeline = [
+        {"$dsirScore": {"input": "$text", "id": "doc_id", "from": "tgt",
+                        "sourceFrom": "model", "buckets": 1000}},
+        {"$project": {"doc_id": 1, "dsir_score": 1}},
+    ]
+    emissions = _run(spark, str(tmpdir), schema, batches, pipeline,
+                     ctx=Context(spark=spark, collections=colls))
+    got = {r["doc_id"]: r["dsir_score"] for e in emissions for r in e}
+    batch_df = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], schema)
+    from pincette_mongo_streams_spark import compile_pipeline as _cp
+    want = {r["doc_id"]: r["dsir_score"] for r in _cp(
+        pipeline, Context(spark=spark, collections=colls))(batch_df)
+        .collect()}
+    assert got == want and len(got) == 4
+
+
+def test_dsir_score_without_model_stays_batch_only(spark, tmpdir):
+    """Fitting the source model on the input corpus needs the whole
+    corpus — the streaming runtime must keep rejecting that form."""
+    source = spark.readStream.format("rate").load()
+    tgt = spark.createDataFrame([("x",)], "text string")
+    ctx = Context(spark=spark, collections={"tgt": tgt})
+    emissions = []
+    q = run_streaming(
+        source.selectExpr("value AS doc_id", "'t' AS text"),
+        [{"$dsirScore": {"input": "$text", "id": "doc_id",
+                         "from": "tgt"}}],
+        ctx, lambda d, e: emissions.append(e),
+        trigger={"availableNow": True},
+    )
+    with pytest.raises(Exception, match="batch-only|streaming"):
+        q.awaitTermination(60)
+        raise RuntimeError("query should have failed (streaming)")
