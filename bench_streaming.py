@@ -72,7 +72,11 @@ def main() -> None:
             trigger={"availableNow": True}, checkpoint=ckpt,
             state_store=provider,
         )
-        q.awaitTermination(600)
+        finished = q.awaitTermination(600)
+        if not finished:  # timed-out partial run = meaningless numbers
+            q.stop()
+            raise RuntimeError(
+                f"streaming bench ({provider}) did not finish in 600s")
         dt = time.perf_counter() - t0
         prog = q.lastProgress or {}
         state = (prog.get("stateOperators") or [])

@@ -1579,9 +1579,9 @@ def semantic_dedup_stage(expression: Any, ctx: Context) -> StageFn:
         keep = "minId" if transitive else "far"
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
-        from ..operators.extended import _batch_only
+        from ..operators.extended import _corpus_only
 
-        _batch_only("$semanticDedup", c)
+        _corpus_only("$semanticDedup", c)
         emb = compile_expr(inp, ExprContext(schema=df.schema)).cast("array<double>")
         pts = df.withColumn("__km_e", emb)
         cents = _lloyd_centroids(pts, id_field, k, iterations)
@@ -2619,12 +2619,12 @@ def span_dedup_stage(expression: Any, ctx: Context) -> StageFn:
         raise ValueError("$spanDedup span must be >= 1")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
-        from ..operators.extended import _batch_only
+        from ..operators.extended import _corpus_only
 
         # corpus-wide ownership needs the whole corpus: a streaming
         # micro-batch would dedup only within itself (and the self-join
         # shape is unsupported on streams anyway)
-        _batch_only("$spanDedup", c)
+        _corpus_only("$spanDedup", c)
         ectx = ExprContext(schema=df.schema)
         if unit == "tokens":
             seg = F.filter(
@@ -3188,9 +3188,9 @@ def dsir_score_stage(expression: Any, ctx: Context) -> StageFn:
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         if source_from is None:
-            from ..operators.extended import _batch_only
+            from ..operators.extended import _corpus_only
 
-            _batch_only("$dsirScore", c)
+            _corpus_only("$dsirScore", c)
         tgt = c.collection(from_coll)
 
         def feats(col: Column) -> Column:

@@ -693,13 +693,17 @@ def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int],
         col = compile_expr(f"${body['path']}",
                            ExprContext(schema=df.schema))
         if isinstance(origin, (int, float)) and not isinstance(origin, bool):
-            num = col.cast("double")
+            # try_cast: same ANSI-mode protection as the date path —
+            # a non-numeric string value must not-match, not throw
+            num = col.try_cast("double")
             o = F.lit(float(origin))
         elif isinstance(origin, str):
             # ISO date/timestamp origin; distance in MILLISECONDS, the
             # unit Atlas documents for date near pivots — a pivot
-            # written for Atlas ports unchanged
-            num = col.cast("timestamp").cast("double") * F.lit(1000.0)
+            # written for Atlas ports unchanged.  try_cast: a malformed
+            # date string in ONE row must not-match, not abort the whole
+            # query under ANSI mode
+            num = col.try_cast("timestamp").cast("double") * F.lit(1000.0)
             o = F.to_timestamp(F.lit(origin)).cast("double") * F.lit(1000.0)
         else:
             raise NotImplementedError(
@@ -708,7 +712,9 @@ def _search_clause(df: DataFrame, op: str, body: dict, idx: list[int],
             )
         dist = F.abs(num - o)
         score = F.lit(pivot) / (F.lit(pivot) + dist)
-        return df, col.isNotNull(), _clause_score(body, score), []
+        # predicate on the CASTED value: a malformed date/number would
+        # otherwise match with a null score
+        return df, num.isNotNull(), _clause_score(body, score), []
     if op == "geoWithin":
         # {path, box | circle | geometry} — constant score like Atlas
         lon, lat = _geo_lonlat(df, body["path"])

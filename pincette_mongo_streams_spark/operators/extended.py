@@ -49,6 +49,22 @@ def _batch_only(name: str, c: Context) -> None:
         )
 
 
+def _corpus_only(name: str, c: Context) -> None:
+    """Stricter than :func:`_batch_only`: also refuses inside a
+    foreachBatch micro-batch (``c.micro_batch``).  The streaming runtime
+    deliberately re-enters stage compilers with ``streaming=False`` per
+    micro-batch — fine for per-batch semantics ($asOfJoin against a
+    static side is a pinned feature) but a SILENT WRONG ANSWER for
+    corpus-wide operators, which would quietly compute within-batch
+    results (r6 advisor finding: default-mode $dsirScore fit its source
+    model per micro-batch)."""
+    if c.streaming or getattr(c, "micro_batch", False):
+        raise ValueError(
+            f"{name} is corpus-wide and batch-only: a streaming "
+            "micro-batch would silently compute within-batch results"
+        )
+
+
 @register_stage("$sort")
 def sort_stage(expression: Any, ctx: Context) -> StageFn:
     def fn(df: DataFrame, c: Context) -> DataFrame:
@@ -236,18 +252,18 @@ def _fusion_top(
     silently truncates larger fused sets — make that detectable WITHOUT
     re-executing the fused sub-pipelines: take ``limit + 1`` rows ONCE
     (TakeOrderedAndProject — a bounded job even over unbounded-looking
-    sub-pipelines), persist that <= limit+1-row result, count it from
-    the cache to decide the warning, and serve the final ``limit`` rows
-    from the same cached plan.  The old shape probed with an eager
-    ``limit(limit+1).count()`` BEFORE the real query, running every
-    sub-pipeline's scans and joins twice.  An explicit ``limit`` is
-    user-requested truncation and stays fully lazy."""
+    sub-pipelines), collect them (<= 1001 rows — this path only runs
+    with the IMPLICIT default limit, so the bound is a constant, the
+    same class as $trace's limit(20)), warn when a row past the limit
+    exists, and serve the result as a local relation — no cache entry
+    left behind, no second execution of the sub-pipelines.  An explicit
+    ``limit`` is user-requested truncation and stays fully lazy."""
     order = [F.col("score").desc(), F.col(id_field)]
     ordered = fused.orderBy(*order)
     if explicit:
         return ordered.limit(limit)
-    top = ordered.limit(limit + 1).persist()
-    if top.count() > limit:
+    rows = ordered.limit(limit + 1).collect()
+    if len(rows) > limit:
         import warnings
 
         warnings.warn(
@@ -257,7 +273,8 @@ def _fusion_top(
             RuntimeWarning,
             stacklevel=3,
         )
-    return top.orderBy(*order).limit(limit)
+    local = fused.sparkSession.createDataFrame(rows[:limit], fused.schema)
+    return local.orderBy(*order)
 
 
 @register_stage("$scoreFusion")

@@ -231,8 +231,12 @@ def _jq_has_imports(script: str) -> bool:
     import and false-positived on identifiers like ``include_all``)."""
     import re as _re
 
+    # unambiguous per position: single \s (not \s+ — the (a+)* ReDoS
+    # shape) or a '#' comment that MUST consume to end-of-line (so a
+    # comment merely containing the word "import" can't backtrack into
+    # a false positive)
     return bool(_re.match(
-        r"(?:\s+|#[^\n]*(?:\n|\Z))*(?:import|include)\b", script))
+        r"(?:\s|#[^\n]*(?:\n|\Z))*(?:import|include)\b", script))
 
 
 def _jq_udf(df: DataFrame, script: str, functions=None,

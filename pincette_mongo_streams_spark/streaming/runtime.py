@@ -46,6 +46,25 @@ _BATCH_ONLY_STAGES = {
     "$fill", "$densify", "$graphLookup", "$bucketAuto",
 }
 
+# corpus-wide operators: rejected up front AND guarded per micro-batch
+# by extended._corpus_only ($dsirScore joins this set only in its
+# default fit-on-input form — with `sourceFrom` both models are static
+# and it streams)
+_CORPUS_ONLY_STAGES = {"$spanDedup", "$semanticDedup"}
+
+
+def _resolve_state_store(state_store: str) -> tuple[str, str]:
+    """(provider class, changelog-checkpointing flag).  Changelog
+    checkpointing keys off the RESOLVED class, so a full RocksDB class
+    name gets it too, not just the ``"rocksdb"`` alias."""
+    provider = _STATE_STORE_PROVIDERS.get(state_store, state_store)
+    if "." not in provider:
+        raise ValueError(
+            f"unknown state_store {state_store!r}: use "
+            f"{sorted(_STATE_STORE_PROVIDERS)} or a provider class")
+    return provider, str(
+        provider.endswith("RocksDBStateStoreProvider")).lower()
+
 # suppress_unchanged incremental store: compact the epoch-delta appends
 # into one snapshot after this many deltas (bounds both the reload's
 # latest-per-key window input and the state dir's file count)
@@ -121,29 +140,37 @@ def run_streaming(
     ``"hdfs"`` (Spark's on-heap default, test-scale), a full provider
     class name, or ``None`` to leave the session untouched.  The
     provider is a session conf captured at query START — it applies to
-    queries started after this call in the same session, and restarting
-    an existing checkpoint with a DIFFERENT provider is fine (Spark
-    rebuilds state from the checkpoint files, which are
-    provider-portable only via changelog/delta replay of the SAME
-    provider — keep the provider stable per checkpoint)."""
+    queries started after this call in the same session.  State
+    checkpoints are NOT provider-portable (HDFSBacked writes
+    .delta/.snapshot, RocksDB writes .zip/.changelog): keep the provider
+    stable for the lifetime of a checkpoint; switching requires a fresh
+    checkpoint location."""
     if state_store is not None:
-        provider = _STATE_STORE_PROVIDERS.get(state_store, state_store)
-        if "." not in provider:
-            raise ValueError(
-                f"unknown state_store {state_store!r}: use "
-                f"{sorted(_STATE_STORE_PROVIDERS)} or a provider class")
+        provider, changelog = _resolve_state_store(state_store)
         ctx.spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", provider)
         ctx.spark.conf.set(
             "spark.sql.streaming.stateStore.rocksdb."
-            "changelogCheckpointing.enabled",
-            str(state_store == "rocksdb").lower())
+            "changelogCheckpointing.enabled", changelog)
     for stage in pipeline:
         name = next(iter(stage))
         if name in _BATCH_ONLY_STAGES:
             raise ValueError(
                 f"{name} is batch-only (the reference excludes it from "
                 "infinite streams — Pipeline.java:31-32)"
+            )
+        if name in _CORPUS_ONLY_STAGES or (
+            name == "$dsirScore"
+            and "sourceFrom" not in (stage[name] or {})
+        ):
+            # corpus-wide semantics: running per micro-batch inside
+            # foreachBatch would silently compute within-batch results
+            # (the stage compilers enforce this too via _corpus_only —
+            # this up-front check just fails at submit time, not first
+            # batch)
+            raise ValueError(
+                f"{name} is corpus-wide and batch-only: a streaming "
+                "micro-batch would silently compute within-batch results"
             )
     ctx.streaming = True
     ctx.watermark = watermark

@@ -365,7 +365,16 @@ def test_jq_stage_import_after_comment(spark):
     assert _jq_has_imports('import "m" as m; .')
     assert _jq_has_imports('# c1\n  # c2\ninclude "m"; .')
     assert not _jq_has_imports("def include_all: 1; include_all")
+    # a comment CONTAINING the word import is not an import
     assert not _jq_has_imports("# import nothing\n.a")
+    # ReDoS guard: long whitespace/comment prefixes must decide fast
+    import time as _time
+
+    t0 = _time.perf_counter()
+    assert not _jq_has_imports(" \n\t " * 2000 + ".a")
+    assert not _jq_has_imports("  # comment\n" * 1500 + ".a")
+    assert _jq_has_imports(" " * 5000 + 'import "m" as m; .')
+    assert _time.perf_counter() - t0 < 2.0
 
 
 def test_loc():

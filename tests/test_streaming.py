@@ -950,6 +950,23 @@ def test_state_store_rejects_unknown_alias(spark, tmpdir):
                       lambda d, e: None, state_store="bogus")
 
 
+def test_state_store_resolution_full_class_gets_changelog(spark):
+    """A FULL RocksDB provider class name must enable changelog
+    checkpointing like the alias does (r6 review fix: the alias
+    comparison silently disabled it)."""
+    from pincette_mongo_streams_spark.streaming.runtime import \
+        _resolve_state_store
+
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    assert _resolve_state_store("rocksdb") == (rocks, "true")
+    assert _resolve_state_store(rocks) == (rocks, "true")
+    hdfs_cls, flag = _resolve_state_store("hdfs")
+    assert hdfs_cls.endswith("HDFSBackedStateStoreProvider")
+    assert flag == "false"
+    assert _resolve_state_store("com.example.MyProvider")[1] == "false"
+
+
 def test_dsir_score_streams_with_pretrained_model(spark, tmpdir):
     """r6: $dsirScore with sourceFrom (pre-trained source model from a
     static collection) runs under Structured Streaming, and per-doc
@@ -986,20 +1003,36 @@ def test_dsir_score_streams_with_pretrained_model(spark, tmpdir):
     assert got == want and len(got) == 4
 
 
-def test_dsir_score_without_model_stays_batch_only(spark, tmpdir):
-    """Fitting the source model on the input corpus needs the whole
-    corpus — the streaming runtime must keep rejecting that form."""
-    source = spark.readStream.format("rate").load()
+def test_corpus_only_stages_rejected_up_front(spark, tmpdir):
+    """Corpus-wide stages must be rejected at SUBMIT time, not silently
+    run per micro-batch inside foreachBatch (where ctx.streaming is
+    False): default-mode $dsirScore (fits its source model on the input
+    corpus), $spanDedup and $semanticDedup (corpus-wide ownership)."""
+    source = (spark.readStream.format("rate").load()
+              .selectExpr("value AS doc_id", "'t' AS text"))
     tgt = spark.createDataFrame([("x",)], "text string")
     ctx = Context(spark=spark, collections={"tgt": tgt})
-    emissions = []
-    q = run_streaming(
-        source.selectExpr("value AS doc_id", "'t' AS text"),
+    for pipeline in (
         [{"$dsirScore": {"input": "$text", "id": "doc_id",
                          "from": "tgt"}}],
-        ctx, lambda d, e: emissions.append(e),
-        trigger={"availableNow": True},
-    )
-    with pytest.raises(Exception, match="batch-only|streaming"):
-        q.awaitTermination(60)
-        raise RuntimeError("query should have failed (streaming)")
+        [{"$spanDedup": {"input": "$text", "id": "$doc_id"}}],
+        [{"$semanticDedup": {"input": "$emb", "id": "doc_id", "k": 2}}],
+    ):
+        with pytest.raises(ValueError, match="corpus-wide"):
+            run_streaming(source, pipeline, ctx, lambda d, e: None,
+                          trigger={"availableNow": True})
+    # the per-micro-batch guard itself (defense in depth when a stage
+    # compiler is invoked inside foreachBatch directly)
+    from pincette_mongo_streams_spark import compile_pipeline
+    from pincette_mongo_streams_spark.operators.extended import \
+        _corpus_only
+
+    mb = Context(spark=spark, collections={"tgt": tgt})
+    mb.micro_batch = True
+    with pytest.raises(ValueError, match="corpus-wide"):
+        _corpus_only("$spanDedup", mb)
+    df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="corpus-wide"):
+        compile_pipeline(
+            [{"$spanDedup": {"input": "$text", "id": "$doc_id"}}],
+            mb)(df)

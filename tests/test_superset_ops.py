@@ -322,9 +322,10 @@ def test_rank_fusion_weights_and_missing_docs(spark):
 
 def test_fusion_without_limit_is_bounded(spark):
     """A missing `limit` defaults to 1000 (Mongo requires bounded fused
-    pipelines): ordering+limit collapses to TakeOrderedAndProject so the
-    final rank window never sorts an unbounded fused set through one
-    partition."""
+    pipelines): the fused set is probed with ONE TakeOrderedAndProject
+    job (limit+1 rows) and the downstream plan reads a <= 1000-row LOCAL
+    relation — the final rank window never sorts an unbounded fused set
+    through one partition, and the sub-pipelines never execute twice."""
     from pincette_mongo_streams_spark import Context, compile_pipeline
 
     rows = [(i, f"spark doc {i}") for i in range(5)]
@@ -340,7 +341,10 @@ def test_fusion_without_limit_is_bounded(spark):
         }}], ctx
     )(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "TakeOrderedAndProject" in plan
+    # bounded-by-construction: the plan's source is the collected local
+    # relation, not a re-execution of the fused sub-pipelines
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    assert "BM25" not in plan  # sub-pipeline scans don't re-run
     assert len(out.collect()) == 3
 
 
