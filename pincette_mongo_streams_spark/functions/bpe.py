@@ -134,6 +134,67 @@ def count_tokens(text, ranks: Ranks, cache: dict):
     return n
 
 
+def train(word_counts, n_merges: int, min_pair_count: int = 2):
+    """Learn ``n_merges`` BPE merge rules from ``{word: count}`` — the
+    standard frequency-greedy training loop (Sennrich et al. 2016) with
+    the classic incremental pair-count bookkeeping: maintain a pair ->
+    count map and a pair -> {word ids} index, each round merge the most
+    frequent pair inside the words that contain it and update only the
+    pairs those words touched.  Deterministic: ties break on the pair
+    itself.  Returns ``[(left, right, rank)]``.  Runs on the DRIVER over
+    the (bounded) word-frequency table — see the $bpeTrain stage for the
+    distributed aggregation that produces it."""
+    words = {i: (list(w), c) for i, (w, c) in enumerate(word_counts.items())}
+    pair_counts: Dict[Tuple[str, str], int] = {}
+    where: Dict[Tuple[str, str], set] = {}
+
+    def add_word(wid, sign=1):
+        syms, c = words[wid]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + sign * c
+            if sign > 0:
+                where.setdefault(p, set()).add(wid)
+
+    for wid in words:
+        add_word(wid)
+    merges: List[Tuple[str, str, int]] = []
+    for rank in range(n_merges):
+        best = None
+        best_c = min_pair_count - 1
+        for p, c in pair_counts.items():
+            if c > best_c or (c == best_c and best is not None and p < best):
+                best, best_c = p, c
+        if best is None:
+            break
+        merges.append((best[0], best[1], rank))
+        for wid in list(where.get(best, ())):
+            syms, c = words[wid]
+            add_word(wid, sign=-1)  # retract this word's old pairs
+            i = 0
+            merged = []
+            while i < len(syms):
+                if (i < len(syms) - 1
+                        and (syms[i], syms[i + 1]) == best):
+                    merged.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            words[wid] = (merged, c)
+            add_word(wid)
+        pair_counts.pop(best, None)
+        where.pop(best, None)
+        # retracting can zero out pairs; drop them so the argmax scan
+        # stays proportional to live pairs
+        if rank % 64 == 63:
+            dead = [p for p, c in pair_counts.items() if c <= 0]
+            for p in dead:
+                pair_counts.pop(p, None)
+                where.pop(p, None)
+    return merges
+
+
 def truncate_tokens(text, max_n: int, ranks: Ranks, cache: dict):
     if text is None:
         return None

@@ -2163,6 +2163,69 @@ def token_count_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$bpeTrain")
+def bpe_train_stage(expression: Any, ctx: Context) -> StageFn:
+    """Learn a BPE merge table FROM the corpus — the in-engine source
+    for ``$tokenCount``/``$truncateTokens`` ``tokenizer: {merges}``:
+    ``{input, merges, minCount?, maxWords?}`` emits ``(left, right,
+    rank)`` rows (feed back via ``Context.collections``).
+
+    100 TB shape (how practical BPE training works): the corpus
+    collapses to a WORD-FREQUENCY table first — pre-tokenize (the same
+    Python pre-tokenizer the encoder uses, Arrow-batched), explode,
+    one partial-aggregated groupBy(word) — then the top ``maxWords``
+    (default 1,000,000; TakeOrderedAndProject, no global sort) rows
+    come to the driver and the frequency-greedy merge loop (Sennrich et
+    al. 2016, incremental pair-count bookkeeping — functions/bpe.py
+    ``train``) runs driver-side over that BOUNDED table, exactly like
+    reference tokenizer trainers.  ``minCount`` (default 2) stops when
+    no pair reaches it.  Eager (the word-count job runs when the stage
+    executes, like $bucketAuto's boundary job); the output plan is a
+    local relation."""
+    inp = expression["input"]
+    n_merges = int(expression["merges"])
+    min_count = int(expression.get("minCount", 2))
+    max_words = int(expression.get("maxWords", 1_000_000))
+    if n_merges < 1 or min_count < 1 or max_words < 1:
+        raise ValueError(
+            "$bpeTrain needs merges >= 1, minCount >= 1, maxWords >= 1")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..operators.extended import _corpus_only
+
+        _corpus_only("$bpeTrain", c)
+        from . import bpe as _bpe
+
+        try:
+            from pyspark import cloudpickle
+
+            cloudpickle.register_pickle_by_value(_bpe)
+        except Exception:  # pragma: no cover - older pickler
+            pass
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        pretoken_findall = _bpe.PRETOKEN_RE.findall
+
+        @F.pandas_udf("array<string>")
+        def _pretok(s: pd.Series) -> pd.Series:
+            return s.map(lambda t: [] if t is None
+                         else pretoken_findall(t))
+
+        word_rows = (
+            df.select(F.explode(_pretok(text)).alias("__w"))
+            .groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+            .orderBy(F.col("__c").desc(), F.col("__w"))
+            .limit(max_words)
+            .collect()
+        )
+        counts = {r["__w"]: int(r["__c"]) for r in word_rows}
+        merges = _bpe.train(counts, n_merges, min_count)
+        schema = "left string, right string, rank long"
+        return c.spark.createDataFrame(
+            [(l, r_, k) for l, r_, k in merges], schema)
+
+    return fn
+
+
 @register_stage("$bm25")
 def bm25_stage(expression: Any, ctx: Context) -> StageFn:
     """BM25 ranked retrieval: ``{query, input, id, k, k1, b}`` →

@@ -876,3 +876,88 @@ def test_dsir_score_pretrained_source_model(spark):
     tt = n_feats(["cat purrs and the cat naps", "a cat sits on the mat"])
     want = 5 * (math.log(1.0 / (tt + 1000)) - math.log(1.0 / (ts + 1000)))
     assert abs(out[0]["dsir_score"] - round(want, 6)) < 1e-6
+
+
+def _naive_train(word_counts, n_merges, min_count=2):
+    """From-scratch reference: recompute ALL pair counts each round."""
+    words = {i: (list(w), c) for i, (w, c) in
+             enumerate(word_counts.items())}
+    merges = []
+    for rank in range(n_merges):
+        pc = {}
+        for syms, c in words.values():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + c
+        live = {p: c for p, c in pc.items() if c >= min_count}
+        if not live:
+            break
+        best = min(live, key=lambda p: (-live[p], p))
+        merges.append((best[0], best[1], rank))
+        for wid, (syms, c) in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wid] = (out, c)
+    return merges
+
+
+def test_bpe_train_matches_naive_reference():
+    """r6: the incremental trainer equals a from-scratch recount trainer
+    on randomized word-frequency tables (including repeated-letter words
+    where pair counts overlap)."""
+    import random
+
+    from pincette_mongo_streams_spark.functions.bpe import train
+
+    rng = random.Random(13)
+    for trial in range(30):
+        vocab = {}
+        for _ in range(rng.randint(3, 40)):
+            w = "".join(rng.choice("abc") for _ in range(rng.randint(1, 7)))
+            vocab[w] = rng.randint(1, 9)
+        n = rng.randint(1, 12)
+        assert train(vocab, n) == _naive_train(vocab, n), (vocab, n)
+
+
+def test_bpe_train_stage_end_to_end(spark):
+    """$bpeTrain over the real documents corpus produces a merge table
+    the encoder consumes: training then tokenizing lowers the token
+    count vs character count, and the table round-trips through
+    Context.collections into $tokenCount."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges_df = compile_pipeline(
+        [{"$bpeTrain": {"input": "$text", "merges": 40}}],
+        Context(spark=spark))(docs)
+    rows = merges_df.collect()
+    assert merges_df.columns == ["left", "right", "rank"]
+    assert 0 < len(rows) <= 40
+    assert [r["rank"] for r in rows] == list(range(len(rows)))
+    ctx = Context(spark=spark, collections={"m": merges_df})
+    out = compile_pipeline(
+        [{"$tokenCount": {"input": "$text", "as": "n_bpe",
+                          "tokenizer": {"merges": "m"}}},
+         {"$project": {"doc_id": 1, "n_bpe": 1,
+                       "n_chars_x": {"$strLenCP": "$text"}}}],
+        ctx)(docs).collect()
+    # merges compress: BPE tokens strictly fewer than characters
+    assert all(r["n_bpe"] < r["n_chars_x"] for r in out
+               if r["n_chars_x"] and r["n_chars_x"] > 10)
+
+
+def test_bpe_train_early_stop_and_validation(spark):
+    from pincette_mongo_streams_spark.functions.bpe import train
+
+    # every pair unique -> counts of 1 < minCount 2 -> no merges
+    assert train({"ab": 1, "cd": 1}, 10) == []
+    # early stop: only one mergeable pair
+    assert train({"ab": 5}, 10) == [("a", "b", 0)]
+    df = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError, match="merges >= 1"):
+        compile_pipeline([{"$bpeTrain": {"input": "$text", "merges": 0}}],
+                         Context(spark=spark))(df)
