@@ -1036,3 +1036,26 @@ def test_corpus_only_stages_rejected_up_front(spark, tmpdir):
         compile_pipeline(
             [{"$spanDedup": {"input": "$text", "id": "$doc_id"}}],
             mb)(df)
+
+
+def test_group_per_message_under_rocksdb(spark, tmpdir):
+    """The per-message parity mode (applyInPandasWithState) also runs
+    with the RocksDB state store — the reference-granularity emission
+    protocol keeps working under the 100 TB state configuration."""
+    pipeline = [{"$group": {"_id": "$k", "mx": {"$max": "$v"}}}]
+    try:
+        emissions = _run(
+            spark, tmpdir, "k string, v long",
+            [[{"k": "a", "v": 5}],
+             [{"k": "a", "v": 3}, {"k": "a", "v": 7}]],
+            pipeline, emission="per_message", state_store="rocksdb",
+        )
+        flat = [(r["_id"], r["mx"]) for b in emissions for r in b]
+        assert flat == [("a", 5), ("a", 7)]  # losing candidate silent
+        assert (spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass")
+            .endswith("RocksDBStateStoreProvider"))
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset("spark.sql.streaming.stateStore.rocksdb."
+                         "changelogCheckpointing.enabled")
