@@ -1350,6 +1350,39 @@ _register(
     )
 )
 
+def _bpe_token_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: self-contained real-BPE counting — train 64 merges on the
+    corpus itself ($bpeTrain), feed the learned table back through
+    Context.collections into tokenizer:{merges}.  Rows-only gate: the
+    iterative trainer + unbounded merge loop aren't SQL-expressible;
+    exactness is pinned by the differential tests in
+    tests/test_corpus_signals.py (trainer vs from-scratch recount,
+    encoder vs an independent reference implementation)."""
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    tables = _load(spark, sf_dir)
+    merges = compile_pipeline(
+        [{"$bpeTrain": {"input": "$text", "merges": 64}}],
+        Context(spark=spark),
+    )(tables["documents"])
+    ctx = Context(spark=spark, collections={"merges": merges})
+    return compile_pipeline(
+        [
+            {"$tokenCount": {"input": "$text", "as": "n_bpe",
+                             "tokenizer": {"merges": "merges"}}},
+            {"$project": {"_id": 0, "doc_id": 1, "n_bpe": 1}},
+            {"$sort": {"doc_id": 1}},
+        ],
+        ctx,
+    )(tables["documents"])
+
+
+_register(
+    "bpe_token_count",
+    None,  # iterative BPE training + unbounded merge loop: rows-only
+)(_bpe_token_count_query)
+
+
 _LANG_SQL_HITS = ", ".join(
     "len(list_filter(string_split_regex(lower(text), '[^a-z]+'), "
     f"w -> w IN ({', '.join(repr(w) for w in ws)}))) AS hits_{lang}"
@@ -4696,6 +4729,35 @@ ORDER BY d.doc_id""",
             ]}},
             {"$spanDedup": {"input": "$text", "id": "$doc_id",
                             "as": "sd", "span": 1}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "text": "$sd.text",
+                          "n_sentences": "$sd.n_sentences",
+                          "n_removed": "$sd.n_removed"}},
+            {"$sort": {"doc_id": 1}},
+        ],
+        collections={"documents2": "documents"},
+    )
+)
+
+
+_register(
+    # r6: $spanDedup verify mode — ownership keyed on the span STRING
+    # (hash collisions can't delete unrelated spans); on a
+    # collision-free corpus it must HASH-MATCH the same full-rewrite
+    # oracle as the default mode, which is exactly the gate here
+    "span_dedup_verify",
+    _REGISTRY["span_dedup"][1],
+)(
+    _pipe(
+        "documents",
+        [
+            {"$project": {"_id": 0, "doc_id": 1, "text": 1}},
+            {"$unionWith": {"coll": "documents2", "pipeline": [
+                {"$project": {"_id": 0, "text": 1,
+                              "doc_id": {"$add": ["$doc_id", 10000]}}},
+            ]}},
+            {"$spanDedup": {"input": "$text", "id": "$doc_id",
+                            "as": "sd", "span": 1, "verify": True}},
             {"$project": {"_id": 0, "doc_id": 1,
                           "text": "$sd.text",
                           "n_sentences": "$sd.n_sentences",

@@ -19,7 +19,10 @@ SF_DIR = "/root/testdata/sf0.001"
 # jq_tail: the tier-2 jq interpreter is the documented per-row Python
 # boundary for scripts beyond the native Column compiler (script.py).
 _PYTHON_ALLOWED = {"http_enrich", "decode_media_meta", "media_pipeline",
-                   "jq_tail"}
+                   "jq_tail",
+                   # r6: real BPE — the unbounded merge loop is the
+                   # documented Arrow-batched tokenizer boundary
+                   "bpe_token_count"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
