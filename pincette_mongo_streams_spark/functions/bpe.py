@@ -84,6 +84,22 @@ def load_merges(ctx, name: str) -> Ranks:
     return ranks
 
 
+def _apply_merge(syms: List[str], pair: Tuple[str, str]) -> List[str]:
+    """Greedy left-to-right replacement of every adjacent occurrence of
+    ``pair`` — THE single definition of one merge application, shared by
+    the encoder and the trainer so their semantics cannot drift."""
+    merged: List[str] = []
+    i = 0
+    while i < len(syms):
+        if i < len(syms) - 1 and (syms[i], syms[i + 1]) == pair:
+            merged.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            merged.append(syms[i])
+            i += 1
+    return merged
+
+
 def bpe_word(word: str, ranks: Ranks, cache: dict) -> List[str]:
     """Encode ONE pre-token: start from characters, repeatedly merge all
     occurrences of the lowest-rank adjacent pair."""
@@ -101,17 +117,7 @@ def bpe_word(word: str, ranks: Ranks, cache: dict) -> List[str]:
                 best = (parts[i], parts[i + 1])
         if best is None:
             break
-        merged: List[str] = []
-        i = 0
-        while i < len(parts):
-            if (i < len(parts) - 1
-                    and (parts[i], parts[i + 1]) == best):
-                merged.append(parts[i] + parts[i + 1])
-                i += 2
-            else:
-                merged.append(parts[i])
-                i += 1
-        parts = merged
+        parts = _apply_merge(parts, best)
     cache[word] = parts
     return parts
 
@@ -171,17 +177,7 @@ def train(word_counts, n_merges: int, min_pair_count: int = 2):
         for wid in list(where.get(best, ())):
             syms, c = words[wid]
             add_word(wid, sign=-1)  # retract this word's old pairs
-            i = 0
-            merged = []
-            while i < len(syms):
-                if (i < len(syms) - 1
-                        and (syms[i], syms[i + 1]) == best):
-                    merged.append(syms[i] + syms[i + 1])
-                    i += 2
-                else:
-                    merged.append(syms[i])
-                    i += 1
-            words[wid] = (merged, c)
+            words[wid] = (_apply_merge(syms, best), c)
             add_word(wid)
         pair_counts.pop(best, None)
         where.pop(best, None)

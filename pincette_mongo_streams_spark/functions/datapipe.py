@@ -2196,12 +2196,9 @@ def bpe_train_stage(expression: Any, ctx: Context) -> StageFn:
         _corpus_only("$bpeTrain", c)
         from . import bpe as _bpe
 
-        try:
-            from pyspark import cloudpickle
-
-            cloudpickle.register_pickle_by_value(_bpe)
-        except Exception:  # pragma: no cover - older pickler
-            pass
+        # (no pickle-by-value needed: the only executor-bound closure
+        # captures the compiled pre-tokenizer pattern; train() runs on
+        # the driver)
         text = compile_expr(inp, ExprContext(schema=df.schema))
         pretoken_findall = _bpe.PRETOKEN_RE.findall
 
@@ -2219,9 +2216,8 @@ def bpe_train_stage(expression: Any, ctx: Context) -> StageFn:
         )
         counts = {r["__w"]: int(r["__c"]) for r in word_rows}
         merges = _bpe.train(counts, n_merges, min_count)
-        schema = "left string, right string, rank long"
         return c.spark.createDataFrame(
-            [(l, r_, k) for l, r_, k in merges], schema)
+            merges, "left string, right string, rank long")
 
     return fn
 

@@ -50,7 +50,7 @@ _BATCH_ONLY_STAGES = {
 # by extended._corpus_only ($dsirScore joins this set only in its
 # default fit-on-input form — with `sourceFrom` both models are static
 # and it streams)
-_CORPUS_ONLY_STAGES = {"$spanDedup", "$semanticDedup"}
+_CORPUS_ONLY_STAGES = {"$spanDedup", "$semanticDedup", "$bpeTrain"}
 
 
 def _resolve_state_store(state_store: str) -> tuple[str, str]:

@@ -945,9 +945,13 @@ def test_bpe_train_stage_end_to_end(spark):
          {"$project": {"doc_id": 1, "n_bpe": 1,
                        "n_chars_x": {"$strLenCP": "$text"}}}],
         ctx)(docs).collect()
-    # merges compress: BPE tokens strictly fewer than characters
-    assert all(r["n_bpe"] < r["n_chars_x"] for r in out
-               if r["n_chars_x"] and r["n_chars_x"] > 10)
+    # merges compress IN AGGREGATE (a single doc may contain none of
+    # the learned pairs and tokenize 1:1 — corpus-content-dependent)
+    tot_bpe = sum(r["n_bpe"] for r in out if r["n_bpe"])
+    tot_chars = sum(r["n_chars_x"] for r in out if r["n_chars_x"])
+    assert 0 < tot_bpe < tot_chars
+    assert all(r["n_bpe"] <= r["n_chars_x"] for r in out
+               if r["n_chars_x"])
 
 
 def test_bpe_train_early_stop_and_validation(spark):

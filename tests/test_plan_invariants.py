@@ -27,10 +27,13 @@ _PYTHON_ALLOWED = {"http_enrich", "decode_media_meta", "media_pipeline",
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
 def test_no_python_in_plan(spark, name):
+    if name in _PYTHON_ALLOWED:
+        # skip BEFORE building: query construction can run eager jobs
+        # (bpe_token_count trains its merge table) — all spent to
+        # assert nothing
+        pytest.skip("documented Python transport boundary")
     df = entrymod.queries()[name](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    if name in _PYTHON_ALLOWED:
-        return
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                    "FlatMapGroupsInPandas"):
         assert marker not in plan, f"{name}: {marker} leaked into the plan"

@@ -1017,6 +1017,7 @@ def test_corpus_only_stages_rejected_up_front(spark, tmpdir):
                          "from": "tgt"}}],
         [{"$spanDedup": {"input": "$text", "id": "$doc_id"}}],
         [{"$semanticDedup": {"input": "$emb", "id": "doc_id", "k": 2}}],
+        [{"$bpeTrain": {"input": "$text", "merges": 8}}],
     ):
         with pytest.raises(ValueError, match="corpus-wide"):
             run_streaming(source, pipeline, ctx, lambda d, e: None,
