@@ -56,9 +56,23 @@ def main() -> None:
                     "sum_v": {"$sum": "$value"}}},
     ]
 
+    per_message = [
+        {"$group": {"_id": "$user_id",
+                    "n": {"$count": {}},
+                    "sum_v": {"$sum": "$value"}}},
+    ]
+    configs = {
+        "hdfs": (pipeline, {"state_store": "hdfs"}),
+        "rocksdb": (pipeline, {"state_store": "rocksdb"}),
+        # the reference-parity emission protocol: one emission per
+        # state-CHANGING message (applyInPandasWithState)
+        "per_message_rocksdb": (per_message,
+                                {"state_store": "rocksdb",
+                                 "emission": "per_message"}),
+    }
     results = {}
-    for provider in ("hdfs", "rocksdb"):
-        ckpt = os.path.join(work, f"ckpt_{provider}")
+    for name, (pipe, kw) in configs.items():
+        ckpt = os.path.join(work, f"ckpt_{name}")
         source = (spark.readStream.schema(schema)
                   .option("maxFilesPerTrigger", 1).parquet(in_dir))
         emitted = [0]
@@ -68,19 +82,18 @@ def main() -> None:
 
         t0 = time.perf_counter()
         q = run_streaming(
-            source, pipeline, Context(spark=spark), sink,
-            trigger={"availableNow": True}, checkpoint=ckpt,
-            state_store=provider,
+            source, pipe, Context(spark=spark), sink,
+            trigger={"availableNow": True}, checkpoint=ckpt, **kw,
         )
         finished = q.awaitTermination(600)
         if not finished:  # timed-out partial run = meaningless numbers
             q.stop()
             raise RuntimeError(
-                f"streaming bench ({provider}) did not finish in 600s")
+                f"streaming bench ({name}) did not finish in 600s")
         dt = time.perf_counter() - t0
         prog = q.lastProgress or {}
         state = (prog.get("stateOperators") or [])
-        results[provider] = {
+        results[name] = {
             "sec": round(dt, 3),
             "events_per_sec": round(n_events / dt, 1),
             "emitted_rows": emitted[0],
