@@ -536,3 +536,46 @@ def test_span_dedup_tokens_sf01(spark):
 
     touched = out.filter(F.col("sd.n_removed") > 0).count()
     assert touched > 0
+
+
+def test_sample_size_two_phase_sf01(spark):
+    """$sample {size} at sf0.1 (r6): the plan Bernoulli-samples at the
+    scan and bounds via TakeOrderedAndProject over O(n) rows — never a
+    range-partitioned global sort of the corpus; the count is exact."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = compile_pipeline(
+        [{"$sample": {"size": 2000, "seed": 11}},
+         {"$project": {"l_orderkey": 1}}],
+        Context(spark=spark),
+    )(li)
+    plan = _assert_scale_plan(out, "sample_size")
+    assert "Sample" in plan and "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    n, secs = _timed(out)
+    assert n == 2000
+    assert secs < 45, f"sample took {secs:.1f}s at sf0.1"
+
+
+def test_bpe_train_sf01(spark):
+    """$bpeTrain at sf0.1 (r6): the word-count aggregation partial-
+    aggregates the 5k-doc corpus to a distinct-pretoken table; training
+    is driver-side over that bounded table; the emitted merge table is
+    a local relation consumable by tokenizer:{merges}."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.monotonic()
+    merges = compile_pipeline(
+        [{"$bpeTrain": {"input": "$text", "merges": 256}}],
+        Context(spark=spark),
+    )(docs)
+    rows = merges.collect()
+    secs = time.monotonic() - t0
+    assert 0 < len(rows) <= 256
+    assert secs < 60, f"bpeTrain took {secs:.1f}s at sf0.1"
+    out = compile_pipeline(
+        [{"$tokenCount": {"input": "$text", "as": "n_bpe",
+                          "tokenizer": {"merges": "m"}}}],
+        Context(spark=spark, collections={"m": merges}),
+    )(docs)
+    agg = out.selectExpr("sum(n_bpe) AS b",
+                         "sum(length(text)) AS c").collect()[0]
+    assert 0 < agg["b"] < agg["c"]  # learned merges compress in aggregate
