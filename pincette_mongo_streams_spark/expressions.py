@@ -932,8 +932,10 @@ def _convert(raw: Any, ctx: ExprContext) -> Column:
     string<->binData directions (base64, base64url, hex, utf8).
     Deviations: invalid base64/hex input passes through Java's lenient
     decoders instead of raising as Mongo does (use a $match guard for
-    strict inputs); invalid UTF-8 renders U+FFFD replacement chars
-    instead of raising; binData subtypes don't exist in Spark's BINARY
+    strict inputs); binData -> string utf8 has FULL Mongo semantics
+    (r6): invalid UTF-8 raises, or routes to ``onError`` when given
+    (validate_utf8 / try_validate_utf8); binData subtypes don't exist
+    in Spark's BINARY
     type, so a ``to: {type, subtype}`` document ignores the subtype;
     and binData -> string WITHOUT ``format`` falls through to the plain
     string cast (lenient UTF-8) because the input's runtime type is not
@@ -979,10 +981,13 @@ def _convert(raw: Any, ctx: ExprContext) -> Column:
             # lowered on both engine and oracle sides)
             out = F.lower(F.hex(inp))
         elif fmt == "utf8":
-            # try_cast, not F.decode: decode THROWS on malformed UTF-8
-            # under ANSI and onError cannot catch an exception; the cast
-            # renders U+FFFD for invalid bytes (documented deviation)
-            out = inp.try_cast("string")
+            # r6: full Mongo parity via Spark's validate_utf8 family —
+            # with onError, invalid bytes yield NULL (try_ variant) and
+            # coalesce routes to onError like Mongo's catch; without,
+            # validate_utf8 raises like Mongo does (closes the r5
+            # U+FFFD-replacement deviation)
+            out = (F.try_validate_utf8(inp) if "onError" in raw
+                   else F.validate_utf8(inp))
         else:
             raise ValueError(
                 "$convert to string supports format "

@@ -516,12 +516,25 @@ def test_convert_bindata_formats(spark):
         {"$convert": {"input": "$s", "to": "binData"}},
         ExprContext(schema=df3.schema)).alias("v")).collect()[0]["v"]
     assert v3 == b"hello"
-    # malformed UTF-8 renders replacement chars, never aborts the job
+    # r6 full Mongo parity on malformed UTF-8: raises without onError,
+    # routes to onError when given (validate_utf8 / try_validate_utf8)
     df4 = spark.createDataFrame([(bytes([0xFF, 0x68]),)], "b binary")
+    with pytest.raises(Exception, match="(?i)utf"):
+        df4.select(compile_expr(
+            {"$convert": {"input": "$b", "to": "string",
+                          "format": "utf8"}},
+            ExprContext(schema=df4.schema)).alias("v")).collect()
     v4 = df4.select(compile_expr(
-        {"$convert": {"input": "$b", "to": "string", "format": "utf8"}},
+        {"$convert": {"input": "$b", "to": "string", "format": "utf8",
+                      "onError": "BAD"}},
         ExprContext(schema=df4.schema)).alias("v")).collect()[0]["v"]
-    assert v4.endswith("h") and len(v4) == 2
+    assert v4 == "BAD"
+    # valid bytes still decode on the onError path
+    df5 = spark.createDataFrame([(b"hi",)], "b binary")
+    assert df5.select(compile_expr(
+        {"$convert": {"input": "$b", "to": "string", "format": "utf8",
+                      "onError": "BAD"}},
+        ExprContext(schema=df5.schema)).alias("v")).collect()[0]["v"] == "hi"
     with pytest.raises(ValueError, match="format must be"):
         compile_expr({"$convert": {"input": "$s", "to": "binData",
                                    "format": "uuid"}}, ectx)
