@@ -1,12 +1,21 @@
 """Streaming throughput bench: the sf events table replayed as a file
-stream through ``run_streaming`` with the reference's canonical stateful
-shape — ``$deduplicate`` (event_id) then update-mode ``$group`` (per-user
-count/sum) — under both state-store providers.
+stream through ``run_streaming``.  Three configs:
+
+- ``hdfs`` / ``rocksdb``: the reference's canonical stateful shape —
+  ``$deduplicate`` (event_id) then update-mode ``$group`` (per-user
+  count/sum) — under each state-store provider;
+- ``per_message_rocksdb``: the reference-parity EMISSION protocol
+  (``emission="per_message"``, applyInPandasWithState) running ``$group``
+  ONLY — per-message mode requires plan stages before the group, so this
+  config has no ``$deduplicate`` and is NOT throughput-comparable to the
+  first two; it measures the per-message operator itself.
 
 Prints ONE JSON line::
 
     {"metric": "streaming_events_per_sec", "value": <hdfs ev/s>,
-     "unit": "events/sec", "providers": {"hdfs": {...}, "rocksdb": {...}},
+     "unit": "events/sec",
+     "providers": {"hdfs": {...}, "rocksdb": {...},
+                   "per_message_rocksdb": {...}},
      "events": N, "batches": B, "sf": ...}
 
 Not part of bench.py's driver metric — this records the streaming story
