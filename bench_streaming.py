@@ -4,11 +4,11 @@ stream through ``run_streaming``.  Three configs:
 - ``hdfs`` / ``rocksdb``: the reference's canonical stateful shape —
   ``$deduplicate`` (event_id) then update-mode ``$group`` (per-user
   count/sum) — under each state-store provider;
-- ``per_message_rocksdb``: the reference-parity EMISSION protocol
-  (``emission="per_message"``, applyInPandasWithState) running ``$group``
-  ONLY — per-message mode requires plan stages before the group, so this
-  config has no ``$deduplicate`` and is NOT throughput-comparable to the
-  first two; it measures the per-message operator itself.
+- ``per_message_rocksdb``: the SAME pipeline under the reference-parity
+  EMISSION protocol (``emission="per_message"``: $deduplicate feeds an
+  applyInPandasWithState $group that emits once per state-CHANGING
+  message) — directly comparable to the ``rocksdb`` row; the delta is
+  the per-message operator + 8x the emitted rows.
 
 Prints ONE JSON line::
 
@@ -65,17 +65,13 @@ def main() -> None:
                     "sum_v": {"$sum": "$value"}}},
     ]
 
-    per_message = [
-        {"$group": {"_id": "$user_id",
-                    "n": {"$count": {}},
-                    "sum_v": {"$sum": "$value"}}},
-    ]
     configs = {
         "hdfs": (pipeline, {"state_store": "hdfs"}),
         "rocksdb": (pipeline, {"state_store": "rocksdb"}),
-        # the reference-parity emission protocol: one emission per
-        # state-CHANGING message (applyInPandasWithState)
-        "per_message_rocksdb": (per_message,
+        # SAME pipeline under the reference-parity emission protocol:
+        # one emission per state-CHANGING message ($deduplicate is a
+        # plan stage and chains into applyInPandasWithState)
+        "per_message_rocksdb": (pipeline,
                                 {"state_store": "rocksdb",
                                  "emission": "per_message"}),
     }
