@@ -2163,6 +2163,70 @@ def token_count_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$bpeEncode")
+def bpe_encode_stage(expression: Any, ctx: Context) -> StageFn:
+    """Full BPE tokenization — the artifact a training pipeline
+    actually materializes: ``{input, tokenizer: {merges, vocab?}, as?}``
+    adds ``as`` (default "tokens") as ``array<string>`` of BPE tokens
+    (concatenation-preserving: ``concat(tokens) == text``).  With
+    ``vocab`` (a collection mapping ``token -> id``), emits
+    ``array<long>`` ids instead; tokens absent from the vocab map to
+    ``-1`` (byte-fallback doesn't exist at char level — filter or
+    extend the vocab).  Null in -> null out.
+
+    100 TB shape: same Arrow-batched tokenizer boundary as
+    ``$tokenCount`` — merge table (and vocab) broadcast once per
+    executor, row-local, zero shuffle."""
+    inp = expression["input"]
+    as_field = expression.get("as", "tokens")
+    tokenizer = expression.get("tokenizer") or {}
+    if "merges" not in tokenizer:
+        raise ValueError("$bpeEncode tokenizer needs a merges collection")
+    vocab_name = tokenizer.get("vocab")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from . import bpe as _bpe
+
+        try:
+            from pyspark import cloudpickle
+
+            cloudpickle.register_pickle_by_value(_bpe)
+        except Exception:  # pragma: no cover - older pickler
+            pass
+        ranks = _bpe.load_merges(c, tokenizer["merges"])
+        vocab = None
+        if vocab_name is not None:
+            vdf = c.collection(vocab_name)
+            if not {"token", "id"} <= set(vdf.columns):
+                raise ValueError(
+                    "$bpeEncode tokenizer.vocab needs (token, id) columns")
+            vocab = {r["token"]: int(r["id"])
+                     for r in vdf.select("token", "id").collect()}
+        bc = c.spark.sparkContext.broadcast((ranks, vocab))
+        encode = _bpe.encode
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+
+        if vocab is None:
+            @F.pandas_udf("array<string>")
+            def _enc(s: pd.Series) -> pd.Series:
+                cache: dict = {}
+                rk, _ = bc.value
+                return s.map(lambda t: None if t is None
+                             else encode(t, rk, cache))
+        else:
+            @F.pandas_udf("array<long>")
+            def _enc(s: pd.Series) -> pd.Series:
+                cache: dict = {}
+                rk, vb = bc.value
+                return s.map(lambda t: None if t is None
+                             else [vb.get(tok, -1)
+                                   for tok in encode(t, rk, cache)])
+
+        return df.withColumn(as_field, _enc(text))
+
+    return fn
+
+
 @register_stage("$bpeTrain")
 def bpe_train_stage(expression: Any, ctx: Context) -> StageFn:
     """Learn a BPE merge table FROM the corpus — the in-engine source

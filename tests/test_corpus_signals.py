@@ -965,3 +965,54 @@ def test_bpe_train_early_stop_and_validation(spark):
     with pytest.raises(ValueError, match="merges >= 1"):
         compile_pipeline([{"$bpeTrain": {"input": "$text", "merges": 0}}],
                          Context(spark=spark))(df)
+
+
+def test_bpe_encode_tokens_and_ids(spark):
+    """r6: $bpeEncode emits the BPE token sequence (concatenation-
+    preserving) or vocab-mapped ids; OOV -> -1; null in -> null out."""
+    from pincette_mongo_streams_spark.functions import bpe as bpe_mod
+
+    ranks = {(l, r): k for l, r, k in _MERGES}
+    merges_df = _merges_df(spark)
+    df = spark.createDataFrame(
+        [(1, "the thing and other"), (2, None)], "doc_id long, t string")
+    ctx = Context(spark=spark, collections={"m": merges_df})
+    out = compile_pipeline(
+        [{"$bpeEncode": {"input": "$t", "as": "toks",
+                         "tokenizer": {"merges": "m"}}}],
+        ctx)(df).collect()
+    by = {r["doc_id"]: r["toks"] for r in out}
+    assert "".join(by[1]) == "the thing and other"
+    assert by[1] == bpe_mod.encode("the thing and other", ranks, {})
+    assert by[2] is None
+    # vocab ids: build the vocab FROM the corpus's own token set —
+    # the natural composition ($bpeEncode -> explode -> distinct -> id)
+    toks = sorted(set(by[1]))
+    vocab_df = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(toks)], "token string, id long")
+    ctx2 = Context(spark=spark, collections={"m": merges_df,
+                                             "v": vocab_df})
+    out2 = compile_pipeline(
+        [{"$bpeEncode": {"input": "$t", "as": "ids",
+                         "tokenizer": {"merges": "m", "vocab": "v"}}}],
+        ctx2)(df).collect()
+    ids = {r["doc_id"]: r["ids"] for r in out2}
+    assert ids[1] == [toks.index(t) for t in by[1]]
+    assert ids[2] is None
+    # OOV maps to -1
+    df3 = spark.createDataFrame([(3, "zzz")], "doc_id long, t string")
+    out3 = compile_pipeline(
+        [{"$bpeEncode": {"input": "$t", "as": "ids",
+                         "tokenizer": {"merges": "m", "vocab": "v"}}}],
+        ctx2)(df3).collect()
+    assert all(i == -1 for i in out3[0]["ids"])
+    # validation
+    with pytest.raises(ValueError, match="merges"):
+        compile_pipeline([{"$bpeEncode": {"input": "$t"}}], ctx)(df)
+    bad = spark.createDataFrame([("x", 1)], "tok string, i long")
+    with pytest.raises(ValueError, match="token, id"):
+        compile_pipeline(
+            [{"$bpeEncode": {"input": "$t",
+                             "tokenizer": {"merges": "m", "vocab": "b"}}}],
+            Context(spark=spark,
+                    collections={"m": merges_df, "b": bad}))(df).collect()
