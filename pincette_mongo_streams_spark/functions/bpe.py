@@ -49,15 +49,67 @@ PRETOKEN_RE = re.compile(
 Ranks = Dict[Tuple[str, str], int]
 
 
+def ship():
+    """Register this module for pickle-by-value so executors need no
+    package install for the tokenizer closures (same pattern as the
+    jq/JSLT tier-2 interpreters)."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:  # pragma: no cover - older pickler
+        pass
+
+
+def broadcast_tokenizer(ctx, merges_name: str, vocab_name=None):
+    """Resolve, validate, and broadcast ``(ranks, vocab)`` ONCE per
+    (merges, vocab) name pair per Context: the broadcast memoizes on the
+    Context, so foreachBatch's per-micro-batch stage recompilation
+    reuses one broadcast instead of re-collecting the tables and
+    leaking a new broadcast every batch.  Rebinding a collection name
+    to a different DataFrame on the SAME Context after first use is not
+    picked up (one model per name per Context by contract)."""
+    cache = getattr(ctx, "_bpe_broadcasts", None)
+    if cache is None:
+        cache = {}
+        ctx._bpe_broadcasts = cache
+    key = (merges_name, vocab_name)
+    if key in cache:
+        return cache[key]
+    ranks = load_merges(ctx, merges_name)
+    vocab = None
+    if vocab_name is not None:
+        try:
+            vdf = ctx.collection(vocab_name)
+        except KeyError as e:
+            raise ValueError(f"tokenizer.vocab: {e}") from e
+        if not {"token", "id"} <= set(vdf.columns):
+            raise ValueError(
+                "tokenizer.vocab collection needs (token, id) columns")
+        rows = vdf.select("token", "id").collect()
+        if not rows:
+            # fail fast like the merges path: an empty vocab would
+            # silently map EVERY token to -1
+            raise ValueError("tokenizer.vocab collection is empty")
+        vocab = {r["token"]: int(r["id"]) for r in rows}
+    bc = ctx.spark.sparkContext.broadcast((ranks, vocab))
+    cache[key] = bc
+    return bc
+
+
 def load_merges(ctx, name: str) -> Ranks:
     """Collect the merge-rank collection ``name`` into ``{(l, r): rank}``.
     Driver-side and metadata-sized by contract (the table IS the model,
-    like the $dsirScore hashed-ngram tables)."""
-    if name not in (ctx.collections or {}):
+    like the $dsirScore hashed-ngram tables).  Resolves through
+    ``Context.collection`` so a ``collection_loader`` can serve it."""
+    try:
+        df = ctx.collection(name)
+    except KeyError:
         raise ValueError(
             f"tokenizer.merges: unknown collection {name!r} — wire it as "
-            "Context(collections={...})")
-    df = ctx.collections[name]
+            "Context(collections={...}) or via a collection_loader")
     cols = set(df.columns)
     if {"left", "right", "rank"} <= cols:
         rows = df.select("left", "right", "rank").collect()

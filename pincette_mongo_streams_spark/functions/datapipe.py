@@ -2132,22 +2132,14 @@ def token_count_stage(expression: Any, ctx: Context) -> StageFn:
         if tokenizer is not None:
             from . import bpe as _bpe
 
-            try:
-                # ship the encoder inside the closure, like the jq/JSLT
-                # tier-2 interpreters: executors need no package install
-                from pyspark import cloudpickle
-
-                cloudpickle.register_pickle_by_value(_bpe)
-            except Exception:  # pragma: no cover - older pickler
-                pass
-            ranks = _bpe.load_merges(c, tokenizer["merges"])
-            bc = c.spark.sparkContext.broadcast(ranks)
+            _bpe.ship()
+            bc = _bpe.broadcast_tokenizer(c, tokenizer["merges"])
             count_tokens = _bpe.count_tokens
 
             @F.pandas_udf("long")
             def _count(s: pd.Series) -> pd.Series:
                 cache: dict = {}
-                rk = bc.value
+                rk, _ = bc.value
                 return s.map(lambda t: count_tokens(t, rk, cache))
 
             return df.withColumn(as_field, _count(text))
@@ -2187,26 +2179,12 @@ def bpe_encode_stage(expression: Any, ctx: Context) -> StageFn:
     def fn(df: DataFrame, c: Context) -> DataFrame:
         from . import bpe as _bpe
 
-        try:
-            from pyspark import cloudpickle
-
-            cloudpickle.register_pickle_by_value(_bpe)
-        except Exception:  # pragma: no cover - older pickler
-            pass
-        ranks = _bpe.load_merges(c, tokenizer["merges"])
-        vocab = None
-        if vocab_name is not None:
-            vdf = c.collection(vocab_name)
-            if not {"token", "id"} <= set(vdf.columns):
-                raise ValueError(
-                    "$bpeEncode tokenizer.vocab needs (token, id) columns")
-            vocab = {r["token"]: int(r["id"])
-                     for r in vdf.select("token", "id").collect()}
-        bc = c.spark.sparkContext.broadcast((ranks, vocab))
+        _bpe.ship()
+        bc = _bpe.broadcast_tokenizer(c, tokenizer["merges"], vocab_name)
         encode = _bpe.encode
         text = compile_expr(inp, ExprContext(schema=df.schema))
 
-        if vocab is None:
+        if vocab_name is None:
             @F.pandas_udf("array<string>")
             def _enc(s: pd.Series) -> pd.Series:
                 cache: dict = {}
@@ -4136,20 +4114,14 @@ def truncate_tokens_stage(expression: Any, ctx: Context) -> StageFn:
                     "$truncateTokens tokenizer applies to unit 'tokens'")
             from . import bpe as _bpe
 
-            try:
-                from pyspark import cloudpickle
-
-                cloudpickle.register_pickle_by_value(_bpe)
-            except Exception:  # pragma: no cover - older pickler
-                pass
-            ranks = _bpe.load_merges(c, tokenizer["merges"])
-            bc = c.spark.sparkContext.broadcast(ranks)
+            _bpe.ship()
+            bc = _bpe.broadcast_tokenizer(c, tokenizer["merges"])
             truncate = _bpe.truncate_tokens
 
             @F.pandas_udf("string")
             def _trunc(s: pd.Series) -> pd.Series:
                 cache: dict = {}
-                rk = bc.value
+                rk, _ = bc.value
                 return s.map(lambda t: truncate(t, max_n, rk, cache))
 
             return df.withColumn(as_field, _trunc(text))

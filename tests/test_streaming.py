@@ -1060,3 +1060,25 @@ def test_group_per_message_under_rocksdb(spark, tmpdir):
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         spark.conf.unset("spark.sql.streaming.stateStore.rocksdb."
                          "changelogCheckpointing.enabled")
+
+
+def test_plan_stages_chain_into_per_message_group(spark, tmpdir):
+    """$deduplicate (a plan stage) composes BEFORE a per-message $group
+    — the multi-stateful-operator shape bench_streaming.py measures:
+    the duplicate is dropped by dedup state, and the group emits once
+    per surviving state-changing message."""
+    pipeline = [
+        {"$deduplicate": "$eid"},
+        {"$group": {"_id": "$k", "total": {"$sum": "$v"}}},
+    ]
+    emissions = _run(
+        spark, tmpdir, "eid string, k string, v long",
+        [
+            [{"eid": "m1", "k": "a", "v": 2}],
+            # m1 is a dup (dropped by dedup state); m2 changes the group
+            [{"eid": "m1", "k": "a", "v": 2}, {"eid": "m2", "k": "a", "v": 3}],
+        ],
+        pipeline, emission="per_message",
+    )
+    flat = [(r["_id"], r["total"]) for b in emissions for r in b]
+    assert flat == [("a", 2), ("a", 5)]  # duplicate never re-emitted
