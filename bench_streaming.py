@@ -35,6 +35,17 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 N_FILES = 8  # micro-batches: one file per trigger
 
 
+def _parse_sf(sf_dir: str):
+    """Scale factor from an `...sf<scale>` dir name; None for paths
+    that don't follow the convention (advisor r6: don't crash the
+    whole bench over a label)."""
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return float(tail)
+    except ValueError:
+        return None
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -113,7 +124,7 @@ def main() -> None:
         "providers": results,
         "events": n_events,
         "batches": N_FILES,
-        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "sf": _parse_sf(SF_DIR),
         "loadavg": list(os.getloadavg()),
     }))
 

@@ -68,23 +68,52 @@ def broadcast_tokenizer(ctx, merges_name: str, vocab_name=None):
     (merges, vocab) name pair per Context: the broadcast memoizes on the
     Context, so foreachBatch's per-micro-batch stage recompilation
     reuses one broadcast instead of re-collecting the tables and
-    leaking a new broadcast every batch.  Rebinding a collection name
-    to a different DataFrame on the SAME Context after first use is not
-    picked up (one model per name per Context by contract)."""
+    leaking a new broadcast every batch.  The memo key includes the
+    IDENTITY of the resolved DataFrames (advisor r6): rebinding a
+    collection name to a different DataFrame on the same Context is
+    picked up — the stale broadcast is unpersisted (safe for plans
+    already compiled against it) and the new model collected.  (``Context.collection`` caches loader results, so a
+    ``collection_loader`` path still collects once per Context.)  Long-
+    lived Contexts can free executor memory with
+    :func:`release_broadcasts`."""
     cache = getattr(ctx, "_bpe_broadcasts", None)
     if cache is None:
         cache = {}
         ctx._bpe_broadcasts = cache
-    key = (merges_name, vocab_name)
-    if key in cache:
-        return cache[key]
-    ranks = load_merges(ctx, merges_name)
-    vocab = None
+    # resolve FIRST (Context.collection caches loader results), then key
+    # the memo on the resolved DataFrame identities: same frames -> one
+    # broadcast forever; a rebound name -> unpersist + re-collect
+    try:
+        mdf = ctx.collection(merges_name)
+    except KeyError:
+        raise ValueError(
+            f"tokenizer.merges: unknown collection {merges_name!r} — wire "
+            "it as Context(collections={...}) or via a collection_loader")
+    vdf = None
     if vocab_name is not None:
         try:
             vdf = ctx.collection(vocab_name)
         except KeyError as e:
             raise ValueError(f"tokenizer.vocab: {e}") from e
+    names = (merges_name, vocab_name)
+    ids = (id(mdf), None if vdf is None else id(vdf))
+    hit = cache.get(names)
+    if hit is not None:
+        if hit[0] == ids:
+            return hit[1]
+        # a name was rebound to a different DataFrame: evict the stale
+        # model.  unpersist (NOT destroy): DataFrames compiled against
+        # the old model may still be live — unpersist frees the executor
+        # copies now and transparently re-ships if such a plan runs
+        # again; destroy would poison it (INTERNAL_ERROR_BROADCAST)
+        try:
+            hit[1].unpersist()
+        except Exception:  # pragma: no cover - already released
+            pass
+        del cache[names]
+    ranks = _ranks_from_df(mdf)
+    vocab = None
+    if vdf is not None:
         if not {"token", "id"} <= set(vdf.columns):
             raise ValueError(
                 "tokenizer.vocab collection needs (token, id) columns")
@@ -95,21 +124,34 @@ def broadcast_tokenizer(ctx, merges_name: str, vocab_name=None):
             raise ValueError("tokenizer.vocab collection is empty")
         vocab = {r["token"]: int(r["id"]) for r in rows}
     bc = ctx.spark.sparkContext.broadcast((ranks, vocab))
-    cache[key] = bc
+    cache[names] = (ids, bc)
     return bc
 
 
-def load_merges(ctx, name: str) -> Ranks:
-    """Collect the merge-rank collection ``name`` into ``{(l, r): rank}``.
+def release_broadcasts(ctx) -> int:
+    """Destroy every tokenizer broadcast memoized on ``ctx`` and clear
+    the memo; returns how many were released.  For long-lived Contexts
+    that cycle through many tokenizer models (advisor r6).  destroy()
+    is final — call only when no DataFrame compiled against these
+    models is still going to execute; the rebind path inside
+    :func:`broadcast_tokenizer` uses the gentler unpersist for exactly
+    that reason."""
+    cache = getattr(ctx, "_bpe_broadcasts", None) or {}
+    n = 0
+    for _, bc in cache.values():
+        try:
+            bc.destroy()
+        except Exception:  # pragma: no cover - already destroyed
+            pass
+        n += 1
+    cache.clear()
+    return n
+
+
+def _ranks_from_df(df) -> Ranks:
+    """Collect a merge-rank DataFrame into ``{(l, r): rank}``.
     Driver-side and metadata-sized by contract (the table IS the model,
-    like the $dsirScore hashed-ngram tables).  Resolves through
-    ``Context.collection`` so a ``collection_loader`` can serve it."""
-    try:
-        df = ctx.collection(name)
-    except KeyError:
-        raise ValueError(
-            f"tokenizer.merges: unknown collection {name!r} — wire it as "
-            "Context(collections={...}) or via a collection_loader")
+    like the $dsirScore hashed-ngram tables)."""
     cols = set(df.columns)
     if {"left", "right", "rank"} <= cols:
         rows = df.select("left", "right", "rank").collect()

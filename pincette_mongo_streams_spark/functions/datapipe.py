@@ -2126,6 +2126,14 @@ def token_count_stage(expression: Any, ctx: Context) -> StageFn:
     tokenizer = expression.get("tokenizer")
     if tokenizer is not None and "merges" not in tokenizer:
         raise ValueError("$tokenCount tokenizer needs a merges collection")
+    if tokenizer is not None and "mode" in expression:
+        # a tokenizer IS the mode — accepting both would silently ignore
+        # one of them (advisor r6)
+        raise ValueError(
+            "$tokenCount: pass either mode or tokenizer, not both "
+            f"(got mode={expression['mode']!r} with a tokenizer)")
+    if mode not in ("whitespace", "bpe"):
+        raise ValueError(f"bad token mode {mode}")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         text = compile_expr(inp, ExprContext(schema=df.schema))
@@ -2145,11 +2153,9 @@ def token_count_stage(expression: Any, ctx: Context) -> StageFn:
             return df.withColumn(as_field, _count(text))
         if mode == "whitespace":
             count = F.size(F.split(F.trim(text), "\\s+"))
-        elif mode == "bpe":
+        else:  # "bpe" (mode validated at compile time)
             pattern = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
             count = F.regexp_count(text, F.lit(pattern))
-        else:
-            raise ValueError(f"bad token mode {mode}")
         return df.withColumn(as_field, count.cast("long"))
 
     return fn

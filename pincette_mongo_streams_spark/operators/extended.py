@@ -234,7 +234,8 @@ def rank_fusion_stage(expression: Any, ctx: Context) -> StageFn:
         )
         out = fused.select(F.col(id_field), score.alias("score"))
         ordered = _fusion_top(
-            "$rankFusion", out, id_field, limit, "limit" in expression)
+            "$rankFusion", out, id_field, limit, "limit" in expression,
+            probe=expression.get("warnOnTruncate", True))
         from pyspark.sql import Window
 
         w_ = Window.orderBy(F.col("score").desc(), F.col(id_field))
@@ -244,7 +245,8 @@ def rank_fusion_stage(expression: Any, ctx: Context) -> StageFn:
 
 
 def _fusion_top(
-    stage: str, fused: DataFrame, id_field: str, limit: int, explicit: bool
+    stage: str, fused: DataFrame, id_field: str, limit: int, explicit: bool,
+    probe: bool = True,
 ) -> DataFrame:
     """Order the fused (id, score) set and bound it to ``limit`` rows.
 
@@ -256,11 +258,16 @@ def _fusion_top(
     with the IMPLICIT default limit, so the bound is a constant, the
     same class as $trace's limit(20)), warn when a row past the limit
     exists, and serve the result as a local relation — no cache entry
-    left behind, no second execution of the sub-pipelines.  An explicit
-    ``limit`` is user-requested truncation and stays fully lazy."""
+    left behind, no second execution of the sub-pipelines.  NOTE the
+    laziness trade (advisor r6): this probe EXECUTES the fused
+    sub-pipelines at stage-APPLICATION time, before any action on the
+    pipeline result.  An explicit ``limit`` is user-requested truncation
+    and stays fully lazy, as does ``warnOnTruncate: false`` (the
+    documented opt-out for callers that compile pipelines they may
+    never run)."""
     order = [F.col("score").desc(), F.col(id_field)]
     ordered = fused.orderBy(*order)
-    if explicit:
+    if explicit or not probe:
         return ordered.limit(limit)
     rows = ordered.limit(limit + 1).collect()
     if len(rows) > limit:
@@ -338,7 +345,8 @@ def score_fusion_stage(expression: Any, ctx: Context) -> StageFn:
         den = sum((F.lit(float(weights.get(n, 1))) for n in names), start=F.lit(0.0))
         out = fused.select(F.col(id_field), (num / den).alias("score"))
         ordered = _fusion_top(
-            "$scoreFusion", out, id_field, limit, "limit" in expression)
+            "$scoreFusion", out, id_field, limit, "limit" in expression,
+            probe=expression.get("warnOnTruncate", True))
         from pyspark.sql import Window
 
         w_ = Window.orderBy(F.col("score").desc(), F.col(id_field))

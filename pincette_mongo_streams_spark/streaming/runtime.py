@@ -139,19 +139,17 @@ def run_streaming(
     checkpointing — per-batch delta uploads, the 100 TB configuration),
     ``"hdfs"`` (Spark's on-heap default, test-scale), a full provider
     class name, or ``None`` to leave the session untouched.  The
-    provider is a session conf captured at query START — it applies to
-    queries started after this call in the same session.  State
+    provider is a SESSION conf captured at query start — it stays set
+    while the query runs and therefore applies to any other query
+    started in the same session in that window (advisor r6: the
+    mutation is deliberate, but it must not leak forever).  The
+    returned query carries ``restore_state_store_conf()`` — call it
+    after the query terminates to put the prior session values back;
+    :func:`reset_state_store_conf` unsets the keys outright.  State
     checkpoints are NOT provider-portable (HDFSBacked writes
     .delta/.snapshot, RocksDB writes .zip/.changelog): keep the provider
     stable for the lifetime of a checkpoint; switching requires a fresh
     checkpoint location."""
-    if state_store is not None:
-        provider, changelog = _resolve_state_store(state_store)
-        ctx.spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass", provider)
-        ctx.spark.conf.set(
-            "spark.sql.streaming.stateStore.rocksdb."
-            "changelogCheckpointing.enabled", changelog)
     for stage in pipeline:
         name = next(iter(stage))
         if name in _BATCH_ONLY_STAGES:
@@ -172,6 +170,19 @@ def run_streaming(
                 f"{name} is corpus-wide and batch-only: a streaming "
                 "micro-batch would silently compute within-batch results"
             )
+    # set the state-store conf only after validation (a rejected pipeline
+    # must not leave the session mutated), remembering the prior values
+    # for the restore helper attached to the returned query
+    prior_conf: dict[str, Optional[str]] = {}
+    if state_store is not None:
+        provider, changelog = _resolve_state_store(state_store)
+        for key, val in (
+            ("spark.sql.streaming.stateStore.providerClass", provider),
+            ("spark.sql.streaming.stateStore.rocksdb."
+             "changelogCheckpointing.enabled", changelog),
+        ):
+            prior_conf[key] = ctx.spark.conf.get(key, None)
+            ctx.spark.conf.set(key, val)
     ctx.streaming = True
     ctx.watermark = watermark
     if watermark is not None:
@@ -315,4 +326,32 @@ def run_streaming(
         writer = writer.option("checkpointLocation", checkpoint)
     if trigger:
         writer = writer.trigger(**trigger)
-    return writer.start()
+    query = writer.start()
+
+    def _restore() -> None:
+        """Put the pre-``run_streaming`` state-store session conf back
+        (call after the query terminates — the provider is pinned per
+        query at start, but the session keys stay set while it runs)."""
+        for key, val in prior_conf.items():
+            if val is None:
+                ctx.spark.conf.unset(key)
+            else:
+                ctx.spark.conf.set(key, val)
+
+    query.restore_state_store_conf = _restore
+    return query
+
+
+def reset_state_store_conf(spark) -> None:
+    """Unset the state-store session keys ``run_streaming(state_store=...)``
+    sets, returning the session to Spark defaults (advisor r6 helper for
+    sessions that interleave provider-pinned and default queries)."""
+    for key in (
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled",
+    ):
+        try:
+            spark.conf.unset(key)
+        except Exception:  # pragma: no cover - already unset
+            pass

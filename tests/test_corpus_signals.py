@@ -1016,3 +1016,47 @@ def test_bpe_encode_tokens_and_ids(spark):
                              "tokenizer": {"merges": "m", "vocab": "b"}}}],
             Context(spark=spark,
                     collections={"m": merges_df, "b": bad}))(df).collect()
+
+
+def test_token_count_rejects_mode_with_tokenizer(spark):
+    """advisor r7: mode and tokenizer together is a compile-time error
+    (the tokenizer IS the mode — before, any mode value was silently
+    ignored), and a bad mode is rejected even alongside a tokenizer."""
+    for mode in ("whitespace", "bogus"):
+        with pytest.raises(ValueError, match="either mode or tokenizer"):
+            compile_pipeline(
+                [{"$tokenCount": {"input": "$text", "mode": mode,
+                                  "tokenizer": {"merges": "merges"}}}],
+                Context(spark=spark,
+                        collections={"merges": _merges_df(spark)}))
+    with pytest.raises(ValueError, match="bad token mode"):
+        compile_pipeline(
+            [{"$tokenCount": {"input": "$text", "mode": "bogus"}}],
+            Context(spark=spark))
+
+
+def test_bpe_broadcast_rebind_and_release(spark):
+    """advisor r7: rebinding a merges collection name on the SAME
+    Context picks up the new model (the stale broadcast is destroyed,
+    not silently served), and release_broadcasts() clears the memo."""
+    from pincette_mongo_streams_spark.functions import bpe as bpe_mod
+
+    ctx = Context(spark=spark, collections={"merges": _merges_df(spark)})
+    df = spark.createDataFrame([("the theory",)], "text string")
+    pipe = [{"$tokenCount": {"input": "$text", "as": "n",
+                             "tokenizer": {"merges": "merges"}}}]
+    n_full = compile_pipeline(pipe, ctx)(df).collect()[0]["n"]
+    bc_first = next(iter(ctx._bpe_broadcasts.values()))[1]
+    # same binding -> same broadcast object (the foreachBatch memo)
+    assert bpe_mod.broadcast_tokenizer(ctx, "merges") is bc_first
+    # rebind to a one-rule model: counts must change
+    ctx.collections["merges"] = spark.createDataFrame(
+        [("t", "h", 0)], "left string, right string, rank long")
+    n_tiny = compile_pipeline(pipe, ctx)(df).collect()[0]["n"]
+    assert n_tiny > n_full  # fewer merges -> more tokens
+    bc_second = next(iter(ctx._bpe_broadcasts.values()))[1]
+    assert bc_second is not bc_first
+    assert bpe_mod.release_broadcasts(ctx) == 1
+    assert ctx._bpe_broadcasts == {}
+    # after release the next use re-collects transparently
+    assert compile_pipeline(pipe, ctx)(df).collect()[0]["n"] == n_tiny

@@ -936,9 +936,11 @@ def test_rocksdb_state_store_provider(spark, tmpdir):
         assert any(f.endswith((".zip", ".changelog")) for f in state_files), \
             state_files
     finally:
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        spark.conf.unset("spark.sql.streaming.stateStore.rocksdb."
-                         "changelogCheckpointing.enabled")
+        from pincette_mongo_streams_spark.streaming.runtime import (
+            reset_state_store_conf,
+        )
+
+        reset_state_store_conf(spark)
 
 
 def test_state_store_rejects_unknown_alias(spark, tmpdir):
@@ -1057,9 +1059,11 @@ def test_group_per_message_under_rocksdb(spark, tmpdir):
             "spark.sql.streaming.stateStore.providerClass")
             .endswith("RocksDBStateStoreProvider"))
     finally:
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        spark.conf.unset("spark.sql.streaming.stateStore.rocksdb."
-                         "changelogCheckpointing.enabled")
+        from pincette_mongo_streams_spark.streaming.runtime import (
+            reset_state_store_conf,
+        )
+
+        reset_state_store_conf(spark)
 
 
 def test_plan_stages_chain_into_per_message_group(spark, tmpdir):
@@ -1082,3 +1086,56 @@ def test_plan_stages_chain_into_per_message_group(spark, tmpdir):
     )
     flat = [(r["_id"], r["total"]) for b in emissions for r in b]
     assert flat == [("a", 2), ("a", 5)]  # duplicate never re-emitted
+
+
+def test_state_store_conf_restore_and_no_leak_on_reject(spark, tmpdir):
+    """advisor r7: (a) a pipeline rejected at submit time must NOT leave
+    the state-store session conf mutated; (b) the returned query carries
+    restore_state_store_conf() which puts the PRIOR values back (not
+    just unset)."""
+    import pytest as _pytest
+
+    from pincette_mongo_streams_spark.streaming.runtime import (
+        reset_state_store_conf,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    reset_state_store_conf(spark)
+    ctx = Context(spark=spark)
+    in_dir = os.path.join(tmpdir, "in")
+    _write_batches(in_dir, [[{"k": "a", "v": 1}]])
+    src = (spark.readStream.schema("k string, v long").json(in_dir))
+    # (a) batch-only stage rejected BEFORE the conf is touched
+    with _pytest.raises(ValueError, match="batch-only"):
+        run_streaming(src, [{"$sort": {"v": 1}}], ctx,
+                      lambda d, e: None, state_store="rocksdb")
+    assert spark.conf.get(key, None) is None
+    # (b) restore puts back the pre-call value
+    spark.conf.set(key, "com.example.PriorProvider")
+    q = run_streaming(
+        spark.readStream.schema("k string, v long")
+        .option("maxFilesPerTrigger", 1).json(in_dir),
+        [{"$match": {"v": {"$gte": 0}}}],
+        Context(spark=spark),
+        lambda d, e: None,
+        trigger={"availableNow": True},
+        checkpoint=os.path.join(tmpdir, "ckpt"),
+        state_store="rocksdb",
+    )
+    try:
+        assert spark.conf.get(key).endswith("RocksDBStateStoreProvider")
+        q.awaitTermination(120)
+        q.restore_state_store_conf()
+        assert spark.conf.get(key) == "com.example.PriorProvider"
+    finally:
+        reset_state_store_conf(spark)
+
+
+def test_bench_streaming_sf_parse_guard():
+    """advisor r7: nonstandard data dirs must not crash the sf label."""
+    import bench_streaming as bs
+
+    assert bs._parse_sf("/root/testdata/sf0.1") == 0.1
+    assert bs._parse_sf("/root/testdata/sf0.01/") == 0.01
+    assert bs._parse_sf("/data/mycorpus") is None
+    assert bs._parse_sf("/data/sfx/current") is None

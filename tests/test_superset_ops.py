@@ -382,6 +382,34 @@ def test_fusion_implicit_limit_truncation_warns(spark):
     assert not [w for w in got2 if issubclass(w.category, RuntimeWarning)]
 
 
+def test_fusion_warn_on_truncate_false_stays_lazy(spark):
+    """`warnOnTruncate: false` is the documented opt-out (advisor r7):
+    with the implicit default limit the stage does NOT run the
+    truncation probe at apply time — the plan stays fully lazy (the
+    fused sub-pipeline appears in it, no collected local relation) and
+    no warning fires, at the cost of silent truncation."""
+    import warnings
+
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    rows = [(i,) for i in range(1, 1102)]        # 1101 fused ids
+    df = spark.createDataFrame(rows, "doc_id long")
+    ranked = [{"$project": {"doc_id": 1, "rank": "$doc_id"}}]
+    ctx = Context(spark=spark)
+    with warnings.catch_warnings(record=True) as got:
+        warnings.simplefilter("always")
+        out = compile_pipeline(
+            [{"$rankFusion": {"input": {"pipelines": {"p": ranked}},
+                              "id": "doc_id", "warnOnTruncate": False}}],
+            ctx,
+        )(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # lazy: the bound comes from a plan-side limit, not a probe
+        assert "LocalTableScan" not in plan, plan
+        assert len(out.collect()) == 1000
+    assert not [w for w in got if issubclass(w.category, RuntimeWarning)]
+
+
 def test_score_fusion_sigmoid_and_weights(spark):
     """$scoreFusion: sigmoid normalization maps scores to (0,1); weighted
     average over contributing pipelines; absent docs contribute 0."""
