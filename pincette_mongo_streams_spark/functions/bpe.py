@@ -1,29 +1,40 @@
-"""GPT-2-style byte-pair-encoding for ``$tokenCount`` / ``$truncateTokens``
-``tokenizer: {merges: "<collection>"}`` mode.
+"""GPT-2-style BYTE-LEVEL byte-pair-encoding for ``$tokenCount`` /
+``$truncateTokens`` / ``$bpeEncode`` ``tokenizer: {merges: "<collection>"}``
+mode and the ``$bpeTrain`` trainer.
 
 The merge table is a Context collection (metadata-sized, like the Atlas
 synonym mappings) with columns ``(left, right, rank)`` or ``(pair, rank)``
-where ``pair`` is the merges.txt line form ``"lo w"``.  It is collected on
-the driver (50k rows for a GPT-2-sized vocab) and shipped once per
+where ``pair`` is the merges.txt line form ``"Ġ the"``.  It is collected
+on the driver (50k rows for a GPT-2-sized vocab) and shipped once per
 executor inside the Arrow-batched UDF closure.
 
-The encoder is the standard BPE algorithm (Sennrich et al. 2016; the
-GPT-2 tokenizer applies it per pre-token): split the text with a
-GPT-2-style pre-tokenizer, start each pre-token as characters, and
-repeatedly merge ALL occurrences of the lowest-rank adjacent pair until
-no adjacent pair has a rank.  Two documented simplifications vs the real
-GPT-2 tokenizer (tiktoken/tokenizers are not in the image — this is the
-tokenizer analog of the $decodeMedia codec boundary):
+r7 closes the two r6 fidelity gaps (this is now the REAL GPT-2 tokenizer
+pipeline shape, not an ASCII approximation):
 
-- the pre-tokenizer is the ASCII approximation of GPT-2's regex
-  (``\\p{L}`` -> ``[A-Za-z]``, ``\\p{N}`` -> ``[0-9]``), and
-- symbols are CHARACTERS, not UTF-8 bytes with the byte->unicode
-  remap — identical for ASCII text, coarser for multi-byte scripts.
+- **Pre-tokenizer**: a small scanner over real Unicode classes
+  (``str.isalpha`` = ``\\p{L}``, ``str.isnumeric``/``isdigit`` =
+  ``\\p{N}``, ``str.isspace`` = ``\\s``) replicating GPT-2's published
+  regex ``'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+
+  |\\s+(?!\\S)|\\s+`` including its alternation-order semantics
+  (contractions win at their start position, a single literal space
+  attaches to the following run, a whitespace run leaves its last char
+  for the next token).  CJK/accented text now pre-tokenizes correctly.
+- **Byte level**: each pre-token is encoded as its UTF-8 BYTES mapped
+  through the GPT-2 byte->unicode remap (Radford et al. 2019,
+  ``encoder.py bytes_to_unicode`` — the published table: printable
+  latin-1 bytes map to themselves, the rest to U+0100..), and merges
+  operate over that 256-symbol alphabet — exactly the symbol space of
+  public ``merges.txt``/``vocab.json`` files (`` `` is ``Ġ``, multi-byte
+  scripts split into per-byte symbols).  A vocab containing all 256
+  byte symbols can never produce an OOV.
 
-Both the pre-tokenizer and the per-pre-token BPE preserve
-concatenation: ``"".join(tokens) == text`` (spaces travel with their
-following pre-token, GPT-2-style), so token-budget truncation
-reconstructs the exact prefix of the original text.
+Tokens therefore live in REMAP space (``"Ġthe"``); :func:`decode`
+inverts them (``decode(encode(text)) == text`` for any Unicode text —
+the byte-level concatenation property), which is what lets token-budget
+truncation reconstruct an exact prefix of the original text.  A
+truncation that lands inside a multi-byte character keeps the longest
+whole-character prefix (the partial trailing codepoint's bytes are
+dropped — they decode to nothing meaningful by construction).
 
 The merge LOOP is unbounded-depth (one iteration per merge applied), so
 it runs as an Arrow-batched Pandas UDF rather than Spark HOFs — a
@@ -33,20 +44,137 @@ over the projected text column, row-local, zero shuffle.
 
 from __future__ import annotations
 
-import re
-from typing import Dict, List, Tuple
-
-# ASCII approximation of the GPT-2 pre-tokenizer regex
-PRETOKEN_RE = re.compile(
-    r"'(?:s|t|re|ve|m|ll|d)"
-    r"| ?[A-Za-z]+"
-    r"| ?[0-9]+"
-    r"| ?[^\sA-Za-z0-9]+"
-    r"|\s+(?!\S)"
-    r"|\s+"
-)
+from typing import Dict, List, Optional, Tuple
 
 Ranks = Dict[Tuple[str, str], int]
+
+# ---------------------------------------------------------------- remap
+# GPT-2 byte->unicode table (public: Radford et al. 2019 encoder.py):
+# visible latin-1 bytes map to themselves; control/space bytes map to
+# U+0100+n so every byte is a printable, space-free symbol.
+
+
+def _byte_unicode_tables() -> tuple[dict, dict]:
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("¡"), ord("¬") + 1))
+          + list(range(ord("®"), ord("ÿ") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    b2u = {b: chr(c) for b, c in zip(bs, cs)}
+    return b2u, {u: b for b, u in b2u.items()}
+
+
+BYTE_TO_UNICODE, UNICODE_TO_BYTE = _byte_unicode_tables()
+# str.translate table over latin-1 chars: utf8-bytes -> latin-1 str ->
+# translate is the fastest pure-Python byte remap
+_B2U_TRANS = {b: u for b, u in BYTE_TO_UNICODE.items()}
+
+
+def to_units(text: str) -> str:
+    """Raw text -> remap-space symbol string (one char per UTF-8 byte)."""
+    return text.encode("utf-8").decode("latin-1").translate(_B2U_TRANS)
+
+
+def units_to_bytes(units: str) -> bytes:
+    """Remap-space string (e.g. a joined token sequence) -> raw bytes."""
+    return bytes(UNICODE_TO_BYTE[u] for u in units)
+
+
+def decode(tokens: List[str]) -> str:
+    """Invert :func:`encode`: remap-space tokens -> original text."""
+    return units_to_bytes("".join(tokens)).decode("utf-8")
+
+
+def _decode_byte_prefix(bs: bytes) -> str:
+    """Decode a byte PREFIX of valid UTF-8 text, dropping a trailing
+    partial codepoint (at most 3 bytes) if the cut landed inside one."""
+    for cut in range(min(3, len(bs)) + 1):
+        try:
+            return bs[: len(bs) - cut].decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+    return bs.decode("utf-8", "ignore")  # pragma: no cover - not a prefix
+
+
+# --------------------------------------------------------- pre-tokenizer
+# Scanner equivalent of the GPT-2 regex (see module docstring).  Python's
+# `re` has no \p{L}/\p{N}, so classes come from str methods (Unicode-
+# aware): isalpha = L*, isnumeric/isdigit = N* (isalpha is checked first
+# so CJK numerals like 一 stay letters, as \p{L} classifies them),
+# isspace = \s.  Per-char class lookups memoize in a module dict.
+
+_CONTRACTIONS = ("s", "t", "re", "ve", "m", "ll", "d")  # GPT-2 order
+_CLS_CACHE: Dict[str, str] = {}
+
+
+def _cls(c: str) -> str:
+    k = _CLS_CACHE.get(c)
+    if k is None:
+        if c.isspace():
+            k = "s"
+        elif c.isalpha():
+            k = "L"
+        elif c.isnumeric() or c.isdigit():
+            k = "N"
+        else:
+            k = "P"
+        _CLS_CACHE[c] = k
+    return k
+
+
+def pretokenize(text: str) -> List[str]:
+    """Split ``text`` exactly as GPT-2's pre-tokenizer regex would.
+    Concatenation-preserving: ``"".join(pretokenize(t)) == t``."""
+    out: List[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            # contraction alternatives win at their start position
+            # (case-sensitive lowercase, the documented GPT-2 quirk)
+            for suf in _CONTRACTIONS:
+                if text.startswith(suf, i + 1):
+                    out.append(text[i: i + 1 + len(suf)])
+                    i += 1 + len(suf)
+                    break
+            else:
+                j = i + 1
+                while j < n and _cls(text[j]) == "P":
+                    j += 1
+                out.append(text[i:j])
+                i = j
+            continue
+        k = _cls(c)
+        if k == "s":
+            if c == " " and i + 1 < n and _cls(text[i + 1]) != "s":
+                # ` ?X+`: one literal space attaches to the next run
+                kind = _cls(text[i + 1])
+                j = i + 2
+                while j < n and _cls(text[j]) == kind:
+                    j += 1
+                out.append(text[i:j])
+            else:
+                # `\s+(?!\S)` then `\s+`: a whitespace run followed by
+                # non-space leaves its LAST char to (maybe) attach
+                j = i
+                while j < n and _cls(text[j]) == "s":
+                    j += 1
+                if j < n and j - i > 1:
+                    j -= 1
+                out.append(text[i:j])
+            i += len(out[-1])
+            continue
+        j = i + 1
+        while j < n and _cls(text[j]) == k:
+            j += 1
+        out.append(text[i:j])
+        i = j
+    return out
 
 
 def ship():
@@ -72,7 +200,8 @@ def broadcast_tokenizer(ctx, merges_name: str, vocab_name=None):
     IDENTITY of the resolved DataFrames (advisor r6): rebinding a
     collection name to a different DataFrame on the same Context is
     picked up — the stale broadcast is unpersisted (safe for plans
-    already compiled against it) and the new model collected.  (``Context.collection`` caches loader results, so a
+    already compiled against it) and the new model collected.
+    (``Context.collection`` caches loader results, so a
     ``collection_loader`` path still collects once per Context.)  Long-
     lived Contexts can free executor memory with
     :func:`release_broadcasts`."""
@@ -151,23 +280,25 @@ def release_broadcasts(ctx) -> int:
 def _ranks_from_df(df) -> Ranks:
     """Collect a merge-rank DataFrame into ``{(l, r): rank}``.
     Driver-side and metadata-sized by contract (the table IS the model,
-    like the $dsirScore hashed-ngram tables)."""
+    like the $dsirScore hashed-ngram tables).  Symbols are remap-space
+    (the public merges.txt alphabet: ``Ġ`` for space, per-byte symbols
+    for multi-byte scripts) — byte-level symbols never contain a literal
+    space, so both column forms are fully expressive."""
     cols = set(df.columns)
     if {"left", "right", "rank"} <= cols:
         rows = df.select("left", "right", "rank").collect()
         ranks = {(r["left"], r["right"]): int(r["rank"]) for r in rows}
     elif {"pair", "rank"} <= cols:
-        # merges.txt line form; symbols containing literal spaces (the
-        # char-level analog of GPT-2's Ġ) are only expressible in the
-        # (left, right, rank) column form
+        # merges.txt line form: two space-separated remap-space symbols
         ranks = {}
         for r in df.select("pair", "rank").collect():
             parts = r["pair"].split(" ")
             if len(parts) != 2 or not parts[0] or not parts[1]:
                 raise ValueError(
                     f"tokenizer.merges: pair {r['pair']!r} must be two "
-                    "space-separated symbols (symbols with spaces need "
-                    "the left/right/rank column form)")
+                    "space-separated symbols (byte-level symbols are "
+                    "space-free; raw-space symbols are not valid — remap "
+                    "spaces to Ġ)")
             ranks[(parts[0], parts[1])] = int(r["rank"])
     else:
         raise ValueError(
@@ -194,13 +325,14 @@ def _apply_merge(syms: List[str], pair: Tuple[str, str]) -> List[str]:
     return merged
 
 
-def bpe_word(word: str, ranks: Ranks, cache: dict) -> List[str]:
-    """Encode ONE pre-token: start from characters, repeatedly merge all
-    occurrences of the lowest-rank adjacent pair."""
-    hit = cache.get(word)
+def bpe_word(units: str, ranks: Ranks, cache: dict) -> List[str]:
+    """Encode ONE pre-token already in remap space: start from single
+    byte symbols, repeatedly merge all occurrences of the lowest-rank
+    adjacent pair."""
+    hit = cache.get(units)
     if hit is not None:
         return hit
-    parts: List[str] = list(word)
+    parts: List[str] = list(units)
     while len(parts) > 1:
         best = None
         best_rank = None
@@ -212,16 +344,17 @@ def bpe_word(word: str, ranks: Ranks, cache: dict) -> List[str]:
         if best is None:
             break
         parts = _apply_merge(parts, best)
-    cache[word] = parts
+    cache[units] = parts
     return parts
 
 
 def encode(text: str, ranks: Ranks, cache: dict) -> List[str]:
-    """Full-text BPE: pre-tokenize, encode each pre-token.  Tokens
-    concatenate back to ``text`` exactly."""
+    """Full-text byte-level BPE: pre-tokenize, remap each pre-token's
+    UTF-8 bytes, encode.  Tokens are remap-space (``"Ġthe"``);
+    ``decode(encode(text)) == text`` exactly."""
     out: List[str] = []
-    for m in PRETOKEN_RE.finditer(text):
-        out.extend(bpe_word(m.group(0), ranks, cache))
+    for pt in pretokenize(text):
+        out.extend(bpe_word(to_units(pt), ranks, cache))
     return out
 
 
@@ -229,13 +362,16 @@ def count_tokens(text, ranks: Ranks, cache: dict):
     if text is None:
         return None
     n = 0
-    for m in PRETOKEN_RE.finditer(text):
-        n += len(bpe_word(m.group(0), ranks, cache))
+    for pt in pretokenize(text):
+        n += len(bpe_word(to_units(pt), ranks, cache))
     return n
 
 
 def train(word_counts, n_merges: int, min_pair_count: int = 2):
-    """Learn ``n_merges`` BPE merge rules from ``{word: count}`` — the
+    """Learn ``n_merges`` BPE merge rules from ``{word: count}`` (words
+    are RAW pre-token strings; training runs over their remap-space
+    byte symbols, so the learned table is directly consumable by the
+    encoder and format-compatible with public merges files) — the
     standard frequency-greedy training loop (Sennrich et al. 2016) with
     the classic incremental pair-count bookkeeping: maintain a pair ->
     count map and a pair -> {word ids} index, each round merge the most
@@ -244,7 +380,8 @@ def train(word_counts, n_merges: int, min_pair_count: int = 2):
     itself.  Returns ``[(left, right, rank)]``.  Runs on the DRIVER over
     the (bounded) word-frequency table — see the $bpeTrain stage for the
     distributed aggregation that produces it."""
-    words = {i: (list(w), c) for i, (w, c) in enumerate(word_counts.items())}
+    words = {i: (list(to_units(w)), c)
+             for i, (w, c) in enumerate(word_counts.items())}
     pair_counts: Dict[Tuple[str, str], int] = {}
     where: Dict[Tuple[str, str], set] = {}
 
@@ -286,18 +423,24 @@ def train(word_counts, n_merges: int, min_pair_count: int = 2):
 
 
 def truncate_tokens(text, max_n: int, ranks: Ranks, cache: dict):
+    """Exact-prefix truncation to ``max_n`` BPE tokens: fully-kept
+    pre-tokens contribute their raw text verbatim; a partially-kept
+    pre-token contributes the decode of its kept tokens' bytes (the
+    longest whole-character prefix if the token boundary falls inside
+    a multi-byte codepoint)."""
     if text is None:
         return None
     kept: List[str] = []
     n = 0
-    for m in PRETOKEN_RE.finditer(text):
-        toks = bpe_word(m.group(0), ranks, cache)
+    for pt in pretokenize(text):
+        toks = bpe_word(to_units(pt), ranks, cache)
         if n + len(toks) <= max_n:
-            kept.append(m.group(0))  # whole pre-token survives verbatim
+            kept.append(pt)  # whole pre-token survives verbatim
             n += len(toks)
             if n == max_n:
                 break
         else:
-            kept.extend(toks[: max_n - n])
+            head = "".join(toks[: max_n - n])
+            kept.append(_decode_byte_prefix(units_to_bytes(head)))
             break
     return "".join(kept)

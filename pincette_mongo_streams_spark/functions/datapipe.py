@@ -2116,7 +2116,10 @@ def token_count_stage(expression: Any, ctx: Context) -> StageFn:
     runs / digit runs / punctuation) as a deterministic proxy for a real
     BPE vocab.  r6: ``tokenizer: {merges: "<collection>"}`` runs REAL
     byte-pair encoding against a broadcast GPT-2-style merge-rank table
-    (functions/bpe.py) — the count a context budget actually means.  The
+    (functions/bpe.py; r7: BYTE-level over the GPT-2 byte->unicode
+    alphabet with a Unicode-class scanner pre-tokenizer — public
+    merges.txt tables work verbatim) — the count a context budget
+    actually means.  The
     merge loop is unbounded-depth, so this mode is an Arrow-batched
     Pandas UDF: the documented tokenizer Python boundary (like the
     $decodeMedia codec boundary), row-local, zero shuffle."""
@@ -2165,12 +2168,14 @@ def token_count_stage(expression: Any, ctx: Context) -> StageFn:
 def bpe_encode_stage(expression: Any, ctx: Context) -> StageFn:
     """Full BPE tokenization — the artifact a training pipeline
     actually materializes: ``{input, tokenizer: {merges, vocab?}, as?}``
-    adds ``as`` (default "tokens") as ``array<string>`` of BPE tokens
-    (concatenation-preserving: ``concat(tokens) == text``).  With
-    ``vocab`` (a collection mapping ``token -> id``), emits
+    adds ``as`` (default "tokens") as ``array<string>`` of byte-level
+    BPE tokens in the GPT-2 remap alphabet (``"Ġthe"`` — the public
+    vocab.json symbol space; ``bpe.decode(tokens) == text`` exactly).
+    With ``vocab`` (a collection mapping ``token -> id``), emits
     ``array<long>`` ids instead; tokens absent from the vocab map to
-    ``-1`` (byte-fallback doesn't exist at char level — filter or
-    extend the vocab).  Null in -> null out.
+    ``-1`` — r7 byte-level note: a vocab containing all 256 single-byte
+    symbols (every public GPT-2-style vocab does) can never OOV, since
+    an unmerged token IS a byte symbol.  Null in -> null out.
 
     100 TB shape: same Arrow-batched tokenizer boundary as
     ``$tokenCount`` — merge table (and vocab) broadcast once per
@@ -2244,16 +2249,14 @@ def bpe_train_stage(expression: Any, ctx: Context) -> StageFn:
         _corpus_only("$bpeTrain", c)
         from . import bpe as _bpe
 
-        # (no pickle-by-value needed: the only executor-bound closure
-        # captures the compiled pre-tokenizer pattern; train() runs on
-        # the driver)
+        _bpe.ship()  # the scanner closure pickles by value
         text = compile_expr(inp, ExprContext(schema=df.schema))
-        pretoken_findall = _bpe.PRETOKEN_RE.findall
+        pretokenize = _bpe.pretokenize
 
         @F.pandas_udf("array<string>")
         def _pretok(s: pd.Series) -> pd.Series:
             return s.map(lambda t: [] if t is None
-                         else pretoken_findall(t))
+                         else pretokenize(t))
 
         word_rows = (
             df.select(F.explode(_pretok(text)).alias("__w"))
@@ -4093,7 +4096,9 @@ def truncate_tokens_stage(expression: Any, ctx: Context) -> StageFn:
     broadcast from a Context collection).  Pre-tokens carry their
     leading whitespace, so the kept tokens concatenate to the EXACT
     prefix of the original text (no whitespace loss, unlike the
-    whitespace mode's single-space rejoin).  Arrow-batched Pandas UDF —
+    whitespace mode's single-space rejoin; r7 byte-level: a cut inside
+    a multi-byte codepoint keeps the longest whole-character prefix).
+    Arrow-batched Pandas UDF —
     the documented tokenizer boundary; row-local, zero shuffle."""
     inp = expression["input"]
     as_field = expression.get("as", "text")

@@ -725,10 +725,11 @@ def _ref_bpe(word, ranks):
     return list(w)
 
 
+# remap-space symbols (r7 byte-level: space is Ġ, the merges.txt alphabet)
 _MERGES = [
     ("t", "h", 0), ("th", "e", 1), ("h", "e", 2), ("i", "n", 3),
     ("a", "n", 4), ("an", "d", 5), ("e", "r", 6), ("o", "n", 7),
-    (" ", "a", 8), ("r", "e", 9), (" ", "the", 10), ("o", "u", 11),
+    ("\u0120", "a", 8), ("r", "e", 9), ("\u0120", "the", 10), ("o", "u", 11),
     ("in", "g", 12), ("e", "d", 13), ("s", "t", 14),
 ]
 
@@ -738,16 +739,19 @@ def _merges_df(spark):
 
 
 def _ref_count(text, ranks):
-    from pincette_mongo_streams_spark.functions.bpe import PRETOKEN_RE
+    from pincette_mongo_streams_spark.functions.bpe import (
+        pretokenize, to_units,
+    )
 
-    return sum(len(_ref_bpe(m.group(0), ranks))
-               for m in PRETOKEN_RE.finditer(text))
+    return sum(len(_ref_bpe(to_units(pt), ranks))
+               for pt in pretokenize(text))
 
 
 def test_bpe_token_count_differential_on_documents(spark):
     """r6: tokenizer:{merges} BPE counting matches an independent
     reference implementation over the real documents corpus, and the
-    encoder preserves concatenation (''.join(tokens) == text)."""
+    encoder round-trips (decode(encode(text)) == text — r7 byte-level:
+    tokens live in the GPT-2 remap alphabet)."""
     from pincette_mongo_streams_spark.functions import bpe as bpe_mod
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -763,14 +767,14 @@ def test_bpe_token_count_differential_on_documents(spark):
     cache = {}
     for r in rows:
         assert r["n_bpe"] == _ref_count(r["text"], ranks), r["doc_id"]
-    # concatenation property on a sample of real texts
+    # round-trip property on a sample of real texts
     for r in rows[:25]:
         toks = bpe_mod.encode(r["text"], ranks, cache)
-        assert "".join(toks) == r["text"]
-        # multi-level merges actually fired (e.g. " the" from
-        # t+h -> th+e -> " "+the) somewhere in a real corpus
+        assert bpe_mod.decode(toks) == r["text"]
+        # multi-level merges actually fired (e.g. "Ġthe" from
+        # t+h -> th+e -> Ġ+the) somewhere in a real corpus
     joined = " the theory and responding "
-    assert bpe_mod.encode(joined, ranks, cache)[0] == " the"
+    assert bpe_mod.encode(joined, ranks, cache)[0] == "\u0120the"
 
 
 def test_bpe_truncate_exact_prefix(spark):
@@ -787,7 +791,7 @@ def test_bpe_truncate_exact_prefix(spark):
                               "tokenizer": {"merges": "merges"}}}],
         ctx)(df).collect()
     toks = bpe_mod.encode(text, ranks, {})
-    assert out[0]["t"] == "".join(toks[:5])
+    assert out[0]["t"] == bpe_mod.decode(toks[:5])
     assert text.startswith(out[0]["t"])
     assert out[1]["t"] is None
     # budget >= length: whole text verbatim (tabs and double spaces kept)
@@ -982,7 +986,7 @@ def test_bpe_encode_tokens_and_ids(spark):
                          "tokenizer": {"merges": "m"}}}],
         ctx)(df).collect()
     by = {r["doc_id"]: r["toks"] for r in out}
-    assert "".join(by[1]) == "the thing and other"
+    assert bpe_mod.decode(by[1]) == "the thing and other"
     assert by[1] == bpe_mod.encode("the thing and other", ranks, {})
     assert by[2] is None
     # vocab ids: build the vocab FROM the corpus's own token set —
@@ -1060,3 +1064,101 @@ def test_bpe_broadcast_rebind_and_release(spark):
     assert ctx._bpe_broadcasts == {}
     # after release the next use re-collects transparently
     assert compile_pipeline(pipe, ctx)(df).collect()[0]["n"] == n_tiny
+
+
+# ------------------------------------------- r7 byte-level BPE fidelity
+
+
+def test_pretokenizer_unicode_classes_hand_cases():
+    """The scanner replicates GPT-2's published pre-tokenizer regex
+    semantics — hand-derived expectations, including the alternation
+    quirks (lowercase-only contractions, single-space attachment,
+    whitespace runs leaving their last char) and real Unicode classes
+    (CJK = letters, vulgar fractions = numbers, CJK numerals = letters
+    because \\p{L} wins over numeric)."""
+    from pincette_mongo_streams_spark.functions.bpe import pretokenize
+
+    cases = {
+        "I'll say don't": ["I", "'ll", " say", " don", "'t"],
+        "CAN'T": ["CAN", "'", "T"],                 # lowercase-only quirk
+        "héllo wörld": ["héllo", " wörld"],          # é is a letter
+        "日本語 テスト": ["日本語", " テスト"],        # CJK letter runs
+        "一二三": ["一二三"],                         # CJK numerals: L wins
+        "a 1234½": ["a", " 1234½"],                  # ½ (No) is \p{N}
+        "x  y": ["x", " ", " y"],                    # run leaves last ws
+        "a\tb": ["a", "\t", "b"],                    # tab never attaches
+        "foo!'s": ["foo", "!'", "s"],                # ' inside punct run
+        " 'sfoo": [" '", "sfoo"],                    # no contraction after space
+        "end  ": ["end", "  "],                      # trailing ws run whole
+        "①②": ["①②"],                                # No circled digits: N
+    }
+    for text, want in cases.items():
+        got = pretokenize(text)
+        assert got == want, (text, got, want)
+        assert "".join(got) == text
+
+
+def test_bpe_byte_level_hand_computed_gpt2_style():
+    """Hand-computed byte-level vectors over a GPT-2-style merges
+    fixture: accented text merges THROUGH its UTF-8 bytes (é = Ã ©),
+    CJK merges per-byte up to whole characters, decode() inverts
+    exactly, and truncation inside a multi-byte codepoint keeps the
+    longest whole-character prefix."""
+    from pincette_mongo_streams_spark.functions import bpe as bpe_mod
+
+    merges = [("c", "a", 0), ("ca", "f", 1), ("caf", "Ã", 2),
+              ("cafÃ", "©", 3),
+              ("æ", "Ĺ", 4), ("æĹ", "¥", 5),      # 日 = E6 97 A5
+              ("æ", "ľ", 6), ("æľ", "¬", 7),      # 本 = E6 9C AC
+              ("æĹ¥", "æľ¬", 8), ("Ġ", "æĹ¥æľ¬", 9)]
+    ranks = {(l, r): k for l, r, k in merges}
+    toks = bpe_mod.encode("café 日本", ranks, {})
+    assert toks == ["cafÃ©", "ĠæĹ¥æľ¬"]            # hand-derived
+    assert bpe_mod.decode(toks) == "café 日本"
+    # rank order matters: merge 4 fires before 6 even interleaved
+    assert bpe_mod.encode("日本", ranks, {}) == ["æĹ¥æľ¬"]
+    # no merges: café = 5 byte symbols (é is two)
+    assert bpe_mod.encode("café", {}, {}) == ["c", "a", "f", "Ã", "©"]
+    # truncation mid-codepoint: 4 of 5 byte tokens cuts é in half ->
+    # whole-character prefix "caf"
+    assert bpe_mod.truncate_tokens("café", 4, {}, {}) == "caf"
+    assert bpe_mod.truncate_tokens("café", 5, {}, {}) == "café"
+    assert bpe_mod.truncate_tokens("ab日本", 5, {}, {}) == "ab日"
+    # the engine path agrees with the hand vectors end-to-end
+    assert bpe_mod.count_tokens("café 日本", ranks, {}) == 2
+
+
+def test_bpe_complete_byte_vocab_never_oov(spark):
+    """r7: with a vocab containing all 256 single-byte symbols (every
+    public GPT-2-style vocab does), vocab-id mode can never emit -1 —
+    an unmerged token IS a byte symbol.  Exercised over multilingual
+    text through the $bpeEncode stage."""
+    from pincette_mongo_streams_spark.functions.bpe import (
+        BYTE_TO_UNICODE, decode,
+    )
+
+    merges_df = _merges_df(spark)
+    byte_syms = sorted(BYTE_TO_UNICODE.values())
+    # vocab.json construction: all 256 byte symbols + one entry per
+    # merge result — with that, every reachable token has an id
+    extra = [l + r for l, r, _ in _MERGES]
+    vocab_df = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(byte_syms + extra)],
+        "token string, id long")
+    texts = ["the théory 日本語", "emoji 🚀 mix", "plain ascii"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, t string")
+    ctx = Context(spark=spark,
+                  collections={"m": merges_df, "v": vocab_df})
+    out = compile_pipeline(
+        [{"$bpeEncode": {"input": "$t", "as": "ids",
+                         "tokenizer": {"merges": "m", "vocab": "v"}}},
+         {"$bpeEncode": {"input": "$t", "as": "toks",
+                         "tokenizer": {"merges": "m"}}}],
+        ctx)(df).collect()
+    id_of = {t: i for i, t in enumerate(byte_syms + extra)}  # noqa: duplicate of vocab order
+    for r in out:
+        assert all(i >= 0 for i in r["ids"]), (r["t"], r["ids"])
+        assert decode(r["toks"]) == texts[r["doc_id"]]
+        # ids correspond 1:1 to the token strings
+        assert r["ids"] == [id_of[t] for t in r["toks"]]
