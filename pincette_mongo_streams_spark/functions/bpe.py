@@ -101,6 +101,46 @@ def _decode_byte_prefix(bs: bytes) -> str:
     return bs.decode("utf-8", "ignore")  # pragma: no cover - not a prefix
 
 
+def _decode_byte_slice(bs: bytes) -> str:
+    """Decode a byte SLICE of valid UTF-8 text: drop leading
+    continuation bytes (the tail of a codepoint cut at the slice start)
+    then a trailing partial codepoint — the longest whole-character
+    substring the slice covers."""
+    i = 0
+    while i < len(bs) and i < 3 and (bs[i] & 0xC0) == 0x80:
+        i += 1
+    return _decode_byte_prefix(bs[i:])
+
+
+def chunk_tokens(text, size: int, stride: int, ranks: Ranks, cache: dict):
+    """Token-window chunking (the $chunkText ``unit: "tokens"`` core):
+    windows of ``size`` BPE tokens starting every ``stride`` tokens.
+    Token boundaries partition the document's UTF-8 bytes, so each
+    chunk's text is the EXACT substring those tokens cover (byte-offset
+    slice of the original — whitespace intact; a window edge inside a
+    multi-byte codepoint keeps the longest whole-character substring).
+    Returns ``[(idx, chunk_text, n_tokens)]``; empty list for None."""
+    if text is None:
+        return []
+    toks = encode(text, ranks, cache)
+    n = len(toks)
+    if n == 0:
+        return []
+    # byte offsets: remap units are one char per byte, so a token's
+    # byte length IS its unit length
+    offs = [0]
+    for t in toks:
+        offs.append(offs[-1] + len(t))
+    bs = text.encode("utf-8")
+    n_chunks = max(1, -(-(n - (size - stride)) // stride))
+    out = []
+    for i in range(n_chunks):
+        start = i * stride
+        chunk = _decode_byte_slice(bs[offs[start]: offs[min(start + size, n)]])
+        out.append((i, chunk, min(size, n - start)))
+    return out
+
+
 # --------------------------------------------------------- pre-tokenizer
 # Scanner equivalent of the GPT-2 regex (see module docstring).  Python's
 # `re` has no \p{L}/\p{N}, so classes come from str methods (Unicode-

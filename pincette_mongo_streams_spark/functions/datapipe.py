@@ -3204,17 +3204,52 @@ def chunk_text_stage(expression: Any, ctx: Context) -> StageFn:
 
     Pure HOF column algebra (split -> sequence -> slice -> join): row-
     local, zero shuffle, pipelines with the scan.  The last chunk may be
-    short; a document shorter than ``size`` yields one chunk."""
+    short; a document shorter than ``size`` yields one chunk.
+
+    r7: ``unit: "tokens"`` + ``tokenizer: {merges}`` chunks by REAL BPE
+    token windows — what a context window actually measures — emitting
+    ``array<struct<idx, text, n_tokens>>`` where each chunk's text is
+    the EXACT substring of the document its tokens cover (byte-offset
+    slice — whitespace intact; a window edge inside a multi-byte
+    codepoint keeps the longest whole-character substring).  Same
+    Arrow-batched tokenizer boundary as ``$truncateTokens``: merge
+    table broadcast once per executor, row-local, zero shuffle."""
     inp = expression["input"]
     size = int(expression["size"])
     overlap = int(expression.get("overlap", 0))
     as_field = expression.get("as", "chunks")
+    unit = {"token": "tokens", "word": "words"}.get(
+        expression.get("unit", "words"), expression.get("unit", "words"))
+    tokenizer = expression.get("tokenizer")
+    if unit not in ("words", "tokens"):
+        raise ValueError(f"$chunkText unit must be words|tokens, got {unit}")
+    if unit == "tokens" and (tokenizer is None or "merges" not in tokenizer):
+        raise ValueError(
+            "$chunkText unit 'tokens' needs tokenizer: {merges: ...}")
+    if unit == "words" and tokenizer is not None:
+        raise ValueError("$chunkText tokenizer applies to unit 'tokens'")
     if not 0 <= overlap < size:
         raise ValueError("$chunkText needs 0 <= overlap < size")
     stride = size - overlap
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         text = compile_expr(inp, ExprContext(schema=df.schema))
+        if unit == "tokens":
+            from . import bpe as _bpe
+
+            _bpe.ship()
+            bc = _bpe.broadcast_tokenizer(c, tokenizer["merges"])
+            chunker = _bpe.chunk_tokens
+
+            @F.pandas_udf(
+                "array<struct<idx:bigint,text:string,n_tokens:bigint>>")
+            def _chunks(s: pd.Series) -> pd.Series:
+                cache: dict = {}
+                rk, _ = bc.value
+                return s.map(
+                    lambda t: chunker(t, size, stride, rk, cache))
+
+            return df.withColumn(as_field, _chunks(text))
         words = F.split(text, r"\s+")
         n = F.size(words)
         # chunk starts: 0, stride, 2*stride, ...; the last window reaches

@@ -1162,3 +1162,97 @@ def test_bpe_complete_byte_vocab_never_oov(spark):
         assert decode(r["toks"]) == texts[r["doc_id"]]
         # ids correspond 1:1 to the token strings
         assert r["ids"] == [id_of[t] for t in r["toks"]]
+
+
+def test_chunk_text_token_windows_differential(spark):
+    """r7: $chunkText unit:'tokens' — differential vs an independent
+    Python chunker over the real documents corpus: chunk boundaries are
+    BPE-token windows, each chunk's text is the exact substring its
+    tokens cover, and overlap=0 chunks concatenate back to the text."""
+    from pincette_mongo_streams_spark.functions.bpe import (
+        pretokenize, to_units,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(120)
+    ranks = {(l, r): k for l, r, k in _MERGES}
+    ctx = Context(spark=spark, collections={"m": _merges_df(spark)})
+    size, overlap = 64, 16
+    out = compile_pipeline(
+        [{"$chunkText": {"input": "$text", "size": size,
+                         "overlap": overlap, "unit": "tokens",
+                         "tokenizer": {"merges": "m"}, "as": "chunks"}}],
+        ctx)(docs).select("doc_id", "text", "chunks").collect()
+    assert len(out) > 50
+    stride = size - overlap
+    for r in out:
+        text = r["text"]
+        # independent reference: _ref_bpe tokens + byte-offset slicing
+        toks = []
+        for pt in pretokenize(text):
+            toks.extend(_ref_bpe(to_units(pt), ranks))
+        offs = [0]
+        for t in toks:
+            offs.append(offs[-1] + len(t))
+        bs = text.encode("utf-8")
+        n = len(toks)
+        want = []
+        if n:
+            n_chunks = max(1, -(-(n - overlap) // stride))
+            for i in range(n_chunks):
+                st = i * stride
+                want.append((i,
+                             bs[offs[st]:offs[min(st + size, n)]]
+                             .decode("utf-8"),
+                             min(size, n - st)))
+        got = [(c["idx"], c["text"], c["n_tokens"]) for c in r["chunks"]]
+        assert got == want, (r["doc_id"], got[:2], want[:2])
+        # every chunk is a literal substring of the document
+        assert all(c[1] in text for c in got)
+    # overlap=0: chunks partition the text exactly
+    out0 = compile_pipeline(
+        [{"$chunkText": {"input": "$text", "size": 50, "unit": "token",
+                         "tokenizer": {"merges": "m"}}}],
+        ctx)(docs).select("text", "chunks").collect()
+    for r in out0:
+        assert "".join(c["text"] for c in r["chunks"]) == r["text"]
+
+
+def test_chunk_text_token_edge_cases(spark):
+    """Token chunking hand cases: multi-byte codepoint on a window edge
+    keeps the whole-character substring on both sides; short/empty/null
+    docs; validation of the unit/tokenizer combinations."""
+    ctx = Context(spark=spark, collections={"m": _merges_df(spark)})
+    # no merges apply to CJK: each char is 3 byte-tokens (日=0-2, 本=3-5,
+    # 語=6-8).  size-4 windows: [0:4) covers 日 whole + 1 byte of 本 ->
+    # "日"; [4:8) covers only partial chars (本 minus its lead byte, 語
+    # minus its tail) -> ""; [8:9) is 語's last byte -> ""
+    df = spark.createDataFrame([(1, "日本語"), (2, ""), (3, None)],
+                               "doc_id long, t string")
+    out = compile_pipeline(
+        [{"$chunkText": {"input": "$t", "size": 4, "unit": "tokens",
+                         "tokenizer": {"merges": "m"}}}],
+        ctx)(df).collect()
+    by = {r["doc_id"]: [(c["idx"], c["text"], c["n_tokens"])
+                        for c in r["chunks"]] for r in out}
+    assert by[1] == [(0, "日", 4), (1, "", 4), (2, "", 1)]
+    assert by[2] == [] and by[3] == []
+    # size 6 aligns with whole characters: exact two-char windows
+    out6 = compile_pipeline(
+        [{"$chunkText": {"input": "$t", "size": 6, "unit": "tokens",
+                         "tokenizer": {"merges": "m"}}}],
+        ctx)(df.filter("doc_id = 1")).collect()
+    assert [(c["idx"], c["text"], c["n_tokens"])
+            for c in out6[0]["chunks"]] == [(0, "日本", 6), (1, "語", 3)]
+    with pytest.raises(ValueError, match="unit 'tokens' needs tokenizer"):
+        compile_pipeline(
+            [{"$chunkText": {"input": "$t", "size": 4, "unit": "tokens"}}],
+            ctx)
+    with pytest.raises(ValueError, match="tokenizer applies to unit"):
+        compile_pipeline(
+            [{"$chunkText": {"input": "$t", "size": 4,
+                             "tokenizer": {"merges": "m"}}}], ctx)
+    with pytest.raises(ValueError, match="words.tokens"):
+        compile_pipeline(
+            [{"$chunkText": {"input": "$t", "size": 4, "unit": "bytes"}}],
+            ctx)
