@@ -1011,31 +1011,83 @@ def _transposed_variants(term: str, k: int) -> tuple[list[str], list[str]]:
     return list(dict.fromkeys(t1)), list(dict.fromkeys(t2))
 
 
+def _osa2_parts(term: str):
+    """Compile-time pieces of the EXACT ``osa(term, t) <= 2`` predicate
+    (r7 — closes the r6 over-match where a second edit landed inside
+    the transposed pair).  OSA alignments of cost <= 2 split by how
+    many transpositions they use:
+
+    - 0: plain ``levenshtein(t, term) <= 2``;
+    - 2: both edits are disjoint transpositions, rest equal -> ``t``
+      IS a two-swap literal (T2);
+    - 1: the reversed pair sits intact in ``t`` and the one remaining
+      edit is DISJOINT from it.  Relative to the one-swap variant
+      ``vi`` (swap at 0-based ``i``, pair ``sw = vi[i:i+2]``):
+      a deletion outside the pair is a LITERAL (enumerable); a
+      substitution keeps length and the pair at ``i``; an insertion
+      grows length by one and leaves the pair intact at ``i`` (insert
+      after it, prefix preserved) or at ``i+1`` (insert before it,
+      suffix preserved).  An edit INSIDE the pair fails these context
+      checks — and any string reachable that way is either reachable
+      by a disjoint path too (duplicate-char ambiguity) or genuinely
+      OSA 3 (e.g. term "ab", t "bxa").  Verified exhaustively against
+      the OSA DP over small alphabets (test_search_fuzzy_max_edits_2_
+      exact_osa).
+
+    Returns ``(variants, extra_literals)`` with ``variants`` =
+    ``[(i, vi, sw)]`` and ``extra_literals`` = outside-pair deletions
+    ∪ T2 — renderable to SQL and to Columns from the same data so the
+    BM25 rowset and the $searchMeta count cannot drift."""
+    L = len(term)
+    variants = []
+    dels: set = set()
+    for i in range(L - 1):
+        if term[i] == term[i + 1]:
+            continue
+        vi = term[:i] + term[i + 1] + term[i] + term[i + 2:]
+        variants.append((i, vi, vi[i:i + 2]))
+        for p in range(L):
+            if p not in (i, i + 1):
+                dels.add(vi[:p] + vi[p + 1:])
+    _, t2 = _transposed_variants(term, 2)
+    return variants, sorted(dels | set(t2))
+
+
 def _fuzzy_cond(term: str, fuzzy: dict) -> str:
     """SQL token predicate (over the variable ``t``) for one fuzzy term
     slot: Damerau-Levenshtein within ``maxEdits`` (Lucene counts an
     adjacent TRANSPOSITION as one edit), sharing the literal prefix
     from :func:`_fuzzy_params`.  The term is a literal, so Damerau
     unrolls exactly: DL <= 1 iff lev <= 1 or t equals a one-swap
-    variant; DL <= 2 iff lev <= 2, or lev(t, one-swap variant) <= 1,
-    or t equals a two-disjoint-swaps variant.  At maxEdits 1 this is
-    EXACTLY Lucene's (OSA) semantics — differential-tested against an
-    OSA DP; at maxEdits 2 it never under-matches OSA and over-matches
-    only degenerate tokens where a second edit lands inside the
-    transposed pair (~0.06% of random short binary/ternary-alphabet
-    pairs, unreachable for real word tokens)."""
+    variant; DL <= 2 via the :func:`_osa2_parts` decomposition.  Both
+    maxEdits levels are now EXACT Lucene (OSA) semantics —
+    differential-tested against an OSA DP, exhaustively over small
+    alphabets at k=2 (r7; the r6 inside-the-pair over-match is
+    closed)."""
     k, prefix = _fuzzy_params(term, fuzzy)
-    t1, t2 = _transposed_variants(term, k)
     parts = [f"levenshtein(t, {_q_sql(term)}) <= {k}"]
     if k == 1:
+        t1, _ = _transposed_variants(term, k)
         if t1:
             parts.append(
                 "t IN (" + ", ".join(_q_sql(v) for v in t1) + ")")
     else:
-        parts += [f"levenshtein(t, {_q_sql(v)}) <= 1" for v in t1]
-        if t2:
+        L = len(term)
+        variants, lits = _osa2_parts(term)
+        for i, vi, sw in variants:
+            sub_c = (f"(length(t) = {L} AND "
+                     f"substring(t, {i + 1}, 2) = {_q_sql(sw)})")
+            ins_c = (f"(length(t) = {L + 1} AND ("
+                     f"(substring(t, 1, {i}) = {_q_sql(vi[:i])} AND "
+                     f"substring(t, {i + 1}, 2) = {_q_sql(sw)}) OR "
+                     f"(substring(t, {i + 2}, 2) = {_q_sql(sw)} AND "
+                     f"substring(t, {i + 4}, {max(L - i - 2, 0)}) = "
+                     f"{_q_sql(vi[i + 2:])})))")
+            parts.append(f"(levenshtein(t, {_q_sql(vi)}) <= 1 AND "
+                         f"({sub_c} OR {ins_c}))")
+        if lits:
             parts.append(
-                "t IN (" + ", ".join(_q_sql(v) for v in t2) + ")")
+                "t IN (" + ", ".join(_q_sql(v) for v in lits) + ")")
     cond = "(" + " OR ".join(parts) + ")"
     if prefix:
         cond += (f" AND substring(t, 1, {len(prefix)}) = "
@@ -1274,16 +1326,27 @@ def _text_match_pred(df: DataFrame, spec: dict,
         hit = None
         for term in terms:
             k, prefix = _fuzzy_params(term, fuzzy)
-            t1, t2 = _transposed_variants(term, k)
             c = F.levenshtein(t, F.lit(term)) <= k
             if k == 1:
+                t1, _ = _transposed_variants(term, k)
                 if t1:
                     c = c | t.isin(*t1)
             else:
-                for v in t1:
-                    c = c | (F.levenshtein(t, F.lit(v)) <= 1)
-                if t2:
-                    c = c | t.isin(*t2)
+                L = len(term)
+                variants, lits = _osa2_parts(term)
+                for i, vi, sw in variants:
+                    sub_c = ((F.length(t) == L)
+                             & (F.substring(t, i + 1, 2) == F.lit(sw)))
+                    ins_c = ((F.length(t) == L + 1) & (
+                        ((F.substring(t, 1, i) == F.lit(vi[:i]))
+                         & (F.substring(t, i + 1, 2) == F.lit(sw)))
+                        | ((F.substring(t, i + 2, 2) == F.lit(sw))
+                           & (F.substring(t, i + 4, max(L - i - 2, 0))
+                              == F.lit(vi[i + 2:])))))
+                    c = c | ((F.levenshtein(t, F.lit(vi)) <= 1)
+                             & (sub_c | ins_c))
+                if lits:
+                    c = c | t.isin(*lits)
             if prefix:
                 c = c & (F.substring(t, 1, len(prefix)) == F.lit(prefix))
             hit = c if hit is None else (hit | c)

@@ -1218,3 +1218,60 @@ def test_search_synonyms_multiword_rejected(spark):
                                    "synonyms": "syn"}}}],
             Context(spark=spark, collections={"syn": mapping}),
         )(docs).collect()
+
+
+def _osa_dp(a, b):
+    """Reference optimal-string-alignment (restricted Damerau) DP."""
+    la, lb = len(a), len(b)
+    d = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la + 1):
+        d[i][0] = i
+    for j in range(lb + 1):
+        d[0][j] = j
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                          d[i - 1][j - 1] + cost)
+            if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]):
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[la][lb]
+
+
+def test_search_fuzzy_max_edits_2_exact_osa(spark):
+    """r7: fuzzy matching is EXACT OSA at BOTH maxEdits levels — the r6
+    k=2 over-match (second edit inside the transposed pair, e.g. term
+    'ab' vs token 'bxa': OSA 3 but within 1 edit of the swap 'ba') is
+    closed.  Exhaustive differential vs the OSA DP: adversarial short
+    binary/ternary-alphabet terms against EVERY token of length <= 6
+    over {a, b, x}, through the real $search SQL path, with the
+    $searchMeta Column path counted in lockstep."""
+    import itertools
+
+    toks = ["".join(p) for n in range(1, 7)
+            for p in itertools.product("abx", repeat=n)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, text string")
+    terms = ["ab", "ba", "aab", "aba", "abx", "bab",
+             "abab", "abba", "the"]
+    for term in terms:
+        for k in (1, 2):
+            want = {i for i, t in enumerate(toks)
+                    if _osa_dp(term, t) <= k}
+            got = {r["doc_id"] for r in compile_pipeline(
+                [{"$search": {"text": {"query": term, "path": "text",
+                                       "fuzzy": {"maxEdits": k}}}},
+                 {"$project": {"doc_id": 1}}],
+                Context(spark=spark))(docs).collect()}
+            assert got == want, (
+                term, k, sorted(toks[i] for i in got - want)[:5],
+                sorted(toks[i] for i in want - got)[:5])
+        # $searchMeta count stays in lockstep with the rowset
+        meta = compile_pipeline(
+            [{"$searchMeta": {"count": {"type": "total"},
+                              "text": {"query": term, "path": "text",
+                                       "fuzzy": {"maxEdits": 2}}}}],
+            Context(spark=spark))(docs).collect()
+        assert meta[0]["count"]["total"] == len(
+            {i for i, t in enumerate(toks) if _osa_dp(term, t) <= 2})
