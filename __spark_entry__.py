@@ -5414,6 +5414,19 @@ _ORDER = [
     #   densify_grid -> page_rank (power iteration with checkpointed
     #     lineage vs an unrolled-SQL oracle; $densify stays locally
     #     oracled)
+    # r7 swaps (VERDICT r6 Next #3 — hard rows for the never-gated
+    # scale joins; displaced rows stay registered + locally oracled by
+    # tests/test_oracle_parity.py):
+    #   kmeans -> edit_distance_join (q-gram rare-prefix candidate
+    #     generation + banded verify, randomized-differential exact;
+    #     kmeans' Lloyd chain is a strict subset of semantic_dedup's
+    #     in-window oracle)
+    #   ann_indexed -> jaccard_join (set-similarity join with prefix
+    #     equi-join candidates — the ANN family keeps ann_topk
+    #     in-window and the IVF variant stays locally oracled)
+    #   embed_dedup -> decontaminate (train/test leakage removal —
+    #     broadcast reference hashes + left-anti; the embedding-dedup
+    #     family keeps semantic_dedup in-window)
     "match_operators", "project_compute", "field_ops", "replace_with",
     "unwind", "group_accumulators", "dsir_score", "stage_ext",
     "bucket", "lookup_unwind", "geo_search", "lookup_pipeline",
@@ -5432,11 +5445,11 @@ _ORDER = [
     # locally oracle-checked.
     "text_match", "semantic_dedup", "window_all", "knn_join", "page_rank",
     "facet_summary", "window_group_hourly", "graph_lookup", "asof_join",
-    "group_cap", "kmeans",
+    "group_cap", "edit_distance_join",
     # LLM-data-pipeline operators
     "connected_components", "entropy_score", "training_pipeline", "bm25_search",
     "fusion", "rank_eval", "minhash_dedup", "gopher_rules",
-    "embed_dedup", "ann_topk", "ann_indexed", "media_pipeline",
+    "jaccard_join", "ann_topk", "decontaminate", "media_pipeline",
     "span_dedup",
 ]
 
