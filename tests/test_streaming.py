@@ -1139,3 +1139,65 @@ def test_bench_streaming_sf_parse_guard():
     assert bs._parse_sf("/root/testdata/sf0.01/") == 0.01
     assert bs._parse_sf("/data/mycorpus") is None
     assert bs._parse_sf("/data/sfx/current") is None
+
+
+def test_streaming_lookup_snapshot_semantics(spark, tmpdir):
+    """r7 (VERDICT r6 Next #6): the streaming $lookup refresh contract,
+    pinned.  The reference queries live MongoDB per message
+    (Lookup.java:89-99); here the `from` collection binds a SNAPSHOT
+    per Context: (a) a collection_loader resolves ONCE for the whole
+    query (Context.collection caches), and (b) a parquet-backed
+    collection pins its file listing at first resolution — rows
+    appended to the directory between micro-batches are NOT seen.
+    Documented in README's deviations section."""
+    import json as _json
+
+    in_dir = os.path.join(tmpdir, "in")
+    lk_dir = os.path.join(tmpdir, "lk")
+    os.makedirs(in_dir)
+    spark.createDataFrame([("a", 1)], "k string, tag long") \
+        .write.parquet(lk_dir)
+    for i in range(2):
+        with open(os.path.join(in_dir, f"b{i}.json"), "w") as f:
+            f.write(_json.dumps({"k": "a", "i": i}) + "\n")
+            f.write(_json.dumps({"k": "b", "i": i}) + "\n")
+    loads = []
+
+    def loader(name):
+        loads.append(name)
+        return spark.read.parquet(lk_dir)
+
+    ctx = Context(spark=spark, collection_loader=loader)
+    src = (spark.readStream.schema("k string, i long")
+           .option("maxFilesPerTrigger", 1).json(in_dir))
+    emissions = []
+
+    def sink(df, epoch):
+        rows = sorted((r["k"], [t["tag"] for t in (r["lk"] or [])])
+                      for r in df.collect())
+        emissions.append(rows)
+        if len(emissions) == 1:
+            # append a row matching 'b' BETWEEN micro-batches
+            spark.createDataFrame([("b", 2)], "k string, tag long") \
+                .write.mode("append").parquet(lk_dir)
+
+    q = run_streaming(
+        src,
+        [{"$lookup": {"from": "dim", "localField": "k",
+                      "foreignField": "k", "as": "lk"}}],
+        ctx, sink, trigger={"availableNow": True},
+        checkpoint=os.path.join(tmpdir, "ckpt"))
+    q.awaitTermination(120)
+    assert len(loads) == 1          # one resolution per Context
+    assert len(emissions) == 2
+    for rows in emissions:          # BOTH batches see the frozen snapshot
+        assert rows == [("a", [1]), ("b", [])]
+    # a FRESH Context (the documented refresh path) sees the new row
+    from pincette_mongo_streams_spark import compile_pipeline
+
+    out = compile_pipeline(
+        [{"$lookup": {"from": "dim", "localField": "k",
+                      "foreignField": "k", "as": "lk"}}],
+        Context(spark=spark, collection_loader=loader))(
+        spark.createDataFrame([("b",)], "k string")).collect()
+    assert [t["tag"] for t in out[0]["lk"]] == [2]
