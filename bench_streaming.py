@@ -9,6 +9,9 @@ stream through ``run_streaming``.  Three configs:
   applyInPandasWithState $group that emits once per state-CHANGING
   message) — directly comparable to the ``rocksdb`` row; the delta is
   the per-message operator + 8x the emitted rows.
+- ``per_message_rocksdb_p8`` (r7): the same with ``state_partitions=8``
+  — state-commit overhead, not the Python fold, floors the row above
+  (BENCH_AB_r07.md).
 
 Prints ONE JSON line::
 
@@ -85,6 +88,14 @@ def main() -> None:
         "per_message_rocksdb": (pipeline,
                                 {"state_store": "rocksdb",
                                  "emission": "per_message"}),
+        # r7: same protocol with state partitions sized to the per-batch
+        # volume instead of the CPU count — isolates the per-partition
+        # state-commit overhead that floors the row above (each stateful
+        # op commits one store instance per partition per micro-batch)
+        "per_message_rocksdb_p8": (pipeline,
+                                   {"state_store": "rocksdb",
+                                    "emission": "per_message",
+                                    "state_partitions": 8}),
     }
     results = {}
     for name, (pipe, kw) in configs.items():
@@ -107,6 +118,7 @@ def main() -> None:
             raise RuntimeError(
                 f"streaming bench ({name}) did not finish in 600s")
         dt = time.perf_counter() - t0
+        q.restore_state_store_conf()  # no conf bleed between configs
         prog = q.lastProgress or {}
         state = (prog.get("stateOperators") or [])
         results[name] = {

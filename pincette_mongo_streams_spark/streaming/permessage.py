@@ -179,9 +179,7 @@ def compile_group_per_message(
         gk_fields = ([f.name for f in gk_t.fields]
                      if isinstance(gk_t, T.StructType) else None)
 
-        def value(st: dict, i: int) -> Any:
-            op = ops[i]
-            s = st[str(i)]
+        def value(s: dict, op: str) -> Any:
             if op == "$avg":
                 return s["s"] / s["c"] if s["c"] else None
             if op == "$stdDevPop":
@@ -203,9 +201,7 @@ def compile_group_per_message(
             # (booleans included) — reference Group.numbers()
             return isinstance(v, (int, float)) and not isinstance(v, bool)
 
-        def update(st: dict, i: int, v: Any) -> None:
-            op = ops[i]
-            s = st[str(i)]
+        def update(s: dict, op: str, v: Any) -> None:
             if op == "$count":
                 if v is not None:
                     s["v"] = (s.get("v") or 0) + v
@@ -262,11 +258,20 @@ def compile_group_per_message(
                     st[str(i)] = {}
             return st
 
+        n_specs = len(specs)
+        struct_idx = frozenset(
+            i for i, op in enumerate(ops) if op == "$mergeObjects")
+
         def fold(key: tuple, pdfs: Iterable[pd.DataFrame], state
                  ) -> Iterable[pd.DataFrame]:
             existed = state.exists
             st = json.loads(state.get[0]) if existed else init_state()
-            prev = [value(st, i) for i in range(len(specs))]
+            # hot-loop bindings (r7 profile): per-accumulator state
+            # slots resolve ONCE per fold call, not per row (the JSON
+            # layout on disk is unchanged — checkpoints stay readable)
+            slots = [st[str(i)] for i in range(n_specs)]
+            rng = range(n_specs)
+            prev = [value(slots[i], ops[i]) for i in rng]
             # a brand-new key has no prior emission to diff against: the
             # reference upserts and emits the newly created group doc even
             # when every accumulator still sits at its initial value
@@ -281,14 +286,28 @@ def compile_group_per_message(
                 key_out = _py(key[0])
             out: list[list] = []
             for pdf in pdfs:
-                in_cols = [pdf[f"__in{i}"] for i in range(len(specs))]
-                for r in range(len(pdf)):
-                    for i in range(len(specs)):
-                        update(st, i, _py_deep(in_cols[i].iloc[r]))
-                    cur = [value(st, i) for i in range(len(specs))]
+                # bulk Arrow->Python conversion (r7 profile): tolist()
+                # converts a whole column to native values at C speed —
+                # the per-row .iloc/.item() path dominated the fold.
+                # Atomic nulls arrive as NaN/NaT (v != v) or None;
+                # struct inputs ($mergeObjects) still deep-convert.
+                cols = []
+                for i in rng:
+                    vals = pdf[f"__in{i}"].tolist()
+                    if i in struct_idx:
+                        vals = [_py_deep(v) for v in vals]
+                    else:
+                        vals = [None if v is None or v != v else v
+                                for v in vals]
+                    cols.append(vals)
+                rows = zip(*cols) if cols else [()] * len(pdf)
+                for row in rows:
+                    for i in rng:
+                        update(slots[i], ops[i], row[i])
+                    cur = [value(slots[i], ops[i]) for i in rng]
                     if cur != prev or first_pending:
                         # the reference's emission diff
-                        out.append([key_out] + list(cur))
+                        out.append([key_out] + cur)
                         prev = cur
                         first_pending = False
             state.update((json.dumps(st),))

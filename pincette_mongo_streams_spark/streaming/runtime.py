@@ -108,6 +108,7 @@ def run_streaming(
     suppress_unchanged: bool = False,
     emission: str = "per_batch",
     state_store: Optional[str] = None,
+    state_partitions: Optional[int] = None,
 ):
     """Run ``pipeline`` over a streaming ``source``; ``sink(batch_df,
     epoch)`` receives each output micro-batch (foreachBatch = exactly-once
@@ -149,7 +150,18 @@ def run_streaming(
     checkpoints are NOT provider-portable (HDFSBacked writes
     .delta/.snapshot, RocksDB writes .zip/.changelog): keep the provider
     stable for the lifetime of a checkpoint; switching requires a fresh
-    checkpoint location."""
+    checkpoint location.
+
+    ``state_partitions`` sets ``spark.sql.shuffle.partitions`` for this
+    query — the STATE partition count, which Spark pins into the
+    checkpoint at first start (it cannot change on resume).  Size it to
+    state volume, not CPU count: every stateful operator commits one
+    state-store instance per partition per micro-batch, so at small
+    per-batch volumes the commit overhead dominates (measured r7,
+    BENCH_AB_r07.md: the per-message bench runs 1.8x faster at 8
+    partitions than 32 on 12.5k-event batches).  Same session-conf
+    discipline as ``state_store``: applied after validation, captured
+    in ``restore_state_store_conf``."""
     for stage in pipeline:
         name = next(iter(stage))
         if name in _BATCH_ONLY_STAGES:
@@ -174,15 +186,22 @@ def run_streaming(
     # must not leave the session mutated), remembering the prior values
     # for the restore helper attached to the returned query
     prior_conf: dict[str, Optional[str]] = {}
+    conf_sets: list[tuple[str, str]] = []
     if state_store is not None:
         provider, changelog = _resolve_state_store(state_store)
-        for key, val in (
+        conf_sets += [
             ("spark.sql.streaming.stateStore.providerClass", provider),
             ("spark.sql.streaming.stateStore.rocksdb."
              "changelogCheckpointing.enabled", changelog),
-        ):
-            prior_conf[key] = ctx.spark.conf.get(key, None)
-            ctx.spark.conf.set(key, val)
+        ]
+    if state_partitions is not None:
+        if int(state_partitions) < 1:
+            raise ValueError("state_partitions must be >= 1")
+        conf_sets.append(
+            ("spark.sql.shuffle.partitions", str(int(state_partitions))))
+    for key, val in conf_sets:
+        prior_conf[key] = ctx.spark.conf.get(key, None)
+        ctx.spark.conf.set(key, val)
     ctx.streaming = True
     ctx.watermark = watermark
     if watermark is not None:

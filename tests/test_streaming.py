@@ -1201,3 +1201,43 @@ def test_streaming_lookup_snapshot_semantics(spark, tmpdir):
         Context(spark=spark, collection_loader=loader))(
         spark.createDataFrame([("b",)], "k string")).collect()
     assert [t["tag"] for t in out[0]["lk"]] == [2]
+
+
+def test_state_partitions_knob(spark, tmpdir):
+    """r7: state_partitions sets the query's state partition count (the
+    per-partition state-store commit overhead is the measured floor of
+    per-message throughput — BENCH_AB_r07.md); the prior session value
+    comes back via restore_state_store_conf."""
+    import glob as _glob
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    emissions = []
+    in_dir = os.path.join(tmpdir, "in")
+    _write_batches(in_dir, [[{"k": "a", "v": 1}, {"k": "b", "v": 2}]])
+    q = run_streaming(
+        spark.readStream.schema("k string, v long")
+        .option("maxFilesPerTrigger", 1).json(in_dir),
+        [{"$group": {"_id": "$k", "n": {"$count": {}}}}],
+        Context(spark=spark),
+        lambda df, e: emissions.append(
+            sorted((r["_id"], r["n"]) for r in df.collect())),
+        trigger={"availableNow": True},
+        checkpoint=os.path.join(tmpdir, "ckpt"),
+        state_partitions=3,
+    )
+    try:
+        q.awaitTermination(120)
+        q.restore_state_store_conf()
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prior
+        assert emissions == [[("a", 1), ("b", 1)]]
+        # the checkpoint's state layout has exactly 3 partition dirs
+        parts = _glob.glob(os.path.join(tmpdir, "ckpt", "state", "0", "*"))
+        assert sorted(os.path.basename(p) for p in parts
+                      if os.path.basename(p).isdigit()) == ["0", "1", "2"]
+        with pytest.raises(ValueError, match="state_partitions"):
+            run_streaming(
+                spark.readStream.schema("k string, v long").json(in_dir),
+                [], Context(spark=spark), lambda d, e: None,
+                state_partitions=0)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
