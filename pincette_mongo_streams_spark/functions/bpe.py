@@ -297,6 +297,64 @@ def broadcast_tokenizer(ctx, merges_name: str, vocab_name=None):
     return bc
 
 
+def broadcast_vocab(ctx, vocab_name: str):
+    """Broadcast just the ``token -> id`` vocab (the $bpeDecode id path
+    needs no merge table) — same per-Context memo/rebind/release
+    discipline as :func:`broadcast_tokenizer`, stored under the
+    ``(None, vocab_name)`` key so the two never collide."""
+    cache = getattr(ctx, "_bpe_broadcasts", None)
+    if cache is None:
+        cache = {}
+        ctx._bpe_broadcasts = cache
+    try:
+        vdf = ctx.collection(vocab_name)
+    except KeyError as e:
+        raise ValueError(f"tokenizer.vocab: {e}") from e
+    names = (None, vocab_name)
+    ids = (None, id(vdf))
+    hit = cache.get(names)
+    if hit is not None:
+        if hit[0] == ids:
+            return hit[1]
+        try:
+            hit[1].unpersist()
+        except Exception:  # pragma: no cover - already released
+            pass
+        del cache[names]
+    if not {"token", "id"} <= set(vdf.columns):
+        raise ValueError(
+            "tokenizer.vocab collection needs (token, id) columns")
+    rows = vdf.select("token", "id").collect()
+    if not rows:
+        raise ValueError("tokenizer.vocab collection is empty")
+    bc = ctx.spark.sparkContext.broadcast(
+        {r["token"]: int(r["id"]) for r in rows})
+    cache[names] = (ids, bc)
+    return bc
+
+
+def decode_ids(ids, rev: Dict[int, str], null_on_err: bool):
+    """Vocab ids -> text: map ids through the reverse vocab, join, and
+    invert the byte remap.  Unknown ids or a byte sequence that is not
+    valid UTF-8 raise (or yield None with ``null_on_err``)."""
+    toks: List[str] = []
+    for i in ids:
+        t = rev.get(int(i))
+        if t is None:
+            if null_on_err:
+                return None
+            raise ValueError(f"$bpeDecode: id {int(i)} not in vocab")
+        toks.append(t)
+    try:
+        return decode(toks)
+    except (UnicodeDecodeError, KeyError):
+        if null_on_err:
+            return None
+        raise ValueError(
+            "$bpeDecode: token sequence is not valid UTF-8 (a slice can "
+            "cut a multi-byte codepoint; use onError: 'null' to tolerate)")
+
+
 def release_broadcasts(ctx) -> int:
     """Destroy every tokenizer broadcast memoized on ``ctx`` and clear
     the memo; returns how many were released.  For long-lived Contexts

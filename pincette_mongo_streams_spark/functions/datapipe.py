@@ -2216,6 +2216,95 @@ def bpe_encode_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$bpeDecode")
+def bpe_decode_stage(expression: Any, ctx: Context) -> StageFn:
+    """Invert ``$bpeEncode``: ``{input, as?, tokenizer?, onError?}``
+    turns a token array back into text.
+
+    - ``array<string>`` input (remap-alphabet tokens, the $bpeEncode
+      default output): decoding needs NO model at all — the GPT-2
+      byte->unicode remap inverts as a compile-time ``translate`` map
+      and the byte join is ``encode(ISO-8859-1)`` + ``decode(UTF-8)``.
+      **Pure JVM column program** (whole-stage codegen, no broadcast,
+      no Python) — the decode direction is the cheap one, by design.
+    - ``array<long>`` / ``array<int>`` input (vocab ids): needs
+      ``tokenizer: {vocab}`` — the id->token reverse map broadcasts
+      (same memo as the encoder) and decoding runs on the Arrow
+      tokenizer boundary.
+
+    ``onError`` (default ``"error"``): token sequences that do not form
+    valid UTF-8 (an arbitrary slice can cut a multi-byte codepoint) or
+    ids absent from the vocab raise; ``"null"`` yields null for that
+    row instead.  Null in -> null out.  100 TB shape: row-local, zero
+    shuffle either way."""
+    inp = expression["input"]
+    as_field = expression.get("as", "text")
+    tokenizer = expression.get("tokenizer") or {}
+    vocab_name = tokenizer.get("vocab")
+    on_error = expression.get("onError", "error")
+    if on_error not in ("error", "null"):
+        raise ValueError(
+            f"$bpeDecode onError must be error|null, got {on_error!r}")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from . import bpe as _bpe
+
+        toks = compile_expr(inp, ExprContext(schema=df.schema))
+        dt = df.select(toks.alias("__t")).schema[0].dataType
+        if not isinstance(dt, T.ArrayType):
+            raise ValueError(
+                f"$bpeDecode input must be an array (got {dt.simpleString()})")
+        if isinstance(dt.elementType, T.StringType):
+            # JVM path: invert the remap via translate, re-read the
+            # latin-1 bytes as UTF-8
+            pairs = sorted((u, b) for b, u in _bpe.BYTE_TO_UNICODE.items()
+                           if ord(u) != b)
+            frm = "".join(u for u, _ in pairs)
+            to = "".join(chr(b) for _, b in pairs)
+            joined = F.encode(
+                F.translate(F.concat_ws("", toks), frm, to), "ISO-8859-1")
+            decoded = F.decode(joined, "UTF-8")
+            if on_error == "null":
+                decoded = F.when(
+                    F.call_function("is_valid_utf8", joined), decoded)
+            out = F.when(toks.isNull(), F.lit(None).cast("string")) \
+                .otherwise(decoded)
+            return df.withColumn(as_field, out)
+        if not isinstance(dt.elementType, T.IntegralType):
+            raise ValueError(
+                "$bpeDecode input must be array<string> tokens or "
+                f"array<long> ids (got {dt.simpleString()})")
+        if vocab_name is None:
+            raise ValueError(
+                "$bpeDecode on id arrays needs tokenizer: {vocab: ...}")
+        _bpe.ship()
+        # reuse the encoder's broadcast memo keyed on the vocab alone
+        # (merges resolves too if present; ids only need the vocab)
+        merges_name = tokenizer.get("merges")
+        if merges_name is not None:
+            bc = _bpe.broadcast_tokenizer(c, merges_name, vocab_name)
+
+            def get_vocab():
+                return bc.value[1]
+        else:
+            bcv = _bpe.broadcast_vocab(c, vocab_name)
+
+            def get_vocab():
+                return bcv.value
+        null_on_err = on_error == "null"
+        decode_ids = _bpe.decode_ids
+
+        @F.pandas_udf("string")
+        def _dec(s: pd.Series) -> pd.Series:
+            rev = {i: t for t, i in get_vocab().items()}
+            return s.map(lambda ids: None if ids is None
+                         else decode_ids(ids, rev, null_on_err))
+
+        return df.withColumn(as_field, _dec(toks))
+
+    return fn
+
+
 @register_stage("$bpeTrain")
 def bpe_train_stage(expression: Any, ctx: Context) -> StageFn:
     """Learn a BPE merge table FROM the corpus — the in-engine source

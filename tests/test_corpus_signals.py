@@ -1256,3 +1256,90 @@ def test_chunk_text_token_edge_cases(spark):
         compile_pipeline(
             [{"$chunkText": {"input": "$t", "size": 4, "unit": "bytes"}}],
             ctx)
+
+
+def test_bpe_decode_round_trip_jvm_path(spark):
+    """r7: $bpeDecode inverts $bpeEncode.  Token-array input decodes as
+    a PURE JVM column program (translate + encode(ISO-8859-1) +
+    decode(UTF-8) — no Python eval node, no broadcast model): the
+    decode direction needs no tokenizer at all."""
+    texts = ["the théory 日本語", "emoji 🚀 mix", "plain ascii",
+             "tab\tand  spaces"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, t string")
+    ctx = Context(spark=spark, collections={"m": _merges_df(spark)})
+    out = compile_pipeline(
+        [{"$bpeEncode": {"input": "$t", "as": "toks",
+                         "tokenizer": {"merges": "m"}}},
+         {"$project": {"doc_id": 1, "toks": 1}},
+         {"$bpeDecode": {"input": "$toks", "as": "back"}}],
+        ctx)(df)
+    got = {r["doc_id"]: r["back"] for r in out.collect()}
+    assert got == {i: t for i, t in enumerate(texts)}
+    # the decode stage alone is JVM-only: no Python eval in its plan
+    toks_df = spark.createDataFrame(
+        [(["the", "Ġthe"],), (None,)], "toks array<string>")
+    dec = compile_pipeline(
+        [{"$bpeDecode": {"input": "$toks"}}], Context(spark=spark))(toks_df)
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+    rows = dec.collect()
+    assert rows[0]["text"] == "the the"
+    assert rows[1]["text"] is None
+
+
+def test_bpe_decode_ids_and_on_error(spark):
+    """id-array input decodes through the vocab reverse map (Arrow
+    boundary); unknown ids and invalid-UTF-8 slices raise by default
+    and yield null with onError:'null'."""
+    from pincette_mongo_streams_spark.functions.bpe import (
+        BYTE_TO_UNICODE,
+    )
+
+    byte_syms = sorted(BYTE_TO_UNICODE.values())
+    extra = [l + r for l, r, _ in _MERGES]
+    vocab = byte_syms + extra
+    vocab_df = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(vocab)], "token string, id long")
+    ctx = Context(spark=spark, collections={"m": _merges_df(spark),
+                                            "v": vocab_df})
+    df = spark.createDataFrame([(1, "the thing 日本"), (2, None)],
+                               "doc_id long, t string")
+    out = compile_pipeline(
+        [{"$bpeEncode": {"input": "$t", "as": "ids",
+                         "tokenizer": {"merges": "m", "vocab": "v"}}},
+         {"$bpeDecode": {"input": "$ids", "as": "back",
+                         "tokenizer": {"vocab": "v"}}}],
+        ctx)(df).collect()
+    by = {r["doc_id"]: r["back"] for r in out}
+    assert by == {1: "the thing 日本", 2: None}
+    # unknown id: raises by default, null with onError
+    bad = spark.createDataFrame([([99999],)], "ids array<long>")
+    import py4j.protocol as _p4j
+    with pytest.raises(Exception, match="not in vocab"):
+        compile_pipeline(
+            [{"$bpeDecode": {"input": "$ids",
+                             "tokenizer": {"vocab": "v"}}}], ctx)(bad) \
+            .collect()
+    lenient = compile_pipeline(
+        [{"$bpeDecode": {"input": "$ids", "onError": "null",
+                         "tokenizer": {"vocab": "v"}}}], ctx)(bad).collect()
+    assert lenient[0]["text"] is None
+    # invalid UTF-8 token slice (a lone continuation byte): same contract
+    cont = spark.createDataFrame([(["Ĺ"],)], "toks array<string>")
+    with pytest.raises(Exception, match="MALFORMED|UTF-8"):
+        compile_pipeline([{"$bpeDecode": {"input": "$toks"}}],
+                         Context(spark=spark))(cont).collect()
+    ok = compile_pipeline(
+        [{"$bpeDecode": {"input": "$toks", "onError": "null"}}],
+        Context(spark=spark))(cont).collect()
+    assert ok[0]["text"] is None
+    # validation
+    with pytest.raises(ValueError, match="needs tokenizer"):
+        compile_pipeline([{"$bpeDecode": {"input": "$ids"}}], ctx)(bad)
+    with pytest.raises(ValueError, match="onError"):
+        compile_pipeline(
+            [{"$bpeDecode": {"input": "$toks", "onError": "skip"}}], ctx)
+    with pytest.raises(ValueError, match="array"):
+        compile_pipeline([{"$bpeDecode": {"input": "$t"}}], ctx)(
+            spark.createDataFrame([("x",)], "t string"))
