@@ -1383,6 +1383,65 @@ _register(
 )(_bpe_token_count_query)
 
 
+_register(
+    "ngram_overlap",
+    f"""WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS wc
+  FROM documents WHERE text IS NOT NULL),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(wc) >= 2
+         THEN [array_to_string(wc[i:i+1], ' ') FOR i IN range(1, len(wc))]
+         ELSE [] END AS gc,
+    CASE WHEN len(wc[1:40]) >= 2
+         THEN [array_to_string(wc[i:i+1], ' ')
+               FOR i IN range(1, len(wc[1:40]))]
+         ELSE [] END AS gr
+  FROM w),
+m AS (
+  SELECT doc_id, len(gc) AS nc, len(gr) AS nr,
+         coalesce(list_sum(list_transform(list_distinct(gc),
+             t -> least(len(list_filter(gc, x -> x = t)),
+                        len(list_filter(gr, x -> x = t))))), 0) AS nm
+  FROM g),
+s AS (
+  SELECT doc_id, nc, nr, nm,
+         CASE WHEN nc > 0 THEN nm / CAST(nc AS DOUBLE) ELSE 0.0 END AS p,
+         CASE WHEN nr > 0 THEN nm / CAST(nr AS DOUBLE) ELSE 0.0 END AS r
+  FROM m)
+SELECT d.doc_id,
+       CAST(s.nc AS BIGINT) AS n_cand, CAST(s.nr AS BIGINT) AS n_ref,
+       CAST(s.nm AS BIGINT) AS n_match,
+       {_r('s.p', 6)} AS precision_2,
+       {_r('s.r', 6)} AS recall_2,
+       {_r('CASE WHEN s.p + s.r > 0 THEN 2 * s.p * s.r / (s.p + s.r) '
+           'ELSE 0.0 END', 6)} AS f1_2
+FROM documents d LEFT JOIN s USING (doc_id)
+ORDER BY d.doc_id""",
+)(
+    _pipe(
+        "documents",
+        [
+            # reference = the doc's own first-40-words truncation: a
+            # deterministic row-local pair with non-trivial overlap
+            {"$truncateTokens": {"input": "$text", "as": "ref",
+                                 "max": 40}},
+            {"$ngramOverlap": {"candidate": "$text", "reference": "$ref",
+                               "n": 2, "as": "ov"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "n_cand": "$ov.n_cand", "n_ref": "$ov.n_ref",
+                          "n_match": "$ov.n_match",
+                          "precision_2": {"$round": ["$ov.precision", 6]},
+                          "recall_2": {"$round": ["$ov.recall", 6]},
+                          "f1_2": {"$round": ["$ov.f1", 6]}}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
 _LANG_SQL_HITS = ", ".join(
     "len(list_filter(string_split_regex(lower(text), '[^a-z]+'), "
     f"w -> w IN ({', '.join(repr(w) for w in ws)}))) AS hits_{lang}"

@@ -2362,6 +2362,94 @@ def bpe_train_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$ngramOverlap")
+def ngram_overlap_stage(expression: Any, ctx: Context) -> StageFn:
+    """Clipped word-n-gram overlap between a candidate and a reference
+    text IN THE SAME ROW — the row-local core of BLEU/ROUGE-style eval
+    and contamination scoring: ``{candidate, reference, n?, as?}`` adds
+    ``struct<n_cand, n_ref, n_match, precision, recall, f1>`` where
+    ``n_match`` is the CLIPPED match count (per distinct gram,
+    ``min(count_in_candidate, count_in_reference)`` — BLEU's modified
+    precision numerator; ROUGE-N recall = the same numerator over the
+    reference count).  precision/recall are 0.0 when their denominator
+    is 0; f1 is their harmonic mean (0.0 when both are 0).  Null in
+    either text -> null struct.
+
+    100 TB shape: pure higher-order-function column program (split ->
+    sliding-window grams -> aggregate over distinct grams) — row-local,
+    zero shuffle, whole-stage codegen; O(d·(|c|+|r|)) per row where d
+    is the distinct-gram count.  Compose per-n for multi-n BLEU."""
+    cand_e = expression["candidate"]
+    ref_e = expression["reference"]
+    n = int(expression.get("n", 1))
+    as_field = expression.get("as", "overlap")
+    if n < 1:
+        raise ValueError("$ngramOverlap n must be >= 1")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        sctx = ExprContext(schema=df.schema)
+        cand = compile_expr(cand_e, sctx)
+        ref = compile_expr(ref_e, sctx)
+
+        def words(t: Column) -> Column:
+            return F.filter(F.split(F.trim(t), r"\s+"),
+                            lambda x: x != F.lit(""))
+
+        def grams(w: Column) -> Column:
+            if n == 1:
+                return w
+            return F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                    lambda i: F.array_join(F.slice(w, i, n), " ")),
+            ).otherwise(F.array().cast("array<string>"))
+
+        # materialize grams and the clipped-match count as TEMP COLUMNS:
+        # the struct below references each several times (precision,
+        # recall and f1 all contain the match count), and inlining the
+        # aggregate expression would make Catalyst evaluate the O(d·c)
+        # HOF per reference — measured 10x+ on the oracle query.
+        # CollapseProject keeps multiply-referenced non-cheap aliases
+        # materialized, so each computes once per row.
+        stage = df.withColumn("__ngo_gc", grams(words(cand))) \
+                  .withColumn("__ngo_gr", grams(words(ref)))
+        gc, gr = F.col("__ngo_gc"), F.col("__ngo_gr")
+        # clipped multiset intersection: per distinct candidate gram,
+        # min(count in candidate, count in reference)
+        stage = stage.withColumn(
+            "__ngo_m",
+            F.aggregate(
+                F.array_distinct(gc), F.lit(0).cast("long"),
+                lambda acc, g: acc + F.least(
+                    F.size(F.filter(gc, lambda x: x == g)),
+                    F.size(F.filter(gr, lambda x: x == g)),
+                ).cast("long")),
+        ).withColumn("__ngo_p", F.when(
+            F.size(gc) > 0,
+            F.col("__ngo_m") / F.size(gc).cast("long")).otherwise(F.lit(0.0))
+        ).withColumn("__ngo_r", F.when(
+            F.size(gr) > 0,
+            F.col("__ngo_m") / F.size(gr).cast("long")).otherwise(F.lit(0.0)))
+        prec, rec = F.col("__ngo_p"), F.col("__ngo_r")
+        f1 = F.when(prec + rec > 0,
+                    2.0 * prec * rec / (prec + rec)).otherwise(F.lit(0.0))
+        st = F.struct(
+            F.size(gc).cast("long").alias("n_cand"),
+            F.size(gr).cast("long").alias("n_ref"),
+            F.col("__ngo_m").alias("n_match"), prec.alias("precision"),
+            rec.alias("recall"), f1.alias("f1"))
+        null_st = F.lit(None).cast(
+            "struct<n_cand:bigint,n_ref:bigint,n_match:bigint,"
+            "precision:double,recall:double,f1:double>")
+        return stage.withColumn(
+            as_field,
+            F.when(cand.isNull() | ref.isNull(), null_st).otherwise(st),
+        ).drop("__ngo_gc", "__ngo_gr", "__ngo_m", "__ngo_p", "__ngo_r")
+
+    return fn
+
+
 @register_stage("$bm25")
 def bm25_stage(expression: Any, ctx: Context) -> StageFn:
     """BM25 ranked retrieval: ``{query, input, id, k, k1, b}`` →

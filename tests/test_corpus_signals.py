@@ -1343,3 +1343,69 @@ def test_bpe_decode_ids_and_on_error(spark):
     with pytest.raises(ValueError, match="array"):
         compile_pipeline([{"$bpeDecode": {"input": "$t"}}], ctx)(
             spark.createDataFrame([("x",)], "t string"))
+
+
+def test_ngram_overlap_differential_and_edges(spark):
+    """r7: $ngramOverlap — clipped-count semantics vs an independent
+    Python reference over the real documents corpus (candidate = full
+    text, reference = its first-40-words truncation) at n = 1 and 2,
+    plus hand edge cases (clipping, empty, short-doc, null)."""
+    import re as _re
+    from collections import Counter
+
+    def ref_overlap(cand, ref, n):
+        def grams(t):
+            ws = [w for w in _re.split(r"\s+", t.strip()) if w]
+            return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+        gc, gr = grams(cand), grams(ref)
+        cc, cr = Counter(gc), Counter(gr)
+        m = sum(min(c, cr[g]) for g, c in cc.items())
+        p = m / len(gc) if gc else 0.0
+        r = m / len(gr) if gr else 0.0
+        f = 2 * p * r / (p + r) if p + r else 0.0
+        return (len(gc), len(gr), m, p, r, f)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(100)
+    for n in (1, 2):
+        out = compile_pipeline(
+            [{"$truncateTokens": {"input": "$text", "as": "ref",
+                                  "max": 40}},
+             {"$ngramOverlap": {"candidate": "$text", "reference": "$ref",
+                                "n": n, "as": "ov"}}],
+            Context(spark=spark))(docs).select("text", "ref", "ov") \
+            .collect()
+        assert len(out) > 50
+        for r in out:
+            got = (r["ov"]["n_cand"], r["ov"]["n_ref"], r["ov"]["n_match"],
+                   r["ov"]["precision"], r["ov"]["recall"], r["ov"]["f1"])
+            want = ref_overlap(r["text"], r["ref"], n)
+            assert got[:3] == want[:3], (n, got, want)
+            for g, w in zip(got[3:], want[3:]):
+                assert abs(g - w) < 1e-12, (n, got, want)
+    # clipping: "a a a" vs "a" matches once, not three times
+    df = spark.createDataFrame(
+        [(1, "a a a", "a"), (2, "x", ""), (3, "w", None),
+         (4, "b c", "b c")],
+        "i long, c string, r string")
+    out = {r["i"]: r["ov"] for r in compile_pipeline(
+        [{"$ngramOverlap": {"candidate": "$c", "reference": "$r",
+                            "as": "ov"}}],
+        Context(spark=spark))(df).collect()}
+    assert (out[1]["n_match"], out[1]["precision"], out[1]["recall"]) \
+        == (1, 1 / 3, 1.0)
+    assert (out[2]["n_match"], out[2]["precision"], out[2]["recall"],
+            out[2]["f1"]) == (0, 0.0, 0.0, 0.0)
+    assert out[3] is None
+    assert out[4]["f1"] == 1.0
+    # bigrams on a one-word doc: zero grams, zero scores
+    short = compile_pipeline(
+        [{"$ngramOverlap": {"candidate": "$c", "reference": "$c",
+                            "n": 2, "as": "ov"}}],
+        Context(spark=spark))(
+        spark.createDataFrame([("solo",)], "c string")).collect()
+    assert short[0]["ov"]["n_cand"] == 0 and short[0]["ov"]["f1"] == 0.0
+    with pytest.raises(ValueError, match="n must be"):
+        compile_pipeline(
+            [{"$ngramOverlap": {"candidate": "$c", "reference": "$c",
+                                "n": 0}}], Context(spark=spark))
