@@ -1241,3 +1241,41 @@ def test_state_partitions_knob(spark, tmpdir):
                 state_partitions=0)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
+def test_tokenizer_family_streams(spark, tmpdir):
+    """r7: the new tokenizer-family stages are row-local and stream
+    unchanged — $ngramOverlap (HOF column program), $chunkText
+    unit:'tokens', $bpeDecode round-tripping $bpeEncode (broadcast
+    model memoized on the Context across micro-batch recompiles)."""
+    merges = spark.createDataFrame(
+        [("t", "h", 0), ("th", "e", 1)],
+        "left string, right string, rank long")
+    ctx = Context(spark=spark, collections={"m": merges})
+    batches = [
+        [{"doc_id": 1, "text": "the cat sat on the mat"}],
+        [{"doc_id": 2, "text": "dogs bark at the moon"}],
+    ]
+    out = _run(
+        spark, str(tmpdir), "doc_id long, text string", batches,
+        [
+            {"$ngramOverlap": {"candidate": "$text", "reference": "$text",
+                               "n": 2, "as": "ov"}},
+            {"$chunkText": {"input": "$text", "size": 4, "unit": "tokens",
+                            "tokenizer": {"merges": "m"}, "as": "ck"}},
+            {"$bpeEncode": {"input": "$text", "as": "toks",
+                            "tokenizer": {"merges": "m"}}},
+            {"$bpeDecode": {"input": "$toks", "as": "back"}},
+            {"$project": {"doc_id": 1, "text": 1, "back": 1,
+                          "f1": "$ov.f1", "n_chunks": {"$size": "$ck"}}},
+        ],
+        ctx=ctx,
+    )
+    rows = {r["doc_id"]: r for e in out for r in e}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert r["back"] == r["text"]   # encode->decode round trip
+        assert r["f1"] == 1.0           # self-overlap is perfect
+        assert r["n_chunks"] >= 2
+    # one broadcast total despite per-micro-batch stage recompilation
+    assert len(ctx._bpe_broadcasts) == 1
