@@ -155,7 +155,13 @@ _CLS_CACHE: Dict[str, str] = {}
 def _cls(c: str) -> str:
     k = _CLS_CACHE.get(c)
     if k is None:
-        if c.isspace():
+        if "\x1c" <= c <= "\x1f":
+            # FS/GS/RS/US: Python isspace() says yes, but the Unicode
+            # White_Space property (= regex \s, what GPT-2's pattern
+            # uses) says no -> punctuation class (review r7,
+            # differential vs the real regex found only these four)
+            k = "P"
+        elif c.isspace():
             k = "s"
         elif c.isalpha():
             k = "L"
@@ -265,10 +271,13 @@ def broadcast_tokenizer(ctx, merges_name: str, vocab_name=None):
         except KeyError as e:
             raise ValueError(f"tokenizer.vocab: {e}") from e
     names = (merges_name, vocab_name)
-    ids = (id(mdf), None if vdf is None else id(vdf))
+    # hold STRONG references in the memo key (review r7): a bare id()
+    # could be recycled by the allocator after the old DataFrame is
+    # garbage-collected, silently serving the stale model for new data
+    frames = (mdf, vdf)
     hit = cache.get(names)
     if hit is not None:
-        if hit[0] == ids:
+        if hit[0][0] is mdf and hit[0][1] is vdf:
             return hit[1]
         # a name was rebound to a different DataFrame: evict the stale
         # model.  unpersist (NOT destroy): DataFrames compiled against
@@ -293,7 +302,7 @@ def broadcast_tokenizer(ctx, merges_name: str, vocab_name=None):
             raise ValueError("tokenizer.vocab collection is empty")
         vocab = {r["token"]: int(r["id"]) for r in rows}
     bc = ctx.spark.sparkContext.broadcast((ranks, vocab))
-    cache[names] = (ids, bc)
+    cache[names] = (frames, bc)
     return bc
 
 
@@ -311,10 +320,10 @@ def broadcast_vocab(ctx, vocab_name: str):
     except KeyError as e:
         raise ValueError(f"tokenizer.vocab: {e}") from e
     names = (None, vocab_name)
-    ids = (None, id(vdf))
+    frames = (None, vdf)  # strong ref, same reason as broadcast_tokenizer
     hit = cache.get(names)
     if hit is not None:
-        if hit[0] == ids:
+        if hit[0][1] is vdf:
             return hit[1]
         try:
             hit[1].unpersist()
@@ -329,7 +338,7 @@ def broadcast_vocab(ctx, vocab_name: str):
         raise ValueError("tokenizer.vocab collection is empty")
     bc = ctx.spark.sparkContext.broadcast(
         {r["token"]: int(r["id"]) for r in rows})
-    cache[names] = (ids, bc)
+    cache[names] = (frames, bc)
     return bc
 
 
@@ -339,6 +348,10 @@ def decode_ids(ids, rev: Dict[int, str], null_on_err: bool):
     valid UTF-8 raise (or yield None with ``null_on_err``)."""
     toks: List[str] = []
     for i in ids:
+        if i is None or i != i:  # null / NaN element (review r7)
+            if null_on_err:
+                return None
+            raise ValueError("$bpeDecode: null id element in input")
         t = rev.get(int(i))
         if t is None:
             if null_on_err:

@@ -2261,13 +2261,31 @@ def bpe_decode_stage(expression: Any, ctx: Context) -> StageFn:
                            if ord(u) != b)
             frm = "".join(u for u, _ in pairs)
             to = "".join(chr(b) for _, b in pairs)
-            joined = F.encode(
-                F.translate(F.concat_ws("", toks), frm, to), "ISO-8859-1")
+            # review r7: a null ELEMENT would silently vanish in
+            # concat_ws — that's data corruption, not decoding; and a
+            # token containing a char outside the remap alphabet makes
+            # encode(ISO-8859-1) itself raise, so the lenient mode must
+            # guard BEFORE encode (nested when = guaranteed
+            # short-circuit), not just before decode
+            has_null_tok = F.exists(toks, lambda x: x.isNull())
+            translated = F.translate(F.concat_ws("", toks), frm, to)
+            latin1_ok = translated.rlike("^[\\x00-\\xff]*$")
+            joined = F.encode(translated, "ISO-8859-1")
             decoded = F.decode(joined, "UTF-8")
             if on_error == "null":
                 decoded = F.when(
-                    F.call_function("is_valid_utf8", joined), decoded)
+                    latin1_ok,
+                    F.when(F.call_function("is_valid_utf8", joined),
+                           decoded))
+                bad_elem = F.lit(None).cast("string")
+            else:
+                bad_elem = F.raise_error(F.concat(
+                    F.lit("$bpeDecode: null token element at input "),
+                    F.lit("(tokens must be a complete $bpeEncode "
+                          "output; use onError: 'null' to tolerate)"),
+                )).cast("string")
             out = F.when(toks.isNull(), F.lit(None).cast("string")) \
+                .when(has_null_tok, bad_elem) \
                 .otherwise(decoded)
             return df.withColumn(as_field, out)
         if not isinstance(dt.elementType, T.IntegralType):
@@ -2293,10 +2311,15 @@ def bpe_decode_stage(expression: Any, ctx: Context) -> StageFn:
                 return bcv.value
         null_on_err = on_error == "null"
         decode_ids = _bpe.decode_ids
+        memo: dict = {}  # reverse map inverted once per task, not per
+        # Arrow batch (review r7) — the closure state survives batches
 
         @F.pandas_udf("string")
         def _dec(s: pd.Series) -> pd.Series:
-            rev = {i: t for t, i in get_vocab().items()}
+            rev = memo.get("rev")
+            if rev is None:
+                rev = {i: t for t, i in get_vocab().items()}
+                memo["rev"] = rev
             return s.map(lambda ids: None if ids is None
                          else decode_ids(ids, rev, null_on_err))
 

@@ -362,9 +362,15 @@ def run_streaming(
 
 
 def reset_state_store_conf(spark) -> None:
-    """Unset the state-store session keys ``run_streaming(state_store=...)``
-    sets, returning the session to Spark defaults (advisor r6 helper for
-    sessions that interleave provider-pinned and default queries)."""
+    """Unset the state-store PROVIDER session keys
+    ``run_streaming(state_store=...)`` sets, returning them to Spark
+    defaults (advisor r6 helper for sessions that interleave
+    provider-pinned and default queries).  Deliberately does NOT touch
+    ``spark.sql.shuffle.partitions`` (the ``state_partitions`` key):
+    unsetting it would fall back to Spark's global default (200), not
+    the session's configured value — only the returned query's
+    ``restore_state_store_conf()`` knows the prior value, so use that
+    to undo ``state_partitions``."""
     for key in (
         "spark.sql.streaming.stateStore.providerClass",
         "spark.sql.streaming.stateStore.rocksdb."

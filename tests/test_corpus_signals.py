@@ -1409,3 +1409,80 @@ def test_ngram_overlap_differential_and_edges(spark):
         compile_pipeline(
             [{"$ngramOverlap": {"candidate": "$c", "reference": "$c",
                                 "n": 0}}], Context(spark=spark))
+
+
+def test_bpe_decode_review_hardening(spark):
+    """review r7 fixes, pinned: (a) onError:'null' yields null (not a
+    job abort) for tokens outside the remap alphabet; (b) a null token
+    ELEMENT raises by default instead of silently vanishing in
+    concat_ws, and yields null when lenient; (c) null id elements
+    follow the same contract; (d) FS/GS/RS/US control chars class as
+    punctuation, not whitespace (Unicode White_Space = the GPT-2
+    regex's \\s, unlike Python isspace)."""
+    from pincette_mongo_streams_spark.functions.bpe import (
+        decode, pretokenize,
+    )
+
+    ctx = Context(spark=spark)
+    # (a) raw CJK is not a remap-space token
+    raw = spark.createDataFrame([(["日"],), (["ok"],)], "toks array<string>")
+    out = compile_pipeline(
+        [{"$bpeDecode": {"input": "$toks", "onError": "null"}}],
+        ctx)(raw).collect()
+    assert [r["text"] for r in out] == [None, "ok"]
+    with pytest.raises(Exception, match="MALFORMED|CODING"):
+        compile_pipeline([{"$bpeDecode": {"input": "$toks"}}],
+                         ctx)(raw).collect()
+    # (b) null element: error by default, null when lenient
+    holey = spark.createDataFrame([(["Ġthe", None, "re"],)],
+                                  "toks array<string>")
+    with pytest.raises(Exception, match="null token element"):
+        compile_pipeline([{"$bpeDecode": {"input": "$toks"}}],
+                         ctx)(holey).collect()
+    out = compile_pipeline(
+        [{"$bpeDecode": {"input": "$toks", "onError": "null"}}],
+        ctx)(holey).collect()
+    assert out[0]["text"] is None
+    # (c) null id element
+    vocab_df = spark.createDataFrame([("ok", 1)], "token string, id long")
+    ctx_v = Context(spark=spark, collections={"v": vocab_df})
+    ids = spark.createDataFrame([([1, None],)], "ids array<long>")
+    with pytest.raises(Exception, match="null id element"):
+        compile_pipeline(
+            [{"$bpeDecode": {"input": "$ids",
+                             "tokenizer": {"vocab": "v"}}}],
+            ctx_v)(ids).collect()
+    out = compile_pipeline(
+        [{"$bpeDecode": {"input": "$ids", "onError": "null",
+                         "tokenizer": {"vocab": "v"}}}],
+        ctx_v)(ids).collect()
+    assert out[0]["text"] is None
+    # (d) \x1c-\x1f are NOT whitespace to the GPT-2 pattern: "\x1c,a"
+    # pre-tokenizes as one punct run then the letter, and round-trips
+    assert pretokenize("\x1c,a") == ["\x1c,", "a"]
+    # ...so the punct alternative's optional space attaches to \x1d
+    assert pretokenize("a \x1d b") == ["a", " \x1d", " b"]
+
+
+def test_bpe_broadcast_memo_survives_gc_address_reuse(spark):
+    """review r7: the rebind memo holds STRONG DataFrame references —
+    after del-ing the old collection frame (allowing id() reuse), a new
+    frame at any address must still be detected as a rebind."""
+    import gc
+
+    from pincette_mongo_streams_spark.functions import bpe as bpe_mod
+
+    ctx = Context(spark=spark, collections={"merges": _merges_df(spark)})
+    bc1 = bpe_mod.broadcast_tokenizer(ctx, "merges")
+    (frames1, _), = [v for k, v in ctx._bpe_broadcasts.items()]
+    assert frames1[0] is ctx.collections["merges"]  # strong ref held
+    old = ctx.collections["merges"]
+    del ctx.collections["merges"]
+    del old
+    gc.collect()
+    ctx.collections["merges"] = spark.createDataFrame(
+        [("x", "y", 0)], "left string, right string, rank long")
+    bc2 = bpe_mod.broadcast_tokenizer(ctx, "merges")
+    assert bc2 is not bc1
+    assert bc2.value[0] == {("x", "y"): 0}
+    bpe_mod.release_broadcasts(ctx)
