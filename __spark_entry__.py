@@ -1383,6 +1383,67 @@ _register(
 )(_bpe_token_count_query)
 
 
+def _bleu_oracle_sql() -> str:
+    """Generate the per-order WITH clauses of a sentence-BLEU oracle
+    (candidate = first-30-words truncation, reference = full text) —
+    the same clipped counts as the ngram_overlap oracle, at n=1..4."""
+    gram_cols = []
+    for n in range(1, 5):
+        for side, src in (("c", "wc[1:30]"), ("r", "wc")):
+            expr = (src if n == 1 else
+                    f"CASE WHEN len({src}) >= {n} THEN "
+                    f"[array_to_string(({src})[i:i+{n - 1}], ' ') "
+                    f"FOR i IN range(1, len({src}) - {n} + 2)] "
+                    f"ELSE [] END")
+            gram_cols.append(f"{expr} AS g{side}{n}")
+    m_cols = [
+        ("coalesce(list_sum(list_transform(list_distinct(gc{n}), "
+         "t -> least(len(list_filter(gc{n}, x -> x = t)), "
+         "len(list_filter(gr{n}, x -> x = t))))), 0) AS m{n}")
+        .format(n=n)
+        for n in range(1, 5)
+    ]
+    zero = " OR ".join(f"(len(gc{n}) = 0 OR m{n} = 0)"
+                       for n in range(1, 5))
+    log_sum = " + ".join(f"ln(m{n} / CAST(len(gc{n}) AS DOUBLE)) / 4"
+                         for n in range(1, 5))
+    bp = ("CASE WHEN len(gc1) >= len(gr1) THEN 1.0 "
+          "ELSE exp(1 - len(gr1) / CAST(len(gc1) AS DOUBLE)) END")
+    return f"""WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS wc
+  FROM documents WHERE text IS NOT NULL),
+g AS (SELECT doc_id, {', '.join(gram_cols)} FROM w),
+m AS (SELECT *, {', '.join(m_cols)} FROM g),
+s AS (SELECT doc_id,
+             CASE WHEN {zero} THEN 0.0
+                  ELSE ({bp}) * exp({log_sum}) END AS b
+      FROM m)
+SELECT d.doc_id, {_r('s.b', 6)} AS bleu
+FROM documents d LEFT JOIN s USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+_register(
+    "bleu_eval",
+    _bleu_oracle_sql(),
+)(
+    _pipe(
+        "documents",
+        [
+            {"$truncateTokens": {"input": "$text", "as": "cand",
+                                 "max": 30}},
+            {"$bleu": {"candidate": "$cand", "reference": "$text",
+                       "as": "b"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "bleu": {"$round": ["$b", 6]}}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
 _register(
     "ngram_overlap",
     f"""WITH w AS (

@@ -2473,6 +2473,97 @@ def ngram_overlap_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$bleu")
+def bleu_stage(expression: Any, ctx: Context) -> StageFn:
+    """Sentence-level BLEU (Papineni et al. 2002): ``{candidate,
+    reference, maxN?, smooth?, as?}`` adds the BLEU-``maxN`` score
+    (default 4): brevity penalty x geometric mean of the clipped
+    n-gram precisions p_1..p_maxN (the same clipped counts as
+    ``$ngramOverlap``).  Unsmoothed by default — any zero p_n gives
+    0.0, as standard; ``smooth: "add1"`` applies add-one smoothing to
+    the n >= 2 precisions (Lin & Och 2004's method), the common choice
+    for sentence-level scoring.  A candidate with no n-grams at some
+    order (shorter than ``maxN`` words) scores 0.0.  Null in either
+    text -> null.
+
+    100 TB shape: same row-local HOF column programs as $ngramOverlap,
+    one clipped-match aggregate per order materialized as a temp column
+    (never inlined — see $ngramOverlap's CSE note), zero shuffle."""
+    cand_e = expression["candidate"]
+    ref_e = expression["reference"]
+    max_n = int(expression.get("maxN", 4))
+    smooth = expression.get("smooth")
+    as_field = expression.get("as", "bleu")
+    if not 1 <= max_n <= 8:
+        raise ValueError("$bleu maxN must be in 1..8")
+    if smooth not in (None, "add1"):
+        raise ValueError(f"$bleu smooth must be 'add1' or absent, "
+                         f"got {smooth!r}")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        sctx = ExprContext(schema=df.schema)
+        cand = compile_expr(cand_e, sctx)
+        ref = compile_expr(ref_e, sctx)
+
+        def words(t: Column) -> Column:
+            return F.filter(F.split(F.trim(t), r"\s+"),
+                            lambda x: x != F.lit(""))
+
+        def grams(w: Column, n: int) -> Column:
+            if n == 1:
+                return w
+            return F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                    lambda i: F.array_join(F.slice(w, i, n), " ")),
+            ).otherwise(F.array().cast("array<string>"))
+
+        temps = ["__bleu_wc", "__bleu_wr"]
+        stage = df.withColumn("__bleu_wc", words(cand)) \
+                  .withColumn("__bleu_wr", words(ref))
+        wc, wr = F.col("__bleu_wc"), F.col("__bleu_wr")
+        for n in range(1, max_n + 1):
+            gc_name, gr_name, m_name = (f"__bleu_gc{n}", f"__bleu_gr{n}",
+                                        f"__bleu_m{n}")
+            temps += [gc_name, gr_name, m_name]
+            stage = stage.withColumn(gc_name, grams(wc, n)) \
+                         .withColumn(gr_name, grams(wr, n))
+            gc, gr = F.col(gc_name), F.col(gr_name)
+            stage = stage.withColumn(
+                m_name,
+                F.aggregate(
+                    F.array_distinct(gc), F.lit(0).cast("long"),
+                    lambda acc, g: acc + F.least(
+                        F.size(F.filter(gc, lambda x: x == g)),
+                        F.size(F.filter(gr, lambda x: x == g)),
+                    ).cast("long")))
+        # zero-precision guard: any order with no candidate grams, or an
+        # unsmoothed order with zero matches, zeroes the whole score
+        zero = F.lit(False)
+        log_sum = F.lit(0.0)
+        for n in range(1, max_n + 1):
+            cnt = F.size(F.col(f"__bleu_gc{n}")).cast("double")
+            m = F.col(f"__bleu_m{n}").cast("double")
+            if smooth == "add1" and n >= 2:
+                p = (m + 1.0) / (cnt + 1.0)
+                zero = zero | (cnt == 0.0)
+            else:
+                p = m / cnt
+                zero = zero | (cnt == 0.0) | (m == 0.0)
+            log_sum = log_sum + F.log(p) / max_n
+        c_len = F.size(wc).cast("double")
+        r_len = F.size(wr).cast("double")
+        bp = F.when(c_len >= r_len, F.lit(1.0)) \
+            .otherwise(F.exp(1.0 - r_len / c_len))
+        score = F.when(zero, F.lit(0.0)).otherwise(bp * F.exp(log_sum))
+        out = F.when(cand.isNull() | ref.isNull(),
+                     F.lit(None).cast("double")).otherwise(score)
+        return stage.withColumn(as_field, out).drop(*temps)
+
+    return fn
+
+
 @register_stage("$bm25")
 def bm25_stage(expression: Any, ctx: Context) -> StageFn:
     """BM25 ranked retrieval: ``{query, input, id, k, k1, b}`` →

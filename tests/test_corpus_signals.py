@@ -1486,3 +1486,83 @@ def test_bpe_broadcast_memo_survives_gc_address_reuse(spark):
     assert bc2 is not bc1
     assert bc2.value[0] == {("x", "y"): 0}
     bpe_mod.release_broadcasts(ctx)
+
+
+def _ref_bleu(cand, ref, max_n=4, smooth=None):
+    """Independent sentence-BLEU (Papineni 2002; Lin&Och add-one for
+    n>=2 when smooth='add1')."""
+    import math as _math
+    import re as _re
+    from collections import Counter
+
+    wc = [w for w in _re.split(r"\s+", cand.strip()) if w]
+    wr = [w for w in _re.split(r"\s+", ref.strip()) if w]
+
+    def grams(ws, n):
+        return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+
+    log_sum = 0.0
+    for n in range(1, max_n + 1):
+        gc, gr = grams(wc, n), grams(wr, n)
+        cc, cr = Counter(gc), Counter(gr)
+        m = sum(min(k, cr[g]) for g, k in cc.items())
+        if not gc:
+            return 0.0
+        if smooth == "add1" and n >= 2:
+            p = (m + 1) / (len(gc) + 1)
+        else:
+            if m == 0:
+                return 0.0
+            p = m / len(gc)
+        log_sum += _math.log(p) / max_n
+    bp = 1.0 if len(wc) >= len(wr) else _math.exp(1 - len(wr) / len(wc))
+    return bp * _math.exp(log_sum)
+
+
+def test_bleu_differential_and_edges(spark):
+    """r7: $bleu matches an independent Python implementation over the
+    real documents corpus (candidate = first-30-words truncation,
+    reference = full text -> exercises the brevity penalty), smoothed
+    and unsmoothed, plus hand edge cases."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(80)
+    for smooth in (None, "add1"):
+        spec = {"candidate": "$cand", "reference": "$text", "as": "b"}
+        if smooth:
+            spec["smooth"] = smooth
+        out = compile_pipeline(
+            [{"$truncateTokens": {"input": "$text", "as": "cand",
+                                  "max": 30}},
+             {"$bleu": spec}],
+            Context(spark=spark))(docs).select("cand", "text", "b") \
+            .collect()
+        assert len(out) > 40
+        nonzero = 0
+        for r in out:
+            want = _ref_bleu(r["cand"], r["text"], 4, smooth)
+            assert abs(r["b"] - want) < 1e-12, (smooth, r["b"], want)
+            nonzero += r["b"] > 0
+        assert nonzero > 20  # the pairing produces real scores
+    # identical texts: BLEU 1; disjoint: 0; null: null; short candidate
+    df = spark.createDataFrame(
+        [(1, "a b c d e", "a b c d e"), (2, "x y z w q", "a b c d e"),
+         (3, None, "a"), (4, "a b", "a b")],
+        "i long, c string, r string")
+    out = {r["i"]: r["b"] for r in compile_pipeline(
+        [{"$bleu": {"candidate": "$c", "reference": "$r", "as": "b"}}],
+        Context(spark=spark))(df).collect()}
+    assert out[1] == 1.0 and out[2] == 0.0 and out[3] is None
+    assert out[4] == 0.0  # two words -> no 4-grams -> unsmoothed zero
+    # maxN 2: perfect short match scores 1
+    out2 = compile_pipeline(
+        [{"$bleu": {"candidate": "$c", "reference": "$r", "maxN": 2,
+                    "as": "b"}}],
+        Context(spark=spark))(df.filter("i = 4")).collect()
+    assert out2[0]["b"] == 1.0
+    with pytest.raises(ValueError, match="maxN"):
+        compile_pipeline([{"$bleu": {"candidate": "$c", "reference": "$r",
+                                     "maxN": 0}}], Context(spark=spark))
+    with pytest.raises(ValueError, match="smooth"):
+        compile_pipeline([{"$bleu": {"candidate": "$c", "reference": "$r",
+                                     "smooth": "epsilon"}}],
+                         Context(spark=spark))
