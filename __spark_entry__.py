@@ -1383,6 +1383,53 @@ _register(
 )(_bpe_token_count_query)
 
 
+def _profile_oracle_sql() -> str:
+    """Per-column UNION ALL profile over lineitem numerics — exact
+    distinct counts and quantile_cont percentiles (= Spark's exact
+    `percentile` interpolation)."""
+    parts = []
+    for col in ("l_discount", "l_extendedprice", "l_quantity"):
+        qs = ", ".join(
+            f"{_r(f'quantile_cont(x.{col}, {p})', 6)} AS p{int(p * 100)}"
+            for p in (0.25, 0.5, 0.75))
+        parts.append(f"""SELECT '{col}' AS "column",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(x.{col}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT x.{col}) AS BIGINT) AS n_distinct,
+       {_r(f'min(x.{col} * 1.0)', 6)} AS min,
+       {_r(f'max(x.{col} * 1.0)', 6)} AS max,
+       {_r(f'avg(x.{col})', 6)} AS mean,
+       {_r(f'stddev_pop(x.{col})', 6)} AS stddev,
+       {qs}
+FROM lineitem x""")
+    return "\nUNION ALL\n".join(parts) + '\nORDER BY "column"'
+
+
+_register(
+    "profile_stats",
+    _profile_oracle_sql(),
+)(
+    _pipe(
+        "lineitem",
+        [
+            {"$profile": {"columns": ["l_discount", "l_extendedprice",
+                                      "l_quantity"],
+                          "exact": True}},
+            {"$project": {"_id": 0, "column": 1, "n_rows": 1,
+                          "n_null": 1, "n_distinct": 1,
+                          "min": {"$round": ["$min", 6]},
+                          "max": {"$round": ["$max", 6]},
+                          "mean": {"$round": ["$mean", 6]},
+                          "stddev": {"$round": ["$stddev", 6]},
+                          "p25": {"$round": ["$p25", 6]},
+                          "p50": {"$round": ["$p50", 6]},
+                          "p75": {"$round": ["$p75", 6]}}},
+            {"$sort": {"column": 1}},
+        ],
+    )
+)
+
+
 def _bleu_oracle_sql() -> str:
     """Generate the per-order WITH clauses of a sentence-BLEU oracle
     (candidate = first-30-words truncation, reference = full text) —

@@ -2473,6 +2473,83 @@ def ngram_overlap_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$profile")
+def profile_stage(expression: Any, ctx: Context) -> StageFn:
+    """One-pass numeric data profiling: ``{columns: [...], percentiles?:
+    [0.25, 0.5, 0.75], exact?: false}`` -> one row PER COLUMN with
+    ``(column, n_rows, n_null, n_distinct, min, max, mean, stddev,
+    p<pct>...)`` — the first thing a pipeline runs against a new 100 TB
+    table.
+
+    Spark-first shape: ALL statistics for ALL columns compute in ONE
+    global aggregate (a single shuffle whose partial aggregation
+    reduces every task to one row), then the stat row pivots to
+    per-column rows with ``inline`` — no per-column passes, no driver
+    collect.  ``exact: false`` (default) uses ``approx_count_distinct``
+    (HLL) and ``percentile_approx`` — the 100 TB configuration;
+    ``exact: true`` uses exact distinct counts and interpolated
+    percentiles (DuckDB ``quantile_cont`` semantics) for oracle-grade
+    answers at test scale."""
+    cols = expression["columns"]
+    pcts = expression.get("percentiles", [0.25, 0.5, 0.75])
+    exact = bool(expression.get("exact", False))
+    if not cols or not isinstance(cols, list):
+        raise ValueError("$profile needs a non-empty columns list")
+    names = [f"p{int(round(p * 100))}" for p in pcts]
+    if any(not 0 <= p <= 1 for p in pcts):
+        raise ValueError("$profile percentiles must be in [0, 1]")
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"$profile percentiles collide at integer-percent names: "
+            f"{names} — use distinct hundredths")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        for col in cols:
+            if col not in df.columns:
+                raise ValueError(f"$profile: no column {col!r}")
+            if not isinstance(df.schema[col].dataType, T.NumericType):
+                raise ValueError(
+                    f"$profile: {col!r} is "
+                    f"{df.schema[col].dataType.simpleString()}, not "
+                    "numeric (cast or $addFields first)")
+        aggs = [F.count(F.lit(1)).alias("__n_rows")]
+        for col in cols:
+            x = F.col(col).cast("double")
+            distinct = (F.count_distinct(x) if exact
+                        else F.approx_count_distinct(x))
+            aggs += [
+                F.count(x).alias(f"{col}__nn"),
+                distinct.cast("long").alias(f"{col}__nd"),
+                F.min(x).alias(f"{col}__min"),
+                F.max(x).alias(f"{col}__max"),
+                F.avg(x).alias(f"{col}__mean"),
+                F.stddev_pop(x).alias(f"{col}__sd"),
+            ]
+            for p, nm in zip(pcts, names):
+                q = (F.percentile(x, F.lit(float(p))) if exact
+                     else F.percentile_approx(x, F.lit(float(p))))
+                aggs.append(q.alias(f"{col}__{nm}"))
+        row = df.agg(*aggs)
+        structs = [
+            F.struct(
+                F.lit(col).alias("column"),
+                F.col("__n_rows").cast("long").alias("n_rows"),
+                (F.col("__n_rows") - F.col(f"{col}__nn")).cast("long")
+                .alias("n_null"),
+                F.col(f"{col}__nd").alias("n_distinct"),
+                F.col(f"{col}__min").alias("min"),
+                F.col(f"{col}__max").alias("max"),
+                F.col(f"{col}__mean").alias("mean"),
+                F.col(f"{col}__sd").alias("stddev"),
+                *[F.col(f"{col}__{nm}").alias(nm) for nm in names],
+            )
+            for col in cols
+        ]
+        return row.select(F.inline(F.array(*structs)))
+
+    return fn
+
+
 @register_stage("$bleu")
 def bleu_stage(expression: Any, ctx: Context) -> StageFn:
     """Sentence-level BLEU (Papineni et al. 2002): ``{candidate,

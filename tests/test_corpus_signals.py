@@ -1566,3 +1566,47 @@ def test_bleu_differential_and_edges(spark):
         compile_pipeline([{"$bleu": {"candidate": "$c", "reference": "$r",
                                      "smooth": "epsilon"}}],
                          Context(spark=spark))
+
+
+def test_profile_stage(spark):
+    """r7: $profile — one aggregate pass, one row per column, exact and
+    approx modes, null accounting, validation."""
+    df = spark.createDataFrame(
+        [(1.0, 10, "x"), (2.0, None, "y"), (2.0, 30, "z"),
+         (None, 40, "w")],
+        "a double, b long, s string")
+    rows = compile_pipeline(
+        [{"$profile": {"columns": ["a", "b"], "exact": True,
+                       "percentiles": [0.5]}},
+         {"$sort": {"column": 1}}],
+        Context(spark=spark))(df).collect()
+    by = {r["column"]: r for r in rows}
+    assert set(by) == {"a", "b"}
+    a = by["a"]
+    assert (a["n_rows"], a["n_null"], a["n_distinct"]) == (4, 1, 2)
+    assert (a["min"], a["max"]) == (1.0, 2.0)
+    assert abs(a["mean"] - 5 / 3) < 1e-12
+    assert a["p50"] == 2.0
+    b = by["b"]
+    assert (b["n_null"], b["n_distinct"], b["p50"]) == (1, 3, 30.0)
+    # approx mode still produces a row per column with sane bounds
+    rows2 = compile_pipeline(
+        [{"$profile": {"columns": ["a"]}}],
+        Context(spark=spark))(df).collect()
+    assert rows2[0]["n_distinct"] >= 1 and rows2[0]["p75"] is not None
+    # a single-shuffle plan: stats never trigger per-column jobs
+    plan = compile_pipeline(
+        [{"$profile": {"columns": ["a", "b"]}}],
+        Context(spark=spark))(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Generate" in plan  # inline() pivot, not a driver collect
+    for bad, msg in (
+        ({"columns": []}, "non-empty"),
+        ({"columns": ["nope"]}, "no column"),
+        ({"columns": ["s"]}, "not"),
+        ({"columns": ["a"], "percentiles": [1.5]}, "0, 1"),
+        ({"columns": ["a"], "percentiles": [0.501, 0.502]}, "collide"),
+    ):
+        with pytest.raises(ValueError, match=msg):
+            compile_pipeline([{"$profile": bad}],
+                             Context(spark=spark))(df).collect()
