@@ -2147,9 +2147,13 @@ def token_count_stage(expression: Any, ctx: Context) -> StageFn:
             bc = _bpe.broadcast_tokenizer(c, tokenizer["merges"])
             count_tokens = _bpe.count_tokens
 
+            cache: dict = {}  # per-TASK word memo (closure state
+            # survives Arrow batches; reset if it ever balloons)
+
             @F.pandas_udf("long")
             def _count(s: pd.Series) -> pd.Series:
-                cache: dict = {}
+                if len(cache) > 1_000_000:
+                    cache.clear()
                 rk, _ = bc.value
                 return s.map(lambda t: count_tokens(t, rk, cache))
 
@@ -2195,17 +2199,21 @@ def bpe_encode_stage(expression: Any, ctx: Context) -> StageFn:
         encode = _bpe.encode
         text = compile_expr(inp, ExprContext(schema=df.schema))
 
+        cache: dict = {}  # per-task word memo, see $tokenCount
+
         if vocab_name is None:
             @F.pandas_udf("array<string>")
             def _enc(s: pd.Series) -> pd.Series:
-                cache: dict = {}
+                if len(cache) > 1_000_000:
+                    cache.clear()
                 rk, _ = bc.value
                 return s.map(lambda t: None if t is None
                              else encode(t, rk, cache))
         else:
             @F.pandas_udf("array<long>")
             def _enc(s: pd.Series) -> pd.Series:
-                cache: dict = {}
+                if len(cache) > 1_000_000:
+                    cache.clear()
                 rk, vb = bc.value
                 return s.map(lambda t: None if t is None
                              else [vb.get(tok, -1)
@@ -3609,10 +3617,13 @@ def chunk_text_stage(expression: Any, ctx: Context) -> StageFn:
             bc = _bpe.broadcast_tokenizer(c, tokenizer["merges"])
             chunker = _bpe.chunk_tokens
 
+            cache: dict = {}  # per-task word memo, see $tokenCount
+
             @F.pandas_udf(
                 "array<struct<idx:bigint,text:string,n_tokens:bigint>>")
             def _chunks(s: pd.Series) -> pd.Series:
-                cache: dict = {}
+                if len(cache) > 1_000_000:
+                    cache.clear()
                 rk, _ = bc.value
                 return s.map(
                     lambda t: chunker(t, size, stride, rk, cache))
@@ -4532,9 +4543,12 @@ def truncate_tokens_stage(expression: Any, ctx: Context) -> StageFn:
             bc = _bpe.broadcast_tokenizer(c, tokenizer["merges"])
             truncate = _bpe.truncate_tokens
 
+            cache: dict = {}  # per-task word memo, see $tokenCount
+
             @F.pandas_udf("string")
             def _trunc(s: pd.Series) -> pd.Series:
-                cache: dict = {}
+                if len(cache) > 1_000_000:
+                    cache.clear()
                 rk, _ = bc.value
                 return s.map(lambda t: truncate(t, max_n, rk, cache))
 
