@@ -223,6 +223,16 @@ def pretokenize(text: str) -> List[str]:
     return out
 
 
+_MEMO_CAP = 1_000_000
+
+
+def trim_memo(cache: dict) -> None:
+    """Bound a per-task word memo (the tokenizer UDF closures call this
+    at each Arrow batch): one policy, one place (review r7)."""
+    if len(cache) > _MEMO_CAP:
+        cache.clear()
+
+
 def ship():
     """Register this module for pickle-by-value so executors need no
     package install for the tokenizer closures (same pattern as the

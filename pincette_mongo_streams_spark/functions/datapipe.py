@@ -2152,8 +2152,7 @@ def token_count_stage(expression: Any, ctx: Context) -> StageFn:
 
             @F.pandas_udf("long")
             def _count(s: pd.Series) -> pd.Series:
-                if len(cache) > 1_000_000:
-                    cache.clear()
+                _bpe.trim_memo(cache)
                 rk, _ = bc.value
                 return s.map(lambda t: count_tokens(t, rk, cache))
 
@@ -2204,16 +2203,14 @@ def bpe_encode_stage(expression: Any, ctx: Context) -> StageFn:
         if vocab_name is None:
             @F.pandas_udf("array<string>")
             def _enc(s: pd.Series) -> pd.Series:
-                if len(cache) > 1_000_000:
-                    cache.clear()
+                _bpe.trim_memo(cache)
                 rk, _ = bc.value
                 return s.map(lambda t: None if t is None
                              else encode(t, rk, cache))
         else:
             @F.pandas_udf("array<long>")
             def _enc(s: pd.Series) -> pd.Series:
-                if len(cache) > 1_000_000:
-                    cache.clear()
+                _bpe.trim_memo(cache)
                 rk, vb = bc.value
                 return s.map(lambda t: None if t is None
                              else [vb.get(tok, -1)
@@ -2421,21 +2418,6 @@ def ngram_overlap_stage(expression: Any, ctx: Context) -> StageFn:
         sctx = ExprContext(schema=df.schema)
         cand = compile_expr(cand_e, sctx)
         ref = compile_expr(ref_e, sctx)
-
-        def words(t: Column) -> Column:
-            return F.filter(F.split(F.trim(t), r"\s+"),
-                            lambda x: x != F.lit(""))
-
-        def grams(w: Column) -> Column:
-            if n == 1:
-                return w
-            return F.when(
-                F.size(w) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - (n - 1)),
-                    lambda i: F.array_join(F.slice(w, i, n), " ")),
-            ).otherwise(F.array().cast("array<string>"))
-
         # materialize grams and the clipped-match count as TEMP COLUMNS:
         # the struct below references each several times (precision,
         # recall and f1 all contain the match count), and inlining the
@@ -2443,19 +2425,11 @@ def ngram_overlap_stage(expression: Any, ctx: Context) -> StageFn:
         # HOF per reference — measured 10x+ on the oracle query.
         # CollapseProject keeps multiply-referenced non-cheap aliases
         # materialized, so each computes once per row.
-        stage = df.withColumn("__ngo_gc", grams(words(cand))) \
-                  .withColumn("__ngo_gr", grams(words(ref)))
+        stage = df.withColumn("__ngo_gc", _eval_grams(_eval_words(cand), n)) \
+                  .withColumn("__ngo_gr", _eval_grams(_eval_words(ref), n))
         gc, gr = F.col("__ngo_gc"), F.col("__ngo_gr")
-        # clipped multiset intersection: per distinct candidate gram,
-        # min(count in candidate, count in reference)
         stage = stage.withColumn(
-            "__ngo_m",
-            F.aggregate(
-                F.array_distinct(gc), F.lit(0).cast("long"),
-                lambda acc, g: acc + F.least(
-                    F.size(F.filter(gc, lambda x: x == g)),
-                    F.size(F.filter(gr, lambda x: x == g)),
-                ).cast("long")),
+            "__ngo_m", _eval_clipped(gc, gr),
         ).withColumn("__ngo_p", F.when(
             F.size(gc) > 0,
             F.col("__ngo_m") / F.size(gc).cast("long")).otherwise(F.lit(0.0))
@@ -2481,6 +2455,39 @@ def ngram_overlap_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+def _eval_words(t: Column) -> Column:
+    """Whitespace word split shared by the BLEU-family stages
+    ($ngramOverlap / $bleu) — Java \\s semantics, empties dropped."""
+    return F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != F.lit(""))
+
+
+def _eval_grams(w: Column, n: int) -> Column:
+    """Sliding word-n-gram windows (space-joined) over a word array."""
+    if n == 1:
+        return w
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _eval_clipped(gc: Column, gr: Column) -> Column:
+    """Clipped multiset intersection: per distinct candidate gram,
+    min(count in candidate, count in reference) — BLEU's modified-
+    precision numerator.  CALLERS MUST pass materialized temp COLUMNS,
+    never inline expressions: the aggregate re-evaluates its array
+    arguments inside the HOF lambda per element (no CSE), and downstream
+    struct fields referencing the result would each re-run it."""
+    return F.aggregate(
+        F.array_distinct(gc), F.lit(0).cast("long"),
+        lambda acc, g: acc + F.least(
+            F.size(F.filter(gc, lambda x: x == g)),
+            F.size(F.filter(gr, lambda x: x == g)),
+        ).cast("long"))
+
+
 @register_stage("$profile")
 def profile_stage(expression: Any, ctx: Context) -> StageFn:
     """One-pass numeric data profiling: ``{columns: [...], percentiles?:
@@ -2503,6 +2510,8 @@ def profile_stage(expression: Any, ctx: Context) -> StageFn:
     exact = bool(expression.get("exact", False))
     if not cols or not isinstance(cols, list):
         raise ValueError("$profile needs a non-empty columns list")
+    if len(set(cols)) != len(cols):
+        raise ValueError("$profile columns must be distinct")
     names = [f"p{int(round(p * 100))}" for p in pcts]
     if any(not 0 <= p <= 1 for p in pcts):
         raise ValueError("$profile percentiles must be in [0, 1]")
@@ -2520,36 +2529,41 @@ def profile_stage(expression: Any, ctx: Context) -> StageFn:
                     f"$profile: {col!r} is "
                     f"{df.schema[col].dataType.simpleString()}, not "
                     "numeric (cast or $addFields first)")
+        # positional internal keys + df[col] access: a column name
+        # containing dots must neither break the agg (F.col would parse
+        # nested access) nor the stat readback (review r7)
+        key = {col: f"__pf{i}" for i, col in enumerate(cols)}
         aggs = [F.count(F.lit(1)).alias("__n_rows")]
         for col in cols:
-            x = F.col(col).cast("double")
+            x = df[col].cast("double")
+            k = key[col]
             distinct = (F.count_distinct(x) if exact
                         else F.approx_count_distinct(x))
             aggs += [
-                F.count(x).alias(f"{col}__nn"),
-                distinct.cast("long").alias(f"{col}__nd"),
-                F.min(x).alias(f"{col}__min"),
-                F.max(x).alias(f"{col}__max"),
-                F.avg(x).alias(f"{col}__mean"),
-                F.stddev_pop(x).alias(f"{col}__sd"),
+                F.count(x).alias(f"{k}_nn"),
+                distinct.cast("long").alias(f"{k}_nd"),
+                F.min(x).alias(f"{k}_min"),
+                F.max(x).alias(f"{k}_max"),
+                F.avg(x).alias(f"{k}_mean"),
+                F.stddev_pop(x).alias(f"{k}_sd"),
             ]
             for p, nm in zip(pcts, names):
                 q = (F.percentile(x, F.lit(float(p))) if exact
                      else F.percentile_approx(x, F.lit(float(p))))
-                aggs.append(q.alias(f"{col}__{nm}"))
+                aggs.append(q.alias(f"{k}_{nm}"))
         row = df.agg(*aggs)
         structs = [
             F.struct(
                 F.lit(col).alias("column"),
                 F.col("__n_rows").cast("long").alias("n_rows"),
-                (F.col("__n_rows") - F.col(f"{col}__nn")).cast("long")
+                (F.col("__n_rows") - F.col(f"{key[col]}_nn")).cast("long")
                 .alias("n_null"),
-                F.col(f"{col}__nd").alias("n_distinct"),
-                F.col(f"{col}__min").alias("min"),
-                F.col(f"{col}__max").alias("max"),
-                F.col(f"{col}__mean").alias("mean"),
-                F.col(f"{col}__sd").alias("stddev"),
-                *[F.col(f"{col}__{nm}").alias(nm) for nm in names],
+                F.col(f"{key[col]}_nd").alias("n_distinct"),
+                F.col(f"{key[col]}_min").alias("min"),
+                F.col(f"{key[col]}_max").alias("max"),
+                F.col(f"{key[col]}_mean").alias("mean"),
+                F.col(f"{key[col]}_sd").alias("stddev"),
+                *[F.col(f"{key[col]}_{nm}").alias(nm) for nm in names],
             )
             for col in cols
         ]
@@ -2589,40 +2603,18 @@ def bleu_stage(expression: Any, ctx: Context) -> StageFn:
         sctx = ExprContext(schema=df.schema)
         cand = compile_expr(cand_e, sctx)
         ref = compile_expr(ref_e, sctx)
-
-        def words(t: Column) -> Column:
-            return F.filter(F.split(F.trim(t), r"\s+"),
-                            lambda x: x != F.lit(""))
-
-        def grams(w: Column, n: int) -> Column:
-            if n == 1:
-                return w
-            return F.when(
-                F.size(w) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - (n - 1)),
-                    lambda i: F.array_join(F.slice(w, i, n), " ")),
-            ).otherwise(F.array().cast("array<string>"))
-
         temps = ["__bleu_wc", "__bleu_wr"]
-        stage = df.withColumn("__bleu_wc", words(cand)) \
-                  .withColumn("__bleu_wr", words(ref))
+        stage = df.withColumn("__bleu_wc", _eval_words(cand)) \
+                  .withColumn("__bleu_wr", _eval_words(ref))
         wc, wr = F.col("__bleu_wc"), F.col("__bleu_wr")
         for n in range(1, max_n + 1):
             gc_name, gr_name, m_name = (f"__bleu_gc{n}", f"__bleu_gr{n}",
                                         f"__bleu_m{n}")
             temps += [gc_name, gr_name, m_name]
-            stage = stage.withColumn(gc_name, grams(wc, n)) \
-                         .withColumn(gr_name, grams(wr, n))
-            gc, gr = F.col(gc_name), F.col(gr_name)
+            stage = stage.withColumn(gc_name, _eval_grams(wc, n)) \
+                         .withColumn(gr_name, _eval_grams(wr, n))
             stage = stage.withColumn(
-                m_name,
-                F.aggregate(
-                    F.array_distinct(gc), F.lit(0).cast("long"),
-                    lambda acc, g: acc + F.least(
-                        F.size(F.filter(gc, lambda x: x == g)),
-                        F.size(F.filter(gr, lambda x: x == g)),
-                    ).cast("long")))
+                m_name, _eval_clipped(F.col(gc_name), F.col(gr_name)))
         # zero-precision guard: any order with no candidate grams, or an
         # unsmoothed order with zero matches, zeroes the whole score
         zero = F.lit(False)
@@ -3622,8 +3614,7 @@ def chunk_text_stage(expression: Any, ctx: Context) -> StageFn:
             @F.pandas_udf(
                 "array<struct<idx:bigint,text:string,n_tokens:bigint>>")
             def _chunks(s: pd.Series) -> pd.Series:
-                if len(cache) > 1_000_000:
-                    cache.clear()
+                _bpe.trim_memo(cache)
                 rk, _ = bc.value
                 return s.map(
                     lambda t: chunker(t, size, stride, rk, cache))
@@ -4547,8 +4538,7 @@ def truncate_tokens_stage(expression: Any, ctx: Context) -> StageFn:
 
             @F.pandas_udf("string")
             def _trunc(s: pd.Series) -> pd.Series:
-                if len(cache) > 1_000_000:
-                    cache.clear()
+                _bpe.trim_memo(cache)
                 rk, _ = bc.value
                 return s.map(lambda t: truncate(t, max_n, rk, cache))
 

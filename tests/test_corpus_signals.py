@@ -1355,7 +1355,9 @@ def test_ngram_overlap_differential_and_edges(spark):
 
     def ref_overlap(cand, ref, n):
         def grams(t):
-            ws = [w for w in _re.split(r"\s+", t.strip()) if w]
+            # Java \s (what F.split uses), not Python's Unicode \s —
+            # the corpora are ASCII but the ref must not drift (review)
+            ws = [w for w in _re.split(r"[ \t\n\r\f\x0b]+", t) if w]
             return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
         gc, gr = grams(cand), grams(ref)
         cc, cr = Counter(gc), Counter(gr)
@@ -1495,8 +1497,9 @@ def _ref_bleu(cand, ref, max_n=4, smooth=None):
     import re as _re
     from collections import Counter
 
-    wc = [w for w in _re.split(r"\s+", cand.strip()) if w]
-    wr = [w for w in _re.split(r"\s+", ref.strip()) if w]
+    # Java \s semantics, as in the engine's F.split (review r7)
+    wc = [w for w in _re.split(r"[ \t\n\r\f\x0b]+", cand) if w]
+    wr = [w for w in _re.split(r"[ \t\n\r\f\x0b]+", ref) if w]
 
     def grams(ws, n):
         return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
