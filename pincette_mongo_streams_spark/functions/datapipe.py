@@ -2529,13 +2529,14 @@ def profile_stage(expression: Any, ctx: Context) -> StageFn:
                     f"$profile: {col!r} is "
                     f"{df.schema[col].dataType.simpleString()}, not "
                     "numeric (cast or $addFields first)")
-        # positional internal keys + df[col] access: a column name
-        # containing dots must neither break the agg (F.col would parse
-        # nested access) nor the stat readback (review r7)
+        # positional internal keys + backtick-quoted access: a column
+        # name containing dots must neither break the agg (unquoted
+        # resolution parses nested access) nor the stat readback
+        # (review r7)
         key = {col: f"__pf{i}" for i, col in enumerate(cols)}
         aggs = [F.count(F.lit(1)).alias("__n_rows")]
         for col in cols:
-            x = df[col].cast("double")
+            x = F.col("`" + col.replace("`", "``") + "`").cast("double")
             k = key[col]
             distinct = (F.count_distinct(x) if exact
                         else F.approx_count_distinct(x))

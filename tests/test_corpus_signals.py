@@ -1603,10 +1603,17 @@ def test_profile_stage(spark):
         Context(spark=spark))(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Generate" in plan  # inline() pivot, not a driver collect
+    # dotted column names resolve (df[col], not F.col — review r7)
+    dotted = spark.createDataFrame([(1.0,), (3.0,)], ["x.y"])
+    drow = compile_pipeline(
+        [{"$profile": {"columns": ["x.y"], "exact": True}}],
+        Context(spark=spark))(dotted).collect()
+    assert drow[0]["column"] == "x.y" and drow[0]["mean"] == 2.0
     for bad, msg in (
         ({"columns": []}, "non-empty"),
         ({"columns": ["nope"]}, "no column"),
         ({"columns": ["s"]}, "not"),
+        ({"columns": ["a", "a"]}, "distinct"),
         ({"columns": ["a"], "percentiles": [1.5]}, "0, 1"),
         ({"columns": ["a"], "percentiles": [0.501, 0.502]}, "collide"),
     ):
