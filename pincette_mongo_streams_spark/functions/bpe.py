@@ -44,7 +44,7 @@ over the projected text column, row-local, zero shuffle.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 Ranks = Dict[Tuple[str, str], int]
 

@@ -19,7 +19,7 @@ DataFrame; state lives in Spark's state store:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 from pyspark.sql import DataFrame
 
