@@ -1383,6 +1383,47 @@ _register(
 )(_bpe_token_count_query)
 
 
+_register(
+    "rouge_l_eval",
+    f"""WITH w AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '')) AS n
+  FROM documents WHERE text IS NOT NULL),
+s AS (SELECT doc_id, least(n, 25) AS m, n FROM w)
+SELECT d.doc_id,
+       CAST(s.m AS BIGINT) AS lcs,
+       {_r('CASE WHEN s.m > 0 THEN 1.0 ELSE 0.0 END', 6)} AS prec,
+       {_r('CASE WHEN s.n > 0 THEN s.m / CAST(s.n AS DOUBLE) '
+           'ELSE 0.0 END', 6)} AS rec,
+       {_r('CASE WHEN s.m > 0 THEN 2.0 * (s.m / CAST(s.n AS DOUBLE)) '
+           '/ (1.0 + s.m / CAST(s.n AS DOUBLE)) ELSE 0.0 END', 6)} AS f1
+FROM documents d LEFT JOIN s USING (doc_id)
+ORDER BY d.doc_id""",
+)(
+    _pipe(
+        "documents",
+        [
+            # candidate = the doc's own 25-word prefix: a subsequence of
+            # the reference BY CONSTRUCTION, so LCS = |candidate| and
+            # the whole ROUGE-L struct has a closed form DuckDB can
+            # state — a full hash oracle for the DP's output on real
+            # data (the Spark side still runs the actual LCS DP)
+            {"$truncateTokens": {"input": "$text", "as": "cand",
+                                 "max": 25}},
+            {"$rougeL": {"candidate": "$cand", "reference": "$text",
+                         "as": "rl"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "lcs": "$rl.lcs",
+                          "prec": {"$round": ["$rl.precision", 6]},
+                          "rec": {"$round": ["$rl.recall", 6]},
+                          "f1": {"$round": ["$rl.f1", 6]}}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
 def _profile_oracle_sql() -> str:
     """Per-column UNION ALL profile over lineitem numerics — exact
     distinct counts and quantile_cont percentiles (= Spark's exact

@@ -2573,6 +2573,95 @@ def profile_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$rougeL")
+def rouge_l_stage(expression: Any, ctx: Context) -> StageFn:
+    """ROUGE-L (Lin 2004): longest-common-subsequence overlap between a
+    candidate and a reference text in the same row — ``{candidate,
+    reference, beta?, maxWords?, as?}`` adds ``struct<lcs, precision,
+    recall, f1>`` where ``precision = LCS/|cand|``, ``recall =
+    LCS/|ref|`` and f1 is the beta-weighted harmonic mean (Lin's
+    F_lcs with ``beta`` defaulting to 1; ROUGE's recall-heavy variant
+    uses a large beta).  Word-level, Java-\\s tokenization like the
+    rest of the eval family.
+
+    LCS needs a dynamic program (no closed column form), so this is an
+    Arrow-batched Pandas UDF — the eval-family's documented Python
+    boundary (row-local, zero shuffle).  ``maxWords`` (default 2000)
+    truncates BOTH texts first: the DP is O(|c|·|r|) per row and an
+    unbounded pair would make one row cost 10^8 cells; the cap is the
+    honest bound, loudly documented here rather than hidden."""
+    cand_e = expression["candidate"]
+    ref_e = expression["reference"]
+    beta = float(expression.get("beta", 1.0))
+    max_words = int(expression.get("maxWords", 2000))
+    as_field = expression.get("as", "rouge_l")
+    if beta <= 0:
+        raise ValueError("$rougeL beta must be > 0")
+    if max_words < 1:
+        raise ValueError("$rougeL maxWords must be >= 1")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        sctx = ExprContext(schema=df.schema)
+        cand = compile_expr(cand_e, sctx)
+        ref = compile_expr(ref_e, sctx)
+        b2 = beta * beta
+
+        def lcs_len(a: list, b: list) -> int:
+            # two-row DP; rows over the shorter side for O(min) memory
+            if len(a) < len(b):
+                a, b = b, a
+            if not b:
+                return 0
+            prev = [0] * (len(b) + 1)
+            for x in a:
+                cur = [0]
+                append = cur.append
+                for j, y in enumerate(b, 1):
+                    if x == y:
+                        append(prev[j - 1] + 1)
+                    else:
+                        pj = prev[j]
+                        cj = cur[j - 1]
+                        append(pj if pj >= cj else cj)
+                prev = cur
+            return prev[-1]
+
+        import re as _re
+
+        ws_split = _re.compile(r"[ \t\n\r\f\x0b]+").split  # Java \s
+
+        def score(pair) -> Any:
+            ct, rt = pair
+            if ct is None or rt is None:
+                return None
+            wc = [w for w in ws_split(ct) if w][:max_words]
+            wr = [w for w in ws_split(rt) if w][:max_words]
+            m = lcs_len(wc, wr)
+            p = m / len(wc) if wc else 0.0
+            r = m / len(wr) if wr else 0.0
+            f = ((1 + b2) * p * r / (r + b2 * p)) if p + r else 0.0
+            return (m, p, r, f)
+
+        @F.pandas_udf("struct<lcs:bigint,precision:double,"
+                      "recall:double,f1:double>")
+        def _rouge(s: pd.Series, t: pd.Series) -> pd.DataFrame:
+            vals = [score(pr) for pr in zip(s, t)]
+            return pd.DataFrame(
+                [(None, None, None, None) if v is None else v
+                 for v in vals],
+                columns=["lcs", "precision", "recall", "f1"])
+
+        out = _rouge(cand, ref)
+        # null in -> null STRUCT (the UDF can only null the fields)
+        null_st = F.lit(None).cast(
+            "struct<lcs:bigint,precision:double,recall:double,f1:double>")
+        return df.withColumn(
+            as_field,
+            F.when(cand.isNull() | ref.isNull(), null_st).otherwise(out))
+
+    return fn
+
+
 @register_stage("$bleu")
 def bleu_stage(expression: Any, ctx: Context) -> StageFn:
     """Sentence-level BLEU (Papineni et al. 2002): ``{candidate,

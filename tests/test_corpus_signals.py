@@ -1620,3 +1620,77 @@ def test_profile_stage(spark):
         with pytest.raises(ValueError, match=msg):
             compile_pipeline([{"$profile": bad}],
                              Context(spark=spark))(df).collect()
+
+
+def test_rouge_l_differential_and_edges(spark):
+    """r7: $rougeL vs an independent recursive-memo LCS over randomized
+    word sequences AND the real documents corpus; Lin's F_lcs with
+    beta; maxWords truncation; null/empty edges."""
+    import random
+    import re as _re
+    from functools import lru_cache
+
+    def ref_lcs(a, b):
+        @lru_cache(maxsize=None)
+        def go(i, j):
+            if i == len(a) or j == len(b):
+                return 0
+            if a[i] == b[j]:
+                return 1 + go(i + 1, j + 1)
+            return max(go(i + 1, j), go(i, j + 1))
+        return go(0, 0)
+
+    def ref_rouge(c, r, beta=1.0, mw=2000):
+        wc = [w for w in _re.split(r"[ \t\n\r\f\x0b]+", c) if w][:mw]
+        wr = [w for w in _re.split(r"[ \t\n\r\f\x0b]+", r) if w][:mw]
+        m = ref_lcs(tuple(wc), tuple(wr))
+        p = m / len(wc) if wc else 0.0
+        rr = m / len(wr) if wr else 0.0
+        b2 = beta * beta
+        f = (1 + b2) * p * rr / (rr + b2 * p) if p + rr else 0.0
+        return (m, p, rr, f)
+
+    rng = random.Random(41)
+    rows = []
+    for i in range(60):
+        n1, n2 = rng.randint(0, 12), rng.randint(0, 12)
+        rows.append((i,
+                     " ".join(rng.choice("abcde") for _ in range(n1)),
+                     " ".join(rng.choice("abcde") for _ in range(n2))))
+    df = spark.createDataFrame(rows, "i long, c string, r string")
+    got = {r["i"]: r["rl"] for r in compile_pipeline(
+        [{"$rougeL": {"candidate": "$c", "reference": "$r", "as": "rl",
+                      "beta": 1.2}}],
+        Context(spark=spark))(df).collect()}
+    for i, c, r in rows:
+        m, p, rr, f = ref_rouge(c, r, beta=1.2)
+        g = got[i]
+        assert g["lcs"] == m, (c, r, g)
+        assert abs(g["f1"] - f) < 1e-12
+    # real corpus: candidate = 25-word truncation of the text itself ->
+    # LCS == candidate length (a subsequence of the original)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(40)
+    out = compile_pipeline(
+        [{"$truncateTokens": {"input": "$text", "as": "cand", "max": 25}},
+         {"$rougeL": {"candidate": "$cand", "reference": "$text",
+                      "as": "rl"}}],
+        Context(spark=spark))(docs).select("cand", "rl").collect()
+    for r in out:
+        n_c = len(r["cand"].split())
+        assert r["rl"]["lcs"] == n_c and r["rl"]["precision"] == 1.0
+    # maxWords truncates both sides
+    long = spark.createDataFrame(
+        [(" ".join(["w"] * 50), " ".join(["w"] * 50))], "c string, r string")
+    capped = compile_pipeline(
+        [{"$rougeL": {"candidate": "$c", "reference": "$r",
+                      "maxWords": 10, "as": "rl"}}],
+        Context(spark=spark))(long).collect()
+    assert capped[0]["rl"]["lcs"] == 10 and capped[0]["rl"]["f1"] == 1.0
+    with pytest.raises(ValueError, match="beta"):
+        compile_pipeline([{"$rougeL": {"candidate": "$c", "reference": "$r",
+                                       "beta": 0}}], Context(spark=spark))
+    with pytest.raises(ValueError, match="maxWords"):
+        compile_pipeline([{"$rougeL": {"candidate": "$c", "reference": "$r",
+                                       "maxWords": 0}}],
+                         Context(spark=spark))

@@ -22,7 +22,12 @@ _PYTHON_ALLOWED = {"http_enrich", "decode_media_meta", "media_pipeline",
                    "jq_tail",
                    # r6: real BPE — the unbounded merge loop is the
                    # documented Arrow-batched tokenizer boundary
-                   "bpe_token_count"}
+                   "bpe_token_count",
+                   # r7: ROUGE-L — the LCS dynamic program is the
+                   # eval-family's documented Arrow boundary (row-local,
+                   # zero shuffle; full hash oracle via the subsequence
+                   # identity)
+                   "rouge_l_eval"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
