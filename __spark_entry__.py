@@ -1390,14 +1390,19 @@ _register(
          len(list_filter(string_split_regex(trim(text), '\\s+'),
                          x -> x <> '')) AS n
   FROM documents WHERE text IS NOT NULL),
-s AS (SELECT doc_id, least(n, 25) AS m, n FROM w)
+s AS (SELECT doc_id, least(n, 25) AS m,
+             least(n, 2000) AS nr  -- the stage's maxWords cap applies
+                                   -- to the REFERENCE side too
+      FROM w)
 SELECT d.doc_id,
        CAST(s.m AS BIGINT) AS lcs,
-       {_r('CASE WHEN s.m > 0 THEN 1.0 ELSE 0.0 END', 6)} AS prec,
-       {_r('CASE WHEN s.n > 0 THEN s.m / CAST(s.n AS DOUBLE) '
-           'ELSE 0.0 END', 6)} AS rec,
-       {_r('CASE WHEN s.m > 0 THEN 2.0 * (s.m / CAST(s.n AS DOUBLE)) '
-           '/ (1.0 + s.m / CAST(s.n AS DOUBLE)) ELSE 0.0 END', 6)} AS f1
+       {_r('CASE WHEN s.m > 0 THEN 1.0 '
+           'WHEN s.m IS NOT NULL THEN 0.0 END', 6)} AS prec,
+       {_r('CASE WHEN s.nr > 0 THEN s.m / CAST(s.nr AS DOUBLE) '
+           'WHEN s.nr IS NOT NULL THEN 0.0 END', 6)} AS rec,
+       {_r('CASE WHEN s.m > 0 THEN 2.0 * (s.m / CAST(s.nr AS DOUBLE)) '
+           '/ (1.0 + s.m / CAST(s.nr AS DOUBLE)) '
+           'WHEN s.m IS NOT NULL THEN 0.0 END', 6)} AS f1
 FROM documents d LEFT JOIN s USING (doc_id)
 ORDER BY d.doc_id""",
 )(

@@ -2573,6 +2573,10 @@ def profile_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+_ROUGE_TYPE = ("struct<lcs:bigint,precision:double,"
+               "recall:double,f1:double>")
+
+
 @register_stage("$rougeL")
 def rouge_l_stage(expression: Any, ctx: Context) -> StageFn:
     """ROUGE-L (Lin 2004): longest-common-subsequence overlap between a
@@ -2642,8 +2646,7 @@ def rouge_l_stage(expression: Any, ctx: Context) -> StageFn:
             f = ((1 + b2) * p * r / (r + b2 * p)) if p + r else 0.0
             return (m, p, r, f)
 
-        @F.pandas_udf("struct<lcs:bigint,precision:double,"
-                      "recall:double,f1:double>")
+        @F.pandas_udf(_ROUGE_TYPE)
         def _rouge(s: pd.Series, t: pd.Series) -> pd.DataFrame:
             vals = [score(pr) for pr in zip(s, t)]
             return pd.DataFrame(
@@ -2653,8 +2656,7 @@ def rouge_l_stage(expression: Any, ctx: Context) -> StageFn:
 
         out = _rouge(cand, ref)
         # null in -> null STRUCT (the UDF can only null the fields)
-        null_st = F.lit(None).cast(
-            "struct<lcs:bigint,precision:double,recall:double,f1:double>")
+        null_st = F.lit(None).cast(_ROUGE_TYPE)
         return df.withColumn(
             as_field,
             F.when(cand.isNull() | ref.isNull(), null_st).otherwise(out))

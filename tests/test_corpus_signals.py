@@ -1603,7 +1603,7 @@ def test_profile_stage(spark):
         Context(spark=spark))(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Generate" in plan  # inline() pivot, not a driver collect
-    # dotted column names resolve (df[col], not F.col — review r7)
+    # dotted column names resolve (backtick-quoted access — review r7)
     dotted = spark.createDataFrame([(1.0,), (3.0,)], ["x.y"])
     drow = compile_pipeline(
         [{"$profile": {"columns": ["x.y"], "exact": True}}],
@@ -1677,7 +1677,8 @@ def test_rouge_l_differential_and_edges(spark):
                       "as": "rl"}}],
         Context(spark=spark))(docs).select("cand", "rl").collect()
     for r in out:
-        n_c = len(r["cand"].split())
+        n_c = len([w for w in _re.split(r"[ \t\n\r\f\x0b]+",
+                                        r["cand"]) if w])
         assert r["rl"]["lcs"] == n_c and r["rl"]["precision"] == 1.0
     # maxWords truncates both sides
     long = spark.createDataFrame(
