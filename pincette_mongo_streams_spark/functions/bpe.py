@@ -118,7 +118,10 @@ def chunk_tokens(text, size: int, stride: int, ranks: Ranks, cache: dict):
     Token boundaries partition the document's UTF-8 bytes, so each
     chunk's text is the EXACT substring those tokens cover (byte-offset
     slice of the original — whitespace intact; a window edge inside a
-    multi-byte codepoint keeps the longest whole-character substring).
+    multi-byte codepoint keeps the longest whole-character substring,
+    so a codepoint whose bytes straddle an edge appears in NEITHER
+    adjacent chunk — zero-overlap chunks partition the text exactly
+    only at codepoint-aligned edges, always for ASCII).
     Returns ``[(idx, chunk_text, n_tokens)]``; empty list for None."""
     if text is None:
         return []
