@@ -3971,7 +3971,9 @@ _register(
 
 _register(
     "chunk_text",
-    """WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS words
+    """WITH w AS (SELECT doc_id,
+                         list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x <> '') AS words
                   FROM documents),
        c AS (SELECT doc_id, len(words) AS n,
                     CASE WHEN len(words) > 0

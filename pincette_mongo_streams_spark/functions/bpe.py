@@ -122,9 +122,12 @@ def chunk_tokens(text, size: int, stride: int, ranks: Ranks, cache: dict):
     so a codepoint whose bytes straddle an edge appears in NEITHER
     adjacent chunk — zero-overlap chunks partition the text exactly
     only at codepoint-aligned edges, always for ASCII).
-    Returns ``[(idx, chunk_text, n_tokens)]``; empty list for None."""
+    Returns ``[(idx, chunk_text, n_tokens)]``; None for None (advisor
+    r8: null in -> null out, matching unit "words" and the rest of the
+    tokenizer family — an empty/whitespace-only document, which HAS a
+    value but no tokens, is the ``[]`` case)."""
     if text is None:
-        return []
+        return None
     toks = encode(text, ranks, cache)
     n = len(toks)
     if n == 0:

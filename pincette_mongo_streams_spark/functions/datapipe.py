@@ -26,7 +26,7 @@ Scale design notes (the 100 TB story, per operator):
 
 from __future__ import annotations
 
-from typing import Any, Iterator
+from typing import Any, Iterator, Optional
 
 import pandas as pd
 
@@ -2238,10 +2238,13 @@ def bpe_decode_stage(expression: Any, ctx: Context) -> StageFn:
       tokenizer boundary.
 
     ``onError`` (default ``"error"``): token sequences that do not form
-    valid UTF-8 (an arbitrary slice can cut a multi-byte codepoint) or
-    ids absent from the vocab raise; ``"null"`` yields null for that
-    row instead.  Null in -> null out.  100 TB shape: row-local, zero
-    shuffle either way."""
+    valid UTF-8 (an arbitrary slice can cut a multi-byte codepoint),
+    tokens containing chars outside the GPT-2 remap alphabet (not
+    ``$bpeEncode`` output — advisor r8: raw control chars like
+    ``"\\x07"`` are latin-1 but the remap never emits them, so both
+    paths reject them), or ids absent from the vocab raise; ``"null"``
+    yields null for that row instead.  Null in -> null out.  100 TB
+    shape: row-local, zero shuffle either way."""
     inp = expression["input"]
     as_field = expression.get("as", "text")
     tokenizer = expression.get("tokenizer") or {}
@@ -2271,19 +2274,45 @@ def bpe_decode_stage(expression: Any, ctx: Context) -> StageFn:
             # token containing a char outside the remap alphabet makes
             # encode(ISO-8859-1) itself raise, so the lenient mode must
             # guard BEFORE encode (nested when = guaranteed
-            # short-circuit), not just before decode
+            # short-circuit), not just before decode.
+            # advisor r8: validate against the REMAP ALPHABET itself,
+            # not merely latin-1 — chars like "\x07" or a raw "\n" are
+            # latin-1 bytes but are NOT $bpeEncode output (the remap
+            # maps those bytes to Ā-range symbols), and the id
+            # path rejects their vocab analogs; without this guard the
+            # string path silently decoded them.  The class is built
+            # from BYTE_TO_UNICODE so it IS the encoder's alphabet.
+            alpha_cps = sorted(ord(u) for u in _bpe.BYTE_TO_UNICODE
+                               .values())
+            runs: list[list[int]] = []
+            for cp in alpha_cps:
+                if runs and cp == runs[-1][1] + 1:
+                    runs[-1][1] = cp
+                else:
+                    runs.append([cp, cp])
+            alpha_re = "^[%s]*$" % "".join(
+                f"\\u{a:04x}-\\u{b:04x}" if a != b else f"\\u{a:04x}"
+                for a, b in runs)
             has_null_tok = F.exists(toks, lambda x: x.isNull())
-            translated = F.translate(F.concat_ws("", toks), frm, to)
-            latin1_ok = translated.rlike("^[\\x00-\\xff]*$")
+            raw = F.concat_ws("", toks)
+            alpha_ok = raw.rlike(alpha_re)
+            translated = F.translate(raw, frm, to)
             joined = F.encode(translated, "ISO-8859-1")
             decoded = F.decode(joined, "UTF-8")
             if on_error == "null":
                 decoded = F.when(
-                    latin1_ok,
+                    alpha_ok,
                     F.when(F.call_function("is_valid_utf8", joined),
                            decoded))
                 bad_elem = F.lit(None).cast("string")
             else:
+                decoded = F.when(alpha_ok, decoded).otherwise(
+                    F.raise_error(F.concat(
+                        F.lit("$bpeDecode: token outside the GPT-2 "
+                              "remap alphabet (tokens must be "
+                              "$bpeEncode output; use onError: 'null' "
+                              "to tolerate)"),
+                    )).cast("string"))
                 bad_elem = F.raise_error(F.concat(
                     F.lit("$bpeDecode: null token element at input "),
                     F.lit("(tokens must be a complete $bpeEncode "
@@ -2394,14 +2423,21 @@ def bpe_train_stage(expression: Any, ctx: Context) -> StageFn:
 def ngram_overlap_stage(expression: Any, ctx: Context) -> StageFn:
     """Clipped word-n-gram overlap between a candidate and a reference
     text IN THE SAME ROW — the row-local core of BLEU/ROUGE-style eval
-    and contamination scoring: ``{candidate, reference, n?, as?}`` adds
-    ``struct<n_cand, n_ref, n_match, precision, recall, f1>`` where
-    ``n_match`` is the CLIPPED match count (per distinct gram,
-    ``min(count_in_candidate, count_in_reference)`` — BLEU's modified
-    precision numerator; ROUGE-N recall = the same numerator over the
-    reference count).  precision/recall are 0.0 when their denominator
-    is 0; f1 is their harmonic mean (0.0 when both are 0).  Null in
-    either text -> null struct.
+    and contamination scoring: ``{candidate, reference, n?, maxWords?,
+    as?}`` adds ``struct<n_cand, n_ref, n_match, precision, recall,
+    f1>`` where ``n_match`` is the CLIPPED match count (per distinct
+    gram, ``min(count_in_candidate, count_in_reference)`` — BLEU's
+    modified precision numerator; ROUGE-N recall = the same numerator
+    over the reference count).  precision/recall are 0.0 when their
+    denominator is 0; f1 is their harmonic mean (0.0 when both are 0).
+    Null in either text -> null struct.
+
+    ``maxWords`` (default 2000, advisor r8) truncates BOTH texts first,
+    the same cap discipline as ``$rougeL``: the clipped-match aggregate
+    is O(d·(|c|+|r|)) per row, so one pathological document pair
+    (say 10^5 words each) would cost ~10^9 comparisons in a single
+    task — the cap is the honest bound, loudly documented rather than
+    hidden.
 
     100 TB shape: pure higher-order-function column program (split ->
     sliding-window grams -> aggregate over distinct grams) — row-local,
@@ -2410,9 +2446,12 @@ def ngram_overlap_stage(expression: Any, ctx: Context) -> StageFn:
     cand_e = expression["candidate"]
     ref_e = expression["reference"]
     n = int(expression.get("n", 1))
+    max_words = int(expression.get("maxWords", 2000))
     as_field = expression.get("as", "overlap")
     if n < 1:
         raise ValueError("$ngramOverlap n must be >= 1")
+    if max_words < 1:
+        raise ValueError("$ngramOverlap maxWords must be >= 1")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         sctx = ExprContext(schema=df.schema)
@@ -2425,8 +2464,10 @@ def ngram_overlap_stage(expression: Any, ctx: Context) -> StageFn:
         # HOF per reference — measured 10x+ on the oracle query.
         # CollapseProject keeps multiply-referenced non-cheap aliases
         # materialized, so each computes once per row.
-        stage = df.withColumn("__ngo_gc", _eval_grams(_eval_words(cand), n)) \
-                  .withColumn("__ngo_gr", _eval_grams(_eval_words(ref), n))
+        stage = df.withColumn(
+            "__ngo_gc", _eval_grams(_eval_words(cand, max_words), n),
+        ).withColumn(
+            "__ngo_gr", _eval_grams(_eval_words(ref, max_words), n))
         gc, gr = F.col("__ngo_gc"), F.col("__ngo_gr")
         stage = stage.withColumn(
             "__ngo_m", _eval_clipped(gc, gr),
@@ -2455,10 +2496,13 @@ def ngram_overlap_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
-def _eval_words(t: Column) -> Column:
+def _eval_words(t: Column, max_words: Optional[int] = None) -> Column:
     """Whitespace word split shared by the BLEU-family stages
-    ($ngramOverlap / $bleu) — Java \\s semantics, empties dropped."""
-    return F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != F.lit(""))
+    ($ngramOverlap / $bleu) — Java \\s semantics, empties dropped.
+    ``max_words`` truncates the word array (the stages' per-row cost
+    cap — see $rougeL's maxWords note)."""
+    w = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != F.lit(""))
+    return w if max_words is None else F.slice(w, 1, max_words)
 
 
 def _eval_grams(w: Column, n: int) -> Column:
@@ -2667,8 +2711,8 @@ def rouge_l_stage(expression: Any, ctx: Context) -> StageFn:
 @register_stage("$bleu")
 def bleu_stage(expression: Any, ctx: Context) -> StageFn:
     """Sentence-level BLEU (Papineni et al. 2002): ``{candidate,
-    reference, maxN?, smooth?, as?}`` adds the BLEU-``maxN`` score
-    (default 4): brevity penalty x geometric mean of the clipped
+    reference, maxN?, maxWords?, smooth?, as?}`` adds the BLEU-``maxN``
+    score (default 4): brevity penalty x geometric mean of the clipped
     n-gram precisions p_1..p_maxN (the same clipped counts as
     ``$ngramOverlap``).  Unsmoothed by default — any zero p_n gives
     0.0, as standard; ``smooth: "add1"`` applies add-one smoothing to
@@ -2677,16 +2721,25 @@ def bleu_stage(expression: Any, ctx: Context) -> StageFn:
     order (shorter than ``maxN`` words) scores 0.0.  Null in either
     text -> null.
 
+    ``maxWords`` (default 2000, advisor r8) truncates both texts
+    first — the same per-row cost cap as ``$rougeL``/``$ngramOverlap``:
+    the clipped-match aggregate runs once per order, so an uncapped
+    pathological pair would cost ~10^9 comparisons across 4 orders in
+    a single task.
+
     100 TB shape: same row-local HOF column programs as $ngramOverlap,
     one clipped-match aggregate per order materialized as a temp column
     (never inlined — see $ngramOverlap's CSE note), zero shuffle."""
     cand_e = expression["candidate"]
     ref_e = expression["reference"]
     max_n = int(expression.get("maxN", 4))
+    max_words = int(expression.get("maxWords", 2000))
     smooth = expression.get("smooth")
     as_field = expression.get("as", "bleu")
     if not 1 <= max_n <= 8:
         raise ValueError("$bleu maxN must be in 1..8")
+    if max_words < 1:
+        raise ValueError("$bleu maxWords must be >= 1")
     if smooth not in (None, "add1"):
         raise ValueError(f"$bleu smooth must be 'add1' or absent, "
                          f"got {smooth!r}")
@@ -2696,8 +2749,8 @@ def bleu_stage(expression: Any, ctx: Context) -> StageFn:
         cand = compile_expr(cand_e, sctx)
         ref = compile_expr(ref_e, sctx)
         temps = ["__bleu_wc", "__bleu_wr"]
-        stage = df.withColumn("__bleu_wc", _eval_words(cand)) \
-                  .withColumn("__bleu_wr", _eval_words(ref))
+        stage = df.withColumn("__bleu_wc", _eval_words(cand, max_words)) \
+                  .withColumn("__bleu_wr", _eval_words(ref, max_words))
         wc, wr = F.col("__bleu_wc"), F.col("__bleu_wr")
         for n in range(1, max_n + 1):
             gc_name, gr_name, m_name = (f"__bleu_gc{n}", f"__bleu_gr{n}",
@@ -3666,6 +3719,14 @@ def chunk_text_stage(expression: Any, ctx: Context) -> StageFn:
     local, zero shuffle, pipelines with the scan.  The last chunk may be
     short; a document shorter than ``size`` yields one chunk.
 
+    Null semantics, IDENTICAL across units (advisor r8 — they used to
+    diverge): null text -> null; a non-null document with no units ->
+    ``[]`` (unit "words": empty or whitespace-only — words are the
+    eval-family split, Java ``\\s`` with empties dropped, so
+    whitespace-only docs no longer yield phantom empty-string chunks;
+    unit "tokens": empty only — whitespace is real bytes and
+    tokenizes).
+
     r7: ``unit: "tokens"`` + ``tokenizer: {merges}`` chunks by REAL BPE
     token windows — what a context window actually measures — emitting
     ``array<struct<idx, text, n_tokens>>`` where each chunk's text is
@@ -3712,7 +3773,7 @@ def chunk_text_stage(expression: Any, ctx: Context) -> StageFn:
                     lambda t: chunker(t, size, stride, rk, cache))
 
             return df.withColumn(as_field, _chunks(text))
-        words = F.split(text, r"\s+")
+        words = _eval_words(text)
         n = F.size(words)
         # chunk starts: 0, stride, 2*stride, ...; the last window reaches
         # the end (ceil), with no redundant tail chunk once covered; docs
@@ -3735,10 +3796,12 @@ def chunk_text_stage(expression: Any, ctx: Context) -> StageFn:
                 .alias("n_words"),
             ),
         )
-        empty = F.array().cast(
-            "array<struct<idx:bigint,text:string,n_words:bigint>>")
+        chunk_t = "array<struct<idx:bigint,text:string,n_words:bigint>>"
         return df.withColumn(
-            as_field, F.when(n_chunks > 0, chunks).otherwise(empty)
+            as_field,
+            F.when(text.isNull(), F.lit(None).cast(chunk_t))
+            .when(n_chunks > 0, chunks)
+            .otherwise(F.array().cast(chunk_t)),
         )
 
     return fn

@@ -202,150 +202,6 @@ def run_streaming(
     for key, val in conf_sets:
         prior_conf[key] = ctx.spark.conf.get(key, None)
         ctx.spark.conf.set(key, val)
-    ctx.streaming = True
-    ctx.watermark = watermark
-    if watermark is not None:
-        source = source.withWatermark(*watermark)
-
-    if emission == "per_message":
-        # reference-granularity $group: one emission per state-CHANGING
-        # input message (applyInPandasWithState — streaming/permessage.py)
-        if suppress_unchanged:
-            raise ValueError(
-                "per_message emission already diffs per message; "
-                "suppress_unchanged is redundant"
-            )
-        from .permessage import compile_group_per_message
-
-        gidx = next(
-            (i for i, s in enumerate(pipeline)
-             if next(iter(s)) == "$group"), None
-        )
-        if gidx is None:
-            raise ValueError("per_message emission needs a $group stage")
-        pre = pipeline[:gidx]
-        for stage in pre:
-            if next(iter(stage)) not in _PLAN_STAGES:
-                raise ValueError(
-                    f"{next(iter(stage))} cannot precede a per-message "
-                    "$group (plan stages only)"
-                )
-        upstream = compile_pipeline(pre, ctx)(source) if pre else source
-        # accumulator input expressions compile here, outside any
-        # compile_pipeline wrapper — install the Features scope so
-        # Context.expression_extensions work in per-message mode too
-        from ..features import active_features
-
-        with active_features(ctx):
-            transformed = compile_group_per_message(
-                pipeline[gidx]["$group"], ctx
-            )(upstream)
-        batch_part = pipeline[gidx + 1:]
-        plan_part = []  # output mode: append (stateful op emits deltas)
-    elif emission != "per_batch":
-        raise ValueError(f"unknown emission mode {emission!r}")
-    else:
-        split = len(pipeline)
-        for i, stage in enumerate(pipeline):
-            if next(iter(stage)) not in _PLAN_STAGES:
-                split = i
-                break
-        plan_part, batch_part = pipeline[:split], pipeline[split:]
-        transformed = (
-            compile_pipeline(plan_part, ctx)(source) if plan_part else source
-        )
-    last_emitted: list = [None]  # distributed last-emission DataFrame
-    deltas_since_compact: list = [0]
-    state_dir = (f"{checkpoint}/suppress_state"
-                 if checkpoint and suppress_unchanged else None)
-    if state_dir is not None:
-        try:
-            from pyspark.sql import Window
-            from pyspark.sql import functions as F
-
-            raw = ctx.spark.read.parquet(state_dir)
-            # incremental store: latest row per key wins across the
-            # snapshot + appended epoch deltas
-            w = Window.partitionBy("_id").orderBy(F.col("__epoch").desc())
-            prior = (raw.withColumn("__rn", F.row_number().over(w))
-                     .filter("__rn = 1").drop("__rn", "__epoch"))
-            # pin the reload off the files before any compaction overwrite
-            last_emitted[0] = prior.localCheckpoint(eager=True)
-            deltas_since_compact[0] = (
-                raw.select("__epoch").distinct().count())
-        except Exception:
-            last_emitted[0] = None  # first start: no persisted state
-
-    def process(batch_df: DataFrame, epoch: int) -> None:
-        batch_ctx = ctx
-        batch_ctx.streaming = False  # inside foreachBatch everything is batch
-        batch_ctx.micro_batch = True  # ...but stages with cross-batch
-        # accumulators ($probe rollover) see the stream context
-        out = compile_pipeline(batch_part, batch_ctx)(batch_df) if batch_part else batch_df
-        if suppress_unchanged:
-            cols = out.columns
-            if "_id" not in cols:
-                raise ValueError(
-                    "suppress_unchanged needs a group-keyed output (an _id "
-                    "column): without a key, distinct events with equal "
-                    "values would be suppressed as duplicates"
-                )
-            last = last_emitted[0]
-            if last is None:
-                fresh = out
-            else:
-                # a row is fresh unless the SAME key emitted the SAME
-                # values last time — null-safe equality on every column
-                fresh = out.join(
-                    last,
-                    [out[c].eqNullSafe(last[c]) for c in cols],
-                    "left_anti",
-                )
-            # materialize the diff ONCE (localCheckpoint truncates
-            # lineage so state never re-grows the plan), then fold it
-            # into the next batch's state: this batch's emissions
-            # override the previous ones per key; untouched keys carry
-            # forward.  No row ever crosses the driver.
-            fresh = fresh.localCheckpoint(eager=True)
-            new_last = fresh if last is None else fresh.unionByName(
-                last.join(fresh.select("_id"), "_id", "left_anti")
-            )
-            last_emitted[0] = new_last.localCheckpoint(eager=True)
-            out = fresh
-        sink(out, epoch)
-        if suppress_unchanged and state_dir is not None:
-            # durable write AFTER the sink call: a crash between the two
-            # replays the batch and re-emits (at-least-once) — the
-            # reverse order would mark rows as already-emitted before
-            # the sink ever saw them (silent loss).  Incremental scheme:
-            # only this batch's FRESH rows append (epoch-stamped delta);
-            # a batch that changed nothing writes nothing, so unchanged
-            # state is never rewritten.  Every _COMPACT_EVERY deltas the
-            # full state compacts to one snapshot (the localCheckpoints
-            # above materialized it, so overwriting the files it was
-            # loaded from is safe — no live scan of state_dir in its
-            # lineage).
-            from pyspark.sql import functions as F
-
-            if not fresh.isEmpty():
-                if deltas_since_compact[0] + 1 >= _COMPACT_EVERY:
-                    (last_emitted[0].withColumn("__epoch", F.lit(epoch))
-                     .write.mode("overwrite").parquet(state_dir))
-                    deltas_since_compact[0] = 1
-                else:
-                    (fresh.withColumn("__epoch", F.lit(epoch))
-                     .write.mode("append").parquet(state_dir))
-                    deltas_since_compact[0] += 1
-        batch_ctx.streaming = True
-        batch_ctx.micro_batch = False
-
-    writer = transformed.writeStream.foreachBatch(process)
-    writer = writer.outputMode(_output_mode(plan_part))
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    if trigger:
-        writer = writer.trigger(**trigger)
-    query = writer.start()
 
     def _restore() -> None:
         """Put the pre-``run_streaming`` state-store session conf back
@@ -356,6 +212,160 @@ def run_streaming(
                 ctx.spark.conf.unset(key)
             else:
                 ctx.spark.conf.set(key, val)
+
+    # advisor r8: everything between the conf mutation above and
+    # writer.start() (watermark setup, plan compile, suppress-state
+    # reload, the start itself) can raise — without this guard the
+    # mutated session conf would leak, since the restore closure
+    # only ever attaches to a successfully returned query
+    try:
+        ctx.streaming = True
+        ctx.watermark = watermark
+        if watermark is not None:
+            source = source.withWatermark(*watermark)
+
+        if emission == "per_message":
+            # reference-granularity $group: one emission per state-CHANGING
+            # input message (applyInPandasWithState — streaming/permessage.py)
+            if suppress_unchanged:
+                raise ValueError(
+                    "per_message emission already diffs per message; "
+                    "suppress_unchanged is redundant"
+                )
+            from .permessage import compile_group_per_message
+
+            gidx = next(
+                (i for i, s in enumerate(pipeline)
+                 if next(iter(s)) == "$group"), None
+            )
+            if gidx is None:
+                raise ValueError("per_message emission needs a $group stage")
+            pre = pipeline[:gidx]
+            for stage in pre:
+                if next(iter(stage)) not in _PLAN_STAGES:
+                    raise ValueError(
+                        f"{next(iter(stage))} cannot precede a per-message "
+                        "$group (plan stages only)"
+                    )
+            upstream = compile_pipeline(pre, ctx)(source) if pre else source
+            # accumulator input expressions compile here, outside any
+            # compile_pipeline wrapper — install the Features scope so
+            # Context.expression_extensions work in per-message mode too
+            from ..features import active_features
+
+            with active_features(ctx):
+                transformed = compile_group_per_message(
+                    pipeline[gidx]["$group"], ctx
+                )(upstream)
+            batch_part = pipeline[gidx + 1:]
+            plan_part = []  # output mode: append (stateful op emits deltas)
+        elif emission != "per_batch":
+            raise ValueError(f"unknown emission mode {emission!r}")
+        else:
+            split = len(pipeline)
+            for i, stage in enumerate(pipeline):
+                if next(iter(stage)) not in _PLAN_STAGES:
+                    split = i
+                    break
+            plan_part, batch_part = pipeline[:split], pipeline[split:]
+            transformed = (
+                compile_pipeline(plan_part, ctx)(source) if plan_part else source
+            )
+        last_emitted: list = [None]  # distributed last-emission DataFrame
+        deltas_since_compact: list = [0]
+        state_dir = (f"{checkpoint}/suppress_state"
+                     if checkpoint and suppress_unchanged else None)
+        if state_dir is not None:
+            try:
+                from pyspark.sql import Window
+                from pyspark.sql import functions as F
+
+                raw = ctx.spark.read.parquet(state_dir)
+                # incremental store: latest row per key wins across the
+                # snapshot + appended epoch deltas
+                w = Window.partitionBy("_id").orderBy(F.col("__epoch").desc())
+                prior = (raw.withColumn("__rn", F.row_number().over(w))
+                         .filter("__rn = 1").drop("__rn", "__epoch"))
+                # pin the reload off the files before any compaction overwrite
+                last_emitted[0] = prior.localCheckpoint(eager=True)
+                deltas_since_compact[0] = (
+                    raw.select("__epoch").distinct().count())
+            except Exception:
+                last_emitted[0] = None  # first start: no persisted state
+
+        def process(batch_df: DataFrame, epoch: int) -> None:
+            batch_ctx = ctx
+            batch_ctx.streaming = False  # inside foreachBatch everything is batch
+            batch_ctx.micro_batch = True  # ...but stages with cross-batch
+            # accumulators ($probe rollover) see the stream context
+            out = compile_pipeline(batch_part, batch_ctx)(batch_df) if batch_part else batch_df
+            if suppress_unchanged:
+                cols = out.columns
+                if "_id" not in cols:
+                    raise ValueError(
+                        "suppress_unchanged needs a group-keyed output (an _id "
+                        "column): without a key, distinct events with equal "
+                        "values would be suppressed as duplicates"
+                    )
+                last = last_emitted[0]
+                if last is None:
+                    fresh = out
+                else:
+                    # a row is fresh unless the SAME key emitted the SAME
+                    # values last time — null-safe equality on every column
+                    fresh = out.join(
+                        last,
+                        [out[c].eqNullSafe(last[c]) for c in cols],
+                        "left_anti",
+                    )
+                # materialize the diff ONCE (localCheckpoint truncates
+                # lineage so state never re-grows the plan), then fold it
+                # into the next batch's state: this batch's emissions
+                # override the previous ones per key; untouched keys carry
+                # forward.  No row ever crosses the driver.
+                fresh = fresh.localCheckpoint(eager=True)
+                new_last = fresh if last is None else fresh.unionByName(
+                    last.join(fresh.select("_id"), "_id", "left_anti")
+                )
+                last_emitted[0] = new_last.localCheckpoint(eager=True)
+                out = fresh
+            sink(out, epoch)
+            if suppress_unchanged and state_dir is not None:
+                # durable write AFTER the sink call: a crash between the two
+                # replays the batch and re-emits (at-least-once) — the
+                # reverse order would mark rows as already-emitted before
+                # the sink ever saw them (silent loss).  Incremental scheme:
+                # only this batch's FRESH rows append (epoch-stamped delta);
+                # a batch that changed nothing writes nothing, so unchanged
+                # state is never rewritten.  Every _COMPACT_EVERY deltas the
+                # full state compacts to one snapshot (the localCheckpoints
+                # above materialized it, so overwriting the files it was
+                # loaded from is safe — no live scan of state_dir in its
+                # lineage).
+                from pyspark.sql import functions as F
+
+                if not fresh.isEmpty():
+                    if deltas_since_compact[0] + 1 >= _COMPACT_EVERY:
+                        (last_emitted[0].withColumn("__epoch", F.lit(epoch))
+                         .write.mode("overwrite").parquet(state_dir))
+                        deltas_since_compact[0] = 1
+                    else:
+                        (fresh.withColumn("__epoch", F.lit(epoch))
+                         .write.mode("append").parquet(state_dir))
+                        deltas_since_compact[0] += 1
+            batch_ctx.streaming = True
+            batch_ctx.micro_batch = False
+
+        writer = transformed.writeStream.foreachBatch(process)
+        writer = writer.outputMode(_output_mode(plan_part))
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        if trigger:
+            writer = writer.trigger(**trigger)
+        query = writer.start()
+    except BaseException:
+        _restore()
+        raise
 
     query.restore_state_store_conf = _restore
     return query

@@ -1233,10 +1233,13 @@ def test_chunk_text_token_edge_cases(spark):
         [{"$chunkText": {"input": "$t", "size": 4, "unit": "tokens",
                          "tokenizer": {"merges": "m"}}}],
         ctx)(df).collect()
-    by = {r["doc_id"]: [(c["idx"], c["text"], c["n_tokens"])
-                        for c in r["chunks"]] for r in out}
+    by = {r["doc_id"]: None if r["chunks"] is None
+          else [(c["idx"], c["text"], c["n_tokens"])
+                for c in r["chunks"]] for r in out}
     assert by[1] == [(0, "日", 4), (1, "", 4), (2, "", 1)]
-    assert by[2] == [] and by[3] == []
+    # advisor r8 null semantics: empty doc -> [], null doc -> null
+    # (matching unit "words" and the tokenizer family convention)
+    assert by[2] == [] and by[3] is None
     # size 6 aligns with whole characters: exact two-char windows
     out6 = compile_pipeline(
         [{"$chunkText": {"input": "$t", "size": 6, "unit": "tokens",
@@ -1432,7 +1435,9 @@ def test_bpe_decode_review_hardening(spark):
         [{"$bpeDecode": {"input": "$toks", "onError": "null"}}],
         ctx)(raw).collect()
     assert [r["text"] for r in out] == [None, "ok"]
-    with pytest.raises(Exception, match="MALFORMED|CODING"):
+    # advisor r8: the alphabet guard now catches this at the remap
+    # boundary (it used to surface as a charset decode failure)
+    with pytest.raises(Exception, match="remap alphabet"):
         compile_pipeline([{"$bpeDecode": {"input": "$toks"}}],
                          ctx)(raw).collect()
     # (b) null element: error by default, null when lenient
@@ -1695,3 +1700,61 @@ def test_rouge_l_differential_and_edges(spark):
         compile_pipeline([{"$rougeL": {"candidate": "$c", "reference": "$r",
                                        "maxWords": 0}}],
                          Context(spark=spark))
+
+
+def test_eval_max_words_cap_advisor_r8(spark):
+    """advisor r8: $bleu and $ngramOverlap carry $rougeL's maxWords cap
+    (default 2000) — the clipped-match HOF is O(d·(|c|+|r|)) per row,
+    so one pathological pair must not cost ~10^9 comparisons.  Pinned:
+    the cap truncates BOTH sides (a capped identical pair scores
+    perfect), the default leaves normal documents untouched, and the
+    validation rejects non-positive caps."""
+    ctx = Context(spark=spark)
+    long_pair = spark.createDataFrame(
+        [(" ".join(f"w{i}" for i in range(50)),
+          " ".join(f"w{i}" for i in range(40)))], "c string, r string")
+    # cap 10: both sides truncate to the same 10-word prefix -> BLEU 1,
+    # overlap f1 1 (without the cap: brevity penalty + clipped counts
+    # over 50/40 words give a strictly lower score)
+    capped = compile_pipeline(
+        [{"$bleu": {"candidate": "$c", "reference": "$r",
+                    "maxWords": 10, "as": "b"}},
+         {"$ngramOverlap": {"candidate": "$c", "reference": "$r",
+                            "n": 2, "maxWords": 10, "as": "ov"}}],
+        ctx)(long_pair).collect()[0]
+    assert capped["b"] == 1.0
+    assert capped["ov"]["n_cand"] == 9 and capped["ov"]["f1"] == 1.0
+    uncapped = compile_pipeline(
+        [{"$bleu": {"candidate": "$c", "reference": "$r", "as": "b"}}],
+        ctx)(long_pair).collect()[0]
+    assert uncapped["b"] < 1.0
+    for stage, spec in (
+        ("$bleu", {"candidate": "$c", "reference": "$r", "maxWords": 0}),
+        ("$ngramOverlap", {"candidate": "$c", "reference": "$r",
+                           "maxWords": -1}),
+    ):
+        with pytest.raises(ValueError, match="maxWords"):
+            compile_pipeline([{stage: spec}], ctx)
+
+
+def test_bpe_decode_alphabet_guard_advisor_r8(spark):
+    """advisor r8: the string path rejects tokens containing chars that
+    are latin-1 bytes but NOT in the GPT-2 remap alphabet ("\\x07", a
+    raw "\\n") — these are never $bpeEncode output (the remap maps
+    those bytes to the Ā range) and the id path rejects their vocab
+    analogs, so silently decoding them was a divergence."""
+    ctx = Context(spark=spark)
+    df = spark.createDataFrame(
+        [(1, ["Ġthe"]), (2, ["\x07"]), (3, ["a\nb"]), (4, ["ok", "Ċ"])],
+        "i long, toks array<string>")
+    out = {r["i"]: r["text"] for r in compile_pipeline(
+        [{"$bpeDecode": {"input": "$toks", "onError": "null"}}],
+        ctx)(df).collect()}
+    # Ġ/Ċ ARE the remap symbols for space/newline — they decode;
+    # the raw control bytes do not
+    assert out[1] == " the" and out[4] == "ok\n"
+    assert out[2] is None and out[3] is None
+    for i in (2, 3):
+        with pytest.raises(Exception, match="remap alphabet"):
+            compile_pipeline([{"$bpeDecode": {"input": "$toks"}}],
+                             ctx)(df.filter(f"i = {i}")).collect()

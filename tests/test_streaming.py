@@ -1131,6 +1131,45 @@ def test_state_store_conf_restore_and_no_leak_on_reject(spark, tmpdir):
         reset_state_store_conf(spark)
 
 
+def test_state_store_conf_restore_on_mid_setup_raise(spark, tmpdir):
+    """advisor r8: a raise AFTER the conf mutation but BEFORE
+    writer.start() returns (watermark setup, plan compile, emission
+    validation, the start itself) must replay the prior session conf —
+    the restore closure only attaches to a successfully returned query,
+    so without the in-function guard the mutation leaked."""
+    import pytest as _pytest
+
+    from pincette_mongo_streams_spark.streaming.runtime import (
+        reset_state_store_conf,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    part_key = "spark.sql.shuffle.partitions"
+    reset_state_store_conf(spark)
+    prior_parts = spark.conf.get(part_key)
+    spark.conf.set(key, "com.example.PriorProvider")
+    in_dir = os.path.join(tmpdir, "in")
+    _write_batches(in_dir, [[{"k": "a", "v": 1}]])
+    src = spark.readStream.schema("k string, v long").json(in_dir)
+    try:
+        # the emission-mode check sits inside the guarded span, past
+        # the conf mutation
+        with _pytest.raises(ValueError, match="unknown emission mode"):
+            run_streaming(src, [], Context(spark=spark),
+                          lambda d, e: None, state_store="rocksdb",
+                          state_partitions=7, emission="bogus")
+        assert spark.conf.get(key) == "com.example.PriorProvider"
+        assert spark.conf.get(part_key) == prior_parts
+        # per-message validation raises mid-setup too
+        with _pytest.raises(ValueError, match="needs a .group"):
+            run_streaming(src, [], Context(spark=spark),
+                          lambda d, e: None, state_store="rocksdb",
+                          emission="per_message")
+        assert spark.conf.get(key) == "com.example.PriorProvider"
+    finally:
+        reset_state_store_conf(spark)
+
+
 def test_bench_streaming_sf_parse_guard():
     """advisor r7: nonstandard data dirs must not crash the sf label."""
     import bench_streaming as bs

@@ -47,7 +47,8 @@ def test_stratified_scalar_fraction_and_default(spark):
 def test_chunk_text_windows(spark):
     text = " ".join(f"w{i}" for i in range(10))
     rows = [Row(_id="0", text=text), Row(_id="1", text="a b"),
-            Row(_id="2", text="solo")]
+            Row(_id="2", text="solo"), Row(_id="3", text=None),
+            Row(_id="4", text=""), Row(_id="5", text="  \t ")]
     df = spark.createDataFrame(rows, "_id string, text string")
     out = compile_pipeline([{"$chunkText": {
         "input": "$text", "size": 4, "overlap": 1, "as": "chunks"}}],
@@ -62,8 +63,22 @@ def test_chunk_text_windows(spark):
     assert [c["n_words"] for c in c0] == [4, 4, 4]
     assert [c["text"] for c in got["1"]] == ["a b"]
     assert [c["text"] for c in got["2"]] == ["solo"]
+    # advisor r8 null semantics, identical across units: null -> null;
+    # empty / whitespace-only (no words after the eval-family split) ->
+    # [] with NO phantom empty-string chunks
+    assert got["3"] is None
+    assert got["4"] == [] and got["5"] == []
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+    # leading/trailing whitespace never produces empty words
+    trimmed = compile_pipeline([{"$chunkText": {
+        "input": "$text", "size": 2, "as": "chunks"}}],
+        Context(spark=spark))(
+        spark.createDataFrame([Row(_id="0", text="  a  b \t c ")],
+                              "_id string, text string"))
+    chunks = trimmed.collect()[0]["chunks"]
+    assert [(c["text"], c["n_words"]) for c in chunks] == [
+        ("a b", 2), ("c", 1)]
 
 
 def test_chunk_text_rejects_bad_overlap(spark):
