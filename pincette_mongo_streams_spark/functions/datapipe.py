@@ -2548,7 +2548,14 @@ def profile_stage(expression: Any, ctx: Context) -> StageFn:
     (HLL) and ``percentile_approx`` — the 100 TB configuration;
     ``exact: true`` uses exact distinct counts and interpolated
     percentiles (DuckDB ``quantile_cont`` semantics) for oracle-grade
-    answers at test scale."""
+    answers at test scale.
+
+    CORPUS-ONLY (r9, carried r7 verdict item): the output claims to be
+    a profile of the whole input — inside a foreachBatch re-entry it
+    would silently profile ONE micro-batch and label it a corpus
+    profile, the exact silent-wrong-answer class ``_corpus_only``
+    exists for.  Rejected at submit time by the streaming runtime and
+    per micro-batch here (defense in depth)."""
     cols = expression["columns"]
     pcts = expression.get("percentiles", [0.25, 0.5, 0.75])
     exact = bool(expression.get("exact", False))
@@ -2565,6 +2572,9 @@ def profile_stage(expression: Any, ctx: Context) -> StageFn:
             f"{names} — use distinct hundredths")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..operators.extended import _corpus_only
+
+        _corpus_only("$profile", c)
         for col in cols:
             if col not in df.columns:
                 raise ValueError(f"$profile: no column {col!r}")
@@ -2800,6 +2810,12 @@ def bm25_stage(expression: Any, ctx: Context) -> StageFn:
     merge — no global sort shuffle).  At 100 TB the only wide operation
     is the single-row stats aggregate, whose partial aggregation reduces
     each task to one row.
+
+    Streaming classification (r9, pinned in README): PER-BATCH by
+    design — the corpus statistics fit on each micro-batch (windowed
+    retrieval; scores comparable within a batch, not across).  For
+    cross-batch-comparable scores, precompute stats on a static corpus
+    and stream against them.
     """
     query = expression["query"]
     inp = expression["input"]
@@ -2894,6 +2910,12 @@ def tf_idf_stage(expression: Any, ctx: Context) -> StageFn:
     shuffle.  Nothing is quadratic and nothing collects to the driver.
     Scores are ``tf · ln(N/df)`` rounded to 9 digits so parallel
     summation order can't leak into comparisons.
+
+    Streaming classification (r9, pinned in README): PER-BATCH by
+    design — the corpus statistics fit on each micro-batch (windowed
+    retrieval; scores comparable within a batch, not across).  For
+    cross-batch-comparable scores, precompute stats on a static corpus
+    and stream against them.
     """
     inp = expression["input"]
     id_field = expression.get("id", "_id")
@@ -2966,6 +2988,12 @@ def collocations_stage(expression: Any, ctx: Context) -> StageFn:
     vocabulary-sized equi-joins (AQE broadcasts small vocabularies); the
     final top-N is orderBy+limit = TakeOrderedAndProject (per-partition
     heap, no global sort shuffle).
+
+    Streaming classification (r9, pinned in README): PER-BATCH by
+    design — the corpus statistics fit on each micro-batch (windowed
+    retrieval; scores comparable within a batch, not across).  For
+    cross-batch-comparable scores, precompute stats on a static corpus
+    and stream against them.
     """
     inp = expression["input"]
     top = int(expression.get("top", 20))

@@ -49,8 +49,15 @@ _BATCH_ONLY_STAGES = {
 # corpus-wide operators: rejected up front AND guarded per micro-batch
 # by extended._corpus_only ($dsirScore joins this set only in its
 # default fit-on-input form — with `sourceFrom` both models are static
-# and it streams)
-_CORPUS_ONLY_STAGES = {"$spanDedup", "$semanticDedup", "$bpeTrain"}
+# and it streams).  $profile joined in r9 (carried r7 verdict item):
+# its output CLAIMS to describe the whole input, so a one-batch profile
+# labeled a corpus profile is a silent wrong answer.  $bm25/$tfIdf/
+# $collocations deliberately stay per-batch (README streaming
+# semantics): their outputs are top-k/score rows whose within-batch
+# stats fit a windowed-retrieval reading, and they never claim
+# corpus-wide scope.
+_CORPUS_ONLY_STAGES = {"$spanDedup", "$semanticDedup", "$bpeTrain",
+                       "$profile"}
 
 
 def _resolve_state_store(state_store: str) -> tuple[str, str]:

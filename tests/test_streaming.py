@@ -1020,6 +1020,9 @@ def test_corpus_only_stages_rejected_up_front(spark, tmpdir):
         [{"$spanDedup": {"input": "$text", "id": "$doc_id"}}],
         [{"$semanticDedup": {"input": "$emb", "id": "doc_id", "k": 2}}],
         [{"$bpeTrain": {"input": "$text", "merges": 8}}],
+        # r9 (carried r7 verdict item): a one-micro-batch profile
+        # labeled a corpus profile is a silent wrong answer
+        [{"$profile": {"columns": ["doc_id"]}}],
     ):
         with pytest.raises(ValueError, match="corpus-wide"):
             run_streaming(source, pipeline, ctx, lambda d, e: None,
@@ -1039,6 +1042,10 @@ def test_corpus_only_stages_rejected_up_front(spark, tmpdir):
         compile_pipeline(
             [{"$spanDedup": {"input": "$text", "id": "$doc_id"}}],
             mb)(df)
+    # $profile's own compiler guards too (not just the submit check)
+    with pytest.raises(ValueError, match="corpus-wide"):
+        compile_pipeline(
+            [{"$profile": {"columns": ["doc_id"]}}], mb)(df)
 
 
 def test_group_per_message_under_rocksdb(spark, tmpdir):
