@@ -1537,6 +1537,111 @@ _register(
 )
 
 
+def _multiref_oracle_sql() -> str:
+    """Multi-reference eval oracle (r9): BLEU against [full text,
+    DOUBLED 10-word prefix] — the doubling makes ref2's per-gram counts
+    exceed the full text's for front-loaded grams, so Papineni §2.2's
+    max-across-references clip genuinely engages (a plain prefix would
+    always lose the max by the prefix property) — and the brevity
+    penalty takes the closest-length reference (ties -> shorter,
+    §2.3).  ROUGE-L against [full text, 10-word prefix], where both
+    references admit closed-form LCS (the candidate is a prefix-
+    subsequence of ref1 and ref2 is a prefix of the candidate):
+    f_ref1 = 2·m1/(n+m1), f_ref2 = 2·m2/(m1+m2), max-F wins with ties
+    to array order — the corpus has docs on both sides of the n=90
+    crossover, so both branches carry weight."""
+    gram_defs = []
+    for n in range(1, 5):
+        for side, src in (("c", "wc[1:30]"), ("r1", "wc"),
+                          ("r2", "wc[1:10] || wc[1:10]")):
+            expr = (f"({src})" if n == 1 else
+                    f"CASE WHEN len({src}) >= {n} THEN "
+                    f"[array_to_string(({src})[i:i+{n - 1}], ' ') "
+                    f"FOR i IN range(1, len({src}) - {n} + 2)] "
+                    f"ELSE [] END")
+            gram_defs.append(f"{expr} AS g{side}{n}")
+    m_cols = [
+        ("coalesce(list_sum(list_transform(list_distinct(gc{n}), "
+         "t -> least(len(list_filter(gc{n}, x -> x = t)), "
+         "greatest(len(list_filter(gr1{n}, x -> x = t)), "
+         "len(list_filter(gr2{n}, x -> x = t)))))), 0) AS m{n}")
+        .format(n=n)
+        for n in range(1, 5)
+    ]
+    zero_u = " OR ".join(f"(len(gc{n}) = 0 OR m{n} = 0)"
+                         for n in range(1, 5))
+    log_u = " + ".join(f"ln(m{n} / CAST(len(gc{n}) AS DOUBLE)) / 4"
+                       for n in range(1, 5))
+    zero_s = "(len(gc1) = 0 OR m1 = 0) OR " + " OR ".join(
+        f"len(gc{n}) = 0" for n in range(2, 5))
+    log_s = "ln(m1 / CAST(len(gc1) AS DOUBLE)) / 4 + " + " + ".join(
+        f"ln((m{n} + 1) / CAST(len(gc{n}) + 1 AS DOUBLE)) / 4"
+        for n in range(2, 5))
+    # closest-length reference for BP, ties -> shorter
+    r_len = ("CASE WHEN abs(l1 - cl) < abs(l2 - cl) THEN l1 "
+             "WHEN abs(l2 - cl) < abs(l1 - cl) THEN l2 "
+             "ELSE least(l1, l2) END")
+    bp = (f"CASE WHEN cl >= ({r_len}) THEN 1.0 "
+          f"ELSE exp(1 - ({r_len}) / CAST(cl AS DOUBLE)) END")
+    return f"""WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS wc
+  FROM documents WHERE text IS NOT NULL),
+g AS (SELECT doc_id, len(wc) AS n, len(wc[1:30]) AS cl,
+             len(wc) AS l1, len(wc[1:10] || wc[1:10]) AS l2,
+             {', '.join(gram_defs)}
+      FROM w),
+m AS (SELECT *, {', '.join(m_cols)} FROM g),
+s AS (SELECT doc_id, n,
+             CASE WHEN {zero_u} THEN 0.0
+                  ELSE ({bp}) * exp({log_u}) END AS bu,
+             CASE WHEN {zero_s} THEN 0.0
+                  ELSE ({bp}) * exp({log_s}) END AS bs,
+             least(n, 30) AS m1, least(n, 10) AS m2
+      FROM m),
+r AS (SELECT doc_id, bu, bs, m1, m2,
+             2.0 * m1 / (n + m1) AS f1r,
+             2.0 * m2 / (m1 + m2) AS f2r
+      FROM s)
+SELECT doc_id,
+       {_r('bu', 6)} AS bleu_m,
+       {_r('bs', 6)} AS bleu_ms,
+       CAST(CASE WHEN f1r >= f2r THEN m1 ELSE m2 END AS BIGINT) AS lcs,
+       {_r('CASE WHEN f1r >= f2r THEN f1r ELSE f2r END', 6)} AS rf1
+FROM r ORDER BY doc_id"""
+
+
+_register(
+    "eval_multiref",
+    _multiref_oracle_sql(),
+)(
+    _pipe(
+        "documents",
+        [
+            {"$truncateTokens": {"input": "$text", "as": "cand",
+                                 "max": 30}},
+            {"$truncateTokens": {"input": "$text", "as": "p10",
+                                 "max": 10}},
+            {"$set": {"ref2": {"$concat": ["$p10", " ", "$p10"]}}},
+            {"$bleu": {"candidate": "$cand",
+                       "references": ["$text", "$ref2"], "as": "b"}},
+            {"$bleu": {"candidate": "$cand",
+                       "references": ["$text", "$ref2"],
+                       "smooth": "add1", "as": "bs"}},
+            {"$rougeL": {"candidate": "$cand",
+                         "references": ["$text", "$p10"], "as": "rl"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "bleu_m": {"$round": ["$b", 6]},
+                          "bleu_ms": {"$round": ["$bs", 6]},
+                          "lcs": "$rl.lcs",
+                          "rf1": {"$round": ["$rl.f1", 6]}}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
 _register(
     "ngram_overlap",
     f"""WITH w AS (

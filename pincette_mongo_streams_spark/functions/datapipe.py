@@ -2532,6 +2532,22 @@ def _eval_clipped(gc: Column, gr: Column) -> Column:
         ).cast("long"))
 
 
+def _eval_clipped_multi(gc: Column, grs: Column) -> Column:
+    """Multi-reference clipped intersection (Papineni 2002 §2.2): per
+    distinct candidate gram, ``min(count in candidate, MAX count across
+    references)`` — a gram is creditable up to the most any single
+    reference supports it, never the sum.  ``grs`` is an array of gram
+    arrays (one per reference).  Same materialized-temp-column contract
+    as :func:`_eval_clipped`."""
+    return F.aggregate(
+        F.array_distinct(gc), F.lit(0).cast("long"),
+        lambda acc, g: acc + F.least(
+            F.size(F.filter(gc, lambda x: x == g)),
+            F.array_max(F.transform(
+                grs, lambda arr: F.size(F.filter(arr, lambda x: x == g)))),
+        ).cast("long"))
+
+
 @register_stage("$profile")
 def profile_stage(expression: Any, ctx: Context) -> StageFn:
     """One-pass numeric data profiling: ``{columns: [...], percentiles?:
@@ -2635,21 +2651,34 @@ _ROUGE_TYPE = ("struct<lcs:bigint,precision:double,"
 def rouge_l_stage(expression: Any, ctx: Context) -> StageFn:
     """ROUGE-L (Lin 2004): longest-common-subsequence overlap between a
     candidate and a reference text in the same row — ``{candidate,
-    reference, beta?, maxWords?, as?}`` adds ``struct<lcs, precision,
-    recall, f1>`` where ``precision = LCS/|cand|``, ``recall =
-    LCS/|ref|`` and f1 is the beta-weighted harmonic mean (Lin's
-    F_lcs with ``beta`` defaulting to 1; ROUGE's recall-heavy variant
-    uses a large beta).  Word-level, Java-\\s tokenization like the
-    rest of the eval family.
+    reference | references, beta?, maxWords?, as?}`` adds ``struct<lcs,
+    precision, recall, f1>`` where ``precision = LCS/|cand|``,
+    ``recall = LCS/|ref|`` and f1 is the beta-weighted harmonic mean
+    (Lin's F_lcs with ``beta`` defaulting to 1; ROUGE's recall-heavy
+    variant uses a large beta).  Word-level, Java-\\s tokenization like
+    the rest of the eval family.
+
+    MULTI-REFERENCE (r9): ``references: <expr -> array<string>>``
+    scores the candidate against EACH reference and keeps the struct of
+    the reference with the best F_lcs (Lin 2004 §5's multi-reference
+    max; ties -> the first reference in array order).  Null reference
+    elements are dropped; a null or effectively-empty array -> null.
+    Exactly one of ``reference``/``references``; a single-element array
+    agrees exactly with the scalar form.
 
     LCS needs a dynamic program (no closed column form), so this is an
     Arrow-batched Pandas UDF — the eval-family's documented Python
     boundary (row-local, zero shuffle).  ``maxWords`` (default 2000)
-    truncates BOTH texts first: the DP is O(|c|·|r|) per row and an
-    unbounded pair would make one row cost 10^8 cells; the cap is the
-    honest bound, loudly documented here rather than hidden."""
+    truncates the candidate and every reference first: the DP is
+    O(|c|·|r|) per row and an unbounded pair would make one row cost
+    10^8 cells; the cap is the honest bound, loudly documented here
+    rather than hidden."""
     cand_e = expression["candidate"]
-    ref_e = expression["reference"]
+    ref_e = expression.get("reference")
+    refs_e = expression.get("references")
+    if (ref_e is None) == (refs_e is None):
+        raise ValueError(
+            "$rougeL needs exactly one of reference | references")
     beta = float(expression.get("beta", 1.0))
     max_words = int(expression.get("maxWords", 2000))
     as_field = expression.get("as", "rouge_l")
@@ -2661,7 +2690,8 @@ def rouge_l_stage(expression: Any, ctx: Context) -> StageFn:
     def fn(df: DataFrame, c: Context) -> DataFrame:
         sctx = ExprContext(schema=df.schema)
         cand = compile_expr(cand_e, sctx)
-        ref = compile_expr(ref_e, sctx)
+        ref = compile_expr(ref_e, sctx) if ref_e is not None else None
+        refs = compile_expr(refs_e, sctx) if refs_e is not None else None
         b2 = beta * beta
 
         def lcs_len(a: list, b: list) -> int:
@@ -2700,20 +2730,49 @@ def rouge_l_stage(expression: Any, ctx: Context) -> StageFn:
             f = ((1 + b2) * p * r / (r + b2 * p)) if p + r else 0.0
             return (m, p, r, f)
 
-        @F.pandas_udf(_ROUGE_TYPE)
-        def _rouge(s: pd.Series, t: pd.Series) -> pd.DataFrame:
-            vals = [score(pr) for pr in zip(s, t)]
+        def score_multi(pair) -> Any:
+            ct, rts = pair
+            if ct is None or rts is None:
+                return None
+            vals = [score((ct, rt)) for rt in rts if rt is not None]
+            if not vals:
+                return None
+            # max F_lcs across references; Python max keeps the FIRST
+            # maximal element, so ties resolve to array order (pinned)
+            return max(vals, key=lambda v: v[3])
+
+        def _frame(vals) -> pd.DataFrame:
             return pd.DataFrame(
                 [(None, None, None, None) if v is None else v
                  for v in vals],
                 columns=["lcs", "precision", "recall", "f1"])
 
-        out = _rouge(cand, ref)
-        # null in -> null STRUCT (the UDF can only null the fields)
+        if refs is not None:
+            @F.pandas_udf(_ROUGE_TYPE)
+            def _rouge_multi(s: pd.Series, t: pd.Series) -> pd.DataFrame:
+                return _frame([score_multi(pr) for pr in zip(s, t)])
+
+            out = _rouge_multi(cand, refs)
+            null_in = cand.isNull() | refs.isNull()
+        else:
+            @F.pandas_udf(_ROUGE_TYPE)
+            def _rouge(s: pd.Series, t: pd.Series) -> pd.DataFrame:
+                return _frame([score(pr) for pr in zip(s, t)])
+
+            out = _rouge(cand, ref)
+            null_in = cand.isNull() | ref.isNull()
+        # null in -> null STRUCT (the UDF can only null the fields); a
+        # multi-ref row whose references all filter away also comes
+        # back as null FIELDS — normalize both to a null struct.  The
+        # UDF output lands in a temp column first so the when-tree
+        # never references the Python expression twice.
         null_st = F.lit(None).cast(_ROUGE_TYPE)
-        return df.withColumn(
+        stage = df.withColumn("__rl_raw", out)
+        raw = F.col("__rl_raw")
+        return stage.withColumn(
             as_field,
-            F.when(cand.isNull() | ref.isNull(), null_st).otherwise(out))
+            F.when(null_in | raw["f1"].isNull(), null_st).otherwise(raw),
+        ).drop("__rl_raw")
 
     return fn
 
@@ -2721,27 +2780,44 @@ def rouge_l_stage(expression: Any, ctx: Context) -> StageFn:
 @register_stage("$bleu")
 def bleu_stage(expression: Any, ctx: Context) -> StageFn:
     """Sentence-level BLEU (Papineni et al. 2002): ``{candidate,
-    reference, maxN?, maxWords?, smooth?, as?}`` adds the BLEU-``maxN``
-    score (default 4): brevity penalty x geometric mean of the clipped
-    n-gram precisions p_1..p_maxN (the same clipped counts as
-    ``$ngramOverlap``).  Unsmoothed by default — any zero p_n gives
-    0.0, as standard; ``smooth: "add1"`` applies add-one smoothing to
-    the n >= 2 precisions (Lin & Och 2004's method), the common choice
-    for sentence-level scoring.  A candidate with no n-grams at some
-    order (shorter than ``maxN`` words) scores 0.0.  Null in either
-    text -> null.
+    reference | references, maxN?, maxWords?, smooth?, as?}`` adds the
+    BLEU-``maxN`` score (default 4): brevity penalty x geometric mean
+    of the clipped n-gram precisions p_1..p_maxN (the same clipped
+    counts as ``$ngramOverlap``).  Unsmoothed by default — any zero
+    p_n gives 0.0, as standard; ``smooth: "add1"`` applies add-one
+    smoothing to the n >= 2 precisions (Lin & Och 2004's method), the
+    common choice for sentence-level scoring.  A candidate with no
+    n-grams at some order (shorter than ``maxN`` words) scores 0.0.
+    Null in either side -> null.
 
-    ``maxWords`` (default 2000, advisor r8) truncates both texts
-    first — the same per-row cost cap as ``$rougeL``/``$ngramOverlap``:
-    the clipped-match aggregate runs once per order, so an uncapped
-    pathological pair would cost ~10^9 comparisons across 4 orders in
-    a single task.
+    MULTI-REFERENCE (r9, Papineni 2002 §2.2-2.3 — how real eval
+    harnesses score): ``references: <expr -> array<string>>`` clips
+    each candidate n-gram against the MAX count of that gram across
+    all references, and the brevity penalty uses the reference whose
+    length is CLOSEST to the candidate's (ties -> the shorter
+    reference, the sacrebleu/NLTK convention).  Null reference
+    ELEMENTS are dropped; a null or effectively-empty references array
+    -> null score.  Exactly one of ``reference``/``references``.
+    With a single-element array the two forms agree exactly
+    (differential-tested).
+
+    ``maxWords`` (default 2000, advisor r8) truncates the candidate
+    and every reference first — the same per-row cost cap as
+    ``$rougeL``/``$ngramOverlap``: the clipped-match aggregate runs
+    once per order, so an uncapped pathological pair would cost ~10^9
+    comparisons across 4 orders in a single task.
 
     100 TB shape: same row-local HOF column programs as $ngramOverlap,
     one clipped-match aggregate per order materialized as a temp column
-    (never inlined — see $ngramOverlap's CSE note), zero shuffle."""
+    (never inlined — see $ngramOverlap's CSE note), zero shuffle —
+    multi-reference adds one nested transform per order, still fully
+    JVM-side."""
     cand_e = expression["candidate"]
-    ref_e = expression["reference"]
+    ref_e = expression.get("reference")
+    refs_e = expression.get("references")
+    if (ref_e is None) == (refs_e is None):
+        raise ValueError(
+            "$bleu needs exactly one of reference | references")
     max_n = int(expression.get("maxN", 4))
     max_words = int(expression.get("maxWords", 2000))
     smooth = expression.get("smooth")
@@ -2757,19 +2833,44 @@ def bleu_stage(expression: Any, ctx: Context) -> StageFn:
     def fn(df: DataFrame, c: Context) -> DataFrame:
         sctx = ExprContext(schema=df.schema)
         cand = compile_expr(cand_e, sctx)
-        ref = compile_expr(ref_e, sctx)
-        temps = ["__bleu_wc", "__bleu_wr"]
-        stage = df.withColumn("__bleu_wc", _eval_words(cand, max_words)) \
-                  .withColumn("__bleu_wr", _eval_words(ref, max_words))
-        wc, wr = F.col("__bleu_wc"), F.col("__bleu_wr")
-        for n in range(1, max_n + 1):
-            gc_name, gr_name, m_name = (f"__bleu_gc{n}", f"__bleu_gr{n}",
-                                        f"__bleu_m{n}")
-            temps += [gc_name, gr_name, m_name]
-            stage = stage.withColumn(gc_name, _eval_grams(wc, n)) \
-                         .withColumn(gr_name, _eval_grams(wr, n))
+        temps = ["__bleu_wc"]
+        stage = df.withColumn("__bleu_wc", _eval_words(cand, max_words))
+        wc = F.col("__bleu_wc")
+        if refs_e is not None:
+            refs = compile_expr(refs_e, sctx)
+            temps.append("__bleu_wrs")
             stage = stage.withColumn(
-                m_name, _eval_clipped(F.col(gc_name), F.col(gr_name)))
+                "__bleu_wrs",
+                F.transform(F.filter(refs, lambda r: r.isNotNull()),
+                            lambda r: _eval_words(r, max_words)))
+            wrs = F.col("__bleu_wrs")
+            null_in = cand.isNull() | refs.isNull() | (F.size(wrs) == 0)
+        else:
+            ref = compile_expr(ref_e, sctx)
+            temps.append("__bleu_wr")
+            stage = stage.withColumn("__bleu_wr",
+                                     _eval_words(ref, max_words))
+            null_in = cand.isNull() | ref.isNull()
+        wr = F.col("__bleu_wr")
+        for n in range(1, max_n + 1):
+            gc_name, m_name = f"__bleu_gc{n}", f"__bleu_m{n}"
+            temps += [gc_name, m_name]
+            stage = stage.withColumn(gc_name, _eval_grams(wc, n))
+            if refs_e is not None:
+                grs_name = f"__bleu_grs{n}"
+                temps.append(grs_name)
+                stage = stage.withColumn(
+                    grs_name,
+                    F.transform(wrs, lambda w: _eval_grams(w, n)))
+                stage = stage.withColumn(
+                    m_name,
+                    _eval_clipped_multi(F.col(gc_name), F.col(grs_name)))
+            else:
+                gr_name = f"__bleu_gr{n}"
+                temps.append(gr_name)
+                stage = stage.withColumn(gr_name, _eval_grams(wr, n))
+                stage = stage.withColumn(
+                    m_name, _eval_clipped(F.col(gc_name), F.col(gr_name)))
         # zero-precision guard: any order with no candidate grams, or an
         # unsmoothed order with zero matches, zeroes the whole score
         zero = F.lit(False)
@@ -2785,12 +2886,29 @@ def bleu_stage(expression: Any, ctx: Context) -> StageFn:
                 zero = zero | (cnt == 0.0) | (m == 0.0)
             log_sum = log_sum + F.log(p) / max_n
         c_len = F.size(wc).cast("double")
-        r_len = F.size(wr).cast("double")
+        if refs_e is not None:
+            # effective reference length: closest to the candidate's,
+            # ties -> shorter (Papineni 2002 §2.3 "best match length")
+            c_len_l = F.size(wc).cast("long")
+            best = F.aggregate(
+                F.transform(wrs, lambda w: F.size(w).cast("long")),
+                F.struct(F.lit(None).cast("long").alias("d"),
+                         F.lit(None).cast("long").alias("l")),
+                lambda acc, ln: F.when(
+                    acc["l"].isNull()
+                    | (F.abs(ln - c_len_l) < acc["d"])
+                    | ((F.abs(ln - c_len_l) == acc["d"])
+                       & (ln < acc["l"])),
+                    F.struct(F.abs(ln - c_len_l).cast("long").alias("d"),
+                             ln.alias("l")),
+                ).otherwise(acc))
+            r_len = best["l"].cast("double")
+        else:
+            r_len = F.size(wr).cast("double")
         bp = F.when(c_len >= r_len, F.lit(1.0)) \
             .otherwise(F.exp(1.0 - r_len / c_len))
         score = F.when(zero, F.lit(0.0)).otherwise(bp * F.exp(log_sum))
-        out = F.when(cand.isNull() | ref.isNull(),
-                     F.lit(None).cast("double")).otherwise(score)
+        out = F.when(null_in, F.lit(None).cast("double")).otherwise(score)
         return stage.withColumn(as_field, out).drop(*temps)
 
     return fn

@@ -1758,3 +1758,113 @@ def test_bpe_decode_alphabet_guard_advisor_r8(spark):
         with pytest.raises(Exception, match="remap alphabet"):
             compile_pipeline([{"$bpeDecode": {"input": "$toks"}}],
                              ctx)(df.filter(f"i = {i}")).collect()
+
+
+def _ref_bleu_multi(cand, refs, max_n=4, smooth=None):
+    """Independent MULTI-reference sentence-BLEU (Papineni 2002
+    §2.2-2.3): per-gram clip against the MAX count across references;
+    brevity penalty uses the reference length closest to the
+    candidate's, ties -> shorter."""
+    import math as _math
+    import re as _re
+    from collections import Counter
+
+    ws = lambda t: [w for w in _re.split(r"[ \t\n\r\f\x0b]+", t) if w]
+    wc = ws(cand)
+    wrs = [ws(r) for r in refs if r is not None]
+
+    def grams(w, n):
+        return [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+
+    log_sum = 0.0
+    for n in range(1, max_n + 1):
+        gc = grams(wc, n)
+        crs = [Counter(grams(wr, n)) for wr in wrs]
+        cc = Counter(gc)
+        m = sum(min(k, max(cr[g] for cr in crs)) for g, k in cc.items())
+        if not gc:
+            return 0.0
+        if smooth == "add1" and n >= 2:
+            p = (m + 1) / (len(gc) + 1)
+        else:
+            if m == 0:
+                return 0.0
+            p = m / len(gc)
+        log_sum += _math.log(p) / max_n
+    r_len = min((len(wr) for wr in wrs),
+                key=lambda L: (abs(L - len(wc)), L))
+    bp = 1.0 if len(wc) >= r_len else _math.exp(1 - r_len / len(wc))
+    return bp * _math.exp(log_sum)
+
+
+def test_bleu_rouge_multireference_differential(spark):
+    """r9 (verdict item 4): multi-reference $bleu/$rougeL vs independent
+    Python implementations over the real documents corpus, with a
+    2-reference row-local fixture (full text + first-10-words prefix),
+    smoothed and unsmoothed; plus the degenerate-form equivalences."""
+    import re as _re
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(80)
+    fixture = [
+        {"$truncateTokens": {"input": "$text", "as": "cand", "max": 30}},
+        {"$truncateTokens": {"input": "$text", "as": "ref2", "max": 10}},
+    ]
+    ws = lambda t: [w for w in _re.split(r"[ \t\n\r\f\x0b]+", t) if w]
+    for smooth in (None, "add1"):
+        spec = {"candidate": "$cand",
+                "references": ["$text", "$ref2"], "as": "b"}
+        if smooth:
+            spec["smooth"] = smooth
+        out = compile_pipeline(
+            fixture + [{"$bleu": spec},
+                       {"$rougeL": {"candidate": "$cand",
+                                    "references": ["$text", "$ref2"],
+                                    "as": "rl"}}],
+            Context(spark=spark))(docs) \
+            .select("cand", "text", "ref2", "b", "rl").collect()
+        assert len(out) > 40
+        better = 0
+        for r in out:
+            want = _ref_bleu_multi(r["cand"], [r["text"], r["ref2"]],
+                                   4, smooth)
+            assert abs(r["b"] - want) < 1e-12, (smooth, r["b"], want)
+            # multi-ref can only help: >= each single-ref score with
+            # the same BP choice is NOT guaranteed (BP changes), but
+            # the clipped counts dominate the single-text run often
+            # enough to prove the max-clip actually engages
+            single = _ref_bleu(r["cand"], r["text"], 4, smooth)
+            better += r["b"] > single + 1e-15
+            # independent multi-ref ROUGE-L: max F over the two refs
+            def lcs(a, b):
+                prev = [0] * (len(b) + 1)
+                for x in a:
+                    cur = [0]
+                    for j, y in enumerate(b, 1):
+                        cur.append(prev[j - 1] + 1 if x == y
+                                   else max(prev[j], cur[j - 1]))
+                    prev = cur
+                return prev[-1]
+
+            best = None
+            for rt in (r["text"], r["ref2"]):
+                wc_, wr_ = ws(r["cand"])[:2000], ws(rt)[:2000]
+                m = lcs(wc_, wr_)
+                p = m / len(wc_) if wc_ else 0.0
+                rr = m / len(wr_) if wr_ else 0.0
+                f = 2 * p * rr / (p + rr) if p + rr else 0.0
+                if best is None or f > best[3]:
+                    best = (m, p, rr, f)
+            got = r["rl"]
+            assert got["lcs"] == best[0]
+            assert abs(got["f1"] - best[3]) < 1e-12
+        assert better > 10  # the short second ref raises BP often
+    # validation: both / neither reference form rejected
+    for stage in ("$bleu", "$rougeL"):
+        with pytest.raises(ValueError, match="exactly one"):
+            compile_pipeline([{stage: {"candidate": "$c"}}],
+                             Context(spark=spark))
+        with pytest.raises(ValueError, match="exactly one"):
+            compile_pipeline(
+                [{stage: {"candidate": "$c", "reference": "$r",
+                          "references": ["$r"]}}], Context(spark=spark))

@@ -27,7 +27,11 @@ _PYTHON_ALLOWED = {"http_enrich", "decode_media_meta", "media_pipeline",
                    # eval-family's documented Arrow boundary (row-local,
                    # zero shuffle; full hash oracle via the subsequence
                    # identity)
-                   "rouge_l_eval"}
+                   "rouge_l_eval",
+                   # r9: multi-reference eval runs the same ROUGE-L
+                   # Arrow boundary (the multi-ref BLEU half is pure
+                   # JVM — nested HOF transforms)
+                   "eval_multiref"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
