@@ -1476,6 +1476,94 @@ _register(
 )
 
 
+def _profile_mixed_oracle_sql() -> str:
+    """r9: $profile over a numeric + string + timestamp column mix
+    (orders), exact mode — one UNION ALL branch per column kind; the
+    string branch includes the deterministic top-3 flattened to
+    'value:count,...' (count desc, value asc) and the timestamp branch
+    the ISO-rendered min/max."""
+    nulls = ('CAST(NULL AS DOUBLE) AS min, CAST(NULL AS DOUBLE) AS max, '
+             'CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS stddev, '
+             'CAST(NULL AS DOUBLE) AS p50')
+    num = f"""SELECT 'o_totalprice' AS "column", 'numeric' AS type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(o_totalprice) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+       {_r('min(o_totalprice * 1.0)', 6)} AS min,
+       {_r('max(o_totalprice * 1.0)', 6)} AS max,
+       {_r('avg(o_totalprice)', 6)} AS mean,
+       {_r('stddev_pop(o_totalprice)', 6)} AS stddev,
+       {_r('quantile_cont(o_totalprice, 0.5)', 6)} AS p50,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+       CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len,
+       CAST(NULL AS DOUBLE) AS avg_len, CAST(NULL AS VARCHAR) AS top_str
+FROM orders"""
+    st = f"""SELECT 'o_orderpriority' AS "column", 'string' AS type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(o_orderpriority) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct,
+       {nulls},
+       min(o_orderpriority) AS min_str, max(o_orderpriority) AS max_str,
+       CAST(min(length(o_orderpriority)) AS BIGINT) AS min_len,
+       CAST(max(length(o_orderpriority)) AS BIGINT) AS max_len,
+       {_r('avg(length(o_orderpriority))', 6)} AS avg_len,
+       (SELECT string_agg(v || ':' || CAST(n AS VARCHAR), ','
+                          ORDER BY n DESC, v)
+        FROM (SELECT o_orderpriority AS v, count(*) AS n FROM orders
+              WHERE o_orderpriority IS NOT NULL
+              GROUP BY 1 ORDER BY n DESC, v LIMIT 3)) AS top_str
+FROM orders"""
+    ts = f"""SELECT 'o_orderdate' AS "column", 'timestamp' AS type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(o_orderdate) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT o_orderdate) AS BIGINT) AS n_distinct,
+       {nulls},
+       strftime(min(o_orderdate), '%Y-%m-%dT%H:%M:%S.%f') AS min_str,
+       strftime(max(o_orderdate), '%Y-%m-%dT%H:%M:%S.%f') AS max_str,
+       CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len,
+       CAST(NULL AS DOUBLE) AS avg_len, CAST(NULL AS VARCHAR) AS top_str
+FROM orders"""
+    return (num + "\nUNION ALL\n" + st + "\nUNION ALL\n" + ts
+            + '\nORDER BY "column"')
+
+
+_register(
+    "profile_mixed",
+    _profile_mixed_oracle_sql(),
+)(
+    _pipe(
+        "orders",
+        [
+            {"$profile": {"columns": ["o_totalprice", "o_orderpriority",
+                                      "o_orderdate"],
+                          "percentiles": [0.5],
+                          "exact": True, "topK": 3}},
+            {"$set": {"top_str": {"$reduce": {
+                "input": {"$map": {
+                    "input": "$top", "as": "t",
+                    "in": {"$concat": ["$$t.value", ":",
+                                       {"$toString": "$$t.n"}]}}},
+                "initialValue": "",
+                "in": {"$cond": [{"$eq": ["$$value", ""]}, "$$this",
+                                 {"$concat": ["$$value", ",",
+                                              "$$this"]}]}}}}},
+            {"$project": {"_id": 0, "column": 1, "type": 1, "n_rows": 1,
+                          "n_null": 1, "n_distinct": 1,
+                          "min": {"$round": ["$min", 6]},
+                          "max": {"$round": ["$max", 6]},
+                          "mean": {"$round": ["$mean", 6]},
+                          "stddev": {"$round": ["$stddev", 6]},
+                          "p50": {"$round": ["$p50", 6]},
+                          "min_str": 1, "max_str": 1,
+                          "min_len": 1, "max_len": 1,
+                          "avg_len": {"$round": ["$avg_len", 6]},
+                          "top_str": 1}},
+            {"$sort": {"column": 1}},
+        ],
+    )
+)
+
+
 def _bleu_oracle_sql() -> str:
     """Generate the per-order WITH clauses of a sentence-BLEU oracle
     (candidate = first-30-words truncation, reference = full text) —

@@ -2550,21 +2550,34 @@ def _eval_clipped_multi(gc: Column, grs: Column) -> Column:
 
 @register_stage("$profile")
 def profile_stage(expression: Any, ctx: Context) -> StageFn:
-    """One-pass numeric data profiling: ``{columns: [...], percentiles?:
-    [0.25, 0.5, 0.75], exact?: false}`` -> one row PER COLUMN with
-    ``(column, n_rows, n_null, n_distinct, min, max, mean, stddev,
-    p<pct>...)`` — the first thing a pipeline runs against a new 100 TB
-    table.
+    """One-pass data profiling: ``{columns: [...], percentiles?:
+    [0.25, 0.5, 0.75], exact?: false, topK?: 0}`` -> one row PER COLUMN
+    with ``(column, type, n_rows, n_null, n_distinct, min, max, mean,
+    stddev, p<pct>..., min_str, max_str, min_len, max_len, avg_len,
+    top)`` — the first thing a pipeline runs against a new 100 TB
+    table.  r9 (carried r7 verdict item 5): besides numerics, STRING
+    columns profile too (lexicographic min/max in ``min_str``/
+    ``max_str``, character-length min/max/avg, optional ``topK`` most
+    frequent values as ``array<struct<value,n>>`` ordered by count desc
+    then value) and DATE/TIMESTAMP columns (null/distinct counts +
+    ISO-rendered min/max in ``min_str``/``max_str``).  Fields that do
+    not apply to a column's type are null; ``type`` says which reading
+    applies.
 
     Spark-first shape: ALL statistics for ALL columns compute in ONE
     global aggregate (a single shuffle whose partial aggregation
     reduces every task to one row), then the stat row pivots to
     per-column rows with ``inline`` — no per-column passes, no driver
-    collect.  ``exact: false`` (default) uses ``approx_count_distinct``
-    (HLL) and ``percentile_approx`` — the 100 TB configuration;
-    ``exact: true`` uses exact distinct counts and interpolated
-    percentiles (DuckDB ``quantile_cont`` semantics) for oracle-grade
-    answers at test scale.
+    collect.  ``topK`` is the one exception (off by default): each
+    string column adds one partial-aggregated count-by-value, a
+    TakeOrderedAndProject top-k, and a 1-row broadcast join back onto
+    the stat row — the same pinned 1-row-join pattern as
+    ``$decontaminate``, still fully declarative and scan-parallel.
+    ``exact: false`` (default) uses ``approx_count_distinct`` (HLL) and
+    ``percentile_approx`` — the 100 TB configuration; ``exact: true``
+    uses exact distinct counts and interpolated percentiles (DuckDB
+    ``quantile_cont`` semantics) for oracle-grade answers at test
+    scale.
 
     CORPUS-ONLY (r9, carried r7 verdict item): the output claims to be
     a profile of the whole input — inside a foreachBatch re-entry it
@@ -2575,10 +2588,13 @@ def profile_stage(expression: Any, ctx: Context) -> StageFn:
     cols = expression["columns"]
     pcts = expression.get("percentiles", [0.25, 0.5, 0.75])
     exact = bool(expression.get("exact", False))
+    top_k = int(expression.get("topK", 0))
     if not cols or not isinstance(cols, list):
         raise ValueError("$profile needs a non-empty columns list")
     if len(set(cols)) != len(cols):
         raise ValueError("$profile columns must be distinct")
+    if top_k < 0:
+        raise ValueError("$profile topK must be >= 0")
     names = [f"p{int(round(p * 100))}" for p in pcts]
     if any(not 0 <= p <= 1 for p in pcts):
         raise ValueError("$profile percentiles must be in [0, 1]")
@@ -2591,53 +2607,153 @@ def profile_stage(expression: Any, ctx: Context) -> StageFn:
         from ..operators.extended import _corpus_only
 
         _corpus_only("$profile", c)
+        kinds: dict = {}
         for col in cols:
             if col not in df.columns:
                 raise ValueError(f"$profile: no column {col!r}")
-            if not isinstance(df.schema[col].dataType, T.NumericType):
+            dt = df.schema[col].dataType
+            if isinstance(dt, T.NumericType):
+                kinds[col] = "numeric"
+            elif isinstance(dt, T.StringType):
+                kinds[col] = "string"
+            elif isinstance(dt, T.DateType):
+                kinds[col] = "date"
+            elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                kinds[col] = "timestamp"
+            else:
                 raise ValueError(
-                    f"$profile: {col!r} is "
-                    f"{df.schema[col].dataType.simpleString()}, not "
-                    "numeric (cast or $addFields first)")
+                    f"$profile: {col!r} is {dt.simpleString()} — "
+                    "profilable kinds are numeric, string, date and "
+                    "timestamp (cast or $addFields first)")
+
         # positional internal keys + backtick-quoted access: a column
         # name containing dots must neither break the agg (unquoted
         # resolution parses nested access) nor the stat readback
         # (review r7)
+        def qcol(col: str) -> Column:
+            return F.col("`" + col.replace("`", "``") + "`")
+
         key = {col: f"__pf{i}" for i, col in enumerate(cols)}
         aggs = [F.count(F.lit(1)).alias("__n_rows")]
         for col in cols:
-            x = F.col("`" + col.replace("`", "``") + "`").cast("double")
-            k = key[col]
+            k, kind = key[col], kinds[col]
+            raw = qcol(col)
+            x = raw.cast("double") if kind == "numeric" else raw
             distinct = (F.count_distinct(x) if exact
                         else F.approx_count_distinct(x))
             aggs += [
                 F.count(x).alias(f"{k}_nn"),
                 distinct.cast("long").alias(f"{k}_nd"),
-                F.min(x).alias(f"{k}_min"),
-                F.max(x).alias(f"{k}_max"),
-                F.avg(x).alias(f"{k}_mean"),
-                F.stddev_pop(x).alias(f"{k}_sd"),
             ]
-            for p, nm in zip(pcts, names):
-                q = (F.percentile(x, F.lit(float(p))) if exact
-                     else F.percentile_approx(x, F.lit(float(p))))
-                aggs.append(q.alias(f"{k}_{nm}"))
+            if kind == "numeric":
+                aggs += [
+                    F.min(x).alias(f"{k}_min"),
+                    F.max(x).alias(f"{k}_max"),
+                    F.avg(x).alias(f"{k}_mean"),
+                    F.stddev_pop(x).alias(f"{k}_sd"),
+                ]
+                for p, nm in zip(pcts, names):
+                    q = (F.percentile(x, F.lit(float(p))) if exact
+                         else F.percentile_approx(x, F.lit(float(p))))
+                    aggs.append(q.alias(f"{k}_{nm}"))
+            elif kind == "string":
+                ln = F.length(x)
+                aggs += [
+                    F.min(x).alias(f"{k}_smin"),
+                    F.max(x).alias(f"{k}_smax"),
+                    F.min(ln).alias(f"{k}_lmin"),
+                    F.max(ln).alias(f"{k}_lmax"),
+                    F.avg(ln).alias(f"{k}_lavg"),
+                ]
+            else:  # date / timestamp
+                aggs += [
+                    F.min(x).alias(f"{k}_tmin"),
+                    F.max(x).alias(f"{k}_tmax"),
+                ]
         row = df.agg(*aggs)
-        structs = [
-            F.struct(
+        if top_k:
+            for col in cols:
+                if kinds[col] != "string":
+                    continue
+                x = qcol(col)
+                top = (
+                    df.where(x.isNotNull())
+                    .groupBy(x.alias("__v"))
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .orderBy(F.col("__n").desc(), F.col("__v"))
+                    .limit(top_k)
+                    .agg(F.collect_list(
+                        F.struct(F.col("__v").alias("value"),
+                                 F.col("__n").alias("n")))
+                         .alias(f"{key[col]}_top"))
+                )
+                row = row.crossJoin(F.broadcast(top))
+        d_null = F.lit(None).cast("double")
+        l_null = F.lit(None).cast("long")
+        s_null = F.lit(None).cast("string")
+        top_null = F.lit(None).cast("array<struct<value:string,n:bigint>>")
+        structs = []
+        for col in cols:
+            k, kind = key[col], kinds[col]
+            base = [
                 F.lit(col).alias("column"),
+                F.lit(kind).alias("type"),
                 F.col("__n_rows").cast("long").alias("n_rows"),
-                (F.col("__n_rows") - F.col(f"{key[col]}_nn")).cast("long")
+                (F.col("__n_rows") - F.col(f"{k}_nn")).cast("long")
                 .alias("n_null"),
-                F.col(f"{key[col]}_nd").alias("n_distinct"),
-                F.col(f"{key[col]}_min").alias("min"),
-                F.col(f"{key[col]}_max").alias("max"),
-                F.col(f"{key[col]}_mean").alias("mean"),
-                F.col(f"{key[col]}_sd").alias("stddev"),
-                *[F.col(f"{key[col]}_{nm}").alias(nm) for nm in names],
-            )
-            for col in cols
-        ]
+                F.col(f"{k}_nd").alias("n_distinct"),
+            ]
+            if kind == "numeric":
+                num = [
+                    F.col(f"{k}_min").alias("min"),
+                    F.col(f"{k}_max").alias("max"),
+                    F.col(f"{k}_mean").alias("mean"),
+                    F.col(f"{k}_sd").alias("stddev"),
+                    *[F.col(f"{k}_{nm}").alias(nm) for nm in names],
+                ]
+                strs = [s_null.alias("min_str"), s_null.alias("max_str")]
+                lens = [l_null.alias("min_len"), l_null.alias("max_len"),
+                        d_null.alias("avg_len")]
+                top_c = top_null
+            else:
+                num = [d_null.alias("min"), d_null.alias("max"),
+                       d_null.alias("mean"), d_null.alias("stddev"),
+                       *[d_null.alias(nm) for nm in names]]
+                if kind == "string":
+                    strs = [F.col(f"{k}_smin").alias("min_str"),
+                            F.col(f"{k}_smax").alias("max_str")]
+                    lens = [F.col(f"{k}_lmin").cast("long")
+                            .alias("min_len"),
+                            F.col(f"{k}_lmax").cast("long")
+                            .alias("max_len"),
+                            F.col(f"{k}_lavg").alias("avg_len")]
+                    if top_k:
+                        # the limit's output order is not contractual
+                        # through the collect_list, so re-sort: count
+                        # desc, then value asc — deterministic
+                        top_c = F.array_sort(
+                            F.col(f"{k}_top"),
+                            lambda l, r: F.when(l["n"] > r["n"],
+                                                F.lit(-1))
+                            .when(l["n"] < r["n"], F.lit(1))
+                            .when(l["value"] < r["value"], F.lit(-1))
+                            .when(l["value"] > r["value"], F.lit(1))
+                            .otherwise(F.lit(0)))
+                    else:
+                        top_c = top_null
+                else:
+                    fmt = ("yyyy-MM-dd" if kind == "date"
+                           else "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+                    strs = [F.date_format(F.col(f"{k}_tmin"), fmt)
+                            .alias("min_str"),
+                            F.date_format(F.col(f"{k}_tmax"), fmt)
+                            .alias("max_str")]
+                    lens = [l_null.alias("min_len"),
+                            l_null.alias("max_len"),
+                            d_null.alias("avg_len")]
+                    top_c = top_null
+            structs.append(
+                F.struct(*base, *num, *strs, *lens, top_c.alias("top")))
         return row.select(F.inline(F.array(*structs)))
 
     return fn

@@ -1614,17 +1614,69 @@ def test_profile_stage(spark):
         [{"$profile": {"columns": ["x.y"], "exact": True}}],
         Context(spark=spark))(dotted).collect()
     assert drow[0]["column"] == "x.y" and drow[0]["mean"] == 2.0
-    for bad, msg in (
-        ({"columns": []}, "non-empty"),
-        ({"columns": ["nope"]}, "no column"),
-        ({"columns": ["s"]}, "not"),
-        ({"columns": ["a", "a"]}, "distinct"),
-        ({"columns": ["a"], "percentiles": [1.5]}, "0, 1"),
-        ({"columns": ["a"], "percentiles": [0.501, 0.502]}, "collide"),
+    # r9: string columns profile instead of raising; validation now
+    # rejects only genuinely unprofilable types (arrays, structs)
+    arr_df = spark.createDataFrame([([1],)], "v array<long>")
+    for frame, bad, msg in (
+        (df, {"columns": []}, "non-empty"),
+        (df, {"columns": ["nope"]}, "no column"),
+        (arr_df, {"columns": ["v"]}, "profilable kinds"),
+        (df, {"columns": ["a", "a"]}, "distinct"),
+        (df, {"columns": ["a"], "topK": -1}, "topK"),
+        (df, {"columns": ["a"], "percentiles": [1.5]}, "0, 1"),
+        (df, {"columns": ["a"], "percentiles": [0.501, 0.502]},
+         "collide"),
     ):
         with pytest.raises(ValueError, match=msg):
             compile_pipeline([{"$profile": bad}],
-                             Context(spark=spark))(df).collect()
+                             Context(spark=spark))(frame).collect()
+
+
+def test_profile_string_and_date_columns(spark):
+    """r9 (verdict item 5): $profile over string and date/timestamp
+    columns — null/distinct accounting, lexicographic + length stats,
+    deterministic topK (count desc, value asc), ISO min/max rendering,
+    type-tagged rows with inapplicable fields null."""
+    import datetime as dt
+    df = spark.createDataFrame(
+        [("b", dt.datetime(2020, 1, 2, 3, 4, 5), dt.date(2020, 1, 2)),
+         ("aa", dt.datetime(2021, 6, 7, 8, 9, 10, 123456),
+          dt.date(2021, 6, 7)),
+         ("b", None, None),
+         (None, dt.datetime(2020, 1, 2, 3, 4, 5), dt.date(2020, 1, 2)),
+         ("cc", dt.datetime(2019, 12, 31, 23, 59, 59),
+          dt.date(2019, 12, 31))],
+        "s string, ts timestamp, d date")
+    rows = compile_pipeline(
+        [{"$profile": {"columns": ["s", "ts", "d"], "exact": True,
+                       "topK": 2}},
+         {"$sort": {"column": 1}}],
+        Context(spark=spark))(df).collect()
+    by = {r["column"]: r for r in rows}
+    s = by["s"]
+    assert s["type"] == "string"
+    assert (s["n_rows"], s["n_null"], s["n_distinct"]) == (5, 1, 3)
+    assert (s["min_str"], s["max_str"]) == ("aa", "cc")
+    assert (s["min_len"], s["max_len"]) == (1, 2)
+    assert abs(s["avg_len"] - 6 / 4) < 1e-12
+    # ties on count resolve by value asc; count desc first
+    assert [(t["value"], t["n"]) for t in s["top"]] == [("b", 2),
+                                                        ("aa", 1)]
+    assert s["min"] is None and s["mean"] is None
+    ts = by["ts"]
+    assert ts["type"] == "timestamp" and ts["n_null"] == 1
+    assert ts["n_distinct"] == 3
+    assert ts["min_str"] == "2019-12-31T23:59:59.000000"
+    assert ts["max_str"] == "2021-06-07T08:09:10.123456"
+    assert ts["top"] is None and ts["min_len"] is None
+    d = by["d"]
+    assert d["type"] == "date"
+    assert (d["min_str"], d["max_str"]) == ("2019-12-31", "2021-06-07")
+    # topK off -> top stays null even for strings
+    r0 = compile_pipeline(
+        [{"$profile": {"columns": ["s"], "exact": True}}],
+        Context(spark=spark))(df).collect()[0]
+    assert r0["top"] is None
 
 
 def test_rouge_l_differential_and_edges(spark):
