@@ -876,6 +876,55 @@ def test_curation_family_streams(spark, tmpdir):
     assert rows[1]["rd_words"] == 9 and rows[1]["rd_flesch"] is not None
 
 
+def test_eval_family_streaming_parity(spark, tmpdir):
+    """r9 (verdict item 6): the eval family — $bleu/$rougeL in both
+    scalar- and multi-reference form, $ngramOverlap with its r8
+    maxWords cap — is row-local and streams UNCHANGED: the same
+    pipeline over the same rows produces value-identical results in
+    batch and under foreachBatch, per the r6 corpus-signal pattern."""
+    docs = [
+        {"doc_id": 1, "text": "the cat sat on the mat near the cat"},
+        {"doc_id": 2, "text": "a b c d e f g h i j k l"},
+        {"doc_id": 3, "text": "one two three two one two"},
+        {"doc_id": 4, "text": None},
+    ]
+    schema = "doc_id long, text string"
+    pipeline = [
+        {"$truncateTokens": {"input": "$text", "as": "cand", "max": 5}},
+        {"$truncateTokens": {"input": "$text", "as": "p3", "max": 3}},
+        {"$set": {"ref2": {"$concat": ["$p3", " ", "$p3"]}}},
+        {"$bleu": {"candidate": "$cand", "reference": "$text",
+                   "maxN": 2, "smooth": "add1", "as": "b1"}},
+        {"$bleu": {"candidate": "$cand",
+                   "references": ["$text", "$ref2"],
+                   "maxN": 2, "smooth": "add1", "as": "bm"}},
+        {"$rougeL": {"candidate": "$cand", "reference": "$text",
+                     "as": "r1"}},
+        {"$rougeL": {"candidate": "$cand",
+                     "references": ["$text", "$p3"], "as": "rm"}},
+        {"$ngramOverlap": {"candidate": "$text", "reference": "$cand",
+                           "n": 2, "maxWords": 6, "as": "ov"}},
+        {"$project": {"doc_id": 1, "b1": 1, "bm": 1,
+                      "r1_f": "$r1.f1", "rm_f": "$rm.f1",
+                      "ov_m": "$ov.n_match", "ov_f": "$ov.f1"}},
+    ]
+    batch_df = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], schema)
+    from pincette_mongo_streams_spark import compile_pipeline
+    want = {r["doc_id"]: r.asDict()
+            for r in compile_pipeline(pipeline,
+                                      Context(spark=spark))(batch_df)
+            .collect()}
+    out = _run(spark, str(tmpdir), schema, [docs[:2], docs[2:]],
+               pipeline)
+    got = {r["doc_id"]: r for e in out for r in e}
+    assert set(got) == set(want) == {1, 2, 3, 4}
+    for i, w in want.items():
+        for k, v in w.items():
+            assert got[i][k] == v, (i, k, got[i][k], v)
+    assert want[4]["b1"] is None and want[4]["rm_f"] is None
+
+
 def test_sql_stage_streams(spark, tmpdir):
     """$sql's DataFrame template binding works on streaming frames too
     (spark.sql(q, this=streamingDF) keeps isStreaming) — the escape
