@@ -5835,8 +5835,29 @@ _ORDER = [
     #   embed_dedup -> decontaminate (train/test leakage removal —
     #     broadcast reference hashes + left-anti; the embedding-dedup
     #     family keeps semantic_dedup in-window)
+    # r9 swaps (VERDICT r8 Next #1/#7 — the r7 eval/profile family is
+    # two rounds old with zero driver signal; displaced rows stay
+    # registered + locally oracled by tests/test_oracle_parity.py and
+    # driver-canon-checked by tests/test_driver_canon.py):
+    #   dsir_score -> bleu_eval (curation family stays composed
+    #     in-window by training_pipeline; corpus-mode $dsirScore is
+    #     _corpus_only-gated and locally oracled)
+    #   window_group_hourly -> rouge_l_eval ($windowGroup stays covered
+    #     in-window by window_all)
+    #   entropy_score -> ngram_overlap (the scorer family keeps
+    #     gopher_rules in-window; entropy stays locally oracled against
+    #     DuckDB's native entropy())
+    #   knn_join -> profile_stats (the ANN family keeps ann_topk
+    #     in-window; knn_join had hard rows r6-r8, 3 rounds green)
+    #   span_dedup -> span_dedup_verify (strict superset: same spans
+    #     plus the hash-collision verification path — the collision
+    #     branch finally earns hard signal at zero window cost)
+    # r9 NEW queries eval_multiref (multi-reference BLEU/ROUGE) and
+    # profile_mixed (string/date profiling) stay past-window this
+    # round per the r6->r7 precedent — new families earn hard signal
+    # the round AFTER they land; both are locally oracled.
     "match_operators", "project_compute", "field_ops", "replace_with",
-    "unwind", "group_accumulators", "dsir_score", "stage_ext",
+    "unwind", "group_accumulators", "bleu_eval", "stage_ext",
     "bucket", "lookup_unwind", "geo_search", "lookup_pipeline",
     "streaming_parity", "deduplicate", "merge_out", "delete_passthrough",
     "redact", "per_batches", "effects_chain", "script_stages",
@@ -5851,14 +5872,16 @@ _ORDER = [
     # past-window by documents_inline/json_props_extract) -> kmeans
     # gives clustering one.  Both displaced queries stay registered and
     # locally oracle-checked.
-    "text_match", "semantic_dedup", "window_all", "knn_join", "page_rank",
-    "facet_summary", "window_group_hourly", "graph_lookup", "asof_join",
+    "text_match", "semantic_dedup", "window_all", "profile_stats",
+    "page_rank",
+    "facet_summary", "rouge_l_eval", "graph_lookup", "asof_join",
     "group_cap", "edit_distance_join",
     # LLM-data-pipeline operators
-    "connected_components", "entropy_score", "training_pipeline", "bm25_search",
+    "connected_components", "ngram_overlap", "training_pipeline",
+    "bm25_search",
     "fusion", "rank_eval", "minhash_dedup", "gopher_rules",
     "jaccard_join", "ann_topk", "decontaminate", "media_pipeline",
-    "span_dedup",
+    "span_dedup_verify",
 ]
 
 assert len(_ORDER) == 50, f"driver window must hold 50 queries, got {len(_ORDER)}"
