@@ -1920,3 +1920,48 @@ def test_bleu_rouge_multireference_differential(spark):
             compile_pipeline(
                 [{stage: {"candidate": "$c", "reference": "$r",
                           "references": ["$r"]}}], Context(spark=spark))
+
+
+def test_bleu_multiref_edge_cases(spark):
+    """r9 hand edges for the multi-reference forms: identical-to-one-ref
+    scores 1.0; BP picks the closest-length reference with ties to the
+    shorter; max-clip credits a gram up to the MOST any single
+    reference supports, never the sum; rougeL multi-ref tie resolves to
+    array order."""
+    ctx = Context(spark=spark)
+    # candidate 5 words; refs of len 5 (exact copy) and len 2
+    df = spark.createDataFrame(
+        [(1, "a b c d e", ["a b c d e", "a b"])],
+        "i long, c string, refs array<string>")
+    r = compile_pipeline(
+        [{"$bleu": {"candidate": "$c", "references": "$refs",
+                    "as": "b"}}], ctx)(df).collect()[0]
+    assert r["b"] == 1.0
+    # clip is max-not-sum: candidate "x x", each ref has ONE x -> the
+    # unigram match is clipped at 1 (sum across refs would give 2 and
+    # precision 1.0)
+    df2 = spark.createDataFrame(
+        [(1, "x x", ["x y", "x z"])], "i long, c string, refs array<string>")
+    r2 = compile_pipeline(
+        [{"$bleu": {"candidate": "$c", "references": "$refs", "maxN": 1,
+                    "as": "b"}}], ctx)(df2).collect()[0]
+    assert abs(r2["b"] - 0.5) < 1e-12
+    # BP tie -> shorter ref: candidate len 2, refs len 1 and 3 are
+    # equidistant -> r_len = 1 <= c_len -> BP 1.0; with only the len-3
+    # ref, BP = exp(1 - 3/2) < 1
+    df3 = spark.createDataFrame(
+        [(1, "a b", ["a", "a b c"]), (2, "a b", ["a b c"])],
+        "i long, c string, refs array<string>")
+    out3 = {r["i"]: r["b"] for r in compile_pipeline(
+        [{"$bleu": {"candidate": "$c", "references": "$refs", "maxN": 1,
+                    "as": "b"}}], ctx)(df3).collect()}
+    import math
+    assert abs(out3[1] - 1.0) < 1e-12           # tie -> shorter -> BP 1
+    assert abs(out3[2] - math.exp(-0.5)) < 1e-12
+    # rougeL max-F tie -> FIRST reference's struct
+    df4 = spark.createDataFrame(
+        [(1, "a b", ["a b", "b a"])], "i long, c string, refs array<string>")
+    r4 = compile_pipeline(
+        [{"$rougeL": {"candidate": "$c", "references": "$refs",
+                      "as": "rl"}}], ctx)(df4).collect()[0]["rl"]
+    assert r4["lcs"] == 2 and r4["f1"] == 1.0  # first ref wins the tie
