@@ -559,6 +559,58 @@ _register(
     )
 )
 
+# r9: the deterministic half of the $delay retry-topic pattern, driver-
+# gated at last (the one §2.1 stage with no hard row through r8).  Two
+# reference-pinned behaviors compose into one clock-independent query:
+# (1) $delay's validity split — a message whose duration does not
+#     evaluate to a long PASSES THROUGH unchanged instead of being
+#     scheduled (Delay.java:63-70); with no producer wired the emit
+#     side is a no-op, so the returned frame is exactly the invalid
+#     passthrough.
+# (2) $delayRelease's due filter — envelopes whose deliverAt has
+#     passed are delivered (dropped from the passthrough), the rest
+#     flow on for re-enqueue.  deliverAt is pinned to epoch 0 (always
+#     due) vs epoch-ms 4e12 (~year 2096, never due within the test's
+#     lifetime), so the wall clock cannot flip the answer.
+# The time arithmetic itself (deliverAt = now + duration, fake-clock
+# delivery) stays pytest-gated in tests/test_delay_probe.py — a driver
+# row cannot honestly pin wall-clock math.
+_register(
+    "delay_contract",
+    """SELECT doc_id, lang,
+              CAST(4000000000000 AS BIGINT) AS deliver_at
+       FROM documents
+       WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
+       ORDER BY doc_id""",
+)(
+    _pipe(
+        "documents",
+        [
+            # duration parses as a long only for doc_id % 3 != 0 —
+            # those rows are consumed by the (producer-less) delay
+            # emit; the malformed rest passes through (Delay.java:63-70)
+            {"$set": {"dur": {"$cond": [
+                {"$eq": [{"$mod": ["$doc_id", 3]}, 0]},
+                "not-a-number", "1500"]}}},
+            {"$delay": {"duration": "$dur", "topic": "target"}},
+            # wrap the survivors in release envelopes: even doc_ids due
+            # at epoch 0, odd ones due ~2096 — only the latter survive
+            {"$set": {"env": {
+                "deliverAt": {"$cond": [
+                    {"$eq": [{"$mod": ["$doc_id", 2]}, 0]},
+                    0, 4000000000000]},
+                "topic": "target",
+                "doc": {"doc_id": "$doc_id", "lang": "$lang"}}}},
+            {"$replaceWith": "$env"},
+            {"$delayRelease": {}},
+            {"$project": {"_id": 0, "doc_id": "$doc.doc_id",
+                          "lang": "$doc.lang",
+                          "deliver_at": "$deliverAt"}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
 _register(
     "redact",
     """SELECT o_orderkey,
@@ -5852,6 +5904,12 @@ _ORDER = [
     #   span_dedup -> span_dedup_verify (strict superset: same spans
     #     plus the hash-collision verification path — the collision
     #     branch finally earns hard signal at zero window cost)
+    #   jaccard_join -> delay_contract (the LAST §2.1 stage without a
+    #     hard row: $delay's validity passthrough, Delay.java:63-70,
+    #     composed with $delayRelease's due filter, clock-pinned via
+    #     epoch-0 / year-2096 deliverAt; the similarity-join family
+    #     keeps edit_distance_join in-window and jaccard_join had
+    #     r7+r8 hard rows)
     # r9 NEW queries eval_multiref (multi-reference BLEU/ROUGE) and
     # profile_mixed (string/date profiling) stay past-window this
     # round per the r6->r7 precedent — new families earn hard signal
@@ -5880,7 +5938,7 @@ _ORDER = [
     "connected_components", "ngram_overlap", "training_pipeline",
     "bm25_search",
     "fusion", "rank_eval", "minhash_dedup", "gopher_rules",
-    "jaccard_join", "ann_topk", "decontaminate", "media_pipeline",
+    "delay_contract", "ann_topk", "decontaminate", "media_pipeline",
     "span_dedup_verify",
 ]
 
