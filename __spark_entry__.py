@@ -1677,6 +1677,156 @@ _register(
 )
 
 
+def _chrf_oracle_sql() -> str:
+    """chrF oracle (r9): candidate = 10-word prefix, reference =
+    20-word prefix, whitespace stripped, clipped char-n-gram P/R
+    averaged over effective orders (n = 1..6), F_2 — the stage's
+    pinned Popović 2015 semantics stated wholesale in SQL."""
+    gram_defs = []
+    for n in range(1, 7):
+        for side, src in (("c", "sc"), ("r", "sr")):
+            gram_defs.append(
+                f"CASE WHEN len({src}) >= {n} THEN "
+                f"[substr({src}, i, {n}) "
+                f"FOR i IN range(1, len({src}) - {n} + 2)] "
+                f"ELSE [] END AS g{side}{n}")
+    m_cols = [
+        ("coalesce(list_sum(list_transform(list_distinct(gc{n}), "
+         "t -> least(len(list_filter(gc{n}, x -> x = t)), "
+         "len(list_filter(gr{n}, x -> x = t))))), 0) AS m{n}")
+        .format(n=n)
+        for n in range(1, 7)
+    ]
+    eff = " + ".join(
+        f"CASE WHEN len(gc{n}) > 0 OR len(gr{n}) > 0 THEN 1 ELSE 0 END"
+        for n in range(1, 7))
+    p_sum = " + ".join(
+        f"CASE WHEN len(gc{n}) > 0 "
+        f"THEN m{n} / CAST(len(gc{n}) AS DOUBLE) ELSE 0.0 END"
+        for n in range(1, 7))
+    r_sum = " + ".join(
+        f"CASE WHEN len(gr{n}) > 0 "
+        f"THEN m{n} / CAST(len(gr{n}) AS DOUBLE) ELSE 0.0 END"
+        for n in range(1, 7))
+    return f"""WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS wc
+  FROM documents WHERE text IS NOT NULL),
+s AS (SELECT doc_id,
+             substr(regexp_replace(array_to_string(wc[1:10], ' '),
+                                   '\\s+', '', 'g'), 1, 2000) AS sc,
+             substr(regexp_replace(array_to_string(wc[1:20], ' '),
+                                   '\\s+', '', 'g'), 1, 2000) AS sr
+      FROM w),
+g AS (SELECT doc_id, {', '.join(gram_defs)} FROM s),
+m AS (SELECT *, {', '.join(m_cols)} FROM g),
+f AS (SELECT doc_id, ({eff}) AS n_eff, ({p_sum}) AS ps, ({r_sum}) AS rs
+      FROM m),
+z AS (SELECT doc_id,
+             CASE WHEN n_eff = 0 THEN 0.0
+                  WHEN ps / n_eff + rs / n_eff = 0.0 THEN 0.0
+                  ELSE 5.0 * (ps / n_eff) * (rs / n_eff)
+                       / (4.0 * ps / n_eff + rs / n_eff) END AS s
+      FROM f)
+SELECT d.doc_id, {_r('z.s', 6)} AS chrf
+FROM documents d LEFT JOIN z USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+_register(
+    "chrf_eval",
+    _chrf_oracle_sql(),
+)(
+    _pipe(
+        "documents",
+        [
+            {"$truncateTokens": {"input": "$text", "as": "c10",
+                                 "max": 10}},
+            {"$truncateTokens": {"input": "$text", "as": "c20",
+                                 "max": 20}},
+            {"$chrf": {"candidate": "$c10", "reference": "$c20",
+                       "as": "s"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "chrf": {"$round": ["$s", 6]}}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
+_QA_PUNCT_SQL = r"""[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""
+
+
+def _qa_norm_sql(expr: str) -> str:
+    """The SQuAD normalization pipeline in DuckDB: lowercase, strip
+    ASCII punctuation, drop articles, split on whitespace, drop
+    empties — token list."""
+    return (
+        "list_filter(string_split_regex(trim(regexp_replace("
+        f"regexp_replace(lower({expr}), '{_QA_PUNCT_SQL}', '', 'g'), "
+        r"'\b(a|an|the)\b', ' ', 'g')), '\s+'), x -> x <> '')")
+
+
+def _qa_oracle_sql() -> str:
+    """$qaEval oracle (r9): prediction = 8-word prefix; golds =
+    [5-word prefix, 'The <8-word prefix>!'] — the second normalizes
+    equal to the prediction (article dropped, punctuation stripped),
+    so EM = 1 by construction and F1 = max over both answers; the
+    5-word gold exercises the clipped-overlap arithmetic."""
+    tp = _qa_norm_sql("array_to_string(wc[1:8], ' ')")
+    ta1 = _qa_norm_sql("array_to_string(wc[1:5], ' ')")
+    ta2 = _qa_norm_sql("'The ' || array_to_string(wc[1:8], ' ') || '!'")
+    def f1(ta):
+        m = ("coalesce(list_sum(list_transform(list_distinct(tp), "
+             f"t -> least(len(list_filter(tp, x -> x = t)), "
+             f"len(list_filter({ta}, x -> x = t))))), 0)")
+        return (f"CASE WHEN len(tp) = 0 AND len({ta}) = 0 THEN 1.0 "
+                f"WHEN len(tp) = 0 OR len({ta}) = 0 THEN 0.0 "
+                f"WHEN {m} = 0 THEN 0.0 "
+                f"ELSE 2.0 * ({m} / CAST(len(tp) AS DOUBLE)) "
+                f"* ({m} / CAST(len({ta}) AS DOUBLE)) "
+                f"/ ({m} / CAST(len(tp) AS DOUBLE) "
+                f"+ {m} / CAST(len({ta}) AS DOUBLE)) END")
+    return f"""WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS wc
+  FROM documents WHERE text IS NOT NULL),
+t AS (SELECT doc_id, {tp} AS tp, {ta1} AS ta1, {ta2} AS ta2 FROM w),
+s AS (SELECT doc_id,
+             CASE WHEN tp = ta1 OR tp = ta2 THEN 1.0 ELSE 0.0 END AS em,
+             greatest({f1('ta1')}, {f1('ta2')}) AS f1
+      FROM t)
+SELECT d.doc_id, s.em AS exact_match, {_r('s.f1', 6)} AS f1
+FROM documents d LEFT JOIN s USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+_register(
+    "qa_eval",
+    _qa_oracle_sql(),
+)(
+    _pipe(
+        "documents",
+        [
+            {"$truncateTokens": {"input": "$text", "as": "p8",
+                                 "max": 8}},
+            {"$truncateTokens": {"input": "$text", "as": "p5",
+                                 "max": 5}},
+            {"$set": {"golds": ["$p5",
+                                {"$concat": ["The ", "$p8", "!"]}]}},
+            {"$qaEval": {"prediction": "$p8", "answers": "$golds",
+                         "as": "q"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "exact_match": "$q.exact_match",
+                          "f1": {"$round": ["$q.f1", 6]}}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
 def _multiref_oracle_sql() -> str:
     """Multi-reference eval oracle (r9): BLEU against [full text,
     DOUBLED 10-word prefix] — the doubling makes ref2's per-gram counts

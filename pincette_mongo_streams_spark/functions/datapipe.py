@@ -3030,6 +3030,180 @@ def bleu_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$chrf")
+def chrf_stage(expression: Any, ctx: Context) -> StageFn:
+    """chrF (Popović 2015): character-n-gram F-score between a
+    candidate and a reference in the same row — the eval-family's
+    tokenization-free metric (robust to morphology, the standard
+    complement to BLEU in MT eval harnesses): ``{candidate, reference,
+    maxN?, beta?, maxChars?, as?}`` adds the chrF score in [0, 1].
+
+    Semantics, pinned precisely: whitespace is REMOVED first (the
+    sacrebleu default); for each order n = 1..maxN (default 6),
+    ``p_n = clipped/|cand grams|`` and ``r_n = clipped/|ref grams|``
+    where clipped is the multiset-intersection count ($ngramOverlap's
+    clip at character level); P and R are arithmetic means over the
+    EFFECTIVE orders (orders where either side has grams — trailing
+    orders longer than both strings don't dilute the average);
+    ``chrF = (1+beta^2)PR / (beta^2 P + R)`` with ``beta`` defaulting
+    to 2 (chrF2, recall-weighted).  A pair with no effective orders
+    (both texts empty) scores 0.0; null in either side -> null.
+
+    ``maxChars`` (default 2000) truncates both sides first — the same
+    cost-cap discipline as the word-level family (the clip aggregate
+    is O(d·|s|) per order per row).
+
+    100 TB shape: pure JVM HOF column program (regexp strip ->
+    substring gram windows -> clip aggregates materialized as temp
+    columns), row-local, zero shuffle — identical plan shape to
+    $bleu."""
+    cand_e = expression["candidate"]
+    ref_e = expression["reference"]
+    max_n = int(expression.get("maxN", 6))
+    beta = float(expression.get("beta", 2.0))
+    max_chars = int(expression.get("maxChars", 2000))
+    as_field = expression.get("as", "chrf")
+    if not 1 <= max_n <= 10:
+        raise ValueError("$chrf maxN must be in 1..10")
+    if beta <= 0:
+        raise ValueError("$chrf beta must be > 0")
+    if max_chars < 1:
+        raise ValueError("$chrf maxChars must be >= 1")
+    b2 = beta * beta
+
+    def char_grams(s: Column, n: int) -> Column:
+        # the when-guard also covers the empty string at n=1, where a
+        # bare split would fabricate a phantom "" gram
+        ln = F.length(s)
+        grams = (F.split(s, "(?!^)(?=.)") if n == 1 else
+                 F.transform(F.sequence(F.lit(1), ln - (n - 1)),
+                             lambda i: F.substring(s, i, F.lit(n))))
+        return F.when(ln >= n, grams) \
+            .otherwise(F.array().cast("array<string>"))
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        sctx = ExprContext(schema=df.schema)
+        cand = compile_expr(cand_e, sctx)
+        ref = compile_expr(ref_e, sctx)
+        strip = lambda t: F.substring(  # noqa: E731
+            F.regexp_replace(t, r"\s+", ""), 1, max_chars)
+        temps = ["__chrf_sc", "__chrf_sr"]
+        stage = df.withColumn("__chrf_sc", strip(cand)) \
+                  .withColumn("__chrf_sr", strip(ref))
+        sc, sr = F.col("__chrf_sc"), F.col("__chrf_sr")
+        for n in range(1, max_n + 1):
+            gc_n, gr_n, m_n = (f"__chrf_gc{n}", f"__chrf_gr{n}",
+                               f"__chrf_m{n}")
+            temps += [gc_n, gr_n, m_n]
+            stage = stage.withColumn(gc_n, char_grams(sc, n)) \
+                         .withColumn(gr_n, char_grams(sr, n))
+            stage = stage.withColumn(
+                m_n, _eval_clipped(F.col(gc_n), F.col(gr_n)))
+        p_sum = F.lit(0.0)
+        r_sum = F.lit(0.0)
+        n_eff = F.lit(0)
+        for n in range(1, max_n + 1):
+            cn = F.size(F.col(f"__chrf_gc{n}")).cast("double")
+            rn = F.size(F.col(f"__chrf_gr{n}")).cast("double")
+            m = F.col(f"__chrf_m{n}").cast("double")
+            eff = (cn > 0) | (rn > 0)
+            p_sum = p_sum + F.when(eff & (cn > 0), m / cn) \
+                .otherwise(F.lit(0.0))
+            r_sum = r_sum + F.when(eff & (rn > 0), m / rn) \
+                .otherwise(F.lit(0.0))
+            n_eff = n_eff + eff.cast("int")
+        p = p_sum / n_eff
+        r = r_sum / n_eff
+        score = F.when(
+            n_eff == 0, F.lit(0.0),
+        ).when(p + r == 0.0, F.lit(0.0)) \
+            .otherwise((1 + b2) * p * r / (b2 * p + r))
+        out = F.when(cand.isNull() | ref.isNull(),
+                     F.lit(None).cast("double")).otherwise(score)
+        return stage.withColumn(as_field, out).drop(*temps)
+
+    return fn
+
+
+_QA_PUNCT = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""
+
+
+@register_stage("$qaEval")
+def qa_eval_stage(expression: Any, ctx: Context) -> StageFn:
+    """SQuAD-style QA eval (Rajpurkar et al. 2016): ``{prediction,
+    answers, as?}`` adds ``struct<exact_match, f1>`` scored against an
+    array of gold answers — THE standard extractive-QA / closed-book
+    eval pair.
+
+    Normalization, pinned to the official SQuAD script: lowercase,
+    strip ASCII punctuation, drop the articles a/an/the, collapse
+    whitespace.  ``exact_match`` = 1.0 if the normalized prediction
+    equals ANY normalized answer; ``f1`` = the MAX over answers of the
+    token-level F1 (clipped multiset overlap of whitespace tokens —
+    the same clip as $ngramOverlap at n=1).  Both-empty after
+    normalization counts as a match (EM 1, F1 1), matching the official
+    script's handling of empty answers.  Null prediction or null
+    answers array -> null struct; null answer ELEMENTS are dropped; an
+    effectively-empty answers array -> null struct.
+
+    100 TB shape: pure JVM HOF column program — normalization is three
+    regexp passes, the per-answer overlap is a nested transform +
+    clip aggregate over a handful of gold answers; row-local, zero
+    shuffle."""
+    pred_e = expression["prediction"]
+    ans_e = expression["answers"]
+    as_field = expression.get("as", "qa")
+    _T = "struct<exact_match:double,f1:double>"
+
+    def norm(t: Column) -> Column:
+        lowered = F.lower(t)
+        no_punct = F.regexp_replace(lowered, _QA_PUNCT, "")
+        no_art = F.regexp_replace(no_punct, r"\b(a|an|the)\b", " ")
+        return F.filter(F.split(F.trim(no_art), r"\s+"),
+                        lambda x: x != F.lit(""))
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        sctx = ExprContext(schema=df.schema)
+        pred = compile_expr(pred_e, sctx)
+        answers = compile_expr(ans_e, sctx)
+        temps = ["__qa_p", "__qa_as"]
+        stage = df.withColumn("__qa_p", norm(pred)).withColumn(
+            "__qa_as",
+            F.transform(F.filter(answers, lambda a: a.isNotNull()),
+                        lambda a: norm(a)))
+        tp, tas = F.col("__qa_p"), F.col("__qa_as")
+        em = F.exists(
+            tas, lambda ta: F.array_join(ta, " ") == F.array_join(tp, " "),
+        ).cast("double")
+
+        def f1_one(ta: Column) -> Column:
+            m = F.aggregate(
+                F.array_distinct(tp), F.lit(0).cast("long"),
+                lambda acc, g: acc + F.least(
+                    F.size(F.filter(tp, lambda x: x == g)),
+                    F.size(F.filter(ta, lambda x: x == g)),
+                ).cast("long")).cast("double")
+            np_, na = F.size(tp).cast("double"), F.size(ta).cast("double")
+            # official script: if either side is empty, F1 is 1 when
+            # both are empty else 0
+            both_empty = (np_ == 0) & (na == 0)
+            p = F.when(np_ > 0, m / np_).otherwise(F.lit(0.0))
+            r = F.when(na > 0, m / na).otherwise(F.lit(0.0))
+            f = F.when(both_empty, F.lit(1.0)).when(
+                p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+            return f
+
+        f1 = F.array_max(F.transform(tas, f1_one))
+        st = F.struct(em.alias("exact_match"), f1.alias("f1"))
+        null_st = F.lit(None).cast(_T)
+        out = F.when(
+            pred.isNull() | answers.isNull() | (F.size(tas) == 0),
+            null_st).otherwise(st)
+        return stage.withColumn(as_field, out).drop(*temps)
+
+    return fn
+
+
 @register_stage("$bm25")
 def bm25_stage(expression: Any, ctx: Context) -> StageFn:
     """BM25 ranked retrieval: ``{query, input, id, k, k1, b}`` →

@@ -1965,3 +1965,136 @@ def test_bleu_multiref_edge_cases(spark):
         [{"$rougeL": {"candidate": "$c", "references": "$refs",
                       "as": "rl"}}], ctx)(df4).collect()[0]["rl"]
     assert r4["lcs"] == 2 and r4["f1"] == 1.0  # first ref wins the tie
+
+
+def _ref_chrf(c, r, max_n=6, beta=2.0, max_chars=2000):
+    """Independent chrF per the stage's pinned spec (Popović 2015:
+    whitespace stripped, clipped char-n-gram P/R averaged over
+    effective orders, F_beta with beta=2)."""
+    import re as _re
+    from collections import Counter
+
+    c = _re.sub(r"\s+", "", c)[:max_chars]
+    r = _re.sub(r"\s+", "", r)[:max_chars]
+    ps = rs = 0.0
+    eff = 0
+    for n in range(1, max_n + 1):
+        gc = [c[i:i + n] for i in range(len(c) - n + 1)]
+        gr = [r[i:i + n] for i in range(len(r) - n + 1)]
+        if not gc and not gr:
+            continue
+        eff += 1
+        cc, cr = Counter(gc), Counter(gr)
+        m = sum(min(v, cr[g]) for g, v in cc.items())
+        ps += m / len(gc) if gc else 0.0
+        rs += m / len(gr) if gr else 0.0
+    if eff == 0:
+        return 0.0
+    p, r2 = ps / eff, rs / eff
+    if p + r2 == 0:
+        return 0.0
+    b2 = beta * beta
+    return (1 + b2) * p * r2 / (b2 * p + r2)
+
+
+def test_chrf_differential_and_edges(spark):
+    """r9: $chrf vs an independent Python implementation over the real
+    documents corpus (candidate = 10-word prefix vs 20-word prefix —
+    partial character overlap both ways), plus hand edges: identical ->
+    1.0, empty-vs-anything -> 0.0, null -> null, beta/maxN/maxChars
+    validation."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(80)
+    out = compile_pipeline(
+        [{"$truncateTokens": {"input": "$text", "as": "c10", "max": 10}},
+         {"$truncateTokens": {"input": "$text", "as": "c20", "max": 20}},
+         {"$chrf": {"candidate": "$c10", "reference": "$c20",
+                    "as": "s"}}],
+        Context(spark=spark))(docs).select("c10", "c20", "s").collect()
+    assert len(out) > 40
+    for r in out:
+        want = _ref_chrf(r["c10"], r["c20"])
+        assert abs(r["s"] - want) < 1e-12, (r["s"], want)
+    ctx = Context(spark=spark)
+    df = spark.createDataFrame(
+        [(1, "same text", "same text"), (2, "", "x"), (3, None, "x"),
+         (4, "ab", "ba")],
+        "i long, c string, r string")
+    got = {r["i"]: r["s"] for r in compile_pipeline(
+        [{"$chrf": {"candidate": "$c", "reference": "$r", "as": "s"}}],
+        ctx)(df).collect()}
+    assert got[1] == 1.0 and got[2] == 0.0 and got[3] is None
+    assert abs(got[4] - _ref_chrf("ab", "ba")) < 1e-12
+    for bad, msg in (({"maxN": 0}, "maxN"), ({"beta": 0}, "beta"),
+                     ({"maxChars": 0}, "maxChars")):
+        with pytest.raises(ValueError, match=msg):
+            compile_pipeline(
+                [{"$chrf": {"candidate": "$c", "reference": "$r",
+                            **bad}}], ctx)
+
+
+def _ref_qa(pred, answers):
+    """Independent SQuAD normalize + EM/F1 (official script logic)."""
+    import re as _re
+    from collections import Counter
+
+    def norm(s):
+        s = s.lower()
+        s = _re.sub(r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]""", "", s)
+        s = _re.sub(r"\b(a|an|the)\b", " ", s)
+        return [w for w in _re.split(r"\s+", s.strip()) if w]
+
+    tp = norm(pred)
+    best_f, em = 0.0, 0.0
+    for a in answers:
+        ta = norm(a)
+        if ta == tp:
+            em = 1.0
+        if not tp and not ta:
+            f = 1.0
+        else:
+            cc, ca = Counter(tp), Counter(ta)
+            m = sum(min(v, ca[g]) for g, v in cc.items())
+            p = m / len(tp) if tp else 0.0
+            r = m / len(ta) if ta else 0.0
+            f = 2 * p * r / (p + r) if p + r else 0.0
+        best_f = max(best_f, f)
+    return em, best_f
+
+
+def test_qa_eval_differential_and_edges(spark):
+    """r9: $qaEval vs the independent SQuAD script logic over the real
+    corpus (prediction = 8-word prefix; answers = [5-word prefix,
+    'the <8-word prefix>!'] — the second normalizes equal to the
+    prediction, so EM flips on by construction), plus hand edges."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(60)
+    out = compile_pipeline(
+        [{"$truncateTokens": {"input": "$text", "as": "p8", "max": 8}},
+         {"$truncateTokens": {"input": "$text", "as": "p5", "max": 5}},
+         {"$set": {"golds": ["$p5",
+                             {"$concat": ["The ", "$p8", "!"]}]}},
+         {"$qaEval": {"prediction": "$p8", "answers": "$golds",
+                      "as": "q"}}],
+        Context(spark=spark))(docs) \
+        .select("p8", "p5", "q").collect()
+    assert len(out) > 40
+    for r in out:
+        em, f1 = _ref_qa(r["p8"], [r["p5"], "The " + r["p8"] + "!"])
+        assert r["q"]["exact_match"] == em
+        assert abs(r["q"]["f1"] - f1) < 1e-12
+        assert em == 1.0  # the constructed gold matches by design
+    ctx = Context(spark=spark)
+    df = spark.createDataFrame(
+        [(1, "An apple!", ["apple"]), (2, "dog", ["cat", "dog house"]),
+         (3, None, ["x"]), (4, "x", None), (5, "x", []),
+         (6, "x", [None])],
+        "i long, p string, a array<string>")
+    got = {r["i"]: r["q"] for r in compile_pipeline(
+        [{"$qaEval": {"prediction": "$p", "answers": "$a", "as": "q"}}],
+        ctx)(df).collect()}
+    assert got[1]["exact_match"] == 1.0 and got[1]["f1"] == 1.0
+    assert got[2]["exact_match"] == 0.0
+    assert abs(got[2]["f1"] - 2 * (1 / 1) * (1 / 2) / (1.5)) < 1e-12
+    assert got[3] is None and got[4] is None
+    assert got[5] is None and got[6] is None

@@ -904,9 +904,15 @@ def test_eval_family_streaming_parity(spark, tmpdir):
                      "references": ["$text", "$p3"], "as": "rm"}},
         {"$ngramOverlap": {"candidate": "$text", "reference": "$cand",
                            "n": 2, "maxWords": 6, "as": "ov"}},
+        {"$chrf": {"candidate": "$cand", "reference": "$text",
+                   "as": "ch"}},
+        {"$qaEval": {"prediction": "$cand", "answers": ["$text", "$p3"],
+                     "as": "qa"}},
         {"$project": {"doc_id": 1, "b1": 1, "bm": 1,
                       "r1_f": "$r1.f1", "rm_f": "$rm.f1",
-                      "ov_m": "$ov.n_match", "ov_f": "$ov.f1"}},
+                      "ov_m": "$ov.n_match", "ov_f": "$ov.f1",
+                      "ch": 1, "qa_em": "$qa.exact_match",
+                      "qa_f1": "$qa.f1"}},
     ]
     batch_df = spark.createDataFrame(
         [(d["doc_id"], d["text"]) for d in docs], schema)
