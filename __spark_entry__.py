@@ -1932,6 +1932,87 @@ _register(
 )
 
 
+def _bleu_corpus_oracle_sql() -> str:
+    """Corpus-BLEU oracle (r9): per-segment clipped counts with
+    candidate = the DOUBLED 10-word prefix (the duplication pushes
+    candidate gram counts past what the reference supports, so the
+    corpus clip genuinely binds — precisions < 1) vs reference = full
+    text, summed corpus-wide, then Papineni's corpus formula — one
+    row."""
+    gram_cols = []
+    for n in range(1, 5):
+        for side, src in (("c", "wc[1:10] || wc[1:10]"), ("r", "wc")):
+            expr = (f"({src})" if n == 1 else
+                    f"CASE WHEN len({src}) >= {n} THEN "
+                    f"[array_to_string(({src})[i:i+{n - 1}], ' ') "
+                    f"FOR i IN range(1, len({src}) - {n} + 2)] "
+                    f"ELSE [] END")
+            gram_cols.append(f"{expr} AS g{side}{n}")
+    m_cols = [
+        ("coalesce(list_sum(list_transform(list_distinct(gc{n}), "
+         "t -> least(len(list_filter(gc{n}, x -> x = t)), "
+         "len(list_filter(gr{n}, x -> x = t))))), 0) AS m{n}")
+        .format(n=n)
+        for n in range(1, 5)
+    ]
+    sums = ", ".join(
+        f"CAST(sum(m{n}) AS BIGINT) AS m{n}, "
+        f"CAST(sum(len(gc{n})) AS BIGINT) AS t{n}"
+        for n in range(1, 5))
+    zero = " OR ".join(f"(t{n} = 0 OR m{n} = 0)" for n in range(1, 5))
+    log_sum = " + ".join(f"ln(m{n} / CAST(t{n} AS DOUBLE)) / 4"
+                         for n in range(1, 5))
+    bp = ("CASE WHEN cl >= rl THEN 1.0 "
+          "ELSE exp(1 - rl / CAST(cl AS DOUBLE)) END")
+    p_cols = ", ".join(
+        _r(f"CASE WHEN t{n} = 0 THEN 0.0 "
+           f"ELSE m{n} / CAST(t{n} AS DOUBLE) END", 6) + f" AS p{n}"
+        for n in range(1, 5))
+    return f"""WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS wc
+  FROM documents WHERE text IS NOT NULL),
+g AS (SELECT doc_id, len(wc[1:10] || wc[1:10]) AS cl, len(wc) AS rl,
+             {', '.join(gram_cols)}
+      FROM w),
+m AS (SELECT *, {', '.join(m_cols)} FROM g),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(cl) AS BIGINT) AS cl, CAST(sum(rl) AS BIGINT) AS rl,
+             {sums}
+      FROM m)
+SELECT {_r(f'CASE WHEN n_segments = 0 OR {zero} THEN 0.0 '
+           f'ELSE ({bp}) * exp({log_sum}) END', 6)} AS bleu,
+       {_r(f'CASE WHEN n_segments = 0 THEN 0.0 ELSE {bp} END', 6)} AS bp,
+       cl AS c_len, rl AS r_len, n_segments, {p_cols}
+FROM s"""
+
+
+_register(
+    "bleu_corpus",
+    _bleu_corpus_oracle_sql(),
+)(
+    _pipe(
+        "documents",
+        [
+            {"$truncateTokens": {"input": "$text", "as": "p10",
+                                 "max": 10}},
+            {"$set": {"cand": {"$concat": ["$p10", " ", "$p10"]}}},
+            {"$bleuCorpus": {"candidate": "$cand",
+                             "reference": "$text"}},
+            {"$project": {"_id": 0,
+                          "bleu": {"$round": ["$bleu", 6]},
+                          "bp": {"$round": ["$bp", 6]},
+                          "c_len": 1, "r_len": 1, "n_segments": 1,
+                          "p1": {"$round": ["$p1", 6]},
+                          "p2": {"$round": ["$p2", 6]},
+                          "p3": {"$round": ["$p3", 6]},
+                          "p4": {"$round": ["$p4", 6]}}},
+        ],
+    )
+)
+
+
 _register(
     "ngram_overlap",
     f"""WITH w AS (

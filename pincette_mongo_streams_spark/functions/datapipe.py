@@ -3030,6 +3030,149 @@ def bleu_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$bleuCorpus")
+def bleu_corpus_stage(expression: Any, ctx: Context) -> StageFn:
+    """CORPUS-level BLEU (Papineni 2002 §2 — the metric MT papers
+    actually report; sentence-BLEU averaged is NOT it): ``{candidate,
+    reference | references, maxN?, maxWords?, smooth?}`` -> ONE row
+    ``(bleu, bp, c_len, r_len, n_segments, p1..p<maxN>)``.  Per order,
+    the corpus precision is ``sum of per-segment clipped matches /
+    sum of per-segment candidate gram counts``; the brevity penalty
+    compares the TOTAL candidate length against the sum of per-segment
+    effective reference lengths (closest-to-candidate, ties shorter,
+    §2.3 — single-reference form uses the reference length directly).
+    ``smooth: "add1"`` adds one to numerator and denominator of the
+    n >= 2 corpus precisions.  Segments with a null candidate or a
+    null/effectively-empty reference side are EXCLUDED from every sum
+    (and from n_segments), matching how eval harnesses drop unscorable
+    pairs.
+
+    CORPUS-ONLY: this is a corpus-wide aggregate — inside a
+    foreachBatch re-entry it would silently score one micro-batch and
+    label it the corpus score, so it is gated exactly like $profile.
+
+    100 TB shape: the per-segment clipped counts are the same
+    row-local, zero-shuffle HOF programs as $bleu; the corpus reduction
+    is ONE global aggregate whose partial aggregation collapses every
+    task to a single row of 2·maxN+3 longs — nothing else moves."""
+    cand_e = expression["candidate"]
+    ref_e = expression.get("reference")
+    refs_e = expression.get("references")
+    if (ref_e is None) == (refs_e is None):
+        raise ValueError(
+            "$bleuCorpus needs exactly one of reference | references")
+    max_n = int(expression.get("maxN", 4))
+    max_words = int(expression.get("maxWords", 2000))
+    smooth = expression.get("smooth")
+    if not 1 <= max_n <= 8:
+        raise ValueError("$bleuCorpus maxN must be in 1..8")
+    if max_words < 1:
+        raise ValueError("$bleuCorpus maxWords must be >= 1")
+    if smooth not in (None, "add1"):
+        raise ValueError(f"$bleuCorpus smooth must be 'add1' or absent, "
+                         f"got {smooth!r}")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..operators.extended import _corpus_only
+
+        _corpus_only("$bleuCorpus", c)
+        sctx = ExprContext(schema=df.schema)
+        cand = compile_expr(cand_e, sctx)
+        stage = df.withColumn("__blc_wc", _eval_words(cand, max_words))
+        wc = F.col("__blc_wc")
+        if refs_e is not None:
+            refs = compile_expr(refs_e, sctx)
+            stage = stage.withColumn(
+                "__blc_wrs",
+                F.transform(F.filter(refs, lambda r: r.isNotNull()),
+                            lambda r: _eval_words(r, max_words)))
+            wrs = F.col("__blc_wrs")
+            scorable = cand.isNotNull() & refs.isNotNull() \
+                & (F.size(wrs) > 0)
+        else:
+            ref = compile_expr(ref_e, sctx)
+            stage = stage.withColumn("__blc_wr",
+                                     _eval_words(ref, max_words))
+            scorable = cand.isNotNull() & ref.isNotNull()
+        wr = F.col("__blc_wr")
+        stage = stage.filter(scorable)
+        for n in range(1, max_n + 1):
+            gc_n, m_n = f"__blc_gc{n}", f"__blc_m{n}"
+            stage = stage.withColumn(gc_n, _eval_grams(wc, n))
+            if refs_e is not None:
+                grs_n = f"__blc_grs{n}"
+                stage = stage.withColumn(
+                    grs_n, F.transform(wrs, lambda w: _eval_grams(w, n)))
+                stage = stage.withColumn(
+                    m_n, _eval_clipped_multi(F.col(gc_n), F.col(grs_n)))
+            else:
+                gr_n = f"__blc_gr{n}"
+                stage = stage.withColumn(gr_n, _eval_grams(wr, n))
+                stage = stage.withColumn(
+                    m_n, _eval_clipped(F.col(gc_n), F.col(gr_n)))
+        c_len_l = F.size(wc).cast("long")
+        if refs_e is not None:
+            # per-segment effective reference length (Papineni §2.3)
+            best = F.aggregate(
+                F.transform(wrs, lambda w: F.size(w).cast("long")),
+                F.struct(F.lit(None).cast("long").alias("d"),
+                         F.lit(None).cast("long").alias("l")),
+                lambda acc, ln: F.when(
+                    acc["l"].isNull()
+                    | (F.abs(ln - c_len_l) < acc["d"])
+                    | ((F.abs(ln - c_len_l) == acc["d"])
+                       & (ln < acc["l"])),
+                    F.struct(F.abs(ln - c_len_l).cast("long").alias("d"),
+                             ln.alias("l")),
+                ).otherwise(acc))
+            r_len_seg = best["l"]
+        else:
+            r_len_seg = F.size(wr).cast("long")
+        zero_l = F.lit(0).cast("long")
+        aggs = [
+            F.count(F.lit(1)).alias("n_segments"),
+            F.coalesce(F.sum(c_len_l), zero_l).alias("c_len"),
+            F.coalesce(F.sum(r_len_seg), zero_l).alias("r_len"),
+        ]
+        for n in range(1, max_n + 1):
+            aggs += [
+                F.coalesce(F.sum(F.col(f"__blc_m{n}")), zero_l)
+                .alias(f"m{n}"),
+                F.coalesce(
+                    F.sum(F.size(F.col(f"__blc_gc{n}")).cast("long")),
+                    zero_l).alias(f"t{n}"),
+            ]
+        row = stage.agg(*aggs)
+        zero = F.lit(False)
+        log_sum = F.lit(0.0)
+        precs = []
+        for n in range(1, max_n + 1):
+            m = F.col(f"m{n}").cast("double")
+            t = F.col(f"t{n}").cast("double")
+            if smooth == "add1" and n >= 2:
+                p = (m + 1.0) / (t + 1.0)
+                zero = zero | (t == 0.0)
+            else:
+                p = m / t
+                zero = zero | (t == 0.0) | (m == 0.0)
+            precs.append(
+                F.when(t == 0.0, F.lit(0.0)).otherwise(p).alias(f"p{n}"))
+            log_sum = log_sum + F.log(p) / max_n
+        c_tot = F.col("c_len").cast("double")
+        r_tot = F.col("r_len").cast("double")
+        bp = F.when(F.col("n_segments") == 0, F.lit(0.0)) \
+            .when(c_tot >= r_tot, F.lit(1.0)) \
+            .otherwise(F.exp(1.0 - r_tot / c_tot))
+        score = F.when((F.col("n_segments") == 0) | zero, F.lit(0.0)) \
+            .otherwise(bp * F.exp(log_sum))
+        return row.select(
+            score.alias("bleu"), bp.alias("bp"),
+            F.col("c_len"), F.col("r_len"), F.col("n_segments"),
+            *precs)
+
+    return fn
+
+
 @register_stage("$chrf")
 def chrf_stage(expression: Any, ctx: Context) -> StageFn:
     """chrF (Popović 2015): character-n-gram F-score between a

@@ -2098,3 +2098,119 @@ def test_qa_eval_differential_and_edges(spark):
     assert abs(got[2]["f1"] - 2 * (1 / 1) * (1 / 2) / (1.5)) < 1e-12
     assert got[3] is None and got[4] is None
     assert got[5] is None and got[6] is None
+
+
+def test_bleu_corpus_differential_and_gate(spark):
+    """r9: $bleuCorpus — corpus-level BLEU (Papineni 2002 §2, the
+    reported-metric aggregation, NOT averaged sentence BLEU) vs an
+    independent Python implementation over the real corpus, scalar and
+    multi-reference, smoothed and unsmoothed; null segments excluded;
+    corpus-only gating like $profile."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(60)
+    rows = [(r["text"],) for r in docs.select("text").collect()]
+
+    def ws(t):
+        return [w for w in _re.split(r"[ \t\n\r\f\x0b]+", t) if w]
+
+    def grams(w, n):
+        return [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+
+    def ref_corpus(pairs, max_n=4, smooth=None, multi=False):
+        M = [0] * (max_n + 1)
+        T = [0] * (max_n + 1)
+        CL = RL = 0
+        for c, refs in pairs:
+            wc = ws(c)
+            wrs = [ws(r) for r in refs]
+            CL += len(wc)
+            RL += min((len(w) for w in wrs),
+                      key=lambda L: (abs(L - len(wc)), L))
+            for n in range(1, max_n + 1):
+                gc = grams(wc, n)
+                crs = [Counter(grams(w, n)) for w in wrs]
+                cc = Counter(gc)
+                M[n] += sum(min(v, max(cr[g] for cr in crs))
+                            for g, v in cc.items())
+                T[n] += len(gc)
+        logs = 0.0
+        for n in range(1, max_n + 1):
+            if smooth == "add1" and n >= 2:
+                if T[n] == 0:
+                    return 0.0
+                p = (M[n] + 1) / (T[n] + 1)
+            else:
+                if T[n] == 0 or M[n] == 0:
+                    return 0.0
+                p = M[n] / T[n]
+            logs += math.log(p) / max_n
+        bp = 1.0 if CL >= RL else math.exp(1 - RL / CL)
+        return bp * math.exp(logs)
+
+    for smooth in (None, "add1"):
+        # scalar: candidate = doubled 10-word prefix vs full text
+        pairs = []
+        for (t,) in rows:
+            p10 = " ".join(ws(t)[:10])
+            pairs.append((p10 + " " + p10, [t]))
+        spec = {"candidate": "$cand", "reference": "$text"}
+        if smooth:
+            spec["smooth"] = smooth
+        got = compile_pipeline(
+            [{"$truncateTokens": {"input": "$text", "as": "p10",
+                                  "max": 10}},
+             {"$set": {"cand": {"$concat": ["$p10", " ", "$p10"]}}},
+             {"$bleuCorpus": spec}],
+            Context(spark=spark))(docs).collect()[0]
+        want = ref_corpus(pairs, smooth=smooth)
+        assert abs(got["bleu"] - want) < 1e-12, (smooth, got["bleu"], want)
+        assert got["n_segments"] == len(rows)
+        # multi-reference: [full text, 5-word prefix]
+        mpairs = [(c, [t, " ".join(ws(t)[:5])])
+                  for (c, (t,)) in zip((p[0] for p in pairs), rows)]
+        mspec = {"candidate": "$cand", "references": ["$text", "$p5"]}
+        if smooth:
+            mspec["smooth"] = smooth
+        mgot = compile_pipeline(
+            [{"$truncateTokens": {"input": "$text", "as": "p10",
+                                  "max": 10}},
+             {"$truncateTokens": {"input": "$text", "as": "p5",
+                                  "max": 5}},
+             {"$set": {"cand": {"$concat": ["$p10", " ", "$p10"]}}},
+             {"$bleuCorpus": mspec}],
+            Context(spark=spark))(docs).collect()[0]
+        mwant = ref_corpus(mpairs, smooth=smooth, multi=True)
+        assert abs(mgot["bleu"] - mwant) < 1e-12
+    # null segments are excluded from every sum
+    df = spark.createDataFrame(
+        [(1, "a b", "a b"), (2, None, "x"), (3, "y", None)],
+        "i long, c string, r string")
+    one = compile_pipeline(
+        [{"$bleuCorpus": {"candidate": "$c", "reference": "$r",
+                          "maxN": 1}}],
+        Context(spark=spark))(df).collect()[0]
+    assert one["n_segments"] == 1 and one["bleu"] == 1.0
+    # corpus-only: submit-time reject + micro-batch compiler guard
+    from pincette_mongo_streams_spark.streaming.runtime import (
+        run_streaming,
+    )
+    src = (spark.readStream.format("rate").load()
+           .selectExpr("CAST(value AS STRING) AS c",
+                       "CAST(value AS STRING) AS r"))
+    with pytest.raises(ValueError, match="corpus-wide"):
+        run_streaming(
+            src, [{"$bleuCorpus": {"candidate": "$c", "reference": "$r"}}],
+            Context(spark=spark), lambda d, e: None)
+    mb = Context(spark=spark)
+    mb.micro_batch = True
+    with pytest.raises(ValueError, match="corpus-wide"):
+        compile_pipeline(
+            [{"$bleuCorpus": {"candidate": "$c", "reference": "$r"}}],
+            mb)(df)
+    with pytest.raises(ValueError, match="exactly one"):
+        compile_pipeline([{"$bleuCorpus": {"candidate": "$c"}}],
+                         Context(spark=spark))
