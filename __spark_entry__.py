@@ -1760,12 +1760,14 @@ _QA_PUNCT_SQL = r"""[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""
 
 def _qa_norm_sql(expr: str) -> str:
     """The SQuAD normalization pipeline in DuckDB: lowercase, strip
-    ASCII punctuation, drop articles, split on whitespace, drop
-    empties — token list."""
+    ASCII punctuation, split on whitespace, drop empties and the
+    standalone article tokens (the stage's engine-portable semantic —
+    \\b boundary classes disagree between Java, RE2 and Python)."""
     return (
-        "list_filter(string_split_regex(trim(regexp_replace("
-        f"regexp_replace(lower({expr}), '{_QA_PUNCT_SQL}', '', 'g'), "
-        r"'\b(a|an|the)\b', ' ', 'g')), '\s+'), x -> x <> '')")
+        "list_filter(string_split_regex(trim("
+        f"regexp_replace(lower({expr}), '{_QA_PUNCT_SQL}', '', 'g')"
+        r"), '\s+'), "
+        "x -> x <> '' AND x <> 'a' AND x <> 'an' AND x <> 'the')")
 
 
 def _qa_oracle_sql() -> str:

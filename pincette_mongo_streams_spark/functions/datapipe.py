@@ -3215,12 +3215,14 @@ def chrf_stage(expression: Any, ctx: Context) -> StageFn:
     b2 = beta * beta
 
     def char_grams(s: Column, n: int) -> Column:
-        # the when-guard also covers the empty string at n=1, where a
-        # bare split would fabricate a phantom "" gram
+        # substring/length are CODEPOINT-correct for every n (a
+        # lookahead-regex split would cut UTF-16 surrogate pairs —
+        # emoji — into broken halves at n=1, caught by the randomized
+        # differential); the when-guard also covers the empty string,
+        # where the otherwise-branch avoids a phantom "" gram
         ln = F.length(s)
-        grams = (F.split(s, "(?!^)(?=.)") if n == 1 else
-                 F.transform(F.sequence(F.lit(1), ln - (n - 1)),
-                             lambda i: F.substring(s, i, F.lit(n))))
+        grams = F.transform(F.sequence(F.lit(1), ln - (n - 1)),
+                            lambda i: F.substring(s, i, F.lit(n)))
         return F.when(ln >= n, grams) \
             .otherwise(F.array().cast("array<string>"))
 
@@ -3278,9 +3280,15 @@ def qa_eval_stage(expression: Any, ctx: Context) -> StageFn:
     array of gold answers — THE standard extractive-QA / closed-book
     eval pair.
 
-    Normalization, pinned to the official SQuAD script: lowercase,
-    strip ASCII punctuation, drop the articles a/an/the, collapse
-    whitespace.  ``exact_match`` = 1.0 if the normalized prediction
+    Normalization, pinned to the official SQuAD script with ONE
+    portability deviation: lowercase, strip ASCII punctuation, split on
+    whitespace (Java ``\\s``), then drop the articles a/an/the as
+    standalone TOKENS.  The script drops articles with a regex
+    ``\\b``-boundary — but Java, RE2 (the DuckDB oracle) and Python
+    each draw word boundaries differently around characters like ½, so
+    the token-level drop is the engine-portable semantic; on natural
+    text (articles separated by spaces/punctuation) the two agree.
+    ``exact_match`` = 1.0 if the normalized prediction
     equals ANY normalized answer; ``f1`` = the MAX over answers of the
     token-level F1 (clipped multiset overlap of whitespace tokens —
     the same clip as $ngramOverlap at n=1).  Both-empty after
@@ -3301,9 +3309,11 @@ def qa_eval_stage(expression: Any, ctx: Context) -> StageFn:
     def norm(t: Column) -> Column:
         lowered = F.lower(t)
         no_punct = F.regexp_replace(lowered, _QA_PUNCT, "")
-        no_art = F.regexp_replace(no_punct, r"\b(a|an|the)\b", " ")
-        return F.filter(F.split(F.trim(no_art), r"\s+"),
+        toks = F.filter(F.split(F.trim(no_punct), r"\s+"),
                         lambda x: x != F.lit(""))
+        return F.filter(
+            toks,
+            lambda x: ~x.isin("a", "an", "the"))
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         sctx = ExprContext(schema=df.schema)

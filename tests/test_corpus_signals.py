@@ -1970,12 +1970,14 @@ def test_bleu_multiref_edge_cases(spark):
 def _ref_chrf(c, r, max_n=6, beta=2.0, max_chars=2000):
     """Independent chrF per the stage's pinned spec (Popović 2015:
     whitespace stripped, clipped char-n-gram P/R averaged over
-    effective orders, F_beta with beta=2)."""
+    effective orders, F_beta with beta=2).  Whitespace is the JAVA \\s
+    class (ASCII) like the whole eval family — Python's Unicode \\s
+    would also strip \\xa0, which the engine deliberately keeps."""
     import re as _re
     from collections import Counter
 
-    c = _re.sub(r"\s+", "", c)[:max_chars]
-    r = _re.sub(r"\s+", "", r)[:max_chars]
+    c = _re.sub(r"[ \t\n\r\f\x0b]+", "", c)[:max_chars]
+    r = _re.sub(r"[ \t\n\r\f\x0b]+", "", r)[:max_chars]
     ps = rs = 0.0
     eff = 0
     for n in range(1, max_n + 1):
@@ -2039,10 +2041,15 @@ def _ref_qa(pred, answers):
     from collections import Counter
 
     def norm(s):
+        # the stage's pinned portable semantics: Java-\\s (ASCII)
+        # whitespace split — Python's Unicode \\s/strip() would also
+        # treat \\xa0 as whitespace — and articles dropped as
+        # standalone TOKENS (\\b boundary classes disagree between
+        # Java, RE2 and Python around chars like ½)
         s = s.lower()
         s = _re.sub(r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]""", "", s)
-        s = _re.sub(r"\b(a|an|the)\b", " ", s)
-        return [w for w in _re.split(r"\s+", s.strip()) if w]
+        return [w for w in _re.split(r"[ \t\n\r\f\x0b]+", s)
+                if w and w not in ("a", "an", "the")]
 
     tp = norm(pred)
     best_f, em = 0.0, 0.0

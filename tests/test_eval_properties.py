@@ -1,0 +1,163 @@
+"""Randomized-differential properties for the eval family — arbitrary
+Unicode pairs (multi-byte, whitespace runs, punctuation, articles,
+repeats), ONE Spark job per stage, every row compared against the
+independent Python implementations (the edit_distance_join
+randomized-differential precedent, seeded for reproducibility).
+
+Invariants pinned besides value-equality:
+- all scores live in [0, 1];
+- chrF is whitespace-layout-invariant and 1.0 on identical non-empty
+  texts;
+- $qaEval: exact_match = 1 implies f1 = 1;
+- $bleuCorpus over the rows equals the independent corpus aggregation
+  (NOT the mean of the sentence scores).
+"""
+
+import math
+import random
+
+from pincette_mongo_streams_spark import Context, compile_pipeline
+
+from tests.test_corpus_signals import (  # noqa: F401
+    _ref_bleu, _ref_bleu_multi, _ref_chrf, _ref_qa,
+)
+
+_CHARS = list("ab the.?! an') cd") + ["é", "日", "🚀", "½", " x"]
+
+
+def _rand_text(rng, max_words=12):
+    n = rng.randint(0, max_words)
+    words = []
+    for _ in range(n):
+        w = "".join(rng.choice(_CHARS)
+                    for _ in range(rng.randint(1, 4))).strip()
+        words.append(w or "w")
+    sep = rng.choice([" ", "  ", " \t ", "\n"])
+    return sep.join(words)
+
+
+def _pairs(seed, n=150):
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        c = _rand_text(rng)
+        # bias toward related pairs: sometimes the reference is the
+        # candidate with edits, sometimes independent
+        if rng.random() < 0.5:
+            r = c + (" " + _rand_text(rng, 3) if rng.random() < 0.5
+                     else "")
+        else:
+            r = _rand_text(rng)
+        out.append((i, c, r))
+    return out
+
+
+def test_chrf_randomized_differential(spark):
+    rows = _pairs(9001)
+    df = spark.createDataFrame(rows, "i long, c string, r string")
+    got = {x["i"]: x["s"] for x in compile_pipeline(
+        [{"$chrf": {"candidate": "$c", "reference": "$r", "as": "s"}}],
+        Context(spark=spark))(df).collect()}
+    for i, c, r in rows:
+        want = _ref_chrf(c, r)
+        assert abs(got[i] - want) < 1e-12, (i, c, r, got[i], want)
+        assert 0.0 <= got[i] <= 1.0 + 1e-15
+    # layout invariance + identity
+    df2 = spark.createDataFrame(
+        [(i, c.replace(" ", "\n \t"), c) for i, c, _ in rows[:40]],
+        "i long, c string, r string")
+    got2 = {x["i"]: x["s"] for x in compile_pipeline(
+        [{"$chrf": {"candidate": "$c", "reference": "$r", "as": "s"}}],
+        Context(spark=spark))(df2).collect()}
+    for i, c, _ in rows[:40]:
+        stripped = "".join(
+            w for w in __import__("re").split(r"[ \t\n\r\f\x0b]", c))
+        if stripped:
+            assert got2[i] == 1.0, (i, c)
+
+
+def test_qa_eval_randomized_differential(spark):
+    rng = random.Random(4242)
+    rows = []
+    for i in range(150):
+        p = _rand_text(rng, 8)
+        answers = [_rand_text(rng, 8)
+                   for _ in range(rng.randint(1, 3))]
+        if rng.random() < 0.3:
+            answers.append("The " + p + "!")  # normalizes equal
+        rows.append((i, p, answers))
+    df = spark.createDataFrame(rows, "i long, p string, a array<string>")
+    got = {x["i"]: x["q"] for x in compile_pipeline(
+        [{"$qaEval": {"prediction": "$p", "answers": "$a", "as": "q"}}],
+        Context(spark=spark))(df).collect()}
+    for i, p, answers in rows:
+        em, f1 = _ref_qa(p, answers)
+        q = got[i]
+        assert q["exact_match"] == em, (i, p, answers)
+        assert abs(q["f1"] - f1) < 1e-12, (i, p, answers, q["f1"], f1)
+        assert 0.0 <= q["f1"] <= 1.0 + 1e-15
+        if q["exact_match"] == 1.0:
+            assert abs(q["f1"] - 1.0) < 1e-12
+
+
+def test_bleu_randomized_differential_scalar_and_multi(spark):
+    rows = _pairs(7777, 120)
+    rng = random.Random(31)
+    multi = [(i, c, [r, _rand_text(rng, 6)]) for i, c, r in rows]
+    df = spark.createDataFrame(rows, "i long, c string, r string")
+    dfm = spark.createDataFrame(multi,
+                                "i long, c string, refs array<string>")
+    for smooth in (None, "add1"):
+        spec = {"candidate": "$c", "reference": "$r", "as": "b"}
+        mspec = {"candidate": "$c", "references": "$refs", "as": "b"}
+        if smooth:
+            spec["smooth"] = mspec["smooth"] = smooth
+        got = {x["i"]: x["b"] for x in compile_pipeline(
+            [{"$bleu": spec}], Context(spark=spark))(df).collect()}
+        for i, c, r in rows:
+            want = _ref_bleu(c, r, 4, smooth)
+            assert abs(got[i] - want) < 1e-12, (smooth, i, c, r)
+        gotm = {x["i"]: x["b"] for x in compile_pipeline(
+            [{"$bleu": mspec}], Context(spark=spark))(dfm).collect()}
+        for i, c, refs in multi:
+            want = _ref_bleu_multi(c, refs, 4, smooth)
+            assert abs(gotm[i] - want) < 1e-12, (smooth, i, c, refs)
+
+
+def test_bleu_corpus_equals_independent_aggregation(spark):
+    import re as _re
+    aws = _re.compile(r"[ \t\n\r\f\x0b]+").split  # Java \s
+    rows = [(i, c, r) for i, c, r in _pairs(555, 80)
+            if [w for w in aws(c) if w]]  # drop empty candidates
+    df = spark.createDataFrame(rows, "i long, c string, r string")
+    got = compile_pipeline(
+        [{"$bleuCorpus": {"candidate": "$c", "reference": "$r",
+                          "maxN": 2}}],
+        Context(spark=spark))(df).collect()[0]
+    # independent aggregation (maxN=2 keeps zero-match flukes rare)
+    from collections import Counter
+    M = [0] * 3
+    T = [0] * 3
+    CL = RL = 0
+    for _, c, r in rows:
+        wc = [w for w in aws(c) if w]
+        wr = [w for w in aws(r) if w]
+        CL += len(wc)
+        RL += len(wr)
+        for n in (1, 2):
+            gc = [" ".join(wc[j:j + n]) for j in range(len(wc) - n + 1)]
+            gr = [" ".join(wr[j:j + n]) for j in range(len(wr) - n + 1)]
+            cc, cr = Counter(gc), Counter(gr)
+            M[n] += sum(min(v, cr[g]) for g, v in cc.items())
+            T[n] += len(gc)
+    if any(T[n] == 0 or M[n] == 0 for n in (1, 2)):
+        want = 0.0
+    else:
+        logs = sum(math.log(M[n] / T[n]) / 2 for n in (1, 2))
+        bp = 1.0 if CL >= RL else math.exp(1 - RL / CL)
+        want = bp * math.exp(logs)
+    assert abs(got["bleu"] - want) < 1e-12
+    assert got["n_segments"] == len(rows)
+    # and it is NOT the averaged sentence BLEU (different statistic)
+    sent = [_ref_bleu(c, r, 2, None) for _, c, r in rows]
+    assert abs(got["bleu"] - sum(sent) / len(sent)) > 1e-9
