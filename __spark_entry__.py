@@ -1934,6 +1934,44 @@ _register(
 )
 
 
+_register(
+    "wer_eval",
+    f"""WITH w AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '')) AS n
+  FROM documents WHERE text IS NOT NULL),
+s AS (SELECT doc_id, least(n, 25) AS m, n FROM w)
+SELECT doc_id,
+       CAST(n - m AS BIGINT) AS distance,
+       {_r('(n - m) / CAST(n AS DOUBLE)', 6)} AS wer,
+       CAST(m AS BIGINT) AS n_hyp,
+       CAST(n AS BIGINT) AS n_ref
+FROM s ORDER BY doc_id""",
+)(
+    _pipe(
+        "documents",
+        [
+            # hypothesis = the doc's own 25-word prefix: a PREFIX of
+            # the reference, so Levenshtein = pure deletions = n - m —
+            # a closed form DuckDB can state for the DP's output on
+            # real data (the subsequence-identity trick rouge_l_eval
+            # uses); arbitrary pairs are covered by the randomized
+            # differential in tests/test_eval_properties.py
+            {"$truncateTokens": {"input": "$text", "as": "hyp",
+                                 "max": 25}},
+            {"$wer": {"candidate": "$hyp", "reference": "$text",
+                      "as": "w"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "distance": "$w.distance",
+                          "wer": {"$round": ["$w.wer", 6]},
+                          "n_hyp": "$w.n_hyp", "n_ref": "$w.n_ref"}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
 def _bleu_corpus_oracle_sql() -> str:
     """Corpus-BLEU oracle (r9): per-segment clipped counts with
     candidate = the DOUBLED 10-word prefix (the duplication pushes

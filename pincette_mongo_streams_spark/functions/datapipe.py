@@ -3357,6 +3357,95 @@ def qa_eval_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+_WER_TYPE = "struct<distance:bigint,wer:double,n_hyp:bigint,n_ref:bigint>"
+
+
+@register_stage("$wer")
+def wer_stage(expression: Any, ctx: Context) -> StageFn:
+    """Word error rate (the standard ASR / MT edit metric):
+    ``{candidate, reference, maxWords?, as?}`` adds ``struct<distance,
+    wer, n_hyp, n_ref>`` where ``distance`` is the word-level
+    Levenshtein distance (unit costs for substitution/insertion/
+    deletion) between the candidate (hypothesis) and the reference,
+    and ``wer = distance / n_ref``.  Same Java-\\s tokenization as the
+    rest of the eval family.  An empty reference gives wer 0.0 when the
+    hypothesis is also empty, else null wer with the distance still
+    reported (the conventional undefined case, surfaced rather than
+    faked).  Null in either side -> null struct.
+
+    Levenshtein needs a dynamic program (no closed column form), so
+    like ``$rougeL`` this is an Arrow-batched Pandas UDF — the eval
+    family's documented Python boundary (row-local, zero shuffle).
+    ``maxWords`` (default 2000) truncates BOTH sides first: the DP is
+    O(|c|·|r|) per row.
+
+    (Spark's builtin ``levenshtein`` is character-level; WER is defined
+    over words, hence the DP here.)"""
+    cand_e = expression["candidate"]
+    ref_e = expression["reference"]
+    max_words = int(expression.get("maxWords", 2000))
+    as_field = expression.get("as", "wer")
+    if max_words < 1:
+        raise ValueError("$wer maxWords must be >= 1")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        sctx = ExprContext(schema=df.schema)
+        cand = compile_expr(cand_e, sctx)
+        ref = compile_expr(ref_e, sctx)
+
+        import re as _re
+
+        ws_split = _re.compile(r"[ \t\n\r\f\x0b]+").split  # Java \s
+
+        def lev(a: list, b: list) -> int:
+            # two-row DP, rows over the shorter side for O(min) memory
+            if len(a) < len(b):
+                a, b = b, a
+            if not b:
+                return len(a)
+            prev = list(range(len(b) + 1))
+            for i, x in enumerate(a, 1):
+                cur = [i]
+                append = cur.append
+                for j, y in enumerate(b, 1):
+                    append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (x != y)))
+                prev = cur
+            return prev[-1]
+
+        def score(pair) -> Any:
+            ct, rt = pair
+            if ct is None or rt is None:
+                return None
+            wc = [w for w in ws_split(ct) if w][:max_words]
+            wr = [w for w in ws_split(rt) if w][:max_words]
+            d = lev(wc, wr)
+            if wr:
+                w = d / len(wr)
+            else:
+                w = 0.0 if not wc else None
+            return (d, w, len(wc), len(wr))
+
+        @F.pandas_udf(_WER_TYPE)
+        def _wer(s: pd.Series, t: pd.Series) -> pd.DataFrame:
+            vals = [score(pr) for pr in zip(s, t)]
+            return pd.DataFrame(
+                [(None, None, None, None) if v is None else v
+                 for v in vals],
+                columns=["distance", "wer", "n_hyp", "n_ref"])
+
+        out = _wer(cand, ref)
+        null_st = F.lit(None).cast(_WER_TYPE)
+        stage = df.withColumn("__wer_raw", out)
+        raw = F.col("__wer_raw")
+        return stage.withColumn(
+            as_field,
+            F.when(cand.isNull() | ref.isNull(), null_st).otherwise(raw),
+        ).drop("__wer_raw")
+
+    return fn
+
+
 @register_stage("$bm25")
 def bm25_stage(expression: Any, ctx: Context) -> StageFn:
     """BM25 ranked retrieval: ``{query, input, id, k, k1, b}`` →

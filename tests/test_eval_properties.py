@@ -161,3 +161,54 @@ def test_bleu_corpus_equals_independent_aggregation(spark):
     # and it is NOT the averaged sentence BLEU (different statistic)
     sent = [_ref_bleu(c, r, 2, None) for _, c, r in rows]
     assert abs(got["bleu"] - sum(sent) / len(sent)) > 1e-9
+
+
+def test_wer_randomized_differential(spark):
+    """$wer vs an independent full-matrix Levenshtein over arbitrary
+    Unicode pairs, plus the edges: identical -> 0, empty-vs-empty ->
+    wer 0, empty-ref nonempty-hyp -> null wer with distance reported,
+    null -> null struct."""
+    def ref_lev(a, b):
+        import re as _re
+        aws = _re.compile(r"[ \t\n\r\f\x0b]+").split
+        wa = [w for w in aws(a) if w][:2000]
+        wb = [w for w in aws(b) if w][:2000]
+        d = [[0] * (len(wb) + 1) for _ in range(len(wa) + 1)]
+        for i in range(len(wa) + 1):
+            d[i][0] = i
+        for j in range(len(wb) + 1):
+            d[0][j] = j
+        for i in range(1, len(wa) + 1):
+            for j in range(1, len(wb) + 1):
+                d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                              d[i - 1][j - 1] + (wa[i - 1] != wb[j - 1]))
+        return d[-1][-1], len(wa), len(wb)
+
+    rows = _pairs(2024, 120)
+    df = spark.createDataFrame(rows, "i long, c string, r string")
+    got = {x["i"]: x["w"] for x in compile_pipeline(
+        [{"$wer": {"candidate": "$c", "reference": "$r", "as": "w"}}],
+        Context(spark=spark))(df).collect()}
+    for i, c, r in rows:
+        d, nh, nr = ref_lev(c, r)
+        g = got[i]
+        assert g["distance"] == d and g["n_hyp"] == nh \
+            and g["n_ref"] == nr, (i, c, r)
+        if nr:
+            assert abs(g["wer"] - d / nr) < 1e-12
+        elif nh:
+            assert g["wer"] is None
+        else:
+            assert g["wer"] == 0.0
+    edges = spark.createDataFrame(
+        [(1, "a b c", "a b c"), (2, "", ""), (3, "x y", ""),
+         (4, None, "x"), (5, "a x c", "a b c")],
+        "i long, c string, r string")
+    e = {x["i"]: x["w"] for x in compile_pipeline(
+        [{"$wer": {"candidate": "$c", "reference": "$r", "as": "w"}}],
+        Context(spark=spark))(edges).collect()}
+    assert e[1]["distance"] == 0 and e[1]["wer"] == 0.0
+    assert e[2]["distance"] == 0 and e[2]["wer"] == 0.0
+    assert e[3]["distance"] == 2 and e[3]["wer"] is None
+    assert e[4] is None
+    assert e[5]["distance"] == 1 and abs(e[5]["wer"] - 1 / 3) < 1e-12

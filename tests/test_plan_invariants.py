@@ -31,7 +31,10 @@ _PYTHON_ALLOWED = {"http_enrich", "decode_media_meta", "media_pipeline",
                    # r9: multi-reference eval runs the same ROUGE-L
                    # Arrow boundary (the multi-ref BLEU half is pure
                    # JVM — nested HOF transforms)
-                   "eval_multiref"}
+                   "eval_multiref",
+                   # r9: $wer — the word-Levenshtein DP is the same
+                   # documented eval-family Arrow boundary
+                   "wer_eval"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
