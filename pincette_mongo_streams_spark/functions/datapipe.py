@@ -2439,12 +2439,26 @@ def ngram_overlap_stage(expression: Any, ctx: Context) -> StageFn:
     task — the cap is the honest bound, loudly documented rather than
     hidden.
 
+    MULTI-REFERENCE (r9, Lin 2004 §4's ROUGE-N convention):
+    ``references: <expr -> array<string>>`` scores the candidate
+    against EACH reference and keeps the struct of the best f1 (ties ->
+    the first reference in array order) — n_ref/n_match/precision/
+    recall all come from that winning reference.  Null reference
+    elements are dropped; a null or effectively-empty array -> null
+    struct.  Exactly one of ``reference``/``references``; a 1-element
+    array agrees exactly with the scalar form.
+
     100 TB shape: pure higher-order-function column program (split ->
     sliding-window grams -> aggregate over distinct grams) — row-local,
     zero shuffle, whole-stage codegen; O(d·(|c|+|r|)) per row where d
-    is the distinct-gram count.  Compose per-n for multi-n BLEU."""
+    is the distinct-gram count (x|refs| in multi-reference form, one
+    fold over the reference array).  Compose per-n for multi-n BLEU."""
     cand_e = expression["candidate"]
-    ref_e = expression["reference"]
+    ref_e = expression.get("reference")
+    refs_e = expression.get("references")
+    if (ref_e is None) == (refs_e is None):
+        raise ValueError(
+            "$ngramOverlap needs exactly one of reference | references")
     n = int(expression.get("n", 1))
     max_words = int(expression.get("maxWords", 2000))
     as_field = expression.get("as", "overlap")
@@ -2453,9 +2467,63 @@ def ngram_overlap_stage(expression: Any, ctx: Context) -> StageFn:
     if max_words < 1:
         raise ValueError("$ngramOverlap maxWords must be >= 1")
 
+    _OV_T = ("struct<n_cand:bigint,n_ref:bigint,n_match:bigint,"
+             "precision:double,recall:double,f1:double>")
+
     def fn(df: DataFrame, c: Context) -> DataFrame:
         sctx = ExprContext(schema=df.schema)
         cand = compile_expr(cand_e, sctx)
+        if refs_e is not None:
+            refs = compile_expr(refs_e, sctx)
+            stage = df.withColumn(
+                "__ngo_gc",
+                _eval_grams(_eval_words(cand, max_words), n),
+            ).withColumn(
+                "__ngo_grs",
+                F.transform(
+                    F.filter(refs, lambda r: r.isNotNull()),
+                    lambda r: _eval_grams(_eval_words(r, max_words), n)))
+            gc, grs = F.col("__ngo_gc"), F.col("__ngo_grs")
+            nc = F.size(gc).cast("long")
+
+            def score_one(gr: Column) -> Column:
+                m = F.aggregate(
+                    F.array_distinct(gc), F.lit(0).cast("long"),
+                    lambda acc, g: acc + F.least(
+                        F.size(F.filter(gc, lambda x: x == g)),
+                        F.size(F.filter(gr, lambda x: x == g)),
+                    ).cast("long"))
+                nr = F.size(gr).cast("long")
+                p = F.when(nc > 0, m / nc.cast("double")) \
+                    .otherwise(F.lit(0.0))
+                r = F.when(nr > 0, m / nr.cast("double")) \
+                    .otherwise(F.lit(0.0))
+                f = F.when(p + r > 0, 2.0 * p * r / (p + r)) \
+                    .otherwise(F.lit(0.0))
+                return F.struct(
+                    nc.alias("n_cand"), nr.alias("n_ref"),
+                    m.alias("n_match"), p.alias("precision"),
+                    r.alias("recall"), f.alias("f1"))
+
+            # materialize per-reference structs FIRST (transform runs
+            # score_one once per ref), THEN fold comparing fields — a
+            # fold calling score_one directly would re-run the O(d·c)
+            # clip aggregate per lambda mention (no CSE in HOF lambdas,
+            # see _eval_clipped's contract).  Strict > keeps ties on
+            # the FIRST reference in array order.
+            stage = stage.withColumn(
+                "__ngo_sc", F.transform(grs, score_one))
+            best = F.aggregate(
+                F.col("__ngo_sc"), F.lit(None).cast(_OV_T),
+                lambda acc, s: F.when(
+                    acc.isNull() | (s["f1"] > acc["f1"]), s,
+                ).otherwise(acc))
+            null_st = F.lit(None).cast(_OV_T)
+            out = F.when(
+                cand.isNull() | refs.isNull() | (F.size(grs) == 0),
+                null_st).otherwise(best)
+            return stage.withColumn(as_field, out) \
+                .drop("__ngo_gc", "__ngo_grs", "__ngo_sc")
         ref = compile_expr(ref_e, sctx)
         # materialize grams and the clipped-match count as TEMP COLUMNS:
         # the struct below references each several times (precision,

@@ -16,6 +16,8 @@ Invariants pinned besides value-equality:
 import math
 import random
 
+import pytest
+
 from pincette_mongo_streams_spark import Context, compile_pipeline
 
 from tests.test_corpus_signals import (  # noqa: F401
@@ -212,3 +214,56 @@ def test_wer_randomized_differential(spark):
     assert e[3]["distance"] == 2 and e[3]["wer"] is None
     assert e[4] is None
     assert e[5]["distance"] == 1 and abs(e[5]["wer"] - 1 / 3) < 1e-12
+
+
+def test_ngram_overlap_multireference_differential(spark):
+    """$ngramOverlap references: Lin 2004 §4 ROUGE-N multi-ref — the
+    best-f1 reference's full struct, ties to array order; randomized
+    differential vs an independent implementation."""
+    import re as _re
+    from collections import Counter
+
+    aws = _re.compile(r"[ \t\n\r\f\x0b]+").split
+
+    def ref_ov(c, refs, n):
+        wc = [w for w in aws(c) if w][:2000]
+        gc = [" ".join(wc[i:i + n]) for i in range(len(wc) - n + 1)]
+        best = None
+        for rt in refs:
+            if rt is None:
+                continue
+            wr = [w for w in aws(rt) if w][:2000]
+            gr = [" ".join(wr[i:i + n]) for i in range(len(wr) - n + 1)]
+            cc, cr = Counter(gc), Counter(gr)
+            m = sum(min(v, cr[g]) for g, v in cc.items())
+            p = m / len(gc) if gc else 0.0
+            r = m / len(gr) if gr else 0.0
+            f = 2 * p * r / (p + r) if p + r else 0.0
+            cur = (len(gc), len(gr), m, p, r, f)
+            if best is None or f > best[5]:
+                best = cur
+        return best
+
+    rng = random.Random(88)
+    rows = []
+    for i in range(100):
+        c = _rand_text(rng)
+        refs = [_rand_text(rng) for _ in range(rng.randint(1, 3))]
+        rows.append((i, c, refs))
+    df = spark.createDataFrame(rows, "i long, c string, refs array<string>")
+    for n in (1, 2):
+        got = {x["i"]: x["ov"] for x in compile_pipeline(
+            [{"$ngramOverlap": {"candidate": "$c", "references": "$refs",
+                                "n": n, "as": "ov"}}],
+            Context(spark=spark))(df).collect()}
+        for i, c, refs in rows:
+            want = ref_ov(c, refs, n)
+            g = got[i]
+            assert (g["n_cand"], g["n_ref"], g["n_match"]) == want[:3], \
+                (n, i, c, refs)
+            for gv, wv in zip((g["precision"], g["recall"], g["f1"]),
+                              want[3:]):
+                assert abs(gv - wv) < 1e-12, (n, i, c, refs)
+    with pytest.raises(ValueError, match="exactly one"):
+        compile_pipeline([{"$ngramOverlap": {"candidate": "$c"}}],
+                         Context(spark=spark))
