@@ -1755,6 +1755,98 @@ _register(
 )
 
 
+def _chrf_corpus_oracle_sql() -> str:
+    """Corpus-chrF oracle (r9): per-segment char-gram clips with
+    candidate = the DOUBLED 10-word prefix (the duplication pushes
+    candidate gram counts past the 20-word reference's support, so the
+    corpus clip binds — precisions < 1) vs the 20-word prefix, summed
+    corpus-wide, then averaged-over-effective-orders P/R and F_2 —
+    one row."""
+    gram_defs = []
+    for n in range(1, 7):
+        for side, src in (("c", "sc"), ("r", "sr")):
+            gram_defs.append(
+                f"CASE WHEN len({src}) >= {n} THEN "
+                f"[substr({src}, i, {n}) "
+                f"FOR i IN range(1, len({src}) - {n} + 2)] "
+                f"ELSE [] END AS g{side}{n}")
+    m_cols = [
+        ("coalesce(list_sum(list_transform(list_distinct(gc{n}), "
+         "t -> least(len(list_filter(gc{n}, x -> x = t)), "
+         "len(list_filter(gr{n}, x -> x = t))))), 0) AS m{n}")
+        .format(n=n)
+        for n in range(1, 7)
+    ]
+    sums = ", ".join(
+        f"CAST(sum(m{n}) AS BIGINT) AS m{n}, "
+        f"CAST(sum(len(gc{n})) AS BIGINT) AS tc{n}, "
+        f"CAST(sum(len(gr{n})) AS BIGINT) AS tr{n}"
+        for n in range(1, 7))
+    eff = " + ".join(
+        f"CASE WHEN tc{n} > 0 OR tr{n} > 0 THEN 1 ELSE 0 END"
+        for n in range(1, 7))
+    p_sum = " + ".join(
+        f"CASE WHEN tc{n} > 0 THEN m{n} / CAST(tc{n} AS DOUBLE) "
+        f"ELSE 0.0 END" for n in range(1, 7))
+    r_sum = " + ".join(
+        f"CASE WHEN tr{n} > 0 THEN m{n} / CAST(tr{n} AS DOUBLE) "
+        f"ELSE 0.0 END" for n in range(1, 7))
+    p_cols = ", ".join(
+        _r(f"CASE WHEN tc{n} > 0 THEN m{n} / CAST(tc{n} AS DOUBLE) "
+           f"ELSE 0.0 END", 6) + f" AS p{n}" for n in range(1, 7))
+    r_cols = ", ".join(
+        _r(f"CASE WHEN tr{n} > 0 THEN m{n} / CAST(tr{n} AS DOUBLE) "
+           f"ELSE 0.0 END", 6) + f" AS r{n}" for n in range(1, 7))
+    return f"""WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS wc
+  FROM documents WHERE text IS NOT NULL),
+s AS (SELECT doc_id,
+             substr(regexp_replace(array_to_string(wc[1:10], ' ') || ' '
+                                   || array_to_string(wc[1:10], ' '),
+                                   '\\s+', '', 'g'), 1, 2000) AS sc,
+             substr(regexp_replace(array_to_string(wc[1:20], ' '),
+                                   '\\s+', '', 'g'), 1, 2000) AS sr
+      FROM w),
+g AS (SELECT doc_id, {', '.join(gram_defs)} FROM s),
+m AS (SELECT *, {', '.join(m_cols)} FROM g),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_segments, {sums} FROM m),
+f AS (SELECT *, ({eff}) AS n_eff, ({p_sum}) AS ps, ({r_sum}) AS rs
+      FROM t)
+SELECT {_r('CASE WHEN n_eff = 0 THEN 0.0 '
+           'WHEN ps / n_eff + rs / n_eff = 0.0 THEN 0.0 '
+           'ELSE 5.0 * (ps / n_eff) * (rs / n_eff) '
+           '/ (4.0 * ps / n_eff + rs / n_eff) END', 6)} AS chrf,
+       n_segments, {p_cols}, {r_cols}
+FROM f"""
+
+
+_register(
+    "chrf_corpus",
+    _chrf_corpus_oracle_sql(),
+)(
+    _pipe(
+        "documents",
+        [
+            {"$truncateTokens": {"input": "$text", "as": "p10",
+                                 "max": 10}},
+            {"$truncateTokens": {"input": "$text", "as": "c20",
+                                 "max": 20}},
+            {"$set": {"cand": {"$concat": ["$p10", " ", "$p10"]}}},
+            {"$chrfCorpus": {"candidate": "$cand", "reference": "$c20"}},
+            {"$project": {"_id": 0,
+                          "chrf": {"$round": ["$chrf", 6]},
+                          "n_segments": 1,
+                          **{f"p{n}": {"$round": [f"$p{n}", 6]}
+                             for n in range(1, 7)},
+                          **{f"r{n}": {"$round": [f"$r{n}", 6]}
+                             for n in range(1, 7)}}},
+        ],
+    )
+)
+
+
 _QA_PUNCT_SQL = r"""[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""
 
 

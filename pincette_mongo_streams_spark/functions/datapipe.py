@@ -3425,6 +3425,100 @@ def qa_eval_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+@register_stage("$chrfCorpus")
+def chrf_corpus_stage(expression: Any, ctx: Context) -> StageFn:
+    """CORPUS-level chrF (how sacrebleu's corpus_chrf aggregates — sum
+    the per-segment n-gram statistics corpus-wide, THEN score; the mean
+    of sentence chrF is a different, noisier statistic): ``{candidate,
+    reference, maxN?, beta?, maxChars?}`` -> ONE row ``(chrf, n_segments,
+    p1..p<maxN>, r1..r<maxN>)``.  Per order, corpus precision/recall =
+    summed clipped matches / summed candidate (resp. reference) gram
+    counts; P and R average over effective orders (an order with no
+    grams on either side corpus-wide is skipped); F_beta with beta = 2
+    default.  Segments with a null side are EXCLUDED.  Corpus-only
+    gated like $bleuCorpus/$profile.
+
+    100 TB shape: per-segment clips are $chrf's row-local zero-shuffle
+    HOF programs; the reduction is ONE global partial-aggregated sum to
+    a single 3·maxN+1-long row."""
+    cand_e = expression["candidate"]
+    ref_e = expression["reference"]
+    max_n = int(expression.get("maxN", 6))
+    beta = float(expression.get("beta", 2.0))
+    max_chars = int(expression.get("maxChars", 2000))
+    if not 1 <= max_n <= 10:
+        raise ValueError("$chrfCorpus maxN must be in 1..10")
+    if beta <= 0:
+        raise ValueError("$chrfCorpus beta must be > 0")
+    if max_chars < 1:
+        raise ValueError("$chrfCorpus maxChars must be >= 1")
+    b2 = beta * beta
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..operators.extended import _corpus_only
+
+        _corpus_only("$chrfCorpus", c)
+        sctx = ExprContext(schema=df.schema)
+        cand = compile_expr(cand_e, sctx)
+        ref = compile_expr(ref_e, sctx)
+        strip = lambda t: F.substring(  # noqa: E731
+            F.regexp_replace(t, r"\s+", ""), 1, max_chars)
+
+        def char_grams(s: Column, n: int) -> Column:
+            ln = F.length(s)
+            grams = F.transform(F.sequence(F.lit(1), ln - (n - 1)),
+                                lambda i: F.substring(s, i, F.lit(n)))
+            return F.when(ln >= n, grams) \
+                .otherwise(F.array().cast("array<string>"))
+
+        stage = df.filter(cand.isNotNull() & ref.isNotNull()) \
+            .withColumn("__chc_sc", strip(cand)) \
+            .withColumn("__chc_sr", strip(ref))
+        sc, sr = F.col("__chc_sc"), F.col("__chc_sr")
+        for n in range(1, max_n + 1):
+            gc_n, gr_n, m_n = (f"__chc_gc{n}", f"__chc_gr{n}",
+                               f"__chc_m{n}")
+            stage = stage.withColumn(gc_n, char_grams(sc, n)) \
+                         .withColumn(gr_n, char_grams(sr, n))
+            stage = stage.withColumn(
+                m_n, _eval_clipped(F.col(gc_n), F.col(gr_n)))
+        zero_l = F.lit(0).cast("long")
+        aggs = [F.count(F.lit(1)).alias("n_segments")]
+        for n in range(1, max_n + 1):
+            aggs += [
+                F.coalesce(F.sum(F.col(f"__chc_m{n}")), zero_l)
+                .alias(f"m{n}"),
+                F.coalesce(F.sum(F.size(F.col(f"__chc_gc{n}"))
+                                 .cast("long")), zero_l).alias(f"tc{n}"),
+                F.coalesce(F.sum(F.size(F.col(f"__chc_gr{n}"))
+                                 .cast("long")), zero_l).alias(f"tr{n}"),
+            ]
+        row = stage.agg(*aggs)
+        p_sum = F.lit(0.0)
+        r_sum = F.lit(0.0)
+        n_eff = F.lit(0)
+        outs = []
+        for n in range(1, max_n + 1):
+            m = F.col(f"m{n}").cast("double")
+            tc = F.col(f"tc{n}").cast("double")
+            tr = F.col(f"tr{n}").cast("double")
+            eff = (tc > 0) | (tr > 0)
+            p = F.when(tc > 0, m / tc).otherwise(F.lit(0.0))
+            r = F.when(tr > 0, m / tr).otherwise(F.lit(0.0))
+            p_sum = p_sum + F.when(eff, p).otherwise(F.lit(0.0))
+            r_sum = r_sum + F.when(eff, r).otherwise(F.lit(0.0))
+            n_eff = n_eff + eff.cast("int")
+            outs += [p.alias(f"p{n}"), r.alias(f"r{n}")]
+        pavg = p_sum / n_eff
+        ravg = r_sum / n_eff
+        score = F.when(n_eff == 0, F.lit(0.0)) \
+            .when(pavg + ravg == 0.0, F.lit(0.0)) \
+            .otherwise((1 + b2) * pavg * ravg / (b2 * pavg + ravg))
+        return row.select(score.alias("chrf"), F.col("n_segments"), *outs)
+
+    return fn
+
+
 _WER_TYPE = "struct<distance:bigint,wer:double,n_hyp:bigint,n_ref:bigint>"
 
 

@@ -267,3 +267,60 @@ def test_ngram_overlap_multireference_differential(spark):
     with pytest.raises(ValueError, match="exactly one"):
         compile_pipeline([{"$ngramOverlap": {"candidate": "$c"}}],
                          Context(spark=spark))
+
+
+def test_chrf_corpus_equals_independent_aggregation(spark):
+    """$chrfCorpus equals the independent corpus aggregation of chrF
+    statistics (sum-then-score, NOT the mean of sentence chrF); null
+    segments excluded; corpus-only gated."""
+    import re as _re
+    from collections import Counter
+
+    rows = _pairs(808, 80)
+    df = spark.createDataFrame(rows, "i long, c string, r string")
+    got = compile_pipeline(
+        [{"$chrfCorpus": {"candidate": "$c", "reference": "$r",
+                          "maxN": 4}}],
+        Context(spark=spark))(df).collect()[0]
+    strip = lambda t: _re.sub(r"[ \t\n\r\f\x0b]+", "", t)[:2000]  # noqa
+    M = [0] * 5
+    TC = [0] * 5
+    TR = [0] * 5
+    for _, c, r in rows:
+        sc, sr = strip(c), strip(r)
+        for n in range(1, 5):
+            gc = [sc[i:i + n] for i in range(len(sc) - n + 1)]
+            gr = [sr[i:i + n] for i in range(len(sr) - n + 1)]
+            cc, cr = Counter(gc), Counter(gr)
+            M[n] += sum(min(v, cr[g]) for g, v in cc.items())
+            TC[n] += len(gc)
+            TR[n] += len(gr)
+    eff = sum(1 for n in range(1, 5) if TC[n] or TR[n])
+    ps = sum(M[n] / TC[n] for n in range(1, 5) if TC[n]) / eff
+    rs = sum(M[n] / TR[n] for n in range(1, 5) if TR[n]) / eff
+    want = (5 * ps * rs / (4 * ps + rs)) if ps + rs else 0.0
+    assert abs(got["chrf"] - want) < 1e-12
+    assert got["n_segments"] == len(rows)
+    # sentence-mean is a different statistic
+    sent = [_ref := None]  # noqa: F841
+    from tests.test_corpus_signals import _ref_chrf
+    mean = sum(_ref_chrf(c, r, 4) for _, c, r in rows) / len(rows)
+    assert abs(got["chrf"] - mean) > 1e-9
+    # corpus-only gate
+    from pincette_mongo_streams_spark.streaming.runtime import (
+        run_streaming,
+    )
+    src = (spark.readStream.format("rate").load()
+           .selectExpr("CAST(value AS STRING) AS c",
+                       "CAST(value AS STRING) AS r"))
+    with pytest.raises(ValueError, match="corpus-wide"):
+        run_streaming(
+            src,
+            [{"$chrfCorpus": {"candidate": "$c", "reference": "$r"}}],
+            Context(spark=spark), lambda d, e: None)
+    mb = Context(spark=spark)
+    mb.micro_batch = True
+    with pytest.raises(ValueError, match="corpus-wide"):
+        compile_pipeline(
+            [{"$chrfCorpus": {"candidate": "$c", "reference": "$r"}}],
+            mb)(df)
