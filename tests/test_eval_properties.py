@@ -302,8 +302,6 @@ def test_chrf_corpus_equals_independent_aggregation(spark):
     assert abs(got["chrf"] - want) < 1e-12
     assert got["n_segments"] == len(rows)
     # sentence-mean is a different statistic
-    sent = [_ref := None]  # noqa: F841
-    from tests.test_corpus_signals import _ref_chrf
     mean = sum(_ref_chrf(c, r, 4) for _, c, r in rows) / len(rows)
     assert abs(got["chrf"] - mean) > 1e-9
     # corpus-only gate
