@@ -586,12 +586,16 @@ _register(
     _pipe(
         "documents",
         [
-            # duration parses as a long only for doc_id % 3 != 0 —
-            # those rows are consumed by the (producer-less) delay
-            # emit; the malformed rest passes through (Delay.java:63-70)
-            {"$set": {"dur": {"$cond": [
+            # duration evaluates to a genuine LONG only for
+            # doc_id % 3 != 0 ($toLong of "not-a-number" -> null, and a
+            # null evaluation is not a long) — those rows are consumed
+            # by the (producer-less) delay emit; the rest pass through
+            # (Delay.java:63-70: isLong is a JSON type check, which the
+            # Spark stage honors by requiring an integral column type
+            # plus per-row non-null)
+            {"$set": {"dur": {"$toLong": {"$cond": [
                 {"$eq": [{"$mod": ["$doc_id", 3]}, 0]},
-                "not-a-number", "1500"]}}},
+                "not-a-number", "1500"]}}}},
             {"$delay": {"duration": "$dur", "topic": "target"}},
             # wrap the survivors in release envelopes: even doc_ids due
             # at epoch 0, odd ones due ~2096 — only the latter survive

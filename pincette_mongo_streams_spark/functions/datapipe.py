@@ -3260,6 +3260,13 @@ def chrf_stage(expression: Any, ctx: Context) -> StageFn:
     to 2 (chrF2, recall-weighted).  A pair with no effective orders
     (both texts empty) scores 0.0; null in either side -> null.
 
+    DELIBERATE DEVIATION from the sacrebleu tool: this follows the
+    PAPER's formula (Popović 2015 eq. 1 — average P and average R over
+    orders, combined into ONE F), whereas sacrebleu averages the
+    per-order F-scores and counts an order effective only when BOTH
+    sides have grams.  Values therefore do not reproduce sacrebleu's
+    chrF2 numbers exactly; the whitespace-strip and clipping match.
+
     ``maxChars`` (default 2000) truncates both sides first — the same
     cost-cap discipline as the word-level family (the clip aggregate
     is O(d·|s|) per order per row).
@@ -3427,16 +3434,20 @@ def qa_eval_stage(expression: Any, ctx: Context) -> StageFn:
 
 @register_stage("$chrfCorpus")
 def chrf_corpus_stage(expression: Any, ctx: Context) -> StageFn:
-    """CORPUS-level chrF (how sacrebleu's corpus_chrf aggregates — sum
-    the per-segment n-gram statistics corpus-wide, THEN score; the mean
-    of sentence chrF is a different, noisier statistic): ``{candidate,
-    reference, maxN?, beta?, maxChars?}`` -> ONE row ``(chrf, n_segments,
-    p1..p<maxN>, r1..r<maxN>)``.  Per order, corpus precision/recall =
-    summed clipped matches / summed candidate (resp. reference) gram
-    counts; P and R average over effective orders (an order with no
-    grams on either side corpus-wide is skipped); F_beta with beta = 2
-    default.  Segments with a null side are EXCLUDED.  Corpus-only
-    gated like $bleuCorpus/$profile.
+    """CORPUS-level chrF: ``{candidate, reference, maxN?, beta?,
+    maxChars?}`` -> ONE row ``(chrf, n_segments, p1..p<maxN>,
+    r1..r<maxN>)``.  The AGGREGATION SHAPE matches sacrebleu's
+    corpus_chrf — sum the per-segment n-gram statistics corpus-wide,
+    THEN score (the mean of sentence chrF is a different, noisier
+    statistic) — but the final SCORING FORMULA follows the Popović
+    2015 paper like $chrf (average P and average R over effective
+    orders -> one F; an order counts as effective when EITHER side has
+    grams corpus-wide), so corpus numbers will not reproduce
+    sacrebleu's corpus_chrf exactly.  Per order, corpus
+    precision/recall = summed clipped matches / summed candidate
+    (resp. reference) gram counts; F_beta with beta = 2 default.
+    Segments with a null side are EXCLUDED.  Corpus-only gated like
+    $bleuCorpus/$profile.
 
     100 TB shape: per-segment clips are $chrf's row-local zero-shuffle
     HOF programs; the reduction is ONE global partial-aggregated sum to

@@ -129,17 +129,37 @@ def delay_stage(expression: Any, ctx: Context) -> StageFn:
       immediately, as before.
 
     Valid = duration evaluates to a long AND topic to a string; anything
-    else passes through unchanged (Delay.java:63-70)."""
+    else passes through unchanged (Delay.java:63-70).  The reference's
+    ``isLong``/``isString`` are JSON *type* checks — a string ``"1500"``
+    is NOT a valid duration and a number is NOT a valid topic.  The
+    Spark translation is type-aware: the compiled column's resolved
+    Spark type must be integral (byte/short/int/long) for the duration
+    and string for the topic; a column of any other type makes every
+    row invalid (whole-stage passthrough), and within a well-typed
+    column a NULL evaluation is invalid per-row."""
     duration_expr = expression["duration"]
     topic_expr = expression["topic"]
     delay_topic = expression.get("delayTopic")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        from pyspark.sql import types as T
+
         ectx = ExprContext(schema=df.schema)
-        duration = compile_expr(duration_expr, ectx).try_cast("long")
-        topic = compile_expr(topic_expr, ectx).try_cast("string")
+        duration = compile_expr(duration_expr, ectx)
+        topic = compile_expr(topic_expr, ectx)
+        resolved = df.select(duration.alias("d"), topic.alias("t")).schema
+        dur_is_long = isinstance(
+            resolved[0].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        )
+        topic_is_str = isinstance(resolved[1].dataType, T.StringType)
+        if not (dur_is_long and topic_is_str):
+            # wrong JSON type -> every message passes through unchanged
+            # (Delay.java:63-70: isLong/isString are type checks)
+            return df
         tagged = _pin_once(
-            df.withColumn("__dur", duration).withColumn("__topic", topic), c
+            df.withColumn("__dur", duration.cast("long"))
+            .withColumn("__topic", topic), c
         )
         valid = F.col("__dur").isNotNull() & F.col("__topic").isNotNull()
         to_send = tagged.filter(valid)

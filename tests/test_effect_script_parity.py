@@ -29,6 +29,33 @@ def test_delay_sends_and_drops(spark):
     assert sent == [("test", {"test": 0})]
 
 
+def test_delay_string_duration_is_invalid(spark):
+    # isLong(pair.first) is a JSON TYPE check (Delay.java:63-70): a
+    # STRING duration — even "1500", which would coerce numerically —
+    # is invalid, so every message passes through and nothing is sent.
+    sent = []
+    ctx = Context(spark=spark, producer=lambda t, k, v: sent.append(v))
+    df = spark.createDataFrame([("1500", 0)], "dur string, test long")
+    out = compile_pipeline(
+        [{"$delay": {"duration": "$dur", "topic": "test"}}], ctx
+    )(df)
+    assert [r["test"] for r in _docs(out)] == [0]
+    assert sent == []
+
+
+def test_delay_numeric_topic_is_invalid(spark):
+    # isString(pair.second) is likewise a type check: a numeric topic
+    # makes the pair invalid -> passthrough, no send.
+    sent = []
+    ctx = Context(spark=spark, producer=lambda t, k, v: sent.append(v))
+    df = spark.createDataFrame([(0,)], "test long")
+    out = compile_pipeline(
+        [{"$delay": {"duration": 5000, "topic": 7}}], ctx
+    )(df)
+    assert _docs(out) == [{"test": 0}]
+    assert sent == []
+
+
 def test_delay_invalid_eval_passthrough(spark):
     # non-long duration / non-string topic -> message passes through
     # unchanged (Delay.java:63-70)
