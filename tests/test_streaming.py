@@ -1078,6 +1078,11 @@ def test_corpus_only_stages_rejected_up_front(spark, tmpdir):
         # r9 (carried r7 verdict item): a one-micro-batch profile
         # labeled a corpus profile is a silent wrong answer
         [{"$profile": {"columns": ["doc_id"]}}],
+        # r10 (r9 verdict item): the two newest corpus metrics — a
+        # per-micro-batch "corpus" BLEU/chrF is the same silent-wrong-
+        # answer class
+        [{"$bleuCorpus": {"candidate": "$text", "reference": "$text"}}],
+        [{"$chrfCorpus": {"candidate": "$text", "reference": "$text"}}],
     ):
         with pytest.raises(ValueError, match="corpus-wide"):
             run_streaming(source, pipeline, ctx, lambda d, e: None,
