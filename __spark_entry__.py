@@ -6277,10 +6277,30 @@ _ORDER = [
     #     epoch-0 / year-2096 deliverAt; the similarity-join family
     #     keeps edit_distance_join in-window and jaccard_join had
     #     r7+r8 hard rows)
-    # r9 NEW queries eval_multiref (multi-reference BLEU/ROUGE) and
-    # profile_mixed (string/date profiling) stay past-window this
-    # round per the r6->r7 precedent — new families earn hard signal
-    # the round AFTER they land; both are locally oracled.
+    # r10 swaps (VERDICT r9 Next #1 — the seven r9-new gate queries
+    # earn hard driver rows per the standing r6->r7 precedent; the
+    # displaced seven are 3+ rounds green with in-window family
+    # redundancy and stay registered + locally oracled by
+    # tests/test_oracle_parity.py + tests/test_driver_canon.py):
+    #   mmr_rerank -> eval_multiref (multi-reference BLEU/ROUGE — the
+    #     rank family keeps rank_eval in-window; mmr_rerank was green
+    #     r5-r9)
+    #   page_rank -> chrf_eval (the graph family keeps
+    #     connected_components in-window; page_rank green r6-r9)
+    #   facet_summary -> qa_eval (SQuAD EM/F1; $facet stays locally
+    #     oracled and its sub-pipeline machinery is shared with
+    #     $unionWith/fusion past-window rows)
+    #   graph_lookup -> wer_eval (word-error-rate; $graphLookup stays
+    #     locally oracled, green since r2)
+    #   asof_join -> bleu_corpus (corpus-level BLEU one-row reduction;
+    #     the time-series join family keeps its locally-oracled
+    #     asof_join/range_join rows, asof_join green r3-r9)
+    #   fusion -> chrf_corpus (corpus-level chrF; rank family keeps
+    #     rank_eval in-window)
+    #   decontaminate -> profile_mixed (string/date/timestamp
+    #     profiling; the dedup family keeps deduplicate +
+    #     minhash_dedup + semantic_dedup in-window and decontaminate
+    #     had hard rows r7-r9)
     "match_operators", "project_compute", "field_ops", "replace_with",
     "unwind", "group_accumulators", "bleu_eval", "stage_ext",
     "bucket", "lookup_unwind", "geo_search", "lookup_pipeline",
@@ -6288,7 +6308,7 @@ _ORDER = [
     "redact", "per_batches", "effects_chain", "script_stages",
     "http_enrich",
     # §2.3a expressions + §2.4 accumulators (superset included)
-    "expr_strings", "expr_math_superset", "mmr_rerank", "jslt_import",
+    "expr_strings", "expr_math_superset", "eval_multiref", "jslt_import",
     "features_ext",
     # batch-completeness stages
     # r3 swaps: sample_count ($sample+$count — trivial fixed-count
@@ -6298,14 +6318,14 @@ _ORDER = [
     # gives clustering one.  Both displaced queries stay registered and
     # locally oracle-checked.
     "text_match", "semantic_dedup", "window_all", "profile_stats",
-    "page_rank",
-    "facet_summary", "rouge_l_eval", "graph_lookup", "asof_join",
+    "chrf_eval",
+    "qa_eval", "rouge_l_eval", "wer_eval", "bleu_corpus",
     "group_cap", "edit_distance_join",
     # LLM-data-pipeline operators
     "connected_components", "ngram_overlap", "training_pipeline",
     "bm25_search",
-    "fusion", "rank_eval", "minhash_dedup", "gopher_rules",
-    "delay_contract", "ann_topk", "decontaminate", "media_pipeline",
+    "chrf_corpus", "rank_eval", "minhash_dedup", "gopher_rules",
+    "delay_contract", "ann_topk", "profile_mixed", "media_pipeline",
     "span_dedup_verify",
 ]
 
