@@ -69,6 +69,11 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # call-site capture for error attribution costs ~3 extra JVM
+        # round trips per DataFrame API call — measured 0.4-0.5 s of
+        # pure plan-build floor across the 16 headline queries (r10
+        # A/B, /tmp/build_ab).  A production engine runs with it off.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
