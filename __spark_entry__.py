@@ -1759,6 +1759,98 @@ _register(
 )
 
 
+def _chrf_multiref_oracle_sql() -> str:
+    """Multi-reference chrF oracle (r10): candidate = 10-word prefix
+    scored against TWO references — the 20-word prefix and the DOUBLED
+    10-word prefix — each with the stage's pinned Popović semantics
+    (maxN = 3 to keep the SQL finite), then ``greatest`` of the two
+    per-reference scores (the sacrebleu multi-ref max the stage
+    implements).  The doubled reference scores differently from the
+    longer prefix (its gram multiset double-counts the candidate's own
+    grams, capping clips at candidate counts but doubling |ref
+    grams|), so the max genuinely switches sides across real docs."""
+    refs = (("a", "sa"), ("b", "sb"))
+    gram_defs = []
+    for n in range(1, 4):
+        for side, src in (("c", "sc"), *refs):
+            gram_defs.append(
+                f"CASE WHEN len({src}) >= {n} THEN "
+                f"[substr({src}, i, {n}) "
+                f"FOR i IN range(1, len({src}) - {n} + 2)] "
+                f"ELSE [] END AS g{side}{n}")
+    m_cols = [
+        (f"coalesce(list_sum(list_transform(list_distinct(gc{n}), "
+         f"t -> least(len(list_filter(gc{n}, x -> x = t)), "
+         f"len(list_filter(g{s}{n}, x -> x = t))))), 0) AS m{s}{n}")
+        for n in range(1, 4) for s, _ in refs
+    ]
+
+    def score(s: str) -> str:
+        eff = " + ".join(
+            f"CASE WHEN len(gc{n}) > 0 OR len(g{s}{n}) > 0 "
+            f"THEN 1 ELSE 0 END" for n in range(1, 4))
+        p_sum = " + ".join(
+            f"CASE WHEN len(gc{n}) > 0 "
+            f"THEN m{s}{n} / CAST(len(gc{n}) AS DOUBLE) ELSE 0.0 END"
+            for n in range(1, 4))
+        r_sum = " + ".join(
+            f"CASE WHEN len(g{s}{n}) > 0 "
+            f"THEN m{s}{n} / CAST(len(g{s}{n}) AS DOUBLE) "
+            f"ELSE 0.0 END" for n in range(1, 4))
+        return (f"CASE WHEN ({eff}) = 0 THEN 0.0 "
+                f"WHEN ({p_sum}) / ({eff}) + ({r_sum}) / ({eff}) = 0.0 "
+                f"THEN 0.0 "
+                f"ELSE 5.0 * (({p_sum}) / ({eff})) "
+                f"* (({r_sum}) / ({eff})) "
+                f"/ (4.0 * ({p_sum}) / ({eff}) "
+                f"+ ({r_sum}) / ({eff})) END")
+
+    return f"""WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS wc
+  FROM documents),
+s AS (SELECT doc_id,
+             substr(regexp_replace(array_to_string(wc[1:10], ' '),
+                                   '\\s+', '', 'g'), 1, 2000) AS sc,
+             substr(regexp_replace(array_to_string(wc[1:20], ' '),
+                                   '\\s+', '', 'g'), 1, 2000) AS sa,
+             substr(regexp_replace(array_to_string(
+                        wc[1:10] || wc[1:10], ' '),
+                                   '\\s+', '', 'g'), 1, 2000) AS sb
+      FROM w),
+g AS (SELECT doc_id, {', '.join(gram_defs)} FROM s),
+m AS (SELECT *, {', '.join(m_cols)} FROM g),
+z AS (SELECT doc_id,
+             greatest({score('a')}, {score('b')}) AS s
+      FROM m)
+SELECT doc_id, {_r('s', 6)} AS chrf_m
+FROM z ORDER BY doc_id"""
+
+
+_register(
+    "chrf_multiref",
+    _chrf_multiref_oracle_sql(),
+)(
+    _pipe(
+        "documents",
+        [
+            {"$truncateTokens": {"input": "$text", "as": "c10",
+                                 "max": 10}},
+            {"$truncateTokens": {"input": "$text", "as": "c20",
+                                 "max": 20}},
+            {"$set": {"ref2": {"$concat": ["$c10", " ", "$c10"]}}},
+            {"$chrf": {"candidate": "$c10",
+                       "references": ["$c20", "$ref2"], "maxN": 3,
+                       "as": "s"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "chrf_m": {"$round": ["$s", 6]}}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
 def _chrf_corpus_oracle_sql() -> str:
     """Corpus-chrF oracle (r9): per-segment char-gram clips with
     candidate = the DOUBLED 10-word prefix (the duplication pushes
@@ -2063,6 +2155,105 @@ FROM s ORDER BY doc_id""",
                           "wer": {"$round": ["$w.wer", 6]},
                           "n_hyp": "$w.n_hyp", "n_ref": "$w.n_ref"}},
             {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
+_register(
+    "wer_multiref",
+    f"""WITH w AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '')) AS n
+  FROM documents),
+s AS (SELECT doc_id, n, least(n, 25) AS m, least(n, 22) AS k FROM w),
+d AS (SELECT doc_id, n, m, k,
+             n - m AS d1,
+             CASE WHEN n > 0 THEN (n - m) / CAST(n AS DOUBLE)
+                  ELSE 0.0 END AS w1,
+             m - k AS d2,
+             CASE WHEN k > 0 THEN (m - k) / CAST(k AS DOUBLE)
+                  ELSE 0.0 END AS w2
+      FROM s),
+b AS (SELECT doc_id, m,
+             CASE WHEN w1 < w2 OR (w1 = w2 AND (d1 < d2
+                       OR (d1 = d2 AND n <= k))) THEN d1 ELSE d2
+             END AS dist,
+             CASE WHEN w1 < w2 OR (w1 = w2 AND (d1 < d2
+                       OR (d1 = d2 AND n <= k))) THEN w1 ELSE w2
+             END AS wer,
+             CASE WHEN w1 < w2 OR (w1 = w2 AND (d1 < d2
+                       OR (d1 = d2 AND n <= k))) THEN n ELSE k
+             END AS nr
+      FROM d)
+SELECT doc_id,
+       CAST(dist AS BIGINT) AS distance,
+       {_r('wer', 6)} AS wer,
+       CAST(m AS BIGINT) AS n_hyp,
+       CAST(nr AS BIGINT) AS n_ref
+FROM b ORDER BY doc_id""",
+)(
+    _pipe(
+        "documents",
+        [
+            # hypothesis = 25-word prefix; references = [full text,
+            # 22-word prefix].  Both references are prefix-related to
+            # the hypothesis, so each per-reference DP has the closed
+            # form pure-deletions/insertions distance: d1 = n - 25
+            # (wer1 = (n-25)/n) vs d2 = 25 - 22 = 3 (wer2 = 3/22) —
+            # the min-WER selection crosses over at n ≈ 28.9, so real
+            # docs exercise BOTH branches (arbitrary pairs and the
+            # tie/undefined ladder live in the randomized differential,
+            # tests/test_eval_properties.py)
+            {"$truncateTokens": {"input": "$text", "as": "hyp",
+                                 "max": 25}},
+            {"$truncateTokens": {"input": "$text", "as": "r22",
+                                 "max": 22}},
+            {"$wer": {"candidate": "$hyp",
+                      "references": ["$text", "$r22"], "as": "w"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "distance": "$w.distance",
+                          "wer": {"$round": ["$w.wer", 6]},
+                          "n_hyp": "$w.n_hyp", "n_ref": "$w.n_ref"}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
+_register(
+    "wer_corpus",
+    f"""WITH w AS (
+  SELECT len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '')) AS n
+  FROM documents),
+s AS (SELECT n, least(n, 25) AS m FROM w),
+t AS (SELECT CAST(sum(n - m) AS BIGINT) AS distance,
+             CAST(sum(m) AS BIGINT) AS n_hyp,
+             CAST(sum(n) AS BIGINT) AS n_ref,
+             CAST(count(*) AS BIGINT) AS n_segments
+      FROM s)
+SELECT {_r('distance / CAST(n_ref AS DOUBLE)', 6)} AS wer,
+       distance, n_hyp, n_ref, n_segments
+FROM t""",
+)(
+    _pipe(
+        "documents",
+        [
+            # corpus WER with the same prefix-identity closed form as
+            # wer_eval: per-segment distance = n - min(n, 25) pure
+            # deletions; the corpus number is total distance / total
+            # reference words — NOT the mean of per-segment WERs,
+            # which the independent-aggregation property test pins
+            {"$truncateTokens": {"input": "$text", "as": "hyp",
+                                 "max": 25}},
+            {"$werCorpus": {"candidate": "$hyp",
+                            "reference": "$text"}},
+            {"$project": {"_id": 0,
+                          "wer": {"$round": ["$wer", 6]},
+                          "distance": 1, "n_hyp": 1, "n_ref": 1,
+                          "n_segments": 1}},
         ],
     )
 )

@@ -3246,8 +3246,18 @@ def chrf_stage(expression: Any, ctx: Context) -> StageFn:
     """chrF (Popović 2015): character-n-gram F-score between a
     candidate and a reference in the same row — the eval-family's
     tokenization-free metric (robust to morphology, the standard
-    complement to BLEU in MT eval harnesses): ``{candidate, reference,
-    maxN?, beta?, maxChars?, as?}`` adds the chrF score in [0, 1].
+    complement to BLEU in MT eval harnesses): ``{candidate,
+    reference | references, maxN?, beta?, maxChars?, as?}`` adds the
+    chrF score in [0, 1].
+
+    MULTI-REFERENCE (r10): ``references: <expr -> array<string>>``
+    scores the candidate against EACH reference independently and
+    takes the MAX — the sacrebleu multi-reference convention for chrF
+    (best-matching reference wins; statistics are never pooled across
+    references).  Null reference ELEMENTS are dropped; a null or
+    effectively-empty references array -> null score.  Exactly one of
+    ``reference``/``references``; a 1-element array equals the scalar
+    form.
 
     Semantics, pinned precisely: whitespace is REMOVED first (the
     sacrebleu default); for each order n = 1..maxN (default 6),
@@ -3274,9 +3284,14 @@ def chrf_stage(expression: Any, ctx: Context) -> StageFn:
     100 TB shape: pure JVM HOF column program (regexp strip ->
     substring gram windows -> clip aggregates materialized as temp
     columns), row-local, zero shuffle — identical plan shape to
-    $bleu."""
+    $bleu; the multi-reference form adds one nested transform per
+    order plus a per-reference score fold, still fully JVM-side."""
     cand_e = expression["candidate"]
-    ref_e = expression["reference"]
+    ref_e = expression.get("reference")
+    refs_e = expression.get("references")
+    if (ref_e is None) == (refs_e is None):
+        raise ValueError(
+            "$chrf needs exactly one of reference | references")
     max_n = int(expression.get("maxN", 6))
     beta = float(expression.get("beta", 2.0))
     max_chars = int(expression.get("maxChars", 2000))
@@ -3301,31 +3316,14 @@ def chrf_stage(expression: Any, ctx: Context) -> StageFn:
         return F.when(ln >= n, grams) \
             .otherwise(F.array().cast("array<string>"))
 
-    def fn(df: DataFrame, c: Context) -> DataFrame:
-        sctx = ExprContext(schema=df.schema)
-        cand = compile_expr(cand_e, sctx)
-        ref = compile_expr(ref_e, sctx)
-        strip = lambda t: F.substring(  # noqa: E731
-            F.regexp_replace(t, r"\s+", ""), 1, max_chars)
-        temps = ["__chrf_sc", "__chrf_sr"]
-        stage = df.withColumn("__chrf_sc", strip(cand)) \
-                  .withColumn("__chrf_sr", strip(ref))
-        sc, sr = F.col("__chrf_sc"), F.col("__chrf_sr")
-        for n in range(1, max_n + 1):
-            gc_n, gr_n, m_n = (f"__chrf_gc{n}", f"__chrf_gr{n}",
-                               f"__chrf_m{n}")
-            temps += [gc_n, gr_n, m_n]
-            stage = stage.withColumn(gc_n, char_grams(sc, n)) \
-                         .withColumn(gr_n, char_grams(sr, n))
-            stage = stage.withColumn(
-                m_n, _eval_clipped(F.col(gc_n), F.col(gr_n)))
+    def one_score(cn_rn_m: list) -> Column:
+        """Combine per-order (cand-count, ref-count, clipped) triples
+        into one chrF score — shared by the scalar and per-reference
+        paths."""
         p_sum = F.lit(0.0)
         r_sum = F.lit(0.0)
         n_eff = F.lit(0)
-        for n in range(1, max_n + 1):
-            cn = F.size(F.col(f"__chrf_gc{n}")).cast("double")
-            rn = F.size(F.col(f"__chrf_gr{n}")).cast("double")
-            m = F.col(f"__chrf_m{n}").cast("double")
+        for cn, rn, m in cn_rn_m:
             eff = (cn > 0) | (rn > 0)
             p_sum = p_sum + F.when(eff & (cn > 0), m / cn) \
                 .otherwise(F.lit(0.0))
@@ -3334,12 +3332,80 @@ def chrf_stage(expression: Any, ctx: Context) -> StageFn:
             n_eff = n_eff + eff.cast("int")
         p = p_sum / n_eff
         r = r_sum / n_eff
-        score = F.when(
+        return F.when(
             n_eff == 0, F.lit(0.0),
         ).when(p + r == 0.0, F.lit(0.0)) \
             .otherwise((1 + b2) * p * r / (b2 * p + r))
-        out = F.when(cand.isNull() | ref.isNull(),
-                     F.lit(None).cast("double")).otherwise(score)
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        sctx = ExprContext(schema=df.schema)
+        cand = compile_expr(cand_e, sctx)
+        strip = lambda t: F.substring(  # noqa: E731
+            F.regexp_replace(t, r"\s+", ""), 1, max_chars)
+        temps = ["__chrf_sc"]
+        stage = df.withColumn("__chrf_sc", strip(cand))
+        sc = F.col("__chrf_sc")
+        if refs_e is not None:
+            refs = compile_expr(refs_e, sctx)
+            temps.append("__chrf_srs")
+            stage = stage.withColumn(
+                "__chrf_srs",
+                F.transform(F.filter(refs, lambda r: r.isNotNull()),
+                            strip))
+            srs = F.col("__chrf_srs")
+            for n in range(1, max_n + 1):
+                gc_n, grs_n, ms_n = (f"__chrf_gc{n}", f"__chrf_grs{n}",
+                                     f"__chrf_ms{n}")
+                temps += [gc_n, grs_n, ms_n]
+                stage = stage.withColumn(gc_n, char_grams(sc, n))
+                # per-reference grams and clips materialize as array
+                # temp columns (array<array<string>> / array<long>) —
+                # the HOF-CSE rule applied to the multi-ref axis
+                stage = stage.withColumn(
+                    grs_n, F.transform(srs, lambda s: char_grams(s, n)))
+                stage = stage.withColumn(
+                    ms_n,
+                    F.transform(F.col(grs_n),
+                                lambda g: _eval_clipped(F.col(gc_n), g)))
+
+            def ref_score(i: Column) -> Column:
+                triples = []
+                for n in range(1, max_n + 1):
+                    cn = F.size(F.col(f"__chrf_gc{n}")).cast("double")
+                    rn = F.size(
+                        F.element_at(F.col(f"__chrf_grs{n}"), i)
+                    ).cast("double")
+                    m = F.element_at(
+                        F.col(f"__chrf_ms{n}"), i).cast("double")
+                    triples.append((cn, rn, m))
+                return one_score(triples)
+
+            # best-matching reference wins (sacrebleu multi-ref: max)
+            score = F.array_max(
+                F.transform(F.sequence(F.lit(1), F.size(srs)),
+                            ref_score))
+            null_in = cand.isNull() | refs.isNull() | (F.size(srs) == 0)
+        else:
+            ref = compile_expr(ref_e, sctx)
+            temps.append("__chrf_sr")
+            stage = stage.withColumn("__chrf_sr", strip(ref))
+            sr = F.col("__chrf_sr")
+            for n in range(1, max_n + 1):
+                gc_n, gr_n, m_n = (f"__chrf_gc{n}", f"__chrf_gr{n}",
+                                   f"__chrf_m{n}")
+                temps += [gc_n, gr_n, m_n]
+                stage = stage.withColumn(gc_n, char_grams(sc, n)) \
+                             .withColumn(gr_n, char_grams(sr, n))
+                stage = stage.withColumn(
+                    m_n, _eval_clipped(F.col(gc_n), F.col(gr_n)))
+            score = one_score([
+                (F.size(F.col(f"__chrf_gc{n}")).cast("double"),
+                 F.size(F.col(f"__chrf_gr{n}")).cast("double"),
+                 F.col(f"__chrf_m{n}").cast("double"))
+                for n in range(1, max_n + 1)])
+            null_in = cand.isNull() | ref.isNull()
+        out = F.when(null_in, F.lit(None).cast("double")) \
+            .otherwise(score)
         return stage.withColumn(as_field, out).drop(*temps)
 
     return fn
@@ -3532,30 +3598,105 @@ def chrf_corpus_stage(expression: Any, ctx: Context) -> StageFn:
 
 _WER_TYPE = "struct<distance:bigint,wer:double,n_hyp:bigint,n_ref:bigint>"
 
+def _make_wer_scorers(max_words: int):
+    """(score_one, score_multi) closures for the $wer family's Arrow
+    boundary.  Defined INSIDE a factory so cloudpickle serializes them
+    by value — executors never need this package importable (the
+    engine's standing driver-side-only deployment property; a
+    module-level helper would pickle by reference and break
+    sys.path-based runs).
+
+    score_multi scores against each reference and the BEST reference
+    wins — smallest WER, ties broken by smallest distance then
+    smallest reference length (the NIST multi-reference convention:
+    error-count of the best-matching reference).  A reference with
+    undefined WER (empty reference, non-empty hypothesis) sorts after
+    every defined one, so it is chosen only when ALL references are
+    undefined (then wer is null with the smallest distance still
+    reported).  Returns None (null struct) for a null hypothesis or
+    no usable references."""
+    import re as _re
+
+    ws_split = _re.compile(r"[ \t\n\r\f\x0b]+").split  # Java \s
+
+    def lev(a: list, b: list) -> int:
+        # two-row DP, rows over the shorter side for O(min) memory
+        if len(a) < len(b):
+            a, b = b, a
+        if not b:
+            return len(a)
+        prev = list(range(len(b) + 1))
+        for i, x in enumerate(a, 1):
+            cur = [i]
+            append = cur.append
+            for j, y in enumerate(b, 1):
+                append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (x != y)))
+            prev = cur
+        return prev[-1]
+
+    def score_one(ct, rt):
+        wc = [w for w in ws_split(ct) if w][:max_words]
+        wr = [w for w in ws_split(rt) if w][:max_words]
+        d = lev(wc, wr)
+        if wr:
+            w = d / len(wr)
+        else:
+            w = 0.0 if not wc else None
+        return (d, w, len(wc), len(wr))
+
+    def score_multi(ct, refs):
+        if ct is None:
+            return None
+        refs = [r for r in refs if r is not None]
+        if not refs:
+            return None
+        best = None
+        for rt in refs:
+            d, w, nh, nr = score_one(ct, rt)
+            key = (w if w is not None else float("inf"), d, nr)
+            if best is None or key < best[0]:
+                best = (key, (d, w, nh, nr))
+        return best[1]
+
+    return score_one, score_multi
+
 
 @register_stage("$wer")
 def wer_stage(expression: Any, ctx: Context) -> StageFn:
     """Word error rate (the standard ASR / MT edit metric):
-    ``{candidate, reference, maxWords?, as?}`` adds ``struct<distance,
-    wer, n_hyp, n_ref>`` where ``distance`` is the word-level
-    Levenshtein distance (unit costs for substitution/insertion/
-    deletion) between the candidate (hypothesis) and the reference,
-    and ``wer = distance / n_ref``.  Same Java-\\s tokenization as the
-    rest of the eval family.  An empty reference gives wer 0.0 when the
-    hypothesis is also empty, else null wer with the distance still
-    reported (the conventional undefined case, surfaced rather than
-    faked).  Null in either side -> null struct.
+    ``{candidate, reference | references, maxWords?, as?}`` adds
+    ``struct<distance, wer, n_hyp, n_ref>`` where ``distance`` is the
+    word-level Levenshtein distance (unit costs for substitution/
+    insertion/deletion) between the candidate (hypothesis) and the
+    reference, and ``wer = distance / n_ref``.  Same Java-\\s
+    tokenization as the rest of the eval family.  An empty reference
+    gives wer 0.0 when the hypothesis is also empty, else null wer
+    with the distance still reported (the conventional undefined case,
+    surfaced rather than faked).  Null in either side -> null struct.
+
+    MULTI-REFERENCE (r10): ``references: <expr -> array<string>>``
+    scores against each reference and reports the BEST — minimum WER,
+    ties by minimum distance then minimum reference length (the NIST
+    convention; see :func:`_make_wer_scorers`).  Null reference
+    ELEMENTS are
+    dropped; a null or effectively-empty array -> null struct.
+    Exactly one of ``reference``/``references``.
 
     Levenshtein needs a dynamic program (no closed column form), so
     like ``$rougeL`` this is an Arrow-batched Pandas UDF — the eval
     family's documented Python boundary (row-local, zero shuffle).
     ``maxWords`` (default 2000) truncates BOTH sides first: the DP is
-    O(|c|·|r|) per row.
+    O(|c|·|r|) per row (times the number of references).
 
     (Spark's builtin ``levenshtein`` is character-level; WER is defined
     over words, hence the DP here.)"""
     cand_e = expression["candidate"]
-    ref_e = expression["reference"]
+    ref_e = expression.get("reference")
+    refs_e = expression.get("references")
+    if (ref_e is None) == (refs_e is None):
+        raise ValueError(
+            "$wer needs exactly one of reference | references")
     max_words = int(expression.get("maxWords", 2000))
     as_field = expression.get("as", "wer")
     if max_words < 1:
@@ -3564,57 +3705,147 @@ def wer_stage(expression: Any, ctx: Context) -> StageFn:
     def fn(df: DataFrame, c: Context) -> DataFrame:
         sctx = ExprContext(schema=df.schema)
         cand = compile_expr(cand_e, sctx)
-        ref = compile_expr(ref_e, sctx)
+        score_one, score_multi = _make_wer_scorers(max_words)
 
-        import re as _re
+        if refs_e is not None:
+            refs = compile_expr(refs_e, sctx)
 
-        ws_split = _re.compile(r"[ \t\n\r\f\x0b]+").split  # Java \s
+            @F.pandas_udf(_WER_TYPE)
+            def _wer(s: pd.Series, t: pd.Series) -> pd.DataFrame:
+                vals = [
+                    None if rs is None
+                    else score_multi(ct, list(rs))
+                    for ct, rs in zip(s, t)
+                ]
+                return pd.DataFrame(
+                    [(None, None, None, None) if v is None else v
+                     for v in vals],
+                    columns=["distance", "wer", "n_hyp", "n_ref"])
 
-        def lev(a: list, b: list) -> int:
-            # two-row DP, rows over the shorter side for O(min) memory
-            if len(a) < len(b):
-                a, b = b, a
-            if not b:
-                return len(a)
-            prev = list(range(len(b) + 1))
-            for i, x in enumerate(a, 1):
-                cur = [i]
-                append = cur.append
-                for j, y in enumerate(b, 1):
-                    append(min(prev[j] + 1, cur[j - 1] + 1,
-                               prev[j - 1] + (x != y)))
-                prev = cur
-            return prev[-1]
+            out = _wer(cand, refs)
+            null_guard = cand.isNull() | refs.isNull()
+        else:
+            ref = compile_expr(ref_e, sctx)
 
-        def score(pair) -> Any:
-            ct, rt = pair
-            if ct is None or rt is None:
-                return None
-            wc = [w for w in ws_split(ct) if w][:max_words]
-            wr = [w for w in ws_split(rt) if w][:max_words]
-            d = lev(wc, wr)
-            if wr:
-                w = d / len(wr)
-            else:
-                w = 0.0 if not wc else None
-            return (d, w, len(wc), len(wr))
+            @F.pandas_udf(_WER_TYPE)
+            def _wer(s: pd.Series, t: pd.Series) -> pd.DataFrame:
+                vals = [
+                    None if ct is None or rt is None
+                    else score_one(ct, rt)
+                    for ct, rt in zip(s, t)
+                ]
+                return pd.DataFrame(
+                    [(None, None, None, None) if v is None else v
+                     for v in vals],
+                    columns=["distance", "wer", "n_hyp", "n_ref"])
 
-        @F.pandas_udf(_WER_TYPE)
-        def _wer(s: pd.Series, t: pd.Series) -> pd.DataFrame:
-            vals = [score(pr) for pr in zip(s, t)]
-            return pd.DataFrame(
-                [(None, None, None, None) if v is None else v
-                 for v in vals],
-                columns=["distance", "wer", "n_hyp", "n_ref"])
-
-        out = _wer(cand, ref)
+            out = _wer(cand, ref)
+            null_guard = cand.isNull() | ref.isNull()
         null_st = F.lit(None).cast(_WER_TYPE)
         stage = df.withColumn("__wer_raw", out)
         raw = F.col("__wer_raw")
         return stage.withColumn(
             as_field,
-            F.when(cand.isNull() | ref.isNull(), null_st).otherwise(raw),
+            F.when(null_guard | raw["n_hyp"].isNull(), null_st)
+            .otherwise(raw),
         ).drop("__wer_raw")
+
+    return fn
+
+
+@register_stage("$werCorpus")
+def wer_corpus_stage(expression: Any, ctx: Context) -> StageFn:
+    """CORPUS-level word error rate — TOTAL edit distance over TOTAL
+    reference words (how ASR harnesses report WER; the mean of
+    per-utterance WERs over-weights short references): ``{candidate,
+    reference | references, maxWords?}`` -> ONE row ``(wer, distance,
+    n_hyp, n_ref, n_segments)``.
+
+    Per segment the edit distance and reference length come from
+    :func:`_make_wer_scorers` — single reference directly, multiple
+    references via the best-matching reference (min WER, NIST
+    convention) — and the corpus sums those, then divides once.
+    Segments with a null hypothesis or no usable reference are
+    EXCLUDED from every sum (and from n_segments).  A corpus whose
+    total reference length is 0 reports wer 0.0 when the total
+    distance is also 0, else null wer (the undefined case, surfaced
+    like $wer's).
+
+    CORPUS-ONLY: gated exactly like $bleuCorpus/$chrfCorpus — inside a
+    foreachBatch re-entry it would silently score one micro-batch and
+    label it the corpus WER.
+
+    100 TB shape: the per-segment DP runs on the same Arrow-batched
+    boundary as $wer (row-local, zero shuffle, maxWords-capped); the
+    reduction is ONE global partial-aggregated sum to a single 5-long
+    row — the $bleuCorpus shape."""
+    cand_e = expression["candidate"]
+    ref_e = expression.get("reference")
+    refs_e = expression.get("references")
+    if (ref_e is None) == (refs_e is None):
+        raise ValueError(
+            "$werCorpus needs exactly one of reference | references")
+    max_words = int(expression.get("maxWords", 2000))
+    if max_words < 1:
+        raise ValueError("$werCorpus maxWords must be >= 1")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..operators.extended import _corpus_only
+
+        _corpus_only("$werCorpus", c)
+        sctx = ExprContext(schema=df.schema)
+        cand = compile_expr(cand_e, sctx)
+        score_one, score_multi = _make_wer_scorers(max_words)
+
+        if refs_e is not None:
+            refs = compile_expr(refs_e, sctx)
+
+            @F.pandas_udf(_WER_TYPE)
+            def _wer(s: pd.Series, t: pd.Series) -> pd.DataFrame:
+                vals = [
+                    None if rs is None
+                    else score_multi(ct, list(rs))
+                    for ct, rs in zip(s, t)
+                ]
+                return pd.DataFrame(
+                    [(None, None, None, None) if v is None else v
+                     for v in vals],
+                    columns=["distance", "wer", "n_hyp", "n_ref"])
+
+            raw = _wer(cand, refs)
+        else:
+            ref = compile_expr(ref_e, sctx)
+
+            @F.pandas_udf(_WER_TYPE)
+            def _wer(s: pd.Series, t: pd.Series) -> pd.DataFrame:
+                vals = [
+                    None if ct is None or rt is None
+                    else score_one(ct, rt)
+                    for ct, rt in zip(s, t)
+                ]
+                return pd.DataFrame(
+                    [(None, None, None, None) if v is None else v
+                     for v in vals],
+                    columns=["distance", "wer", "n_hyp", "n_ref"])
+
+            raw = _wer(cand, ref)
+        stage = df.withColumn("__wrc", raw) \
+            .filter(F.col("__wrc.n_hyp").isNotNull())
+        zero_l = F.lit(0).cast("long")
+        row = stage.agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.coalesce(F.sum("__wrc.distance"), zero_l).alias("distance"),
+            F.coalesce(F.sum("__wrc.n_hyp"), zero_l).alias("n_hyp"),
+            F.coalesce(F.sum("__wrc.n_ref"), zero_l).alias("n_ref"),
+        )
+        d_tot = F.col("distance").cast("double")
+        r_tot = F.col("n_ref").cast("double")
+        wer = F.when(F.col("n_ref") > 0, d_tot / r_tot) \
+            .when(F.col("distance") == 0, F.lit(0.0)) \
+            .otherwise(F.lit(None).cast("double"))
+        return row.select(
+            wer.alias("wer"), F.col("distance"), F.col("n_hyp"),
+            F.col("n_ref"), F.col("n_segments"))
 
     return fn
 

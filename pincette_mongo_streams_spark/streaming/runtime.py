@@ -57,7 +57,8 @@ _BATCH_ONLY_STAGES = {
 # stats fit a windowed-retrieval reading, and they never claim
 # corpus-wide scope.
 _CORPUS_ONLY_STAGES = {"$spanDedup", "$semanticDedup", "$bpeTrain",
-                       "$profile", "$bleuCorpus", "$chrfCorpus"}
+                       "$profile", "$bleuCorpus", "$chrfCorpus",
+                       "$werCorpus"}
 
 
 def _resolve_state_store(state_store: str) -> tuple[str, str]:

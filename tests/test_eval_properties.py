@@ -322,3 +322,175 @@ def test_chrf_corpus_equals_independent_aggregation(spark):
         compile_pipeline(
             [{"$chrfCorpus": {"candidate": "$c", "reference": "$r"}}],
             mb)(df)
+
+
+def _ref_lev_words(a, b, max_words=2000):
+    import re as _re
+    aws = _re.compile(r"[ \t\n\r\f\x0b]+").split
+    wa = [w for w in aws(a) if w][:max_words]
+    wb = [w for w in aws(b) if w][:max_words]
+    d = [[0] * (len(wb) + 1) for _ in range(len(wa) + 1)]
+    for i in range(len(wa) + 1):
+        d[i][0] = i
+    for j in range(len(wb) + 1):
+        d[0][j] = j
+    for i in range(1, len(wa) + 1):
+        for j in range(1, len(wb) + 1):
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                          d[i - 1][j - 1] + (wa[i - 1] != wb[j - 1]))
+    return d[-1][-1], len(wa), len(wb)
+
+
+def _ref_wer_multi(c, refs):
+    """Independent best-reference selection: min wer, ties min
+    distance then min reference length; undefined wer sorts last."""
+    refs = [r for r in refs if r is not None]
+    if c is None or not refs:
+        return None
+    best = None
+    for r in refs:
+        d, nh, nr = _ref_lev_words(c, r)
+        w = d / nr if nr else (0.0 if not nh else None)
+        key = (w if w is not None else float("inf"), d, nr)
+        if best is None or key < best[0]:
+            best = (key, (d, w, nh, nr))
+    return best[1]
+
+
+def test_chrf_multireference_differential(spark):
+    """$chrf references: max over per-reference scores (sacrebleu
+    multi-ref convention); 1-element array equals the scalar form;
+    null elements dropped; empty/null array -> null."""
+    rng = random.Random(31337)
+    rows = []
+    for i in range(120):
+        c = _rand_text(rng)
+        refs = [_rand_text(rng) for _ in range(rng.randint(1, 3))]
+        if rng.random() < 0.3:
+            refs.append(c)  # an exact reference forces the max to 1.0
+        rows.append((i, c, refs))
+    df = spark.createDataFrame(rows, "i long, c string, rs array<string>")
+    got = {x["i"]: x["s"] for x in compile_pipeline(
+        [{"$chrf": {"candidate": "$c", "references": "$rs", "as": "s"}}],
+        Context(spark=spark))(df).collect()}
+    for i, c, refs in rows:
+        want = max(_ref_chrf(c, r) for r in refs)
+        assert abs(got[i] - want) < 1e-12, (i, c, refs, got[i], want)
+    # 1-element array == scalar form
+    one = spark.createDataFrame(
+        [(i, c, [r]) for i, c, r in _pairs(55, 40)],
+        "i long, c string, rs array<string>")
+    got1 = {x["i"]: x["s"] for x in compile_pipeline(
+        [{"$chrf": {"candidate": "$c", "references": "$rs", "as": "s"}}],
+        Context(spark=spark))(one).collect()}
+    for i, c, r in _pairs(55, 40):
+        assert abs(got1[i] - _ref_chrf(c, r)) < 1e-12
+    # edges
+    edges = spark.createDataFrame(
+        [(1, "abc", []), (2, "abc", None), (3, None, ["x"]),
+         (4, "abc", [None]), (5, "abc", [None, "abc"])],
+        "i long, c string, rs array<string>")
+    e = {x["i"]: x["s"] for x in compile_pipeline(
+        [{"$chrf": {"candidate": "$c", "references": "$rs", "as": "s"}}],
+        Context(spark=spark))(edges).collect()}
+    assert e[1] is None and e[2] is None and e[3] is None \
+        and e[4] is None
+    assert e[5] == 1.0
+    # config guard
+    with pytest.raises(ValueError, match="exactly one"):
+        compile_pipeline([{"$chrf": {"candidate": "$c"}}],
+                         Context(spark=spark))
+    with pytest.raises(ValueError, match="exactly one"):
+        compile_pipeline(
+            [{"$chrf": {"candidate": "$c", "reference": "$r",
+                        "references": "$rs"}}], Context(spark=spark))
+
+
+def test_wer_multireference_differential(spark):
+    """$wer references: best-matching reference (min wer, NIST) vs the
+    independent Python selection; undefined-wer references chosen only
+    when all are undefined."""
+    rng = random.Random(777)
+    rows = []
+    for i in range(120):
+        c = _rand_text(rng)
+        refs = [_rand_text(rng) for _ in range(rng.randint(1, 3))]
+        rows.append((i, c, refs))
+    df = spark.createDataFrame(rows, "i long, c string, rs array<string>")
+    got = {x["i"]: x["w"] for x in compile_pipeline(
+        [{"$wer": {"candidate": "$c", "references": "$rs", "as": "w"}}],
+        Context(spark=spark))(df).collect()}
+    for i, c, refs in rows:
+        want = _ref_wer_multi(c, refs)
+        g = got[i]
+        assert (g is None) == (want is None), (i, c, refs)
+        if want is not None:
+            d, w, nh, nr = want
+            assert g["distance"] == d and g["n_hyp"] == nh \
+                and g["n_ref"] == nr, (i, c, refs, g, want)
+            if w is None:
+                assert g["wer"] is None
+            else:
+                assert abs(g["wer"] - w) < 1e-12
+    edges = spark.createDataFrame(
+        [(1, "a b", []), (2, "a b", None), (3, None, ["x"]),
+         (4, "a b", ["", ""]), (5, "a b", ["", "a b"]),
+         (6, "a x", ["q r s", "a b"])],
+        "i long, c string, rs array<string>")
+    e = {x["i"]: x["w"] for x in compile_pipeline(
+        [{"$wer": {"candidate": "$c", "references": "$rs", "as": "w"}}],
+        Context(spark=spark))(edges).collect()}
+    assert e[1] is None and e[2] is None and e[3] is None
+    # all references undefined: null wer, smallest distance reported
+    assert e[4]["wer"] is None and e[4]["distance"] == 2
+    assert e[5]["wer"] == 0.0 and e[5]["distance"] == 0
+    # min wer wins over ref order
+    assert abs(e[6]["wer"] - 0.5) < 1e-12 and e[6]["n_ref"] == 2
+
+
+def test_wer_corpus_equals_independent_aggregation(spark):
+    """$werCorpus = total distance / total reference words (NOT the
+    mean of per-segment WERs); null segments excluded; multi-ref picks
+    the best reference per segment before summing; corpus-only
+    gated."""
+    rows = _pairs(6006, 80)
+    df = spark.createDataFrame(rows, "i long, c string, r string")
+    got = compile_pipeline(
+        [{"$werCorpus": {"candidate": "$c", "reference": "$r"}}],
+        Context(spark=spark))(df).collect()[0]
+    tot_d = tot_h = tot_r = 0
+    for _, c, r in rows:
+        d, nh, nr = _ref_lev_words(c, r)
+        tot_d, tot_h, tot_r = tot_d + d, tot_h + nh, tot_r + nr
+    assert got["distance"] == tot_d and got["n_hyp"] == tot_h \
+        and got["n_ref"] == tot_r
+    assert got["n_segments"] == len(rows)
+    assert abs(got["wer"] - tot_d / tot_r) < 1e-12
+    # NOT the mean of per-segment WERs
+    per = [(_ref_lev_words(c, r)) for _, c, r in rows]
+    defined = [(d / nr) for d, _, nr in per if nr]
+    assert abs(got["wer"] - sum(defined) / len(defined)) > 1e-9
+    # null exclusion
+    df2 = spark.createDataFrame(
+        [("a b", "a x"), (None, "z"), ("m", None)],
+        "c string, r string")
+    g2 = compile_pipeline(
+        [{"$werCorpus": {"candidate": "$c", "reference": "$r"}}],
+        Context(spark=spark))(df2).collect()[0]
+    assert g2["n_segments"] == 1 and g2["distance"] == 1
+    # multi-ref: per-segment best then sum
+    df3 = spark.createDataFrame(
+        [("a b c", ["a b x", "a b c"]), ("q r", ["q"])],
+        "c string, rs array<string>")
+    g3 = compile_pipeline(
+        [{"$werCorpus": {"candidate": "$c", "references": "$rs"}}],
+        Context(spark=spark))(df3).collect()[0]
+    assert g3["distance"] == 1 and g3["n_ref"] == 4 \
+        and abs(g3["wer"] - 0.25) < 1e-12
+    # corpus-only gate (micro-batch re-entry)
+    mb = Context(spark=spark)
+    mb.micro_batch = True
+    with pytest.raises(ValueError, match="corpus-wide"):
+        compile_pipeline(
+            [{"$werCorpus": {"candidate": "$c", "reference": "$r"}}],
+            mb)(df)

@@ -34,7 +34,11 @@ _PYTHON_ALLOWED = {"http_enrich", "decode_media_meta", "media_pipeline",
                    "eval_multiref",
                    # r9: $wer — the word-Levenshtein DP is the same
                    # documented eval-family Arrow boundary
-                   "wer_eval"}
+                   "wer_eval",
+                   # r10: multi-reference and corpus WER run the same
+                   # DP boundary (chrf_multiref stays pure JVM and is
+                   # deliberately NOT listed here)
+                   "wer_multiref", "wer_corpus"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))

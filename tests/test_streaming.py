@@ -1083,6 +1083,7 @@ def test_corpus_only_stages_rejected_up_front(spark, tmpdir):
         # answer class
         [{"$bleuCorpus": {"candidate": "$text", "reference": "$text"}}],
         [{"$chrfCorpus": {"candidate": "$text", "reference": "$text"}}],
+        [{"$werCorpus": {"candidate": "$text", "reference": "$text"}}],
     ):
         with pytest.raises(ValueError, match="corpus-wide"):
             run_streaming(source, pipeline, ctx, lambda d, e: None,
