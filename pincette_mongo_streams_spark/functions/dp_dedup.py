@@ -1,0 +1,928 @@
+"""Deduplication family: $dedupExact, $minhash(+Dedup), $crossDedup,
+$jaccardJoin, $editDistanceJoin, $simhash(+Dedup), $ngramJaccardDedup
+plus the shared hashing / shingling / connected-components helpers.
+
+Split out of functions/datapipe.py (r10); the import surface stays
+``functions.datapipe`` — the aggregator re-exports every name.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..context import Context
+from ..expressions import ExprContext, compile_expr
+from ..pipeline import StageFn, register_stage
+
+
+def md5_long(col: Column, seed: int) -> Column:
+    """Deterministic 60-bit hash reproducible in DuckDB:
+    ``conv(substr(md5(concat(seed,':',x)),1,15),16,10)``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a compute-bound stage out to all cores.  Small files arrive as a
+    single scan partition (one 500 KB parquet = one task), serializing
+    per-row-heavy hash/regex work; a cheap round-robin repartition fixes
+    that.  Gated so large inputs (already many partitions at 100 TB) are
+    never reshuffled."""
+    try:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, parallelism // 2):
+            return df.repartition(parallelism)
+    except Exception:
+        pass
+    return df
+
+
+def _seeded_hasher(seed: int):
+    """Bind the hash seed via closure — a ``lambda s, i=i:`` default arg
+    would change the lambda's arity and make pyspark pass the array index
+    as the second argument."""
+
+    def h(s: Column) -> Column:
+        return md5_long(s, seed)
+
+    return h
+
+
+def word_shingles(col: Column, n: int) -> Column:
+    """Distinct word n-grams of a lowercased text column — computed with
+    higher-order functions only (row-local, codegen-friendly)."""
+    words = F.split(F.lower(col), "\\s+")
+    k = F.size(words) - F.lit(n - 1)
+    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    )
+
+
+# whitespace class shared with the DuckDB oracles: Java's \s and RE2's
+# \s disagree on vertical tab (\x0B), so operators whose oracle
+# tokenizes in SQL spell the set out explicitly on both sides
+_WS = "[ \\t\\n\\r\\f\\x0B]"
+
+
+# --------------------------------------------------- embedding-pair shared
+
+
+def _unit_vector(emb: Column) -> Column:
+    """Unit-normalize ONCE per row (zero vectors pass through) so each
+    candidate pair later costs a single dot product — norms recomputed
+    per pair would triple the pairwise HOF work."""
+    norm = F.sqrt(
+        F.aggregate(F.transform(emb, lambda x: x * x), F.lit(0.0),
+                    lambda acc, v: acc + v)
+    )
+    return F.when(norm > 0, F.transform(emb, lambda x: x / norm)).otherwise(emb)
+
+
+def _pair_dot(a: Column, b: Column) -> Column:
+    """Dot product of two (unit) vectors — codegen fold, zero shuffle."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                       lambda acc, v: acc + v)
+
+
+def _cc_labels(pairs: DataFrame) -> DataFrame:
+    """Connected components over a near-dup pair frame (__ida, __idb):
+    resolves chained near-dups (a≈b≈c with a̸≈c) into one component,
+    labeled by its min id (columns __cc_node, __cc_comp)."""
+    from ..operators.graphcc import connected_components
+
+    return connected_components(
+        pairs.select(F.col("__ida").alias("a"), F.col("__idb").alias("b")))
+
+
+def _annotate_components(df: DataFrame, labels: DataFrame,
+                         id_field: str, as_field: str) -> DataFrame:
+    """ANNOTATE mode shared by $minhashDedup/$embedDedup/$semanticDedup:
+    label every row with its component id (isolated rows label
+    themselves) instead of dropping."""
+    lab = labels.select(F.col("__cc_node").alias("__did"),
+                        F.col("__cc_comp").alias("__lab"))
+    return (
+        df.join(lab, df[id_field] == lab["__did"], "left")
+        .withColumn(as_field, F.coalesce(F.col("__lab"), F.col(id_field)))
+        .drop("__did", "__lab")
+    )
+
+
+def _component_dups(labels: DataFrame) -> DataFrame:
+    """Every non-representative component member as a (__did) frame —
+    exactly the min-id doc of each cluster survives the anti-join."""
+    return (
+        labels.filter(F.col("__cc_node") != F.col("__cc_comp"))
+        .select(F.col("__cc_node").alias("__did"))
+    )
+
+
+# ------------------------------------------------------------- exact dedup
+
+
+@register_stage("$dedupExact")
+def dedup_exact_stage(expression: Any, ctx: Context) -> StageFn:
+    """Exact dedup on one or more key expressions: single hash-partitioned
+    shuffle; deterministic keeper = min of ``keep`` column (default: first
+    key col order)."""
+    keys = expression["keys"] if isinstance(expression, dict) else [expression]
+    keep_by = expression.get("keepBy") if isinstance(expression, dict) else None
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from pyspark.sql import Window
+
+        ectx = ExprContext(schema=df.schema)
+        key_cols = [compile_expr(k, ectx).alias(f"__k{i}") for i, k in enumerate(keys)]
+        order = (
+            compile_expr(keep_by, ectx)
+            if keep_by is not None
+            else (F.col(c.order_by) if c.order_by and c.order_by in df.columns
+                  else F.monotonically_increasing_id())
+        )
+        tagged = df.select("*", *key_cols, order.alias("__keep"))
+        w = Window.partitionBy(*[F.col(f"__k{i}") for i in range(len(keys))]).orderBy("__keep")
+        return (
+            tagged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__keep", *[f"__k{i}" for i in range(len(keys))])
+        )
+
+    return fn
+
+
+# ------------------------------------------------------------ MinHash/LSH
+
+MINHASH_P = (1 << 31) - 1  # Mersenne prime: products stay under 2^62
+
+# $embedDedup: corpora estimated above this refuse the exact O(n²)
+# all-pairs plan unless {exact: true} (use {bits: k} LSH instead)
+ALL_PAIRS_SIZE_LIMIT = 32 << 20
+
+
+def minhash_coeffs(num: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_i, b_i), shared with the
+    oracle SQL generator."""
+    return [
+        ((i * 2654435761 + 1) % MINHASH_P or 1, (i * 40503 + 7) % MINHASH_P)
+        for i in range(num)
+    ]
+
+
+def minhash_bases(text: Column, n: int) -> Column:
+    """One md5-derived base hash per distinct shingle (the expensive part,
+    computed exactly once)."""
+    sh = word_shingles(text, n)
+    return F.transform(sh, lambda s: md5_long(s, 0) % F.lit(MINHASH_P))
+
+
+def minhash_sig_from_bases(bases: Column, num: int) -> Column:
+    """num cheap (a*h+b) mod P permutations over the materialized base-hash
+    array; each term is a tiny codegen-friendly transform+min.  (Chaining
+    the md5 inside every term would recompute it num times; folding with
+    nested zip_with drops out of codegen — both measured much slower.)"""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    bases,
+                    (lambda a_, b_: lambda h: (F.lit(a_) * h + F.lit(b_))
+                     % F.lit(MINHASH_P))(a, b),
+                )
+            )
+            for a, b in minhash_coeffs(num)
+        ]
+    )
+
+
+def minhash_sig_sql(bases_col: str, num: int) -> Column:
+    """Same expression as ``minhash_sig_from_bases`` over a named column,
+    built as ONE SQL string: the per-permutation ``F.transform`` lambdas
+    cost a py4j roundtrip each (~0.6 s of plan-build time at num=32),
+    while one ``F.expr`` is a single roundtrip.  Products stay < 2^62
+    (both factors < MINHASH_P = 2^31-1), so no ANSI overflow."""
+    terms = ", ".join(
+        f"array_min(transform(`{bases_col}`, h -> ({a}L * h + {b}L) % {MINHASH_P}L))"
+        for a, b in minhash_coeffs(num)
+    )
+    return F.expr(f"array({terms})")
+
+
+def minhash_signature(text: Column, n: int, num: int) -> Column:
+    return minhash_sig_from_bases(minhash_bases(text, n), num)
+
+
+@register_stage("$minhash")
+def minhash_stage(expression: Any, ctx: Context) -> StageFn:
+    """Add a MinHash signature column: ``{input, as, shingle: n, numHashes}``.
+    Row-local, no shuffle, single pass over the shingles."""
+    inp = expression["input"]
+    as_field = expression.get("as", "minhash")
+    n = int(expression.get("shingle", 3))
+    num = int(expression.get("numHashes", 32))
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        df = _spread(df)
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        # two steps so the 32 permutation terms reference the materialized
+        # base array (multi-referenced aliases survive CollapseProject)
+        return (
+            df.withColumn("__mh_bases", minhash_bases(text, n))
+            .withColumn(as_field, minhash_sig_sql("__mh_bases", num))
+            .drop("__mh_bases")
+        )
+
+    return fn
+
+
+def minhash_band_hashes(sig_col: str, bands: int,
+                        rows_per_band: int) -> list:
+    """Band hashes over a MinHash signature column — ONE format shared by
+    $minhashDedup and $crossDedup (the DuckDB oracles pin it, so the two
+    stages must never drift apart)."""
+    return [
+        F.md5(F.concat_ws(",", *[
+            F.lit(b),
+            F.slice(F.col(sig_col), b * rows_per_band + 1,
+                    rows_per_band).cast("string"),
+        ]))
+        for b in range(bands)
+    ]
+
+
+def _check_bands(stage: str, num: int, bands: int) -> None:
+    """bands must tile numHashes exactly: rows_per_band = 0 would make
+    every band hash identical (silently deleting the whole corpus), and a
+    non-divisible split silently ignores trailing signature rows."""
+    if bands <= 0 or bands > num or num % bands != 0:
+        raise ValueError(
+            f"{stage}: numHashes ({num}) must be divisible by bands "
+            f"({bands}) with 1 <= bands <= numHashes"
+        )
+
+
+@register_stage("$minhashDedup")
+def minhash_dedup_stage(expression: Any, ctx: Context) -> StageFn:
+    """Near-dup removal via MinHash + LSH banding.
+
+    ``{input, id, shingle, numHashes, bands, verify?, transitive?}`` —
+    docs sharing any band bucket are candidate duplicates; within a
+    bucket only the min-``id`` doc survives.  This is the scale path:
+    explode to (band, bucket-hash) pairs, one groupBy over buckets, one
+    semi-join back — never a pairwise O(n²) comparison.  Bucket-transitive
+    pruning is slightly more aggressive than exact pairwise Jaccard >= t
+    (standard LSH); ``verify: <threshold>`` adds an exact-Jaccard check on
+    each (bucket keeper, member) candidate pair — only pairs whose TRUE
+    shingle Jaccard reaches the threshold are dropped, at the cost of one
+    extra candidate-sized join (candidates are bucket-bounded, not n²).
+
+    ``transitive: true`` resolves candidate pairs with connected
+    components (operators/graphcc.py) instead of per-bucket pruning:
+    overlapping buckets merge into one cluster and exactly the min-id doc
+    of each *transitive* cluster survives (per-bucket pruning can leave
+    several survivors in a chained cluster, e.g. buckets {b,c} and {a,b}
+    keep both a and b).  The pair graph stays linear in bucket size —
+    star edges (member, bucket keeper), never all pairs.  With ``verify``
+    the edges are the verified pairs, so clusters only span docs whose
+    pairwise path passed the exact-Jaccard check.
+
+    ``as: "<field>"`` (requires ``transitive: true``) switches to
+    ANNOTATE mode: every row is kept and labeled with its transitive
+    cluster id (the component's min id; singletons label themselves)
+    instead of dropping non-canonical members — compose with
+    ``$groupCap {by: "$<field>", cap: 1, sortBy: {quality: -1, ...}}``
+    to keep the best-quality document per near-dup cluster rather than
+    the min-id one.
+    """
+    inp = expression["input"]
+    id_field = expression.get("id", "_id")
+    n = int(expression.get("shingle", 3))
+    num = int(expression.get("numHashes", 32))
+    bands = int(expression.get("bands", 8))
+    verify = expression.get("verify")
+    transitive = bool(expression.get("transitive", False))
+    as_field = expression.get("as")
+    if as_field and not transitive:
+        raise ValueError(
+            "$minhashDedup as (annotate mode) requires transitive: true — "
+            "cluster labels are connected-component ids; per-bucket "
+            "pruning has no single well-defined cluster per document")
+    _check_bands("$minhashDedup", num, bands)
+    rows_per_band = num // bands
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        df = _spread(df)
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        band_hash = minhash_band_hashes("__sig", bands, rows_per_band)
+        with_sig = (
+            df.withColumn("__mh_bases", minhash_bases(text, n))
+            .withColumn("__sig", minhash_sig_sql("__mh_bases", num))
+            .drop("__mh_bases")
+        )
+        buckets = with_sig.select(
+            F.col(id_field).alias("__did"), F.explode(F.array(*band_hash)).alias("__bucket")
+        )
+        # min doc id per bucket survives; every other bucket member is a dup
+        keepers = buckets.groupBy("__bucket").agg(F.min("__did").alias("__keep"))
+        cands = (
+            buckets.join(keepers, "__bucket")
+            .filter(F.col("__did") != F.col("__keep"))
+            .select("__did", "__keep")
+            .distinct()
+        )
+        if verify is not None:
+            # exact-Jaccard confirmation per candidate pair over the true
+            # shingle sets — candidate-sized work, not all-pairs
+            sh = df.select(F.col(id_field).alias("__vid"),
+                           word_shingles(text, n).alias("__vsh"))
+            sa = sh.select(F.col("__vid").alias("__did"),
+                           F.col("__vsh").alias("__sha"))
+            sb = sh.select(F.col("__vid").alias("__keep"),
+                           F.col("__vsh").alias("__shb"))
+            inter = F.size(F.array_intersect("__sha", "__shb"))
+            cands = (
+                cands.join(sa, "__did").join(sb, "__keep")
+                .filter(
+                    inter / (F.size("__sha") + F.size("__shb") - inter)
+                    >= float(verify)
+                )
+            )
+        if transitive:
+            from ..operators.graphcc import connected_components
+
+            labels = connected_components(
+                cands.select(F.col("__did").alias("a"), F.col("__keep").alias("b"))
+            )
+            if as_field:
+                # annotate mode: keep every row, add the transitive
+                # cluster id (min id of the component; singletons label
+                # themselves) — compose with $groupCap {by: "$<as>"} to
+                # keep the BEST doc per cluster instead of the min-id one
+                lab = labels.select(
+                    F.col("__cc_node").alias("__did"),
+                    F.col("__cc_comp").alias("__lab"),
+                )
+                return (
+                    with_sig.join(
+                        lab, with_sig[id_field] == lab["__did"], "left")
+                    .withColumn(
+                        as_field,
+                        F.coalesce(F.col("__lab"), F.col(id_field)))
+                    .drop("__did", "__lab", "__sig")
+                )
+            dups = (
+                labels.filter(F.col("__cc_node") != F.col("__cc_comp"))
+                .select(F.col("__cc_node").alias("__did"))
+            )
+        else:
+            dups = cands.select(F.col("__did")).distinct()
+        return with_sig.join(
+            dups, with_sig[id_field] == dups["__did"], "left_anti"
+        ).drop("__sig")
+
+    return fn
+
+
+@register_stage("$crossDedup")
+def cross_dedup_stage(expression: Any, ctx: Context) -> StageFn:
+    """Cross-corpus near-dup removal: drop input documents that
+    near-duplicate ANY document of a *reference* collection.
+
+    ``{from, input, foreignInput?, id, shingle, numHashes, bands,
+    verify?}`` — the near-dup generalization of ``$decontaminate``
+    (which needs exact shingle overlap and broadcasts the benchmark):
+    here BOTH corpora can be 100 TB class.  Each side computes MinHash
+    band hashes row-locally; the membership test is a bucket equi-join —
+    the input explodes to (id, bucket), the reference reduces to DISTINCT
+    buckets, and a left-semi join marks contaminated ids.  Nothing
+    broadcasts, nothing is pairwise.  ``verify: <threshold>`` joins the
+    true shingle sets of each candidate (input, reference) pair and keeps
+    only exact Jaccard ≥ threshold — candidate-sized work, bucket-bounded.
+
+    Input rows are REMOVED when contaminated (the ``$decontaminate``
+    convention of keeping a flag column is available by composing
+    ``$minhash`` + ``$lookup`` instead).
+    """
+    from_coll = expression["from"]
+    inp = expression["input"]
+    fin = expression.get("foreignInput", inp)
+    id_field = expression.get("id", "_id")
+    n = int(expression.get("shingle", 3))
+    num = int(expression.get("numHashes", 32))
+    bands = int(expression.get("bands", 8))
+    verify = expression.get("verify")
+    _check_bands("$crossDedup", num, bands)
+    rows_per_band = num // bands
+
+    def band_hashes(sig_col: str) -> list:
+        return minhash_band_hashes(sig_col, bands, rows_per_band)
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        df = _spread(df)
+        ref = c.collection(from_coll)
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        rtext = compile_expr(fin, ExprContext(schema=ref.schema))
+        left_sig = (
+            df.withColumn("__mh_bases", minhash_bases(text, n))
+            .withColumn("__sig", minhash_sig_sql("__mh_bases", num))
+        )
+        right_sig = (
+            ref.withColumn("__mh_bases", minhash_bases(rtext, n))
+            .withColumn("__sig", minhash_sig_sql("__mh_bases", num))
+        )
+        lb = left_sig.select(
+            F.col(id_field).alias("__did"),
+            F.explode(F.array(*band_hashes("__sig"))).alias("__bucket"),
+        )
+        if verify is None:
+            rb = right_sig.select(
+                F.explode(F.array(*band_hashes("__sig"))).alias("__bucket")
+            ).distinct()
+            dups = lb.join(rb, "__bucket", "left_semi").select(
+                "__did"
+            ).distinct()
+        else:
+            # candidate pairs carry only ids through the bucket join; the
+            # true shingle sets are fetched per-side afterwards (the
+            # $minhashDedup verify pattern — shipping shingle arrays
+            # through the band explode would multiply the shuffle payload
+            # by `bands`).  The reference-side key is a deterministic
+            # content hash, so retries and re-reads agree.
+            rkey = F.xxhash64(rtext)
+            rb = right_sig.select(
+                rkey.alias("__rid"),
+                F.explode(F.array(*band_hashes("__sig"))).alias("__bucket"),
+            )
+            rsh = ref.select(
+                rkey.alias("__rid"), word_shingles(rtext, n).alias("__shb")
+            ).dropDuplicates(["__rid"])
+            lsh = df.select(
+                F.col(id_field).alias("__did"),
+                word_shingles(text, n).alias("__sha"),
+            )
+            pairs = (
+                lb.join(rb, "__bucket")
+                .select("__did", "__rid")
+                .distinct()
+                .join(rsh, "__rid")
+                .join(lsh, "__did")
+            )
+            inter = F.size(F.array_intersect("__sha", "__shb"))
+            dups = pairs.filter(
+                inter / (F.size("__sha") + F.size("__shb") - inter)
+                >= float(verify)
+            ).select("__did").distinct()
+        return df.join(
+            dups, df[id_field] == dups["__did"], "left_anti"
+        )
+
+    return fn
+
+
+@register_stage("$jaccardJoin")
+def jaccard_join_stage(expression: Any, ctx: Context) -> StageFn:
+    """Near-dup PAIR output: ``{from?, input, id, foreignInput?,
+    foreignId?, shingle, numHashes, bands, threshold}`` →
+    ``(left_id, right_id, jaccard)`` rows for every candidate pair whose
+    exact shingle Jaccard reaches ``threshold``.
+
+    The analytical counterpart of $minhashDedup (which *removes*): the
+    pair list feeds near-dup graph audits, cluster review, and
+    $connectedComponents without deciding survivors.  Same scale
+    profile: candidates come from the MinHash band-bucket equi-join
+    (never all-pairs), collapse to DISTINCT id pairs (a pair colliding
+    in several bands verifies once), and the exact-Jaccard verify
+    fetches each side's shingle set by id — candidate-sized joins.
+    Without ``from`` it is a self-join emitting each unordered pair once
+    (left_id < right_id).  ``jaccard`` is rounded half-up at 9 digits
+    (the SQL-oracle convention).
+    """
+    from_coll = expression.get("from")
+    inp = expression["input"]
+    id_field = expression.get("id", "_id")
+    fin = expression.get("foreignInput", inp)
+    fid = expression.get("foreignId", id_field)
+    n = int(expression.get("shingle", 3))
+    num = int(expression.get("numHashes", 32))
+    bands = int(expression.get("bands", 8))
+    threshold = float(expression.get("threshold", 0.7))
+    _check_bands("$jaccardJoin", num, bands)
+    rows_per_band = num // bands
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        df = _spread(df)
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        left = (
+            df.withColumn("__mh_bases", minhash_bases(text, n))
+            .withColumn("__sig", minhash_sig_sql("__mh_bases", num))
+        )
+        lb = left.select(
+            F.col(id_field).alias("left_id"),
+            F.explode(
+                F.array(*minhash_band_hashes("__sig", bands, rows_per_band))
+            ).alias("__bucket"),
+        )
+        if from_coll is None:
+            right_df, rtext, rid = df, text, id_field
+        else:
+            right_df = c.collection(from_coll)
+            rtext = compile_expr(fin, ExprContext(schema=right_df.schema))
+            rid = fid
+        right = (
+            right_df.withColumn("__mh_bases", minhash_bases(rtext, n))
+            .withColumn("__sig", minhash_sig_sql("__mh_bases", num))
+        )
+        rb = right.select(
+            F.col(rid).alias("right_id"),
+            F.explode(
+                F.array(*minhash_band_hashes("__sig", bands, rows_per_band))
+            ).alias("__bucket"),
+        )
+        pairs = lb.join(rb, "__bucket").select("left_id", "right_id")
+        if from_coll is None:
+            pairs = pairs.filter(F.col("left_id") < F.col("right_id"))
+        pairs = pairs.distinct()
+        lsh = df.select(
+            F.col(id_field).alias("left_id"),
+            word_shingles(text, n).alias("__sha"),
+        )
+        rsh = right_df.select(
+            F.col(rid).alias("right_id"),
+            word_shingles(rtext, n).alias("__shb"),
+        )
+        inter = F.size(F.array_intersect("__sha", "__shb"))
+        union = F.size("__sha") + F.size("__shb") - inter
+        jacc = inter / union
+        return (
+            pairs.join(lsh, "left_id")
+            .join(rsh, "right_id")
+            .filter(union > 0)
+            .withColumn(
+                "jaccard",
+                F.floor(jacc * 1e9 + F.lit(0.5)).cast("double") / F.lit(1e9),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("left_id", "right_id", "jaccard")
+        )
+
+    return fn
+
+
+@register_stage("$editDistanceJoin")
+def edit_distance_join_stage(expression: Any, ctx: Context) -> StageFn:
+    """Edit-distance similarity join: ``{from?, input, id, foreignInput?,
+    foreignId?, maxDistance, gram}`` → ``(left_id, right_id, distance)``
+    rows for every pair whose Levenshtein distance is <= ``maxDistance``.
+
+    Complements $jaccardJoin for short strings (titles, names, OCR/typo
+    noise) where set similarity is too coarse.  Candidate generation is
+    EXACT (no recall loss, unlike the MinHash/SimHash banding families):
+
+    * Long strings (``len >= gram*(maxDistance+1)``) use q-gram prefix
+      filtering (ED-Join, Xiao et al., VLDB 2008): <= ``maxDistance``
+      edits destroy at most ``gram*maxDistance`` of a string's positional
+      q-grams, so two strings within distance k must share a gram among
+      their ``gram*k + 1`` globally-rarest grams.  One corpus-wide gram
+      document-frequency aggregate defines the rarity order; per-string
+      prefix selection is a ``row_number <= q*k+1`` (WindowGroupLimit);
+      candidates come from an equi-join of the tiny prefix sets — rare
+      grams first means hot grams (stop-word shingles) almost never key
+      the join, which is what keeps bucket sizes bounded at corpus scale.
+    * Short strings (too few grams for the pigeonhole bound) fall back to
+      a length-band equi-join: the short side fans out to its 2k+1
+      admissible lengths; both sides of the band are restricted to
+      ``len < gram*(maxDistance+1) + maxDistance``, so the band pool only
+      degenerates when the whole corpus is that short (pick a smaller
+      ``gram``).
+
+    Verification is Spark's banded `levenshtein(a, b, k)` (O(k·n) per
+    pair, returns -1 above the threshold) behind a length-difference
+    prefilter.  Without ``from`` it is a self-join emitting each
+    unordered pair once (left_id < right_id).  Null strings never match.
+    """
+    from_coll = expression.get("from")
+    inp = expression["input"]
+    id_field = expression.get("id", "_id")
+    fin = expression.get("foreignInput", inp)
+    fid = expression.get("foreignId", id_field)
+    k = int(expression.get("maxDistance", 1))
+    q = int(expression.get("gram", 2))
+    if k < 0:
+        raise ValueError("$editDistanceJoin maxDistance must be >= 0")
+    if q < 1:
+        raise ValueError("$editDistanceJoin gram must be >= 1")
+    prefix_len = q * k + 1
+    min_long = q * (k + 1)
+
+    def positional_grams(s: Column) -> Column:
+        # array<struct<pos, g>>: the q-length windows of s (1-based pos);
+        # only called where length(s) >= min_long >= q, so the sequence
+        # bound is always >= 1
+        return F.transform(
+            F.sequence(F.lit(1), F.length(s) - q + 1),
+            lambda i: F.struct(i.alias("pos"), s.substr(i, F.lit(q)).alias("g")),
+        )
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        df = _spread(df)
+        ltext = compile_expr(inp, ExprContext(schema=df.schema)).cast("string")
+        left = df.select(F.col(id_field).alias("left_id"), ltext.alias("__sa"))
+        if from_coll is None:
+            right = left.select(
+                F.col("left_id").alias("right_id"), F.col("__sa").alias("__sb")
+            )
+        else:
+            right_df = c.collection(from_coll)
+            rtext = compile_expr(
+                fin, ExprContext(schema=right_df.schema)
+            ).cast("string")
+            right = right_df.select(
+                F.col(fid).alias("right_id"), rtext.alias("__sb")
+            )
+
+        def grams(side: DataFrame, idc: str, sc: str) -> DataFrame:
+            return (
+                side.filter(F.length(sc) >= min_long)
+                .select(idc, F.explode(positional_grams(F.col(sc))).alias("__pg"))
+                .select(
+                    idc,
+                    F.col("__pg.g").alias("__g"),
+                    F.col("__pg.pos").alias("__pos"),
+                )
+            )
+
+        lg = grams(left, "left_id", "__sa")
+        if from_coll is None:
+            rg = lg.select(
+                F.col("left_id").alias("right_id"), "__g", "__pos"
+            )
+            all_grams = lg.select("__g")
+        else:
+            rg = grams(right, "right_id", "__sb")
+            all_grams = lg.select("__g").unionByName(rg.select("__g"))
+        # one global gram-frequency pass defines the rarity order; the
+        # result is vocabulary-sized (AQE broadcasts it when small)
+        freq = all_grams.groupBy("__g").agg(F.count("*").alias("__df"))
+
+        def prefix(g: DataFrame, idc: str) -> DataFrame:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(idc).orderBy("__df", "__g", "__pos")
+            return (
+                g.join(freq, "__g")
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= prefix_len)
+                .select(idc, "__g")
+            )
+
+        cand_long = prefix(lg, "left_id").join(
+            prefix(rg, "right_id"), "__g"
+        ).select("left_id", "right_id")
+        # short-string fallback: both pool members are < min_long + k
+        # chars, and any pair with a sub-min_long member has both members
+        # in the pool; the left fans out to its 2k+1 admissible lengths
+        short_cut = min_long + k
+        ls = left.filter(F.length("__sa") < short_cut).select(
+            "left_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(-k), F.lit(k)),
+                    lambda d: F.length("__sa") + d,
+                )
+            ).alias("__lb"),
+        )
+        rs = right.filter(F.length("__sb") < short_cut).select(
+            "right_id", F.length("__sb").alias("__lb")
+        )
+        cand_short = ls.join(rs, "__lb").select("left_id", "right_id")
+        pairs = cand_long.unionByName(cand_short)
+        if from_coll is None:
+            pairs = pairs.filter(F.col("left_id") < F.col("right_id"))
+        pairs = pairs.distinct()
+        dist = (
+            F.levenshtein("__sa", "__sb", k) if k > 0
+            else F.when(F.col("__sa") == F.col("__sb"), 0).otherwise(-1)
+        )
+        return (
+            pairs.join(left, "left_id")
+            .join(right, "right_id")
+            .filter(F.abs(F.length("__sa") - F.length("__sb")) <= k)
+            .withColumn("distance", dist.cast("long"))
+            .filter(F.col("distance") >= 0)
+            .select("left_id", "right_id", "distance")
+        )
+
+    return fn
+
+
+@register_stage("$simhash")
+def simhash_stage(expression: Any, ctx: Context) -> StageFn:
+    """64-bit SimHash over word shingles: ``{input, as, shingle, bits}``.
+    bit_j = sign of sum over shingles of (hash bit j ? +1 : -1); near-dups
+    differ in few bits (Hamming).  Row-local, no UDF."""
+    inp = expression["input"]
+    as_field = expression.get("as", "simhash")
+    n = int(expression.get("shingle", 2))
+    bits = int(expression.get("bits", 16))
+    if not 1 <= bits <= 60:
+        raise ValueError("$simhash bits must be in [1, 60] (the shingle "
+                         "hashes carry 60 bits)")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        return _with_simhash(_spread(df), inp, n, bits, as_field)
+
+    return fn
+
+
+def _with_simhash(df: DataFrame, inp: Any, n: int, bits: int,
+                  out_col: str) -> DataFrame:
+    """Append the SimHash column (shared by $simhash and $simhashDedup).
+
+    Two steps, both ONE SQL string (the equivalent nested-lambda Column
+    construction costs ~0.6 s of py4j roundtrips per plan at bits=16):
+    materialize one md5 hash per shingle, then per bit j the vote sum is
+    2·(count of set bits) − n — a compact nested-HOF expression (one tree
+    node per construct, not per bit: the bits-way unrolled vote-vector
+    fold cost ~1 s of parse/analysis per plan and allocated a 16-wide
+    array per shingle at runtime)."""
+    text = compile_expr(inp, ExprContext(schema=df.schema))
+    sh = word_shingles(text, n)
+    hashes = F.expr(
+        "transform(`__sh`, s -> "
+        "cast(conv(substr(md5(concat('0:', s)), 1, 15), 16, 10) as bigint))"
+    )
+    value = F.expr(
+        f"aggregate(transform(sequence(0, {bits - 1}), j -> "
+        f"if(2L * aggregate(`__sh_h`, 0L, "
+        f"(acc, h) -> acc + (shiftright(h, j) & 1)) "
+        f"> size(`__sh_h`), shiftleft(1L, j), 0L)), "
+        f"0L, (acc, x) -> acc + x)"
+    )
+    return (
+        df.withColumn("__sh", sh)
+        .withColumn("__sh_h", hashes)
+        .withColumn(out_col, value)
+        .drop("__sh", "__sh_h")
+    )
+
+
+@register_stage("$simhashDedup")
+def simhash_dedup_stage(expression: Any, ctx: Context) -> StageFn:
+    """Hamming-ball near-dup removal over SimHash signatures:
+    ``{input, id, shingle, bits, maxHamming, transitive?}``.
+
+    The pigeonhole band trick: split the ``bits``-bit signature into
+    ``maxHamming + 1`` contiguous bands — two signatures within Hamming
+    distance ``maxHamming`` must agree EXACTLY on at least one band — so
+    candidate pairs come from an equi-join on (band index, band value),
+    and one ``bit_count(xor)`` per candidate verifies the true distance.
+    Exact over the (member, bucket-keeper) pairing, bucket-bounded,
+    never all-pairs; the same scale profile as $minhashDedup with a far
+    cheaper verify (one popcount vs a shingle-set intersection).
+    ``transitive: true`` resolves verified pairs with connected
+    components, like $minhashDedup."""
+    inp = expression["input"]
+    id_field = expression.get("id", "_id")
+    n = int(expression.get("shingle", 2))
+    bits = int(expression.get("bits", 16))
+    max_h = int(expression.get("maxHamming", 3))
+    transitive = bool(expression.get("transitive", False))
+    if not 1 <= bits <= 60:
+        raise ValueError("$simhashDedup bits must be in [1, 60] (the "
+                         "shingle hashes carry 60 bits)")
+    nb = max_h + 1
+    if nb > bits:
+        raise ValueError("$simhashDedup needs bits >= maxHamming + 1")
+    base_w, extra = divmod(bits, nb)
+    bands = []  # (start, width)
+    start = 0
+    for i in range(nb):
+        w = base_w + (1 if i < extra else 0)
+        bands.append((start, w))
+        start += w
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        hashed = _with_simhash(_spread(df), inp, n, bits, "__simh")
+        band_vals = [
+            F.concat(
+                F.lit(f"{i}:"),
+                (F.shiftright(F.col("__simh"), s)
+                 .bitwiseAND(F.lit((1 << w) - 1))).cast("string"),
+            )
+            for i, (s, w) in enumerate(bands)
+        ]
+        buckets = hashed.select(
+            F.col(id_field).alias("__did"), F.col("__simh").alias("__dh"),
+            F.explode(F.array(*band_vals)).alias("__bucket"),
+        )
+        keepers = buckets.groupBy("__bucket").agg(
+            F.min("__did").alias("__keep")
+        )
+        cands = (
+            buckets.join(keepers, "__bucket")
+            .filter(F.col("__did") != F.col("__keep"))
+            .select("__did", "__dh", "__keep")
+            .distinct()
+        )
+        kh = hashed.select(
+            F.col(id_field).alias("__keep"), F.col("__simh").alias("__kh")
+        )
+        verified = cands.join(kh, "__keep").filter(
+            F.bit_count(F.col("__dh").bitwiseXOR(F.col("__kh"))) <= max_h
+        )
+        if transitive:
+            from ..operators.graphcc import connected_components
+
+            labels = connected_components(
+                verified.select(F.col("__did").alias("a"),
+                                F.col("__keep").alias("b"))
+            )
+            dups = labels.select(F.col("__cc_node").alias("__did"))
+        else:
+            dups = verified.select("__did").distinct()
+        return hashed.join(
+            dups, hashed[id_field] == dups["__did"], "left_anti"
+        ).drop("__simh")
+
+    return fn
+
+
+@register_stage("$ngramJaccardDedup")
+def ngram_jaccard_dedup_stage(expression: Any, ctx: Context) -> StageFn:
+    """Exact n-gram Jaccard near-dup removal: ``{input, id, n, threshold}``.
+
+    Pairs are generated only for docs sharing at least one shingle
+    (inverted-index join on exploded shingles), then exact Jaccard =
+    |inter| / |union| filters candidates; the larger-``id`` doc of each
+    qualifying pair is removed.
+
+    Scale guard: one stop-word-like shingle shared by m documents makes a
+    quadratic m² bucket.  Shingles whose document frequency exceeds
+    ``maxShingleDf`` (default 1000) are dropped from CANDIDATE GENERATION
+    only; the Jaccard of each surviving candidate pair is still computed
+    exactly over the full shingle sets (array_intersect), so results are
+    unchanged unless a near-dup pair shares *only* hot shingles — the
+    standard inverted-index-dedup recall trade, documented in SCALE.md.
+    """
+    inp = expression["input"]
+    id_field = expression.get("id", "_id")
+    n = int(expression.get("n", 3))
+    threshold = float(expression.get("threshold", 0.8))
+    max_df = int(expression.get("maxShingleDf", 1000))
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        df = _spread(df)
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        with_sh = df.withColumn("__sh", word_shingles(text, n))
+        docs = with_sh.select(F.col(id_field).alias("__did"), "__sh")
+        inv = docs.select("__did", F.explode("__sh").alias("__g"))
+        # document-frequency cap: the DF aggregate shuffles inv by __g —
+        # the same partitioning the candidate self-join needs, so the cap
+        # costs no extra shuffle of the big side (no broadcast of the hot
+        # list either: it can be large in open-world corpora)
+        cold = (
+            inv.groupBy("__g").agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("__g")
+        )
+        inv_c = inv.join(cold, "__g")
+        cands = (
+            inv_c.alias("a")
+            .join(inv_c.alias("b"), (F.col("a.__g") == F.col("b.__g"))
+                  & (F.col("a.__did") < F.col("b.__did")))
+            .select(F.col("a.__did").alias("__ida"),
+                    F.col("b.__did").alias("__idb"))
+            .distinct()
+        )
+        sa = docs.select(F.col("__did").alias("__ida"), F.col("__sh").alias("__sha"))
+        sb = docs.select(F.col("__did").alias("__idb"), F.col("__sh").alias("__shb"))
+        scored = (
+            cands.join(sa, "__ida").join(sb, "__idb")
+            .withColumn("__inter",
+                        F.size(F.array_intersect("__sha", "__shb")))
+            .withColumn(
+                "__j",
+                F.col("__inter")
+                / (F.size("__sha") + F.size("__shb") - F.col("__inter")),
+            )
+        )
+        dups = scored.filter(F.col("__j") >= threshold).select(
+            F.col("__idb").alias("__did")
+        ).distinct()
+        return with_sh.join(dups, with_sh[id_field] == dups["__did"], "left_anti").drop("__sh")
+
+    return fn
+
+
+# ------------------------------------------------------ embedding ops / ANN
+
+

@@ -1,0 +1,1454 @@
+"""Eval-metric family: $ngramOverlap, $profile, $rougeL, $bleu,
+$bleuCorpus, $chrf, $qaEval, $chrfCorpus, $wer, $werCorpus and the
+shared clipped-overlap helpers.
+
+Split out of functions/datapipe.py (r10); the import surface stays
+``functions.datapipe`` — the aggregator re-exports every name.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..context import Context
+from ..expressions import ExprContext, compile_expr
+from ..pipeline import StageFn, register_stage
+
+
+@register_stage("$ngramOverlap")
+def ngram_overlap_stage(expression: Any, ctx: Context) -> StageFn:
+    """Clipped word-n-gram overlap between a candidate and a reference
+    text IN THE SAME ROW — the row-local core of BLEU/ROUGE-style eval
+    and contamination scoring: ``{candidate, reference, n?, maxWords?,
+    as?}`` adds ``struct<n_cand, n_ref, n_match, precision, recall,
+    f1>`` where ``n_match`` is the CLIPPED match count (per distinct
+    gram, ``min(count_in_candidate, count_in_reference)`` — BLEU's
+    modified precision numerator; ROUGE-N recall = the same numerator
+    over the reference count).  precision/recall are 0.0 when their
+    denominator is 0; f1 is their harmonic mean (0.0 when both are 0).
+    Null in either text -> null struct.
+
+    ``maxWords`` (default 2000, advisor r8) truncates BOTH texts first,
+    the same cap discipline as ``$rougeL``: the clipped-match aggregate
+    is O(d·(|c|+|r|)) per row, so one pathological document pair
+    (say 10^5 words each) would cost ~10^9 comparisons in a single
+    task — the cap is the honest bound, loudly documented rather than
+    hidden.
+
+    MULTI-REFERENCE (r9, Lin 2004 §4's ROUGE-N convention):
+    ``references: <expr -> array<string>>`` scores the candidate
+    against EACH reference and keeps the struct of the best f1 (ties ->
+    the first reference in array order) — n_ref/n_match/precision/
+    recall all come from that winning reference.  Null reference
+    elements are dropped; a null or effectively-empty array -> null
+    struct.  Exactly one of ``reference``/``references``; a 1-element
+    array agrees exactly with the scalar form.
+
+    100 TB shape: pure higher-order-function column program (split ->
+    sliding-window grams -> aggregate over distinct grams) — row-local,
+    zero shuffle, whole-stage codegen; O(d·(|c|+|r|)) per row where d
+    is the distinct-gram count (x|refs| in multi-reference form, one
+    fold over the reference array).  Compose per-n for multi-n BLEU."""
+    cand_e = expression["candidate"]
+    ref_e = expression.get("reference")
+    refs_e = expression.get("references")
+    if (ref_e is None) == (refs_e is None):
+        raise ValueError(
+            "$ngramOverlap needs exactly one of reference | references")
+    n = int(expression.get("n", 1))
+    max_words = int(expression.get("maxWords", 2000))
+    as_field = expression.get("as", "overlap")
+    if n < 1:
+        raise ValueError("$ngramOverlap n must be >= 1")
+    if max_words < 1:
+        raise ValueError("$ngramOverlap maxWords must be >= 1")
+
+    _OV_T = ("struct<n_cand:bigint,n_ref:bigint,n_match:bigint,"
+             "precision:double,recall:double,f1:double>")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        sctx = ExprContext(schema=df.schema)
+        cand = compile_expr(cand_e, sctx)
+        if refs_e is not None:
+            refs = compile_expr(refs_e, sctx)
+            stage = df.withColumn(
+                "__ngo_gc",
+                _eval_grams(_eval_words(cand, max_words), n),
+            ).withColumn(
+                "__ngo_grs",
+                F.transform(
+                    F.filter(refs, lambda r: r.isNotNull()),
+                    lambda r: _eval_grams(_eval_words(r, max_words), n)))
+            gc, grs = F.col("__ngo_gc"), F.col("__ngo_grs")
+            nc = F.size(gc).cast("long")
+
+            def score_one(gr: Column) -> Column:
+                m = F.aggregate(
+                    F.array_distinct(gc), F.lit(0).cast("long"),
+                    lambda acc, g: acc + F.least(
+                        F.size(F.filter(gc, lambda x: x == g)),
+                        F.size(F.filter(gr, lambda x: x == g)),
+                    ).cast("long"))
+                nr = F.size(gr).cast("long")
+                p = F.when(nc > 0, m / nc.cast("double")) \
+                    .otherwise(F.lit(0.0))
+                r = F.when(nr > 0, m / nr.cast("double")) \
+                    .otherwise(F.lit(0.0))
+                f = F.when(p + r > 0, 2.0 * p * r / (p + r)) \
+                    .otherwise(F.lit(0.0))
+                return F.struct(
+                    nc.alias("n_cand"), nr.alias("n_ref"),
+                    m.alias("n_match"), p.alias("precision"),
+                    r.alias("recall"), f.alias("f1"))
+
+            # materialize per-reference structs FIRST (transform runs
+            # score_one once per ref), THEN fold comparing fields — a
+            # fold calling score_one directly would re-run the O(d·c)
+            # clip aggregate per lambda mention (no CSE in HOF lambdas,
+            # see _eval_clipped's contract).  Strict > keeps ties on
+            # the FIRST reference in array order.
+            stage = stage.withColumn(
+                "__ngo_sc", F.transform(grs, score_one))
+            best = F.aggregate(
+                F.col("__ngo_sc"), F.lit(None).cast(_OV_T),
+                lambda acc, s: F.when(
+                    acc.isNull() | (s["f1"] > acc["f1"]), s,
+                ).otherwise(acc))
+            null_st = F.lit(None).cast(_OV_T)
+            out = F.when(
+                cand.isNull() | refs.isNull() | (F.size(grs) == 0),
+                null_st).otherwise(best)
+            return stage.withColumn(as_field, out) \
+                .drop("__ngo_gc", "__ngo_grs", "__ngo_sc")
+        ref = compile_expr(ref_e, sctx)
+        # materialize grams and the clipped-match count as TEMP COLUMNS:
+        # the struct below references each several times (precision,
+        # recall and f1 all contain the match count), and inlining the
+        # aggregate expression would make Catalyst evaluate the O(d·c)
+        # HOF per reference — measured 10x+ on the oracle query.
+        # CollapseProject keeps multiply-referenced non-cheap aliases
+        # materialized, so each computes once per row.
+        stage = df.withColumn(
+            "__ngo_gc", _eval_grams(_eval_words(cand, max_words), n),
+        ).withColumn(
+            "__ngo_gr", _eval_grams(_eval_words(ref, max_words), n))
+        gc, gr = F.col("__ngo_gc"), F.col("__ngo_gr")
+        stage = stage.withColumn(
+            "__ngo_m", _eval_clipped(gc, gr),
+        ).withColumn("__ngo_p", F.when(
+            F.size(gc) > 0,
+            F.col("__ngo_m") / F.size(gc).cast("long")).otherwise(F.lit(0.0))
+        ).withColumn("__ngo_r", F.when(
+            F.size(gr) > 0,
+            F.col("__ngo_m") / F.size(gr).cast("long")).otherwise(F.lit(0.0)))
+        prec, rec = F.col("__ngo_p"), F.col("__ngo_r")
+        f1 = F.when(prec + rec > 0,
+                    2.0 * prec * rec / (prec + rec)).otherwise(F.lit(0.0))
+        st = F.struct(
+            F.size(gc).cast("long").alias("n_cand"),
+            F.size(gr).cast("long").alias("n_ref"),
+            F.col("__ngo_m").alias("n_match"), prec.alias("precision"),
+            rec.alias("recall"), f1.alias("f1"))
+        null_st = F.lit(None).cast(
+            "struct<n_cand:bigint,n_ref:bigint,n_match:bigint,"
+            "precision:double,recall:double,f1:double>")
+        return stage.withColumn(
+            as_field,
+            F.when(cand.isNull() | ref.isNull(), null_st).otherwise(st),
+        ).drop("__ngo_gc", "__ngo_gr", "__ngo_m", "__ngo_p", "__ngo_r")
+
+    return fn
+
+
+def _eval_words(t: Column, max_words: Optional[int] = None) -> Column:
+    """Whitespace word split shared by the BLEU-family stages
+    ($ngramOverlap / $bleu) — Java \\s semantics, empties dropped.
+    ``max_words`` truncates the word array (the stages' per-row cost
+    cap — see $rougeL's maxWords note)."""
+    w = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != F.lit(""))
+    return w if max_words is None else F.slice(w, 1, max_words)
+
+
+def _eval_grams(w: Column, n: int) -> Column:
+    """Sliding word-n-gram windows (space-joined) over a word array."""
+    if n == 1:
+        return w
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _eval_clipped(gc: Column, gr: Column) -> Column:
+    """Clipped multiset intersection: per distinct candidate gram,
+    min(count in candidate, count in reference) — BLEU's modified-
+    precision numerator.  CALLERS MUST pass materialized temp COLUMNS,
+    never inline expressions: the aggregate re-evaluates its array
+    arguments inside the HOF lambda per element (no CSE), and downstream
+    struct fields referencing the result would each re-run it."""
+    return F.aggregate(
+        F.array_distinct(gc), F.lit(0).cast("long"),
+        lambda acc, g: acc + F.least(
+            F.size(F.filter(gc, lambda x: x == g)),
+            F.size(F.filter(gr, lambda x: x == g)),
+        ).cast("long"))
+
+
+def _eval_clipped_multi(gc: Column, grs: Column) -> Column:
+    """Multi-reference clipped intersection (Papineni 2002 §2.2): per
+    distinct candidate gram, ``min(count in candidate, MAX count across
+    references)`` — a gram is creditable up to the most any single
+    reference supports it, never the sum.  ``grs`` is an array of gram
+    arrays (one per reference).  Same materialized-temp-column contract
+    as :func:`_eval_clipped`."""
+    return F.aggregate(
+        F.array_distinct(gc), F.lit(0).cast("long"),
+        lambda acc, g: acc + F.least(
+            F.size(F.filter(gc, lambda x: x == g)),
+            F.array_max(F.transform(
+                grs, lambda arr: F.size(F.filter(arr, lambda x: x == g)))),
+        ).cast("long"))
+
+
+@register_stage("$profile")
+def profile_stage(expression: Any, ctx: Context) -> StageFn:
+    """One-pass data profiling: ``{columns: [...], percentiles?:
+    [0.25, 0.5, 0.75], exact?: false, topK?: 0}`` -> one row PER COLUMN
+    with ``(column, type, n_rows, n_null, n_distinct, min, max, mean,
+    stddev, p<pct>..., min_str, max_str, min_len, max_len, avg_len,
+    top)`` — the first thing a pipeline runs against a new 100 TB
+    table.  r9 (carried r7 verdict item 5): besides numerics, STRING
+    columns profile too (lexicographic min/max in ``min_str``/
+    ``max_str``, character-length min/max/avg, optional ``topK`` most
+    frequent values as ``array<struct<value,n>>`` ordered by count desc
+    then value) and DATE/TIMESTAMP columns (null/distinct counts +
+    ISO-rendered min/max in ``min_str``/``max_str``).  Fields that do
+    not apply to a column's type are null; ``type`` says which reading
+    applies.
+
+    Spark-first shape: ALL statistics for ALL columns compute in ONE
+    global aggregate (a single shuffle whose partial aggregation
+    reduces every task to one row), then the stat row pivots to
+    per-column rows with ``inline`` — no per-column passes, no driver
+    collect.  ``topK`` is the one exception (off by default): each
+    string column adds one partial-aggregated count-by-value, a
+    TakeOrderedAndProject top-k, and a 1-row broadcast join back onto
+    the stat row — the same pinned 1-row-join pattern as
+    ``$decontaminate``, still fully declarative and scan-parallel.
+    ``exact: false`` (default) uses ``approx_count_distinct`` (HLL) and
+    ``percentile_approx`` — the 100 TB configuration; ``exact: true``
+    uses exact distinct counts and interpolated percentiles (DuckDB
+    ``quantile_cont`` semantics) for oracle-grade answers at test
+    scale.
+
+    CORPUS-ONLY (r9, carried r7 verdict item): the output claims to be
+    a profile of the whole input — inside a foreachBatch re-entry it
+    would silently profile ONE micro-batch and label it a corpus
+    profile, the exact silent-wrong-answer class ``_corpus_only``
+    exists for.  Rejected at submit time by the streaming runtime and
+    per micro-batch here (defense in depth)."""
+    cols = expression["columns"]
+    pcts = expression.get("percentiles", [0.25, 0.5, 0.75])
+    exact = bool(expression.get("exact", False))
+    top_k = int(expression.get("topK", 0))
+    if not cols or not isinstance(cols, list):
+        raise ValueError("$profile needs a non-empty columns list")
+    if len(set(cols)) != len(cols):
+        raise ValueError("$profile columns must be distinct")
+    if top_k < 0:
+        raise ValueError("$profile topK must be >= 0")
+    names = [f"p{int(round(p * 100))}" for p in pcts]
+    if any(not 0 <= p <= 1 for p in pcts):
+        raise ValueError("$profile percentiles must be in [0, 1]")
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"$profile percentiles collide at integer-percent names: "
+            f"{names} — use distinct hundredths")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..operators.extended import _corpus_only
+
+        _corpus_only("$profile", c)
+        kinds: dict = {}
+        for col in cols:
+            if col not in df.columns:
+                raise ValueError(f"$profile: no column {col!r}")
+            dt = df.schema[col].dataType
+            if isinstance(dt, T.NumericType):
+                kinds[col] = "numeric"
+            elif isinstance(dt, T.StringType):
+                kinds[col] = "string"
+            elif isinstance(dt, T.DateType):
+                kinds[col] = "date"
+            elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                kinds[col] = "timestamp"
+            else:
+                raise ValueError(
+                    f"$profile: {col!r} is {dt.simpleString()} — "
+                    "profilable kinds are numeric, string, date and "
+                    "timestamp (cast or $addFields first)")
+
+        # positional internal keys + backtick-quoted access: a column
+        # name containing dots must neither break the agg (unquoted
+        # resolution parses nested access) nor the stat readback
+        # (review r7)
+        def qcol(col: str) -> Column:
+            return F.col("`" + col.replace("`", "``") + "`")
+
+        key = {col: f"__pf{i}" for i, col in enumerate(cols)}
+        aggs = [F.count(F.lit(1)).alias("__n_rows")]
+        for col in cols:
+            k, kind = key[col], kinds[col]
+            raw = qcol(col)
+            x = raw.cast("double") if kind == "numeric" else raw
+            distinct = (F.count_distinct(x) if exact
+                        else F.approx_count_distinct(x))
+            aggs += [
+                F.count(x).alias(f"{k}_nn"),
+                distinct.cast("long").alias(f"{k}_nd"),
+            ]
+            if kind == "numeric":
+                aggs += [
+                    F.min(x).alias(f"{k}_min"),
+                    F.max(x).alias(f"{k}_max"),
+                    F.avg(x).alias(f"{k}_mean"),
+                    F.stddev_pop(x).alias(f"{k}_sd"),
+                ]
+                for p, nm in zip(pcts, names):
+                    q = (F.percentile(x, F.lit(float(p))) if exact
+                         else F.percentile_approx(x, F.lit(float(p))))
+                    aggs.append(q.alias(f"{k}_{nm}"))
+            elif kind == "string":
+                ln = F.length(x)
+                aggs += [
+                    F.min(x).alias(f"{k}_smin"),
+                    F.max(x).alias(f"{k}_smax"),
+                    F.min(ln).alias(f"{k}_lmin"),
+                    F.max(ln).alias(f"{k}_lmax"),
+                    F.avg(ln).alias(f"{k}_lavg"),
+                ]
+            else:  # date / timestamp
+                aggs += [
+                    F.min(x).alias(f"{k}_tmin"),
+                    F.max(x).alias(f"{k}_tmax"),
+                ]
+        row = df.agg(*aggs)
+        if top_k:
+            for col in cols:
+                if kinds[col] != "string":
+                    continue
+                x = qcol(col)
+                top = (
+                    df.where(x.isNotNull())
+                    .groupBy(x.alias("__v"))
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .orderBy(F.col("__n").desc(), F.col("__v"))
+                    .limit(top_k)
+                    .agg(F.collect_list(
+                        F.struct(F.col("__v").alias("value"),
+                                 F.col("__n").alias("n")))
+                         .alias(f"{key[col]}_top"))
+                )
+                row = row.crossJoin(F.broadcast(top))
+        d_null = F.lit(None).cast("double")
+        l_null = F.lit(None).cast("long")
+        s_null = F.lit(None).cast("string")
+        top_null = F.lit(None).cast("array<struct<value:string,n:bigint>>")
+        structs = []
+        for col in cols:
+            k, kind = key[col], kinds[col]
+            base = [
+                F.lit(col).alias("column"),
+                F.lit(kind).alias("type"),
+                F.col("__n_rows").cast("long").alias("n_rows"),
+                (F.col("__n_rows") - F.col(f"{k}_nn")).cast("long")
+                .alias("n_null"),
+                F.col(f"{k}_nd").alias("n_distinct"),
+            ]
+            if kind == "numeric":
+                num = [
+                    F.col(f"{k}_min").alias("min"),
+                    F.col(f"{k}_max").alias("max"),
+                    F.col(f"{k}_mean").alias("mean"),
+                    F.col(f"{k}_sd").alias("stddev"),
+                    *[F.col(f"{k}_{nm}").alias(nm) for nm in names],
+                ]
+                strs = [s_null.alias("min_str"), s_null.alias("max_str")]
+                lens = [l_null.alias("min_len"), l_null.alias("max_len"),
+                        d_null.alias("avg_len")]
+                top_c = top_null
+            else:
+                num = [d_null.alias("min"), d_null.alias("max"),
+                       d_null.alias("mean"), d_null.alias("stddev"),
+                       *[d_null.alias(nm) for nm in names]]
+                if kind == "string":
+                    strs = [F.col(f"{k}_smin").alias("min_str"),
+                            F.col(f"{k}_smax").alias("max_str")]
+                    lens = [F.col(f"{k}_lmin").cast("long")
+                            .alias("min_len"),
+                            F.col(f"{k}_lmax").cast("long")
+                            .alias("max_len"),
+                            F.col(f"{k}_lavg").alias("avg_len")]
+                    if top_k:
+                        # the limit's output order is not contractual
+                        # through the collect_list, so re-sort: count
+                        # desc, then value asc — deterministic
+                        top_c = F.array_sort(
+                            F.col(f"{k}_top"),
+                            lambda l, r: F.when(l["n"] > r["n"],
+                                                F.lit(-1))
+                            .when(l["n"] < r["n"], F.lit(1))
+                            .when(l["value"] < r["value"], F.lit(-1))
+                            .when(l["value"] > r["value"], F.lit(1))
+                            .otherwise(F.lit(0)))
+                    else:
+                        top_c = top_null
+                else:
+                    fmt = ("yyyy-MM-dd" if kind == "date"
+                           else "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+                    strs = [F.date_format(F.col(f"{k}_tmin"), fmt)
+                            .alias("min_str"),
+                            F.date_format(F.col(f"{k}_tmax"), fmt)
+                            .alias("max_str")]
+                    lens = [l_null.alias("min_len"),
+                            l_null.alias("max_len"),
+                            d_null.alias("avg_len")]
+                    top_c = top_null
+            structs.append(
+                F.struct(*base, *num, *strs, *lens, top_c.alias("top")))
+        return row.select(F.inline(F.array(*structs)))
+
+    return fn
+
+
+_ROUGE_TYPE = ("struct<lcs:bigint,precision:double,"
+               "recall:double,f1:double>")
+
+
+@register_stage("$rougeL")
+def rouge_l_stage(expression: Any, ctx: Context) -> StageFn:
+    """ROUGE-L (Lin 2004): longest-common-subsequence overlap between a
+    candidate and a reference text in the same row — ``{candidate,
+    reference | references, beta?, maxWords?, as?}`` adds ``struct<lcs,
+    precision, recall, f1>`` where ``precision = LCS/|cand|``,
+    ``recall = LCS/|ref|`` and f1 is the beta-weighted harmonic mean
+    (Lin's F_lcs with ``beta`` defaulting to 1; ROUGE's recall-heavy
+    variant uses a large beta).  Word-level, Java-\\s tokenization like
+    the rest of the eval family.
+
+    MULTI-REFERENCE (r9): ``references: <expr -> array<string>>``
+    scores the candidate against EACH reference and keeps the struct of
+    the reference with the best F_lcs (Lin 2004 §5's multi-reference
+    max; ties -> the first reference in array order).  Null reference
+    elements are dropped; a null or effectively-empty array -> null.
+    Exactly one of ``reference``/``references``; a single-element array
+    agrees exactly with the scalar form.
+
+    LCS needs a dynamic program (no closed column form), so this is an
+    Arrow-batched Pandas UDF — the eval-family's documented Python
+    boundary (row-local, zero shuffle).  ``maxWords`` (default 2000)
+    truncates the candidate and every reference first: the DP is
+    O(|c|·|r|) per row and an unbounded pair would make one row cost
+    10^8 cells; the cap is the honest bound, loudly documented here
+    rather than hidden."""
+    cand_e = expression["candidate"]
+    ref_e = expression.get("reference")
+    refs_e = expression.get("references")
+    if (ref_e is None) == (refs_e is None):
+        raise ValueError(
+            "$rougeL needs exactly one of reference | references")
+    beta = float(expression.get("beta", 1.0))
+    max_words = int(expression.get("maxWords", 2000))
+    as_field = expression.get("as", "rouge_l")
+    if beta <= 0:
+        raise ValueError("$rougeL beta must be > 0")
+    if max_words < 1:
+        raise ValueError("$rougeL maxWords must be >= 1")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        sctx = ExprContext(schema=df.schema)
+        cand = compile_expr(cand_e, sctx)
+        ref = compile_expr(ref_e, sctx) if ref_e is not None else None
+        refs = compile_expr(refs_e, sctx) if refs_e is not None else None
+        b2 = beta * beta
+
+        def lcs_len(a: list, b: list) -> int:
+            # two-row DP; rows over the shorter side for O(min) memory
+            if len(a) < len(b):
+                a, b = b, a
+            if not b:
+                return 0
+            prev = [0] * (len(b) + 1)
+            for x in a:
+                cur = [0]
+                append = cur.append
+                for j, y in enumerate(b, 1):
+                    if x == y:
+                        append(prev[j - 1] + 1)
+                    else:
+                        pj = prev[j]
+                        cj = cur[j - 1]
+                        append(pj if pj >= cj else cj)
+                prev = cur
+            return prev[-1]
+
+        import re as _re
+
+        ws_split = _re.compile(r"[ \t\n\r\f\x0b]+").split  # Java \s
+
+        def score(pair) -> Any:
+            ct, rt = pair
+            if ct is None or rt is None:
+                return None
+            wc = [w for w in ws_split(ct) if w][:max_words]
+            wr = [w for w in ws_split(rt) if w][:max_words]
+            m = lcs_len(wc, wr)
+            p = m / len(wc) if wc else 0.0
+            r = m / len(wr) if wr else 0.0
+            f = ((1 + b2) * p * r / (r + b2 * p)) if p + r else 0.0
+            return (m, p, r, f)
+
+        def score_multi(pair) -> Any:
+            ct, rts = pair
+            if ct is None or rts is None:
+                return None
+            vals = [score((ct, rt)) for rt in rts if rt is not None]
+            if not vals:
+                return None
+            # max F_lcs across references; Python max keeps the FIRST
+            # maximal element, so ties resolve to array order (pinned)
+            return max(vals, key=lambda v: v[3])
+
+        def _frame(vals) -> pd.DataFrame:
+            return pd.DataFrame(
+                [(None, None, None, None) if v is None else v
+                 for v in vals],
+                columns=["lcs", "precision", "recall", "f1"])
+
+        if refs is not None:
+            @F.pandas_udf(_ROUGE_TYPE)
+            def _rouge_multi(s: pd.Series, t: pd.Series) -> pd.DataFrame:
+                return _frame([score_multi(pr) for pr in zip(s, t)])
+
+            out = _rouge_multi(cand, refs)
+            null_in = cand.isNull() | refs.isNull()
+        else:
+            @F.pandas_udf(_ROUGE_TYPE)
+            def _rouge(s: pd.Series, t: pd.Series) -> pd.DataFrame:
+                return _frame([score(pr) for pr in zip(s, t)])
+
+            out = _rouge(cand, ref)
+            null_in = cand.isNull() | ref.isNull()
+        # null in -> null STRUCT (the UDF can only null the fields); a
+        # multi-ref row whose references all filter away also comes
+        # back as null FIELDS — normalize both to a null struct.  The
+        # UDF output lands in a temp column first so the when-tree
+        # never references the Python expression twice.
+        null_st = F.lit(None).cast(_ROUGE_TYPE)
+        stage = df.withColumn("__rl_raw", out)
+        raw = F.col("__rl_raw")
+        return stage.withColumn(
+            as_field,
+            F.when(null_in | raw["f1"].isNull(), null_st).otherwise(raw),
+        ).drop("__rl_raw")
+
+    return fn
+
+
+@register_stage("$bleu")
+def bleu_stage(expression: Any, ctx: Context) -> StageFn:
+    """Sentence-level BLEU (Papineni et al. 2002): ``{candidate,
+    reference | references, maxN?, maxWords?, smooth?, as?}`` adds the
+    BLEU-``maxN`` score (default 4): brevity penalty x geometric mean
+    of the clipped n-gram precisions p_1..p_maxN (the same clipped
+    counts as ``$ngramOverlap``).  Unsmoothed by default — any zero
+    p_n gives 0.0, as standard; ``smooth: "add1"`` applies add-one
+    smoothing to the n >= 2 precisions (Lin & Och 2004's method), the
+    common choice for sentence-level scoring.  A candidate with no
+    n-grams at some order (shorter than ``maxN`` words) scores 0.0.
+    Null in either side -> null.
+
+    MULTI-REFERENCE (r9, Papineni 2002 §2.2-2.3 — how real eval
+    harnesses score): ``references: <expr -> array<string>>`` clips
+    each candidate n-gram against the MAX count of that gram across
+    all references, and the brevity penalty uses the reference whose
+    length is CLOSEST to the candidate's (ties -> the shorter
+    reference, the sacrebleu/NLTK convention).  Null reference
+    ELEMENTS are dropped; a null or effectively-empty references array
+    -> null score.  Exactly one of ``reference``/``references``.
+    With a single-element array the two forms agree exactly
+    (differential-tested).
+
+    ``maxWords`` (default 2000, advisor r8) truncates the candidate
+    and every reference first — the same per-row cost cap as
+    ``$rougeL``/``$ngramOverlap``: the clipped-match aggregate runs
+    once per order, so an uncapped pathological pair would cost ~10^9
+    comparisons across 4 orders in a single task.
+
+    100 TB shape: same row-local HOF column programs as $ngramOverlap,
+    one clipped-match aggregate per order materialized as a temp column
+    (never inlined — see $ngramOverlap's CSE note), zero shuffle —
+    multi-reference adds one nested transform per order, still fully
+    JVM-side."""
+    cand_e = expression["candidate"]
+    ref_e = expression.get("reference")
+    refs_e = expression.get("references")
+    if (ref_e is None) == (refs_e is None):
+        raise ValueError(
+            "$bleu needs exactly one of reference | references")
+    max_n = int(expression.get("maxN", 4))
+    max_words = int(expression.get("maxWords", 2000))
+    smooth = expression.get("smooth")
+    as_field = expression.get("as", "bleu")
+    if not 1 <= max_n <= 8:
+        raise ValueError("$bleu maxN must be in 1..8")
+    if max_words < 1:
+        raise ValueError("$bleu maxWords must be >= 1")
+    if smooth not in (None, "add1"):
+        raise ValueError(f"$bleu smooth must be 'add1' or absent, "
+                         f"got {smooth!r}")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        sctx = ExprContext(schema=df.schema)
+        cand = compile_expr(cand_e, sctx)
+        temps = ["__bleu_wc"]
+        stage = df.withColumn("__bleu_wc", _eval_words(cand, max_words))
+        wc = F.col("__bleu_wc")
+        if refs_e is not None:
+            refs = compile_expr(refs_e, sctx)
+            temps.append("__bleu_wrs")
+            stage = stage.withColumn(
+                "__bleu_wrs",
+                F.transform(F.filter(refs, lambda r: r.isNotNull()),
+                            lambda r: _eval_words(r, max_words)))
+            wrs = F.col("__bleu_wrs")
+            null_in = cand.isNull() | refs.isNull() | (F.size(wrs) == 0)
+        else:
+            ref = compile_expr(ref_e, sctx)
+            temps.append("__bleu_wr")
+            stage = stage.withColumn("__bleu_wr",
+                                     _eval_words(ref, max_words))
+            null_in = cand.isNull() | ref.isNull()
+        wr = F.col("__bleu_wr")
+        for n in range(1, max_n + 1):
+            gc_name, m_name = f"__bleu_gc{n}", f"__bleu_m{n}"
+            temps += [gc_name, m_name]
+            stage = stage.withColumn(gc_name, _eval_grams(wc, n))
+            if refs_e is not None:
+                grs_name = f"__bleu_grs{n}"
+                temps.append(grs_name)
+                stage = stage.withColumn(
+                    grs_name,
+                    F.transform(wrs, lambda w: _eval_grams(w, n)))
+                stage = stage.withColumn(
+                    m_name,
+                    _eval_clipped_multi(F.col(gc_name), F.col(grs_name)))
+            else:
+                gr_name = f"__bleu_gr{n}"
+                temps.append(gr_name)
+                stage = stage.withColumn(gr_name, _eval_grams(wr, n))
+                stage = stage.withColumn(
+                    m_name, _eval_clipped(F.col(gc_name), F.col(gr_name)))
+        # zero-precision guard: any order with no candidate grams, or an
+        # unsmoothed order with zero matches, zeroes the whole score
+        zero = F.lit(False)
+        log_sum = F.lit(0.0)
+        for n in range(1, max_n + 1):
+            cnt = F.size(F.col(f"__bleu_gc{n}")).cast("double")
+            m = F.col(f"__bleu_m{n}").cast("double")
+            if smooth == "add1" and n >= 2:
+                p = (m + 1.0) / (cnt + 1.0)
+                zero = zero | (cnt == 0.0)
+            else:
+                p = m / cnt
+                zero = zero | (cnt == 0.0) | (m == 0.0)
+            log_sum = log_sum + F.log(p) / max_n
+        c_len = F.size(wc).cast("double")
+        if refs_e is not None:
+            # effective reference length: closest to the candidate's,
+            # ties -> shorter (Papineni 2002 §2.3 "best match length")
+            c_len_l = F.size(wc).cast("long")
+            best = F.aggregate(
+                F.transform(wrs, lambda w: F.size(w).cast("long")),
+                F.struct(F.lit(None).cast("long").alias("d"),
+                         F.lit(None).cast("long").alias("l")),
+                lambda acc, ln: F.when(
+                    acc["l"].isNull()
+                    | (F.abs(ln - c_len_l) < acc["d"])
+                    | ((F.abs(ln - c_len_l) == acc["d"])
+                       & (ln < acc["l"])),
+                    F.struct(F.abs(ln - c_len_l).cast("long").alias("d"),
+                             ln.alias("l")),
+                ).otherwise(acc))
+            r_len = best["l"].cast("double")
+        else:
+            r_len = F.size(wr).cast("double")
+        bp = F.when(c_len >= r_len, F.lit(1.0)) \
+            .otherwise(F.exp(1.0 - r_len / c_len))
+        score = F.when(zero, F.lit(0.0)).otherwise(bp * F.exp(log_sum))
+        out = F.when(null_in, F.lit(None).cast("double")).otherwise(score)
+        return stage.withColumn(as_field, out).drop(*temps)
+
+    return fn
+
+
+@register_stage("$bleuCorpus")
+def bleu_corpus_stage(expression: Any, ctx: Context) -> StageFn:
+    """CORPUS-level BLEU (Papineni 2002 §2 — the metric MT papers
+    actually report; sentence-BLEU averaged is NOT it): ``{candidate,
+    reference | references, maxN?, maxWords?, smooth?}`` -> ONE row
+    ``(bleu, bp, c_len, r_len, n_segments, p1..p<maxN>)``.  Per order,
+    the corpus precision is ``sum of per-segment clipped matches /
+    sum of per-segment candidate gram counts``; the brevity penalty
+    compares the TOTAL candidate length against the sum of per-segment
+    effective reference lengths (closest-to-candidate, ties shorter,
+    §2.3 — single-reference form uses the reference length directly).
+    ``smooth: "add1"`` adds one to numerator and denominator of the
+    n >= 2 corpus precisions.  Segments with a null candidate or a
+    null/effectively-empty reference side are EXCLUDED from every sum
+    (and from n_segments), matching how eval harnesses drop unscorable
+    pairs.
+
+    CORPUS-ONLY: this is a corpus-wide aggregate — inside a
+    foreachBatch re-entry it would silently score one micro-batch and
+    label it the corpus score, so it is gated exactly like $profile.
+
+    100 TB shape: the per-segment clipped counts are the same
+    row-local, zero-shuffle HOF programs as $bleu; the corpus reduction
+    is ONE global aggregate whose partial aggregation collapses every
+    task to a single row of 2·maxN+3 longs — nothing else moves."""
+    cand_e = expression["candidate"]
+    ref_e = expression.get("reference")
+    refs_e = expression.get("references")
+    if (ref_e is None) == (refs_e is None):
+        raise ValueError(
+            "$bleuCorpus needs exactly one of reference | references")
+    max_n = int(expression.get("maxN", 4))
+    max_words = int(expression.get("maxWords", 2000))
+    smooth = expression.get("smooth")
+    if not 1 <= max_n <= 8:
+        raise ValueError("$bleuCorpus maxN must be in 1..8")
+    if max_words < 1:
+        raise ValueError("$bleuCorpus maxWords must be >= 1")
+    if smooth not in (None, "add1"):
+        raise ValueError(f"$bleuCorpus smooth must be 'add1' or absent, "
+                         f"got {smooth!r}")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..operators.extended import _corpus_only
+
+        _corpus_only("$bleuCorpus", c)
+        sctx = ExprContext(schema=df.schema)
+        cand = compile_expr(cand_e, sctx)
+        stage = df.withColumn("__blc_wc", _eval_words(cand, max_words))
+        wc = F.col("__blc_wc")
+        if refs_e is not None:
+            refs = compile_expr(refs_e, sctx)
+            stage = stage.withColumn(
+                "__blc_wrs",
+                F.transform(F.filter(refs, lambda r: r.isNotNull()),
+                            lambda r: _eval_words(r, max_words)))
+            wrs = F.col("__blc_wrs")
+            scorable = cand.isNotNull() & refs.isNotNull() \
+                & (F.size(wrs) > 0)
+        else:
+            ref = compile_expr(ref_e, sctx)
+            stage = stage.withColumn("__blc_wr",
+                                     _eval_words(ref, max_words))
+            scorable = cand.isNotNull() & ref.isNotNull()
+        wr = F.col("__blc_wr")
+        stage = stage.filter(scorable)
+        for n in range(1, max_n + 1):
+            gc_n, m_n = f"__blc_gc{n}", f"__blc_m{n}"
+            stage = stage.withColumn(gc_n, _eval_grams(wc, n))
+            if refs_e is not None:
+                grs_n = f"__blc_grs{n}"
+                stage = stage.withColumn(
+                    grs_n, F.transform(wrs, lambda w: _eval_grams(w, n)))
+                stage = stage.withColumn(
+                    m_n, _eval_clipped_multi(F.col(gc_n), F.col(grs_n)))
+            else:
+                gr_n = f"__blc_gr{n}"
+                stage = stage.withColumn(gr_n, _eval_grams(wr, n))
+                stage = stage.withColumn(
+                    m_n, _eval_clipped(F.col(gc_n), F.col(gr_n)))
+        c_len_l = F.size(wc).cast("long")
+        if refs_e is not None:
+            # per-segment effective reference length (Papineni §2.3)
+            best = F.aggregate(
+                F.transform(wrs, lambda w: F.size(w).cast("long")),
+                F.struct(F.lit(None).cast("long").alias("d"),
+                         F.lit(None).cast("long").alias("l")),
+                lambda acc, ln: F.when(
+                    acc["l"].isNull()
+                    | (F.abs(ln - c_len_l) < acc["d"])
+                    | ((F.abs(ln - c_len_l) == acc["d"])
+                       & (ln < acc["l"])),
+                    F.struct(F.abs(ln - c_len_l).cast("long").alias("d"),
+                             ln.alias("l")),
+                ).otherwise(acc))
+            r_len_seg = best["l"]
+        else:
+            r_len_seg = F.size(wr).cast("long")
+        zero_l = F.lit(0).cast("long")
+        aggs = [
+            F.count(F.lit(1)).alias("n_segments"),
+            F.coalesce(F.sum(c_len_l), zero_l).alias("c_len"),
+            F.coalesce(F.sum(r_len_seg), zero_l).alias("r_len"),
+        ]
+        for n in range(1, max_n + 1):
+            aggs += [
+                F.coalesce(F.sum(F.col(f"__blc_m{n}")), zero_l)
+                .alias(f"m{n}"),
+                F.coalesce(
+                    F.sum(F.size(F.col(f"__blc_gc{n}")).cast("long")),
+                    zero_l).alias(f"t{n}"),
+            ]
+        row = stage.agg(*aggs)
+        zero = F.lit(False)
+        log_sum = F.lit(0.0)
+        precs = []
+        for n in range(1, max_n + 1):
+            m = F.col(f"m{n}").cast("double")
+            t = F.col(f"t{n}").cast("double")
+            if smooth == "add1" and n >= 2:
+                p = (m + 1.0) / (t + 1.0)
+                zero = zero | (t == 0.0)
+            else:
+                p = m / t
+                zero = zero | (t == 0.0) | (m == 0.0)
+            precs.append(
+                F.when(t == 0.0, F.lit(0.0)).otherwise(p).alias(f"p{n}"))
+            log_sum = log_sum + F.log(p) / max_n
+        c_tot = F.col("c_len").cast("double")
+        r_tot = F.col("r_len").cast("double")
+        bp = F.when(F.col("n_segments") == 0, F.lit(0.0)) \
+            .when(c_tot >= r_tot, F.lit(1.0)) \
+            .otherwise(F.exp(1.0 - r_tot / c_tot))
+        score = F.when((F.col("n_segments") == 0) | zero, F.lit(0.0)) \
+            .otherwise(bp * F.exp(log_sum))
+        return row.select(
+            score.alias("bleu"), bp.alias("bp"),
+            F.col("c_len"), F.col("r_len"), F.col("n_segments"),
+            *precs)
+
+    return fn
+
+
+@register_stage("$chrf")
+def chrf_stage(expression: Any, ctx: Context) -> StageFn:
+    """chrF (Popović 2015): character-n-gram F-score between a
+    candidate and a reference in the same row — the eval-family's
+    tokenization-free metric (robust to morphology, the standard
+    complement to BLEU in MT eval harnesses): ``{candidate,
+    reference | references, maxN?, beta?, maxChars?, as?}`` adds the
+    chrF score in [0, 1].
+
+    MULTI-REFERENCE (r10): ``references: <expr -> array<string>>``
+    scores the candidate against EACH reference independently and
+    takes the MAX — the sacrebleu multi-reference convention for chrF
+    (best-matching reference wins; statistics are never pooled across
+    references).  Null reference ELEMENTS are dropped; a null or
+    effectively-empty references array -> null score.  Exactly one of
+    ``reference``/``references``; a 1-element array equals the scalar
+    form.
+
+    Semantics, pinned precisely: whitespace is REMOVED first (the
+    sacrebleu default); for each order n = 1..maxN (default 6),
+    ``p_n = clipped/|cand grams|`` and ``r_n = clipped/|ref grams|``
+    where clipped is the multiset-intersection count ($ngramOverlap's
+    clip at character level); P and R are arithmetic means over the
+    EFFECTIVE orders (orders where either side has grams — trailing
+    orders longer than both strings don't dilute the average);
+    ``chrF = (1+beta^2)PR / (beta^2 P + R)`` with ``beta`` defaulting
+    to 2 (chrF2, recall-weighted).  A pair with no effective orders
+    (both texts empty) scores 0.0; null in either side -> null.
+
+    DELIBERATE DEVIATION from the sacrebleu tool: this follows the
+    PAPER's formula (Popović 2015 eq. 1 — average P and average R over
+    orders, combined into ONE F), whereas sacrebleu averages the
+    per-order F-scores and counts an order effective only when BOTH
+    sides have grams.  Values therefore do not reproduce sacrebleu's
+    chrF2 numbers exactly; the whitespace-strip and clipping match.
+
+    ``maxChars`` (default 2000) truncates both sides first — the same
+    cost-cap discipline as the word-level family (the clip aggregate
+    is O(d·|s|) per order per row).
+
+    100 TB shape: pure JVM HOF column program (regexp strip ->
+    substring gram windows -> clip aggregates materialized as temp
+    columns), row-local, zero shuffle — identical plan shape to
+    $bleu; the multi-reference form adds one nested transform per
+    order plus a per-reference score fold, still fully JVM-side."""
+    cand_e = expression["candidate"]
+    ref_e = expression.get("reference")
+    refs_e = expression.get("references")
+    if (ref_e is None) == (refs_e is None):
+        raise ValueError(
+            "$chrf needs exactly one of reference | references")
+    max_n = int(expression.get("maxN", 6))
+    beta = float(expression.get("beta", 2.0))
+    max_chars = int(expression.get("maxChars", 2000))
+    as_field = expression.get("as", "chrf")
+    if not 1 <= max_n <= 10:
+        raise ValueError("$chrf maxN must be in 1..10")
+    if beta <= 0:
+        raise ValueError("$chrf beta must be > 0")
+    if max_chars < 1:
+        raise ValueError("$chrf maxChars must be >= 1")
+    b2 = beta * beta
+
+    def char_grams(s: Column, n: int) -> Column:
+        # substring/length are CODEPOINT-correct for every n (a
+        # lookahead-regex split would cut UTF-16 surrogate pairs —
+        # emoji — into broken halves at n=1, caught by the randomized
+        # differential); the when-guard also covers the empty string,
+        # where the otherwise-branch avoids a phantom "" gram
+        ln = F.length(s)
+        grams = F.transform(F.sequence(F.lit(1), ln - (n - 1)),
+                            lambda i: F.substring(s, i, F.lit(n)))
+        return F.when(ln >= n, grams) \
+            .otherwise(F.array().cast("array<string>"))
+
+    def one_score(cn_rn_m: list) -> Column:
+        """Combine per-order (cand-count, ref-count, clipped) triples
+        into one chrF score — shared by the scalar and per-reference
+        paths."""
+        p_sum = F.lit(0.0)
+        r_sum = F.lit(0.0)
+        n_eff = F.lit(0)
+        for cn, rn, m in cn_rn_m:
+            eff = (cn > 0) | (rn > 0)
+            p_sum = p_sum + F.when(eff & (cn > 0), m / cn) \
+                .otherwise(F.lit(0.0))
+            r_sum = r_sum + F.when(eff & (rn > 0), m / rn) \
+                .otherwise(F.lit(0.0))
+            n_eff = n_eff + eff.cast("int")
+        p = p_sum / n_eff
+        r = r_sum / n_eff
+        return F.when(
+            n_eff == 0, F.lit(0.0),
+        ).when(p + r == 0.0, F.lit(0.0)) \
+            .otherwise((1 + b2) * p * r / (b2 * p + r))
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        sctx = ExprContext(schema=df.schema)
+        cand = compile_expr(cand_e, sctx)
+        strip = lambda t: F.substring(  # noqa: E731
+            F.regexp_replace(t, r"\s+", ""), 1, max_chars)
+        temps = ["__chrf_sc"]
+        stage = df.withColumn("__chrf_sc", strip(cand))
+        sc = F.col("__chrf_sc")
+        if refs_e is not None:
+            refs = compile_expr(refs_e, sctx)
+            temps.append("__chrf_srs")
+            stage = stage.withColumn(
+                "__chrf_srs",
+                F.transform(F.filter(refs, lambda r: r.isNotNull()),
+                            strip))
+            srs = F.col("__chrf_srs")
+            for n in range(1, max_n + 1):
+                gc_n, grs_n, ms_n = (f"__chrf_gc{n}", f"__chrf_grs{n}",
+                                     f"__chrf_ms{n}")
+                temps += [gc_n, grs_n, ms_n]
+                stage = stage.withColumn(gc_n, char_grams(sc, n))
+                # per-reference grams and clips materialize as array
+                # temp columns (array<array<string>> / array<long>) —
+                # the HOF-CSE rule applied to the multi-ref axis
+                stage = stage.withColumn(
+                    grs_n, F.transform(srs, lambda s: char_grams(s, n)))
+                stage = stage.withColumn(
+                    ms_n,
+                    F.transform(F.col(grs_n),
+                                lambda g: _eval_clipped(F.col(gc_n), g)))
+
+            def ref_score(i: Column) -> Column:
+                triples = []
+                for n in range(1, max_n + 1):
+                    cn = F.size(F.col(f"__chrf_gc{n}")).cast("double")
+                    rn = F.size(
+                        F.element_at(F.col(f"__chrf_grs{n}"), i)
+                    ).cast("double")
+                    m = F.element_at(
+                        F.col(f"__chrf_ms{n}"), i).cast("double")
+                    triples.append((cn, rn, m))
+                return one_score(triples)
+
+            # best-matching reference wins (sacrebleu multi-ref: max)
+            score = F.array_max(
+                F.transform(F.sequence(F.lit(1), F.size(srs)),
+                            ref_score))
+            null_in = cand.isNull() | refs.isNull() | (F.size(srs) == 0)
+        else:
+            ref = compile_expr(ref_e, sctx)
+            temps.append("__chrf_sr")
+            stage = stage.withColumn("__chrf_sr", strip(ref))
+            sr = F.col("__chrf_sr")
+            for n in range(1, max_n + 1):
+                gc_n, gr_n, m_n = (f"__chrf_gc{n}", f"__chrf_gr{n}",
+                                   f"__chrf_m{n}")
+                temps += [gc_n, gr_n, m_n]
+                stage = stage.withColumn(gc_n, char_grams(sc, n)) \
+                             .withColumn(gr_n, char_grams(sr, n))
+                stage = stage.withColumn(
+                    m_n, _eval_clipped(F.col(gc_n), F.col(gr_n)))
+            score = one_score([
+                (F.size(F.col(f"__chrf_gc{n}")).cast("double"),
+                 F.size(F.col(f"__chrf_gr{n}")).cast("double"),
+                 F.col(f"__chrf_m{n}").cast("double"))
+                for n in range(1, max_n + 1)])
+            null_in = cand.isNull() | ref.isNull()
+        out = F.when(null_in, F.lit(None).cast("double")) \
+            .otherwise(score)
+        return stage.withColumn(as_field, out).drop(*temps)
+
+    return fn
+
+
+_QA_PUNCT = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""
+
+
+@register_stage("$qaEval")
+def qa_eval_stage(expression: Any, ctx: Context) -> StageFn:
+    """SQuAD-style QA eval (Rajpurkar et al. 2016): ``{prediction,
+    answers, as?}`` adds ``struct<exact_match, f1>`` scored against an
+    array of gold answers — THE standard extractive-QA / closed-book
+    eval pair.
+
+    Normalization, pinned to the official SQuAD script with ONE
+    portability deviation: lowercase, strip ASCII punctuation, split on
+    whitespace (Java ``\\s``), then drop the articles a/an/the as
+    standalone TOKENS.  The script drops articles with a regex
+    ``\\b``-boundary — but Java, RE2 (the DuckDB oracle) and Python
+    each draw word boundaries differently around characters like ½, so
+    the token-level drop is the engine-portable semantic; on natural
+    text (articles separated by spaces/punctuation) the two agree.
+    ``exact_match`` = 1.0 if the normalized prediction
+    equals ANY normalized answer; ``f1`` = the MAX over answers of the
+    token-level F1 (clipped multiset overlap of whitespace tokens —
+    the same clip as $ngramOverlap at n=1).  Both-empty after
+    normalization counts as a match (EM 1, F1 1), matching the official
+    script's handling of empty answers.  Null prediction or null
+    answers array -> null struct; null answer ELEMENTS are dropped; an
+    effectively-empty answers array -> null struct.
+
+    100 TB shape: pure JVM HOF column program — normalization is three
+    regexp passes, the per-answer overlap is a nested transform +
+    clip aggregate over a handful of gold answers; row-local, zero
+    shuffle."""
+    pred_e = expression["prediction"]
+    ans_e = expression["answers"]
+    as_field = expression.get("as", "qa")
+    _T = "struct<exact_match:double,f1:double>"
+
+    def norm(t: Column) -> Column:
+        lowered = F.lower(t)
+        no_punct = F.regexp_replace(lowered, _QA_PUNCT, "")
+        toks = F.filter(F.split(F.trim(no_punct), r"\s+"),
+                        lambda x: x != F.lit(""))
+        return F.filter(
+            toks,
+            lambda x: ~x.isin("a", "an", "the"))
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        sctx = ExprContext(schema=df.schema)
+        pred = compile_expr(pred_e, sctx)
+        answers = compile_expr(ans_e, sctx)
+        temps = ["__qa_p", "__qa_as"]
+        stage = df.withColumn("__qa_p", norm(pred)).withColumn(
+            "__qa_as",
+            F.transform(F.filter(answers, lambda a: a.isNotNull()),
+                        lambda a: norm(a)))
+        tp, tas = F.col("__qa_p"), F.col("__qa_as")
+        em = F.exists(
+            tas, lambda ta: F.array_join(ta, " ") == F.array_join(tp, " "),
+        ).cast("double")
+
+        def f1_one(ta: Column) -> Column:
+            m = F.aggregate(
+                F.array_distinct(tp), F.lit(0).cast("long"),
+                lambda acc, g: acc + F.least(
+                    F.size(F.filter(tp, lambda x: x == g)),
+                    F.size(F.filter(ta, lambda x: x == g)),
+                ).cast("long")).cast("double")
+            np_, na = F.size(tp).cast("double"), F.size(ta).cast("double")
+            # official script: if either side is empty, F1 is 1 when
+            # both are empty else 0
+            both_empty = (np_ == 0) & (na == 0)
+            p = F.when(np_ > 0, m / np_).otherwise(F.lit(0.0))
+            r = F.when(na > 0, m / na).otherwise(F.lit(0.0))
+            f = F.when(both_empty, F.lit(1.0)).when(
+                p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+            return f
+
+        f1 = F.array_max(F.transform(tas, f1_one))
+        st = F.struct(em.alias("exact_match"), f1.alias("f1"))
+        null_st = F.lit(None).cast(_T)
+        out = F.when(
+            pred.isNull() | answers.isNull() | (F.size(tas) == 0),
+            null_st).otherwise(st)
+        return stage.withColumn(as_field, out).drop(*temps)
+
+    return fn
+
+
+@register_stage("$chrfCorpus")
+def chrf_corpus_stage(expression: Any, ctx: Context) -> StageFn:
+    """CORPUS-level chrF: ``{candidate, reference, maxN?, beta?,
+    maxChars?}`` -> ONE row ``(chrf, n_segments, p1..p<maxN>,
+    r1..r<maxN>)``.  The AGGREGATION SHAPE matches sacrebleu's
+    corpus_chrf — sum the per-segment n-gram statistics corpus-wide,
+    THEN score (the mean of sentence chrF is a different, noisier
+    statistic) — but the final SCORING FORMULA follows the Popović
+    2015 paper like $chrf (average P and average R over effective
+    orders -> one F; an order counts as effective when EITHER side has
+    grams corpus-wide), so corpus numbers will not reproduce
+    sacrebleu's corpus_chrf exactly.  Per order, corpus
+    precision/recall = summed clipped matches / summed candidate
+    (resp. reference) gram counts; F_beta with beta = 2 default.
+    Segments with a null side are EXCLUDED.  Corpus-only gated like
+    $bleuCorpus/$profile.
+
+    100 TB shape: per-segment clips are $chrf's row-local zero-shuffle
+    HOF programs; the reduction is ONE global partial-aggregated sum to
+    a single 3·maxN+1-long row."""
+    cand_e = expression["candidate"]
+    ref_e = expression["reference"]
+    max_n = int(expression.get("maxN", 6))
+    beta = float(expression.get("beta", 2.0))
+    max_chars = int(expression.get("maxChars", 2000))
+    if not 1 <= max_n <= 10:
+        raise ValueError("$chrfCorpus maxN must be in 1..10")
+    if beta <= 0:
+        raise ValueError("$chrfCorpus beta must be > 0")
+    if max_chars < 1:
+        raise ValueError("$chrfCorpus maxChars must be >= 1")
+    b2 = beta * beta
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..operators.extended import _corpus_only
+
+        _corpus_only("$chrfCorpus", c)
+        sctx = ExprContext(schema=df.schema)
+        cand = compile_expr(cand_e, sctx)
+        ref = compile_expr(ref_e, sctx)
+        strip = lambda t: F.substring(  # noqa: E731
+            F.regexp_replace(t, r"\s+", ""), 1, max_chars)
+
+        def char_grams(s: Column, n: int) -> Column:
+            ln = F.length(s)
+            grams = F.transform(F.sequence(F.lit(1), ln - (n - 1)),
+                                lambda i: F.substring(s, i, F.lit(n)))
+            return F.when(ln >= n, grams) \
+                .otherwise(F.array().cast("array<string>"))
+
+        stage = df.filter(cand.isNotNull() & ref.isNotNull()) \
+            .withColumn("__chc_sc", strip(cand)) \
+            .withColumn("__chc_sr", strip(ref))
+        sc, sr = F.col("__chc_sc"), F.col("__chc_sr")
+        for n in range(1, max_n + 1):
+            gc_n, gr_n, m_n = (f"__chc_gc{n}", f"__chc_gr{n}",
+                               f"__chc_m{n}")
+            stage = stage.withColumn(gc_n, char_grams(sc, n)) \
+                         .withColumn(gr_n, char_grams(sr, n))
+            stage = stage.withColumn(
+                m_n, _eval_clipped(F.col(gc_n), F.col(gr_n)))
+        zero_l = F.lit(0).cast("long")
+        aggs = [F.count(F.lit(1)).alias("n_segments")]
+        for n in range(1, max_n + 1):
+            aggs += [
+                F.coalesce(F.sum(F.col(f"__chc_m{n}")), zero_l)
+                .alias(f"m{n}"),
+                F.coalesce(F.sum(F.size(F.col(f"__chc_gc{n}"))
+                                 .cast("long")), zero_l).alias(f"tc{n}"),
+                F.coalesce(F.sum(F.size(F.col(f"__chc_gr{n}"))
+                                 .cast("long")), zero_l).alias(f"tr{n}"),
+            ]
+        row = stage.agg(*aggs)
+        p_sum = F.lit(0.0)
+        r_sum = F.lit(0.0)
+        n_eff = F.lit(0)
+        outs = []
+        for n in range(1, max_n + 1):
+            m = F.col(f"m{n}").cast("double")
+            tc = F.col(f"tc{n}").cast("double")
+            tr = F.col(f"tr{n}").cast("double")
+            eff = (tc > 0) | (tr > 0)
+            p = F.when(tc > 0, m / tc).otherwise(F.lit(0.0))
+            r = F.when(tr > 0, m / tr).otherwise(F.lit(0.0))
+            p_sum = p_sum + F.when(eff, p).otherwise(F.lit(0.0))
+            r_sum = r_sum + F.when(eff, r).otherwise(F.lit(0.0))
+            n_eff = n_eff + eff.cast("int")
+            outs += [p.alias(f"p{n}"), r.alias(f"r{n}")]
+        pavg = p_sum / n_eff
+        ravg = r_sum / n_eff
+        score = F.when(n_eff == 0, F.lit(0.0)) \
+            .when(pavg + ravg == 0.0, F.lit(0.0)) \
+            .otherwise((1 + b2) * pavg * ravg / (b2 * pavg + ravg))
+        return row.select(score.alias("chrf"), F.col("n_segments"), *outs)
+
+    return fn
+
+
+_WER_TYPE = "struct<distance:bigint,wer:double,n_hyp:bigint,n_ref:bigint>"
+
+def _make_wer_scorers(max_words: int):
+    """(score_one, score_multi) closures for the $wer family's Arrow
+    boundary.  Defined INSIDE a factory so cloudpickle serializes them
+    by value — executors never need this package importable (the
+    engine's standing driver-side-only deployment property; a
+    module-level helper would pickle by reference and break
+    sys.path-based runs).
+
+    score_multi scores against each reference and the BEST reference
+    wins — smallest WER, ties broken by smallest distance then
+    smallest reference length (the NIST multi-reference convention:
+    error-count of the best-matching reference).  A reference with
+    undefined WER (empty reference, non-empty hypothesis) sorts after
+    every defined one, so it is chosen only when ALL references are
+    undefined (then wer is null with the smallest distance still
+    reported).  Returns None (null struct) for a null hypothesis or
+    no usable references."""
+    import re as _re
+
+    ws_split = _re.compile(r"[ \t\n\r\f\x0b]+").split  # Java \s
+
+    def lev(a: list, b: list) -> int:
+        # two-row DP, rows over the shorter side for O(min) memory
+        if len(a) < len(b):
+            a, b = b, a
+        if not b:
+            return len(a)
+        prev = list(range(len(b) + 1))
+        for i, x in enumerate(a, 1):
+            cur = [i]
+            append = cur.append
+            for j, y in enumerate(b, 1):
+                append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (x != y)))
+            prev = cur
+        return prev[-1]
+
+    def score_one(ct, rt):
+        wc = [w for w in ws_split(ct) if w][:max_words]
+        wr = [w for w in ws_split(rt) if w][:max_words]
+        d = lev(wc, wr)
+        if wr:
+            w = d / len(wr)
+        else:
+            w = 0.0 if not wc else None
+        return (d, w, len(wc), len(wr))
+
+    def score_multi(ct, refs):
+        if ct is None:
+            return None
+        refs = [r for r in refs if r is not None]
+        if not refs:
+            return None
+        best = None
+        for rt in refs:
+            d, w, nh, nr = score_one(ct, rt)
+            key = (w if w is not None else float("inf"), d, nr)
+            if best is None or key < best[0]:
+                best = (key, (d, w, nh, nr))
+        return best[1]
+
+    return score_one, score_multi
+
+
+@register_stage("$wer")
+def wer_stage(expression: Any, ctx: Context) -> StageFn:
+    """Word error rate (the standard ASR / MT edit metric):
+    ``{candidate, reference | references, maxWords?, as?}`` adds
+    ``struct<distance, wer, n_hyp, n_ref>`` where ``distance`` is the
+    word-level Levenshtein distance (unit costs for substitution/
+    insertion/deletion) between the candidate (hypothesis) and the
+    reference, and ``wer = distance / n_ref``.  Same Java-\\s
+    tokenization as the rest of the eval family.  An empty reference
+    gives wer 0.0 when the hypothesis is also empty, else null wer
+    with the distance still reported (the conventional undefined case,
+    surfaced rather than faked).  Null in either side -> null struct.
+
+    MULTI-REFERENCE (r10): ``references: <expr -> array<string>>``
+    scores against each reference and reports the BEST — minimum WER,
+    ties by minimum distance then minimum reference length (the NIST
+    convention; see :func:`_make_wer_scorers`).  Null reference
+    ELEMENTS are
+    dropped; a null or effectively-empty array -> null struct.
+    Exactly one of ``reference``/``references``.
+
+    Levenshtein needs a dynamic program (no closed column form), so
+    like ``$rougeL`` this is an Arrow-batched Pandas UDF — the eval
+    family's documented Python boundary (row-local, zero shuffle).
+    ``maxWords`` (default 2000) truncates BOTH sides first: the DP is
+    O(|c|·|r|) per row (times the number of references).
+
+    (Spark's builtin ``levenshtein`` is character-level; WER is defined
+    over words, hence the DP here.)"""
+    cand_e = expression["candidate"]
+    ref_e = expression.get("reference")
+    refs_e = expression.get("references")
+    if (ref_e is None) == (refs_e is None):
+        raise ValueError(
+            "$wer needs exactly one of reference | references")
+    max_words = int(expression.get("maxWords", 2000))
+    as_field = expression.get("as", "wer")
+    if max_words < 1:
+        raise ValueError("$wer maxWords must be >= 1")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        sctx = ExprContext(schema=df.schema)
+        cand = compile_expr(cand_e, sctx)
+        score_one, score_multi = _make_wer_scorers(max_words)
+
+        if refs_e is not None:
+            refs = compile_expr(refs_e, sctx)
+
+            @F.pandas_udf(_WER_TYPE)
+            def _wer(s: pd.Series, t: pd.Series) -> pd.DataFrame:
+                vals = [
+                    None if rs is None
+                    else score_multi(ct, list(rs))
+                    for ct, rs in zip(s, t)
+                ]
+                return pd.DataFrame(
+                    [(None, None, None, None) if v is None else v
+                     for v in vals],
+                    columns=["distance", "wer", "n_hyp", "n_ref"])
+
+            out = _wer(cand, refs)
+            null_guard = cand.isNull() | refs.isNull()
+        else:
+            ref = compile_expr(ref_e, sctx)
+
+            @F.pandas_udf(_WER_TYPE)
+            def _wer(s: pd.Series, t: pd.Series) -> pd.DataFrame:
+                vals = [
+                    None if ct is None or rt is None
+                    else score_one(ct, rt)
+                    for ct, rt in zip(s, t)
+                ]
+                return pd.DataFrame(
+                    [(None, None, None, None) if v is None else v
+                     for v in vals],
+                    columns=["distance", "wer", "n_hyp", "n_ref"])
+
+            out = _wer(cand, ref)
+            null_guard = cand.isNull() | ref.isNull()
+        null_st = F.lit(None).cast(_WER_TYPE)
+        stage = df.withColumn("__wer_raw", out)
+        raw = F.col("__wer_raw")
+        return stage.withColumn(
+            as_field,
+            F.when(null_guard | raw["n_hyp"].isNull(), null_st)
+            .otherwise(raw),
+        ).drop("__wer_raw")
+
+    return fn
+
+
+@register_stage("$werCorpus")
+def wer_corpus_stage(expression: Any, ctx: Context) -> StageFn:
+    """CORPUS-level word error rate — TOTAL edit distance over TOTAL
+    reference words (how ASR harnesses report WER; the mean of
+    per-utterance WERs over-weights short references): ``{candidate,
+    reference | references, maxWords?}`` -> ONE row ``(wer, distance,
+    n_hyp, n_ref, n_segments)``.
+
+    Per segment the edit distance and reference length come from
+    :func:`_make_wer_scorers` — single reference directly, multiple
+    references via the best-matching reference (min WER, NIST
+    convention) — and the corpus sums those, then divides once.
+    Segments with a null hypothesis or no usable reference are
+    EXCLUDED from every sum (and from n_segments).  A corpus whose
+    total reference length is 0 reports wer 0.0 when the total
+    distance is also 0, else null wer (the undefined case, surfaced
+    like $wer's).
+
+    CORPUS-ONLY: gated exactly like $bleuCorpus/$chrfCorpus — inside a
+    foreachBatch re-entry it would silently score one micro-batch and
+    label it the corpus WER.
+
+    100 TB shape: the per-segment DP runs on the same Arrow-batched
+    boundary as $wer (row-local, zero shuffle, maxWords-capped); the
+    reduction is ONE global partial-aggregated sum to a single 5-long
+    row — the $bleuCorpus shape."""
+    cand_e = expression["candidate"]
+    ref_e = expression.get("reference")
+    refs_e = expression.get("references")
+    if (ref_e is None) == (refs_e is None):
+        raise ValueError(
+            "$werCorpus needs exactly one of reference | references")
+    max_words = int(expression.get("maxWords", 2000))
+    if max_words < 1:
+        raise ValueError("$werCorpus maxWords must be >= 1")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..operators.extended import _corpus_only
+
+        _corpus_only("$werCorpus", c)
+        sctx = ExprContext(schema=df.schema)
+        cand = compile_expr(cand_e, sctx)
+        score_one, score_multi = _make_wer_scorers(max_words)
+
+        if refs_e is not None:
+            refs = compile_expr(refs_e, sctx)
+
+            @F.pandas_udf(_WER_TYPE)
+            def _wer(s: pd.Series, t: pd.Series) -> pd.DataFrame:
+                vals = [
+                    None if rs is None
+                    else score_multi(ct, list(rs))
+                    for ct, rs in zip(s, t)
+                ]
+                return pd.DataFrame(
+                    [(None, None, None, None) if v is None else v
+                     for v in vals],
+                    columns=["distance", "wer", "n_hyp", "n_ref"])
+
+            raw = _wer(cand, refs)
+        else:
+            ref = compile_expr(ref_e, sctx)
+
+            @F.pandas_udf(_WER_TYPE)
+            def _wer(s: pd.Series, t: pd.Series) -> pd.DataFrame:
+                vals = [
+                    None if ct is None or rt is None
+                    else score_one(ct, rt)
+                    for ct, rt in zip(s, t)
+                ]
+                return pd.DataFrame(
+                    [(None, None, None, None) if v is None else v
+                     for v in vals],
+                    columns=["distance", "wer", "n_hyp", "n_ref"])
+
+            raw = _wer(cand, ref)
+        stage = df.withColumn("__wrc", raw) \
+            .filter(F.col("__wrc.n_hyp").isNotNull())
+        zero_l = F.lit(0).cast("long")
+        row = stage.agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.coalesce(F.sum("__wrc.distance"), zero_l).alias("distance"),
+            F.coalesce(F.sum("__wrc.n_hyp"), zero_l).alias("n_hyp"),
+            F.coalesce(F.sum("__wrc.n_ref"), zero_l).alias("n_ref"),
+        )
+        d_tot = F.col("distance").cast("double")
+        r_tot = F.col("n_ref").cast("double")
+        wer = F.when(F.col("n_ref") > 0, d_tot / r_tot) \
+            .when(F.col("distance") == 0, F.lit(0.0)) \
+            .otherwise(F.lit(None).cast("double"))
+        return row.select(
+            wer.alias("wer"), F.col("distance"), F.col("n_hyp"),
+            F.col("n_ref"), F.col("n_segments"))
+
+    return fn
+
+

@@ -92,7 +92,11 @@ def test_embed_dedup_refuses_all_pairs_above_limit(spark, monkeypatch):
     # parquet-backed input => a real optimizer size estimate (in-memory
     # relations report the Long.MaxValue sentinel, which the guard treats
     # as "unknown" and allows)
-    monkeypatch.setattr(datapipe, "ALL_PAIRS_SIZE_LIMIT", 0)
+    # the guard reads the OWNING module dynamically (r10 split:
+    # datapipe is a re-export aggregator, so patching its copy
+    # would not reach the stage)
+    from pincette_mongo_streams_spark.functions import dp_dedup
+    monkeypatch.setattr(dp_dedup, "ALL_PAIRS_SIZE_LIMIT", 0)
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
     def run(**opts):
