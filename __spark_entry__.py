@@ -2223,6 +2223,135 @@ FROM b ORDER BY doc_id""",
 
 
 _register(
+    "classification_eval",
+    f"""WITH p AS (SELECT CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END
+                          AS pred,
+                   lang AS act FROM documents),
+l AS (SELECT act AS label FROM p UNION SELECT pred FROM p),
+t AS (SELECT label,
+        (SELECT count(*) FROM p WHERE act = label AND pred = label) AS tp,
+        (SELECT count(*) FROM p WHERE pred = label AND act <> label) AS fp,
+        (SELECT count(*) FROM p WHERE act = label AND pred <> label) AS fn
+      FROM l)
+SELECT label, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tp + fn AS BIGINT) AS support,
+       {_r('CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) '
+           'ELSE 0.0 END', 6)} AS precision,
+       {_r('CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) '
+           'ELSE 0.0 END', 6)} AS recall,
+       {_r('CASE WHEN 2 * tp + fp + fn > 0 '
+           'THEN 2 * tp / CAST(2 * tp + fp + fn AS DOUBLE) '
+           'ELSE 0.0 END', 6)} AS f1
+FROM t ORDER BY label""",
+)(
+    _pipe(
+        "documents",
+        [
+            # every 5th doc mislabeled as 'xx' — a predicted-only label,
+            # so the sklearn label-union convention and the
+            # zero_division=0 branches (precision and recall 0.0 for
+            # 'xx') both carry driver signal
+            {"$set": {"pred": {"$cond": [
+                {"$eq": [{"$mod": ["$doc_id", 5]}, 0]},
+                "xx", "$lang"]}}},
+            {"$classificationEval": {"predicted": "$pred",
+                                     "actual": "$lang"}},
+            {"$project": {"label": 1, "tp": 1, "fp": 1, "fn": 1,
+                          "support": 1,
+                          "precision": {"$round": ["$precision", 6]},
+                          "recall": {"$round": ["$recall", 6]},
+                          "f1": {"$round": ["$f1", 6]}}},
+            {"$sort": {"label": 1}},
+        ],
+    )
+)
+
+
+_register(
+    "classification_eval_macro",
+    f"""WITH p AS (SELECT CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END
+                          AS pred,
+                   lang AS act FROM documents),
+l AS (SELECT act AS label FROM p UNION SELECT pred FROM p),
+t AS (SELECT label,
+        (SELECT count(*) FROM p WHERE act = label AND pred = label) AS tp,
+        (SELECT count(*) FROM p WHERE pred = label AND act <> label) AS fp,
+        (SELECT count(*) FROM p WHERE act = label AND pred <> label) AS fn
+      FROM l)
+SELECT CAST(sum(tp + fn) AS BIGINT) AS n,
+       {_r('sum(tp) / CAST(sum(tp + fn) AS DOUBLE)', 6)} AS accuracy,
+       {_r('avg(CASE WHEN tp + fp > 0 '
+           'THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)', 6)}
+           AS precision,
+       {_r('avg(CASE WHEN tp + fn > 0 '
+           'THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END)', 6)}
+           AS recall,
+       {_r('avg(CASE WHEN 2 * tp + fp + fn > 0 '
+           'THEN 2 * tp / CAST(2 * tp + fp + fn AS DOUBLE) '
+           'ELSE 0.0 END)', 6)} AS f1
+FROM t""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$set": {"pred": {"$cond": [
+                {"$eq": [{"$mod": ["$doc_id", 5]}, 0]},
+                "xx", "$lang"]}}},
+            {"$classificationEval": {"predicted": "$pred",
+                                     "actual": "$lang",
+                                     "average": "macro"}},
+            {"$project": {"n": 1,
+                          "accuracy": {"$round": ["$accuracy", 6]},
+                          "precision": {"$round": ["$precision", 6]},
+                          "recall": {"$round": ["$recall", 6]},
+                          "f1": {"$round": ["$f1", 6]}}},
+        ],
+    )
+)
+
+
+_register(
+    "regression_eval",
+    f"""WITH p AS (SELECT CAST(l_quantity AS DOUBLE) AS a,
+                   CAST(l_quantity + (l_orderkey % 7) - 3 AS DOUBLE)
+                       AS pr
+            FROM lineitem),
+s AS (SELECT count(*) AS n,
+             sum((pr - a) * (pr - a)) AS ssr,
+             sum(abs(pr - a)) AS sae,
+             sum(a) AS sa, sum(a * a) AS saa
+      FROM p)
+SELECT CAST(n AS BIGINT) AS n,
+       {_r('ssr / n', 6)} AS mse,
+       {_r('sqrt(ssr / n)', 6)} AS rmse,
+       {_r('sae / n', 6)} AS mae,
+       {_r('1 - ssr / (saa - sa * sa / n)', 6)} AS r2
+FROM s""",
+)(
+    _pipe(
+        "lineitem",
+        [
+            # integer-valued error (l_orderkey % 7 - 3 words) keeps every
+            # partial sum exactly representable, so the one-pass sums are
+            # bit-identical across Spark's and DuckDB's partitionings —
+            # no float-summation-order hazard in the hash compare
+            {"$set": {"predq": {"$add": ["$l_quantity",
+                                         {"$subtract": [
+                                             {"$mod": ["$l_orderkey", 7]},
+                                             3]}]}}},
+            {"$regressionEval": {"predicted": "$predq",
+                                 "actual": "$l_quantity"}},
+            {"$project": {"n": 1,
+                          "mse": {"$round": ["$mse", 6]},
+                          "rmse": {"$round": ["$rmse", 6]},
+                          "mae": {"$round": ["$mae", 6]},
+                          "r2": {"$round": ["$r2", 6]}}},
+        ],
+    )
+)
+
+
+_register(
     "wer_corpus",
     f"""WITH w AS (
   SELECT len(list_filter(string_split_regex(trim(text), '\\s+'),

@@ -1452,3 +1452,157 @@ def wer_corpus_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+
+
+@register_stage("$classificationEval")
+def classification_eval_stage(expression: Any, ctx: Context) -> StageFn:
+    """Classification metrics over (predicted, actual) label pairs —
+    the standard harness summary for classifier / LLM-labeling runs:
+    ``{predicted, actual, average?}``.
+
+    Default (per-label): one row PER LABEL over the UNION of labels
+    observed on either side (the sklearn convention), with ``(label,
+    tp, fp, fn, support, precision, recall, f1)``; a zero denominator
+    scores 0.0 (sklearn ``zero_division=0`` — deterministic and
+    oracle-checkable, never NaN).  ``support = tp + fn`` (actual
+    occurrences).  Rows with a null on either side are EXCLUDED.
+
+    ``average: "macro"`` -> ONE row ``(n, accuracy, precision, recall,
+    f1)`` — unweighted means of the per-label scores over the label
+    union; ``average: "micro"`` -> same shape where micro-P = micro-R =
+    micro-F1 = accuracy (single-label classification: every FP is
+    another label's FN).
+
+    CORPUS-ONLY: the output claims corpus scope, so it is gated in
+    streaming exactly like $bleuCorpus.
+
+    100 TB shape: ONE partial-aggregated groupBy over (actual,
+    predicted) collapses the corpus to the confusion matrix (≤ |labels|²
+    rows — labels are few by construction); every derived number is
+    arithmetic on that tiny frame (a second ≤ 2·|labels|²-row shuffle),
+    nothing else moves.  Labels compare as strings (cast once), so
+    numeric and string label columns both work."""
+    pred_e = expression["predicted"]
+    act_e = expression["actual"]
+    average = expression.get("average")
+    if average not in (None, "macro", "micro"):
+        raise ValueError(
+            f"$classificationEval average must be 'macro', 'micro' or "
+            f"absent, got {average!r}")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..operators.extended import _corpus_only
+
+        _corpus_only("$classificationEval", c)
+        sctx = ExprContext(schema=df.schema)
+        pred = compile_expr(pred_e, sctx).cast("string")
+        act = compile_expr(act_e, sctx).cast("string")
+        cm = (df.select(pred.alias("__p"), act.alias("__a"))
+              .filter(F.col("__p").isNotNull() & F.col("__a").isNotNull())
+              .groupBy("__a", "__p").agg(F.count(F.lit(1)).alias("n")))
+        # each confusion cell contributes to two labels' counts: the
+        # actual's tp-or-fn and the predicted's fp — explode to per-label
+        # contributions, then one tiny groupBy (≤ 2·|labels|² rows)
+        hit = F.col("__a") == F.col("__p")
+        zero = F.lit(0).cast("long")
+        contrib = cm.select(F.explode(F.array(
+            F.struct(
+                F.col("__a").alias("label"),
+                F.when(hit, F.col("n")).otherwise(zero).alias("tp"),
+                zero.alias("fp"),
+                F.when(~hit, F.col("n")).otherwise(zero).alias("fn"),
+            ),
+            F.struct(
+                F.col("__p").alias("label"),
+                zero.alias("tp"),
+                F.when(~hit, F.col("n")).otherwise(zero).alias("fp"),
+                zero.alias("fn"),
+            ),
+        )).alias("s")).select("s.*")
+        per = contrib.groupBy("label").agg(
+            F.sum("tp").alias("tp"), F.sum("fp").alias("fp"),
+            F.sum("fn").alias("fn"))
+        tp, fp, fn_ = (F.col("tp").cast("double"),
+                       F.col("fp").cast("double"),
+                       F.col("fn").cast("double"))
+        prec = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
+        rec = F.when(tp + fn_ > 0, tp / (tp + fn_)).otherwise(F.lit(0.0))
+        f1 = F.when(tp + tp + fp + fn_ > 0,
+                    2 * tp / (tp + tp + fp + fn_)).otherwise(F.lit(0.0))
+        per = per.select(
+            "label", "tp", "fp", "fn",
+            (F.col("tp") + F.col("fn")).alias("support"),
+            prec.alias("precision"), rec.alias("recall"),
+            f1.alias("f1"))
+        if average is None:
+            return per.orderBy("label")
+        total = F.sum(F.col("tp") + F.col("fn"))
+        acc = F.sum("tp").cast("double") / total.cast("double")
+        if average == "macro":
+            row = per.agg(
+                total.alias("n"), acc.alias("accuracy"),
+                F.avg("precision").alias("precision"),
+                F.avg("recall").alias("recall"),
+                F.avg("f1").alias("f1"))
+        else:  # micro: P = R = F1 = accuracy for single-label tasks
+            row = per.agg(total.alias("n"), acc.alias("accuracy")) \
+                .select("n", "accuracy",
+                        F.col("accuracy").alias("precision"),
+                        F.col("accuracy").alias("recall"),
+                        F.col("accuracy").alias("f1"))
+        return row
+
+    return fn
+
+
+@register_stage("$regressionEval")
+def regression_eval_stage(expression: Any, ctx: Context) -> StageFn:
+    """Regression metrics over (predicted, actual) numeric pairs:
+    ``{predicted, actual}`` -> ONE row ``(n, mse, rmse, mae, r2)``.
+
+    ``r2 = 1 - SS_res / SS_tot`` with ``SS_tot = Σa² - (Σa)²/n`` (the
+    one-pass identity); a constant actual column (SS_tot = 0) reports
+    null r2 — the undefined case surfaced, not faked.  Pairs with a
+    null on either side are EXCLUDED; an empty corpus returns n = 0
+    with null metrics.
+
+    CORPUS-ONLY: gated in streaming like $classificationEval.
+
+    100 TB shape: ONE global partial-aggregated sum (5 doubles + a
+    count) to a single row — the $bleuCorpus reduction shape; every
+    metric derives from that row arithmetically."""
+    pred_e = expression["predicted"]
+    act_e = expression["actual"]
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..operators.extended import _corpus_only
+
+        _corpus_only("$regressionEval", c)
+        sctx = ExprContext(schema=df.schema)
+        pred = compile_expr(pred_e, sctx).cast("double")
+        act = compile_expr(act_e, sctx).cast("double")
+        pairs = df.select(pred.alias("__p"), act.alias("__a")) \
+            .filter(F.col("__p").isNotNull() & F.col("__a").isNotNull())
+        err = F.col("__p") - F.col("__a")
+        row = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(err * err).alias("__ssr"),
+            F.sum(F.abs(err)).alias("__sae"),
+            F.sum("__a").alias("__sa"),
+            F.sum(F.col("__a") * F.col("__a")).alias("__saa"))
+        n_d = F.col("n").cast("double")
+        mse = F.col("__ssr") / n_d
+        mae = F.col("__sae") / n_d
+        ss_tot = F.col("__saa") - F.col("__sa") * F.col("__sa") / n_d
+        r2 = F.when(ss_tot > 0, 1.0 - F.col("__ssr") / ss_tot) \
+            .otherwise(F.lit(None).cast("double"))
+        null_d = F.lit(None).cast("double")
+        empty = F.col("n") == 0
+        return row.select(
+            "n",
+            F.when(empty, null_d).otherwise(mse).alias("mse"),
+            F.when(empty, null_d).otherwise(F.sqrt(mse)).alias("rmse"),
+            F.when(empty, null_d).otherwise(mae).alias("mae"),
+            F.when(empty, null_d).otherwise(r2).alias("r2"))
+
+    return fn

@@ -58,7 +58,8 @@ _BATCH_ONLY_STAGES = {
 # corpus-wide scope.
 _CORPUS_ONLY_STAGES = {"$spanDedup", "$semanticDedup", "$bpeTrain",
                        "$profile", "$bleuCorpus", "$chrfCorpus",
-                       "$werCorpus"}
+                       "$werCorpus", "$classificationEval",
+                       "$regressionEval"}
 
 
 def _resolve_state_store(state_store: str) -> tuple[str, str]:

@@ -1084,6 +1084,10 @@ def test_corpus_only_stages_rejected_up_front(spark, tmpdir):
         [{"$bleuCorpus": {"candidate": "$text", "reference": "$text"}}],
         [{"$chrfCorpus": {"candidate": "$text", "reference": "$text"}}],
         [{"$werCorpus": {"candidate": "$text", "reference": "$text"}}],
+        [{"$classificationEval": {"predicted": "$text",
+                                  "actual": "$text"}}],
+        [{"$regressionEval": {"predicted": "$doc_id",
+                              "actual": "$doc_id"}}],
     ):
         with pytest.raises(ValueError, match="corpus-wide"):
             run_streaming(source, pipeline, ctx, lambda d, e: None,
