@@ -59,6 +59,19 @@ def _best(timings: dict[str, float], name: str, dt: float) -> None:
         timings[name] = dt
 
 
+def _derived_shuffle_partitions() -> int:
+    """Size the shuffle from the input, not the core count (r9 verdict
+    item: a fixed 32 on sub-100 MB inputs buys nothing but task-launch
+    floor).  One partition per ~32 MB of input, floored at 4 so joins
+    and windows still parallelize, capped at CPUS — at real scale the
+    input term dominates and this degenerates to the usual
+    cores-squared-ish sizing."""
+    total = sum(
+        os.path.getsize(os.path.join(SF_DIR, f))
+        for f in os.listdir(SF_DIR) if f.endswith(".parquet"))
+    return max(4, min(int(CPUS), total // (32 << 20)))
+
+
 def main() -> None:
     import duckdb
     from pyspark.sql import SparkSession
@@ -66,7 +79,8 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("pincette_mongo_streams_spark_bench")
-        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.shuffle.partitions",
+                str(_derived_shuffle_partitions()))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # call-site capture for error attribution costs ~3 extra JVM

@@ -65,6 +65,21 @@ class ExprContext:
         self.schema = schema
         self.variables = dict(variables or {})
         self._resolver = resolver
+        # compile-time CSE (r10): per-context memo of compiled
+        # sub-expressions.  Column objects are immutable wrappers over
+        # immutable Catalyst expression trees, so reusing one across
+        # call sites is exactly what a hand-written program does with a
+        # shared local variable — and each py4j round trip saved is
+        # ~0.2-0.5 ms of plan-build floor (switch-heavy stages like
+        # $bucket recompile the same path/branch expressions dozens of
+        # times).  Scoping is per ExprContext instance: with_vars /
+        # with_schema return fresh contexts, so a memo can never leak
+        # across variable bindings or schemas.
+        self._memo: dict[str, Any] = {}
+        # extension operators (Features analog) may be non-deterministic
+        # or stateful — once one resolves, stop adding memo entries in
+        # this context (existing built-in-only entries stay valid)
+        self._memo_unsafe = False
 
     def with_vars(self, **vars: Any) -> "ExprContext":
         merged = dict(self.variables)
@@ -95,7 +110,25 @@ class ExprContext:
 
 
 def compile_expr(expr: Any, ctx: ExprContext) -> Any:
-    """Compile a Mongo aggregation expression to a Column (or REMOVE)."""
+    """Compile a Mongo aggregation expression to a Column (or REMOVE).
+
+    Memoized per (repr(expr), context): identical sub-expressions reuse
+    the SAME Column object (compile-time CSE — see ExprContext._memo).
+    Non-deterministic operators ($rand) bypass the memo: two occurrences
+    of $rand must stay two independent draws."""
+    if isinstance(expr, (str, list, dict)):
+        key = repr(expr)
+        hit = ctx._memo.get(key)
+        if hit is not None:
+            return hit
+        out = _compile_expr_uncached(expr, ctx)
+        if "$rand" not in key and not ctx._memo_unsafe:
+            ctx._memo[key] = out
+        return out
+    return _compile_expr_uncached(expr, ctx)
+
+
+def _compile_expr_uncached(expr: Any, ctx: ExprContext) -> Any:
     if isinstance(expr, str):
         if expr.startswith("$$"):
             return _variable(expr[2:], ctx)
@@ -119,6 +152,7 @@ def compile_expr(expr: Any, ctx: ExprContext) -> Any:
                 from .features import expression_extension
 
                 fn = expression_extension(op)
+                ctx._memo_unsafe = True
             if fn is None:
                 raise NotImplementedError(f"unsupported expression operator {op}")
             return fn(expr[op], ctx)
