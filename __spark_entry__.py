@@ -2352,6 +2352,70 @@ FROM s""",
 
 
 _register(
+    "paired_bootstrap",
+    f"""WITH p AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+                  ((doc_id * 37) % 128) / 128.0 AS a,
+                  ((doc_id * 53 + 11) % 128) / 128.0 AS b
+           FROM documents),
+r AS (SELECT gs.r, p.id, p.a, p.b,
+             ('0x' || substr(md5('0:' || p.id || ':' || gs.r), 1, 15))
+                 ::BIGINT / 1152921504606846976.0 AS u
+      FROM p CROSS JOIN generate_series(1, 100) AS gs(r)),
+w AS (SELECT r, a, b,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  WHEN u < 0.999916758850712 THEN 6
+                  WHEN u < 0.9999897508033254 THEN 7
+                  ELSE 8 END AS w
+      FROM r),
+rep AS (SELECT r, sum(w * (a - b)) AS wdiff, sum(w) AS wsum
+        FROM w GROUP BY r),
+summ AS (SELECT CAST(sum(CASE WHEN wsum > 0 AND wdiff > 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS wins_a,
+                CAST(sum(CASE WHEN wsum = 0 OR wdiff = 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS ties
+         FROM rep),
+base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                avg(a) AS mean_a, avg(b) AS mean_b FROM p)
+SELECT n, {_r('mean_a', 6)} AS mean_a, {_r('mean_b', 6)} AS mean_b,
+       {_r('mean_a - mean_b', 6)} AS delta,
+       wins_a, ties, CAST(100 AS BIGINT) AS b_samples,
+       {_r('(100 - wins_a) / 100.0', 6)} AS p_value
+FROM base, summ""",
+)(
+    _pipe(
+        "documents",
+        [
+            # synthetic per-segment scores in exact dyadic rationals
+            # (k/128) so every bootstrap sum is exactly representable —
+            # the hash compare sees bit-identical doubles regardless of
+            # partitioning/summation order.  Real compositions (a
+            # metric stage feeding $pairedBootstrap) are exercised in
+            # tests/test_ml_eval.py where the tolerance is explicit.
+            {"$set": {"sa": {"$divide": [
+                {"$mod": [{"$multiply": ["$doc_id", 37]}, 128]}, 128]},
+                "sb": {"$divide": [
+                    {"$mod": [{"$add": [
+                        {"$multiply": ["$doc_id", 53]}, 11]}, 128]},
+                    128]}}},
+            {"$pairedBootstrap": {"id": "$doc_id", "a": "$sa",
+                                  "b": "$sb", "samples": 100}},
+            {"$project": {"n": 1,
+                          "mean_a": {"$round": ["$mean_a", 6]},
+                          "mean_b": {"$round": ["$mean_b", 6]},
+                          "delta": {"$round": ["$delta", 6]},
+                          "wins_a": 1, "ties": 1, "b_samples": 1,
+                          "p_value": {"$round": ["$p_value", 6]}}},
+        ],
+    )
+)
+
+
+_register(
     "wer_corpus",
     f"""WITH w AS (
   SELECT len(list_filter(string_split_regex(trim(text), '\\s+'),

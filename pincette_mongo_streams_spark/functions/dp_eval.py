@@ -1606,3 +1606,146 @@ def regression_eval_stage(expression: Any, ctx: Context) -> StageFn:
             F.when(empty, null_d).otherwise(r2).alias("r2"))
 
     return fn
+
+
+# Poisson(1) inverse-CDF thresholds: P(X <= k) for k = 0..7; a uniform
+# draw above the last threshold caps at 8 (mass 1e-5 — the standard
+# truncation for Poisson-bootstrap weights)
+_POISSON1_CDF = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033254,
+]
+
+
+@register_stage("$pairedBootstrap")
+def paired_bootstrap_stage(expression: Any, ctx: Context) -> StageFn:
+    """Paired bootstrap resampling (Koehn 2004, "Statistical
+    Significance Tests for Machine Translation Evaluation") over two
+    per-segment metric columns — THE standard test for "is system A
+    actually better than system B on this eval set, or is the gap
+    noise?": ``{id, a, b, samples?, seed?}`` -> ONE row ``(n, mean_a,
+    mean_b, delta, wins_a, ties, b_samples, p_value)``.
+
+    Each bootstrap replicate resamples the segment set with replacement
+    and recomputes the mean difference; ``p_value`` is the one-sided
+    fraction of replicates where A does NOT beat B (delta <= 0 or the
+    replicate drew no weight) — small p = "A > B is stable under
+    resampling".  ``wins_a``/``ties`` count replicates with positive /
+    zero-or-undefined resampled delta.
+
+    DETERMINISM (the retry/oracle contract): resampling weights are
+    Poisson(1) draws — the standard distributed approximation of
+    with-replacement resampling, exact as n grows — derived from
+    ``md5(seed:id:replicate)`` through the inverse CDF, so the result
+    is a pure function of the data (reruns, task retries and the
+    DuckDB oracle all reproduce it bit-for-bit; no RNG state
+    anywhere).  ``id`` must be a stable per-segment key.  Rows with a
+    null id/a/b are EXCLUDED.
+
+    CORPUS-ONLY: gated in streaming like $bleuCorpus — a
+    per-micro-batch "significance test" is a silent wrong answer.
+
+    100 TB shape: the replicate axis explodes row-locally (n x B
+    weights, each one md5 + a CASE ladder) and groupBy(replicate)
+    partial-aggregates every task down to <= B rows before the ONLY
+    shuffle (B x tasks rows); the per-replicate frame (B rows) and the
+    1-row base-means frame combine via the pinned 1-row broadcast
+    cross join.  B defaults to 200 (Koehn uses 300-1000 at eval-set
+    scale; raise it for small n)."""
+    id_e = expression["id"]
+    a_e = expression["a"]
+    b_e = expression["b"]
+    samples = int(expression.get("samples", 200))
+    seed = int(expression.get("seed", 0))
+    if not 1 <= samples <= 10000:
+        raise ValueError("$pairedBootstrap samples must be in 1..10000")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..operators.extended import _corpus_only
+
+        _corpus_only("$pairedBootstrap", c)
+        sctx = ExprContext(schema=df.schema)
+        idc = compile_expr(id_e, sctx).cast("string")
+        a = compile_expr(a_e, sctx).cast("double")
+        b = compile_expr(b_e, sctx).cast("double")
+        slim = df.select(
+            idc.alias("__id"), a.alias("__a"), b.alias("__b"))
+        # HARD plan barrier (checkpoint, the graphcc policy) BETWEEN
+        # the projection and the null filter.  Ordering is the whole
+        # point: a filter placed below the barrier gets predicate-
+        # pushed through every upstream Project, each crossing
+        # SUBSTITUTING the metric attributes with their defining
+        # expressions — a $chrf/$bleu column program inlines
+        # combinatorially (measured 173 s vs 7 s for a mere
+        # isNotNull over two chrF scores on 500 docs).  With the
+        # barrier first, the filter tests materialized slim rows, the
+        # upstream metric evaluates exactly once per row, and the
+        # base-means and replicate subtrees share the same
+        # materialization.  Durable checkpoint when the session has a
+        # checkpoint dir (cluster), local otherwise — same policy as
+        # $connectedComponents/$pageRank.
+        has_dir = c.spark.sparkContext._jsc.sc().getCheckpointDir() \
+            .isDefined()
+        slim = (slim.checkpoint(eager=False) if has_dir
+                else slim.localCheckpoint(eager=False))
+        pairs = slim.filter(
+            F.col("__id").isNotNull() & F.col("__a").isNotNull()
+            & F.col("__b").isNotNull())
+
+        def weight(r: Column) -> Column:
+            u = F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}:"), F.col("__id"),
+                                   F.lit(":"), r.cast("string"))),
+                    1, 15),
+                16, 10).cast("double") / F.lit(float(16 ** 15))
+            w: Column = F.lit(8)
+            for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+                w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)) \
+                    .otherwise(w)
+            return w.cast("long")
+
+        ws = F.transform(F.sequence(F.lit(1), F.lit(samples)), weight)
+        ex = pairs.withColumn("__ws", ws).select(
+            "__a", "__b", F.posexplode("__ws").alias("__r", "__w"))
+        wd = F.col("__w").cast("double")
+        rep = ex.groupBy("__r").agg(
+            F.sum(wd * (F.col("__a") - F.col("__b"))).alias("__wdiff"),
+            F.sum("__w").alias("__wsum"))
+        delta_r = F.when(F.col("__wsum") > 0,
+                         F.col("__wdiff") / F.col("__wsum").cast("double"))
+        summ = rep.agg(
+            F.coalesce(
+                F.sum(F.when(delta_r > 0, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("wins_a"),
+            F.coalesce(
+                F.sum(F.when(delta_r.isNull() | (delta_r == 0), 1)
+                      .otherwise(0)), F.lit(0)
+            ).cast("long").alias("ties"),
+        )
+        base = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("__a").alias("mean_a"),
+            F.avg("__b").alias("mean_b"))
+        out = base.crossJoin(F.broadcast(summ))
+        null_d = F.lit(None).cast("double")
+        empty = F.col("n") == 0
+        return out.select(
+            "n",
+            F.when(empty, null_d).otherwise(F.col("mean_a"))
+            .alias("mean_a"),
+            F.when(empty, null_d).otherwise(F.col("mean_b"))
+            .alias("mean_b"),
+            F.when(empty, null_d)
+            .otherwise(F.col("mean_a") - F.col("mean_b")).alias("delta"),
+            F.col("wins_a"),
+            F.col("ties"),
+            F.lit(samples).cast("long").alias("b_samples"),
+            F.when(empty, null_d)
+            .otherwise((F.lit(samples) - F.col("wins_a"))
+                       .cast("double") / F.lit(float(samples)))
+            .alias("p_value"),
+        )
+
+    return fn

@@ -59,7 +59,7 @@ _BATCH_ONLY_STAGES = {
 _CORPUS_ONLY_STAGES = {"$spanDedup", "$semanticDedup", "$bpeTrain",
                        "$profile", "$bleuCorpus", "$chrfCorpus",
                        "$werCorpus", "$classificationEval",
-                       "$regressionEval"}
+                       "$regressionEval", "$pairedBootstrap"}
 
 
 def _resolve_state_store(state_store: str) -> tuple[str, str]:

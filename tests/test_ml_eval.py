@@ -141,3 +141,104 @@ def test_ml_eval_corpus_only_gates(spark):
         mb.micro_batch = True
         with pytest.raises(ValueError, match="corpus-wide"):
             compile_pipeline(pipeline, mb)(df)
+
+
+def test_paired_bootstrap_matches_independent_python(spark):
+    """Full differential: the deterministic Poisson-bootstrap weights,
+    per-replicate wins/ties and p_value reproduced by an independent
+    Python implementation (hashlib md5, same inverse CDF)."""
+    import hashlib
+
+    CDF = [0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+           0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+           0.999916758850712, 0.9999897508033254]
+
+    def weight(seed, rid, r):
+        h = hashlib.md5(f"{seed}:{rid}:{r}".encode()).hexdigest()
+        u = int(h[:15], 16) / float(16 ** 15)
+        for k, t in enumerate(CDF):
+            if u < t:
+                return k
+        return 8
+
+    rng = random.Random(99)
+    rows = [(i, rng.randint(0, 127) / 128.0, rng.randint(0, 127) / 128.0)
+            for i in range(150)]
+    B, seed = 60, 0
+    df = spark.createDataFrame(rows, "i long, a double, b double")
+    got = compile_pipeline(
+        [{"$pairedBootstrap": {"id": "$i", "a": "$a", "b": "$b",
+                               "samples": B}}],
+        Context(spark=spark))(df).collect()[0]
+    wins = ties = 0
+    for r in range(1, B + 1):
+        wdiff = wsum = 0.0
+        for i, a, b in rows:
+            w = weight(seed, i, r)
+            wdiff += w * (a - b)
+            wsum += w
+        if wsum > 0 and wdiff > 0:
+            wins += 1
+        elif wsum == 0 or wdiff == 0:
+            ties += 1
+    assert got["n"] == len(rows)
+    assert got["wins_a"] == wins and got["ties"] == ties
+    assert abs(got["p_value"] - (B - wins) / B) < 1e-12
+    mean_a = sum(a for _, a, _ in rows) / len(rows)
+    mean_b = sum(b for _, _, b in rows) / len(rows)
+    assert abs(got["mean_a"] - mean_a) < 1e-12
+    assert abs(got["delta"] - (mean_a - mean_b)) < 1e-12
+    # determinism across runs
+    again = compile_pipeline(
+        [{"$pairedBootstrap": {"id": "$i", "a": "$a", "b": "$b",
+                               "samples": B}}],
+        Context(spark=spark))(df).collect()[0]
+    assert again == got
+    # a different seed moves the replicate draws (but not the means)
+    other = compile_pipeline(
+        [{"$pairedBootstrap": {"id": "$i", "a": "$a", "b": "$b",
+                               "samples": B, "seed": 1}}],
+        Context(spark=spark))(df).collect()[0]
+    assert other["mean_a"] == got["mean_a"]
+    assert other["wins_a"] != got["wins_a"] or other["ties"] != got["ties"]
+
+
+def test_paired_bootstrap_composes_with_metric_stages(spark):
+    """Real composition: $chrf scores two 'systems' per segment, then
+    $pairedBootstrap judges the gap — system A (20-word prefix
+    candidate) must dominate system B (5-word prefix) against the full
+    text, with a p_value near 0."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = compile_pipeline([
+        {"$truncateTokens": {"input": "$text", "as": "h20", "max": 20}},
+        {"$truncateTokens": {"input": "$text", "as": "h5", "max": 5}},
+        {"$truncateTokens": {"input": "$text", "as": "ref", "max": 30}},
+        # maxChars keeps the clip aggregate O(300^2) per row — against
+        # the full 2000-char default this test is minutes of CPU
+        {"$chrf": {"candidate": "$h20", "reference": "$ref", "maxN": 3,
+                   "maxChars": 300, "as": "sa"}},
+        {"$chrf": {"candidate": "$h5", "reference": "$ref", "maxN": 3,
+                   "maxChars": 300, "as": "sb"}},
+        {"$pairedBootstrap": {"id": "$doc_id", "a": "$sa", "b": "$sb",
+                              "samples": 50}},
+    ], Context(spark=spark))(docs).collect()[0]
+    assert out["n"] == 500 and out["delta"] > 0
+    assert out["p_value"] <= 0.02
+    # edge: empty input
+    empty = compile_pipeline(
+        [{"$pairedBootstrap": {"id": "$doc_id", "a": "$sa", "b": "$sb"}}],
+        Context(spark=spark))(
+        spark.createDataFrame([], "doc_id long, sa double, sb double")
+    ).collect()[0]
+    assert empty["n"] == 0 and empty["p_value"] is None
+    # config guard + corpus-only gate
+    with pytest.raises(ValueError, match="samples"):
+        compile_pipeline(
+            [{"$pairedBootstrap": {"id": "$i", "a": "$a", "b": "$b",
+                                   "samples": 0}}], Context(spark=spark))
+    mb = Context(spark=spark)
+    mb.micro_batch = True
+    with pytest.raises(ValueError, match="corpus-wide"):
+        compile_pipeline(
+            [{"$pairedBootstrap": {"id": "$doc_id", "a": "$sa",
+                                   "b": "$sb"}}], mb)(docs)
