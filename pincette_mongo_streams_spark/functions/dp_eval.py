@@ -1749,3 +1749,45 @@ def paired_bootstrap_stage(expression: Any, ctx: Context) -> StageFn:
         )
 
     return fn
+
+
+@register_stage("$materialize")
+def materialize_stage(expression: Any, ctx: Context) -> StageFn:
+    """Explicit plan barrier: ``{}`` or ``{mode: "auto"|"local"|
+    "durable"}``.  Pins the current rows as materialized data so that
+    (1) predicate pushdown cannot substitute downstream filters into
+    the upstream column programs — a ``$match`` directly over a deep
+    HOF metric column ($chrf, $bleu, ...) inlines combinatorially (the
+    measured 173-s-vs-7-s hazard in SCALE.md §"pairedBootstrap") — and
+    (2) multiple downstream consumers share ONE upstream evaluation.
+
+    ``auto`` (default) durably checkpoints when the session has a
+    checkpoint directory configured (survives executor loss — the
+    cluster choice) and uses ``localCheckpoint`` otherwise; ``local``
+    and ``durable`` force the respective behavior (``durable`` without
+    a checkpoint dir raises at run time, from Spark).  Lazy in both
+    modes: nothing materializes until the first downstream action.
+
+    Batch-only in the streaming PLAN path (an unbounded DataFrame
+    cannot checkpoint); inside foreachBatch it is a per-micro-batch
+    barrier, which is exactly what a $match-over-metric needs there
+    too."""
+    mode = (expression or {}).get("mode", "auto")
+    if mode not in ("auto", "local", "durable"):
+        raise ValueError(
+            f"$materialize mode must be auto|local|durable, got {mode!r}")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..operators.extended import _batch_only
+
+        _batch_only("$materialize", c)
+        if mode == "local":
+            return df.localCheckpoint(eager=False)
+        if mode == "durable":
+            return df.checkpoint(eager=False)
+        has_dir = c.spark.sparkContext._jsc.sc().getCheckpointDir() \
+            .isDefined()
+        return (df.checkpoint(eager=False) if has_dir
+                else df.localCheckpoint(eager=False))
+
+    return fn

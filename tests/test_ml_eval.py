@@ -242,3 +242,36 @@ def test_paired_bootstrap_composes_with_metric_stages(spark):
         compile_pipeline(
             [{"$pairedBootstrap": {"id": "$doc_id", "a": "$sa",
                                    "b": "$sb"}}], mb)(docs)
+
+
+def test_materialize_barrier(spark):
+    """$materialize pins rows so a downstream $match cannot be
+    predicate-pushed (substituted) into an expensive upstream column
+    program; results are identical with and without the barrier."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(60)
+    base = [{"$chrf": {"candidate": {"$substrCP": ["$text", 0, 30]},
+                       "reference": {"$substrCP": ["$text", 0, 60]},
+                       "maxN": 2, "maxChars": 120, "as": "s"}}]
+    bar = compile_pipeline(
+        base + [{"$materialize": {}}, {"$match": {"s": {"$gt": 0.2}}}],
+        Context(spark=spark))(docs)
+    plan = bar._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan  # the barrier is real
+    got = sorted(r["doc_id"] for r in bar.collect())
+    want = sorted(r["doc_id"] for r in compile_pipeline(
+        base + [{"$match": {"s": {"$gt": 0.2}}}],
+        Context(spark=spark))(docs).collect())
+    assert got == want and len(got) > 0
+    # local mode forced
+    loc = compile_pipeline(base + [{"$materialize": {"mode": "local"}}],
+                           Context(spark=spark))(docs)
+    assert loc.count() == 60
+    # config guard + streaming-plan rejection
+    with pytest.raises(ValueError, match="mode"):
+        compile_pipeline([{"$materialize": {"mode": "eager"}}],
+                         Context(spark=spark))
+    stream_ctx = Context(spark=spark)
+    stream_ctx.streaming = True
+    with pytest.raises(ValueError, match="batch-only"):
+        compile_pipeline([{"$materialize": {}}], stream_ctx)(docs)
