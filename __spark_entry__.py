@@ -2416,6 +2416,57 @@ FROM base, summ""",
 
 
 _register(
+    "bootstrap_ci",
+    f"""WITH p AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+                  ((doc_id * 37) % 128) / 128.0 AS a
+           FROM documents),
+r AS (SELECT gs.r, p.id, p.a,
+             ('0x' || substr(md5('0:' || p.id || ':' || gs.r), 1, 15))
+                 ::BIGINT / 1152921504606846976.0 AS u
+      FROM p CROSS JOIN generate_series(1, 100) AS gs(r)),
+w AS (SELECT r, a,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  WHEN u < 0.999916758850712 THEN 6
+                  WHEN u < 0.9999897508033254 THEN 7
+                  ELSE 8 END AS w
+      FROM r),
+rep AS (SELECT r, sum(w * a) AS wv, sum(w) AS wsum FROM w GROUP BY r),
+mr AS (SELECT wv / wsum AS m FROM rep WHERE wsum > 0),
+ord AS (SELECT m, row_number() OVER (ORDER BY m) AS rn,
+               count(*) OVER () AS cnt
+        FROM mr),
+ci AS (SELECT max(CASE WHEN rn = least(3, cnt) THEN m END) AS ci_low,
+              max(CASE WHEN rn = least(98, cnt) THEN m END) AS ci_high
+       FROM ord),
+base AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(a) AS mean FROM p)
+SELECT n, {_r('mean', 6)} AS mean, {_r('ci_low', 6)} AS ci_low,
+       {_r('ci_high', 6)} AS ci_high,
+       CAST(100 AS BIGINT) AS b_samples, 0.05 AS alpha
+FROM base, ci""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$set": {"sa": {"$divide": [
+                {"$mod": [{"$multiply": ["$doc_id", 37]}, 128]}, 128]}}},
+            {"$bootstrapCI": {"id": "$doc_id", "input": "$sa",
+                              "samples": 100}},
+            {"$project": {"n": 1,
+                          "mean": {"$round": ["$mean", 6]},
+                          "ci_low": {"$round": ["$ci_low", 6]},
+                          "ci_high": {"$round": ["$ci_high", 6]},
+                          "b_samples": 1, "alpha": 1}},
+        ],
+    )
+)
+
+
+_register(
     "wer_corpus",
     f"""WITH w AS (
   SELECT len(list_filter(string_split_regex(trim(text), '\\s+'),

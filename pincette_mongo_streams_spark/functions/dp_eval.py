@@ -1693,20 +1693,9 @@ def paired_bootstrap_stage(expression: Any, ctx: Context) -> StageFn:
             F.col("__id").isNotNull() & F.col("__a").isNotNull()
             & F.col("__b").isNotNull())
 
-        def weight(r: Column) -> Column:
-            u = F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{seed}:"), F.col("__id"),
-                                   F.lit(":"), r.cast("string"))),
-                    1, 15),
-                16, 10).cast("double") / F.lit(float(16 ** 15))
-            w: Column = F.lit(8)
-            for k in range(len(_POISSON1_CDF) - 1, -1, -1):
-                w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)) \
-                    .otherwise(w)
-            return w.cast("long")
-
-        ws = F.transform(F.sequence(F.lit(1), F.lit(samples)), weight)
+        ws = F.transform(
+            F.sequence(F.lit(1), F.lit(samples)),
+            lambda r: _poisson1_weight(seed, F.col("__id"), r))
         ex = pairs.withColumn("__ws", ws).select(
             "__a", "__b", F.posexplode("__ws").alias("__r", "__w"))
         wd = F.col("__w").cast("double")
@@ -1789,5 +1778,117 @@ def materialize_stage(expression: Any, ctx: Context) -> StageFn:
             .isDefined()
         return (df.checkpoint(eager=False) if has_dir
                 else df.localCheckpoint(eager=False))
+
+    return fn
+
+
+def _poisson1_weight(seed: int, id_col: Column, r: Column) -> Column:
+    """Deterministic Poisson(1) bootstrap weight for (segment, replicate):
+    md5(seed:id:replicate) -> uniform in [0,1) -> inverse CDF (capped at
+    8).  Column-building only — runs on the driver, nothing pickles."""
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), id_col, F.lit(":"),
+                           r.cast("string"))),
+            1, 15),
+        16, 10).cast("double") / F.lit(float(16 ** 15))
+    w: Column = F.lit(8)
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w.cast("long")
+
+
+@register_stage("$bootstrapCI")
+def bootstrap_ci_stage(expression: Any, ctx: Context) -> StageFn:
+    """Bootstrap confidence interval for a per-segment metric's mean:
+    ``{id, input, samples?, alpha?, seed?}`` -> ONE row ``(n, mean,
+    ci_low, ci_high, b_samples, alpha)`` — "BLEU 34.2 ± what?", the
+    companion to $pairedBootstrap's two-system test.
+
+    Each replicate resamples the segments (the same deterministic
+    md5-derived Poisson(1) weights as $pairedBootstrap — reruns and
+    the DuckDB oracle reproduce it bit-for-bit) and recomputes the
+    weighted mean; the interval is the empirical
+    ``[ceil((alpha/2)·B), ceil((1-alpha/2)·B)]``-th order statistics
+    of the B replicate means (1-based, a pinned convention — no
+    interpolation, so exact-rational inputs stay hash-stable).
+    Replicates that draw zero total weight are excluded from the order
+    statistics.  Rows with a null id/input are EXCLUDED; empty corpus
+    -> n = 0, null interval.
+
+    CORPUS-ONLY in streaming, like $pairedBootstrap.
+
+    100 TB shape: identical to $pairedBootstrap — row-local replicate
+    explode, partial-aggregated groupBy(replicate) (<= B rows per task
+    before the only shuffle), then the B-row frame sorts in one task
+    and combines with the 1-row base frame via the pinned broadcast
+    cross join; the checkpoint barrier keeps an upstream metric
+    program evaluated once per row."""
+    id_e = expression["id"]
+    in_e = expression["input"]
+    samples = int(expression.get("samples", 200))
+    alpha = float(expression.get("alpha", 0.05))
+    seed = int(expression.get("seed", 0))
+    if not 1 <= samples <= 10000:
+        raise ValueError("$bootstrapCI samples must be in 1..10000")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("$bootstrapCI alpha must be in (0, 1)")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        import math
+
+        from ..operators.extended import _corpus_only
+
+        _corpus_only("$bootstrapCI", c)
+        sctx = ExprContext(schema=df.schema)
+        idc = compile_expr(id_e, sctx).cast("string")
+        v = compile_expr(in_e, sctx).cast("double")
+        slim = df.select(idc.alias("__id"), v.alias("__v"))
+        has_dir = c.spark.sparkContext._jsc.sc().getCheckpointDir() \
+            .isDefined()
+        slim = (slim.checkpoint(eager=False) if has_dir
+                else slim.localCheckpoint(eager=False))
+        pairs = slim.filter(
+            F.col("__id").isNotNull() & F.col("__v").isNotNull())
+        ws = F.transform(
+            F.sequence(F.lit(1), F.lit(samples)),
+            lambda r: _poisson1_weight(seed, F.col("__id"), r))
+        ex = pairs.withColumn("__ws", ws).select(
+            "__v", F.posexplode("__ws").alias("__r", "__w"))
+        rep = ex.groupBy("__r").agg(
+            F.sum(F.col("__w").cast("double") * F.col("__v"))
+            .alias("__wv"),
+            F.sum("__w").alias("__wsum"))
+        mean_r = F.when(F.col("__wsum") > 0,
+                        F.col("__wv") / F.col("__wsum").cast("double"))
+        lo_i = max(1, math.ceil(alpha / 2.0 * samples))
+        hi_i = max(1, math.ceil((1.0 - alpha / 2.0) * samples))
+        stats = rep.agg(
+            F.sort_array(F.collect_list(mean_r)).alias("__means"))
+        # order statistics over the DEFINED replicate means; indices
+        # clamp to the defined count (all-zero-weight replicates only
+        # happen on degenerate corpora)
+        m = F.col("__means")
+        cnt = F.size(m)
+        pick = lambda i: F.when(  # noqa: E731
+            cnt > 0, F.element_at(m, F.least(F.lit(i), cnt))
+        ).otherwise(F.lit(None).cast("double"))
+        summ = stats.select(pick(lo_i).alias("ci_low"),
+                            pick(hi_i).alias("ci_high"))
+        base = pairs.agg(F.count(F.lit(1)).alias("n"),
+                         F.avg("__v").alias("mean"))
+        out = base.crossJoin(F.broadcast(summ))
+        null_d = F.lit(None).cast("double")
+        empty = F.col("n") == 0
+        return out.select(
+            "n",
+            F.when(empty, null_d).otherwise(F.col("mean")).alias("mean"),
+            F.when(empty, null_d).otherwise(F.col("ci_low"))
+            .alias("ci_low"),
+            F.when(empty, null_d).otherwise(F.col("ci_high"))
+            .alias("ci_high"),
+            F.lit(samples).cast("long").alias("b_samples"),
+            F.lit(alpha).alias("alpha"),
+        )
 
     return fn

@@ -59,7 +59,8 @@ _BATCH_ONLY_STAGES = {
 _CORPUS_ONLY_STAGES = {"$spanDedup", "$semanticDedup", "$bpeTrain",
                        "$profile", "$bleuCorpus", "$chrfCorpus",
                        "$werCorpus", "$classificationEval",
-                       "$regressionEval", "$pairedBootstrap"}
+                       "$regressionEval", "$pairedBootstrap",
+                       "$bootstrapCI"}
 
 
 def _resolve_state_store(state_store: str) -> tuple[str, str]:

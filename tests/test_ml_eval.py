@@ -275,3 +275,62 @@ def test_materialize_barrier(spark):
     stream_ctx.streaming = True
     with pytest.raises(ValueError, match="batch-only"):
         compile_pipeline([{"$materialize": {}}], stream_ctx)(docs)
+
+
+def test_bootstrap_ci_matches_independent_python(spark):
+    """$bootstrapCI vs an independent Python replication (same md5
+    weights, same pinned order-statistic convention)."""
+    import hashlib
+    import math
+
+    CDF = [0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+           0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+           0.999916758850712, 0.9999897508033254]
+
+    def weight(seed, rid, r):
+        h = hashlib.md5(f"{seed}:{rid}:{r}".encode()).hexdigest()
+        u = int(h[:15], 16) / float(16 ** 15)
+        for k, t in enumerate(CDF):
+            if u < t:
+                return k
+        return 8
+
+    rng = random.Random(17)
+    rows = [(i, rng.randint(0, 127) / 128.0) for i in range(120)]
+    B = 80
+    df = spark.createDataFrame(rows, "i long, v double")
+    got = compile_pipeline(
+        [{"$bootstrapCI": {"id": "$i", "input": "$v", "samples": B}}],
+        Context(spark=spark))(df).collect()[0]
+    means = []
+    for r in range(1, B + 1):
+        wv = wsum = 0.0
+        for i, v in rows:
+            w = weight(0, i, r)
+            wv += w * v
+            wsum += w
+        if wsum > 0:
+            means.append(wv / wsum)
+    means.sort()
+    lo = means[min(max(1, math.ceil(0.025 * B)), len(means)) - 1]
+    hi = means[min(max(1, math.ceil(0.975 * B)), len(means)) - 1]
+    assert got["n"] == len(rows)
+    assert abs(got["mean"] - sum(v for _, v in rows) / len(rows)) < 1e-12
+    assert abs(got["ci_low"] - lo) < 1e-12
+    assert abs(got["ci_high"] - hi) < 1e-12
+    assert got["ci_low"] <= got["mean"] <= got["ci_high"]
+    # empty input + guards + corpus-only gate
+    empty = compile_pipeline(
+        [{"$bootstrapCI": {"id": "$i", "input": "$v"}}],
+        Context(spark=spark))(
+        spark.createDataFrame([], "i long, v double")).collect()[0]
+    assert empty["n"] == 0 and empty["ci_low"] is None
+    with pytest.raises(ValueError, match="alpha"):
+        compile_pipeline(
+            [{"$bootstrapCI": {"id": "$i", "input": "$v", "alpha": 1.5}}],
+            Context(spark=spark))
+    mb = Context(spark=spark)
+    mb.micro_batch = True
+    with pytest.raises(ValueError, match="corpus-wide"):
+        compile_pipeline(
+            [{"$bootstrapCI": {"id": "$i", "input": "$v"}}], mb)(df)

@@ -1090,6 +1090,7 @@ def test_corpus_only_stages_rejected_up_front(spark, tmpdir):
                               "actual": "$doc_id"}}],
         [{"$pairedBootstrap": {"id": "$doc_id", "a": "$doc_id",
                                "b": "$doc_id"}}],
+        [{"$bootstrapCI": {"id": "$doc_id", "input": "$doc_id"}}],
     ):
         with pytest.raises(ValueError, match="corpus-wide"):
             run_streaming(source, pipeline, ctx, lambda d, e: None,
