@@ -906,12 +906,22 @@ def test_eval_family_streaming_parity(spark, tmpdir):
                            "n": 2, "maxWords": 6, "as": "ov"}},
         {"$chrf": {"candidate": "$cand", "reference": "$text",
                    "as": "ch"}},
+        # r10: the multi-reference forms stream unchanged too
+        {"$chrf": {"candidate": "$cand",
+                   "references": ["$text", "$ref2"], "maxN": 3,
+                   "as": "chm"}},
+        {"$wer": {"candidate": "$cand", "reference": "$text",
+                  "as": "w1"}},
+        {"$wer": {"candidate": "$cand",
+                  "references": ["$text", "$p3"], "as": "wm"}},
         {"$qaEval": {"prediction": "$cand", "answers": ["$text", "$p3"],
                      "as": "qa"}},
         {"$project": {"doc_id": 1, "b1": 1, "bm": 1,
                       "r1_f": "$r1.f1", "rm_f": "$rm.f1",
                       "ov_m": "$ov.n_match", "ov_f": "$ov.f1",
-                      "ch": 1, "qa_em": "$qa.exact_match",
+                      "ch": 1, "chm": 1, "w1_w": "$w1.wer",
+                      "wm_w": "$wm.wer", "wm_d": "$wm.distance",
+                      "qa_em": "$qa.exact_match",
                       "qa_f1": "$qa.f1"}},
     ]
     batch_df = spark.createDataFrame(
