@@ -2446,7 +2446,8 @@ ci AS (SELECT max(CASE WHEN rn = least(3, cnt) THEN m END) AS ci_low,
 base AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(a) AS mean FROM p)
 SELECT n, {_r('mean', 6)} AS mean, {_r('ci_low', 6)} AS ci_low,
        {_r('ci_high', 6)} AS ci_high,
-       CAST(100 AS BIGINT) AS b_samples, 0.05 AS alpha
+       CAST(100 AS BIGINT) AS b_samples,
+       CAST(0.05 AS DOUBLE) AS alpha
 FROM base, ci""",
 )(
     _pipe(
