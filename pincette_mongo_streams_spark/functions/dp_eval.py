@@ -1467,11 +1467,16 @@ def classification_eval_stage(expression: Any, ctx: Context) -> StageFn:
     oracle-checkable, never NaN).  ``support = tp + fn`` (actual
     occurrences).  Rows with a null on either side are EXCLUDED.
 
-    ``average: "macro"`` -> ONE row ``(n, accuracy, precision, recall,
-    f1)`` — unweighted means of the per-label scores over the label
-    union; ``average: "micro"`` -> same shape where micro-P = micro-R =
-    micro-F1 = accuracy (single-label classification: every FP is
-    another label's FN).
+    ``average: "macro" | "micro" | "weighted"`` -> ONE row ``(n,
+    accuracy, precision, recall, f1)``: macro = unweighted means of
+    the per-label scores; weighted = support-weighted means; micro =
+    pooled-count P/R/F1 (with no label restriction every FP is another
+    label's FN, so micro-P = micro-R = micro-F1 = accuracy — the
+    single-label identity).  ``labels: [...]`` fixes the reported /
+    averaged label set exactly (sklearn ``labels=``): observed-only
+    labels drop out, absent ones appear with zero counts; ``n`` and
+    ``accuracy`` stay global (sklearn's accuracy_score ignores
+    ``labels=``).
 
     CORPUS-ONLY: the output claims corpus scope, so it is gated in
     streaming exactly like $bleuCorpus.
@@ -1485,10 +1490,15 @@ def classification_eval_stage(expression: Any, ctx: Context) -> StageFn:
     pred_e = expression["predicted"]
     act_e = expression["actual"]
     average = expression.get("average")
-    if average not in (None, "macro", "micro"):
+    labels_param = expression.get("labels")
+    if average not in (None, "macro", "micro", "weighted"):
         raise ValueError(
-            f"$classificationEval average must be 'macro', 'micro' or "
-            f"absent, got {average!r}")
+            f"$classificationEval average must be 'macro', 'micro', "
+            f"'weighted' or absent, got {average!r}")
+    if labels_param is not None and (
+            not isinstance(labels_param, list) or not labels_param):
+        raise ValueError(
+            "$classificationEval labels must be a non-empty list")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         from ..operators.extended import _corpus_only
@@ -1534,23 +1544,60 @@ def classification_eval_stage(expression: Any, ctx: Context) -> StageFn:
             (F.col("tp") + F.col("fn")).alias("support"),
             prec.alias("precision"), rec.alias("recall"),
             f1.alias("f1"))
+        if labels_param is not None:
+            # sklearn labels=: report/average EXACTLY this label set —
+            # observed-only labels drop out, absent ones appear with
+            # zero counts (their tp/fp/fn against the full pair set are
+            # genuinely zero: an unobserved label is never predicted
+            # nor actual).  n/accuracy stay GLOBAL (sklearn's
+            # accuracy_score ignores labels=), computed from the
+            # unrestricted frame below.
+            ldf = c.spark.createDataFrame(
+                [(str(x),) for x in labels_param], "label string")
+            sel = ldf.join(per, "label", "left").na.fill(
+                0, ["tp", "fp", "fn", "support"]).na.fill(
+                0.0, ["precision", "recall", "f1"])
+        else:
+            sel = per
         if average is None:
-            return per.orderBy("label")
+            return sel.orderBy("label")
         total = F.sum(F.col("tp") + F.col("fn"))
         acc = F.sum("tp").cast("double") / total.cast("double")
+        base = per.agg(total.alias("n"), acc.alias("accuracy"))
         if average == "macro":
-            row = per.agg(
-                total.alias("n"), acc.alias("accuracy"),
+            summ = sel.agg(
                 F.avg("precision").alias("precision"),
                 F.avg("recall").alias("recall"),
                 F.avg("f1").alias("f1"))
-        else:  # micro: P = R = F1 = accuracy for single-label tasks
-            row = per.agg(total.alias("n"), acc.alias("accuracy")) \
-                .select("n", "accuracy",
-                        F.col("accuracy").alias("precision"),
-                        F.col("accuracy").alias("recall"),
-                        F.col("accuracy").alias("f1"))
-        return row
+        elif average == "weighted":
+            sup = F.sum("support").cast("double")
+            wavg = lambda col: F.when(  # noqa: E731
+                sup > 0,
+                F.sum(F.col(col) * F.col("support").cast("double")) / sup,
+            ).otherwise(F.lit(0.0))
+            summ = sel.agg(
+                wavg("precision").alias("precision"),
+                wavg("recall").alias("recall"),
+                wavg("f1").alias("f1"))
+        else:
+            # micro over the (possibly restricted) label set:
+            # P = Σtp/(Σtp+Σfp), R = Σtp/(Σtp+Σfn), F1 harmonic —
+            # with no restriction Σfp = Σfn, so all three equal the
+            # global accuracy (the single-label identity)
+            stp = F.sum("tp").cast("double")
+            sfp = F.sum("fp").cast("double")
+            sfn = F.sum("fn").cast("double")
+            mp = F.when(stp + sfp > 0, stp / (stp + sfp)) \
+                .otherwise(F.lit(0.0))
+            mr = F.when(stp + sfn > 0, stp / (stp + sfn)) \
+                .otherwise(F.lit(0.0))
+            mf = F.when(2 * stp + sfp + sfn > 0,
+                        2 * stp / (2 * stp + sfp + sfn)) \
+                .otherwise(F.lit(0.0))
+            summ = sel.agg(mp.alias("precision"), mr.alias("recall"),
+                           mf.alias("f1"))
+        return base.crossJoin(F.broadcast(summ)).select(
+            "n", "accuracy", "precision", "recall", "f1")
 
     return fn
 

@@ -82,11 +82,12 @@ def test_classification_eval_randomized_differential(spark):
         [{"$classificationEval": {"predicted": "$p", "actual": "$a"}}],
         Context(spark=spark))(ndf).collect()
     assert {r["label"] for r in rows2} == {"1", "2"}
-    # config guard
+    # config guard ("weighted" became a real mode in r10 — see
+    # test_classification_eval_weighted_and_labels)
     with pytest.raises(ValueError, match="average"):
         compile_pipeline(
             [{"$classificationEval": {"predicted": "$p", "actual": "$a",
-                                      "average": "weighted"}}],
+                                      "average": "median"}}],
             Context(spark=spark))
 
 
@@ -334,3 +335,61 @@ def test_bootstrap_ci_matches_independent_python(spark):
     with pytest.raises(ValueError, match="corpus-wide"):
         compile_pipeline(
             [{"$bootstrapCI": {"id": "$i", "input": "$v"}}], mb)(df)
+
+
+def test_classification_eval_weighted_and_labels(spark):
+    """sklearn's remaining axes: average='weighted' (support-weighted
+    means) and labels= (fixed label set — absent labels appear with
+    zero counts, observed-only labels drop out; accuracy stays
+    global); micro over a restricted set is pooled-count P/R/F1."""
+    rng = random.Random(2718)
+    labels = ["x", "y", "z"]
+    rows = [(i,
+             rng.choice(labels + ["EXTRA"]),
+             rng.choice(labels)) for i in range(200)]
+    df = spark.createDataFrame(rows, "i long, p string, a string")
+    pairs = [(p, a) for _, p, a in rows]
+    want = _ref_classification(pairs)
+    # weighted over the full union
+    got = compile_pipeline(
+        [{"$classificationEval": {"predicted": "$p", "actual": "$a",
+                                  "average": "weighted"}}],
+        Context(spark=spark))(df).collect()[0]
+    stats = {lb: (_prf(*v), v[0] + v[2]) for lb, v in want.items()}
+    tot_sup = sum(s for _, s in stats.values())
+    for idx, col in enumerate(("precision", "recall", "f1")):
+        w = sum(prf[idx] * s for prf, s in stats.values()) / tot_sup
+        assert abs(got[col] - w) < 1e-12, col
+    assert got["n"] == len(pairs)
+    # labels=: fixed set incl. an absent label, excl. EXTRA
+    per = {r["label"]: r for r in compile_pipeline(
+        [{"$classificationEval": {"predicted": "$p", "actual": "$a",
+                                  "labels": ["x", "y", "ABSENT"]}}],
+        Context(spark=spark))(df).collect()}
+    assert set(per) == {"x", "y", "ABSENT"}
+    assert per["ABSENT"]["tp"] == 0 and per["ABSENT"]["support"] == 0 \
+        and per["ABSENT"]["precision"] == 0.0
+    for lb in ("x", "y"):
+        tp, fp, fn = want[lb]
+        assert (per[lb]["tp"], per[lb]["fp"], per[lb]["fn"]) \
+            == (tp, fp, fn)
+    # micro over a restricted set = pooled counts, NOT accuracy
+    mic = compile_pipeline(
+        [{"$classificationEval": {"predicted": "$p", "actual": "$a",
+                                  "average": "micro",
+                                  "labels": ["x", "y"]}}],
+        Context(spark=spark))(df).collect()[0]
+    stp = sum(want[lb][0] for lb in ("x", "y"))
+    sfp = sum(want[lb][1] for lb in ("x", "y"))
+    sfn = sum(want[lb][2] for lb in ("x", "y"))
+    assert abs(mic["precision"] - stp / (stp + sfp)) < 1e-12
+    assert abs(mic["recall"] - stp / (stp + sfn)) < 1e-12
+    assert abs(mic["f1"] - 2 * stp / (2 * stp + sfp + sfn)) < 1e-12
+    acc = sum(v[0] for v in want.values()) / len(pairs)
+    assert abs(mic["accuracy"] - acc) < 1e-12  # accuracy stays global
+    # guard
+    with pytest.raises(ValueError, match="labels"):
+        compile_pipeline(
+            [{"$classificationEval": {"predicted": "$p", "actual": "$a",
+                                      "labels": []}}],
+            Context(spark=spark))
