@@ -2124,10 +2124,12 @@ _register(
 
 _register(
     "wer_eval",
+    # least(., 2000) mirrors the stage's maxWords=2000 truncation of the
+    # reference side (latent at testdata lengths, binding for larger docs)
     f"""WITH w AS (
   SELECT doc_id,
-         len(list_filter(string_split_regex(trim(text), '\\s+'),
-                         x -> x <> '')) AS n
+         least(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '')), 2000) AS n
   FROM documents WHERE text IS NOT NULL),
 s AS (SELECT doc_id, least(n, 25) AS m, n FROM w)
 SELECT doc_id,
@@ -2162,10 +2164,11 @@ FROM s ORDER BY doc_id""",
 
 _register(
     "wer_multiref",
+    # least(., 2000) mirrors the stage's maxWords=2000 truncation
     f"""WITH w AS (
   SELECT doc_id,
-         len(list_filter(string_split_regex(trim(text), '\\s+'),
-                         x -> x <> '')) AS n
+         least(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '')), 2000) AS n
   FROM documents),
 s AS (SELECT doc_id, n, least(n, 25) AS m, least(n, 22) AS k FROM w),
 d AS (SELECT doc_id, n, m, k,
@@ -2469,9 +2472,10 @@ FROM base, ci""",
 
 _register(
     "wer_corpus",
+    # least(., 2000) mirrors the stage's maxWords=2000 truncation
     f"""WITH w AS (
-  SELECT len(list_filter(string_split_regex(trim(text), '\\s+'),
-                         x -> x <> '')) AS n
+  SELECT least(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '')), 2000) AS n
   FROM documents),
 s AS (SELECT n, least(n, 25) AS m FROM w),
 t AS (SELECT CAST(sum(n - m) AS BIGINT) AS distance,

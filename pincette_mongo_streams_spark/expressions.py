@@ -77,17 +77,36 @@ class ExprContext:
         # across variable bindings or schemas.
         self._memo: dict[str, Any] = {}
         # extension operators (Features analog) may be non-deterministic
-        # or stateful — once one resolves, stop adding memo entries in
-        # this context (existing built-in-only entries stay valid)
-        self._memo_unsafe = False
+        # or stateful — once one resolves, stop adding memo entries
+        # (existing built-in-only entries stay valid).  The flag lives in
+        # a one-element list SHARED with every context derived via
+        # with_vars/with_schema: $let/$map/$filter/$reduce compile their
+        # bodies in child contexts, and a nested extension op must poison
+        # the memo of the ENCLOSING expression too (the parent memoizes
+        # after the child compiles, so depth-first order makes the shared
+        # cell sufficient).
+        self._unsafe_cell: list[bool] = [False]
+
+    @property
+    def _memo_unsafe(self) -> bool:
+        return self._unsafe_cell[0]
+
+    @_memo_unsafe.setter
+    def _memo_unsafe(self, value: bool) -> None:
+        self._unsafe_cell[0] = value
+
+    def _derive(self, schema: Optional[T.StructType], variables: dict[str, Any]) -> "ExprContext":
+        child = ExprContext(schema, variables, self._resolver)
+        child._unsafe_cell = self._unsafe_cell
+        return child
 
     def with_vars(self, **vars: Any) -> "ExprContext":
         merged = dict(self.variables)
         merged.update(vars)
-        return ExprContext(self.schema, merged, self._resolver)
+        return self._derive(self.schema, merged)
 
     def with_schema(self, schema: Optional[T.StructType]) -> "ExprContext":
-        return ExprContext(schema, self.variables, self._resolver)
+        return self._derive(schema, self.variables)
 
     def resolve(self, parts: list[str]) -> Column:
         if self._resolver is not None:

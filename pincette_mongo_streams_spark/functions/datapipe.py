@@ -31,6 +31,14 @@ Scale design notes (the 100 TB story, per operator):
 # stage and re-exports EVERY public and underscore name, so existing
 # ``from ...functions.datapipe import X`` call sites (tests, atlas.py,
 # __spark_entry__.py) are untouched.
+#
+# RE-EXPORTS ARE BY VALUE: the loop below copies bindings into this
+# module's globals at import time.  Reading any name through
+# ``datapipe.X`` works, but REBINDING it (monkeypatch, tunables such as
+# ALL_PAIRS_SIZE_LIMIT or SCRUB_RULES) does NOT reach the implementing
+# dp_* module — the stages read their constants from their OWNING module.
+# Patch tunables on the owner (e.g. ``dp_dedup.ALL_PAIRS_SIZE_LIMIT``),
+# never on this aggregator.
 
 from . import (  # noqa: E402  (registration side effects, order matters)
     dp_dedup,

@@ -1561,8 +1561,13 @@ def classification_eval_stage(expression: Any, ctx: Context) -> StageFn:
             sel = per
         if average is None:
             return sel.orderBy("label")
-        total = F.sum(F.col("tp") + F.col("fn"))
-        acc = F.sum("tp").cast("double") / total.cast("double")
+        # F.sum over an empty frame is NULL; coalesce so the empty corpus
+        # reports n = 0 with null metrics, matching $regressionEval /
+        # $pairedBootstrap ("empty corpus -> n = 0")
+        total = F.coalesce(F.sum(F.col("tp") + F.col("fn")), F.lit(0))
+        acc = F.when(
+            total > 0, F.sum("tp").cast("double") / total.cast("double")
+        ).otherwise(F.lit(None).cast("double"))
         base = per.agg(total.alias("n"), acc.alias("accuracy"))
         if average == "macro":
             summ = sel.agg(
@@ -1596,8 +1601,13 @@ def classification_eval_stage(expression: Any, ctx: Context) -> StageFn:
                 .otherwise(F.lit(0.0))
             summ = sel.agg(mp.alias("precision"), mr.alias("recall"),
                            mf.alias("f1"))
+        null_d = F.lit(None).cast("double")
+        empty = F.col("n") == 0
         return base.crossJoin(F.broadcast(summ)).select(
-            "n", "accuracy", "precision", "recall", "f1")
+            "n", "accuracy",
+            F.when(empty, null_d).otherwise(F.col("precision")).alias("precision"),
+            F.when(empty, null_d).otherwise(F.col("recall")).alias("recall"),
+            F.when(empty, null_d).otherwise(F.col("f1")).alias("f1"))
 
     return fn
 
@@ -1607,11 +1617,14 @@ def regression_eval_stage(expression: Any, ctx: Context) -> StageFn:
     """Regression metrics over (predicted, actual) numeric pairs:
     ``{predicted, actual}`` -> ONE row ``(n, mse, rmse, mae, r2)``.
 
-    ``r2 = 1 - SS_res / SS_tot`` with ``SS_tot = Σa² - (Σa)²/n`` (the
-    one-pass identity); a constant actual column (SS_tot = 0) reports
-    null r2 — the undefined case surfaced, not faked.  Pairs with a
-    null on either side are EXCLUDED; an empty corpus returns n = 0
-    with null metrics.
+    ``r2 = 1 - SS_res / SS_tot`` with ``SS_tot = var_pop(actual) · n``
+    — Spark's ``var_pop`` uses a numerically stable single-pass update,
+    unlike the textbook ``Σa² - (Σa)²/n`` identity which cancels
+    catastrophically when ``|mean| >> stddev`` (actuals ~1e9 with unit
+    variance lose all significant digits in double precision).  A
+    constant actual column (SS_tot = 0) reports null r2 — the undefined
+    case surfaced, not faked.  Pairs with a null on either side are
+    EXCLUDED; an empty corpus returns n = 0 with null metrics.
 
     CORPUS-ONLY: gated in streaming like $classificationEval.
 
@@ -1635,12 +1648,11 @@ def regression_eval_stage(expression: Any, ctx: Context) -> StageFn:
             F.count(F.lit(1)).alias("n"),
             F.sum(err * err).alias("__ssr"),
             F.sum(F.abs(err)).alias("__sae"),
-            F.sum("__a").alias("__sa"),
-            F.sum(F.col("__a") * F.col("__a")).alias("__saa"))
+            F.var_pop("__a").alias("__va"))
         n_d = F.col("n").cast("double")
         mse = F.col("__ssr") / n_d
         mae = F.col("__sae") / n_d
-        ss_tot = F.col("__saa") - F.col("__sa") * F.col("__sa") / n_d
+        ss_tot = F.col("__va") * n_d
         r2 = F.when(ss_tot > 0, 1.0 - F.col("__ssr") / ss_tot) \
             .otherwise(F.lit(None).cast("double"))
         null_d = F.lit(None).cast("double")

@@ -225,3 +225,31 @@ def test_active_features_nesting():
             assert compile_expr({"$two": 1}, ExprContext()) is not None
         with pytest.raises(NotImplementedError):
             compile_expr({"$two": 1}, ExprContext())
+
+
+def test_memo_unsafe_propagates_from_child_contexts():
+    # ADVICE r11: $let/$map/$filter/$reduce compile their bodies in
+    # contexts derived via with_vars/with_schema; an extension operator
+    # resolved in the CHILD must stop the PARENT from memoizing the
+    # enclosing expression (the flag lives in a shared cell)
+    ctx = ExprContext()
+    child = ctx.with_vars(x=F.lit(1)).with_schema(None)
+    assert ctx._memo_unsafe is False
+    child._memo_unsafe = True
+    assert ctx._memo_unsafe is True
+    # a freshly-constructed context does NOT share the cell
+    assert ExprContext()._memo_unsafe is False
+
+
+def test_nested_extension_poisons_enclosing_memo(spark):
+    # functional form of the hazard: an enclosing expression whose $let
+    # body resolves a (possibly non-deterministic) extension op must not
+    # be memoized in the parent context
+    ctx = Context(spark=spark, expression_extensions={"$double": _double})
+    ectx = ExprContext()
+    enclosing = {"$add": [
+        {"$let": {"vars": {"v": 1}, "in": {"$double": "$$v"}}}, 1]}
+    with active_features(ctx):
+        compile_expr(enclosing, ectx)
+    assert ectx._memo_unsafe is True
+    assert repr(enclosing) not in ectx._memo

@@ -393,3 +393,50 @@ def test_classification_eval_weighted_and_labels(spark):
             [{"$classificationEval": {"predicted": "$p", "actual": "$a",
                                       "labels": []}}],
             Context(spark=spark))
+
+
+def test_regression_eval_r2_stable_at_large_offset(spark):
+    """VERDICT r10 #2: SS_tot via the one-pass identity Sigma a^2 -
+    (Sigma a)^2/n cancels catastrophically when |mean| >> stddev; the
+    stable form is var_pop(a)*n.  actuals ~1e9 with variance 0.25 and
+    errors of 0.1: the old identity returns noise (r2 wildly off or
+    null from negative SS_tot); the stable form must match the exact
+    closed form to 1e-6."""
+    n = 1000
+    rows = [(float(1_000_000_000 + (i % 2)),
+             float(1_000_000_000 + (i % 2))
+             + (0.1 if i % 4 < 2 else -0.1))
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "a double, p double")
+    got = compile_pipeline(
+        [{"$regressionEval": {"predicted": "$p", "actual": "$a"}}],
+        Context(spark=spark))(df).collect()[0]
+    # exact: ssr = 0.01*n, ss_tot = 0.25*n -> r2 = 1 - 0.04 = 0.96
+    assert got["n"] == n
+    assert got["r2"] is not None
+    assert abs(got["r2"] - 0.96) < 1e-6
+    # 1e9 + 0.1 is not exactly representable; the ~5e-8 relative input
+    # quantization shows up in mse (not an engine artifact)
+    assert abs(got["mse"] - 0.01) < 1e-7
+
+
+def test_classification_eval_empty_corpus_averaged(spark):
+    """ADVICE r11: averaged mode on an empty (or all-null) input must
+    report n = 0 with null metrics, like $regressionEval."""
+    edf = spark.createDataFrame([], "p string, a string")
+    ndf = spark.createDataFrame([(None, None)], "p string, a string")
+    for df in (edf, ndf):
+        for avg in ("macro", "micro", "weighted"):
+            got = compile_pipeline(
+                [{"$classificationEval": {"predicted": "$p",
+                                          "actual": "$a",
+                                          "average": avg}}],
+                Context(spark=spark))(df).collect()[0]
+            assert got["n"] == 0, avg
+            for col in ("accuracy", "precision", "recall", "f1"):
+                assert got[col] is None, (avg, col)
+        # per-label mode: zero rows
+        assert compile_pipeline(
+            [{"$classificationEval": {"predicted": "$p",
+                                      "actual": "$a"}}],
+            Context(spark=spark))(df).count() == 0
