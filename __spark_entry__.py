@@ -4152,6 +4152,13 @@ _register(
         [
             {"$probe": {"name": "p2", "topic": "metrics"}},
             {"$throttle": {"maxPerSecond": 100000}},
+            # r11: $per round-trip folded in so the stage keeps an
+            # in-window row after per_batches' displacement — batch
+            # into arrays, unwind, restore the root; value-neutral, so
+            # the passthrough oracle is unchanged
+            {"$per": {"amount": 100, "as": "batch"}},
+            {"$unwind": "$batch"},
+            {"$replaceWith": "$batch"},
             {"$trace": {}},
             {"$backTrace": {}},
             {"$send": {"topic": {"$cond": [
@@ -6741,15 +6748,46 @@ _ORDER = [
     #     profiling; the dedup family keeps deduplicate +
     #     minhash_dedup + semantic_dedup in-window and decontaminate
     #     had hard rows r7-r9)
+    # r11 swaps (VERDICT r10 Next #1 — the eight r10-new gate queries
+    # earn hard driver rows per the standing rotation discipline; the
+    # displaced eight are the judge's own candidate list — 3+ rounds
+    # green with in-window family redundancy — and stay registered +
+    # locally oracled by tests/test_oracle_parity.py +
+    # tests/test_driver_canon.py):
+    #   geo_search -> chrf_multiref (multi-reference chrF, sacrebleu
+    #     max convention; the match family keeps match_operators +
+    #     text_match in-window, geo_search green r5-r10)
+    #   features_ext -> wer_multiref (min-WER over references, NIST
+    #     ties; the extension-seam family keeps stage_ext +
+    #     jslt_import in-window, features_ext green r4-r10)
+    #   window_all -> wer_corpus (corpus WER one-row reduction;
+    #     window functions stay exercised in-window by group_cap's
+    #     WindowGroupLimit + ann_topk, window_all green r2-r10)
+    #   edit_distance_join -> classification_eval (sklearn-parity
+    #     per-label confusion metrics; edit_distance_join had hard
+    #     rows r7-r10)
+    #   gopher_rules -> classification_eval_macro (macro averaging +
+    #     global accuracy; the quality family keeps profile_stats +
+    #     training_pipeline in-window, gopher_rules green r5-r10)
+    #   span_dedup_verify -> regression_eval (mse/rmse/mae/r2 with
+    #     the r11 stable var_pop SS_tot; the dedup family keeps
+    #     deduplicate + minhash_dedup + semantic_dedup in-window)
+    #   media_pipeline -> paired_bootstrap (deterministic Koehn-2004
+    #     significance test; media plumbing is a declared-stub
+    #     boundary and stays locally oracled, green r4-r10)
+    #   per_batches -> bootstrap_ci (percentile bootstrap CI; $per
+    #     keeps an in-window §2.1 row via the value-neutral
+    #     $per/$unwind/$replaceWith round-trip folded into
+    #     effects_chain, and per_batches stays locally oracled)
     "match_operators", "project_compute", "field_ops", "replace_with",
     "unwind", "group_accumulators", "bleu_eval", "stage_ext",
-    "bucket", "lookup_unwind", "geo_search", "lookup_pipeline",
+    "bucket", "lookup_unwind", "chrf_multiref", "lookup_pipeline",
     "streaming_parity", "deduplicate", "merge_out", "delete_passthrough",
-    "redact", "per_batches", "effects_chain", "script_stages",
+    "redact", "bootstrap_ci", "effects_chain", "script_stages",
     "http_enrich",
     # §2.3a expressions + §2.4 accumulators (superset included)
     "expr_strings", "expr_math_superset", "eval_multiref", "jslt_import",
-    "features_ext",
+    "wer_multiref",
     # batch-completeness stages
     # r3 swaps: sample_count ($sample+$count — trivial fixed-count
     # signal) -> asof_join gives the time-series join family a hard
@@ -6757,16 +6795,16 @@ _ORDER = [
     # past-window by documents_inline/json_props_extract) -> kmeans
     # gives clustering one.  Both displaced queries stay registered and
     # locally oracle-checked.
-    "text_match", "semantic_dedup", "window_all", "profile_stats",
+    "text_match", "semantic_dedup", "wer_corpus", "profile_stats",
     "chrf_eval",
     "qa_eval", "rouge_l_eval", "wer_eval", "bleu_corpus",
-    "group_cap", "edit_distance_join",
+    "group_cap", "classification_eval",
     # LLM-data-pipeline operators
     "connected_components", "ngram_overlap", "training_pipeline",
     "bm25_search",
-    "chrf_corpus", "rank_eval", "minhash_dedup", "gopher_rules",
-    "delay_contract", "ann_topk", "profile_mixed", "media_pipeline",
-    "span_dedup_verify",
+    "chrf_corpus", "rank_eval", "minhash_dedup", "classification_eval_macro",
+    "delay_contract", "ann_topk", "profile_mixed", "paired_bootstrap",
+    "regression_eval",
 ]
 
 assert len(_ORDER) == 50, f"driver window must hold 50 queries, got {len(_ORDER)}"
