@@ -2508,6 +2508,189 @@ FROM t""",
 )
 
 
+def _poisson_ladder_sql(ucol: str = "u") -> str:
+    """The md5->uniform->Poisson(1) inverse-CDF ladder as SQL (same
+    thresholds as dp_eval._POISSON1_CDF; used by the r11 corpus-
+    statistic bootstrap oracles)."""
+    return (f"CASE WHEN {ucol} < 0.36787944117144233 THEN 0 "
+            f"WHEN {ucol} < 0.7357588823428847 THEN 1 "
+            f"WHEN {ucol} < 0.9196986029286058 THEN 2 "
+            f"WHEN {ucol} < 0.9810118431238462 THEN 3 "
+            f"WHEN {ucol} < 0.9963401531726563 THEN 4 "
+            f"WHEN {ucol} < 0.9994058151824183 THEN 5 "
+            f"WHEN {ucol} < 0.999916758850712 THEN 6 "
+            f"WHEN {ucol} < 0.9999897508033254 THEN 7 "
+            f"ELSE 8 END")
+
+
+_register(
+    "paired_bootstrap_corpus",
+    # corpusWer paired bootstrap: per-segment sufficient stats have the
+    # prefix closed form (distance = n - min(n, k) pure deletions, with
+    # n capped at the stage's maxWords=2000); each replicate's corpus
+    # WER is sum(w*dist)/sum(w*n_ref) per system — A (25-word prefix)
+    # wins when its resampled corpus WER is LOWER
+    f"""WITH w AS (
+  SELECT doc_id,
+         least(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '')), 2000) AS nr
+  FROM documents),
+s AS (SELECT CAST(doc_id AS VARCHAR) AS id, nr,
+             nr - least(nr, 25) AS da, nr - least(nr, 22) AS db
+      FROM w),
+r AS (SELECT gs.r, s.id, s.da, s.db, s.nr,
+             ('0x' || substr(md5('0:' || s.id || ':' || gs.r), 1, 15))
+                 ::BIGINT / 1152921504606846976.0 AS u
+      FROM s CROSS JOIN generate_series(1, 100) AS gs(r)),
+wt AS (SELECT r, da, db, nr, {_poisson_ladder_sql()} AS w FROM r),
+rep AS (SELECT r, sum(w * da) AS sda, sum(w * db) AS sdb,
+               sum(w * nr) AS snr, sum(w) AS wsum
+        FROM wt GROUP BY r),
+v AS (SELECT CASE WHEN wsum > 0 THEN
+        (CASE WHEN snr > 0 THEN sda / CAST(snr AS DOUBLE)
+              WHEN sda = 0 THEN 0.0 ELSE NULL END)
+      - (CASE WHEN snr > 0 THEN sdb / CAST(snr AS DOUBLE)
+              WHEN sdb = 0 THEN 0.0 ELSE NULL END)
+      END AS delta FROM rep),
+agg AS (SELECT
+  CAST(coalesce(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END), 0)
+       AS BIGINT) AS wins_a,
+  CAST(coalesce(sum(CASE WHEN delta IS NULL OR delta = 0 THEN 1
+                          ELSE 0 END), 0) AS BIGINT) AS ties
+  FROM v),
+base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                sum(da) AS tda, sum(db) AS tdb, sum(nr) AS tnr
+         FROM s)
+SELECT n,
+       {_r('tda / CAST(tnr AS DOUBLE)', 6)} AS mean_a,
+       {_r('tdb / CAST(tnr AS DOUBLE)', 6)} AS mean_b,
+       {_r('tda / CAST(tnr AS DOUBLE) - tdb / CAST(tnr AS DOUBLE)', 6)}
+           AS delta,
+       wins_a, ties, CAST(100 AS BIGINT) AS b_samples,
+       {_r('(100 - wins_a) / 100.0', 6)} AS p_value
+FROM base, agg""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$truncateTokens": {"input": "$text", "as": "ca",
+                                 "max": 25}},
+            {"$truncateTokens": {"input": "$text", "as": "cb",
+                                 "max": 22}},
+            {"$pairedBootstrap": {"id": "$doc_id",
+                                  "statistic": "corpusWer",
+                                  "a": "$ca", "b": "$cb",
+                                  "reference": "$text",
+                                  "samples": 100}},
+            {"$project": {"n": 1,
+                          "mean_a": {"$round": ["$mean_a", 6]},
+                          "mean_b": {"$round": ["$mean_b", 6]},
+                          "delta": {"$round": ["$delta", 6]},
+                          "wins_a": 1, "ties": 1, "b_samples": 1,
+                          "p_value": {"$round": ["$p_value", 6]}}},
+        ],
+    )
+)
+
+
+def _bootstrap_ci_corpus_bleu_oracle_sql() -> str:
+    """corpusBleu $bootstrapCI oracle: the bleu_corpus per-segment
+    clipped-count CTEs (doubled 10-word prefix candidate so the clip
+    binds), Poisson weights per replicate, Papineni's corpus formula
+    over the weighted sums, then the pinned order-statistic interval
+    (ceil(alpha/2*B) / ceil((1-alpha/2)*B), 1-based) over defined
+    replicate scores — exactly $bootstrapCI's convention."""
+    gram_cols = []
+    for n in range(1, 5):
+        for side, src in (("c", "wc[1:10] || wc[1:10]"), ("r", "wc")):
+            expr = (f"({src})" if n == 1 else
+                    f"CASE WHEN len({src}) >= {n} THEN "
+                    f"[array_to_string(({src})[i:i+{n - 1}], ' ') "
+                    f"FOR i IN range(1, len({src}) - {n} + 2)] "
+                    f"ELSE [] END")
+            gram_cols.append(f"{expr} AS g{side}{n}")
+    m_cols = [
+        ("coalesce(list_sum(list_transform(list_distinct(gc{n}), "
+         "t -> least(len(list_filter(gc{n}, x -> x = t)), "
+         "len(list_filter(gr{n}, x -> x = t))))), 0) AS m{n}")
+        .format(n=n)
+        for n in range(1, 5)
+    ]
+    seg_cols = ", ".join(
+        f"m{n}, len(gc{n}) AS t{n}" for n in range(1, 5))
+    rep_sums = ", ".join(
+        f"sum(w * m{n}) AS m{n}, sum(w * t{n}) AS t{n}"
+        for n in range(1, 5))
+    zero = " OR ".join(f"(t{n} = 0 OR m{n} = 0)" for n in range(1, 5))
+    log_sum = " + ".join(f"ln(m{n} / CAST(t{n} AS DOUBLE)) / 4"
+                         for n in range(1, 5))
+    bp = ("CASE WHEN cl >= rl THEN 1.0 "
+          "ELSE exp(1 - rl / CAST(cl AS DOUBLE)) END")
+    base_sums = ", ".join(
+        f"sum(m{n}) AS m{n}, sum(t{n}) AS t{n}" for n in range(1, 5))
+    return f"""WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS wc
+  FROM documents WHERE text IS NOT NULL),
+g AS (SELECT doc_id, len(wc[1:10] || wc[1:10]) AS cl, len(wc) AS rl,
+             {', '.join(gram_cols)}
+      FROM w),
+seg AS (SELECT CAST(doc_id AS VARCHAR) AS id, cl, rl, {seg_cols}
+        FROM (SELECT *, {', '.join(m_cols)} FROM g)),
+r AS (SELECT gs.r, seg.*,
+             ('0x' || substr(md5('0:' || seg.id || ':' || gs.r), 1, 15))
+                 ::BIGINT / 1152921504606846976.0 AS u
+      FROM seg CROSS JOIN generate_series(1, 100) AS gs(r)),
+wt AS (SELECT *, {_poisson_ladder_sql()} AS w FROM r),
+rep AS (SELECT r, sum(w * cl) AS cl, sum(w * rl) AS rl, {rep_sums},
+               sum(w) AS wsum
+        FROM wt GROUP BY r),
+v AS (SELECT CASE WHEN {zero} THEN 0.0
+             ELSE ({bp}) * exp({log_sum}) END AS m
+      FROM rep WHERE wsum > 0),
+ord AS (SELECT m, row_number() OVER (ORDER BY m) AS rn,
+               count(*) OVER () AS cnt
+        FROM v WHERE m IS NOT NULL),
+ci AS (SELECT max(CASE WHEN rn = least(3, cnt) THEN m END) AS ci_low,
+              max(CASE WHEN rn = least(98, cnt) THEN m END) AS ci_high
+       FROM ord),
+base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                sum(cl) AS cl, sum(rl) AS rl, {base_sums}
+         FROM seg)
+SELECT n,
+       {_r(f'CASE WHEN n = 0 OR {zero} THEN 0.0 '
+           f'ELSE ({bp}) * exp({log_sum}) END', 6)} AS mean,
+       {_r('ci_low', 6)} AS ci_low, {_r('ci_high', 6)} AS ci_high,
+       CAST(100 AS BIGINT) AS b_samples, CAST(0.05 AS DOUBLE) AS alpha
+FROM base, ci"""
+
+
+_register(
+    "bootstrap_ci_corpus",
+    _bootstrap_ci_corpus_bleu_oracle_sql(),
+)(
+    _pipe(
+        "documents",
+        [
+            {"$truncateTokens": {"input": "$text", "as": "p10",
+                                 "max": 10}},
+            {"$set": {"cand": {"$concat": ["$p10", " ", "$p10"]}}},
+            {"$bootstrapCI": {"id": "$doc_id",
+                              "statistic": "corpusBleu",
+                              "candidate": "$cand",
+                              "reference": "$text",
+                              "samples": 100}},
+            {"$project": {"n": 1,
+                          "mean": {"$round": ["$mean", 6]},
+                          "ci_low": {"$round": ["$ci_low", 6]},
+                          "ci_high": {"$round": ["$ci_high", 6]},
+                          "b_samples": 1, "alpha": 1}},
+        ],
+    )
+)
+
+
 def _bleu_corpus_oracle_sql() -> str:
     """Corpus-BLEU oracle (r9): per-segment clipped counts with
     candidate = the DOUBLED 10-word prefix (the duplication pushes

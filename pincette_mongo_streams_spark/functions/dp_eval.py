@@ -1677,6 +1677,286 @@ _POISSON1_CDF = [
 ]
 
 
+_CORPUS_STATISTICS = ("corpusBleu", "corpusChrf", "corpusWer")
+
+
+def _corpus_stat_machinery(statistic: str, expression: dict, stage_name: str):
+    """Per-segment sufficient-statistics machinery for the corpus-
+    statistic bootstrap modes (r11, VERDICT r10 #2): Koehn 2004
+    resamples the test set and recomputes the CORPUS metric per
+    replicate — for non-decomposable metrics (corpus BLEU/chrF) that is
+    NOT the mean of per-segment scores.  Because every corpus metric
+    here is a function of SUMS of per-segment sufficient statistics, a
+    replicate's corpus score is ``score(Σ wᵢ·statsᵢ)`` over the same
+    deterministic Poisson weights — exact, shuffle-cheap, and
+    oracle-checkable.
+
+    Returns ``(shared, build, score, lower_is_better, fields)``:
+
+    - ``shared(stage, sctx) -> (stage, ok)`` adds reference-side temp
+      columns used by both systems and the reference validity predicate;
+    - ``build(stage, sctx, cand_expr, suffix) -> (stage, ok)`` adds one
+      system's flat stat columns named ``__pb{suffix}_{field}``;
+    - ``score(get) -> Column`` computes the corpus statistic from
+      (possibly weighted) SUMS of those fields, ``get(field) -> Column``;
+    - ``lower_is_better`` flips the win direction (corpusWer);
+    - ``fields`` lists the stat field names.
+
+    Statistic formulas are byte-for-byte the $bleuCorpus / $chrfCorpus /
+    $werCorpus reductions (dp_eval.py above) applied to resampled sums.
+    """
+    ref_e = expression.get("reference")
+    refs_e = expression.get("references")
+    if statistic == "corpusChrf":
+        # $chrfCorpus is single-reference (chrF statistics are never
+        # pooled across references — see $chrf's sacrebleu note)
+        if ref_e is None or refs_e is not None:
+            raise ValueError(
+                f"{stage_name} statistic corpusChrf needs reference "
+                "(references is not supported, matching $chrfCorpus)")
+    elif (ref_e is None) == (refs_e is None):
+        raise ValueError(
+            f"{stage_name} statistic {statistic} needs exactly one "
+            "of reference | references")
+
+    if statistic == "corpusBleu":
+        max_n = int(expression.get("maxN", 4))
+        max_words = int(expression.get("maxWords", 2000))
+        smooth = expression.get("smooth")
+        if not 1 <= max_n <= 8:
+            raise ValueError(f"{stage_name} maxN must be in 1..8")
+        if max_words < 1:
+            raise ValueError(f"{stage_name} maxWords must be >= 1")
+        if smooth not in (None, "add1"):
+            raise ValueError(
+                f"{stage_name} smooth must be 'add1' or absent")
+        fields = (["c_len", "r_len"]
+                  + [f"m{n}" for n in range(1, max_n + 1)]
+                  + [f"t{n}" for n in range(1, max_n + 1)])
+
+        def shared(stage: DataFrame, sctx: ExprContext):
+            if refs_e is not None:
+                refs = compile_expr(refs_e, sctx)
+                stage = stage.withColumn(
+                    "__pbs_wrs",
+                    F.transform(F.filter(refs, lambda r: r.isNotNull()),
+                                lambda r: _eval_words(r, max_words)))
+                wrs = F.col("__pbs_wrs")
+                stage = stage.withColumn(
+                    "__pbs_rls",
+                    F.transform(wrs, lambda w: F.size(w).cast("long")))
+                for n in range(1, max_n + 1):
+                    stage = stage.withColumn(
+                        f"__pbs_grs{n}",
+                        F.transform(wrs, lambda w: _eval_grams(w, n)))
+                ok = refs.isNotNull() & (F.size(wrs) > 0)
+            else:
+                ref = compile_expr(ref_e, sctx)
+                stage = stage.withColumn("__pbs_wr",
+                                         _eval_words(ref, max_words))
+                for n in range(1, max_n + 1):
+                    stage = stage.withColumn(
+                        f"__pbs_gr{n}",
+                        _eval_grams(F.col("__pbs_wr"), n))
+                ok = ref.isNotNull()
+            return stage, ok
+
+        def build(stage: DataFrame, sctx: ExprContext, cand_e: Any,
+                  suffix: str):
+            p = f"__pb{suffix}"
+            cand = compile_expr(cand_e, sctx)
+            stage = stage.withColumn(f"{p}_wc",
+                                     _eval_words(cand, max_words))
+            wc = F.col(f"{p}_wc")
+            for n in range(1, max_n + 1):
+                stage = stage.withColumn(f"{p}_gc{n}", _eval_grams(wc, n))
+                if refs_e is not None:
+                    m = _eval_clipped_multi(F.col(f"{p}_gc{n}"),
+                                            F.col(f"__pbs_grs{n}"))
+                else:
+                    m = _eval_clipped(F.col(f"{p}_gc{n}"),
+                                      F.col(f"__pbs_gr{n}"))
+                stage = stage.withColumn(f"{p}_m{n}", m)
+                stage = stage.withColumn(
+                    f"{p}_t{n}", F.size(F.col(f"{p}_gc{n}")).cast("long"))
+            c_len_l = F.size(wc).cast("long")
+            stage = stage.withColumn(f"{p}_c_len", c_len_l)
+            if refs_e is not None:
+                # per-segment effective reference length relative to
+                # THIS system's candidate (Papineni 2002 §2.3: closest,
+                # ties -> shorter)
+                best = F.aggregate(
+                    F.col("__pbs_rls"),
+                    F.struct(F.lit(None).cast("long").alias("d"),
+                             F.lit(None).cast("long").alias("l")),
+                    lambda acc, ln: F.when(
+                        acc["l"].isNull()
+                        | (F.abs(ln - c_len_l) < acc["d"])
+                        | ((F.abs(ln - c_len_l) == acc["d"])
+                           & (ln < acc["l"])),
+                        F.struct(F.abs(ln - c_len_l).cast("long")
+                                 .alias("d"), ln.alias("l")),
+                    ).otherwise(acc))
+                r_len = best["l"]
+            else:
+                r_len = F.size(F.col("__pbs_wr")).cast("long")
+            stage = stage.withColumn(f"{p}_r_len", r_len)
+            return stage, cand.isNotNull()
+
+        def score(get) -> Column:
+            zero = F.lit(False)
+            log_sum = F.lit(0.0)
+            for n in range(1, max_n + 1):
+                m = get(f"m{n}").cast("double")
+                t = get(f"t{n}").cast("double")
+                if smooth == "add1" and n >= 2:
+                    p_ = (m + 1.0) / (t + 1.0)
+                    zero = zero | (t == 0.0)
+                else:
+                    p_ = m / t
+                    zero = zero | (t == 0.0) | (m == 0.0)
+                log_sum = log_sum + F.log(p_) / max_n
+            c_tot = get("c_len").cast("double")
+            r_tot = get("r_len").cast("double")
+            bp = F.when(c_tot >= r_tot, F.lit(1.0)) \
+                .otherwise(F.exp(1.0 - r_tot / c_tot))
+            return F.when(zero, F.lit(0.0)).otherwise(bp * F.exp(log_sum))
+
+        return shared, build, score, False, fields
+
+    if statistic == "corpusChrf":
+        max_n = int(expression.get("maxN", 6))
+        beta = float(expression.get("beta", 2.0))
+        max_chars = int(expression.get("maxChars", 2000))
+        if not 1 <= max_n <= 10:
+            raise ValueError(f"{stage_name} maxN must be in 1..10")
+        if beta <= 0:
+            raise ValueError(f"{stage_name} beta must be > 0")
+        if max_chars < 1:
+            raise ValueError(f"{stage_name} maxChars must be >= 1")
+        b2 = beta * beta
+        fields = ([f"m{n}" for n in range(1, max_n + 1)]
+                  + [f"tc{n}" for n in range(1, max_n + 1)]
+                  + [f"tr{n}" for n in range(1, max_n + 1)])
+
+        def strip(t: Column) -> Column:
+            return F.substring(F.regexp_replace(t, r"\s+", ""),
+                               1, max_chars)
+
+        def char_grams(s: Column, n: int) -> Column:
+            ln = F.length(s)
+            grams = F.transform(F.sequence(F.lit(1), ln - (n - 1)),
+                                lambda i: F.substring(s, i, F.lit(n)))
+            return F.when(ln >= n, grams) \
+                .otherwise(F.array().cast("array<string>"))
+
+        def shared(stage: DataFrame, sctx: ExprContext):
+            ref = compile_expr(ref_e, sctx)
+            stage = stage.withColumn("__pbs_sr", strip(ref))
+            for n in range(1, max_n + 1):
+                stage = stage.withColumn(
+                    f"__pbs_gr{n}", char_grams(F.col("__pbs_sr"), n))
+            return stage, ref.isNotNull()
+
+        def build(stage: DataFrame, sctx: ExprContext, cand_e: Any,
+                  suffix: str):
+            p = f"__pb{suffix}"
+            cand = compile_expr(cand_e, sctx)
+            stage = stage.withColumn(f"{p}_sc", strip(cand))
+            for n in range(1, max_n + 1):
+                stage = stage.withColumn(
+                    f"{p}_gc{n}", char_grams(F.col(f"{p}_sc"), n))
+                stage = stage.withColumn(
+                    f"{p}_m{n}",
+                    _eval_clipped(F.col(f"{p}_gc{n}"),
+                                  F.col(f"__pbs_gr{n}")))
+                stage = stage.withColumn(
+                    f"{p}_tc{n}",
+                    F.size(F.col(f"{p}_gc{n}")).cast("long"))
+                stage = stage.withColumn(
+                    f"{p}_tr{n}",
+                    F.size(F.col(f"__pbs_gr{n}")).cast("long"))
+            return stage, cand.isNotNull()
+
+        def score(get) -> Column:
+            p_sum = F.lit(0.0)
+            r_sum = F.lit(0.0)
+            n_eff = F.lit(0)
+            for n in range(1, max_n + 1):
+                m = get(f"m{n}").cast("double")
+                tc = get(f"tc{n}").cast("double")
+                tr = get(f"tr{n}").cast("double")
+                eff = (tc > 0) | (tr > 0)
+                p_ = F.when(tc > 0, m / tc).otherwise(F.lit(0.0))
+                r_ = F.when(tr > 0, m / tr).otherwise(F.lit(0.0))
+                p_sum = p_sum + F.when(eff, p_).otherwise(F.lit(0.0))
+                r_sum = r_sum + F.when(eff, r_).otherwise(F.lit(0.0))
+                n_eff = n_eff + eff.cast("int")
+            pavg = p_sum / n_eff
+            ravg = r_sum / n_eff
+            return F.when(n_eff == 0, F.lit(0.0)) \
+                .when(pavg + ravg == 0.0, F.lit(0.0)) \
+                .otherwise((1 + b2) * pavg * ravg / (b2 * pavg + ravg))
+
+        return shared, build, score, False, fields
+
+    # corpusWer
+    max_words = int(expression.get("maxWords", 2000))
+    if max_words < 1:
+        raise ValueError(f"{stage_name} maxWords must be >= 1")
+    fields = ["distance", "n_ref"]
+
+    def shared(stage: DataFrame, sctx: ExprContext):
+        return stage, F.lit(True)  # validity lives in the null struct
+
+    def build(stage: DataFrame, sctx: ExprContext, cand_e: Any,
+              suffix: str):
+        score_one, score_multi = _make_wer_scorers(max_words)
+        cand = compile_expr(cand_e, sctx)
+        if refs_e is not None:
+            refs = compile_expr(refs_e, sctx)
+
+            @F.pandas_udf(_WER_TYPE)
+            def _w(s: pd.Series, t: pd.Series) -> pd.DataFrame:
+                vals = [None if rs is None else score_multi(ct, list(rs))
+                        for ct, rs in zip(s, t)]
+                return pd.DataFrame(
+                    [(None, None, None, None) if v is None else v
+                     for v in vals],
+                    columns=["distance", "wer", "n_hyp", "n_ref"])
+
+            raw = _w(cand, refs)
+        else:
+            ref = compile_expr(ref_e, sctx)
+
+            @F.pandas_udf(_WER_TYPE)
+            def _w(s: pd.Series, t: pd.Series) -> pd.DataFrame:
+                vals = [None if ct is None or rt is None
+                        else score_one(ct, rt)
+                        for ct, rt in zip(s, t)]
+                return pd.DataFrame(
+                    [(None, None, None, None) if v is None else v
+                     for v in vals],
+                    columns=["distance", "wer", "n_hyp", "n_ref"])
+
+            raw = _w(cand, ref)
+        p = f"__pb{suffix}"
+        stage = stage.withColumn(f"{p}_raw", raw)
+        stage = stage.withColumn(f"{p}_distance",
+                                 F.col(f"{p}_raw.distance"))
+        stage = stage.withColumn(f"{p}_n_ref", F.col(f"{p}_raw.n_ref"))
+        return stage, F.col(f"{p}_raw.n_hyp").isNotNull()
+
+    def score(get) -> Column:
+        d = get("distance").cast("double")
+        r = get("n_ref").cast("double")
+        return F.when(get("n_ref") > 0, d / r) \
+            .when(get("distance") == 0, F.lit(0.0)) \
+            .otherwise(F.lit(None).cast("double"))
+
+    return shared, build, score, True, fields
+
+
 @register_stage("$pairedBootstrap")
 def paired_bootstrap_stage(expression: Any, ctx: Context) -> StageFn:
     """Paired bootstrap resampling (Koehn 2004, "Statistical
@@ -1705,16 +1985,50 @@ def paired_bootstrap_stage(expression: Any, ctx: Context) -> StageFn:
     CORPUS-ONLY: gated in streaming like $bleuCorpus — a
     per-micro-batch "significance test" is a silent wrong answer.
 
+    STATISTIC MODES (r11, the full Koehn 2004 procedure):
+    ``statistic: "mean"`` (default) resamples the mean of the two
+    per-segment score columns ``a``/``b`` — correct for decomposable
+    metrics (WER-as-mean, accuracy, EM/F1).  For NON-decomposable
+    corpus metrics (mean of sentence BLEUs ≠ corpus BLEU — the reason
+    $bleuCorpus exists), ``statistic: "corpusBleu" | "corpusChrf" |
+    "corpusWer"`` recomputes the CORPUS metric per replicate as
+    ``score(Σ wᵢ·statsᵢ)`` over per-segment sufficient statistics —
+    bit-identical to rescoring the resampled test set, because each
+    corpus metric is a function of summed per-segment counts.  In
+    these modes ``a``/``b`` are the two systems' candidate expressions
+    (or ``{candidate: <expr>}``), a shared ``reference`` /
+    ``references`` sits at the top level, and the metric options
+    (``maxN``/``maxWords``/``smooth`` for BLEU; ``maxN``/``beta``/
+    ``maxChars`` for chrF, single-reference like $chrfCorpus;
+    ``maxWords`` for WER) apply to both systems.  ``mean_a``/
+    ``mean_b`` then carry the two CORPUS scores; for ``corpusWer``
+    (lower is better) ``wins_a`` counts replicates where A's WER is
+    LOWER (delta < 0).  Segments where either system or the reference
+    side is unscorable are EXCLUDED (pairing requires both).
+
     100 TB shape: the replicate axis explodes row-locally (n x B
     weights, each one md5 + a CASE ladder) and groupBy(replicate)
     partial-aggregates every task down to <= B rows before the ONLY
     shuffle (B x tasks rows); the per-replicate frame (B rows) and the
     1-row base-means frame combine via the pinned 1-row broadcast
     cross join.  B defaults to 200 (Koehn uses 300-1000 at eval-set
-    scale; raise it for small n)."""
+    scale; raise it for small n).  Corpus modes ride the same shape —
+    the explode carries ~2·|fields| longs instead of 2 doubles, and
+    every per-replicate corpus score is arithmetic on one row of
+    integer sums."""
     id_e = expression["id"]
     a_e = expression["a"]
     b_e = expression["b"]
+    statistic = expression.get("statistic", "mean")
+    if statistic not in ("mean",) + _CORPUS_STATISTICS:
+        raise ValueError(
+            "$pairedBootstrap statistic must be one of "
+            f"mean|{'|'.join(_CORPUS_STATISTICS)}, got {statistic!r}")
+    if statistic != "mean":
+        machinery = _corpus_stat_machinery(statistic, expression,
+                                           "$pairedBootstrap")
+        a_e = a_e["candidate"] if isinstance(a_e, dict) else a_e
+        b_e = b_e["candidate"] if isinstance(b_e, dict) else b_e
     samples = int(expression.get("samples", 200))
     seed = int(expression.get("seed", 0))
     if not 1 <= samples <= 10000:
@@ -1726,6 +2040,70 @@ def paired_bootstrap_stage(expression: Any, ctx: Context) -> StageFn:
         _corpus_only("$pairedBootstrap", c)
         sctx = ExprContext(schema=df.schema)
         idc = compile_expr(id_e, sctx).cast("string")
+        if statistic != "mean":
+            shared, build, stat_score, lower_better, fields = machinery
+            stage = df.withColumn("__pb_id", idc)
+            stage, ok_sh = shared(stage, sctx)
+            stage, ok_a = build(stage, sctx, a_e, "a")
+            stage, ok_b = build(stage, sctx, b_e, "b")
+            slim = stage.select(
+                F.col("__pb_id").alias("__id"),
+                (ok_sh & ok_a & ok_b).alias("__ok"),
+                *[F.col(f"__pba_{f}").alias(f"__a_{f}") for f in fields],
+                *[F.col(f"__pbb_{f}").alias(f"__b_{f}") for f in fields])
+            # same checkpoint barrier + ordering rationale as the mean
+            # path below (predicate-pushdown substitution hazard)
+            has_dir = c.spark.sparkContext._jsc.sc().getCheckpointDir() \
+                .isDefined()
+            slim = (slim.checkpoint(eager=False) if has_dir
+                    else slim.localCheckpoint(eager=False))
+            pairs = slim.filter(
+                F.col("__id").isNotNull() & F.col("__ok"))
+            statcols = ([f"__a_{f}" for f in fields]
+                        + [f"__b_{f}" for f in fields])
+            ws = F.transform(
+                F.sequence(F.lit(1), F.lit(samples)),
+                lambda r: _poisson1_weight(seed, F.col("__id"), r))
+            ex = pairs.withColumn("__ws", ws).select(
+                *statcols, F.posexplode("__ws").alias("__r", "__w"))
+            wl = F.col("__w").cast("long")  # integer weights: exact sums
+            rep = ex.groupBy("__r").agg(
+                *[F.sum(wl * F.col(sc)).alias(sc) for sc in statcols],
+                F.sum("__w").alias("__wsum"))
+            sa_r = stat_score(lambda f: F.col(f"__a_{f}"))
+            sb_r = stat_score(lambda f: F.col(f"__b_{f}"))
+            delta_r = F.when(F.col("__wsum") > 0, sa_r - sb_r)
+            win = (delta_r < 0) if lower_better else (delta_r > 0)
+            summ = rep.agg(
+                F.coalesce(F.sum(F.when(win, 1).otherwise(0)), F.lit(0))
+                .cast("long").alias("wins_a"),
+                F.coalesce(
+                    F.sum(F.when(delta_r.isNull() | (delta_r == 0), 1)
+                          .otherwise(0)), F.lit(0)
+                ).cast("long").alias("ties"),
+            )
+            base = pairs.agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(sc).alias(sc) for sc in statcols])
+            sa_b = stat_score(lambda f: F.col(f"__a_{f}"))
+            sb_b = stat_score(lambda f: F.col(f"__b_{f}"))
+            out = base.crossJoin(F.broadcast(summ))
+            null_d = F.lit(None).cast("double")
+            empty = F.col("n") == 0
+            return out.select(
+                "n",
+                F.when(empty, null_d).otherwise(sa_b).alias("mean_a"),
+                F.when(empty, null_d).otherwise(sb_b).alias("mean_b"),
+                F.when(empty, null_d).otherwise(sa_b - sb_b)
+                .alias("delta"),
+                F.col("wins_a"),
+                F.col("ties"),
+                F.lit(samples).cast("long").alias("b_samples"),
+                F.when(empty, null_d)
+                .otherwise((F.lit(samples) - F.col("wins_a"))
+                           .cast("double") / F.lit(float(samples)))
+                .alias("p_value"),
+            )
         a = compile_expr(a_e, sctx).cast("double")
         b = compile_expr(b_e, sctx).cast("double")
         slim = df.select(
@@ -1877,6 +2255,18 @@ def bootstrap_ci_stage(expression: Any, ctx: Context) -> StageFn:
 
     CORPUS-ONLY in streaming, like $pairedBootstrap.
 
+    STATISTIC MODES (r11): ``statistic: "mean"`` (default) intervals
+    the mean of the per-segment ``input`` column.  ``statistic:
+    "corpusBleu" | "corpusChrf" | "corpusWer"`` intervals the CORPUS
+    metric — "corpus BLEU 34.2 ± what?" — recomputing it per replicate
+    as ``score(Σ wᵢ·statsᵢ)`` over per-segment sufficient statistics
+    (the Koehn 2004 procedure; see $pairedBootstrap).  In corpus modes
+    the spec takes ``candidate`` (instead of ``input``) plus
+    ``reference`` / ``references`` and the metric options; ``mean``
+    carries the full-corpus score.  Replicates whose corpus score is
+    undefined (e.g. corpusWer with an all-empty resampled reference)
+    are excluded from the order statistics like zero-weight replicates.
+
     100 TB shape: identical to $pairedBootstrap — row-local replicate
     explode, partial-aggregated groupBy(replicate) (<= B rows per task
     before the only shuffle), then the B-row frame sorts in one task
@@ -1884,7 +2274,17 @@ def bootstrap_ci_stage(expression: Any, ctx: Context) -> StageFn:
     cross join; the checkpoint barrier keeps an upstream metric
     program evaluated once per row."""
     id_e = expression["id"]
-    in_e = expression["input"]
+    statistic = expression.get("statistic", "mean")
+    if statistic not in ("mean",) + _CORPUS_STATISTICS:
+        raise ValueError(
+            "$bootstrapCI statistic must be one of "
+            f"mean|{'|'.join(_CORPUS_STATISTICS)}, got {statistic!r}")
+    if statistic != "mean":
+        machinery = _corpus_stat_machinery(statistic, expression,
+                                           "$bootstrapCI")
+        in_e = expression["candidate"]
+    else:
+        in_e = expression["input"]
     samples = int(expression.get("samples", 200))
     alpha = float(expression.get("alpha", 0.05))
     seed = int(expression.get("seed", 0))
@@ -1901,25 +2301,59 @@ def bootstrap_ci_stage(expression: Any, ctx: Context) -> StageFn:
         _corpus_only("$bootstrapCI", c)
         sctx = ExprContext(schema=df.schema)
         idc = compile_expr(id_e, sctx).cast("string")
-        v = compile_expr(in_e, sctx).cast("double")
-        slim = df.select(idc.alias("__id"), v.alias("__v"))
         has_dir = c.spark.sparkContext._jsc.sc().getCheckpointDir() \
             .isDefined()
-        slim = (slim.checkpoint(eager=False) if has_dir
-                else slim.localCheckpoint(eager=False))
-        pairs = slim.filter(
-            F.col("__id").isNotNull() & F.col("__v").isNotNull())
-        ws = F.transform(
-            F.sequence(F.lit(1), F.lit(samples)),
-            lambda r: _poisson1_weight(seed, F.col("__id"), r))
-        ex = pairs.withColumn("__ws", ws).select(
-            "__v", F.posexplode("__ws").alias("__r", "__w"))
-        rep = ex.groupBy("__r").agg(
-            F.sum(F.col("__w").cast("double") * F.col("__v"))
-            .alias("__wv"),
-            F.sum("__w").alias("__wsum"))
-        mean_r = F.when(F.col("__wsum") > 0,
-                        F.col("__wv") / F.col("__wsum").cast("double"))
+        barrier = lambda d: (d.checkpoint(eager=False) if has_dir  # noqa: E731
+                             else d.localCheckpoint(eager=False))
+        if statistic != "mean":
+            shared, build, stat_score, _lower, fields = machinery
+            stage = df.withColumn("__bci_id", idc)
+            stage, ok_sh = shared(stage, sctx)
+            stage, ok_a = build(stage, sctx, in_e, "a")
+            slim = stage.select(
+                F.col("__bci_id").alias("__id"),
+                (ok_sh & ok_a).alias("__ok"),
+                *[F.col(f"__pba_{f}").alias(f"__a_{f}") for f in fields])
+            slim = barrier(slim)
+            pairs = slim.filter(
+                F.col("__id").isNotNull() & F.col("__ok"))
+            statcols = [f"__a_{f}" for f in fields]
+            ws = F.transform(
+                F.sequence(F.lit(1), F.lit(samples)),
+                lambda r: _poisson1_weight(seed, F.col("__id"), r))
+            ex = pairs.withColumn("__ws", ws).select(
+                *statcols, F.posexplode("__ws").alias("__r", "__w"))
+            wl = F.col("__w").cast("long")
+            rep = ex.groupBy("__r").agg(
+                *[F.sum(wl * F.col(sc)).alias(sc) for sc in statcols],
+                F.sum("__w").alias("__wsum"))
+            mean_r = F.when(
+                F.col("__wsum") > 0,
+                stat_score(lambda f: F.col(f"__a_{f}")))
+            base_cols = [F.count(F.lit(1)).alias("n")] + \
+                [F.sum(sc).alias(sc) for sc in statcols]
+            base = pairs.agg(*base_cols).select(
+                "n",
+                stat_score(lambda f: F.col(f"__a_{f}")).alias("mean"))
+        else:
+            v = compile_expr(in_e, sctx).cast("double")
+            slim = df.select(idc.alias("__id"), v.alias("__v"))
+            slim = barrier(slim)
+            pairs = slim.filter(
+                F.col("__id").isNotNull() & F.col("__v").isNotNull())
+            ws = F.transform(
+                F.sequence(F.lit(1), F.lit(samples)),
+                lambda r: _poisson1_weight(seed, F.col("__id"), r))
+            ex = pairs.withColumn("__ws", ws).select(
+                "__v", F.posexplode("__ws").alias("__r", "__w"))
+            rep = ex.groupBy("__r").agg(
+                F.sum(F.col("__w").cast("double") * F.col("__v"))
+                .alias("__wv"),
+                F.sum("__w").alias("__wsum"))
+            mean_r = F.when(F.col("__wsum") > 0,
+                            F.col("__wv") / F.col("__wsum").cast("double"))
+            base = pairs.agg(F.count(F.lit(1)).alias("n"),
+                             F.avg("__v").alias("mean"))
         lo_i = max(1, math.ceil(alpha / 2.0 * samples))
         hi_i = max(1, math.ceil((1.0 - alpha / 2.0) * samples))
         stats = rep.agg(
@@ -1934,8 +2368,6 @@ def bootstrap_ci_stage(expression: Any, ctx: Context) -> StageFn:
         ).otherwise(F.lit(None).cast("double"))
         summ = stats.select(pick(lo_i).alias("ci_low"),
                             pick(hi_i).alias("ci_high"))
-        base = pairs.agg(F.count(F.lit(1)).alias("n"),
-                         F.avg("__v").alias("mean"))
         out = base.crossJoin(F.broadcast(summ))
         null_d = F.lit(None).cast("double")
         empty = F.col("n") == 0

@@ -440,3 +440,271 @@ def test_classification_eval_empty_corpus_averaged(spark):
             [{"$classificationEval": {"predicted": "$p",
                                       "actual": "$a"}}],
             Context(spark=spark))(df).count() == 0
+
+
+# ---- r11 corpus-statistic bootstrap modes (Koehn 2004 proper) --------
+
+_CDF = [0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+        0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+        0.999916758850712, 0.9999897508033254]
+
+
+def _pb_weight(seed, rid, r):
+    import hashlib
+    h = hashlib.md5(f"{seed}:{rid}:{r}".encode()).hexdigest()
+    u = int(h[:15], 16) / float(16 ** 15)
+    for k, t in enumerate(_CDF):
+        if u < t:
+            return k
+    return 8
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, x in enumerate(a, 1):
+        cur = [i]
+        for j, y in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (x != y)))
+        prev = cur
+    return prev[-1]
+
+
+def _mk_texts(rng, n_rows, vocab=20, lo=6, hi=18):
+    """(id, cand_a, cand_b, ref) word sentences: a = prefix of ref
+    (strong system), b = random (weak system)."""
+    rows = []
+    for i in range(n_rows):
+        ref = [f"w{rng.randrange(vocab)}" for _ in range(rng.randint(lo, hi))]
+        a = ref[: max(1, len(ref) - rng.randint(0, 4))]
+        b = [f"w{rng.randrange(vocab)}" for _ in range(rng.randint(lo, hi))]
+        rows.append((i, " ".join(a), " ".join(b), " ".join(ref)))
+    return rows
+
+
+def test_paired_bootstrap_corpus_wer_differential(spark):
+    """statistic: corpusWer — per replicate the corpus WER is
+    sum(w*dist)/sum(w*n_ref) per system; A beats B when its WER is
+    LOWER.  Full hand-Python reproduction including weights."""
+    rng = random.Random(7171)
+    rows = _mk_texts(rng, 120)
+    B, seed = 40, 0
+    df = spark.createDataFrame(rows, "i long, ca string, cb string, ref string")
+    got = compile_pipeline(
+        [{"$pairedBootstrap": {"id": "$i", "statistic": "corpusWer",
+                               "a": "$ca", "b": "$cb",
+                               "reference": "$ref", "samples": B}}],
+        Context(spark=spark))(df).collect()[0]
+    stats = []
+    for i, ca, cb, ref in rows:
+        wr = ref.split()
+        stats.append((i, _lev(ca.split(), wr), _lev(cb.split(), wr), len(wr)))
+    wins = ties = 0
+    for r in range(1, B + 1):
+        da = db = nr = wsum = 0
+        for i, d_a, d_b, n_ref in stats:
+            w = _pb_weight(seed, i, r)
+            da += w * d_a; db += w * d_b; nr += w * n_ref; wsum += w
+        if wsum == 0 or nr == 0:
+            ties += 1
+            continue
+        delta = da / nr - db / nr
+        if delta < 0:
+            wins += 1
+        elif delta == 0:
+            ties += 1
+    assert got["n"] == len(rows)
+    assert got["wins_a"] == wins and got["ties"] == ties
+    assert abs(got["p_value"] - (B - wins) / B) < 1e-12
+    tot_nr = sum(s[3] for s in stats)
+    wer_a = sum(s[1] for s in stats) / tot_nr
+    wer_b = sum(s[2] for s in stats) / tot_nr
+    assert abs(got["mean_a"] - wer_a) < 1e-12
+    assert abs(got["mean_b"] - wer_b) < 1e-12
+    assert abs(got["delta"] - (wer_a - wer_b)) < 1e-12
+
+
+def _bleu_stats(cand, ref, max_n):
+    from collections import Counter
+    wc, wr = cand.split(), ref.split()
+    out = {"c_len": len(wc), "r_len": len(wr)}
+    for n in range(1, max_n + 1):
+        gc = [" ".join(wc[i:i + n]) for i in range(len(wc) - n + 1)]
+        gr = [" ".join(wr[i:i + n]) for i in range(len(wr) - n + 1)]
+        cc, cr = Counter(gc), Counter(gr)
+        out[f"m{n}"] = sum(min(v, cr[g]) for g, v in cc.items())
+        out[f"t{n}"] = len(gc)
+    return out
+
+
+def _bleu_from_sums(s, max_n, smooth=None):
+    import math
+    log_sum = 0.0
+    for n in range(1, max_n + 1):
+        m, t = s[f"m{n}"], s[f"t{n}"]
+        if smooth == "add1" and n >= 2:
+            if t == 0:
+                return 0.0
+            p = (m + 1) / (t + 1)
+        else:
+            if t == 0 or m == 0:
+                return 0.0
+            p = m / t
+        log_sum += math.log(p) / max_n
+    c, r = s["c_len"], s["r_len"]
+    bp = 1.0 if c >= r else math.exp(1 - r / c)
+    return bp * math.exp(log_sum)
+
+
+def test_paired_bootstrap_corpus_bleu_differential(spark):
+    """statistic: corpusBleu — a replicate's corpus BLEU is the
+    Papineni corpus formula over weighted-summed per-segment clipped
+    counts; hand-Python reproduces score, wins and p exactly."""
+    rng = random.Random(2424)
+    rows = _mk_texts(rng, 100)
+    B, seed, MAXN = 30, 3, 2
+    df = spark.createDataFrame(rows, "i long, ca string, cb string, ref string")
+    got = compile_pipeline(
+        [{"$pairedBootstrap": {"id": "$i", "statistic": "corpusBleu",
+                               "a": {"candidate": "$ca"},
+                               "b": {"candidate": "$cb"},
+                               "reference": "$ref", "maxN": MAXN,
+                               "samples": B, "seed": seed}}],
+        Context(spark=spark))(df).collect()[0]
+    sa = [(_bleu_stats(ca, ref, MAXN), _bleu_stats(cb, ref, MAXN), i)
+          for i, ca, cb, ref in rows]
+    keys = ["c_len", "r_len"] + [f"m{n}" for n in range(1, MAXN + 1)] \
+        + [f"t{n}" for n in range(1, MAXN + 1)]
+    wins = ties = 0
+    for r in range(1, B + 1):
+        acc_a = dict.fromkeys(keys, 0)
+        acc_b = dict.fromkeys(keys, 0)
+        wsum = 0
+        for st_a, st_b, i in sa:
+            w = _pb_weight(seed, i, r)
+            wsum += w
+            for k in keys:
+                acc_a[k] += w * st_a[k]
+                acc_b[k] += w * st_b[k]
+        if wsum == 0:
+            ties += 1
+            continue
+        delta = _bleu_from_sums(acc_a, MAXN) - _bleu_from_sums(acc_b, MAXN)
+        if delta > 0:
+            wins += 1
+        elif delta == 0:
+            ties += 1
+    base_a = dict.fromkeys(keys, 0)
+    base_b = dict.fromkeys(keys, 0)
+    for st_a, st_b, _ in sa:
+        for k in keys:
+            base_a[k] += st_a[k]
+            base_b[k] += st_b[k]
+    assert got["n"] == len(rows)
+    assert got["wins_a"] == wins and got["ties"] == ties
+    assert abs(got["mean_a"] - _bleu_from_sums(base_a, MAXN)) < 1e-12
+    assert abs(got["mean_b"] - _bleu_from_sums(base_b, MAXN)) < 1e-12
+    assert abs(got["p_value"] - (B - wins) / B) < 1e-12
+
+
+def test_bootstrap_ci_corpus_chrf_differential(spark):
+    """$bootstrapCI statistic: corpusChrf — replicate scores are the
+    pooled-F chrF formula over weighted char-n-gram sums; the interval
+    is the pinned order-statistic convention over defined scores."""
+    import math
+    from collections import Counter
+
+    rng = random.Random(5050)
+    rows = _mk_texts(rng, 80)
+    B, seed, MAXN, BETA = 25, 0, 3, 2.0
+    ALPHA = 0.1
+    df = spark.createDataFrame(rows, "i long, ca string, cb string, ref string")
+    got = compile_pipeline(
+        [{"$bootstrapCI": {"id": "$i", "statistic": "corpusChrf",
+                           "candidate": "$ca", "reference": "$ref",
+                           "maxN": MAXN, "beta": BETA, "alpha": ALPHA,
+                           "samples": B, "seed": seed}}],
+        Context(spark=spark))(df).collect()[0]
+
+    def chrf_stats(cand, ref):
+        sc = "".join(cand.split())
+        sr = "".join(ref.split())
+        out = {}
+        for n in range(1, MAXN + 1):
+            gc = [sc[i:i + n] for i in range(len(sc) - n + 1)]
+            gr = [sr[i:i + n] for i in range(len(sr) - n + 1)]
+            cc, cr = Counter(gc), Counter(gr)
+            out[f"m{n}"] = sum(min(v, cr[g]) for g, v in cc.items())
+            out[f"tc{n}"] = len(gc)
+            out[f"tr{n}"] = len(gr)
+        return out
+
+    def chrf_from_sums(s):
+        b2 = BETA * BETA
+        p_sum = r_sum = 0.0
+        n_eff = 0
+        for n in range(1, MAXN + 1):
+            m, tc, tr = s[f"m{n}"], s[f"tc{n}"], s[f"tr{n}"]
+            if tc > 0 or tr > 0:
+                n_eff += 1
+                p_sum += m / tc if tc > 0 else 0.0
+                r_sum += m / tr if tr > 0 else 0.0
+        if n_eff == 0:
+            return 0.0
+        pavg, ravg = p_sum / n_eff, r_sum / n_eff
+        if pavg + ravg == 0.0:
+            return 0.0
+        return (1 + b2) * pavg * ravg / (b2 * pavg + ravg)
+
+    stats = [(chrf_stats(ca, ref), i) for i, ca, cb, ref in rows]
+    keys = [f"{p}{n}" for n in range(1, MAXN + 1) for p in ("m", "tc", "tr")]
+    reps = []
+    for r in range(1, B + 1):
+        acc = dict.fromkeys(keys, 0)
+        wsum = 0
+        for st, i in stats:
+            w = _pb_weight(seed, i, r)
+            wsum += w
+            for k in keys:
+                acc[k] += w * st[k]
+        if wsum > 0:
+            reps.append(chrf_from_sums(acc))
+    reps.sort()
+    lo_i = max(1, math.ceil(ALPHA / 2 * B))
+    hi_i = max(1, math.ceil((1 - ALPHA / 2) * B))
+    ci_low = reps[min(lo_i, len(reps)) - 1]
+    ci_high = reps[min(hi_i, len(reps)) - 1]
+    base = dict.fromkeys(keys, 0)
+    for st, _ in stats:
+        for k in keys:
+            base[k] += st[k]
+    assert got["n"] == len(rows)
+    assert abs(got["mean"] - chrf_from_sums(base)) < 1e-12
+    assert abs(got["ci_low"] - ci_low) < 1e-12
+    assert abs(got["ci_high"] - ci_high) < 1e-12
+
+
+def test_corpus_statistic_config_guards(spark):
+    df = spark.createDataFrame([(1, "a", "b", "c")],
+                               "i long, ca string, cb string, ref string")
+    with pytest.raises(ValueError, match="statistic"):
+        compile_pipeline(
+            [{"$pairedBootstrap": {"id": "$i", "a": "$ca", "b": "$cb",
+                                   "statistic": "corpusRouge"}}],
+            Context(spark=spark))
+    # corpusChrf is single-reference, matching $chrfCorpus
+    with pytest.raises(ValueError, match="corpusChrf"):
+        compile_pipeline(
+            [{"$pairedBootstrap": {"id": "$i", "a": "$ca", "b": "$cb",
+                                   "statistic": "corpusChrf",
+                                   "references": ["$ref"]}}],
+            Context(spark=spark))
+    with pytest.raises(ValueError, match="exactly one"):
+        compile_pipeline(
+            [{"$bootstrapCI": {"id": "$i", "candidate": "$ca",
+                               "statistic": "corpusBleu"}}],
+            Context(spark=spark))
