@@ -2508,6 +2508,92 @@ FROM t""",
 )
 
 
+_register(
+    "ter_eval",
+    # rotation closed form: hypothesis = reference rotated by 5 words.
+    # With maxShiftDistance raised past the doc length, the greedy
+    # shift search restores the rotation in exactly ONE shift (the
+    # maximal span hyp[n-5:] matches ref[:5] and lands at 0 with edit
+    # distance 0 — the strict minimum, so greedy must pick it), hence
+    # edits = shifts = 1 whenever the rotation changed the sequence
+    # and 0 otherwise (periodic texts).  Texts are single-space
+    # separated with no edge whitespace (asserted over testdata), so
+    # string_split(' ') mirrors the stage's \\s+ word split
+    f"""WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS wc FROM documents),
+s AS (SELECT doc_id, len(wc) AS n,
+             CASE WHEN (wc[6:] || wc[1:5]) = wc THEN 0 ELSE 1 END AS ed
+      FROM w)
+SELECT doc_id, CAST(ed AS BIGINT) AS edits,
+       {_r('ed / CAST(n AS DOUBLE)', 6)} AS ter,
+       CAST(ed AS BIGINT) AS shifts,
+       CAST(n AS BIGINT) AS n_hyp, CAST(n AS BIGINT) AS n_ref
+FROM s ORDER BY doc_id""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$set": {"words": {"$split": ["$text", " "]}}},
+            {"$set": {"rot": {"$concatArrays": [
+                {"$slice": ["$words", 5, 100000]},
+                {"$slice": ["$words", 5]}]}}},
+            {"$set": {"hyp": {"$trim": {"input": {"$reduce": {
+                "input": "$rot", "initialValue": "",
+                "in": {"$concat": ["$$value", " ", "$$this"]}}}}}}},
+            {"$ter": {"candidate": "$hyp", "reference": "$text",
+                      "maxWords": 2000, "maxShiftDistance": 1000,
+                      "as": "t"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "edits": "$t.edits",
+                          "ter": {"$round": ["$t.ter", 6]},
+                          "shifts": "$t.shifts",
+                          "n_hyp": "$t.n_hyp", "n_ref": "$t.n_ref"}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
+_register(
+    "ter_corpus",
+    # corpus TER over the same rotation construction: total edits /
+    # total reference words, one partial-aggregated row
+    f"""WITH w AS (
+  SELECT string_split(text, ' ') AS wc FROM documents),
+s AS (SELECT len(wc) AS n,
+             CASE WHEN (wc[6:] || wc[1:5]) = wc THEN 0 ELSE 1 END AS ed
+      FROM w),
+t AS (SELECT CAST(sum(ed) AS BIGINT) AS edits,
+             CAST(sum(ed) AS BIGINT) AS shifts,
+             CAST(sum(n) AS BIGINT) AS n_hyp,
+             CAST(sum(n) AS BIGINT) AS n_ref,
+             CAST(count(*) AS BIGINT) AS n_segments
+      FROM s)
+SELECT {_r('edits / CAST(n_ref AS DOUBLE)', 6)} AS ter,
+       edits, shifts, n_hyp, n_ref, n_segments
+FROM t""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$set": {"words": {"$split": ["$text", " "]}}},
+            {"$set": {"rot": {"$concatArrays": [
+                {"$slice": ["$words", 5, 100000]},
+                {"$slice": ["$words", 5]}]}}},
+            {"$set": {"hyp": {"$trim": {"input": {"$reduce": {
+                "input": "$rot", "initialValue": "",
+                "in": {"$concat": ["$$value", " ", "$$this"]}}}}}}},
+            {"$terCorpus": {"candidate": "$hyp", "reference": "$text",
+                            "maxWords": 2000, "maxShiftDistance": 1000}},
+            {"$project": {"_id": 0,
+                          "ter": {"$round": ["$ter", 6]},
+                          "edits": 1, "shifts": 1, "n_hyp": 1,
+                          "n_ref": 1, "n_segments": 1}},
+        ],
+    )
+)
+
+
 def _poisson_ladder_sql(ucol: str = "u") -> str:
     """The md5->uniform->Poisson(1) inverse-CDF ladder as SQL (same
     thresholds as dp_eval._POISSON1_CDF; used by the r11 corpus-

@@ -1452,6 +1452,332 @@ def wer_corpus_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+_TER_TYPE = ("struct<edits:bigint,ter:double,shifts:bigint,"
+             "n_hyp:bigint,n_ref:bigint>")
+
+
+def _make_ter_scorers(max_words: int, max_shift_size: int,
+                      max_shift_dist: int):
+    """(score_one, score_multi) closures for the $ter family's Arrow
+    boundary (factory pattern = cloudpickle-by-value, exactly like
+    :func:`_make_wer_scorers`).
+
+    Translation Edit Rate (Snover et al. 2006, "A Study of Translation
+    Edit Rate with Targeted Human Annotation"): minimum number of word
+    edits — insertions, deletions, substitutions, plus phrase SHIFTS
+    (moving a contiguous span counts as ONE edit) — normalized by the
+    reference length.  Like tercom, the shift search is GREEDY: each
+    round applies the shift that most reduces the remaining word edit
+    distance, until no shift strictly reduces it; ``edits = shifts +
+    remaining distance``.
+
+    PINNED SEMANTICS (a documented simplification of tercom's
+    exhaustive sub-span search — differential-tested against an
+    independent implementation of the same rules):
+
+    - a shift candidate is the MAXIMAL matching span: for each
+      hypothesis position i and each reference occurrence k of
+      ``hyp[i]``, the span extends while words match, capped at
+      ``maxShiftSize`` (default 10, the tercom cap);
+    - the span is removed and reinserted to START at index
+      ``min(k, len(rest))`` of the remaining sequence (aligning it
+      with its reference occurrence); candidates with ``|i - k| >
+      maxShiftDistance`` (default 50, the tercom cap) or that land in
+      place are skipped;
+    - the greedy round picks the smallest resulting distance, ties
+      broken by smallest i then smallest k (first-found under the
+      scan order);
+    - candidate distances are evaluated with a BANDED Levenshtein
+      cutoff (Ukkonen) at the best-so-far, so losing candidates
+      abandon in O(n·limit).
+
+    ``maxWords`` defaults to 250 (not 2000): the greedy search is
+    O(candidates · n · dist) per round — quadratic-ish where $wer is
+    one DP — and 250 words is the sentence/segment regime TER is
+    defined for.  score_multi picks the best reference by (ter, edits,
+    n_ref) — the same NIST convention as $wer."""
+    import re as _re
+    from collections import defaultdict as _dd
+
+    ws_split = _re.compile(r"[ \t\n\r\f\x0b]+").split  # Java \s
+
+    def lev(a: list, b: list) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        if not b:
+            return len(a)
+        prev = list(range(len(b) + 1))
+        for i, x in enumerate(a, 1):
+            cur = [i]
+            append = cur.append
+            for j, y in enumerate(b, 1):
+                append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (x != y)))
+            prev = cur
+        return prev[-1]
+
+    def lev_band(a: list, b: list, limit: int) -> int:
+        """Exact distance if <= limit, else limit + 1."""
+        la, lb = len(a), len(b)
+        if limit < 0:
+            # nothing can qualify; only equality is "within" a
+            # negative limit (callers never accept the result anyway)
+            return 0 if a == b else limit + 1
+        if abs(la - lb) > limit:
+            return limit + 1
+        big = limit + 1
+        prev = [j if j <= limit else big for j in range(lb + 1)]
+        for i in range(1, la + 1):
+            lo = max(1, i - limit)
+            hi = min(lb, i + limit)
+            cur = [big] * (lb + 1)
+            cur[0] = i if i <= limit else big
+            x = a[i - 1]
+            row_min = cur[0] if lo == 1 else big
+            for j in range(lo, hi + 1):
+                v = min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (x != b[j - 1]))
+                cur[j] = v
+                if v < row_min:
+                    row_min = v
+            if row_min > limit:
+                return big
+            prev = cur
+        d = prev[lb]
+        return d if d <= limit else big
+
+    def ter_edits(wc: list, wr: list):
+        """(edits, shifts, remaining) for capped word lists."""
+        hyp = wc
+        base = lev(hyp, wr)
+        shifts = 0
+        if not wr:
+            return base, 0, base
+        pos = _dd(list)
+        for k, w in enumerate(wr):
+            pos[w].append(k)
+        while base > 0:
+            limit = base - 1
+            best = None
+            for i, w in enumerate(hyp):
+                for k in pos.get(w, ()):
+                    if abs(i - k) > max_shift_dist:
+                        continue
+                    l = 1
+                    while (i + l < len(hyp) and k + l < len(wr)
+                           and l < max_shift_size
+                           and hyp[i + l] == wr[k + l]):
+                        l += 1
+                    rest = hyp[:i] + hyp[i + l:]
+                    at = min(k, len(rest))
+                    if at == i:
+                        continue
+                    cand = rest[:at] + hyp[i:i + l] + rest[at:]
+                    d = lev_band(cand, wr, limit)
+                    if d <= limit:
+                        best = (d, cand)
+                        limit = d - 1
+                if best is not None and best[0] == 0:
+                    break
+            if best is None:
+                break
+            shifts += 1
+            base, hyp = best
+        return shifts + base, shifts, base
+
+    def score_one(ct, rt):
+        wc = [w for w in ws_split(ct) if w][:max_words]
+        wr = [w for w in ws_split(rt) if w][:max_words]
+        edits, shifts, _ = ter_edits(wc, wr)
+        if wr:
+            t = edits / len(wr)
+        else:
+            t = 0.0 if not wc else None
+        return (edits, t, shifts, len(wc), len(wr))
+
+    def score_multi(ct, refs):
+        if ct is None:
+            return None
+        refs = [r for r in refs if r is not None]
+        if not refs:
+            return None
+        best = None
+        for rt in refs:
+            e, t, sh, nh, nr = score_one(ct, rt)
+            key = (t if t is not None else float("inf"), e, nr)
+            if best is None or key < best[0]:
+                best = (key, (e, t, sh, nh, nr))
+        return best[1]
+
+    return score_one, score_multi
+
+
+@register_stage("$ter")
+def ter_stage(expression: Any, ctx: Context) -> StageFn:
+    """Translation Edit Rate (Snover 2006) — the third metric of the
+    sacrebleu BLEU/chrF/TER triple: ``{candidate, reference |
+    references, maxWords?, maxShiftSize?, maxShiftDistance?, as?}``
+    adds a struct ``(edits, ter, shifts, n_hyp, n_ref)``.  A shift of
+    a contiguous phrase counts as ONE edit; see
+    :func:`_make_ter_scorers` for the pinned greedy-shift semantics
+    and the deliberate deviations from tercom.  Null in either side ->
+    null struct; empty reference with non-empty hypothesis -> null
+    ter with edits still reported (the $wer convention).
+
+    MULTI-REFERENCE: best reference by (ter, edits, n_ref) — NIST.
+
+    100 TB shape: row-local on the $wer Arrow boundary, zero shuffle;
+    the greedy search is capped by maxWords (default 250) /
+    maxShiftSize (10) / maxShiftDistance (50) — the tercom caps."""
+    cand_e = expression["candidate"]
+    ref_e = expression.get("reference")
+    refs_e = expression.get("references")
+    if (ref_e is None) == (refs_e is None):
+        raise ValueError("$ter needs exactly one of reference | references")
+    max_words = int(expression.get("maxWords", 250))
+    max_shift_size = int(expression.get("maxShiftSize", 10))
+    max_shift_dist = int(expression.get("maxShiftDistance", 50))
+    as_field = expression.get("as", "ter")
+    if max_words < 1:
+        raise ValueError("$ter maxWords must be >= 1")
+    if max_shift_size < 1:
+        raise ValueError("$ter maxShiftSize must be >= 1")
+    if max_shift_dist < 0:
+        raise ValueError("$ter maxShiftDistance must be >= 0")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        sctx = ExprContext(schema=df.schema)
+        cand = compile_expr(cand_e, sctx)
+        score_one, score_multi = _make_ter_scorers(
+            max_words, max_shift_size, max_shift_dist)
+
+        if refs_e is not None:
+            refs = compile_expr(refs_e, sctx)
+
+            @F.pandas_udf(_TER_TYPE)
+            def _ter(s: pd.Series, t: pd.Series) -> pd.DataFrame:
+                vals = [None if rs is None else score_multi(ct, list(rs))
+                        for ct, rs in zip(s, t)]
+                return pd.DataFrame(
+                    [(None, None, None, None, None) if v is None else v
+                     for v in vals],
+                    columns=["edits", "ter", "shifts", "n_hyp", "n_ref"])
+
+            raw = _ter(cand, refs)
+        else:
+            ref = compile_expr(ref_e, sctx)
+
+            @F.pandas_udf(_TER_TYPE)
+            def _ter(s: pd.Series, t: pd.Series) -> pd.DataFrame:
+                vals = [None if ct is None or rt is None
+                        else score_one(ct, rt)
+                        for ct, rt in zip(s, t)]
+                return pd.DataFrame(
+                    [(None, None, None, None, None) if v is None else v
+                     for v in vals],
+                    columns=["edits", "ter", "shifts", "n_hyp", "n_ref"])
+
+            raw = _ter(cand, ref)
+        # null hypothesis / no usable references -> a NULL STRUCT, not
+        # a struct of nulls (the $wer convention)
+        null_st = F.lit(None).cast(_TER_TYPE)
+        stage = df.withColumn("__ter_raw", raw)
+        rawc = F.col("__ter_raw")
+        return stage.withColumn(
+            as_field,
+            F.when(rawc["n_hyp"].isNull(), null_st).otherwise(rawc),
+        ).drop("__ter_raw")
+
+    return fn
+
+
+@register_stage("$terCorpus")
+def ter_corpus_stage(expression: Any, ctx: Context) -> StageFn:
+    """CORPUS-level TER (tercom's corpus number): ``{candidate,
+    reference | references, maxWords?, maxShiftSize?,
+    maxShiftDistance?}`` -> ONE row ``(ter, edits, shifts, n_hyp,
+    n_ref, n_segments)`` where ``ter = total edits / total reference
+    words`` — NOT the mean of per-segment TERs.  Multi-reference uses
+    each segment's best reference's edits and length ($werCorpus's
+    convention).  Segments with a null side are EXCLUDED.
+
+    CORPUS-ONLY: gated in streaming like $werCorpus.
+
+    100 TB shape: per-segment greedy search row-local on the Arrow
+    boundary; the reduction is ONE global partial-aggregated sum to a
+    single short row — the $bleuCorpus shape."""
+    cand_e = expression["candidate"]
+    ref_e = expression.get("reference")
+    refs_e = expression.get("references")
+    if (ref_e is None) == (refs_e is None):
+        raise ValueError(
+            "$terCorpus needs exactly one of reference | references")
+    max_words = int(expression.get("maxWords", 250))
+    max_shift_size = int(expression.get("maxShiftSize", 10))
+    max_shift_dist = int(expression.get("maxShiftDistance", 50))
+    if max_words < 1:
+        raise ValueError("$terCorpus maxWords must be >= 1")
+    if max_shift_size < 1:
+        raise ValueError("$terCorpus maxShiftSize must be >= 1")
+    if max_shift_dist < 0:
+        raise ValueError("$terCorpus maxShiftDistance must be >= 0")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..operators.extended import _corpus_only
+
+        _corpus_only("$terCorpus", c)
+        sctx = ExprContext(schema=df.schema)
+        cand = compile_expr(cand_e, sctx)
+        score_one, score_multi = _make_ter_scorers(
+            max_words, max_shift_size, max_shift_dist)
+
+        if refs_e is not None:
+            refs = compile_expr(refs_e, sctx)
+
+            @F.pandas_udf(_TER_TYPE)
+            def _ter(s: pd.Series, t: pd.Series) -> pd.DataFrame:
+                vals = [None if rs is None else score_multi(ct, list(rs))
+                        for ct, rs in zip(s, t)]
+                return pd.DataFrame(
+                    [(None, None, None, None, None) if v is None else v
+                     for v in vals],
+                    columns=["edits", "ter", "shifts", "n_hyp", "n_ref"])
+
+            raw = _ter(cand, refs)
+        else:
+            ref = compile_expr(ref_e, sctx)
+
+            @F.pandas_udf(_TER_TYPE)
+            def _ter(s: pd.Series, t: pd.Series) -> pd.DataFrame:
+                vals = [None if ct is None or rt is None
+                        else score_one(ct, rt)
+                        for ct, rt in zip(s, t)]
+                return pd.DataFrame(
+                    [(None, None, None, None, None) if v is None else v
+                     for v in vals],
+                    columns=["edits", "ter", "shifts", "n_hyp", "n_ref"])
+
+            raw = _ter(cand, ref)
+        stage = df.withColumn("__trc", raw) \
+            .filter(F.col("__trc.n_hyp").isNotNull())
+        zero_l = F.lit(0).cast("long")
+        row = stage.agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.coalesce(F.sum("__trc.edits"), zero_l).alias("edits"),
+            F.coalesce(F.sum("__trc.shifts"), zero_l).alias("shifts"),
+            F.coalesce(F.sum("__trc.n_hyp"), zero_l).alias("n_hyp"),
+            F.coalesce(F.sum("__trc.n_ref"), zero_l).alias("n_ref"),
+        )
+        e_tot = F.col("edits").cast("double")
+        r_tot = F.col("n_ref").cast("double")
+        ter = F.when(F.col("n_ref") > 0, e_tot / r_tot) \
+            .when(F.col("edits") == 0, F.lit(0.0)) \
+            .otherwise(F.lit(None).cast("double"))
+        return row.select(
+            ter.alias("ter"), F.col("edits"), F.col("shifts"),
+            F.col("n_hyp"), F.col("n_ref"), F.col("n_segments"))
+
+    return fn
 
 
 @register_stage("$classificationEval")

@@ -494,3 +494,184 @@ def test_wer_corpus_equals_independent_aggregation(spark):
         compile_pipeline(
             [{"$werCorpus": {"candidate": "$c", "reference": "$r"}}],
             mb)(df)
+
+
+# ---- r11 $ter / $terCorpus (Snover 2006) -----------------------------
+
+def _ref_ter(c, r, max_words=250, mss=10, msd=50):
+    """Independent implementation of the PINNED $ter semantics
+    (maximal-span candidates, align-with-occurrence reinsertion,
+    greedy smallest-distance with first-found ties) using a naive
+    full-matrix Levenshtein — no banding, no early exits beyond the
+    documented d == 0 break."""
+    import re as _re
+
+    ws = _re.compile(r"[ \t\n\r\f\x0b]+").split
+    hyp = [w for w in ws(c) if w][:max_words]
+    ref = [w for w in ws(r) if w][:max_words]
+
+    def lev(a, b):
+        d = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            d[i][0] = i
+        for j in range(len(b) + 1):
+            d[0][j] = j
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                              d[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+        return d[-1][-1]
+
+    base = lev(hyp, ref)
+    shifts = 0
+    if ref:
+        while base > 0:
+            best = None
+            done = False
+            for i in range(len(hyp)):
+                for k in (k for k, w in enumerate(ref) if w == hyp[i]):
+                    if abs(i - k) > msd:
+                        continue
+                    l = 1
+                    while (i + l < len(hyp) and k + l < len(ref)
+                           and l < mss and hyp[i + l] == ref[k + l]):
+                        l += 1
+                    rest = hyp[:i] + hyp[i + l:]
+                    at = min(k, len(rest))
+                    if at == i:
+                        continue
+                    cand = rest[:at] + hyp[i:i + l] + rest[at:]
+                    d = lev(cand, ref)
+                    if d <= base - 1 and (best is None or d < best[0]):
+                        best = (d, cand)
+                if best is not None and best[0] == 0:
+                    done = True
+                    break
+            if best is None:
+                break
+            shifts += 1
+            base, hyp = best
+            if done and base == 0:
+                break
+    edits = shifts + base
+    if ref:
+        t = edits / len(ref)
+    else:
+        t = 0.0 if not hyp else None
+    return edits, t, shifts, len(hyp), len(ref)
+
+
+def _shifty_pairs(seed, n=80):
+    """Pairs biased to exercise shifts: small vocab (repeats), and
+    half the candidates are the reference with a span moved."""
+    rng = random.Random(seed)
+    vocab = [f"v{i}" for i in range(6)]
+    out = []
+    for i in range(n):
+        m = rng.randint(0, 14)
+        ref = [rng.choice(vocab) for _ in range(m)]
+        if m >= 4 and rng.random() < 0.5:
+            a = rng.randrange(m - 2)
+            l = rng.randint(1, min(3, m - a))
+            span = ref[a:a + l]
+            rest = ref[:a] + ref[a + l:]
+            at = rng.randint(0, len(rest))
+            hyp = rest[:at] + span + rest[at:]
+            if rng.random() < 0.4:  # plus a substitution
+                j = rng.randrange(len(hyp))
+                hyp = hyp[:j] + ["zz"] + hyp[j + 1:]
+        else:
+            hyp = [rng.choice(vocab) for _ in range(rng.randint(0, 14))]
+        out.append((i, " ".join(hyp), " ".join(ref)))
+    return out
+
+
+def test_ter_randomized_differential(spark):
+    """$ter vs the independent pinned-semantics implementation over
+    shift-heavy small-vocab pairs AND the arbitrary-Unicode pairs the
+    other eval differentials use."""
+    rows = _shifty_pairs(31337, 80) + [
+        (1000 + i, c, r) for i, c, r in _pairs(777, 60)]
+    df = spark.createDataFrame(rows, "i long, c string, r string")
+    got = {x["i"]: x["t"] for x in compile_pipeline(
+        [{"$ter": {"candidate": "$c", "reference": "$r", "as": "t"}}],
+        Context(spark=spark))(df).collect()}
+    for i, c, r in rows:
+        e, t, sh, nh, nr = _ref_ter(c, r)
+        g = got[i]
+        assert g["edits"] == e and g["shifts"] == sh, (i, c, r)
+        assert g["n_hyp"] == nh and g["n_ref"] == nr
+        if t is None:
+            assert g["ter"] is None
+        else:
+            assert abs(g["ter"] - t) < 1e-12
+        # TER is bounded by WER (a shift can only help) and >= 0
+        assert e >= 0
+
+
+def test_ter_properties_and_edges(spark):
+    edges = spark.createDataFrame(
+        [(1, "a b c", "a b c"),         # identical
+         (2, "d e a b c", "a b c d e"),  # pure rotation: ONE shift
+         (3, "", ""),
+         (4, "x y", ""),                 # empty ref: null ter
+         (5, None, "x"),                 # null -> null struct
+         (6, "a X c", "a b c")],         # substitution, no shift
+        "i long, c string, r string")
+    e = {x["i"]: x["t"] for x in compile_pipeline(
+        [{"$ter": {"candidate": "$c", "reference": "$r", "as": "t"}}],
+        Context(spark=spark))(edges).collect()}
+    assert e[1]["edits"] == 0 and e[1]["ter"] == 0.0
+    assert e[2]["edits"] == 1 and e[2]["shifts"] == 1
+    assert abs(e[2]["ter"] - 0.2) < 1e-12
+    assert e[3]["edits"] == 0 and e[3]["ter"] == 0.0
+    assert e[4]["edits"] == 2 and e[4]["ter"] is None
+    assert e[5] is None
+    assert e[6]["edits"] == 1 and e[6]["shifts"] == 0
+    # maxShiftDistance blocks far shifts (tercom cap)
+    far = " ".join(f"w{i}" for i in range(60))
+    fdf = spark.createDataFrame([(1, "z " + far, far + " z")],
+                                "i long, c string, r string")
+    g = compile_pipeline(
+        [{"$ter": {"candidate": "$c", "reference": "$r", "as": "t"}}],
+        Context(spark=spark))(fdf).collect()[0]["t"]
+    assert g["shifts"] == 0 and g["edits"] == 2
+    g2 = compile_pipeline(
+        [{"$ter": {"candidate": "$c", "reference": "$r", "as": "t",
+                   "maxShiftDistance": 1000}}],
+        Context(spark=spark))(fdf).collect()[0]["t"]
+    assert g2["shifts"] == 1 and g2["edits"] == 1
+    # multi-reference: best reference wins (NIST)
+    mdf = spark.createDataFrame(
+        [(1, "a b c", ["x y z w", "a b c"])],
+        "i long, c string, rs array<string>")
+    gm = compile_pipeline(
+        [{"$ter": {"candidate": "$c", "references": "$rs", "as": "t"}}],
+        Context(spark=spark))(mdf).collect()[0]["t"]
+    assert gm["edits"] == 0 and gm["n_ref"] == 3
+    # config guards
+    with pytest.raises(ValueError, match="exactly one"):
+        compile_pipeline([{"$ter": {"candidate": "$c"}}],
+                         Context(spark=spark))
+    with pytest.raises(ValueError, match="maxShiftSize"):
+        compile_pipeline(
+            [{"$ter": {"candidate": "$c", "reference": "$r",
+                       "maxShiftSize": 0}}], Context(spark=spark))
+
+
+def test_ter_corpus_equals_independent_aggregation(spark):
+    """$terCorpus = total edits / total reference words over the best
+    reference per segment — NOT the mean of per-segment TERs."""
+    rows = _shifty_pairs(909, 50)
+    df = spark.createDataFrame(rows, "i long, c string, r string")
+    got = compile_pipeline(
+        [{"$terCorpus": {"candidate": "$c", "reference": "$r"}}],
+        Context(spark=spark))(df).collect()[0]
+    tot_e = tot_sh = tot_nh = tot_nr = 0
+    for _, c, r in rows:
+        e, t, sh, nh, nr = _ref_ter(c, r)
+        tot_e += e; tot_sh += sh; tot_nh += nh; tot_nr += nr
+    assert got["edits"] == tot_e and got["shifts"] == tot_sh
+    assert got["n_hyp"] == tot_nh and got["n_ref"] == tot_nr
+    assert got["n_segments"] == len(rows)
+    assert abs(got["ter"] - tot_e / tot_nr) < 1e-12

@@ -1094,6 +1094,8 @@ def test_corpus_only_stages_rejected_up_front(spark, tmpdir):
         [{"$bleuCorpus": {"candidate": "$text", "reference": "$text"}}],
         [{"$chrfCorpus": {"candidate": "$text", "reference": "$text"}}],
         [{"$werCorpus": {"candidate": "$text", "reference": "$text"}}],
+        # r11: corpus TER, same silent-wrong-answer class
+        [{"$terCorpus": {"candidate": "$text", "reference": "$text"}}],
         [{"$classificationEval": {"predicted": "$text",
                                   "actual": "$text"}}],
         [{"$regressionEval": {"predicted": "$doc_id",
