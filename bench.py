@@ -30,6 +30,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# Each engine self-configures for the machine: DuckDB's own default is
+# all cores; Spark's parallelism is derived below.  Overridable for A/B.
+DUCK_THREADS = os.environ.get("SPARK_GRAFT_DUCK_THREADS", CPUS)
+# "k=v;k=v" extra Spark confs for A/B experiments
+EXTRA_CONF = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+# unrecorded JIT/page-cache warm-up passes before the best-of-3
+WARMUP = int(os.environ.get("SPARK_GRAFT_WARMUP", "1"))
 
 HEADLINE = [
     "match_basic",          # pushdown filter scan
@@ -59,6 +66,24 @@ def _best(timings: dict[str, float], name: str, dt: float) -> None:
         timings[name] = dt
 
 
+def _total_input_bytes() -> int:
+    return sum(
+        os.path.getsize(os.path.join(SF_DIR, f))
+        for f in os.listdir(SF_DIR) if f.endswith(".parquet"))
+
+
+def _derived_open_cost() -> int:
+    """Scan-split granularity sized from the input (r11): the 4 MB
+    default openCostInBytes floors every split at 4 MB, so a 0.6 MB
+    table scans as ONE task and a row-local no-shuffle query
+    (token_count: 1 task, 0.16 s) runs single-threaded next to 31 idle
+    cores.  Below 256 MB total input, drop the modeled open cost to
+    64 KB and let Spark's own bytes-per-core logic pick the split; at
+    real scale the default is right (many small files genuinely cost
+    more to open than to defer)."""
+    return 65536 if _total_input_bytes() < (256 << 20) else 4194304
+
+
 def _derived_shuffle_partitions() -> int:
     """Size the shuffle from the input, not the core count (r9 verdict
     item: a fixed 32 on sub-100 MB inputs buys nothing but task-launch
@@ -66,10 +91,7 @@ def _derived_shuffle_partitions() -> int:
     and windows still parallelize, capped at CPUS — at real scale the
     input term dominates and this degenerates to the usual
     cores-squared-ish sizing."""
-    total = sum(
-        os.path.getsize(os.path.join(SF_DIR, f))
-        for f in os.listdir(SF_DIR) if f.endswith(".parquet"))
-    return max(4, min(int(CPUS), total // (32 << 20)))
+    return max(4, min(int(CPUS), _total_input_bytes() // (32 << 20)))
 
 
 def main() -> None:
@@ -88,12 +110,17 @@ def main() -> None:
         # pure plan-build floor across the 16 headline queries (r10
         # A/B, /tmp/build_ab).  A production engine runs with it off.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        .config("spark.sql.files.openCostInBytes",
+                str(_derived_open_cost()))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    for kv in filter(None, EXTRA_CONF.split(";")):
+        k, _, v = kv.partition("=")
+        spark = spark.config(k.strip(), v.strip())
+    spark = spark.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry
@@ -102,13 +129,22 @@ def main() -> None:
     oracles = entry.oracle_sql()
 
     con = duckdb.connect()
-    con.execute(f"SET threads = {CPUS}")
+    con.execute(f"SET threads = {DUCK_THREADS}")
     for p in glob.glob(f"{SF_DIR}/*.parquet"):
         t = os.path.basename(p).replace(".parquet", "")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     timings: dict[str, float] = {}
     duck: dict[str, float] = {}
+    # unrecorded warm-up pass(es): C2 JIT compilation of the Catalyst /
+    # codegen hot paths dominates pass-1 timings (standard JVM bench
+    # practice is to measure only after warm-up); DuckDB and the page
+    # cache warm symmetrically
+    for _ in range(WARMUP):
+        for name in HEADLINE:
+            qs[name](spark, SF_DIR).write.mode("overwrite") \
+                .format("noop").save()
+            con.execute(oracles[name]).fetchall()
     # interleaved best-of-3: the host is shared (contention spikes), C2
     # JIT ramps over the first executions, and whichever engine runs
     # later in a pass gets the warmer page cache — alternating S,D per
@@ -142,6 +178,9 @@ def main() -> None:
         "duckdb_value": dtotal,
         "duckdb_queries": duck,
         "ratio_vs_duckdb": round(total / dtotal, 3) if dtotal else None,
+        "spark_parallelism": int(CPUS),
+        "duck_threads": int(DUCK_THREADS),
+        "warmup_passes": WARMUP,
         # host contention context: r2's apparent per-query regressions
         # were load noise — record the 1/5/15-min load averages so a
         # noisy run is identifiable from the JSON alone

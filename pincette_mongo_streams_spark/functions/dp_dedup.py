@@ -30,11 +30,21 @@ def md5_long(col: Column, seed: int) -> Column:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Fan a compute-bound stage out to all cores.  Small files arrive as a
-    single scan partition (one 500 KB parquet = one task), serializing
+    """Fan a compute-bound stage out across cores.  Small files arrive as
+    a single scan partition (one 500 KB parquet = one task), serializing
     per-row-heavy hash/regex work; a cheap round-robin repartition fixes
     that.  Gated so large inputs (already many partitions at 100 TB) are
-    never reshuffled."""
+    never reshuffled.
+
+    r11 note: two "size-aware" fan-out variants were measured and
+    REJECTED — (a) targeting the optimizer's size estimate (stats()
+    runs a full analyze/optimize pass per call, +1 s across the dedup
+    family) and (b) targeting spark.sql.shuffle.partitions (minhash
+    compute is ~13 CPU-seconds over 5 k docs at sf0.1; fanning to 4
+    instead of 32 serialized it to 1.5 s from 0.44 s).  Per-row hash
+    compute is CPU-bound, so all-cores is the right target even when
+    the input is tiny — the gate below only skips the reshuffle when
+    the input already arrives wide."""
     try:
         parallelism = df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < max(2, parallelism // 2):
