@@ -1759,6 +1759,157 @@ _register(
 )
 
 
+def _chrf_sacrebleu_oracle_sql() -> str:
+    """chrF with ``formula: "sacrebleu"`` (r11): same clipped
+    char-n-gram counts as the chrf_eval oracle, but the TOOL's
+    convention — per-order F2 averaged over orders where BOTH sides
+    have grams — instead of the paper's avg-P/avg-R single F."""
+    gram_defs = []
+    for n in range(1, 7):
+        for side, src in (("c", "sc"), ("r", "sr")):
+            gram_defs.append(
+                f"CASE WHEN len({src}) >= {n} THEN "
+                f"[substr({src}, i, {n}) "
+                f"FOR i IN range(1, len({src}) - {n} + 2)] "
+                f"ELSE [] END AS g{side}{n}")
+    m_cols = [
+        ("coalesce(list_sum(list_transform(list_distinct(gc{n}), "
+         "t -> least(len(list_filter(gc{n}, x -> x = t)), "
+         "len(list_filter(gr{n}, x -> x = t))))), 0) AS m{n}")
+        .format(n=n)
+        for n in range(1, 7)
+    ]
+    eff = " + ".join(
+        f"CASE WHEN len(gc{n}) > 0 AND len(gr{n}) > 0 THEN 1 ELSE 0 END"
+        for n in range(1, 7))
+    f_terms = []
+    for n in range(1, 7):
+        p = f"(m{n} / CAST(len(gc{n}) AS DOUBLE))"
+        r = f"(m{n} / CAST(len(gr{n}) AS DOUBLE))"
+        f_terms.append(
+            f"CASE WHEN len(gc{n}) > 0 AND len(gr{n}) > 0 "
+            f"THEN CASE WHEN 4.0 * {p} + {r} > 0.0 "
+            f"THEN 5.0 * {p} * {r} / (4.0 * {p} + {r}) ELSE 0.0 END "
+            f"ELSE 0.0 END")
+    f_sum = " + ".join(f_terms)
+    return f"""WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS wc
+  FROM documents WHERE text IS NOT NULL),
+s AS (SELECT doc_id,
+             substr(regexp_replace(array_to_string(wc[1:10], ' '),
+                                   '\\s+', '', 'g'), 1, 2000) AS sc,
+             substr(regexp_replace(array_to_string(wc[1:20], ' '),
+                                   '\\s+', '', 'g'), 1, 2000) AS sr
+      FROM w),
+g AS (SELECT doc_id, {', '.join(gram_defs)} FROM s),
+m AS (SELECT *, {', '.join(m_cols)} FROM g),
+f AS (SELECT doc_id, ({eff}) AS n_eff, ({f_sum}) AS fs FROM m),
+z AS (SELECT doc_id,
+             CASE WHEN n_eff = 0 THEN 0.0 ELSE fs / n_eff END AS s
+      FROM f)
+SELECT d.doc_id, {_r('z.s', 6)} AS chrf
+FROM documents d LEFT JOIN z USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+_register(
+    "chrf_sacrebleu",
+    _chrf_sacrebleu_oracle_sql(),
+)(
+    _pipe(
+        "documents",
+        [
+            {"$truncateTokens": {"input": "$text", "as": "c10",
+                                 "max": 10}},
+            {"$truncateTokens": {"input": "$text", "as": "c20",
+                                 "max": 20}},
+            {"$chrf": {"candidate": "$c10", "reference": "$c20",
+                       "formula": "sacrebleu", "as": "s"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "chrf": {"$round": ["$s", 6]}}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
+def _bleu_13a_oracle_sql() -> str:
+    """tokenizer: "13a" oracle (r11).  The testdata vocabulary is pure
+    a-z words (asserted: zero words match [^a-z]), so the 13a
+    tokenization of the constructed candidate ``p5 || ', ' || p3 ||
+    '.'`` and reference ``p10 || '.'`` has a CLOSED FORM in token
+    lists: the words plus separated ',' and '.' tokens — the oracle
+    states the result of the engine's regex chain rather than porting
+    the regexes (whose three-way Java/RE2/Python parity is pinned by
+    tests/test_eval_properties.py::test_bleu_13a_tokenizer)."""
+    gram2 = ("CASE WHEN len({w}) >= 2 THEN "
+             "[array_to_string(({w})[i:i+1], ' ') "
+             "FOR i IN range(1, len({w}))] ELSE [] END")
+    clip = ("coalesce(list_sum(list_transform(list_distinct({gc}), "
+            "t -> least(len(list_filter({gc}, x -> x = t)), "
+            "len(list_filter({gr}, x -> x = t))))), 0)")
+    return f"""WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS wc
+  FROM documents WHERE text IS NOT NULL),
+t AS (SELECT doc_id,
+             (wc[1:5] || [','] || wc[1:3] || ['.']) AS c,
+             (wc[1:10] || ['.']) AS r
+      FROM w),
+g AS (SELECT doc_id, c, r,
+             {gram2.format(w='c')} AS gc2,
+             {gram2.format(w='r')} AS gr2
+      FROM t),
+m AS (SELECT doc_id, len(c) AS cl, len(r) AS rl,
+             {clip.format(gc='c', gr='r')} AS m1,
+             len(c) AS t1,
+             {clip.format(gc='gc2', gr='gr2')} AS m2,
+             len(gc2) AS t2
+      FROM g),
+z AS (SELECT doc_id,
+             CASE WHEN t1 = 0 OR m1 = 0 OR t2 = 0 THEN 0.0
+                  ELSE (CASE WHEN cl >= rl THEN 1.0
+                        ELSE exp(1 - rl / CAST(cl AS DOUBLE)) END)
+                       * exp(ln(m1 / CAST(t1 AS DOUBLE)) / 2
+                             + ln((m2 + 1) / CAST(t2 + 1 AS DOUBLE)) / 2)
+             END AS s
+      FROM m)
+SELECT doc_id, {_r('s', 6)} AS bleu13a
+FROM z ORDER BY doc_id"""
+
+
+_register(
+    "bleu_13a",
+    _bleu_13a_oracle_sql(),
+)(
+    _pipe(
+        "documents",
+        [
+            {"$truncateTokens": {"input": "$text", "as": "p5",
+                                 "max": 5}},
+            {"$truncateTokens": {"input": "$text", "as": "p3",
+                                 "max": 3}},
+            {"$truncateTokens": {"input": "$text", "as": "p10",
+                                 "max": 10}},
+            # punctuation GLUED to words: the raw whitespace split
+            # sees "e," / "h." tokens, 13a separates them — so this
+            # row carries real signal for the tokenizer path
+            {"$set": {"cand": {"$concat": ["$p5", ", ", "$p3", "."]},
+                      "ref": {"$concat": ["$p10", "."]}}},
+            {"$bleu": {"candidate": "$cand", "reference": "$ref",
+                       "maxN": 2, "smooth": "add1",
+                       "tokenizer": "13a", "as": "b"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "bleu13a": {"$round": ["$b", 6]}}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
 def _chrf_multiref_oracle_sql() -> str:
     """Multi-reference chrF oracle (r10): candidate = 10-word prefix
     scored against TWO references — the 20-word prefix and the DOUBLED

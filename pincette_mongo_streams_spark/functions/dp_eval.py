@@ -166,6 +166,38 @@ def ngram_overlap_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+def _tok13a(t: Column) -> Column:
+    """mteval-v13a tokenization (sacrebleu's default BLEU tokenizer,
+    public rules): strip ``<skipped>``, unwrap hyphen-newlines, unescape
+    the four SGML entities, then pad punctuation with spaces — except
+    ``.``/``,`` between digits and ``-`` not preceded by a digit.  The
+    character class is written with explicit hex ranges so Java (Spark),
+    RE2 (DuckDB oracles) and Python (test references) agree — verified
+    three-way this session."""
+    t = F.regexp_replace(t, "<skipped>", "")
+    t = F.regexp_replace(t, "-\n", "")
+    t = F.regexp_replace(t, "\n", " ")
+    t = F.regexp_replace(t, "&quot;", "\"")
+    t = F.regexp_replace(t, "&amp;", "&")
+    t = F.regexp_replace(t, "&lt;", "<")
+    t = F.regexp_replace(t, "&gt;", ">")
+    t = F.concat(F.lit(" "), t, F.lit(" "))
+    t = F.regexp_replace(
+        t, r"([\x7b-\x7e\x5b-\x60\x20-\x26\x28-\x2b\x3a-\x40\x2f])",
+        " $1 ")
+    t = F.regexp_replace(t, r"([^0-9])([\.,])", "$1 $2 ")
+    t = F.regexp_replace(t, r"([\.,])([^0-9])", " $1 $2")
+    t = F.regexp_replace(t, r"([0-9])(-)", "$1 $2 ")
+    return t
+
+
+def _check_tokenizer(stage: str, tokenizer: Any) -> Optional[str]:
+    if tokenizer not in (None, "none", "13a"):
+        raise ValueError(
+            f"{stage} tokenizer must be 'none' or '13a', got {tokenizer!r}")
+    return None if tokenizer == "none" else tokenizer
+
+
 def _eval_words(t: Column, max_words: Optional[int] = None) -> Column:
     """Whitespace word split shared by the BLEU-family stages
     ($ngramOverlap / $bleu) — Java \\s semantics, empties dropped.
@@ -608,6 +640,11 @@ def bleu_stage(expression: Any, ctx: Context) -> StageFn:
     max_words = int(expression.get("maxWords", 2000))
     smooth = expression.get("smooth")
     as_field = expression.get("as", "bleu")
+    # r11: tokenizer "13a" (sacrebleu's default) pre-tokenizes both
+    # sides with the mteval-v13a punctuation rules before the
+    # whitespace word split; "none" (default) keeps raw whitespace
+    # words — backward compatible
+    tokenizer = _check_tokenizer("$bleu", expression.get("tokenizer"))
     if not 1 <= max_n <= 8:
         raise ValueError("$bleu maxN must be in 1..8")
     if max_words < 1:
@@ -619,23 +656,26 @@ def bleu_stage(expression: Any, ctx: Context) -> StageFn:
     def fn(df: DataFrame, c: Context) -> DataFrame:
         sctx = ExprContext(schema=df.schema)
         cand = compile_expr(cand_e, sctx)
+        if tokenizer == "13a":
+            cand = _tok13a(cand)
         temps = ["__bleu_wc"]
         stage = df.withColumn("__bleu_wc", _eval_words(cand, max_words))
         wc = F.col("__bleu_wc")
+        tok = _tok13a if tokenizer == "13a" else (lambda r: r)
         if refs_e is not None:
             refs = compile_expr(refs_e, sctx)
             temps.append("__bleu_wrs")
             stage = stage.withColumn(
                 "__bleu_wrs",
                 F.transform(F.filter(refs, lambda r: r.isNotNull()),
-                            lambda r: _eval_words(r, max_words)))
+                            lambda r: _eval_words(tok(r), max_words)))
             wrs = F.col("__bleu_wrs")
             null_in = cand.isNull() | refs.isNull() | (F.size(wrs) == 0)
         else:
             ref = compile_expr(ref_e, sctx)
             temps.append("__bleu_wr")
             stage = stage.withColumn("__bleu_wr",
-                                     _eval_words(ref, max_words))
+                                     _eval_words(tok(ref), max_words))
             null_in = cand.isNull() | ref.isNull()
         wr = F.col("__bleu_wr")
         for n in range(1, max_n + 1):
@@ -734,6 +774,8 @@ def bleu_corpus_stage(expression: Any, ctx: Context) -> StageFn:
     max_n = int(expression.get("maxN", 4))
     max_words = int(expression.get("maxWords", 2000))
     smooth = expression.get("smooth")
+    # r11: sacrebleu's default 13a tokenization, like $bleu
+    tokenizer = _check_tokenizer("$bleuCorpus", expression.get("tokenizer"))
     if not 1 <= max_n <= 8:
         raise ValueError("$bleuCorpus maxN must be in 1..8")
     if max_words < 1:
@@ -748,21 +790,23 @@ def bleu_corpus_stage(expression: Any, ctx: Context) -> StageFn:
         _corpus_only("$bleuCorpus", c)
         sctx = ExprContext(schema=df.schema)
         cand = compile_expr(cand_e, sctx)
-        stage = df.withColumn("__blc_wc", _eval_words(cand, max_words))
+        tok = _tok13a if tokenizer == "13a" else (lambda r: r)
+        stage = df.withColumn("__blc_wc",
+                              _eval_words(tok(cand), max_words))
         wc = F.col("__blc_wc")
         if refs_e is not None:
             refs = compile_expr(refs_e, sctx)
             stage = stage.withColumn(
                 "__blc_wrs",
                 F.transform(F.filter(refs, lambda r: r.isNotNull()),
-                            lambda r: _eval_words(r, max_words)))
+                            lambda r: _eval_words(tok(r), max_words)))
             wrs = F.col("__blc_wrs")
             scorable = cand.isNotNull() & refs.isNotNull() \
                 & (F.size(wrs) > 0)
         else:
             ref = compile_expr(ref_e, sctx)
             stage = stage.withColumn("__blc_wr",
-                                     _eval_words(ref, max_words))
+                                     _eval_words(tok(ref), max_words))
             scorable = cand.isNotNull() & ref.isNotNull()
         wr = F.col("__blc_wr")
         stage = stage.filter(scorable)
@@ -872,12 +916,14 @@ def chrf_stage(expression: Any, ctx: Context) -> StageFn:
     to 2 (chrF2, recall-weighted).  A pair with no effective orders
     (both texts empty) scores 0.0; null in either side -> null.
 
-    DELIBERATE DEVIATION from the sacrebleu tool: this follows the
+    FORMULA (r11): ``formula: "popovic"`` (default) follows the
     PAPER's formula (Popović 2015 eq. 1 — average P and average R over
-    orders, combined into ONE F), whereas sacrebleu averages the
-    per-order F-scores and counts an order effective only when BOTH
-    sides have grams.  Values therefore do not reproduce sacrebleu's
-    chrF2 numbers exactly; the whitespace-strip and clipping match.
+    orders where EITHER side has grams, combined into ONE F);
+    ``formula: "sacrebleu"`` reproduces the sacrebleu TOOL's
+    convention instead — the per-order F-scores averaged over orders
+    where BOTH sides have grams (multiply by 100 to compare against
+    sacrebleu's 0-100 reporting).  The whitespace-strip and clipping
+    match sacrebleu in both modes.
 
     ``maxChars`` (default 2000) truncates both sides first — the same
     cost-cap discipline as the word-level family (the clip aggregate
@@ -898,6 +944,15 @@ def chrf_stage(expression: Any, ctx: Context) -> StageFn:
     beta = float(expression.get("beta", 2.0))
     max_chars = int(expression.get("maxChars", 2000))
     as_field = expression.get("as", "chrf")
+    # r11: formula "sacrebleu" removes the documented deviation — it
+    # averages the PER-ORDER F-scores over orders where BOTH sides
+    # have grams (sacrebleu's _compute_f_score, modulo its x100
+    # scaling); "popovic" (default) keeps the paper's avg-P/avg-R
+    # single-F combination, backward compatible
+    formula = expression.get("formula", "popovic")
+    if formula not in ("popovic", "sacrebleu"):
+        raise ValueError(
+            f"$chrf formula must be popovic|sacrebleu, got {formula!r}")
     if not 1 <= max_n <= 10:
         raise ValueError("$chrf maxN must be in 1..10")
     if beta <= 0:
@@ -922,6 +977,20 @@ def chrf_stage(expression: Any, ctx: Context) -> StageFn:
         """Combine per-order (cand-count, ref-count, clipped) triples
         into one chrF score — shared by the scalar and per-reference
         paths."""
+        if formula == "sacrebleu":
+            f_sum = F.lit(0.0)
+            n_eff = F.lit(0)
+            for cn, rn, m in cn_rn_m:
+                eff = (cn > 0) & (rn > 0)
+                p = m / cn
+                r = m / rn
+                f_n = F.when(b2 * p + r > 0.0,
+                             (1 + b2) * p * r / (b2 * p + r)) \
+                    .otherwise(F.lit(0.0))
+                f_sum = f_sum + F.when(eff, f_n).otherwise(F.lit(0.0))
+                n_eff = n_eff + eff.cast("int")
+            return F.when(n_eff == 0, F.lit(0.0)) \
+                .otherwise(f_sum / n_eff)
         p_sum = F.lit(0.0)
         r_sum = F.lit(0.0)
         n_eff = F.lit(0)
@@ -1125,6 +1194,15 @@ def chrf_corpus_stage(expression: Any, ctx: Context) -> StageFn:
     max_n = int(expression.get("maxN", 6))
     beta = float(expression.get("beta", 2.0))
     max_chars = int(expression.get("maxChars", 2000))
+    # r11: formula "sacrebleu" = per-order F over POOLED counts,
+    # averaged over orders where both pooled sides have grams —
+    # exactly sacrebleu's corpus chrF (its statistics pool across
+    # segments before one _compute_f_score), modulo the x100 scaling
+    formula = expression.get("formula", "popovic")
+    if formula not in ("popovic", "sacrebleu"):
+        raise ValueError(
+            f"$chrfCorpus formula must be popovic|sacrebleu, "
+            f"got {formula!r}")
     if not 1 <= max_n <= 10:
         raise ValueError("$chrfCorpus maxN must be in 1..10")
     if beta <= 0:
@@ -1175,24 +1253,37 @@ def chrf_corpus_stage(expression: Any, ctx: Context) -> StageFn:
         row = stage.agg(*aggs)
         p_sum = F.lit(0.0)
         r_sum = F.lit(0.0)
+        f_sum = F.lit(0.0)
         n_eff = F.lit(0)
         outs = []
         for n in range(1, max_n + 1):
             m = F.col(f"m{n}").cast("double")
             tc = F.col(f"tc{n}").cast("double")
             tr = F.col(f"tr{n}").cast("double")
-            eff = (tc > 0) | (tr > 0)
             p = F.when(tc > 0, m / tc).otherwise(F.lit(0.0))
             r = F.when(tr > 0, m / tr).otherwise(F.lit(0.0))
-            p_sum = p_sum + F.when(eff, p).otherwise(F.lit(0.0))
-            r_sum = r_sum + F.when(eff, r).otherwise(F.lit(0.0))
+            if formula == "sacrebleu":
+                eff = (tc > 0) & (tr > 0)
+                pd_, rd_ = m / tc, m / tr
+                f_n = F.when(b2 * pd_ + rd_ > 0.0,
+                             (1 + b2) * pd_ * rd_ / (b2 * pd_ + rd_)) \
+                    .otherwise(F.lit(0.0))
+                f_sum = f_sum + F.when(eff, f_n).otherwise(F.lit(0.0))
+            else:
+                eff = (tc > 0) | (tr > 0)
+                p_sum = p_sum + F.when(eff, p).otherwise(F.lit(0.0))
+                r_sum = r_sum + F.when(eff, r).otherwise(F.lit(0.0))
             n_eff = n_eff + eff.cast("int")
             outs += [p.alias(f"p{n}"), r.alias(f"r{n}")]
-        pavg = p_sum / n_eff
-        ravg = r_sum / n_eff
-        score = F.when(n_eff == 0, F.lit(0.0)) \
-            .when(pavg + ravg == 0.0, F.lit(0.0)) \
-            .otherwise((1 + b2) * pavg * ravg / (b2 * pavg + ravg))
+        if formula == "sacrebleu":
+            score = F.when(n_eff == 0, F.lit(0.0)) \
+                .otherwise(f_sum / n_eff)
+        else:
+            pavg = p_sum / n_eff
+            ravg = r_sum / n_eff
+            score = F.when(n_eff == 0, F.lit(0.0)) \
+                .when(pavg + ravg == 0.0, F.lit(0.0)) \
+                .otherwise((1 + b2) * pavg * ravg / (b2 * pavg + ravg))
         return row.select(score.alias("chrf"), F.col("n_segments"), *outs)
 
     return fn
@@ -2154,6 +2245,11 @@ def _corpus_stat_machinery(statistic: str, expression: dict, stage_name: str):
         max_n = int(expression.get("maxN", 6))
         beta = float(expression.get("beta", 2.0))
         max_chars = int(expression.get("maxChars", 2000))
+        formula = expression.get("formula", "popovic")
+        if formula not in ("popovic", "sacrebleu"):
+            raise ValueError(
+                f"{stage_name} formula must be popovic|sacrebleu, "
+                f"got {formula!r}")
         if not 1 <= max_n <= 10:
             raise ValueError(f"{stage_name} maxN must be in 1..10")
         if beta <= 0:
@@ -2205,6 +2301,23 @@ def _corpus_stat_machinery(statistic: str, expression: dict, stage_name: str):
             return stage, cand.isNotNull()
 
         def score(get) -> Column:
+            if formula == "sacrebleu":
+                f_sum = F.lit(0.0)
+                n_eff = F.lit(0)
+                for n in range(1, max_n + 1):
+                    m = get(f"m{n}").cast("double")
+                    tc = get(f"tc{n}").cast("double")
+                    tr = get(f"tr{n}").cast("double")
+                    eff = (tc > 0) & (tr > 0)
+                    p_, r_ = m / tc, m / tr
+                    f_n = F.when(
+                        b2 * p_ + r_ > 0.0,
+                        (1 + b2) * p_ * r_ / (b2 * p_ + r_)
+                    ).otherwise(F.lit(0.0))
+                    f_sum = f_sum + F.when(eff, f_n).otherwise(F.lit(0.0))
+                    n_eff = n_eff + eff.cast("int")
+                return F.when(n_eff == 0, F.lit(0.0)) \
+                    .otherwise(f_sum / n_eff)
             p_sum = F.lit(0.0)
             r_sum = F.lit(0.0)
             n_eff = F.lit(0)

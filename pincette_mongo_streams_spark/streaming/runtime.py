@@ -60,7 +60,7 @@ _CORPUS_ONLY_STAGES = {"$spanDedup", "$semanticDedup", "$bpeTrain",
                        "$profile", "$bleuCorpus", "$chrfCorpus",
                        "$werCorpus", "$classificationEval",
                        "$regressionEval", "$pairedBootstrap",
-                       "$bootstrapCI"}
+                       "$bootstrapCI", "$terCorpus"}
 
 
 def _resolve_state_store(state_store: str) -> tuple[str, str]:

@@ -675,3 +675,147 @@ def test_ter_corpus_equals_independent_aggregation(spark):
     assert got["n_hyp"] == tot_nh and got["n_ref"] == tot_nr
     assert got["n_segments"] == len(rows)
     assert abs(got["ter"] - tot_e / tot_nr) < 1e-12
+
+
+# ---- r11 sacrebleu-parity options: $bleu tokenizer 13a, $chrf formula
+
+def _tok13a_py(s):
+    import re as _re
+    s = s.replace('<skipped>', '').replace('-\n', '').replace('\n', ' ')
+    s = (s.replace('&quot;', '"').replace('&amp;', '&')
+         .replace('&lt;', '<').replace('&gt;', '>'))
+    s = f' {s} '
+    s = _re.sub(r'([\x7b-\x7e\x5b-\x60\x20-\x26\x28-\x2b\x3a-\x40\x2f])',
+                r' \1 ', s)
+    s = _re.sub(r'([^0-9])([\.,])', r'\1 \2 ', s)
+    s = _re.sub(r'([\.,])([^0-9])', r' \1 \2', s)
+    s = _re.sub(r'([0-9])(-)', r'\1 \2 ', s)
+    return ' '.join(s.split())
+
+
+def test_bleu_13a_tokenizer(spark):
+    """tokenizer: "13a" == running the default tokenizer on
+    Python-pre-tokenized text (the mteval-v13a rules, pinned with
+    explicit hex ranges so Java == RE2 == Python — verified three-way
+    this session), over punctuated pairs where 13a genuinely changes
+    the token stream."""
+    rng = random.Random(1441)
+    frags = ["Hello,", "world!", "it's", "3.50", "(really)", "state-of-the-art",
+             "3-4", "a..b", "50%", "[ok]", "x;y:", "v1.2", "end."]
+    rows = []
+    for i in range(60):
+        c = " ".join(rng.choice(frags) for _ in range(rng.randint(1, 10)))
+        r = " ".join(rng.choice(frags) for _ in range(rng.randint(1, 10)))
+        if rng.random() < 0.4:
+            r = c + " extra."
+        rows.append((i, c, r, _tok13a_py(c), _tok13a_py(r)))
+    df = spark.createDataFrame(
+        rows, "i long, c string, r string, ct string, rt string")
+    out = compile_pipeline(
+        [{"$bleu": {"candidate": "$c", "reference": "$r", "maxN": 2,
+                    "smooth": "add1", "tokenizer": "13a", "as": "b13"}},
+         {"$bleu": {"candidate": "$ct", "reference": "$rt", "maxN": 2,
+                    "smooth": "add1", "as": "bpre"}},
+         {"$bleu": {"candidate": "$c", "references": ["$r"], "maxN": 2,
+                    "smooth": "add1", "tokenizer": "13a", "as": "b13m"}},
+         {"$bleu": {"candidate": "$c", "reference": "$r", "maxN": 2,
+                    "smooth": "add1", "as": "braw"}}],
+        Context(spark=spark))(df).collect()
+    changed = 0
+    for row in out:
+        assert abs(row["b13"] - row["bpre"]) < 1e-12, row["i"]
+        assert abs(row["b13m"] - row["bpre"]) < 1e-12, row["i"]
+        if abs(row["braw"] - row["b13"]) > 1e-12:
+            changed += 1
+    assert changed > 10  # 13a genuinely moves scores on this corpus
+    with pytest.raises(ValueError, match="tokenizer"):
+        compile_pipeline(
+            [{"$bleu": {"candidate": "$c", "reference": "$r",
+                        "tokenizer": "char"}}], Context(spark=spark))
+
+
+def _ref_chrf_sacrebleu(c, r, max_n=6, beta=2.0, max_chars=2000):
+    """sacrebleu's _compute_f_score over per-order clipped char-gram
+    counts (whitespace stripped), in [0, 1] (no x100)."""
+    import re as _re
+    from collections import Counter
+    ws = _re.compile(r"[ \t\n\r\f\x0b]+")  # Java \s is ASCII-only
+    sc = ws.sub("", c)[:max_chars]
+    sr = ws.sub("", r)[:max_chars]
+    b2 = beta * beta
+    f_sum, n_eff = 0.0, 0
+    for n in range(1, max_n + 1):
+        gc = [sc[i:i + n] for i in range(len(sc) - n + 1)]
+        gr = [sr[i:i + n] for i in range(len(sr) - n + 1)]
+        if not gc or not gr:
+            continue
+        cc, cr = Counter(gc), Counter(gr)
+        m = sum(min(v, cr[g]) for g, v in cc.items())
+        p, r_ = m / len(gc), m / len(gr)
+        denom = b2 * p + r_
+        f_sum += (1 + b2) * p * r_ / denom if denom > 0 else 0.0
+        n_eff += 1
+    return f_sum / n_eff if n_eff else 0.0
+
+
+def test_chrf_sacrebleu_formula_differential(spark):
+    """formula: "sacrebleu" vs an independent implementation of
+    sacrebleu's per-order-F convention; multi-reference takes the max;
+    the corpus form pools counts first (sacrebleu's corpus chrF)."""
+    rows = _pairs(606, 80)
+    df = spark.createDataFrame(rows, "i long, c string, r string")
+    got = {x["i"]: x for x in compile_pipeline(
+        [{"$chrf": {"candidate": "$c", "reference": "$r", "maxN": 4,
+                    "formula": "sacrebleu", "as": "s"}},
+         {"$chrf": {"candidate": "$c", "references": ["$r", "$c"],
+                    "maxN": 4, "formula": "sacrebleu", "as": "sm"}}],
+        Context(spark=spark))(df).collect()}
+    for i, c, r in rows:
+        w = _ref_chrf_sacrebleu(c, r, max_n=4)
+        assert abs(got[i]["s"] - w) < 1e-12, (i, c, r)
+        wm = max(w, _ref_chrf_sacrebleu(c, c, max_n=4))
+        assert abs(got[i]["sm"] - wm) < 1e-12, (i, c, r)
+    # self-reference scores 1.0 for non-empty candidates
+    import re as _re2
+    _ws2 = _re2.compile(r"[ \t\n\r\f\x0b]+")
+    nonempty = [i for i, c, _ in rows if _ws2.sub("", c)]
+    assert all(abs(got[i]["sm"] - 1.0) < 1e-12 for i in nonempty)
+    # corpus form: pooled counts then ONE per-order-F average
+    from collections import Counter
+
+    import re as _re
+    ws = _re.compile(r"[ \t\n\r\f\x0b]+")
+
+    def stats(c, r, n):
+        sc = ws.sub("", c)[:2000]
+        sr = ws.sub("", r)[:2000]
+        gc = [sc[i:i + n] for i in range(len(sc) - n + 1)]
+        gr = [sr[i:i + n] for i in range(len(sr) - n + 1)]
+        cc, cr = Counter(gc), Counter(gr)
+        return (sum(min(v, cr[g]) for g, v in cc.items()),
+                len(gc), len(gr))
+
+    b2 = 4.0
+    f_sum, n_eff = 0.0, 0
+    for n in range(1, 5):
+        m = tc = tr = 0
+        for _, c, r in rows:
+            if c is None or r is None:
+                continue
+            a, b_, d = stats(c, r, n)
+            m += a; tc += b_; tr += d
+        if tc > 0 and tr > 0:
+            p, r_ = m / tc, m / tr
+            denom = b2 * p + r_
+            f_sum += 5 * p * r_ / denom if denom > 0 else 0.0
+            n_eff += 1
+    want_corpus = f_sum / n_eff if n_eff else 0.0
+    gc = compile_pipeline(
+        [{"$chrfCorpus": {"candidate": "$c", "reference": "$r",
+                          "maxN": 4, "formula": "sacrebleu"}}],
+        Context(spark=spark))(df).collect()[0]
+    assert abs(gc["chrf"] - want_corpus) < 1e-12
+    with pytest.raises(ValueError, match="formula"):
+        compile_pipeline(
+            [{"$chrf": {"candidate": "$c", "reference": "$r",
+                        "formula": "nist"}}], Context(spark=spark))

@@ -38,7 +38,14 @@ _PYTHON_ALLOWED = {"http_enrich", "decode_media_meta", "media_pipeline",
                    # r10: multi-reference and corpus WER run the same
                    # DP boundary (chrf_multiref stays pure JVM and is
                    # deliberately NOT listed here)
-                   "wer_multiref", "wer_corpus"}
+                   "wer_multiref", "wer_corpus",
+                   # r11: $ter's greedy-shift search runs on the same
+                   # eval-family Arrow DP boundary as $wer, and the
+                   # corpusWer paired bootstrap computes its per-segment
+                   # sufficient statistics through it (bootstrap_ci_corpus
+                   # = corpusBleu stays pure JVM and is deliberately NOT
+                   # listed here)
+                   "ter_eval", "ter_corpus", "paired_bootstrap_corpus"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))

@@ -916,13 +916,21 @@ def test_eval_family_streaming_parity(spark, tmpdir):
                   "references": ["$text", "$p3"], "as": "wm"}},
         {"$qaEval": {"prediction": "$cand", "answers": ["$text", "$p3"],
                      "as": "qa"}},
+        # r11: $ter (scalar + multi-reference) streams unchanged too —
+        # row-local greedy-shift search on the same Arrow boundary
+        {"$ter": {"candidate": "$cand", "reference": "$text",
+                  "as": "t1"}},
+        {"$ter": {"candidate": "$cand",
+                  "references": ["$text", "$p3"], "as": "tm"}},
         {"$project": {"doc_id": 1, "b1": 1, "bm": 1,
                       "r1_f": "$r1.f1", "rm_f": "$rm.f1",
                       "ov_m": "$ov.n_match", "ov_f": "$ov.f1",
                       "ch": 1, "chm": 1, "w1_w": "$w1.wer",
                       "wm_w": "$wm.wer", "wm_d": "$wm.distance",
                       "qa_em": "$qa.exact_match",
-                      "qa_f1": "$qa.f1"}},
+                      "qa_f1": "$qa.f1",
+                      "t1_t": "$t1.ter", "t1_e": "$t1.edits",
+                      "tm_t": "$tm.ter", "tm_s": "$tm.shifts"}},
     ]
     batch_df = spark.createDataFrame(
         [(d["doc_id"], d["text"]) for d in docs], schema)
