@@ -1716,6 +1716,8 @@ def ter_stage(expression: Any, ctx: Context) -> StageFn:
     ter with edits still reported (the $wer convention).
 
     MULTI-REFERENCE: best reference by (ter, edits, n_ref) — NIST.
+    ``caseSensitive: false`` lowercases both sides first (sacrebleu
+    TER's default; ours defaults to case-sensitive like $wer).
 
     100 TB shape: row-local on the $wer Arrow boundary, zero shuffle;
     the greedy search is capped by maxWords (default 250) /
@@ -1728,6 +1730,10 @@ def ter_stage(expression: Any, ctx: Context) -> StageFn:
     max_words = int(expression.get("maxWords", 250))
     max_shift_size = int(expression.get("maxShiftSize", 10))
     max_shift_dist = int(expression.get("maxShiftDistance", 50))
+    # sacrebleu's TER lowercases by default (case_sensitive=False);
+    # ours defaults to case-sensitive like $wer — caseSensitive: false
+    # opts into the sacrebleu behavior (F.lower on both sides, JVM)
+    case_sensitive = bool(expression.get("caseSensitive", True))
     as_field = expression.get("as", "ter")
     if max_words < 1:
         raise ValueError("$ter maxWords must be >= 1")
@@ -1739,11 +1745,15 @@ def ter_stage(expression: Any, ctx: Context) -> StageFn:
     def fn(df: DataFrame, c: Context) -> DataFrame:
         sctx = ExprContext(schema=df.schema)
         cand = compile_expr(cand_e, sctx)
+        if not case_sensitive:
+            cand = F.lower(cand)
         score_one, score_multi = _make_ter_scorers(
             max_words, max_shift_size, max_shift_dist)
 
         if refs_e is not None:
             refs = compile_expr(refs_e, sctx)
+            if not case_sensitive:
+                refs = F.transform(refs, F.lower)
 
             @F.pandas_udf(_TER_TYPE)
             def _ter(s: pd.Series, t: pd.Series) -> pd.DataFrame:
@@ -1757,6 +1767,8 @@ def ter_stage(expression: Any, ctx: Context) -> StageFn:
             raw = _ter(cand, refs)
         else:
             ref = compile_expr(ref_e, sctx)
+            if not case_sensitive:
+                ref = F.lower(ref)
 
             @F.pandas_udf(_TER_TYPE)
             def _ter(s: pd.Series, t: pd.Series) -> pd.DataFrame:
@@ -1806,6 +1818,7 @@ def ter_corpus_stage(expression: Any, ctx: Context) -> StageFn:
     max_words = int(expression.get("maxWords", 250))
     max_shift_size = int(expression.get("maxShiftSize", 10))
     max_shift_dist = int(expression.get("maxShiftDistance", 50))
+    case_sensitive = bool(expression.get("caseSensitive", True))
     if max_words < 1:
         raise ValueError("$terCorpus maxWords must be >= 1")
     if max_shift_size < 1:
@@ -1819,11 +1832,15 @@ def ter_corpus_stage(expression: Any, ctx: Context) -> StageFn:
         _corpus_only("$terCorpus", c)
         sctx = ExprContext(schema=df.schema)
         cand = compile_expr(cand_e, sctx)
+        if not case_sensitive:
+            cand = F.lower(cand)
         score_one, score_multi = _make_ter_scorers(
             max_words, max_shift_size, max_shift_dist)
 
         if refs_e is not None:
             refs = compile_expr(refs_e, sctx)
+            if not case_sensitive:
+                refs = F.transform(refs, F.lower)
 
             @F.pandas_udf(_TER_TYPE)
             def _ter(s: pd.Series, t: pd.Series) -> pd.DataFrame:
@@ -1837,6 +1854,8 @@ def ter_corpus_stage(expression: Any, ctx: Context) -> StageFn:
             raw = _ter(cand, refs)
         else:
             ref = compile_expr(ref_e, sctx)
+            if not case_sensitive:
+                ref = F.lower(ref)
 
             @F.pandas_udf(_TER_TYPE)
             def _ter(s: pd.Series, t: pd.Series) -> pd.DataFrame:

@@ -819,3 +819,28 @@ def test_chrf_sacrebleu_formula_differential(spark):
         compile_pipeline(
             [{"$chrf": {"candidate": "$c", "reference": "$r",
                         "formula": "nist"}}], Context(spark=spark))
+
+
+def test_ter_case_sensitivity_option(spark):
+    """caseSensitive: false (sacrebleu TER's default) lowercases both
+    sides JVM-side; ours defaults to case-sensitive like $wer."""
+    df = spark.createDataFrame(
+        [(1, "A B c", "a b C"), (2, "Mixed CASE", "mixed case")],
+        "i long, c string, r string")
+    out = {r["i"]: r for r in compile_pipeline(
+        [{"$ter": {"candidate": "$c", "reference": "$r", "as": "t1"}},
+         {"$ter": {"candidate": "$c", "reference": "$r",
+                   "caseSensitive": False, "as": "t2"}}],
+        Context(spark=spark))(df).collect()}
+    assert out[1]["t1"]["edits"] == 3 and out[1]["t2"]["edits"] == 0
+    assert out[2]["t1"]["edits"] == 2 and out[2]["t2"]["edits"] == 0
+    g = compile_pipeline(
+        [{"$ter": {"candidate": "$c", "references": ["$r", "zz"],
+                   "caseSensitive": False, "as": "t"}}],
+        Context(spark=spark))(df).collect()[0]["t"]
+    assert g["edits"] == 0
+    gc = compile_pipeline(
+        [{"$terCorpus": {"candidate": "$c", "reference": "$r",
+                         "caseSensitive": False}}],
+        Context(spark=spark))(df).collect()[0]
+    assert gc["edits"] == 0 and gc["ter"] == 0.0
