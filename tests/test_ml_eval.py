@@ -708,3 +708,157 @@ def test_corpus_statistic_config_guards(spark):
             [{"$bootstrapCI": {"id": "$i", "candidate": "$ca",
                                "statistic": "corpusBleu"}}],
             Context(spark=spark))
+
+
+def test_paired_bootstrap_corpus_bleu_multiref_differential(spark):
+    """corpusBleu with references: — per-system clip against the MAX
+    across references and per-system closest-length effective reference
+    (Papineni §2.2-2.3), resampled; hand-Python reproduces wins and the
+    corpus scores exactly."""
+    from collections import Counter
+
+    rng = random.Random(8686)
+    rows = []
+    for i in range(60):
+        ref1 = [f"w{rng.randrange(12)}" for _ in range(rng.randint(6, 14))]
+        ref2 = ref1[: max(2, len(ref1) - rng.randint(0, 5))]
+        a = ref1[: max(1, len(ref1) - rng.randint(0, 3))]
+        b = [f"w{rng.randrange(12)}" for _ in range(rng.randint(6, 14))]
+        rows.append((i, " ".join(a), " ".join(b),
+                     [" ".join(ref1), " ".join(ref2)]))
+    B, seed, MAXN = 25, 0, 2
+    df = spark.createDataFrame(
+        rows, "i long, ca string, cb string, refs array<string>")
+    got = compile_pipeline(
+        [{"$pairedBootstrap": {"id": "$i", "statistic": "corpusBleu",
+                               "a": "$ca", "b": "$cb",
+                               "references": "$refs", "maxN": MAXN,
+                               "samples": B, "seed": seed}}],
+        Context(spark=spark))(df).collect()[0]
+
+    def seg_stats(cand, refs):
+        wc = cand.split()
+        wrs = [r.split() for r in refs]
+        out = {"c_len": len(wc)}
+        # effective reference length: closest to candidate, ties shorter
+        best = None
+        for wr in wrs:
+            d = abs(len(wr) - len(wc))
+            if best is None or d < best[0] or (d == best[0]
+                                               and len(wr) < best[1]):
+                best = (d, len(wr))
+        out["r_len"] = best[1]
+        for n in range(1, MAXN + 1):
+            gc = [" ".join(wc[i:i + n]) for i in range(len(wc) - n + 1)]
+            cc = Counter(gc)
+            maxr = Counter()
+            for wr in wrs:
+                gr = Counter(" ".join(wr[i:i + n])
+                             for i in range(len(wr) - n + 1))
+                for g, v in gr.items():
+                    maxr[g] = max(maxr[g], v)
+            out[f"m{n}"] = sum(min(v, maxr[g]) for g, v in cc.items())
+            out[f"t{n}"] = len(gc)
+        return out
+
+    keys = ["c_len", "r_len"] + [f"m{n}" for n in range(1, MAXN + 1)] \
+        + [f"t{n}" for n in range(1, MAXN + 1)]
+    segs = [(seg_stats(ca, refs), seg_stats(cb, refs), i)
+            for i, ca, cb, refs in rows]
+    wins = ties = 0
+    for r in range(1, B + 1):
+        acc_a = dict.fromkeys(keys, 0)
+        acc_b = dict.fromkeys(keys, 0)
+        wsum = 0
+        for st_a, st_b, i in segs:
+            w = _pb_weight(seed, i, r)
+            wsum += w
+            for k in keys:
+                acc_a[k] += w * st_a[k]
+                acc_b[k] += w * st_b[k]
+        if wsum == 0:
+            ties += 1
+            continue
+        d = _bleu_from_sums(acc_a, MAXN) - _bleu_from_sums(acc_b, MAXN)
+        if d > 0:
+            wins += 1
+        elif d == 0:
+            ties += 1
+    base_a = dict.fromkeys(keys, 0)
+    base_b = dict.fromkeys(keys, 0)
+    for st_a, st_b, _ in segs:
+        for k in keys:
+            base_a[k] += st_a[k]
+            base_b[k] += st_b[k]
+    assert got["n"] == len(rows)
+    assert got["wins_a"] == wins and got["ties"] == ties
+    assert abs(got["mean_a"] - _bleu_from_sums(base_a, MAXN)) < 1e-12
+    assert abs(got["mean_b"] - _bleu_from_sums(base_b, MAXN)) < 1e-12
+
+
+def test_bootstrap_ci_corpus_chrf_sacrebleu_formula(spark):
+    """The corpusChrf bootstrap statistic honors formula: "sacrebleu"
+    (per-order F over pooled weighted counts, both-sides-effective)."""
+    import math
+    from collections import Counter
+
+    rng = random.Random(4242)
+    rows = _mk_texts(rng, 40)
+    B, seed, MAXN, BETA = 20, 0, 3, 2.0
+    df = spark.createDataFrame(rows,
+                               "i long, ca string, cb string, ref string")
+    got = compile_pipeline(
+        [{"$bootstrapCI": {"id": "$i", "statistic": "corpusChrf",
+                           "candidate": "$ca", "reference": "$ref",
+                           "maxN": MAXN, "beta": BETA,
+                           "formula": "sacrebleu", "samples": B,
+                           "seed": seed}}],
+        Context(spark=spark))(df).collect()[0]
+    b2 = BETA * BETA
+
+    def stats(c, r, n):
+        sc = "".join(c.split())
+        sr = "".join(r.split())
+        gc = [sc[i:i + n] for i in range(len(sc) - n + 1)]
+        gr = [sr[i:i + n] for i in range(len(sr) - n + 1)]
+        cc, cr = Counter(gc), Counter(gr)
+        return (sum(min(v, cr[g]) for g, v in cc.items()),
+                len(gc), len(gr))
+
+    def score(acc):
+        f_sum, n_eff = 0.0, 0
+        for n in range(1, MAXN + 1):
+            m, tc, tr = acc[n]
+            if tc > 0 and tr > 0:
+                p, r_ = m / tc, m / tr
+                denom = b2 * p + r_
+                f_sum += (1 + b2) * p * r_ / denom if denom > 0 else 0.0
+                n_eff += 1
+        return f_sum / n_eff if n_eff else 0.0
+
+    seg = [({n: stats(ca, ref, n) for n in range(1, MAXN + 1)}, i)
+           for i, ca, cb, ref in rows]
+    reps = []
+    for r in range(1, B + 1):
+        acc = {n: [0, 0, 0] for n in range(1, MAXN + 1)}
+        wsum = 0
+        for st, i in seg:
+            w = _pb_weight(seed, i, r)
+            wsum += w
+            for n in range(1, MAXN + 1):
+                for j in range(3):
+                    acc[n][j] += w * st[n][j]
+        if wsum > 0:
+            reps.append(score({n: tuple(acc[n]) for n in acc}))
+    reps.sort()
+    lo_i = max(1, math.ceil(0.025 * B))
+    hi_i = max(1, math.ceil(0.975 * B))
+    base = {n: [0, 0, 0] for n in range(1, MAXN + 1)}
+    for st, _ in seg:
+        for n in range(1, MAXN + 1):
+            for j in range(3):
+                base[n][j] += st[n][j]
+    assert got["n"] == len(rows)
+    assert abs(got["mean"] - score({n: tuple(base[n]) for n in base})) < 1e-12
+    assert abs(got["ci_low"] - reps[min(lo_i, len(reps)) - 1]) < 1e-12
+    assert abs(got["ci_high"] - reps[min(hi_i, len(reps)) - 1]) < 1e-12
