@@ -1888,6 +1888,7 @@ _register(
     _pipe(
         "documents",
         [
+            {"$match": {"text": {"$ne": None}}},
             {"$truncateTokens": {"input": "$text", "as": "p5",
                                  "max": 5}},
             {"$truncateTokens": {"input": "$text", "as": "p3",
@@ -2671,7 +2672,8 @@ _register(
     # separated with no edge whitespace (asserted over testdata), so
     # string_split(' ') mirrors the stage's \\s+ word split
     f"""WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS wc FROM documents),
+  SELECT doc_id, string_split(text, ' ') AS wc
+  FROM documents WHERE text IS NOT NULL),
 s AS (SELECT doc_id, len(wc) AS n,
              CASE WHEN (wc[6:] || wc[1:5]) = wc THEN 0 ELSE 1 END AS ed
       FROM w)
@@ -2684,6 +2686,11 @@ FROM s ORDER BY doc_id""",
     _pipe(
         "documents",
         [
+            # null-text docs dropped on BOTH sides (the engine would
+            # otherwise keep them with a null struct while the oracle's
+            # word CTE silently drops them — the latent-trap class the
+            # r11 advice flagged for the wer oracles)
+            {"$match": {"text": {"$ne": None}}},
             {"$set": {"words": {"$split": ["$text", " "]}}},
             {"$set": {"rot": {"$concatArrays": [
                 {"$slice": ["$words", 5, 100000]},
@@ -2710,7 +2717,8 @@ _register(
     # corpus TER over the same rotation construction: total edits /
     # total reference words, one partial-aggregated row
     f"""WITH w AS (
-  SELECT string_split(text, ' ') AS wc FROM documents),
+  SELECT string_split(text, ' ') AS wc
+  FROM documents WHERE text IS NOT NULL),
 s AS (SELECT len(wc) AS n,
              CASE WHEN (wc[6:] || wc[1:5]) = wc THEN 0 ELSE 1 END AS ed
       FROM w),
@@ -2771,7 +2779,7 @@ _register(
   SELECT doc_id,
          least(len(list_filter(string_split_regex(trim(text), '\\s+'),
                                x -> x <> '')), 2000) AS nr
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 s AS (SELECT CAST(doc_id AS VARCHAR) AS id, nr,
              nr - least(nr, 25) AS da, nr - least(nr, 22) AS db
       FROM w),
