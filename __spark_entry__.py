@@ -3136,6 +3136,26 @@ _register(
 )
 
 _register(
+    "dataset_kfold",
+    # r11 $datasetSplit folds mode: md5(seed:id) % k, the same portable
+    # 60-bit hash the bootstrap family uses — DuckDB reproduces it
+    """SELECT doc_id,
+              ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)),
+                              1, 15))::BIGINT % 5 AS fold
+       FROM documents ORDER BY doc_id""",
+)(
+    _pipe(
+        "documents",
+        [
+            {"$datasetSplit": {"id": "$doc_id", "folds": 5,
+                               "as": "fold"}},
+            {"$project": {"_id": 0, "doc_id": 1, "fold": 1}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+_register(
     "training_pipeline",
     f"""WITH q AS (
           SELECT doc_id, text,

@@ -63,13 +63,31 @@ def dataset_split_stage(expression: Any, ctx: Context) -> StageFn:
     contains ``md5_long(seed:id) % 1e6`` — reproducible across runs and
     engines (md5 is portable, unlike engine-native hashes), and stable
     under corpus growth: assignment depends only on the row's own id,
-    never on other rows.  Map-only — scales trivially."""
+    never on other rows.  Map-only — scales trivially.
+
+    K-FOLD mode (r11): ``{id, folds: k, as, seed}`` assigns
+    ``md5_long(seed:id) % k`` (a long in 0..k-1) instead — the
+    cross-validation layout; filter ``{$match: {fold: {$ne: i}}}`` for
+    fold i's training set.  Exactly one of ``weights``/``folds``."""
     id_expr = expression.get("id", "$_id")
-    weights: dict = expression["weights"]
+    weights: dict = expression.get("weights") or {}
+    folds = expression.get("folds")
     as_field = expression.get("as", "split")
     seed = int(expression.get("seed", 0))
-    if not weights:
-        raise ValueError("$datasetSplit needs non-empty weights")
+    if (not weights) == (folds is None):
+        raise ValueError(
+            "$datasetSplit needs exactly one of weights | folds")
+    if folds is not None:
+        folds = int(folds)
+        if folds < 2:
+            raise ValueError("$datasetSplit folds must be >= 2")
+
+        def fold_fn(df: DataFrame, c: Context) -> DataFrame:
+            idc = compile_expr(
+                id_expr, ExprContext(schema=df.schema)).cast("string")
+            return df.withColumn(as_field, md5_long(idc, seed) % folds)
+
+        return fold_fn
     total = float(sum(weights.values()))
 
     def fn(df: DataFrame, c: Context) -> DataFrame:

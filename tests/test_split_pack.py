@@ -79,3 +79,44 @@ def test_pack_sequences_requires_sort(spark):
         compile_pipeline(
             [{"$packSequences": {"tokens": "$n_tok", "budget": 10}}],
             Context(spark=spark))(_df(spark))
+
+
+def test_dataset_split_kfold(spark):
+    """r11 folds: k — deterministic md5 fold assignment in 0..k-1,
+    reproducible across runs, every fold non-empty at corpus size,
+    and mutually exclusive with weights."""
+    import hashlib
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = compile_pipeline(
+        [{"$datasetSplit": {"id": "$doc_id", "folds": 5, "as": "fold"}}],
+        Context(spark=spark))(df).collect()
+    got = {r["doc_id"]: r["fold"] for r in out}
+    for i in range(500):
+        h = int(hashlib.md5(f"0:{i}".encode()).hexdigest()[:15], 16)
+        assert got[i] == h % 5, i
+    assert set(got.values()) == {0, 1, 2, 3, 4}
+    # deterministic across runs
+    again = {r["doc_id"]: r["fold"] for r in compile_pipeline(
+        [{"$datasetSplit": {"id": "$doc_id", "folds": 5, "as": "fold"}}],
+        Context(spark=spark))(df).collect()}
+    assert again == got
+    # a different seed moves assignments
+    other = {r["doc_id"]: r["fold"] for r in compile_pipeline(
+        [{"$datasetSplit": {"id": "$doc_id", "folds": 5, "seed": 7,
+                            "as": "fold"}}],
+        Context(spark=spark))(df).collect()}
+    assert other != got
+    import pytest as _pt
+    with _pt.raises(ValueError, match="exactly one"):
+        compile_pipeline(
+            [{"$datasetSplit": {"id": "$doc_id"}}], Context(spark=spark))
+    with _pt.raises(ValueError, match="exactly one"):
+        compile_pipeline(
+            [{"$datasetSplit": {"id": "$doc_id", "folds": 3,
+                                "weights": {"a": 1}}}],
+            Context(spark=spark))
+    with _pt.raises(ValueError, match="folds"):
+        compile_pipeline(
+            [{"$datasetSplit": {"id": "$doc_id", "folds": 1}}],
+            Context(spark=spark))
