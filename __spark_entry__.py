@@ -3136,6 +3136,63 @@ _register(
 )
 
 _register(
+    "profile_vector",
+    # r11 $profile vector kind: numeric fields = L2-norm distribution,
+    # *_len fields = dimension.  The scaled vector sv = embedding *
+    # (label + 1) gives the norms real spread (embeddings are
+    # unit-norm, labels 0..9 -> norms ~1..10).  Element math pinned to
+    # DOUBLE on both sides so the sequential list_sum fold matches
+    # Spark's F.aggregate fold bit-for-bit.
+    f"""WITH s AS (
+  SELECT list_transform(embedding,
+                        v -> CAST(v AS DOUBLE) * (label + 1)) AS sv
+  FROM embeddings),
+n AS (SELECT sv, len(sv) AS dim,
+             sqrt(list_sum(list_transform(sv, x -> x * x))) AS nrm
+      FROM s),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(nrm) AS BIGINT) AS n_null,
+             CAST(count(DISTINCT sv) AS BIGINT) AS n_distinct,
+             min(nrm) AS mn, max(nrm) AS mx, avg(nrm) AS me,
+             stddev_pop(nrm) AS sd,
+             quantile_cont(nrm, 0.25) AS q25,
+             quantile_cont(nrm, 0.5) AS q50,
+             quantile_cont(nrm, 0.75) AS q75,
+             CAST(min(dim) AS BIGINT) AS min_len,
+             CAST(max(dim) AS BIGINT) AS max_len,
+             avg(dim) AS al
+      FROM n)
+SELECT 'sv' AS column, 'vector' AS type, n_rows, n_null, n_distinct,
+       {_r('mn', 6)} AS min, {_r('mx', 6)} AS max, {_r('me', 6)} AS mean,
+       {_r('sd', 6)} AS stddev, {_r('q25', 6)} AS p25,
+       {_r('q50', 6)} AS p50, {_r('q75', 6)} AS p75,
+       min_len, max_len, {_r('al', 6)} AS avg_len
+FROM a""",
+)(
+    _pipe(
+        "embeddings",
+        [
+            {"$set": {"sv": {"$map": {
+                "input": "$embedding", "as": "v",
+                "in": {"$multiply": [{"$toDouble": "$$v"},
+                                     {"$add": ["$label", 1]}]}}}}},
+            {"$profile": {"columns": ["sv"], "exact": True}},
+            {"$project": {"column": 1, "type": 1, "n_rows": 1,
+                          "n_null": 1, "n_distinct": 1,
+                          "min": {"$round": ["$min", 6]},
+                          "max": {"$round": ["$max", 6]},
+                          "mean": {"$round": ["$mean", 6]},
+                          "stddev": {"$round": ["$stddev", 6]},
+                          "p25": {"$round": ["$p25", 6]},
+                          "p50": {"$round": ["$p50", 6]},
+                          "p75": {"$round": ["$p75", 6]},
+                          "min_len": 1, "max_len": 1,
+                          "avg_len": {"$round": ["$avg_len", 6]}}},
+        ],
+    )
+)
+
+_register(
     "dataset_kfold",
     # r11 $datasetSplit folds mode: md5(seed:id) % k, the same portable
     # 60-bit hash the bootstrap family uses — DuckDB reproduces it

@@ -322,11 +322,18 @@ def profile_stage(expression: Any, ctx: Context) -> StageFn:
                 kinds[col] = "date"
             elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
                 kinds[col] = "timestamp"
+            elif isinstance(dt, T.ArrayType) \
+                    and isinstance(dt.elementType, T.NumericType):
+                # r11: embedding columns — the numeric stat fields
+                # describe the L2 NORM distribution, the *_len fields
+                # the DIMENSION (reusing the fixed output schema)
+                kinds[col] = "vector"
             else:
                 raise ValueError(
                     f"$profile: {col!r} is {dt.simpleString()} — "
-                    "profilable kinds are numeric, string, date and "
-                    "timestamp (cast or $addFields first)")
+                    "profilable kinds are numeric, string, date, "
+                    "timestamp and array<numeric> (cast or $addFields "
+                    "first)")
 
         # positional internal keys + backtick-quoted access: a column
         # name containing dots must neither break the agg (unquoted
@@ -336,6 +343,17 @@ def profile_stage(expression: Any, ctx: Context) -> StageFn:
             return F.col("`" + col.replace("`", "``") + "`")
 
         key = {col: f"__pf{i}" for i, col in enumerate(cols)}
+        # vector columns: materialize the norm ONCE as a temp column —
+        # every stat aggregate would otherwise re-run the O(dim) HOF
+        # fold per row per aggregate (the HOF-CSE rule)
+        stage = df
+        for col in cols:
+            if kinds[col] == "vector":
+                raw = qcol(col)
+                norm = F.sqrt(F.aggregate(
+                    F.transform(raw, lambda v: v.cast("double")),
+                    F.lit(0.0), lambda a, v: a + v * v))
+                stage = stage.withColumn(f"{key[col]}_normc", norm)
         aggs = [F.count(F.lit(1)).alias("__n_rows")]
         for col in cols:
             k, kind = key[col], kinds[col]
@@ -367,12 +385,28 @@ def profile_stage(expression: Any, ctx: Context) -> StageFn:
                     F.max(ln).alias(f"{k}_lmax"),
                     F.avg(ln).alias(f"{k}_lavg"),
                 ]
+            elif kind == "vector":
+                nv = F.col(f"{k}_normc")
+                dim = F.size(raw)
+                aggs += [
+                    F.min(nv).alias(f"{k}_min"),
+                    F.max(nv).alias(f"{k}_max"),
+                    F.avg(nv).alias(f"{k}_mean"),
+                    F.stddev_pop(nv).alias(f"{k}_sd"),
+                    F.min(dim).alias(f"{k}_lmin"),
+                    F.max(dim).alias(f"{k}_lmax"),
+                    F.avg(dim).alias(f"{k}_lavg"),
+                ]
+                for p, nm in zip(pcts, names):
+                    q = (F.percentile(nv, F.lit(float(p))) if exact
+                         else F.percentile_approx(nv, F.lit(float(p))))
+                    aggs.append(q.alias(f"{k}_{nm}"))
             else:  # date / timestamp
                 aggs += [
                     F.min(x).alias(f"{k}_tmin"),
                     F.max(x).alias(f"{k}_tmax"),
                 ]
-        row = df.agg(*aggs)
+        row = stage.agg(*aggs)
         if top_k:
             for col in cols:
                 if kinds[col] != "string":
@@ -416,6 +450,22 @@ def profile_stage(expression: Any, ctx: Context) -> StageFn:
                 strs = [s_null.alias("min_str"), s_null.alias("max_str")]
                 lens = [l_null.alias("min_len"), l_null.alias("max_len"),
                         d_null.alias("avg_len")]
+                top_c = top_null
+            elif kind == "vector":
+                # numeric fields = the L2 norm distribution, length
+                # fields = the dimension (schema unchanged; type says
+                # which reading applies)
+                num = [
+                    F.col(f"{k}_min").alias("min"),
+                    F.col(f"{k}_max").alias("max"),
+                    F.col(f"{k}_mean").alias("mean"),
+                    F.col(f"{k}_sd").alias("stddev"),
+                    *[F.col(f"{k}_{nm}").alias(nm) for nm in names],
+                ]
+                strs = [s_null.alias("min_str"), s_null.alias("max_str")]
+                lens = [F.col(f"{k}_lmin").cast("long").alias("min_len"),
+                        F.col(f"{k}_lmax").cast("long").alias("max_len"),
+                        F.col(f"{k}_lavg").alias("avg_len")]
                 top_c = top_null
             else:
                 num = [d_null.alias("min"), d_null.alias("max"),

@@ -2221,3 +2221,39 @@ def test_bleu_corpus_differential_and_gate(spark):
     with pytest.raises(ValueError, match="exactly one"):
         compile_pipeline([{"$bleuCorpus": {"candidate": "$c"}}],
                          Context(spark=spark))
+
+
+def test_profile_vector_columns(spark):
+    """r11: array<numeric> columns profile as type "vector" — numeric
+    stat fields carry the L2-norm distribution, *_len fields the
+    dimension; nulls counted; non-numeric arrays still rejected."""
+    import math
+
+    rows = [(1, [3.0, 4.0]), (2, [6.0, 8.0]), (3, None),
+            (4, [0.0, 0.0]), (5, [1.0, 2.0, 2.0])]
+    df = spark.createDataFrame(rows, "i long, v array<double>")
+    out = compile_pipeline(
+        [{"$profile": {"columns": ["v", "i"], "exact": True,
+                       "percentiles": [0.5]}}],
+        Context(spark=spark))(df).collect()
+    byc = {r["column"]: r for r in out}
+    g = byc["v"]
+    assert g["type"] == "vector"
+    assert g["n_rows"] == 5 and g["n_null"] == 1 and g["n_distinct"] == 4
+    norms = sorted([5.0, 10.0, 0.0, 3.0])
+    assert g["min"] == 0.0 and g["max"] == 10.0
+    assert abs(g["mean"] - sum(norms) / 4) < 1e-12
+    sd = math.sqrt(sum((x - sum(norms) / 4) ** 2 for x in norms) / 4)
+    assert abs(g["stddev"] - sd) < 1e-12
+    # interpolated median of [0,3,5,10] = 4.0
+    assert abs(g["p50"] - 4.0) < 1e-12
+    assert g["min_len"] == 2 and g["max_len"] == 3
+    assert abs(g["avg_len"] - 9 / 4) < 1e-12
+    assert g["min_str"] is None and g["top"] is None
+    assert byc["i"]["type"] == "numeric" and byc["i"]["max"] == 5.0
+    # non-numeric arrays still rejected with the actionable message
+    sdf = spark.createDataFrame([(1, ["a"])], "i long, s array<string>")
+    with pytest.raises(ValueError, match="array<numeric>|profilable"):
+        compile_pipeline(
+            [{"$profile": {"columns": ["s"]}}],
+            Context(spark=spark))(sdf)
