@@ -2163,7 +2163,8 @@ _POISSON1_CDF = [
 ]
 
 
-_CORPUS_STATISTICS = ("corpusBleu", "corpusChrf", "corpusWer")
+_CORPUS_STATISTICS = ("corpusBleu", "corpusChrf", "corpusWer",
+                      "corpusTer")
 
 
 def _corpus_stat_machinery(statistic: str, expression: dict, stage_name: str):
@@ -2408,58 +2409,89 @@ def _corpus_stat_machinery(statistic: str, expression: dict, stage_name: str):
 
         return shared, build, score, False, fields
 
-    # corpusWer
-    max_words = int(expression.get("maxWords", 2000))
+    # corpusWer / corpusTer — the edit-rate statistics share a shape:
+    # per-segment (numerator, reference length) through the Arrow DP
+    # boundary; the corpus score is Σnum / Σn_ref (lower is better)
+    if statistic == "corpusTer":
+        max_words = int(expression.get("maxWords", 250))
+        max_shift_size = int(expression.get("maxShiftSize", 10))
+        max_shift_dist = int(expression.get("maxShiftDistance", 50))
+        case_sensitive = bool(expression.get("caseSensitive", True))
+        if max_shift_size < 1:
+            raise ValueError(f"{stage_name} maxShiftSize must be >= 1")
+        if max_shift_dist < 0:
+            raise ValueError(
+                f"{stage_name} maxShiftDistance must be >= 0")
+        num = "edits"
+        udf_type = _TER_TYPE
+        udf_cols = ["edits", "ter", "shifts", "n_hyp", "n_ref"]
+
+        def scorers():
+            return _make_ter_scorers(max_words, max_shift_size,
+                                     max_shift_dist)
+    else:
+        max_words = int(expression.get("maxWords", 2000))
+        case_sensitive = True
+        num = "distance"
+        udf_type = _WER_TYPE
+        udf_cols = ["distance", "wer", "n_hyp", "n_ref"]
+
+        def scorers():
+            return _make_wer_scorers(max_words)
     if max_words < 1:
         raise ValueError(f"{stage_name} maxWords must be >= 1")
-    fields = ["distance", "n_ref"]
+    fields = [num, "n_ref"]
+    null_row = (None,) * len(udf_cols)
 
     def shared(stage: DataFrame, sctx: ExprContext):
         return stage, F.lit(True)  # validity lives in the null struct
 
     def build(stage: DataFrame, sctx: ExprContext, cand_e: Any,
               suffix: str):
-        score_one, score_multi = _make_wer_scorers(max_words)
+        score_one, score_multi = scorers()
         cand = compile_expr(cand_e, sctx)
+        if not case_sensitive:
+            cand = F.lower(cand)
         if refs_e is not None:
             refs = compile_expr(refs_e, sctx)
+            if not case_sensitive:
+                refs = F.transform(refs, F.lower)
 
-            @F.pandas_udf(_WER_TYPE)
+            @F.pandas_udf(udf_type)
             def _w(s: pd.Series, t: pd.Series) -> pd.DataFrame:
                 vals = [None if rs is None else score_multi(ct, list(rs))
                         for ct, rs in zip(s, t)]
                 return pd.DataFrame(
-                    [(None, None, None, None) if v is None else v
-                     for v in vals],
-                    columns=["distance", "wer", "n_hyp", "n_ref"])
+                    [null_row if v is None else v for v in vals],
+                    columns=udf_cols)
 
             raw = _w(cand, refs)
         else:
             ref = compile_expr(ref_e, sctx)
+            if not case_sensitive:
+                ref = F.lower(ref)
 
-            @F.pandas_udf(_WER_TYPE)
+            @F.pandas_udf(udf_type)
             def _w(s: pd.Series, t: pd.Series) -> pd.DataFrame:
                 vals = [None if ct is None or rt is None
                         else score_one(ct, rt)
                         for ct, rt in zip(s, t)]
                 return pd.DataFrame(
-                    [(None, None, None, None) if v is None else v
-                     for v in vals],
-                    columns=["distance", "wer", "n_hyp", "n_ref"])
+                    [null_row if v is None else v for v in vals],
+                    columns=udf_cols)
 
             raw = _w(cand, ref)
         p = f"__pb{suffix}"
         stage = stage.withColumn(f"{p}_raw", raw)
-        stage = stage.withColumn(f"{p}_distance",
-                                 F.col(f"{p}_raw.distance"))
+        stage = stage.withColumn(f"{p}_{num}", F.col(f"{p}_raw.{num}"))
         stage = stage.withColumn(f"{p}_n_ref", F.col(f"{p}_raw.n_ref"))
         return stage, F.col(f"{p}_raw.n_hyp").isNotNull()
 
     def score(get) -> Column:
-        d = get("distance").cast("double")
+        d = get(num).cast("double")
         r = get("n_ref").cast("double")
         return F.when(get("n_ref") > 0, d / r) \
-            .when(get("distance") == 0, F.lit(0.0)) \
+            .when(get(num) == 0, F.lit(0.0)) \
             .otherwise(F.lit(None).cast("double"))
 
     return shared, build, score, True, fields
@@ -2765,7 +2797,8 @@ def bootstrap_ci_stage(expression: Any, ctx: Context) -> StageFn:
 
     STATISTIC MODES (r11): ``statistic: "mean"`` (default) intervals
     the mean of the per-segment ``input`` column.  ``statistic:
-    "corpusBleu" | "corpusChrf" | "corpusWer"`` intervals the CORPUS
+    "corpusBleu" | "corpusChrf" | "corpusWer" | "corpusTer"``
+    intervals the CORPUS
     metric — "corpus BLEU 34.2 ± what?" — recomputing it per replicate
     as ``score(Σ wᵢ·statsᵢ)`` over per-segment sufficient statistics
     (the Koehn 2004 procedure; see $pairedBootstrap).  In corpus modes

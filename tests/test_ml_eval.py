@@ -862,3 +862,57 @@ def test_bootstrap_ci_corpus_chrf_sacrebleu_formula(spark):
     assert abs(got["mean"] - score({n: tuple(base[n]) for n in base})) < 1e-12
     assert abs(got["ci_low"] - reps[min(lo_i, len(reps)) - 1]) < 1e-12
     assert abs(got["ci_high"] - reps[min(hi_i, len(reps)) - 1]) < 1e-12
+
+
+def test_paired_bootstrap_corpus_ter_differential(spark):
+    """statistic: corpusTer — per replicate the corpus TER is
+    sum(w*edits)/sum(w*n_ref) per system, edits from the pinned
+    greedy-shift search; A wins on LOWER TER.  Hand-Python
+    reproduction via the independent TER reference."""
+    from tests.test_eval_properties import _ref_ter
+
+    rng = random.Random(6012)
+    rows = []
+    for i in range(60):
+        ref = [f"w{rng.randrange(8)}" for _ in range(rng.randint(5, 12))]
+        # system a: ref with a span moved (TER-cheap), system b: random
+        if len(ref) >= 4:
+            a_ = ref[2:4] + ref[:2] + ref[4:]
+        else:
+            a_ = list(ref)
+        b_ = [f"w{rng.randrange(8)}" for _ in range(rng.randint(5, 12))]
+        rows.append((i, " ".join(a_), " ".join(b_), " ".join(ref)))
+    B, seed = 30, 0
+    df = spark.createDataFrame(rows,
+                               "i long, ca string, cb string, ref string")
+    got = compile_pipeline(
+        [{"$pairedBootstrap": {"id": "$i", "statistic": "corpusTer",
+                               "a": "$ca", "b": "$cb",
+                               "reference": "$ref", "samples": B}}],
+        Context(spark=spark))(df).collect()[0]
+    stats = []
+    for i, ca, cb, ref in rows:
+        ea = _ref_ter(ca, ref)[0]
+        eb = _ref_ter(cb, ref)[0]
+        nr = len(ref.split())
+        stats.append((i, ea, eb, nr))
+    wins = ties = 0
+    for r in range(1, B + 1):
+        sa = sb = snr = wsum = 0
+        for i, ea, eb, nr in stats:
+            w = _pb_weight(seed, i, r)
+            sa += w * ea; sb += w * eb; snr += w * nr; wsum += w
+        if wsum == 0 or snr == 0:
+            ties += 1
+            continue
+        d = sa / snr - sb / snr
+        if d < 0:
+            wins += 1
+        elif d == 0:
+            ties += 1
+    tot_nr = sum(x[3] for x in stats)
+    assert got["n"] == len(rows)
+    assert got["wins_a"] == wins and got["ties"] == ties
+    assert abs(got["mean_a"] - sum(x[1] for x in stats) / tot_nr) < 1e-12
+    assert abs(got["mean_b"] - sum(x[2] for x in stats) / tot_nr) < 1e-12
+    assert abs(got["p_value"] - (B - wins) / B) < 1e-12
