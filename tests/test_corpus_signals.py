@@ -1616,7 +1616,9 @@ def test_profile_stage(spark):
     assert drow[0]["column"] == "x.y" and drow[0]["mean"] == 2.0
     # r9: string columns profile instead of raising; validation now
     # rejects only genuinely unprofilable types (arrays, structs)
-    arr_df = spark.createDataFrame([([1],)], "v array<long>")
+    # r11: array<numeric> became the "vector" kind — the reject case
+    # is now a non-numeric array
+    arr_df = spark.createDataFrame([(["x"],)], "v array<string>")
     for frame, bad, msg in (
         (df, {"columns": []}, "non-empty"),
         (df, {"columns": ["nope"]}, "no column"),
