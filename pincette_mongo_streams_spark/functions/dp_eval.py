@@ -1432,6 +1432,10 @@ def wer_stage(expression: Any, ctx: Context) -> StageFn:
     ``maxWords`` (default 2000) truncates BOTH sides first: the DP is
     O(|c|·|r|) per row (times the number of references).
 
+    ``caseSensitive: false`` (r11) lowercases both sides first — the
+    usual ASR scoring convention; the default stays case-sensitive
+    (backward compatible).
+
     (Spark's builtin ``levenshtein`` is character-level; WER is defined
     over words, hence the DP here.)"""
     cand_e = expression["candidate"]
@@ -1441,6 +1445,7 @@ def wer_stage(expression: Any, ctx: Context) -> StageFn:
         raise ValueError(
             "$wer needs exactly one of reference | references")
     max_words = int(expression.get("maxWords", 2000))
+    case_sensitive = bool(expression.get("caseSensitive", True))
     as_field = expression.get("as", "wer")
     if max_words < 1:
         raise ValueError("$wer maxWords must be >= 1")
@@ -1448,10 +1453,14 @@ def wer_stage(expression: Any, ctx: Context) -> StageFn:
     def fn(df: DataFrame, c: Context) -> DataFrame:
         sctx = ExprContext(schema=df.schema)
         cand = compile_expr(cand_e, sctx)
+        if not case_sensitive:
+            cand = F.lower(cand)
         score_one, score_multi = _make_wer_scorers(max_words)
 
         if refs_e is not None:
             refs = compile_expr(refs_e, sctx)
+            if not case_sensitive:
+                refs = F.transform(refs, F.lower)
 
             @F.pandas_udf(_WER_TYPE)
             def _wer(s: pd.Series, t: pd.Series) -> pd.DataFrame:
@@ -1469,6 +1478,8 @@ def wer_stage(expression: Any, ctx: Context) -> StageFn:
             null_guard = cand.isNull() | refs.isNull()
         else:
             ref = compile_expr(ref_e, sctx)
+            if not case_sensitive:
+                ref = F.lower(ref)
 
             @F.pandas_udf(_WER_TYPE)
             def _wer(s: pd.Series, t: pd.Series) -> pd.DataFrame:
@@ -1529,6 +1540,7 @@ def wer_corpus_stage(expression: Any, ctx: Context) -> StageFn:
         raise ValueError(
             "$werCorpus needs exactly one of reference | references")
     max_words = int(expression.get("maxWords", 2000))
+    case_sensitive = bool(expression.get("caseSensitive", True))
     if max_words < 1:
         raise ValueError("$werCorpus maxWords must be >= 1")
 
@@ -1538,10 +1550,14 @@ def wer_corpus_stage(expression: Any, ctx: Context) -> StageFn:
         _corpus_only("$werCorpus", c)
         sctx = ExprContext(schema=df.schema)
         cand = compile_expr(cand_e, sctx)
+        if not case_sensitive:
+            cand = F.lower(cand)
         score_one, score_multi = _make_wer_scorers(max_words)
 
         if refs_e is not None:
             refs = compile_expr(refs_e, sctx)
+            if not case_sensitive:
+                refs = F.transform(refs, F.lower)
 
             @F.pandas_udf(_WER_TYPE)
             def _wer(s: pd.Series, t: pd.Series) -> pd.DataFrame:
@@ -1558,6 +1574,8 @@ def wer_corpus_stage(expression: Any, ctx: Context) -> StageFn:
             raw = _wer(cand, refs)
         else:
             ref = compile_expr(ref_e, sctx)
+            if not case_sensitive:
+                ref = F.lower(ref)
 
             @F.pandas_udf(_WER_TYPE)
             def _wer(s: pd.Series, t: pd.Series) -> pd.DataFrame:
@@ -2431,7 +2449,7 @@ def _corpus_stat_machinery(statistic: str, expression: dict, stage_name: str):
                                      max_shift_dist)
     else:
         max_words = int(expression.get("maxWords", 2000))
-        case_sensitive = True
+        case_sensitive = bool(expression.get("caseSensitive", True))
         num = "distance"
         udf_type = _WER_TYPE
         udf_cols = ["distance", "wer", "n_hyp", "n_ref"]

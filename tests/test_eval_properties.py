@@ -844,3 +844,32 @@ def test_ter_case_sensitivity_option(spark):
                          "caseSensitive": False}}],
         Context(spark=spark))(df).collect()[0]
     assert gc["edits"] == 0 and gc["ter"] == 0.0
+
+
+def test_wer_case_sensitivity_option(spark):
+    """r11: caseSensitive: false on $wer/$werCorpus lowercases both
+    sides (the usual ASR scoring convention); default unchanged."""
+    df = spark.createDataFrame(
+        [(1, "Hello World", "hello world"),
+         (2, "A B c", ["a b C", "zz"])],
+        "i long, c string, r string")
+    one = spark.createDataFrame([(1, "Hello World", "hello world")],
+                                "i long, c string, r string")
+    out = {x["i"]: x for x in compile_pipeline(
+        [{"$wer": {"candidate": "$c", "reference": "$r", "as": "w1"}},
+         {"$wer": {"candidate": "$c", "reference": "$r",
+                   "caseSensitive": False, "as": "w2"}}],
+        Context(spark=spark))(one).collect()}
+    assert out[1]["w1"]["distance"] == 2 and out[1]["w2"]["distance"] == 0
+    mdf = spark.createDataFrame([(1, "A B c", ["a b C", "zz"])],
+                                "i long, c string, rs array<string>")
+    g = compile_pipeline(
+        [{"$wer": {"candidate": "$c", "references": "$rs",
+                   "caseSensitive": False, "as": "w"}}],
+        Context(spark=spark))(mdf).collect()[0]["w"]
+    assert g["distance"] == 0
+    gc = compile_pipeline(
+        [{"$werCorpus": {"candidate": "$c", "reference": "$r",
+                         "caseSensitive": False}}],
+        Context(spark=spark))(one).collect()[0]
+    assert gc["distance"] == 0 and gc["wer"] == 0.0
