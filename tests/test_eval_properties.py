@@ -873,3 +873,38 @@ def test_wer_case_sensitivity_option(spark):
                          "caseSensitive": False}}],
         Context(spark=spark))(one).collect()[0]
     assert gc["distance"] == 0 and gc["wer"] == 0.0
+
+
+def test_bleu_corpus_13a_tokenizer(spark):
+    """$bleuCorpus tokenizer: "13a" == the default tokenizer over
+    Python-pre-tokenized text (same rules as $bleu's 13a)."""
+    rng = random.Random(2552)
+    frags = ["Hi,", "there!", "it's", "2.5", "(x)", "a-b", "1-2",
+             "end.", "50%", "q;r:"]
+    rows = []
+    for i in range(50):
+        c = " ".join(rng.choice(frags) for _ in range(rng.randint(2, 8)))
+        r = (c + " more." if rng.random() < 0.5 else
+             " ".join(rng.choice(frags) for _ in range(rng.randint(2, 8))))
+        rows.append((i, c, r, _tok13a_py(c), _tok13a_py(r)))
+    df = spark.createDataFrame(
+        rows, "i long, c string, r string, ct string, rt string")
+    g13 = compile_pipeline(
+        [{"$bleuCorpus": {"candidate": "$c", "reference": "$r",
+                          "maxN": 2, "smooth": "add1",
+                          "tokenizer": "13a"}}],
+        Context(spark=spark))(df).collect()[0]
+    gpre = compile_pipeline(
+        [{"$bleuCorpus": {"candidate": "$ct", "reference": "$rt",
+                          "maxN": 2, "smooth": "add1"}}],
+        Context(spark=spark))(df).collect()[0]
+    graw = compile_pipeline(
+        [{"$bleuCorpus": {"candidate": "$c", "reference": "$r",
+                          "maxN": 2, "smooth": "add1"}}],
+        Context(spark=spark))(df).collect()[0]
+    assert g13 == gpre
+    assert g13["c_len"] != graw["c_len"]  # 13a genuinely re-tokenizes
+    with pytest.raises(ValueError, match="tokenizer"):
+        compile_pipeline(
+            [{"$bleuCorpus": {"candidate": "$c", "reference": "$r",
+                              "tokenizer": "xx"}}], Context(spark=spark))
