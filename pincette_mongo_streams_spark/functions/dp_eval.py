@@ -2223,11 +2223,24 @@ def _corpus_stat_machinery(statistic: str, expression: dict, stage_name: str):
         raise ValueError(
             f"{stage_name} statistic {statistic} needs exactly one "
             "of reference | references")
+    if statistic != "corpusBleu" and "tokenizer" in expression:
+        # mirror _check_tokenizer's strictness: 13a tokenization is
+        # BLEU-family only; a silently-ignored option here would make
+        # the interval not bracket the point score (ADVICE r11)
+        raise ValueError(
+            f"{stage_name} statistic {statistic} does not take a "
+            "tokenizer (BLEU-family option)")
 
     if statistic == "corpusBleu":
         max_n = int(expression.get("maxN", 4))
         max_words = int(expression.get("maxWords", 2000))
         smooth = expression.get("smooth")
+        # r12 (ADVICE r11): thread the $bleu/$bleuCorpus tokenizer
+        # option through the corpus-statistic bootstrap so a corpusBleu
+        # interval brackets a 13a-tokenized $bleuCorpus point score —
+        # previously silently ignored (raw whitespace tokens).
+        tokenizer = _check_tokenizer(stage_name, expression.get("tokenizer"))
+        tok = _tok13a if tokenizer == "13a" else (lambda r: r)
         if not 1 <= max_n <= 8:
             raise ValueError(f"{stage_name} maxN must be in 1..8")
         if max_words < 1:
@@ -2245,7 +2258,7 @@ def _corpus_stat_machinery(statistic: str, expression: dict, stage_name: str):
                 stage = stage.withColumn(
                     "__pbs_wrs",
                     F.transform(F.filter(refs, lambda r: r.isNotNull()),
-                                lambda r: _eval_words(r, max_words)))
+                                lambda r: _eval_words(tok(r), max_words)))
                 wrs = F.col("__pbs_wrs")
                 stage = stage.withColumn(
                     "__pbs_rls",
@@ -2258,7 +2271,7 @@ def _corpus_stat_machinery(statistic: str, expression: dict, stage_name: str):
             else:
                 ref = compile_expr(ref_e, sctx)
                 stage = stage.withColumn("__pbs_wr",
-                                         _eval_words(ref, max_words))
+                                         _eval_words(tok(ref), max_words))
                 for n in range(1, max_n + 1):
                     stage = stage.withColumn(
                         f"__pbs_gr{n}",
@@ -2271,7 +2284,7 @@ def _corpus_stat_machinery(statistic: str, expression: dict, stage_name: str):
             p = f"__pb{suffix}"
             cand = compile_expr(cand_e, sctx)
             stage = stage.withColumn(f"{p}_wc",
-                                     _eval_words(cand, max_words))
+                                     _eval_words(tok(cand), max_words))
             wc = F.col(f"{p}_wc")
             for n in range(1, max_n + 1):
                 stage = stage.withColumn(f"{p}_gc{n}", _eval_grams(wc, n))
@@ -2529,7 +2542,14 @@ def paired_bootstrap_stage(expression: Any, ctx: Context) -> StageFn:
     fraction of replicates where A does NOT beat B (delta <= 0 or the
     replicate drew no weight) — small p = "A > B is stable under
     resampling".  ``wins_a``/``ties`` count replicates with positive /
-    zero-or-undefined resampled delta.
+    zero-or-undefined resampled delta.  ZERO-WEIGHT REPLICATES (every
+    Poisson weight 0 — possible only at tiny n, P ≈ e^-n): the
+    resampled delta is undefined, and the replicate counts as a TIE,
+    i.e. against system A in ``p_value = (samples - wins_a)/samples``
+    — the conservative direction.  Identical in the mean and corpus
+    statistic modes (ADVICE r11: this is deliberate, not an accident
+    of null propagation; a replicate that sampled nothing is no
+    evidence that A beats B).
 
     DETERMINISM (the retry/oracle contract): resampling weights are
     Poisson(1) draws — the standard distributed approximation of

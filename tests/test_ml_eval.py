@@ -916,3 +916,62 @@ def test_paired_bootstrap_corpus_ter_differential(spark):
     assert abs(got["mean_a"] - sum(x[1] for x in stats) / tot_nr) < 1e-12
     assert abs(got["mean_b"] - sum(x[2] for x in stats) / tot_nr) < 1e-12
     assert abs(got["p_value"] - (B - wins) / B) < 1e-12
+
+
+def test_corpus_bootstrap_bleu_tokenizer_13a(spark):
+    """ADVICE r12: `statistic: corpusBleu` honors `tokenizer: "13a"` —
+    the interval machinery tokenizes exactly like $bleuCorpus, so a
+    corpusBleu CI brackets a 13a-tokenized point score.  Equivalence
+    pin: punctuated text + tokenizer 13a == hand-13a-tokenized text
+    with no tokenizer (same convention as the $bleuCorpus 13a test)."""
+    rows = [
+        (1, "hello, world!", "hello world !", "hello , world !"),
+        (2, "a b, c.", "a b c .", "a , b c ."),
+        (3, "x; y z", "x ; y z", "x ; y z"),
+        (4, "good (bad) ugly", "good ( bad ) ugly", "good ( bad ) ugly"),
+    ]
+    df = spark.createDataFrame(rows, "i long, ca string, cb string, ref string")
+    spec = {"id": "$i", "statistic": "corpusBleu", "maxN": 2,
+            "candidate": "$ca", "reference": "$ref",
+            "samples": 20, "seed": 7}
+    got_13a = compile_pipeline(
+        [{"$bootstrapCI": {**spec, "tokenizer": "13a"}}],
+        Context(spark=spark))(df).collect()[0]
+    # hand-tokenize candidate AND reference with the 13a rules (the
+    # inputs here are simple enough that 13a == pad-all-punctuation)
+    import re
+
+    def tok(s):
+        return re.sub(r"([^0-9a-z ])", r" \1 ", s)
+
+    pre = [(i, tok(ca), cb, tok(ref)) for i, ca, cb, ref in rows]
+    df2 = spark.createDataFrame(pre, "i long, ca string, cb string, ref string")
+    got_pre = compile_pipeline(
+        [{"$bootstrapCI": dict(spec)}], Context(spark=spark))(df2).collect()[0]
+    assert got_13a["mean"] == got_pre["mean"]
+    assert got_13a["ci_low"] == got_pre["ci_low"]
+    assert got_13a["ci_high"] == got_pre["ci_high"]
+    # and the option actually changes the result on punctuated text
+    got_raw = compile_pipeline(
+        [{"$bootstrapCI": dict(spec)}], Context(spark=spark))(df).collect()[0]
+    assert got_raw["mean"] != got_13a["mean"]
+
+
+def test_corpus_bootstrap_tokenizer_rejected_off_family(spark):
+    """ADVICE r12: `tokenizer` on a non-BLEU corpus statistic raises
+    (previously silently ignored)."""
+    for stat, extra in (("corpusChrf", {}), ("corpusWer", {}),
+                        ("corpusTer", {})):
+        with pytest.raises(ValueError, match="tokenizer"):
+            compile_pipeline(
+                [{"$bootstrapCI": {"id": "$i", "statistic": stat,
+                                   "candidate": "$c", "reference": "$r",
+                                   "tokenizer": "13a", **extra}}],
+                Context(spark=spark))
+    # and corpusBleu still validates the tokenizer value itself
+    with pytest.raises(ValueError, match="13a"):
+        compile_pipeline(
+            [{"$pairedBootstrap": {"id": "$i", "statistic": "corpusBleu",
+                                   "a": "$a", "b": "$b", "reference": "$r",
+                                   "tokenizer": "bogus"}}],
+            Context(spark=spark))
