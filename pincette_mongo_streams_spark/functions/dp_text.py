@@ -68,7 +68,15 @@ def dataset_split_stage(expression: Any, ctx: Context) -> StageFn:
     K-FOLD mode (r11): ``{id, folds: k, as, seed}`` assigns
     ``md5_long(seed:id) % k`` (a long in 0..k-1) instead — the
     cross-validation layout; filter ``{$match: {fold: {$ne: i}}}`` for
-    fold i's training set.  Exactly one of ``weights``/``folds``."""
+    fold i's training set.  Exactly one of ``weights``/``folds``.
+
+    NULL-ID CONTRACT (r12, VERDICT r11 #4): a null/missing id yields a
+    NULL split in BOTH modes.  Previously weights mode silently routed
+    null-id rows into the LAST named bucket (null ``when`` conditions
+    fall through to ``otherwise``) — a train/test contamination hazard
+    for exactly the rows whose provenance is already broken.  Callers
+    that want those rows routed should assign an explicit surrogate id
+    upstream; the splitter never guesses."""
     id_expr = expression.get("id", "$_id")
     weights: dict = expression.get("weights") or {}
     folds = expression.get("folds")
@@ -100,8 +108,12 @@ def dataset_split_stage(expression: Any, ctx: Context) -> StageFn:
             cum += float(weights[name]) / total
             cond = h < F.lit(int(round(cum * 1_000_000)))
             col = F.when(cond, name) if col is None else col.when(cond, name)
-        col = names[-1] if col is None else col.otherwise(names[-1])
-        return df.withColumn(as_field, F.lit(col) if isinstance(col, str) else col)
+        col = F.lit(names[-1]) if col is None else col.otherwise(names[-1])
+        # null id -> null split (folds mode gets this for free from
+        # md5_long's null propagation; mirror it here instead of the
+        # otherwise() fall-through)
+        col = F.when(idc.isNull(), F.lit(None).cast("string")).otherwise(col)
+        return df.withColumn(as_field, col)
 
     return fn
 

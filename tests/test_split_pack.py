@@ -120,3 +120,33 @@ def test_dataset_split_kfold(spark):
         compile_pipeline(
             [{"$datasetSplit": {"id": "$doc_id", "folds": 1}}],
             Context(spark=spark))
+
+
+def test_dataset_split_null_id_contract(spark):
+    """r12 (VERDICT r11 #4): a null id yields a NULL split in BOTH
+    modes — weights mode previously fell through to the LAST named
+    bucket (train/test contamination for broken-provenance rows)."""
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("c", 3)], "doc_id string, x int")
+    got_w = compile_pipeline(
+        [{"$datasetSplit": {"id": "$doc_id",
+                            "weights": {"train": 8, "val": 1, "test": 1},
+                            "as": "split"}}],
+        Context(spark=spark))(df).collect()
+    by_x = {r["x"]: r["split"] for r in got_w}
+    assert by_x[2] is None
+    assert by_x[1] in ("train", "val", "test")
+    assert by_x[3] in ("train", "val", "test")
+    got_f = compile_pipeline(
+        [{"$datasetSplit": {"id": "$doc_id", "folds": 3, "as": "fold"}}],
+        Context(spark=spark))(df).collect()
+    by_xf = {r["x"]: r["fold"] for r in got_f}
+    assert by_xf[2] is None
+    assert by_xf[1] in (0, 1, 2) and by_xf[3] in (0, 1, 2)
+    # single-bucket degenerate weights: null id still -> null
+    got_1 = compile_pipeline(
+        [{"$datasetSplit": {"id": "$doc_id", "weights": {"all": 1},
+                            "as": "split"}}],
+        Context(spark=spark))(df).collect()
+    by_x1 = {r["x"]: r["split"] for r in got_1}
+    assert by_x1[2] is None and by_x1[1] == "all" and by_x1[3] == "all"
