@@ -7284,15 +7284,48 @@ _ORDER = [
     #     keeps an in-window §2.1 row via the value-neutral
     #     $per/$unwind/$replaceWith round-trip folded into
     #     effects_chain, and per_batches stays locally oracled)
+    # r12 swaps (VERDICT r11 Next #1 — the eight r11-new gate queries
+    # earn hard driver rows per the standing rotation discipline; the
+    # displaced eight are 3+ rounds green with in-window family
+    # redundancy — three are the judge's own named candidates — and
+    # stay registered + locally oracled by tests/test_oracle_parity.py
+    # + tests/test_driver_canon.py):
+    #   bleu_eval -> bleu_13a (strict stage superset: the SAME $bleu
+    #     stage under sacrebleu's default mteval-13a tokenizer, so the
+    #     $bleu family keeps a hard row while the tokenizer branch
+    #     finally earns signal; bleu_eval green r9-r11)
+    #   rouge_l_eval -> ter_eval (judge's candidate: the eval family
+    #     keeps bleu_13a/eval_multiref/qa_eval in-window; Snover-2006
+    #     greedy-shift TER gets its first hard row)
+    #   ngram_overlap -> ter_corpus (corpus TER one-row reduction; the
+    #     n-gram family stays covered by bleu_13a/bleu_corpus in-window,
+    #     ngram_overlap green r9-r11)
+    #   expr_strings -> chrf_sacrebleu (judge's candidate: expressions
+    #     keep expr_math_superset in-window; the sacrebleu per-order-F
+    #     chrF formula gets a hard row)
+    #   profile_stats -> profile_vector (judge's candidate: the profile
+    #     family keeps profile_mixed in-window and profile_vector IS
+    #     $profile — the array<numeric> vector kind earns the row)
+    #   semantic_dedup -> paired_bootstrap_corpus (Koehn-2004 corpus-
+    #     statistic significance test; the dedup family keeps
+    #     deduplicate + minhash_dedup in-window, semantic_dedup green
+    #     r5-r11)
+    #   text_match -> bootstrap_ci_corpus (corpus-statistic percentile
+    #     CI; the match language keeps match_operators in-window and
+    #     $text stays locally oracled, text_match green r5-r11)
+    #   jslt_import -> dataset_kfold ($datasetSplit folds mode with the
+    #     r12 null-id contract; both script languages stay in-window
+    #     via script_stages and the jslt resolver seam stays locally
+    #     oracled, jslt_import green r5-r11)
     "match_operators", "project_compute", "field_ops", "replace_with",
-    "unwind", "group_accumulators", "bleu_eval", "stage_ext",
+    "unwind", "group_accumulators", "bleu_13a", "stage_ext",
     "bucket", "lookup_unwind", "chrf_multiref", "lookup_pipeline",
     "streaming_parity", "deduplicate", "merge_out", "delete_passthrough",
     "redact", "bootstrap_ci", "effects_chain", "script_stages",
     "http_enrich",
     # §2.3a expressions + §2.4 accumulators (superset included)
-    "expr_strings", "expr_math_superset", "eval_multiref", "jslt_import",
-    "wer_multiref",
+    "expr_math_superset", "chrf_sacrebleu", "eval_multiref",
+    "dataset_kfold", "wer_multiref",
     # batch-completeness stages
     # r3 swaps: sample_count ($sample+$count — trivial fixed-count
     # signal) -> asof_join gives the time-series join family a hard
@@ -7300,12 +7333,12 @@ _ORDER = [
     # past-window by documents_inline/json_props_extract) -> kmeans
     # gives clustering one.  Both displaced queries stay registered and
     # locally oracle-checked.
-    "text_match", "semantic_dedup", "wer_corpus", "profile_stats",
-    "chrf_eval",
-    "qa_eval", "rouge_l_eval", "wer_eval", "bleu_corpus",
+    "bootstrap_ci_corpus", "paired_bootstrap_corpus", "wer_corpus",
+    "profile_vector", "chrf_eval",
+    "qa_eval", "ter_eval", "wer_eval", "bleu_corpus",
     "group_cap", "classification_eval",
     # LLM-data-pipeline operators
-    "connected_components", "ngram_overlap", "training_pipeline",
+    "connected_components", "ter_corpus", "training_pipeline",
     "bm25_search",
     "chrf_corpus", "rank_eval", "minhash_dedup", "classification_eval_macro",
     "delay_contract", "ann_topk", "profile_mixed", "paired_bootstrap",
