@@ -908,3 +908,47 @@ def test_bleu_corpus_13a_tokenizer(spark):
         compile_pipeline(
             [{"$bleuCorpus": {"candidate": "$c", "reference": "$r",
                               "tokenizer": "xx"}}], Context(spark=spark))
+
+
+def test_ter_published_sacrebleu_vectors(spark):
+    """VERDICT r11 #3: literal (hypothesis, reference, expected-TER)
+    vectors from PUBLISHED sources — not our own spec — so $ter is
+    checked against the numbers users will compare with:
+
+    - the canonical worked example of Snover et al. 2006 §2 ("A Study
+      of Translation Edit Rate with Targeted Human Annotation"):
+      1 shift of "this week" + 2 substitutions + 1 insertion = 4 edits
+      over a 13-word reference -> TER = 4/13;
+    - the four synthetic vectors of sacrebleu's TER test suite
+      (test/test_ter.py: perfect match 0, disjoint 1.0, swap-ends 0.5,
+      single rotation shift 0.25).
+
+    sacrebleu's TER defaults to case-insensitive; inputs here are
+    lowercase so the vectors hold under either caseSensitive setting
+    (the case option itself is pinned by
+    test_ter_case_sensitivity_option)."""
+    snover_ref = ("saudi arabia denied this week information published "
+                  "in the american new york times")
+    snover_hyp = ("this week the saudis denied information published "
+                  "in the new york times")
+    rows = [
+        # (hyp, ref, expected_edits, expected_n_ref)
+        (snover_hyp, snover_ref, 4, 13),              # Snover 2006 §2
+        ("aaaa bbbb cccc dddd", "aaaa bbbb cccc dddd", 0, 4),
+        ("dddd eeee ffff", "aaaa bbbb cccc", 3, 3),   # disjoint -> 1.0
+        ("dddd bbbb cccc aaaa", "aaaa bbbb cccc dddd", 2, 4),  # 0.5
+        ("bbbb cccc dddd aaaa", "aaaa bbbb cccc dddd", 1, 4),  # 0.25
+    ]
+    df = spark.createDataFrame(
+        [(i, h, r, e, n) for i, (h, r, e, n) in enumerate(rows)],
+        "i long, c string, r string, e long, n long")
+    got = compile_pipeline(
+        [{"$ter": {"candidate": "$c", "reference": "$r", "as": "t"}}],
+        Context(spark=spark))(df).collect()
+    for row in got:
+        assert row["t"]["edits"] == row["e"], row["c"]
+        assert row["t"]["n_ref"] == row["n"], row["c"]
+        assert abs(row["t"]["ter"] - row["e"] / row["n"]) < 1e-12, row["c"]
+    # the Snover example's decomposition: exactly ONE shift found
+    snover = [r for r in got if r["i"] == 0][0]
+    assert snover["t"]["shifts"] == 1
