@@ -226,6 +226,36 @@ def mongo_truthy(col: Column) -> Column:
     )
 
 
+# Operators whose compiled Column is boolean-valued BY CONSTRUCTION
+# (possibly null): for these, Mongo truthiness degenerates to
+# ``coalesce(col, false)`` — no try_cast ladder.  Extensions cannot
+# shadow these names (built-ins win in _compile_expr_uncached), so the
+# syntactic check is sound.
+_BOOL_VALUED_OPS = frozenset((
+    "$and", "$or", "$not", "$eq", "$ne", "$gt", "$gte", "$lt", "$lte",
+    "$in", "$isArray", "$isNumber", "$toBool", "$allElementsTrue",
+    "$anyElementTrue", "$regexMatch",
+))
+
+
+def truthy_expr(raw: Any, ctx: "ExprContext") -> Column:
+    """``mongo_truthy(compile_expr(raw))`` with a syntactic fast path
+    (r12 bench lever): when ``raw`` is an operator expression that is
+    boolean-valued by construction — every $cond/$switch/$and/$or
+    condition in practice, e.g. $bucket's desugared CASE ladder — the
+    coercion is just null->false, which halves the py4j round trips of
+    the truthy wrapper AND shrinks the Catalyst tree the analyzer and
+    codegen must walk.  Semantically identical: for a boolean column
+    ``when(isNull, F).otherwise(coalesce(try_cast(bool), T))`` is
+    exactly ``coalesce(col, false)``."""
+    if isinstance(raw, bool):
+        return F.lit(raw)
+    if isinstance(raw, dict) and len(raw) == 1 \
+            and next(iter(raw)) in _BOOL_VALUED_OPS:
+        return F.coalesce(_c(raw, ctx), F.lit(False))
+    return mongo_truthy(_c(raw, ctx))
+
+
 def _fold(args: list[Column], fn: Callable[[Column, Column], Column]) -> Column:
     acc = args[0]
     for a in args[1:]:
@@ -468,12 +498,12 @@ OPERATORS["$cmp"] = lambda raw, ctx: (
 # ------------------------------------------------------------------ boolean
 
 OPERATORS["$and"] = lambda raw, ctx: _fold(
-    [mongo_truthy(_c(e, ctx)) for e in _args(raw)], lambda a, b: a & b
+    [truthy_expr(e, ctx) for e in _args(raw)], lambda a, b: a & b
 )
 OPERATORS["$or"] = lambda raw, ctx: _fold(
-    [mongo_truthy(_c(e, ctx)) for e in _args(raw)], lambda a, b: a | b
+    [truthy_expr(e, ctx) for e in _args(raw)], lambda a, b: a | b
 )
-OPERATORS["$not"] = lambda raw, ctx: ~mongo_truthy(_c(_args(raw)[0], ctx))
+OPERATORS["$not"] = lambda raw, ctx: ~truthy_expr(_args(raw)[0], ctx)
 
 # -------------------------------------------------------------- conditional
 
@@ -484,7 +514,7 @@ def _cond(raw: Any, ctx: ExprContext) -> Column:
         if_, then, else_ = raw["if"], raw["then"], raw["else"]
     else:
         if_, then, else_ = _args(raw, 3)
-    return F.when(mongo_truthy(_c(if_, ctx)), _c(then, ctx)).otherwise(_c(else_, ctx))
+    return F.when(truthy_expr(if_, ctx), _c(then, ctx)).otherwise(_c(else_, ctx))
 
 
 OPERATORS["$ifNull"] = lambda raw, ctx: F.coalesce(*[_c(e, ctx) for e in _args(raw)])
@@ -494,7 +524,7 @@ OPERATORS["$ifNull"] = lambda raw, ctx: F.coalesce(*[_c(e, ctx) for e in _args(r
 def _switch(raw: Any, ctx: ExprContext) -> Column:
     col = None
     for branch in raw["branches"]:
-        case = mongo_truthy(_c(branch["case"], ctx))
+        case = truthy_expr(branch["case"], ctx)
         then = _c(branch["then"], ctx)
         col = F.when(case, then) if col is None else col.when(case, then)
     if col is None:
@@ -552,7 +582,7 @@ def _is_array(raw: Any, ctx: ExprContext) -> Column:
 def _filter(raw: Any, ctx: ExprContext) -> Column:
     var = raw.get("as", "this")
     inp = _c(raw["input"], ctx)
-    out = F.filter(inp, lambda x: mongo_truthy(_c(raw["cond"], ctx.with_vars(**{var: x, "this": x}))))
+    out = F.filter(inp, lambda x: truthy_expr(raw["cond"], ctx.with_vars(**{var: x, "this": x})))
     if "limit" in raw:
         return F.slice(out, 1, _c(raw["limit"], ctx).cast("int"))
     return out

@@ -78,6 +78,41 @@ def word_shingles(col: Column, n: int) -> Column:
     )
 
 
+def sql_field_ref(expr: Any) -> Optional[str]:
+    """Backticked SQL reference for a plain ``"$field.path"`` expression,
+    else None — the gate for the generated-SQL fast paths below.  (r12
+    build-latency lever: the classic Dataset API ANALYZES eagerly on
+    every transformation, so a stage built as one selectExpr over SQL
+    text pays one analyzer pass + one py4j round trip where the
+    equivalent Column chain pays dozens.)"""
+    if isinstance(expr, str) and expr.startswith("$") \
+            and not expr.startswith("$$"):
+        from ..paths import split_path
+
+        parts = split_path(expr[1:])
+        if all(p and "`" not in p for p in parts):
+            return ".".join(f"`{p}`" for p in parts)
+    return None
+
+
+def word_shingles_sql(ref: str, n: int) -> str:
+    """``word_shingles`` as one SQL string over a column reference —
+    tree-identical to the Column form (same split/sequence/slice plan;
+    pinned by the $minhash equivalence test)."""
+    w = f"split(lower({ref}), '\\\\s+')"
+    idx = (f"CASE WHEN size({w}) - {n - 1} > 0 "
+           f"THEN sequence(0, size({w}) - {n}) "
+           f"ELSE cast(array() as array<int>) END")
+    return (f"array_distinct(transform({idx}, "
+            f"i -> array_join(slice({w}, i + 1, {n}), ' ')))")
+
+
+def md5_long_sql(s: str, seed: int) -> str:
+    """``md5_long`` as SQL text (same conv/substr/md5 chain)."""
+    return (f"cast(conv(substr(md5(concat('{seed}:', {s})), 1, 15), "
+            f"16, 10) as bigint)")
+
+
 # whitespace class shared with the DuckDB oracles: Java's \s and RE2's
 # \s disagree on vertical tab (\x0B), so operators whose oracle
 # tokenizes in SQL spell the set out explicitly on both sides
@@ -214,21 +249,51 @@ def minhash_sig_from_bases(bases: Column, num: int) -> Column:
     )
 
 
-def minhash_sig_sql(bases_col: str, num: int) -> Column:
-    """Same expression as ``minhash_sig_from_bases`` over a named column,
-    built as ONE SQL string: the per-permutation ``F.transform`` lambdas
-    cost a py4j roundtrip each (~0.6 s of plan-build time at num=32),
-    while one ``F.expr`` is a single roundtrip.  Products stay < 2^62
-    (both factors < MINHASH_P = 2^31-1), so no ANSI overflow."""
+def minhash_sig_terms_sql(bases_col: str, num: int) -> str:
+    """``minhash_sig_from_bases`` over a named column as ONE SQL string:
+    the per-permutation ``F.transform`` lambdas cost a py4j roundtrip
+    each (~0.6 s of plan-build time at num=32), while one ``F.expr`` is
+    a single roundtrip.  Products stay < 2^62 (both factors <
+    MINHASH_P = 2^31-1), so no ANSI overflow."""
     terms = ", ".join(
         f"array_min(transform(`{bases_col}`, h -> ({a}L * h + {b}L) % {MINHASH_P}L))"
         for a, b in minhash_coeffs(num)
     )
-    return F.expr(f"array({terms})")
+    return f"array({terms})"
+
+
+def minhash_sig_sql(bases_col: str, num: int) -> Column:
+    return F.expr(minhash_sig_terms_sql(bases_col, num))
 
 
 def minhash_signature(text: Column, n: int, num: int) -> Column:
     return minhash_sig_from_bases(minhash_bases(text, n), num)
+
+
+def with_minhash_sig(df: DataFrame, inp: Any, n: int, num: int,
+                     sig_col: str = "__sig") -> DataFrame:
+    """Add a MinHash signature column in TWO fused projections (bases,
+    then permutations over the materialized base array — multi-referenced
+    aliases survive CollapseProject).  Shared by $minhash /
+    $minhashDedup / $crossDedup / $jaccardJoin.  r12 build-latency
+    lever: the classic Dataset API runs the analyzer eagerly per
+    transformation, so the old withColumn+withColumn+drop chain paid
+    three analyzer passes over these wide HOF trees; plain "$field"
+    inputs additionally take a pure generated-SQL path (one py4j
+    round trip per projection)."""
+    keep = [f"`{c_}`" for c_ in df.columns]
+    ref = sql_field_ref(inp)
+    if ref is not None:
+        bases = (f"transform({word_shingles_sql(ref, n)}, "
+                 f"s -> {md5_long_sql('s', 0)} % {MINHASH_P}L)")
+        step1 = df.selectExpr("*", f"{bases} as __mh_bases")
+    else:
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        step1 = df.select("*", minhash_bases(text, n).alias("__mh_bases"))
+    return step1.selectExpr(
+        *keep,
+        minhash_sig_terms_sql("__mh_bases", num) + f" as `{sig_col}`",
+    )
 
 
 @register_stage("$minhash")
@@ -242,14 +307,7 @@ def minhash_stage(expression: Any, ctx: Context) -> StageFn:
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         df = _spread(df)
-        text = compile_expr(inp, ExprContext(schema=df.schema))
-        # two steps so the 32 permutation terms reference the materialized
-        # base array (multi-referenced aliases survive CollapseProject)
-        return (
-            df.withColumn("__mh_bases", minhash_bases(text, n))
-            .withColumn(as_field, minhash_sig_sql("__mh_bases", num))
-            .drop("__mh_bases")
-        )
+        return with_minhash_sig(df, inp, n, num, sig_col=as_field)
 
     return fn
 
@@ -333,11 +391,7 @@ def minhash_dedup_stage(expression: Any, ctx: Context) -> StageFn:
         df = _spread(df)
         text = compile_expr(inp, ExprContext(schema=df.schema))
         band_hash = minhash_band_hashes("__sig", bands, rows_per_band)
-        with_sig = (
-            df.withColumn("__mh_bases", minhash_bases(text, n))
-            .withColumn("__sig", minhash_sig_sql("__mh_bases", num))
-            .drop("__mh_bases")
-        )
+        with_sig = with_minhash_sig(df, inp, n, num)
         buckets = with_sig.select(
             F.col(id_field).alias("__did"), F.explode(F.array(*band_hash)).alias("__bucket")
         )
@@ -441,14 +495,8 @@ def cross_dedup_stage(expression: Any, ctx: Context) -> StageFn:
         ref = c.collection(from_coll)
         text = compile_expr(inp, ExprContext(schema=df.schema))
         rtext = compile_expr(fin, ExprContext(schema=ref.schema))
-        left_sig = (
-            df.withColumn("__mh_bases", minhash_bases(text, n))
-            .withColumn("__sig", minhash_sig_sql("__mh_bases", num))
-        )
-        right_sig = (
-            ref.withColumn("__mh_bases", minhash_bases(rtext, n))
-            .withColumn("__sig", minhash_sig_sql("__mh_bases", num))
-        )
+        left_sig = with_minhash_sig(df, inp, n, num)
+        right_sig = with_minhash_sig(ref, fin, n, num)
         lb = left_sig.select(
             F.col(id_field).alias("__did"),
             F.explode(F.array(*band_hashes("__sig"))).alias("__bucket"),
@@ -531,10 +579,7 @@ def jaccard_join_stage(expression: Any, ctx: Context) -> StageFn:
     def fn(df: DataFrame, c: Context) -> DataFrame:
         df = _spread(df)
         text = compile_expr(inp, ExprContext(schema=df.schema))
-        left = (
-            df.withColumn("__mh_bases", minhash_bases(text, n))
-            .withColumn("__sig", minhash_sig_sql("__mh_bases", num))
-        )
+        left = with_minhash_sig(df, inp, n, num)
         lb = left.select(
             F.col(id_field).alias("left_id"),
             F.explode(
@@ -547,10 +592,8 @@ def jaccard_join_stage(expression: Any, ctx: Context) -> StageFn:
             right_df = c.collection(from_coll)
             rtext = compile_expr(fin, ExprContext(schema=right_df.schema))
             rid = fid
-        right = (
-            right_df.withColumn("__mh_bases", minhash_bases(rtext, n))
-            .withColumn("__sig", minhash_sig_sql("__mh_bases", num))
-        )
+        right = (with_minhash_sig(right_df, fin if from_coll is not None
+                                  else inp, n, num))
         rb = right.select(
             F.col(rid).alias("right_id"),
             F.explode(
@@ -764,24 +807,33 @@ def _with_simhash(df: DataFrame, inp: Any, n: int, bits: int,
     node per construct, not per bit: the bits-way unrolled vote-vector
     fold cost ~1 s of parse/analysis per plan and allocated a 16-wide
     array per shingle at runtime)."""
-    text = compile_expr(inp, ExprContext(schema=df.schema))
-    sh = word_shingles(text, n)
-    hashes = F.expr(
-        "transform(`__sh`, s -> "
-        "cast(conv(substr(md5(concat('0:', s)), 1, 15), 16, 10) as bigint))"
-    )
-    value = F.expr(
+    keep = [f"`{c_}`" for c_ in df.columns]
+    ref = sql_field_ref(inp)
+    # the shingle->hash step fuses into ONE projection (the transform
+    # composes over the shingle expression textually — each is evaluated
+    # once per row since the hash transform's input array materializes
+    # before the lambda runs); the vote fold stays a second projection so
+    # `__sh_h` is a multi-referenced alias (CollapseProject keeps it).
+    # r12: withColumn x3 + drop paid four eager analyzer passes.
+    if ref is not None:
+        sh_sql = word_shingles_sql(ref, n)
+    else:
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        df = df.select("*", word_shingles(text, n).alias("__sh0"))
+        keep = keep  # __sh0 dropped by the final projection below
+        sh_sql = "`__sh0`"
+    hashes = (f"transform({sh_sql}, s -> "
+              f"cast(conv(substr(md5(concat('0:', s)), 1, 15), 16, 10) "
+              f"as bigint))")
+    value = (
         f"aggregate(transform(sequence(0, {bits - 1}), j -> "
         f"if(2L * aggregate(`__sh_h`, 0L, "
         f"(acc, h) -> acc + (shiftright(h, j) & 1)) "
         f"> size(`__sh_h`), shiftleft(1L, j), 0L)), "
         f"0L, (acc, x) -> acc + x)"
     )
-    return (
-        df.withColumn("__sh", sh)
-        .withColumn("__sh_h", hashes)
-        .withColumn(out_col, value)
-        .drop("__sh", "__sh_h")
+    return df.selectExpr("*", f"{hashes} as __sh_h").selectExpr(
+        *keep, f"{value} as `{out_col}`"
     )
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import features
-from .expressions import ExprContext, _lit_deep, compile_expr, mongo_truthy
+from .expressions import ExprContext, _lit_deep, compile_expr, mongo_truthy, truthy_expr
 from .paths import split_path
 
 _FIELD_OPS = {
@@ -77,7 +77,7 @@ def compile_match(query: dict, ctx: ExprContext) -> Column:
         elif key == "$nor":
             preds.append(~_fold_or([compile_match(q, ctx) for q in value]))
         elif key == "$expr":
-            preds.append(mongo_truthy(compile_expr(value, ctx)))
+            preds.append(truthy_expr(value, ctx))
         elif key == "$sampleRate":
             # Bernoulli sample: keep each document independently with
             # probability `value` (Mongo $sampleRate).
