@@ -20,6 +20,13 @@ from ..expressions import ExprContext, compile_expr
 from ..pipeline import StageFn, register_stage
 
 from .dp_dedup import _spread
+from .dp_dedup import sql_field_ref as _sql_ref
+
+import re as _re_mod
+
+# simple-identifier gate for the generated-SQL fast paths (dotted /
+# quoted ids keep the Column path)
+_IDENT = _re_mod.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
 @register_stage("$bm25")
@@ -63,6 +70,58 @@ def bm25_stage(expression: Any, ctx: Context) -> StageFn:
         df = _spread(df)  # a small corpus file arrives as ONE scan
         # partition; the token fold is the per-row-heavy work _spread
         # exists for (large inputs are already wide and pass through)
+        # r12 fast path: plain "$field" input + simple id -> the WHOLE
+        # query as one spark.sql() text over a templated DataFrame
+        # reference (~5 py4j round trips instead of ~200; the classic
+        # API additionally re-analyzes eagerly at each of the ~10
+        # transformations).  The CTE chain compiles to the SAME plan
+        # the Column form produced — single broadcast stats aggregate,
+        # TakeOrderedAndProject, WindowExec over <= k rows — which
+        # tests/test_plan_invariants.py keeps pinned.
+        ref = _sql_ref(inp)
+        if ref is not None and _IDENT.fullmatch(id_field):
+            terms_arr = ", ".join(
+                "'" + t.replace("'", "''") + "'" for t in terms)
+            nt = len(terms)
+            tf_cols = ", ".join(
+                f"__tfs[{i}] as __tf{i}" for i in range(nt))
+            df_aggs = ", ".join(
+                f"sum(cast(__tf{i} > 0 as double)) AS __df{i}"
+                for i in range(nt))
+            score = " + ".join(
+                f"ln(1.0D + (__n - __df{i} + 0.5D) / (__df{i} + 0.5D))"
+                f" * __tf{i} * {k1 + 1.0}D"
+                f" / (__tf{i} + {k1}D * ({1.0 - b}D + {b}D * __dl /"
+                f" __avgdl))"
+                for i in range(nt))
+            sql = f"""
+WITH __bm_toks AS (
+  SELECT `{id_field}` AS __bm_id,
+         filter(split(lower({ref}), '[^a-z0-9]+'), t -> t != '') AS __toks
+  FROM {{corpus}}
+),
+__bm_tfs AS (
+  SELECT __bm_id, cast(size(__toks) as double) AS __dl,
+         aggregate(__toks, array_repeat(0.0D, {nt}),
+                   (acc, t) -> zip_with(acc, array({terms_arr}),
+                   (a, trm) -> a + if(t = trm, 1.0D, 0.0D))) AS __tfs
+  FROM __bm_toks
+),
+__bm_base AS (SELECT __bm_id, __dl, {tf_cols} FROM __bm_tfs),
+__bm_stats AS (
+  SELECT cast(count(1) as double) AS __n, avg(__dl) AS __avgdl, {df_aggs}
+  FROM __bm_base
+),
+__bm_top AS (
+  SELECT /*+ BROADCAST(__bm_stats) */ __bm_id, 0.0D + {score} AS score
+  FROM __bm_base CROSS JOIN __bm_stats
+  ORDER BY score DESC, __bm_id
+  LIMIT {k}
+)
+SELECT __bm_id AS `{id_field}`, score,
+       row_number() OVER (ORDER BY score DESC, __bm_id) AS rank
+FROM __bm_top"""
+            return df.sparkSession.sql(sql, corpus=df)
         text = compile_expr(inp, ExprContext(schema=df.schema))
         tokens = F.filter(
             F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != ""
@@ -84,7 +143,12 @@ def bm25_stage(expression: Any, ctx: Context) -> StageFn:
         # handful of py4j calls total, instead of O(terms) Column-building
         # round-trips (~0.3 s of driver latency per plan at 3 terms)
         idq = f"`{id_field}`"
-        base = df.withColumn("__toks", tokens).select(
+        # the token column materializes in a 2-column projection (id +
+        # tokens), not a withColumn over the full row — one fewer (and
+        # narrower) eager analyzer pass per plan build (r12)
+        base = df.select(
+            F.col(id_field), tokens.alias("__toks")
+        ).select(
             F.col(id_field),
             F.expr("cast(size(`__toks`) as double)").alias("__dl"),
             counts.alias("__tfs"),

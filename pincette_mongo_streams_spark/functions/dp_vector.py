@@ -227,9 +227,14 @@ def ann_topk_stage(expression: Any, ctx: Context) -> StageFn:
         corpus = df.select(
             F.col(id_field).alias("corpus_id"), emb.cast("array<double>").alias("__ce")
         ).selectExpr("corpus_id", "__ce", norm.format("__ce") + " as __cn")
+        # ONE projection for the (tiny, broadcast) query side: the norm
+        # recomputes the cast inline — O(k·d) on ~dozens of rows — where
+        # a second projection would cost another eager analyzer pass on
+        # every plan build (r12)
+        qcast = "cast(embedding as array<double>)"
         queries = q.selectExpr(
-            "query_id", "cast(embedding as array<double>) as __qe"
-        ).selectExpr("query_id", "__qe", norm.format("__qe") + " as __qn")
+            "query_id", f"{qcast} as __qe",
+            norm.format(qcast) + " as __qn")
         dot = ("aggregate(zip_with(__ce, __qe, (x, y) -> x * y), 0.0D, "
                "(acc, v) -> acc + v)")
         scored = corpus.crossJoin(F.broadcast(queries)).selectExpr(

@@ -217,9 +217,14 @@ def _null_split_join(
     picked = F.when(local.isNull(), F.col("__null_matches")).otherwise(
         F.col("__matches")
     )
-    return joined.withColumn(as_field, F.coalesce(picked, empty)).drop(
-        "__fk", "__matches", "__null_matches"
-    )
+    # one projection instead of withColumn + drop (two eager analyzer
+    # passes over the join tree — r12 build-latency lever), preserving
+    # withColumn's replace-in-place column order
+    out_col = F.coalesce(picked, empty).alias(as_field)
+    cols = [out_col if c == as_field else F.col(c) for c in df.columns]
+    if as_field not in df.columns:
+        cols.append(out_col)
+    return joined.select(*cols)
 
 
 # correlated non-equality predicates in a sub-pipeline $match
