@@ -1911,6 +1911,185 @@ _register(
 )
 
 
+def _chrf_word_oracle_sql() -> str:
+    """chrF++ oracle (r12, ``wordOrder: 2`` + sacrebleu formula): char
+    orders 1..3 over the whitespace-stripped punctuated texts PLUS word
+    orders 1..2 over the chrF++ token lists, per-order F2 averaged over
+    orders where both sides have grams.  The testdata vocabulary is
+    pure a-z words, so the chrF++ edge-punctuation tokenization of the
+    constructed ``p4 || ','`` / ``p6 || ' .'`` pair has a CLOSED FORM
+    in token lists (words plus a separated ','/'.' token) — the oracle
+    states the tokenizer's result; the Spark-vs-Python parity of the
+    tokenizer itself is pinned by tests/test_eval_properties.py::
+    test_chrf_plus_plus_edge_tokenization."""
+    gram_defs = []
+    for n in range(1, 4):
+        for side, src in (("c", "sc"), ("r", "sr")):
+            gram_defs.append(
+                f"CASE WHEN len({src}) >= {n} THEN "
+                f"[substr({src}, i, {n}) "
+                f"FOR i IN range(1, len({src}) - {n} + 2)] "
+                f"ELSE [] END AS g{side}{n}")
+    gram2 = ("CASE WHEN len({w}) >= 2 THEN "
+             "[array_to_string(({w})[i:i+1], ' ') "
+             "FOR i IN range(1, len({w}))] ELSE [] END")
+    gram_defs += [
+        "wtc AS gwc1", "wtr AS gwr1",
+        gram2.format(w="wtc") + " AS gwc2",
+        gram2.format(w="wtr") + " AS gwr2",
+    ]
+    pairs = [(f"gc{n}", f"gr{n}", f"m{n}") for n in range(1, 4)]
+    pairs += [("gwc1", "gwr1", "mw1"), ("gwc2", "gwr2", "mw2")]
+    m_cols = [
+        (f"coalesce(list_sum(list_transform(list_distinct({gc}), "
+         f"t -> least(len(list_filter({gc}, x -> x = t)), "
+         f"len(list_filter({gr}, x -> x = t))))), 0) AS {m}")
+        for gc, gr, m in pairs
+    ]
+    eff = " + ".join(
+        f"CASE WHEN len({gc}) > 0 AND len({gr}) > 0 THEN 1 ELSE 0 END"
+        for gc, gr, _ in pairs)
+    f_terms = []
+    for gc, gr, m in pairs:
+        p = f"({m} / CAST(len({gc}) AS DOUBLE))"
+        r = f"({m} / CAST(len({gr}) AS DOUBLE))"
+        f_terms.append(
+            f"CASE WHEN len({gc}) > 0 AND len({gr}) > 0 "
+            f"THEN CASE WHEN 4.0 * {p} + {r} > 0.0 "
+            f"THEN 5.0 * {p} * {r} / (4.0 * {p} + {r}) ELSE 0.0 END "
+            f"ELSE 0.0 END")
+    f_sum = " + ".join(f_terms)
+    return f"""WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS wc
+  FROM documents WHERE text IS NOT NULL),
+t AS (SELECT doc_id,
+             array_to_string(wc[1:4], ' ') || ',' AS ctxt,
+             array_to_string(wc[1:6], ' ') || ' .' AS rtxt,
+             (wc[1:4] || [',']) AS wtc,
+             (wc[1:6] || ['.']) AS wtr
+      FROM w),
+s AS (SELECT doc_id, wtc, wtr,
+             substr(regexp_replace(ctxt, '\\s+', '', 'g'), 1, 2000) AS sc,
+             substr(regexp_replace(rtxt, '\\s+', '', 'g'), 1, 2000) AS sr
+      FROM t),
+g AS (SELECT doc_id, {', '.join(gram_defs)} FROM s),
+m AS (SELECT *, {', '.join(m_cols)} FROM g),
+f AS (SELECT doc_id, ({eff}) AS n_eff, ({f_sum}) AS fs FROM m),
+z AS (SELECT doc_id,
+             CASE WHEN n_eff = 0 THEN 0.0 ELSE fs / n_eff END AS s
+      FROM f)
+SELECT doc_id, {_r('z.s', 6)} AS chrfpp
+FROM z ORDER BY doc_id"""
+
+
+_register(
+    "chrf_word",
+    _chrf_word_oracle_sql(),
+)(
+    _pipe(
+        "documents",
+        [
+            {"$match": {"text": {"$ne": None}}},
+            {"$truncateTokens": {"input": "$text", "as": "p4",
+                                 "max": 4}},
+            {"$truncateTokens": {"input": "$text", "as": "p6",
+                                 "max": 6}},
+            # comma GLUED to the candidate's last word: the chrF++
+            # edge-punctuation split carries real signal
+            {"$set": {"cand": {"$concat": ["$p4", ","]},
+                      "ref": {"$concat": ["$p6", " ."]}}},
+            {"$chrf": {"candidate": "$cand", "reference": "$ref",
+                       "maxN": 3, "wordOrder": 2,
+                       "formula": "sacrebleu", "as": "s"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "chrfpp": {"$round": ["$s", 6]}}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
+def _bleu_intl_oracle_sql() -> str:
+    """tokenizer: "intl" oracle (r12, mteval-v14 international).  The
+    distinguishing rule vs 13a: '-' between letters IS padded (13a
+    pads '-' only after a digit), so the candidate carries a glued
+    ``w1-w1`` pair; with the pure a-z vocabulary the intl tokenization
+    has the closed form ``words || [w1, '-', w1]`` (empty docs
+    degenerate to ['-']).  BLEU-2 with add1 smoothing, same closed
+    form as the bleu_13a oracle; three-way regex parity of the
+    tokenizer is pinned by tests/test_eval_properties.py::
+    test_bleu_intl_tokenizer."""
+    gram2 = ("CASE WHEN len({w}) >= 2 THEN "
+             "[array_to_string(({w})[i:i+1], ' ') "
+             "FOR i IN range(1, len({w}))] ELSE [] END")
+    clip = ("coalesce(list_sum(list_transform(list_distinct({gc}), "
+            "t -> least(len(list_filter({gc}, x -> x = t)), "
+            "len(list_filter({gr}, x -> x = t))))), 0)")
+    return f"""WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS wc
+  FROM documents WHERE text IS NOT NULL),
+t AS (SELECT doc_id,
+             CASE WHEN len(wc) = 0 THEN ['-']
+                  ELSE (wc[1:5] || [wc[1], '-', wc[1]]) END AS c,
+             (wc[1:10] || ['.']) AS r
+      FROM w),
+g AS (SELECT doc_id, c, r,
+             {gram2.format(w='c')} AS gc2,
+             {gram2.format(w='r')} AS gr2
+      FROM t),
+m AS (SELECT doc_id, len(c) AS cl, len(r) AS rl,
+             {clip.format(gc='c', gr='r')} AS m1,
+             len(c) AS t1,
+             {clip.format(gc='gc2', gr='gr2')} AS m2,
+             len(gc2) AS t2
+      FROM g),
+z AS (SELECT doc_id,
+             CASE WHEN t1 = 0 OR m1 = 0 OR t2 = 0 THEN 0.0
+                  ELSE (CASE WHEN cl >= rl THEN 1.0
+                        ELSE exp(1 - rl / CAST(cl AS DOUBLE)) END)
+                       * exp(ln(m1 / CAST(t1 AS DOUBLE)) / 2
+                             + ln((m2 + 1) / CAST(t2 + 1 AS DOUBLE)) / 2)
+             END AS s
+      FROM m)
+SELECT doc_id, {_r('s', 6)} AS bleuintl
+FROM z ORDER BY doc_id"""
+
+
+_register(
+    "bleu_intl",
+    _bleu_intl_oracle_sql(),
+)(
+    _pipe(
+        "documents",
+        [
+            {"$match": {"text": {"$ne": None}}},
+            {"$truncateTokens": {"input": "$text", "as": "p5",
+                                 "max": 5}},
+            {"$truncateTokens": {"input": "$text", "as": "p1",
+                                 "max": 1}},
+            {"$truncateTokens": {"input": "$text", "as": "p10",
+                                 "max": 10}},
+            # a GLUED letter-hyphen-letter pair: 13a would keep
+            # "w1-w1" as one token, intl separates it — the row
+            # distinguishes the two tokenizers
+            {"$set": {"cand": {"$concat": ["$p5", " ", "$p1", "-",
+                                           "$p1"]},
+                      "ref": {"$concat": ["$p10", "."]}}},
+            {"$bleu": {"candidate": "$cand", "reference": "$ref",
+                       "maxN": 2, "smooth": "add1",
+                       "tokenizer": "intl", "as": "b"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "bleuintl": {"$round": ["$b", 6]}}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
 def _chrf_multiref_oracle_sql() -> str:
     """Multi-reference chrF oracle (r10): candidate = 10-word prefix
     scored against TWO references — the 20-word prefix and the DOUBLED

@@ -191,11 +191,35 @@ def _tok13a(t: Column) -> Column:
     return t
 
 
+def _tok_intl(t: Column) -> Column:
+    """mteval-v14 INTERNATIONAL tokenization (sacrebleu's ``intl``
+    tokenizer, public rules, r12): pad Unicode punctuation with spaces
+    — except when adjacent to a digit on the relevant side — and pad
+    every Unicode symbol; the caller's whitespace split normalizes.
+    The three regexes apply IN ORDER like the reference implementation
+    (rule 2 sees rule 1's output).  ``\\p{P}``/``\\p{S}``/``\\P{N}``
+    are Unicode general-category classes that Java (Spark), RE2 (the
+    DuckDB oracles) and Python's ``regex`` module all support."""
+    t = F.regexp_replace(t, r"(\P{N})(\p{P})", "$1 $2 ")
+    t = F.regexp_replace(t, r"(\p{P})(\P{N})", " $1 $2")
+    t = F.regexp_replace(t, r"(\p{S})", " $1 ")
+    return t
+
+
+_TOKENIZERS = {"13a": _tok13a, "intl": _tok_intl}
+
+
 def _check_tokenizer(stage: str, tokenizer: Any) -> Optional[str]:
-    if tokenizer not in (None, "none", "13a"):
+    if tokenizer not in (None, "none", "13a", "intl"):
         raise ValueError(
-            f"{stage} tokenizer must be 'none' or '13a', got {tokenizer!r}")
+            f"{stage} tokenizer must be 'none', '13a' or 'intl', "
+            f"got {tokenizer!r}")
     return None if tokenizer == "none" else tokenizer
+
+
+def _tok_fn(tokenizer: Optional[str]):
+    """Tokenizer column transform for a validated tokenizer name."""
+    return _TOKENIZERS.get(tokenizer, lambda r: r)
 
 
 def _eval_words(t: Column, max_words: Optional[int] = None) -> Column:
@@ -706,12 +730,11 @@ def bleu_stage(expression: Any, ctx: Context) -> StageFn:
     def fn(df: DataFrame, c: Context) -> DataFrame:
         sctx = ExprContext(schema=df.schema)
         cand = compile_expr(cand_e, sctx)
-        if tokenizer == "13a":
-            cand = _tok13a(cand)
+        cand = _tok_fn(tokenizer)(cand)
         temps = ["__bleu_wc"]
         stage = df.withColumn("__bleu_wc", _eval_words(cand, max_words))
         wc = F.col("__bleu_wc")
-        tok = _tok13a if tokenizer == "13a" else (lambda r: r)
+        tok = _tok_fn(tokenizer)
         if refs_e is not None:
             refs = compile_expr(refs_e, sctx)
             temps.append("__bleu_wrs")
@@ -840,7 +863,7 @@ def bleu_corpus_stage(expression: Any, ctx: Context) -> StageFn:
         _corpus_only("$bleuCorpus", c)
         sctx = ExprContext(schema=df.schema)
         cand = compile_expr(cand_e, sctx)
-        tok = _tok13a if tokenizer == "13a" else (lambda r: r)
+        tok = _tok_fn(tokenizer)
         stage = df.withColumn("__blc_wc",
                               _eval_words(tok(cand), max_words))
         wc = F.col("__blc_wc")
@@ -975,6 +998,17 @@ def chrf_stage(expression: Any, ctx: Context) -> StageFn:
     sacrebleu's 0-100 reporting).  The whitespace-strip and clipping
     match sacrebleu in both modes.
 
+    chrF++ (r12): ``wordOrder: k`` adds word n-gram orders 1..k to the
+    SAME statistics pool (Popović 2017; ``wordOrder: 2`` is the chrF++
+    MT papers report, sacrebleu's ``chrF2++``).  Word tokens come from
+    the ORIGINAL text (not the whitespace-stripped form) via the
+    chrF++.py convention: whitespace words with ONE level of
+    edge-punctuation splitting (see :func:`_chrfpp_tokens`);
+    ``maxWords`` (default 2000) caps the token array.  With the
+    popovic formula the word orders join the P/R averages; with the
+    sacrebleu formula they join the per-order-F average — both exactly
+    how the respective tools pool the statistics lists.
+
     ``maxChars`` (default 2000) truncates both sides first — the same
     cost-cap discipline as the word-level family (the clip aggregate
     is O(d·|s|) per order per row).
@@ -1003,6 +1037,10 @@ def chrf_stage(expression: Any, ctx: Context) -> StageFn:
     if formula not in ("popovic", "sacrebleu"):
         raise ValueError(
             f"$chrf formula must be popovic|sacrebleu, got {formula!r}")
+    # r12: chrF++ — wordOrder word n-gram orders join the char orders
+    # in the SAME P/R (popovic) or per-order-F (sacrebleu) average,
+    # exactly how chrF++.py and sacrebleu pool the statistics lists
+    word_order, wmax_words = _check_word_order("$chrf", expression)
     if not 1 <= max_n <= 10:
         raise ValueError("$chrf maxN must be in 1..10")
     if beta <= 0:
@@ -1088,6 +1126,33 @@ def chrf_stage(expression: Any, ctx: Context) -> StageFn:
                     ms_n,
                     F.transform(F.col(grs_n),
                                 lambda g: _eval_clipped(F.col(gc_n), g)))
+            if word_order > 0:
+                # word tokens come from the ORIGINAL (unstripped) texts;
+                # the token arrays align index-wise with __chrf_srs
+                # because both run the same null filter
+                temps += ["__chrf_wc", "__chrf_wrs"]
+                stage = stage.withColumn(
+                    "__chrf_wc", _chrfpp_tokens(cand, wmax_words))
+                stage = stage.withColumn(
+                    "__chrf_wrs",
+                    F.transform(F.filter(refs, lambda r: r.isNotNull()),
+                                lambda r: _chrfpp_tokens(r, wmax_words)))
+                for n in range(1, word_order + 1):
+                    wgc_n, wgrs_n, wms_n = (f"__chrf_wgc{n}",
+                                            f"__chrf_wgrs{n}",
+                                            f"__chrf_wms{n}")
+                    temps += [wgc_n, wgrs_n, wms_n]
+                    stage = stage.withColumn(
+                        wgc_n, _eval_grams(F.col("__chrf_wc"), n))
+                    stage = stage.withColumn(
+                        wgrs_n,
+                        F.transform(F.col("__chrf_wrs"),
+                                    lambda w: _eval_grams(w, n)))
+                    stage = stage.withColumn(
+                        wms_n,
+                        F.transform(F.col(wgrs_n),
+                                    lambda g: _eval_clipped(
+                                        F.col(wgc_n), g)))
 
             def ref_score(i: Column) -> Column:
                 triples = []
@@ -1098,6 +1163,14 @@ def chrf_stage(expression: Any, ctx: Context) -> StageFn:
                     ).cast("double")
                     m = F.element_at(
                         F.col(f"__chrf_ms{n}"), i).cast("double")
+                    triples.append((cn, rn, m))
+                for n in range(1, word_order + 1):
+                    cn = F.size(F.col(f"__chrf_wgc{n}")).cast("double")
+                    rn = F.size(
+                        F.element_at(F.col(f"__chrf_wgrs{n}"), i)
+                    ).cast("double")
+                    m = F.element_at(
+                        F.col(f"__chrf_wms{n}"), i).cast("double")
                     triples.append((cn, rn, m))
                 return one_score(triples)
 
@@ -1119,17 +1192,84 @@ def chrf_stage(expression: Any, ctx: Context) -> StageFn:
                              .withColumn(gr_n, char_grams(sr, n))
                 stage = stage.withColumn(
                     m_n, _eval_clipped(F.col(gc_n), F.col(gr_n)))
-            score = one_score([
+            triples = [
                 (F.size(F.col(f"__chrf_gc{n}")).cast("double"),
                  F.size(F.col(f"__chrf_gr{n}")).cast("double"),
                  F.col(f"__chrf_m{n}").cast("double"))
-                for n in range(1, max_n + 1)])
+                for n in range(1, max_n + 1)]
+            if word_order > 0:
+                temps += ["__chrf_wc", "__chrf_wr"]
+                stage = stage.withColumn(
+                    "__chrf_wc", _chrfpp_tokens(cand, wmax_words))
+                stage = stage.withColumn(
+                    "__chrf_wr", _chrfpp_tokens(ref, wmax_words))
+                for n in range(1, word_order + 1):
+                    wgc_n, wgr_n, wm_n = (f"__chrf_wgc{n}",
+                                          f"__chrf_wgr{n}",
+                                          f"__chrf_wm{n}")
+                    temps += [wgc_n, wgr_n, wm_n]
+                    stage = stage.withColumn(
+                        wgc_n, _eval_grams(F.col("__chrf_wc"), n)
+                    ).withColumn(
+                        wgr_n, _eval_grams(F.col("__chrf_wr"), n))
+                    stage = stage.withColumn(
+                        wm_n,
+                        _eval_clipped(F.col(wgc_n), F.col(wgr_n)))
+                triples += [
+                    (F.size(F.col(f"__chrf_wgc{n}")).cast("double"),
+                     F.size(F.col(f"__chrf_wgr{n}")).cast("double"),
+                     F.col(f"__chrf_wm{n}").cast("double"))
+                    for n in range(1, word_order + 1)]
+            score = one_score(triples)
             null_in = cand.isNull() | ref.isNull()
         out = F.when(null_in, F.lit(None).cast("double")) \
             .otherwise(score)
         return stage.withColumn(as_field, out).drop(*temps)
 
     return fn
+
+
+_CHRFPP_PUNCT = r"[\x21-\x2f\x3a-\x40\x5b-\x60\x7b-\x7e]"
+
+
+def _chrfpp_tokens(t: Column, max_words: int) -> Column:
+    """chrF++ word tokenization (Popović 2017, chrF++.py
+    ``separate_punctuation``, which sacrebleu adapts for its
+    ``word_order`` statistics): whitespace words, then ONE level of
+    edge-punctuation splitting — a word longer than one char whose LAST
+    char is punctuation splits into (head, punct); else whose FIRST
+    char is punctuation splits into (punct, tail); interior punctuation
+    stays attached and the split never recurses ("(word)" ->
+    ["(word", ")"], exactly the reference script's quirk).  Punctuation
+    is ASCII ``string.punctuation``, written as hex ranges for
+    Java/RE2/Python three-way parity."""
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != F.lit(""))
+
+    def split_word(w: Column) -> Column:
+        ln = F.length(w)
+        first = F.substring(w, 1, 1)
+        last = F.substring(w, -1, 1)
+        return (
+            F.when((ln > 1) & last.rlike(_CHRFPP_PUNCT),
+                   F.array(F.substring(w, F.lit(1), ln - 1), last))
+            .when((ln > 1) & first.rlike(_CHRFPP_PUNCT),
+                  F.array(first, F.substring(w, F.lit(2), ln - 1)))
+            .otherwise(F.array(w)))
+
+    return F.slice(F.flatten(F.transform(words, split_word)), 1, max_words)
+
+
+def _check_word_order(stage: str, expression: dict) -> tuple[int, int]:
+    """Validate the chrF++ options: ``wordOrder`` (default 0 = plain
+    chrF; 2 = chrF++ as reported by MT papers) and the word-side cost
+    cap ``maxWords`` (default 2000, like the BLEU family)."""
+    word_order = int(expression.get("wordOrder", 0))
+    max_words = int(expression.get("maxWords", 2000))
+    if not 0 <= word_order <= 4:
+        raise ValueError(f"{stage} wordOrder must be in 0..4")
+    if max_words < 1:
+        raise ValueError(f"{stage} maxWords must be >= 1")
+    return word_order, max_words
 
 
 _QA_PUNCT = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""
@@ -1253,6 +1393,12 @@ def chrf_corpus_stage(expression: Any, ctx: Context) -> StageFn:
         raise ValueError(
             f"$chrfCorpus formula must be popovic|sacrebleu, "
             f"got {formula!r}")
+    # r12 chrF++: word n-gram orders pool corpus-wide exactly like the
+    # char orders (sacrebleu's corpus chrF2++ sums word-gram statistics
+    # across segments before one _compute_f_score); adds wp{n}/wr{n}
+    # output columns only when wordOrder > 0, so the default schema is
+    # unchanged
+    word_order, wmax_words = _check_word_order("$chrfCorpus", expression)
     if not 1 <= max_n <= 10:
         raise ValueError("$chrfCorpus maxN must be in 1..10")
     if beta <= 0:
@@ -1289,16 +1435,36 @@ def chrf_corpus_stage(expression: Any, ctx: Context) -> StageFn:
                          .withColumn(gr_n, char_grams(sr, n))
             stage = stage.withColumn(
                 m_n, _eval_clipped(F.col(gc_n), F.col(gr_n)))
+        if word_order > 0:
+            stage = stage.withColumn(
+                "__chc_wc", _chrfpp_tokens(cand, wmax_words)
+            ).withColumn("__chc_wr", _chrfpp_tokens(ref, wmax_words))
+            for n in range(1, word_order + 1):
+                wgc_n, wgr_n, wm_n = (f"__chc_wgc{n}", f"__chc_wgr{n}",
+                                      f"__chc_wm{n}")
+                stage = stage.withColumn(
+                    wgc_n, _eval_grams(F.col("__chc_wc"), n)
+                ).withColumn(
+                    wgr_n, _eval_grams(F.col("__chc_wr"), n))
+                stage = stage.withColumn(
+                    wm_n, _eval_clipped(F.col(wgc_n), F.col(wgr_n)))
         zero_l = F.lit(0).cast("long")
         aggs = [F.count(F.lit(1)).alias("n_segments")]
-        for n in range(1, max_n + 1):
+        # (sum-column, cand-total, ref-total, output-prefix) per order:
+        # char orders then word orders — the chrF++ statistics pool
+        orders = [(f"__chc_m{n}", f"__chc_gc{n}", f"__chc_gr{n}",
+                   f"m{n}", f"tc{n}", f"tr{n}", f"p{n}", f"r{n}")
+                  for n in range(1, max_n + 1)]
+        orders += [(f"__chc_wm{n}", f"__chc_wgc{n}", f"__chc_wgr{n}",
+                    f"wm{n}", f"wtc{n}", f"wtr{n}", f"wp{n}", f"wr{n}")
+                   for n in range(1, word_order + 1)]
+        for m_c, gc_c, gr_c, m_a, tc_a, tr_a, _p, _r in orders:
             aggs += [
-                F.coalesce(F.sum(F.col(f"__chc_m{n}")), zero_l)
-                .alias(f"m{n}"),
-                F.coalesce(F.sum(F.size(F.col(f"__chc_gc{n}"))
-                                 .cast("long")), zero_l).alias(f"tc{n}"),
-                F.coalesce(F.sum(F.size(F.col(f"__chc_gr{n}"))
-                                 .cast("long")), zero_l).alias(f"tr{n}"),
+                F.coalesce(F.sum(F.col(m_c)), zero_l).alias(m_a),
+                F.coalesce(F.sum(F.size(F.col(gc_c))
+                                 .cast("long")), zero_l).alias(tc_a),
+                F.coalesce(F.sum(F.size(F.col(gr_c))
+                                 .cast("long")), zero_l).alias(tr_a),
             ]
         row = stage.agg(*aggs)
         p_sum = F.lit(0.0)
@@ -1306,10 +1472,10 @@ def chrf_corpus_stage(expression: Any, ctx: Context) -> StageFn:
         f_sum = F.lit(0.0)
         n_eff = F.lit(0)
         outs = []
-        for n in range(1, max_n + 1):
-            m = F.col(f"m{n}").cast("double")
-            tc = F.col(f"tc{n}").cast("double")
-            tr = F.col(f"tr{n}").cast("double")
+        for _m_c, _gc_c, _gr_c, m_a, tc_a, tr_a, p_a, r_a in orders:
+            m = F.col(m_a).cast("double")
+            tc = F.col(tc_a).cast("double")
+            tr = F.col(tr_a).cast("double")
             p = F.when(tc > 0, m / tc).otherwise(F.lit(0.0))
             r = F.when(tr > 0, m / tr).otherwise(F.lit(0.0))
             if formula == "sacrebleu":
@@ -1324,7 +1490,7 @@ def chrf_corpus_stage(expression: Any, ctx: Context) -> StageFn:
                 p_sum = p_sum + F.when(eff, p).otherwise(F.lit(0.0))
                 r_sum = r_sum + F.when(eff, r).otherwise(F.lit(0.0))
             n_eff = n_eff + eff.cast("int")
-            outs += [p.alias(f"p{n}"), r.alias(f"r{n}")]
+            outs += [p.alias(p_a), r.alias(r_a)]
         if formula == "sacrebleu":
             score = F.when(n_eff == 0, F.lit(0.0)) \
                 .otherwise(f_sum / n_eff)
@@ -2240,7 +2406,7 @@ def _corpus_stat_machinery(statistic: str, expression: dict, stage_name: str):
         # interval brackets a 13a-tokenized $bleuCorpus point score —
         # previously silently ignored (raw whitespace tokens).
         tokenizer = _check_tokenizer(stage_name, expression.get("tokenizer"))
-        tok = _tok13a if tokenizer == "13a" else (lambda r: r)
+        tok = _tok_fn(tokenizer)
         if not 1 <= max_n <= 8:
             raise ValueError(f"{stage_name} maxN must be in 1..8")
         if max_words < 1:
@@ -2357,10 +2523,17 @@ def _corpus_stat_machinery(statistic: str, expression: dict, stage_name: str):
             raise ValueError(f"{stage_name} beta must be > 0")
         if max_chars < 1:
             raise ValueError(f"{stage_name} maxChars must be >= 1")
+        # r12 chrF++: word orders ride the same sufficient-statistics
+        # shape — a replicate's corpus chrF++ pools Σ wᵢ·(word-gram
+        # stats) next to the char-gram sums
+        word_order, wmax_words = _check_word_order(stage_name, expression)
         b2 = beta * beta
-        fields = ([f"m{n}" for n in range(1, max_n + 1)]
-                  + [f"tc{n}" for n in range(1, max_n + 1)]
-                  + [f"tr{n}" for n in range(1, max_n + 1)])
+        # (m, tc, tr) field-name triples: char orders then word orders
+        triples = [(f"m{n}", f"tc{n}", f"tr{n}", "c", n)
+                   for n in range(1, max_n + 1)]
+        triples += [(f"wm{n}", f"wtc{n}", f"wtr{n}", "w", n)
+                    for n in range(1, word_order + 1)]
+        fields = [k for t in triples for k in t[:3]]
 
         def strip(t: Column) -> Column:
             return F.substring(F.regexp_replace(t, r"\s+", ""),
@@ -2379,6 +2552,13 @@ def _corpus_stat_machinery(statistic: str, expression: dict, stage_name: str):
             for n in range(1, max_n + 1):
                 stage = stage.withColumn(
                     f"__pbs_gr{n}", char_grams(F.col("__pbs_sr"), n))
+            if word_order > 0:
+                stage = stage.withColumn(
+                    "__pbs_wr", _chrfpp_tokens(ref, wmax_words))
+                for n in range(1, word_order + 1):
+                    stage = stage.withColumn(
+                        f"__pbs_wgr{n}",
+                        _eval_grams(F.col("__pbs_wr"), n))
             return stage, ref.isNotNull()
 
         def build(stage: DataFrame, sctx: ExprContext, cand_e: Any,
@@ -2399,16 +2579,33 @@ def _corpus_stat_machinery(statistic: str, expression: dict, stage_name: str):
                 stage = stage.withColumn(
                     f"{p}_tr{n}",
                     F.size(F.col(f"__pbs_gr{n}")).cast("long"))
+            if word_order > 0:
+                stage = stage.withColumn(
+                    f"{p}_wtoks", _chrfpp_tokens(cand, wmax_words))
+                for n in range(1, word_order + 1):
+                    stage = stage.withColumn(
+                        f"{p}_wgc{n}",
+                        _eval_grams(F.col(f"{p}_wtoks"), n))
+                    stage = stage.withColumn(
+                        f"{p}_wm{n}",
+                        _eval_clipped(F.col(f"{p}_wgc{n}"),
+                                      F.col(f"__pbs_wgr{n}")))
+                    stage = stage.withColumn(
+                        f"{p}_wtc{n}",
+                        F.size(F.col(f"{p}_wgc{n}")).cast("long"))
+                    stage = stage.withColumn(
+                        f"{p}_wtr{n}",
+                        F.size(F.col(f"__pbs_wgr{n}")).cast("long"))
             return stage, cand.isNotNull()
 
         def score(get) -> Column:
             if formula == "sacrebleu":
                 f_sum = F.lit(0.0)
                 n_eff = F.lit(0)
-                for n in range(1, max_n + 1):
-                    m = get(f"m{n}").cast("double")
-                    tc = get(f"tc{n}").cast("double")
-                    tr = get(f"tr{n}").cast("double")
+                for m_k, tc_k, tr_k, _kind, _n in triples:
+                    m = get(m_k).cast("double")
+                    tc = get(tc_k).cast("double")
+                    tr = get(tr_k).cast("double")
                     eff = (tc > 0) & (tr > 0)
                     p_, r_ = m / tc, m / tr
                     f_n = F.when(
@@ -2422,10 +2619,10 @@ def _corpus_stat_machinery(statistic: str, expression: dict, stage_name: str):
             p_sum = F.lit(0.0)
             r_sum = F.lit(0.0)
             n_eff = F.lit(0)
-            for n in range(1, max_n + 1):
-                m = get(f"m{n}").cast("double")
-                tc = get(f"tc{n}").cast("double")
-                tr = get(f"tr{n}").cast("double")
+            for m_k, tc_k, tr_k, _kind, _n in triples:
+                m = get(m_k).cast("double")
+                tc = get(tc_k).cast("double")
+                tr = get(tr_k).cast("double")
                 eff = (tc > 0) | (tr > 0)
                 p_ = F.when(tc > 0, m / tc).otherwise(F.lit(0.0))
                 r_ = F.when(tr > 0, m / tr).otherwise(F.lit(0.0))

@@ -952,3 +952,250 @@ def test_ter_published_sacrebleu_vectors(spark):
     # the Snover example's decomposition: exactly ONE shift found
     snover = [r for r in got if r["i"] == 0][0]
     assert snover["t"]["shifts"] == 1
+
+
+# ---- r12 chrF++ (wordOrder) ------------------------------------------
+
+
+_PP_WS = __import__("re").compile(r"[ \t\n\r\f\x0b]+")
+_PP_PUNCT = set(__import__("string").punctuation)
+
+
+def _pp_tokens(s, cap=2000):
+    toks = []
+    for w in _PP_WS.split(s):
+        if not w:
+            continue
+        if len(w) > 1 and w[-1] in _PP_PUNCT:
+            toks += [w[:-1], w[-1]]
+        elif len(w) > 1 and w[0] in _PP_PUNCT:
+            toks += [w[0], w[1:]]
+        else:
+            toks.append(w)
+    return toks[:cap]
+
+
+def _pp_stats(c, r, char_n, word_n):
+    """(m, tc, tr) triples: char orders 1..char_n then word orders
+    1..word_n — the chrF++ statistics pool."""
+    from collections import Counter
+
+    sc = _PP_WS.sub("", c)[:2000]
+    sr = _PP_WS.sub("", r)[:2000]
+    out = []
+    for n in range(1, char_n + 1):
+        gc = [sc[i:i + n] for i in range(len(sc) - n + 1)]
+        gr = [sr[i:i + n] for i in range(len(sr) - n + 1)]
+        cc, cr = Counter(gc), Counter(gr)
+        out.append((sum(min(v, cr[g]) for g, v in cc.items()),
+                    len(gc), len(gr)))
+    wc, wr = _pp_tokens(c), _pp_tokens(r)
+    for n in range(1, word_n + 1):
+        gc = [" ".join(wc[i:i + n]) for i in range(len(wc) - n + 1)]
+        gr = [" ".join(wr[i:i + n]) for i in range(len(wr) - n + 1)]
+        cc, cr = Counter(gc), Counter(gr)
+        out.append((sum(min(v, cr[g]) for g, v in cc.items()),
+                    len(gc), len(gr)))
+    return out
+
+
+def _pp_score(triples, formula, beta=2.0):
+    b2 = beta * beta
+    if formula == "sacrebleu":
+        f_sum, n_eff = 0.0, 0
+        for m, tc, tr in triples:
+            if tc > 0 and tr > 0:
+                p, r_ = m / tc, m / tr
+                denom = b2 * p + r_
+                f_sum += (1 + b2) * p * r_ / denom if denom > 0 else 0.0
+                n_eff += 1
+        return f_sum / n_eff if n_eff else 0.0
+    p_sum = r_sum = 0.0
+    n_eff = 0
+    for m, tc, tr in triples:
+        if tc > 0 or tr > 0:
+            n_eff += 1
+            p_sum += m / tc if tc > 0 else 0.0
+            r_sum += m / tr if tr > 0 else 0.0
+    if n_eff == 0:
+        return 0.0
+    p, r_ = p_sum / n_eff, r_sum / n_eff
+    return (1 + b2) * p * r_ / (b2 * p + r_) if p + r_ > 0 else 0.0
+
+
+def test_chrf_plus_plus_randomized_differential(spark):
+    """$chrf wordOrder: 2 (chrF++, Popović 2017) vs an independent
+    implementation of the chrF++.py statistics pool, both formulas,
+    scalar and multi-reference."""
+    rows = _pairs(7212, 100)
+    df = spark.createDataFrame(rows, "i long, c string, r string")
+    got = {x["i"]: x for x in compile_pipeline(
+        [{"$chrf": {"candidate": "$c", "reference": "$r", "maxN": 4,
+                    "wordOrder": 2, "as": "pp"}},
+         {"$chrf": {"candidate": "$c", "reference": "$r", "maxN": 4,
+                    "wordOrder": 2, "formula": "sacrebleu", "as": "sb"}},
+         {"$chrf": {"candidate": "$c", "references": ["$r", "$c"],
+                    "maxN": 4, "wordOrder": 2, "as": "ppm"}}],
+        Context(spark=spark))(df).collect()}
+    for i, c, r in rows:
+        st = _pp_stats(c, r, 4, 2)
+        for key, formula in (("pp", "popovic"), ("sb", "sacrebleu")):
+            want = _pp_score(st, formula)
+            assert abs(got[i][key] - want) < 1e-12, (i, c, r, key)
+        wm = max(_pp_score(st, "popovic"),
+                 _pp_score(_pp_stats(c, c, 4, 2), "popovic"))
+        assert abs(got[i]["ppm"] - wm) < 1e-12, (i, c, r)
+    # identity scores 1.0 whenever the candidate has any content
+    nonempty = [i for i, c, _ in rows if _PP_WS.sub("", c)]
+    assert all(abs(got[i]["ppm"] - 1.0) < 1e-12 for i in nonempty)
+
+
+def test_chrf_plus_plus_edge_tokenization(spark):
+    """The chrF++.py edge-punctuation quirks, pinned literally:
+    "(word)" keeps the opening paren attached; interior punctuation
+    never splits; one-char punctuation words pass through."""
+    rows = [
+        (0, "hello, world!", "hello , world !"),
+        (1, "(word)", "( word )"),
+        (2, "a.b.c", "a . b . c"),
+        (3, "! ! !", "!!!"),
+    ]
+    df = spark.createDataFrame(rows, "i long, c string, r string")
+    got = {x["i"]: x["s"] for x in compile_pipeline(
+        [{"$chrf": {"candidate": "$c", "reference": "$r", "maxN": 2,
+                    "wordOrder": 2, "as": "s"}}],
+        Context(spark=spark))(df).collect()}
+    for i, c, r in rows:
+        want = _pp_score(_pp_stats(c, r, 2, 2), "popovic")
+        assert abs(got[i] - want) < 1e-12, (i, c, r, got[i], want)
+    # tokenization itself, via a same-tokens pair scoring exactly 1.0
+    # on the word orders: "hello," tokenizes to [hello][,] so a
+    # pre-separated reference has IDENTICAL word grams but different
+    # char grams -> word-order P=R=1 contributions
+    st = _pp_stats("hello, world!", "hello , world !", 0, 2)
+    assert all(m == tc == tr for m, tc, tr in st)
+    assert _pp_tokens("(word)") == ["(word", ")"]
+    assert _pp_tokens("a.b.c") == ["a.b.c"]
+
+
+def test_chrf_word_order_validation(spark):
+    with pytest.raises(ValueError, match="wordOrder"):
+        compile_pipeline(
+            [{"$chrf": {"candidate": "$c", "reference": "$r",
+                        "wordOrder": 9}}], Context(spark=spark))
+    with pytest.raises(ValueError, match="maxWords"):
+        compile_pipeline(
+            [{"$chrf": {"candidate": "$c", "reference": "$r",
+                        "wordOrder": 2, "maxWords": 0}}],
+            Context(spark=spark))
+
+
+def test_chrf_plus_plus_corpus_and_bootstrap(spark):
+    """$chrfCorpus wordOrder: 2 pools word-gram statistics corpus-wide
+    next to the char orders (sacrebleu corpus chrF2++ shape), and the
+    corpusChrf bootstrap statistic threads wordOrder through the
+    replicate sums (full-corpus mean == $chrfCorpus score)."""
+    rows = _pairs(8123, 60)
+    df = spark.createDataFrame(rows, "i long, c string, r string")
+    got = compile_pipeline(
+        [{"$chrfCorpus": {"candidate": "$c", "reference": "$r",
+                          "maxN": 3, "wordOrder": 2}}],
+        Context(spark=spark))(df).collect()[0]
+    # independent pooled reference
+    pooled = None
+    for _, c, r in rows:
+        st = _pp_stats(c, r, 3, 2)
+        pooled = st if pooled is None else [
+            (a + m, b + tc, d + tr)
+            for (a, b, d), (m, tc, tr) in zip(pooled, st)]
+    want = _pp_score(pooled, "popovic")
+    assert abs(got["chrf"] - want) < 1e-12
+    assert "wp1" in got.asDict() and "wr2" in got.asDict()
+    # default schema unchanged without wordOrder
+    got0 = compile_pipeline(
+        [{"$chrfCorpus": {"candidate": "$c", "reference": "$r",
+                          "maxN": 3}}], Context(spark=spark))(df).collect()[0]
+    assert "wp1" not in got0.asDict()
+    # bootstrap statistic: full-corpus mean must equal the corpus score
+    ci = compile_pipeline(
+        [{"$bootstrapCI": {"id": "$i", "statistic": "corpusChrf",
+                           "candidate": "$c", "reference": "$r",
+                           "maxN": 3, "wordOrder": 2,
+                           "samples": 10, "seed": 3}}],
+        Context(spark=spark))(df).collect()[0]
+    assert abs(ci["mean"] - want) < 1e-12
+    assert ci["ci_low"] <= want <= ci["ci_high"]
+
+
+def test_bleu_intl_tokenizer(spark):
+    """tokenizer: "intl" (mteval-v14 international, sacrebleu's second
+    tokenizer) — equivalence against a Python implementation of the
+    three published rules (pad punctuation unless digit-adjacent, pad
+    all symbols), including the category split ASCII hides: $ + = are
+    Unicode SYMBOLS (always padded), , . are PUNCTUATION (kept inside
+    numbers)."""
+    import re
+
+    P = r"[!\"#%&'()*,\-./:;?@\[\\\]_{}]"
+    S = r"[$+<=>^`|~€]"
+
+    def ref_tok(s):
+        s = re.sub(rf"([^0-9])({P})", r"\1 \2 ", s)
+        s = re.sub(rf"({P})([^0-9])", r" \1 \2", s)
+        s = re.sub(rf"({S})", r" \1 ", s)
+        return " ".join(s.split())
+
+    texts = [
+        "hello, world!",
+        "it costs $5.50 today",
+        "5,000 items (about 3.14%) arrived",
+        "a+b=c and x<y",
+        "price: €9.99!",
+        "mr. smith's 2nd try...",
+        "",
+    ]
+    rows = [(i, t, texts[(i + 1) % len(texts)])
+            for i, t in enumerate(texts)]
+    # 13a pads '-' only after a digit; intl pads every non-digit-adjacent
+    # punctuation — so this pair scores differently under the two
+    rows.append((len(rows), "the well-known fact",
+                 "the well - known fact"))
+    df = spark.createDataFrame(rows, "i long, c string, r string")
+    got = {x["i"]: x["b"] for x in compile_pipeline(
+        [{"$bleu": {"candidate": "$c", "reference": "$r", "maxN": 2,
+                    "tokenizer": "intl", "smooth": "add1", "as": "b"}}],
+        Context(spark=spark))(df).collect()}
+    pre = [(i, ref_tok(c), ref_tok(r)) for i, c, r in rows]
+    df2 = spark.createDataFrame(pre, "i long, c string, r string")
+    want = {x["i"]: x["b"] for x in compile_pipeline(
+        [{"$bleu": {"candidate": "$c", "reference": "$r", "maxN": 2,
+                    "smooth": "add1", "as": "b"}}],
+        Context(spark=spark))(df2).collect()}
+    for i, c, r in rows:
+        assert got[i] == want[i], (i, c, ref_tok(c))
+    # intl actually differs from 13a on digit-adjacent punctuation
+    got13 = {x["i"]: x["b"] for x in compile_pipeline(
+        [{"$bleu": {"candidate": "$c", "reference": "$r", "maxN": 2,
+                    "tokenizer": "13a", "smooth": "add1", "as": "b"}}],
+        Context(spark=spark))(df).collect()}
+    assert any(got[i] != got13[i] for i, _, _ in rows)
+    # corpus + bootstrap statistic accept it too
+    one = compile_pipeline(
+        [{"$bleuCorpus": {"candidate": "$c", "reference": "$r",
+                          "maxN": 2, "tokenizer": "intl"}}],
+        Context(spark=spark))(df).collect()[0]
+    one2 = compile_pipeline(
+        [{"$bleuCorpus": {"candidate": "$c", "reference": "$r",
+                          "maxN": 2}}], Context(spark=spark))(df2).collect()[0]
+    assert one["bleu"] == one2["bleu"]
+    ci = compile_pipeline(
+        [{"$bootstrapCI": {"id": "$i", "statistic": "corpusBleu",
+                           "candidate": "$c", "reference": "$r",
+                           "maxN": 2, "tokenizer": "intl",
+                           "samples": 8, "seed": 1}}],
+        Context(spark=spark))(df).collect()[0]
+    assert ci["mean"] == one["bleu"]
+    with pytest.raises(ValueError, match="tokenizer"):
+        compile_pipeline(
+            [{"$bleu": {"candidate": "$c", "reference": "$r",
+                        "tokenizer": "v14"}}], Context(spark=spark))
