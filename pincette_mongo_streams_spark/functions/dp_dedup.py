@@ -29,12 +29,75 @@ def md5_long(col: Column, seed: int) -> Column:
     ).cast("long")
 
 
-def _spread(df: DataFrame) -> DataFrame:
+_RG_CACHE: dict = {}
+
+
+def _row_group_bound(df: DataFrame) -> Optional[int]:
+    """Upper bound on the EFFECTIVE scan parallelism of a file-backed
+    frame: the total parquet row-group count across its input files.
+
+    ``getNumPartitions()`` counts byte-range SPLITS, but the vectorized
+    reader hands a whole row group to the split containing its start
+    offset — a 6 MB single-row-group file "split" 32 ways still runs as
+    ONE task with rows next to 31 empty ones (r12 measurement: minhash
+    at 32 empty splits serialized to 3.5 s from 0.44 s).  Footer reads
+    are driver-side milliseconds and cached by (path, size, mtime).
+
+    Returns None when the frame is not file-backed (post-shuffle
+    partitioning is real, not split fiction) or metadata is unreadable.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        total = 0
+        for uri in files:
+            path = uri[7:] if uri.startswith("file://") else uri
+            if not path.endswith(".parquet"):
+                return None
+            st = os.stat(path)
+            key = (path, st.st_size, st.st_mtime_ns)
+            n = _RG_CACHE.get(key)
+            if n is None:
+                n = pq.ParquetFile(path).metadata.num_row_groups
+                _RG_CACHE[key] = n
+            total += n
+        return total
+    except Exception:
+        return None
+
+
+def _spread(df: DataFrame, light: bool = False) -> DataFrame:
     """Fan a compute-bound stage out across cores.  Small files arrive as
     a single scan partition (one 500 KB parquet = one task), serializing
     per-row-heavy hash/regex work; a cheap round-robin repartition fixes
     that.  Gated so large inputs (already many partitions at 100 TB) are
     never reshuffled.
+
+    Effective parallelism is ``min(splits, row groups)`` for frames whose
+    physical plan is exchange-free (r12): splits overcount on small files
+    because a row group is indivisible.  After any Exchange the reported
+    partition count is real (rows actually moved), and ``inputFiles()``
+    still names the source files through the lineage, so the bound is
+    only applied when no Exchange appears in the executed plan —
+    planning was already forced by ``df.rdd``, the string check is one
+    py4j round trip.
+
+    ``light=True`` marks stages whose per-byte compute is on the order of
+    the per-byte cost of moving the payload (a single codegen pass:
+    $fingerprint's regex+md5).  A reshuffle moves every payload byte once
+    — it can only amortize when downstream work per byte dwarfs the move,
+    so light stages skip the fan-out unless the input is genuinely large
+    AND serialized (>32 MB in <2 effective partitions), where even one
+    regex pass is seconds single-threaded.  Measured r12 at sf0.1:
+    $fingerprint 0.30 s with the reshuffle vs 0.19 s without.
 
     r11 note: two "size-aware" fan-out variants were measured and
     REJECTED — (a) targeting the optimizer's size estimate (stats()
@@ -47,7 +110,36 @@ def _spread(df: DataFrame) -> DataFrame:
     the input already arrives wide."""
     try:
         parallelism = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(2, parallelism // 2):
+        eff = df.rdd.getNumPartitions()
+        try:
+            import re
+
+            # shuffle nodes print as "Exchange <partitioning>";
+            # BroadcastExchange does not re-partition the probe side
+            exchange_free = not re.search(
+                r"(?<!Broadcast)Exchange",
+                df._jdf.queryExecution().executedPlan().toString())
+        except Exception:
+            exchange_free = False
+        if exchange_free:
+            bound = _row_group_bound(df)
+            if bound is not None:
+                eff = min(eff, bound)
+        if light:
+            if eff < 2:
+                try:
+                    import os
+
+                    big = sum(
+                        os.path.getsize(u[7:] if u.startswith("file://")
+                                        else u)
+                        for u in df.inputFiles()) > (32 << 20)
+                except Exception:
+                    big = False
+                if big:
+                    return df.repartition(parallelism)
+            return df
+        if eff < max(2, parallelism // 2):
             return df.repartition(parallelism)
     except Exception:
         pass

@@ -556,7 +556,10 @@ def fingerprint_stage(expression: Any, ctx: Context) -> StageFn:
     as_field = expression.get("as", "fingerprint")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
-        df = _spread(df)
+        # light: one regex+md5 codegen pass costs about what moving the
+        # payload costs, so the fan-out reshuffle can't amortize on
+        # small inputs (r12: 0.30 s -> 0.19 s at sf0.1 without it)
+        df = _spread(df, light=True)
         text = compile_expr(inp, ExprContext(schema=df.schema))
         norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(text),
                                                         "[^a-z0-9\\s]", ""), "\\s+", " "))
