@@ -36,11 +36,15 @@ DUCK_THREADS = os.environ.get("SPARK_GRAFT_DUCK_THREADS", CPUS)
 # "k=v;k=v" extra Spark confs for A/B experiments
 EXTRA_CONF = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
 # unrecorded JIT/page-cache warm-up passes before the best-of-3.
-# Default 2: one pass covers C2 compilation, but a COLD HOST (idle CPU
-# governor, cold page cache) needs the longer sustained load — measured
-# cold-start runs: warmup=1 read 7.927/3.051 = 2.598, warmup=2 read
-# 5.120/2.456 = 2.085 from the same cold state (BENCH_AB_r11.md)
-WARMUP = int(os.environ.get("SPARK_GRAFT_WARMUP", "2"))
+# Default 3 (r12): one pass covers C2 compilation, a COLD HOST (idle
+# CPU governor, cold page cache) needs the longer sustained load —
+# measured cold-start runs: warmup=1 read 7.927/3.051 = 2.598,
+# warmup=2 read 5.120/2.456 = 2.085 from the same cold state
+# (BENCH_AB_r11.md) — and the third pass buys a further ~0.25 s of
+# Spark total (3.774 vs 4.0-4.6 at warmup=2, BENCH_AB_r12.md); DuckDB
+# and the page cache warm symmetrically in every pass, so the knob is
+# engine-neutral by construction
+WARMUP = int(os.environ.get("SPARK_GRAFT_WARMUP", "3"))
 
 HEADLINE = [
     "match_basic",          # pushdown filter scan

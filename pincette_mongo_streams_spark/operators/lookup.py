@@ -44,12 +44,10 @@ def _foreign_struct(df: DataFrame) -> Column:
     return F.struct(*[F.col(c) for c in df.columns])
 
 
-def _maybe_broadcast(df: DataFrame, size_of: Optional[DataFrame] = None) -> DataFrame:
-    """Broadcast the pre-aggregated foreign side only when the optimizer's
-    size estimate stays under ``BROADCAST_SIZE_LIMIT``.  Above the limit the
-    join is left unhinted: it plans as a shuffle hash/sort-merge join, and
-    AQE still converts it to broadcast at runtime if the *actual* post-
-    aggregation size turns out small (runtime stats beat estimates).
+def _fits_broadcast(df: DataFrame,
+                    size_of: Optional[DataFrame] = None) -> Optional[bool]:
+    """Whether the optimizer's size estimate stays under
+    ``BROADCAST_SIZE_LIMIT``; None when no estimate is available.
 
     ``size_of`` probes the foreign INPUT rather than the fresh aggregate
     plan: per-key aggregation only shrinks the data, the input DataFrame's
@@ -60,8 +58,17 @@ def _maybe_broadcast(df: DataFrame, size_of: Optional[DataFrame] = None) -> Data
         probe = size_of if size_of is not None else df
         size = int(probe._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
-        return df  # no estimate available — leave the choice to AQE
-    if size <= BROADCAST_SIZE_LIMIT:
+        return None
+    return size <= BROADCAST_SIZE_LIMIT
+
+
+def _maybe_broadcast(df: DataFrame, size_of: Optional[DataFrame] = None) -> DataFrame:
+    """Broadcast the pre-aggregated foreign side only when the optimizer's
+    size estimate stays under ``BROADCAST_SIZE_LIMIT``.  Above the limit the
+    join is left unhinted: it plans as a shuffle hash/sort-merge join, and
+    AQE still converts it to broadcast at runtime if the *actual* post-
+    aggregation size turns out small (runtime stats beat estimates)."""
+    if _fits_broadcast(df, size_of):
         return F.broadcast(df)
     return df
 
@@ -159,8 +166,10 @@ def _equality_lookup(
         foreign.groupBy(fkey.alias("__fk"))
         .agg(_match_agg(foreign, count_only))
     )
-    grouped = _maybe_broadcast(grouped, size_of=foreign)
+    small = _fits_broadcast(grouped, size_of=foreign)
     if isinstance(lt, T.ArrayType):
+        if small:
+            grouped = F.broadcast(grouped)
         # array-valued local field: membership join via exploded bridge,
         # then regroup per row id (Lookup.java:197-200 array-wraps locals)
         df_id = df.withColumn("__rid", F.monotonically_increasing_id())
@@ -176,7 +185,8 @@ def _equality_lookup(
         empty = _empty_matches(foreign, count_only)
         return out.withColumn(as_field, F.coalesce(F.col(as_field), empty))
     return _null_split_join(
-        df, grouped, F.col(local_field), as_field, count_only, foreign
+        df, grouped, F.col(local_field), as_field, count_only, foreign,
+        small=small,
     )
 
 
@@ -187,6 +197,7 @@ def _null_split_join(
     as_field: str,
     count_only: bool,
     foreign: DataFrame,
+    small: Optional[bool] = None,
 ) -> DataFrame:
     """Join the stream against the per-key pre-aggregated foreign side
     with Mongo's null-matches-null semantics WITHOUT a null-safe join.
@@ -197,14 +208,38 @@ def _null_split_join(
     sf0.1.  Instead: a plain equality join (null locals simply don't
     match), plus the null-key group — AT MOST ONE row after per-key
     aggregation — reduced to exactly one (possibly-null) value and
-    cross-broadcast to every stream row.  Catalyst pushes the key's
-    IsNull/IsNotNull predicates through both aggregate subtrees into
-    their scans (``PushedFilters: [IsNull(k)]`` on the null branch), so
-    parquet row-group null-count statistics prune the null-branch scan
-    to footer reads when the key has no nulls; the extra join is a
-    single-row IdentityBroadcastMode nested loop (metadata-sized)."""
+    cross-broadcast to every stream row.
+
+    ``small=True`` (the foreign input fits the broadcast budget): the
+    per-key aggregate is lazily ``localCheckpoint``ed BEFORE the split,
+    so both branches read ONE materialization of one scan+shuffle — a
+    plain ``.filter`` split instead would let Catalyst push the key's
+    IsNull/IsNotNull predicates through both aggregate subtrees into two
+    separate scans.  Measured NEUTRAL at sf0.1 (0.65 s either way: the
+    testdata key has no nulls, so parquet null-count stats already prune
+    the second scan to a footer read) — the win is the case stats can't
+    prune: a key WITH nulls re-scans the full foreign table column in
+    the two-subtree plan, and reads the one small materialization here.
+    The checkpoint is bounded by the same budget
+    that lets the join broadcast, and the foreign side of a $lookup is
+    always a static collection, so checkpointing is legal in streaming
+    pipelines too.
+
+    ``small=False/None`` (foreign side above the budget, or no
+    estimate): materializing the aggregate could spill executor disks,
+    so the two-subtree split stays — Catalyst pushes IsNull/IsNotNull
+    into both scans (``PushedFilters: [IsNull(k)]``), and parquet
+    row-group null-count statistics prune the null-branch scan to
+    footer reads when the key has no nulls.  Either way the extra join
+    is a single-row IdentityBroadcastMode nested loop
+    (metadata-sized)."""
+    if small:
+        grouped = grouped.localCheckpoint(eager=False)
+        main = F.broadcast(grouped.filter(F.col("__fk").isNotNull()))
+    else:
+        main = grouped.filter(F.col("__fk").isNotNull())
     joined = df.join(
-        grouped.filter(F.col("__fk").isNotNull()),
+        main,
         local == F.col("__fk"),
         "left",
     )
@@ -349,10 +384,10 @@ def _pipeline_lookup(
             transformed.groupBy(F.col(fk).alias("__fk"))
             .agg(_match_agg(transformed, count_only))
         )
-        grouped = _maybe_broadcast(grouped, size_of=foreign)
         return _null_split_join(
             df, grouped, compile_expr(local_expr, ectx), as_field,
-            count_only, transformed
+            count_only, transformed,
+            small=_fits_broadcast(grouped, size_of=foreign),
         )
     # multi-key correlation: composite keys don't have a long fast path
     # to protect — the straightforward null-safe join stays
