@@ -23,7 +23,7 @@ from ..pipeline import StageFn, register_stage
 from . import dp_dedup
 from .dp_dedup import (_annotate_components,
                        _cc_labels, _component_dups, _pair_dot,
-                       _unit_vector)
+                       _spread, _unit_vector)
 
 
 def vec_dot(a: Column, b: Column) -> Column:
@@ -217,6 +217,10 @@ def ann_topk_stage(expression: Any, ctx: Context) -> StageFn:
         from pyspark.sql import Window
 
         q = c.collection(queries_coll)
+        # heavy: one O(d) dot product per (corpus row x query) pair —
+        # fan a narrow corpus out before the broadcast cross (r12: the
+        # single-row-group sf0.1 corpus ran ~20k dim-d dots in ONE task)
+        df = _spread(df)
         emb = compile_expr(inp, ExprContext(schema=df.schema))
         # norms + dot as generated SQL (one py4j call each) — the Python
         # HOF-lambda form costs a py4j round-trip per lambda, which is
