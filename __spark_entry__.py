@@ -1485,6 +1485,117 @@ ORDER BY d.doc_id""",
 )
 
 
+# rouge-token arithmetic shared by the two r12 ROUGE gates: a
+# whitespace N-word prefix rouge-tokenizes to a PREFIX of the full
+# text's rouge-token stream (whitespace always splits [a-z0-9]+ runs),
+# so clipped matches / union-LCS hits equal the candidate token count
+# and every struct field has a closed form — the same
+# subsequence-identity trick as rouge_l_eval, under the rouge_score
+# tokenizer instead of \s.
+_RG_TOKS = ("list_filter(string_split_regex(lower({0}), '[^a-z0-9]+'), "
+            "x -> x <> '')")
+
+def _ws_prefix_sql(n: int) -> str:
+    """The N-whitespace-word prefix of ``text``, re-joined with spaces
+    (kept out of the f-strings below: 3.11 f-string expressions cannot
+    contain backslashes)."""
+    return ("array_to_string(list_slice(list_filter("
+            "string_split_regex(trim(text), '\\s+'), x -> x <> ''), "
+            f"1, {n}), ' ')")
+
+
+_register(
+    "rouge_n",
+    f"""WITH w AS (
+  SELECT doc_id,
+         len({_RG_TOKS.format(_ws_prefix_sql(20))}) AS k,
+         least(len({_RG_TOKS.format('text')}), 2000) AS m
+  FROM documents WHERE text IS NOT NULL),
+s AS (SELECT doc_id,
+             CASE WHEN k >= 2 THEN k - 1 ELSE 0 END AS nc,
+             CASE WHEN m >= 2 THEN m - 1 ELSE 0 END AS nr
+      FROM w)
+SELECT d.doc_id,
+       CAST(s.nc AS BIGINT) AS n_cand,
+       CAST(s.nr AS BIGINT) AS n_ref,
+       CAST(s.nc AS BIGINT) AS n_match,
+       {_r('CASE WHEN s.nc > 0 THEN 1.0 '
+           'WHEN s.nc IS NOT NULL THEN 0.0 END', 6)} AS prec,
+       {_r('CASE WHEN s.nr > 0 THEN s.nc / CAST(s.nr AS DOUBLE) '
+           'WHEN s.nr IS NOT NULL THEN 0.0 END', 6)} AS rec,
+       {_r('CASE WHEN s.nc > 0 AND s.nr > 0 '
+           'THEN 2.0 * (s.nc / CAST(s.nr AS DOUBLE)) '
+           '/ (1.0 + s.nc / CAST(s.nr AS DOUBLE)) '
+           'WHEN s.nc IS NOT NULL THEN 0.0 END', 6)} AS f1
+FROM documents d LEFT JOIN s USING (doc_id)
+ORDER BY d.doc_id""",
+)(
+    _pipe(
+        "documents",
+        [
+            # candidate = 20-whitespace-word prefix -> its rouge-token
+            # BIGRAMS are a sub-multiset of the reference's, so
+            # n_match = n_cand and precision = 1 in closed form (the
+            # Spark side still runs the real clip aggregate)
+            {"$truncateTokens": {"input": "$text", "as": "cand",
+                                 "max": 20}},
+            {"$rougeN": {"candidate": "$cand", "reference": "$text",
+                         "n": 2, "as": "rn"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "n_cand": "$rn.n_cand",
+                          "n_ref": "$rn.n_ref",
+                          "n_match": "$rn.n_match",
+                          "prec": {"$round": ["$rn.precision", 6]},
+                          "rec": {"$round": ["$rn.recall", 6]},
+                          "f1": {"$round": ["$rn.f1", 6]}}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
+_register(
+    "rouge_lsum",
+    f"""WITH w AS (
+  SELECT doc_id,
+         len({_RG_TOKS.format(_ws_prefix_sql(25))}) AS k,
+         least(len({_RG_TOKS.format('text')}), 2000) AS m
+  FROM documents WHERE text IS NOT NULL)
+SELECT d.doc_id,
+       CAST(w.k AS BIGINT) AS hits,
+       {_r('CASE WHEN w.k > 0 THEN 1.0 '
+           'WHEN w.k IS NOT NULL THEN 0.0 END', 6)} AS prec,
+       {_r('CASE WHEN w.m > 0 THEN w.k / CAST(w.m AS DOUBLE) '
+           'WHEN w.m IS NOT NULL THEN 0.0 END', 6)} AS rec,
+       {_r('CASE WHEN w.k > 0 THEN 2.0 * (w.k / CAST(w.m AS DOUBLE)) '
+           '/ (1.0 + w.k / CAST(w.m AS DOUBLE)) '
+           'WHEN w.k IS NOT NULL THEN 0.0 END', 6)} AS f1
+FROM documents d LEFT JOIN w USING (doc_id)
+ORDER BY d.doc_id""",
+)(
+    _pipe(
+        "documents",
+        [
+            # single-sentence corpus (no newlines in the testdata), so
+            # union-LCS degenerates to one LCS whose clipped hits equal
+            # the prefix candidate's token count; the multi-sentence
+            # union semantics are pinned by literal hand-traced vectors
+            # in tests/test_ml_eval.py
+            {"$truncateTokens": {"input": "$text", "as": "cand",
+                                 "max": 25}},
+            {"$rougeLsum": {"candidate": "$cand", "reference": "$text",
+                            "as": "rls"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "hits": "$rls.hits",
+                          "prec": {"$round": ["$rls.precision", 6]},
+                          "rec": {"$round": ["$rls.recall", 6]},
+                          "f1": {"$round": ["$rls.f1", 6]}}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
 def _profile_oracle_sql() -> str:
     """Per-column UNION ALL profile over lineitem numerics — exact
     distinct counts and quantile_cont percentiles (= Spark's exact

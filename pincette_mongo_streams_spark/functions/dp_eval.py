@@ -669,6 +669,341 @@ def rouge_l_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+def _rouge_tokens(t: Column, max_words: Optional[int] = None) -> Column:
+    """google-research/rouge's default tokenizer (the HF-evaluate /
+    rouge_score convention, public rules): lowercase, then keep
+    ``[a-z0-9]+`` runs as tokens — digits survive, punctuation and any
+    other character split.  The complement-split form below is
+    equivalent to the library's ``findall(r"[a-z0-9]+")`` and runs
+    identically in Java (Spark), RE2 (DuckDB oracles) and Python."""
+    w = F.filter(F.split(F.lower(t), "[^a-z0-9]+"),
+                 lambda x: x != F.lit(""))
+    return w if max_words is None else F.slice(w, 1, max_words)
+
+
+_ROUGE_TOKENIZERS = ("rougeScore", "whitespace")
+
+
+def _rouge_words(tok: str, t: Column, max_words: int) -> Column:
+    return (_rouge_tokens(t, max_words) if tok == "rougeScore"
+            else _eval_words(t, max_words))
+
+
+@register_stage("$rougeN")
+def rouge_n_stage(expression: Any, ctx: Context) -> StageFn:
+    """ROUGE-N (Lin 2004) with rouge_score-library parity: ``{candidate,
+    reference | references, n?, tokenizer?, maxWords?, as?}`` adds
+    ``struct<n_cand, n_ref, n_match, precision, recall, f1>`` where
+    ``n_match`` is the clipped word-n-gram match count, ``recall =
+    n_match/n_ref`` (the ROUGE-N headline number), ``precision =
+    n_match/n_cand`` and ``f1`` the harmonic mean — exactly
+    rouge_score's (precision, recall, fmeasure) triple for ``rougeN``.
+
+    The mathematical core is `$ngramOverlap`'s; what this stage adds is
+    the CONVENTION the summarization literature actually reports:
+    ``tokenizer: "rougeScore"`` (default) lowercases and keeps
+    ``[a-z0-9]+`` runs (the google-research/rouge default that
+    HF-evaluate wraps), so scores line up with published ROUGE-1/2
+    numbers; ``tokenizer: "whitespace"`` reproduces `$ngramOverlap`
+    exactly (differential-tested).  MULTI-REFERENCE keeps the struct of
+    the best f1 (rouge_score's ``score_multi`` max-fmeasure; ties ->
+    first reference in array order).  Null handling, ``maxWords``
+    (default 2000) cost cap and the temp-column CSE discipline are the
+    `$ngramOverlap` contract verbatim.
+
+    100 TB shape: pure higher-order-function column program — row-local,
+    zero shuffle, whole-stage codegen, O(d·(|c|+|r|)) per row."""
+    cand_e = expression["candidate"]
+    ref_e = expression.get("reference")
+    refs_e = expression.get("references")
+    if (ref_e is None) == (refs_e is None):
+        raise ValueError(
+            "$rougeN needs exactly one of reference | references")
+    n = int(expression.get("n", 1))
+    tok = expression.get("tokenizer", "rougeScore")
+    max_words = int(expression.get("maxWords", 2000))
+    as_field = expression.get("as", "rouge_n")
+    if n < 1:
+        raise ValueError("$rougeN n must be >= 1")
+    if tok not in _ROUGE_TOKENIZERS:
+        raise ValueError(
+            f"$rougeN tokenizer must be one of {_ROUGE_TOKENIZERS}")
+    if max_words < 1:
+        raise ValueError("$rougeN maxWords must be >= 1")
+
+    _OV_T = ("struct<n_cand:bigint,n_ref:bigint,n_match:bigint,"
+             "precision:double,recall:double,f1:double>")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        sctx = ExprContext(schema=df.schema)
+        cand = compile_expr(cand_e, sctx)
+        words = lambda t: _rouge_words(tok, t, max_words)  # noqa: E731
+        if refs_e is not None:
+            refs = compile_expr(refs_e, sctx)
+            stage = df.withColumn(
+                "__rn_gc", _eval_grams(words(cand), n),
+            ).withColumn(
+                "__rn_grs",
+                F.transform(
+                    F.filter(refs, lambda r: r.isNotNull()),
+                    lambda r: _eval_grams(words(r), n)))
+            gc, grs = F.col("__rn_gc"), F.col("__rn_grs")
+            nc = F.size(gc).cast("long")
+
+            def score_one(gr: Column) -> Column:
+                m = _eval_clipped(gc, gr)
+                nr = F.size(gr).cast("long")
+                p = F.when(nc > 0, m / nc.cast("double")) \
+                    .otherwise(F.lit(0.0))
+                r = F.when(nr > 0, m / nr.cast("double")) \
+                    .otherwise(F.lit(0.0))
+                f = F.when(p + r > 0, 2.0 * p * r / (p + r)) \
+                    .otherwise(F.lit(0.0))
+                return F.struct(
+                    nc.alias("n_cand"), nr.alias("n_ref"),
+                    m.alias("n_match"), p.alias("precision"),
+                    r.alias("recall"), f.alias("f1"))
+
+            # per-reference structs materialize FIRST, then one fold
+            # comparing f1 — same no-CSE-in-HOF-lambdas discipline as
+            # $ngramOverlap (see _eval_clipped's contract)
+            stage = stage.withColumn(
+                "__rn_sc", F.transform(grs, score_one))
+            best = F.aggregate(
+                F.col("__rn_sc"), F.lit(None).cast(_OV_T),
+                lambda acc, s: F.when(
+                    acc.isNull() | (s["f1"] > acc["f1"]), s,
+                ).otherwise(acc))
+            null_st = F.lit(None).cast(_OV_T)
+            out = F.when(
+                cand.isNull() | refs.isNull() | (F.size(grs) == 0),
+                null_st).otherwise(best)
+            return stage.withColumn(as_field, out) \
+                .drop("__rn_gc", "__rn_grs", "__rn_sc")
+        ref = compile_expr(ref_e, sctx)
+        stage = df.withColumn(
+            "__rn_gc", _eval_grams(words(cand), n),
+        ).withColumn(
+            "__rn_gr", _eval_grams(words(ref), n))
+        gc, gr = F.col("__rn_gc"), F.col("__rn_gr")
+        stage = stage.withColumn(
+            "__rn_m", _eval_clipped(gc, gr),
+        ).withColumn("__rn_p", F.when(
+            F.size(gc) > 0,
+            F.col("__rn_m") / F.size(gc).cast("long")).otherwise(F.lit(0.0))
+        ).withColumn("__rn_r", F.when(
+            F.size(gr) > 0,
+            F.col("__rn_m") / F.size(gr).cast("long")).otherwise(F.lit(0.0)))
+        prec, rec = F.col("__rn_p"), F.col("__rn_r")
+        f1 = F.when(prec + rec > 0,
+                    2.0 * prec * rec / (prec + rec)).otherwise(F.lit(0.0))
+        st = F.struct(
+            F.size(gc).cast("long").alias("n_cand"),
+            F.size(gr).cast("long").alias("n_ref"),
+            F.col("__rn_m").alias("n_match"), prec.alias("precision"),
+            rec.alias("recall"), f1.alias("f1"))
+        null_st = F.lit(None).cast(_OV_T)
+        return stage.withColumn(
+            as_field,
+            F.when(cand.isNull() | ref.isNull(), null_st).otherwise(st),
+        ).drop("__rn_gc", "__rn_gr", "__rn_m", "__rn_p", "__rn_r")
+
+    return fn
+
+
+_ROUGE_LSUM_TYPE = ("struct<hits:bigint,precision:double,"
+                    "recall:double,f1:double>")
+
+
+@register_stage("$rougeLsum")
+def rouge_lsum_stage(expression: Any, ctx: Context) -> StageFn:
+    """ROUGE-Lsum — summary-level ROUGE-L (Lin 2004 §3.2 as implemented
+    by google-research/rouge, the variant summarization papers report):
+    ``{candidate, reference | references, tokenizer?, maxWords?, as?}``
+    adds ``struct<hits, precision, recall, f1>``.
+
+    Both texts split into sentences on newlines (the library's
+    convention — upstream summarizers emit one sentence per line); for
+    each REFERENCE sentence the UNION of its LCS match positions
+    against every candidate sentence is taken, and union hits are
+    CLIPPED by remaining token counts on both sides (each token
+    occurrence credits at most once corpus-wide), processing reference
+    sentences in order — the exact rouge_score ``_summary_level_lcs``
+    procedure.  ``recall = hits/|ref tokens|``, ``precision =
+    hits/|cand tokens|``, ``f1`` harmonic.  With single-sentence texts
+    this reduces to sentence-level ROUGE-L with f-beta=1
+    (differential-tested).
+
+    ``tokenizer``: ``"rougeScore"`` (default — lowercase ``[a-z0-9]+``
+    runs, the library default) or ``"whitespace"`` (the eval-family
+    Java-\\s split).  MULTI-REFERENCE keeps the struct of the best f1
+    (rouge_score ``score_multi``; ties -> first reference).  Null in
+    either side -> null struct.
+
+    The union-LCS dynamic program has no closed column form, so this
+    runs on the eval family's documented Arrow boundary (row-local,
+    zero shuffle).  ``maxWords`` (default 2000) caps the TOTAL token
+    count per side (truncating mid-sentence): the per-row cost is
+    O(|sentences_r| x |sentences_c| x len^2) and the cap is the honest
+    bound, loudly documented rather than hidden."""
+    cand_e = expression["candidate"]
+    ref_e = expression.get("reference")
+    refs_e = expression.get("references")
+    if (ref_e is None) == (refs_e is None):
+        raise ValueError(
+            "$rougeLsum needs exactly one of reference | references")
+    tok = expression.get("tokenizer", "rougeScore")
+    max_words = int(expression.get("maxWords", 2000))
+    as_field = expression.get("as", "rouge_lsum")
+    if tok not in _ROUGE_TOKENIZERS:
+        raise ValueError(
+            f"$rougeLsum tokenizer must be one of {_ROUGE_TOKENIZERS}")
+    if max_words < 1:
+        raise ValueError("$rougeLsum maxWords must be >= 1")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        import re as _re
+
+        sctx = ExprContext(schema=df.schema)
+        cand = compile_expr(cand_e, sctx)
+        ref = compile_expr(ref_e, sctx) if ref_e is not None else None
+        refs = compile_expr(refs_e, sctx) if refs_e is not None else None
+
+        if tok == "rougeScore":
+            toks = _re.compile(r"[a-z0-9]+").findall
+
+            def tok_fn(s: str) -> list:
+                return toks(s.lower())
+        else:
+            ws_split = _re.compile(r"[ \t\n\r\f\x0b]+").split
+
+            def tok_fn(s: str) -> list:
+                return [w for w in ws_split(s) if w]
+
+        def sents_of(text: str) -> list:
+            out, total = [], 0
+            for line in text.split("\n"):
+                words = tok_fn(line)
+                if not words:
+                    continue
+                if total + len(words) >= max_words:
+                    words = words[: max_words - total]
+                    if words:
+                        out.append(words)
+                    break
+                out.append(words)
+                total += len(words)
+            return out
+
+        def lcs_ref_indices(r: list, c: list) -> set:
+            """Positions in ``r`` belonging to one LCS of (r, c) — the
+            rouge_score backtrack: match wins; otherwise step up
+            (i-1) unless the left cell is STRICTLY greater — ties
+            prefer up, exactly the library's ``_lcs_ind``."""
+            if not r or not c:
+                return set()
+            rows = len(r) + 1
+            cols = len(c) + 1
+            t = [[0] * cols for _ in range(rows)]
+            for i in range(1, rows):
+                ri = r[i - 1]
+                ti = t[i]
+                tp = t[i - 1]
+                for j in range(1, cols):
+                    if ri == c[j - 1]:
+                        ti[j] = tp[j - 1] + 1
+                    else:
+                        a, b = tp[j], ti[j - 1]
+                        ti[j] = a if a >= b else b
+            out = set()
+            i, j = len(r), len(c)
+            while i > 0 and j > 0:
+                if r[i - 1] == c[j - 1]:
+                    out.add(i - 1)
+                    i -= 1
+                    j -= 1
+                elif t[i - 1][j] >= t[i][j - 1]:
+                    i -= 1
+                else:
+                    j -= 1
+            return out
+
+        def summary_hits(ref_sents: list, can_sents: list):
+            from collections import Counter
+
+            m = sum(len(s) for s in ref_sents)
+            nn = sum(len(s) for s in can_sents)
+            if m == 0 or nn == 0:
+                return 0, m, nn
+            tc: Any = Counter()
+            tr: Any = Counter()
+            for s in can_sents:
+                tc.update(s)
+            for s in ref_sents:
+                tr.update(s)
+            hits = 0
+            for r in ref_sents:
+                union: set = set()
+                for cs in can_sents:
+                    union |= lcs_ref_indices(r, cs)
+                for i in sorted(union):
+                    w = r[i]
+                    if tc[w] > 0 and tr[w] > 0:
+                        hits += 1
+                        tc[w] -= 1
+                        tr[w] -= 1
+            return hits, m, nn
+
+        def score(pair) -> Any:
+            ct, rt = pair
+            if ct is None or rt is None:
+                return None
+            hits, m, nn = summary_hits(sents_of(rt), sents_of(ct))
+            p = hits / nn if nn else 0.0
+            r = hits / m if m else 0.0
+            f = (2.0 * p * r / (p + r)) if p + r else 0.0
+            return (hits, p, r, f)
+
+        def score_multi(pair) -> Any:
+            ct, rts = pair
+            if ct is None or rts is None:
+                return None
+            vals = [score((ct, rt)) for rt in rts if rt is not None]
+            if not vals:
+                return None
+            return max(vals, key=lambda v: v[3])
+
+        def _frame(vals) -> pd.DataFrame:
+            return pd.DataFrame(
+                [(None, None, None, None) if v is None else v
+                 for v in vals],
+                columns=["hits", "precision", "recall", "f1"])
+
+        if refs is not None:
+            @F.pandas_udf(_ROUGE_LSUM_TYPE)
+            def _rlsum_multi(s: pd.Series, t: pd.Series) -> pd.DataFrame:
+                return _frame([score_multi(pr) for pr in zip(s, t)])
+
+            out = _rlsum_multi(cand, refs)
+            null_in = cand.isNull() | refs.isNull()
+        else:
+            @F.pandas_udf(_ROUGE_LSUM_TYPE)
+            def _rlsum(s: pd.Series, t: pd.Series) -> pd.DataFrame:
+                return _frame([score(pr) for pr in zip(s, t)])
+
+            out = _rlsum(cand, ref)
+            null_in = cand.isNull() | ref.isNull()
+        null_st = F.lit(None).cast(_ROUGE_LSUM_TYPE)
+        stage = df.withColumn("__rls_raw", out)
+        raw = F.col("__rls_raw")
+        return stage.withColumn(
+            as_field,
+            F.when(null_in | raw["f1"].isNull(), null_st).otherwise(raw),
+        ).drop("__rls_raw")
+
+    return fn
+
+
 @register_stage("$bleu")
 def bleu_stage(expression: Any, ctx: Context) -> StageFn:
     """Sentence-level BLEU (Papineni et al. 2002): ``{candidate,

@@ -975,3 +975,161 @@ def test_corpus_bootstrap_tokenizer_rejected_off_family(spark):
                                    "a": "$a", "b": "$b", "reference": "$r",
                                    "tokenizer": "bogus"}}],
             Context(spark=spark))
+
+
+# ---------------------------------------------------------------------
+# $rougeN / $rougeLsum (r12): rouge_score-library parity
+# ---------------------------------------------------------------------
+
+def _run1(spark, pipeline, rows, cols):
+    df = spark.createDataFrame(rows, cols)
+    return compile_pipeline(pipeline, Context(spark=spark))(df).collect()
+
+
+def test_rouge_n_literal_vectors(spark):
+    """Hand-computed rouge_score values (default tokenizer: lowercase
+    [a-z0-9]+ runs).  Case 2 is Lin 2004's classic gunman pair."""
+    rows = [
+        (1, "The cat sat on the mat.", "The cat is on the mat."),
+        (2, "Police killed the gunman.", "Police kill the gunman."),
+    ]
+    out = {r["i"]: r for r in _run1(
+        spark,
+        [{"$rougeN": {"candidate": "$c", "reference": "$r", "n": 1,
+                      "as": "r1"}},
+         {"$rougeN": {"candidate": "$c", "reference": "$r", "n": 2,
+                      "as": "r2"}}],
+        rows, ["i", "c", "r"])}
+    r1, r2 = out[1]["r1"], out[1]["r2"]
+    assert (r1["n_cand"], r1["n_ref"], r1["n_match"]) == (6, 6, 5)
+    assert abs(r1["f1"] - 5 / 6) < 1e-12
+    # bigrams: {the cat, cat sat, sat on, on the, the mat} vs
+    # {the cat, cat is, is on, on the, the mat} -> 3 matches
+    assert (r2["n_match"], r2["n_cand"]) == (3, 5)
+    assert abs(r2["f1"] - 0.6) < 1e-12
+    g1 = out[2]["r1"]
+    assert abs(g1["recall"] - 0.75) < 1e-12  # Lin 2004 ROUGE-1 = 3/4
+
+
+def test_rouge_n_whitespace_equals_ngram_overlap(spark, sf_dir):
+    """tokenizer: whitespace reproduces $ngramOverlap exactly — guards
+    the (deliberate) code parallelism between the two stages."""
+    from conftest import load
+
+    df = load(spark, "documents").limit(50)
+    out = compile_pipeline(
+        [{"$truncateTokens": {"input": "$text", "as": "cand", "max": 12}},
+         {"$rougeN": {"candidate": "$cand", "reference": "$text", "n": 2,
+                      "tokenizer": "whitespace", "as": "a"}},
+         {"$ngramOverlap": {"candidate": "$cand", "reference": "$text",
+                            "n": 2, "as": "b"}}],
+        Context(spark=spark))(df).select("a", "b").collect()
+    assert out and all(r["a"] == r["b"] for r in out)
+
+
+def test_rouge_n_case_and_punct_fold(spark):
+    """The rougeScore tokenizer lowercases and strips punctuation: a
+    case/punctuation-mangled candidate still matches fully."""
+    rows = [(1, "THE, Cat! SAT?", "the cat sat")]
+    (r,) = _run1(
+        spark,
+        [{"$rougeN": {"candidate": "$c", "reference": "$r", "as": "s"}}],
+        rows, ["i", "c", "r"])
+    assert r["s"]["n_match"] == 3 and r["s"]["f1"] == 1.0
+
+
+def test_rouge_n_multiref_max_f1_first_tie(spark):
+    rows = [(1, "a b c d", ["a b x y", "a b c z", "a b c z"])]
+    (r,) = _run1(
+        spark,
+        [{"$rougeN": {"candidate": "$c", "references": "$rs", "as": "s"}}],
+        rows, ["i", "c", "rs"])
+    # best reference is the second (3 unigram matches); scalar form on
+    # it agrees exactly
+    assert r["s"]["n_match"] == 3
+    (one,) = _run1(
+        spark,
+        [{"$rougeN": {"candidate": "$c", "reference": "$r", "as": "s"}}],
+        [(1, "a b c d", "a b c z")], ["i", "c", "r"])
+    assert one["s"] == r["s"]
+
+
+def test_rouge_n_option_validation(spark):
+    for bad in ({"n": 0}, {"tokenizer": "bogus"}, {"maxWords": 0}):
+        with pytest.raises(ValueError):
+            compile_pipeline(
+                [{"$rougeN": {"candidate": "$c", "reference": "$r",
+                              **bad}}],
+                Context(spark=spark))
+    with pytest.raises(ValueError, match="exactly one"):
+        compile_pipeline(
+            [{"$rougeN": {"candidate": "$c"}}], Context(spark=spark))
+
+
+def test_rouge_lsum_union_lcs_hand_trace(spark):
+    """Multi-sentence union-LCS with count clipping, hand-traced through
+    the rouge_score _summary_level_lcs procedure:
+
+    cand sentences: [w1 w2 w3 w4 w5], [w6 w7 w8]
+    ref  sentences: [w1 w2 w6 w7 w8], [w1 w3 w8 w9 w5]
+
+    ref sent 1 union-LCS covers all 5 positions -> 5 hits (consumes
+    cand's w1 w2 w6 w7 w8); ref sent 2 union = {w1, w3, w8, w5} but w1
+    and w8 are exhausted in the candidate counter -> +2.  hits = 7,
+    precision = 7/8, recall = 7/10."""
+    rows = [(1, "w1 w2 w3 w4 w5\nw6 w7 w8",
+             "w1 w2 w6 w7 w8\nw1 w3 w8 w9 w5")]
+    (r,) = _run1(
+        spark,
+        [{"$rougeLsum": {"candidate": "$c", "reference": "$r",
+                         "as": "s"}}],
+        rows, ["i", "c", "r"])
+    s = r["s"]
+    assert s["hits"] == 7
+    assert abs(s["precision"] - 7 / 8) < 1e-12
+    assert abs(s["recall"] - 7 / 10) < 1e-12
+    assert abs(s["f1"] - (2 * (7 / 8) * (7 / 10) / (7 / 8 + 7 / 10))) \
+        < 1e-12
+
+
+def test_rouge_lsum_single_sentence_is_rouge_l(spark):
+    """With single-sentence texts the union degenerates to one LCS —
+    agrees with $rougeL (whitespace tokenizer on both; the texts are
+    already lowercase alphanumeric so tokenizers coincide)."""
+    rows = [(1, "a b c d e f", "a x b c y e f")]
+    (r,) = _run1(
+        spark,
+        [{"$rougeLsum": {"candidate": "$c", "reference": "$r",
+                         "tokenizer": "whitespace", "as": "ls"}},
+         {"$rougeL": {"candidate": "$c", "reference": "$r", "as": "rl"}}],
+        rows, ["i", "c", "r"])
+    assert r["ls"]["hits"] == r["rl"]["lcs"]
+    assert abs(r["ls"]["f1"] - r["rl"]["f1"]) < 1e-12
+
+
+def test_rouge_lsum_multiref_and_nulls(spark):
+    rows = [
+        (1, "a b\nc d", ["zzz", "a b\nc d"]),
+        (2, None, ["a"]),
+        (3, "a", None),
+    ]
+    out = {r["i"]: r["s"] for r in _run1(
+        spark,
+        [{"$rougeLsum": {"candidate": "$c", "references": "$rs",
+                         "as": "s"}}],
+        rows, ["i", "c", "rs"])}
+    assert out[1]["f1"] == 1.0  # best reference is the exact match
+    assert out[2] is None and out[3] is None
+
+
+def test_rouge_lsum_max_words_cap(spark):
+    """maxWords caps the TOTAL token count per side, truncating
+    mid-sentence: with maxWords=3 the reference keeps [a b] + [c]."""
+    rows = [(1, "a b c", "a b\nc d e")]
+    (r,) = _run1(
+        spark,
+        [{"$rougeLsum": {"candidate": "$c", "reference": "$r",
+                         "maxWords": 3, "as": "s"}}],
+        rows, ["i", "c", "r"])
+    s = r["s"]
+    assert s["hits"] == 3 and s["recall"] == 1.0 and s["precision"] == 1.0

@@ -45,7 +45,11 @@ _PYTHON_ALLOWED = {"http_enrich", "decode_media_meta", "media_pipeline",
                    # sufficient statistics through it (bootstrap_ci_corpus
                    # = corpusBleu stays pure JVM and is deliberately NOT
                    # listed here)
-                   "ter_eval", "ter_corpus", "paired_bootstrap_corpus"}
+                   "ter_eval", "ter_corpus", "paired_bootstrap_corpus",
+                   # r12: $rougeLsum's union-LCS DP runs on the same
+                   # eval-family Arrow boundary (rouge_n stays pure JVM
+                   # and is deliberately NOT listed here)
+                   "rouge_lsum"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
