@@ -1,0 +1,331 @@
+"""N-gram language-model family: $ngramLmTrain / $ngramLmScore — the
+CCNet-style perplexity quality signal (Wenzek et al. 2020 filter LLM
+pretraining data by LM perplexity) built on Stupid Backoff (Brants et
+al. 2007, "Large Language Models in Machine Translation"), the scoring
+rule DESIGNED for distributed count-based LMs: no normalization pass,
+so both training and scoring stay pure count arithmetic — exactly what
+an aggregation engine distributes well, and exactly reproducible in a
+SQL oracle.
+
+Model exchange follows the $bpeTrain convention: $ngramLmTrain emits a
+model DataFrame ``(gram, order, count)`` the user feeds back through
+``Context.collections``; $ngramLmScore joins documents against it.
+
+Split module (r12), re-exported through ``functions.datapipe`` like its
+siblings.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..context import Context
+from ..expressions import ExprContext, compile_expr
+from ..pipeline import StageFn, register_stage
+from .dp_eval import _rouge_tokens
+
+_LM_TOKENIZERS = ("whitespace", "rougeScore")
+
+
+def _lm_tokens(tok: str, t: Column, max_words: int) -> Column:
+    if tok == "rougeScore":
+        return _rouge_tokens(t, max_words)
+    w = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != F.lit(""))
+    return F.slice(w, 1, max_words)
+
+
+def _position_grams(toks: Column, n: int) -> Column:
+    """All position n-grams up to order ``n`` as one flat
+    ``array<struct<k:int, gram:string>>``: for every position ``i``
+    (1-based) and order ``k <= min(n, i)``, the space-joined gram
+    ``toks[i-k+1 .. i]``.  Pure HOF — the whole training explode is one
+    column expression."""
+    def _order_part(k: int) -> Column:
+        # closure factory, NOT a default-arg lambda: an arity-2 lambda
+        # makes F.transform pass the ARRAY INDEX as the second argument
+        # (the dp_dedup._seeded_hasher lesson)
+        def one(i: Column) -> Column:
+            return F.struct(
+                F.lit(k).cast("int").alias("k"),
+                F.array_join(
+                    F.slice(toks, i - (k - 1), k), " ").alias("gram"),
+            )
+
+        return F.when(
+            F.size(toks) >= k,
+            F.transform(F.sequence(F.lit(k), F.size(toks)), one),
+        ).otherwise(F.array().cast("array<struct<k:int,gram:string>>"))
+
+    parts = [_order_part(k) for k in range(1, n + 1)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, p)
+    return out
+
+
+@register_stage("$ngramLmTrain")
+def ngram_lm_train_stage(expression: Any, ctx: Context) -> StageFn:
+    """Train a count-based n-gram LM over the corpus: ``{input, n?,
+    minCount?, tokenizer?, maxWords?}`` emits the model table
+    ``(gram string, order int, count long)`` plus one ``order = 0``
+    row carrying the total token count — feed it back through
+    ``Context.collections`` into ``$ngramLmScore``.
+
+    Conventions (pinned): the document is one token stream (no
+    sentence markers — early positions simply score with the shorter
+    available context); ``minCount`` (default 1) prunes EVERY order,
+    and because a context's count is always >= any of its extensions',
+    a surviving k-gram's backoff context always survives too; a pruned
+    unigram scores as OOV downstream.  ``tokenizer``: ``"whitespace"``
+    (default, Java-\\s) or ``"rougeScore"`` (lowercase ``[a-z0-9]+``).
+    ``maxWords`` (default 100000) caps tokens PER DOCUMENT.
+
+    100 TB shape (the Brants 2007 pipeline): tokenize (pure HOF, no
+    Python), explode every position x order in ONE generated column,
+    then ONE partial-aggregated groupBy(gram, order) — the map side
+    collapses each task to its distinct grams before the only shuffle.
+    The model stays a DataFrame end-to-end (never collected): a
+    trillion-token model is fine, it just makes $ngramLmScore's join a
+    shuffle join instead of a broadcast.  Corpus-only (like $bpeTrain):
+    counts are a whole-corpus aggregate."""
+    inp = expression["input"]
+    n = int(expression.get("n", 3))
+    min_count = int(expression.get("minCount", 1))
+    tok = expression.get("tokenizer", "whitespace")
+    max_words = int(expression.get("maxWords", 100_000))
+    if n < 1 or n > 8:
+        raise ValueError("$ngramLmTrain n must be in 1..8")
+    if min_count < 1 or max_words < 1:
+        raise ValueError(
+            "$ngramLmTrain needs minCount >= 1 and maxWords >= 1")
+    if tok not in _LM_TOKENIZERS:
+        raise ValueError(
+            f"$ngramLmTrain tokenizer must be one of {_LM_TOKENIZERS}")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..operators.extended import _corpus_only
+
+        _corpus_only("$ngramLmTrain", c)
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        toks = _lm_tokens(tok, text, max_words)
+        pairs = df.select(
+            F.explode(_position_grams(toks, n)).alias("__pg"))
+        counted = (
+            pairs.select(F.col("__pg.gram").alias("gram"),
+                         F.col("__pg.k").alias("order"))
+            .groupBy("gram", "order")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .filter(F.col("count") >= min_count)
+        )
+        total = (
+            df.select(F.coalesce(F.size(toks), F.lit(0)).alias("__n"))
+            .agg(F.sum("__n").cast("long").alias("count"))
+            .select(F.lit("").alias("gram"),
+                    F.lit(0).cast("int").alias("order"),
+                    F.col("count"))
+        )
+        return counted.unionByName(total)
+
+    return fn
+
+
+_LM_SCORE_TYPE = ("struct<n_tokens:bigint,oov:bigint,"
+                  "logprob:double,perplexity:double>")
+
+
+@register_stage("$ngramLmScore")
+def ngram_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
+    """Score documents against an $ngramLmTrain model: ``{input,
+    model: <collection>, n?, backoff?, alpha?, tokenizer?, maxWords?,
+    as?}`` adds ``struct<n_tokens, oov, logprob, perplexity>`` —
+    ``logprob`` is the mean per-token log10 score and ``perplexity =
+    10^(-logprob)``, the CCNet filter statistic (Wenzek et al. 2020
+    keep/bucket documents by LM perplexity).
+
+    Stupid Backoff (Brants et al. 2007): ``S(w|ctx_k) =
+    count(ctx_k w)/count(ctx_k)`` when the k-gram was seen, else
+    ``backoff * S(w|ctx_{k-1})`` (default 0.4, the paper's constant);
+    position ``i`` starts at order ``min(n, i)`` — shorter context near
+    the document start, NO backoff penalty for it (pinned).  The
+    unigram base case is additive-smoothed over ``V+1`` outcomes:
+    ``(count(w)+alpha) / (N + alpha*(V+1))`` with ``alpha`` default 1
+    — OOV (unseen or minCount-pruned) tokens get the ``count = 0``
+    cell and are tallied in ``oov``.  ``n`` (default 3) must not
+    exceed the trained order.  Null text -> null struct; an
+    effectively-empty document scores ``(0, 0, null, null)``.
+
+    100 TB shape: tokenize (HOF) -> explode (position, order) gram +
+    context keys (2n-1 strings per position, one generated column) ->
+    ONE join against the model on (gram, order) — broadcast when the
+    model is small, shuffle-hash when it is not (a trillion-token
+    model never sits on the driver) -> groupBy (doc, position) folding
+    the counts back to one row -> per-doc fold in POSITION ORDER (a
+    sorted-array aggregate, so the double summation order is pinned —
+    bit-reproducible across partitionings and engines) -> join the
+    1-row (N, V) broadcast.  Three shuffles total, all key-partitioned;
+    nothing is ever collected."""
+    inp = expression["input"]
+    model_name = expression["model"]
+    n = int(expression.get("n", 3))
+    backoff = float(expression.get("backoff", 0.4))
+    alpha = float(expression.get("alpha", 1.0))
+    tok = expression.get("tokenizer", "whitespace")
+    max_words = int(expression.get("maxWords", 100_000))
+    as_field = expression.get("as", "lm")
+    if n < 1 or n > 8:
+        raise ValueError("$ngramLmScore n must be in 1..8")
+    if not (0.0 < backoff <= 1.0):
+        raise ValueError("$ngramLmScore backoff must be in (0, 1]")
+    if alpha <= 0:
+        raise ValueError("$ngramLmScore alpha must be > 0")
+    if tok not in _LM_TOKENIZERS:
+        raise ValueError(
+            f"$ngramLmScore tokenizer must be one of {_LM_TOKENIZERS}")
+    if max_words < 1:
+        raise ValueError("$ngramLmScore maxWords must be >= 1")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        model = c.collection(model_name)
+        stats = (
+            model.agg(
+                F.max(F.when(F.col("order") == 0,
+                             F.col("count"))).alias("__N"),
+                F.sum(F.when(F.col("order") == 1, F.lit(1))
+                      .otherwise(F.lit(0))).cast("long").alias("__V"),
+                F.max("order").cast("int").alias("__maxK"),
+            )
+        )
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        df_id = df.withColumn("__rid", F.monotonically_increasing_id())
+        toks_df = df_id.select(
+            "__rid", _lm_tokens(tok, text, max_words).alias("__toks"))
+
+        # per position i: the k-gram ending at i for k=1..min(n,i) plus
+        # its (k-1)-token context, as (i, lookup_order, k, is_ctx) keys
+        # — contexts join the model at order k-1
+        toks = F.col("__toks")
+
+        def keys_for(k: int, is_ctx: bool) -> Column:
+            width = k - 1 if is_ctx else k
+            return F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    F.sequence(F.lit(k), F.size(toks)),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.lit(k).cast("int").alias("k"),
+                        F.lit(is_ctx).alias("is_ctx"),
+                        F.lit(width).cast("int").alias("order"),
+                        F.array_join(
+                            F.slice(toks, i - (k - 1), width),
+                            " ").alias("gram"),
+                    ),
+                ),
+            ).otherwise(F.array().cast(
+                "array<struct<i:int,k:int,is_ctx:boolean,"
+                "order:int,gram:string>>"))
+
+        parts = [keys_for(1, False)]
+        for k in range(2, n + 1):
+            parts.append(keys_for(k, False))
+            parts.append(keys_for(k, True))
+        allkeys = parts[0]
+        for p in parts[1:]:
+            allkeys = F.concat(allkeys, p)
+
+        exploded = toks_df.select(
+            "__rid", F.explode(allkeys).alias("__key"))
+        flat = exploded.select(
+            "__rid", F.col("__key.i").alias("__i"),
+            F.col("__key.k").alias("__k"),
+            F.col("__key.is_ctx").alias("__is_ctx"),
+            F.col("__key.order").alias("__order"),
+            F.col("__key.gram").alias("__gram"))
+        m = model.select(
+            F.col("gram").alias("__mg"),
+            F.col("order").alias("__mo"),
+            F.col("count").alias("__mc"))
+        joined = flat.join(
+            m, (flat["__gram"] == m["__mg"]) &
+               (flat["__order"] == m["__mo"]), "left")
+
+        def cnt_of(k: int, is_ctx: bool) -> Column:
+            cond = (F.col("__k") == k) & (F.col("__is_ctx") == is_ctx)
+            return F.max(F.when(cond, F.col("__mc")))
+
+        aggs = [cnt_of(1, False).alias("__g1")]
+        for k in range(2, n + 1):
+            aggs.append(cnt_of(k, False).alias(f"__g{k}"))
+            aggs.append(cnt_of(k, True).alias(f"__c{k}"))
+        per_pos = joined.groupBy("__rid", "__i").agg(*aggs)
+        per_pos = per_pos.crossJoin(F.broadcast(stats))
+
+        # Stupid Backoff chain, built lowest order first; ss[k-1] is the
+        # score assuming position i starts at order k (a k-gram miss
+        # multiplies by `backoff` and falls to ss[k-2])
+        ss = [
+            (F.coalesce(F.col("__g1"), F.lit(0)).cast("double")
+             + F.lit(alpha)) / (
+                F.col("__N").cast("double")
+                + F.lit(alpha) * (F.col("__V").cast("double") + 1.0))
+        ]
+        for k in range(2, n + 1):
+            gk, ck = F.col(f"__g{k}"), F.col(f"__c{k}")
+            ss.append(F.when(
+                gk.isNotNull() & ck.isNotNull() & (ck > 0),
+                gk.cast("double") / ck.cast("double"),
+            ).otherwise(F.lit(backoff) * ss[-1]))
+        # position i starts at order min(n, i): shorter context near the
+        # document start selects a lower chain entry with NO penalty
+        s = F.when(F.col("__i") >= n, ss[n - 1])
+        for j in range(n - 1, 0, -1):
+            s = s.when(F.col("__i") == j, ss[j - 1])
+        # scoring above the trained order would silently treat EVERY
+        # position as a k-gram miss (an extra backoff penalty per
+        # level) — fail loudly instead, at execution time, when the
+        # model's max order is known
+        s = F.when(
+            F.col("__maxK") < n,
+            F.raise_error(F.lit(
+                f"$ngramLmScore n={n} exceeds the trained order of "
+                f"model '{model_name}' — retrain with a higher n or "
+                "score with a lower one")).cast("double"),
+        ).otherwise(s)
+        scored = per_pos.select(
+            "__rid", "__i",
+            F.log10(s).alias("__lg"),
+            F.col("__g1").isNull().cast("int").alias("__oov"))
+
+        # per-doc fold in position order: sort_array + aggregate pins
+        # the double summation order (partitioning-invariant hashes)
+        per_doc = (
+            scored.groupBy("__rid")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("__nt"),
+                F.sum("__oov").cast("long").alias("__no"),
+                F.aggregate(
+                    F.sort_array(F.collect_list(
+                        F.struct(F.col("__i"), F.col("__lg")))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["__lg"],
+                ).alias("__sl"),
+            )
+        )
+        out = df_id.join(per_doc, "__rid", "left")
+        lp = F.col("__sl") / F.col("__nt").cast("double")
+        st = F.when(
+            text.isNull(), F.lit(None).cast(_LM_SCORE_TYPE),
+        ).otherwise(F.struct(
+            F.coalesce(F.col("__nt"), F.lit(0)).cast("long")
+            .alias("n_tokens"),
+            F.coalesce(F.col("__no"), F.lit(0)).cast("long").alias("oov"),
+            lp.alias("logprob"),
+            F.power(F.lit(10.0), -lp).alias("perplexity"),
+        ))
+        return out.withColumn(as_field, st).drop(
+            "__rid", "__nt", "__no", "__sl")
+
+    return fn

@@ -60,7 +60,7 @@ _CORPUS_ONLY_STAGES = {"$spanDedup", "$semanticDedup", "$bpeTrain",
                        "$profile", "$bleuCorpus", "$chrfCorpus",
                        "$werCorpus", "$classificationEval",
                        "$regressionEval", "$pairedBootstrap",
-                       "$bootstrapCI", "$terCorpus"}
+                       "$bootstrapCI", "$terCorpus", "$ngramLmTrain"}
 
 
 def _resolve_state_store(state_store: str) -> tuple[str, str]:

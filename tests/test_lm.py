@@ -1,0 +1,141 @@
+"""$ngramLmTrain / $ngramLmScore — Stupid Backoff n-gram LM
+(Brants et al. 2007) with the CCNet perplexity-filter output shape
+(Wenzek et al. 2020).  Every expected value below is hand-computed
+from the pinned conventions: document = one token stream, position i
+starts at order min(n, i) with no penalty, a k-gram miss multiplies by
+`backoff` (default 0.4), unigram base = (count+alpha)/(N+alpha*(V+1)).
+"""
+
+import math
+
+import pytest
+
+from pincette_mongo_streams_spark import Context, compile_pipeline
+
+CORPUS = [(1, "a b a b c"), (2, "a b"), (3, None), (4, "zzz qqq")]
+# unigrams: a:3 b:3 c:1 zzz:1 qqq:1  (N=9, V=5)
+# bigrams: "a b":3 "b a":1 "b c":1 "zzz qqq":1
+
+
+def _model(spark, n=2, **opts):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    return compile_pipeline(
+        [{"$ngramLmTrain": {"input": "$text", "n": n, **opts}}],
+        Context(spark=spark))(docs)
+
+
+def _score(spark, model, rows, n=2, **opts):
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    ctx = Context(spark=spark, collections={"lm": model})
+    out = compile_pipeline(
+        [{"$ngramLmScore": {"input": "$text", "model": "lm", "n": n,
+                            "as": "s", **opts}}],
+        ctx)(docs)
+    return {r["doc_id"]: r["s"] for r in out.collect()}
+
+
+def test_train_counts(spark):
+    rows = {(r["gram"], r["order"]): r["count"]
+            for r in _model(spark).collect()}
+    assert rows[("", 0)] == 9
+    assert rows[("a", 1)] == 3 and rows[("c", 1)] == 1
+    assert rows[("a b", 2)] == 3 and rows[("zzz qqq", 2)] == 1
+    assert ("b b", 2) not in rows
+    assert len([k for k in rows if k[1] == 1]) == 5
+
+
+def test_score_hand_computed(spark):
+    m = _model(spark)
+    got = _score(spark, m, CORPUS)
+    # doc 1 "a b a b c": i1 'a' -> (3+1)/(9+6); i2 b|a 3/3; i3 a|b 1/3;
+    # i4 b|a 3/3 -> 1; i5 c|b 1/3
+    exp1 = [4 / 15, 1.0, 1 / 3, 1.0, 1 / 3]
+    lp1 = sum(math.log10(x) for x in exp1) / 5
+    assert abs(got[1]["logprob"] - lp1) < 1e-12
+    assert abs(got[1]["perplexity"] - 10 ** -lp1) < 1e-9
+    assert got[1]["n_tokens"] == 5 and got[1]["oov"] == 0
+    # doc 4 "zzz qqq": i1 (1+1)/15; i2 qqq|zzz = 1/1
+    lp4 = (math.log10(2 / 15) + math.log10(1.0)) / 2
+    assert abs(got[4]["logprob"] - lp4) < 1e-12
+    assert got[3] is None
+
+
+def test_score_backoff_miss_and_oov(spark):
+    m = _model(spark)
+    # "b b": i1 'b' -> 4/15; i2 'b'|'b': bigram "b b" unseen -> miss
+    # -> 0.4 * unigram(b) = 0.4 * 4/15
+    got = _score(spark, m, [(1, "b b"), (2, "qqq wwww")])
+    lp = (math.log10(4 / 15) + math.log10(0.4 * 4 / 15)) / 2
+    assert abs(got[1]["logprob"] - lp) < 1e-12
+    # OOV 'wwww': unigram (0+1)/15 after a bigram miss backoff
+    lp2 = (math.log10(2 / 15) + math.log10(0.4 * 1 / 15)) / 2
+    assert abs(got[2]["logprob"] - lp2) < 1e-12
+    assert got[2]["oov"] == 1
+
+
+def test_min_count_prunes_every_order(spark):
+    m = _model(spark, minCount=2)
+    rows = {(r["gram"], r["order"]) for r in m.collect()}
+    # only a/b unigrams and "a b" survive; total row stays
+    assert rows == {("", 0), ("a", 1), ("b", 1), ("a b", 2)}
+    # pruned unigram 'c' scores as OOV (V is the SURVIVING vocab: 2)
+    got = _score(spark, m, [(1, "c")])
+    assert got[1]["oov"] == 1
+    assert abs(got[1]["logprob"] - math.log10(1 / (9 + 3))) < 1e-12
+
+
+def test_backoff_and_alpha_options(spark):
+    m = _model(spark)
+    got = _score(spark, m, [(1, "b b")], backoff=0.5, alpha=2.0)
+    # unigram(b) = (3+2)/(9+2*6) = 5/21; miss -> 0.5x
+    lp = (math.log10(5 / 21) + math.log10(0.5 * 5 / 21)) / 2
+    assert abs(got[1]["logprob"] - lp) < 1e-12
+
+
+def test_rouge_score_tokenizer(spark):
+    docs = spark.createDataFrame(
+        [(1, "The CAT! sat."), (2, "the cat sat")], ["doc_id", "text"])
+    m = compile_pipeline(
+        [{"$ngramLmTrain": {"input": "$text", "n": 2,
+                            "tokenizer": "rougeScore"}}],
+        Context(spark=spark))(docs)
+    rows = {(r["gram"], r["order"]): r["count"] for r in m.collect()}
+    # case/punctuation fold: both docs contribute the same tokens
+    assert rows[("the", 1)] == 2 and rows[("the cat", 2)] == 2
+
+
+def test_empty_doc_and_order_guard(spark):
+    m = _model(spark)
+    got = _score(spark, m, [(1, "")])
+    assert got[1]["n_tokens"] == 0 and got[1]["logprob"] is None
+    # scoring above the trained order fails loudly, not silently
+    import py4j.protocol
+
+    with pytest.raises(Exception, match="exceeds the trained order"):
+        _score(spark, m, CORPUS[:1], n=3)
+
+
+def test_option_validation(spark):
+    ctx = Context(spark=spark)
+    for stage, bad in (
+        ("$ngramLmTrain", {"input": "$t", "n": 0}),
+        ("$ngramLmTrain", {"input": "$t", "minCount": 0}),
+        ("$ngramLmTrain", {"input": "$t", "tokenizer": "bogus"}),
+        ("$ngramLmScore", {"input": "$t", "model": "m", "backoff": 0.0}),
+        ("$ngramLmScore", {"input": "$t", "model": "m", "alpha": 0}),
+        ("$ngramLmScore", {"input": "$t", "model": "m", "n": 9}),
+    ):
+        with pytest.raises(ValueError):
+            compile_pipeline([{stage: bad}], ctx)
+
+
+def test_score_plan_shape(spark):
+    """No Python anywhere (pure JVM column program), no cartesian
+    beyond the pinned 1-row stats broadcast, nothing collected."""
+    m = _model(spark)
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    out = compile_pipeline(
+        [{"$ngramLmScore": {"input": "$text", "model": "lm", "n": 2}}],
+        Context(spark=spark, collections={"lm": m}))(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
