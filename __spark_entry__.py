@@ -1675,6 +1675,83 @@ ORDER BY d.doc_id""",
 )
 
 
+_register(
+    "meteor_eval",
+    r"""WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents WHERE text IS NOT NULL),
+d2 AS (SELECT doc_id,
+              list_slice(w, 1, least(len(w), 500)) AS rw,
+              list_slice(w, 1, least(len(w), 20)) AS hw
+       FROM docs),
+hp AS (SELECT doc_id, hw, rw,
+              unnest(generate_series(1, len(hw))) AS hi FROM d2),
+h AS (SELECT doc_id, hi, hw[hi] AS word, len(hw) AS nh, len(rw) AS nr,
+             count(*) OVER (PARTITION BY doc_id, hw[hi]
+                            ORDER BY hi DESC) AS rk
+      FROM hp),
+rp AS (SELECT doc_id, rw,
+              unnest(generate_series(1, len(rw))) AS ri FROM d2),
+r AS (SELECT doc_id, ri, rw[ri] AS word,
+             count(*) OVER (PARTITION BY doc_id, rw[ri]
+                            ORDER BY ri DESC) AS rk
+      FROM rp),
+mt AS (SELECT h.doc_id, h.hi, r.ri, h.nh, h.nr
+       FROM h JOIN r ON r.doc_id = h.doc_id AND r.word = h.word
+                    AND r.rk = h.rk),
+mt2 AS (SELECT *,
+               lag(hi) OVER (PARTITION BY doc_id ORDER BY hi) AS phi,
+               lag(ri) OVER (PARTITION BY doc_id ORDER BY hi) AS pri
+        FROM mt),
+ag AS (SELECT doc_id, count(*) AS m,
+              any_value(nh) AS nh, any_value(nr) AS nr,
+              sum(CASE WHEN phi IS NULL THEN 1
+                       WHEN hi = phi + 1 AND ri = pri + 1 THEN 0
+                       ELSE 1 END) AS ch
+       FROM mt2 GROUP BY doc_id),
+sc AS (SELECT doc_id, m, ch,
+              m * 1.0 / nh AS p, m * 1.0 / nr AS r,
+              (m * 1.0 / nh) * (m * 1.0 / nr)
+                / (0.9 * (m * 1.0 / nh) + 0.1 * (m * 1.0 / nr)) AS fm
+       FROM ag WHERE m > 0)
+SELECT d.doc_id,
+       CAST(sc.m AS BIGINT) AS matches,
+       CAST(sc.ch AS BIGINT) AS chunks,
+       {p} AS prec, {r} AS rec,
+       {s} AS score
+FROM documents d LEFT JOIN sc USING (doc_id)
+ORDER BY d.doc_id""".replace(
+        "{p}", _r("sc.p", 6)).replace(
+        "{r}", _r("sc.r", 6)).replace(
+        "{s}", _r("sc.fm * (1.0 - 0.5 * power(sc.ch * 1.0 / sc.m, 3))",
+                  6)),
+)(
+    _pipe(
+        "documents",
+        [
+            # candidate = 20-word prefix; the oracle implements the
+            # SAME closed-form occurrence-rank alignment (k-th-from-end
+            # of each word pairs with k-th-from-end in the reference)
+            # in SQL windows — a full general oracle, no identity trick:
+            # repeated words beyond the prefix shift ri and split chunks
+            {"$truncateTokens": {"input": "$text", "as": "cand",
+                                 "max": 20}},
+            {"$meteor": {"candidate": "$cand", "reference": "$text",
+                         "as": "mt"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "matches": "$mt.matches",
+                          "chunks": "$mt.chunks",
+                          "prec": {"$round": ["$mt.precision", 6]},
+                          "rec": {"$round": ["$mt.recall", 6]},
+                          "score": {"$round": ["$mt.score", 6]}}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
 def _profile_oracle_sql() -> str:
     """Per-column UNION ALL profile over lineitem numerics — exact
     distinct counts and quantile_cont percentiles (= Spark's exact

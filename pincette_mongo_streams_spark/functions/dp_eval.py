@@ -1004,6 +1004,174 @@ def rouge_lsum_stage(expression: Any, ctx: Context) -> StageFn:
     return fn
 
 
+_METEOR_TYPE = ("struct<matches:bigint,chunks:bigint,"
+                "precision:double,recall:double,fmean:double,"
+                "score:double>")
+
+
+@register_stage("$meteor")
+def meteor_stage(expression: Any, ctx: Context) -> StageFn:
+    """METEOR, exact-match variant with NLTK parity (Banerjee & Lavie
+    2005; nltk.translate.meteor_score's exact stage): ``{candidate,
+    reference | references, alpha?, beta?, gamma?, tokenizer?,
+    maxWords?, as?}`` adds ``struct<matches, chunks, precision, recall,
+    fmean, score>`` with ``fmean = P·R / (alpha·P + (1-alpha)·R)``,
+    ``penalty = gamma·(chunks/matches)^beta`` and ``score =
+    fmean·(1-penalty)`` — NLTK's defaults alpha 0.9 / beta 3 /
+    gamma 0.5.  Zero matches -> score 0.0 (chunks 0).  Stem and
+    WordNet-synonym stages need external linguistic data and are
+    deliberately out of scope; with exact matching only, scores equal
+    NLTK's given identical tokenization (differential-tested against a
+    verbatim reference implementation).
+
+    THE ALIGNMENT IS CLOSED-FORM: NLTK's reverse greedy (hypothesis
+    scanned last-to-first, each word taking the last still-available
+    reference occurrence) pairs the k-th-FROM-END occurrence of word w
+    in the hypothesis with the k-th-from-end occurrence in the
+    reference — so the match set is pure occurrence-rank arithmetic,
+    no search.  That makes this stage an all-JVM higher-order-function
+    column program (the only eval-family alignment metric with no
+    Arrow boundary) AND gives the DuckDB oracle the same closed form.
+    Chunks count contiguity breaks over the matches in hypothesis
+    order (both indices advancing by exactly 1 extend a chunk).
+
+    Both texts are LOWERCASED first (NLTK's ``preprocess`` default);
+    ``tokenizer``: ``"whitespace"`` (default) or ``"rougeScore"``.
+    MULTI-REFERENCE keeps the best-score struct (NLTK takes the max;
+    ties -> first reference).  Null in either side -> null struct.
+
+    ``maxWords`` (default 500) truncates both sides: the rank
+    arithmetic is O(n^2) HOF work per row — sentence-level inputs are
+    the intended shape, and the cap is the honest bound."""
+    cand_e = expression["candidate"]
+    ref_e = expression.get("reference")
+    refs_e = expression.get("references")
+    if (ref_e is None) == (refs_e is None):
+        raise ValueError(
+            "$meteor needs exactly one of reference | references")
+    alpha = float(expression.get("alpha", 0.9))
+    beta = float(expression.get("beta", 3.0))
+    gamma = float(expression.get("gamma", 0.5))
+    tok = expression.get("tokenizer", "whitespace")
+    max_words = int(expression.get("maxWords", 500))
+    as_field = expression.get("as", "meteor")
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("$meteor alpha must be in (0, 1)")
+    if beta <= 0 or gamma < 0:
+        raise ValueError("$meteor needs beta > 0 and gamma >= 0")
+    if tok not in _ROUGE_TOKENIZERS:
+        raise ValueError(
+            f"$meteor tokenizer must be one of {_ROUGE_TOKENIZERS}")
+    if max_words < 1:
+        raise ValueError("$meteor maxWords must be >= 1")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        sctx = ExprContext(schema=df.schema)
+        cand = compile_expr(cand_e, sctx)
+
+        def words(t: Column) -> Column:
+            return _rouge_words(tok, F.lower(t), max_words)
+
+        hw = F.col("__mt_h")
+
+        def pairs_with(rw: Column) -> Column:
+            """Aligned (hi, ri) pairs in hypothesis order: hypothesis
+            position i (rank r = occurrences of hw[i] at or after i)
+            matches the r-th-from-end reference occurrence of the same
+            word, when one exists."""
+            def one(i: Column) -> Column:
+                w = F.element_at(hw, i)
+                rank = F.size(F.filter(
+                    F.slice(hw, i, F.size(hw) - i + 1),
+                    lambda x: x == w))
+                occ = F.filter(
+                    F.sequence(F.lit(1), F.size(rw)),
+                    lambda j: F.element_at(rw, j) == w)
+                ri = F.when(
+                    rank <= F.size(occ),
+                    F.element_at(occ, F.size(occ) - rank + 1))
+                return F.struct(i.alias("hi"), ri.alias("ri"))
+
+            return F.when(
+                (F.size(hw) > 0) & (F.size(rw) > 0),
+                F.filter(
+                    F.transform(F.sequence(F.lit(1), F.size(hw)), one),
+                    lambda p: p["ri"].isNotNull()),
+            ).otherwise(F.array().cast("array<struct<hi:int,ri:int>>"))
+
+        def score_struct(rw: Column, ps: Column) -> Column:
+            m = F.size(ps).cast("long")
+            # chunk breaks: consecutive matches (hypothesis order)
+            # where either index does not advance by exactly 1
+            breaks = F.when(
+                m >= 2,
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(ps, 1, F.size(ps) - 1),
+                        F.slice(ps, 2, F.size(ps) - 1),
+                        lambda a, b: F.when(
+                            (b["hi"] == a["hi"] + 1)
+                            & (b["ri"] == a["ri"] + 1),
+                            F.lit(0)).otherwise(F.lit(1))),
+                    F.lit(0), lambda acc, x: acc + x),
+            ).otherwise(F.lit(0))
+            chunks = F.when(m > 0, (breaks + 1).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+            p = m / F.size(hw).cast("double")
+            r = m / F.size(rw).cast("double")
+            fmean = (p * r) / (F.lit(alpha) * p + F.lit(1 - alpha) * r)
+            penalty = F.lit(gamma) * F.pow(
+                chunks.cast("double") / m.cast("double"), F.lit(beta))
+            score = F.when(m > 0, fmean * (1.0 - penalty)) \
+                .otherwise(F.lit(0.0))
+            return F.struct(
+                m.alias("matches"), chunks.alias("chunks"),
+                F.when(m > 0, p).otherwise(F.lit(0.0)).alias("precision"),
+                F.when(m > 0, r).otherwise(F.lit(0.0)).alias("recall"),
+                F.when(m > 0, fmean).otherwise(F.lit(0.0)).alias("fmean"),
+                score.alias("score"))
+
+        null_st = F.lit(None).cast(_METEOR_TYPE)
+        if refs_e is not None:
+            refs = compile_expr(refs_e, sctx)
+            stage = df.withColumn("__mt_h", words(cand)).withColumn(
+                "__mt_rs",
+                F.transform(F.filter(refs, lambda r: r.isNotNull()),
+                            words))
+            # per-reference pair arrays materialize first (no CSE in
+            # HOF lambdas), then per-reference structs, then a max
+            # fold on score with first-reference ties
+            stage = stage.withColumn(
+                "__mt_ps",
+                F.transform(F.col("__mt_rs"), pairs_with))
+            stage = stage.withColumn(
+                "__mt_sc",
+                F.zip_with(F.col("__mt_rs"), F.col("__mt_ps"),
+                           score_struct))
+            best = F.aggregate(
+                F.col("__mt_sc"), null_st,
+                lambda acc, s: F.when(
+                    acc.isNull() | (s["score"] > acc["score"]), s,
+                ).otherwise(acc))
+            out_c = F.when(
+                cand.isNull() | refs.isNull()
+                | (F.size(F.col("__mt_rs")) == 0),
+                null_st).otherwise(best)
+            return stage.withColumn(as_field, out_c) \
+                .drop("__mt_h", "__mt_rs", "__mt_ps", "__mt_sc")
+        ref = compile_expr(ref_e, sctx)
+        stage = df.withColumn("__mt_h", words(cand)) \
+                  .withColumn("__mt_r", words(ref))
+        stage = stage.withColumn(
+            "__mt_ps", pairs_with(F.col("__mt_r")))
+        out_c = F.when(cand.isNull() | ref.isNull(), null_st) \
+            .otherwise(score_struct(F.col("__mt_r"), F.col("__mt_ps")))
+        return stage.withColumn(as_field, out_c) \
+            .drop("__mt_h", "__mt_r", "__mt_ps")
+
+    return fn
+
+
 @register_stage("$bleu")
 def bleu_stage(expression: Any, ctx: Context) -> StageFn:
     """Sentence-level BLEU (Papineni et al. 2002): ``{candidate,

@@ -1,0 +1,150 @@
+"""$meteor — exact-match METEOR (Banerjee & Lavie 2005) with NLTK
+parity.  The reference implementation below is a verbatim transcription
+of nltk.translate.meteor_score's exact-match path (public algorithm):
+reverse-greedy enumeration alignment, chunk counting over
+hypothesis-sorted matches, alpha/beta/gamma parameterization.  The
+stage's closed-form occurrence-rank alignment must agree EXACTLY.
+"""
+
+import math
+import random
+
+import pytest
+
+from pincette_mongo_streams_spark import Context, compile_pipeline
+
+
+def _align(hyp: list, ref: list):
+    """NLTK _match_enums: hypothesis scanned last-to-first, each word
+    taking the last still-available reference occurrence."""
+    eh = list(enumerate(hyp))
+    er = list(enumerate(ref))
+    matches = []
+    for i in range(len(eh))[::-1]:
+        for j in range(len(er))[::-1]:
+            if eh[i][1] == er[j][1]:
+                matches.append((eh[i][0], er[j][0]))
+                eh.pop(i)
+                er.pop(j)
+                break
+    return matches
+
+
+def _count_chunks(matches: list) -> int:
+    matches = sorted(matches, key=lambda m: m[0])
+    chunks = 1
+    for a, b in zip(matches, matches[1:]):
+        if not (b[0] == a[0] + 1 and b[1] == a[1] + 1):
+            chunks += 1
+    return chunks
+
+
+def _meteor_ref(hyp, ref, alpha=0.9, beta=3.0, gamma=0.5):
+    hyp, ref = hyp.lower().split(), ref.lower().split()
+    matches = _align(hyp, ref)
+    m = len(matches)
+    if m == 0:
+        return (0, 0, 0.0, 0.0, 0.0, 0.0)
+    ch = _count_chunks(matches)
+    p, r = m / len(hyp), m / len(ref)
+    fmean = p * r / (alpha * p + (1 - alpha) * r)
+    pen = gamma * (ch / m) ** beta
+    return (m, ch, p, r, fmean, fmean * (1 - pen))
+
+
+def _run(spark, rows, **opts):
+    df = spark.createDataFrame(rows, ["i", "c", "r"])
+    out = compile_pipeline(
+        [{"$meteor": {"candidate": "$c", "reference": "$r", "as": "s",
+                      **opts}}],
+        Context(spark=spark))(df)
+    return {r["i"]: r["s"] for r in out.collect()}
+
+
+def test_meteor_literal_vectors(spark):
+    """The NLTK docstring example: identical sentences score
+    0.9977...; plus a hand case with a repeated word."""
+    rows = [
+        (1,
+         "It is a guide to action which ensures that the military "
+         "always obeys the commands of the party",
+         "It is a guide to action which ensures that the military "
+         "always obeys the commands of the party"),
+        (2, "the cat the", "the cat sat on the mat"),
+    ]
+    got = _run(spark, rows)
+    s1 = got[1]
+    # identical 18-token texts: m=18, 1 chunk, P=R=F=1,
+    # penalty = 0.5*(1/18)^3
+    assert s1["matches"] == 18 and s1["chunks"] == 1
+    assert abs(s1["score"] - (1 - 0.5 * (1 / 18) ** 3)) < 1e-12
+    exp = _meteor_ref(*rows[1][1:])
+    s2 = got[2]
+    assert (s2["matches"], s2["chunks"]) == exp[:2]
+    assert abs(s2["score"] - exp[5]) < 1e-12
+
+
+def test_meteor_differential_random(spark):
+    """Randomized differential vs the verbatim NLTK-algorithm
+    reference: duplicated words exercise the reverse-greedy pairing."""
+    rng = random.Random(12)
+    vocab = ["a", "b", "c", "d", "e"]
+    rows = []
+    for i in range(60):
+        c = " ".join(rng.choices(vocab, k=rng.randint(1, 12)))
+        r = " ".join(rng.choices(vocab, k=rng.randint(1, 12)))
+        rows.append((i, c, r))
+    got = _run(spark, rows)
+    for i, c, r in rows:
+        m, ch, p, rr, fm, sc = _meteor_ref(c, r)
+        s = got[i]
+        assert s["matches"] == m and s["chunks"] == ch, (c, r, dict(s.asDict()))
+        assert abs(s["score"] - sc) < 1e-12, (c, r)
+
+
+def test_meteor_zero_match_and_nulls(spark):
+    got = _run(spark, [(1, "x y", "z w"), (2, None, "a"), (3, "a", None)])
+    assert got[1]["score"] == 0.0 and got[1]["matches"] == 0
+    assert got[2] is None and got[3] is None
+
+
+def test_meteor_multiref_max_and_params(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", ["z z z", "a b c"])], ["i", "c", "rs"])
+    out = compile_pipeline(
+        [{"$meteor": {"candidate": "$c", "references": "$rs",
+                      "as": "s"}}],
+        Context(spark=spark))(df)
+    (row,) = out.collect()
+    assert row["s"]["score"] == pytest.approx(
+        _meteor_ref("a b c", "a b c")[5])
+    # non-default parameters flow through
+    got = _run(spark, [(1, "a b x", "a b y")], alpha=0.5, beta=2.0,
+               gamma=0.4)
+    exp = _meteor_ref("a b x", "a b y", alpha=0.5, beta=2.0, gamma=0.4)
+    assert abs(got[1]["score"] - exp[5]) < 1e-12
+
+
+def test_meteor_case_fold_and_options(spark):
+    got = _run(spark, [(1, "The CAT", "the cat")])
+    assert got[1]["score"] > 0.9  # lowercased by default (NLTK)
+    ctx = Context(spark=spark)
+    for bad in ({"alpha": 1.0}, {"beta": 0}, {"gamma": -1},
+                {"tokenizer": "bogus"}, {"maxWords": 0}):
+        with pytest.raises(ValueError):
+            compile_pipeline(
+                [{"$meteor": {"candidate": "$c", "reference": "$r",
+                              **bad}}], ctx)
+
+
+def test_meteor_plan_is_pure_jvm(spark):
+    df = _mk(spark)
+    out = compile_pipeline(
+        [{"$meteor": {"candidate": "$c", "reference": "$r"}}],
+        Context(spark=spark))(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def _mk(spark):
+    return spark.createDataFrame([(1, "a b", "a b")], ["i", "c", "r"])
