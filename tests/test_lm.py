@@ -139,3 +139,33 @@ def test_score_plan_shape(spark):
         Context(spark=spark, collections={"lm": m}))(docs)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_score_streams_per_micro_batch(spark, tmp_path):
+    """$ngramLmScore is row-local in semantics: inside foreachBatch the
+    static model joins each micro-batch like any batch frame (only
+    $ngramLmTrain is corpus-gated).  Two batches, same doc text ->
+    identical scores, model trained once up front."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from test_streaming import _run
+
+    m = _model(spark)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType())])
+    batches = [
+        [{"doc_id": 1, "text": "a b a b c"}],
+        [{"doc_id": 2, "text": "a b a b c"}],
+    ]
+    pipeline = [{"$ngramLmScore": {"input": "$text", "model": "lm",
+                                   "n": 2, "as": "s"}}]
+    emissions = _run(spark, str(tmp_path), schema, batches, pipeline,
+                     ctx=Context(spark=spark, collections={"lm": m}))
+    scores = [r["s"]["logprob"] for e in emissions for r in e if e]
+    exp = sum(math.log10(x)
+              for x in (4 / 15, 1.0, 1 / 3, 1.0, 1 / 3)) / 5
+    assert len(scores) == 2
+    assert all(abs(s - exp) < 1e-12 for s in scores)
