@@ -145,16 +145,28 @@ def ngram_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
     10^(-logprob)``, the CCNet filter statistic (Wenzek et al. 2020
     keep/bucket documents by LM perplexity).
 
-    Stupid Backoff (Brants et al. 2007): ``S(w|ctx_k) =
-    count(ctx_k w)/count(ctx_k)`` when the k-gram was seen, else
-    ``backoff * S(w|ctx_{k-1})`` (default 0.4, the paper's constant);
-    position ``i`` starts at order ``min(n, i)`` — shorter context near
-    the document start, NO backoff penalty for it (pinned).  The
-    unigram base case is additive-smoothed over ``V+1`` outcomes:
-    ``(count(w)+alpha) / (N + alpha*(V+1))`` with ``alpha`` default 1
-    — OOV (unseen or minCount-pruned) tokens get the ``count = 0``
-    cell and are tallied in ``oov``.  ``n`` (default 3) must not
-    exceed the trained order.  Null text -> null struct; an
+    ``smoothing: "stupidBackoff"`` (default, Brants et al. 2007):
+    ``S(w|ctx_k) = count(ctx_k w)/count(ctx_k)`` when the k-gram was
+    seen, else ``backoff * S(w|ctx_{k-1})`` (default 0.4, the paper's
+    constant).  The unigram base case is additive-smoothed over
+    ``V+1`` outcomes: ``(count(w)+alpha) / (N + alpha*(V+1))`` with
+    ``alpha`` default 1.  Not a normalized probability (the paper's
+    deliberate trade for distributed simplicity).
+
+    ``smoothing: "jelinekMercer"`` (Jelinek & Mercer 1980, the classic
+    interpolation): ``p_k = lambda*ML_k + (1-lambda)*p_{k-1}`` with
+    ``ML_k = count(ctx_k w)/count(ctx_k)`` (0 on an unseen context)
+    and base ``p_1 = lambda*count(w)/N + (1-lambda)/(V+1)`` — a PROPER
+    probability given fixed ``lambda`` (option ``lambda``, default
+    0.9, one value for all orders, pinned), so perplexity has its
+    textbook meaning.  ``backoff``/``alpha`` are stupidBackoff-only;
+    ``lambda`` is jelinekMercer-only (mixing them raises).
+
+    Common to both: position ``i`` starts at order ``min(n, i)`` —
+    shorter context near the document start, NO penalty for it
+    (pinned); OOV (unseen or minCount-pruned) tokens get the
+    ``count = 0`` cell and are tallied in ``oov``.  ``n`` (default 3)
+    must not exceed the trained order.  Null text -> null struct; an
     effectively-empty document scores ``(0, 0, null, null)``.
 
     100 TB shape: tokenize (HOF) -> explode (position, order) gram +
@@ -170,8 +182,23 @@ def ngram_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
     inp = expression["input"]
     model_name = expression["model"]
     n = int(expression.get("n", 3))
+    smoothing = expression.get("smoothing", "stupidBackoff")
+    if smoothing not in ("stupidBackoff", "jelinekMercer"):
+        raise ValueError(
+            "$ngramLmScore smoothing must be stupidBackoff | "
+            "jelinekMercer")
+    if smoothing == "jelinekMercer" and (
+            "backoff" in expression or "alpha" in expression):
+        raise ValueError(
+            "$ngramLmScore backoff/alpha are stupidBackoff options — "
+            "jelinekMercer takes `lambda`")
+    if smoothing == "stupidBackoff" and "lambda" in expression:
+        raise ValueError(
+            "$ngramLmScore `lambda` is a jelinekMercer option — "
+            "stupidBackoff takes backoff/alpha")
     backoff = float(expression.get("backoff", 0.4))
     alpha = float(expression.get("alpha", 1.0))
+    lam = float(expression.get("lambda", 0.9))
     tok = expression.get("tokenizer", "whitespace")
     max_words = int(expression.get("maxWords", 100_000))
     as_field = expression.get("as", "lm")
@@ -181,6 +208,8 @@ def ngram_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
         raise ValueError("$ngramLmScore backoff must be in (0, 1]")
     if alpha <= 0:
         raise ValueError("$ngramLmScore alpha must be > 0")
+    if not (0.0 < lam < 1.0):
+        raise ValueError("$ngramLmScore lambda must be in (0, 1)")
     if tok not in _LM_TOKENIZERS:
         raise ValueError(
             f"$ngramLmScore tokenizer must be one of {_LM_TOKENIZERS}")
@@ -263,21 +292,39 @@ def ngram_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
         per_pos = joined.groupBy("__rid", "__i").agg(*aggs)
         per_pos = per_pos.crossJoin(F.broadcast(stats))
 
-        # Stupid Backoff chain, built lowest order first; ss[k-1] is the
-        # score assuming position i starts at order k (a k-gram miss
-        # multiplies by `backoff` and falls to ss[k-2])
-        ss = [
-            (F.coalesce(F.col("__g1"), F.lit(0)).cast("double")
-             + F.lit(alpha)) / (
-                F.col("__N").cast("double")
-                + F.lit(alpha) * (F.col("__V").cast("double") + 1.0))
-        ]
-        for k in range(2, n + 1):
-            gk, ck = F.col(f"__g{k}"), F.col(f"__c{k}")
-            ss.append(F.when(
-                gk.isNotNull() & ck.isNotNull() & (ck > 0),
-                gk.cast("double") / ck.cast("double"),
-            ).otherwise(F.lit(backoff) * ss[-1]))
+        # smoothing chain, built lowest order first; ss[k-1] is the
+        # score assuming position i starts at order k
+        if smoothing == "stupidBackoff":
+            # a k-gram miss multiplies by `backoff` and falls through
+            ss = [
+                (F.coalesce(F.col("__g1"), F.lit(0)).cast("double")
+                 + F.lit(alpha)) / (
+                    F.col("__N").cast("double")
+                    + F.lit(alpha) * (F.col("__V").cast("double") + 1.0))
+            ]
+            for k in range(2, n + 1):
+                gk, ck = F.col(f"__g{k}"), F.col(f"__c{k}")
+                ss.append(F.when(
+                    gk.isNotNull() & ck.isNotNull() & (ck > 0),
+                    gk.cast("double") / ck.cast("double"),
+                ).otherwise(F.lit(backoff) * ss[-1]))
+        else:
+            # Jelinek-Mercer: every level interpolates with the one
+            # below; an unseen context contributes ML = 0
+            ss = [
+                F.lit(lam) * (
+                    F.coalesce(F.col("__g1"), F.lit(0)).cast("double")
+                    / F.col("__N").cast("double"))
+                + F.lit(1.0 - lam)
+                / (F.col("__V").cast("double") + 1.0)
+            ]
+            for k in range(2, n + 1):
+                gk, ck = F.col(f"__g{k}"), F.col(f"__c{k}")
+                ml = F.when(
+                    gk.isNotNull() & ck.isNotNull() & (ck > 0),
+                    gk.cast("double") / ck.cast("double"),
+                ).otherwise(F.lit(0.0))
+                ss.append(F.lit(lam) * ml + F.lit(1.0 - lam) * ss[-1])
         # position i starts at order min(n, i): shorter context near the
         # document start selects a lower chain entry with NO penalty
         s = F.when(F.col("__i") >= n, ss[n - 1])

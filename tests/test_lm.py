@@ -169,3 +169,40 @@ def test_score_streams_per_micro_batch(spark, tmp_path):
               for x in (4 / 15, 1.0, 1 / 3, 1.0, 1 / 3)) / 5
     assert len(scores) == 2
     assert all(abs(s - exp) < 1e-12 for s in scores)
+
+
+def test_jelinek_mercer_hand_computed(spark):
+    """JM interpolation: p = lam*ML_2 + (1-lam)*(lam*ML_1 +
+    (1-lam)/(V+1)); hand-computed on the pinned corpus."""
+    m = _model(spark)
+    got = _score(spark, m, [(1, "a b a b c"), (2, "qqq wwww")],
+                 smoothing="jelinekMercer")
+    lam, N, V = 0.9, 9, 5
+
+    def p1(c):
+        return lam * (c / N) + (1 - lam) / (V + 1)
+
+    def p2(cb, cc, cw):
+        return lam * (cb / cc if cc else 0.0) + (1 - lam) * p1(cw)
+
+    exp1 = [p1(3), p2(3, 3, 3), p2(1, 3, 3), p2(3, 3, 3), p2(1, 3, 1)]
+    lp1 = sum(math.log10(x) for x in exp1) / 5
+    assert abs(got[1]["logprob"] - lp1) < 1e-12
+    # OOV 'wwww' after 'qqq': bigram unseen -> ML_2 = 0
+    exp2 = [p1(1), p2(0, 1, 0)]
+    lp2 = sum(math.log10(x) for x in exp2) / 2
+    assert abs(got[2]["logprob"] - lp2) < 1e-12
+    assert got[2]["oov"] == 1
+
+
+def test_smoothing_option_exclusivity(spark):
+    ctx = Context(spark=spark)
+    for bad in ({"smoothing": "jelinekMercer", "backoff": 0.5},
+                {"smoothing": "jelinekMercer", "alpha": 2},
+                {"lambda": 0.5},
+                {"smoothing": "bogus"},
+                {"smoothing": "jelinekMercer", "lambda": 1.0}):
+        with pytest.raises(ValueError):
+            compile_pipeline(
+                [{"$ngramLmScore": {"input": "$t", "model": "m",
+                                    **bad}}], ctx)
