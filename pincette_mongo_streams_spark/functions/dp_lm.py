@@ -183,22 +183,24 @@ def ngram_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
     model_name = expression["model"]
     n = int(expression.get("n", 3))
     smoothing = expression.get("smoothing", "stupidBackoff")
-    if smoothing not in ("stupidBackoff", "jelinekMercer"):
+    if smoothing not in ("stupidBackoff", "jelinekMercer",
+                         "absoluteDiscount"):
         raise ValueError(
             "$ngramLmScore smoothing must be stupidBackoff | "
-            "jelinekMercer")
-    if smoothing == "jelinekMercer" and (
-            "backoff" in expression or "alpha" in expression):
-        raise ValueError(
-            "$ngramLmScore backoff/alpha are stupidBackoff options — "
-            "jelinekMercer takes `lambda`")
-    if smoothing == "stupidBackoff" and "lambda" in expression:
-        raise ValueError(
-            "$ngramLmScore `lambda` is a jelinekMercer option — "
-            "stupidBackoff takes backoff/alpha")
+            "jelinekMercer | absoluteDiscount")
+    _mode_opts = {"stupidBackoff": {"backoff", "alpha"},
+                  "jelinekMercer": {"lambda"},
+                  "absoluteDiscount": {"discount"}}
+    for opt in ("backoff", "alpha", "lambda", "discount"):
+        if opt in expression and opt not in _mode_opts[smoothing]:
+            raise ValueError(
+                f"$ngramLmScore `{opt}` is not a {smoothing} option "
+                f"({smoothing} takes "
+                f"{sorted(_mode_opts[smoothing])})")
     backoff = float(expression.get("backoff", 0.4))
     alpha = float(expression.get("alpha", 1.0))
     lam = float(expression.get("lambda", 0.9))
+    discount = float(expression.get("discount", 0.75))
     tok = expression.get("tokenizer", "whitespace")
     max_words = int(expression.get("maxWords", 100_000))
     as_field = expression.get("as", "lm")
@@ -210,6 +212,8 @@ def ngram_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
         raise ValueError("$ngramLmScore alpha must be > 0")
     if not (0.0 < lam < 1.0):
         raise ValueError("$ngramLmScore lambda must be in (0, 1)")
+    if not (0.0 < discount < 1.0):
+        raise ValueError("$ngramLmScore discount must be in (0, 1)")
     if tok not in _LM_TOKENIZERS:
         raise ValueError(
             f"$ngramLmScore tokenizer must be one of {_LM_TOKENIZERS}")
@@ -276,19 +280,39 @@ def ngram_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
         m = model.select(
             F.col("gram").alias("__mg"),
             F.col("order").alias("__mo"),
+            F.lit("c").alias("__kind"),
             F.col("count").alias("__mc"))
+        if smoothing == "absoluteDiscount":
+            # one derived lookup per order: EXT(ctx) = # distinct words
+            # following ctx (grams are unique per (gram, order), so a
+            # prefix group count IS the distinct-follower count).  The
+            # rows union into the SAME join keyed at order k-1 — the
+            # context keys already exploded per position pick them up.
+            for k in range(2, n + 1):
+                ext_k = (
+                    model.filter(F.col("order") == k)
+                    .groupBy(F.regexp_extract(
+                        "gram", r"^(.*) [^ ]+$", 1).alias("__mg"))
+                    .agg(F.count(F.lit(1)).alias("__mc"))
+                    .select("__mg",
+                            F.lit(k - 1).cast("int").alias("__mo"),
+                            F.lit("ext").alias("__kind"), "__mc"))
+                m = m.unionByName(ext_k)
         joined = flat.join(
             m, (flat["__gram"] == m["__mg"]) &
                (flat["__order"] == m["__mo"]), "left")
 
-        def cnt_of(k: int, is_ctx: bool) -> Column:
-            cond = (F.col("__k") == k) & (F.col("__is_ctx") == is_ctx)
+        def cnt_of(k: int, is_ctx: bool, kind: str = "c") -> Column:
+            cond = ((F.col("__k") == k) & (F.col("__is_ctx") == is_ctx)
+                    & (F.col("__kind") == kind))
             return F.max(F.when(cond, F.col("__mc")))
 
         aggs = [cnt_of(1, False).alias("__g1")]
         for k in range(2, n + 1):
             aggs.append(cnt_of(k, False).alias(f"__g{k}"))
             aggs.append(cnt_of(k, True).alias(f"__c{k}"))
+            if smoothing == "absoluteDiscount":
+                aggs.append(cnt_of(k, True, "ext").alias(f"__e{k}"))
         per_pos = joined.groupBy("__rid", "__i").agg(*aggs)
         per_pos = per_pos.crossJoin(F.broadcast(stats))
 
@@ -308,7 +332,7 @@ def ngram_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
                     gk.isNotNull() & ck.isNotNull() & (ck > 0),
                     gk.cast("double") / ck.cast("double"),
                 ).otherwise(F.lit(backoff) * ss[-1]))
-        else:
+        elif smoothing == "jelinekMercer":
             # Jelinek-Mercer: every level interpolates with the one
             # below; an unseen context contributes ML = 0
             ss = [
@@ -325,6 +349,34 @@ def ngram_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
                     gk.cast("double") / ck.cast("double"),
                 ).otherwise(F.lit(0.0))
                 ss.append(F.lit(lam) * ml + F.lit(1.0 - lam) * ss[-1])
+        else:
+            # absolute discounting (Ney, Essen & Kneser 1994): subtract
+            # D from every seen count and redistribute the freed mass
+            # D*EXT(ctx)/c(ctx) to the lower order — each conditional
+            # sums to 1 over the vocabulary (the Kneser-Ney precursor;
+            # KN's continuation counts are deliberately out of scope
+            # this round).  Base: max(c(w)-D, 0)/N + (D*V/N)/(V+1); a
+            # surviving context with NO surviving extensions (minCount
+            # pruning) falls through to the lower order whole.
+            Nc = F.col("__N").cast("double")
+            Vc = F.col("__V").cast("double")
+            D = F.lit(discount)
+            ss = [
+                F.greatest(
+                    F.coalesce(F.col("__g1"), F.lit(0)).cast("double")
+                    - D, F.lit(0.0)) / Nc
+                + (D * Vc / Nc) / (Vc + 1.0)
+            ]
+            for k in range(2, n + 1):
+                gk = F.coalesce(F.col(f"__g{k}"), F.lit(0)) \
+                    .cast("double")
+                ck, ek = F.col(f"__c{k}"), F.col(f"__e{k}")
+                ss.append(F.when(
+                    ck.isNotNull() & (ck > 0) & ek.isNotNull(),
+                    F.greatest(gk - D, F.lit(0.0)) / ck.cast("double")
+                    + (D * ek.cast("double") / ck.cast("double"))
+                    * ss[-1],
+                ).otherwise(ss[-1]))
         # position i starts at order min(n, i): shorter context near the
         # document start selects a lower chain entry with NO penalty
         s = F.when(F.col("__i") >= n, ss[n - 1])

@@ -206,3 +206,68 @@ def test_smoothing_option_exclusivity(spark):
             compile_pipeline(
                 [{"$ngramLmScore": {"input": "$t", "model": "m",
                                     **bad}}], ctx)
+
+
+def test_absolute_discount_hand_computed(spark):
+    """Ney absolute discounting, D=0.75 on the pinned corpus.
+    EXT: followers(a)={b}->1, followers(b)={a,c}->2, followers(zzz)=1."""
+    m = _model(spark)
+    got = _score(spark, m, [(1, "a b a b c"), (2, "b b"), (3, "qqq wwww")],
+                 smoothing="absoluteDiscount")
+    D, N, V = 0.75, 9, 5
+
+    def p1(c):
+        return max(c - D, 0) / N + (D * V / N) / (V + 1)
+
+    def p2(cb, cc, ext, cw):
+        return max(cb - D, 0) / cc + (D * ext / cc) * p1(cw)
+
+    exp1 = [p1(3), p2(3, 3, 1, 3), p2(1, 3, 2, 3), p2(3, 3, 1, 3),
+            p2(1, 3, 2, 1)]
+    lp1 = sum(math.log10(x) for x in exp1) / 5
+    assert abs(got[1]["logprob"] - lp1) < 1e-12
+    # "b b": bigram unseen but ctx 'b' has ext=2 -> discounted-0 + gamma
+    exp2 = [p1(3), p2(0, 3, 2, 3)]
+    lp2 = sum(math.log10(x) for x in exp2) / 2
+    assert abs(got[2]["logprob"] - lp2) < 1e-12
+    # OOV after 'qqq': ctx is a seen unigram but has NO followers
+    # ('qqq' only occurs sentence-final) -> falls through to p1(0)
+    exp3 = [p1(1), p1(0)]
+    lp3 = sum(math.log10(x) for x in exp3) / 2
+    assert abs(got[3]["logprob"] - lp3) < 1e-12
+    assert got[3]["oov"] == 1
+    # and a ctx WITH followers and gamma mass only: 'zzz' (ext=1)
+    got_z = _score(spark, m, [(9, "zzz wwww")],
+                   smoothing="absoluteDiscount")
+    expz = [p1(1), p2(0, 1, 1, 0)]
+    lpz = sum(math.log10(x) for x in expz) / 2
+    assert abs(got_z[9]["logprob"] - lpz) < 1e-12
+
+
+def test_absolute_discount_pruned_context_falls_through(spark):
+    """minCount=2 prunes every bigram except 'a b' — a surviving
+    context with no surviving extensions scores the lower order whole
+    (no zero-probability hole)."""
+    m = _model(spark, minCount=2)
+    got = _score(spark, m, [(1, "b a")], smoothing="absoluteDiscount")
+    D, N, V = 0.75, 9, 2
+
+    def p1(c):
+        return max(c - D, 0) / N + (D * V / N) / (V + 1)
+
+    # ctx 'b' survives as a unigram but has NO surviving followers ->
+    # position 2 falls through to p1(a)
+    lp = (math.log10(p1(3)) + math.log10(p1(3))) / 2
+    assert abs(got[1]["logprob"] - lp) < 1e-12
+
+
+def test_absolute_discount_option_exclusivity(spark):
+    ctx = Context(spark=spark)
+    for bad in ({"smoothing": "absoluteDiscount", "backoff": 0.5},
+                {"smoothing": "absoluteDiscount", "lambda": 0.5},
+                {"discount": 0.5},
+                {"smoothing": "absoluteDiscount", "discount": 1.0}):
+        with pytest.raises(ValueError):
+            compile_pipeline(
+                [{"$ngramLmScore": {"input": "$t", "model": "m",
+                                    **bad}}], ctx)
