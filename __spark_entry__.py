@@ -1682,6 +1682,94 @@ ORDER BY d.doc_id""".replace(
 )(_ngram_lm_ad_query)
 
 
+def _ngram_lm_kn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: interpolated Kneser-Ney (fixed discount) — the KenLM-family
+    smoothing; lower orders score by CONTINUATION counts and the
+    highest order by raw counts over the TRUE conditional denominator
+    sum(c(ctx w)).  Still pure count arithmetic -> full hash oracle."""
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    tables = _load(spark, sf_dir)
+    model = compile_pipeline(
+        [{"$ngramLmTrain": {"input": "$text", "n": 2, "minCount": 2}}],
+        Context(spark=spark),
+    )(tables["documents"])
+    ctx = Context(spark=spark, collections={"lm": model})
+    return compile_pipeline(
+        [
+            {"$ngramLmScore": {"input": "$text", "model": "lm", "n": 2,
+                               "smoothing": "kneserNey",
+                               "as": "lm"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "n_tokens": "$lm.n_tokens",
+                          "oov": "$lm.oov",
+                          "logprob": {"$round": ["$lm.logprob", 6]},
+                          "ppl": {"$round": ["$lm.perplexity", 4]}}},
+            {"$sort": {"doc_id": 1}},
+        ],
+        ctx,
+    )(tables["documents"])
+
+
+_register(
+    "ngram_lm_kn",
+    r"""WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents WHERE text IS NOT NULL),
+uni AS (SELECT w, count(*) AS c
+        FROM (SELECT unnest(tk) AS w FROM docs)
+        GROUP BY w HAVING count(*) >= 2),
+v AS (SELECT count(*) AS V FROM uni),
+bi AS (SELECT g, count(*) AS c
+       FROM (SELECT unnest(list_transform(
+                      generate_series(2, len(tk)),
+                      i -> tk[i-1] || ' ' || tk[i])) AS g FROM docs)
+       GROUP BY g HAVING count(*) >= 2),
+bb AS (SELECT count(*) AS B,
+              count(DISTINCT string_split(g, ' ')[2]) AS D1 FROM bi),
+sden AS (SELECT string_split(g, ' ')[1] AS w, sum(c) AS s,
+                count(*) AS x
+         FROM bi GROUP BY 1),
+cont AS (SELECT string_split(g, ' ')[2] AS w, count(*) AS c
+         FROM bi GROUP BY 1),
+pos AS (SELECT doc_id, tk,
+               unnest(generate_series(1, len(tk))) AS i FROM docs),
+px AS (SELECT doc_id, i, tk[i] AS w,
+              CASE WHEN i > 1 THEN tk[i-1] END AS pw,
+              CASE WHEN i > 1 THEN tk[i-1] || ' ' || tk[i] END AS bg
+       FROM pos),
+sc AS (SELECT p.doc_id, p.i,
+              CASE WHEN p.i > 1 AND sd.s IS NOT NULL
+                   THEN greatest(coalesce(b.c, 0) - 0.75, 0) / sd.s
+                        + (0.75 * sd.x / sd.s)
+                          * (greatest(coalesce(ct.c, 0) - 0.75, 0)
+                             / bb.B
+                             + (0.75 * bb.D1 / bb.B) / (v.V + 1.0))
+                   ELSE greatest(coalesce(ct.c, 0) - 0.75, 0) / bb.B
+                        + (0.75 * bb.D1 / bb.B) / (v.V + 1.0) END AS s,
+              CASE WHEN u.c IS NULL THEN 1 ELSE 0 END AS oov
+       FROM px p
+       LEFT JOIN uni u ON u.w = p.w
+       LEFT JOIN bi b ON b.g = p.bg
+       LEFT JOIN sden sd ON sd.w = p.pw
+       LEFT JOIN cont ct ON ct.w = p.w, bb, v),
+agg AS (SELECT doc_id, count(*) AS nt, sum(oov) AS oov,
+               sum(log10(s)) AS sl
+        FROM sc GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(a.nt AS BIGINT) AS n_tokens,
+       CAST(a.oov AS BIGINT) AS oov,
+       {lp} AS logprob,
+       {ppl} AS ppl
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id""".replace(
+        "{lp}", _r("a.sl / a.nt", 6)).replace(
+        "{ppl}", _r("power(10, -(a.sl / a.nt))", 4)),
+)(_ngram_lm_kn_query)
+
+
 _register(
     "rouge_l_eval",
     f"""WITH w AS (

@@ -159,8 +159,32 @@ def ngram_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
     and base ``p_1 = lambda*count(w)/N + (1-lambda)/(V+1)`` — a PROPER
     probability given fixed ``lambda`` (option ``lambda``, default
     0.9, one value for all orders, pinned), so perplexity has its
-    textbook meaning.  ``backoff``/``alpha`` are stupidBackoff-only;
-    ``lambda`` is jelinekMercer-only (mixing them raises).
+    textbook meaning.
+
+    ``smoothing: "absoluteDiscount"`` (Ney, Essen & Kneser 1994):
+    ``max(c-D, 0)/c(ctx)`` plus the freed ``D*EXT(ctx)/c(ctx)`` mass
+    on the lower order (``discount`` option, default 0.75); proper per
+    conditional.  A surviving context whose extensions were all
+    minCount-pruned falls through to the lower order whole.
+
+    ``smoothing: "kneserNey"`` (Kneser & Ney 1995; Chen & Goodman
+    1999's interpolated form with one fixed ``discount`` — modified
+    KN's three count-bucketed discounts are a documented possible
+    extension): the highest order discounts RAW counts over the true
+    conditional denominator ``sum_w c(ctx w)`` (a context's final
+    occurrence in a document has no follower, so ``c(ctx)`` would
+    over-count); every lower order scores by CONTINUATION counts
+    ``N1+(. g)`` — how many distinct contexts a gram completes — the
+    insight that keeps "francisco" improbable as a continuation no
+    matter how frequent it is raw.  Unigram base
+    ``max(N1+(.w)-D, 0)/N1+(..) + D*D1/N1+(..) * 1/(V+1)``.  Every
+    derived table (suffix / middle / distinct-last groupings) comes
+    from the model itself at plan time; needs ``n >= 2``.  All counts
+    are over the SURVIVING (minCount-pruned) model rows.
+
+    Option exclusivity: ``backoff``/``alpha`` are stupidBackoff-only,
+    ``lambda`` jelinekMercer-only, ``discount`` absoluteDiscount/
+    kneserNey-only (mixing raises).
 
     Common to both: position ``i`` starts at order ``min(n, i)`` —
     shorter context near the document start, NO penalty for it
@@ -184,13 +208,14 @@ def ngram_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
     n = int(expression.get("n", 3))
     smoothing = expression.get("smoothing", "stupidBackoff")
     if smoothing not in ("stupidBackoff", "jelinekMercer",
-                         "absoluteDiscount"):
+                         "absoluteDiscount", "kneserNey"):
         raise ValueError(
             "$ngramLmScore smoothing must be stupidBackoff | "
-            "jelinekMercer | absoluteDiscount")
+            "jelinekMercer | absoluteDiscount | kneserNey")
     _mode_opts = {"stupidBackoff": {"backoff", "alpha"},
                   "jelinekMercer": {"lambda"},
-                  "absoluteDiscount": {"discount"}}
+                  "absoluteDiscount": {"discount"},
+                  "kneserNey": {"discount"}}
     for opt in ("backoff", "alpha", "lambda", "discount"):
         if opt in expression and opt not in _mode_opts[smoothing]:
             raise ValueError(
@@ -214,6 +239,10 @@ def ngram_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
         raise ValueError("$ngramLmScore lambda must be in (0, 1)")
     if not (0.0 < discount < 1.0):
         raise ValueError("$ngramLmScore discount must be in (0, 1)")
+    if smoothing == "kneserNey" and n < 2:
+        raise ValueError(
+            "$ngramLmScore kneserNey needs n >= 2 (continuation "
+            "counts come from the order above)")
     if tok not in _LM_TOKENIZERS:
         raise ValueError(
             f"$ngramLmScore tokenizer must be one of {_LM_TOKENIZERS}")
@@ -222,15 +251,28 @@ def ngram_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         model = c.collection(model_name)
-        stats = (
-            model.agg(
-                F.max(F.when(F.col("order") == 0,
-                             F.col("count"))).alias("__N"),
-                F.sum(F.when(F.col("order") == 1, F.lit(1))
-                      .otherwise(F.lit(0))).cast("long").alias("__V"),
-                F.max("order").cast("int").alias("__maxK"),
-            )
-        )
+        _suffix = F.regexp_extract("gram", r"^[^ ]+ (.*)$", 1)
+        _prefix = F.regexp_extract("gram", r"^(.*) [^ ]+$", 1)
+        _middle = F.regexp_extract("gram", r"^[^ ]+ (.*) [^ ]+$", 1)
+        _last = F.regexp_extract("gram", r"([^ ]+)$", 1)
+        stats_cols = [
+            F.max(F.when(F.col("order") == 0,
+                         F.col("count"))).alias("__N"),
+            F.sum(F.when(F.col("order") == 1, F.lit(1))
+                  .otherwise(F.lit(0))).cast("long").alias("__V"),
+            F.max("order").cast("int").alias("__maxK"),
+        ]
+        if smoothing == "kneserNey":
+            # N1+(..) = # distinct bigram types, and the # of distinct
+            # words that ever appear as a bigram's second word — the
+            # unigram continuation denominator and its gamma count
+            stats_cols += [
+                F.sum(F.when(F.col("order") == 2, F.lit(1))
+                      .otherwise(F.lit(0))).cast("long").alias("__BB"),
+                F.count_distinct(F.when(F.col("order") == 2, _suffix))
+                .cast("long").alias("__D1"),
+            ]
+        stats = model.agg(*stats_cols)
         text = compile_expr(inp, ExprContext(schema=df.schema))
         df_id = df.withColumn("__rid", F.monotonically_increasing_id())
         toks_df = df_id.select(
@@ -282,22 +324,50 @@ def ngram_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
             F.col("order").alias("__mo"),
             F.lit("c").alias("__kind"),
             F.col("count").alias("__mc"))
+        def _derived(order: int, key_expr: Column, key_order: int,
+                     kind: str, agg: Column) -> DataFrame:
+            """A model-derived lookup (group the order-`order` grams by
+            a key expression) unioned into the SAME join — the g/ctx
+            keys already exploded per position pick it up at
+            (key, key_order, kind)."""
+            return (
+                model.filter(F.col("order") == order)
+                .groupBy(key_expr.alias("__mg"))
+                .agg(agg.alias("__mc"))
+                .select("__mg",
+                        F.lit(key_order).cast("int").alias("__mo"),
+                        F.lit(kind).alias("__kind"), "__mc"))
+
         if smoothing == "absoluteDiscount":
-            # one derived lookup per order: EXT(ctx) = # distinct words
-            # following ctx (grams are unique per (gram, order), so a
-            # prefix group count IS the distinct-follower count).  The
-            # rows union into the SAME join keyed at order k-1 — the
-            # context keys already exploded per position pick them up.
+            # EXT(ctx) = # distinct words following ctx (grams are
+            # unique per (gram, order), so a prefix group count IS the
+            # distinct-follower count)
             for k in range(2, n + 1):
-                ext_k = (
-                    model.filter(F.col("order") == k)
-                    .groupBy(F.regexp_extract(
-                        "gram", r"^(.*) [^ ]+$", 1).alias("__mg"))
-                    .agg(F.count(F.lit(1)).alias("__mc"))
-                    .select("__mg",
-                            F.lit(k - 1).cast("int").alias("__mo"),
-                            F.lit("ext").alias("__kind"), "__mc"))
-                m = m.unionByName(ext_k)
+                m = m.unionByName(_derived(
+                    k, _prefix, k - 1, "ext", F.count(F.lit(1))))
+        elif smoothing == "kneserNey":
+            # highest order: true conditional denominator SDEN(ctx) =
+            # sum of c(ctx w) (NOT c(ctx): a context's final occurrence
+            # in a document has no follower) + EXT for the gamma mass
+            m = m.unionByName(_derived(
+                n, _prefix, n - 1, "sden", F.sum("count")))
+            m = m.unionByName(_derived(
+                n, _prefix, n - 1, "ext", F.count(F.lit(1))))
+            # continuation counts: CONT(g_k) = N1+(. g_k) from the
+            # order-(k+1) table grouped by suffix — keyed at the g_k
+            # position keys
+            for k in range(1, n):
+                m = m.unionByName(_derived(
+                    k + 1, _suffix, k, "cont", F.count(F.lit(1))))
+            # middle levels: CDEN(ctx) = N1+(. ctx .) and CEXT(ctx) =
+            # # distinct final words, both grouped by the middle of the
+            # order-(k+1) grams — keyed at the ctx position keys
+            for k in range(2, n):
+                m = m.unionByName(_derived(
+                    k + 1, _middle, k - 1, "cden", F.count(F.lit(1))))
+                m = m.unionByName(_derived(
+                    k + 1, _middle, k - 1, "cext",
+                    F.count_distinct(_last)))
         joined = flat.join(
             m, (flat["__gram"] == m["__mg"]) &
                (flat["__order"] == m["__mo"]), "left")
@@ -313,6 +383,14 @@ def ngram_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
             aggs.append(cnt_of(k, True).alias(f"__c{k}"))
             if smoothing == "absoluteDiscount":
                 aggs.append(cnt_of(k, True, "ext").alias(f"__e{k}"))
+        if smoothing == "kneserNey":
+            aggs.append(cnt_of(n, True, "sden").alias("__sden"))
+            aggs.append(cnt_of(n, True, "ext").alias("__ext"))
+            for k in range(1, n):
+                aggs.append(cnt_of(k, False, "cont").alias(f"__ct{k}"))
+            for k in range(2, n):
+                aggs.append(cnt_of(k, True, "cden").alias(f"__cd{k}"))
+                aggs.append(cnt_of(k, True, "cext").alias(f"__cx{k}"))
         per_pos = joined.groupBy("__rid", "__i").agg(*aggs)
         per_pos = per_pos.crossJoin(F.broadcast(stats))
 
@@ -349,6 +427,46 @@ def ngram_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
                     gk.cast("double") / ck.cast("double"),
                 ).otherwise(F.lit(0.0))
                 ss.append(F.lit(lam) * ml + F.lit(1.0 - lam) * ss[-1])
+        elif smoothing == "kneserNey":
+            # interpolated Kneser-Ney, fixed discount (Kneser & Ney
+            # 1995; Chen & Goodman 1999's interpolated form — modified
+            # KN's three discounts are a documented possible extension).
+            # Lower orders use CONTINUATION counts (how many distinct
+            # contexts a gram completes), the insight that makes
+            # "francisco" rare as a continuation however frequent it is
+            # raw; the highest order uses raw counts with the TRUE
+            # conditional denominator Σ_w c(ctx w).  Every level's
+            # conditional sums to 1; unseen denominators fall through
+            # to the level below whole.
+            Vc = F.col("__V").cast("double")
+            D = F.lit(discount)
+            BB = F.col("__BB").cast("double")
+            D1 = F.col("__D1").cast("double")
+            unif = 1.0 / (Vc + 1.0)
+            ct1 = F.coalesce(F.col("__ct1"), F.lit(0)).cast("double")
+            ss = [F.when(
+                F.col("__BB") > 0,
+                F.greatest(ct1 - D, F.lit(0.0)) / BB
+                + (D * D1 / BB) * unif,
+            ).otherwise(unif)]
+            for k in range(2, n):
+                cont = F.coalesce(F.col(f"__ct{k}"), F.lit(0)) \
+                    .cast("double")
+                cd, cx = F.col(f"__cd{k}"), F.col(f"__cx{k}")
+                ss.append(F.when(
+                    cd.isNotNull() & (cd > 0),
+                    F.greatest(cont - D, F.lit(0.0)) / cd.cast("double")
+                    + (D * cx.cast("double") / cd.cast("double"))
+                    * ss[-1],
+                ).otherwise(ss[-1]))
+            gn = F.coalesce(F.col(f"__g{n}"), F.lit(0)).cast("double")
+            sden, ext = F.col("__sden"), F.col("__ext")
+            ss.append(F.when(
+                sden.isNotNull() & (sden > 0),
+                F.greatest(gn - D, F.lit(0.0)) / sden.cast("double")
+                + (D * ext.cast("double") / sden.cast("double"))
+                * ss[-1],
+            ).otherwise(ss[-1]))
         else:
             # absolute discounting (Ney, Essen & Kneser 1994): subtract
             # D from every seen count and redistribute the freed mass

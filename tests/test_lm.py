@@ -271,3 +271,86 @@ def test_absolute_discount_option_exclusivity(spark):
             compile_pipeline(
                 [{"$ngramLmScore": {"input": "$t", "model": "m",
                                     **bad}}], ctx)
+
+
+def test_kneser_ney_bigram_hand_computed(spark):
+    """Interpolated KN, n=2, D=0.75, pinned corpus.  Continuation
+    unigrams: CONT(b)=CONT(a)=CONT(c)=CONT(qqq)=1, CONT(zzz)=0;
+    BB=4 bigram types, D1=4 distinct second words.  True conditional
+    denominators: SDEN(a)=3, SDEN(b)=2, SDEN(zzz)=1 (NOT the raw
+    unigram counts — 'c'/'qqq' end documents)."""
+    m = _model(spark)
+    got = _score(spark, m, [(1, "a b a b c"), (2, "zzz zzz"),
+                            (3, "qqq a")],
+                 smoothing="kneserNey")
+    D, BB, D1, V = 0.75, 4, 4, 5
+    unif = 1 / (V + 1)
+
+    def p1(cont):
+        return max(cont - D, 0) / BB + (D * D1 / BB) * unif
+
+    def p2(cg, sden, ext, cont_w):
+        return (max(cg - D, 0) / sden
+                + (D * ext / sden) * p1(cont_w))
+
+    # doc 1 "a b a b c"
+    exp1 = [p1(1), p2(3, 3, 1, 1), p2(1, 2, 2, 1), p2(3, 3, 1, 1),
+            p2(1, 2, 2, 1)]
+    lp1 = sum(math.log10(x) for x in exp1) / 5
+    assert abs(got[1]["logprob"] - lp1) < 1e-12
+    # each conditional sums to 1: check P(.|b) mass by hand
+    mass = (p2(1, 2, 2, 1) * 2           # a, c (seen bigrams)
+            + (D * 2 / 2) * p1(1) * 2    # b, qqq (unseen, CONT=1)
+            + (D * 2 / 2) * p1(0)        # zzz (CONT=0)
+            + (D * 2 / 2) * p1(0))       # the OOV bucket
+    assert abs(mass - 1.0) < 1e-12
+    # "zzz zzz": i2 bigram 'zzz zzz' unseen but SDEN(zzz)=1
+    exp2 = [p1(0), p2(0, 1, 1, 0)]
+    lp2 = sum(math.log10(x) for x in exp2) / 2
+    assert abs(got[2]["logprob"] - lp2) < 1e-12
+    # "qqq a": ctx 'qqq' has NO followers -> falls through to p1(a)
+    exp3 = [p1(1), p1(1)]
+    lp3 = sum(math.log10(x) for x in exp3) / 2
+    assert abs(got[3]["logprob"] - lp3) < 1e-12
+
+
+def test_kneser_ney_trigram_middle_level(spark):
+    """n=3 exercises the continuation MIDDLE level: trigram suffix /
+    middle / distinct-last lookups, all hand-computed."""
+    m = _model(spark, n=3)
+    got = _score(spark, m, [(1, "b a b c")], n=3,
+                 smoothing="kneserNey")
+    D, BB, D1, V = 0.75, 4, 4, 5
+    unif = 1 / (V + 1)
+
+    def p1(cont):
+        return max(cont - D, 0) / BB + (D * D1 / BB) * unif
+
+    # CONT2("b a")=CONT2("a b")=CONT2("b c")=1; CDEN(b)=2, CDEN(a)=1;
+    # CEXT(b)=2, CEXT(a)=1; SDEN("a b")=2, SDEN("b a")=1;
+    # EXT3("a b")=2, EXT3("b a")=1
+    def p2kn(cont_g, cden, cext, cont_w):
+        return (max(cont_g - D, 0) / cden
+                + (D * cext / cden) * p1(cont_w))
+
+    i1 = p1(1)                       # 'b'
+    i2 = p2kn(1, 2, 2, 1)            # 'a'|'b'  (order 2 at position 2)
+    i3 = (max(1 - D, 0) / 1
+          + (D * 1 / 1) * p2kn(1, 1, 1, 1))   # 'b'|'b a' via SDEN
+    i4 = (max(1 - D, 0) / 2
+          + (D * 2 / 2) * p2kn(1, 2, 2, 1))   # 'c'|'a b'
+    lp = sum(math.log10(x) for x in (i1, i2, i3, i4)) / 4
+    assert abs(got[1]["logprob"] - lp) < 1e-12
+
+
+def test_kneser_ney_options(spark):
+    ctx = Context(spark=spark)
+    with pytest.raises(ValueError, match="n >= 2"):
+        compile_pipeline(
+            [{"$ngramLmScore": {"input": "$t", "model": "m", "n": 1,
+                                "smoothing": "kneserNey"}}], ctx)
+    with pytest.raises(ValueError):
+        compile_pipeline(
+            [{"$ngramLmScore": {"input": "$t", "model": "m",
+                                "smoothing": "kneserNey",
+                                "alpha": 2}}], ctx)
