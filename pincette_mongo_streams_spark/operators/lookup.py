@@ -243,11 +243,19 @@ def _null_split_join(
         local == F.col("__fk"),
         "left",
     )
+    # the null-key group is ALREADY <=1 row (post-aggregation keys are
+    # unique), so a LeftOuter broadcast nested loop on a true condition
+    # replaces the old  .agg(first)  + cross join: the agg existed only
+    # to manufacture exactly-one-row for the cross, at the price of a
+    # partial/final agg pair around a SinglePartition exchange — two
+    # AQE stage jobs per lookup for <=1 row of data (r12).  LeftOuter
+    # handles the zero-null-keys case directly (build side empty ->
+    # null column).
     nullrow = (
         grouped.filter(F.col("__fk").isNull())
-        .agg(F.first("__matches").alias("__null_matches"))
+        .select(F.col("__matches").alias("__null_matches"))
     )
-    joined = joined.crossJoin(F.broadcast(nullrow))
+    joined = joined.join(F.broadcast(nullrow), F.lit(True), "left")
     empty = _empty_matches(foreign, count_only)
     picked = F.when(local.isNull(), F.col("__null_matches")).otherwise(
         F.col("__matches")
