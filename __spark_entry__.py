@@ -1928,6 +1928,52 @@ ORDER BY d.doc_id""",
 
 
 _register(
+    "lexical_diversity",
+    r"""WITH w AS (
+  SELECT doc_id,
+         list_slice(list_filter(
+             string_split_regex(trim(lower(text)), '\s+'),
+             x -> x <> ''), 1, 2000) AS tk
+  FROM documents WHERE text IS NOT NULL),
+s AS (SELECT doc_id, len(tk) AS n,
+             len(list_distinct(tk)) AS ty,
+             CASE WHEN len(tk) >= 20 THEN
+               list_sum(list_transform(
+                 generate_series(1, len(tk) - 19),
+                 i -> len(list_distinct(list_slice(tk, i, i + 19)))))
+               * 1.0 / ((len(tk) - 19) * 20.0)
+             END AS ma
+      FROM w)
+SELECT d.doc_id,
+       CAST(s.n AS BIGINT) AS n_tokens,
+       CAST(s.ty AS BIGINT) AS n_types,
+       {t} AS ttr,
+       {m} AS mattr
+FROM documents d LEFT JOIN s USING (doc_id)
+ORDER BY d.doc_id""".replace(
+        "{t}", _r("CASE WHEN s.n > 0 THEN s.ty * 1.0 / s.n "
+                  "WHEN s.n IS NOT NULL THEN 0.0 END", 6)).replace(
+        "{m}", _r("CASE WHEN s.n >= 20 THEN s.ma "
+                  "WHEN s.n > 0 THEN s.ty * 1.0 / s.n "
+                  "WHEN s.n IS NOT NULL THEN 0.0 END", 6)),
+)(
+    _pipe(
+        "documents",
+        [
+            {"$lexicalDiversity": {"input": "$text", "window": 20,
+                                   "as": "d"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "n_tokens": "$d.n_tokens",
+                          "n_types": "$d.n_types",
+                          "ttr": {"$round": ["$d.ttr", 6]},
+                          "mattr": {"$round": ["$d.mattr", 6]}}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
+
+_register(
     "meteor_eval",
     r"""WITH docs AS (
   SELECT doc_id,

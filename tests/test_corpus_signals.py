@@ -2259,3 +2259,45 @@ def test_profile_vector_columns(spark):
         compile_pipeline(
             [{"$profile": {"columns": ["s"]}}],
             Context(spark=spark))(sdf)
+
+
+# ---------------------------------------------------------------------
+# $lexicalDiversity (r12): TTR + MATTR (Covington & McFall 2010)
+# ---------------------------------------------------------------------
+
+def test_lexical_diversity_hand_computed(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    rows = [(1, "a b a b c d"), (2, "The the THE"), (3, None), (4, " ")]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    out = {r["i"]: r["d"] for r in compile_pipeline(
+        [{"$lexicalDiversity": {"input": "$t", "window": 3,
+                                "as": "d"}}],
+        Context(spark=spark))(df).collect()}
+    d1 = out[1]
+    assert (d1["n_tokens"], d1["n_types"]) == (6, 4)
+    assert abs(d1["ttr"] - 4 / 6) < 1e-12
+    # windows of 3 over [a b a b c d]: distinct 2,2,3,3 -> 10/12
+    assert abs(d1["mattr"] - 10 / 12) < 1e-12
+    # case-folded types; shorter than window -> mattr = ttr
+    assert out[2]["n_types"] == 1 and out[2]["mattr"] == out[2]["ttr"]
+    assert out[3] is None
+    assert out[4]["n_tokens"] == 0 and out[4]["mattr"] == 0.0
+
+
+def test_lexical_diversity_options(spark):
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    df = spark.createDataFrame([(1, "A a")], ["i", "t"])
+    (r,) = compile_pipeline(
+        [{"$lexicalDiversity": {"input": "$t", "caseSensitive": True,
+                                "as": "d"}}],
+        Context(spark=spark))(df).collect()
+    assert r["d"]["n_types"] == 2  # "A" != "a" when caseSensitive
+    import pytest as _pytest
+
+    for bad in ({"window": 1}, {"window": 50, "maxWords": 10}):
+        with _pytest.raises(ValueError):
+            compile_pipeline(
+                [{"$lexicalDiversity": {"input": "$t", **bad}}],
+                Context(spark=spark))
