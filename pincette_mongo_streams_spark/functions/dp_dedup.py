@@ -32,6 +32,50 @@ def md5_long(col: Column, seed: int) -> Column:
 _RG_CACHE: dict = {}
 
 
+def _pq_meta(uri: str, need_rg: bool = True) -> tuple:
+    """``(num_row_groups, size_bytes)`` for one input-file URI.  Local
+    paths (``file://`` or bare) stat + open through ``os``; any other
+    scheme (``s3://``, ``hdfs://``, ``gs://``, ``abfs://`` …) resolves
+    through ``pyarrow.fs.FileSystem.from_uri`` so the row-group bound
+    and the light-spread size gate also apply to object-store inputs
+    (ADVICE r12 — the old ``os.stat`` path threw on non-local URIs and
+    the gates silently never fired off ``file://``).  Raises when the
+    scheme is unsupported by the pyarrow build or metadata is
+    unreadable — callers treat that as "no bound".  The footer is only
+    read when ``need_rg`` and the file is parquet (else row groups come
+    back None); footer reads are driver-side and cached by
+    (path, size, mtime)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    need_rg = need_rg and uri.endswith(".parquet")
+    if uri.startswith("file://") or "://" not in uri:
+        path = uri[7:] if uri.startswith("file://") else uri
+        st = os.stat(path)
+        if not need_rg:
+            return None, st.st_size
+        key = (path, st.st_size, st.st_mtime_ns)
+        n = _RG_CACHE.get(key)
+        if n is None:
+            n = pq.ParquetFile(path).metadata.num_row_groups
+            _RG_CACHE[key] = n
+        return n, st.st_size
+    from pyarrow import fs as pafs
+
+    filesystem, path = pafs.FileSystem.from_uri(uri)
+    info = filesystem.get_file_info(path)
+    if not need_rg:
+        return None, info.size
+    key = (uri, info.size, info.mtime_ns or 0)
+    n = _RG_CACHE.get(key)
+    if n is None:
+        with filesystem.open_input_file(path) as f:
+            n = pq.ParquetFile(f).metadata.num_row_groups
+        _RG_CACHE[key] = n
+    return n, info.size
+
+
 def _row_group_bound(df: DataFrame) -> Optional[int]:
     """Upper bound on the EFFECTIVE scan parallelism of a file-backed
     frame: the total parquet row-group count across its input files.
@@ -40,34 +84,27 @@ def _row_group_bound(df: DataFrame) -> Optional[int]:
     reader hands a whole row group to the split containing its start
     offset — a 6 MB single-row-group file "split" 32 ways still runs as
     ONE task with rows next to 31 empty ones (r12 measurement: minhash
-    at 32 empty splits serialized to 3.5 s from 0.44 s).  Footer reads
-    are driver-side milliseconds and cached by (path, size, mtime).
+    at 32 empty splits serialized to 3.5 s from 0.44 s).
 
     Returns None when the frame is not file-backed (post-shuffle
-    partitioning is real, not split fiction) or metadata is unreadable.
+    partitioning is real, not split fiction), metadata is unreadable,
+    or the input has >64 files — there the split count is already at
+    least the file count, the bound cannot bind below it, and per-file
+    footer reads on an object store would cost driver round trips for
+    nothing.
     """
     try:
         files = df.inputFiles()
     except Exception:
         return None
-    if not files:
+    if not files or len(files) > 64:
         return None
     try:
-        import os
-
-        import pyarrow.parquet as pq
-
         total = 0
         for uri in files:
-            path = uri[7:] if uri.startswith("file://") else uri
-            if not path.endswith(".parquet"):
+            if not uri.endswith(".parquet"):
                 return None
-            st = os.stat(path)
-            key = (path, st.st_size, st.st_mtime_ns)
-            n = _RG_CACHE.get(key)
-            if n is None:
-                n = pq.ParquetFile(path).metadata.num_row_groups
-                _RG_CACHE[key] = n
+            n, _ = _pq_meta(uri)
             total += n
         return total
     except Exception:
@@ -128,12 +165,10 @@ def _spread(df: DataFrame, light: bool = False) -> DataFrame:
         if light:
             if eff < 2:
                 try:
-                    import os
-
                     big = sum(
-                        os.path.getsize(u[7:] if u.startswith("file://")
-                                        else u)
-                        for u in df.inputFiles()) > (32 << 20)
+                        _pq_meta(u, need_rg=False)[1]
+                        for u in df.inputFiles()
+                    ) > (32 << 20)
                 except Exception:
                     big = False
                 if big:

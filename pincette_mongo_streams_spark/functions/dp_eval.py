@@ -2892,13 +2892,30 @@ def _corpus_stat_machinery(statistic: str, expression: dict, stage_name: str):
         raise ValueError(
             f"{stage_name} statistic {statistic} needs exactly one "
             "of reference | references")
-    if statistic != "corpusBleu" and "tokenizer" in expression:
-        # mirror _check_tokenizer's strictness: 13a tokenization is
-        # BLEU-family only; a silently-ignored option here would make
-        # the interval not bracket the point score (ADVICE r11)
+    # full per-statistic option whitelist (ADVICE r12 — the r11 fix
+    # only special-cased `tokenizer`; a wordOrder/smooth/formula option
+    # silently ignored by the active statistic is the same "interval
+    # does not bracket the point score" hazard).  Any key that is a
+    # metric option for SOME statistic but not this one is rejected;
+    # caller-level keys (id/a/b/candidate/input/samples/seed/alpha/
+    # statistic/reference/references/as) pass through untouched.
+    stat_opts = {
+        "corpusBleu": {"maxN", "maxWords", "smooth", "tokenizer"},
+        "corpusChrf": {"maxN", "beta", "maxChars", "formula",
+                       "wordOrder", "maxWords"},
+        "corpusWer": {"maxWords", "caseSensitive"},
+        "corpusTer": {"maxWords", "maxShiftSize", "maxShiftDistance",
+                      "caseSensitive"},
+    }
+    allowed = stat_opts[statistic]
+    bad = sorted(
+        k for k in expression
+        if k in set().union(*stat_opts.values()) and k not in allowed)
+    if bad:
         raise ValueError(
-            f"{stage_name} statistic {statistic} does not take a "
-            "tokenizer (BLEU-family option)")
+            f"{stage_name} statistic {statistic} does not take "
+            f"{', '.join(bad)} (allowed metric options: "
+            f"{', '.join(sorted(allowed))})")
 
     if statistic == "corpusBleu":
         max_n = int(expression.get("maxN", 4))

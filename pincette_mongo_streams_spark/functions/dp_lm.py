@@ -510,6 +510,16 @@ def ngram_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
                 f"$ngramLmScore n={n} exceeds the trained order of "
                 f"model '{model_name}' — retrain with a higher n or "
                 "score with a lower one")).cast("double"),
+        ).when(
+            # a model missing the order-0 total row (user-filtered or
+            # hand-built collection) would make __N null and every
+            # score silently null — fail loudly like the max-order
+            # guard (ADVICE r12)
+            F.col("__N").isNull() | (F.col("__N") <= 0),
+            F.raise_error(F.lit(
+                f"$ngramLmScore model '{model_name}' has no order-0 "
+                "total row (was the $ngramLmTrain output filtered?) — "
+                "every score would be null")).cast("double"),
         ).otherwise(s)
         scored = per_pos.select(
             "__rid", "__i",

@@ -223,7 +223,12 @@ def _null_split_join(
     The checkpoint is bounded by the same budget
     that lets the join broadcast, and the foreign side of a $lookup is
     always a static collection, so checkpointing is legal in streaming
-    pipelines too.
+    pipelines too.  Like graphcc's ``_pin``, the materialization is a
+    durable ``checkpoint`` when the session has a checkpoint directory
+    configured (``localCheckpoint`` stores blocks on executors and
+    truncates lineage — losing an executor on a real cluster would fail
+    the query instead of recomputing) and ``localCheckpoint`` otherwise
+    (single-JVM local mode has no executor to lose).
 
     ``small=False/None`` (foreign side above the budget, or no
     estimate): materializing the aggregate could spill executor disks,
@@ -234,7 +239,11 @@ def _null_split_join(
     is a single-row IdentityBroadcastMode nested loop
     (metadata-sized)."""
     if small:
-        grouped = grouped.localCheckpoint(eager=False)
+        sc = grouped.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isDefined():
+            grouped = grouped.checkpoint(eager=False)
+        else:
+            grouped = grouped.localCheckpoint(eager=False)
         main = F.broadcast(grouped.filter(F.col("__fk").isNotNull()))
     else:
         main = grouped.filter(F.col("__fk").isNotNull())

@@ -354,3 +354,12 @@ def test_kneser_ney_options(spark):
             [{"$ngramLmScore": {"input": "$t", "model": "m",
                                 "smoothing": "kneserNey",
                                 "alpha": 2}}], ctx)
+
+
+def test_model_missing_order0_fails_loudly(spark):
+    """ADVICE r13: a model collection without the order-0 total row
+    (user-filtered or hand-built) raises at execution instead of
+    scoring every document as null (`__N` null would propagate)."""
+    broken = _model(spark).filter("order > 0")
+    with pytest.raises(Exception, match="no order-0 total row"):
+        _score(spark, broken, CORPUS[:1])

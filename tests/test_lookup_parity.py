@@ -295,3 +295,48 @@ def test_lookup_let_nested_var_path(spark, ctx):
     )(stream)
     got = {r["_id"]: sorted(r["vs"]) for r in out.collect()}
     assert got == {"1": [10, 11], "2": [20]}
+
+
+def test_small_lookup_checkpoint_durable_when_dir_set(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r13: the small-side materialization mirrors graphcc._pin —
+    durable `checkpoint` when the session has a checkpoint directory
+    (localCheckpoint blocks die with their executor on a real cluster),
+    `localCheckpoint` otherwise.  Needs a parquet-backed foreign side:
+    in-memory (Python-RDD-backed) collections have no size estimate and
+    never take the small path."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    pctx = Context(spark=spark, collections={"nation": nation})
+    pipe = [{"$lookup": {"from": "nation", "localField": "r_regionkey",
+                         "foreignField": "n_regionkey", "as": "nations"}}]
+    region = spark.read.parquet(f"{sf}/region.parquet")
+
+    DF = type(region)  # the concrete (classic) DataFrame class
+    calls = []
+    orig_ckpt = DF.checkpoint
+    orig_local = DF.localCheckpoint
+    monkeypatch.setattr(
+        DF, "checkpoint",
+        lambda self, eager=True: (calls.append("durable"),
+                                  orig_ckpt(self, eager=eager))[1])
+    monkeypatch.setattr(
+        DF, "localCheckpoint",
+        lambda self, eager=True: (calls.append("local"),
+                                  orig_local(self, eager=eager))[1])
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        rows = compile_pipeline(pipe, pctx)(region).collect()
+        assert len(rows) == 5 and all(len(r["nations"]) == 5 for r in rows)
+        assert "durable" in calls and "local" not in calls
+    finally:
+        # reset so the rest of the session keeps the local-mode default
+        sc._jsc.sc().setCheckpointDir(None)
+    assert not sc._jsc.sc().getCheckpointDir().isDefined()
+    calls.clear()
+    rows = compile_pipeline(pipe, pctx)(region).collect()
+    assert len(rows) == 5 and all(len(r["nations"]) == 5 for r in rows)
+    assert "local" in calls and "durable" not in calls

@@ -977,6 +977,48 @@ def test_corpus_bootstrap_tokenizer_rejected_off_family(spark):
             Context(spark=spark))
 
 
+def test_corpus_bootstrap_full_option_whitelist(spark):
+    """ADVICE r13: the whole per-statistic option whitelist is enforced
+    — any metric option belonging to a DIFFERENT corpus statistic
+    raises instead of being silently ignored (the interval would not
+    bracket the point score otherwise)."""
+    ctx = Context(spark=spark)
+    cases = (
+        # chrF-family options on corpusBleu
+        ("corpusBleu", {"wordOrder": 2}),
+        ("corpusBleu", {"formula": "sacrebleu"}),
+        ("corpusBleu", {"beta": 2.0}),
+        # BLEU-family options on corpusChrf
+        ("corpusChrf", {"smooth": "add1"}),
+        # edit-rate options on corpusChrf / corpusBleu
+        ("corpusChrf", {"caseSensitive": False}),
+        ("corpusBleu", {"maxShiftSize": 5}),
+        # wrong-family options on corpusWer
+        ("corpusWer", {"smooth": "add1"}),
+        ("corpusWer", {"formula": "popovic"}),
+        ("corpusWer", {"maxShiftDistance": 5}),
+    )
+    for stat, extra in cases:
+        with pytest.raises(ValueError, match="does not take"):
+            compile_pipeline(
+                [{"$bootstrapCI": {"id": "$i", "statistic": stat,
+                                   "candidate": "$c", "reference": "$r",
+                                   **extra}}], ctx)
+    # native options still pass compile for each statistic
+    for stat, extra in (
+        ("corpusBleu", {"maxN": 2, "smooth": "add1", "maxWords": 50}),
+        ("corpusChrf", {"maxN": 4, "beta": 1.0, "wordOrder": 2,
+                        "maxWords": 50}),
+        ("corpusWer", {"maxWords": 50, "caseSensitive": False}),
+        ("corpusTer", {"maxWords": 50, "maxShiftSize": 5,
+                       "maxShiftDistance": 10, "caseSensitive": False}),
+    ):
+        compile_pipeline(
+            [{"$bootstrapCI": {"id": "$i", "statistic": stat,
+                               "candidate": "$c", "reference": "$r",
+                               **extra}}], ctx)
+
+
 # ---------------------------------------------------------------------
 # $rougeN / $rougeLsum (r12): rouge_score-library parity
 # ---------------------------------------------------------------------

@@ -108,3 +108,48 @@ def test_minhash_stage_still_spreads_narrow_input(spark):
         [{"$minhash": {"input": "$text", "as": "sig"}}],
         Context(spark=spark))(df)
     assert "RoundRobin" in _plan(out)
+
+
+def test_pq_meta_object_store_scheme(monkeypatch):
+    """ADVICE r13: non-local URI schemes resolve through pyarrow.fs, so
+    the row-group bound and the light-spread size gate also apply on
+    object-store inputs (the old os.stat path threw and was swallowed —
+    gates silently never fired off file://)."""
+    from pyarrow import fs as pafs
+
+    path = f"{SF_DIR}/documents.parquet"
+    class _Stub:
+        @staticmethod
+        def from_uri(uri):
+            return pafs.LocalFileSystem(), uri.split("://", 1)[1]
+
+    monkeypatch.setattr(pafs, "FileSystem", _Stub)
+    import pyarrow.parquet as pq
+
+    expected = pq.ParquetFile(path).metadata.num_row_groups
+    n, size = dp_dedup._pq_meta(f"mock-s3://{path}")
+    assert size == os.path.getsize(path)
+    assert n == expected
+    # need_rg=False skips the footer read entirely (no parquet open)
+    n2, size2 = dp_dedup._pq_meta(f"mock-s3://{path}", need_rg=False)
+    assert n2 is None and size2 == size
+
+
+def test_pq_meta_local_paths_unchanged():
+    path = f"{SF_DIR}/documents.parquet"
+    import pyarrow.parquet as pq
+
+    expected = pq.ParquetFile(path).metadata.num_row_groups
+    for uri in (path, f"file://{path}"):
+        n, size = dp_dedup._pq_meta(uri)
+        assert n == expected and size == os.path.getsize(path)
+
+
+def test_row_group_bound_skips_many_files(spark, monkeypatch):
+    """>64 input files: the bound cannot bind below the split count and
+    per-file footer reads would cost driver round trips for nothing."""
+    df = load(spark, "documents")
+    monkeypatch.setattr(
+        type(df), "inputFiles",
+        lambda self: [f"/nope/f{i}.parquet" for i in range(65)])
+    assert _row_group_bound(df) is None
