@@ -8061,15 +8061,56 @@ _ORDER = [
     #     r12 null-id contract; both script languages stay in-window
     #     via script_stages and the jslt resolver seam stays locally
     #     oracled, jslt_import green r5-r11)
+    # r13 swaps (VERDICT r12 Next #1 — the TEN r12-new gate queries
+    # earn hard driver rows per the standing rotation discipline; all
+    # ten were verified hash-green via tools/driver_sim.py in r12.
+    # Displaced rows stay registered + locally oracled by
+    # tests/test_oracle_parity.py + tests/test_driver_canon.py.  Seven
+    # of the ten displaced are the judge's own candidate list; the
+    # judge also named qa_eval, but displacing it would leave the QA
+    # sub-family with ZERO rows (it has exactly one gate), violating
+    # the same verdict's "keep >=1 per eval sub-family" constraint —
+    # bootstrap_ci is displaced instead (mean-statistic CI next to the
+    # in-window corpus-statistic bootstrap_ci_corpus, the exact
+    # family-redundancy shape the judge applied to paired_bootstrap):
+    #   chrf_multiref -> chrf_word (judge's candidate; chrF keeps
+    #     chrf_sacrebleu + chrf_corpus in-window and chrF++ wordOrder
+    #     earns its first hard row)
+    #   chrf_eval -> bleu_intl (green r10-r12; the mteval-v14
+    #     international tokenizer branch earns signal; chrF keeps two
+    #     char-order rows plus the new word-order row)
+    #   bleu_corpus -> rouge_n (judge's candidate; BLEU keeps
+    #     bleu_13a + bleu_intl in-window; rouge_score-parity ROUGE-N
+    #     earns its first hard row)
+    #   wer_multiref -> rouge_lsum (judge's candidate; WER keeps
+    #     wer_corpus in-window; union-LCS ROUGE-Lsum earns a row)
+    #   wer_eval -> meteor_eval (green r10-r12; NLTK-parity METEOR —
+    #     the only alignment metric with no Arrow boundary — earns a
+    #     row; WER stays covered by wer_corpus + the TER pair)
+    #   paired_bootstrap -> ngram_lm (judge's candidate; the
+    #     significance family keeps paired_bootstrap_corpus in-window;
+    #     Stupid-Backoff LM scoring opens the CCNet-recipe family)
+    #   bootstrap_ci -> ngram_lm_jm (see qa_eval note above; the CI
+    #     family keeps bootstrap_ci_corpus in-window; Jelinek-Mercer
+    #     interpolation earns a row)
+    #   classification_eval_macro -> ngram_lm_ad (judge's candidate;
+    #     classification keeps classification_eval in-window; absolute
+    #     discounting earns a row)
+    #   rank_eval -> ngram_lm_kn (judge's candidate; interpolated
+    #     Kneser-Ney — the hardest smoothing mode — earns a row; nDCG
+    #     machinery stays locally oracled, green r5-r12)
+    #   profile_mixed -> lexical_diversity (judge's candidate; the
+    #     profile family keeps profile_vector in-window; TTR + MATTR
+    #     earns a row)
     "match_operators", "project_compute", "field_ops", "replace_with",
     "unwind", "group_accumulators", "bleu_13a", "stage_ext",
-    "bucket", "lookup_unwind", "chrf_multiref", "lookup_pipeline",
+    "bucket", "lookup_unwind", "chrf_word", "lookup_pipeline",
     "streaming_parity", "deduplicate", "merge_out", "delete_passthrough",
-    "redact", "bootstrap_ci", "effects_chain", "script_stages",
+    "redact", "ngram_lm_jm", "effects_chain", "script_stages",
     "http_enrich",
     # §2.3a expressions + §2.4 accumulators (superset included)
     "expr_math_superset", "chrf_sacrebleu", "eval_multiref",
-    "dataset_kfold", "wer_multiref",
+    "dataset_kfold", "rouge_lsum",
     # batch-completeness stages
     # r3 swaps: sample_count ($sample+$count — trivial fixed-count
     # signal) -> asof_join gives the time-series join family a hard
@@ -8078,14 +8119,14 @@ _ORDER = [
     # gives clustering one.  Both displaced queries stay registered and
     # locally oracle-checked.
     "bootstrap_ci_corpus", "paired_bootstrap_corpus", "wer_corpus",
-    "profile_vector", "chrf_eval",
-    "qa_eval", "ter_eval", "wer_eval", "bleu_corpus",
+    "profile_vector", "bleu_intl",
+    "qa_eval", "ter_eval", "meteor_eval", "rouge_n",
     "group_cap", "classification_eval",
     # LLM-data-pipeline operators
     "connected_components", "ter_corpus", "training_pipeline",
     "bm25_search",
-    "chrf_corpus", "rank_eval", "minhash_dedup", "classification_eval_macro",
-    "delay_contract", "ann_topk", "profile_mixed", "paired_bootstrap",
+    "chrf_corpus", "ngram_lm_kn", "minhash_dedup", "ngram_lm_ad",
+    "delay_contract", "ann_topk", "lexical_diversity", "ngram_lm",
     "regression_eval",
 ]
 
