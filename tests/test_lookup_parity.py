@@ -297,24 +297,8 @@ def test_lookup_let_nested_var_path(spark, ctx):
     assert got == {"1": [10, 11], "2": [20]}
 
 
-def test_small_lookup_checkpoint_durable_when_dir_set(
-        spark, tmp_path, monkeypatch):
-    """ADVICE r13: the small-side materialization mirrors graphcc._pin —
-    durable `checkpoint` when the session has a checkpoint directory
-    (localCheckpoint blocks die with their executor on a real cluster),
-    `localCheckpoint` otherwise.  Needs a parquet-backed foreign side:
-    in-memory (Python-RDD-backed) collections have no size estimate and
-    never take the small path."""
-    import os
-
-    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    nation = spark.read.parquet(f"{sf}/nation.parquet")
-    pctx = Context(spark=spark, collections={"nation": nation})
-    pipe = [{"$lookup": {"from": "nation", "localField": "r_regionkey",
-                         "foreignField": "n_regionkey", "as": "nations"}}]
-    region = spark.read.parquet(f"{sf}/region.parquet")
-
-    DF = type(region)  # the concrete (classic) DataFrame class
+def _ckpt_recorder(spark, monkeypatch):
+    DF = type(spark.range(1))  # the concrete (classic) DataFrame class
     calls = []
     orig_ckpt = DF.checkpoint
     orig_local = DF.localCheckpoint
@@ -326,6 +310,35 @@ def test_small_lookup_checkpoint_durable_when_dir_set(
         DF, "localCheckpoint",
         lambda self, eager=True: (calls.append("local"),
                                   orig_local(self, eager=eager))[1])
+    return calls
+
+
+def _nation_lookup(spark):
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    pctx = Context(spark=spark, collections={"nation": nation})
+    pipe = [{"$lookup": {"from": "nation", "localField": "r_regionkey",
+                         "foreignField": "n_regionkey", "as": "nations"}}]
+    region = spark.read.parquet(f"{sf}/region.parquet")
+    return pipe, pctx, region
+
+
+def test_small_lookup_checkpoint_durable_when_dir_set(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r13: when the small-side materialization fires, it mirrors
+    graphcc._pin — durable `checkpoint` when the session has a
+    checkpoint directory (localCheckpoint blocks die with their executor
+    on a real cluster), `localCheckpoint` otherwise.  `_key_has_nulls`
+    is forced True so the materialization fires on the no-null testdata
+    key (needs a parquet-backed foreign side: in-memory collections
+    have no size estimate and never take the small path)."""
+    from pincette_mongo_streams_spark.operators import lookup as lkmod
+
+    monkeypatch.setattr(lkmod, "_key_has_nulls", lambda df, f: True)
+    pipe, pctx, region = _nation_lookup(spark)
+    calls = _ckpt_recorder(spark, monkeypatch)
     sc = spark.sparkContext
     sc.setCheckpointDir(str(tmp_path / "ckpt"))
     try:
@@ -340,3 +353,73 @@ def test_small_lookup_checkpoint_durable_when_dir_set(
     rows = compile_pipeline(pipe, pctx)(region).collect()
     assert len(rows) == 5 and all(len(r["nations"]) == 5 for r in rows)
     assert "local" in calls and "durable" not in calls
+
+
+def test_small_lookup_no_checkpoint_when_key_null_free(
+        spark, monkeypatch):
+    """r13 nullability gate (VERDICT r12 #3): parquet null-count stats
+    prove the foreign key null-free -> the shared-agg materialization
+    is skipped entirely (it costs ~0.07-0.1 s per query at sf0.1 and
+    only pays when the key HAS nulls); results unchanged."""
+    pipe, pctx, region = _nation_lookup(spark)
+    calls = _ckpt_recorder(spark, monkeypatch)
+    rows = compile_pipeline(pipe, pctx)(region).collect()
+    assert len(rows) == 5 and all(len(r["nations"]) == 5 for r in rows)
+    assert calls == []
+
+
+def test_small_lookup_checkpoints_when_key_has_nulls(
+        spark, tmp_path, monkeypatch):
+    """Keys WITH nulls (real parquet file, null-count stats > 0) keep
+    the shared materialization AND the Mongo null-matches-null
+    semantics."""
+    import pandas as pd
+
+    fpath = str(tmp_path / "foreign.parquet")
+    pd.DataFrame({"k": [1, 2, None, None], "v": ["a", "b", "x", "y"]}) \
+        .to_parquet(fpath)
+    foreign = spark.read.parquet(fpath)
+    lpath = str(tmp_path / "local.parquet")
+    pd.DataFrame({"id": [10, 20, 30], "k": [1.0, None, 3.0]}) \
+        .to_parquet(lpath)
+    local = spark.read.parquet(lpath)
+    pctx = Context(spark=spark, collections={"f": foreign})
+    pipe = [{"$lookup": {"from": "f", "localField": "k",
+                         "foreignField": "k", "as": "m"}},
+            {"$project": {"id": 1, "n": {"$size": "$m"}}}]
+    calls = _ckpt_recorder(spark, monkeypatch)
+    rows = {r["id"]: r["n"] for r in
+            compile_pipeline(pipe, pctx)(local).collect()}
+    # null local key matches the null foreign group (2 rows); unmatched
+    # non-null key gets the empty array
+    assert rows == {10: 1, 20: 2, 30: 0}
+    assert "local" in calls
+
+
+def test_key_has_nulls_stats():
+    import pandas as pd
+    import tempfile, os as _os
+
+    from pincette_mongo_streams_spark.operators.lookup import (
+        _key_has_nulls,
+    )
+
+    class _Fake:
+        def __init__(self, files):
+            self._files = files
+
+        def inputFiles(self):
+            return self._files
+
+    with tempfile.TemporaryDirectory() as d:
+        clean = _os.path.join(d, "clean.parquet")
+        dirty = _os.path.join(d, "dirty.parquet")
+        pd.DataFrame({"k": [1, 2, 3]}).to_parquet(clean)
+        pd.DataFrame({"k": [1.0, None]}).to_parquet(dirty)
+        assert _key_has_nulls(_Fake([clean]), "k") is False
+        assert _key_has_nulls(_Fake([dirty]), "k") is True
+        assert _key_has_nulls(_Fake([clean, dirty]), "k") is True
+        assert _key_has_nulls(_Fake([clean]), "nope") is None
+        assert _key_has_nulls(_Fake([]), "k") is None
+        assert _key_has_nulls(
+            _Fake([f"s3://bucket/x.parquet"]), "k") is None
