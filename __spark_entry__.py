@@ -1770,6 +1770,89 @@ ORDER BY d.doc_id""".replace(
 )(_ngram_lm_kn_query)
 
 
+def _perplexity_bucket_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 (VERDICT r12 #5): the README's CCNet recipe (Wenzek et al.
+    2020) as ONE composed gate — $ngramLmTrain -> $ngramLmScore ->
+    $quantileBin head/middle/tail -> keep head+middle — so interface
+    drift between the three stages is caught by a single hash row (the
+    same role training_pipeline plays for the curation family).
+
+    Binning runs on the ROUNDED perplexity (4 dp, bit-identical across
+    engines per the hash-green ngram_lm gate) with a doc_id tie-break:
+    bucket boundaries on raw doubles would be decided by sub-ulp
+    summation-order noise DuckDB's unpinned sum() is allowed to have.
+    """
+    from pincette_mongo_streams_spark import Context, compile_pipeline
+
+    tables = _load(spark, sf_dir)
+    model = compile_pipeline(
+        [{"$ngramLmTrain": {"input": "$text", "n": 2, "minCount": 2}}],
+        Context(spark=spark),
+    )(tables["documents"])
+    ctx = Context(spark=spark, collections={"lm": model})
+    return compile_pipeline(
+        [
+            {"$ngramLmScore": {"input": "$text", "model": "lm", "n": 2,
+                               "as": "lm"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "ppl": {"$round": ["$lm.perplexity", 4]}}},
+            {"$match": {"ppl": {"$ne": None}}},
+            {"$quantileBin": {"input": "$ppl", "bins": 3,
+                              "as": "bucket", "exact": True,
+                              "tieBreak": "$doc_id"}},
+            {"$match": {"bucket": {"$lte": 2}}},
+            {"$sort": {"doc_id": 1}},
+        ],
+        ctx,
+    )(tables["documents"])
+
+
+_register(
+    "perplexity_bucket",
+    r"""WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents WHERE text IS NOT NULL),
+tot AS (SELECT sum(len(tk)) AS N FROM docs),
+uni AS (SELECT w, count(*) AS c
+        FROM (SELECT unnest(tk) AS w FROM docs)
+        GROUP BY w HAVING count(*) >= 2),
+v AS (SELECT count(*) AS V FROM uni),
+bi AS (SELECT g, count(*) AS c
+       FROM (SELECT unnest(list_transform(
+                      generate_series(2, len(tk)),
+                      i -> tk[i-1] || ' ' || tk[i])) AS g FROM docs)
+       GROUP BY g HAVING count(*) >= 2),
+pos AS (SELECT doc_id, tk,
+               unnest(generate_series(1, len(tk))) AS i FROM docs),
+px AS (SELECT doc_id, i, tk[i] AS w,
+              CASE WHEN i > 1 THEN tk[i-1] END AS pw,
+              CASE WHEN i > 1 THEN tk[i-1] || ' ' || tk[i] END AS bg
+       FROM pos),
+sc AS (SELECT p.doc_id, p.i,
+              CASE WHEN p.i = 1 OR b.c IS NULL
+                   THEN (CASE WHEN p.i = 1 THEN 1.0 ELSE 0.4 END)
+                        * (coalesce(u.c, 0) + 1.0)
+                        / (tot.N + v.V + 1.0)
+                   ELSE b.c * 1.0 / u2.c END AS s
+       FROM px p
+       LEFT JOIN uni u ON u.w = p.w
+       LEFT JOIN uni u2 ON u2.w = p.pw
+       LEFT JOIN bi b ON b.g = p.bg, tot, v),
+agg AS (SELECT doc_id, count(*) AS nt, sum(log10(s)) AS sl
+        FROM sc GROUP BY doc_id),
+ppl AS (SELECT doc_id, {ppl} AS ppl FROM agg a),
+nb AS (SELECT doc_id, ppl,
+              CAST(ntile(3) OVER (ORDER BY ppl, doc_id) AS INT)
+                AS bucket
+       FROM ppl)
+SELECT doc_id, ppl, bucket FROM nb WHERE bucket <= 2
+ORDER BY doc_id""".replace(
+        "{ppl}", _r("power(10, -(a.sl / a.nt))", 4)),
+)(_perplexity_bucket_query)
+
+
 _register(
     "rouge_l_eval",
     f"""WITH w AS (
