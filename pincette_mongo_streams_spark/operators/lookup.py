@@ -271,7 +271,11 @@ def _null_split_join(
     sf0.1.  Instead: a plain equality join (null locals simply don't
     match), plus the null-key group — AT MOST ONE row after per-key
     aggregation — reduced to exactly one (possibly-null) value and
-    cross-broadcast to every stream row.
+    cross-broadcast to every stream row.  When footer statistics PROVE
+    the foreign key null-free (``key_nulls is False``), the null tail
+    is dropped outright — one fewer scheduled job per lookup (r13 job
+    audit: lookup_pipeline 4 -> 3 jobs) and no materialization
+    question left to answer.
 
     ``small=True`` (the foreign input fits the broadcast budget) AND
     ``key_nulls`` is not proven False: the per-key aggregate is lazily
@@ -306,19 +310,32 @@ def _null_split_join(
     footer reads when the key has no nulls.  Either way the extra join
     is a single-row IdentityBroadcastMode nested loop
     (metadata-sized)."""
+    empty = _empty_matches(foreign, count_only)
+    if key_nulls is False:
+        # r13 job cut: stats prove the foreign key null-free, so the
+        # null-key group is EMPTY — drop the whole null tail (its
+        # 1-row broadcast was one scheduled job per lookup, ~0.06 s of
+        # fresh-action floor) and the isNotNull filter with it.  Null
+        # locals simply don't match and coalesce to the empty array.
+        main = F.broadcast(grouped) if small else grouped
+        joined = df.join(main, local == F.col("__fk"), "left")
+        out_col = F.coalesce(F.col("__matches"), empty).alias(as_field)
+        cols = [out_col if c == as_field else F.col(c)
+                for c in df.columns]
+        if as_field not in df.columns:
+            cols.append(out_col)
+        return joined.select(*cols)
     if small:
         # r13 nullability gate: the shared materialization only pays
         # when the key HAS nulls (otherwise parquet null-count stats
         # prune the null-branch scan to a footer read, and the A/B
         # measured the checkpoint itself at ~0.07-0.1 s per query at
-        # sf0.1).  Stats proving zero nulls -> plain filter split;
-        # nulls present or unknown -> materialize once.
-        if key_nulls is not False:
-            sc = grouped.sparkSession.sparkContext
-            if sc._jsc.sc().getCheckpointDir().isDefined():
-                grouped = grouped.checkpoint(eager=False)
-            else:
-                grouped = grouped.localCheckpoint(eager=False)
+        # sf0.1).  Nulls present or unknown -> materialize once.
+        sc = grouped.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isDefined():
+            grouped = grouped.checkpoint(eager=False)
+        else:
+            grouped = grouped.localCheckpoint(eager=False)
         main = F.broadcast(grouped.filter(F.col("__fk").isNotNull()))
     else:
         main = grouped.filter(F.col("__fk").isNotNull())
@@ -340,7 +357,6 @@ def _null_split_join(
         .select(F.col("__matches").alias("__null_matches"))
     )
     joined = joined.join(F.broadcast(nullrow), F.lit(True), "left")
-    empty = _empty_matches(foreign, count_only)
     picked = F.when(local.isNull(), F.col("__null_matches")).otherwise(
         F.col("__matches")
     )
