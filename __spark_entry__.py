@@ -1853,6 +1853,295 @@ ORDER BY doc_id""".replace(
 )(_perplexity_bucket_query)
 
 
+# --- dp_stats family (r13): agreement / drift / diversity / zipf / BT
+
+_register(
+    "cohen_kappa",
+    r"""WITH base AS (
+  SELECT lang AS a,
+         CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS b
+  FROM documents WHERE lang IS NOT NULL),
+n AS (SELECT count(*) * 1.0 AS c,
+             sum(CASE WHEN a = b THEN 1.0 ELSE 0.0 END) AS agree
+      FROM base),
+ma AS (SELECT a AS l, count(*) * 1.0 AS ca FROM base GROUP BY a),
+mb AS (SELECT b AS l, count(*) * 1.0 AS cb FROM base GROUP BY b),
+pe AS (SELECT sum(ca * cb) AS s FROM ma JOIN mb USING (l))
+SELECT CAST(n.c AS BIGINT) AS n,
+       {po} AS po,
+       {pe} AS pe,
+       {kappa} AS kappa
+FROM n, pe""".replace(
+        "{po}", _r("n.agree / n.c", 6)).replace(
+        "{pe}", _r("pe.s / (n.c * n.c)", 6)).replace(
+        "{kappa}", _r("((n.agree / n.c) - pe.s / (n.c * n.c))"
+                      " / (1 - pe.s / (n.c * n.c))", 6)),
+)(
+    _pipe(
+        "documents",
+        [
+            {"$cohenKappa": {
+                "a": "$lang",
+                "b": {"$cond": [
+                    {"$eq": [{"$mod": ["$doc_id", 5]}, 0]},
+                    "xx", "$lang"]},
+            }},
+            {"$project": {"n": 1,
+                          "po": {"$round": ["$po", 6]},
+                          "pe": {"$round": ["$pe", 6]},
+                          "kappa": {"$round": ["$kappa", 6]}}},
+        ],
+    )
+)
+
+_register(
+    "fleiss_kappa",
+    r"""WITH base AS (
+  SELECT doc_id % 100 AS i, lang AS r
+  FROM documents WHERE lang IS NOT NULL),
+cell AS (SELECT i, r, count(*) * 1.0 AS nn FROM base GROUP BY i, r),
+per_item AS (SELECT i, sum(nn) AS m, sum(nn * nn) AS sq
+             FROM cell GROUP BY i),
+stats AS (SELECT count(*) * 1.0 AS items, max(m) AS m,
+                 sum(sq) AS sqsum
+          FROM per_item),
+marg AS (SELECT r, sum(nn) AS ck FROM cell GROUP BY r),
+pe AS (SELECT sum(ck * ck) AS cksq, sum(ck) AS tot FROM marg)
+SELECT CAST(stats.items AS BIGINT) AS items,
+       CAST(stats.m AS BIGINT) AS raters,
+       {pb} AS p_bar,
+       {pev} AS p_e,
+       {kappa} AS kappa
+FROM stats, pe""".replace(
+        "{pb}", _r("(stats.sqsum - stats.items * stats.m)"
+                   " / (stats.items * stats.m * (stats.m - 1))", 6)).replace(
+        "{pev}", _r("pe.cksq / (pe.tot * pe.tot)", 6)).replace(
+        "{kappa}", _r(
+            "((stats.sqsum - stats.items * stats.m)"
+            " / (stats.items * stats.m * (stats.m - 1))"
+            " - pe.cksq / (pe.tot * pe.tot))"
+            " / (1 - pe.cksq / (pe.tot * pe.tot))", 6)),
+)(
+    _pipe(
+        "documents",
+        [
+            {"$fleissKappa": {"item": {"$mod": ["$doc_id", 100]},
+                              "rating": "$lang"}},
+            {"$project": {"items": 1, "raters": 1,
+                          "p_bar": {"$round": ["$p_bar", 6]},
+                          "p_e": {"$round": ["$p_e", 6]},
+                          "kappa": {"$round": ["$kappa", 6]}}},
+        ],
+    )
+)
+
+_register(
+    "corpus_divergence",
+    r"""WITH tp AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS g
+  FROM documents WHERE text IS NOT NULL),
+tq AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS g
+  FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0),
+p AS (SELECT g, count(*) * 1.0 AS cp FROM tp GROUP BY g),
+q AS (SELECT g, count(*) * 1.0 AS cq FROM tq GROUP BY g),
+j AS (SELECT p.cp, q.cq FROM p FULL OUTER JOIN q ON p.g = q.g),
+tot AS (SELECT sum(coalesce(cp, 0)) AS np, sum(coalesce(cq, 0)) AS nq,
+               count(*) * 1.0 AS v,
+               sum(CASE WHEN cp IS NOT NULL THEN 1 ELSE 0 END) AS vp,
+               sum(CASE WHEN cq IS NOT NULL THEN 1 ELSE 0 END) AS vq,
+               sum(CASE WHEN cp IS NOT NULL AND cq IS NOT NULL
+                        THEN 1 ELSE 0 END) AS vb
+        FROM j),
+terms AS (SELECT (coalesce(cp, 0) + 1) / (np + v + 1) AS pp,
+                 (coalesce(cq, 0) + 1) / (nq + v + 1) AS qq
+          FROM j, tot),
+sums AS (SELECT sum(pp * ln(pp / qq) / ln(2)) AS klpq,
+                sum(qq * ln(qq / pp) / ln(2)) AS klqp,
+                sum(pp * ln(pp / ((pp + qq) / 2)) / ln(2) / 2
+                    + qq * ln(qq / ((pp + qq) / 2)) / ln(2) / 2) AS jsd,
+                sum(-pp * ln(qq) / ln(2)) AS ce
+         FROM terms),
+un AS (SELECT 1 / (np + v + 1) AS up, 1 / (nq + v + 1) AS uq FROM tot)
+SELECT {klpq} AS kl_pq,
+       {klqp} AS kl_qp,
+       {jsd} AS jsd,
+       {ce} AS cross_entropy,
+       CAST(tot.vp AS BIGINT) AS vocab_p,
+       CAST(tot.vq AS BIGINT) AS vocab_q,
+       {vj} AS vocab_jaccard,
+       CAST(tot.np AS BIGINT) AS tokens_p,
+       CAST(tot.nq AS BIGINT) AS tokens_q
+FROM sums, un, tot""".replace(
+        "{klpq}", _r("sums.klpq + un.up * ln(un.up / un.uq) / ln(2)", 6)
+    ).replace(
+        "{klqp}", _r("sums.klqp + un.uq * ln(un.uq / un.up) / ln(2)", 6)
+    ).replace(
+        "{jsd}", _r("sums.jsd"
+                    " + un.up * ln(un.up / ((un.up + un.uq) / 2))"
+                    " / ln(2) / 2"
+                    " + un.uq * ln(un.uq / ((un.up + un.uq) / 2))"
+                    " / ln(2) / 2", 6)
+    ).replace(
+        "{ce}", _r("sums.ce - un.up * ln(un.uq) / ln(2)", 6)
+    ).replace(
+        "{vj}", _r("tot.vb * 1.0 / (tot.vp + tot.vq - tot.vb)", 6)),
+)(
+    _pipe(
+        "documents",
+        [
+            {"$corpusDivergence": {"input": "$text", "against": "ref"}},
+            {"$project": {
+                "kl_pq": {"$round": ["$kl_pq", 6]},
+                "kl_qp": {"$round": ["$kl_qp", 6]},
+                "jsd": {"$round": ["$jsd", 6]},
+                "cross_entropy": {"$round": ["$cross_entropy", 6]},
+                "vocab_p": 1, "vocab_q": 1,
+                "vocab_jaccard": {"$round": ["$vocab_jaccard", 6]},
+                "tokens_p": 1, "tokens_q": 1}},
+        ],
+        collections={"ref": lambda t: t["documents"].filter(
+            "doc_id % 3 = 0")},
+    )
+)
+
+_register(
+    "distinct_n",
+    r"""WITH docs AS (
+  SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents WHERE text IS NOT NULL),
+uni AS (SELECT unnest(tk) AS g FROM docs),
+bi AS (SELECT unnest(list_transform(generate_series(2, len(tk)),
+                                    i -> tk[i-1] || ' ' || tk[i])) AS g
+       FROM docs)
+SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS docs,
+       CAST((SELECT count(*) FROM uni) AS BIGINT) AS tokens,
+       {d1} AS distinct_1,
+       {d2} AS distinct_2""".replace(
+        "{d1}", _r("(SELECT count(DISTINCT g) FROM uni) * 1.0"
+                   " / (SELECT count(*) FROM uni)", 6)).replace(
+        "{d2}", _r("(SELECT count(DISTINCT g) FROM bi) * 1.0"
+                   " / (SELECT count(*) FROM bi)", 6)),
+)(
+    _pipe(
+        "documents",
+        [
+            {"$distinctN": {"input": "$text", "maxN": 2}},
+            {"$project": {"docs": 1, "tokens": 1,
+                          "distinct_1": {"$round": ["$distinct_1", 6]},
+                          "distinct_2": {"$round": ["$distinct_2", 6]}}},
+        ],
+    )
+)
+
+_register(
+    "zipf_fit",
+    r"""WITH docs AS (
+  SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents WHERE text IS NOT NULL),
+w AS (SELECT unnest(tk) AS w FROM docs),
+freq AS (SELECT w, count(*) * 1.0 AS f FROM w GROUP BY w),
+classes AS (SELECT f, count(*) * 1.0 AS m FROM freq GROUP BY f),
+ranked AS (SELECT f, m, sum(m) OVER (ORDER BY f DESC) AS cum
+           FROM classes),
+pts AS (SELECT ln(cum - (m - 1) / 2) AS x, ln(f) AS y, m, f
+        FROM ranked),
+s AS (SELECT sum(m) AS W, sum(m * x) AS Sx, sum(m * y) AS Sy,
+             sum(m * x * x) AS Sxx, sum(m * y * y) AS Syy,
+             sum(m * x * y) AS Sxy,
+             sum(m * f) AS tokens, count(*) AS dfreqs
+      FROM pts)
+SELECT {slope} AS slope,
+       {icpt} AS intercept,
+       {r2} AS r2,
+       CAST(W AS BIGINT) AS vocab,
+       CAST(tokens AS BIGINT) AS tokens,
+       CAST(dfreqs AS BIGINT) AS distinct_freqs
+FROM s""".replace(
+        "{slope}", _r("(Sxy - Sx * Sy / W) / (Sxx - Sx * Sx / W)", 6)
+    ).replace(
+        "{icpt}", _r("(Sy - (Sxy - Sx * Sy / W) / (Sxx - Sx * Sx / W)"
+                     " * Sx) / W", 6)
+    ).replace(
+        "{r2}", _r("(Sxy - Sx * Sy / W) * (Sxy - Sx * Sy / W)"
+                   " / ((Sxx - Sx * Sx / W) * (Syy - Sy * Sy / W))", 6)),
+)(
+    _pipe(
+        "documents",
+        [
+            {"$zipfFit": {"input": "$text"}},
+            {"$project": {"slope": {"$round": ["$slope", 6]},
+                          "intercept": {"$round": ["$intercept", 6]},
+                          "r2": {"$round": ["$r2", 6]},
+                          "vocab": 1, "tokens": 1,
+                          "distinct_freqs": 1}},
+        ],
+    )
+)
+
+_register(
+    "bradley_terry",
+    r"""WITH g AS (
+  SELECT 'P' || CAST(o_orderkey % 5 AS VARCHAR) AS w,
+         'P' || CAST(o_custkey % 5 AS VARCHAR) AS l
+  FROM orders WHERE o_orderkey % 5 <> o_custkey % 5),
+wc AS (SELECT w, l, count(*) * 1.0 AS n FROM g GROUP BY w, l),
+pairs AS (SELECT i, j, sum(wins) AS wij FROM (
+            SELECT w AS i, l AS j, n AS wins FROM wc
+            UNION ALL
+            SELECT l AS i, w AS j, 0.0 AS wins FROM wc) u
+          GROUP BY i, j),
+opp AS (SELECT a.i, a.j, a.wij,
+               a.wij + coalesce(b.wij, 0) AS nij
+        FROM pairs a LEFT JOIN pairs b
+          ON a.i = b.j AND a.j = b.i),
+pl0 AS (SELECT i AS player, sum(wij) AS W, sum(nij) AS G
+        FROM opp GROUP BY i),
+d1 AS (SELECT i, sum(nij / 2.0) AS d FROM opp GROUP BY i),
+p1 AS (SELECT pl0.player,
+              CASE WHEN d > 0 THEN W / d ELSE 0.0 END AS pi
+       FROM pl0 JOIN d1 ON pl0.player = d1.i),
+d2 AS (SELECT o.i, sum(o.nij / (pi_i.pi + pi_j.pi)) AS d
+       FROM opp o
+       JOIN p1 pi_i ON o.i = pi_i.player
+       JOIN p1 pi_j ON o.j = pi_j.player
+       GROUP BY o.i),
+p2 AS (SELECT pl0.player,
+              CASE WHEN d2.d > 0 THEN pl0.W / d2.d ELSE 0.0 END AS pi,
+              pl0.W, pl0.G
+       FROM pl0 JOIN d2 ON pl0.player = d2.i),
+t AS (SELECT sum(pi) AS s FROM p2)
+SELECT player,
+       {st} AS strength,
+       CAST(W AS BIGINT) AS wins,
+       CAST(G AS BIGINT) AS games
+FROM p2, t ORDER BY player""".replace(
+        "{st}", _r("CASE WHEN t.s > 0 THEN p2.pi / t.s"
+                   " ELSE p2.pi END", 6)),
+)(
+    _pipe(
+        "orders",
+        [
+            {"$bradleyTerry": {
+                "winner": {"$concat": [
+                    "P", {"$toString": {"$mod": ["$o_orderkey", 5]}}]},
+                "loser": {"$concat": [
+                    "P", {"$toString": {"$mod": ["$o_custkey", 5]}}]},
+                "iterations": 2,
+            }},
+            {"$project": {"player": 1,
+                          "strength": {"$round": ["$strength", 6]},
+                          "wins": 1, "games": 1}},
+            {"$sort": {"player": 1}},
+        ],
+    )
+)
+
+
 _register(
     "rouge_l_eval",
     f"""WITH w AS (

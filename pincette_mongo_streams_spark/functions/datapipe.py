@@ -50,10 +50,11 @@ from . import (  # noqa: E402  (registration side effects, order matters)
     dp_text,
     dp_curation,
     dp_lm,
+    dp_stats,
 )
 
 for _m in (dp_dedup, dp_vector, dp_quality, dp_tokens, dp_eval,
-           dp_retrieval, dp_text, dp_curation, dp_lm):
+           dp_retrieval, dp_text, dp_curation, dp_lm, dp_stats):
     for _k, _v in vars(_m).items():
         if not _k.startswith("__"):
             globals()[_k] = _v

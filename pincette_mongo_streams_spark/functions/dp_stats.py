@@ -1,0 +1,610 @@
+"""Corpus statistics for training-data curation: inter-annotator
+agreement ($cohenKappa, $fleissKappa), corpus drift ($corpusDivergence),
+generation diversity ($distinctN), frequency-law fit ($zipfFit) and
+preference-pair strength fitting ($bradleyTerry).
+
+All are published textbook algorithms (Cohen 1960; Fleiss 1971; Kullback
+& Leibler 1951 / Lin 1991 for JSD; Li et al. 2016 "A Diversity-Promoting
+Objective Function for Neural Conversation Models"; Zipf 1949; Bradley &
+Terry 1952 fitted with Hunter 2004's MM algorithm) implemented as pure
+JVM column programs — no Arrow boundary anywhere in this module.  Every
+stage is a corpus-wide reduction and therefore corpus-only-gated in
+streaming (streaming/runtime.py), like $bleuCorpus.
+
+Scale notes (the 100 TB story):
+- $cohenKappa: one pass for the observed term; the expected term joins
+  (unweighted) or broadcast-crosses (weighted) two LABEL-cardinality
+  aggregates — bounded by the label alphabet, not the data.
+- $fleissKappa: two key-partitioned aggregations (item x rating, item)
+  plus a rating-cardinality marginal; nothing collected.
+- $corpusDivergence: two token aggregations + one full-outer join on the
+  gram key — the join is vocabulary-sized and hash-partitioned.
+- $distinctN: one generated explode + one aggregate (count / distinct
+  per order), the $ngramLmTrain shape.
+- $zipfFit: the rank assignment runs over the DISTINCT-FREQUENCY table
+  (O(sqrt(tokens)) rows by Heaps-law-style concentration), never over
+  the vocabulary, so the single-partition rank window is metadata-sized
+  even when the vocab is 10^8.
+- $bradleyTerry: each MM round is one join + one key-partitioned
+  aggregate over the PAIR table; lineage is pinned every few rounds
+  (graphcc._pin convention).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..context import Context
+from ..expressions import ExprContext, compile_expr
+from ..pipeline import StageFn, register_stage
+from .dp_lm import _LM_TOKENIZERS, _lm_tokens
+
+
+def _corpus_only(name: str, c: Context) -> None:
+    from ..operators.extended import _corpus_only as gate
+
+    gate(name, c)
+
+
+# --------------------------------------------------------------- kappa
+
+@register_stage("$cohenKappa")
+def cohen_kappa_stage(expression: Any, ctx: Context) -> StageFn:
+    """Cohen's kappa (Cohen 1960) between two annotators' label columns
+    — THE chance-corrected agreement statistic for "are these two
+    labelers consistent enough to train on?": ``{a, b, weights?}`` ->
+    ONE row ``(n, po, pe, kappa)``.
+
+    ``weights: "none"`` (default, nominal labels): po = fraction of
+    exact agreements, pe = sum_k pa(k)*pb(k).  ``weights: "linear" |
+    "quadratic"`` (ordinal NUMERIC labels, Cohen 1968): kappa_w =
+    1 - sum(O_ij*w_ij)/sum(E_ij*w_ij) with w = |i-j| or (i-j)^2; po/pe
+    are reported as the weighted observed/expected DISAGREEMENT
+    complements (1 - normalized disagreement) so kappa keeps the same
+    (po - pe)/(1 - pe) reading.
+
+    Rows where either label is null are excluded (standard practice).
+    The expected term never touches the data again: it is computed from
+    the two per-label marginal aggregates — joined on label (nominal)
+    or broadcast-crossed (weighted; |A| x |B| label pairs).
+    """
+    a_e, b_e = expression["a"], expression["b"]
+    weights = expression.get("weights", "none")
+    if weights not in ("none", "linear", "quadratic"):
+        raise ValueError(
+            "$cohenKappa weights must be none | linear | quadratic")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        _corpus_only("$cohenKappa", c)
+        sctx = ExprContext(schema=df.schema)
+        a = compile_expr(a_e, sctx)
+        b = compile_expr(b_e, sctx)
+        if weights != "none":
+            a, b = a.cast("double"), b.cast("double")
+        else:
+            a, b = a.cast("string"), b.cast("string")
+        base = df.select(a.alias("__a"), b.alias("__b")).filter(
+            F.col("__a").isNotNull() & F.col("__b").isNotNull())
+        ma = base.groupBy(F.col("__a").alias("__l")).agg(
+            F.count(F.lit(1)).cast("double").alias("__ca"))
+        mb = base.groupBy(F.col("__b").alias("__l")).agg(
+            F.count(F.lit(1)).cast("double").alias("__cb"))
+        if weights == "none":
+            obs = base.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.avg((F.col("__a") == F.col("__b")).cast("double"))
+                .alias("po"))
+            pe_row = (
+                ma.join(mb, "__l")
+                .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__s"))
+            )
+            out = obs.join(F.broadcast(pe_row), F.lit(True), "left")
+            pe = F.col("__s") / (F.col("n") * F.col("n")).cast("double")
+        else:
+            w = (
+                (lambda x, y: F.abs(x - y)) if weights == "linear"
+                else (lambda x, y: (x - y) * (x - y))
+            )
+            obs = base.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.avg(w(F.col("__a"), F.col("__b"))).alias("__dobs"))
+            pe_row = (
+                ma.crossJoin(F.broadcast(
+                    mb.select(F.col("__l").alias("__lb"), "__cb")))
+                .agg(F.sum(F.col("__ca") * F.col("__cb")
+                           * w(F.col("__l"), F.col("__lb")))
+                     .alias("__s"))
+            )
+            out = obs.join(F.broadcast(pe_row), F.lit(True), "left")
+            dexp = F.col("__s") / (F.col("n") * F.col("n")).cast("double")
+            # report complements so kappa = (po-pe)/(1-pe) holds in both
+            # modes; scale by the expected disagreement
+            pe = 1.0 - dexp
+        po = F.col("po") if weights == "none" \
+            else F.lit(1.0) - F.col("__dobs")
+        kappa = F.when(
+            F.lit(1.0) - pe == 0.0,
+            F.when(po == pe, F.lit(1.0)).otherwise(
+                F.lit(None).cast("double")),
+        ).otherwise((po - pe) / (F.lit(1.0) - pe))
+        return out.select(
+            F.col("n"),
+            po.alias("po"),
+            pe.alias("pe"),
+            kappa.alias("kappa"),
+        )
+
+    return fn
+
+
+@register_stage("$fleissKappa")
+def fleiss_kappa_stage(expression: Any, ctx: Context) -> StageFn:
+    """Fleiss' kappa (Fleiss 1971) for m raters in long format:
+    ``{item, rating}`` (one row per (item, rater) judgment) -> ONE row
+    ``(items, raters, p_bar, p_e, kappa)``.
+
+    Standard Fleiss assumes the SAME number of ratings per item; an
+    unbalanced table raises at execution (raise_error column, the
+    fail-loudly convention of $ngramLmScore) instead of silently
+    computing a biased statistic.  Per-item agreement
+    P_i = (sum_k n_ik^2 - m) / (m(m-1)); chance agreement
+    p_e = sum_k p_k^2 over the pooled category marginals.
+    """
+    item_e, rating_e = expression["item"], expression["rating"]
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        _corpus_only("$fleissKappa", c)
+        sctx = ExprContext(schema=df.schema)
+        item = compile_expr(item_e, sctx).cast("string")
+        rating = compile_expr(rating_e, sctx).cast("string")
+        base = df.select(item.alias("__i"), rating.alias("__r")).filter(
+            F.col("__i").isNotNull() & F.col("__r").isNotNull())
+        cell = base.groupBy("__i", "__r").agg(
+            F.count(F.lit(1)).cast("double").alias("__n"))
+        per_item = cell.groupBy("__i").agg(
+            F.sum("__n").alias("__m"),
+            F.sum(F.col("__n") * F.col("__n")).alias("__sq"))
+        stats = per_item.agg(
+            F.count(F.lit(1)).cast("long").alias("items"),
+            F.min("__m").alias("__mmin"),
+            F.max("__m").alias("__mmax"),
+            F.sum("__sq").alias("__sqsum"),
+        )
+        marg = cell.groupBy("__r").agg(F.sum("__n").alias("__ck"))
+        pe_row = marg.agg(
+            F.sum(F.col("__ck") * F.col("__ck")).alias("__cksq"),
+            F.sum("__ck").alias("__tot"))
+        out = stats.join(F.broadcast(pe_row), F.lit(True), "left")
+        m = F.when(
+            F.col("__mmin") != F.col("__mmax"),
+            F.raise_error(F.lit(
+                "$fleissKappa needs the same number of ratings per "
+                "item (Fleiss 1971); got an unbalanced table — filter "
+                "or impute first")).cast("double"),
+        ).otherwise(F.col("__mmax"))
+        n_items = F.col("items").cast("double")
+        p_bar = (F.col("__sqsum") - n_items * m) \
+            / (n_items * m * (m - 1.0))
+        p_e = F.col("__cksq") / (F.col("__tot") * F.col("__tot"))
+        kappa = F.when(
+            F.lit(1.0) - p_e == 0.0,
+            F.when(p_bar == p_e, F.lit(1.0)).otherwise(
+                F.lit(None).cast("double")),
+        ).otherwise((p_bar - p_e) / (F.lit(1.0) - p_e))
+        return out.select(
+            F.col("items"),
+            m.cast("long").alias("raters"),
+            p_bar.alias("p_bar"),
+            p_e.alias("p_e"),
+            kappa.alias("kappa"),
+        )
+
+    return fn
+
+
+# ---------------------------------------------------------- divergence
+
+@register_stage("$corpusDivergence")
+def corpus_divergence_stage(expression: Any, ctx: Context) -> StageFn:
+    """Token-distribution drift between the pipeline corpus and a
+    reference collection: ``{input, against, againstField?, n?,
+    tokenizer?, maxWords?, k?}`` -> ONE row ``(kl_pq, kl_qp, jsd,
+    cross_entropy, vocab_p, vocab_q, vocab_jaccard, tokens_p,
+    tokens_q)``.
+
+    P = this corpus's n-gram distribution, Q = the reference's, both
+    additively smoothed (add-``k``, default 1) over the UNION
+    vocabulary +1 unseen slot so every KL term is finite.  ``jsd`` is
+    the Jensen-Shannon divergence in bits (log2, Lin 1991 — bounded
+    [0,1]); ``cross_entropy`` is H(P, Q) in bits, the "how surprised
+    is a Q-trained model by P" reading; vocab_jaccard is the unsmoothed
+    vocabulary overlap.  The standard pretraining-mix drift check
+    (compare a candidate crawl against a trusted reference corpus).
+
+    One full-outer join on the gram key, vocabulary-sized and
+    hash-partitioned; the scalar totals ride a 1-row broadcast.
+    """
+    inp = expression["input"]
+    against = expression["against"]
+    against_field = expression.get("againstField", "text")
+    n = int(expression.get("n", 1))
+    tok = expression.get("tokenizer", "whitespace")
+    max_words = int(expression.get("maxWords", 100_000))
+    k = float(expression.get("k", 1.0))
+    if n < 1 or n > 4:
+        raise ValueError("$corpusDivergence n must be in 1..4")
+    if tok not in _LM_TOKENIZERS:
+        raise ValueError(
+            f"$corpusDivergence tokenizer must be one of {_LM_TOKENIZERS}")
+    if k <= 0:
+        raise ValueError("$corpusDivergence k must be > 0")
+    if max_words < 1:
+        raise ValueError("$corpusDivergence maxWords must be >= 1")
+
+    def grams_of(df: DataFrame, text: Column) -> DataFrame:
+        toks = _lm_tokens(tok, text, max_words)
+        g = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(n), F.size(toks)),
+                lambda i: F.array_join(F.slice(toks, i - (n - 1), n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            df.select(F.explode(g).alias("__g"))
+            .groupBy("__g")
+            .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+        )
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        _corpus_only("$corpusDivergence", c)
+        ref = c.collection(against)
+        p = grams_of(
+            df, compile_expr(inp, ExprContext(schema=df.schema)))
+        q = grams_of(
+            ref, compile_expr(f"${against_field}",
+                              ExprContext(schema=ref.schema)))
+        joined = p.withColumnRenamed("__c", "__cp").join(
+            q.withColumnRenamed("__c", "__cq"), "__g", "full_outer")
+        tot = joined.agg(
+            F.sum(F.coalesce("__cp", F.lit(0.0))).alias("__np"),
+            F.sum(F.coalesce("__cq", F.lit(0.0))).alias("__nq"),
+            F.count(F.lit(1)).cast("double").alias("__v"),
+            F.sum(F.col("__cp").isNotNull().cast("long")).alias("vp"),
+            F.sum(F.col("__cq").isNotNull().cast("long")).alias("vq"),
+            F.sum((F.col("__cp").isNotNull()
+                   & F.col("__cq").isNotNull()).cast("long"))
+            .alias("__vb"),
+        )
+        j = joined.join(F.broadcast(tot), F.lit(True), "left")
+        # smoothed probabilities over union vocab + 1 unseen slot
+        denom_p = F.col("__np") + k * (F.col("__v") + 1.0)
+        denom_q = F.col("__nq") + k * (F.col("__v") + 1.0)
+        pp = (F.coalesce("__cp", F.lit(0.0)) + k) / denom_p
+        qq = (F.coalesce("__cq", F.lit(0.0)) + k) / denom_q
+        mm = (pp + qq) / 2.0
+        log2 = F.log(F.lit(2.0))
+        sums = j.agg(
+            F.sum(pp * F.log(pp / qq) / log2).alias("__klpq"),
+            F.sum(qq * F.log(qq / pp) / log2).alias("__klqp"),
+            F.sum(pp * F.log(pp / mm) / log2 / 2.0
+                  + qq * F.log(qq / mm) / log2 / 2.0).alias("__jsd"),
+            F.sum(-pp * F.log(qq) / log2).alias("__ce"),
+            F.max("vp").alias("vp"), F.max("vq").alias("vq"),
+            F.max("__vb").alias("__vb"),
+            F.max("__np").alias("__np"), F.max("__nq").alias("__nq"),
+            F.max("__v").alias("__v"),
+        )
+        # the unseen slot contributes one more term to each sum, and
+        # every union-vocab gram absent from one side is already in the
+        # join; add the unseen-slot terms in closed form
+        up = k / denom_p
+        uq = k / denom_q
+        um = (up + uq) / 2.0
+        return sums.select(
+            (F.col("__klpq") + up * F.log(up / uq) / log2)
+            .alias("kl_pq"),
+            (F.col("__klqp") + uq * F.log(uq / up) / log2)
+            .alias("kl_qp"),
+            (F.col("__jsd") + up * F.log(up / um) / log2 / 2.0
+             + uq * F.log(uq / um) / log2 / 2.0).alias("jsd"),
+            (F.col("__ce") - up * F.log(uq) / log2)
+            .alias("cross_entropy"),
+            F.col("vp").alias("vocab_p"),
+            F.col("vq").alias("vocab_q"),
+            (F.col("__vb")
+             / (F.col("vp") + F.col("vq") - F.col("__vb")).cast("double"))
+            .alias("vocab_jaccard"),
+            F.col("__np").cast("long").alias("tokens_p"),
+            F.col("__nq").cast("long").alias("tokens_q"),
+        )
+
+    return fn
+
+
+# ----------------------------------------------------------- diversity
+
+@register_stage("$distinctN")
+def distinct_n_stage(expression: Any, ctx: Context) -> StageFn:
+    """Corpus-level distinct-n diversity (Li et al. 2016): ``{input,
+    maxN?, tokenizer?, maxWords?}`` -> ONE row with ``distinct_1 ..
+    distinct_maxN`` (distinct n-grams / total n-grams, the standard
+    generation-diversity report) plus ``tokens`` and ``docs``.
+
+    One generated position explode + one aggregate (the $ngramLmTrain
+    shape) — conditional count/count_distinct per order, no per-order
+    passes."""
+    inp = expression["input"]
+    max_n = int(expression.get("maxN", 2))
+    tok = expression.get("tokenizer", "whitespace")
+    max_words = int(expression.get("maxWords", 100_000))
+    if not 1 <= max_n <= 4:
+        raise ValueError("$distinctN maxN must be in 1..4")
+    if tok not in _LM_TOKENIZERS:
+        raise ValueError(
+            f"$distinctN tokenizer must be one of {_LM_TOKENIZERS}")
+    if max_words < 1:
+        raise ValueError("$distinctN maxWords must be >= 1")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        _corpus_only("$distinctN", c)
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        toks = _lm_tokens(tok, text, max_words)
+        def _gram_part(order: int) -> Column:
+            # closure factory, NOT a default-arg lambda: a two-arg
+            # lambda makes Spark pass the array INDEX as the second
+            # argument (the _seeded_hasher arity trap, playbook r10/r12)
+            def one(j: Column) -> Column:
+                return F.struct(
+                    F.lit(order).cast("int").alias("n"),
+                    F.array_join(
+                        F.slice(toks, j - (order - 1), order), " ")
+                    .alias("g"),
+                )
+
+            return F.when(
+                F.size(toks) >= order,
+                F.transform(F.sequence(F.lit(order), F.size(toks)), one),
+            ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+
+        parts = [_gram_part(i) for i in range(1, max_n + 1)]
+        allg = parts[0]
+        for pc in parts[1:]:
+            allg = F.concat(allg, pc)
+        docs = df.select(
+            F.when(text.isNotNull(), allg).alias("__gs"))
+        exploded = docs.select(F.explode("__gs").alias("__x"))
+        aggs = []
+        for i in range(1, max_n + 1):
+            aggs.append(F.count_distinct(
+                F.when(F.col("__x.n") == i, F.col("__x.g"))
+            ).cast("double").alias(f"__d{i}"))
+            aggs.append(
+                F.sum((F.col("__x.n") == i).cast("long"))
+                .cast("double").alias(f"__t{i}"))
+        stats = exploded.agg(*aggs)
+        meta = df.agg(
+            F.count(F.lit(1)).cast("long").alias("docs"))
+        out = meta.join(F.broadcast(stats), F.lit(True), "left")
+        cols = [F.col("docs")]
+        cols.append(F.coalesce(F.col("__t1"), F.lit(0.0))
+                    .cast("long").alias("tokens"))
+        for i in range(1, max_n + 1):
+            cols.append(
+                F.when(F.col(f"__t{i}") > 0,
+                       F.col(f"__d{i}") / F.col(f"__t{i}"))
+                .alias(f"distinct_{i}"))
+        return out.select(*cols)
+
+    return fn
+
+
+# ------------------------------------------------------------ zipf fit
+
+@register_stage("$zipfFit")
+def zipf_fit_stage(expression: Any, ctx: Context) -> StageFn:
+    """Zipf's-law fit of the corpus token-frequency distribution
+    (Zipf 1949): ``{input, tokenizer?, maxWords?, minCount?}`` -> ONE
+    row ``(slope, intercept, r2, vocab, tokens, distinct_freqs)`` from
+    a weighted OLS of log(freq) on log(rank) — natural-text corpora
+    read slope ~ -1; heavily templated/duplicated corpora deviate, so
+    the slope is a cheap corpus-quality signal (used alongside the
+    Gopher rules).
+
+    SCALE: ranks are assigned on the DISTINCT-FREQUENCY table (one row
+    per frequency value — O(sqrt(tokens))-ish, thousands even for
+    billion-token corpora), each class getting its midpoint rank and
+    class-size weight, so the rank window never sorts the vocabulary.
+    """
+    inp = expression["input"]
+    tok = expression.get("tokenizer", "whitespace")
+    max_words = int(expression.get("maxWords", 100_000))
+    min_count = int(expression.get("minCount", 1))
+    if tok not in _LM_TOKENIZERS:
+        raise ValueError(
+            f"$zipfFit tokenizer must be one of {_LM_TOKENIZERS}")
+    if max_words < 1:
+        raise ValueError("$zipfFit maxWords must be >= 1")
+    if min_count < 1:
+        raise ValueError("$zipfFit minCount must be >= 1")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from pyspark.sql import Window
+
+        _corpus_only("$zipfFit", c)
+        text = compile_expr(inp, ExprContext(schema=df.schema))
+        toks = _lm_tokens(tok, text, max_words)
+        words = df.select(F.explode(toks).alias("__w"))
+        freq = words.groupBy("__w").agg(
+            F.count(F.lit(1)).cast("double").alias("__f"))
+        if min_count > 1:
+            freq = freq.filter(F.col("__f") >= min_count)
+        classes = freq.groupBy("__f").agg(
+            F.count(F.lit(1)).cast("double").alias("__m"))
+        w = Window.orderBy(F.col("__f").desc())
+        ranked = classes.withColumn(
+            "__cum", F.sum("__m").over(w)).withColumn(
+            # midpoint rank of the class: ranks cum-m+1 .. cum
+            "__r", F.col("__cum") - (F.col("__m") - 1.0) / 2.0)
+        pts = ranked.select(
+            F.log("__r").alias("__x"), F.log("__f").alias("__y"),
+            F.col("__m"), F.col("__f"))
+        s = pts.agg(
+            F.sum("__m").alias("W"),
+            F.sum(F.col("__m") * F.col("__x")).alias("Sx"),
+            F.sum(F.col("__m") * F.col("__y")).alias("Sy"),
+            F.sum(F.col("__m") * F.col("__x") * F.col("__x")).alias("Sxx"),
+            F.sum(F.col("__m") * F.col("__y") * F.col("__y")).alias("Syy"),
+            F.sum(F.col("__m") * F.col("__x") * F.col("__y")).alias("Sxy"),
+            F.sum(F.col("__m") * F.col("__f")).cast("long")
+            .alias("tokens"),
+            F.count(F.lit(1)).cast("long").alias("distinct_freqs"),
+        )
+        vxy = F.col("Sxy") - F.col("Sx") * F.col("Sy") / F.col("W")
+        vxx = F.col("Sxx") - F.col("Sx") * F.col("Sx") / F.col("W")
+        vyy = F.col("Syy") - F.col("Sy") * F.col("Sy") / F.col("W")
+        # regression needs >= 2 distinct x values; a single frequency
+        # class leaves vxx as pure ulp noise (3*x*x vs (3x)^2/3), so
+        # gate on the exact class count, not a float comparison
+        ok = F.col("distinct_freqs") > 1
+        slope = F.when(ok & (vxx > 0), vxy / vxx)
+        r2 = F.when(ok & (vxx > 0) & (vyy > 0),
+                    vxy * vxy / (vxx * vyy)) \
+            .when(ok & (vxx > 0) & (vyy == 0), F.lit(1.0))
+        return s.select(
+            slope.alias("slope"),
+            F.when(slope.isNotNull(),
+                   (F.col("Sy") - slope * F.col("Sx")) / F.col("W"))
+            .alias("intercept"),
+            r2.alias("r2"),
+            F.col("W").cast("long").alias("vocab"),
+            F.col("tokens"),
+            F.col("distinct_freqs"),
+        )
+
+    return fn
+
+
+# -------------------------------------------------------- bradley-terry
+
+@register_stage("$bradleyTerry")
+def bradley_terry_stage(expression: Any, ctx: Context) -> StageFn:
+    """Bradley-Terry preference-strength fitting (Bradley & Terry 1952)
+    by Hunter 2004's MM algorithm — the standard model behind pairwise
+    preference data (RLHF comparisons, tournament outcomes, A/B
+    evals): ``{winner, loser, iterations?}`` replaces the stream of
+    (winner, loser) rows with a ``(player, strength, wins, games)``
+    table, strengths normalized to sum 1 and sorted by player.
+
+    MM update per round (guaranteed monotone likelihood ascent):
+        pi_i <- W_i / sum_j n_ij / (pi_i + pi_j)
+    over the aggregated pair table n_ij; players with zero wins
+    converge to strength 0.  CONVERGENCE ASSUMPTION (Hunter 2004
+    Assumption 1, documented not enforced): the comparison graph must
+    be strongly connected for a finite MLE — an undefeated player's
+    strength absorbs toward 1 as iterations grow, which is the correct
+    (boundary) MLE behavior, not an error.
+
+    Each round = one join of the current strengths onto the pair table
+    + one key-partitioned aggregate; lineage pinned every 5 rounds
+    (graphcc._pin convention).  ``iterations`` defaults to 20; the MM
+    map is a contraction near the optimum, so tens of rounds suffice
+    for ranking purposes.
+    """
+    winner_e = expression["winner"]
+    loser_e = expression["loser"]
+    iterations = int(expression.get("iterations", 20))
+    if not 1 <= iterations <= 200:
+        raise ValueError("$bradleyTerry iterations must be in 1..200")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        _corpus_only("$bradleyTerry", c)
+        sctx = ExprContext(schema=df.schema)
+        wcol = compile_expr(winner_e, sctx).cast("string")
+        lcol = compile_expr(loser_e, sctx).cast("string")
+        games = df.select(
+            wcol.alias("__w"), lcol.alias("__l")).filter(
+            F.col("__w").isNotNull() & F.col("__l").isNotNull()
+            & (F.col("__w") != F.col("__l")))
+        # directed win counts, then the symmetric opponent table
+        wc = games.groupBy("__w", "__l").agg(
+            F.count(F.lit(1)).cast("double").alias("__n"))
+        pairs = wc.select(
+            F.col("__w").alias("__i"), F.col("__l").alias("__j"),
+            F.col("__n").alias("__wins"),
+        ).unionByName(wc.select(
+            F.col("__l").alias("__i"), F.col("__w").alias("__j"),
+            F.lit(0.0).alias("__wins"),
+        )).groupBy("__i", "__j").agg(
+            F.sum("__wins").alias("__wij"),
+        )
+        # n_ij = games between i and j (sum of both directions)
+        opp = pairs.alias("a").join(
+            pairs.alias("b"),
+            (F.col("a.__i") == F.col("b.__j"))
+            & (F.col("a.__j") == F.col("b.__i")), "left",
+        ).select(
+            F.col("a.__i").alias("__i"), F.col("a.__j").alias("__j"),
+            F.col("a.__wij").alias("__wij"),
+            (F.col("a.__wij") + F.coalesce(F.col("b.__wij"), F.lit(0.0)))
+            .alias("__nij"),
+        )
+        from ..operators.graphcc import _pin
+
+        opp = _pin(opp)
+        players = opp.groupBy(F.col("__i").alias("player")).agg(
+            F.sum("__wij").alias("__W"),
+            F.sum("__nij").alias("__G"),
+        ).withColumn("__pi", F.lit(1.0))
+        for it in range(iterations):
+            pj = players.select(
+                F.col("player").alias("__j"),
+                F.col("__pi").alias("__pj"))
+            denom = (
+                opp.join(players.select(
+                    F.col("player").alias("__i"),
+                    F.col("__pi")), "__i")
+                .join(pj, "__j")
+                .groupBy("__i")
+                .agg(F.sum(F.col("__nij")
+                           / (F.col("__pi") + F.col("__pj")))
+                     .alias("__d"))
+            )
+            players = (
+                players.drop("__pi")
+                .join(denom.withColumnRenamed("__i", "player"),
+                      "player")
+                .withColumn("__pi",
+                            F.when(F.col("__d") > 0,
+                                   F.col("__W") / F.col("__d"))
+                            .otherwise(F.lit(0.0)))
+                .drop("__d")
+            )
+            # no per-round normalization: the MM map is
+            # scale-equivariant, so one normalization at the end is
+            # exact and saves a 1-row broadcast job per round.  Pin
+            # EVERY round (the $pageRank convention): the strengths
+            # frame feeds the next round twice (pi_i and pi_j), so an
+            # unpinned loop doubles the plan tree per iteration —
+            # exponential analysis cost by iteration 5
+            if it + 1 < iterations:
+                players = _pin(players)
+        total = players.agg(F.sum("__pi").alias("__t"))
+        players = players.join(
+            F.broadcast(total), F.lit(True), "left",
+        ).withColumn(
+            "__pi",
+            F.when(F.col("__t") > 0, F.col("__pi") / F.col("__t"))
+            .otherwise(F.col("__pi")),
+        ).drop("__t")
+        return players.select(
+            F.col("player"),
+            F.col("__pi").alias("strength"),
+            F.col("__W").cast("long").alias("wins"),
+            F.col("__G").cast("long").alias("games"),
+        ).orderBy("player")
+
+    return fn

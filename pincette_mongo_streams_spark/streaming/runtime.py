@@ -60,7 +60,10 @@ _CORPUS_ONLY_STAGES = {"$spanDedup", "$semanticDedup", "$bpeTrain",
                        "$profile", "$bleuCorpus", "$chrfCorpus",
                        "$werCorpus", "$classificationEval",
                        "$regressionEval", "$pairedBootstrap",
-                       "$bootstrapCI", "$terCorpus", "$ngramLmTrain"}
+                       "$bootstrapCI", "$terCorpus", "$ngramLmTrain",
+                       "$cohenKappa", "$fleissKappa",
+                       "$corpusDivergence", "$distinctN", "$zipfFit",
+                       "$bradleyTerry"}
 
 
 def _resolve_state_store(state_store: str) -> tuple[str, str]:

@@ -1114,6 +1114,16 @@ def test_corpus_only_stages_rejected_up_front(spark, tmpdir):
         # r12: LM counts are a whole-corpus aggregate (one-micro-batch
         # "model" = the same silent-wrong-answer class)
         [{"$ngramLmTrain": {"input": "$text", "n": 2}}],
+        # r13: the dp_stats family — agreement / drift / diversity /
+        # frequency-fit / preference-strength are all corpus-wide
+        # reductions (a per-micro-batch kappa or Zipf slope is the same
+        # silent-wrong-answer class)
+        [{"$cohenKappa": {"a": "$text", "b": "$text"}}],
+        [{"$fleissKappa": {"item": "$doc_id", "rating": "$text"}}],
+        [{"$corpusDivergence": {"input": "$text", "against": "tgt"}}],
+        [{"$distinctN": {"input": "$text"}}],
+        [{"$zipfFit": {"input": "$text"}}],
+        [{"$bradleyTerry": {"winner": "$text", "loser": "$text"}}],
     ):
         with pytest.raises(ValueError, match="corpus-wide"):
             run_streaming(source, pipeline, ctx, lambda d, e: None,
