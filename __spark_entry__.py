@@ -2141,6 +2141,106 @@ FROM p2, t ORDER BY player""".replace(
     )
 )
 
+# candidate = lang-token + text, references = [candidate, text]: the
+# reference token lists EQUAL the candidate's and source's, so the
+# oracle's fractional reference counts collapse to (cs+ss)/2 — no third
+# gram table, and every fractional sum is exact halves (hash-stable
+# without rounding concerns)
+_register(
+    "sari_eval",
+    r"""WITH d AS (
+  SELECT doc_id,
+         list_slice(list_filter(string_split_regex(trim(lower(text)),
+                                                   '\s+'),
+                    x -> x <> ''), 1, 30) AS ws,
+         list_slice(list_filter(string_split_regex(
+                      trim(lower(lang || ' ' || text)), '\s+'),
+                    x -> x <> ''), 1, 30) AS wc
+  FROM documents
+  WHERE doc_id < 500 AND text IS NOT NULL AND lang IS NOT NULL),
+grid AS (SELECT doc_id, ws, wc, unnest([1, 2, 3, 4]) AS n FROM d),
+cg AS (SELECT doc_id, n,
+              unnest(list_transform(
+                generate_series(1, greatest(len(wc) - n + 1, 0)),
+                i -> array_to_string(list_slice(wc, i, i + n - 1),
+                                     ' '))) AS g
+       FROM grid),
+sg AS (SELECT doc_id, n,
+              unnest(list_transform(
+                generate_series(1, greatest(len(ws) - n + 1, 0)),
+                i -> array_to_string(list_slice(ws, i, i + n - 1),
+                                     ' '))) AS g
+       FROM grid),
+cgr AS (SELECT doc_id, n, g, count(*) * 1.0 AS cs
+        FROM cg GROUP BY doc_id, n, g),
+sgr AS (SELECT doc_id, n, g, count(*) * 1.0 AS ss
+        FROM sg GROUP BY doc_id, n, g),
+sup AS (SELECT doc_id, n, g FROM cgr
+        UNION SELECT doc_id, n, g FROM sgr),
+v AS (SELECT s.doc_id, s.n,
+             coalesce(cgr.cs, 0) AS cs, coalesce(sgr.ss, 0) AS ss
+      FROM sup s
+      LEFT JOIN cgr ON s.doc_id = cgr.doc_id AND s.n = cgr.n
+                    AND s.g = cgr.g
+      LEFT JOIN sgr ON s.doc_id = sgr.doc_id AND s.n = sgr.n
+                    AND s.g = sgr.g),
+sums AS (SELECT doc_id, n,
+    sum(least(greatest(cs - ss, 0), (cs + ss) / 2.0)) AS an,
+    sum(greatest(cs - ss, 0)) AS adp,
+    sum(greatest((cs + ss) / 2.0 - ss, 0)) AS adr,
+    sum(least(least(cs, ss), least(ss, (cs + ss) / 2.0))) AS kn,
+    sum(least(cs, ss)) AS kdp,
+    sum(least(ss, (cs + ss) / 2.0)) AS kdr,
+    sum(least(greatest(ss - cs, 0),
+              greatest(ss - (cs + ss) / 2.0, 0))) AS dn,
+    sum(greatest(ss - cs, 0)) AS ddp
+  FROM v GROUP BY doc_id, n),
+f AS (SELECT g.doc_id, g.n,
+    CASE WHEN coalesce(adp, 0) > 0 AND coalesce(adr, 0) > 0
+              AND (an / adp + an / adr) > 0
+         THEN 2 * (an / adp) * (an / adr) / (an / adp + an / adr)
+         ELSE 0.0 END AS f_add,
+    CASE WHEN coalesce(kdp, 0) > 0 AND coalesce(kdr, 0) > 0
+              AND (kn / kdp + kn / kdr) > 0
+         THEN 2 * (kn / kdp) * (kn / kdr) / (kn / kdp + kn / kdr)
+         ELSE 0.0 END AS f_keep,
+    CASE WHEN coalesce(ddp, 0) > 0 THEN dn / ddp
+         ELSE 0.0 END AS p_del
+  FROM grid g LEFT JOIN sums
+    ON g.doc_id = sums.doc_id AND g.n = sums.n),
+per_doc AS (SELECT doc_id, sum(f_add) / 4 AS fa,
+                   sum(f_keep) / 4 AS fk, sum(p_del) / 4 AS pd
+            FROM f GROUP BY doc_id)
+SELECT doc_id,
+       {sari} AS sari,
+       {fa} AS "add",
+       {fk} AS "keep",
+       {pd} AS "del"
+FROM per_doc ORDER BY doc_id""".replace(
+        "{sari}", _r("(fa + fk + pd) / 3.0", 6)).replace(
+        "{fa}", _r("fa", 6)).replace(
+        "{fk}", _r("fk", 6)).replace(
+        "{pd}", _r("pd", 6)),
+)(
+    _pipe(
+        "documents",
+        [
+            {"$match": {"doc_id": {"$lt": 500},
+                        "text": {"$ne": None}, "lang": {"$ne": None}}},
+            {"$set": {"cand": {"$concat": ["$lang", " ", "$text"]}}},
+            {"$sari": {"source": "$text", "candidate": "$cand",
+                       "references": ["$cand", "$text"],
+                       "maxWords": 30, "as": "x"}},
+            {"$project": {"_id": 0, "doc_id": 1,
+                          "sari": {"$round": ["$x.sari", 6]},
+                          "add": {"$round": ["$x.add", 6]},
+                          "keep": {"$round": ["$x.keep", 6]},
+                          "del": {"$round": ["$x.del", 6]}}},
+            {"$sort": {"doc_id": 1}},
+        ],
+    )
+)
+
 
 _register(
     "rouge_l_eval",

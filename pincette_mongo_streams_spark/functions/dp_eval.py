@@ -3679,3 +3679,177 @@ def bootstrap_ci_stage(expression: Any, ctx: Context) -> StageFn:
         )
 
     return fn
+
+
+# ----------------------------------------------------------------- SARI
+
+@register_stage("$sari")
+def sari_stage(expression: Any, ctx: Context) -> StageFn:
+    """SARI (Xu et al. 2016, "Optimizing Statistical Machine Translation
+    for Text Simplification", TACL) — THE text-simplification /
+    text-rewriting metric: it compares the candidate against BOTH the
+    source and the references, crediting n-grams correctly ADDED
+    (in output and references but not source), correctly KEPT (in
+    source, output and references) and correctly DELETED (dropped from
+    the source like the references drop them): ``{source, candidate,
+    reference | references, maxN?, maxWords?, caseSensitive?, as?}``
+    adds ``struct<sari, add, keep, del>``.
+
+    IMPLEMENTS THE PAPER'S EQUATIONS with multiset counts and
+    fractional reference counts #g(r) = (sum over references of the
+    gram count) / R (the paper's multi-reference treatment):
+
+        p_add  = sum_g min(#g(c\\s), #g(r))   / sum_g #g(c\\s)
+        r_add  = sum_g min(#g(c\\s), #g(r))   / sum_g #g(r\\s)
+        p_keep = sum_g min(#g(cns), #g(snr)) / sum_g #g(cns)
+        r_keep = sum_g min(#g(cns), #g(snr)) / sum_g #g(snr)
+        p_del  = sum_g min(#g(s\\c), #g(s\\r)) / sum_g #g(s\\c)
+
+    with multiset difference max(a-b, 0) and intersection min(a, b);
+    F_add/F_keep are harmonic means, deletion uses PRECISION ONLY
+    (paper §5: deletion recall rewards over-deleting), each operation
+    score is the mean over n = 1..maxN (default 4), and
+    SARI = (F_add + F_keep + P_del) / 3.  A 0/0 component is 0, the
+    conventional guard.  NOTE: this is the paper-equation definition;
+    the JHU "star" script adds per-gram ratio weighting in keep/delete
+    — a documented deviation, not a bug.
+
+    ``caseSensitive: false`` (default) lowercases everything first (the
+    HF-evaluate convention).  Null candidate/source -> null struct;
+    null references are dropped from the array (empty array -> null).
+
+    100 TB shape: pure higher-order-function column program — one pass
+    over the distinct-gram support per order, row-local, zero shuffle,
+    O(maxN * |support| * (|c|+|s|+R*|r|)) per row, capped by
+    ``maxWords`` (default 200 — simplification is sentence-level)."""
+    src_e = expression["source"]
+    cand_e = expression["candidate"]
+    ref_e = expression.get("reference")
+    refs_e = expression.get("references")
+    if (ref_e is None) == (refs_e is None):
+        raise ValueError(
+            "$sari needs exactly one of reference | references")
+    max_n = int(expression.get("maxN", 4))
+    max_words = int(expression.get("maxWords", 200))
+    case_sensitive = bool(expression.get("caseSensitive", False))
+    as_field = expression.get("as", "sari")
+    if not 1 <= max_n <= 8:
+        raise ValueError("$sari maxN must be in 1..8")
+    if max_words < 1:
+        raise ValueError("$sari maxWords must be >= 1")
+
+    _SARI_T = "struct<sari:double,add:double,keep:double,del:double>"
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        sctx = ExprContext(schema=df.schema)
+        src = compile_expr(src_e, sctx)
+        cand = compile_expr(cand_e, sctx)
+        if not case_sensitive:
+            src, cand = F.lower(src), F.lower(cand)
+        if refs_e is not None:
+            refs = F.filter(compile_expr(refs_e, sctx),
+                            lambda r: r.isNotNull())
+        else:
+            r1 = compile_expr(ref_e, sctx)
+            refs = F.when(r1.isNotNull(), F.array(r1)) \
+                .otherwise(F.array().cast("array<string>"))
+        if not case_sensitive:
+            refs = F.transform(refs, F.lower)
+        stage = df.withColumn("__sa_ws", _eval_words(src, max_words)) \
+                  .withColumn("__sa_wc", _eval_words(cand, max_words)) \
+                  .withColumn("__sa_wrs",
+                              F.transform(refs, lambda r: _eval_words(
+                                  r, max_words)))
+        ws, wc, wrs = (F.col("__sa_ws"), F.col("__sa_wc"),
+                       F.col("__sa_wrs"))
+        # floor at 1: rows with zero references are nulled by `valid`
+        # below, but their support sets still evaluate — keep the
+        # fractional-count division away from /0
+        nref = F.greatest(F.size(wrs), F.lit(1)).cast("double")
+
+        f_add_sum = F.lit(0.0)
+        f_keep_sum = F.lit(0.0)
+        p_del_sum = F.lit(0.0)
+        for n in range(1, max_n + 1):
+            stage = stage.withColumn(f"__sa_gs{n}", _eval_grams(ws, n))
+            stage = stage.withColumn(f"__sa_gc{n}", _eval_grams(wc, n))
+            stage = stage.withColumn(
+                f"__sa_grs{n}",
+                F.transform(wrs, lambda r: _eval_grams(r, n)))
+            gs = F.col(f"__sa_gs{n}")
+            gc = F.col(f"__sa_gc{n}")
+            grs = F.col(f"__sa_grs{n}")
+            support = F.array_distinct(
+                F.concat(gc, gs, F.flatten(grs)))
+            zero = F.struct(*[
+                F.lit(0.0).alias(k)
+                for k in ("an", "adp", "adr", "kn", "kdp", "kdr",
+                          "dn", "ddp")])
+
+            def step(acc: Column, g: Column) -> Column:
+                cs = F.size(F.filter(gc, lambda x: x == g)) \
+                    .cast("double")
+                ss = F.size(F.filter(gs, lambda x: x == g)) \
+                    .cast("double")
+                rr = F.aggregate(
+                    grs, F.lit(0.0),
+                    lambda a, arr: a + F.size(
+                        F.filter(arr, lambda x: x == g))) / nref
+                c_minus_s = F.greatest(cs - ss, F.lit(0.0))
+                r_minus_s = F.greatest(rr - ss, F.lit(0.0))
+                c_and_s = F.least(cs, ss)
+                s_and_r = F.least(ss, rr)
+                s_minus_c = F.greatest(ss - cs, F.lit(0.0))
+                s_minus_r = F.greatest(ss - rr, F.lit(0.0))
+                return F.struct(
+                    (acc["an"] + F.least(c_minus_s, rr)).alias("an"),
+                    (acc["adp"] + c_minus_s).alias("adp"),
+                    (acc["adr"] + r_minus_s).alias("adr"),
+                    (acc["kn"] + F.least(c_and_s, s_and_r)).alias("kn"),
+                    (acc["kdp"] + c_and_s).alias("kdp"),
+                    (acc["kdr"] + s_and_r).alias("kdr"),
+                    (acc["dn"] + F.least(s_minus_c, s_minus_r))
+                    .alias("dn"),
+                    (acc["ddp"] + s_minus_c).alias("ddp"),
+                )
+
+            stage = stage.withColumn(
+                f"__sa_s{n}", F.aggregate(support, zero, step))
+            s = F.col(f"__sa_s{n}")
+            p_add = F.when(s["adp"] > 0, s["an"] / s["adp"]) \
+                .otherwise(F.lit(0.0))
+            r_add = F.when(s["adr"] > 0, s["an"] / s["adr"]) \
+                .otherwise(F.lit(0.0))
+            f_add = F.when(p_add + r_add > 0,
+                           2.0 * p_add * r_add / (p_add + r_add)) \
+                .otherwise(F.lit(0.0))
+            p_keep = F.when(s["kdp"] > 0, s["kn"] / s["kdp"]) \
+                .otherwise(F.lit(0.0))
+            r_keep = F.when(s["kdr"] > 0, s["kn"] / s["kdr"]) \
+                .otherwise(F.lit(0.0))
+            f_keep = F.when(p_keep + r_keep > 0,
+                            2.0 * p_keep * r_keep / (p_keep + r_keep)) \
+                .otherwise(F.lit(0.0))
+            p_del = F.when(s["ddp"] > 0, s["dn"] / s["ddp"]) \
+                .otherwise(F.lit(0.0))
+            f_add_sum = f_add_sum + f_add / max_n
+            f_keep_sum = f_keep_sum + f_keep / max_n
+            p_del_sum = p_del_sum + p_del / max_n
+
+        valid = (src.isNotNull() & cand.isNotNull()
+                 & (F.size(wrs) > 0))
+        out = F.when(
+            valid,
+            F.struct(
+                ((f_add_sum + f_keep_sum + p_del_sum) / 3.0)
+                .alias("sari"),
+                f_add_sum.alias("add"),
+                f_keep_sum.alias("keep"),
+                p_del_sum.alias("del"),
+            ),
+        ).otherwise(F.lit(None).cast(_SARI_T))
+        stage = stage.withColumn(as_field, out)
+        return stage.drop(*[c_ for c_ in stage.columns
+                            if c_.startswith("__sa_")])
+
+    return fn
