@@ -2141,6 +2141,81 @@ FROM p2, t ORDER BY player""".replace(
     )
 )
 
+_register(
+    "krippendorff_nominal",
+    r"""WITH base AS (
+  SELECT CAST(doc_id % 100 AS VARCHAR) AS u, lang AS v
+  FROM documents WHERE lang IS NOT NULL),
+cell AS (SELECT u, v, count(*) * 1.0 AS nn FROM base GROUP BY u, v),
+unit AS (SELECT u, sum(nn) AS m, sum(nn * nn) AS sq
+         FROM cell GROUP BY u HAVING sum(nn) >= 2),
+do_row AS (SELECT count(*) AS units,
+                  sum((m * m - sq) / (m - 1)) AS osum,
+                  sum(m) AS n
+           FROM unit),
+marg AS (SELECT v, sum(nn) AS nc
+         FROM cell JOIN unit USING (u) GROUP BY v),
+de AS (SELECT sum(nc * nc) AS c2 FROM marg)
+SELECT CAST(units AS BIGINT) AS units,
+       CAST(n AS BIGINT) AS n,
+       {do} AS d_o,
+       {de} AS d_e,
+       {al} AS alpha
+FROM do_row, de""".replace(
+        "{do}", _r("osum / n", 6)).replace(
+        "{de}", _r("(n * n - c2) / (n * (n - 1))", 6)).replace(
+        "{al}", _r("1 - (osum / n)"
+                   " / ((n * n - c2) / (n * (n - 1)))", 6)),
+)(
+    _pipe(
+        "documents",
+        [
+            {"$krippendorffAlpha": {"item": {"$mod": ["$doc_id", 100]},
+                                    "value": "$lang"}},
+            {"$project": {"units": 1, "n": 1,
+                          "d_o": {"$round": ["$d_o", 6]},
+                          "d_e": {"$round": ["$d_e", 6]},
+                          "alpha": {"$round": ["$alpha", 6]}}},
+        ],
+    )
+)
+
+_register(
+    "krippendorff_interval",
+    r"""WITH unit AS (
+  SELECT l_orderkey AS u, count(*) * 1.0 AS m,
+         sum(l_quantity * 1.0) AS s1,
+         sum(l_quantity * l_quantity * 1.0) AS s2
+  FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 2),
+agg AS (SELECT count(*) AS units,
+               sum(2 * (m * s2 - s1 * s1) / (m - 1)) AS osum,
+               sum(m) AS n, sum(s1) AS a1, sum(s2) AS a2
+        FROM unit)
+SELECT CAST(units AS BIGINT) AS units,
+       CAST(n AS BIGINT) AS n,
+       {do} AS d_o,
+       {de} AS d_e,
+       {al} AS alpha
+FROM agg""".replace(
+        "{do}", _r("osum / n", 6)).replace(
+        "{de}", _r("2 * (n * a2 - a1 * a1) / (n * (n - 1))", 6)).replace(
+        "{al}", _r("1 - (osum / n)"
+                   " / (2 * (n * a2 - a1 * a1) / (n * (n - 1)))", 6)),
+)(
+    _pipe(
+        "lineitem",
+        [
+            {"$krippendorffAlpha": {"item": "$l_orderkey",
+                                    "value": "$l_quantity",
+                                    "metric": "interval"}},
+            {"$project": {"units": 1, "n": 1,
+                          "d_o": {"$round": ["$d_o", 6]},
+                          "d_e": {"$round": ["$d_e", 6]},
+                          "alpha": {"$round": ["$alpha", 6]}}},
+        ],
+    )
+)
+
 # candidate = lang-token + text, references = [candidate, text]: the
 # reference token lists EQUAL the candidate's and source's, so the
 # oracle's fractional reference counts collapse to (cs+ss)/2 — no third

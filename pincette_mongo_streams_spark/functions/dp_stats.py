@@ -608,3 +608,102 @@ def bradley_terry_stage(expression: Any, ctx: Context) -> StageFn:
         ).orderBy("player")
 
     return fn
+
+
+@register_stage("$krippendorffAlpha")
+def krippendorff_alpha_stage(expression: Any, ctx: Context) -> StageFn:
+    """Krippendorff's alpha (Krippendorff 2011, "Computing
+    Krippendorff's Alpha-Reliability") — the agreement coefficient that
+    handles ANY number of raters, missing ratings and unbalanced
+    tables (the cases $fleissKappa refuses): ``{item, value, metric:
+    "nominal" | "interval"}`` -> ONE row ``(units, n, d_o, d_e,
+    alpha)`` with alpha = 1 - D_o/D_e over the coincidence matrix.
+
+    NO PAIR EXPLOSION: the coincidence sums decompose into per-unit
+    moments —
+
+    - nominal:  sum_u (m_u^2 - sum_c n_uc^2) / (m_u - 1)  and the
+      pooled category margins;
+    - interval: sum_u 2*(m_u*S2_u - S1_u^2) / (m_u - 1)  with
+      S1/S2 the per-unit value sums — so the whole statistic is two
+      key-partitioned aggregates, distributable at any scale.
+
+    Units with fewer than two ratings are excluded (unpairable —
+    the standard convention).  D_e = 0 (all values identical): alpha
+    is 1 when D_o = 0 (perfect agreement, zero variance) and null
+    otherwise.  ``ordinal``/``ratio`` metrics need rank/ratio
+    difference functions that do not decompose into moments — a
+    documented boundary, not implemented.
+    """
+    item_e, value_e = expression["item"], expression["value"]
+    metric = expression.get("metric", "nominal")
+    if metric not in ("nominal", "interval"):
+        raise ValueError(
+            "$krippendorffAlpha metric must be nominal | interval")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        _corpus_only("$krippendorffAlpha", c)
+        sctx = ExprContext(schema=df.schema)
+        item = compile_expr(item_e, sctx).cast("string")
+        value = compile_expr(value_e, sctx)
+        value = value.cast("string" if metric == "nominal"
+                           else "double")
+        base = df.select(item.alias("__u"), value.alias("__v")).filter(
+            F.col("__u").isNotNull() & F.col("__v").isNotNull())
+        if metric == "nominal":
+            cell = base.groupBy("__u", "__v").agg(
+                F.count(F.lit(1)).cast("double").alias("__n"))
+            unit = cell.groupBy("__u").agg(
+                F.sum("__n").alias("__m"),
+                F.sum(F.col("__n") * F.col("__n")).alias("__sq"),
+            ).filter(F.col("__m") >= 2)
+            do_row = unit.agg(
+                F.count(F.lit(1)).cast("long").alias("units"),
+                F.sum((F.col("__m") * F.col("__m") - F.col("__sq"))
+                      / (F.col("__m") - 1)).alias("__osum"),
+                F.sum("__m").alias("__n"),
+            )
+            marg = (
+                cell.join(unit.select("__u"), "__u")
+                .groupBy("__v").agg(F.sum("__n").alias("__nc"))
+            )
+            de_row = marg.agg(
+                F.sum(F.col("__nc") * F.col("__nc")).alias("__c2"))
+            out = do_row.join(F.broadcast(de_row), F.lit(True), "left")
+            n = F.col("__n")
+            d_o = F.col("__osum") / n
+            d_e = (n * n - F.col("__c2")) / (n * (n - 1))
+        else:
+            unit = base.groupBy("__u").agg(
+                F.count(F.lit(1)).cast("double").alias("__m"),
+                F.sum("__v").alias("__s1"),
+                F.sum(F.col("__v") * F.col("__v")).alias("__s2"),
+            ).filter(F.col("__m") >= 2)
+            out = unit.agg(
+                F.count(F.lit(1)).cast("long").alias("units"),
+                F.sum(2.0 * (F.col("__m") * F.col("__s2")
+                             - F.col("__s1") * F.col("__s1"))
+                      / (F.col("__m") - 1)).alias("__osum"),
+                F.sum("__m").alias("__n"),
+                F.sum("__s1").alias("__a1"),
+                F.sum("__s2").alias("__a2"),
+            )
+            n = F.col("__n")
+            d_o = F.col("__osum") / n
+            d_e = (2.0 * (n * F.col("__a2")
+                          - F.col("__a1") * F.col("__a1"))
+                   / (n * (n - 1)))
+        alpha = F.when(
+            d_e == 0.0,
+            F.when(d_o == 0.0, F.lit(1.0)).otherwise(
+                F.lit(None).cast("double")),
+        ).otherwise(F.lit(1.0) - d_o / d_e)
+        return out.select(
+            F.col("units"),
+            n.cast("long").alias("n"),
+            d_o.alias("d_o"),
+            d_e.alias("d_e"),
+            alpha.alias("alpha"),
+        )
+
+    return fn

@@ -62,6 +62,7 @@ _CORPUS_ONLY_STAGES = {"$spanDedup", "$semanticDedup", "$bpeTrain",
                        "$regressionEval", "$pairedBootstrap",
                        "$bootstrapCI", "$terCorpus", "$ngramLmTrain",
                        "$cohenKappa", "$fleissKappa",
+                       "$krippendorffAlpha",
                        "$corpusDivergence", "$distinctN", "$zipfFit",
                        "$bradleyTerry"}
 

@@ -297,3 +297,56 @@ def test_stats_plans_pure_jvm(spark):
         for marker in ("BatchEvalPython", "ArrowEvalPython",
                        "MapInPandas"):
             assert marker not in plan, (pipe, marker)
+
+
+# ------------------------------------------------------ krippendorff
+
+
+def test_krippendorff_nominal_hand(spark):
+    """u1=[a,a], u2=[a,b], u3=[b,b]: D_o=1/3, D_e=0.6, alpha=4/9."""
+    rows = [("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "b"),
+            ("u3", "b"), ("u3", "b")]
+    (o,) = _one(spark, rows, "u string, v string",
+                [{"$krippendorffAlpha": {"item": "$u", "value": "$v"}}])
+    assert o["units"] == 3 and o["n"] == 6
+    assert abs(o["d_o"] - 1 / 3) < 1e-12
+    assert abs(o["d_e"] - 0.6) < 1e-12
+    assert abs(o["alpha"] - 4 / 9) < 1e-12
+
+
+def test_krippendorff_interval_hand(spark):
+    """u1=[1,2], u2=[3,3]: D_o=0.5, D_e=11/6, alpha=8/11."""
+    rows = [("u1", 1.0), ("u1", 2.0), ("u2", 3.0), ("u2", 3.0)]
+    (o,) = _one(spark, rows, "u string, v double",
+                [{"$krippendorffAlpha": {"item": "$u", "value": "$v",
+                                         "metric": "interval"}}])
+    assert o["units"] == 2 and o["n"] == 4
+    assert abs(o["d_o"] - 0.5) < 1e-12
+    assert abs(o["d_e"] - 11 / 6) < 1e-12
+    assert abs(o["alpha"] - 8 / 11) < 1e-12
+
+
+def test_krippendorff_singleton_units_excluded(spark):
+    """A unit with one rating is unpairable and must not contribute."""
+    rows = [("u1", "a"), ("u1", "a"), ("u2", "b")]
+    (o,) = _one(spark, rows, "u string, v string",
+                [{"$krippendorffAlpha": {"item": "$u", "value": "$v"}}])
+    assert o["units"] == 1 and o["n"] == 2
+    # single eligible unit, perfect agreement, all-same category ->
+    # D_e = 0 with D_o = 0 -> alpha = 1
+    assert o["alpha"] == 1.0
+
+
+def test_krippendorff_perfect_agreement(spark):
+    rows = [("u1", "a"), ("u1", "a"), ("u2", "b"), ("u2", "b")]
+    (o,) = _one(spark, rows, "u string, v string",
+                [{"$krippendorffAlpha": {"item": "$u", "value": "$v"}}])
+    assert o["alpha"] == 1.0
+
+
+def test_krippendorff_options(spark):
+    with pytest.raises(ValueError, match="metric"):
+        compile_pipeline(
+            [{"$krippendorffAlpha": {"item": "$u", "value": "$v",
+                                     "metric": "ordinal"}}],
+            Context(spark=spark))

@@ -1120,6 +1120,7 @@ def test_corpus_only_stages_rejected_up_front(spark, tmpdir):
         # silent-wrong-answer class)
         [{"$cohenKappa": {"a": "$text", "b": "$text"}}],
         [{"$fleissKappa": {"item": "$doc_id", "rating": "$text"}}],
+        [{"$krippendorffAlpha": {"item": "$doc_id", "value": "$text"}}],
         [{"$corpusDivergence": {"input": "$text", "against": "tgt"}}],
         [{"$distinctN": {"input": "$text"}}],
         [{"$zipfFit": {"input": "$text"}}],
