@@ -2142,6 +2142,112 @@ FROM p2, t ORDER BY player""".replace(
 )
 
 _register(
+    "ks_test",
+    r"""WITH p AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+q AS (SELECT value AS v FROM events
+      WHERE value IS NOT NULL AND user_id % 2 = 0),
+cp AS (SELECT v, count(*) * 1.0 AS c FROM p GROUP BY v),
+cq AS (SELECT v, count(*) * 1.0 AS c FROM q GROUP BY v),
+jx AS (SELECT coalesce(cp.v, cq.v) AS v,
+              coalesce(cp.c, 0) AS cp, coalesce(cq.c, 0) AS cq
+       FROM cp FULL OUTER JOIN cq ON cp.v = cq.v),
+tot AS (SELECT sum(cp) AS np, sum(cq) AS nq FROM jx),
+cum AS (SELECT v, sum(cp) OVER (ORDER BY v) AS scp,
+               sum(cq) OVER (ORDER BY v) AS scq
+        FROM jx),
+dd AS (SELECT max(abs(scp / np - scq / nq)) AS d FROM cum, tot),
+lm AS (SELECT (sqrt(np * nq / (np + nq)) + 0.12
+               + 0.11 / sqrt(np * nq / (np + nq))) * d AS l
+       FROM dd, tot),
+ser AS (SELECT sum(power(-1.0, j - 1) * exp(-2 * j * j * l * l)) AS s
+        FROM lm, (SELECT unnest(generate_series(1, 100)) AS j) js)
+SELECT CAST(np AS BIGINT) AS n_p,
+       CAST(nq AS BIGINT) AS n_q,
+       {d} AS d_stat,
+       {p} AS p_value
+FROM tot, dd, lm, ser""".replace(
+        "{d}", _r("d", 6)).replace(
+        "{p}", _r("CASE WHEN l < 0.04 THEN 1.0"
+                  " ELSE least(greatest(2 * s, 0), 1) END", 6)),
+)(
+    _pipe(
+        "events",
+        [
+            {"$ksTest": {"input": "$value", "against": "ref",
+                         "againstField": "value"}},
+            {"$project": {"n_p": 1, "n_q": 1,
+                          "d_stat": {"$round": ["$d_stat", 6]},
+                          "p_value": {"$round": ["$p_value", 6]}}},
+        ],
+        collections={"ref": lambda t: t["events"].filter(
+            "user_id % 2 = 0")},
+    )
+)
+
+_ERF_SQL = ("(CASE WHEN {x} < 0 THEN -1.0 ELSE 1.0 END * (1 - "
+            "(1 / (1 + 0.3275911 * abs({x}))) * (0.254829592 "
+            "+ (1 / (1 + 0.3275911 * abs({x}))) * (-0.284496736 "
+            "+ (1 / (1 + 0.3275911 * abs({x}))) * (1.421413741 "
+            "+ (1 / (1 + 0.3275911 * abs({x}))) * (-1.453152027 "
+            "+ (1 / (1 + 0.3275911 * abs({x}))) * 1.061405429)))) "
+            "* exp(-abs({x}) * abs({x}))))")
+
+_register(
+    "chi_square",
+    r"""WITH p AS (SELECT lang AS v FROM documents
+                   WHERE lang IS NOT NULL),
+q AS (SELECT lang AS v FROM documents
+      WHERE lang IS NOT NULL AND doc_id % 3 = 0),
+cp AS (SELECT v, count(*) * 1.0 AS op FROM p GROUP BY v),
+cq AS (SELECT v, count(*) * 1.0 AS oq FROM q GROUP BY v),
+jx AS (SELECT coalesce(cp.op, 0) AS op, coalesce(cq.oq, 0) AS oq
+       FROM cp FULL OUTER JOIN cq ON cp.v = cq.v),
+tot AS (SELECT sum(op) AS np, sum(oq) AS nq FROM jx),
+agg AS (SELECT count(*) * 1.0 AS cats,
+               sum(CASE WHEN (op + oq) * np / (np + nq) > 0
+                        THEN pow(op - (op + oq) * np / (np + nq), 2)
+                             / ((op + oq) * np / (np + nq))
+                        ELSE 0 END
+                   + CASE WHEN (op + oq) * nq / (np + nq) > 0
+                          THEN pow(oq - (op + oq) * nq / (np + nq), 2)
+                               / ((op + oq) * nq / (np + nq))
+                          ELSE 0 END) AS chi2
+        FROM jx, tot),
+zc AS (SELECT (pow(chi2 / (cats - 1), 1.0 / 3.0)
+               - (1 - 2 / (9 * (cats - 1))))
+              / sqrt(2 / (9 * (cats - 1))) / sqrt(2) AS x,
+              chi2, cats
+       FROM agg)
+SELECT CAST(zc.cats AS BIGINT) AS categories,
+       CAST(tot.np AS BIGINT) AS n_p,
+       CAST(tot.nq AS BIGINT) AS n_q,
+       {chi2} AS chi2,
+       CAST(zc.cats - 1 AS BIGINT) AS df,
+       {p} AS p_value,
+       {cv} AS cramers_v
+FROM zc, tot""".replace(
+        "{chi2}", _r("zc.chi2", 6)).replace(
+        "{p}", _r("least(greatest("
+                  "0.5 * (1 - " + _ERF_SQL.format(x="zc.x") + ")"
+                  ", 0), 1)", 6)).replace(
+        "{cv}", _r("sqrt(zc.chi2 / (tot.np + tot.nq))", 6)),
+)(
+    _pipe(
+        "documents",
+        [
+            {"$chiSquareTest": {"input": "$lang", "against": "ref",
+                                "againstField": "lang"}},
+            {"$project": {"categories": 1, "n_p": 1, "n_q": 1,
+                          "chi2": {"$round": ["$chi2", 6]}, "df": 1,
+                          "p_value": {"$round": ["$p_value", 6]},
+                          "cramers_v": {"$round": ["$cramers_v", 6]}}},
+        ],
+        collections={"ref": lambda t: t["documents"].filter(
+            "doc_id % 3 = 0")},
+    )
+)
+
+_register(
     "krippendorff_nominal",
     r"""WITH base AS (
   SELECT CAST(doc_id % 100 AS VARCHAR) AS u, lang AS v

@@ -707,3 +707,222 @@ def krippendorff_alpha_stage(expression: Any, ctx: Context) -> StageFn:
         )
 
     return fn
+
+
+# ------------------------------------------------- distribution tests
+
+@register_stage("$ksTest")
+def ks_test_stage(expression: Any, ctx: Context) -> StageFn:
+    """Two-sample Kolmogorov-Smirnov test between a numeric column of
+    this corpus and a reference collection's — the standard numeric
+    drift check next to $corpusDivergence's token-level one:
+    ``{input, against, againstField?, bins?}`` -> ONE row
+    ``(n_p, n_q, d_stat, p_value)``.
+
+    ``d_stat`` = max |ECDF_P(x) - ECDF_Q(x)|; ``p_value`` is the
+    asymptotic Kolmogorov distribution through the standard
+    effective-n correction lambda = (sqrt(ne) + 0.12 + 0.11/sqrt(ne))
+    * D with ne = n_p*n_q/(n_p+n_q) (Press et al., Numerical Recipes
+    §14.3), p = 2 * sum_{j>=1} (-1)^(j-1) exp(-2 j^2 lambda^2)
+    truncated at j=100 and clamped to [0, 1].
+
+    SCALE: the ECDF comparison runs over the DISTINCT-VALUE table
+    (one row per distinct value) under a global-order window — fine
+    for discrete/quantized features; for continuous columns at scale
+    pass ``bins`` to quantize into equal-width buckets first (min/max
+    from a 1-row broadcast; the binned D is a documented lower bound
+    of the exact D)."""
+    inp = expression["input"]
+    against = expression["against"]
+    against_field = expression.get("againstField")
+    bins = expression.get("bins")
+    if bins is not None:
+        bins = int(bins)
+        if bins < 2:
+            raise ValueError("$ksTest bins must be >= 2")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from pyspark.sql import Window
+
+        _corpus_only("$ksTest", c)
+        ref = c.collection(against)
+        fld = against_field or (
+            inp[1:] if isinstance(inp, str) and inp.startswith("$")
+            else None)
+        if fld is None:
+            raise ValueError(
+                "$ksTest needs againstField when input is not a "
+                "simple field path")
+        pv = df.select(
+            compile_expr(inp, ExprContext(schema=df.schema))
+            .cast("double").alias("__v")).filter(
+            F.col("__v").isNotNull())
+        qv = ref.select(
+            compile_expr(f"${fld}", ExprContext(schema=ref.schema))
+            .cast("double").alias("__v")).filter(
+            F.col("__v").isNotNull())
+        if bins is not None:
+            rng = pv.unionByName(qv).agg(
+                F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+
+            def binned(d: DataFrame) -> DataFrame:
+                j = d.join(F.broadcast(rng), F.lit(True), "left")
+                b = F.when(
+                    F.col("__hi") > F.col("__lo"),
+                    F.least(
+                        F.floor((F.col("__v") - F.col("__lo"))
+                                / (F.col("__hi") - F.col("__lo"))
+                                * bins),
+                        F.lit(bins - 1)),
+                ).otherwise(F.lit(0))
+                return j.select(b.cast("double").alias("__v"))
+
+            pv, qv = binned(pv), binned(qv)
+        cp = pv.groupBy("__v").agg(
+            F.count(F.lit(1)).cast("double").alias("__cp"))
+        cq = qv.groupBy("__v").agg(
+            F.count(F.lit(1)).cast("double").alias("__cq"))
+        joined = cp.join(cq, "__v", "full_outer").select(
+            "__v",
+            F.coalesce("__cp", F.lit(0.0)).alias("__cp"),
+            F.coalesce("__cq", F.lit(0.0)).alias("__cq"))
+        tot = joined.agg(F.sum("__cp").alias("__np"),
+                         F.sum("__cq").alias("__nq"))
+        j = joined.join(F.broadcast(tot), F.lit(True), "left")
+        w = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        gap = F.abs(F.sum("__cp").over(w) / F.col("__np")
+                    - F.sum("__cq").over(w) / F.col("__nq"))
+        out = j.select(gap.alias("__g"), "__np", "__nq").agg(
+            F.max("__g").alias("__d"),
+            F.max("__np").alias("__np"),
+            F.max("__nq").alias("__nq"))
+        d = F.col("__d")
+        np_, nq_ = F.col("__np"), F.col("__nq")
+        ne = np_ * nq_ / (np_ + nq_)
+        lam = (F.sqrt(ne) + 0.12 + 0.11 / F.sqrt(ne)) * d
+        series = F.aggregate(
+            F.sequence(F.lit(1), F.lit(100)),
+            F.lit(0.0),
+            lambda acc, jj: acc
+            + F.pow(F.lit(-1.0), (jj - 1).cast("double"))
+            * F.exp(-2.0 * jj.cast("double") * jj.cast("double")
+                    * lam * lam))
+        # lambda below ~0.04 the truncated alternating series has not
+        # converged by j=100 (terms still ~1) while the true p is 1 to
+        # machine precision — the standard small-lambda guard (NR
+        # probks returns 1.0 on non-convergence)
+        pval = F.when(lam < 0.04, F.lit(1.0)).otherwise(
+            F.least(F.greatest(2.0 * series, F.lit(0.0)), F.lit(1.0)))
+        valid = (np_ > 0) & (nq_ > 0)
+        return out.select(
+            np_.cast("long").alias("n_p"),
+            nq_.cast("long").alias("n_q"),
+            F.when(valid, d).alias("d_stat"),
+            F.when(valid, pval).alias("p_value"),
+        )
+
+    return fn
+
+
+def _erf(x: Column) -> Column:
+    """Abramowitz & Stegun 7.1.26 rational erf approximation
+    (|error| < 1.5e-7) as a pure column expression — Spark SQL has no
+    erf built-in.  Both the engine and the DuckDB oracles use THIS
+    formula, so gate hashes compare the same number."""
+    sign = F.when(x < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    ax = F.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = (t * (0.254829592
+                 + t * (-0.284496736
+                        + t * (1.421413741
+                               + t * (-1.453152027
+                                      + t * 1.061405429)))))
+    return sign * (1.0 - poly * F.exp(-ax * ax))
+
+
+@register_stage("$chiSquareTest")
+def chi_square_test_stage(expression: Any, ctx: Context) -> StageFn:
+    """Chi-squared homogeneity test between a categorical column of
+    this corpus and a reference collection's (2 x C contingency
+    table): ``{input, against, againstField?}`` -> ONE row
+    ``(categories, n_p, n_q, chi2, df, p_value, cramers_v)``.
+
+    ``p_value`` = P(X^2_df >= chi2) via the Wilson-Hilferty cube-root
+    normal approximation with the A&S 7.1.26 erf — a documented
+    approximation (|error| ~ 1e-3 at small df, vanishing with df),
+    chosen because it is expressible as pure column arithmetic in both
+    engines; ``cramers_v`` = sqrt(chi2 / n) for the 2-row table.
+    Zero-count categories on one side use the standard expected-count
+    formula (never 0/0: a category exists only if some side saw it).
+    """
+    inp = expression["input"]
+    against = expression["against"]
+    against_field = expression.get("againstField")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        _corpus_only("$chiSquareTest", c)
+        ref = c.collection(against)
+        fld = against_field or (
+            inp[1:] if isinstance(inp, str) and inp.startswith("$")
+            else None)
+        if fld is None:
+            raise ValueError(
+                "$chiSquareTest needs againstField when input is not "
+                "a simple field path")
+        pv = df.select(
+            compile_expr(inp, ExprContext(schema=df.schema))
+            .cast("string").alias("__v")).filter(
+            F.col("__v").isNotNull())
+        qv = ref.select(
+            compile_expr(f"${fld}", ExprContext(schema=ref.schema))
+            .cast("string").alias("__v")).filter(
+            F.col("__v").isNotNull())
+        cp = pv.groupBy("__v").agg(
+            F.count(F.lit(1)).cast("double").alias("__op"))
+        cq = qv.groupBy("__v").agg(
+            F.count(F.lit(1)).cast("double").alias("__oq"))
+        joined = cp.join(cq, "__v", "full_outer").select(
+            F.coalesce("__op", F.lit(0.0)).alias("__op"),
+            F.coalesce("__oq", F.lit(0.0)).alias("__oq"))
+        tot = joined.agg(F.sum("__op").alias("__np"),
+                         F.sum("__oq").alias("__nq"))
+        j = joined.join(F.broadcast(tot), F.lit(True), "left")
+        n = F.col("__np") + F.col("__nq")
+        col_tot = F.col("__op") + F.col("__oq")
+        ep = col_tot * F.col("__np") / n
+        eq = col_tot * F.col("__nq") / n
+        term = (
+            F.when(ep > 0, (F.col("__op") - ep) * (F.col("__op") - ep)
+                   / ep).otherwise(F.lit(0.0))
+            + F.when(eq > 0, (F.col("__oq") - eq)
+                     * (F.col("__oq") - eq) / eq).otherwise(F.lit(0.0))
+        )
+        out = j.agg(
+            F.count(F.lit(1)).cast("long").alias("categories"),
+            F.sum(term).alias("__chi2"),
+            F.max("__np").alias("__np"),
+            F.max("__nq").alias("__nq"),
+        )
+        chi2 = F.col("__chi2")
+        dfree = (F.col("categories") - 1).cast("double")
+        nn = F.col("__np") + F.col("__nq")
+        # Wilson-Hilferty: (X/df)^(1/3) ~ Normal(1 - 2/(9df),
+        # sqrt(2/(9df)))
+        z = ((F.pow(chi2 / dfree, F.lit(1.0 / 3.0))
+              - (1.0 - 2.0 / (9.0 * dfree)))
+             / F.sqrt(2.0 / (9.0 * dfree)))
+        pval = 0.5 * (1.0 - _erf(z / F.sqrt(F.lit(2.0))))
+        valid = (F.col("__np") > 0) & (F.col("__nq") > 0) & (dfree > 0)
+        return out.select(
+            F.col("categories"),
+            F.col("__np").cast("long").alias("n_p"),
+            F.col("__nq").cast("long").alias("n_q"),
+            F.when(valid, chi2).alias("chi2"),
+            F.when(valid, dfree.cast("long")).alias("df"),
+            F.when(valid, F.least(F.greatest(pval, F.lit(0.0)),
+                                  F.lit(1.0))).alias("p_value"),
+            F.when(valid, F.sqrt(chi2 / nn)).alias("cramers_v"),
+        )
+
+    return fn

@@ -62,7 +62,8 @@ _CORPUS_ONLY_STAGES = {"$spanDedup", "$semanticDedup", "$bpeTrain",
                        "$regressionEval", "$pairedBootstrap",
                        "$bootstrapCI", "$terCorpus", "$ngramLmTrain",
                        "$cohenKappa", "$fleissKappa",
-                       "$krippendorffAlpha",
+                       "$krippendorffAlpha", "$ksTest",
+                       "$chiSquareTest",
                        "$corpusDivergence", "$distinctN", "$zipfFit",
                        "$bradleyTerry"}
 

@@ -350,3 +350,99 @@ def test_krippendorff_options(spark):
             [{"$krippendorffAlpha": {"item": "$u", "value": "$v",
                                      "metric": "ordinal"}}],
             Context(spark=spark))
+
+
+# --------------------------------------------------- KS / chi-square
+
+
+def _ks_p(d, np_, nq_):
+    import math as m
+
+    ne = np_ * nq_ / (np_ + nq_)
+    lam = (m.sqrt(ne) + 0.12 + 0.11 / m.sqrt(ne)) * d
+    if lam < 0.04:
+        return 1.0
+    s = sum((-1) ** (j - 1) * m.exp(-2 * j * j * lam * lam)
+            for j in range(1, 101))
+    return min(max(2 * s, 0.0), 1.0)
+
+
+def test_ks_test_hand(spark):
+    """P=[1,2,3], Q=[2,3,4]: D = 1/3 at every value below 4."""
+    p = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    q = spark.createDataFrame([(2.0,), (3.0,), (4.0,)], "v double")
+    ctx = Context(spark=spark, collections={"ref": q})
+    (o,) = compile_pipeline(
+        [{"$ksTest": {"input": "$v", "against": "ref"}}],
+        ctx)(p).collect()
+    assert o["n_p"] == 3 and o["n_q"] == 3
+    assert abs(o["d_stat"] - 1 / 3) < 1e-12
+    assert abs(o["p_value"] - _ks_p(1 / 3, 3, 3)) < 1e-12
+
+
+def test_ks_test_identical_zero(spark):
+    p = spark.createDataFrame([(float(i % 7),) for i in range(50)],
+                              "v double")
+    ctx = Context(spark=spark, collections={"ref": p})
+    (o,) = compile_pipeline(
+        [{"$ksTest": {"input": "$v", "against": "ref"}}],
+        ctx)(p).collect()
+    assert o["d_stat"] == 0.0 and o["p_value"] == 1.0
+
+
+def test_ks_test_binned(spark):
+    """Binned mode quantizes into equal-width buckets; identical data
+    still reads D=0, and bins is validated."""
+    p = spark.createDataFrame([(float(i),) for i in range(100)],
+                              "v double")
+    ctx = Context(spark=spark, collections={"ref": p})
+    (o,) = compile_pipeline(
+        [{"$ksTest": {"input": "$v", "against": "ref", "bins": 10}}],
+        ctx)(p).collect()
+    assert o["d_stat"] == 0.0
+    with pytest.raises(ValueError, match="bins"):
+        compile_pipeline(
+            [{"$ksTest": {"input": "$v", "against": "ref", "bins": 1}}],
+            ctx)
+
+
+def test_chi_square_hand(spark):
+    """P: a x10 / b x10, Q: a x5 / b x15 -> chi2 = 8/3, df 1,
+    cramers_v = sqrt(chi2/40); p via the same Wilson-Hilferty + A&S
+    erf transcription."""
+    import math as m
+
+    p = spark.createDataFrame([("a",)] * 10 + [("b",)] * 10,
+                              "v string")
+    q = spark.createDataFrame([("a",)] * 5 + [("b",)] * 15, "v string")
+    ctx = Context(spark=spark, collections={"ref": q})
+    (o,) = compile_pipeline(
+        [{"$chiSquareTest": {"input": "$v", "against": "ref"}}],
+        ctx)(p).collect()
+    chi2 = 8 / 3
+    assert o["categories"] == 2 and o["df"] == 1
+    assert abs(o["chi2"] - chi2) < 1e-12
+    assert abs(o["cramers_v"] - m.sqrt(chi2 / 40)) < 1e-12
+
+    def erf(x):
+        sign = -1.0 if x < 0 else 1.0
+        ax = abs(x)
+        t = 1.0 / (1.0 + 0.3275911 * ax)
+        poly = t * (0.254829592 + t * (-0.284496736 + t * (
+            1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+        return sign * (1.0 - poly * m.exp(-ax * ax))
+
+    z = ((chi2 / 1) ** (1 / 3) - (1 - 2 / 9)) / m.sqrt(2 / 9)
+    exp_p = 0.5 * (1 - erf(z / m.sqrt(2)))
+    assert abs(o["p_value"] - exp_p) < 1e-9
+    # sanity: the WH approximation sits near the true chi2(1) sf 0.1025
+    assert 0.08 < o["p_value"] < 0.13
+
+
+def test_chi_square_identical_distributions(spark):
+    p = spark.createDataFrame([("a",)] * 6 + [("b",)] * 4, "v string")
+    ctx = Context(spark=spark, collections={"ref": p})
+    (o,) = compile_pipeline(
+        [{"$chiSquareTest": {"input": "$v", "against": "ref"}}],
+        ctx)(p).collect()
+    assert o["chi2"] == 0.0 and o["p_value"] > 0.9

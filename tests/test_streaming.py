@@ -1121,6 +1121,9 @@ def test_corpus_only_stages_rejected_up_front(spark, tmpdir):
         [{"$cohenKappa": {"a": "$text", "b": "$text"}}],
         [{"$fleissKappa": {"item": "$doc_id", "rating": "$text"}}],
         [{"$krippendorffAlpha": {"item": "$doc_id", "value": "$text"}}],
+        [{"$ksTest": {"input": "$doc_id", "against": "tgt",
+                      "againstField": "text"}}],
+        [{"$chiSquareTest": {"input": "$text", "against": "tgt"}}],
         [{"$corpusDivergence": {"input": "$text", "against": "tgt"}}],
         [{"$distinctN": {"input": "$text"}}],
         [{"$zipfFit": {"input": "$text"}}],
