@@ -2142,6 +2142,57 @@ FROM p2, t ORDER BY player""".replace(
 )
 
 _register(
+    "permutation_test",
+    f"""WITH p AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+                  ((doc_id * 37) % 128) / 128.0 AS a,
+                  ((doc_id * 53 + 11) % 128) / 128.0 AS b
+           FROM documents),
+obs AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(a) AS sa, sum(b) AS sb, sum(a - b) AS t FROM p),
+r AS (SELECT gs.r, p.a - p.b AS d,
+             ('0x' || substr(md5('0:' || p.id || ':' || gs.r), 1, 15))
+                 ::BIGINT / 1152921504606846976.0 AS u
+      FROM p CROSS JOIN generate_series(1, 100) AS gs(r)),
+rep AS (SELECT r, sum(CASE WHEN u < 0.5 THEN -d ELSE d END) AS tr
+        FROM r GROUP BY r),
+ex AS (SELECT CAST(sum(CASE WHEN abs(rep.tr) >= abs(obs.t)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS extreme
+       FROM rep, obs)
+SELECT obs.n,
+       {_r('obs.sa / obs.n', 6)} AS mean_a,
+       {_r('obs.sb / obs.n', 6)} AS mean_b,
+       {_r('obs.t / obs.n', 6)} AS delta,
+       ex.extreme,
+       CAST(100 AS BIGINT) AS b_samples,
+       {_r('(ex.extreme + 1.0) / 101.0', 6)} AS p_value
+FROM obs, ex""",
+)(
+    _pipe(
+        "documents",
+        [
+            # exact dyadic (k/128) scores: permutation sums are exactly
+            # representable, so the |T_r| >= |T| comparisons are
+            # partitioning-invariant (the $pairedBootstrap gate
+            # convention)
+            {"$set": {"sa": {"$divide": [
+                {"$mod": [{"$multiply": ["$doc_id", 37]}, 128]}, 128]},
+                "sb": {"$divide": [
+                    {"$mod": [{"$add": [
+                        {"$multiply": ["$doc_id", 53]}, 11]}, 128]},
+                    128]}}},
+            {"$permutationTest": {"id": "$doc_id", "a": "$sa",
+                                  "b": "$sb", "samples": 100}},
+            {"$project": {"n": 1,
+                          "mean_a": {"$round": ["$mean_a", 6]},
+                          "mean_b": {"$round": ["$mean_b", 6]},
+                          "delta": {"$round": ["$delta", 6]},
+                          "extreme": 1, "b_samples": 1,
+                          "p_value": {"$round": ["$p_value", 6]}}},
+        ],
+    )
+)
+
+_register(
     "ks_test",
     r"""WITH p AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
 q AS (SELECT value AS v FROM events

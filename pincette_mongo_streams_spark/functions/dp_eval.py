@@ -3853,3 +3853,84 @@ def sari_stage(expression: Any, ctx: Context) -> StageFn:
                             if c_.startswith("__sa_")])
 
     return fn
+
+
+@register_stage("$permutationTest")
+def permutation_test_stage(expression: Any, ctx: Context) -> StageFn:
+    """Paired sign-flip permutation test (Fisher randomization; the
+    exact-test alternative to $pairedBootstrap): ``{id, a, b,
+    samples?, seed?}`` -> ONE row ``(n, mean_a, mean_b, delta,
+    extreme, b_samples, p_value)``.
+
+    Under H0 (no systematic difference) each paired delta d_i =
+    a_i - b_i is symmetric, so its sign is exchangeable: replicate r
+    flips each d_i by a deterministic coin from ``md5(seed:id:r)``
+    (the $pairedBootstrap derivation with u < 0.5 as the flip) and
+    recomputes the summed delta.  Two-sided p-value with the
+    add-one correction p = (1 + #{r : |T_r| >= |T_obs|}) / (B + 1)
+    (Phipson & Smyth 2010 — a permutation p of exactly 0 is
+    impossible by construction).  Replicates compare SUMS, not means
+    (same n every replicate), so no division enters the comparison.
+
+    DETERMINISM + CORPUS-ONLY: exactly the $pairedBootstrap contract
+    — pure function of the data, bit-reproducible, DuckDB-oracle-able,
+    gated in streaming.  Rows with a null id/a/b are EXCLUDED."""
+    id_e = expression["id"]
+    a_e = expression["a"]
+    b_e = expression["b"]
+    samples = int(expression.get("samples", 200))
+    seed = int(expression.get("seed", 0))
+    if not 1 <= samples <= 10000:
+        raise ValueError("$permutationTest samples must be in 1..10000")
+
+    def fn(df: DataFrame, c: Context) -> DataFrame:
+        from ..operators.extended import _corpus_only
+
+        _corpus_only("$permutationTest", c)
+        sctx = ExprContext(schema=df.schema)
+        idc = compile_expr(id_e, sctx).cast("string")
+        a = compile_expr(a_e, sctx).cast("double")
+        b = compile_expr(b_e, sctx).cast("double")
+        base = df.select(
+            idc.alias("__id"), a.alias("__a"), b.alias("__b")).filter(
+            F.col("__id").isNotNull() & F.col("__a").isNotNull()
+            & F.col("__b").isNotNull())
+        obs = base.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__a").alias("__sa"),
+            F.sum("__b").alias("__sb"),
+            F.sum(F.col("__a") - F.col("__b")).alias("__t"))
+        reps = base.select(
+            "__id", (F.col("__a") - F.col("__b")).alias("__d"),
+            F.explode(F.sequence(F.lit(1), F.lit(samples)))
+            .alias("__r"))
+        u = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col("__id"),
+                               F.lit(":"), F.col("__r").cast("string"))),
+                1, 15),
+            16, 10).cast("double") / F.lit(float(16 ** 15))
+        sign = F.when(u < 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+        per_rep = reps.select(
+            "__r", (sign * F.col("__d")).alias("__sd")).groupBy(
+            "__r").agg(F.sum("__sd").alias("__tr"))
+        ext = per_rep.join(F.broadcast(obs), F.lit(True), "left").agg(
+            F.sum((F.abs(F.col("__tr")) >= F.abs(F.col("__t")))
+                  .cast("long")).alias("extreme"))
+        out = obs.join(F.broadcast(ext), F.lit(True), "left")
+        n_d = F.col("n").cast("double")
+        return out.select(
+            F.col("n"),
+            F.when(F.col("n") > 0, F.col("__sa") / n_d)
+            .alias("mean_a"),
+            F.when(F.col("n") > 0, F.col("__sb") / n_d)
+            .alias("mean_b"),
+            F.when(F.col("n") > 0, F.col("__t") / n_d).alias("delta"),
+            F.when(F.col("n") > 0, F.col("extreme")).alias("extreme"),
+            F.lit(samples).cast("long").alias("b_samples"),
+            F.when(F.col("n") > 0,
+                   (F.col("extreme") + 1.0) / (samples + 1.0))
+            .alias("p_value"),
+        )
+
+    return fn

@@ -61,6 +61,7 @@ _CORPUS_ONLY_STAGES = {"$spanDedup", "$semanticDedup", "$bpeTrain",
                        "$werCorpus", "$classificationEval",
                        "$regressionEval", "$pairedBootstrap",
                        "$bootstrapCI", "$terCorpus", "$ngramLmTrain",
+                       "$permutationTest",
                        "$cohenKappa", "$fleissKappa",
                        "$krippendorffAlpha", "$ksTest",
                        "$chiSquareTest",

@@ -1175,3 +1175,67 @@ def test_rouge_lsum_max_words_cap(spark):
         rows, ["i", "c", "r"])
     s = r["s"]
     assert s["hits"] == 3 and s["recall"] == 1.0 and s["precision"] == 1.0
+
+
+# ----------------------------------------------------- $permutationTest
+
+
+def _perm_expected(rows, samples=50, seed=0):
+    """Transcription of the stage's derivation: md5(seed:id:r) ->
+    uniform -> sign flip, sums compared."""
+    import hashlib
+
+    t_obs = sum(a - b for _i, a, b in rows)
+    ext = 0
+    for r in range(1, samples + 1):
+        t = 0.0
+        for i, a, b in rows:
+            u = int(hashlib.md5(
+                f"{seed}:{i}:{r}".encode()).hexdigest()[:15], 16) \
+                / float(16 ** 15)
+            s = -1.0 if u < 0.5 else 1.0
+            t += s * (a - b)
+        if abs(t) >= abs(t_obs):
+            ext += 1
+    return t_obs, ext
+
+
+def test_permutation_test_deterministic(spark):
+    rows = [(str(i), (i * 37 % 8) / 8.0, (i * 53 + 3) % 8 / 8.0)
+            for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "i string, a double, b double")
+    (o,) = compile_pipeline(
+        [{"$permutationTest": {"id": "$i", "a": "$a", "b": "$b",
+                               "samples": 50}}],
+        Context(spark=spark))(df).collect()
+    t_obs, ext = _perm_expected(rows)
+    assert o["n"] == 20 and o["b_samples"] == 50
+    assert abs(o["delta"] - t_obs / 20) < 1e-12
+    assert o["extreme"] == ext
+    assert abs(o["p_value"] - (ext + 1) / 51) < 1e-12
+
+
+def test_permutation_test_identical_systems(spark):
+    """a == b: every replicate sum is 0 >= 0 -> p = 1."""
+    rows = [(str(i), 0.5, 0.5) for i in range(10)]
+    df = spark.createDataFrame(rows, "i string, a double, b double")
+    (o,) = compile_pipeline(
+        [{"$permutationTest": {"id": "$i", "a": "$a", "b": "$b",
+                               "samples": 40}}],
+        Context(spark=spark))(df).collect()
+    assert o["extreme"] == 40 and o["p_value"] == 1.0
+
+
+def test_permutation_test_nulls_and_options(spark):
+    df = spark.createDataFrame(
+        [("1", 1.0, 0.0), (None, 1.0, 0.0), ("3", None, 0.0)],
+        "i string, a double, b double")
+    (o,) = compile_pipeline(
+        [{"$permutationTest": {"id": "$i", "a": "$a", "b": "$b",
+                               "samples": 10}}],
+        Context(spark=spark))(df).collect()
+    assert o["n"] == 1
+    with pytest.raises(ValueError, match="samples"):
+        compile_pipeline(
+            [{"$permutationTest": {"id": "$i", "a": "$a", "b": "$b",
+                                   "samples": 0}}], Context(spark=spark))

@@ -1111,6 +1111,8 @@ def test_corpus_only_stages_rejected_up_front(spark, tmpdir):
         [{"$pairedBootstrap": {"id": "$doc_id", "a": "$doc_id",
                                "b": "$doc_id"}}],
         [{"$bootstrapCI": {"id": "$doc_id", "input": "$doc_id"}}],
+        [{"$permutationTest": {"id": "$doc_id", "a": "$doc_id",
+                               "b": "$doc_id"}}],
         # r12: LM counts are a whole-corpus aggregate (one-micro-batch
         # "model" = the same silent-wrong-answer class)
         [{"$ngramLmTrain": {"input": "$text", "n": 2}}],
