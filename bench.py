@@ -102,6 +102,28 @@ def _derived_shuffle_partitions() -> int:
     return max(4, min(int(CPUS), _total_input_bytes() // (32 << 20)))
 
 
+def _steal_snap():
+    try:
+        with open("/proc/stat") as f:
+            vals = list(map(int, f.readline().split()[1:9]))
+        return vals[7], sum(vals)
+    except Exception:
+        return None
+
+
+_STEAL0 = _steal_snap()
+
+
+def _steal_pct() -> float | None:
+    """CPU-steal fraction (%) across the whole bench run — neighbor VMs
+    on a shared host do not appear in loadavg but do appear here (r13:
+    pairs at loadavg ~2 have read 60% inflated on BOTH engines)."""
+    b = _steal_snap()
+    if _STEAL0 is None or b is None or b[1] == _STEAL0[1]:
+        return None
+    return round(100.0 * (b[0] - _STEAL0[0]) / (b[1] - _STEAL0[1]), 1)
+
+
 def main() -> None:
     import duckdb
     from pyspark.sql import SparkSession
@@ -193,6 +215,11 @@ def main() -> None:
         # were load noise — record the 1/5/15-min load averages so a
         # noisy run is identifiable from the JSON alone
         "loadavg": [round(x, 2) for x in os.getloadavg()],
+        # r13: loadavg misses NEIGHBOR-VM contention on this shared host
+        # (pairs with loadavg ~2 have read 60% inflated on BOTH engines);
+        # the kernel's steal counter sees it — % of cpu time stolen
+        # across this bench run
+        "steal_pct": _steal_pct(),
     }
     print(json.dumps(out))
     spark.stop()

@@ -26,6 +26,13 @@ from .dp_dedup import (_annotate_components,
                        _spread, _unit_vector)
 
 
+import re as _re_mod
+
+# simple-identifier gate for generated-SQL fast paths (dotted / quoted
+# ids keep the Column path)
+_SIMPLE_ID = _re_mod.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
 def vec_dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
                        lambda acc, v: acc + v)
@@ -221,6 +228,42 @@ def ann_topk_stage(expression: Any, ctx: Context) -> StageFn:
         # fan a narrow corpus out before the broadcast cross (r12: the
         # single-row-group sf0.1 corpus ran ~20k dim-d dots in ONE task)
         df = _spread(df)
+        # r13 build-latency fast path: plain "$field" input + simple id
+        # -> the whole stage as ONE templated spark.sql text (the bm25 /
+        # minhash lever): the classic-API form below pays ~6 eager
+        # analyzer passes + the window Column chain per plan build
+        # (~100 ms of driver latency measured at r13); the SQL compiles
+        # to the SAME plan — broadcast queries side, per-query
+        # row_number window — pinned by tests/test_plan_invariants.py.
+        ref = dp_dedup.sql_field_ref(inp)
+        if ref is not None and _SIMPLE_ID.fullmatch(id_field):
+            normf = "sqrt(aggregate({0}, 0.0D, (acc, x) -> acc + x * x))"
+            qc = "cast(embedding as array<double>)"
+            sql = f"""
+WITH __an_c0 AS (
+  SELECT `{id_field}` AS corpus_id, cast({ref} as array<double>) AS __ce
+  FROM {{corpus}}
+),
+__an_c AS (
+  SELECT corpus_id, __ce, {normf.format('__ce')} AS __cn FROM __an_c0
+),
+__an_q AS (
+  SELECT query_id, {qc} AS __qe, {normf.format(qc)} AS __qn
+  FROM {{queries}}
+),
+__an_s AS (
+  SELECT /*+ BROADCAST(__an_q) */ query_id, corpus_id,
+         try_divide(aggregate(zip_with(__ce, __qe, (x, y) -> x * y), 0.0D,
+                    (acc, v) -> acc + v), __cn * __qn) AS score
+  FROM __an_c CROSS JOIN __an_q
+)
+SELECT * FROM (
+  SELECT query_id, corpus_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, corpus_id) AS rank
+  FROM __an_s
+) WHERE rank <= {k}"""
+            return df.sparkSession.sql(sql, corpus=df, queries=q)
         emb = compile_expr(inp, ExprContext(schema=df.schema))
         # norms + dot as generated SQL (one py4j call each) — the Python
         # HOF-lambda form costs a py4j round-trip per lambda, which is
