@@ -431,18 +431,29 @@ def bucket_stage(expression: Any, ctx: Context) -> StageFn:
     rewritten.update(expression.get("output", {"count": {"$sum": 1}}))
 
     # r13 build-latency fast path (the $group lever, extended to the
-    # desugared $switch key): plain "$field" groupBy + numeric
-    # boundaries/default + simple accumulators -> the whole bucket as
-    # ONE generated-SQL statement (CASE WHEN chain == the $switch tree
+    # desugared $switch key): plain "$field" groupBy + numeric-or-string
+    # boundaries + simple accumulators -> the whole bucket as ONE
+    # generated-SQL statement (CASE WHEN chain == the $switch tree
     # compile_expr builds; float literals carry the D suffix so types
-    # match F.lit exactly).  ~75 ms of Column-building/analyzer driver
-    # latency per plan build measured at r13 -> one spark.sql call.
+    # match F.lit exactly; stringified _id values render as quoted
+    # literals).  ~75 ms of Column-building/analyzer driver latency per
+    # plan build measured at r13 -> one spark.sql call.
+    def _lit_sql(x) -> Optional[str]:
+        if isinstance(x, str):
+            return "'" + x.replace("'", "''") + "'"
+        if isinstance(x, (int, float)) and not isinstance(x, bool):
+            return _num_sql(x)
+        return None
+
+    then_vals = [b["then"] for b in branches]
+    else_val = switch.get("default")
+    lits_ok = (
+        all(_lit_sql(b) is not None for b in boundaries)
+        and all(_lit_sql(v) is not None for v in then_vals)
+        and ("default" not in switch or _lit_sql(else_val) is not None)
+    )
     if (isinstance(group_by, str) and group_by.startswith("$")
-            and not group_by.startswith("$$") and not stringify
-            and numeric_bounds
-            and ("default" not in expression
-                 or (isinstance(default, (int, float))
-                     and not isinstance(default, bool)))):
+            and not group_by.startswith("$$") and lits_ok):
         gb_field = group_by[1:]
 
         def fast(df: DataFrame, c: Context) -> Optional[DataFrame]:
@@ -454,16 +465,17 @@ def bucket_stage(expression: Any, ctx: Context) -> StageFn:
                 return None
             g = f"`{gb_field}`"
             whens = " ".join(
-                f"WHEN ({g} >= {_num_sql(lo)} AND {g} < {_num_sql(hi)}) "
-                f"THEN {_num_sql(lo)}"
-                for lo, hi in zip(boundaries, boundaries[1:]))
-            if "default" in expression:
-                key_sql = f"CASE {whens} ELSE {_num_sql(default)} END"
+                f"WHEN ({g} >= {_lit_sql(lo)} AND {g} < {_lit_sql(hi)}) "
+                f"THEN {_lit_sql(tv)}"
+                for (lo, hi), tv in zip(
+                    zip(boundaries, boundaries[1:]), then_vals))
+            if "default" in switch:
+                key_sql = f"CASE {whens} ELSE {_lit_sql(else_val)} END"
                 where = ""
             else:
                 key_sql = f"CASE {whens} END"
-                where = (f" WHERE {g} >= {_num_sql(boundaries[0])}"
-                         f" AND {g} < {_num_sql(boundaries[-1])}")
+                where = (f" WHERE {g} >= {_lit_sql(boundaries[0])}"
+                         f" AND {g} < {_lit_sql(boundaries[-1])}")
             sel = ", ".join([f"{key_sql} AS _id"] + terms)
             return df.sparkSession.sql(
                 f"SELECT {sel} FROM {{df}}{where} GROUP BY {key_sql}", df=df)
