@@ -113,6 +113,52 @@ def test_simhash_bits_guard(spark):
     assert out[0]["simhash"] is not None
 
 
+def test_simhash_packed_fold_reference(spark):
+    """The r13 packed vote fold (7-bit groups, 9-bit counter fields,
+    511-element chunking) must stay bit-identical to the per-bit naive
+    fold for every input shape: short docs (direct branch), >511
+    distinct shingles (chunked branch), empty text, and the 60-bit
+    maximum (9 groups, width-4 tail group)."""
+    def _engine_simhash(text, n, bits):
+        # mirror of the engine's shingle semantics: Spark's
+        # split('', '\\s+') keeps the one empty word, the test-file
+        # reference above filters it — same fold either way
+        import re as _re
+
+        words = _re.split(r"\s+", text.lower())
+        shingles = list(dict.fromkeys(
+            " ".join(words[i:i + n])
+            for i in range(max(0, len(words) - n + 1))))
+        hs = [int(hashlib.md5(f"0:{s}".encode()).hexdigest()[:15], 16)
+              for s in shingles]
+        v = 0
+        for j in range(bits):
+            if 2 * sum((h >> j) & 1 for h in hs) > len(hs):
+                v |= 1 << j
+        return v
+
+    long_doc = " ".join(f"w{i}" for i in range(1300))   # 1300 > 2*511
+    edge_doc = " ".join(f"w{i}" for i in range(511))    # exactly the cap
+    over_doc = " ".join(f"w{i}" for i in range(512))    # first chunked size
+    docs = spark.createDataFrame(
+        [(1, "a few short words"), (2, long_doc), (3, edge_doc),
+         (4, over_doc), (5, ""), (6, "same same same word word")],
+        "doc_id long, text string",
+    )
+    for bits in (16, 60):
+        out = compile_pipeline(
+            [{"$simhash": {"input": "$text", "as": "sh", "shingle": 1,
+                           "bits": bits}},
+             {"$project": {"doc_id": 1, "sh": 1}}],
+            Context(spark=spark),
+        )(docs).collect()
+        got = {r["doc_id"]: r["sh"] for r in out}
+        texts = {1: "a few short words", 2: long_doc, 3: edge_doc,
+                 4: over_doc, 5: "", 6: "same same same word word"}
+        for i, t in texts.items():
+            assert got[i] == _engine_simhash(t, 1, bits), (i, bits)
+
+
 def test_pigeonhole_band_property():
     """Pure property of the band split (no Spark): ANY two bits-wide
     values within Hamming distance maxHamming agree exactly on at least
