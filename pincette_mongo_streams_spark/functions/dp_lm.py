@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..context import Context
 from ..expressions import ExprContext, compile_expr
 from ..pipeline import StageFn, register_stage
+from .dp_dedup import _spread
 from .dp_eval import _rouge_tokens
 
 _LM_TOKENIZERS = ("whitespace", "rougeScore")
@@ -35,6 +36,53 @@ def _lm_tokens(tok: str, t: Column, max_words: int) -> Column:
         return _rouge_tokens(t, max_words)
     w = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != F.lit(""))
     return F.slice(w, 1, max_words)
+
+
+# logical-plan nodes that mean "this model is COMPUTED, not stored" —
+# re-reading it per reference would re-run the whole computation
+_COMPUTED_NODES = ("Aggregate", "Join", "Generate", "Union", "Window",
+                   "Deduplicate", "RepartitionByExpression")
+
+
+def _pin_model(model: DataFrame) -> DataFrame:
+    """Materialize a COMPUTED model exactly once before $ngramLmScore
+    fans references out over it.
+
+    The score plan references the model table 2 times (stupidBackoff /
+    jelinekMercer: the (N, V) stats aggregate + the join side) up to 7
+    times (kneserNey: stats + base counts + 5 derived continuation /
+    denominator groupings).  When the model is the live output of
+    $ngramLmTrain — the documented CCNet composition — Catalyst pushes
+    each branch's ``order = k`` predicate below the training aggregate,
+    the specialized subtrees stop being canonically equal, exchange
+    reuse never fires, and every reference re-tokenizes and re-counts
+    the ENTIRE corpus (measured: 9 corpus scans in ngram_lm_kn's
+    executed plan; 10.7 s at sf0.1).  Pinning the model collapses that
+    to ONE corpus pass plus model-sized re-reads — the model (distinct
+    surviving n-grams) is orders of magnitude smaller than the corpus,
+    so the materialization is bounded and pays at any scale.
+
+    Convention mirrors graphcc._pin / lookup.py (ADVICE r13): durable
+    ``checkpoint`` when the session has a checkpoint directory
+    (survives executor loss on real clusters), ``localCheckpoint``
+    otherwise (single-JVM local mode has no executor to lose).  A model
+    read straight from storage (bare relation / projection — no
+    aggregate, join or generate in its analyzed plan) is NOT pinned:
+    re-scanning a stored table per reference is cheaper than copying
+    it.  Streaming frames are never pinned (checkpoint would raise);
+    the model side of a score is a static collection by contract."""
+    if model.isStreaming:
+        return model
+    try:
+        plan = model._jdf.queryExecution().analyzed().toString()
+    except Exception:  # pragma: no cover - py4j edge
+        return model
+    if not any(k in plan for k in _COMPUTED_NODES):
+        return model
+    sc = model.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return model.checkpoint(eager=False)
+    return model.localCheckpoint(eager=False)
 
 
 def _position_grams(toks: Column, n: int) -> Column:
@@ -111,7 +159,12 @@ def ngram_lm_train_stage(expression: Any, ctx: Context) -> StageFn:
         _corpus_only("$ngramLmTrain", c)
         text = compile_expr(inp, ExprContext(schema=df.schema))
         toks = _lm_tokens(tok, text, max_words)
-        pairs = df.select(
+        # gram generation is the per-row-heavy work (interpreted HOF
+        # slice+join per position x order): a small corpus file arrives
+        # as ONE scan partition (one row group = one task), serializing
+        # it — measured 11.8 s single-task vs ~0.6 s spread at sf0.1.
+        # _spread's row-group gate keeps real-scale inputs unshuffled.
+        pairs = _spread(df).select(
             F.explode(_position_grams(toks, n)).alias("__pg"))
         counted = (
             pairs.select(F.col("__pg.gram").alias("gram"),
@@ -250,7 +303,7 @@ def ngram_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
         raise ValueError("$ngramLmScore maxWords must be >= 1")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
-        model = c.collection(model_name)
+        model = _pin_model(c.collection(model_name))
         _suffix = F.regexp_extract("gram", r"^[^ ]+ (.*)$", 1)
         _prefix = F.regexp_extract("gram", r"^(.*) [^ ]+$", 1)
         _middle = F.regexp_extract("gram", r"^[^ ]+ (.*) [^ ]+$", 1)
@@ -275,7 +328,11 @@ def ngram_lm_score_stage(expression: Any, ctx: Context) -> StageFn:
         stats = model.agg(*stats_cols)
         text = compile_expr(inp, ExprContext(schema=df.schema))
         df_id = df.withColumn("__rid", F.monotonically_increasing_id())
-        toks_df = df_id.select(
+        # same single-scan-task hazard as training: the per-position key
+        # generation below is the heavy HOF work — fan it out (ids are
+        # assigned BEFORE the spread, so __rid values and the final
+        # re-attach join are unaffected)
+        toks_df = _spread(df_id).select(
             "__rid", _lm_tokens(tok, text, max_words).alias("__toks"))
 
         # per position i: the k-gram ending at i for k=1..min(n,i) plus

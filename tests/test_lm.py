@@ -363,3 +363,90 @@ def test_model_missing_order0_fails_loudly(spark):
     broken = _model(spark).filter("order > 0")
     with pytest.raises(Exception, match="no order-0 total row"):
         _score(spark, broken, CORPUS[:1])
+
+
+def test_score_pins_computed_model_once(spark, tmp_path):
+    """r13 optimization: a model that is the LIVE output of
+    $ngramLmTrain is materialized exactly once before the score plan
+    fans references out over it (kneserNey references it 7x; Catalyst's
+    per-branch `order = k` pushdown defeats exchange reuse, so the
+    un-pinned plan re-tokenized and re-counted the whole corpus per
+    reference — 9 corpus scans measured).  Pinned: the score plan reads
+    the model as ExistingRDD (localCheckpoint; durable checkpoint when
+    a checkpointDir is set) and the corpus parquet appears only on the
+    score side (tokenize + the final re-attach join)."""
+    p = str(tmp_path / "corpus")
+    spark.createDataFrame(CORPUS, ["doc_id", "text"]).write.parquet(p)
+    docs = spark.read.parquet(p)
+    m = compile_pipeline(
+        [{"$ngramLmTrain": {"input": "$text", "n": 2}}],
+        Context(spark=spark))(docs)
+    out = compile_pipeline(
+        [{"$ngramLmScore": {"input": "$text", "model": "lm", "n": 2,
+                            "smoothing": "kneserNey", "as": "s"}}],
+        Context(spark=spark, collections={"lm": m}))(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_stored_model_not_pinned_and_score_equivalent(spark, tmp_path):
+    """The pin gate skips a model read straight from storage (bare
+    relation — copying a stored table would only add cost), and the
+    pinned/unpinned paths score identically."""
+    m = _model(spark)
+    p = str(tmp_path / "lm_model")
+    m.write.parquet(p)
+    stored = spark.read.parquet(p)
+
+    dp = str(tmp_path / "docs")
+    spark.createDataFrame(CORPUS, ["doc_id", "text"]).write.parquet(dp)
+    docs = spark.read.parquet(dp)
+    out = compile_pipeline(
+        [{"$ngramLmScore": {"input": "$text", "model": "lm", "n": 2,
+                            "as": "s"}}],
+        Context(spark=spark, collections={"lm": stored}))(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" not in plan
+
+    live = _score(spark, m, CORPUS)
+    disk = _score(spark, stored, CORPUS)
+    assert set(live) == set(disk)
+    for k, lv in live.items():
+        dv = disk[k]
+        if lv is None:
+            assert dv is None
+            continue
+        assert lv["n_tokens"] == dv["n_tokens"]
+        assert lv["oov"] == dv["oov"]
+        assert (lv["logprob"] is None and dv["logprob"] is None) or \
+            abs(lv["logprob"] - dv["logprob"]) < 1e-12
+
+
+def test_lm_heavy_stages_fan_out_single_partition_corpus(spark, tmp_path):
+    """r13 optimization: gram generation (interpreted HOF slice+join
+    per position x order) is the per-row-heavy work of both stages; a
+    one-row-group parquet corpus arrives as ONE scan task and ran it
+    serial (11.8 s single-task vs ~0.6 s spread at sf0.1).  Both the
+    train explode and the score key explode go through _spread's
+    row-group-aware gate: single-partition input -> round-robin
+    fan-out; results (already pinned by the hash gates) sort-canonical
+    so the repartition cannot change them."""
+    p = str(tmp_path / "corpus")
+    spark.createDataFrame(CORPUS, ["doc_id", "text"]) \
+        .coalesce(1).write.parquet(p)
+    docs = spark.read.parquet(p)
+    model = compile_pipeline(
+        [{"$ngramLmTrain": {"input": "$text", "n": 2}}],
+        Context(spark=spark))(docs)
+    tplan = model._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in tplan
+    scored = compile_pipeline(
+        [{"$ngramLmScore": {"input": "$text", "model": "lm", "n": 2,
+                            "as": "s"}}],
+        Context(spark=spark, collections={"lm": model}))(docs)
+    splan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in splan
+    # counts unchanged by the fan-out
+    rows = {(r["gram"], r["order"]): r["count"] for r in model.collect()}
+    assert rows[("", 0)] == 9 and rows[("a b", 2)] == 3
