@@ -20,8 +20,8 @@ from ..context import Context
 from ..expressions import ExprContext, compile_expr
 from ..pipeline import StageFn, register_stage
 
-from .dp_dedup import (_WS, _pair_dot, _seeded_hasher, _unit_vector,
-                       md5_long, word_shingles)
+from .dp_dedup import (_WS, _pair_dot, _pin_computed, _seeded_hasher,
+                       _spread, _unit_vector, md5_long, word_shingles)
 from .dp_quality import _half_up6
 from .dp_retrieval import SCRUB_RULES
 from .dp_vector import _round9_col
@@ -114,24 +114,37 @@ def dsir_score_stage(expression: Any, ctx: Context) -> StageFn:
 
         src_expr = compile_expr(inp, ExprContext(schema=df.schema))
         tgt_expr = compile_expr(target_input, ExprContext(schema=tgt.schema))
-        src_feats = df.select(
+        # _spread (r13): the md5-per-ngram feature explode is the
+        # per-row-heavy work of this stage; a small parquet corpus
+        # arrives as one scan task and runs it serial (measured 11 s at
+        # sf0.1 vs ~1 s spread).  The row-group gate keeps real-scale
+        # inputs unshuffled.
+        src_feats = _spread(df).select(
             F.col(id_field).alias("__did"),
             F.explode(feats(src_expr)).alias("__b"))
-        tgt_feats = tgt.select(F.explode(feats(tgt_expr)).alias("__b"))
+        tgt_feats = _spread(tgt).select(
+            F.explode(feats(tgt_expr)).alias("__b"))
         if source_from is not None:
             # pre-trained source model from a static collection — the
             # input corpus only provides the documents being scored
             src_coll = c.collection(source_from)
             src_model_expr = compile_expr(
                 source_input, ExprContext(schema=src_coll.schema))
-            model_feats = src_coll.select(
+            model_feats = _spread(src_coll).select(
                 F.explode(feats(src_model_expr)).alias("__b"))
         else:
             model_feats = src_feats
-        src_counts = model_feats.groupBy("__b").agg(
-            F.count(F.lit(1)).alias("__cs"))
-        tgt_counts = tgt_feats.groupBy("__b").agg(
-            F.count(F.lit(1)).alias("__ct"))
+        # _pin_computed (r13): each count table is referenced twice
+        # (ratio join + its total) and Catalyst re-inlines both — the
+        # un-pinned plan ran the corpus feature explode 5 times (3 full
+        # + 2 target-slice, executed-plan audit).  The tables are
+        # bounded at ``buckets`` rows, so the one-time materialization
+        # pays at any scale; the scoring side's own explode is the only
+        # full-corpus pass left besides the model fits.
+        src_counts = _pin_computed(model_feats.groupBy("__b").agg(
+            F.count(F.lit(1)).alias("__cs")))
+        tgt_counts = _pin_computed(tgt_feats.groupBy("__b").agg(
+            F.count(F.lit(1)).alias("__ct")))
         # totals derive from the already-aggregated bucket tables — a
         # count over tgt_feats would re-run the whole feature explode
         src_tot = src_counts.agg(F.sum("__cs").alias("__ts"))

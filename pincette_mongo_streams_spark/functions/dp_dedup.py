@@ -111,6 +111,49 @@ def _row_group_bound(df: DataFrame) -> Optional[int]:
         return None
 
 
+# logical-plan nodes that mean "this frame is COMPUTED, not stored" —
+# re-reading it per reference would re-run the whole computation
+_COMPUTED_NODES = ("Aggregate", "Join", "Generate", "Union", "Window",
+                   "Deduplicate", "RepartitionByExpression")
+
+
+def _pin_computed(df: DataFrame) -> DataFrame:
+    """Materialize a small COMPUTED frame exactly once before a plan
+    fans multiple references out over it.
+
+    Catalyst re-inlines every reference to a DataFrame; when per-branch
+    pushdown (column pruning, specialized predicates) makes the inlined
+    subtrees stop being canonically equal, AQE exchange reuse never
+    fires and each reference re-runs the whole upstream computation —
+    for corpus-model shapes that means one full corpus scan + fold PER
+    REFERENCE (measured: 9 corpus scans in ngram_lm_kn, 5 feature
+    explodes in dsir_score).  Pinning collapses that to ONE upstream
+    pass plus pinned-size re-reads; only use it on frames whose size is
+    bounded (a trained model, a buckets-capped count table) so the
+    materialization pays at any scale.
+
+    Convention mirrors graphcc._pin / lookup.py (ADVICE r13): durable
+    ``checkpoint`` when the session has a checkpoint directory
+    (survives executor loss on real clusters), ``localCheckpoint``
+    otherwise (single-JVM local mode has no executor to lose).  A frame
+    read straight from storage (bare relation / projection — no
+    aggregate, join or generate in its analyzed plan) is NOT pinned:
+    re-scanning a stored table per reference is cheaper than copying
+    it.  Streaming frames are never pinned (checkpoint would raise)."""
+    if df.isStreaming:
+        return df
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # pragma: no cover - py4j edge
+        return df
+    if not any(k in plan for k in _COMPUTED_NODES):
+        return df
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
 def _spread(df: DataFrame, light: bool = False) -> DataFrame:
     """Fan a compute-bound stage out across cores.  Small files arrive as
     a single scan partition (one 500 KB parquet = one task), serializing

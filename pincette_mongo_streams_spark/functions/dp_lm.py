@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..context import Context
 from ..expressions import ExprContext, compile_expr
 from ..pipeline import StageFn, register_stage
-from .dp_dedup import _spread
+from .dp_dedup import _pin_computed, _spread
 from .dp_eval import _rouge_tokens
 
 _LM_TOKENIZERS = ("whitespace", "rougeScore")
@@ -38,15 +38,10 @@ def _lm_tokens(tok: str, t: Column, max_words: int) -> Column:
     return F.slice(w, 1, max_words)
 
 
-# logical-plan nodes that mean "this model is COMPUTED, not stored" —
-# re-reading it per reference would re-run the whole computation
-_COMPUTED_NODES = ("Aggregate", "Join", "Generate", "Union", "Window",
-                   "Deduplicate", "RepartitionByExpression")
-
-
 def _pin_model(model: DataFrame) -> DataFrame:
     """Materialize a COMPUTED model exactly once before $ngramLmScore
-    fans references out over it.
+    fans references out over it (dp_dedup._pin_computed, shared with
+    $dsirScore).
 
     The score plan references the model table 2 times (stupidBackoff /
     jelinekMercer: the (N, V) stats aggregate + the join side) up to 7
@@ -60,29 +55,10 @@ def _pin_model(model: DataFrame) -> DataFrame:
     executed plan; 10.7 s at sf0.1).  Pinning the model collapses that
     to ONE corpus pass plus model-sized re-reads — the model (distinct
     surviving n-grams) is orders of magnitude smaller than the corpus,
-    so the materialization is bounded and pays at any scale.
-
-    Convention mirrors graphcc._pin / lookup.py (ADVICE r13): durable
-    ``checkpoint`` when the session has a checkpoint directory
-    (survives executor loss on real clusters), ``localCheckpoint``
-    otherwise (single-JVM local mode has no executor to lose).  A model
-    read straight from storage (bare relation / projection — no
-    aggregate, join or generate in its analyzed plan) is NOT pinned:
-    re-scanning a stored table per reference is cheaper than copying
-    it.  Streaming frames are never pinned (checkpoint would raise);
-    the model side of a score is a static collection by contract."""
-    if model.isStreaming:
-        return model
-    try:
-        plan = model._jdf.queryExecution().analyzed().toString()
-    except Exception:  # pragma: no cover - py4j edge
-        return model
-    if not any(k in plan for k in _COMPUTED_NODES):
-        return model
-    sc = model.sparkSession.sparkContext
-    if sc._jsc.sc().getCheckpointDir().isDefined():
-        return model.checkpoint(eager=False)
-    return model.localCheckpoint(eager=False)
+    so the materialization is bounded and pays at any scale.  A model
+    read straight from storage is NOT pinned; streaming frames are
+    never pinned (the model side of a score is static by contract)."""
+    return _pin_computed(model)
 
 
 def _position_grams(toks: Column, n: int) -> Column:

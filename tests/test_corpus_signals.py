@@ -472,6 +472,39 @@ def test_dsir_score_empty_and_null_text(spark):
     assert scores[2] == 0.0 and scores[3] == 0.0  # no features -> 0
 
 
+def test_dsir_score_pins_counts_and_spreads_explode(spark, tmp_path):
+    """r13 optimization: the two bucket-count tables are pinned
+    (dp_dedup._pin_computed) because each is referenced twice (ratio
+    join + its total) and Catalyst re-inlines both — the un-pinned
+    plan ran the md5 feature explode 5 times (3 full-corpus + 2
+    target-slice, executed-plan audit; 11 s at sf0.1, ~2-3 s after).
+    Pinned: counts read as ExistingRDD, the corpus parquet appears
+    only twice (scoring-side explode + final re-attach join), and a
+    one-row-group corpus fans out through _spread's row-group gate
+    before the heavy explode."""
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [Row(doc_id=1, text="cat purrs on the mat"),
+         Row(doc_id=2, text="cat naps on the sofa"),
+         Row(doc_id=3, text="dog barks at the van"),
+         Row(doc_id=4, text="dog digs in the yard")],
+        "doc_id long, text string").coalesce(1).write.parquet(p)
+    docs = spark.read.parquet(p)
+    tgt = docs.filter("doc_id <= 2")
+    out = compile_pipeline(
+        [{"$dsirScore": {"input": "$text", "id": "doc_id", "from": "tgt",
+                         "buckets": 1000}}],
+        Context(spark=spark, collections={"tgt": tgt}))(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Scan parquet") <= 2
+    assert "RoundRobinPartitioning" in plan
+    # results unchanged by the pin + fan-out: rows score deterministically
+    scores = {r["doc_id"]: r["dsir_score"] for r in out.collect()}
+    assert len(scores) == 4
+    assert min(scores[1], scores[2]) > max(scores[3], scores[4])
+
+
 def test_dsir_score_spec_validation(spark):
     ctx = Context(spark=spark)
     with pytest.raises(ValueError, match="smoothing"):
