@@ -19,6 +19,7 @@ from pyspark.sql import types as T
 from ..context import Context
 from ..expressions import ExprContext, compile_expr
 from ..pipeline import StageFn, register_stage
+from .dp_dedup import _spread
 
 
 @register_stage("$ngramOverlap")
@@ -73,6 +74,10 @@ def ngram_overlap_stage(expression: Any, ctx: Context) -> StageFn:
              "precision:double,recall:double,f1:double>")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        # r13: heavy per-row column program — fan a single-scan-task
+        # corpus out across cores first (dp_dedup._spread's row-group
+        # gate makes this a no-op for already-wide real-scale inputs)
+        df = _spread(df)
         sctx = ExprContext(schema=df.schema)
         cand = compile_expr(cand_e, sctx)
         if refs_e is not None:
@@ -247,15 +252,47 @@ def _eval_clipped(gc: Column, gr: Column) -> Column:
     """Clipped multiset intersection: per distinct candidate gram,
     min(count in candidate, count in reference) — BLEU's modified-
     precision numerator.  CALLERS MUST pass materialized temp COLUMNS,
-    never inline expressions: the aggregate re-evaluates its array
-    arguments inside the HOF lambda per element (no CSE), and downstream
-    struct fields referencing the result would each re-run it."""
-    return F.aggregate(
-        F.array_distinct(gc), F.lit(0).cast("long"),
-        lambda acc, g: acc + F.least(
-            F.size(F.filter(gc, lambda x: x == g)),
-            F.size(F.filter(gr, lambda x: x == g)),
-        ).cast("long"))
+    never inline expressions: HOFs re-evaluate captured array
+    expressions per call (no CSE), and downstream struct fields
+    referencing the result would each re-run it.
+
+    r13: computed by a sort-merge fold — tag each gram with its side,
+    sort the combined struct array, and count same-gram runs in ONE
+    linear pass whose lambda touches only its own arguments (never a
+    captured array).  The per-distinct-gram re-filter it replaces was
+    O(distinct x (|gc|+|gr|)) per row — 36+ s for the chrF query at
+    sf0.1 (6 char orders over 2000-char strips); this form is
+    O(L log L).  Counts are exact integers, so scores are
+    bit-identical.  Null semantics mirror the old least-skips-null
+    fold: null gc -> null; null gr -> size(gc)."""
+    merged = F.array_sort(F.concat(
+        F.transform(gc, lambda g: F.struct(
+            g.alias("g"), F.lit(1).alias("c"), F.lit(0).alias("r"))),
+        F.transform(gr, lambda g: F.struct(
+            g.alias("g"), F.lit(0).alias("c"), F.lit(1).alias("r"))),
+    ))
+    zero = F.lit(0).cast("long")
+    fold = F.aggregate(
+        merged,
+        F.struct(F.lit(None).cast("string").alias("g"),
+                 zero.alias("c"), zero.alias("r"), zero.alias("tot")),
+        lambda acc, x: F.when(
+            x["g"].eqNullSafe(acc["g"]),
+            F.struct(acc["g"].alias("g"),
+                     (acc["c"] + x["c"]).alias("c"),
+                     (acc["r"] + x["r"]).alias("r"),
+                     acc["tot"].alias("tot")),
+        ).otherwise(F.struct(
+            x["g"].alias("g"),
+            x["c"].cast("long").alias("c"),
+            x["r"].cast("long").alias("r"),
+            (acc["tot"] + F.least(acc["c"], acc["r"])).alias("tot"))),
+        lambda acc: acc["tot"] + F.least(acc["c"], acc["r"]))
+    return (
+        F.when(gc.isNull(), F.lit(None).cast("long"))
+        .when(gr.isNull(), F.size(gc).cast("long"))
+        .otherwise(fold)
+    )
 
 
 def _eval_clipped_multi(gc: Column, grs: Column) -> Column:
@@ -264,14 +301,59 @@ def _eval_clipped_multi(gc: Column, grs: Column) -> Column:
     references)`` — a gram is creditable up to the most any single
     reference supports it, never the sum.  ``grs`` is an array of gram
     arrays (one per reference).  Same materialized-temp-column contract
-    as :func:`_eval_clipped`."""
-    return F.aggregate(
-        F.array_distinct(gc), F.lit(0).cast("long"),
-        lambda acc, g: acc + F.least(
-            F.size(F.filter(gc, lambda x: x == g)),
-            F.array_max(F.transform(
-                grs, lambda arr: F.size(F.filter(arr, lambda x: x == g)))),
-        ).cast("long"))
+    as :func:`_eval_clipped`, same r13 sort-merge rewrite: entries are
+    tagged (gram, ref-index) with -1 for the candidate side, and the
+    fold tracks the current ref's run plus the running max across refs
+    so ``min(c, max_j r_j)`` falls out of one linear pass."""
+    merged = F.array_sort(F.concat(
+        F.transform(gc, lambda g: F.struct(
+            g.alias("g"), F.lit(-1).alias("j"))),
+        F.flatten(F.transform(
+            grs,
+            lambda arr, j: F.transform(arr, lambda g: F.struct(
+                g.alias("g"), j.alias("j"))))),
+    ))
+    zero = F.lit(0).cast("long")
+    minus1 = F.lit(-1)
+    fold = F.aggregate(
+        merged,
+        F.struct(F.lit(None).cast("string").alias("g"),
+                 minus1.alias("j"), zero.alias("c"), zero.alias("cur"),
+                 zero.alias("mx"), zero.alias("tot")),
+        lambda acc, x: F.when(
+            x["g"].eqNullSafe(acc["g"]),
+            # same gram: candidate entries (j=-1) sort first, ref
+            # entries follow grouped by ref index
+            F.when(x["j"] == minus1, F.struct(
+                acc["g"].alias("g"), acc["j"].alias("j"),
+                (acc["c"] + 1).alias("c"), acc["cur"].alias("cur"),
+                acc["mx"].alias("mx"), acc["tot"].alias("tot")))
+            .when(x["j"] == acc["j"], F.struct(
+                acc["g"].alias("g"), acc["j"].alias("j"),
+                acc["c"].alias("c"), (acc["cur"] + 1).alias("cur"),
+                acc["mx"].alias("mx"), acc["tot"].alias("tot")))
+            .otherwise(F.struct(
+                acc["g"].alias("g"), x["j"].alias("j"),
+                acc["c"].alias("c"), F.lit(1).cast("long").alias("cur"),
+                F.greatest(acc["mx"], acc["cur"]).alias("mx"),
+                acc["tot"].alias("tot"))),
+        ).otherwise(F.struct(
+            x["g"].alias("g"), x["j"].alias("j"),
+            F.when(x["j"] == minus1, F.lit(1)).otherwise(F.lit(0))
+            .cast("long").alias("c"),
+            F.when(x["j"] == minus1, F.lit(0)).otherwise(F.lit(1))
+            .cast("long").alias("cur"),
+            zero.alias("mx"),
+            (acc["tot"] + F.least(
+                acc["c"], F.greatest(acc["mx"], acc["cur"])))
+            .alias("tot"))),
+        lambda acc: acc["tot"] + F.least(
+            acc["c"], F.greatest(acc["mx"], acc["cur"])))
+    return (
+        F.when(gc.isNull(), F.lit(None).cast("long"))
+        .when(grs.isNull(), F.size(gc).cast("long"))
+        .otherwise(fold)
+    )
 
 
 @register_stage("$profile")
@@ -580,6 +662,10 @@ def rouge_l_stage(expression: Any, ctx: Context) -> StageFn:
         raise ValueError("$rougeL maxWords must be >= 1")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        # r13: heavy per-row column program — fan a single-scan-task
+        # corpus out across cores first (dp_dedup._spread's row-group
+        # gate makes this a no-op for already-wide real-scale inputs)
+        df = _spread(df)
         sctx = ExprContext(schema=df.schema)
         cand = compile_expr(cand_e, sctx)
         ref = compile_expr(ref_e, sctx) if ref_e is not None else None
@@ -735,6 +821,10 @@ def rouge_n_stage(expression: Any, ctx: Context) -> StageFn:
              "precision:double,recall:double,f1:double>")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        # r13: heavy per-row column program — fan a single-scan-task
+        # corpus out across cores first (dp_dedup._spread's row-group
+        # gate makes this a no-op for already-wide real-scale inputs)
+        df = _spread(df)
         sctx = ExprContext(schema=df.schema)
         cand = compile_expr(cand_e, sctx)
         words = lambda t: _rouge_words(tok, t, max_words)  # noqa: E731
@@ -862,6 +952,10 @@ def rouge_lsum_stage(expression: Any, ctx: Context) -> StageFn:
         raise ValueError("$rougeLsum maxWords must be >= 1")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        # r13: heavy per-row column program — fan a single-scan-task
+        # corpus out across cores first (dp_dedup._spread's row-group
+        # gate makes this a no-op for already-wide real-scale inputs)
+        df = _spread(df)
         import re as _re
 
         sctx = ExprContext(schema=df.schema)
@@ -1066,6 +1160,10 @@ def meteor_stage(expression: Any, ctx: Context) -> StageFn:
         raise ValueError("$meteor maxWords must be >= 1")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        # r13: heavy per-row column program — fan a single-scan-task
+        # corpus out across cores first (dp_dedup._spread's row-group
+        # gate makes this a no-op for already-wide real-scale inputs)
+        df = _spread(df)
         sctx = ExprContext(schema=df.schema)
         cand = compile_expr(cand_e, sctx)
 
@@ -1231,6 +1329,10 @@ def bleu_stage(expression: Any, ctx: Context) -> StageFn:
                          f"got {smooth!r}")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        # r13: heavy per-row column program — fan a single-scan-task
+        # corpus out across cores first (dp_dedup._spread's row-group
+        # gate makes this a no-op for already-wide real-scale inputs)
+        df = _spread(df)
         sctx = ExprContext(schema=df.schema)
         cand = compile_expr(cand_e, sctx)
         cand = _tok_fn(tokenizer)(cand)
@@ -1361,6 +1463,10 @@ def bleu_corpus_stage(expression: Any, ctx: Context) -> StageFn:
                          f"got {smooth!r}")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        # r13: heavy per-row column program — fan a single-scan-task
+        # corpus out across cores first (dp_dedup._spread's row-group
+        # gate makes this a no-op for already-wide real-scale inputs)
+        df = _spread(df)
         from ..operators.extended import _corpus_only
 
         _corpus_only("$bleuCorpus", c)
@@ -1600,6 +1706,10 @@ def chrf_stage(expression: Any, ctx: Context) -> StageFn:
             .otherwise((1 + b2) * p * r / (b2 * p + r))
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        # r13: heavy per-row column program — fan a single-scan-task
+        # corpus out across cores first (dp_dedup._spread's row-group
+        # gate makes this a no-op for already-wide real-scale inputs)
+        df = _spread(df)
         sctx = ExprContext(schema=df.schema)
         cand = compile_expr(cand_e, sctx)
         strip = lambda t: F.substring(  # noqa: E731
@@ -1821,6 +1931,10 @@ def qa_eval_stage(expression: Any, ctx: Context) -> StageFn:
             lambda x: ~x.isin("a", "an", "the"))
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        # r13: heavy per-row column program — fan a single-scan-task
+        # corpus out across cores first (dp_dedup._spread's row-group
+        # gate makes this a no-op for already-wide real-scale inputs)
+        df = _spread(df)
         sctx = ExprContext(schema=df.schema)
         pred = compile_expr(pred_e, sctx)
         answers = compile_expr(ans_e, sctx)
@@ -1911,6 +2025,10 @@ def chrf_corpus_stage(expression: Any, ctx: Context) -> StageFn:
     b2 = beta * beta
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        # r13: heavy per-row column program — fan a single-scan-task
+        # corpus out across cores first (dp_dedup._spread's row-group
+        # gate makes this a no-op for already-wide real-scale inputs)
+        df = _spread(df)
         from ..operators.extended import _corpus_only
 
         _corpus_only("$chrfCorpus", c)
@@ -2120,6 +2238,10 @@ def wer_stage(expression: Any, ctx: Context) -> StageFn:
         raise ValueError("$wer maxWords must be >= 1")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        # r13: heavy per-row column program — fan a single-scan-task
+        # corpus out across cores first (dp_dedup._spread's row-group
+        # gate makes this a no-op for already-wide real-scale inputs)
+        df = _spread(df)
         sctx = ExprContext(schema=df.schema)
         cand = compile_expr(cand_e, sctx)
         if not case_sensitive:
@@ -2214,6 +2336,10 @@ def wer_corpus_stage(expression: Any, ctx: Context) -> StageFn:
         raise ValueError("$werCorpus maxWords must be >= 1")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        # r13: heavy per-row column program — fan a single-scan-task
+        # corpus out across cores first (dp_dedup._spread's row-group
+        # gate makes this a no-op for already-wide real-scale inputs)
+        df = _spread(df)
         from ..operators.extended import _corpus_only
 
         _corpus_only("$werCorpus", c)
@@ -2480,6 +2606,10 @@ def ter_stage(expression: Any, ctx: Context) -> StageFn:
         raise ValueError("$ter maxShiftDistance must be >= 0")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        # r13: heavy per-row column program — fan a single-scan-task
+        # corpus out across cores first (dp_dedup._spread's row-group
+        # gate makes this a no-op for already-wide real-scale inputs)
+        df = _spread(df)
         sctx = ExprContext(schema=df.schema)
         cand = compile_expr(cand_e, sctx)
         if not case_sensitive:
@@ -2564,6 +2694,10 @@ def ter_corpus_stage(expression: Any, ctx: Context) -> StageFn:
         raise ValueError("$terCorpus maxShiftDistance must be >= 0")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        # r13: heavy per-row column program — fan a single-scan-task
+        # corpus out across cores first (dp_dedup._spread's row-group
+        # gate makes this a no-op for already-wide real-scale inputs)
+        df = _spread(df)
         from ..operators.extended import _corpus_only
 
         _corpus_only("$terCorpus", c)
@@ -3330,6 +3464,10 @@ def paired_bootstrap_stage(expression: Any, ctx: Context) -> StageFn:
         raise ValueError("$pairedBootstrap samples must be in 1..10000")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        # r13: heavy per-row column program — fan a single-scan-task
+        # corpus out across cores first (dp_dedup._spread's row-group
+        # gate makes this a no-op for already-wide real-scale inputs)
+        df = _spread(df)
         from ..operators.extended import _corpus_only
 
         _corpus_only("$pairedBootstrap", c)
@@ -3590,6 +3728,10 @@ def bootstrap_ci_stage(expression: Any, ctx: Context) -> StageFn:
         raise ValueError("$bootstrapCI alpha must be in (0, 1)")
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        # r13: heavy per-row column program — fan a single-scan-task
+        # corpus out across cores first (dp_dedup._spread's row-group
+        # gate makes this a no-op for already-wide real-scale inputs)
+        df = _spread(df)
         import math
 
         from ..operators.extended import _corpus_only
@@ -3741,6 +3883,10 @@ def sari_stage(expression: Any, ctx: Context) -> StageFn:
     _SARI_T = "struct<sari:double,add:double,keep:double,del:double>"
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
+        # r13: heavy per-row column program — fan a single-scan-task
+        # corpus out across cores first (dp_dedup._spread's row-group
+        # gate makes this a no-op for already-wide real-scale inputs)
+        df = _spread(df)
         sctx = ExprContext(schema=df.schema)
         src = compile_expr(src_e, sctx)
         cand = compile_expr(cand_e, sctx)
