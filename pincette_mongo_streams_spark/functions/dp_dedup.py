@@ -896,7 +896,8 @@ def edit_distance_join_stage(expression: Any, ctx: Context) -> StageFn:
         # result is vocabulary-sized (AQE broadcasts it when small)
         freq = all_grams.groupBy("__g").agg(F.count("*").alias("__df"))
 
-        def prefix(g: DataFrame, idc: str) -> DataFrame:
+        def prefix(g: DataFrame, idc: str, side: DataFrame,
+                   sc: str) -> DataFrame:
             from pyspark.sql import Window
 
             w = Window.partitionBy(idc).orderBy("__df", "__g", "__pos")
@@ -905,17 +906,64 @@ def edit_distance_join_stage(expression: Any, ctx: Context) -> StageFn:
                 .withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") <= prefix_len)
                 .select(idc, "__g")
+                # r13: carry the string onto its (qk+1) prefix rows so
+                # the verify runs IN the candidate join (see below)
+                .join(side, idc)
             )
 
-        cand_long = prefix(lg, "left_id").join(
-            prefix(rg, "right_id"), "__g"
-        ).select("left_id", "right_id")
+        dist = (
+            F.levenshtein("__sa", "__sb", k) if k > 0
+            else F.when(F.col("__sa") == F.col("__sb"), 0).otherwise(-1)
+        )
+
+        def verify(cands: DataFrame) -> DataFrame:
+            """length prefilter + banded distance, straight on the
+            candidate join output.  ONE explicit conjunction, cheap
+            predicates first: chained .filter calls get recombined by
+            CombineFilters in reverse order, which put the levenshtein
+            BEFORE the id/length guards (measured: the residual ran
+            the distance on every raw candidate row)."""
+            cond = F.abs(F.length("__sa") - F.length("__sb")) <= k
+            if from_coll is None:
+                cond = (F.col("left_id") < F.col("right_id")) & cond
+            return (
+                cands.filter(cond & (dist >= 0))
+                .withColumn("distance", dist.cast("long"))
+                .select("left_id", "right_id", "distance")
+            )
+
+        # r13: the distance check verifies candidate-join rows DIRECTLY
+        # instead of distinct-ing the raw pair explosion first.  On a
+        # small-alphabet corpus the prefix filter degenerates (54
+        # distinct grams over 20k part names -> 55M candidate rows) and
+        # the old shape paid a 55M-row distinct plus two joins to
+        # re-attach strings; the banded levenshtein on the duplicated
+        # candidates is bounded at (qk+1)^2 evaluations per true pair,
+        # far cheaper than shuffling the pair explosion twice.  The
+        # final distinct then dedups only VERIFIED pairs (distance is
+        # pair-determined, so duplicates collapse exactly as before).
+        # The admissible LENGTH BAND joins as part of the equi-key
+        # (|len(a)-len(b)| <= k for any pair within distance k — the
+        # same fan-out the short path uses): it prunes cross-length
+        # candidates before the residual runs AND multiplies the join
+        # key cardinality, un-skewing the tiny-gram-alphabet case
+        # (54 single-gram keys over 4 shuffle partitions ran the whole
+        # 55M-row merge on ~2 cores).
+        pl = prefix(lg, "left_id", left, "__sa").select(
+            "left_id", "__g", "__sa",
+            F.explode(
+                F.transform(F.sequence(F.lit(-k), F.lit(k)),
+                            lambda d: F.length("__sa") + d)
+            ).alias("__lb"))
+        pr = prefix(rg, "right_id", right, "__sb").withColumn(
+            "__lb", F.length("__sb"))
+        ver_long = verify(pl.join(pr, ["__g", "__lb"]))
         # short-string fallback: both pool members are < min_long + k
         # chars, and any pair with a sub-min_long member has both members
         # in the pool; the left fans out to its 2k+1 admissible lengths
         short_cut = min_long + k
         ls = left.filter(F.length("__sa") < short_cut).select(
-            "left_id",
+            "left_id", "__sa",
             F.explode(
                 F.transform(
                     F.sequence(F.lit(-k), F.lit(k)),
@@ -924,25 +972,10 @@ def edit_distance_join_stage(expression: Any, ctx: Context) -> StageFn:
             ).alias("__lb"),
         )
         rs = right.filter(F.length("__sb") < short_cut).select(
-            "right_id", F.length("__sb").alias("__lb")
+            "right_id", "__sb", F.length("__sb").alias("__lb")
         )
-        cand_short = ls.join(rs, "__lb").select("left_id", "right_id")
-        pairs = cand_long.unionByName(cand_short)
-        if from_coll is None:
-            pairs = pairs.filter(F.col("left_id") < F.col("right_id"))
-        pairs = pairs.distinct()
-        dist = (
-            F.levenshtein("__sa", "__sb", k) if k > 0
-            else F.when(F.col("__sa") == F.col("__sb"), 0).otherwise(-1)
-        )
-        return (
-            pairs.join(left, "left_id")
-            .join(right, "right_id")
-            .filter(F.abs(F.length("__sa") - F.length("__sb")) <= k)
-            .withColumn("distance", dist.cast("long"))
-            .filter(F.col("distance") >= 0)
-            .select("left_id", "right_id", "distance")
-        )
+        ver_short = verify(ls.join(rs, "__lb"))
+        return ver_long.unionByName(ver_short).distinct()
 
     return fn
 
@@ -1068,8 +1101,23 @@ def simhash_dedup_stage(expression: Any, ctx: Context) -> StageFn:
         kh = hashed.select(
             F.col(id_field).alias("__keep"), F.col("__simh").alias("__kh")
         )
+        # r13: the verify predicate is wrapped in coalesce so it is NOT
+        # null-rejecting on the hash columns.  A bare `bit_count(..) <=
+        # max_h` makes Catalyst infer isnotnull(__dh)/isnotnull(__kh)
+        # and push them through the defining Projects down to the SCAN,
+        # substituting the whole simhash fold (with the shingle-hash
+        # transform re-inlined PER BIT — the captured-array trap) into
+        # a scan-level filter that runs below the fan-out: measured
+        # 106 s for a 19k x 5k broadcast join at sf0.1, 0.3 s without.
+        # Vacuously identical: docs with a null signature produce null
+        # band buckets and never reach cands, and __keep only names
+        # docs that produced buckets, so matched pairs never carry a
+        # null hash and the sentinel branch never fires.
         verified = cands.join(kh, "__keep").filter(
-            F.bit_count(F.col("__dh").bitwiseXOR(F.col("__kh"))) <= max_h
+            F.coalesce(
+                F.bit_count(F.col("__dh").bitwiseXOR(F.col("__kh"))),
+                F.lit(max_h + 1),
+            ) <= max_h
         )
         if transitive:
             from ..operators.graphcc import connected_components
@@ -1112,45 +1160,74 @@ def ngram_jaccard_dedup_stage(expression: Any, ctx: Context) -> StageFn:
     max_df = int(expression.get("maxShingleDf", 1000))
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
-        df = _spread(df)
+        sdf = _spread(df)
         text = compile_expr(inp, ExprContext(schema=df.schema))
-        with_sh = df.withColumn("__sh", word_shingles(text, n))
-        docs = with_sh.select(F.col(id_field).alias("__did"), "__sh")
-        inv = docs.select("__did", F.explode("__sh").alias("__g"))
-        # document-frequency cap: the DF aggregate shuffles inv by __g —
-        # the same partitioning the candidate self-join needs, so the cap
-        # costs no extra shuffle of the big side (no broadcast of the hot
-        # list either: it can be large in open-world corpora)
-        cold = (
-            inv.groupBy("__g").agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("__g")
-        )
+        docs = sdf.select(F.col(id_field).alias("__did"),
+                          word_shingles(text, n).alias("__sh"))
+        # r13: ONE explicit __g shuffle of the exploded index — the DF
+        # aggregate, both self-join sides and the hot-shingle collect
+        # all consume this exchange (AQE reuses it; Catalyst's
+        # re-inlining otherwise re-ran the shingle explode per branch)
+        inv = docs.select("__did", F.explode("__sh").alias("__g")) \
+            .repartition(F.col("__g"))
+        dfreq = inv.groupBy("__g").agg(F.count("*").alias("__df"))
+        cold = dfreq.filter(F.col("__df") <= max_df).select("__g")
         inv_c = inv.join(cold, "__g")
-        cands = (
+        # r13: the exact Jaccard no longer ships full shingle arrays to
+        # every candidate pair.  Shingle sets are distinct by
+        # construction, so the inverted self-join emits each shared
+        # COLD shingle exactly once per pair — counting rows per
+        # (ida, idb) IS |cold-intersection| (and replaces the pair
+        # .distinct() with the same shuffle's aggregate).  The HOT
+        # remainder comes from per-doc hot-only arrays (bounded: at
+        # most |inv|/maxShingleDf distinct hot shingles exist), so
+        # |intersection| = cold count + |hot-array intersect| exactly,
+        # and |union| = na + nb - inter from the small sizes table.
+        # Was: 36.5M exploded pair rows -> distinct -> two joins
+        # carrying ~50-element arrays per pair (317 s at sf0.1);
+        # now one count aggregate + broadcast-sized side tables.
+        pairs = (
             inv_c.alias("a")
             .join(inv_c.alias("b"), (F.col("a.__g") == F.col("b.__g"))
                   & (F.col("a.__did") < F.col("b.__did")))
-            .select(F.col("a.__did").alias("__ida"),
-                    F.col("b.__did").alias("__idb"))
-            .distinct()
+            .groupBy(F.col("a.__did").alias("__ida"),
+                     F.col("b.__did").alias("__idb"))
+            .agg(F.count("*").alias("__ic"))
         )
-        sa = docs.select(F.col("__did").alias("__ida"), F.col("__sh").alias("__sha"))
-        sb = docs.select(F.col("__did").alias("__idb"), F.col("__sh").alias("__shb"))
+        sizes = docs.select("__did", F.size("__sh").alias("__n"))
+        hot_sh = (
+            inv.join(dfreq.filter(F.col("__df") > max_df).select("__g"),
+                     "__g")
+            .groupBy("__did").agg(F.collect_list("__g").alias("__hg"))
+        )
+        empty = F.array().cast("array<string>")
         scored = (
-            cands.join(sa, "__ida").join(sb, "__idb")
-            .withColumn("__inter",
-                        F.size(F.array_intersect("__sha", "__shb")))
+            pairs
+            .join(sizes.select(F.col("__did").alias("__ida"),
+                               F.col("__n").alias("__na")), "__ida")
+            .join(sizes.select(F.col("__did").alias("__idb"),
+                               F.col("__n").alias("__nb")), "__idb")
+            .join(hot_sh.select(F.col("__did").alias("__ida"),
+                                F.col("__hg").alias("__hga")),
+                  "__ida", "left")
+            .join(hot_sh.select(F.col("__did").alias("__idb"),
+                                F.col("__hg").alias("__hgb")),
+                  "__idb", "left")
+            .withColumn(
+                "__inter",
+                F.col("__ic") + F.size(F.array_intersect(
+                    F.coalesce(F.col("__hga"), empty),
+                    F.coalesce(F.col("__hgb"), empty))))
             .withColumn(
                 "__j",
                 F.col("__inter")
-                / (F.size("__sha") + F.size("__shb") - F.col("__inter")),
+                / (F.col("__na") + F.col("__nb") - F.col("__inter")),
             )
         )
         dups = scored.filter(F.col("__j") >= threshold).select(
             F.col("__idb").alias("__did")
         ).distinct()
-        return with_sh.join(dups, with_sh[id_field] == dups["__did"], "left_anti").drop("__sh")
+        return df.join(dups, df[id_field] == dups["__did"], "left_anti")
 
     return fn
 

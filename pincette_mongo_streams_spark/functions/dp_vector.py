@@ -109,8 +109,10 @@ def embed_dedup_stage(expression: Any, ctx: Context) -> StageFn:
                     "LSH path or {exact: true} to force the O(n²) plan"
                 )
         emb = compile_expr(inp, ExprContext(schema=df.schema)).cast("array<double>")
-        docs = df.select(F.col(id_field).alias("__did"),
-                         _unit_vector(emb).alias("__e"))
+        # r13: the pair join streams over the scan — fan a single-task
+        # corpus out first or the O(pairs·dim) dot work runs serial
+        docs = _spread(df).select(F.col(id_field).alias("__did"),
+                                  _unit_vector(emb).alias("__e"))
         # candidate generation: exact pairwise by default; {bits: k} is the
         # 100 TB path — same-bucket LSH candidates only (see $annLsh),
         # recall traded per LSH guarantees
@@ -121,13 +123,21 @@ def embed_dedup_stage(expression: Any, ctx: Context) -> StageFn:
             )
         else:
             cond = F.col("a.__did") < F.col("b.__did")
+        # r13: the cosine threshold joins the CONDITION after the cheap
+        # guards instead of a downstream .filter — predicate pushdown
+        # merged the filter into the join with the dot product FIRST in
+        # the conjunction, so the O(dim) fold ran on every raw pair
+        # before the id/bucket checks (19 s of the exact-mode query's
+        # 20 s at sf0.1; And conjuncts evaluate left-to-right).  The
+        # surviving pairs (few) re-derive __cos in the projection.
         pairs = (
             docs.alias("a")
-            .join(docs.alias("b"), cond)
+            .join(docs.alias("b"),
+                  cond & (_pair_dot(F.col("a.__e"), F.col("b.__e"))
+                          >= threshold))
             .select(F.col("a.__did").alias("__ida"),
                     F.col("b.__did").alias("__idb"),
                     _pair_dot(F.col("a.__e"), F.col("b.__e")).alias("__cos"))
-            .filter(F.col("__cos") >= threshold)
         )
         if transitive:
             labels = _cc_labels(pairs)
@@ -716,7 +726,9 @@ def semantic_dedup_stage(expression: Any, ctx: Context) -> StageFn:
 
         _corpus_only("$semanticDedup", c)
         emb = compile_expr(inp, ExprContext(schema=df.schema)).cast("array<double>")
-        pts = df.withColumn("__km_e", emb)
+        # r13: same single-scan-task hazard as $embedDedup — the cell
+        # pair join and the per-row dist2/assignment algebra fan out
+        pts = _spread(df).withColumn("__km_e", emb)
         cents = _lloyd_centroids(pts, id_field, k, iterations)
         if not cents:
             return df
@@ -734,13 +746,18 @@ def semantic_dedup_stage(expression: Any, ctx: Context) -> StageFn:
         # comparison (like the distances): the oracle computes it with a
         # different float operation order, and an unrounded >= would let
         # a 1-ULP disagreement flip a pair at the threshold edge
+        # r13: the cosine predicate joins the CONDITION after the cheap
+        # cell/id guards instead of a downstream .filter (predicate
+        # merge put the O(dim) dot FIRST in the conjunction and ran it
+        # on every same-cell pair before the id check — the $embedDedup
+        # lesson; And conjuncts evaluate left-to-right)
         pairs = (
             docs.alias("a")
             .join(docs.alias("b"),
                   (F.col("a.__cell") == F.col("b.__cell"))
-                  & (F.col("a.__did") < F.col("b.__did")))
-            .filter(_round9_col(_pair_dot(F.col("a.__e"), F.col("b.__e")))
-                    >= F.lit(threshold))
+                  & (F.col("a.__did") < F.col("b.__did"))
+                  & (_round9_col(_pair_dot(F.col("a.__e"), F.col("b.__e")))
+                     >= F.lit(threshold)))
             .select(F.col("a.__did").alias("__ida"),
                     F.col("b.__did").alias("__idb"),
                     F.col("a.__cd").alias("__cda"),
