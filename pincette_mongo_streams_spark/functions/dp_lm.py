@@ -140,8 +140,14 @@ def ngram_lm_train_stage(expression: Any, ctx: Context) -> StageFn:
         # as ONE scan partition (one row group = one task), serializing
         # it — measured 11.8 s single-task vs ~0.6 s spread at sf0.1.
         # _spread's row-group gate keeps real-scale inputs unshuffled.
-        pairs = _spread(df).select(
-            F.explode(_position_grams(toks, n)).alias("__pg"))
+        # r13: the token array is BOUND TO A COLUMN before the gram
+        # lambdas — interpreted HOFs re-evaluate captured expressions
+        # per call, so slice(<split expr>, ..) inside the per-position
+        # lambda re-tokenized the whole document per position (O(L²)
+        # per doc; a column reference is one attribute read).
+        pairs = _spread(df).withColumn("__lm_toks", toks).select(
+            F.explode(
+                _position_grams(F.col("__lm_toks"), n)).alias("__pg"))
         counted = (
             pairs.select(F.col("__pg.gram").alias("gram"),
                          F.col("__pg.k").alias("order"))

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from ..context import Context
 from ..expressions import ExprContext, compile_expr
 from ..pipeline import StageFn, register_stage
+from .dp_dedup import _pin_computed, _spread
 from .dp_lm import _LM_TOKENIZERS, _lm_tokens
 
 
@@ -245,7 +246,12 @@ def corpus_divergence_stage(expression: Any, ctx: Context) -> StageFn:
         raise ValueError("$corpusDivergence maxWords must be >= 1")
 
     def grams_of(df: DataFrame, text: Column) -> DataFrame:
-        toks = _lm_tokens(tok, text, max_words)
+        # r13: tokens bound to a column (captured-expression HOF trap:
+        # the per-position slice re-tokenized the doc per element) and
+        # single-task corpora fanned out before the explode
+        bound = _spread(df).withColumn(
+            "__cd_toks", _lm_tokens(tok, text, max_words))
+        toks = F.col("__cd_toks")
         g = F.when(
             F.size(toks) >= n,
             F.transform(
@@ -254,7 +260,7 @@ def corpus_divergence_stage(expression: Any, ctx: Context) -> StageFn:
             ),
         ).otherwise(F.array().cast("array<string>"))
         return (
-            df.select(F.explode(g).alias("__g"))
+            bound.select(F.explode(g).alias("__g"))
             .groupBy("__g")
             .agg(F.count(F.lit(1)).cast("double").alias("__c"))
         )
@@ -267,8 +273,13 @@ def corpus_divergence_stage(expression: Any, ctx: Context) -> StageFn:
         q = grams_of(
             ref, compile_expr(f"${against_field}",
                               ExprContext(schema=ref.schema)))
-        joined = p.withColumnRenamed("__c", "__cp").join(
-            q.withColumnRenamed("__c", "__cq"), "__g", "full_outer")
+        # r13: pinned — the totals aggregate and the divergence sums
+        # each re-inline this vocabulary-sized join (model-table class,
+        # the $ngramLmScore pin rationale), re-tokenizing both corpora
+        # per reference otherwise
+        joined = _pin_computed(
+            p.withColumnRenamed("__c", "__cp").join(
+                q.withColumnRenamed("__c", "__cq"), "__g", "full_outer"))
         tot = joined.agg(
             F.sum(F.coalesce("__cp", F.lit(0.0))).alias("__np"),
             F.sum(F.coalesce("__cq", F.lit(0.0))).alias("__nq"),
@@ -352,7 +363,13 @@ def distinct_n_stage(expression: Any, ctx: Context) -> StageFn:
     def fn(df: DataFrame, c: Context) -> DataFrame:
         _corpus_only("$distinctN", c)
         text = compile_expr(inp, ExprContext(schema=df.schema))
-        toks = _lm_tokens(tok, text, max_words)
+        # r13: tokens bound to a column + single-task corpora fanned
+        # out — the per-position gram lambdas re-evaluated the captured
+        # split expression per element (O(L²) per doc; measured 27 s at
+        # sf0.1, ~1.5 s after), the dp_lm._position_grams lesson
+        bound = _spread(df).withColumn(
+            "__dn_toks", _lm_tokens(tok, text, max_words))
+        toks = F.col("__dn_toks")
         def _gram_part(order: int) -> Column:
             # closure factory, NOT a default-arg lambda: a two-arg
             # lambda makes Spark pass the array INDEX as the second
@@ -374,18 +391,40 @@ def distinct_n_stage(expression: Any, ctx: Context) -> StageFn:
         allg = parts[0]
         for pc in parts[1:]:
             allg = F.concat(allg, pc)
-        docs = df.select(
+        docs = bound.select(
             F.when(text.isNotNull(), allg).alias("__gs"))
-        exploded = docs.select(F.explode("__gs").alias("__x"))
+        # r13: explode_outer + not-null post-filter, NOT plain explode:
+        # InferFiltersFromGenerate turns a bare explode into a
+        # `size(__gs) > 0` predicate that predicate-pushdown re-inlines
+        # all the way into the SCAN — the whole gram expression (with
+        # the raw split, unbound) evaluated per row below the fan-out
+        # (~30 s at sf0.1).  Gram structs are never null, so filtering
+        # the generate OUTPUT is row-identical and cannot be pushed
+        # below the Generate.
+        exploded = docs.select(F.explode_outer("__gs").alias("__x")) \
+            .filter(F.col("__x").isNotNull())
+        # r13: two-level distinct-free aggregation.  maxN conditional
+        # count_distinct aggregates planned an Expand that pushed
+        # (#distinct-groups + 1) copies of every exploded gram through
+        # the shuffle (~34 s at sf0.1); a groupBy(n, gram) count —
+        # partial-aggregated map-side to the distinct grams — followed
+        # by a per-order rollup computes the same exact integers with
+        # one copy (~2 s).
+        per_gram = (
+            exploded.groupBy(F.col("__x.n").alias("__n"),
+                             F.col("__x.g").alias("__g"))
+            .agg(F.count(F.lit(1)).alias("__c")))
+        per_order = per_gram.groupBy("__n").agg(
+            F.count(F.lit(1)).cast("double").alias("__d"),
+            F.sum("__c").cast("double").alias("__t"))
         aggs = []
         for i in range(1, max_n + 1):
-            aggs.append(F.count_distinct(
-                F.when(F.col("__x.n") == i, F.col("__x.g"))
-            ).cast("double").alias(f"__d{i}"))
-            aggs.append(
-                F.sum((F.col("__x.n") == i).cast("long"))
-                .cast("double").alias(f"__t{i}"))
-        stats = exploded.agg(*aggs)
+            aggs.append(F.max(F.when(F.col("__n") == i, F.col("__d")))
+                        .cast("double").alias(f"__d{i}"))
+            aggs.append(F.coalesce(
+                F.max(F.when(F.col("__n") == i, F.col("__t"))),
+                F.lit(0.0)).cast("double").alias(f"__t{i}"))
+        stats = per_order.agg(*aggs)
         meta = df.agg(
             F.count(F.lit(1)).cast("long").alias("docs"))
         out = meta.join(F.broadcast(stats), F.lit(True), "left")
