@@ -255,13 +255,21 @@ def mmr_stage(expression: Any, ctx: Context) -> StageFn:
         sorted_cands = F.sort_array(F.collect_list(
             F.struct(F.col("__i").alias("i"), F.col("__s").alias("s"),
                      F.col("__e").alias("e"))))
+        # r13: the sorted list lands as an AGG OUTPUT COLUMN before the
+        # dedup filter references it — element_at(<sort expr>, i) inside
+        # the filter lambda re-sorted the whole collected list per
+        # element (interpreted HOFs re-evaluate captured expressions;
+        # O(n² log n) per group).  A column reference is one read.
+        grouped0 = pts.groupBy("__g").agg(sorted_cands.alias("__c0"))
+        c0 = F.col("__c0")
         # duplicated ids collapse to their LAST (= highest (s, e))
         # sorted entry, so a rank is assigned at most once per id
-        grouped = pts.groupBy("__g").agg(
+        grouped = grouped0.select(
+            "__g",
             F.filter(
-                sorted_cands,
-                lambda c, i: (i == F.size(sorted_cands) - 1)
-                | (F.element_at(sorted_cands, i + 2).getField("i")
+                c0,
+                lambda c, i: (i == F.size(c0) - 1)
+                | (F.element_at(c0, i + 2).getField("i")
                    != c.getField("i")),
             ).alias("__c"))
         cands = F.col("__c")
@@ -769,14 +777,30 @@ def entropy_score_stage(expression: Any, ctx: Context) -> StageFn:
         raw = compile_expr(inp, ExprContext(schema=df.schema))
         sep = "" if unit == "char" else r"\s+"
         toks = F.filter(F.split(raw, sep), lambda x: x != F.lit(""))
-        s = F.array_sort(toks)
+        # r13: the sorted array and the run-start list are BOUND TO
+        # COLUMNS, not captured as expressions.  HOFs run interpreted
+        # (CodegenFallback) with no cross-lambda subexpression reuse,
+        # so ``element_at(array_sort(toks), i)`` inside the boundary
+        # filter re-sorted the WHOLE array once per element — O(L² log
+        # L) per document (measured: the sf0.1 query sat >15 min on
+        # one core; ~1 s after).  A column reference is one attribute
+        # read; CollapseProject keeps the binding because each alias
+        # is referenced more than once and is not cheap.
+        s = F.col("__ent_s")
         n = F.size(s)
+        # interpreted HOF sort+fold over a per-char array is the
+        # per-row-heavy class (same stance as minhash/simhash): fan a
+        # single-scan-task corpus out before it
+        bound = _spread(df).withColumn("__ent_s", F.array_sort(toks))
         # 0-based positions where a new run starts in the sorted array
-        idx = F.filter(
-            F.transform(s, lambda x, i: i),
-            lambda i: (i == F.lit(0))
-            | (F.element_at(s, i) != F.element_at(s, i + F.lit(1))),
-        )
+        bound = bound.withColumn(
+            "__ent_i",
+            F.filter(
+                F.transform(s, lambda x, i: i),
+                lambda i: (i == F.lit(0))
+                | (F.element_at(s, i) != F.element_at(s, i + F.lit(1))),
+            ))
+        idx = F.col("__ent_i")
         shifted = F.concat(
             F.slice(idx, 2, F.greatest(F.size(idx) - 1, F.lit(0))),
             F.array(n),
@@ -793,7 +817,7 @@ def entropy_score_stage(expression: Any, ctx: Context) -> StageFn:
             .when(n > 0, _half_up6(F.log2(n.cast("double")) - sum_clogc / n))
             .otherwise(F.lit(0.0))
         )
-        return df.withColumn(as_field, ent)
+        return bound.withColumn(as_field, ent).drop("__ent_s", "__ent_i")
 
     return fn
 

@@ -478,10 +478,16 @@ def profile_stage(expression: Any, ctx: Context) -> StageFn:
                     F.avg(x).alias(f"{k}_mean"),
                     F.stddev_pop(x).alias(f"{k}_sd"),
                 ]
-                for p, nm in zip(pcts, names):
-                    q = (F.percentile(x, F.lit(float(p))) if exact
-                         else F.percentile_approx(x, F.lit(float(p))))
-                    aggs.append(q.alias(f"{k}_{nm}"))
+                # r13: ONE array-percentile aggregate per column — a
+                # scalar percentile() per requested percentile buffered
+                # the whole column once EACH (3 pcts x 3 columns = 9
+                # full-column buffers in the exact mode; same values,
+                # one buffer per column now)
+                if pcts:
+                    parr = F.array(*[F.lit(float(p)) for p in pcts])
+                    q = (F.percentile(x, parr) if exact
+                         else F.percentile_approx(x, parr))
+                    aggs.append(q.alias(f"{k}_pct"))
             elif kind == "string":
                 ln = F.length(x)
                 aggs += [
@@ -503,10 +509,11 @@ def profile_stage(expression: Any, ctx: Context) -> StageFn:
                     F.max(dim).alias(f"{k}_lmax"),
                     F.avg(dim).alias(f"{k}_lavg"),
                 ]
-                for p, nm in zip(pcts, names):
-                    q = (F.percentile(nv, F.lit(float(p))) if exact
-                         else F.percentile_approx(nv, F.lit(float(p))))
-                    aggs.append(q.alias(f"{k}_{nm}"))
+                if pcts:
+                    parr = F.array(*[F.lit(float(p)) for p in pcts])
+                    q = (F.percentile(nv, parr) if exact
+                         else F.percentile_approx(nv, parr))
+                    aggs.append(q.alias(f"{k}_pct"))
             else:  # date / timestamp
                 aggs += [
                     F.min(x).alias(f"{k}_tmin"),
@@ -551,7 +558,8 @@ def profile_stage(expression: Any, ctx: Context) -> StageFn:
                     F.col(f"{k}_max").alias("max"),
                     F.col(f"{k}_mean").alias("mean"),
                     F.col(f"{k}_sd").alias("stddev"),
-                    *[F.col(f"{k}_{nm}").alias(nm) for nm in names],
+                    *[F.element_at(F.col(f"{k}_pct"), i + 1).alias(nm)
+                      for i, nm in enumerate(names)],
                 ]
                 strs = [s_null.alias("min_str"), s_null.alias("max_str")]
                 lens = [l_null.alias("min_len"), l_null.alias("max_len"),
@@ -566,7 +574,8 @@ def profile_stage(expression: Any, ctx: Context) -> StageFn:
                     F.col(f"{k}_max").alias("max"),
                     F.col(f"{k}_mean").alias("mean"),
                     F.col(f"{k}_sd").alias("stddev"),
-                    *[F.col(f"{k}_{nm}").alias(nm) for nm in names],
+                    *[F.element_at(F.col(f"{k}_pct"), i + 1).alias(nm)
+                      for i, nm in enumerate(names)],
                 ]
                 strs = [s_null.alias("min_str"), s_null.alias("max_str")]
                 lens = [F.col(f"{k}_lmin").cast("long").alias("min_len"),

@@ -19,7 +19,7 @@ from ..context import Context
 from ..expressions import ExprContext, compile_expr
 from ..pipeline import StageFn, register_stage
 
-from .dp_dedup import _WS
+from .dp_dedup import _WS, _spread
 
 
 def _half_up6(col: Column) -> Column:
@@ -130,7 +130,9 @@ def repetition_score_stage(expression: Any, ctx: Context) -> StageFn:
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         text = compile_expr(inp, ExprContext(schema=df.schema))
-        out = df.withColumn("__rep_t", text)
+        # r13: six sort+fold passes per row — fan a single-scan-task
+        # corpus out first (10 s -> ~1 s at sf0.1)
+        out = _spread(df).withColumn("__rep_t", text)
         # non-empty lines, sorted so duplicates are neighbors
         out = out.withColumn(
             "__rep_lines",

@@ -369,7 +369,10 @@ def winnow_stage(expression: Any, ctx: Context) -> StageFn:
 
     def fn(df: DataFrame, c: Context) -> DataFrame:
         text = compile_expr(inp, ExprContext(schema=df.schema))
-        out = df.withColumn(
+        # r13: md5 per char position + sliding window min is the
+        # per-row-heavy class — fan a single-scan-task corpus out
+        # (13 s -> ~1 s at sf0.1; row-group gate keeps wide inputs as-is)
+        out = _spread(df).withColumn(
             "__wn_t",
             F.regexp_replace(F.lower(text), "[^a-z0-9]", ""),
         )
