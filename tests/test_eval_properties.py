@@ -1199,3 +1199,51 @@ def test_bleu_intl_tokenizer(spark):
         compile_pipeline(
             [{"$bleu": {"candidate": "$c", "reference": "$r",
                         "tokenizer": "v14"}}], Context(spark=spark))
+
+
+def test_rouge_l_bitparallel_lcs_differential(spark):
+    """r13 optimization: $rougeL's LCS length runs the bit-parallel
+    Allison-Dix/Hyyro recurrence (V' = (V + U) | (V - U), shorter side
+    as the bit vector) instead of the two-row DP.  Pin the engine
+    against an independent classic DP over randomized word sequences,
+    including vectors past 64 bits (Python bigints) and degenerate
+    one-letter alphabets (worst-case runs)."""
+    import random
+
+    def dp_lcs(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        if not b:
+            return 0
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            cur = [0]
+            for j, y in enumerate(b, 1):
+                cur.append(prev[j - 1] + 1 if x == y
+                           else max(prev[j], cur[j - 1]))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(120):
+        vocab = "abcdefgh"[:rng.randint(1, 8)]
+        c = " ".join(rng.choice(vocab)
+                     for _ in range(rng.randint(0, 90)))
+        r = " ".join(rng.choice(vocab)
+                     for _ in range(rng.randint(0, 90)))
+        rows.append((i, None if i % 37 == 0 else c, r))
+    df = spark.createDataFrame(rows, "i long, c string, r string")
+    out = compile_pipeline(
+        [{"$rougeL": {"candidate": "$c", "reference": "$r",
+                      "as": "rl"}}],
+        Context(spark=spark))(df)
+    got = {x["i"]: x["rl"] for x in out.collect()}
+    for i, c, r in rows:
+        exp = None if c is None or r is None else dp_lcs(
+            [w for w in c.split(" ") if w],
+            [w for w in r.split(" ") if w])
+        if exp is None:
+            assert got[i] is None
+        else:
+            assert got[i]["lcs"] == exp, (c, r)
