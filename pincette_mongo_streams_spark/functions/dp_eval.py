@@ -2400,11 +2400,16 @@ def wer_corpus_stage(expression: Any, ctx: Context) -> StageFn:
                     columns=["distance", "wer", "n_hyp", "n_ref"])
 
             raw = _wer(cand, ref)
-        stage = df.withColumn("__wrc", raw) \
-            .filter(F.col("__wrc.n_hyp").isNotNull())
+        # r13: NO not-null .filter on the UDF column — pushdown moved
+        # it below the fan-out exchange and ExtractPythonUDFs then
+        # materialized a SECOND, single-task ArrowEvalPython at the
+        # scan (the whole per-segment DP ran twice, once serial).
+        # Excluded segments return an all-null struct, so count(col)
+        # and null-skipping sums compute the identical exclusion.
+        stage = df.withColumn("__wrc", raw)
         zero_l = F.lit(0).cast("long")
         row = stage.agg(
-            F.count(F.lit(1)).alias("n_segments"),
+            F.count("__wrc.n_hyp").alias("n_segments"),
             F.coalesce(F.sum("__wrc.distance"), zero_l).alias("distance"),
             F.coalesce(F.sum("__wrc.n_hyp"), zero_l).alias("n_hyp"),
             F.coalesce(F.sum("__wrc.n_ref"), zero_l).alias("n_ref"),
@@ -2528,7 +2533,21 @@ def _make_ter_scorers(max_words: int, max_shift_size: int,
         while base > 0:
             limit = base - 1
             best = None
+            # r13, both loops exact-preserving:
+            # - seen-set: distinct (i, k) pairs often build the SAME
+            #   shifted sequence (repeated words); a duplicate's
+            #   distance equals the first evaluation's, and best only
+            #   updates on d <= limit = best_d - 1 (strict improvement),
+            #   so skipping duplicates can never change the greedy pick
+            #   or its first-found tie-break.
+            # - limit < 0 break: once a zero-distance shift is found no
+            #   candidate can satisfy d <= -1, so the remaining scan
+            #   only built O(n) lists to throw away (the dominant cost
+            #   of long-doc rounds that end in a perfect shift).
+            seen = set()
             for i, w in enumerate(hyp):
+                if limit < 0:
+                    break
                 for k in pos.get(w, ()):
                     if abs(i - k) > max_shift_dist:
                         continue
@@ -2542,10 +2561,16 @@ def _make_ter_scorers(max_words: int, max_shift_size: int,
                     if at == i:
                         continue
                     cand = rest[:at] + hyp[i:i + l] + rest[at:]
+                    key = tuple(cand)
+                    if key in seen:
+                        continue
+                    seen.add(key)
                     d = lev_band(cand, wr, limit)
                     if d <= limit:
                         best = (d, cand)
                         limit = d - 1
+                        if limit < 0:
+                            break
                 if best is not None and best[0] == 0:
                     break
             if best is None:
@@ -2754,11 +2779,15 @@ def ter_corpus_stage(expression: Any, ctx: Context) -> StageFn:
                     columns=["edits", "ter", "shifts", "n_hyp", "n_ref"])
 
             raw = _ter(cand, ref)
-        stage = df.withColumn("__trc", raw) \
-            .filter(F.col("__trc.n_hyp").isNotNull())
+        # r13: same as $werCorpus — no not-null .filter on the UDF
+        # column (pushdown + ExtractPythonUDFs ran the WHOLE greedy TER
+        # a second time in a single-task scan filter: 336 s vs 283 s
+        # single-core compute at sf0.1); null-skipping aggregates
+        # compute the identical segment exclusion.
+        stage = df.withColumn("__trc", raw)
         zero_l = F.lit(0).cast("long")
         row = stage.agg(
-            F.count(F.lit(1)).alias("n_segments"),
+            F.count("__trc.n_hyp").alias("n_segments"),
             F.coalesce(F.sum("__trc.edits"), zero_l).alias("edits"),
             F.coalesce(F.sum("__trc.shifts"), zero_l).alias("shifts"),
             F.coalesce(F.sum("__trc.n_hyp"), zero_l).alias("n_hyp"),
