@@ -212,15 +212,53 @@ def project_stage(expression: Any, ctx: Context) -> StageFn:
 # ---------------------------------------------------- $addFields / $set
 
 
+# Sentinel ref: the expression reads fields we cannot enumerate statically
+# (bare $$ROOT/$$CURRENT, dynamic $getField) — callers must assume it may
+# read ANY field, including another target of the same stage.
+_UNRESOLVED = object()
+
+
 def _expr_field_refs(expr: Any, out: set) -> None:
-    """All "$path" field references in a raw expression document."""
+    """All current-document field references in a raw expression document.
+
+    Collects "$path" strings, "$$ROOT.x"/"$$CURRENT.x" reads, the
+    implicit-CURRENT ``$getField`` forms ({"$getField": "a"} and
+    {"$getField": {"field": "a"}} with no input — expressions.py resolves
+    both against the current document), and ``$meta``'s hidden score
+    column.  Adds ``_UNRESOLVED`` for forms whose read set cannot be
+    enumerated.  ``$literal`` payloads are opaque strings, not refs."""
     if isinstance(expr, str):
-        if expr.startswith("$") and not expr.startswith("$$"):
+        if expr.startswith("$$"):
+            head, _, rest = expr[2:].partition(".")
+            if head in ("ROOT", "CURRENT"):
+                out.add(rest if rest else _UNRESOLVED)
+        elif expr.startswith("$"):
             out.add(expr[1:])
     elif isinstance(expr, list):
         for e in expr:
             _expr_field_refs(e, out)
     elif isinstance(expr, dict):
+        if len(expr) == 1:
+            ((op, spec),) = expr.items()
+            if op == "$literal":
+                return
+            if op == "$getField":
+                if isinstance(spec, str):
+                    out.add(spec)
+                elif isinstance(spec, dict):
+                    field = spec.get("field")
+                    if not isinstance(field, str):
+                        out.add(_UNRESOLVED)
+                    elif "input" not in spec:
+                        out.add(field)
+                    else:
+                        _expr_field_refs(spec["input"], out)
+                else:
+                    out.add(_UNRESOLVED)
+                return
+            if op == "$meta" and isinstance(spec, str):
+                out.add("__meta_" + {"textScore": "searchScore"}.get(spec, spec))
+                return
         for v in expr.values():
             _expr_field_refs(v, out)
 
@@ -239,6 +277,8 @@ def _addfields_batchable(expression: dict) -> bool:
         refs: set = set()
         _expr_field_refs(expr, refs)
         for r in refs:
+            if r is _UNRESOLVED:
+                return False
             head = r.split(".", 1)[0]
             if head != t and head in targets:
                 return False

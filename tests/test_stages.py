@@ -66,6 +66,61 @@ def test_addfields_literal_dot_key_untouched(spark):
     assert doc == {"x": 0, "test.test": 0, "y": 1}
 
 
+def test_addfields_getfield_cross_reference_sequential(spark):
+    # r13 verdict hole: {"$getField": "a"} / {"$getField": {"field": "a"}}
+    # read the CURRENT document without a "$"-string, so the batching
+    # classifier missed the cross-field chain and the batched withColumns
+    # read the INPUT value of `a` instead of the updated one.
+    for getfield in ({"$getField": "a"}, {"$getField": {"field": "a"}}):
+        [doc] = run(
+            spark,
+            [{"$addFields": {"a": {"$add": ["$test1", 100]}, "b": getfield}}],
+            NESTED,
+            NESTED_SCHEMA,
+        )
+        assert doc["a"] == 101
+        assert doc["b"] == 101, "cross-field $getField must see the updated value"
+
+
+def test_addfields_root_cross_reference_sequential(spark):
+    # $$ROOT reads every field of the current document — a later target
+    # referencing $$ROOT.<earlier target> must see the updated value.
+    [doc] = run(
+        spark,
+        [{"$addFields": {"a": {"$add": ["$test1", 100]}, "b": "$$ROOT.a"}}],
+        NESTED,
+        NESTED_SCHEMA,
+    )
+    assert doc["a"] == 101
+    assert doc["b"] == 101
+
+
+def test_addfields_batchable_classification():
+    from pincette_mongo_streams_spark.operators.stateless import (
+        _addfields_batchable,
+    )
+
+    # implicit-CURRENT $getField forms referencing another target: NOT batchable
+    assert not _addfields_batchable({"a": 1, "b": {"$getField": "a"}})
+    assert not _addfields_batchable({"a": 1, "b": {"$getField": {"field": "a"}}})
+    # dynamic/unresolvable field: conservative
+    assert not _addfields_batchable(
+        {"a": 1, "b": {"$getField": {"field": {"$concat": ["a"]}}}}
+    )
+    # bare $$ROOT / $$CURRENT read everything: conservative
+    assert not _addfields_batchable({"a": 1, "b": "$$ROOT"})
+    assert not _addfields_batchable({"a": 1, "b": {"$size": ["$$CURRENT"]}})
+    assert not _addfields_batchable({"a": 1, "b": "$$ROOT.a"})
+    # $getField WITH input reads the input, not the current doc: batchable
+    assert _addfields_batchable(
+        {"a": 1, "b": {"$getField": {"field": "a", "input": "$test3"}}}
+    )
+    # $literal payloads are data, not refs: batchable
+    assert _addfields_batchable({"a": 1, "b": {"$literal": "$a"}})
+    # self-reference reads the input either way: batchable
+    assert _addfields_batchable({"a": {"$add": ["$a", 1]}, "b": "$test1"})
+
+
 def test_project_include_exclude_compute(spark):
     [doc] = run(spark, [{"$project": {"test1": 1, "test3.test2": 1}}], NESTED, NESTED_SCHEMA)
     assert doc == {"_id": "a", "test1": 1, "test3": {"test2": 20}}
