@@ -8806,10 +8806,58 @@ _ORDER = [
     #   profile_mixed -> lexical_diversity (judge's candidate; the
     #     profile family keeps profile_vector in-window; TTR + MATTR
     #     earns a row)
-    "match_operators", "project_compute", "field_ops", "replace_with",
-    "unwind", "group_accumulators", "bleu_13a", "stage_ext",
-    "bucket", "lookup_unwind", "chrf_word", "lookup_pipeline",
-    "streaming_parity", "deduplicate", "merge_out", "delete_passthrough",
+    # r14 swaps (VERDICT r13 Next #8 — the r13-wave gates, hash-green
+    # but past-window with zero driver rows, earn hard rows per the
+    # standing rotation discipline.  Eleven rotate in: sari_eval,
+    # krippendorff_nominal, ks_test, chi_square, permutation_test,
+    # cohen_kappa, fleiss_kappa, corpus_divergence, distinct_n,
+    # zipf_fit, bradley_terry — every NEW operator of the wave.  Two
+    # wave gates stay past-window with in-window family redundancy:
+    # perplexity_bucket (its $ngramLmScore machinery holds FOUR
+    # in-window rows: ngram_lm/_jm/_ad/_kn) and krippendorff_interval
+    # (the $krippendorffAlpha op earns its row via nominal; interval is
+    # a mode of the same coincidence-matrix machinery).  Displaced rows
+    # stay registered + locally oracled by tests/test_oracle_parity.py
+    # + tests/test_driver_canon.py:
+    #   lookup_unwind -> sari_eval ($lookup keeps lookup_pipeline
+    #     in-window; lookup_unwind green r1-r13)
+    #   unwind -> krippendorff_nominal ($unwind stays exercised
+    #     in-window by effects_chain's $per/$unwind/$replaceWith
+    #     round-trip; unwind green r1-r13)
+    #   replace_with -> ks_test (same effects_chain redundancy;
+    #     replace_with green r1-r13)
+    #   field_ops -> chi_square ($setField/$getField/$unsetField stay
+    #     locally oracled; computed projection keeps project_compute +
+    #     expr_math_superset in-window; field_ops green r1-r13)
+    #   delete_passthrough -> permutation_test (the longest-green row
+    #     in the window, r1-r13; a match+passthrough contract whose
+    #     machinery stays exercised by match_operators and
+    #     streaming_parity's emission gate — the rank_eval precedent:
+    #     very-long-green rows may rest on local oracling)
+    #   bleu_13a -> cohen_kappa (BLEU keeps bleu_intl in-window plus
+    #     the multi-ref $bleu inside eval_multiref; 13a tokenizer stays
+    #     locally oracled, green r12-r13)
+    #   group_cap -> fleiss_kappa ($group keeps group_accumulators;
+    #     the WindowGroupLimit cap shape stays in-window via ann_topk +
+    #     deduplicate; group_cap green r5-r13)
+    #   chrf_corpus -> corpus_divergence (chrF keeps chrf_sacrebleu +
+    #     chrf_word in-window; corpus reductions keep wer_corpus +
+    #     bootstrap_ci_corpus; green r10-r13)
+    #   ter_corpus -> distinct_n (TER keeps ter_eval in-window; the
+    #     corpus one-row reduction shape stays via wer_corpus;
+    #     green r12-r13 — the bootstrap_ci precedent for 2-round rows
+    #     with family redundancy)
+    #   paired_bootstrap_corpus -> zipf_fit (significance testing now
+    #     holds permutation_test + ks_test + chi_square in-window;
+    #     bootstrap machinery keeps bootstrap_ci_corpus; green r12-r13)
+    #   minhash_dedup -> bradley_terry (the dedup family keeps
+    #     deduplicate in-window plus training_pipeline's dedup stage;
+    #     MinHash-LSH stays locally oracled and minhash_signature stays
+    #     a headline bench query)
+    "match_operators", "project_compute", "ks_test", "chi_square",
+    "krippendorff_nominal", "group_accumulators", "cohen_kappa", "stage_ext",
+    "bucket", "sari_eval", "chrf_word", "lookup_pipeline",
+    "streaming_parity", "deduplicate", "merge_out", "permutation_test",
     "redact", "ngram_lm_jm", "effects_chain", "script_stages",
     "http_enrich",
     # §2.3a expressions + §2.4 accumulators (superset included)
@@ -8822,14 +8870,14 @@ _ORDER = [
     # past-window by documents_inline/json_props_extract) -> kmeans
     # gives clustering one.  Both displaced queries stay registered and
     # locally oracle-checked.
-    "bootstrap_ci_corpus", "paired_bootstrap_corpus", "wer_corpus",
+    "bootstrap_ci_corpus", "zipf_fit", "wer_corpus",
     "profile_vector", "bleu_intl",
     "qa_eval", "ter_eval", "meteor_eval", "rouge_n",
-    "group_cap", "classification_eval",
+    "fleiss_kappa", "classification_eval",
     # LLM-data-pipeline operators
-    "connected_components", "ter_corpus", "training_pipeline",
+    "connected_components", "distinct_n", "training_pipeline",
     "bm25_search",
-    "chrf_corpus", "ngram_lm_kn", "minhash_dedup", "ngram_lm_ad",
+    "corpus_divergence", "ngram_lm_kn", "bradley_terry", "ngram_lm_ad",
     "delay_contract", "ann_topk", "lexical_diversity", "ngram_lm",
     "regression_eval",
 ]
