@@ -2461,9 +2461,11 @@ def _make_ter_scorers(max_words: int, max_shift_size: int,
     - the greedy round picks the smallest resulting distance, ties
       broken by smallest i then smallest k (first-found under the
       scan order);
-    - candidate distances are evaluated with a BANDED Levenshtein
-      cutoff (Ukkonen) at the best-so-far, so losing candidates
-      abandon in O(n·limit).
+    - candidate distances are evaluated with the Myers bit-parallel
+      Levenshtein (exact integers) under an exact best-so-far cutoff,
+      so losing candidates abandon in O(n·ceil(m/64)) word ops; rounds
+      that provably end in a zero-distance shift skip the candidate
+      scan outright (r14, see _zero_shift_round).
 
     ``maxWords`` defaults to 250 (not 2000): the greedy search is
     O(candidates · n · dist) per round — quadratic-ish where $wer is
@@ -2475,62 +2477,139 @@ def _make_ter_scorers(max_words: int, max_shift_size: int,
 
     ws_split = _re.compile(r"[ \t\n\r\f\x0b]+").split  # Java \s
 
-    def lev(a: list, b: list) -> int:
-        if len(a) < len(b):
-            a, b = b, a
-        if not b:
-            return len(a)
-        prev = list(range(len(b) + 1))
-        for i, x in enumerate(a, 1):
-            cur = [i]
-            append = cur.append
-            for j, y in enumerate(b, 1):
-                append(min(prev[j] + 1, cur[j - 1] + 1,
-                           prev[j - 1] + (x != y)))
-            prev = cur
-        return prev[-1]
+    def _myers_tables(wr: list):
+        """(PM, m, mask, top) for bit-parallel Levenshtein against the
+        FIXED word list ``wr`` — built once per segment and reused by
+        every candidate evaluation of every greedy round (r14).  PM
+        maps word -> bitmask of its positions in wr."""
+        m = len(wr)
+        PM: dict = {}
+        bit = 1
+        for w in wr:
+            PM[w] = PM.get(w, 0) | bit
+            bit <<= 1
+        return PM, m, bit - 1, (1 << (m - 1)) if m else 0
 
-    def lev_band(a: list, b: list, limit: int) -> int:
-        """Exact distance if <= limit, else limit + 1."""
-        la, lb = len(a), len(b)
+    def myers_lev(text: list, wr: list, PM: dict, m: int, mask: int,
+                  top: int, limit: int) -> int:
+        """Exact ``lev(text, wr)`` if <= limit, else limit + 1.
+
+        Myers 1999 bit-parallel edit distance in the Hyyrö 2001
+        "distance computation" variant (carry-in 1 on the horizontal
+        positive vector = the first DP column i).  Exact unit-cost
+        Levenshtein — same integers as the classic DP (randomized
+        differential pinned in tests/test_eval_properties.py).  The
+        early abandon is exact too: the tracked score is D[i][m] and a
+        text word changes it by at most 1, so score - remaining is a
+        lower bound on the final distance (r13's banded row-min cutoff
+        had the same contract at O(n*limit) interpreted cell ops; this
+        is O(n * ceil(m/64)) word ops)."""
+        lt = len(text)
         if limit < 0:
             # nothing can qualify; only equality is "within" a
             # negative limit (callers never accept the result anyway)
-            return 0 if a == b else limit + 1
-        if abs(la - lb) > limit:
-            return limit + 1
+            return 0 if text == wr else limit + 1
         big = limit + 1
-        prev = [j if j <= limit else big for j in range(lb + 1)]
-        for i in range(1, la + 1):
-            lo = max(1, i - limit)
-            hi = min(lb, i + limit)
-            cur = [big] * (lb + 1)
-            cur[0] = i if i <= limit else big
-            x = a[i - 1]
-            row_min = cur[0] if lo == 1 else big
-            for j in range(lo, hi + 1):
-                v = min(prev[j] + 1, cur[j - 1] + 1,
-                        prev[j - 1] + (x != b[j - 1]))
-                cur[j] = v
-                if v < row_min:
-                    row_min = v
-            if row_min > limit:
-                return big
-            prev = cur
-        d = prev[lb]
-        return d if d <= limit else big
+        if abs(lt - m) > limit:
+            return big
+        if m == 0:
+            return lt  # <= limit (the abs guard above caught the rest)
+        VP = mask
+        VN = 0
+        score = m
+        rem = lt
+        get = PM.get
+        for c in text:
+            rem -= 1
+            Eq = get(c, 0)
+            Xv = Eq | VN
+            Xh = (((Eq & VP) + VP) ^ VP) | Eq
+            Ph = VN | ~(Xh | VP)
+            Mh = VP & Xh
+            if Ph & top:
+                score += 1
+                if score - rem > limit:
+                    return big
+            elif Mh & top:
+                score -= 1
+            Ph = (Ph << 1) | 1
+            VP = ((Mh << 1) | ~(Xv | Ph)) & mask
+            VN = Ph & Xv
+        return score if score <= limit else big
+
+    def _zero_shift_round(hyp: list, wr: list) -> bool:
+        """True iff a VALID zero-distance shift candidate provably
+        exists: some (i, k) under the pinned candidate rules whose
+        shifted sequence equals wr exactly (r14, O(window * shiftSize)).
+
+        Soundness is the load-bearing property — on True the caller
+        takes the round as (shifts + 1, base = 0), which is outcome-
+        identical to the scan accepting ANY zero-distance candidate:
+        the round ends, base = 0 exits the greedy loop, and the
+        returned (edits, shifts, remaining) triple does not depend on
+        WHICH zero candidate was applied.  Completeness is not
+        required: only the two canonical single-block-move forms
+        (moved block flush at one end of the mismatch window [p, q])
+        are checked, and a miss just falls through to the full scan.
+        """
+        n = len(hyp)  # == len(wr), checked by the caller
+        p = 0
+        while p < n and hyp[p] == wr[p]:
+            p += 1
+        if p == n:
+            return False  # equal sequences (base > 0 rules this out)
+        q = n - 1
+        while hyp[q] == wr[q]:
+            q -= 1
+        width = q + 1 - p
+        wp = wr[p]
+        hp = hyp[p]
+        for L in range(1, min(width - 1, max_shift_size) + 1):
+            # LEFT move: span hyp[i:i+L] at i = q+1-L reinserts at
+            # at = k = p.  Needs B: hyp[q+1-L:q+1] == wr[p:p+L] and
+            # A: hyp[p:q+1-L] == wr[p+L:q+1]; the maximal-match rule
+            # must stop the span at exactly L; |i - k| <= shift dist.
+            if (wr[p + L] == hp and hyp[q + 1 - L] == wp
+                    and q + 1 - L - p <= max_shift_dist
+                    and (L == max_shift_size or q + 1 == n
+                         or hyp[q + 1] != wr[p + L])
+                    and hyp[q + 1 - L:q + 1] == wr[p:p + L]
+                    and hyp[p:q + 1 - L] == wr[p + L:q + 1]):
+                return True
+            # RIGHT move: span hyp[p:p+L] reinserts at at = k = q+1-L.
+            # Needs B: hyp[p:p+L] == wr[q+1-L:q+1] and
+            # A: hyp[p+L:q+1] == wr[p:q+1-L]; same maximality/dist.
+            if (hyp[p + L] == wp and wr[q + 1 - L] == hp
+                    and q + 1 - L - p <= max_shift_dist
+                    and (L == max_shift_size or q + 1 == n
+                         or hyp[p + L] != wr[q + 1])
+                    and hyp[p:p + L] == wr[q + 1 - L:q + 1]
+                    and hyp[p + L:q + 1] == wr[p:q + 1 - L]):
+                return True
+        return False
 
     def ter_edits(wc: list, wr: list):
         """(edits, shifts, remaining) for capped word lists."""
         hyp = wc
-        base = lev(hyp, wr)
+        PM, m, mask, top = _myers_tables(wr)
+        base = myers_lev(hyp, wr, PM, m, mask, top, len(hyp) + m)
         shifts = 0
         if not wr:
             return base, 0, base
         pos = _dd(list)
         for k, w in enumerate(wr):
             pos[w].append(k)
+        n_h = len(hyp)  # shifts preserve the hypothesis length
         while base > 0:
+            # r14: when the round provably ends in a zero-distance
+            # shift (single-block-move rounds — see _zero_shift_round
+            # for the outcome-identity argument), skip the candidate
+            # scan entirely; the dominant workload shape (rotations /
+            # one displaced span) resolves every round here.
+            if n_h == m and _zero_shift_round(hyp, wr):
+                shifts += 1
+                base = 0
+                break
             limit = base - 1
             best = None
             # r13, both loops exact-preserving:
@@ -2565,7 +2644,7 @@ def _make_ter_scorers(max_words: int, max_shift_size: int,
                     if key in seen:
                         continue
                     seen.add(key)
-                    d = lev_band(cand, wr, limit)
+                    d = myers_lev(cand, wr, PM, m, mask, top, limit)
                     if d <= limit:
                         best = (d, cand)
                         limit = d - 1

@@ -659,6 +659,58 @@ def test_ter_properties_and_edges(spark):
                        "maxShiftSize": 0}}], Context(spark=spark))
 
 
+def test_ter_long_sequence_differential(spark):
+    """r14 bit-parallel Myers + zero-shift-round detector vs the naive
+    independent implementation on LONG sequences (>64 words forces the
+    multi-word bigint path of the Myers recurrence; rotations and
+    single-block moves exercise the detector's canonical forms, and
+    mixed edits force the fallback candidate scan)."""
+    rng = random.Random(140814)
+    vocab = [f"v{i}" for i in range(8)]
+    rows = []
+    for i in range(14):
+        m = rng.randint(66, 150)
+        ref = [rng.choice(vocab) for _ in range(m)]
+        kind = i % 4
+        if kind == 0:  # rotation (the ter_eval oracle shape)
+            k = rng.randint(1, m - 1)
+            hyp = ref[k:] + ref[:k]
+        elif kind == 1:  # single block move
+            a = rng.randrange(m - 2)
+            l = rng.randint(1, min(9, m - a))
+            span = ref[a:a + l]
+            rest = ref[:a] + ref[a + l:]
+            at = rng.randint(0, len(rest))
+            hyp = rest[:at] + span + rest[at:]
+        elif kind == 2:  # block move + substitutions (no zero round)
+            a = rng.randrange(m - 2)
+            l = rng.randint(1, min(9, m - a))
+            span = ref[a:a + l]
+            rest = ref[:a] + ref[a + l:]
+            at = rng.randint(0, len(rest))
+            hyp = rest[:at] + span + rest[at:]
+            for _ in range(3):
+                j = rng.randrange(len(hyp))
+                hyp = hyp[:j] + ["zz"] + hyp[j + 1:]
+        else:  # random edits
+            hyp = list(ref)
+            for _ in range(rng.randint(1, 6)):
+                j = rng.randrange(len(hyp))
+                hyp[j] = rng.choice(vocab)
+        rows.append((i, " ".join(hyp), " ".join(ref)))
+    df = spark.createDataFrame(rows, "i long, c string, r string")
+    got = {x["i"]: x["t"] for x in compile_pipeline(
+        [{"$ter": {"candidate": "$c", "reference": "$r", "as": "t",
+                   "maxShiftDistance": 1000}}],
+        Context(spark=spark))(df).collect()}
+    for i, c, r in rows:
+        e, t, sh, nh, nr = _ref_ter(c, r, msd=1000)
+        g = got[i]
+        assert (g["edits"], g["shifts"], g["n_hyp"], g["n_ref"]) == \
+            (e, sh, nh, nr), (i, g, (e, sh))
+        assert abs(g["ter"] - t) < 1e-12
+
+
 def test_ter_corpus_equals_independent_aggregation(spark):
     """$terCorpus = total edits / total reference words over the best
     reference per segment — NOT the mean of per-segment TERs."""
