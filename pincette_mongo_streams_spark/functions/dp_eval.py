@@ -461,16 +461,29 @@ def profile_stage(expression: Any, ctx: Context) -> StageFn:
                     F.lit(0.0), lambda a, v: a + v * v))
                 stage = stage.withColumn(f"{key[col]}_normc", norm)
         aggs = [F.count(F.lit(1)).alias("__n_rows")]
+        # r14 (guide §2.3): with >= 2 exact count_distinct's Spark
+        # plans an Expand — one replica of every row per distinct
+        # group — and the exact percentile buffers then process the
+        # multiplied row stream (measured at sf0.1: basic+pct 3.3 s,
+        # distinct-only 0.7 s, combined 10.1 s).  Split the exact
+        # distincts into their OWN aggregation (narrow Expand, no
+        # percentile buffers riding along) and broadcast-join the two
+        # 1-row results.  A SINGLE distinct group plans without Expand
+        # and the split would only add a scan (measured: profile_vector
+        # 0.44 -> 1.03 s) — keep one pass then.  Approx mode (the
+        # 100 TB configuration) keeps the single pass — HLL needs no
+        # Expand.
+        split = exact and len(cols) >= 2
+        dist_aggs: list = []
         for col in cols:
             k, kind = key[col], kinds[col]
             raw = qcol(col)
             x = raw.cast("double") if kind == "numeric" else raw
             distinct = (F.count_distinct(x) if exact
                         else F.approx_count_distinct(x))
-            aggs += [
-                F.count(x).alias(f"{k}_nn"),
-                distinct.cast("long").alias(f"{k}_nd"),
-            ]
+            aggs.append(F.count(x).alias(f"{k}_nn"))
+            (dist_aggs if split else aggs).append(
+                distinct.cast("long").alias(f"{k}_nd"))
             if kind == "numeric":
                 aggs += [
                     F.min(x).alias(f"{k}_min"),
@@ -520,6 +533,10 @@ def profile_stage(expression: Any, ctx: Context) -> StageFn:
                     F.max(x).alias(f"{k}_tmax"),
                 ]
         row = stage.agg(*aggs)
+        if dist_aggs:
+            # both frames are exactly one row (global aggregates), so
+            # the broadcast cross join is a 1x1 attach
+            row = row.crossJoin(F.broadcast(stage.agg(*dist_aggs)))
         if top_k:
             for col in cols:
                 if kinds[col] != "string":
