@@ -286,6 +286,14 @@ def mmr_stage(expression: Any, ctx: Context) -> StageFn:
             F.transform(cands, lambda c: F.lit(float("-inf"))).alias("ms"),
         )
 
+        def bind1(col: Column, f) -> Column:
+            # evaluate ``col`` ONCE and hand it to ``f`` as a lambda
+            # VARIABLE (a slot read) — interpreted HOFs re-evaluate
+            # captured EXPRESSIONS per element (the r13 HOF-CSE rule),
+            # so anything a per-element lambda closes over must be a
+            # variable or a column, never a computation
+            return F.element_at(F.transform(F.array(col), f), 1)
+
         def step(acc: Column, _n: Column) -> Column:
             picks = acc.getField("picks")
             ms = acc.getField("ms")
@@ -298,19 +306,33 @@ def mmr_stage(expression: Any, ctx: Context) -> StageFn:
                         F.size(picks) > 0, F.element_at(ms, i + 1)
                     ).otherwise(F.lit(0.0)))),
             )
-            pick = (F.array_position(vals, F.array_max(vals)) - 1).cast("int")
-            picked_e = F.element_at(cands, pick + 1).getField("e")
-            new_ms = F.zip_with(
-                cands, ms,
-                lambda cand, m: F.greatest(
-                    m, _round9_col(_pair_dot(cand.getField("e"), picked_e))),
-            )
-            done = F.size(picks) >= F.size(cands)
-            return F.struct(
-                F.when(done, picks)
-                .otherwise(F.concat(picks, F.array(pick))).alias("picks"),
-                F.when(done, ms).otherwise(new_ms).alias("ms"),
-            )
+
+            def with_pick(pick: Column) -> Column:
+                def with_picked_e(picked_e: Column) -> Column:
+                    # r14: picked_e enters zip_with as a VARIABLE; as a
+                    # captured expression it re-ran argmax-over-vals
+                    # (two O(n) walks) per zip_with element — O(k·n²)
+                    # per group on top of the O(dim) dot
+                    new_ms = F.zip_with(
+                        cands, ms,
+                        lambda cand, m: F.greatest(
+                            m, _round9_col(
+                                _pair_dot(cand.getField("e"), picked_e))),
+                    )
+                    done = F.size(picks) >= F.size(cands)
+                    return F.struct(
+                        F.when(done, picks)
+                        .otherwise(F.concat(picks, F.array(pick)))
+                        .alias("picks"),
+                        F.when(done, ms).otherwise(new_ms).alias("ms"),
+                    )
+
+                return bind1(F.element_at(cands, pick + 1).getField("e"),
+                             with_picked_e)
+
+            return bind1(
+                (F.array_position(vals, F.array_max(vals)) - 1).cast("int"),
+                with_pick)
 
         sel = F.aggregate(
             F.sequence(F.lit(1), F.lit(k)), init, step,
