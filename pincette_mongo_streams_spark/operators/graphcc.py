@@ -187,12 +187,24 @@ def page_rank(edges: DataFrame, damping: float, iterations: int) -> DataFrame:
     if n == 0:
         return nodes.select(F.col("__n").alias("__pr_node"),
                             F.lit(None).cast("double").alias("__pr_rank"))
-    outdeg = e.groupBy(F.col("a").alias("__n")).agg(
+    # r14: outdeg is loop-invariant — pin it once instead of paying its
+    # groupBy shuffle inside every round's join tree
+    outdeg = _pin(e.groupBy(F.col("a").alias("__n")).agg(
         F.count(F.lit(1)).cast("double").alias("__deg")
-    )
+    ))
     ranks = nodes.withColumn("__r", F.lit(1.0 / n))
     base = (1.0 - damping) / n
-    for _ in range(iterations):
+    # r14 (guide §5): the eager per-round checkpoint was a full job
+    # barrier per iteration — 20 driver round-trips whose floors, not
+    # the tiny shuffles, dominated the build (measured 4.2 s at sf0.1).
+    # Pin every PIN_EVERY rounds instead: the rounds between pins plan
+    # as ONE job (their shuffle stages schedule back-to-back without a
+    # driver barrier), lineage stays bounded at PIN_EVERY rounds, and
+    # the per-round arithmetic (join + per-node sum) is untouched, so
+    # the ranks are identical.  The final round always pins: the result
+    # feeds two consumers (count + label join) downstream.
+    PIN_EVERY = 5
+    for i in range(iterations):
         contrib = (
             e.join(ranks.withColumnRenamed("__n", "a"), "a")
             .join(outdeg.withColumnRenamed("__n", "a"), "a")
@@ -201,14 +213,14 @@ def page_rank(edges: DataFrame, damping: float, iterations: int) -> DataFrame:
             .groupBy("__n")
             .agg(F.sum("__c").alias("__cs"))
         )
-        ranks = _pin(
-            nodes.join(contrib, "__n", "left").select(
-                "__n",
-                (F.lit(base)
-                 + F.lit(damping) * F.coalesce(F.col("__cs"), F.lit(0.0))
-                 ).alias("__r"),
-            )
+        ranks = nodes.join(contrib, "__n", "left").select(
+            "__n",
+            (F.lit(base)
+             + F.lit(damping) * F.coalesce(F.col("__cs"), F.lit(0.0))
+             ).alias("__r"),
         )
+        if (i + 1) % PIN_EVERY == 0 or i == iterations - 1:
+            ranks = _pin(ranks)
     return ranks.select(F.col("__n").alias("__pr_node"),
                         F.col("__r").alias("__pr_rank"))
 
