@@ -8,6 +8,8 @@ Split out of functions/datapipe.py (r10); the import surface stays
 
 from __future__ import annotations
 
+import re as _re
+
 from typing import Any, Iterator, Optional
 
 import pandas as pd
@@ -112,9 +114,15 @@ def _row_group_bound(df: DataFrame) -> Optional[int]:
 
 
 # logical-plan nodes that mean "this frame is COMPUTED, not stored" —
-# re-reading it per reference would re-run the whole computation
-_COMPUTED_NODES = ("Aggregate", "Join", "Generate", "Union", "Window",
-                   "Deduplicate", "RepartitionByExpression")
+# re-reading it per reference would re-run the whole computation.
+# Matched at line starts (after the tree-drawing prefix), NOT by raw
+# substring containment: a column name or literal containing one of
+# these words (joinDate, a "Window" string literal) printed inside a
+# node line must not make a bare stored relation pay an unnecessary
+# full materialization (ADVICE r13).
+_COMPUTED_NODE_RE = _re.compile(
+    r"(?m)^[\s:+-]*(?:Aggregate|Join|Generate|Union|Window|"
+    r"Deduplicate|RepartitionByExpression)\b")
 
 
 def _pin_computed(df: DataFrame) -> DataFrame:
@@ -135,7 +143,15 @@ def _pin_computed(df: DataFrame) -> DataFrame:
     Convention mirrors graphcc._pin / lookup.py (ADVICE r13): durable
     ``checkpoint`` when the session has a checkpoint directory
     (survives executor loss on real clusters), ``localCheckpoint``
-    otherwise (single-JVM local mode has no executor to lose).  A frame
+    otherwise (single-JVM local mode has no executor to lose).
+    DEPLOYMENT NOTE (ADVICE r13, low): the ``localCheckpoint`` fallback
+    stores blocks on executors — on a multi-executor cluster WITHOUT a
+    configured checkpoint dir, losing an executor (including dynamic-
+    allocation decommission) makes queries over the pinned frame fail
+    unrecoverably where un-pinned lineage would recompute.  Cluster
+    deployments must set ``spark.sparkContext.setCheckpointDir(...)``
+    (reliable storage) so the durable branch is taken; see SCALE.md.
+    A frame
     read straight from storage (bare relation / projection — no
     aggregate, join or generate in its analyzed plan) is NOT pinned:
     re-scanning a stored table per reference is cheaper than copying
@@ -146,7 +162,7 @@ def _pin_computed(df: DataFrame) -> DataFrame:
         plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:  # pragma: no cover - py4j edge
         return df
-    if not any(k in plan for k in _COMPUTED_NODES):
+    if not _COMPUTED_NODE_RE.search(plan):
         return df
     sc = df.sparkSession.sparkContext
     if sc._jsc.sc().getCheckpointDir().isDefined():
