@@ -1368,45 +1368,52 @@ def bleu_stage(expression: Any, ctx: Context) -> StageFn:
         sctx = ExprContext(schema=df.schema)
         cand = compile_expr(cand_e, sctx)
         cand = _tok_fn(tokenizer)(cand)
-        temps = ["__bleu_wc"]
-        stage = df.withColumn("__bleu_wc", _eval_words(cand, max_words))
-        wc = F.col("__bleu_wc")
+        # r14 (guide §1.2, the §2-bootstrap class): dependency-layered
+        # withColumns — one analyzer pass per layer and no stacked
+        # Project copies of the gram arrays at runtime; identical
+        # columns and expressions.
         tok = _tok_fn(tokenizer)
+        layer1 = {"__bleu_wc": _eval_words(cand, max_words)}
+        wc = F.col("__bleu_wc")
         if refs_e is not None:
             refs = compile_expr(refs_e, sctx)
-            temps.append("__bleu_wrs")
-            stage = stage.withColumn(
-                "__bleu_wrs",
-                F.transform(F.filter(refs, lambda r: r.isNotNull()),
-                            lambda r: _eval_words(tok(r), max_words)))
+            layer1["__bleu_wrs"] = F.transform(
+                F.filter(refs, lambda r: r.isNotNull()),
+                lambda r: _eval_words(tok(r), max_words))
             wrs = F.col("__bleu_wrs")
             null_in = cand.isNull() | refs.isNull() | (F.size(wrs) == 0)
         else:
             ref = compile_expr(ref_e, sctx)
-            temps.append("__bleu_wr")
-            stage = stage.withColumn("__bleu_wr",
-                                     _eval_words(tok(ref), max_words))
+            layer1["__bleu_wr"] = _eval_words(tok(ref), max_words)
             null_in = cand.isNull() | ref.isNull()
         wr = F.col("__bleu_wr")
+        stage = df.withColumns(layer1)
+        temps = list(layer1)
+        layer2: dict = {}
+
+        def _grams_of(_n: int):
+            # not a default-arg lambda: F.transform treats a 2-param
+            # callable as the (element, index) form
+            return lambda w: _eval_grams(w, _n)
+
         for n in range(1, max_n + 1):
-            gc_name, m_name = f"__bleu_gc{n}", f"__bleu_m{n}"
-            temps += [gc_name, m_name]
-            stage = stage.withColumn(gc_name, _eval_grams(wc, n))
+            layer2[f"__bleu_gc{n}"] = _eval_grams(wc, n)
             if refs_e is not None:
-                grs_name = f"__bleu_grs{n}"
-                temps.append(grs_name)
-                stage = stage.withColumn(
-                    grs_name,
-                    F.transform(wrs, lambda w: _eval_grams(w, n)))
-                stage = stage.withColumn(
-                    m_name,
-                    _eval_clipped_multi(F.col(gc_name), F.col(grs_name)))
+                layer2[f"__bleu_grs{n}"] = F.transform(wrs, _grams_of(n))
             else:
-                gr_name = f"__bleu_gr{n}"
-                temps.append(gr_name)
-                stage = stage.withColumn(gr_name, _eval_grams(wr, n))
-                stage = stage.withColumn(
-                    m_name, _eval_clipped(F.col(gc_name), F.col(gr_name)))
+                layer2[f"__bleu_gr{n}"] = _eval_grams(wr, n)
+        stage = stage.withColumns(layer2)
+        temps += list(layer2)
+        layer3 = {}
+        for n in range(1, max_n + 1):
+            if refs_e is not None:
+                layer3[f"__bleu_m{n}"] = _eval_clipped_multi(
+                    F.col(f"__bleu_gc{n}"), F.col(f"__bleu_grs{n}"))
+            else:
+                layer3[f"__bleu_m{n}"] = _eval_clipped(
+                    F.col(f"__bleu_gc{n}"), F.col(f"__bleu_gr{n}"))
+        stage = stage.withColumns(layer3)
+        temps += list(layer3)
         # zero-precision guard: any order with no candidate grams, or an
         # unsmoothed order with zero matches, zeroes the whole score
         zero = F.lit(False)
