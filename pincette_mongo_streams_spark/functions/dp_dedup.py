@@ -973,7 +973,19 @@ def edit_distance_join_stage(expression: Any, ctx: Context) -> StageFn:
             ).alias("__lb"))
         pr = prefix(rg, "right_id", right, "__sb").withColumn(
             "__lb", F.length("__sb"))
-        ver_long = verify(pl.join(pr, ["__g", "__lb"]))
+        # r14 (guide §2.5 blind spot): the candidate merge EXPLODES
+        # inside the join (tiny prefix-row inputs, tens of millions of
+        # output pairs on degenerate alphabets), so AQE's input-byte
+        # coalescing squashed it to ~1 task (measured 14.8 s at sf0.1;
+        # 3.4 s with coalescing disabled).  An explicit-N keyed
+        # repartition (REPARTITION_BY_NUM origin) is exempt from AQE
+        # coalescing and pins the merge parallelism; N defaults to the
+        # cluster's total cores — scale-adaptive, not a local constant.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        ver_long = verify(
+            pl.repartition(par, F.col("__g"), F.col("__lb"))
+            .join(pr.repartition(par, F.col("__g"), F.col("__lb")),
+                  ["__g", "__lb"]))
         # short-string fallback: both pool members are < min_long + k
         # chars, and any pair with a sub-min_long member has both members
         # in the pool; the left fans out to its 2k+1 admissible lengths
@@ -1183,9 +1195,15 @@ def ngram_jaccard_dedup_stage(expression: Any, ctx: Context) -> StageFn:
         # r13: ONE explicit __g shuffle of the exploded index — the DF
         # aggregate, both self-join sides and the hot-shingle collect
         # all consume this exchange (AQE reuses it; Catalyst's
-        # re-inlining otherwise re-ran the shingle explode per branch)
+        # re-inlining otherwise re-ran the shingle explode per branch).
+        # r14: explicit N (REPARTITION_BY_NUM, exempt from AQE
+        # coalescing): the self-join's output explodes to tens of
+        # millions of pairs from a tiny input, so input-byte coalescing
+        # was running the merge nearly serial (guide §2.5 blind spot);
+        # defaultParallelism = the cluster's total cores.
+        par = df.sparkSession.sparkContext.defaultParallelism
         inv = docs.select("__did", F.explode("__sh").alias("__g")) \
-            .repartition(F.col("__g"))
+            .repartition(par, F.col("__g"))
         dfreq = inv.groupBy("__g").agg(F.count("*").alias("__df"))
         cold = dfreq.filter(F.col("__df") <= max_df).select("__g")
         inv_c = inv.join(cold, "__g")
