@@ -1753,58 +1753,64 @@ def chrf_stage(expression: Any, ctx: Context) -> StageFn:
         cand = compile_expr(cand_e, sctx)
         strip = lambda t: F.substring(  # noqa: E731
             F.regexp_replace(t, r"\s+", ""), 1, max_chars)
-        temps = ["__chrf_sc"]
-        stage = df.withColumn("__chrf_sc", strip(cand))
+        # r14 (guide §1.2, the §2-bootstrap class): dependency-layered
+        # withColumns — one analyzer pass per layer over the large
+        # clipped-fold trees; identical columns and expressions.
+        layer1 = {"__chrf_sc": strip(cand)}
         sc = F.col("__chrf_sc")
         if refs_e is not None:
             refs = compile_expr(refs_e, sctx)
-            temps.append("__chrf_srs")
-            stage = stage.withColumn(
-                "__chrf_srs",
-                F.transform(F.filter(refs, lambda r: r.isNotNull()),
-                            strip))
+            layer1["__chrf_srs"] = F.transform(
+                F.filter(refs, lambda r: r.isNotNull()), strip)
             srs = F.col("__chrf_srs")
-            for n in range(1, max_n + 1):
-                gc_n, grs_n, ms_n = (f"__chrf_gc{n}", f"__chrf_grs{n}",
-                                     f"__chrf_ms{n}")
-                temps += [gc_n, grs_n, ms_n]
-                stage = stage.withColumn(gc_n, char_grams(sc, n))
-                # per-reference grams and clips materialize as array
-                # temp columns (array<array<string>> / array<long>) —
-                # the HOF-CSE rule applied to the multi-ref axis
-                stage = stage.withColumn(
-                    grs_n, F.transform(srs, lambda s: char_grams(s, n)))
-                stage = stage.withColumn(
-                    ms_n,
-                    F.transform(F.col(grs_n),
-                                lambda g: _eval_clipped(F.col(gc_n), g)))
             if word_order > 0:
                 # word tokens come from the ORIGINAL (unstripped) texts;
                 # the token arrays align index-wise with __chrf_srs
                 # because both run the same null filter
-                temps += ["__chrf_wc", "__chrf_wrs"]
-                stage = stage.withColumn(
-                    "__chrf_wc", _chrfpp_tokens(cand, wmax_words))
-                stage = stage.withColumn(
-                    "__chrf_wrs",
-                    F.transform(F.filter(refs, lambda r: r.isNotNull()),
-                                lambda r: _chrfpp_tokens(r, wmax_words)))
-                for n in range(1, word_order + 1):
-                    wgc_n, wgrs_n, wms_n = (f"__chrf_wgc{n}",
-                                            f"__chrf_wgrs{n}",
-                                            f"__chrf_wms{n}")
-                    temps += [wgc_n, wgrs_n, wms_n]
-                    stage = stage.withColumn(
-                        wgc_n, _eval_grams(F.col("__chrf_wc"), n))
-                    stage = stage.withColumn(
-                        wgrs_n,
-                        F.transform(F.col("__chrf_wrs"),
-                                    lambda w: _eval_grams(w, n)))
-                    stage = stage.withColumn(
-                        wms_n,
-                        F.transform(F.col(wgrs_n),
-                                    lambda g: _eval_clipped(
-                                        F.col(wgc_n), g)))
+                layer1["__chrf_wc"] = _chrfpp_tokens(cand, wmax_words)
+                layer1["__chrf_wrs"] = F.transform(
+                    F.filter(refs, lambda r: r.isNotNull()),
+                    lambda r: _chrfpp_tokens(r, wmax_words))
+            stage = df.withColumns(layer1)
+            temps = list(layer1)
+
+            def _char_grams_of(_n: int):
+                # not default-arg lambdas: F.transform treats a 2-param
+                # callable as the (element, index) form
+                return lambda s: char_grams(s, _n)
+
+            def _grams_of(_n: int):
+                return lambda w: _eval_grams(w, _n)
+
+            def _clip_against(gc_name: str):
+                return lambda g: _eval_clipped(F.col(gc_name), g)
+
+            layer2 = {}
+            for n in range(1, max_n + 1):
+                layer2[f"__chrf_gc{n}"] = char_grams(sc, n)
+                # per-reference grams and clips materialize as array
+                # temp columns (array<array<string>> / array<long>) —
+                # the HOF-CSE rule applied to the multi-ref axis
+                layer2[f"__chrf_grs{n}"] = F.transform(
+                    srs, _char_grams_of(n))
+            for n in range(1, word_order + 1):
+                layer2[f"__chrf_wgc{n}"] = _eval_grams(
+                    F.col("__chrf_wc"), n)
+                layer2[f"__chrf_wgrs{n}"] = F.transform(
+                    F.col("__chrf_wrs"), _grams_of(n))
+            stage = stage.withColumns(layer2)
+            temps += list(layer2)
+            layer3 = {}
+            for n in range(1, max_n + 1):
+                layer3[f"__chrf_ms{n}"] = F.transform(
+                    F.col(f"__chrf_grs{n}"),
+                    _clip_against(f"__chrf_gc{n}"))
+            for n in range(1, word_order + 1):
+                layer3[f"__chrf_wms{n}"] = F.transform(
+                    F.col(f"__chrf_wgrs{n}"),
+                    _clip_against(f"__chrf_wgc{n}"))
+            stage = stage.withColumns(layer3)
+            temps += list(layer3)
 
             def ref_score(i: Column) -> Column:
                 triples = []
@@ -1833,45 +1839,43 @@ def chrf_stage(expression: Any, ctx: Context) -> StageFn:
             null_in = cand.isNull() | refs.isNull() | (F.size(srs) == 0)
         else:
             ref = compile_expr(ref_e, sctx)
-            temps.append("__chrf_sr")
-            stage = stage.withColumn("__chrf_sr", strip(ref))
+            layer1["__chrf_sr"] = strip(ref)
             sr = F.col("__chrf_sr")
+            if word_order > 0:
+                layer1["__chrf_wc"] = _chrfpp_tokens(cand, wmax_words)
+                layer1["__chrf_wr"] = _chrfpp_tokens(ref, wmax_words)
+            stage = df.withColumns(layer1)
+            temps = list(layer1)
+            layer2 = {}
             for n in range(1, max_n + 1):
-                gc_n, gr_n, m_n = (f"__chrf_gc{n}", f"__chrf_gr{n}",
-                                   f"__chrf_m{n}")
-                temps += [gc_n, gr_n, m_n]
-                stage = stage.withColumn(gc_n, char_grams(sc, n)) \
-                             .withColumn(gr_n, char_grams(sr, n))
-                stage = stage.withColumn(
-                    m_n, _eval_clipped(F.col(gc_n), F.col(gr_n)))
+                layer2[f"__chrf_gc{n}"] = char_grams(sc, n)
+                layer2[f"__chrf_gr{n}"] = char_grams(sr, n)
+            for n in range(1, word_order + 1):
+                layer2[f"__chrf_wgc{n}"] = _eval_grams(
+                    F.col("__chrf_wc"), n)
+                layer2[f"__chrf_wgr{n}"] = _eval_grams(
+                    F.col("__chrf_wr"), n)
+            stage = stage.withColumns(layer2)
+            temps += list(layer2)
+            layer3 = {}
+            for n in range(1, max_n + 1):
+                layer3[f"__chrf_m{n}"] = _eval_clipped(
+                    F.col(f"__chrf_gc{n}"), F.col(f"__chrf_gr{n}"))
+            for n in range(1, word_order + 1):
+                layer3[f"__chrf_wm{n}"] = _eval_clipped(
+                    F.col(f"__chrf_wgc{n}"), F.col(f"__chrf_wgr{n}"))
+            stage = stage.withColumns(layer3)
+            temps += list(layer3)
             triples = [
                 (F.size(F.col(f"__chrf_gc{n}")).cast("double"),
                  F.size(F.col(f"__chrf_gr{n}")).cast("double"),
                  F.col(f"__chrf_m{n}").cast("double"))
                 for n in range(1, max_n + 1)]
-            if word_order > 0:
-                temps += ["__chrf_wc", "__chrf_wr"]
-                stage = stage.withColumn(
-                    "__chrf_wc", _chrfpp_tokens(cand, wmax_words))
-                stage = stage.withColumn(
-                    "__chrf_wr", _chrfpp_tokens(ref, wmax_words))
-                for n in range(1, word_order + 1):
-                    wgc_n, wgr_n, wm_n = (f"__chrf_wgc{n}",
-                                          f"__chrf_wgr{n}",
-                                          f"__chrf_wm{n}")
-                    temps += [wgc_n, wgr_n, wm_n]
-                    stage = stage.withColumn(
-                        wgc_n, _eval_grams(F.col("__chrf_wc"), n)
-                    ).withColumn(
-                        wgr_n, _eval_grams(F.col("__chrf_wr"), n))
-                    stage = stage.withColumn(
-                        wm_n,
-                        _eval_clipped(F.col(wgc_n), F.col(wgr_n)))
-                triples += [
-                    (F.size(F.col(f"__chrf_wgc{n}")).cast("double"),
-                     F.size(F.col(f"__chrf_wgr{n}")).cast("double"),
-                     F.col(f"__chrf_wm{n}").cast("double"))
-                    for n in range(1, word_order + 1)]
+            triples += [
+                (F.size(F.col(f"__chrf_wgc{n}")).cast("double"),
+                 F.size(F.col(f"__chrf_wgr{n}")).cast("double"),
+                 F.col(f"__chrf_wm{n}").cast("double"))
+                for n in range(1, word_order + 1)]
             score = one_score(triples)
             null_in = cand.isNull() | ref.isNull()
         out = F.when(null_in, F.lit(None).cast("double")) \
@@ -2084,30 +2088,33 @@ def chrf_corpus_stage(expression: Any, ctx: Context) -> StageFn:
             return F.when(ln >= n, grams) \
                 .otherwise(F.array().cast("array<string>"))
 
-        stage = df.filter(cand.isNotNull() & ref.isNotNull()) \
-            .withColumn("__chc_sc", strip(cand)) \
-            .withColumn("__chc_sr", strip(ref))
-        sc, sr = F.col("__chc_sc"), F.col("__chc_sr")
-        for n in range(1, max_n + 1):
-            gc_n, gr_n, m_n = (f"__chc_gc{n}", f"__chc_gr{n}",
-                               f"__chc_m{n}")
-            stage = stage.withColumn(gc_n, char_grams(sc, n)) \
-                         .withColumn(gr_n, char_grams(sr, n))
-            stage = stage.withColumn(
-                m_n, _eval_clipped(F.col(gc_n), F.col(gr_n)))
+        # r14 (guide §1.2, the §2-bootstrap class): dependency-layered
+        # withColumns — one analyzer pass per layer over the large
+        # clipped-fold trees instead of ~20 (measured 4.0 s of plan
+        # build at bench config); identical columns and expressions.
+        layer1 = {"__chc_sc": strip(cand), "__chc_sr": strip(ref)}
         if word_order > 0:
-            stage = stage.withColumn(
-                "__chc_wc", _chrfpp_tokens(cand, wmax_words)
-            ).withColumn("__chc_wr", _chrfpp_tokens(ref, wmax_words))
-            for n in range(1, word_order + 1):
-                wgc_n, wgr_n, wm_n = (f"__chc_wgc{n}", f"__chc_wgr{n}",
-                                      f"__chc_wm{n}")
-                stage = stage.withColumn(
-                    wgc_n, _eval_grams(F.col("__chc_wc"), n)
-                ).withColumn(
-                    wgr_n, _eval_grams(F.col("__chc_wr"), n))
-                stage = stage.withColumn(
-                    wm_n, _eval_clipped(F.col(wgc_n), F.col(wgr_n)))
+            layer1["__chc_wc"] = _chrfpp_tokens(cand, wmax_words)
+            layer1["__chc_wr"] = _chrfpp_tokens(ref, wmax_words)
+        stage = df.filter(cand.isNotNull() & ref.isNotNull()) \
+            .withColumns(layer1)
+        sc, sr = F.col("__chc_sc"), F.col("__chc_sr")
+        layer2 = {}
+        for n in range(1, max_n + 1):
+            layer2[f"__chc_gc{n}"] = char_grams(sc, n)
+            layer2[f"__chc_gr{n}"] = char_grams(sr, n)
+        for n in range(1, word_order + 1):
+            layer2[f"__chc_wgc{n}"] = _eval_grams(F.col("__chc_wc"), n)
+            layer2[f"__chc_wgr{n}"] = _eval_grams(F.col("__chc_wr"), n)
+        stage = stage.withColumns(layer2)
+        layer3 = {}
+        for n in range(1, max_n + 1):
+            layer3[f"__chc_m{n}"] = _eval_clipped(
+                F.col(f"__chc_gc{n}"), F.col(f"__chc_gr{n}"))
+        for n in range(1, word_order + 1):
+            layer3[f"__chc_wm{n}"] = _eval_clipped(
+                F.col(f"__chc_wgc{n}"), F.col(f"__chc_wgr{n}"))
+        stage = stage.withColumns(layer3)
         zero_l = F.lit(0).cast("long")
         aggs = [F.count(F.lit(1)).alias("n_segments")]
         # (sum-column, cand-total, ref-total, output-prefix) per order:
